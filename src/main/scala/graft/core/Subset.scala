@@ -1,0 +1,132 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Subset-string algebra: the reference's core addressing primitive.
+ *
+ * Grammar (reference `src/oph_subset_library.c:64-190`, struct at
+ * `src/oph_subset_library.h:37-47`):
+ *   subset  := clause (',' clause)*
+ *   clause  := value | value ':' value | value ':' value ':' value
+ *   value   := positive integer | 'end'
+ * Semantics: 1-based, inclusive, `start[:stride]:end`; the keyword `end`
+ * resolves to the dimension size and is only valid when the size is known
+ * (`oph_subset_library.c:116-122`). A comma-separated list is a union of
+ * intervals. Errors: start > end, stride < 1, more than 3 fields.
+ *
+ * The compiled forms are Spark-first: a `Column` predicate
+ * (`col >= s && col <= e && (col - s) % st == 0`) that Catalyst pushes to
+ * the Parquet scan for explicit dimensions, and an index-set for slicing
+ * implicit (in-array) dimensions via higher-order functions.
+ */
+object Subset {
+
+  /** One `start:stride:end` interval, 1-based inclusive. */
+  final case class Interval(start: Long, stride: Long, end: Long) {
+    require(start >= 1, s"subset start must be >= 1, got $start")
+    require(stride >= 1, s"subset stride must be >= 1, got $stride")
+    require(start <= end, s"subset start > end: $start > $end")
+    def contains(i: Long): Boolean =
+      i >= start && i <= end && (i - start) % stride == 0
+    def count: Long = (end - start) / stride + 1
+    def indices: Seq[Long] = start.to(end, stride)
+    def render: String =
+      if (start == end) s"$start"
+      else if (stride == 1) s"$start:$end"
+      else s"$start:$stride:$end"
+  }
+
+  final case class Spec(intervals: Seq[Interval]) {
+    def contains(i: Long): Boolean = intervals.exists(_.contains(i))
+    def indices: Seq[Long] = intervals.flatMap(_.indices).distinct.sorted
+    def count: Long = indices.size.toLong
+    def render: String = intervals.map(_.render).mkString(",")
+
+    /** Predicate over a 1-based index column; pushdown-friendly. */
+    def toColumn(col: Column): Column =
+      intervals.map { iv =>
+        val base = col >= iv.start && col <= iv.end
+        if (iv.stride == 1) base
+        else base && (col - iv.start) % iv.stride === 0
+      }.reduce(_ || _)
+
+    /** Predicate usable inside a higher-order function lambda, where the
+      * index is a plain `Column` (e.g. from `posexplode` or
+      * `filter(arr, (x, i) => ...)` with i 0-based → pass `i + 1`). */
+    def toLambda(idx1Based: Column): Column = toColumn(idx1Based)
+  }
+
+  sealed abstract class ParseError(msg: String) extends Exception(msg)
+  final class SyntaxError(msg: String) extends ParseError(msg)
+  final class BoundsError(msg: String) extends ParseError(msg)
+
+  /**
+   * Parse a subset string. `max` is the dimension size the `end` keyword
+   * resolves to; absent ⇒ `end` is an error (reference behavior when the
+   * dimension size is unknown).
+   */
+  def parse(s: String, max: Option[Long] = None): Spec = {
+    if (s == null || s.trim.isEmpty)
+      throw new SyntaxError("empty subset string")
+    val intervals = s.split(",", -1).toIndexedSeq.map { raw =>
+      val clause = raw.trim
+      if (clause.isEmpty) throw new SyntaxError(s"empty clause in '$s'")
+      val parts = clause.split(":", -1).toIndexedSeq.map(_.trim)
+      if (parts.length > 3)
+        throw new SyntaxError(s"more than 3 fields in clause '$clause'")
+      def value(tok: String): Long = tok match {
+        case "end" =>
+          max.getOrElse(throw new BoundsError(
+            s"'end' keyword in '$clause' but dimension size unknown"))
+        case t =>
+          val v = try t.toLong catch {
+            case _: NumberFormatException =>
+              throw new SyntaxError(s"not a positive integer: '$t'")
+          }
+          if (v < 1) throw new SyntaxError(s"index must be >= 1, got $v")
+          v
+      }
+      parts match {
+        case Seq(a)       => val v = value(a); Interval(v, 1, v)
+        case Seq(a, b)    => mk(value(a), 1, value(b), clause)
+        case Seq(a, st, b) =>
+          val stride = value(st)
+          mk(value(a), stride, value(b), clause)
+        case _ => throw new SyntaxError(s"bad clause '$clause'")
+      }
+    }
+    Spec(intervals)
+  }
+
+  private def mk(s: Long, st: Long, e: Long, clause: String): Interval = {
+    if (s > e) throw new BoundsError(s"start > end in '$clause'")
+    Interval(s, st, e)
+  }
+
+  /**
+   * Compress a sorted list of positive integers into a minimal subset
+   * string — the `oph_set subset_filter=yes` behavior
+   * (`src/oph_flow_control_operators.c:1427-1470`): greedy runs of
+   * constant stride become `start:stride:end` clauses.
+   */
+  def compress(values: Seq[Long]): String = {
+    val v = values.distinct.sorted
+    if (v.isEmpty) return ""
+    val out = scala.collection.mutable.ArrayBuffer.empty[Interval]
+    var i = 0
+    while (i < v.length) {
+      if (i + 1 >= v.length) { out += Interval(v(i), 1, v(i)); i += 1 }
+      else {
+        val stride = v(i + 1) - v(i)
+        var j = i + 1
+        while (j + 1 < v.length && v(j + 1) - v(j) == stride) j += 1
+        if (j - i >= 2 || stride == 1) { // run of >=3, or contiguous pair
+          out += Interval(v(i), stride, v(j)); i = j + 1
+        } else { out += Interval(v(i), 1, v(i)); i += 1 }
+      }
+    }
+    Spec(out.toSeq).render
+  }
+}
