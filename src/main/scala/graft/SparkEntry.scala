@@ -1,13 +1,551 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Subset
+import graft.cube.{Cube, CubeOps}
+import graft.functions.ArrayPrimitives
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` exercises one operator from SURVEY.md §2 (or
+  * an LLM-pipeline component) end-to-end over the driver's testdata;
+  * `oracleSql` holds the DuckDB-equivalent SQL for the hash compare.
+  * Column names are aligned between both sides (the driver sorts columns
+  * by name before hashing). Floating-point aggregates are rounded on
+  * both sides to absorb summation-order differences.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark only reads as
+    * long (`spark.sql.legacy.parquet.nanosAsLong`); convert to a
+    * microsecond timestamp with integer division (a double division
+    * would lose precision above 2^53). */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** lineitem as a datacube: explicit dim l_orderkey, implicit dim
+    * l_linenumber serialized into the in-cell array (deterministic
+    * order: by (linenumber, value) — linenumber alone is not unique). */
+  private def liCube(s: SparkSession, dir: String, measure: String = "l_quantity"): Cube =
+    CubeOps.importParquet(s, s"$dir/lineitem.parquet", measure,
+      explicitDims = Seq("l_orderkey"), implicitDim = Some("l_linenumber"))
+
+  /** lineitem as a flat (scalar-measure) cube keyed by line identity. */
+  private def liFlatCube(s: SparkSession, dir: String): Cube =
+    CubeOps.importParquet(s, s"$dir/lineitem.parquet", "l_quantity",
+      explicitDims = Seq("l_orderkey", "l_linenumber", "l_returnflag"))
+
+  /** posexplode an array-measure cube to (dims..., pos 1-based, value). */
+  private def explodeArr(c: Cube, posName: String, valName: String): DataFrame =
+    c.df.select(col("l_orderkey"),
+        posexplode(col(c.desc.measure)).as(Seq("__p", valName)))
+      .withColumn(posName, (col("__p") + 1).cast("long")).drop("__p")
+
+  // =====================================================================
+
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("aggregate_sum")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ----------------------------------------------------- oph_subset
+    "subset_index" -> ((s, dir) => {
+      val cube = CubeOps.importParquet(s, s"$dir/lineitem.parquet",
+        "l_quantity", Seq("l_orderkey", "l_linenumber"))
+      CubeOps.subsetIndex(cube, "l_linenumber", "1:2:5").df
+    }),
+
+    "subset_time" -> ((s, dir) => {
+      val raw = t(s, dir, "lineitem")
+      val cube = CubeOps.build(raw.select("l_orderkey", "l_linenumber",
+        "l_shipdate", "l_quantity"), "l_quantity",
+        Seq("l_orderkey", "l_linenumber", "l_shipdate"), None, "c", dir)
+      val sub = CubeOps.subsetCoord(
+        CubeOps.subsetTime(cube, "l_shipdate", "1996-01-01", "1997-01-01"),
+        col("l_quantity") >= 25)
+      sub.df.withColumn("ship", date_format(col("l_shipdate"), "yyyy-MM-dd"))
+        .drop("l_shipdate")
+    }),
+
+    "subset_implicit" -> ((s, dir) => {
+      // odd in-array positions via HOF filter on the 1-based index
+      val sub = CubeOps.subsetImplicit(liCube(s, dir), "1:2:13")
+      explodeArr(sub, "pos", "qty")
+    }),
+
+    // ----------------------------------------------------- oph_reduce
+    "reduce_avg" -> ((s, dir) => {
+      val r = CubeOps.reduce(liCube(s, dir), "avg")
+      r.df.select(col("l_orderkey"), round(col("l_quantity"), 4).as("avg_qty"))
+    }),
+
+    "reduce_max" -> ((s, dir) => {
+      val r = CubeOps.reduce(liCube(s, dir), "max")
+      r.df.select(col("l_orderkey"), col("l_quantity").as("max_qty"))
+    }),
+
+    "reduce_median" -> ((s, dir) => {
+      val r = CubeOps.reduce(liCube(s, dir), "quantile")
+      r.df.select(col("l_orderkey"), col("l_quantity").as("med_qty"))
+    }),
+
+    "reduce_sum_block" -> ((s, dir) => {
+      // group_size=4: block-wise sums along the implicit dim
+      val r = CubeOps.reduce(liCube(s, dir), "sum", groupSize = Some(4))
+      r.df.select(col("l_orderkey"),
+          posexplode(col("l_quantity")).as(Seq("__p", "__v")))
+        .select(col("l_orderkey"), (col("__p") + 1).cast("long").as("blk"),
+          round(col("__v"), 4).as("sum_qty"))
+    }),
+
+    // -------------------------------------------------- oph_aggregate
+    "aggregate_sum" -> ((s, dir) => {
+      val cube = CubeOps.importParquet(s, s"$dir/lineitem.parquet",
+        "l_quantity", Seq("l_orderkey", "l_returnflag", "l_linestatus"))
+      val agg = CubeOps.aggregate(cube, Seq("l_returnflag", "l_linestatus"), "sum")
+      agg.df.select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity"), 2).as("sum_qty"))
+    }),
+
+    "aggregate2_month" -> ((s, dir) => {
+      val cube = CubeOps.importParquet(s, s"$dir/orders.parquet",
+        "o_totalprice", Seq("o_orderdate"))
+      val agg = CubeOps.aggregate2(cube, "o_orderdate",
+        d => date_format(d, "yyyy-MM"), "omonth", "sum")
+      agg.df.select(col("omonth"), round(col("o_totalprice"), 2).as("sum_price"))
+    }),
+
+    // ------------------------------------------------------ oph_apply
+    "apply_mulscalar" -> ((s, dir) => {
+      val cube = liCube(s, dir)
+      cube.df.select(col("l_orderkey"),
+        round(ArrayPrimitives("oph_sum(oph_mul_scalar(measure, 2))",
+          col("l_quantity")), 4).as("val"))
+    }),
+
+    "apply_moving_avg" -> ((s, dir) => {
+      val cube = liCube(s, dir)
+      val mavg = cube.df.withColumn("l_quantity",
+        ArrayPrimitives("oph_moving_avg(measure, 3)", col("l_quantity")))
+      mavg.select(col("l_orderkey"),
+          posexplode(col("l_quantity")).as(Seq("__p", "__v")))
+        .select(col("l_orderkey"), (col("__p") + 1).cast("long").as("pos"),
+          round(col("__v"), 4).as("mavg"))
+    }),
+
+    // -------------------------------------------------- oph_intercube
+    "intercube_sub" -> ((s, dir) => {
+      val a = CubeOps.importParquet(s, s"$dir/orders.parquet",
+        "o_totalprice", Seq("o_orderkey"))
+      val liSum = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      val b = CubeOps.aggregate(
+        CubeOps.build(liSum, "l_quantity", Seq("o_orderkey"), None, "c", dir),
+        Seq("o_orderkey"), "sum")
+      val ic = CubeOps.intercube(a, b, "sub", "diff")
+      ic.df.select(col("o_orderkey"), round(col("diff"), 2).as("diff"))
+    }),
+
+    // ------------------------------------------------- oph_mergecubes
+    "mergecubes2_union" -> ((s, dir) => {
+      val cube = liFlatCube(s, dir)
+      val a = CubeOps.subsetCoord(cube, col("l_returnflag") === "A")
+      val n = CubeOps.subsetCoord(cube, col("l_returnflag") === "N")
+      CubeOps.mergecubes2(Seq("A" -> a, "N" -> n), "src").df
+    }),
+
+    // ------------------------------------- oph_rollup / oph_drilldown
+    "rollup_drilldown" -> ((s, dir) => {
+      val flat = CubeOps.importParquet(s, s"$dir/lineitem.parquet",
+        "l_quantity", Seq("l_orderkey", "l_linenumber"))
+      val up = CubeOps.rollup(flat, "l_linenumber")
+      CubeOps.drilldown(up).df
+    }),
+
+    // ---------------------------------------------------- oph_permute
+    "permute_reverse" -> ((s, dir) => {
+      val rev = CubeOps.permuteReverse(liCube(s, dir))
+      explodeArr(rev, "pos", "qty")
+    }),
+
+    // ------------------------------------------------ oph_explorecube
+    "explorecube" -> ((s, dir) => {
+      val raw = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_shipdate")
+      val cube = CubeOps.build(raw, "l_quantity",
+        Seq("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"),
+        None, "c", dir)
+      CubeOps.explorecube(cube, Some(col("l_orderkey") <= 100), 1000000)
+        .withColumn("ship", date_format(col("l_shipdate"), "yyyy-MM-dd"))
+        .drop("l_shipdate")
+    }),
+
+    // ------------------------------- oph_cubeschema / oph_cubeelements
+    "cubeschema" -> ((s, dir) => CubeOps.cubeschema(s, liCube(s, dir))),
+
+    "cubeelements" -> ((s, dir) => CubeOps.cubeelements(liCube(s, dir))),
+
+    // ---------------------------- joins / top-k / window / set ops ---
+    "join_topk" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    }),
+
+    "window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running"))
+    }),
+
+    "setop_anti" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+        .select("o_orderkey")
+    }),
+
+    "sql_q3" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      // revenue in DECIMAL: the parquet doubles are 2-decimal values, so
+      // casting recovers them exactly and the sum is order-independent —
+      // double summation flips pennies at round() boundaries otherwise
+      s.sql("""
+        SELECT o.o_orderkey,
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+                 AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY o.o_orderkey
+        HAVING sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) > 100000
+      """)
+    }),
+
+    // ------------------------------------------- LLM pipeline: dedup
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+
+    "dedup_minhash" -> ((s, dir) => {
+      // double the corpus (ids offset) so near-dup pairs exist; the LSH
+      // plan is the thing under test: banded bucket join, no all-pairs
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val doubled = d.unionByName(
+        d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.minhashLsh(doubled, "doc_id", "text", k = 5,
+        numHashes = 32, bands = 8, tau = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val doubled = d.unionByName(
+        d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.simhashDups(doubled, "doc_id", "text", maxHamming = 3)
+    }),
+
+    // ---------------------------------- LLM pipeline: text analysis
+    "text_stats" -> ((s, dir) =>
+      TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")),
+
+    "lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "quality_score" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    "fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // ------------------------------- LLM pipeline: similarity search
+    "simsearch_brute" -> ((s, dir) =>
+      Similarity.bruteTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryIds = Seq(1L, 2L, 3L), k = 5)),
+
+    "simsearch_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryIds = Seq(1L, 2L, 3L), k = 5)),
+
+    // ------------------------------------------------ events / time
+    "events_hourly" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hr"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))),
+
+    "events_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("gap",
+          unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg((lit(1) + sum(when(col("gap") > 1800000L, 1).otherwise(0)))
+          .cast("long").as("n_sessions"))
+    }),
+
+    // --------------------------------------------------- oph_randcube
+    "randcube_reduce" -> ((s, dir) => {
+      val rc = CubeOps.randcube(s, 1000, 16, seed = 42)
+      val r = CubeOps.reduce(rc, "sum")
+      r.df.select(col("key"), round(col("measure"), 4).as("sum_m"))
+    })
+  )
+
+  // =====================================================================
+
+  def oracleSql: Map[String, String] = Map(
+    "subset_index" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_linenumber BETWEEN 1 AND 5 AND (l_linenumber - 1) % 2 = 0""",
+
+    "subset_time" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+                strftime(l_shipdate, '%Y-%m-%d') AS ship
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity >= 25""",
+
+    "subset_implicit" ->
+      """WITH ranked AS (
+           SELECT l_orderkey, l_quantity,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_quantity) AS rn
+           FROM lineitem)
+         SELECT l_orderkey,
+                CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY rn)
+                  AS BIGINT) AS pos,
+                l_quantity AS qty
+         FROM ranked WHERE rn % 2 = 1""",
+
+    "reduce_avg" ->
+      """SELECT l_orderkey, round(avg(l_quantity), 4) AS avg_qty
+         FROM lineitem GROUP BY l_orderkey""",
+
+    "reduce_max" ->
+      """SELECT l_orderkey, max(l_quantity) AS max_qty
+         FROM lineitem GROUP BY l_orderkey""",
+
+    "reduce_median" ->
+      """SELECT l_orderkey, quantile_disc(l_quantity, 0.5) AS med_qty
+         FROM lineitem GROUP BY l_orderkey""",
+
+    "reduce_sum_block" ->
+      """WITH ranked AS (
+           SELECT l_orderkey, l_quantity,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_quantity) AS rn
+           FROM lineitem)
+         SELECT l_orderkey, CAST(ceil(rn / 4.0) AS BIGINT) AS blk,
+                round(sum(l_quantity), 4) AS sum_qty
+         FROM ranked GROUP BY 1, 2""",
+
+    "aggregate_sum" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY 1, 2""",
+
+    "aggregate2_month" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS omonth,
+                round(sum(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY 1""",
+
+    "apply_mulscalar" ->
+      """SELECT l_orderkey, round(sum(l_quantity) * 2, 4) AS val
+         FROM lineitem GROUP BY 1""",
+
+    "apply_moving_avg" ->
+      """SELECT l_orderkey,
+                CAST(row_number() OVER (PARTITION BY l_orderkey
+                  ORDER BY l_linenumber, l_quantity) AS BIGINT) AS pos,
+                round(avg(l_quantity) OVER (PARTITION BY l_orderkey
+                  ORDER BY l_linenumber, l_quantity
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg
+         FROM lineitem""",
+
+    "intercube_sub" ->
+      """SELECT o.o_orderkey AS o_orderkey, round(o.o_totalprice - s.sq, 2) AS diff
+         FROM orders o
+         JOIN (SELECT l_orderkey, sum(l_quantity) AS sq
+               FROM lineitem GROUP BY 1) s
+           ON o.o_orderkey = s.l_orderkey""",
+
+    "mergecubes2_union" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, 'A' AS src
+         FROM lineitem WHERE l_returnflag = 'A'
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, 'N' AS src
+         FROM lineitem WHERE l_returnflag = 'N'""",
+
+    "rollup_drilldown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem""",
+
+    "permute_reverse" ->
+      """SELECT l_orderkey,
+                CAST(row_number() OVER (PARTITION BY l_orderkey
+                  ORDER BY l_linenumber DESC, l_quantity DESC) AS BIGINT) AS pos,
+                l_quantity AS qty
+         FROM lineitem""",
+
+    "explorecube" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                strftime(l_shipdate, '%Y-%m-%d') AS ship
+         FROM lineitem WHERE l_orderkey <= 100""",
+
+    "cubeschema" ->
+      """SELECT * FROM (VALUES
+           ('l_orderkey', 'explicit', 'long'),
+           ('l_linenumber', 'implicit', 'int'),
+           ('l_quantity', 'measure', 'double')) AS t(name, kind, dtype)""",
+
+    "cubeelements" ->
+      """SELECT count(*) AS n_elements FROM lineitem""",
+
+    "join_topk" ->
+      """SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+                round(sum(o.o_totalprice), 2) AS revenue
+         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         GROUP BY 1, 2
+         ORDER BY revenue DESC, c_custkey LIMIT 10""",
+
+    "window_running" ->
+      """SELECT o_custkey, o_orderkey,
+                round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+         FROM orders""",
+
+    "setop_anti" ->
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)""",
+
+    "sql_q3" ->
+      """SELECT o.o_orderkey AS o_orderkey,
+                CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+                  AS revenue
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND o.o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1
+         HAVING sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) > 100000""",
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+                count(*) AS n_dups
+         FROM documents GROUP BY 1""",
+
+    "text_stats" ->
+      """SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars_c,
+                CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                  AS BIGINT) AS n_tokens,
+                round(CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                       / CAST(length(text) AS DOUBLE) END, 4) AS punct_ratio,
+                round(CASE WHEN trim(text) = '' THEN 0.0
+                  ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x IN ('the','and','of','to','in','is','that','for')))
+                       / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+                  END, 4) AS stopword_ratio_en
+         FROM documents""",
+
+    "lang_id" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS tk,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n
+           FROM documents),
+         sc AS (
+           SELECT doc_id,
+             len(list_filter(tk, x -> x IN ('the','and','of','to','in','is','that','for'))) / n AS s_en,
+             len(list_filter(tk, x -> x IN ('der','die','und','das','ist','nicht','ein','mit'))) / n AS s_de,
+             len(list_filter(tk, x -> x IN ('le','la','et','les','des','est','une','dans'))) / n AS s_fr,
+             len(list_filter(tk, x -> x IN ('el','la','de','que','y','en','los','una'))) / n AS s_es
+           FROM toks)
+         SELECT doc_id,
+                CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                     WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                     WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                     WHEN s_en >= s_de THEN 'en'
+                     ELSE 'de' END AS lang_pred
+         FROM sc""",
+
+    "quality_score" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  least(length(text) / 500.0, 1.0) AS len_score,
+                  CASE WHEN trim(text) = '' THEN 0.0
+                    ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                           x -> x IN ('the','and','of','to','in','is','that','for')))
+                         / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+                  END AS stop_ratio,
+                  CASE WHEN trim(text) = '' THEN 0.0
+                    ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> regexp_full_match(x, '[A-Za-z]+')))
+                         / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+                  END AS alpha_ratio,
+                  CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                         / CAST(length(text) AS DOUBLE) END AS punct_ratio
+           FROM documents)
+         SELECT doc_id,
+                round((len_score + least(stop_ratio * 4.0, 1.0) + alpha_ratio
+                       + greatest(1.0 - punct_ratio * 5.0, 0.0)) / 4.0, 4) AS quality
+         FROM f""",
+
+    "simsearch_brute" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+           FROM embeddings WHERE vec_id IN (1, 2, 3)),
+         pairs AS (
+           SELECT q.query_id, e.vec_id AS nn_id,
+                  list_cosine_similarity(q.qvec, CAST(e.embedding AS DOUBLE[])) AS score
+           FROM embeddings e, q WHERE e.vec_id != q.query_id)
+         SELECT query_id,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, nn_id) AS BIGINT) AS rank,
+                nn_id, round(score, 4) AS score
+         FROM pairs
+         QUALIFY rank <= 5""",
+
+    "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
+                event_type, count(*) AS n, round(sum(value), 2) AS sv
+         FROM events GROUP BY 1, 2""",
+
+    "events_sessions" ->
+      """SELECT user_id,
+                CAST(1 + sum(CASE WHEN gap > 1800000 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_sessions
+         FROM (SELECT user_id,
+                      epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) AS gap
+               FROM events)
+         GROUP BY 1"""
+  )
 }

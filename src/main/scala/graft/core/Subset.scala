@@ -106,27 +106,62 @@ object Subset {
   }
 
   /**
-   * Compress a sorted list of positive integers into a minimal subset
-   * string — the `oph_set subset_filter=yes` behavior
-   * (`src/oph_flow_control_operators.c:1427-1470`): greedy runs of
-   * constant stride become `start:stride:end` clauses.
+   * Compress a value list into a subset string — the
+   * `oph_set subset_filter=yes` behavior
+   * (`src/oph_flow_control_operators.c:1427-1470`): maximal runs of
+   * values each exactly `offset` after the previous collapse to
+   * `start:end`; a lone value renders as itself. The reference never
+   * emits stride clauses, does not sort, and does not deduplicate —
+   * values are processed in input order.
    */
-  def compress(values: Seq[Long]): String = {
-    val v = values.distinct.sorted
-    if (v.isEmpty) return ""
-    val out = scala.collection.mutable.ArrayBuffer.empty[Interval]
-    var i = 0
-    while (i < v.length) {
-      if (i + 1 >= v.length) { out += Interval(v(i), 1, v(i)); i += 1 }
-      else {
-        val stride = v(i + 1) - v(i)
-        var j = i + 1
-        while (j + 1 < v.length && v(j + 1) - v(j) == stride) j += 1
-        if (j - i >= 2 || stride == 1) { // run of >=3, or contiguous pair
-          out += Interval(v(i), stride, v(j)); i = j + 1
-        } else { out += Interval(v(i), 1, v(i)); i += 1 }
-      }
+  def compress(values: Seq[Long], offset: Long = 1): String = {
+    if (values.isEmpty) return ""
+    val out = new StringBuilder
+    var start = values.head
+    var end = values.head
+    def flush(): Unit = {
+      if (out.nonEmpty) out += ','
+      out ++= (if (start == end) s"$start" else s"$start:$end")
     }
-    Spec(out.toSeq).render
+    values.tail.foreach { v =>
+      if (v == end + offset) end = v
+      else { flush(); start = v; end = v }
+    }
+    flush()
+    out.toString
+  }
+
+  /**
+   * Real-valued compression — `oph_set subset_filter=real` with a
+   * sampling `offset` (`src/oph_flow_control_operators.c:1473-1513`):
+   * a value within `offset/2` of the expected next sample extends the
+   * run; runs render as `(start-offset/2):(end+offset/2)` so the range
+   * covers the sampling cells; lone values render as themselves.
+   * Number formatting follows C's `%g`.
+   */
+  def compressReal(values: Seq[Double], offset: Double): String = {
+    if (values.isEmpty || offset == 0.0) return ""
+    val half = offset / 2.0
+    def g(d: Double): String = {
+      val s = f"$d%g"
+      // mimic %g: strip trailing zeros in the fraction
+      if (s.contains('.') && !s.contains('e') && !s.contains('E'))
+        s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      else s
+    }
+    val out = new StringBuilder
+    var start = values.head
+    var end = values.head
+    var run = false
+    def flush(): Unit = {
+      if (out.nonEmpty) out += ','
+      out ++= (if (run) s"${g(start - half)}:${g(end + half)}" else g(start))
+    }
+    values.tail.foreach { v =>
+      if (math.abs(v - (end + offset)) < half) { end = v; run = true }
+      else { flush(); start = v; end = v; run = false }
+    }
+    flush()
+    out.toString
   }
 }

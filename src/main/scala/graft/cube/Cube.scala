@@ -1,0 +1,456 @@
+package graft.cube
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+
+import graft.core.{CubeDescriptor, DimensionSpec, SparkTypeName, Subset}
+
+/**
+ * A datacube: explicit dimensions as ordinary columns, implicit
+ * (in-array) dimensions serialized inside an `ArrayType` measure column.
+ *
+ * This mirrors the reference's physical layout — each fragment row is
+ * `(key, measure-array BLOB)` with implicit dimensions inside the blob
+ * (`/root/reference/src/oph_subset_library.h:35` storage-engine pushdown
+ * context) — but expressed Spark-first: the outer table is a DataFrame
+ * Catalyst can prune/push/shuffle, and in-array work happens through
+ * higher-order functions so it never leaves the executors.
+ *
+ * Column naming convention:
+ *   - explicit dims: their own columns (part of the shuffle/join keys);
+ *   - measure: column named `desc.measure` — scalar when the cube has no
+ *     implicit dims, `ArrayType` otherwise;
+ *   - implicit dim values: a companion array column `__dim_<name>`
+ *     index-aligned with the measure array (the reference stores these in
+ *     the dimension DB; we co-locate them for locality).
+ *
+ * Scale notes (100 TB): the groupBy in `build` shuffles once on the
+ * explicit dims; array length is the implicit-dim cardinality (bounded by
+ * design, exactly like the reference's fragment blob). All per-cell ops
+ * (reduce/apply/permute) are narrow — no shuffle, no driver traffic.
+ */
+final case class Cube(df: DataFrame, desc: CubeDescriptor) {
+  def measureCol: Column = df(desc.measure)
+  def hasImplicit: Boolean = desc.implicitDims.nonEmpty
+  def dimCol(name: String): Column = df(s"__dim_$name")
+  def explicitDimNames: Seq[String] = desc.explicitDims.map(_.name)
+
+  /** Relational (long-form) view: implicit dims exploded back to rows.
+    * Used to hand results to SQL-facing consumers and the oracle. */
+  def flatten: DataFrame =
+    if (!hasImplicit) df
+    else {
+      val dim = desc.implicitDims.head.name
+      val cols = explicitDimNames.map(col) ++ Seq(
+        col("__x.i").as(dim), col("__x.v").as(desc.measure))
+      df.select(explicitDimNames.map(col) :+
+          explode(arrays_zip(col(s"__dim_$dim").as("i"),
+            col(desc.measure).as("v"))).as("__x"): _*)
+        .select(cols: _*)
+    }
+}
+
+object CubeOps {
+
+  /** oph_importnc / oph_importcsv analog over the testdata parquet
+    * (reference objkeys `src/oph_json/oph_json_objkeys.h:114-115`):
+    * select a measure, explicit dims, and optionally one implicit dim
+    * that gets serialized into the in-cell array, ordered by its value.
+    */
+  def importParquet(
+      spark: SparkSession,
+      path: String,
+      measure: String,
+      explicitDims: Seq[String],
+      implicitDim: Option[String] = None,
+      container: String = "default"): Cube = {
+    val raw = spark.read.parquet(path)
+    build(raw, measure, explicitDims, implicitDim, container, path)
+  }
+
+  /** Build a cube from any DataFrame (shared by import and randcube). */
+  def build(
+      raw: DataFrame,
+      measure: String,
+      explicitDims: Seq[String],
+      implicitDim: Option[String],
+      container: String,
+      source: String): Cube = {
+    val df = implicitDim match {
+      case Some(id) =>
+        // One shuffle on the explicit dims; array_sort on the (i, v)
+        // structs gives a deterministic in-cell order by dim value.
+        raw.groupBy(explicitDims.map(col): _*)
+          .agg(array_sort(collect_list(struct(
+            col(id).as("i"), col(measure).as("v")))).as("__kv"))
+          .withColumn(measure, expr("transform(__kv, x -> x.v)"))
+          .withColumn(s"__dim_$id", expr("transform(__kv, x -> x.i)"))
+          .drop("__kv")
+      case None =>
+        raw.select((explicitDims :+ measure).map(col): _*)
+    }
+    val mType = raw.schema(measure).dataType
+    val eDims = explicitDims.map(d =>
+      DimensionSpec(d, SparkTypeName(raw.schema(d).dataType), explicit = true))
+    val iDims = implicitDim.toSeq.map(d =>
+      DimensionSpec(d, SparkTypeName(raw.schema(d).dataType), explicit = false))
+    Cube(df, CubeDescriptor(
+      id = 0, containerId = 0, container = container, path = "/",
+      measure = measure, measureType = SparkTypeName(mType), level = 0,
+      explicitDims = eDims, implicitDims = iDims,
+      metadata = Map("source" -> source)))
+  }
+
+  // -------------------------------------------------------------------
+  // oph_subset / oph_subset2 (`src/oph_subset_library.c:64-190`,
+  // args subset_dims/subset_type/time_filter `src/oph_parser.h:68-70`)
+  // -------------------------------------------------------------------
+
+  /** Index-based subset on an explicit dimension whose values ARE the
+    * 1-based indices (subset_type=index). Compiles to a pushdown-friendly
+    * Column predicate — Catalyst sends it to the Parquet scan. */
+  def subsetIndex(cube: Cube, dim: String, filter: String,
+      max: Option[Long] = None): Cube = {
+    val spec = Subset.parse(filter, max)
+    bump(cube.copy(df = cube.df.filter(spec.toColumn(cube.df(dim)))), "oph_subset")
+  }
+
+  /** Value-based subset (subset_type=coord) on an explicit dimension:
+    * a plain range/equality predicate on the dimension column. */
+  def subsetCoord(cube: Cube, predicate: Column): Cube =
+    bump(cube.copy(df = cube.df.filter(predicate)), "oph_subset")
+
+  /** time_filter semantics: inclusive date range on a time dimension. */
+  def subsetTime(cube: Cube, dim: String, from: String, to: String): Cube =
+    subsetCoord(cube,
+      cube.df(dim) >= to_timestamp(lit(from)) &&
+      cube.df(dim) < to_timestamp(lit(to)))
+
+  /** Index subset on the IMPLICIT dim: array slice via HOF `filter` on
+    * the 1-based position — executes in-cell, no shuffle, no explode. */
+  def subsetImplicit(cube: Cube, filter: String, max: Option[Long] = None): Cube = {
+    val spec = Subset.parse(filter, max)
+    val m = cube.desc.measure
+    val keep = (i: Column) => spec.toLambda(i)
+    val dimCols = cube.desc.implicitDims.map(d => s"__dim_${d.name}")
+    var df = cube.df.withColumn(m,
+      filter_positions(cube.df(m), keep))
+    dimCols.foreach { dc =>
+      df = df.withColumn(dc, filter_positions(df(dc), keep))
+    }
+    bump(cube.copy(df = df), "oph_subset")
+  }
+
+  /** `filter(arr, (x, i0) -> p(i0+1))` — keep positions matching a
+    * 1-based predicate; stays inside the executors. */
+  private def filter_positions(arr: Column, p: Column => Column): Column =
+    filter(arr, (_: Column, i0: Column) => p(i0 + lit(1)))
+
+  // -------------------------------------------------------------------
+  // oph_reduce / oph_reduce2 — collapse IMPLICIT dims
+  // (`src/oph_json/oph_json_objkeys.h:96-97`)
+  // -------------------------------------------------------------------
+
+  /** Elementwise reduction of the in-cell array. All ops are
+    * higher-order-function compositions — per-row, executor-local.
+    * Supported: count,max,min,avg,sum,std,var,quantile,arg_max,arg_min. */
+  def reduceExpr(arr: Column, op: String, quantile: Double = 0.5): Column = {
+    def sumc = F.aggregate(arr, lit(0.0), (a, x) => a + x.cast("double"))
+    def n = size(arr).cast("double")
+    op match {
+      case "count" => size(arr).cast("long")
+      case "sum"   => sumc
+      case "avg"   => sumc / n
+      case "max"   => array_max(arr)
+      case "min"   => array_min(arr)
+      case "var" =>
+        // population variance: E[x^2] - E[x]^2 via a single pass
+        val sq = F.aggregate(arr, lit(0.0), (a, x) =>
+          a + x.cast("double") * x.cast("double"))
+        sq / n - (sumc / n) * (sumc / n)
+      case "std" => sqrt(reduceExpr(arr, "var"))
+      case "quantile" =>
+        // nearest-rank on the sorted array (1-based)
+        val sorted = array_sort(arr)
+        element_at(sorted, ceil(lit(quantile) * size(arr)).cast("int"))
+      case "arg_max" => array_position(arr, array_max(arr)).cast("long")
+      case "arg_min" => array_position(arr, array_min(arr)).cast("long")
+      case other => throw new IllegalArgumentException(s"reduce op '$other'")
+    }
+  }
+
+  /** oph_reduce: collapse the whole implicit dim (or `group_size`
+    * blocks of it) with `op`. With group_size the measure stays an
+    * array of ceil(n/gs) block-reductions. */
+  def reduce(cube: Cube, op: String, groupSize: Option[Int] = None): Cube = {
+    val m = cube.desc.measure
+    val out = groupSize match {
+      case None =>
+        cube.df.withColumn(m, reduceExpr(cube.df(m), op))
+          .drop(cube.desc.implicitDims.map(d => s"__dim_${d.name}"): _*)
+      case Some(gs) =>
+        // sequence of block starts -> slice -> reduce each block.
+        cube.df.withColumn(m,
+          transform(
+            sequence(lit(0),
+              ceil(size(cube.df(m)).cast("double") / gs).cast("int") - 1),
+            b => reduceExpr(slice(cube.df(m), b * gs + 1, lit(gs)), op)))
+          .drop(cube.desc.implicitDims.map(d => s"__dim_${d.name}"): _*)
+    }
+    val desc2 =
+      if (groupSize.isEmpty)
+        cube.desc.copy(implicitDims = Seq.empty, level = cube.desc.level + 1,
+          sourceTask = Some("oph_reduce"))
+      else cube.desc.copy(level = cube.desc.level + 1,
+        implicitDims = cube.desc.implicitDims.map(d =>
+          d.copy(name = s"${d.name}_block")),
+        sourceTask = Some("oph_reduce"))
+    Cube(out, desc2)
+  }
+
+  // -------------------------------------------------------------------
+  // oph_aggregate / oph_aggregate2 — collapse EXPLICIT dims
+  // (`src/oph_json/oph_json_objkeys.h:98-99`)
+  // -------------------------------------------------------------------
+
+  /** oph_aggregate: drop some explicit dims, aggregating the measure
+    * with `op` across the collapsed rows. Scalar measures use native
+    * aggregates (map-side partial + final — exactly the reference's
+    * fragment-then-global two-phase); array measures reduce elementwise
+    * via zip_with-style array sums. */
+  def aggregate(cube: Cube, keepDims: Seq[String], op: String): Cube = {
+    require(!cube.hasImplicit,
+      "aggregate on array measures: reduce the implicit dim first or use aggregateArrays")
+    val m = cube.desc.measure
+    val agg: Column = op match {
+      case "sum"   => sum(cube.df(m))
+      case "avg"   => avg(cube.df(m))
+      case "max"   => max(cube.df(m))
+      case "min"   => min(cube.df(m))
+      case "count" => count(lit(1))
+      case "std"   => stddev_pop(cube.df(m))
+      case "var"   => var_pop(cube.df(m))
+      case other   => throw new IllegalArgumentException(s"aggregate op '$other'")
+    }
+    val out = cube.df.groupBy(keepDims.map(col): _*).agg(agg.as(m))
+    Cube(out, cube.desc.copy(
+      explicitDims = cube.desc.explicitDims.filter(d => keepDims.contains(d.name)),
+      level = cube.desc.level + 1, sourceTask = Some("oph_aggregate")))
+  }
+
+  /** oph_aggregate2: aggregate grouped by a derived concept level of a
+    * dimension (e.g. month of a date) — `groupBy(date_trunc)`. */
+  def aggregate2(cube: Cube, dim: String, levelExpr: Column => Column,
+      levelName: String, op: String): Cube = {
+    val m = cube.desc.measure
+    val agg: Column = op match {
+      case "sum" => sum(cube.df(m)); case "avg" => avg(cube.df(m))
+      case "max" => max(cube.df(m)); case "min" => min(cube.df(m))
+      case "count" => count(lit(1))
+      case other => throw new IllegalArgumentException(s"aggregate2 op '$other'")
+    }
+    val others = cube.explicitDimNames.filterNot(_ == dim)
+    val out = cube.df
+      .withColumn(levelName, levelExpr(cube.df(dim)))
+      .groupBy((others :+ levelName).map(col): _*).agg(agg.as(m))
+    Cube(out, cube.desc.copy(
+      explicitDims = cube.desc.explicitDims.filterNot(_.name == dim) :+
+        DimensionSpec(levelName, "string", explicit = true),
+      level = cube.desc.level + 1, sourceTask = Some("oph_aggregate2")))
+  }
+
+  // -------------------------------------------------------------------
+  // oph_intercube — binary cube op (`oph_json_objkeys.h:135`)
+  // -------------------------------------------------------------------
+
+  /** Equi-join the two cubes on their shared explicit dims and combine
+    * measures: zip_with for array measures, scalar op otherwise.
+    * op ∈ sum|sub|mul|div|abs (abs = |a-b|). The join keys are the dim
+    * columns, so Catalyst picks broadcast vs sort-merge by stats. */
+  def intercube(a: Cube, b: Cube, op: String, outName: String): Cube = {
+    val keys = a.explicitDimNames.intersect(b.explicitDimNames)
+    require(keys.nonEmpty, "intercube: no shared explicit dims")
+    def combine(x: Column, y: Column): Column = op match {
+      case "sum" => x + y
+      case "sub" => x - y
+      case "mul" => x * y
+      case "div" => x / y
+      case "abs" => abs(x - y)
+      case other => throw new IllegalArgumentException(s"intercube op '$other'")
+    }
+    val bRen = b.df.withColumnRenamed(b.desc.measure, "__rhs")
+    val joined = a.df.join(bRen, keys)
+    val out =
+      if (a.hasImplicit)
+        joined.withColumn(outName,
+          zip_with(col(a.desc.measure), col("__rhs"), combine))
+      else joined.withColumn(outName, combine(col(a.desc.measure), col("__rhs")))
+    val toDrop = "__rhs" +:
+      (if (a.desc.measure != outName) Seq(a.desc.measure) else Seq.empty)
+    val cleaned = out.drop(toDrop: _*)
+    Cube(cleaned, a.desc.copy(measure = outName, level = a.desc.level + 1,
+      sourceTask = Some("oph_intercube")))
+  }
+
+  // -------------------------------------------------------------------
+  // oph_mergecubes / oph_mergecubes2 (`oph_json_objkeys.h:136`)
+  // -------------------------------------------------------------------
+
+  /** mergecubes: append along the implicit dim — join on explicit dims,
+    * concat the arrays. */
+  def mergecubes(a: Cube, b: Cube): Cube = {
+    require(a.hasImplicit && b.hasImplicit, "mergecubes needs array measures")
+    val keys = a.explicitDimNames.intersect(b.explicitDimNames)
+    val m = a.desc.measure
+    val bRen = b.df.select(
+      (keys.map(col) :+ col(b.desc.measure).as("__rhs")): _*)
+    val out = a.df.join(bRen, keys)
+      .withColumn(m, concat(col(m), col("__rhs"))).drop("__rhs")
+    Cube(out, a.desc.copy(level = a.desc.level + 1,
+      sourceTask = Some("oph_mergecubes")))
+  }
+
+  /** mergecubes2: stack along a NEW explicit dim — unionByName with a
+    * literal dim value per input. */
+  def mergecubes2(cubes: Seq[(String, Cube)], newDim: String): Cube = {
+    val dfs = cubes.map { case (tag, c) => c.df.withColumn(newDim, lit(tag)) }
+    val out = dfs.reduce(_.unionByName(_))
+    val d0 = cubes.head._2.desc
+    Cube(out, d0.copy(
+      explicitDims = d0.explicitDims :+ DimensionSpec(newDim, "string", explicit = true),
+      level = d0.level + 1, sourceTask = Some("oph_mergecubes2")))
+  }
+
+  // -------------------------------------------------------------------
+  // oph_rollup / oph_drilldown (`oph_json_objkeys.h:100-101`)
+  // -------------------------------------------------------------------
+
+  /** rollup: move an explicit dim into the array (one shuffle on the
+    * remaining dims — same cost shape as the reference re-fragmenting). */
+  def rollup(cube: Cube, dim: String): Cube = {
+    require(!cube.hasImplicit, "rollup v1: start from a scalar-measure cube")
+    val m = cube.desc.measure
+    val keep = cube.explicitDimNames.filterNot(_ == dim)
+    val out = cube.df.groupBy(keep.map(col): _*)
+      .agg(array_sort(collect_list(struct(col(dim).as("i"), col(m).as("v"))))
+        .as("__kv"))
+      .withColumn(m, expr("transform(__kv, x -> x.v)"))
+      .withColumn(s"__dim_$dim", expr("transform(__kv, x -> x.i)"))
+      .drop("__kv")
+    val spec = cube.desc.explicitDims.find(_.name == dim).get
+    Cube(out, cube.desc.copy(
+      explicitDims = cube.desc.explicitDims.filterNot(_.name == dim),
+      implicitDims = cube.desc.implicitDims :+ spec.copy(explicit = false),
+      level = cube.desc.level + 1, sourceTask = Some("oph_rollup")))
+  }
+
+  /** drilldown: explode the implicit dim back out to rows. */
+  def drilldown(cube: Cube): Cube = {
+    require(cube.hasImplicit, "drilldown: no implicit dim")
+    val dim = cube.desc.implicitDims.head
+    Cube(cube.flatten, cube.desc.copy(
+      explicitDims = cube.desc.explicitDims :+ dim.copy(explicit = true),
+      implicitDims = cube.desc.implicitDims.tail,
+      level = cube.desc.level + 1, sourceTask = Some("oph_drilldown")))
+  }
+
+  // -------------------------------------------------------------------
+  // oph_permute (`oph_json_objkeys.h:93`) — reorder the implicit dim
+  // -------------------------------------------------------------------
+
+  /** Reverse the in-cell order (the 1-implicit-dim permutation). */
+  def permuteReverse(cube: Cube): Cube = {
+    val m = cube.desc.measure
+    var df = cube.df.withColumn(m, reverse(col(m)))
+    cube.desc.implicitDims.foreach { d =>
+      df = df.withColumn(s"__dim_${d.name}", reverse(col(s"__dim_${d.name}")))
+    }
+    bump(cube.copy(df = df), "oph_permute")
+  }
+
+  /** General permutation of a flattened 2-implicit-dim array stored
+    * row-major with shape (n1, n2): transpose to (n2, n1). Pure index
+    * arithmetic inside `transform` — executor-local. */
+  def transpose2(arr: Column, n1: Int, n2: Int): Column =
+    transform(sequence(lit(0L), lit(n1.toLong * n2 - 1)), k =>
+      element_at(arr,
+        (pmod(k, lit(n1.toLong)) * n2 + floor(k / lit(n1)) + 1).cast("int")))
+
+  // -------------------------------------------------------------------
+  // oph_split / oph_merge (`oph_json_objkeys.h:108-109`) — re-fragment
+  // -------------------------------------------------------------------
+
+  def split(cube: Cube, nFragments: Int): Cube =
+    Cube(cube.df.repartition(nFragments),
+      cube.desc.copy(fragments = nFragments, level = cube.desc.level + 1,
+        sourceTask = Some("oph_split")))
+
+  def merge(cube: Cube, nFragments: Int): Cube =
+    Cube(cube.df.coalesce(nFragments),
+      cube.desc.copy(fragments = nFragments, level = cube.desc.level + 1,
+        sourceTask = Some("oph_merge")))
+
+  // -------------------------------------------------------------------
+  // oph_duplicate (`oph_json_objkeys.h:78`)
+  // -------------------------------------------------------------------
+
+  def duplicate(cube: Cube): Cube =
+    bump(cube.copy(), "oph_duplicate")
+
+  // -------------------------------------------------------------------
+  // inspection: oph_cubeschema / oph_cubesize / oph_cubeelements
+  // (`oph_json_objkeys.h:42,45,48-51`)
+  // -------------------------------------------------------------------
+
+  /** Schema listing as a DataFrame (dimension name, kind, type). */
+  def cubeschema(spark: SparkSession, cube: Cube): DataFrame = {
+    import spark.implicits._
+    val rows =
+      cube.desc.explicitDims.map(d => (d.name, "explicit", d.dataType)) ++
+      cube.desc.implicitDims.map(d => (d.name, "implicit", d.dataType)) :+
+      ((cube.desc.measure, "measure", cube.desc.measureType))
+    rows.toDF("name", "kind", "dtype")
+  }
+
+  /** Total element count = rows × in-cell array length (1 if scalar). */
+  def cubeelements(cube: Cube): DataFrame = {
+    val m = cube.desc.measure
+    val per = if (cube.hasImplicit) size(col(m)).cast("long") else lit(1L)
+    cube.df.select(per.as("__n")).agg(sum(col("__n")).as("n_elements"))
+  }
+
+  // -------------------------------------------------------------------
+  // oph_explorecube (`oph_json_objkeys.h:81-83`) — peek with subset+limit
+  // -------------------------------------------------------------------
+
+  def explorecube(cube: Cube, predicate: Option[Column], limit: Int): DataFrame = {
+    val base = predicate.map(cube.df.filter).getOrElse(cube.df)
+    base.limit(limit)
+  }
+
+  // -------------------------------------------------------------------
+  // oph_randcube (`oph_json_objkeys.h:104`) — synthetic cube
+  // -------------------------------------------------------------------
+
+  /** Deterministic synthetic cube: nRows keys × arrayLen array cells.
+    * Values from rand(seed) — reproducible across runs at fixed
+    * parallelism; sized by `spark.range` so generation is distributed. */
+  def randcube(spark: SparkSession, nRows: Long, arrayLen: Int, seed: Long): Cube = {
+    val df = spark.range(nRows).toDF("key")
+      .withColumn("measure",
+        transform(sequence(lit(1), lit(arrayLen)),
+          i => pmod(hash(col("key") * lit(31) + i + lit(seed)).cast("long"),
+            lit(1000L)).cast("double")))
+      .withColumn("__dim_idx", sequence(lit(1), lit(arrayLen)))
+    Cube(df, CubeDescriptor(0, 0, "rand", "/", "measure", "double", 0,
+      Seq(DimensionSpec("key", "long", explicit = true)),
+      Seq(DimensionSpec("idx", "int", explicit = false,
+        size = Some(arrayLen.toLong))),
+      metadata = Map("seed" -> seed.toString)))
+  }
+
+  private def bump(cube: Cube, task: String): Cube =
+    cube.copy(desc = cube.desc.copy(level = cube.desc.level + 1,
+      sourceTask = Some(task)))
+}

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.cube.CubeOps
+
+/**
+ * oph_apply primitive compiler — the reference's extensibility surface
+ * (`/root/reference/src/oph_json/oph_json_objkeys.h:103`): an OPH_APPLY
+ * task carries `query=oph_primitive(args…)` composed from the framework's
+ * array primitives. Here every primitive compiles to a Catalyst `Column`
+ * tree built from codegen'd builtins and higher-order functions — the
+ * whole expression runs inside the executors with no UDF boundary.
+ *
+ * Grammar:  expr := prim '(' arg (',' arg)* ')' | 'measure' | number
+ *           prim := oph_<name>
+ * `measure` refers to the cube's in-cell array (or scalar) column.
+ */
+object ArrayPrimitives {
+
+  sealed trait Ast
+  final case class Call(name: String, args: Seq[Ast]) extends Ast
+  final case object Measure extends Ast
+  final case class Num(value: Double) extends Ast
+
+  /** Recursive-descent parse of `oph_name(a, b, oph_other(c))`. */
+  def parse(s: String): Ast = {
+    val (ast, rest) = parseExpr(s.trim)
+    if (rest.trim.nonEmpty)
+      throw new IllegalArgumentException(s"trailing input: '$rest'")
+    ast
+  }
+
+  private def parseExpr(s: String): (Ast, String) = {
+    val t = s.dropWhile(_ == ' ')
+    if (t.startsWith("measure"))
+      (Measure, t.drop("measure".length))
+    else if (t.nonEmpty && (t.head.isDigit || t.head == '-' || t.head == '.')) {
+      val (num, rest) = t.span(c => c.isDigit || c == '.' || c == '-' || c == 'e' || c == 'E')
+      (Num(num.toDouble), rest)
+    } else {
+      val (name, afterName) = t.span(c => c.isLetterOrDigit || c == '_')
+      if (name.isEmpty || !afterName.startsWith("("))
+        throw new IllegalArgumentException(s"expected primitive call at: '$t'")
+      var rest = afterName.drop(1)
+      val args = scala.collection.mutable.ArrayBuffer.empty[Ast]
+      var done = rest.dropWhile(_ == ' ').startsWith(")")
+      if (done) rest = rest.dropWhile(_ == ' ').drop(1)
+      while (!done) {
+        val (a, r) = parseExpr(rest)
+        args += a
+        val r2 = r.dropWhile(_ == ' ')
+        if (r2.startsWith(",")) rest = r2.drop(1)
+        else if (r2.startsWith(")")) { rest = r2.drop(1); done = true }
+        else throw new IllegalArgumentException(s"expected ',' or ')' at: '$r2'")
+      }
+      (Call(name, args.toSeq), rest)
+    }
+  }
+
+  /** Compile an AST against the measure column. Array-in/array-out
+    * primitives use `transform`/`zip_with`; array-to-scalar reductions
+    * reuse CubeOps.reduceExpr. */
+  def compile(ast: Ast, measure: Column): Column = ast match {
+    case Measure   => measure
+    case Num(v)    => lit(v)
+    case Call(name, args) =>
+      def a(i: Int): Column = compile(args(i), measure)
+      def num(i: Int): Double = args(i) match {
+        case Num(v) => v
+        case other  => throw new IllegalArgumentException(
+          s"$name: argument ${i + 1} must be a literal number, got $other")
+      }
+      name match {
+        // elementwise array -> array
+        case "oph_sum_scalar" => transform(a(0), x => x + lit(num(1)))
+        case "oph_mul_scalar" => transform(a(0), x => x * lit(num(1)))
+        case "oph_abs"        => transform(a(0), x => abs(x))
+        case "oph_log"        => transform(a(0), x => log(x))
+        case "oph_sqrt"       => transform(a(0), x => sqrt(x))
+        case "oph_pow"        => transform(a(0), x => pow(x, lit(num(1))))
+        case "oph_negate"     => transform(a(0), x => -x)
+        // binary array x array -> array
+        case "oph_sum_array" => zip_with(a(0), a(1), (x, y) => x + y)
+        case "oph_sub_array" => zip_with(a(0), a(1), (x, y) => x - y)
+        case "oph_mul_array" => zip_with(a(0), a(1), (x, y) => x * y)
+        case "oph_div_array" => zip_with(a(0), a(1), (x, y) => x / y)
+        // predicate(a, threshold, then, else): elementwise conditional —
+        // simplified form of the reference's oph_predicate
+        case "oph_predicate" =>
+          transform(a(0), x =>
+            when(x > lit(num(1)), lit(num(2))).otherwise(lit(num(3))))
+        // array -> scalar reductions
+        case "oph_max" => CubeOps.reduceExpr(a(0), "max")
+        case "oph_min" => CubeOps.reduceExpr(a(0), "min")
+        case "oph_sum" => CubeOps.reduceExpr(a(0), "sum")
+        case "oph_avg" => CubeOps.reduceExpr(a(0), "avg")
+        case "oph_count" => CubeOps.reduceExpr(a(0), "count")
+        case "oph_std" => CubeOps.reduceExpr(a(0), "std")
+        case "oph_var" => CubeOps.reduceExpr(a(0), "var")
+        case "oph_arg_max" => CubeOps.reduceExpr(a(0), "arg_max")
+        case "oph_arg_min" => CubeOps.reduceExpr(a(0), "arg_min")
+        case "oph_quantile" => CubeOps.reduceExpr(a(0), "quantile", num(1))
+        // moving average over a trailing window of k (partial windows at
+        // the head, matching SQL `ROWS BETWEEN k-1 PRECEDING AND CURRENT`)
+        case "oph_moving_avg" =>
+          val arr = a(0)
+          val k = num(1).toInt
+          transform(arr, (_, i0) => {
+            val start = greatest(i0 - lit(k - 1), lit(0)) + 1
+            val len = i0 + 1 - start + 1
+            val win = slice(arr, start.cast("int"), len.cast("int"))
+            aggregate(win, lit(0.0), (acc, x) => acc + x.cast("double")) /
+              size(win).cast("double")
+          })
+        // five-number summary [min, q1, median, q3, max]
+        case "oph_boxplot" =>
+          val sorted = array_sort(a(0))
+          def q(p: Double): Column =
+            element_at(sorted, ceil(lit(p) * size(sorted)).cast("int"))
+          array(element_at(sorted, 1), q(0.25), q(0.5), q(0.75),
+            element_at(sorted, size(sorted)))
+        // reverse the in-cell order
+        case "oph_reverse" => reverse(a(0))
+        // first/last k
+        case "oph_head" => slice(a(0), 1, num(1).toInt)
+        case "oph_tail" =>
+          slice(a(0), -num(1).toInt, num(1).toInt)
+        case other =>
+          throw new IllegalArgumentException(s"unknown primitive '$other'")
+      }
+  }
+
+  /** One-shot: compile a query string against a measure column. */
+  def apply(query: String, measure: Column): Column =
+    compile(parse(query), measure)
+}

@@ -1,0 +1,138 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Deduplication for large text corpora — exact, MinHash-LSH, and SimHash.
+ *
+ * Scale design (100 TB): every variant is a bucketed groupBy/join — the
+ * only shuffles are on content hash (exact) or band/block hash (LSH).
+ * There is NO all-pairs comparison anywhere: candidate generation is a
+ * self-join on bucket keys, and the verify step runs only on candidates.
+ * All hashing is `xxhash64`/`md5` (codegen'd builtins); signatures are
+ * built with higher-order functions entirely inside the executors.
+ */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on content. One row per distinct content
+    * hash with the surviving (minimum) id and the duplicate-group size. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Character k-shingle set, each shingle hashed to 64 bits
+    * (distinct, order-free). Empty/short texts yield one shingle. */
+  def shinglesOf(text: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => xxhash64(F.substring(text, i, lit(k)))))
+
+  /** MinHash signature: numHashes permutation-mins over the shingle set.
+    * Hash family h_j(s) = xxhash64(s, j) — deterministic. */
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+    transform(sequence(lit(1), lit(numHashes)),
+      j => array_min(transform(shingleSet, s => xxhash64(s, j))))
+
+  /**
+   * MinHash-LSH near-duplicate pairs.
+   *
+   * shingle(k) → minhash(numHashes) → band into `bands` groups of
+   * `numHashes/bands` rows → explode one row per (band, bandHash) →
+   * self-join on the band key (bucketed: only docs sharing a band
+   * collide) → verify candidates with exact shingle-set Jaccard >= tau.
+   *
+   * Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
+   */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      tau: Double = 0.8): DataFrame = {
+    val rows = numHashes / bands
+    val withShingles = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", shinglesOf(col("text"), k))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // xxhash64 hashes the sliced signature array directly (hash
+    // expressions support complex types) — one 64-bit key per band.
+    val banded = withShingles.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+        .as(Seq("band", "bandhash")))
+    val lhs = banded.select(col("band"), col("bandhash"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val rhs = banded.select(col("band"), col("bandhash"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    val candidates = lhs.join(rhs, Seq("band", "bandhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    candidates
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // Bit masks as literal columns (shiftleft/shiftright take Int shift
+  // amounts, so powers of two are materialized as literals).
+  private val pow2: Column = array((0 until 64).map { b =>
+    lit(if (b == 63) Long.MinValue else 1L << b)
+  }: _*)
+
+  /**
+   * 64-bit SimHash of whitespace-tokenized text: bit b of the signature
+   * is the sign of sum_t (bit b of xxhash64(token t) ? +1 : -1).
+   * Single `aggregate` pass over the tokens; no shuffle.
+   */
+  def simhash(text: Column): Column = {
+    val tokens = split(lower(text), "\\s+")
+    val sums = F.aggregate(tokens,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          b => when(getbit(xxhash64(t), b) === 1, 1).otherwise(-1)),
+        (a, x) => a + x))
+    F.aggregate(
+      zip_with(sums, pow2, (s, p) => when(s > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /**
+   * SimHash near-dup pairs with Hamming distance <= maxHamming (< 4):
+   * split the 64 bits into 4 blocks of 16 — within distance 3, at least
+   * one block is identical (pigeonhole), so candidates join on
+   * (block index, block value); verify with bit_count(xor).
+   */
+  def simhashDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val blockArr = array((0 until 4).map(b =>
+      shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val blocks = sigs.select(col("id"), col("sig"),
+      posexplode(blockArr).as(Seq("blk", "blkval")))
+    val lhs = blocks.select(col("blk"), col("blkval"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val rhs = blocks.select(col("blk"), col("blkval"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    lhs.join(rhs, Seq("blk", "blkval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Word n-gram Jaccard similarity between two text columns (exact
+    * verify metric for candidate pairs). */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    def grams(t: Column): Column = {
+      val toks = split(lower(t), "\\s+")
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))
+    }
+    val ga = grams(a); val gb = grams(b)
+    size(array_intersect(ga, gb)).cast("double") /
+      size(array_union(ga, gb)).cast("double")
+  }
+}

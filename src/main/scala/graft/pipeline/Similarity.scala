@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Two paths:
+ *  - brute-force top-k: broadcast the (small) query set against the
+ *    corpus — one narrow pass, no shuffle of the corpus; the only
+ *    shuffle is the per-query top-k (k rows per partition survive).
+ *  - LSH-bucketed: random-hyperplane signatures; candidates join on
+ *    signature prefix buckets, so at scale only docs sharing a bucket
+ *    are compared. The planes are pseudo-random from xxhash64 —
+ *    deterministic with no driver-side RNG state.
+ */
+object Similarity {
+
+  /** Cosine similarity between two array columns, computed in double.
+    * `zip_with` dot product + norms — executor-local, codegen'd HOFs. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      F.aggregate(zip_with(x, y, (p, q) =>
+        p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /**
+   * Brute-force top-k cosine neighbors for the rows whose id is in
+   * `queryIds`. The query side is tiny → broadcast join (cross of
+   * |queries| × corpus), then per-query top-k via window row_number.
+   */
+  def bruteTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    val queries = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = emb.select(col(idCol).as("nn_id"), col(vecCol).as("nvec"))
+      .join(broadcast(queries), col("nn_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** Random-hyperplane signature: bit j = sign of <v, plane_j>, where
+    * plane_j[d] = centered pseudo-random from xxhash64(j, d). */
+  def rhpSignature(vec: Column, nBits: Int, dim: Int): Column =
+    transform(sequence(lit(0), lit(nBits - 1)), j =>
+      when(F.aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)), (v, d) =>
+          v.cast("double") *
+            (pmod(xxhash64(j * dim + d), lit(2000L)).cast("double") - 1000.0)),
+        lit(0.0), (acc, x) => acc + x) > 0, 1).otherwise(0))
+
+  /**
+   * LSH-bucketed approximate top-k: vectors sharing a signature band
+   * become candidates; exact cosine reranks within buckets. Recall is
+   * tunable via (nBits, bands); the join key is the band hash — the
+   * corpus never self-crosses.
+   */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int,
+      nBits: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
+    val rows = nBits / bands
+    val sigs = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("sig", rhpSignature(col("vec"), nBits, dim))
+      .select(col("id"), col("vec"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+          .as(Seq("band", "bandhash")))
+    val queries = sigs.filter(col("id").isin(queryIds: _*))
+      .select(col("band"), col("bandhash"),
+        col("id").as("query_id"), col("vec").as("qvec"))
+    val cands = sigs.join(broadcast(queries), Seq("band", "bandhash"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("qvec"),
+        col("id").as("nn_id"), col("vec").as("nvec"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nn_id"))
+    cands.withColumn("score", cosine(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), round(col("score"), 4).as("score"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Text analysis for training-data pipelines: token counting, quality
+ * scoring, language ID, and document fingerprinting. Everything is a
+ * codegen'd builtin-function composition — per-row, no UDFs, no shuffle.
+ */
+object TextAnalysis {
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def tokenCount(text: Column): Column =
+    when(trim(text) === "", 0)
+      .otherwise(size(split(trim(text), "\\s+"))).cast("long")
+
+  /** A BPE-ish subword proxy: count of runs matching word pieces /
+    * digits / punctuation (approximates tokenizer token counts without
+    * a vocab). */
+  def subwordCount(text: Column): Column =
+    when(trim(text) === "", 0)
+      .otherwise(size(split(trim(text), "(?<=[a-z])(?=[A-Z])|\\s+|(?=[^\\w\\s])")))
+      .cast("long")
+
+  /** Ratio of punctuation chars (.,!?;:) to total chars; 0 for empty. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
+        .cast("double") / length(text).cast("double"))
+
+  /** Ratio of whitespace-separated tokens that are pure ASCII letters. */
+  def alphaTokenRatio(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(trim(text) === "", lit(0.0)).otherwise(
+      size(F.filter(toks, t => t.rlike("^[A-Za-z]+$"))).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "una"))
+
+  /** Fraction of tokens that are stopwords of `lang` — the quality
+    * signal ("natural prose has stopwords") and the language-ID score. */
+  def stopwordRatio(text: Column, lang: String): Column = {
+    val words = stopwords(lang)
+    val toks = split(lower(trim(text)), "\\s+")
+    when(trim(text) === "", lit(0.0)).otherwise(
+      size(F.filter(toks, t => t.isin(words: _*))).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Heuristic language ID: argmax of per-language stopword ratios,
+    * 'und' (undetermined) when no stopwords hit at all. */
+  def langId(text: Column): Column = {
+    val scores = stopwords.keys.toSeq.sorted.map(l =>
+      struct(stopwordRatio(text, l).as("s"), lit(l).as("l")))
+    val best = array_max(array(scores: _*))
+    when(best.getField("s") > 0, best.getField("l")).otherwise("und")
+  }
+
+  /** Composite quality score in [0,1]: rewards prose-like length,
+    * stopword presence and alpha tokens; penalizes punctuation soup. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text, "en") * 4.0, lit(1.0))
+    val alphaScore = alphaTokenRatio(text)
+    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * 5.0, lit(0.0))
+    round((lenScore + stopScore + alphaScore + punctPenalty) / 4.0, 4)
+  }
+
+  /** Deterministic document fingerprint: polynomial rolling hash of the
+    * normalized (lowercased, whitespace-collapsed) text, base 31 mod
+    * the prime 1e9+7 (stays far from long overflow under ANSI mode),
+    * computed with one `aggregate` over the characters — a classic
+    * content signature, reproducible anywhere. */
+  def fingerprint(text: Column): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val codes = transform(
+      F.filter(split(norm, ""), ch => length(ch) > 0),
+      ch => ascii(ch).cast("long"))
+    F.aggregate(codes, lit(0L),
+      (acc, c) => pmod(acc * 31L + c, lit(1000000007L)))
+  }
+
+  /** One-stop per-document stats frame. */
+  def stats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars_c"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      round(punctRatio(col(textCol)), 4).as("punct_ratio"),
+      round(stopwordRatio(col(textCol), "en"), 4).as("stopword_ratio_en"))
+}
