@@ -76,7 +76,9 @@ object Subset {
       val parts = clause.split(":", -1).toIndexedSeq.map(_.trim)
       if (parts.length > 3)
         throw new SyntaxError(s"more than 3 fields in clause '$clause'")
-      def value(tok: String): Long = tok match {
+      // 'end' is case-insensitive in the reference (strncasecmp,
+      // `oph_subset_library.c:117`)
+      def value(tok: String): Long = tok.toLowerCase match {
         case "end" =>
           max.getOrElse(throw new BoundsError(
             s"'end' keyword in '$clause' but dimension size unknown"))

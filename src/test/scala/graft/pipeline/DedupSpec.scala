@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),       // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),       // near dup of 1
+    (4L, "completely different content about spark engines"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 2L)       // docs 1+2 collapse, min id kept
+    assert(out(3L) == 1L)
+    assert(out.size == 4)
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        k = 5, numHashes = 32, bands = 16, tau = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))          // exact dup always survives
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH jaccard is 1.0 for identical docs") {
+    val j = Dedup.minhashLsh(docs, "doc_id", "text", tau = 0.9)
+      .filter($"id_a" === 1L && $"id_b" === 2L)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("LSH candidate join is on band keys, not a cartesian") {
+    val plan = Dedup.minhashLsh(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Cross"), s"plan has a cartesian:\n$plan")
+  }
+
+  test("simhash: identical docs collide at hamming 0") {
+    val out = Dedup.simhashDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(out.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 0))
+  }
+
+  test("simhash signature is deterministic and text-sensitive") {
+    val sigs = docs.select($"doc_id", Dedup.simhash($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("ngram jaccard: identical=1, disjoint=0, near in between") {
+    val df = Seq((
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat",
+      "totally unrelated words here now")).toDF("a", "b", "c")
+    val (ab, aa, ac) = df.select(
+      Dedup.ngramJaccard($"a", $"b", 3).as("ab"),
+      Dedup.ngramJaccard($"a", $"a", 3).as("aa"),
+      Dedup.ngramJaccard($"a", $"c", 3).as("ac"))
+      .as[(Double, Double, Double)].head()
+    assert(aa == 1.0)
+    assert(ac == 0.0)
+    assert(ab > 0.4 && ab < 1.0)
+  }
+}

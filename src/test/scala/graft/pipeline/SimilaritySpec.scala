@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b")
+    val (aa, ab) = df.select(
+      Similarity.cosine($"a", $"a").as("aa"),
+      Similarity.cosine($"a", $"b").as("ab")).as[(Double, Double)].head()
+    assert(math.abs(aa - 1.0) < 1e-12)
+    assert(math.abs(ab) < 1e-12)
+  }
+
+  test("brute top-k returns the true nearest neighbors, ranked") {
+    // query 1 = (1,0); 2=(0.9,0.1) closer than 3=(0.5,0.5); 4=(0,1) farthest
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.5f, 0.5f)), (4L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteTopK(emb, "vec_id", "embedding", Seq(1L), 3)
+      .orderBy("rank").select("nn_id").as[Long].collect().toSeq
+    assert(out == Seq(2L, 3L, 4L))
+  }
+
+  test("brute top-k excludes the query itself and caps at k") {
+    val emb = (1L to 10L).map(i => (i, Seq(i.toFloat, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteTopK(emb, "vec_id", "embedding", Seq(1L, 2L), 4)
+    assert(out.count() == 8)
+    assert(out.filter($"nn_id" === $"query_id").count() == 0)
+  }
+
+  test("lsh top-k recall: neighbors it returns are true neighbors") {
+    val emb = (1L to 50L).map { i =>
+      val angle = (i % 10) * 0.05
+      (i, Seq(math.cos(angle).toFloat, math.sin(angle).toFloat,
+        (i % 3).toFloat * 0.01f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", Seq(1L), 5)
+      .select("nn_id").as[Long].collect().toSet
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", Seq(1L), 5,
+      nBits = 8, bands = 4, dim = 4)
+    val lshIds = lsh.select("nn_id").as[Long].collect().toSet
+    // LSH is approximate: every returned id must at least be a candidate
+    // with positive similarity, and recall should be non-trivial
+    assert(lshIds.nonEmpty)
+    assert(lshIds.intersect(brute).nonEmpty)
+  }
+
+  test("lsh join is bucketed (no cartesian product in the plan)") {
+    val emb = (1L to 20L).map(i => (i, Seq(i.toFloat, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val plan = Similarity.lshTopK(emb, "vec_id", "embedding", Seq(1L), 3,
+      nBits = 8, bands = 4, dim = 4).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Cross"), s"plan has a cartesian:\n$plan")
+  }
+}
