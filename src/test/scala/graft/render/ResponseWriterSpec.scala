@@ -1,0 +1,55 @@
+package graft.render
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.SparkSpec
+import graft.core._
+
+class ResponseWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+
+  test("text object renders valid JSON with objkey vocabulary") {
+    val json = ResponseWriter.render(TextObj("summary", "Status", "ok \"quoted\""))
+    val n = mapper.readTree(json)
+    assert(n.get("objclass").asText == "text")
+    assert(n.get("message").asText == "ok \"quoted\"")
+  }
+
+  test("grid from DataFrame caps rows and carries field types") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "name", "v")
+    val grid = ResponseWriter.gridOf("explorecube", "Peek", df, limit = 2)
+    assert(grid.keys == Seq("id", "name", "v"))
+    assert(grid.fieldTypes == Seq("long", "string", "double"))
+    assert(grid.values.size == 2)
+    val n = mapper.readTree(ResponseWriter.render(grid))
+    assert(n.get("rowvalues").size == 2)
+    assert(n.get("rowkeys").get(0).asText == "id")
+  }
+
+  test("full response envelope is valid JSON") {
+    val r = Response(
+      source = Map("srckey" -> "session", "producer" -> "graft"),
+      consumers = Seq("user1"),
+      objects = Seq(TextObj("status", "t", "m"),
+        Grid("grid", "g", Seq("k"), Seq("string"), Seq(Seq("v")))))
+    val n = mapper.readTree(ResponseWriter.render(r))
+    assert(n.get("response").size == 2)
+    assert(n.get("consumers").get(0).asText == "user1")
+  }
+
+  test("provenance digraph from the catalog") {
+    val cat = new Catalog("sess")
+    val c = cat.createContainer("c", "/")
+    cat.addCube(c.id, "m")                       // 1
+    cat.addCube(c.id, "m", parents = Seq(1L))    // 2
+    cat.addCube(c.id, "m", parents = Seq(2L))    // 3
+    val g = ResponseWriter.cubeioDigraph(cat, 2L)
+    assert(g.directed)
+    assert(g.nodes.size == 3)
+    assert(g.links.size == 2)
+    val n = mapper.readTree(ResponseWriter.render(g))
+    assert(n.get("links").size == 2)
+  }
+}

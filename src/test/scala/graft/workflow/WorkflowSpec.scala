@@ -1,0 +1,265 @@
+package graft.workflow
+
+import graft.SparkSpec
+import graft.core.{Catalog, JobStatus}
+
+class WorkflowSpec extends SparkSpec {
+
+  // ------------------------------------------------------- parsing
+
+  test("parse a JSON request with variables, tasks, dependencies") {
+    val spec = Workflow.parse("""{
+      "name": "wf", "author": "a", "exec_mode": "sync",
+      "variables": {"cubevar": "x"},
+      "tasks": [
+        {"name": "t1", "operator": "oph_randcube",
+         "arguments": ["nrows=10", "array_length=4"]},
+        {"name": "t2", "operator": "oph_reduce",
+         "arguments": ["operation=avg"],
+         "dependencies": [{"task": "t1", "type": "single"}]}
+      ]}""")
+    assert(spec.name == "wf")
+    assert(spec.variables == Map("cubevar" -> "x"))
+    assert(spec.tasks.map(_.name) == Seq("t1", "t2"))
+    assert(spec.tasks(1).dependencies.head.task == "t1")
+    assert(spec.tasks(0).arguments("nrows") == "10")
+  }
+
+  // ---------------------------------------------------- validation
+
+  private def mkSpec(deps: (String, Seq[String])*): Workflow.Spec =
+    Workflow.Spec(name = "w", tasks = deps.map { case (n, ds) =>
+      Workflow.Task(n, "oph_randcube",
+        dependencies = ds.map(d => Workflow.Dependency(d)))
+    })
+
+  test("topological sort accepts a DAG and orders it") {
+    val order = Workflow.validate(mkSpec(
+      "a" -> Seq(), "b" -> Seq("a"), "c" -> Seq("a", "b")))
+    assert(order.head == 0)
+    assert(order.indexOf(2) > order.indexOf(1))
+  }
+
+  test("topological sort rejects cycles (reference setup.c:200-288)") {
+    intercept[Workflow.ValidationError](
+      Workflow.validate(mkSpec("a" -> Seq("c"), "b" -> Seq("a"), "c" -> Seq("b"))))
+    intercept[Workflow.ValidationError](
+      Workflow.validate(mkSpec("a" -> Seq("a"))))
+  }
+
+  test("unknown dependency and duplicate names rejected") {
+    intercept[Workflow.ValidationError](
+      Workflow.validate(mkSpec("a" -> Seq("nope"))))
+    intercept[Workflow.ValidationError](
+      Workflow.validate(mkSpec("a" -> Seq(), "a" -> Seq())))
+  }
+
+  test("flow-control nesting validation") {
+    def flow(ops: String*): Workflow.Spec =
+      Workflow.Spec(name = "w", tasks = ops.zipWithIndex.map { case (o, i) =>
+        Workflow.Task(s"t$i", o)
+      })
+    Workflow.validate(flow("oph_for", "oph_randcube", "oph_endfor"))
+    Workflow.validate(flow("oph_if", "oph_else", "oph_endif"))
+    intercept[Workflow.ValidationError](
+      Workflow.validate(flow("oph_for", "oph_endif")))
+    intercept[Workflow.ValidationError](
+      Workflow.validate(flow("oph_endfor")))
+    intercept[Workflow.ValidationError](
+      Workflow.validate(flow("oph_if", "oph_randcube")))
+  }
+
+  // -------------------------------------------------- substitution
+
+  test("variable substitution: @var, @{var}, builtins, unknown left alone") {
+    val vars = Map("x" -> Workflow.Var("42"), "name_1" -> Workflow.Var("v1"))
+    assert(Workflow.substitute("a=@x", vars) == "a=42")
+    assert(Workflow.substitute("a=@{x}b", vars) == "a=42b")
+    assert(Workflow.substitute("a=@name_1", vars) == "a=v1")
+    assert(Workflow.substitute("a=@unknown", vars) == "a=@unknown")
+    assert(Workflow.substitute("s=@OPH_USER", vars,
+      Map("OPH_USER" -> "u")) == "s=u")
+  }
+
+  test("substitution: unclosed brace errors, names stop at separators") {
+    intercept[Workflow.ValidationError](
+      Workflow.substitute("@{x", Map("x" -> Workflow.Var("1"))))
+    assert(Workflow.substitute("@x;y=@x", Map("x" -> Workflow.Var("1"))) == "1;y=1")
+  }
+
+  // ---------------------------------------------------- conditions
+
+  test("condition evaluator: arithmetic, comparison, logic") {
+    assert(Workflow.evalCondition("1+2*3") == 7.0)
+    assert(Workflow.evalCondition("(1+2)*3") == 9.0)
+    assert(Workflow.evalCondition("10 % 3") == 1.0)
+    assert(Workflow.evalCondition("3>2") == 1.0)
+    assert(Workflow.evalCondition("3<=2") == 0.0)
+    assert(Workflow.evalCondition("1 && 0") == 0.0)
+    assert(Workflow.evalCondition("1 || 0") == 1.0)
+    assert(Workflow.evalCondition("!0") == 1.0)
+    assert(Workflow.evalCondition("2 == 2 && 3 != 4") == 1.0)
+    intercept[Workflow.ValidationError](Workflow.evalCondition("1 +"))
+  }
+
+  // ------------------------------------------------------ executor
+
+  private def engine() = new Engine(spark, new Catalog("sess"))
+
+  test("2-task DAG: randcube -> reduce, cube pid forwarded") {
+    val e = engine()
+    val res = e.run(Workflow.parse("""{
+      "name": "wf", "tasks": [
+        {"name": "make", "operator": "oph_randcube",
+         "arguments": ["nrows=20", "array_length=4", "container=c"]},
+        {"name": "red", "operator": "oph_reduce",
+         "arguments": ["operation=avg"],
+         "dependencies": [{"task": "make", "type": "single"}]}
+      ]}"""))
+    assert(res("make").status == JobStatus.Completed)
+    assert(res("red").status == JobStatus.Completed)
+    val pid = res("red").cubePid.get
+    val reduced = e.cube(pid).get
+    assert(reduced.desc.implicitDims.isEmpty)
+    assert(reduced.df.count() == 20)
+    assert(reduced.desc.level == 1)
+  }
+
+  test("import from parquet -> subset -> aggregate end-to-end") {
+    val e = engine()
+    val res = e.run(Workflow.parse(s"""{
+      "name": "wf", "tasks": [
+        {"name": "imp", "operator": "oph_importnc",
+         "arguments": ["src_path=${sf("lineitem")}", "measure=l_quantity",
+                       "exp_dim=l_orderkey|l_linenumber", "container=li"]},
+        {"name": "sub", "operator": "oph_subset",
+         "arguments": ["subset_dims=l_linenumber", "subset_filter=1:2"],
+         "dependencies": [{"task": "imp"}]},
+        {"name": "agg", "operator": "oph_aggregate",
+         "arguments": ["operation=sum", "group_by=l_orderkey"],
+         "dependencies": [{"task": "sub"}]}
+      ]}"""))
+    assert(res.values.forall(_.status == JobStatus.Completed))
+    val out = e.cube(res("agg").cubePid.get).get
+    assert(out.df.columns.toSeq == Seq("l_orderkey", "l_quantity"))
+    assert(out.df.count() > 0)
+    // provenance chain recorded in the catalog
+    val aggId = res("agg").cubePid.get.split("/").last.toLong
+    assert(e.catalog.provenance(aggId).nonEmpty)
+  }
+
+  test("oph_for loops the block once per value, binding @key and index") {
+    val e = engine()
+    val res = e.run(Workflow.parse("""{
+      "name": "wf", "tasks": [
+        {"name": "loop", "operator": "oph_for",
+         "arguments": ["key=n", "values=5|10"]},
+        {"name": "make", "operator": "oph_randcube",
+         "arguments": ["nrows=@n", "array_length=2", "container=c@n"]},
+        {"name": "end", "operator": "oph_endfor"}
+      ]}"""))
+    assert(res("make_1").status == JobStatus.Completed)
+    assert(res("make_2").status == JobStatus.Completed)
+    val c1 = e.cube(res("make_1").cubePid.get).get
+    val c2 = e.cube(res("make_2").cubePid.get).get
+    assert(c1.df.count() == 5 && c2.df.count() == 10)
+  }
+
+  test("oph_for with counter subset string") {
+    val e = engine()
+    val res = e.run(Workflow.parse("""{
+      "name": "wf", "tasks": [
+        {"name": "loop", "operator": "oph_for",
+         "arguments": ["key=i", "counter=1:3"]},
+        {"name": "set", "operator": "oph_set",
+         "arguments": ["key=acc", "value=@i"]},
+        {"name": "end", "operator": "oph_endfor"}
+      ]}"""))
+    assert(res("set_3").message == "acc=3")
+  }
+
+  test("oph_if selects the true branch; else covers the rest") {
+    val e = engine()
+    val res = e.run(Workflow.parse("""{
+      "name": "wf", "tasks": [
+        {"name": "cond", "operator": "oph_if",
+         "arguments": ["condition=2>3"]},
+        {"name": "a", "operator": "oph_set", "arguments": ["key=x", "value=then"]},
+        {"name": "els", "operator": "oph_else"},
+        {"name": "b", "operator": "oph_set", "arguments": ["key=x", "value=else"]},
+        {"name": "fin", "operator": "oph_endif"},
+        {"name": "after", "operator": "oph_set", "arguments": ["key=y", "value=@x"]}
+      ]}"""))
+    assert(!res.contains("a"))
+    assert(res("b").message == "x=else")
+    assert(res("after").message == "y=else")
+  }
+
+  test("oph_set subset_filter compresses value lists") {
+    val e = engine()
+    val res = e.run(Workflow.parse("""{
+      "name": "wf", "tasks": [
+        {"name": "s", "operator": "oph_set",
+         "arguments": ["key=r", "value=1|2|3|7", "subset_filter=yes"]}
+      ]}"""))
+    assert(res("s").message == "r=1:3,7")
+  }
+
+  test("on_error=skip continues; abort marks the remainder") {
+    val e = engine()
+    val res = e.run(Workflow.parse("""{
+      "name": "wf", "tasks": [
+        {"name": "bad", "operator": "oph_reduce",
+         "arguments": ["cube=http://localhost/9/9"], "on_error": "skip"},
+        {"name": "ok", "operator": "oph_set", "arguments": ["key=a", "value=1"]}
+      ]}"""))
+    assert(res("bad").status == JobStatus.Error)
+    assert(res("ok").status == JobStatus.Completed)
+
+    val res2 = e.run(Workflow.parse("""{
+      "name": "wf", "tasks": [
+        {"name": "bad", "operator": "oph_reduce",
+         "arguments": ["cube=http://localhost/9/9"]},
+        {"name": "never", "operator": "oph_set", "arguments": ["key=a", "value=1"]}
+      ]}"""))
+    assert(res2("bad").status == JobStatus.Error)
+    assert(res2("never").status == JobStatus.Aborted)
+  }
+
+  test("massive cube filter fans out and intercube combines two pids") {
+    val e = engine()
+    // build two cubes, then reduce over a massive selector
+    val r1 = e.run(Workflow.parse("""{
+      "name": "wf", "tasks": [
+        {"name": "m1", "operator": "oph_randcube",
+         "arguments": ["nrows=8", "array_length=4", "container=c"]},
+        {"name": "m2", "operator": "oph_randcube",
+         "arguments": ["nrows=8", "array_length=4", "container=c", "seed=7"]}
+      ]}"""))
+    val red = e.runDataOperator("oph_reduce",
+      Map("cube" -> "[measure=measure]", "operation" -> "sum"))
+    assert(red.status == JobStatus.Completed)
+    val ic = e.runDataOperator("oph_intercube", Map(
+      "cube" -> r1("m1").cubePid.get,
+      "cube2" -> r1("m2").cubePid.get,
+      "operation" -> "sub", "output_measure" -> "d"))
+    assert(ic.status == JobStatus.Completed)
+    assert(e.cube(ic.cubePid.get).get.desc.measure == "d")
+  }
+
+  test("catalog ops through the engine: folder, list, metadata") {
+    val e = engine()
+    e.runDataOperator("oph_folder", Map("command" -> "mkdir", "path" -> "/work"))
+    val mk = e.runDataOperator("oph_randcube",
+      Map("nrows" -> "4", "array_length" -> "2", "container" -> "c",
+        "cwd" -> "/work"))
+    val ls = e.runDataOperator("oph_list",
+      Map("path" -> "/work", "recursive" -> "yes"))
+    assert(ls.message.contains(mk.cubePid.get))
+    e.runDataOperator("oph_metadata", Map("cube" -> mk.cubePid.get,
+      "mode" -> "insert", "metadata_key" -> "units", "metadata_value" -> "K"))
+    val found = e.runDataOperator("oph_search",
+      Map("metadata_key_filter" -> "units"))
+    assert(found.message.contains(mk.cubePid.get))
+  }
+}
