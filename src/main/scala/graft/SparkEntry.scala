@@ -251,7 +251,7 @@ object SparkEntry {
       val doubled = d.unionByName(
         d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
       Dedup.minhashLsh(doubled, "doc_id", "text", k = 5,
-        numHashes = 32, bands = 8, tau = 0.9)
+        numHashes = 64, bands = 8, tau = 0.9)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
 

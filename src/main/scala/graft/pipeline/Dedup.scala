@@ -30,10 +30,24 @@ object Dedup {
       i => xxhash64(F.substring(text, i, lit(k)))))
 
   /** MinHash signature: numHashes permutation-mins over the shingle set.
-    * Hash family h_j(s) = xxhash64(s, j) — deterministic. */
-  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
-    transform(sequence(lit(1), lit(numHashes)),
-      j => array_min(transform(shingleSet, s => xxhash64(s, j))))
+    *
+    * Hash family: h_j(s) = ((s mod p) * a_j + b_j) mod p with literal
+    * per-j coefficients (a_j < 2^20, p < 2^40 keeps the product below
+    * 2^60 — no ANSI long overflow). The trailing mod is essential:
+    * without it the map is monotone and every h_j would pick the same
+    * argmin element, collapsing the family to one permutation. Literal
+    * coefficients fold into the expression, so each signature is
+    * numHashes cheap multiply-add-mod passes instead of full rehashes. */
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column = {
+    val p = 1099511627689L // prime near 2^40
+    val rnd = new scala.util.Random(42) // fixed seed: deterministic family
+    val coeffs = Seq.fill(numHashes)(
+      (rnd.nextLong(1L << 20) | 1L, rnd.nextLong(1L << 30)))
+    array(coeffs.map { case (a, b) =>
+      array_min(transform(shingleSet,
+        s => pmod(pmod(s, lit(p)) * a + b, lit(p))))
+    }: _*)
+  }
 
   /**
    * MinHash-LSH near-duplicate pairs.
@@ -46,31 +60,64 @@ object Dedup {
    * Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
    */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      k: Int = 5, numHashes: Int = 64, bands: Int = 8,
       tau: Double = 0.8): DataFrame = {
     val rows = numHashes / bands
+    // repartition first: a single-file corpus otherwise computes all
+    // signatures on 1-2 input splits regardless of cluster width; the
+    // id shuffle is tiny next to the per-doc shingling it unlocks.
+    // Then persist: the signature frame feeds three plan branches (both
+    // sides of the band self-join + the verify joins) — persisting makes
+    // shingling/signatures ONE pass per doc instead of four.
+    val par = df.sparkSession.sparkContext.defaultParallelism
     val withShingles = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(par, col("id"))
       .withColumn("sh", shinglesOf(col("text"), k))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .drop("text")
+      .persist()
     // xxhash64 hashes the sliced signature array directly (hash
     // expressions support complex types) — one 64-bit key per band.
     val banded = withShingles.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
         .as(Seq("band", "bandhash")))
-    val lhs = banded.select(col("band"), col("bandhash"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val rhs = banded.select(col("band"), col("bandhash"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
+    // candidates deduplicate on the id pair ONLY — shuffling the heavy
+    // shingle arrays through the distinct would dominate at scale; the
+    // sets are joined back for the verify step afterwards
+    val lhs = banded.select(col("band"), col("bandhash"), col("id").as("id_a"))
+    val rhs = banded.select(col("band"), col("bandhash"), col("id").as("id_b"))
     val candidates = lhs.join(rhs, Seq("band", "bandhash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .select("id_a", "id_b").distinct()
+    val sets = withShingles.select(col("id"), col("sh"))
     candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Hash whitespace tokens once into a long array (stage this as its
+    * own column so downstream per-bit passes read an attribute instead
+    * of re-tokenizing). */
+  def hashedTokens(text: Column): Column =
+    transform(split(lower(text), "\\s+"), t => xxhash64(t))
+
+  /** SimHash from a pre-hashed token array: bit b is set iff more than
+    * half the hashes have bit b set (equivalent to the signed-sum
+    * formulation). 64 cheap getbit-count passes over the attribute. */
+  def simhashFromHashes(ht: Column): Column = {
+    val n = size(ht)
+    val bitsSet = (0 until 64).map(b =>
+      F.aggregate(ht, lit(0), (acc, h) => acc + getbit(h, lit(b))))
+    F.aggregate(
+      zip_with(array(bitsSet: _*), pow2,
+        (cnt, p) => when(cnt * 2 > n, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
   // Bit masks as literal columns (shiftleft/shiftright take Int shift
@@ -79,23 +126,10 @@ object Dedup {
     lit(if (b == 63) Long.MinValue else 1L << b)
   }: _*)
 
-  /**
-   * 64-bit SimHash of whitespace-tokenized text: bit b of the signature
-   * is the sign of sum_t (bit b of xxhash64(token t) ? +1 : -1).
-   * Single `aggregate` pass over the tokens; no shuffle.
-   */
-  def simhash(text: Column): Column = {
-    val tokens = split(lower(text), "\\s+")
-    val sums = F.aggregate(tokens,
-      array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          b => when(getbit(xxhash64(t), b) === 1, 1).otherwise(-1)),
-        (a, x) => a + x))
-    F.aggregate(
-      zip_with(sums, pow2, (s, p) => when(s > 0, p).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  /** 64-bit SimHash of a text column — single-Column convenience form;
+    * prefer the staged hashedTokens/simhashFromHashes pipeline when the
+    * signature is computed for a whole corpus. */
+  def simhash(text: Column): Column = simhashFromHashes(hashedTokens(text))
 
   /**
    * SimHash near-dup pairs with Hamming distance <= maxHamming (< 4):
@@ -105,7 +139,14 @@ object Dedup {
    */
   def simhashDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    // staged: tokenize+hash -> 64 bit-counts over the attribute; then
+    // persist since the block self-join reads the signatures twice
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sigs = df.select(col(idCol).as("id"),
+        hashedTokens(col(textCol)).as("ht"))
+      .repartition(par, col("id"))
+      .select(col("id"), simhashFromHashes(col("ht")).as("sig"))
+      .persist()
     val blockArr = array((0 until 4).map(b =>
       shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)
     val blocks = sigs.select(col("id"), col("sig"),
