@@ -162,6 +162,19 @@ object SparkEntry {
       CubeOps.mergecubes2(Seq("A" -> a, "N" -> n), "src").df
     }),
 
+    "mergecubes_concat" -> ((s, dir) => {
+      // implicit-dim concat of two cubes over the same keys: qty array
+      // followed by extendedprice array, exploded back with positions
+      val a = liCube(s, dir, "l_quantity")
+      val b = liCube(s, dir, "l_extendedprice")
+        .copy()
+      val bRenamed = b.copy(
+        df = b.df.withColumnRenamed("l_extendedprice", "l_quantity"),
+        desc = b.desc.copy(measure = "l_quantity"))
+      val m = CubeOps.mergecubes(a, bRenamed)
+      explodeArr(m, "pos", "v")
+    }),
+
     // ------------------------------------- oph_rollup / oph_drilldown
     "rollup_drilldown" -> ((s, dir) => {
       val flat = CubeOps.importParquet(s, s"$dir/lineitem.parquet",
@@ -418,6 +431,18 @@ object SparkEntry {
          UNION ALL
          SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, 'N' AS src
          FROM lineitem WHERE l_returnflag = 'N'""",
+
+    "mergecubes_concat" ->
+      """WITH u AS (
+           SELECT l_orderkey, l_quantity AS v, 0 AS part,
+                  l_linenumber AS ln FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_extendedprice AS v, 1 AS part,
+                  l_linenumber AS ln FROM lineitem)
+         SELECT l_orderkey,
+                CAST(row_number() OVER (PARTITION BY l_orderkey
+                  ORDER BY part, ln, v) AS BIGINT) AS pos, v
+         FROM u""",
 
     "rollup_drilldown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem""",

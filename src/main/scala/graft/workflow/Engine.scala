@@ -30,6 +30,43 @@ object Engine {
       message: String = "")
 
   final class EngineError(msg: String) extends Exception(msg)
+
+  /** The operator surface (for oph_operators_list introspection —
+    * mirrors the reference objkey vocabulary `oph_json_objkeys.h:27-173`). */
+  val operatorList: Seq[String] = Seq(
+    "oph_importnc", "oph_importnc2", "oph_importncs", "oph_importcsv",
+    "oph_concatnc", "oph_concatnc2", "oph_randcube", "oph_randcube2",
+    "oph_createcontainer", "oph_deletecontainer", "oph_restorecontainer",
+    "oph_delete", "oph_folder", "oph_fs", "oph_list", "oph_search",
+    "oph_find", "oph_publish", "oph_unpublish",
+    "oph_subset", "oph_subset2", "oph_reduce", "oph_reduce2",
+    "oph_aggregate", "oph_aggregate2", "oph_apply", "oph_intercube",
+    "oph_intercube2", "oph_mergecubes", "oph_mergecubes2", "oph_duplicate",
+    "oph_merge", "oph_split", "oph_permute", "oph_rollup", "oph_drilldown",
+    "oph_cubeschema", "oph_cubesize", "oph_cubeelements", "oph_cubeio",
+    "oph_explorecube", "oph_explorenc", "oph_inspectfrag", "oph_metadata",
+    "oph_showgrid", "oph_hierarchy", "oph_man", "oph_operators_list",
+    "oph_primitives_list", "oph_script", "oph_exportcsv", "oph_exportnc",
+    "oph_exportnc2", "oph_instances", "oph_tasks", "oph_loggingbk",
+    "oph_for", "oph_endfor", "oph_if", "oph_elseif", "oph_else",
+    "oph_endif", "oph_set", "oph_wait", "oph_input",
+    "oph_cancel", "oph_manage_session", "oph_log_info", "oph_cluster",
+    "oph_get_config", "oph_resume", "oph_service")
+
+  /** Array-primitive surface (oph_primitives_list). */
+  val primitiveList: Seq[String] = Seq(
+    "oph_sum_scalar", "oph_mul_scalar", "oph_abs", "oph_log", "oph_sqrt",
+    "oph_pow", "oph_negate", "oph_sum_array", "oph_sub_array",
+    "oph_mul_array", "oph_div_array", "oph_predicate", "oph_max", "oph_min",
+    "oph_sum", "oph_avg", "oph_count", "oph_std", "oph_var", "oph_arg_max",
+    "oph_arg_min", "oph_quantile", "oph_moving_avg", "oph_boxplot",
+    "oph_reverse", "oph_head", "oph_tail")
+
+  /** Concept hierarchies (oph_hierarchy; the reference ships XML
+    * hierarchy documents — time levels drive aggregate2/reduce2). */
+  val hierarchies: Map[String, Seq[String]] = Map(
+    "oph_time" -> Seq("second", "minute", "hour", "day", "week", "month",
+      "quarter", "year"))
 }
 
 final class Engine(
@@ -286,20 +323,42 @@ final class Engine(
           args.getOrElse("cwd", "/"))
         TaskResult(JobStatus.Completed, message = s"container ${c.name}")
 
-      case "oph_importnc" | "oph_importnc2" | "oph_importcsv" =>
+      case "oph_importnc" | "oph_importnc2" | "oph_importcsv" | "oph_importncs" =>
         val path = args.getOrElse("src_path",
-          throw new Engine.EngineError("import: missing src_path"))
+          args.getOrElse("input",
+            throw new Engine.EngineError("import: missing src_path")))
+        val paths = path.split('|').toSeq // importncs: multi-file, one cube
         val measure = args.getOrElse("measure", "measure")
         val exp = args.get("exp_dim").map(_.split('|').toSeq).getOrElse(Seq.empty)
         val imp = args.get("imp_dim")
         val raw = if (op == "oph_importcsv")
-          spark.read.option("header", "true").option("inferSchema", "true").csv(path)
-        else spark.read.parquet(path)
+          spark.read.option("header", "true").option("inferSchema", "true")
+            .csv(paths: _*)
+        else spark.read.parquet(paths: _*)
         val c = CubeOps.build(raw, measure, exp, imp,
           args.getOrElse("container", "container"), path)
         val pid = register(c, args.getOrElse("container", "container"),
           args.getOrElse("cwd", "/"), sourceTask = Some(op))
         TaskResult(JobStatus.Completed, cubePid = Some(pid))
+
+      case "oph_concatnc" | "oph_concatnc2" =>
+        // append new source data to an existing cube along the implicit
+        // dim (incremental union + in-cell concat)
+        val (pid, c) = needCube()
+        val path = args.getOrElse("src_path",
+          throw new Engine.EngineError("concatnc: missing src_path"))
+        val measure = c.desc.measure
+        val raw = spark.read.parquet(path)
+        val addition = CubeOps.build(raw, measure,
+          c.desc.explicitDims.map(_.name),
+          c.desc.implicitDims.headOption.map(_.name),
+          containerOf(pid), path)
+        val out =
+          if (c.hasImplicit) CubeOps.mergecubes(c, addition)
+          else Cube(c.df.unionByName(addition.df), c.desc)
+        val newPid = register(out, containerOf(pid), parents = Seq(idOf(pid)),
+          sourceTask = Some(op))
+        TaskResult(JobStatus.Completed, cubePid = Some(newPid))
 
       case "oph_randcube" | "oph_randcube2" =>
         val c = CubeOps.randcube(spark,
@@ -378,6 +437,38 @@ final class Engine(
         val newPid = register(out, containerOf(pids.head),
           parents = pids.map(idOf), sourceTask = Some(op))
         TaskResult(JobStatus.Completed, cubePid = Some(newPid))
+
+      case "oph_rollup" =>
+        val (pid, c) = needCube()
+        val dim = args.getOrElse("ndim", c.explicitDimNames.last)
+        val out = CubeOps.rollup(c, dim)
+        val newPid = register(out, containerOf(pid), parents = Seq(idOf(pid)),
+          sourceTask = Some(op))
+        TaskResult(JobStatus.Completed, cubePid = Some(newPid))
+
+      case "oph_drilldown" =>
+        val (pid, c) = needCube()
+        val out = CubeOps.drilldown(c)
+        val newPid = register(out, containerOf(pid), parents = Seq(idOf(pid)),
+          sourceTask = Some(op))
+        TaskResult(JobStatus.Completed, cubePid = Some(newPid))
+
+      case "oph_permute" =>
+        val (pid, c) = needCube()
+        val out = CubeOps.permuteReverse(c)
+        val newPid = register(out, containerOf(pid), parents = Seq(idOf(pid)),
+          sourceTask = Some(op))
+        TaskResult(JobStatus.Completed, cubePid = Some(newPid))
+
+      case "oph_deletecontainer" =>
+        catalog.deleteContainer(args.getOrElse("container", "container"),
+          args.getOrElse("cwd", "/"),
+          force = args.get("force").exists(_.equalsIgnoreCase("yes")))
+        TaskResult(JobStatus.Completed, message = "container deleted")
+
+      case "oph_restorecontainer" =>
+        val c = catalog.restoreContainer(args.getOrElse("container", "container"))
+        TaskResult(JobStatus.Completed, message = s"restored ${c.name}")
 
       case "oph_duplicate" =>
         val (pid, c) = needCube()
@@ -476,6 +567,93 @@ final class Engine(
         val edges = catalog.provenance(idOf(pid))
         TaskResult(JobStatus.Completed,
           message = edges.map(e => s"${e._1}->${e._2}").mkString("|"))
+
+      case "oph_publish" =>
+        // expose the cube under the session web space (file export +
+        // catalog flag), `oph_json_objkeys.h:106`
+        val (pid, c) = needCube()
+        val out = args.getOrElse("output_path",
+          s"/tmp/graft_publish/${catalog.sessionCode}/${idOf(pid)}")
+        c.flatten.write.mode("overwrite").option("header", "true").csv(out)
+        catalog.setMetadata(idOf(pid), "published", out)
+        TaskResult(JobStatus.Completed, message = s"published at $out")
+
+      case "oph_unpublish" =>
+        val (pid, _) = needCube()
+        catalog.dropMetadata(idOf(pid), "published")
+        TaskResult(JobStatus.Completed, message = "unpublished")
+
+      case "oph_explorenc" =>
+        // explore a raw source file: schema + summary stats
+        val path = args.getOrElse("src_path",
+          throw new Engine.EngineError("explorenc: missing src_path"))
+        val raw = spark.read.parquet(path)
+        TaskResult(JobStatus.Completed, df = Some(raw.describe()))
+
+      case "oph_inspectfrag" =>
+        // dump one fragment (= Spark partition): per-partition sample
+        val (_, c) = needCube()
+        val frag = args.getOrElse("frag_id", "0").toInt
+        val limit = args.getOrElse("limit", "20").toInt
+        val rows = c.df.rdd.mapPartitionsWithIndex { (i, it) =>
+          if (i == frag) it.take(limit) else Iterator.empty
+        }.collect()
+        TaskResult(JobStatus.Completed,
+          message = rows.map(_.toString).mkString("\n"))
+
+      case "oph_showgrid" =>
+        // dimension grids of a cube: names, kinds, sizes
+        val (_, c) = needCube()
+        TaskResult(JobStatus.Completed, df = Some(CubeOps.cubeschema(spark, c)))
+
+      case "oph_hierarchy" =>
+        // concept hierarchies driving aggregate2/reduce2 level exprs
+        val name = args.getOrElse("hierarchy", "oph_time")
+        val levels = Engine.hierarchies.getOrElse(name,
+          throw new Engine.EngineError(s"unknown hierarchy '$name'"))
+        TaskResult(JobStatus.Completed, message = levels.mkString("|"))
+
+      case "oph_man" =>
+        val target = args.getOrElse("function", "")
+        if (Engine.operatorList.contains(target))
+          TaskResult(JobStatus.Completed, message = s"$target: supported operator")
+        else TaskResult(JobStatus.Completed,
+          message = s"no manual entry for '$target'")
+
+      case "oph_operators_list" =>
+        TaskResult(JobStatus.Completed,
+          message = Engine.operatorList.sorted.mkString("|"))
+
+      case "oph_primitives_list" =>
+        TaskResult(JobStatus.Completed,
+          message = Engine.primitiveList.sorted.mkString("|"))
+
+      case "oph_script" | "oph_generic" | "oph_cdo" =>
+        // sandboxed driver-side escape hatch: allow-listed binaries only
+        val script = args.getOrElse("script", "true")
+        val allowed = Set("true", "echo", "date", "hostname")
+        val bin = script.split("\\s+").head
+        if (!allowed.contains(bin))
+          throw new Engine.EngineError(s"script '$bin' not in sandbox allow-list")
+        val outBuf = new StringBuilder
+        val proc = new ProcessBuilder(script.split("\\s+"): _*)
+          .redirectErrorStream(true).start()
+        scala.io.Source.fromInputStream(proc.getInputStream)
+          .getLines().foreach(l => outBuf.append(l).append('\n'))
+        proc.waitFor()
+        TaskResult(JobStatus.Completed, message = outBuf.toString.trim)
+
+      case "oph_instances" =>
+        // hosts / partitions listing (`oph_json_objkeys.h:110`)
+        TaskResult(JobStatus.Completed, message =
+          s"executors=${spark.sparkContext.statusTracker.getExecutorInfos.length};" +
+          s"cores=${spark.sparkContext.defaultParallelism}")
+
+      case "oph_tasks" | "oph_loggingbk" =>
+        // task/accounting history: catalog provenance doubles as the log
+        val hist = catalog.allCubes.map(e =>
+          s"${e.id}:${e.sourceTask.getOrElse("import")}")
+        TaskResult(JobStatus.Completed, message = hist.mkString("|"))
 
       // ------------------------------ management shims (info surface)
       case "oph_get_config" =>

@@ -1,0 +1,139 @@
+package graft.workflow
+
+import graft.SparkSpec
+import graft.core.{Catalog, JobStatus}
+
+/** Coverage for the long tail of engine operators. */
+class EngineOpsSpec extends SparkSpec {
+
+  private def engine() = new Engine(spark, new Catalog("sess"))
+
+  private def mk(e: Engine, n: Long = 6): String =
+    e.runDataOperator("oph_randcube",
+      Map("nrows" -> n.toString, "array_length" -> "4", "container" -> "c"))
+      .cubePid.get
+
+  test("importncs unions multiple files into one cube") {
+    val e = engine()
+    val r = e.runDataOperator("oph_importncs", Map(
+      "src_path" -> s"${sf("region")}|${sf("region")}",
+      "measure" -> "r_regionkey", "exp_dim" -> "r_name"))
+    val c = e.cube(r.cubePid.get).get
+    assert(c.df.count() == 10) // 5 regions x 2 files
+  }
+
+  test("concatnc appends along the implicit dim") {
+    val e = engine()
+    val imp = e.runDataOperator("oph_importnc", Map(
+      "src_path" -> sf("lineitem"), "measure" -> "l_quantity",
+      "exp_dim" -> "l_orderkey", "imp_dim" -> "l_linenumber"))
+    val cat = e.runDataOperator("oph_concatnc",
+      Map("cube" -> imp.cubePid.get, "src_path" -> sf("lineitem")))
+    val before = e.cube(imp.cubePid.get).get
+    val after = e.cube(cat.cubePid.get).get
+    val n0 = before.df.selectExpr("sum(size(l_quantity))").head().getLong(0)
+    val n1 = after.df.selectExpr("sum(size(l_quantity))").head().getLong(0)
+    assert(n1 == 2 * n0)
+  }
+
+  test("rollup/drilldown/permute through the dispatch") {
+    val e = engine()
+    val imp = e.runDataOperator("oph_importnc", Map(
+      "src_path" -> sf("lineitem"), "measure" -> "l_quantity",
+      "exp_dim" -> "l_orderkey|l_linenumber"))
+    val up = e.runDataOperator("oph_rollup",
+      Map("cube" -> imp.cubePid.get, "ndim" -> "l_linenumber"))
+    assert(e.cube(up.cubePid.get).get.hasImplicit)
+    val perm = e.runDataOperator("oph_permute", Map("cube" -> up.cubePid.get))
+    assert(perm.status == JobStatus.Completed)
+    val down = e.runDataOperator("oph_drilldown", Map("cube" -> up.cubePid.get))
+    assert(!e.cube(down.cubePid.get).get.hasImplicit)
+    assert(e.cube(down.cubePid.get).get.df.count() ==
+      e.cube(imp.cubePid.get).get.df.count())
+  }
+
+  test("publish exports and flags; unpublish clears") {
+    val e = engine()
+    val pid = mk(e)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pub").toString + "/out"
+    val pub = e.runDataOperator("oph_publish",
+      Map("cube" -> pid, "output_path" -> dir))
+    assert(pub.message.contains(dir))
+    val id = pid.split("/").last.toLong
+    assert(e.catalog.cube(id).get.metadata.contains("published"))
+    e.runDataOperator("oph_unpublish", Map("cube" -> pid))
+    assert(!e.catalog.cube(id).get.metadata.contains("published"))
+    assert(spark.read.option("header", "true").csv(dir).count() > 0)
+  }
+
+  test("explorenc describes a raw source") {
+    val e = engine()
+    val r = e.runDataOperator("oph_explorenc", Map("src_path" -> sf("region")))
+    val stats = r.df.get.collect().map(_.getString(0)).toSet
+    assert(stats.contains("mean") && stats.contains("max"))
+  }
+
+  test("inspectfrag dumps one partition only") {
+    val e = engine()
+    val pid = mk(e, 20)
+    val r = e.runDataOperator("oph_inspectfrag",
+      Map("cube" -> pid, "frag_id" -> "0", "limit" -> "5"))
+    assert(r.status == JobStatus.Completed)
+  }
+
+  test("hierarchy, man, operators_list, primitives_list introspection") {
+    val e = engine()
+    assert(e.runDataOperator("oph_hierarchy", Map("hierarchy" -> "oph_time"))
+      .message.contains("month"))
+    intercept[Engine.EngineError](
+      e.runDataOperator("oph_hierarchy", Map("hierarchy" -> "nope")))
+    assert(e.runDataOperator("oph_man", Map("function" -> "oph_reduce"))
+      .message.contains("supported"))
+    assert(e.runDataOperator("oph_operators_list", Map.empty)
+      .message.split('|').length > 60)
+    assert(e.runDataOperator("oph_primitives_list", Map.empty)
+      .message.contains("oph_moving_avg"))
+  }
+
+  test("script runs allow-listed binaries and rejects others") {
+    val e = engine()
+    assert(e.runDataOperator("oph_script",
+      Map("script" -> "echo hello")).message == "hello")
+    intercept[Engine.EngineError](
+      e.runDataOperator("oph_script", Map("script" -> "rm -rf /")))
+  }
+
+  test("deletecontainer/restorecontainer through the dispatch") {
+    val e = engine()
+    mk(e)
+    e.runDataOperator("oph_deletecontainer",
+      Map("container" -> "c", "force" -> "yes"))
+    assert(e.catalog.findContainer("c").isEmpty)
+    e.runDataOperator("oph_restorecontainer", Map("container" -> "c"))
+    assert(e.catalog.findContainer("c").nonEmpty)
+  }
+
+  test("instances / tasks / loggingbk report engine state") {
+    val e = engine()
+    mk(e)
+    assert(e.runDataOperator("oph_instances", Map.empty).message.contains("cores="))
+    assert(e.runDataOperator("oph_tasks", Map.empty).message.contains("1:"))
+  }
+
+  test("split/merge re-fragment through the dispatch") {
+    val e = engine()
+    val pid = mk(e, 16)
+    val s = e.runDataOperator("oph_split", Map("cube" -> pid, "nsplit" -> "4"))
+    assert(e.cube(s.cubePid.get).get.df.rdd.getNumPartitions == 4)
+    val m = e.runDataOperator("oph_merge", Map("cube" -> s.cubePid.get, "nmerge" -> "2"))
+    assert(e.cube(m.cubePid.get).get.df.rdd.getNumPartitions == 2)
+  }
+
+  test("exportcsv writes the flattened cube") {
+    val e = engine()
+    val pid = mk(e, 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_exp").toString + "/csv"
+    e.runDataOperator("oph_exportcsv", Map("cube" -> pid, "output_path" -> dir))
+    assert(spark.read.option("header", "true").csv(dir).count() == 20) // 5 x 4
+  }
+}
