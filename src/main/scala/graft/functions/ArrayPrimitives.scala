@@ -104,16 +104,10 @@ object ArrayPrimitives {
         case "oph_quantile" => CubeOps.reduceExpr(a(0), "quantile", num(1))
         // moving average over a trailing window of k (partial windows at
         // the head, matching SQL `ROWS BETWEEN k-1 PRECEDING AND CURRENT`)
+        // — native codegen'd Expression: one O(n) ring pass instead of an
+        // interpreted O(n*k) slice+aggregate per element
         case "oph_moving_avg" =>
-          val arr = a(0)
-          val k = num(1).toInt
-          transform(arr, (_, i0) => {
-            val start = greatest(i0 - lit(k - 1), lit(0)) + 1
-            val len = i0 + 1 - start + 1
-            val win = slice(arr, start.cast("int"), len.cast("int"))
-            aggregate(win, lit(0.0), (acc, x) => acc + x.cast("double")) /
-              size(win).cast("double")
-          })
+          graft.functions.expressions.GraftExpressions.moving_avg(a(0), num(1).toInt)
         // five-number summary [min, q1, median, q3, max]
         case "oph_boxplot" =>
           val sorted = array_sort(a(0))

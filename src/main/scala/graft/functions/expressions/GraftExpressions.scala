@@ -1,0 +1,143 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions for the hot in-array paths — the cases
+ * where higher-order functions (which Spark evaluates interpreted)
+ * genuinely can't reach codegen speed:
+ *
+ *  - `MovingAvg`: fused trailing-window mean over an array in one O(n)
+ *    ring pass (the HOF formulation is O(n*k) slice+aggregate per
+ *    element, all interpreted). The reference ships this as the
+ *    `oph_moving_avg` array primitive
+ *    (`/root/reference/src/oph_json/oph_json_objkeys.h:103` context).
+ *  - `PolyHash`: polynomial rolling hash over a string's characters,
+ *    mod a prime (document fingerprinting); the builtin-function
+ *    formulation needs split-to-char-array + aggregate, allocating one
+ *    single-char string per character.
+ *
+ * Both implement `doGenCode`, so they fuse into whole-stage codegen
+ * instead of forcing an interpreted eval boundary in the hot path.
+ */
+object GraftExpressions {
+
+  /** Trailing moving average (window k, partial leading windows) over
+    * an array<double> column. */
+  def moving_avg(arr: Column, k: Int): Column =
+    ColumnBridge.column(MovingAvg(
+      ColumnBridge.expression(arr.cast("array<double>")), k))
+
+  /** Polynomial rolling hash: h = (h*31 + char) mod 1e9+7. */
+  def poly_hash(s: Column): Column =
+    ColumnBridge.column(PolyHash(
+      ColumnBridge.expression(s.cast("string"))))
+}
+
+/** One-pass ring-sum moving average; `k >= 1`. Null elements are
+  * treated as 0 contribution (upstream casts guarantee doubles). */
+case class MovingAvg(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"moving_avg window must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // accept either containsNull variant: SimplifyCasts strips the
+    // upcast from array<double, false>, which must stay resolved
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"moving_avg expects array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_moving_avg"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Double](n)
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      sum += arr.getDouble(i)
+      if (i >= k) sum -= arr.getDouble(i - k)
+      val len = if (i < k) i + 1 else k
+      out(i) = sum / len
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      val out = ctx.freshName("out")
+      val len = ctx.freshName("len")
+      s"""
+        final int $n = $arr.numElements();
+        final double[] $out = new double[$n];
+        double $sum = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $sum += $arr.getDouble($i);
+          if ($i >= $k) $sum -= $arr.getDouble($i - $k);
+          final int $len = ($i < $k) ? ($i + 1) : $k;
+          $out[$i] = $sum / $len;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MovingAvg =
+    copy(child = newChild)
+}
+
+/** h = fold(chars)((h, c) => (h*31 + c) mod 1e9+7) over the string. */
+case class PolyHash(child: Expression)
+    extends UnaryExpression {
+
+  private val Mod = 1000000007L
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"poly_hash expects string, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_poly_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (h * 31L + s.charAt(i)) % Mod
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+        final String $s = $str.toString();
+        long $h = 0L;
+        for (int $i = 0; $i < $s.length(); $i++) {
+          $h = ($h * 31L + $s.charAt($i)) % ${Mod}L;
+        }
+        ${ev.value} = $h;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}

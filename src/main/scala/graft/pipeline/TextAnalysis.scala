@@ -75,17 +75,12 @@ object TextAnalysis {
 
   /** Deterministic document fingerprint: polynomial rolling hash of the
     * normalized (lowercased, whitespace-collapsed) text, base 31 mod
-    * the prime 1e9+7 (stays far from long overflow under ANSI mode),
-    * computed with one `aggregate` over the characters — a classic
-    * content signature, reproducible anywhere. */
-  def fingerprint(text: Column): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    val codes = transform(
-      F.filter(split(norm, ""), ch => length(ch) > 0),
-      ch => ascii(ch).cast("long"))
-    F.aggregate(codes, lit(0L),
-      (acc, c) => pmod(acc * 31L + c, lit(1000000007L)))
-  }
+    * the prime 1e9+7 — a native codegen'd Expression (the builtin
+    * formulation would split the text into one single-char string per
+    * character and fold an interpreted aggregate over them). */
+  def fingerprint(text: Column): Column =
+    graft.functions.expressions.GraftExpressions.poly_hash(
+      regexp_replace(lower(trim(text)), "\\s+", " "))
 
   /** One-stop per-document stats frame. */
   def stats(df: DataFrame, idCol: String, textCol: String): DataFrame =
