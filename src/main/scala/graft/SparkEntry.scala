@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.Subset
@@ -123,6 +124,17 @@ object SparkEntry {
       agg.df.select(col("omonth"), round(col("o_totalprice"), 2).as("sum_price"))
     }),
 
+    "aggregate2_quarter" -> ((s, dir) => {
+      // hierarchy level above month: oph_time quarter
+      val cube = CubeOps.importParquet(s, s"$dir/orders.parquet",
+        "o_totalprice", Seq("o_orderdate"))
+      val agg = CubeOps.aggregate2(cube, "o_orderdate",
+        d => concat(year(d).cast("string"), lit("-Q"),
+          quarter(d).cast("string")),
+        "oquarter", "sum")
+      agg.df.select(col("oquarter"), round(col("o_totalprice"), 2).as("sum_price"))
+    }),
+
     // ------------------------------------------------------ oph_apply
     "apply_mulscalar" -> ((s, dir) => {
       val cube = liCube(s, dir)
@@ -152,6 +164,31 @@ object SparkEntry {
         Seq("o_orderkey"), "sum")
       val ic = CubeOps.intercube(a, b, "sub", "diff")
       ic.df.select(col("o_orderkey"), round(col("diff"), 2).as("diff"))
+    }),
+
+    "intercube_corr" -> ((s, dir) => {
+      // per-order correlation of quantity vs extendedprice: one import
+      // carrying BOTH measures so in-cell pairing survives ties, then a
+      // pure-HOF sample-correlation over the zipped arrays
+      val raw = t(s, dir, "lineitem")
+      val paired = raw.groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(struct(col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice")))).as("kv"))
+        .withColumn("x", expr("transform(kv, r -> r.l_quantity)"))
+        .withColumn("y", expr("transform(kv, r -> r.l_extendedprice)"))
+      def s1(c: Column) = F.aggregate(c, lit(0.0), (a, v) => a + v)
+      def s2(c: Column) = F.aggregate(c, lit(0.0), (a, v) => a + v * v)
+      val n = size(col("x")).cast("double")
+      val sxy = F.aggregate(zip_with(col("x"), col("y"), (a, b) => a * b),
+        lit(0.0), (a, v) => a + v)
+      val num = n * sxy - s1(col("x")) * s1(col("y"))
+      val den = sqrt(n * s2(col("x")) - s1(col("x")) * s1(col("x"))) *
+        sqrt(n * s2(col("y")) - s1(col("y")) * s1(col("y")))
+      paired.filter(size(col("x")) >= 2)
+        .select(col("l_orderkey"),
+          // + 0.0 canonicalizes IEEE -0.0 from tiny negative correlations
+          when(den > 0, round(num / den, 3) + 0.0)
+            .otherwise(lit(null)).as("corr_qp"))
     }),
 
     // ------------------------------------------------- oph_mergecubes
@@ -205,6 +242,8 @@ object SparkEntry {
     "cubeschema" -> ((s, dir) => CubeOps.cubeschema(s, liCube(s, dir))),
 
     "cubeelements" -> ((s, dir) => CubeOps.cubeelements(liCube(s, dir))),
+
+    "cubesize" -> ((s, dir) => CubeOps.cubesize(liCube(s, dir))),
 
     // ---------------------------- joins / top-k / window / set ops ---
     "join_topk" -> ((s, dir) => {
@@ -416,6 +455,22 @@ object SparkEntry {
                 round(avg(l_quantity) OVER (PARTITION BY l_orderkey
                   ORDER BY l_linenumber, l_quantity
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg
+         FROM lineitem""",
+
+    "intercube_corr" ->
+      """SELECT l_orderkey,
+                round(corr(l_quantity, l_extendedprice), 3) + 0.0 AS corr_qp
+         FROM lineitem GROUP BY 1 HAVING count(*) >= 2""",
+
+    "aggregate2_quarter" ->
+      """SELECT CAST(year(o_orderdate) AS VARCHAR) || '-Q' ||
+                CAST(quarter(o_orderdate) AS VARCHAR) AS oquarter,
+                round(sum(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY 1""",
+
+    "cubesize" ->
+      """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_rows,
+                count(*) AS n_elements, count(*) * 8 AS est_bytes
          FROM lineitem""",
 
     "intercube_sub" ->

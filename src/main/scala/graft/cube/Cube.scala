@@ -378,6 +378,73 @@ object CubeOps {
         (pmod(k, lit(n1.toLong)) * n2 + floor(k / lit(n1)) + 1).cast("int")))
 
   // -------------------------------------------------------------------
+  // 2-implicit-dim cubes: flattened row-major arrays with shape
+  // metadata — the reference's n-dimensional in-blob layout
+  // -------------------------------------------------------------------
+
+  /** oph_reduce2 over a 2-implicit-dim flattened array (shape n1 x n2,
+    * row-major): reduce along the INNER dim (contiguous n2-blocks) or
+    * the OUTER dim (stride-n2 gather). Both are in-cell index
+    * arithmetic — executor-local, no shuffle, no explode. */
+  def reduceAlong2(arr: Column, n1: Int, n2: Int, alongInner: Boolean,
+      op: String): Column =
+    if (alongInner)
+      transform(sequence(lit(0), lit(n1 - 1)),
+        i => reduceExpr(slice(arr, i * n2 + 1, lit(n2)), op))
+    else
+      transform(sequence(lit(0), lit(n2 - 1)), j =>
+        reduceExpr(transform(sequence(lit(0), lit(n1 - 1)),
+          i => element_at(arr, (i * n2 + j + 1).cast("int"))), op))
+
+  /** oph_reduce2 at the cube level: reduce along a NAMED implicit dim
+    * of a 2-implicit-dim cube; the surviving dim keeps its spec. */
+  def reduce2(cube: Cube, dim: String, op: String): Cube = {
+    require(cube.desc.implicitDims.size == 2,
+      s"reduce2 expects 2 implicit dims, got ${cube.desc.implicitDims.size}")
+    val Seq(d1, d2) = cube.desc.implicitDims
+    val n1 = d1.size.getOrElse(
+      throw new IllegalArgumentException(s"dim ${d1.name} has no size")).toInt
+    val n2 = d2.size.getOrElse(
+      throw new IllegalArgumentException(s"dim ${d2.name} has no size")).toInt
+    val alongInner = dim == d2.name
+    require(alongInner || dim == d1.name, s"no implicit dim '$dim'")
+    val m = cube.desc.measure
+    val out = cube.df.withColumn(m,
+      reduceAlong2(cube.df(m), n1, n2, alongInner, op))
+    Cube(out, cube.desc.copy(
+      implicitDims = Seq(if (alongInner) d1 else d2),
+      level = cube.desc.level + 1, sourceTask = Some("oph_reduce2")))
+  }
+
+  /** oph_permute for a 2-implicit-dim cube: swap the dims (transpose
+    * each in-cell array). */
+  def permute2(cube: Cube): Cube = {
+    require(cube.desc.implicitDims.size == 2, "permute2 expects 2 implicit dims")
+    val Seq(d1, d2) = cube.desc.implicitDims
+    val n1 = d1.size.get.toInt; val n2 = d2.size.get.toInt
+    val m = cube.desc.measure
+    Cube(cube.df.withColumn(m, transpose2(cube.df(m), n1, n2)),
+      cube.desc.copy(implicitDims = Seq(d2, d1),
+        level = cube.desc.level + 1, sourceTask = Some("oph_permute")))
+  }
+
+  /** Deterministic synthetic 2-implicit-dim cube (shape n1 x n2). */
+  def randcube2(spark: SparkSession, nRows: Long, n1: Int, n2: Int,
+      seed: Long): Cube = {
+    val df = spark.range(nRows).toDF("key")
+      .withColumn("measure",
+        transform(sequence(lit(1), lit(n1 * n2)),
+          i => pmod(hash(col("key") * lit(31) + i + lit(seed)).cast("long"),
+            lit(1000L)).cast("double")))
+    Cube(df, CubeDescriptor(0, 0, "rand2", "/", "measure", "double", 0,
+      Seq(DimensionSpec("key", "long", explicit = true)),
+      Seq(
+        DimensionSpec("d1", "int", explicit = false, size = Some(n1.toLong)),
+        DimensionSpec("d2", "int", explicit = false, size = Some(n2.toLong))),
+      metadata = Map("seed" -> seed.toString)))
+  }
+
+  // -------------------------------------------------------------------
   // oph_split / oph_merge (`oph_json_objkeys.h:108-109`) — re-fragment
   // -------------------------------------------------------------------
 
@@ -418,6 +485,17 @@ object CubeOps {
     val m = cube.desc.measure
     val per = if (cube.hasImplicit) size(col(m)).cast("long") else lit(1L)
     cube.df.select(per.as("__n")).agg(sum(col("__n")).as("n_elements"))
+  }
+
+  /** oph_cubesize: rows, elements, and an estimated measure byte size
+    * (elements x 8 for double measures — the fragment-size accounting
+    * the reference keeps in OphidiaDB). */
+  def cubesize(cube: Cube): DataFrame = {
+    val m = cube.desc.measure
+    val per = if (cube.hasImplicit) size(col(m)).cast("long") else lit(1L)
+    cube.df.select(per.as("__n"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__n")).as("n_elements"))
+      .withColumn("est_bytes", col("n_elements") * 8)
   }
 
   // -------------------------------------------------------------------

@@ -388,8 +388,13 @@ final class Engine(
 
       case "oph_reduce" | "oph_reduce2" =>
         val (pid, c) = needCube()
-        val out = CubeOps.reduce(c, args.getOrElse("operation", "avg"),
-          args.get("group_size").map(_.toInt))
+        val operation = args.getOrElse("operation", "avg")
+        val out = args.get("dim") match {
+          case Some(d) if c.desc.implicitDims.size == 2 =>
+            CubeOps.reduce2(c, d, operation) // reduce along the named dim
+          case _ =>
+            CubeOps.reduce(c, operation, args.get("group_size").map(_.toInt))
+        }
         val newPid = register(out, containerOf(pid), parents = Seq(idOf(pid)),
           sourceTask = Some(op))
         TaskResult(JobStatus.Completed, cubePid = Some(newPid))
