@@ -339,6 +339,15 @@ object SparkEntry {
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryIds = Seq(1L, 2L, 3L), k = 5)),
 
+    "embed_neardup" -> ((s, dir) => {
+      // double the corpus so exact-duplicate vectors exist; LSH buckets
+      // generate candidates, exact cosine >= tau verifies
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val doubled = e.unionByName(e.select(
+        (col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      Similarity.embeddingDups(doubled, "vec_id", "embedding", tau = 0.999)
+    }),
+
     // ------------------------------------------------ events / time
     "events_hourly" -> ((s, dir) =>
       events(s, dir)

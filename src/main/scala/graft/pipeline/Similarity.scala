@@ -49,6 +49,38 @@ object Similarity {
         col("nn_id"), round(col("score"), 4).as("score"))
   }
 
+  /**
+   * Embedding-cosine near-duplicate pairs: vectors whose cosine
+   * similarity exceeds `tau`. Candidates come from random-hyperplane
+   * band buckets (high-cosine pairs agree on sign bits with high
+   * probability), exact cosine verifies — a full-corpus self-join never
+   * happens; the join key is the band hash.
+   */
+  def embeddingDups(emb: DataFrame, idCol: String, vecCol: String,
+      tau: Double, nBits: Int = 16, bands: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val rows = nBits / bands
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val sigs = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .repartition(par, col("id"))
+      .withColumn("sig", rhpSignature(col("vec"), nBits, dim))
+      .select(col("id"), col("vec"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+          .as(Seq("band", "bandhash")))
+      .persist()
+    val lhs = sigs.select(col("band"), col("bandhash"),
+      col("id").as("id_a"), col("vec").as("vec_a"))
+    val rhs = sigs.select(col("band"), col("bandhash"),
+      col("id").as("id_b"), col("vec").as("vec_b"))
+    lhs.join(rhs, Seq("band", "bandhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "vec_a", "vec_b").distinct()
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Random-hyperplane signature: bit j = sign of <v, plane_j>, where
     * plane_j[d] = centered pseudo-random from xxhash64(j, d). */
   def rhpSignature(vec: Column, nBits: Int, dim: Int): Column =

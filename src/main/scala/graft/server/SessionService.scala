@@ -1,0 +1,196 @@
+package graft.server
+
+import scala.collection.mutable
+
+/**
+ * Session management service — oph_manage_session / oph_resume /
+ * oph_log_info semantics (`/root/reference/src/oph_management_operators
+ * .c:461-2100`, actions `src/oph_parser.h:189-203`; role model
+ * `src/oph_auth.h:79-96`; saved-request store `oph_workflow_save`
+ * `src/oph_workflow_engine.c:244-288`).
+ *
+ * Roles are the reference's bitmask: read=1, write=2, execute=4,
+ * admin=8, owner=16; grantable names resolve to the composite masks
+ * (write => writer = read+write, etc.). Rendered as the reference's
+ * 5-flag string `rwxao` with '-' for absent bits.
+ */
+object SessionService {
+
+  val RoleNone = 0
+  val RoleRead = 1
+  val RoleWrite = 2
+  val RoleExecute = 4
+  val RoleAdmin = 8
+  val RoleOwner = 16
+  val RoleWriter: Int = RoleRead + RoleWrite
+  val RoleAdministrator: Int = RoleAdmin + RoleExecute + RoleWriter
+  val RoleAll: Int = RoleOwner + RoleAdministrator
+
+  def parseRole(s: String): Int = s.toLowerCase match {
+    case "none" | "null" => RoleNone
+    case "read" | "read_force" => RoleRead
+    case "write" => RoleWriter
+    case "execute" => RoleExecute + RoleWriter
+    case "admin" => RoleAdministrator
+    case "owner" => RoleAll
+    case other => throw new IllegalArgumentException(s"unknown role '$other'")
+  }
+
+  def renderRole(mask: Int): String = {
+    val flags = Seq(
+      (RoleRead, 'r'), (RoleWrite, 'w'), (RoleExecute, 'x'),
+      (RoleAdmin, 'a'), (RoleOwner, 'o'))
+    flags.map { case (bit, c) => if ((mask & bit) != 0) c else '-' }.mkString
+  }
+
+  final case class SavedWorkflow(
+      workflowId: Int,
+      request: String,
+      response: String)
+
+  final case class Session(
+      code: String,
+      owner: String,
+      var label: String = "",
+      var active: Boolean = true,
+      var autoremove: Boolean = false,
+      roles: mutable.Map[String, Int] = mutable.Map.empty,
+      workflows: mutable.ArrayBuffer[SavedWorkflow] = mutable.ArrayBuffer.empty)
+
+  final class AuthError(msg: String) extends Exception(msg)
+}
+
+final class SessionService {
+  import SessionService._
+
+  private val sessions = mutable.LinkedHashMap[String, Session]()
+  private val logRing = mutable.ArrayDeque[String]()
+  private val maxLog = 1000
+  private var nextCode = 0
+
+  // ------------------------------------------------------------- log
+
+  def log(msg: String): Unit = synchronized {
+    logRing.append(msg)
+    if (logRing.size > maxLog) logRing.removeHead()
+  }
+
+  /** oph_log_info: last n lines of the engine log ring. */
+  def tailLog(n: Int): Seq[String] = synchronized(logRing.takeRight(n).toSeq)
+
+  // -------------------------------------------------------- sessions
+
+  private def roleOf(s: Session, user: String): Int =
+    if (s.owner == user) RoleAll else s.roles.getOrElse(user, RoleNone)
+
+  private def require_(cond: Boolean, msg: String): Unit =
+    if (!cond) throw new AuthError(msg)
+
+  def newSession(owner: String, label: String = "",
+      code: Option[String] = None): Session = synchronized {
+    nextCode += 1
+    val c = code.getOrElse(f"sess$nextCode%04d")
+    require(!sessions.contains(c), s"session '$c' exists")
+    val s = Session(c, owner, label)
+    sessions(s.code) = s
+    log(s"session ${s.code} created by $owner")
+    s
+  }
+
+  /** action=list: sessions the user can at least read. */
+  def list(user: String): Seq[Session] = synchronized {
+    sessions.values.toSeq.filter(s => (roleOf(s, user) & RoleRead) != 0)
+  }
+
+  /** action=env: session properties key/values. */
+  def env(code: String, user: String): Map[String, String] = synchronized {
+    val s = get(code)
+    require_((roleOf(s, user) & RoleRead) != 0, s"$user cannot read $code")
+    Map("session" -> s.code, "label" -> s.label, "owner" -> s.owner,
+      "active" -> s.active.toString, "autoremove" -> s.autoremove.toString,
+      "users" -> s.roles.size.toString)
+  }
+
+  /** action=listusers. */
+  def listUsers(code: String, user: String): Seq[(String, String)] = synchronized {
+    val s = get(code)
+    require_((roleOf(s, user) & RoleRead) != 0, s"$user cannot read $code")
+    (s.owner -> renderRole(RoleAll)) +:
+      s.roles.toSeq.map { case (u, m) => u -> renderRole(m) }
+  }
+
+  /** action=setenv: key in {label, active, autoremove}. */
+  def setenv(code: String, user: String, key: String, value: String): Unit =
+    synchronized {
+      val s = get(code)
+      require_((roleOf(s, user) & RoleAdmin) != 0, s"$user cannot setenv on $code")
+      key match {
+        case "label" => s.label = value
+        case "active" => s.active = value.equalsIgnoreCase("yes") ||
+          value.equalsIgnoreCase("true")
+        case "autoremove" => s.autoremove = value.equalsIgnoreCase("yes") ||
+          value.equalsIgnoreCase("true")
+        case other => throw new IllegalArgumentException(s"unknown key '$other'")
+      }
+      log(s"session $code setenv $key=$value by $user")
+    }
+
+  /** action=grant / revoke (admin-or-owner only). */
+  def grant(code: String, user: String, target: String, role: String): Unit =
+    synchronized {
+      val s = get(code)
+      require_((roleOf(s, user) & RoleAdmin) != 0, s"$user cannot grant on $code")
+      require_(target != s.owner, "owner role is immutable")
+      s.roles(target) = parseRole(role)
+      log(s"session $code grant $target=$role by $user")
+    }
+
+  def revoke(code: String, user: String, target: String): Unit = synchronized {
+    val s = get(code)
+    require_((roleOf(s, user) & RoleAdmin) != 0, s"$user cannot revoke on $code")
+    s.roles.remove(target)
+    log(s"session $code revoke $target by $user")
+  }
+
+  /** action=disable / enable / remove (owner only for remove). */
+  def setActive(code: String, user: String, active: Boolean): Unit =
+    setenv(code, user, "active", if (active) "yes" else "no")
+
+  def remove(code: String, user: String): Unit = synchronized {
+    val s = get(code)
+    require_(s.owner == user, s"only the owner can remove $code")
+    require_(!s.active, "disable the session before removing it")
+    sessions.remove(code)
+    log(s"session $code removed by $user")
+  }
+
+  private def get(code: String): Session =
+    sessions.getOrElse(code,
+      throw new NoSuchElementException(s"no session '$code'"))
+
+  // ------------------------------------------- resume / accounting
+
+  /** oph_workflow_save analog: record the request + response document. */
+  def saveWorkflow(code: String, request: String, response: String): Int =
+    synchronized {
+      val s = get(code)
+      val id = s.workflows.size + 1
+      s.workflows += SavedWorkflow(id, request, response)
+      log(s"session $code workflow $id saved")
+      id
+    }
+
+  /** oph_resume: retrieve a saved request or response
+    * (`document_type=request|response`); workflowId 0 = latest. */
+  def resume(code: String, user: String, workflowId: Int,
+      documentType: String): String = synchronized {
+    val s = get(code)
+    require_((roleOf(s, user) & RoleRead) != 0, s"$user cannot read $code")
+    val wf =
+      if (workflowId <= 0) s.workflows.lastOption
+      else s.workflows.find(_.workflowId == workflowId)
+    val doc = wf.getOrElse(
+      throw new NoSuchElementException(s"no workflow $workflowId in $code"))
+    if (documentType == "request") doc.request else doc.response
+  }
+}

@@ -79,6 +79,12 @@ final class Engine(
   /** Data-plane store: PID -> materialized cube. */
   private val cubes = scala.collection.mutable.Map[String, Cube]()
   private var markerId = 0
+  private var workflowSeq = 0
+
+  /** Session registry + log ring + saved-workflow store (the
+    * oph_manage_session / oph_resume / oph_log_info backend). */
+  val sessions = new graft.server.SessionService
+  sessions.newSession(user, code = Some(catalog.sessionCode))
 
   def cube(pid: String): Option[Cube] = cubes.get(pid)
 
@@ -99,8 +105,19 @@ final class Engine(
   /** Run a workflow spec; returns per-task results keyed by task name
     * (loop iterations suffix the name with `_<n>` like the reference's
     * light tasks). */
-  def run(spec: Workflow.Spec): Map[String, TaskResult] = {
+  def run(spec: Workflow.Spec): Map[String, TaskResult] =
+    run(spec, requestJson = None)
+
+  /** Run a parsed request, optionally keeping the raw JSON for
+    * oph_resume (`document_type=request`). */
+  def run(spec: Workflow.Spec, requestJson: Option[String]): Map[String, TaskResult] = {
     Workflow.validate(spec)
+    workflowSeq += 1
+    // Spark jobs of this workflow share a job group so oph_cancel can
+    // target them (`cancelJobGroup` — the reference's scancel analog)
+    spark.sparkContext.setJobGroup(
+      s"${catalog.sessionCode}:$workflowSeq", spec.name,
+      interruptOnCancel = true)
     val results = scala.collection.mutable.LinkedHashMap[String, TaskResult]()
     val vars = scala.collection.mutable.Map[String, Workflow.Var]()
     spec.variables.foreach { case (k, v) => vars(k) = Workflow.Var(v) }
@@ -264,6 +281,12 @@ final class Engine(
     }
 
     runBlock(0, spec.tasks.size, "")
+    spark.sparkContext.clearJobGroup()
+    val summary = results.map { case (k, v) =>
+      s"$k=${v.status}${v.cubePid.map(p => s"($p)").getOrElse("")}"
+    }.mkString(";")
+    sessions.saveWorkflow(catalog.sessionCode,
+      requestJson.getOrElse(spec.name), summary)
     results.toMap
   }
 
@@ -672,14 +695,67 @@ final class Engine(
           s"master=${spark.sparkContext.master}")
 
       case "oph_cancel" =>
-        spark.sparkContext.cancelJobGroup(args.getOrElse("id", "1"))
-        TaskResult(JobStatus.Completed, message = "cancel requested")
+        val wfId = args.getOrElse("id", workflowSeq.toString)
+        spark.sparkContext.cancelJobGroup(s"${catalog.sessionCode}:$wfId")
+        sessions.log(s"cancel requested for workflow $wfId")
+        TaskResult(JobStatus.Completed, message = s"cancel sent to $wfId")
 
       case "oph_log_info" =>
-        TaskResult(JobStatus.Completed, message = "log ring empty")
+        val n = args.getOrElse("nlines", "10").toInt
+        TaskResult(JobStatus.Completed,
+          message = sessions.tailLog(n).mkString("\n"))
 
-      case "oph_service" | "oph_manage_session" | "oph_resume" =>
-        TaskResult(JobStatus.Completed, message = s"$op acknowledged")
+      case "oph_manage_session" =>
+        val code = args.getOrElse("session", catalog.sessionCode)
+        val asUser = args.getOrElse("user", user)
+        args.getOrElse("action", "list") match {
+          case "list" =>
+            TaskResult(JobStatus.Completed, message =
+              sessions.list(asUser).map(s => s"${s.code}:${s.label}").mkString("|"))
+          case "new" =>
+            val s = sessions.newSession(asUser, args.getOrElse("label", ""))
+            TaskResult(JobStatus.Completed, message = s.code)
+          case "env" =>
+            TaskResult(JobStatus.Completed, message =
+              sessions.env(code, asUser).toSeq.sortBy(_._1)
+                .map { case (k, v) => s"$k=$v" }.mkString(";"))
+          case "listusers" =>
+            TaskResult(JobStatus.Completed, message =
+              sessions.listUsers(code, asUser)
+                .map { case (u, r) => s"$u:$r" }.mkString("|"))
+          case "setenv" =>
+            sessions.setenv(code, asUser, args.getOrElse("key", "label"),
+              args.getOrElse("value", ""))
+            TaskResult(JobStatus.Completed, message = "ok")
+          case "grant" =>
+            sessions.grant(code, asUser, args.getOrElse("grantee", ""),
+              args.getOrElse("role", "read"))
+            TaskResult(JobStatus.Completed, message = "granted")
+          case "revoke" =>
+            sessions.revoke(code, asUser, args.getOrElse("grantee", ""))
+            TaskResult(JobStatus.Completed, message = "revoked")
+          case "disable" =>
+            sessions.setActive(code, asUser, active = false)
+            TaskResult(JobStatus.Completed, message = "disabled")
+          case "enable" =>
+            sessions.setActive(code, asUser, active = true)
+            TaskResult(JobStatus.Completed, message = "enabled")
+          case "remove" =>
+            sessions.remove(code, asUser)
+            TaskResult(JobStatus.Completed, message = "removed")
+          case other =>
+            throw new Engine.EngineError(s"manage_session action '$other'")
+        }
+
+      case "oph_resume" =>
+        val code = args.getOrElse("session", catalog.sessionCode)
+        val doc = sessions.resume(code, args.getOrElse("user", user),
+          args.getOrElse("id", "0").toInt,
+          args.getOrElse("document_type", "response"))
+        TaskResult(JobStatus.Completed, message = doc)
+
+      case "oph_service" =>
+        TaskResult(JobStatus.Completed, message = "status=up")
 
       case other =>
         throw new Engine.EngineError(s"unknown operator '$other'")

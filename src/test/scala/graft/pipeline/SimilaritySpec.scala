@@ -50,6 +50,25 @@ class SimilaritySpec extends SparkSpec {
     assert(lshIds.intersect(brute).nonEmpty)
   }
 
+  test("embeddingDups finds planted duplicates, skips distinct vectors") {
+    val base = (1L to 30L).map { i =>
+      val a = (i % 7) * 0.4
+      (i, Seq(math.cos(a).toFloat, math.sin(a).toFloat,
+        (i % 5).toFloat, 1.0f))
+    }
+    // plant an exact duplicate of id 1 as id 100
+    val emb = (base :+ (100L, base.head._2)).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingDups(emb, "vec_id", "embedding",
+      tau = 0.9999, nBits = 8, bands = 4, dim = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 100L)))
+    // every reported pair truly exceeds the threshold
+    val all = Similarity.embeddingDups(emb, "vec_id", "embedding",
+      tau = 0.9999, nBits = 8, bands = 4, dim = 4)
+      .select("cos").as[Double].collect()
+    assert(all.forall(_ >= 0.9999))
+  }
+
   test("lsh join is bucketed (no cartesian product in the plan)") {
     val emb = (1L to 20L).map(i => (i, Seq(i.toFloat, 1.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
