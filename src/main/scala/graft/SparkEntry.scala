@@ -76,6 +76,26 @@ object SparkEntry {
         .drop("l_shipdate")
     }),
 
+    "subset_season" -> ((s, dir) => {
+      // full time_filter grammar: summer months of two specific years
+      val raw = t(s, dir, "lineitem")
+      val cube = CubeOps.build(raw.select("l_orderkey", "l_linenumber",
+        "l_shipdate", "l_quantity"), "l_quantity",
+        Seq("l_orderkey", "l_linenumber", "l_shipdate"), None, "c", dir)
+      val sub = CubeOps.subsetTimeFilter(
+        CubeOps.subsetTimeFilter(cube, "l_shipdate", "JJA"),
+        "l_shipdate", "1996,1997")
+      sub.df.withColumn("ship", date_format(col("l_shipdate"), "yyyy-MM-dd"))
+        .drop("l_shipdate")
+    }),
+
+    "setop_intersect" -> ((s, dir) => {
+      // order keys present in BOTH returnflag populations
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_returnflag") === "A").select("l_orderkey")
+        .intersect(li.filter(col("l_returnflag") === "N").select("l_orderkey"))
+    }),
+
     "subset_implicit" -> ((s, dir) => {
       // odd in-array positions via HOF filter on the 1-based index
       val sub = CubeOps.subsetImplicit(liCube(s, dir), "1:2:13")
@@ -388,6 +408,15 @@ object SparkEntry {
       out.df.select(col("l_orderkey"), round(col("l_quantity"), 4).as("sum_qty"))
     }),
 
+    "multimodal_features" -> ((s, dir) => {
+      // binary media columns -> stubbed decode -> typed feature rows;
+      // the Spark-side plumbing (schema, partition batches) is real
+      val media = graft.pipeline.Multimodal.syntheticMedia(s, 200)
+      graft.pipeline.Multimodal.extractFeatures(media)
+        .toDF().select(col("media_id"), col("kind"), col("width"),
+          col("height"), col("n_bytes"))
+    }),
+
     // --------------------------------------------------- oph_randcube
     "randcube_reduce" -> ((s, dir) => {
       val rc = CubeOps.randcube(s, 1000, 16, seed = 42)
@@ -409,6 +438,21 @@ object SparkEntry {
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity >= 25""",
+
+    "subset_season" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+                strftime(l_shipdate, '%Y-%m-%d') AS ship
+         FROM lineitem
+         WHERE month(l_shipdate) IN (6, 7, 8)
+           AND ((l_shipdate >= TIMESTAMP '1996-01-01' AND
+                 l_shipdate < TIMESTAMP '1997-01-01') OR
+                (l_shipdate >= TIMESTAMP '1997-01-01' AND
+                 l_shipdate < TIMESTAMP '1998-01-01'))""",
+
+    "setop_intersect" ->
+      """SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+         INTERSECT
+         SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'N'""",
 
     "subset_implicit" ->
       """WITH ranked AS (

@@ -108,6 +108,55 @@ object Subset {
   }
 
   /**
+   * time_filter compiler (`subset_dims` companion arg `time_filter`,
+   * reference arg surface `/root/reference/src/oph_parser.h:68-70`;
+   * value conventions from the public Ophidia subset documentation):
+   *
+   *   - `1996`            calendar year
+   *   - `1996-04`         calendar month
+   *   - `1996-04-15`      single day
+   *   - `A_B`             inclusive range of any two of the above
+   *   - `DJF|MAM|JJA|SON` meteorological season (any year)
+   *   - comma-separated list = union
+   *
+   * Compiles to plain timestamp/month comparisons — pushdown-friendly,
+   * no UDF.
+   */
+  def timeFilter(filter: String, col: Column): Column = {
+    val seasons = Map(
+      "DJF" -> Seq(12, 1, 2), "MAM" -> Seq(3, 4, 5),
+      "JJA" -> Seq(6, 7, 8), "SON" -> Seq(9, 10, 11))
+
+    def boundsOf(tok: String): (String, String) = tok.count(_ == '-') match {
+      case 0 => // year
+        val y = tok.toInt
+        (f"$y-01-01", f"${y + 1}-01-01")
+      case 1 => // month
+        val Array(y, m) = tok.split("-").map(_.toInt)
+        val (ny, nm) = if (m == 12) (y + 1, 1) else (y, m + 1)
+        (f"$y%04d-$m%02d-01", f"$ny%04d-$nm%02d-01")
+      case _ => // day
+        (tok, java.time.LocalDate.parse(tok).plusDays(1).toString)
+    }
+
+    def clause(raw: String): Column = {
+      val tok = raw.trim
+      seasons.get(tok.toUpperCase) match {
+        case Some(months) => month(col).isin(months: _*)
+        case None =>
+          val (lo, hi) =
+            if (tok.contains("_")) {
+              val Array(a, b) = tok.split("_", 2)
+              (boundsOf(a.trim)._1, boundsOf(b.trim)._2)
+            } else boundsOf(tok)
+          col >= to_timestamp(lit(lo)) && col < to_timestamp(lit(hi))
+      }
+    }
+
+    filter.split(",").map(clause).reduce(_ || _)
+  }
+
+  /**
    * Compress a value list into a subset string — the
    * `oph_set subset_filter=yes` behavior
    * (`src/oph_flow_control_operators.c:1427-1470`): maximal runs of

@@ -127,6 +127,11 @@ object CubeOps {
       cube.df(dim) >= to_timestamp(lit(from)) &&
       cube.df(dim) < to_timestamp(lit(to)))
 
+  /** Full time_filter grammar (years/months/days/ranges/seasons —
+    * `Subset.timeFilter`) applied to a time dimension. */
+  def subsetTimeFilter(cube: Cube, dim: String, filter: String): Cube =
+    subsetCoord(cube, Subset.timeFilter(filter, cube.df(dim)))
+
   /** Index subset on the IMPLICIT dim: array slice via HOF `filter` on
     * the 1-based position — executes in-cell, no shuffle, no explode. */
   def subsetImplicit(cube: Cube, filter: String, max: Option[Long] = None): Cube = {

@@ -91,6 +91,33 @@ object ResponseWriter {
     Grid(objkey, title, keys, types, values)
   }
 
+  /** Pivoted cube slice as a MultiDimGrid (`oph_json_multigrid.h:50-71`):
+    * row axes = explicit dims, column axis = the implicit dim values of
+    * the first row, measure matrix = the in-cell arrays (capped). */
+  def multigridOf(objkey: String, title: String, cube: graft.cube.Cube,
+      limit: Int = 50): MultiDimGrid = {
+    require(cube.hasImplicit, "multigrid needs an implicit dim")
+    val dim = cube.desc.implicitDims.head
+    val rows = cube.df.limit(limit).collect().toSeq
+    val dimIdx = cube.df.columns.indexOf(s"__dim_${dim.name}")
+    val measureIdx = cube.df.columns.indexOf(cube.desc.measure)
+    val expNames = cube.explicitDimNames
+    val expIdx = expNames.map(cube.df.columns.indexOf(_))
+    val colValues = rows.headOption.map(r =>
+      r.getSeq[Any](dimIdx).map(v => Seq(v.toString))).getOrElse(Seq.empty)
+    MultiDimGrid(objkey, title,
+      rowKeys = expNames,
+      rowFieldTypes = cube.desc.explicitDims.map(_.dataType),
+      colKeys = Seq(dim.name),
+      colFieldTypes = Seq(dim.dataType),
+      colValues = colValues,
+      measureName = cube.desc.measure,
+      measureType = cube.desc.measureType,
+      values = rows.map(r =>
+        expIdx.map(i => Option(r.get(i)).map(_.toString).getOrElse("null")) ++
+          r.getSeq[Any](measureIdx).map(_.toString)))
+  }
+
   /** Provenance digraph object for oph_cubeio (`oph_json_objkeys.h:38`). */
   def cubeioDigraph(catalog: Catalog, cubeId: Long): GraphObj = {
     val edges = catalog.provenance(cubeId)

@@ -148,6 +148,24 @@ class CubeOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("timeFilter grammar: years, months, days, ranges, seasons") {
+    val df = Seq(
+      "1995-12-15", "1996-01-10", "1996-04-15", "1996-07-01",
+      "1997-02-28", "1997-07-15", "1998-11-02"
+    ).map(d => java.sql.Timestamp.valueOf(d + " 00:00:00"))
+      .map(Tuple1(_)).toDF("ts")
+    def sel(filter: String): Set[String] =
+      df.filter(Subset.timeFilter(filter, $"ts"))
+        .select(date_format($"ts", "yyyy-MM-dd")).as[String].collect().toSet
+    assert(sel("1996") == Set("1996-01-10", "1996-04-15", "1996-07-01"))
+    assert(sel("1996-04") == Set("1996-04-15"))
+    assert(sel("1996-04-15") == Set("1996-04-15"))
+    assert(sel("1996-04_1997-02") == Set("1996-04-15", "1996-07-01", "1997-02-28"))
+    assert(sel("JJA") == Set("1996-07-01", "1997-07-15"))
+    assert(sel("DJF") == Set("1995-12-15", "1996-01-10", "1997-02-28"))
+    assert(sel("1995,1998") == Set("1995-12-15", "1998-11-02"))
+  }
+
   test("subset Column predicate agrees with Spec.contains") {
     val spec = Subset.parse("2:3:20,25")
     val df = spark.range(1, 31).toDF("i")

@@ -39,6 +39,22 @@ class ResponseWriterSpec extends SparkSpec {
     assert(n.get("consumers").get(0).asText == "user1")
   }
 
+  test("multigrid renders a pivoted array cube") {
+    val raw = Seq(
+      (1L, 1, 10.0), (1L, 2, 20.0), (2L, 1, 5.0), (2L, 2, 7.0)
+    ).toDF("k", "i", "v")
+    val cube = graft.cube.CubeOps.build(raw, "v", Seq("k"), Some("i"), "c", "mem")
+    val mg = ResponseWriter.multigridOf("explorecube_dimvalues", "Slice", cube)
+    assert(mg.rowKeys == Seq("k"))
+    assert(mg.colKeys == Seq("i"))
+    assert(mg.colValues == Seq(Seq("1"), Seq("2")))
+    assert(mg.values.map(_.head).toSet == Set("1", "2"))
+    assert(mg.values.forall(_.length == 3)) // key + 2 measure cells
+    val n = mapper.readTree(ResponseWriter.render(mg))
+    assert(n.get("objclass").asText == "multidimgrid")
+    assert(n.get("measurename").asText == "v")
+  }
+
   test("provenance digraph from the catalog") {
     val cat = new Catalog("sess")
     val c = cat.createContainer("c", "/")
