@@ -1,0 +1,155 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native signature expressions for the dedup pipelines. The HOF
+ * formulations evaluate interpreted with per-element boxing; these run
+ * one tight JIT'd loop per document (generated code calls the static
+ * `compute` helpers), which is the difference between O(len x hashes)
+ * arithmetic and O(len x hashes) interpreter dispatches.
+ */
+object HashExpressions {
+
+  /** MinHash signature straight from the text: shingle hashes and all
+    * `numHashes` affine mins in a single pass, no intermediate arrays. */
+  def minhash_sig(text: Column, k: Int, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSig(
+      ColumnBridge.expression(text.cast("string")), k, numHashes))
+
+  /** 64-bit SimHash from a tokens array (majority bit vote over
+    * xxhash64 of each token). */
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+}
+
+case class MinHashSig(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(k >= 1 && numHashes >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  // same affine family as Dedup.minhashSignature: deterministic seed
+  private lazy val (coeffA, coeffB) = MinHashSig.coefficients(numHashes)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[UTF8String], k, coeffA, coeffB)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashCoeffA", coeffA, "long[]")
+    val bRef = ctx.addReferenceObj("minhashCoeffB", coeffB, "long[]")
+    nullSafeCodeGen(ctx, ev, str => {
+      s"""
+        ${ev.value} = graft.functions.expressions.MinHashSig.compute(
+          $str, $k, $aRef, $bRef);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  val P: Long = 1099511627689L // prime near 2^40 (mod keeps products < 2^60)
+
+  def coefficients(numHashes: Int): (Array[Long], Array[Long]) = {
+    // draw order matches Dedup.minhashSignature exactly (interleaved
+    // a,b pairs) so native and HOF signatures are bit-identical
+    val rnd = new scala.util.Random(42)
+    val pairs = Array.fill(numHashes)(
+      (rnd.nextLong(1L << 20) | 1L, rnd.nextLong(1L << 30)))
+    (pairs.map(_._1), pairs.map(_._2))
+  }
+
+  /** One pass over the k-shingles: hash each position, fold all affine
+    * mins. Called from generated code — keep the loop allocation-free
+    * apart from the result array. */
+  def compute(text: UTF8String, k: Int,
+      coeffA: Array[Long], coeffB: Array[Long]): ArrayData = {
+    val s = text.toString
+    val n = math.max(s.length - k + 1, 1)
+    val m = coeffA.length
+    val mins = new Array[Long](m)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val end = math.min(i + k, s.length)
+      val h = XxHash64Function.hash(
+        UTF8String.fromString(s.substring(i, end)), StringType, 42L)
+      val hm = ((h % P) + P) % P
+      var j = 0
+      while (j < m) {
+        val v = (hm * coeffA(j) + coeffB(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash64.compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"${ev.value} = graft.functions.expressions.SimHash64.compute($arr);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Majority vote per bit over the token hashes; null tokens skipped. */
+  def compute(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    var total = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = XxHash64Function.hash(tokens.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1
+          b += 1
+        }
+        total += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 > total) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}

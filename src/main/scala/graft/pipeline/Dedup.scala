@@ -65,35 +65,38 @@ object Dedup {
     val rows = numHashes / bands
     // repartition first: a single-file corpus otherwise computes all
     // signatures on 1-2 input splits regardless of cluster width; the
-    // id shuffle is tiny next to the per-doc shingling it unlocks.
-    // Then persist: the signature frame feeds three plan branches (both
-    // sides of the band self-join + the verify joins) — persisting makes
-    // shingling/signatures ONE pass per doc instead of four.
+    // id shuffle is tiny next to the per-doc signature work it unlocks.
+    // Signatures come from the native MinHashSig expression — one JIT'd
+    // pass per doc, no intermediate shingle arrays. Persisted because
+    // the band self-join reads both sides.
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val withShingles = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(par, col("id"))
-      .withColumn("sh", shinglesOf(col("text"), k))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val sigs = texts
+      .withColumn("sig",
+        graft.functions.expressions.HashExpressions
+          .minhash_sig(col("text"), k, numHashes))
       .drop("text")
       .persist()
     // xxhash64 hashes the sliced signature array directly (hash
     // expressions support complex types) — one 64-bit key per band.
-    val banded = withShingles.select(col("id"), col("sh"),
+    val banded = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
         .as(Seq("band", "bandhash")))
-    // candidates deduplicate on the id pair ONLY — shuffling the heavy
-    // shingle arrays through the distinct would dominate at scale; the
-    // sets are joined back for the verify step afterwards
+    // candidates deduplicate on the id pair ONLY; the exact shingle
+    // sets for the verify step are computed AFTER the candidate join,
+    // so shingling runs on candidates, not on the whole corpus
     val lhs = banded.select(col("band"), col("bandhash"), col("id").as("id_a"))
     val rhs = banded.select(col("band"), col("bandhash"), col("id").as("id_b"))
     val candidates = lhs.join(rhs, Seq("band", "bandhash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sets = withShingles.select(col("id"), col("sh"))
     candidates
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .withColumn("sh_a", shinglesOf(col("text_a"), k))
+      .withColumn("sh_b", shinglesOf(col("text_b"), k))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -139,13 +142,13 @@ object Dedup {
    */
   def simhashDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // staged: tokenize+hash -> 64 bit-counts over the attribute; then
-    // persist since the block self-join reads the signatures twice
+    // native SimHash64: hash+bit-vote in one JIT'd pass per doc;
+    // persisted since the block self-join reads the signatures twice
     val par = df.sparkSession.sparkContext.defaultParallelism
     val sigs = df.select(col(idCol).as("id"),
-        hashedTokens(col(textCol)).as("ht"))
+        graft.functions.expressions.HashExpressions
+          .simhash64(split(lower(col(textCol)), "\\s+")).as("sig"))
       .repartition(par, col("id"))
-      .select(col("id"), simhashFromHashes(col("ht")).as("sig"))
       .persist()
     val blockArr = array((0 until 4).map(b =>
       shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)

@@ -57,8 +57,11 @@ object Similarity {
    * happens; the join key is the band hash.
    */
   def embeddingDups(emb: DataFrame, idCol: String, vecCol: String,
-      tau: Double, nBits: Int = 16, bands: Int = 4,
+      tau: Double, nBits: Int = 64, bands: Int = 4,
       dim: Int = 64): DataFrame = {
+    // defaults: 16-bit bands — random pairs collide at ~2^-16 per band,
+    // near-identical vectors (tau ~ 1) survive with ~0.999 recall;
+    // narrower bands flood the verify step with false candidates
     val rows = nBits / bands
     val par = emb.sparkSession.sparkContext.defaultParallelism
     val sigs = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
@@ -81,15 +84,21 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
 
-  /** Random-hyperplane signature: bit j = sign of <v, plane_j>, where
-    * plane_j[d] = centered pseudo-random from xxhash64(j, d). */
-  def rhpSignature(vec: Column, nBits: Int, dim: Int): Column =
+  /** Random-hyperplane signature: bit j = sign of <v, plane_j>. The
+    * planes are deterministic literals (seeded Scala-side) folded into
+    * the expression — per-element work is a plain multiply-add, with no
+    * hashing inside the inner loop. */
+  def rhpSignature(vec: Column, nBits: Int, dim: Int): Column = {
+    val rnd = new scala.util.Random(4242)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(nBits)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val planesLit = typedLit(planes)
     transform(sequence(lit(0), lit(nBits - 1)), j =>
       when(F.aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)), (v, d) =>
-          v.cast("double") *
-            (pmod(xxhash64(j * dim + d), lit(2000L)).cast("double") - 1000.0)),
+        zip_with(vec, element_at(planesLit, (j + 1).cast("int")),
+          (v, p) => v.cast("double") * p),
         lit(0.0), (acc, x) => acc + x) > 0, 1).otherwise(0))
+  }
 
   /**
    * LSH-bucketed approximate top-k: vectors sharing a signature band

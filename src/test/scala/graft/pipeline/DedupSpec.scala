@@ -57,6 +57,27 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) != sigs(4L))
   }
 
+  test("native MinHashSig matches the HOF affine formulation bit-for-bit") {
+    val native = docs.select($"doc_id",
+      graft.functions.expressions.HashExpressions
+        .minhash_sig($"text", 5, 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val hof = docs.select($"doc_id",
+      Dedup.minhashSignature(Dedup.shinglesOf($"text", 5), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == hof)
+  }
+
+  test("native SimHash64 matches the HOF bit-vote formulation") {
+    val native = docs.select($"doc_id",
+      graft.functions.expressions.HashExpressions
+        .simhash64(split(lower($"text"), "\\s+")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val hof = docs.select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == hof)
+  }
+
   test("ngram jaccard: identical=1, disjoint=0, near in between") {
     val df = Seq((
       "the quick brown fox jumps over the lazy dog",
