@@ -118,6 +118,14 @@ object SparkEntry {
       r.df.select(col("l_orderkey"), col("l_quantity").as("med_qty"))
     }),
 
+    "reduce_cmoment" -> ((s, dir) => {
+      // 2nd central moment (population variance) along the implicit dim
+      val cube = liCube(s, dir)
+      cube.df.select(col("l_orderkey"),
+        round(CubeOps.reduceExpr(col("l_quantity"), "cmoment", 2.0) + 0.0, 4)
+          .as("cm2"))
+    }),
+
     "reduce_sum_block" -> ((s, dir) => {
       // group_size=4: block-wise sums along the implicit dim
       val r = CubeOps.reduce(liCube(s, dir), "sum", groupSize = Some(4))
@@ -477,6 +485,14 @@ object SparkEntry {
     "reduce_median" ->
       """SELECT l_orderkey, quantile_disc(l_quantity, 0.5) AS med_qty
          FROM lineitem GROUP BY l_orderkey""",
+
+    "reduce_cmoment" ->
+      """SELECT l_orderkey,
+                round(avg(power(l_quantity - m, 2)), 4) + 0.0 AS cm2
+         FROM (SELECT l_orderkey, l_quantity,
+                      avg(l_quantity) OVER (PARTITION BY l_orderkey) AS m
+               FROM lineitem)
+         GROUP BY 1""",
 
     "reduce_sum_block" ->
       """WITH ranked AS (

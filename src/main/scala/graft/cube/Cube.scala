@@ -179,6 +179,22 @@ object CubeOps {
         // nearest-rank on the sorted array (1-based)
         val sorted = array_sort(arr)
         element_at(sorted, ceil(lit(quantile) * size(arr)).cast("int"))
+      // statistical moments (reference reduce op list: cmoment/acmoment/
+      // rmoment/armoment) — `quantile` doubles as the moment order
+      case "rmoment" => // raw moment E[x^k]
+        F.aggregate(arr, lit(0.0),
+          (a, x) => a + pow(x.cast("double"), lit(quantile))) / n
+      case "armoment" => // absolute raw moment E[|x|^k]
+        F.aggregate(arr, lit(0.0),
+          (a, x) => a + pow(abs(x.cast("double")), lit(quantile))) / n
+      case "cmoment" => // central moment E[(x-mean)^k]
+        val mean = sumc / n
+        F.aggregate(arr, lit(0.0),
+          (a, x) => a + pow(x.cast("double") - mean, lit(quantile))) / n
+      case "acmoment" => // absolute central moment E[|x-mean|^k]
+        val meanA = sumc / n
+        F.aggregate(arr, lit(0.0),
+          (a, x) => a + pow(abs(x.cast("double") - meanA), lit(quantile))) / n
       case "arg_max" => array_position(arr, array_max(arr)).cast("long")
       case "arg_min" => array_position(arr, array_min(arr)).cast("long")
       case other => throw new IllegalArgumentException(s"reduce op '$other'")

@@ -76,8 +76,9 @@ final class Engine(
 
   import Engine._
 
-  /** Data-plane store: PID -> materialized cube. */
-  private val cubes = scala.collection.mutable.Map[String, Cube]()
+  /** Data-plane store: PID -> materialized cube (concurrent: parallel
+    * oph_for branches register cubes simultaneously). */
+  private val cubes = scala.collection.concurrent.TrieMap[String, Cube]()
   private var markerId = 0
   private var workflowSeq = 0
 
@@ -108,6 +109,14 @@ final class Engine(
   def run(spec: Workflow.Spec): Map[String, TaskResult] =
     run(spec, requestJson = None)
 
+  /** exec_mode=async (`src/oph_parser.h:78-81`): submit and return a
+    * Future; the caller polls or oph_resume's the saved response. */
+  def runAsync(spec: Workflow.Spec, requestJson: Option[String] = None)
+      : scala.concurrent.Future[Map[String, TaskResult]] = {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    scala.concurrent.Future(run(spec, requestJson))
+  }
+
   /** Run a parsed request, optionally keeping the raw JSON for
     * oph_resume (`document_type=request`). */
   def run(spec: Workflow.Spec, requestJson: Option[String]): Map[String, TaskResult] = {
@@ -118,9 +127,9 @@ final class Engine(
     spark.sparkContext.setJobGroup(
       s"${catalog.sessionCode}:$workflowSeq", spec.name,
       interruptOnCancel = true)
-    val results = scala.collection.mutable.LinkedHashMap[String, TaskResult]()
-    val vars = scala.collection.mutable.Map[String, Workflow.Var]()
-    spec.variables.foreach { case (k, v) => vars(k) = Workflow.Var(v) }
+    val results = scala.collection.concurrent.TrieMap[String, TaskResult]()
+    val initialVars = scala.collection.mutable.Map[String, Workflow.Var]()
+    spec.variables.foreach { case (k, v) => initialVars(k) = Workflow.Var(v) }
 
     val builtins = Map(
       "OPH_SESSION_ID" -> catalog.sessionCode,
@@ -131,13 +140,14 @@ final class Engine(
       "NCORES" -> spark.sparkContext.defaultParallelism.toString)
 
     // last produced cube PID per task name (for dependency harvesting)
-    val outPids = scala.collection.mutable.Map[String, String]()
+    val outPids = scala.collection.concurrent.TrieMap[String, String]()
 
-    def sub(s: String): String =
-      Workflow.substitute(s, vars.toMap, builtins)
-
-    /** Execute tasks[from..until) sequentially; returns 'break' signal. */
-    def runBlock(from: Int, until: Int, iterSuffix: String): Boolean = {
+    /** Execute tasks[from..until); returns 'break' signal. `vars` is
+      * the block's variable scope — parallel for-branches get clones. */
+    def runBlock(from: Int, until: Int, iterSuffix: String,
+        vars: scala.collection.mutable.Map[String, Workflow.Var]): Boolean = {
+      def sub(s: String): String =
+        Workflow.substitute(s, vars.toMap, builtins)
       var i = from
       while (i < until) {
         val t = spec.tasks(i)
@@ -153,12 +163,30 @@ final class Engine(
                   Subset.parse(c).indices.map(_.toString)))
                 .getOrElse(Seq("1"))
             var broke = false
-            var idx = 0
-            while (idx < values.size && !broke) {
-              vars(key) = Workflow.Var(values(idx))
-              vars(s"$key&") = Workflow.Var((idx + 1).toString) // index form
-              broke = runBlock(i + 1, end, s"${iterSuffix}_${idx + 1}")
-              idx += 1
+            if (args.get("parallel").exists(_.equalsIgnoreCase("yes"))) {
+              // parallel=yes: branches replicated and run concurrently
+              // (`oph_workflow_parallel_fco`, engine.c:1207) — each
+              // iteration gets its own variable scope
+              import scala.concurrent.{Await, Future}
+              import scala.concurrent.duration.Duration
+              import scala.concurrent.ExecutionContext.Implicits.global
+              val futs = values.zipWithIndex.map { case (v, idx) =>
+                Future {
+                  val scope = vars.clone()
+                  scope(key) = Workflow.Var(v)
+                  scope(s"$key&") = Workflow.Var((idx + 1).toString)
+                  runBlock(i + 1, end, s"${iterSuffix}_${idx + 1}", scope)
+                }
+              }
+              Await.result(Future.sequence(futs), Duration.Inf)
+            } else {
+              var idx = 0
+              while (idx < values.size && !broke) {
+                vars(key) = Workflow.Var(values(idx))
+                vars(s"$key&") = Workflow.Var((idx + 1).toString) // index form
+                broke = runBlock(i + 1, end, s"${iterSuffix}_${idx + 1}", vars)
+                idx += 1
+              }
             }
             results(s"${t.name}$iterSuffix") = TaskResult(JobStatus.Completed,
               message = s"loop over ${values.size} values")
@@ -185,7 +213,7 @@ final class Engine(
             // execute only the selected branch
             if (selected >= 0) {
               val bEnd = nextBranch(spec, selected, endif)
-              runBlock(selected + 1, math.min(bEnd, endif), iterSuffix)
+              runBlock(selected + 1, math.min(bEnd, endif), iterSuffix, vars)
             }
             // mark branch heads
             results(s"${t.name}$iterSuffix") =
@@ -246,7 +274,7 @@ final class Engine(
               results(s"${t.name}$iterSuffix") = TaskResult(JobStatus.Skipped)
               i += 1
             } else {
-              markerId += 1
+              synchronized { markerId += 1 }
               val args = t.arguments.map { case (k, v) => k -> sub(v) }
               // dependency cube harvesting: inject the parent's output
               val withCube: Map[String, String] =
@@ -280,9 +308,9 @@ final class Engine(
       false
     }
 
-    runBlock(0, spec.tasks.size, "")
+    runBlock(0, spec.tasks.size, "", initialVars)
     spark.sparkContext.clearJobGroup()
-    val summary = results.map { case (k, v) =>
+    val summary = results.toSeq.sortBy(_._1).map { case (k, v) =>
       s"$k=${v.status}${v.cubePid.map(p => s"($p)").getOrElse("")}"
     }.mkString(";")
     sessions.saveWorkflow(catalog.sessionCode,

@@ -59,6 +59,21 @@ class CubeOpsSpec extends SparkSpec {
     assert(red("arg_max") == Map(1L -> 4.0, 2L -> 4.0))
   }
 
+  test("reduce moments: raw, absolute, central") {
+    val c = toyCube()
+    def m(op: String, order: Double): Double =
+      c.df.filter($"k" === 1L)
+        .select(CubeOps.reduceExpr($"v", op, order).as("r"))
+        .as[Double].head()
+    // values (10,20,30,40): E[x^1]=25, E[x^2]=750, E[(x-25)^2]=125,
+    // E[|x-25|^1]=10
+    assert(m("rmoment", 1.0) == 25.0)
+    assert(m("rmoment", 2.0) == 750.0)
+    assert(m("cmoment", 2.0) == 125.0)
+    assert(m("acmoment", 1.0) == 10.0)
+    assert(m("armoment", 1.0) == 25.0)
+  }
+
   test("reduce with group_size blocks") {
     val r = CubeOps.reduce(toyCube(), "sum", groupSize = Some(2))
     val row = r.df.filter($"k" === 1L).select("v").as[Seq[Double]].head()

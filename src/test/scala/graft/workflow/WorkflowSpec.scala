@@ -195,6 +195,34 @@ class WorkflowSpec extends SparkSpec {
     assert(res("after").message == "y=else")
   }
 
+  test("parallel oph_for runs all branches with isolated scopes") {
+    val e = engine()
+    val res = e.run(Workflow.parse("""{
+      "name": "wf", "tasks": [
+        {"name": "loop", "operator": "oph_for",
+         "arguments": ["key=n", "values=4|6|8", "parallel=yes"]},
+        {"name": "make", "operator": "oph_randcube",
+         "arguments": ["nrows=@n", "array_length=2", "container=par"]},
+        {"name": "end", "operator": "oph_endfor"}
+      ]}"""))
+    val counts = (1 to 3).map(i =>
+      e.cube(res(s"make_$i").cubePid.get).get.df.count()).toSet
+    assert(counts == Set(4L, 6L, 8L))
+  }
+
+  test("runAsync completes and saves the response for resume") {
+    val e = engine()
+    val fut = e.runAsync(Workflow.parse("""{
+      "name": "wf", "tasks": [
+        {"name": "s", "operator": "oph_set", "arguments": ["key=a", "value=1"]}
+      ]}"""), requestJson = Some("{}"))
+    val res = scala.concurrent.Await.result(fut,
+      scala.concurrent.duration.Duration("60s"))
+    assert(res("s").status == JobStatus.Completed)
+    assert(e.runDataOperator("oph_resume",
+      Map("document_type" -> "response")).message.contains("s=Completed"))
+  }
+
   test("oph_set subset_filter compresses value lists") {
     val e = engine()
     val res = e.run(Workflow.parse("""{
