@@ -342,6 +342,17 @@ object SparkEntry {
       Dedup.simhashDups(doubled, "doc_id", "text", maxHamming = 3)
     }),
 
+    "dedup_ngram" -> ((s, dir) => {
+      // word-3-gram Jaccard over a deterministic pair list (each doc vs
+      // its successor) — the exact-similarity verify metric end-to-end
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val a = d.select(col("doc_id"), col("text").as("text_a"))
+      val b = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("text_b"))
+      a.join(b, "doc_id")
+        .select(col("doc_id"),
+          round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 3), 4).as("j3"))
+    }),
+
     // ---------------------------------- LLM pipeline: text analysis
     "text_stats" -> ((s, dir) =>
       TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")),
@@ -633,6 +644,23 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
                 count(*) AS n_dups
          FROM documents GROUP BY 1""",
+
+    "dedup_ngram" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                              i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+                  END AS grams
+           FROM t)
+         SELECT a.doc_id AS doc_id,
+                round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.grams, b.grams))), 4)
+                  AS j3
+         FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""",
 
     "text_stats" ->
       """SELECT doc_id,
