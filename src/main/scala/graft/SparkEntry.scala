@@ -427,6 +427,15 @@ object SparkEntry {
       out.df.select(col("l_orderkey"), round(col("l_quantity"), 4).as("sum_qty"))
     }),
 
+    "sketch_quantile" -> ((s, dir) => {
+      // mergeable DDSketch-style quantile Aggregator: the 100 TB path
+      // for explicit-dim quantiles (no sort, order-independent merge);
+      // approximate by design -> structural check only
+      val udaf = graft.functions.QuantileSketch.quantileUdaf(0.5, alpha = 0.01)
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(udaf(col("l_quantity")).as("median_qty"))
+    }),
+
     "multimodal_features" -> ((s, dir) => {
       // binary media columns -> stubbed decode -> typed feature rows;
       // the Spark-side plumbing (schema, partition batches) is real
