@@ -176,9 +176,11 @@ object CubeOps {
         sq / n - (sumc / n) * (sumc / n)
       case "std" => sqrt(reduceExpr(arr, "var"))
       case "quantile" =>
-        // nearest-rank on the sorted array (1-based)
+        // nearest-rank on the sorted array (1-based; q=0 clamps to the
+        // first element instead of the invalid index 0)
         val sorted = array_sort(arr)
-        element_at(sorted, ceil(lit(quantile) * size(arr)).cast("int"))
+        element_at(sorted,
+          greatest(ceil(lit(quantile) * size(arr)), lit(1)).cast("int"))
       // statistical moments (reference reduce op list: cmoment/acmoment/
       // rmoment/armoment) — `quantile` doubles as the moment order
       case "rmoment" => // raw moment E[x^k]
@@ -211,13 +213,19 @@ object CubeOps {
         cube.df.withColumn(m, reduceExpr(cube.df(m), op))
           .drop(cube.desc.implicitDims.map(d => s"__dim_${d.name}"): _*)
       case Some(gs) =>
-        // sequence of block starts -> slice -> reduce each block.
-        cube.df.withColumn(m,
+        // sequence of block starts -> slice -> reduce each block; the
+        // surviving implicit dim is the block index, so mint its
+        // companion __dim column (flatten/drilldown read it)
+        val blocked = cube.df.withColumn(m,
           transform(
             sequence(lit(0),
               ceil(size(cube.df(m)).cast("double") / gs).cast("int") - 1),
             b => reduceExpr(slice(cube.df(m), b * gs + 1, lit(gs)), op)))
           .drop(cube.desc.implicitDims.map(d => s"__dim_${d.name}"): _*)
+        cube.desc.implicitDims.foldLeft(blocked) { (df, d) =>
+          df.withColumn(s"__dim_${d.name}_block",
+            sequence(lit(1), size(col(m))))
+        }
     }
     val desc2 =
       if (groupSize.isEmpty)
@@ -319,15 +327,23 @@ object CubeOps {
   // -------------------------------------------------------------------
 
   /** mergecubes: append along the implicit dim — join on explicit dims,
-    * concat the arrays. */
+    * concat the measure arrays AND the companion dim arrays, keeping the
+    * index-alignment invariant. */
   def mergecubes(a: Cube, b: Cube): Cube = {
     require(a.hasImplicit && b.hasImplicit, "mergecubes needs array measures")
     val keys = a.explicitDimNames.intersect(b.explicitDimNames)
     val m = a.desc.measure
+    val dimCols = a.desc.implicitDims.map(d => s"__dim_${d.name}")
+      .filter(c => a.df.columns.contains(c) && b.df.columns.contains(c))
     val bRen = b.df.select(
-      (keys.map(col) :+ col(b.desc.measure).as("__rhs")): _*)
-    val out = a.df.join(bRen, keys)
+      keys.map(col) ++ Seq(col(b.desc.measure).as("__rhs")) ++
+        dimCols.map(c => col(c).as(s"__rhs$c")): _*)
+    var out = a.df.join(bRen, keys)
       .withColumn(m, concat(col(m), col("__rhs"))).drop("__rhs")
+    dimCols.foreach { c =>
+      out = out.withColumn(c, concat(col(c), col(s"__rhs$c")))
+        .drop(s"__rhs$c")
+    }
     Cube(out, a.desc.copy(level = a.desc.level + 1,
       sourceTask = Some("oph_mergecubes")))
   }

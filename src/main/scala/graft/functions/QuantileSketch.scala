@@ -47,7 +47,8 @@ object QuantileSketch {
     override def zero: Sketch = Sketch.empty
 
     override def reduce(s: Sketch, x: Double): Sketch =
-      if (x == 0.0 || x.isNaN) s.copy(zeros = s.zeros + 1, total = s.total + 1)
+      if (x.isNaN) s // NaN = missing: excluded, not counted as zero
+      else if (x == 0.0) s.copy(zeros = s.zeros + 1, total = s.total + 1)
       else if (x > 0) {
         val b = bucket(x)
         s.copy(counts = s.counts + (b -> (s.counts.getOrElse(b, 0L) + 1)),

@@ -93,9 +93,14 @@ object Similarity {
     val planes: Seq[Seq[Double]] =
       Seq.fill(nBits)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
     val planesLit = typedLit(planes)
+    // truncate both sides to the shared length: a vector shorter than
+    // `dim` would otherwise zip against nulls, nulling the dot product
+    // and collapsing every signature to all-zeros (one giant bucket)
+    val d = least(size(vec), lit(dim)).cast("int")
     transform(sequence(lit(0), lit(nBits - 1)), j =>
       when(F.aggregate(
-        zip_with(vec, element_at(planesLit, (j + 1).cast("int")),
+        zip_with(slice(vec, lit(1), d),
+          slice(element_at(planesLit, (j + 1).cast("int")), lit(1), d),
           (v, p) => v.cast("double") * p),
         lit(0.0), (acc, x) => acc + x) > 0, 1).otherwise(0))
   }

@@ -276,16 +276,23 @@ final class Engine(
             } else {
               synchronized { markerId += 1 }
               val args = t.arguments.map { case (k, v) => k -> sub(v) }
-              // dependency cube harvesting: inject the parent's output
+              // dependency cube harvesting: inject the parent's output,
+              // preferring THIS iteration's instance — parallel for
+              // branches must not read a sibling branch's cube
               val withCube: Map[String, String] =
                 if (args.contains("cube") || t.dependencies.isEmpty) args
                 else t.dependencies.reverseIterator
-                  .flatMap(d => outPids.get(d.task)).nextOption()
+                  .flatMap(d => outPids.get(s"${d.task}$iterSuffix")
+                    .orElse(outPids.get(d.task)))
+                  .nextOption()
                   .map(p => args + ("cube" -> p)).getOrElse(args)
               try {
                 val r = runDataOperator(t.operator, withCube)
                 results(s"${t.name}$iterSuffix") = r
-                r.cubePid.foreach(outPids(t.name) = _)
+                r.cubePid.foreach { p =>
+                  outPids(s"${t.name}$iterSuffix") = p
+                  outPids(t.name) = p
+                }
                 i += 1
               } catch {
                 case e: Exception =>
@@ -348,22 +355,34 @@ final class Engine(
 
   // ----------------------------------------------------- data operators
 
-  /** The Tier-C dispatch: operator name -> Spark execution. Massive
-    * `cube=[...]` arguments fan out over all matching cubes. */
+  /** The Tier-C dispatch: operator name -> Spark execution. A massive
+    * `cube=[...]` argument fans the task out over EVERY matching cube
+    * (one light task per match, `oph_workflow_engine.c:1002-1057`);
+    * `run=no` returns the match list without executing
+    * (engine.c:1058-1065). */
   def runDataOperator(operator: String, args: Map[String, String]): TaskResult = {
     val op = operator.toLowerCase
+
+    args.get("cube").filter(_.contains("[")).foreach { cubeArg =>
+      val spec = MassiveFilter.parse(cubeArg)
+      val entries = MassiveFilter.expand(cubeArg, catalog,
+        args.getOrElse("cwd", "/"))
+      if (entries.isEmpty)
+        throw new Engine.EngineError(s"$op: no cubes match $cubeArg")
+      val pids = entries.map(_.pid(catalog))
+      if (!spec.runEnabled)
+        return TaskResult(JobStatus.Completed, message = pids.mkString("|"))
+      val sub = pids.map(p => runDataOperator(operator, args + ("cube" -> p)))
+      return TaskResult(JobStatus.Completed,
+        cubePid = sub.lastOption.flatMap(_.cubePid),
+        message = sub.map(r =>
+          r.cubePid.getOrElse(r.message)).mkString("|"))
+    }
 
     def needCube(): (String, Cube) = {
       val pidArg = args.getOrElse("cube",
         throw new Engine.EngineError(s"$op: missing 'cube'"))
-      if (pidArg.contains("[")) {
-        // massive: run over each match, return the last pid (caller gets
-        // the full list in the message)
-        val entries = MassiveFilter.expand(pidArg, catalog, args.getOrElse("cwd", "/"))
-        if (entries.isEmpty) throw new Engine.EngineError(s"$op: no cubes match $pidArg")
-        val pid = entries.last.pid(catalog)
-        (pid, cubes(pid))
-      } else (pidArg, cubes.getOrElse(pidArg,
+      (pidArg, cubes.getOrElse(pidArg,
         throw new Engine.EngineError(s"$op: unknown cube $pidArg")))
     }
 
@@ -430,8 +449,11 @@ final class Engine(
             CubeOps.subsetImplicit(c, filter,
               c.desc.implicitDims.headOption.flatMap(_.size))
           else if (subType == "coord") {
-            val Array(lo, hi) = filter.split(":", 2).padTo(2, "")
-            CubeOps.subsetCoord(c, c.df(dims) >= lo && c.df(dims) <= hi)
+            // value-based: `lo:hi` range or a single-value equality
+            if (filter.contains(":")) {
+              val Array(lo, hi) = filter.split(":", 2)
+              CubeOps.subsetCoord(c, c.df(dims) >= lo && c.df(dims) <= hi)
+            } else CubeOps.subsetCoord(c, c.df(dims) === filter)
           } else CubeOps.subsetIndex(c, dims, filter)
         val newPid = register(out, containerOf(pid), parents = Seq(idOf(pid)),
           sourceTask = Some(op))
@@ -548,7 +570,11 @@ final class Engine(
         val (_, c) = needCube()
         TaskResult(JobStatus.Completed, df = Some(CubeOps.cubeschema(spark, c)))
 
-      case "oph_cubesize" | "oph_cubeelements" =>
+      case "oph_cubesize" =>
+        val (_, c) = needCube()
+        TaskResult(JobStatus.Completed, df = Some(CubeOps.cubesize(c)))
+
+      case "oph_cubeelements" =>
         val (_, c) = needCube()
         TaskResult(JobStatus.Completed, df = Some(CubeOps.cubeelements(c)))
 

@@ -178,14 +178,11 @@ object Workflow {
           throw new ValidationError(s"unclosed @{ in '$s'")
         val resolved =
           if (key.isEmpty) None
-          else builtins.get(key).orElse(vars.get(key).map { v =>
-            if (c == '&') {
-              // index form: 1-based position of the value in a
-              // pipe-separated list context is resolved by the engine;
-              // here a plain numeric fallback
-              v.value
-            } else v.value
-          })
+          else if (c == '&')
+            // index form: the engine stores the loop counter's 1-based
+            // position under "<key>&"; fall back to the value itself
+            vars.get(key + "&").orElse(vars.get(key)).map(_.value)
+          else builtins.get(key).orElse(vars.get(key).map(_.value))
         resolved match {
           case Some(v) => out ++= v; i = j + (if (braced) 1 else 0)
           case None => out += c; i += 1 // leave unknown refs untouched
