@@ -283,6 +283,24 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "grouping_rollup" -> ((s, dir) => {
+      // grouping sets: ROLLUP over (returnflag, linestatus) — subtotals
+      // and a grand total in one pass (partial aggregation per set)
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+
+    "window_lead" -> ((s, dir) => {
+      // lead/lag: next order's totalprice per customer
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"))
+    }),
+
     "window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -618,6 +636,18 @@ object SparkEntry {
          FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
          GROUP BY 1, 2
          ORDER BY revenue DESC, c_custkey LIMIT 10""",
+
+    "grouping_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+                count(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    "window_lead" ->
+      """SELECT o_custkey, o_orderkey,
+                round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+                round(lag(o_totalprice, 1) OVER w, 2) AS prev_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
 
     "window_running" ->
       """SELECT o_custkey, o_orderkey,

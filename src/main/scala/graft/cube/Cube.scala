@@ -308,10 +308,26 @@ object CubeOps {
       case "abs" => abs(x - y)
       case other => throw new IllegalArgumentException(s"intercube op '$other'")
     }
+    /** Pearson correlation of the two in-cell arrays (array -> scalar;
+      * the reference's intercube corr mode). Null when variance is 0. */
+    def corrArrays(x: Column, y: Column): Column = {
+      def s1(c: Column) = F.aggregate(c, lit(0.0), (acc, v) => acc + v.cast("double"))
+      def s2(c: Column) = F.aggregate(c, lit(0.0),
+        (acc, v) => acc + v.cast("double") * v.cast("double"))
+      val n = size(x).cast("double")
+      val sxy = F.aggregate(zip_with(x, y,
+        (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val num = n * sxy - s1(x) * s1(y)
+      val den = sqrt(n * s2(x) - s1(x) * s1(x)) * sqrt(n * s2(y) - s1(y) * s1(y))
+      when(den > 0, num / den)
+    }
     val bRen = b.df.withColumnRenamed(b.desc.measure, "__rhs")
     val joined = a.df.join(bRen, keys)
     val out =
-      if (a.hasImplicit)
+      if (op == "corr" && a.hasImplicit)
+        joined.withColumn(outName, corrArrays(col(a.desc.measure), col("__rhs")))
+      else if (a.hasImplicit)
         joined.withColumn(outName,
           zip_with(col(a.desc.measure), col("__rhs"), combine))
       else joined.withColumn(outName, combine(col(a.desc.measure), col("__rhs")))

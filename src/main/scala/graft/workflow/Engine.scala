@@ -286,28 +286,42 @@ final class Engine(
                     .orElse(outPids.get(d.task)))
                   .nextOption()
                   .map(p => args + ("cube" -> p)).getOrElse(args)
-              try {
-                val r = runDataOperator(t.operator, withCube)
-                results(s"${t.name}$iterSuffix") = r
-                r.cubePid.foreach { p =>
-                  outPids(s"${t.name}$iterSuffix") = p
-                  outPids(t.name) = p
-                }
-                i += 1
-              } catch {
-                case e: Exception =>
-                  results(s"${t.name}$iterSuffix") =
-                    TaskResult(JobStatus.Error, message = e.getMessage)
-                  t.onError match {
-                    case "skip" | "continue" | "nop" => i += 1
-                    case "break" => return true
-                    case _ =>
-                      // abort: mark the remainder
-                      (i + 1 until until).foreach(k =>
-                        results(s"${spec.tasks(k).name}$iterSuffix") =
-                          TaskResult(JobStatus.Aborted))
-                      return false
+              // on_error=repeat retries with linear backoff before
+              // giving up (reference auto-retry, engine.c:860-877)
+              val maxAttempts = if (t.onError == "repeat") 3 else 1
+              var attempt = 0
+              var settled = false
+              while (!settled) {
+                attempt += 1
+                try {
+                  val r = runDataOperator(t.operator, withCube)
+                  results(s"${t.name}$iterSuffix") = r
+                  r.cubePid.foreach { p =>
+                    outPids(s"${t.name}$iterSuffix") = p
+                    outPids(t.name) = p
                   }
+                  i += 1
+                  settled = true
+                } catch {
+                  case e: Exception if attempt < maxAttempts =>
+                    sessions.log(
+                      s"${t.name}: attempt $attempt failed, retrying (${e.getMessage})")
+                    Thread.sleep(50L * attempt)
+                  case e: Exception =>
+                    results(s"${t.name}$iterSuffix") =
+                      TaskResult(JobStatus.Error, message = e.getMessage)
+                    settled = true
+                    t.onError match {
+                      case "skip" | "continue" | "nop" | "repeat" => i += 1
+                      case "break" => return true
+                      case _ =>
+                        // abort: mark the remainder
+                        (i + 1 until until).foreach(k =>
+                          results(s"${spec.tasks(k).name}$iterSuffix") =
+                            TaskResult(JobStatus.Aborted))
+                        return false
+                    }
+                }
               }
             }
         }

@@ -114,6 +114,35 @@ class EngineFixesSpec extends SparkSpec {
     assert(flat == Seq((1, 3.0), (2, 3.0)))
   }
 
+  test("intercube corr: arrays -> scalar Pearson correlation") {
+    val raw = Seq((1L, 1, 1.0, 2.0), (1L, 2, 2.0, 4.0), (1L, 3, 3.0, 6.0),
+      (2L, 1, 1.0, 1.0), (2L, 2, 1.0, 1.0)).toDF("k", "i", "x", "y")
+    val a = graft.cube.CubeOps.build(raw.select($"k", $"i", $"x"), "x",
+      Seq("k"), Some("i"), "t", "mem")
+    val b = graft.cube.CubeOps.build(raw.select($"k", $"i", $"y"), "y",
+      Seq("k"), Some("i"), "t", "mem")
+    val out = graft.cube.CubeOps.intercube(a, b, "corr", "c")
+      .df.select($"k", $"c").as[(Long, Option[Double])].collect().toMap
+    assert(math.abs(out(1L).get - 1.0) < 1e-9) // perfectly correlated
+    assert(out(2L).isEmpty)                    // zero variance -> null
+  }
+
+  test("on_error=repeat retries before giving up, then continues") {
+    val e = engine()
+    val res = e.run(Workflow.parse("""{
+      "name": "wf", "tasks": [
+        {"name": "bad", "operator": "oph_reduce",
+         "arguments": ["cube=http://localhost/9/9"], "on_error": "repeat"},
+        {"name": "after", "operator": "oph_set",
+         "arguments": ["key=a", "value=1"]}
+      ]}"""))
+    assert(res("bad").status == JobStatus.Error)
+    assert(res("after").status == JobStatus.Completed)
+    val log = e.sessions.tailLog(50).mkString("\n")
+    assert(log.contains("attempt 1 failed, retrying"))
+    assert(log.contains("attempt 2 failed, retrying"))
+  }
+
   test("quantile q=0 clamps to the first element") {
     val df = Seq(Tuple1(Seq(5.0, 1.0, 3.0))).toDF("m")
     val out = df.select(
