@@ -156,6 +156,14 @@ final class Catalog(val sessionCode: String, val webServer: String = "http://loc
     containers.values.find(c => c.name == name && c.folder == folder)
   }
 
+  /** Atomic find-or-create — parallel workflow branches race on the
+    * same new container name; a non-atomic find+create throws in the
+    * loser thread. */
+  def getOrCreateContainer(name: String, path: String = "/",
+      cwd: String = "/"): Container = synchronized {
+    findContainer(name, path, cwd).getOrElse(createContainer(name, path, cwd))
+  }
+
   // ----------------------------------------------------------- cubes
 
   def addCube(containerId: Long, measure: String, level: Int = 0,

@@ -215,16 +215,22 @@ object CubeOps {
       case Some(gs) =>
         // sequence of block starts -> slice -> reduce each block; the
         // surviving implicit dim is the block index, so mint its
-        // companion __dim column (flatten/drilldown read it)
+        // companion __dim column (flatten/drilldown read it). Empty
+        // in-cell arrays need explicit guards: sequence(a, b) with
+        // a > b produces a DESCENDING sequence, not an empty one.
+        val emptyD = array().cast("array<double>")
+        val emptyI = array().cast("array<int>")
         val blocked = cube.df.withColumn(m,
-          transform(
-            sequence(lit(0),
-              ceil(size(cube.df(m)).cast("double") / gs).cast("int") - 1),
-            b => reduceExpr(slice(cube.df(m), b * gs + 1, lit(gs)), op)))
+          when(size(cube.df(m)) === 0, emptyD).otherwise(
+            transform(
+              sequence(lit(0),
+                ceil(size(cube.df(m)).cast("double") / gs).cast("int") - 1),
+              b => reduceExpr(slice(cube.df(m), b * gs + 1, lit(gs)), op))))
           .drop(cube.desc.implicitDims.map(d => s"__dim_${d.name}"): _*)
         cube.desc.implicitDims.foldLeft(blocked) { (df, d) =>
           df.withColumn(s"__dim_${d.name}_block",
-            sequence(lit(1), size(col(m))))
+            when(size(col(m)) === 0, emptyI)
+              .otherwise(sequence(lit(1), size(col(m)))))
         }
     }
     val desc2 =
@@ -331,10 +337,17 @@ object CubeOps {
         joined.withColumn(outName,
           zip_with(col(a.desc.measure), col("__rhs"), combine))
       else joined.withColumn(outName, combine(col(a.desc.measure), col("__rhs")))
-    val toDrop = "__rhs" +:
+    // corr collapses the array to a scalar: the implicit dims (and
+    // their companion columns) do not survive into the output cube
+    val dimDrop =
+      if (op == "corr") a.desc.implicitDims.map(d => s"__dim_${d.name}")
+      else Seq.empty
+    val toDrop = ("__rhs" +: dimDrop) ++
       (if (a.desc.measure != outName) Seq(a.desc.measure) else Seq.empty)
     val cleaned = out.drop(toDrop: _*)
     Cube(cleaned, a.desc.copy(measure = outName, level = a.desc.level + 1,
+      implicitDims =
+        if (op == "corr") Seq.empty else a.desc.implicitDims,
       sourceTask = Some("oph_intercube")))
   }
 

@@ -16,19 +16,23 @@ import org.apache.spark.sql.expressions.Aggregator
  * map-side partial aggregation works and results are reproducible
  * across partitionings — unlike sampling sketches.
  *
- * Handles positives, negatives (mirrored buckets) and zeros. Quantile
- * answers carry relative error <= alpha for nonzero values.
+ * The buffer is a MUTABLE open-hash structure (kryo-encoded): the
+ * aggregation hot path updates in place with zero per-row allocation —
+ * an immutable Map would copy a HAMT path per input row.
+ *
+ * Handles positives, negatives (mirrored buckets) and zeros; NaN is
+ * treated as missing. Quantile answers carry relative error <= alpha
+ * for nonzero values.
  */
 object QuantileSketch {
 
-  final case class Sketch(
-      counts: Map[Int, Long],    // log-bucket -> count (positives)
-      negCounts: Map[Int, Long], // mirrored buckets for negatives
-      zeros: Long,
-      total: Long)
-
-  object Sketch {
-    val empty: Sketch = Sketch(Map.empty, Map.empty, 0L, 0L)
+  /** Mutable sketch buffer (bucket -> count maps mutated in place). */
+  final class Sketch(
+      val counts: java.util.HashMap[Int, Long],
+      val negCounts: java.util.HashMap[Int, Long],
+      var zeros: Long,
+      var total: Long) extends Serializable {
+    def this() = this(new java.util.HashMap, new java.util.HashMap, 0L, 0L)
   }
 
   final class QuantileAgg(q: Double, alpha: Double = 0.01)
@@ -44,50 +48,47 @@ object QuantileSketch {
     private def value(b: Int): Double =
       2.0 * math.pow(gamma, b) / (gamma + 1)
 
-    override def zero: Sketch = Sketch.empty
+    override def zero: Sketch = new Sketch()
 
-    override def reduce(s: Sketch, x: Double): Sketch =
-      if (x.isNaN) s // NaN = missing: excluded, not counted as zero
-      else if (x == 0.0) s.copy(zeros = s.zeros + 1, total = s.total + 1)
-      else if (x > 0) {
-        val b = bucket(x)
-        s.copy(counts = s.counts + (b -> (s.counts.getOrElse(b, 0L) + 1)),
-          total = s.total + 1)
-      } else {
-        val b = bucket(-x)
-        s.copy(negCounts = s.negCounts + (b -> (s.negCounts.getOrElse(b, 0L) + 1)),
-          total = s.total + 1)
-      }
+    override def reduce(s: Sketch, x: Double): Sketch = {
+      if (x.isNaN) return s // NaN = missing: excluded entirely
+      if (x == 0.0) s.zeros += 1
+      else if (x > 0) s.counts.merge(bucket(x), 1L, (x: Long, y: Long) => x + y)
+      else s.negCounts.merge(bucket(-x), 1L, (x: Long, y: Long) => x + y)
+      s.total += 1
+      s
+    }
 
-    override def merge(a: Sketch, b: Sketch): Sketch = Sketch(
-      counts = (a.counts.keySet ++ b.counts.keySet).map(k =>
-        k -> (a.counts.getOrElse(k, 0L) + b.counts.getOrElse(k, 0L))).toMap,
-      negCounts = (a.negCounts.keySet ++ b.negCounts.keySet).map(k =>
-        k -> (a.negCounts.getOrElse(k, 0L) + b.negCounts.getOrElse(k, 0L))).toMap,
-      zeros = a.zeros + b.zeros,
-      total = a.total + b.total)
+    override def merge(a: Sketch, b: Sketch): Sketch = {
+      b.counts.forEach((k, v) => a.counts.merge(k, v, (x: Long, y: Long) => x + y))
+      b.negCounts.forEach((k, v) => a.negCounts.merge(k, v, (x: Long, y: Long) => x + y))
+      a.zeros += b.zeros
+      a.total += b.total
+      a
+    }
 
     override def finish(s: Sketch): Double = {
       if (s.total == 0) return Double.NaN
       val rank = math.max(1L, math.ceil(q * s.total).toLong)
+      import scala.jdk.CollectionConverters._
       // ascending walk: negatives (most negative first), zeros, positives
       var seen = 0L
-      for (b <- s.negCounts.keys.toSeq.sorted(Ordering[Int].reverse)) {
-        seen += s.negCounts(b)
+      for (b <- s.negCounts.keySet.asScala.toSeq.sorted(Ordering[Int].reverse)) {
+        seen += s.negCounts.get(b)
         if (seen >= rank) return -value(b)
       }
       seen += s.zeros
       if (seen >= rank) return 0.0
-      for (b <- s.counts.keys.toSeq.sorted) {
-        seen += s.counts(b)
+      val pos = s.counts.keySet.asScala.toSeq.sorted
+      for (b <- pos) {
+        seen += s.counts.get(b)
         if (seen >= rank) return value(b)
       }
       // numerical safety: fall back to the largest bucket
-      s.counts.keys.toSeq.sorted.lastOption.map(value)
-        .getOrElse(0.0)
+      pos.lastOption.map(value).getOrElse(0.0)
     }
 
-    override def bufferEncoder: Encoder[Sketch] = Encoders.product[Sketch]
+    override def bufferEncoder: Encoder[Sketch] = Encoders.kryo[Sketch]
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 

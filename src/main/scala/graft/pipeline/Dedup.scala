@@ -142,13 +142,16 @@ object Dedup {
    */
   def simhashDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // native SimHash64: hash+bit-vote in one JIT'd pass per doc;
-    // persisted since the block self-join reads the signatures twice
+    // native SimHash64: hash+bit-vote in one JIT'd pass per doc.
+    // Repartition BEFORE the signature projection so the per-doc work
+    // spreads across the cluster even for single-file corpora;
+    // persisted since the block self-join reads the signatures twice.
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val sigs = df.select(col(idCol).as("id"),
-        graft.functions.expressions.HashExpressions
-          .simhash64(split(lower(col(textCol)), "\\s+")).as("sig"))
+    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(par, col("id"))
+      .select(col("id"),
+        graft.functions.expressions.HashExpressions
+          .simhash64(split(lower(col("text")), "\\s+")).as("sig"))
       .persist()
     val blockArr = array((0 until 4).map(b =>
       shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)

@@ -72,13 +72,18 @@ object Similarity {
           b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
           .as(Seq("band", "bandhash")))
       .persist()
-    val lhs = sigs.select(col("band"), col("bandhash"),
-      col("id").as("id_a"), col("vec").as("vec_a"))
-    val rhs = sigs.select(col("band"), col("bandhash"),
-      col("id").as("id_b"), col("vec").as("vec_b"))
-    lhs.join(rhs, Seq("band", "bandhash"))
+    // candidates dedupe on the id pair ONLY — shuffling full embedding
+    // vectors through the distinct would dominate at scale; vectors
+    // join back for the exact-cosine verify afterwards
+    val lhs = sigs.select(col("band"), col("bandhash"), col("id").as("id_a"))
+    val rhs = sigs.select(col("band"), col("bandhash"), col("id").as("id_b"))
+    val cand = lhs.join(rhs, Seq("band", "bandhash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "vec_a", "vec_b").distinct()
+      .select("id_a", "id_b").distinct()
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))

@@ -92,8 +92,7 @@ final class Engine(
   /** Register a cube in the catalog + store, minting its PID. */
   def register(c: Cube, containerName: String, folder: String = "/",
       parents: Seq[Long] = Seq.empty, sourceTask: Option[String] = None): String = {
-    val cont = catalog.findContainer(containerName, folder)
-      .getOrElse(catalog.createContainer(containerName, folder))
+    val cont = catalog.getOrCreateContainer(containerName, folder)
     val e = catalog.addCube(cont.id, c.desc.measure, c.desc.level,
       c.desc.metadata, parents, sourceTask)
     val pid = e.pid(catalog)
@@ -121,11 +120,13 @@ final class Engine(
     * oph_resume (`document_type=request`). */
   def run(spec: Workflow.Spec, requestJson: Option[String]): Map[String, TaskResult] = {
     Workflow.validate(spec)
-    workflowSeq += 1
+    // synchronized: concurrent runAsync submissions must not mint the
+    // same job-group id (lost-update on the shared counter)
+    val wfId = synchronized { workflowSeq += 1; workflowSeq }
+    val jobGroup = s"${catalog.sessionCode}:$wfId"
     // Spark jobs of this workflow share a job group so oph_cancel can
     // target them (`cancelJobGroup` — the reference's scancel analog)
-    spark.sparkContext.setJobGroup(
-      s"${catalog.sessionCode}:$workflowSeq", spec.name,
+    spark.sparkContext.setJobGroup(jobGroup, spec.name,
       interruptOnCancel = true)
     val results = scala.collection.concurrent.TrieMap[String, TaskResult]()
     val initialVars = scala.collection.mutable.Map[String, Workflow.Var]()
@@ -172,13 +173,23 @@ final class Engine(
               import scala.concurrent.ExecutionContext.Implicits.global
               val futs = values.zipWithIndex.map { case (v, idx) =>
                 Future {
+                  // setJobGroup is thread-local: re-tag this pool
+                  // thread so the branch's Spark jobs stay cancellable
+                  // under THIS workflow's id (pool threads otherwise
+                  // carry whatever group they inherited at creation)
+                  spark.sparkContext.setJobGroup(jobGroup, spec.name,
+                    interruptOnCancel = true)
                   val scope = vars.clone()
                   scope(key) = Workflow.Var(v)
                   scope(s"$key&") = Workflow.Var((idx + 1).toString)
-                  runBlock(i + 1, end, s"${iterSuffix}_${idx + 1}", scope)
+                  try runBlock(i + 1, end, s"${iterSuffix}_${idx + 1}", scope)
+                  finally spark.sparkContext.clearJobGroup()
                 }
               }
-              Await.result(Future.sequence(futs), Duration.Inf)
+              // propagate break: sequential loops stop on break, the
+              // parallel form reports it once all branches settle
+              broke = Await.result(Future.sequence(futs), Duration.Inf)
+                .exists(identity)
             } else {
               var idx = 0
               while (idx < values.size && !broke) {
@@ -188,8 +199,11 @@ final class Engine(
                 idx += 1
               }
             }
+            // a break signal is CONSUMED here: it stops this loop's
+            // iterations and execution continues after oph_endfor
             results(s"${t.name}$iterSuffix") = TaskResult(JobStatus.Completed,
-              message = s"loop over ${values.size} values")
+              message = s"loop over ${values.size} values" +
+                (if (broke) " (broken early)" else ""))
             i = end + 1
 
           case "oph_if" | "oph_elseif" =>
@@ -329,13 +343,20 @@ final class Engine(
       false
     }
 
-    runBlock(0, spec.tasks.size, "", initialVars)
-    spark.sparkContext.clearJobGroup()
-    val summary = results.toSeq.sortBy(_._1).map { case (k, v) =>
-      s"$k=${v.status}${v.cubePid.map(p => s"($p)").getOrElse("")}"
-    }.mkString(";")
-    sessions.saveWorkflow(catalog.sessionCode,
-      requestJson.getOrElse(spec.name), summary)
+    // finally: an exception escaping runBlock (bad oph_set value, bad
+    // counter string, rethrown parallel-branch failure) must not leave
+    // a stale job group on the driver thread or an unsaved run —
+    // otherwise a later oph_cancel of this id hits unrelated jobs and
+    // oph_resume can't see the failure
+    try runBlock(0, spec.tasks.size, "", initialVars)
+    finally {
+      spark.sparkContext.clearJobGroup()
+      val summary = results.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"$k=${v.status}${v.cubePid.map(p => s"($p)").getOrElse("")}"
+      }.mkString(";")
+      sessions.saveWorkflow(catalog.sessionCode,
+        requestJson.getOrElse(spec.name), summary)
+    }
     results.toMap
   }
 

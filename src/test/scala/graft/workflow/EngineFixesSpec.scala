@@ -143,6 +143,30 @@ class EngineFixesSpec extends SparkSpec {
     assert(log.contains("attempt 2 failed, retrying"))
   }
 
+  test("group_size reduce on an empty in-cell array yields empty arrays") {
+    val raw = Seq((1L, 1, 1.0), (1L, 2, 2.0)).toDF("k", "i", "v")
+    val c = graft.cube.CubeOps.build(raw, "v", Seq("k"), Some("i"), "t", "mem")
+    // filter out everything in-cell, then block-reduce
+    val emptied = graft.cube.CubeOps.subsetImplicit(c, "5:9")
+    val r = graft.cube.CubeOps.reduce(emptied, "sum", groupSize = Some(2))
+    assert(r.df.select("v").as[Seq[Double]].head() == Seq.empty[Double])
+    assert(r.df.select("__dim_i_block").as[Seq[Int]].head() == Seq.empty[Int])
+    assert(r.flatten.count() == 0) // no phantom rows
+  }
+
+  test("intercube corr output is a consistent scalar cube") {
+    val raw = Seq((1L, 1, 1.0, 2.0), (1L, 2, 2.0, 4.0), (1L, 3, 3.0, 7.0))
+      .toDF("k", "i", "x", "y")
+    val a = graft.cube.CubeOps.build(raw.select($"k", $"i", $"x"), "x",
+      Seq("k"), Some("i"), "t", "mem")
+    val b = graft.cube.CubeOps.build(raw.select($"k", $"i", $"y"), "y",
+      Seq("k"), Some("i"), "t", "mem")
+    val out = graft.cube.CubeOps.intercube(a, b, "corr", "c")
+    assert(!out.hasImplicit)
+    assert(!out.df.columns.exists(_.startsWith("__dim_")))
+    assert(out.flatten.count() == 1) // flatten works on the scalar cube
+  }
+
   test("quantile q=0 clamps to the first element") {
     val df = Seq(Tuple1(Seq(5.0, 1.0, 3.0))).toDF("m")
     val out = df.select(
