@@ -596,10 +596,16 @@ final class Engine(
         TaskResult(JobStatus.Completed, message = s"deleted $pid")
 
       case "oph_explorecube" =>
+        // peek with optional subset before the limit (the reference's
+        // subset_dims/subset_filter args on explore)
         val (_, c) = needCube()
         val limit = args.getOrElse("limit_filter", "100").toInt
+        val pred = for {
+          dims <- args.get("subset_dims")
+          filter <- args.get("subset_filter")
+        } yield Subset.parse(filter).toColumn(c.df(dims))
         TaskResult(JobStatus.Completed,
-          df = Some(CubeOps.explorecube(c, None, limit)))
+          df = Some(CubeOps.explorecube(c, pred, limit)))
 
       case "oph_cubeschema" =>
         val (_, c) = needCube()

@@ -66,6 +66,22 @@ class EngineOpsSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(dir).count() > 0)
   }
 
+  test("explorecube applies subset args before the limit") {
+    val e = engine()
+    val imp = e.runDataOperator("oph_importnc", Map(
+      "src_path" -> sf("lineitem"), "measure" -> "l_quantity",
+      "exp_dim" -> "l_orderkey|l_linenumber"))
+    val r = e.runDataOperator("oph_explorecube", Map(
+      "cube" -> imp.cubePid.get, "subset_dims" -> "l_linenumber",
+      "subset_filter" -> "2:3", "limit_filter" -> "5"))
+    val rows = r.df.get.collect()
+    assert(rows.length == 5)
+    assert(rows.forall { row =>
+      val ln = row.getInt(row.fieldIndex("l_linenumber"))
+      ln >= 2 && ln <= 3
+    })
+  }
+
   test("explorenc describes a raw source") {
     val e = engine()
     val r = e.runDataOperator("oph_explorenc", Map("src_path" -> sf("region")))
