@@ -118,6 +118,29 @@ object SparkEntry {
       r.df.select(col("l_orderkey"), col("l_quantity").as("med_qty"))
     }),
 
+    "reduce_std" -> ((s, dir) => {
+      val r = CubeOps.reduce(liCube(s, dir), "std")
+      r.df.select(col("l_orderkey"),
+        round(col("l_quantity") + 0.0, 4).as("std_qty"))
+    }),
+
+    "apply_predicate" -> ((s, dir) => {
+      // elementwise conditional: quantity > 25 ? 1 : 0, exploded back
+      val cube = liCube(s, dir)
+      val flagged = cube.df.withColumn("l_quantity",
+        ArrayPrimitives("oph_predicate(measure, 25, 1, 0)", col("l_quantity")))
+      flagged.select(col("l_orderkey"),
+          posexplode(col("l_quantity")).as(Seq("__p", "__v")))
+        .select(col("l_orderkey"), (col("__p") + 1).cast("long").as("pos"),
+          col("__v").as("flag"))
+    }),
+
+    "duplicate_identity" -> ((s, dir) => {
+      // oph_duplicate: copy-with-provenance; contents identical
+      val d = CubeOps.duplicate(liFlatCube(s, dir))
+      d.df.select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    }),
+
     "reduce_cmoment" -> ((s, dir) => {
       // 2nd central moment (population variance) along the implicit dim
       val cube = liCube(s, dir)
@@ -523,6 +546,21 @@ object SparkEntry {
     "reduce_median" ->
       """SELECT l_orderkey, quantile_disc(l_quantity, 0.5) AS med_qty
          FROM lineitem GROUP BY l_orderkey""",
+
+    "reduce_std" ->
+      """SELECT l_orderkey, round(stddev_pop(l_quantity), 4) + 0.0 AS std_qty
+         FROM lineitem GROUP BY 1""",
+
+    "apply_predicate" ->
+      """SELECT l_orderkey,
+                CAST(row_number() OVER (PARTITION BY l_orderkey
+                  ORDER BY l_linenumber, l_quantity) AS BIGINT) AS pos,
+                CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS flag
+         FROM lineitem""",
+
+    "duplicate_identity" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+         FROM lineitem""",
 
     "reduce_cmoment" ->
       """SELECT l_orderkey,

@@ -158,6 +158,11 @@ final class Engine(
             val end = matching(spec, i, "oph_for", "oph_endfor")
             val args = t.arguments.map { case (k, v) => k -> sub(v) }
             val key = args.getOrElse("key", "index")
+            // IEEE Std 1003.1 name check, as the reference enforces on
+            // the loop counter (`oph_flow_control_operators.c:1705-1717`)
+            if (!key.matches("[A-Za-z_][A-Za-z0-9_]*"))
+              throw new Engine.EngineError(
+                s"oph_for: invalid variable name '$key'")
             val values: Seq[String] =
               args.get("values").map(_.split('|').toSeq)
                 .orElse(args.get("counter").map(c =>

@@ -165,6 +165,16 @@ class WorkflowSpec extends SparkSpec {
     assert(c1.df.count() == 5 && c2.df.count() == 10)
   }
 
+  test("oph_for rejects non-IEEE variable names (reference :1705-1717)") {
+    val e = engine()
+    intercept[Engine.EngineError](e.run(Workflow.parse("""{
+      "name": "wf", "tasks": [
+        {"name": "loop", "operator": "oph_for",
+         "arguments": ["key=2bad", "values=1"]},
+        {"name": "end", "operator": "oph_endfor"}
+      ]}""")))
+  }
+
   test("oph_for with counter subset string") {
     val e = engine()
     val res = e.run(Workflow.parse("""{
