@@ -170,10 +170,12 @@ object CubeOps {
       case "max"   => array_max(arr)
       case "min"   => array_min(arr)
       case "var" =>
-        // population variance: E[x^2] - E[x]^2 via a single pass
-        val sq = F.aggregate(arr, lit(0.0), (a, x) =>
-          a + x.cast("double") * x.cast("double"))
-        sq / n - (sumc / n) * (sumc / n)
+        // population variance as the 2nd central moment — the one-pass
+        // E[x^2]-E[x]^2 form cancels catastrophically for large means
+        // with tiny spreads (can even go negative -> NaN std)
+        val mean = sumc / n
+        F.aggregate(arr, lit(0.0), (a, x) =>
+          a + (x.cast("double") - mean) * (x.cast("double") - mean)) / n
       case "std" => sqrt(reduceExpr(arr, "var"))
       case "quantile" =>
         // nearest-rank on the sorted array (1-based; q=0 clamps to the

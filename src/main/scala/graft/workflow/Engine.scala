@@ -481,20 +481,7 @@ final class Engine(
 
       case "oph_subset" | "oph_subset2" =>
         val (pid, c) = needCube()
-        val dims = args.getOrElse("subset_dims", "")
-        val filter = args.getOrElse("subset_filter", "1:end")
-        val subType = args.getOrElse("subset_type", "index")
-        val out =
-          if (dims.isEmpty || c.desc.implicitDims.exists(_.name == dims))
-            CubeOps.subsetImplicit(c, filter,
-              c.desc.implicitDims.headOption.flatMap(_.size))
-          else if (subType == "coord") {
-            // value-based: `lo:hi` range or a single-value equality
-            if (filter.contains(":")) {
-              val Array(lo, hi) = filter.split(":", 2)
-              CubeOps.subsetCoord(c, c.df(dims) >= lo && c.df(dims) <= hi)
-            } else CubeOps.subsetCoord(c, c.df(dims) === filter)
-          } else CubeOps.subsetIndex(c, dims, filter)
+        val out = applySubset(c, args)
         val newPid = register(out, containerOf(pid), parents = Seq(idOf(pid)),
           sourceTask = Some(op))
         TaskResult(JobStatus.Completed, cubePid = Some(newPid))
@@ -601,16 +588,12 @@ final class Engine(
         TaskResult(JobStatus.Completed, message = s"deleted $pid")
 
       case "oph_explorecube" =>
-        // peek with optional subset before the limit (the reference's
-        // subset_dims/subset_filter args on explore)
+        // peek with optional subset before the limit — the SAME subset
+        // routing as oph_subset (implicit dims, coord semantics, `end`)
         val (_, c) = needCube()
         val limit = args.getOrElse("limit_filter", "100").toInt
-        val pred = for {
-          dims <- args.get("subset_dims")
-          filter <- args.get("subset_filter")
-        } yield Subset.parse(filter).toColumn(c.df(dims))
         TaskResult(JobStatus.Completed,
-          df = Some(CubeOps.explorecube(c, pred, limit)))
+          df = Some(CubeOps.explorecube(applySubset(c, args), None, limit)))
 
       case "oph_cubeschema" =>
         val (_, c) = needCube()
@@ -859,6 +842,31 @@ final class Engine(
 
       case other =>
         throw new Engine.EngineError(s"unknown operator '$other'")
+    }
+  }
+
+  /** Shared subset routing (oph_subset + explorecube): implicit dims go
+    * through the in-array HOF filter, subset_type=coord is value-based
+    * (range or equality), otherwise an index predicate. A dim spec with
+    * no filter means 'all' (reference default), not an error. */
+  private def applySubset(c: Cube, args: Map[String, String]): Cube = {
+    val dims = args.getOrElse("subset_dims", "")
+    val filterOpt = args.get("subset_filter")
+    val subType = args.getOrElse("subset_type", "index")
+    // no filter = 'all' (reference default), whatever dims says; the
+    // 'end' keyword can't resolve for explicit dims anyway
+    if (filterOpt.isEmpty) c
+    else {
+      val filter = filterOpt.get
+      if (dims.isEmpty || c.desc.implicitDims.exists(_.name == dims))
+        CubeOps.subsetImplicit(c, filter,
+          c.desc.implicitDims.headOption.flatMap(_.size))
+      else if (subType == "coord") {
+        if (filter.contains(":")) {
+          val Array(lo, hi) = filter.split(":", 2)
+          CubeOps.subsetCoord(c, c.df(dims) >= lo && c.df(dims) <= hi)
+        } else CubeOps.subsetCoord(c, c.df(dims) === filter)
+      } else CubeOps.subsetIndex(c, dims, filter)
     }
   }
 

@@ -82,6 +82,34 @@ class EngineOpsSpec extends SparkSpec {
     })
   }
 
+  test("explorecube subsets the IMPLICIT dim and coord values like oph_subset") {
+    val e = engine()
+    val imp = e.runDataOperator("oph_importnc", Map(
+      "src_path" -> sf("lineitem"), "measure" -> "l_quantity",
+      "exp_dim" -> "l_orderkey", "imp_dim" -> "l_linenumber"))
+    // implicit-dim subset: keep the first in-array position only
+    val r = e.runDataOperator("oph_explorecube", Map(
+      "cube" -> imp.cubePid.get, "subset_dims" -> "l_linenumber",
+      "subset_filter" -> "1", "limit_filter" -> "10"))
+    val sizes = r.df.get.selectExpr("size(l_quantity)").collect().map(_.getInt(0))
+    assert(sizes.nonEmpty && sizes.forall(_ <= 1))
+    // coord subset on an explicit dim
+    val flat = e.runDataOperator("oph_importnc", Map(
+      "src_path" -> sf("lineitem"), "measure" -> "l_quantity",
+      "exp_dim" -> "l_orderkey|l_linenumber"))
+    val rc = e.runDataOperator("oph_explorecube", Map(
+      "cube" -> flat.cubePid.get, "subset_dims" -> "l_orderkey",
+      "subset_type" -> "coord", "subset_filter" -> "1:50",
+      "limit_filter" -> "1000"))
+    val keys = rc.df.get.select("l_orderkey").collect().map(_.getLong(0))
+    assert(keys.nonEmpty && keys.forall(k => k >= 1 && k <= 50))
+    // dims without a filter = 'all', not an error
+    val all = e.runDataOperator("oph_explorecube", Map(
+      "cube" -> flat.cubePid.get, "subset_dims" -> "l_orderkey",
+      "limit_filter" -> "5"))
+    assert(all.df.get.count() == 5)
+  }
+
   test("explorenc describes a raw source") {
     val e = engine()
     val r = e.runDataOperator("oph_explorenc", Map("src_path" -> sf("region")))
