@@ -144,8 +144,7 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     // native SimHash64: hash+bit-vote in one JIT'd pass per doc.
     // Repartition BEFORE the signature projection so the per-doc work
-    // spreads across the cluster even for single-file corpora;
-    // persisted since the block self-join reads the signatures twice.
+    // spreads across the cluster even for single-file corpora.
     val par = df.sparkSession.sparkContext.defaultParallelism
     val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(par, col("id"))
@@ -153,20 +152,37 @@ object Dedup {
         graft.functions.expressions.HashExpressions
           .simhash64(split(lower(col("text")), "\\s+")).as("sig"))
       .persist()
+    // Exact-dup clusters share one signature: run the block LSH on
+    // DISTINCT signatures only, then expand clusters back. A cluster of
+    // k identical docs otherwise costs k^2 candidate rows per block —
+    // on crawl corpora (where exact dups dominate) that quadratic term
+    // swamps the join. Probe at sf0.1: 10k docs / 4960 distinct sigs /
+    // 966k candidates without this collapse.
+    val distinctSigs = sigs.select("sig").distinct()
     val blockArr = array((0 until 4).map(b =>
       shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)
-    val blocks = sigs.select(col("id"), col("sig"),
+    val blocks = distinctSigs.select(col("sig"),
       posexplode(blockArr).as(Seq("blk", "blkval")))
-    val lhs = blocks.select(col("blk"), col("blkval"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val rhs = blocks.select(col("blk"), col("blkval"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    lhs.join(rhs, Seq("blk", "blkval"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
+    val sigPairs = blocks.select(col("blk"), col("blkval"), col("sig").as("sig_a"))
+      .join(blocks.select(col("blk"), col("blkval"), col("sig").as("sig_b")),
+        Seq("blk", "blkval"))
+      .filter(col("sig_a") < col("sig_b"))
+      .select("sig_a", "sig_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
+    // cross-cluster pairs: members of sig_a x members of sig_b
+    val crossPairs = sigPairs
+      .join(sigs.select(col("id").as("ia"), col("sig").as("sig_a")), Seq("sig_a"))
+      .join(sigs.select(col("id").as("ib"), col("sig").as("sig_b")), Seq("sig_b"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    // within-cluster pairs: identical signatures, hamming 0
+    val withinPairs = sigs.select(col("id").as("id_a"), col("sig"))
+      .join(sigs.select(col("id").as("id_b"), col("sig")), Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+    crossPairs.unionByName(withinPairs)
   }
 
   /** Word n-gram Jaccard similarity between two text columns (exact
