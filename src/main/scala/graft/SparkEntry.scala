@@ -419,6 +419,10 @@ object SparkEntry {
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryIds = Seq(1L, 2L, 3L), k = 5)),
 
+    "simsearch_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryIds = Seq(1L, 2L, 3L), k = 5, nClusters = 16, nProbe = 4)),
+
     "embed_neardup" -> ((s, dir) => {
       // double the corpus so exact-duplicate vectors exist; LSH buckets
       // generate candidates, exact cosine >= tau verifies

@@ -89,6 +89,60 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /**
+   * IVF (inverted-file) approximate top-k: k-means partitions the
+   * corpus into `nClusters` cells (MLlib KMeans, fixed seed); a query
+   * probes only its `nProbe` nearest cells and reranks those candidates
+   * by exact cosine. The scan is pruned by the cluster assignment join
+   * — at scale, cost drops by ~nProbe/nClusters vs brute force, and the
+   * partitioning can be persisted as a reusable index.
+   */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int,
+      nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    val feats = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("features", array_to_vector(col("vec").cast("array<double>")))
+    val model = new KMeans().setK(nClusters).setSeed(42).setMaxIter(10)
+      .fit(feats)
+    val assigned = model.transform(feats)
+      .select(col("id"), col("vec"), col("prediction").as("cell"))
+      .persist()
+
+    // per query: nearest nProbe centroids (driver-side — centroids are
+    // tiny), then candidates = rows of the probed cells
+    val centroids = model.clusterCenters.map(_.toArray)
+    val queryVecs = assigned.filter(col("id").isin(queryIds: _*))
+      .select(col("id"), col("vec")).as[(Long, Seq[Float])].collect()
+    val probes = queryVecs.flatMap { case (qid, qv) =>
+      centroids.zipWithIndex.map { case (c, cell) =>
+        val dot = qv.zip(c).map { case (a, b) => a * b }.sum
+        val n1 = math.sqrt(qv.map(x => x.toDouble * x).sum)
+        val n2 = math.sqrt(c.map(x => x * x).sum)
+        (qid, cell, -dot / (n1 * n2))
+      }.sortBy(_._3).take(nProbe).map(p => (p._1, p._2))
+    }.toSeq.toDF("query_id", "cell")
+
+    val queries = assigned.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val cands = assigned.join(broadcast(probes), Seq("cell"))
+      .join(broadcast(queries), Seq("query_id"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("qvec"), col("id").as("nn_id"),
+        col("vec").as("nvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nn_id"))
+    cands.withColumn("score", cosine(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), round(col("score"), 4).as("score"))
+  }
+
   /** Random-hyperplane signature: bit j = sign of <v, plane_j>. The
     * planes are deterministic literals (seeded Scala-side) folded into
     * the expression — per-element work is a plain multiply-add, with no

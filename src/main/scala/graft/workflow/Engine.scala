@@ -116,6 +116,30 @@ final class Engine(
     scala.concurrent.Future(run(spec, requestJson))
   }
 
+  /**
+   * Checkpointed re-execution — `checkpoint` request arg +
+   * `oph_workflow_save`/resume (`src/oph_workflow_engine.c:244-288`,
+   * `src/oph_execute_main.c:2167+`): a completed task whose output
+   * cube still exists is NOT re-run; its recorded PID is replayed into
+   * dependants. Flow control re-evaluates (it is cheap and its variable
+   * effects are needed), data tasks skip.
+   *
+   * `prior` is a previous run's result map (e.g. from a failed run —
+   * the engine saves partial results on abort).
+   */
+  def runFrom(spec: Workflow.Spec, prior: Map[String, TaskResult],
+      requestJson: Option[String] = None): Map[String, TaskResult] = {
+    val completed = prior.collect {
+      case (name, r) if r.status == JobStatus.Completed &&
+        r.cubePid.forall(cubes.contains) => name -> r
+    }
+    checkpointSkip = completed
+    try run(spec, requestJson)
+    finally checkpointSkip = Map.empty
+  }
+
+  @volatile private var checkpointSkip: Map[String, TaskResult] = Map.empty
+
   /** Run a parsed request, optionally keeping the raw JSON for
     * oph_resume (`document_type=request`). */
   def run(spec: Workflow.Spec, requestJson: Option[String]): Map[String, TaskResult] = {
@@ -291,6 +315,16 @@ final class Engine(
           case _ =>
             if (!t.run) {
               results(s"${t.name}$iterSuffix") = TaskResult(JobStatus.Skipped)
+              i += 1
+            } else if (checkpointSkip.contains(s"${t.name}$iterSuffix")) {
+              // checkpointed: replay the prior result (output cube
+              // verified to still exist) instead of re-executing
+              val cached = checkpointSkip(s"${t.name}$iterSuffix")
+              results(s"${t.name}$iterSuffix") = cached
+              cached.cubePid.foreach { p =>
+                outPids(s"${t.name}$iterSuffix") = p
+                outPids(t.name) = p
+              }
               i += 1
             } else {
               synchronized { markerId += 1 }

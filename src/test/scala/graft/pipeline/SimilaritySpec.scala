@@ -69,6 +69,24 @@ class SimilaritySpec extends SparkSpec {
     assert(all.forall(_ >= 0.9999))
   }
 
+  test("ivf top-k prunes to probed cells and finds dominant neighbors") {
+    // two tight clusters far apart: IVF must keep same-cluster
+    // neighbors ahead of cross-cluster ones
+    val emb = (1L to 40L).map { i =>
+      val base = if (i <= 20) (1.0f, 0.0f) else (0.0f, 1.0f)
+      (i, Seq(base._1 + (i % 5) * 0.01f, base._2 + (i % 7) * 0.01f,
+        0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(emb, "vec_id", "embedding", Seq(1L), 5,
+      nClusters = 4, nProbe = 2)
+    val ids = out.select("nn_id").as[Long].collect().toSet
+    assert(ids.size == 5)
+    assert(ids.forall(_ <= 20), s"cross-cluster leak: $ids") // same cluster as query 1
+    // ranks are 1..5 with descending scores
+    val ranked = out.orderBy("rank").select("score").as[Double].collect()
+    assert(ranked.sorted(Ordering[Double].reverse).toSeq == ranked.toSeq)
+  }
+
   test("lsh join is bucketed (no cartesian product in the plan)") {
     val emb = (1L to 20L).map(i => (i, Seq(i.toFloat, 1.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")

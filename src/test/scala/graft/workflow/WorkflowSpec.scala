@@ -233,6 +233,43 @@ class WorkflowSpec extends SparkSpec {
       Map("document_type" -> "response")).message.contains("s=Completed"))
   }
 
+  test("checkpointed re-run replays completed tasks, re-runs the rest") {
+    val e = engine()
+    // first run: import succeeds, aggregate fails (bad operation)
+    val spec1 = Workflow.parse(s"""{
+      "name": "wf", "tasks": [
+        {"name": "imp", "operator": "oph_importnc",
+         "arguments": ["src_path=${sf("lineitem")}", "measure=l_quantity",
+           "exp_dim=l_orderkey|l_linenumber", "container=li"]},
+        {"name": "agg", "operator": "oph_aggregate",
+         "arguments": ["operation=NOPE", "group_by=l_orderkey"],
+         "dependencies": [{"task": "imp"}]}
+      ]}""")
+    val r1 = e.run(spec1)
+    assert(r1("imp").status == JobStatus.Completed)
+    assert(r1("agg").status == JobStatus.Error)
+    val importedPid = r1("imp").cubePid.get
+
+    // fixed spec: resume from the prior results — import must replay,
+    // not re-execute (same PID, no new catalog entry for it)
+    val cubesBefore = e.catalog.allCubes.size
+    val spec2 = Workflow.parse(s"""{
+      "name": "wf", "tasks": [
+        {"name": "imp", "operator": "oph_importnc",
+         "arguments": ["src_path=${sf("lineitem")}", "measure=l_quantity",
+           "exp_dim=l_orderkey|l_linenumber", "container=li"]},
+        {"name": "agg", "operator": "oph_aggregate",
+         "arguments": ["operation=sum", "group_by=l_orderkey"],
+         "dependencies": [{"task": "imp"}]}
+      ]}""")
+    val r2 = e.runFrom(spec2, r1)
+    assert(r2("imp").cubePid.get == importedPid)      // replayed
+    assert(r2("agg").status == JobStatus.Completed)    // re-ran, fixed
+    // only ONE new cube minted (the aggregate), no re-import
+    assert(e.catalog.allCubes.size == cubesBefore + 1)
+    assert(e.cube(r2("agg").cubePid.get).get.df.count() > 0)
+  }
+
   test("oph_set subset_filter compresses value lists") {
     val e = engine()
     val res = e.run(Workflow.parse("""{
