@@ -140,6 +140,30 @@ final class Engine(
 
   @volatile private var checkpointSkip: Map[String, TaskResult] = Map.empty
 
+  /** Render a run's results as the reference's JSON Response envelope
+    * (`src/oph_json/oph_json_common.c`): DataFrame results become
+    * grids, the rest text objects; keyed by task name. */
+  def renderResponse(workflowName: String,
+      results: Map[String, TaskResult]): String = {
+    import graft.core.{Response, TextObj}
+    val objs = results.toSeq.sortBy(_._1).map { case (name, r) =>
+      r.df match {
+        case Some(df) =>
+          graft.render.ResponseWriter.gridOf(name, name, df, limit = 100)
+        case None =>
+          TextObj(name, name,
+            s"${r.status}" +
+              r.cubePid.map(p => s" cube=$p").getOrElse("") +
+              (if (r.message.nonEmpty) s" ${r.message}" else ""))
+      }
+    }
+    graft.render.ResponseWriter.render(Response(
+      source = Map("session" -> catalog.sessionCode,
+        "workflow" -> workflowName, "producer" -> user),
+      consumers = Seq(user),
+      objects = objs))
+  }
+
   /** Run a parsed request, optionally keeping the raw JSON for
     * oph_resume (`document_type=request`). */
   def run(spec: Workflow.Spec, requestJson: Option[String]): Map[String, TaskResult] = {
@@ -254,9 +278,25 @@ final class Engine(
               j = nextBranch(spec, j, endif)
             }
             // execute only the selected branch
+            var branchEnd = -1
             if (selected >= 0) {
-              val bEnd = nextBranch(spec, selected, endif)
-              runBlock(selected + 1, math.min(bEnd, endif), iterSuffix, vars)
+              branchEnd = math.min(nextBranch(spec, selected, endif), endif)
+              runBlock(selected + 1, branchEnd, iterSuffix, vars)
+            }
+            // forward=yes: the selected branch's last output cube flows
+            // through the block to dependants of the if/endif tasks
+            // (`oph_flow_control_operators.c:569-583`)
+            if (t.arguments.get("forward").map(sub)
+                .exists(_.equalsIgnoreCase("yes")) && selected >= 0) {
+              val lastPid = (selected + 1 until branchEnd).reverseIterator
+                .flatMap(k => outPids.get(s"${spec.tasks(k).name}$iterSuffix"))
+                .nextOption()
+              lastPid.foreach { p =>
+                Seq(t.name, spec.tasks(endif).name).foreach { n =>
+                  outPids(s"$n$iterSuffix") = p
+                  outPids(n) = p
+                }
+              }
             }
             // mark branch heads
             results(s"${t.name}$iterSuffix") =

@@ -270,6 +270,41 @@ class WorkflowSpec extends SparkSpec {
     assert(e.cube(r2("agg").cubePid.get).get.df.count() > 0)
   }
 
+  test("oph_if forward=yes forwards the branch's cube past endif") {
+    val e = engine()
+    val res = e.run(Workflow.parse(s"""{
+      "name": "wf", "tasks": [
+        {"name": "cond", "operator": "oph_if",
+         "arguments": ["condition=1", "forward=yes"]},
+        {"name": "mk", "operator": "oph_randcube",
+         "arguments": ["nrows=7", "array_length=3", "container=c"]},
+        {"name": "fin", "operator": "oph_endif"},
+        {"name": "red", "operator": "oph_reduce",
+         "arguments": ["operation=sum"],
+         "dependencies": [{"task": "fin"}]}
+      ]}"""))
+    assert(res("red").status == JobStatus.Completed)
+    assert(e.cube(res("red").cubePid.get).get.df.count() == 7)
+  }
+
+  test("renderResponse produces the JSON envelope with grids and text") {
+    val e = engine()
+    val res = e.run(Workflow.parse("""{
+      "name": "wf", "tasks": [
+        {"name": "mk", "operator": "oph_randcube",
+         "arguments": ["nrows=4", "array_length=2", "container=c"]},
+        {"name": "peek", "operator": "oph_explorecube",
+         "arguments": ["limit_filter=3"],
+         "dependencies": [{"task": "mk"}]}
+      ]}"""))
+    val json = e.renderResponse("wf", res)
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    assert(n.get("source").get("workflow").asText == "wf")
+    val classes = (0 until n.get("response").size)
+      .map(i => n.get("response").get(i).get("objclass").asText).toSet
+    assert(classes == Set("text", "grid"))
+  }
+
   test("oph_set subset_filter compresses value lists") {
     val e = engine()
     val res = e.run(Workflow.parse("""{
