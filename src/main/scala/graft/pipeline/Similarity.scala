@@ -41,6 +41,13 @@ object Similarity {
     val scored = emb.select(col(idCol).as("nn_id"), col(vecCol).as("nvec"))
       .join(broadcast(queries), col("nn_id") =!= col("query_id"))
       .withColumn("score", cosine(col("qvec"), col("nvec")))
+    topK(scored, k)
+  }
+
+  /** Per-query top-k by cosine score (deterministic nn_id tie-break) —
+    * shared by the brute/LSH/IVF paths. Expects columns
+    * (query_id, nn_id, score). */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("nn_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -105,25 +112,36 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
 
-    val feats = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("features", array_to_vector(col("vec").cast("array<double>")))
+    // cluster on L2-NORMALIZED vectors: Euclidean k-means on the unit
+    // sphere is monotone with cosine, so the cells match the rerank
+    // metric (unnormalized vectors would split directions by magnitude
+    // and silently drop cosine-nearest neighbors from the probed cells)
+    val norm = sqrt(F.aggregate(col("vec"),
+      lit(0.0), (a, x) => a + x * x))
+    val feats = emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("nvecn", when(norm > 0,
+        transform(col("vec"), x => x / norm)).otherwise(col("vec")))
+      .withColumn("features", array_to_vector(col("nvecn")))
     val model = new KMeans().setK(nClusters).setSeed(42).setMaxIter(10)
       .fit(feats)
     val assigned = model.transform(feats)
       .select(col("id"), col("vec"), col("prediction").as("cell"))
-      .persist()
 
     // per query: nearest nProbe centroids (driver-side — centroids are
-    // tiny), then candidates = rows of the probed cells
+    // tiny), then candidates = rows of the probed cells. Centroids and
+    // queries are normalized, so the dot product IS the cosine order;
+    // zero vectors score 0 instead of NaN-poisoning the sort.
     val centroids = model.clusterCenters.map(_.toArray)
     val queryVecs = assigned.filter(col("id").isin(queryIds: _*))
-      .select(col("id"), col("vec")).as[(Long, Seq[Float])].collect()
+      .select(col("id"), col("vec")).as[(Long, Seq[Double])].collect()
     val probes = queryVecs.flatMap { case (qid, qv) =>
+      val n1 = math.sqrt(qv.map(x => x * x).sum)
       centroids.zipWithIndex.map { case (c, cell) =>
         val dot = qv.zip(c).map { case (a, b) => a * b }.sum
-        val n1 = math.sqrt(qv.map(x => x.toDouble * x).sum)
         val n2 = math.sqrt(c.map(x => x * x).sum)
-        (qid, cell, -dot / (n1 * n2))
+        val score = if (n1 > 0 && n2 > 0) dot / (n1 * n2) else 0.0
+        (qid, cell, -score)
       }.sortBy(_._3).take(nProbe).map(p => (p._1, p._2))
     }.toSeq.toDF("query_id", "cell")
 
@@ -134,13 +152,7 @@ object Similarity {
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("qvec"), col("id").as("nn_id"),
         col("vec").as("nvec"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("nn_id"))
-    cands.withColumn("score", cosine(col("qvec"), col("nvec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("nn_id"), round(col("score"), 4).as("score"))
+    topK(cands.withColumn("score", cosine(col("qvec"), col("nvec"))), k)
   }
 
   /** Random-hyperplane signature: bit j = sign of <v, plane_j>. The
@@ -188,12 +200,6 @@ object Similarity {
       .select(col("query_id"), col("qvec"),
         col("id").as("nn_id"), col("vec").as("nvec"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("nn_id"))
-    cands.withColumn("score", cosine(col("qvec"), col("nvec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("nn_id"), round(col("score"), 4).as("score"))
+    topK(cands.withColumn("score", cosine(col("qvec"), col("nvec"))), k)
   }
 }

@@ -127,18 +127,34 @@ final class Engine(
    * `prior` is a previous run's result map (e.g. from a failed run —
    * the engine saves partial results on abort).
    */
-  def runFrom(spec: Workflow.Spec, prior: Map[String, TaskResult],
+  def runFrom(spec: Workflow.Spec, priorSpec: Workflow.Spec,
+      prior: Map[String, TaskResult],
       requestJson: Option[String] = None): Map[String, TaskResult] = {
+    // a prior result replays ONLY if the task's definition is unchanged
+    // between the two specs — an edited-and-previously-'completed' task
+    // must re-run, not silently serve stale data. Iteration-suffixed
+    // entries additionally require the flow-control skeleton unchanged
+    // (a different values list renumbers the iterations).
+    val priorTasks = priorSpec.tasks.map(t => t.name -> t).toMap
+    val newTasks = spec.tasks.map(t => t.name -> t).toMap
+    def fc(s: Workflow.Spec) = s.tasks.filter(t =>
+      Set("oph_for", "oph_endfor", "oph_if", "oph_elseif", "oph_else",
+        "oph_endif", "oph_set").contains(t.operator.toLowerCase))
+    val flowUnchanged = fc(spec) == fc(priorSpec)
+    def baseName(key: String): String =
+      key.replaceAll("(_\\d+)+$", "") match {
+        case b if newTasks.contains(b) => b
+        case _ => key
+      }
     val completed = prior.collect {
       case (name, r) if r.status == JobStatus.Completed &&
-        r.cubePid.forall(cubes.contains) => name -> r
+        r.cubePid.forall(cubes.contains) &&
+        (name == baseName(name) || flowUnchanged) &&
+        newTasks.get(baseName(name)).exists(t =>
+          priorTasks.get(baseName(name)).contains(t)) => name -> r
     }
-    checkpointSkip = completed
-    try run(spec, requestJson)
-    finally checkpointSkip = Map.empty
+    run(spec, requestJson, completed)
   }
-
-  @volatile private var checkpointSkip: Map[String, TaskResult] = Map.empty
 
   /** Render a run's results as the reference's JSON Response envelope
     * (`src/oph_json/oph_json_common.c`): DataFrame results become
@@ -165,8 +181,11 @@ final class Engine(
   }
 
   /** Run a parsed request, optionally keeping the raw JSON for
-    * oph_resume (`document_type=request`). */
-  def run(spec: Workflow.Spec, requestJson: Option[String]): Map[String, TaskResult] = {
+    * oph_resume (`document_type=request`). `checkpointSkip` carries
+    * replayable prior results (threaded explicitly — instance state
+    * would race across concurrent runs). */
+  def run(spec: Workflow.Spec, requestJson: Option[String],
+      checkpointSkip: Map[String, TaskResult] = Map.empty): Map[String, TaskResult] = {
     Workflow.validate(spec)
     // synchronized: concurrent runAsync submissions must not mint the
     // same job-group id (lost-update on the shared counter)
@@ -191,10 +210,12 @@ final class Engine(
     // last produced cube PID per task name (for dependency harvesting)
     val outPids = scala.collection.concurrent.TrieMap[String, String]()
 
-    /** Execute tasks[from..until); returns 'break' signal. `vars` is
-      * the block's variable scope — parallel for-branches get clones. */
+    /** Execute tasks[from..until); returns a control signal:
+      * 0 = normal, 1 = break (consumed by the nearest enclosing loop),
+      * 2 = abort (propagates to the workflow root). `vars` is the
+      * block's variable scope — parallel for-branches get clones. */
     def runBlock(from: Int, until: Int, iterSuffix: String,
-        vars: scala.collection.mutable.Map[String, Workflow.Var]): Boolean = {
+        vars: scala.collection.mutable.Map[String, Workflow.Var]): Int = {
       def sub(s: String): String =
         Workflow.substitute(s, vars.toMap, builtins)
       var i = from
@@ -217,6 +238,7 @@ final class Engine(
                   Subset.parse(c).indices.map(_.toString)))
                 .getOrElse(Seq("1"))
             var broke = false
+            var aborted = false
             if (args.get("parallel").exists(_.equalsIgnoreCase("yes"))) {
               // parallel=yes: branches replicated and run concurrently
               // (`oph_workflow_parallel_fco`, engine.c:1207) — each
@@ -239,24 +261,31 @@ final class Engine(
                   finally spark.sparkContext.clearJobGroup()
                 }
               }
-              // propagate break: sequential loops stop on break, the
-              // parallel form reports it once all branches settle
-              broke = Await.result(Future.sequence(futs), Duration.Inf)
-                .exists(identity)
+              // propagate signals once all branches settle: break is
+              // consumed by this loop, abort propagates upward
+              val signals = Await.result(Future.sequence(futs), Duration.Inf)
+              broke = signals.contains(1)
+              aborted = signals.contains(2)
             } else {
               var idx = 0
-              while (idx < values.size && !broke) {
+              while (idx < values.size && !broke && !aborted) {
                 vars(key) = Workflow.Var(values(idx))
                 vars(s"$key&") = Workflow.Var((idx + 1).toString) // index form
-                broke = runBlock(i + 1, end, s"${iterSuffix}_${idx + 1}", vars)
+                runBlock(i + 1, end, s"${iterSuffix}_${idx + 1}", vars) match {
+                  case 1 => broke = true
+                  case 2 => aborted = true
+                  case _ =>
+                }
                 idx += 1
               }
             }
             // a break signal is CONSUMED here: it stops this loop's
-            // iterations and execution continues after oph_endfor
+            // iterations and execution continues after oph_endfor;
+            // an abort keeps propagating to the workflow root
             results(s"${t.name}$iterSuffix") = TaskResult(JobStatus.Completed,
               message = s"loop over ${values.size} values" +
                 (if (broke) " (broken early)" else ""))
+            if (aborted) return 2
             i = end + 1
 
           case "oph_if" | "oph_elseif" =>
@@ -277,11 +306,13 @@ final class Engine(
               }
               j = nextBranch(spec, j, endif)
             }
-            // execute only the selected branch
+            // execute only the selected branch; its break/abort
+            // signal propagates (break reaches the enclosing loop)
             var branchEnd = -1
+            var branchSignal = 0
             if (selected >= 0) {
               branchEnd = math.min(nextBranch(spec, selected, endif), endif)
-              runBlock(selected + 1, branchEnd, iterSuffix, vars)
+              branchSignal = runBlock(selected + 1, branchEnd, iterSuffix, vars)
             }
             // forward=yes: the selected branch's last output cube flows
             // through the block to dependants of the if/endif tasks
@@ -289,7 +320,8 @@ final class Engine(
             if (t.arguments.get("forward").map(sub)
                 .exists(_.equalsIgnoreCase("yes")) && selected >= 0) {
               val lastPid = (selected + 1 until branchEnd).reverseIterator
-                .flatMap(k => outPids.get(s"${spec.tasks(k).name}$iterSuffix"))
+                .flatMap(k => outPids.get(s"${spec.tasks(k).name}$iterSuffix")
+                  .orElse(outPids.get(spec.tasks(k).name))) // nested loops
                 .nextOption()
               lastPid.foreach { p =>
                 Seq(t.name, spec.tasks(endif).name).foreach { n =>
@@ -301,6 +333,7 @@ final class Engine(
             // mark branch heads
             results(s"${t.name}$iterSuffix") =
               TaskResult(JobStatus.Completed, message = "selection evaluated")
+            if (branchSignal != 0) return branchSignal
             i = endif + 1
 
           case "oph_endfor" | "oph_endif" | "oph_else" =>
@@ -406,20 +439,20 @@ final class Engine(
                     settled = true
                     t.onError match {
                       case "skip" | "continue" | "nop" | "repeat" => i += 1
-                      case "break" => return true
+                      case "break" => return 1
                       case _ =>
-                        // abort: mark the remainder
+                        // abort: mark the remainder and propagate
                         (i + 1 until until).foreach(k =>
                           results(s"${spec.tasks(k).name}$iterSuffix") =
                             TaskResult(JobStatus.Aborted))
-                        return false
+                        return 2
                     }
                 }
               }
             }
         }
       }
-      false
+      0
     }
 
     // finally: an exception escaping runBlock (bad oph_set value, bad

@@ -262,12 +262,48 @@ class WorkflowSpec extends SparkSpec {
          "arguments": ["operation=sum", "group_by=l_orderkey"],
          "dependencies": [{"task": "imp"}]}
       ]}""")
-    val r2 = e.runFrom(spec2, r1)
+    val r2 = e.runFrom(spec2, spec1, r1)
     assert(r2("imp").cubePid.get == importedPid)      // replayed
     assert(r2("agg").status == JobStatus.Completed)    // re-ran, fixed
     // only ONE new cube minted (the aggregate), no re-import
     assert(e.catalog.allCubes.size == cubesBefore + 1)
     assert(e.cube(r2("agg").cubePid.get).get.df.count() > 0)
+
+    // an EDITED completed task must NOT replay: changing the import's
+    // definition re-runs it instead of serving the stale cube
+    val spec3 = Workflow.parse(s"""{
+      "name": "wf", "tasks": [
+        {"name": "imp", "operator": "oph_importnc",
+         "arguments": ["src_path=${sf("orders")}", "measure=o_totalprice",
+           "exp_dim=o_orderkey", "container=li"]},
+        {"name": "agg", "operator": "oph_aggregate",
+         "arguments": ["operation=sum", "group_by=o_orderkey"],
+         "dependencies": [{"task": "imp"}]}
+      ]}""")
+    val r3 = e.runFrom(spec3, spec1, r1)
+    assert(r3("imp").cubePid.get != importedPid)       // re-imported
+    assert(r3("agg").status == JobStatus.Completed)
+  }
+
+  test("runFrom break-in-if propagates to the enclosing loop") {
+    val e = engine()
+    // loop of 3; iteration task fails with on_error=break inside an if:
+    // the loop must stop early instead of running all iterations
+    val res = e.run(Workflow.parse("""{
+      "name": "wf", "tasks": [
+        {"name": "loop", "operator": "oph_for",
+         "arguments": ["key=n", "values=1|2|3"]},
+        {"name": "cond", "operator": "oph_if", "arguments": ["condition=1"]},
+        {"name": "bad", "operator": "oph_reduce",
+         "arguments": ["cube=http://localhost/9/9"], "on_error": "break"},
+        {"name": "fin", "operator": "oph_endif"},
+        {"name": "end", "operator": "oph_endfor"},
+        {"name": "after", "operator": "oph_set",
+         "arguments": ["key=a", "value=done"]}
+      ]}"""))
+    assert(res.contains("bad_1"))
+    assert(!res.contains("bad_2"))                    // loop broke early
+    assert(res("after").status == JobStatus.Completed) // but wf continued
   }
 
   test("oph_if forward=yes forwards the branch's cube past endif") {
