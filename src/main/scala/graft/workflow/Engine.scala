@@ -51,7 +51,7 @@ object Engine {
     "oph_for", "oph_endfor", "oph_if", "oph_elseif", "oph_else",
     "oph_endif", "oph_set", "oph_wait", "oph_input",
     "oph_cancel", "oph_manage_session", "oph_log_info", "oph_cluster",
-    "oph_get_config", "oph_resume", "oph_service")
+    "oph_get_config", "oph_resume", "oph_service", "oph_sql")
 
   /** Array-primitive surface (oph_primitives_list). */
   val primitiveList: Seq[String] = Seq(
@@ -943,6 +943,24 @@ final class Engine(
           args.getOrElse("id", "0").toInt,
           args.getOrElse("document_type", "response"))
         TaskResult(JobStatus.Completed, message = doc)
+
+      case "oph_sql" =>
+        // SQL passthrough over the catalog: every live cube's flattened
+        // relational view registers as `c<id>` (plus `<container>_<measure>`
+        // for the latest of each pair), then the query runs via spark.sql
+        // — the gap-analysis extension SURVEY §2.C names
+        val query = args.getOrElse("query",
+          throw new Engine.EngineError("oph_sql: missing 'query'"))
+        catalog.allCubes.foreach { e =>
+          cubes.get(e.pid(catalog)).foreach { c =>
+            val flat = c.flatten
+            flat.createOrReplaceTempView(s"c${e.id}")
+            flat.createOrReplaceTempView(
+              s"${catalog.containerNameOf(e)}_${e.measure}"
+                .replaceAll("[^A-Za-z0-9_]", "_"))
+          }
+        }
+        TaskResult(JobStatus.Completed, df = Some(spark.sql(query)))
 
       case "oph_service" =>
         TaskResult(JobStatus.Completed, message = "status=up")

@@ -134,6 +134,32 @@ class CatalogSpec extends AnyFunSuite {
     intercept[MassiveFilter.FilterError](ids(fixture(), "[nope=1]"))
   }
 
+  test("negated container / container_pid / cube_filter forms") {
+    val cat = fixture()
+    assert(ids(cat, "[container!=containername;path=/;recursive=yes]") ==
+      Set(4L, 5L))
+    assert(ids(cat, "[container_pid!=http://localhost/2;recursive=yes]") ==
+      Set(1L, 2L, 3L))
+    assert(ids(cat, "[cube_filter!=2:4;recursive=yes]") == Set(1L, 5L))
+    assert(ids(cat, "[metadata_key!=key]") == Set(2L, 3L))
+  }
+
+  test("recursive path with depth bound in the filter grammar") {
+    val cat = new Catalog("sess")
+    val top = cat.createContainer("t", "/")
+    val deep = cat.createContainer("d", "/a/b")
+    cat.addCube(top.id, "m")   // id 1 at /sess
+    cat.addCube(deep.id, "m")  // id 2 at /sess/a/b
+    assert(ids(cat, "[path=/;recursive=yes]") == Set(1L, 2L))
+    assert(ids(cat, "[path=/;recursive=yes;depth=1]") == Set(1L))
+    assert(ids(cat, "[path=/;recursive=yes;depth=2]") == Set(1L, 2L))
+  }
+
+  test("cube_filter 'end' resolves to the max cube id") {
+    val cat = fixture()
+    assert(ids(cat, "[cube_filter=3:end;recursive=yes]") == Set(3L, 4L, 5L))
+  }
+
   // ----------------------------------------------------- VFS / DDL
 
   test("mkdir/resolve/mv") {

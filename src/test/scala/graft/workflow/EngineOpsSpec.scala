@@ -110,6 +110,23 @@ class EngineOpsSpec extends SparkSpec {
     assert(all.df.get.count() == 5)
   }
 
+  test("oph_sql runs SQL over registered cube views") {
+    val e = engine()
+    val imp = e.runDataOperator("oph_importnc", Map(
+      "src_path" -> sf("lineitem"), "measure" -> "l_quantity",
+      "exp_dim" -> "l_orderkey|l_linenumber", "container" -> "li"))
+    val id = imp.cubePid.get.split("/").last
+    val r = e.runDataOperator("oph_sql", Map(
+      "query" -> s"SELECT count(*) AS n, round(sum(l_quantity), 2) AS s FROM c$id"))
+    val row = r.df.get.collect()(0)
+    assert(row.getLong(0) > 0)
+    // the container_measure alias view works too
+    val r2 = e.runDataOperator("oph_sql", Map(
+      "query" -> "SELECT max(l_orderkey) AS m FROM li_l_quantity"))
+    assert(r2.df.get.collect()(0).getLong(0) > 0)
+    intercept[Engine.EngineError](e.runDataOperator("oph_sql", Map.empty))
+  }
+
   test("explorenc describes a raw source") {
     val e = engine()
     val r = e.runDataOperator("oph_explorenc", Map("src_path" -> sf("region")))
