@@ -118,6 +118,23 @@ object MassiveFilter {
     add("parent_cube") { v =>
       val id = v.split("/").last.toLong
       e => e.parents.contains(id) }
+    // file= glob matches the BASENAME of the cube's source file
+    // (`oph_massive_operations.c:211-214` file clause); convention=
+    // accepts only the cmip5 layout — anything else is an error, never
+    // a silent select-all
+    add("file") { v =>
+      val res = multi(v).map(globRegex)
+      e => e.metadata.get("source").exists { s =>
+        val base = s.split('/').last
+        res.exists(_.matches(base))
+      }
+    }
+    g.filters.get("convention").foreach { v =>
+      if (!v.equalsIgnoreCase("cmip5"))
+        throw new FilterError(s"unknown convention '$v'")
+      preds += ((e => e.metadata.get("source").exists(s =>
+        isCmip5(s.split('/').last)), false))
+    }
     add("metadata_key") { v => val keys = multi(v)
       g.filters.get("metadata_value") match {
         case Some(mv) =>
@@ -163,5 +180,74 @@ object MassiveFilter {
     val fromPids = spec.explicitPids.flatMap(p =>
       catalog.cube(p.split("/").last.toLong))
     (fromGroups ++ fromPids).distinctBy(_.id)
+  }
+
+  /** Glob (`*`/`?`) to anchored regex. */
+  private def globRegex(glob: String): scala.util.matching.Regex =
+    glob.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".contains(c) => s"\\$c"
+      case c => c.toString
+    }.r
+
+  /** CMIP5 DRS filename: `var_table_model_experiment_ensemble[_time].ext`
+    * — at least 5 '_'-separated fields (the reference's
+    * `convention=cmip5` file harvesting, `oph_massive_operations.c`). */
+  private def isCmip5(basename: String): Boolean =
+    basename.takeWhile(_ != '.').split('_').count(_.nonEmpty) >= 5
+
+  /**
+   * Massive SRC_PATH fan-out (`oph_massive_operations.c:196-320`): a
+   * `[path=...;file=...;recursive=yes;depth=n;convention=cmip5]` value
+   * expands to the matching FILES on the local filesystem — one light
+   * task (one import) per file. Driver-side directory walk: listing is
+   * metadata work, exactly like the reference delegating to its FS
+   * service; the heavy lifting (the reads) happens in the fanned-out
+   * Spark jobs.
+   */
+  def expandFiles(value: String, cwd: String = "/"): Seq[String] = {
+    val spec = parse(value)
+    val fromGroups = spec.groups.flatMap { g =>
+      g.filters.keys.foreach { k =>
+        if (!Set("path", "file", "recursive", "depth", "convention", "run",
+            "measure", "cdd").contains(k))
+          throw new FilterError(s"unknown src_path filter '$k'")
+      }
+      val root = new java.io.File(g.filters.getOrElse("path", cwd))
+      if (!root.isDirectory)
+        throw new FilterError(s"src_path '${root.getPath}' is not a directory")
+      val recursive = g.filters.get("recursive").exists(_.equalsIgnoreCase("yes"))
+      val depth = g.filters.get("depth").map(_.toInt).getOrElse(0)
+      val fileRes = g.filters.get("file")
+        .map(v => v.split('|').toSeq.map(_.trim).filter(_.nonEmpty).map(globRegex))
+        .getOrElse(Seq.empty)
+      val wantCmip5 = g.filters.get("convention") match {
+        case Some(v) if v.equalsIgnoreCase("cmip5") => true
+        case Some(v) => throw new FilterError(s"unknown convention '$v'")
+        case None => false
+      }
+      // a DIRECTORY is a leaf data source (not a folder to descend)
+      // when it looks like one: a parquet/Spark output dir (_SUCCESS
+      // marker or a data-file extension in its name) or a file-glob hit
+      def isDataDir(f: java.io.File): Boolean =
+        new java.io.File(f, "_SUCCESS").exists ||
+          f.getName.matches(".*\\.(parquet|orc|csv|nc)$") ||
+          (fileRes.nonEmpty && fileRes.exists(_.matches(f.getName)))
+      def walk(dir: java.io.File, d: Int): Seq[java.io.File] = {
+        val entries = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        entries.flatMap { f =>
+          if (f.isFile) Seq(f)
+          else if (isDataDir(f)) Seq(f)
+          else if (recursive && (depth <= 0 || d < depth)) walk(f, d + 1)
+          else Seq.empty
+        }
+      }
+      walk(root, 0)
+        .filter(f => fileRes.isEmpty || fileRes.exists(_.matches(f.getName)))
+        .filter(f => !wantCmip5 || isCmip5(f.getName))
+        .map(_.getPath).sorted
+    }
+    (fromGroups ++ spec.explicitPids).distinct
   }
 }

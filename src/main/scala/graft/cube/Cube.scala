@@ -152,6 +152,37 @@ object CubeOps {
   private def filter_positions(arr: Column, p: Column => Column): Column =
     filter(arr, (_: Column, i0: Column) => p(i0 + lit(1)))
 
+  /** Index subset along ONE named implicit dim of a 2-implicit-dim
+    * cube: per-dim position filters via row-major stride arithmetic
+    * (outer dim i1 = k/n2 + 1, inner dim i2 = k%n2 + 1) — in-cell,
+    * executor-local, and the surviving shape metadata is updated. */
+  def subsetImplicit2(cube: Cube, dim: String, filterStr: String): Cube = {
+    require(cube.desc.implicitDims.size == 2,
+      "subsetImplicit2 expects 2 implicit dims")
+    val Seq(d1, d2) = cube.desc.implicitDims
+    val n1 = d1.size.getOrElse(
+      throw new IllegalArgumentException(s"dim ${d1.name} has no size"))
+    val n2 = d2.size.getOrElse(
+      throw new IllegalArgumentException(s"dim ${d2.name} has no size"))
+    val alongOuter = dim == d1.name
+    require(alongOuter || dim == d2.name, s"no implicit dim '$dim'")
+    val spec = Subset.parse(filterStr, Some(if (alongOuter) n1 else n2))
+    val m = cube.desc.measure
+    def dimIndex(i0: Column): Column =
+      if (alongOuter) floor(i0 / n2.toInt).cast("long") + 1
+      else pmod(i0, lit(n2.toInt)).cast("long") + 1
+    val df = cube.df.withColumn(m,
+      filter(cube.df(m), (_: Column, i0: Column) =>
+        spec.toLambda(dimIndex(i0))))
+    val kept = spec.indices.count(i => i >= 1 &&
+      i <= (if (alongOuter) n1 else n2))
+    val newDims =
+      if (alongOuter) Seq(d1.copy(size = Some(kept.toLong)), d2)
+      else Seq(d1, d2.copy(size = Some(kept.toLong)))
+    Cube(df, cube.desc.copy(implicitDims = newDims,
+      level = cube.desc.level + 1, sourceTask = Some("oph_subset")))
+  }
+
   // -------------------------------------------------------------------
   // oph_reduce / oph_reduce2 — collapse IMPLICIT dims
   // (`src/oph_json/oph_json_objkeys.h:96-97`)
@@ -276,6 +307,34 @@ object CubeOps {
       level = cube.desc.level + 1, sourceTask = Some("oph_aggregate")))
   }
 
+  /**
+   * oph_aggregate over an ARRAY-measure cube: collapse explicit dims
+   * ELEMENTWISE — cell i of the output array aggregates cell i across
+   * the collapsed rows, the reference's normal fragment-collapse path
+   * for array cubes (fragment partial then global final, two-phase).
+   *
+   * Spark-first shape: a binary zip_with combine is an algebraic
+   * aggregate, so `reduceGroups`-style pairwise folding via
+   * `aggregate`+`zip_with` inside groupBy gets map-side partial
+   * aggregation for free. avg carries (sum, count) and finalizes —
+   * mergeable at any tree depth, safe at 1000 executors.
+   * Requires index-aligned arrays (same implicit-dim grid), which the
+   * build invariant guarantees; the first row's __dim companion is kept.
+   */
+  def aggregateArrays(cube: Cube, keepDims: Seq[String], op: String): Cube = {
+    require(cube.hasImplicit, "aggregateArrays needs an array measure")
+    val m = cube.desc.measure
+    val dimCols = cube.desc.implicitDims.map(d => s"__dim_${d.name}")
+    val combine = graft.functions.ArrayCombine(op)
+    val out = cube.df.groupBy(keepDims.map(col): _*)
+      .agg(combine(col(m).cast("array<double>")).as(m),
+        dimCols.map(c => first(col(c)).as(c)): _*)
+    Cube(out, cube.desc.copy(
+      explicitDims = cube.desc.explicitDims.filter(d => keepDims.contains(d.name)),
+      measureType = "double",
+      level = cube.desc.level + 1, sourceTask = Some("oph_aggregate")))
+  }
+
   /** oph_aggregate2: aggregate grouped by a derived concept level of a
     * dimension (e.g. month of a date) — `groupBy(date_trunc)`. */
   def aggregate2(cube: Cube, dim: String, levelExpr: Column => Column,
@@ -330,7 +389,11 @@ object CubeOps {
       val den = sqrt(n * s2(x) - s1(x) * s1(x)) * sqrt(n * s2(y) - s1(y) * s1(y))
       when(den > 0, num / den)
     }
-    val bRen = b.df.withColumnRenamed(b.desc.measure, "__rhs")
+    // project b down to keys + measure BEFORE the join: b's __dim_*
+    // companions must not survive as duplicate columns beside a's
+    // (downstream flatten/drilldown would hit AMBIGUOUS_REFERENCE)
+    val bRen = b.df.select(
+      keys.map(col) :+ col(b.desc.measure).as("__rhs"): _*)
     val joined = a.df.join(bRen, keys)
     val out =
       if (op == "corr" && a.hasImplicit)

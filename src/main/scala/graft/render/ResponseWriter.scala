@@ -6,10 +6,18 @@ import graft.core._
 
 /**
  * JSON Response writer — renders the typed response object model
- * (grid / multidimgrid / tree / digraph / text) with the reference's
- * objkey vocabulary (`/root/reference/src/oph_json/oph_json_common.c`,
- * objkeys `oph_json_objkeys.h:27-173`; structures `oph_json_grid.h:38-47`,
+ * (grid / multidimgrid / tree / digraph / text) in the reference's wire
+ * format (`/root/reference/src/oph_json/oph_json_common.c:80-260`
+ * envelope, `:387-440` objcontent array; objkeys
+ * `oph_json_objkeys.h:27-173`; structures `oph_json_grid.h:38-47`,
  * `oph_json_multigrid.h:50-71`, `oph_json_tree.h:39-49`).
+ *
+ * Each response element is `{objkey, objclass, objcontent: [...]}` —
+ * the content fields (title/message/rowkeys/rowvalues) live inside the
+ * objcontent array, one entry per content fragment, exactly as
+ * PyOphidia-style consumers expect. The envelope's `source` carries the
+ * fixed reference keys (srckey/srcname/producer) plus free keys/values
+ * arrays (`oph_json_common.h:75-95`).
  *
  * The writer is driver-side by design: response objects are the
  * human-facing slice (explore/list/metadata outputs), never the data
@@ -36,21 +44,18 @@ object ResponseWriter {
   private def obj(fields: (String, String)*): String =
     fields.map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
 
-  /** Render one response object. */
-  def render(o: ResponseObject): String = o match {
-    case TextObj(objkey, title, message) =>
-      obj("objkey" -> q(objkey), "objclass" -> q("text"),
-        "title" -> q(title), "message" -> q(message))
-    case Grid(objkey, title, keys, fieldTypes, values) =>
-      obj("objkey" -> q(objkey), "objclass" -> q("grid"),
-        "title" -> q(title),
+  /** The objcontent fragment (reference `oph_json_obj_*` structs). */
+  private def content(o: ResponseObject): String = o match {
+    case TextObj(_, title, message) =>
+      obj("title" -> q(title), "message" -> q(message))
+    case Grid(_, title, keys, fieldTypes, values) =>
+      obj("title" -> q(title),
         "rowkeys" -> arr(keys.map(q)),
         "rowfieldtypes" -> arr(fieldTypes.map(q)),
         "rowvalues" -> arr(values.map(r => arr(r.map(q)))))
-    case MultiDimGrid(objkey, title, rowKeys, rowTypes, colKeys, colTypes,
+    case MultiDimGrid(_, title, rowKeys, rowTypes, colKeys, colTypes,
         colValues, measureName, measureType, values) =>
-      obj("objkey" -> q(objkey), "objclass" -> q("multidimgrid"),
-        "title" -> q(title),
+      obj("title" -> q(title),
         "rowkeys" -> arr(rowKeys.map(q)),
         "rowfieldtypes" -> arr(rowTypes.map(q)),
         "colkeys" -> arr(colKeys.map(q)),
@@ -59,10 +64,8 @@ object ResponseWriter {
         "measurename" -> q(measureName),
         "measuretype" -> q(measureType),
         "rowvalues" -> arr(values.map(r => arr(r.map(q)))))
-    case GraphObj(objkey, title, directed, nodeKeys, nodes, links) =>
-      obj("objkey" -> q(objkey),
-        "objclass" -> q(if (directed) "digraph" else "graph"),
-        "title" -> q(title),
+    case GraphObj(_, title, _, nodeKeys, nodes, links) =>
+      obj("title" -> q(title),
         "nodekeys" -> arr(nodeKeys.map(q)),
         "nodevalues" -> arr(nodes.map(n => arr(n.values.map(q)))),
         "links" -> arr(links.map(l => obj(
@@ -71,14 +74,41 @@ object ResponseWriter {
           "source" -> q(l.node1.toString)))))
   }
 
-  /** Render a full response envelope (source + consumers + objects),
-    * following `oph_json_common.h:60-72`. */
-  def render(r: Response): String =
+  private def objclass(o: ResponseObject): String = o match {
+    case _: TextObj => "text"
+    case _: Grid => "grid"
+    case _: MultiDimGrid => "multidimgrid"
+    case g: GraphObj => if (g.directed) "digraph" else "graph"
+  }
+
+  /** Render one response element `{objkey, objclass, objcontent:[...]}`
+    * (`oph_json_common.c:387-440`). */
+  def render(o: ResponseObject): String =
+    obj("objkey" -> q(o.objkey), "objclass" -> q(objclass(o)),
+      "objcontent" -> arr(Seq(content(o))))
+
+  /** Render a full response envelope, following
+    * `oph_json_common.c:80-260`: `source` holds the fixed reference keys
+    * (srckey/srcname/producer) and the remaining pairs as parallel
+    * keys/values arrays. */
+  def render(r: Response): String = {
+    val fixed = Seq("srckey" -> ("srckey", "session"),
+      "srcname" -> ("srcname", "workflow"), "producer" -> ("producer", ""))
+    def pick(primary: String, alias: String): Option[String] =
+      r.source.get(primary).orElse(r.source.get(alias))
+    val fixedFields = fixed.flatMap { case (out, (primary, alias)) =>
+      pick(primary, alias).map(v => out -> q(v))
+    }
+    val fixedKeys = fixed.flatMap { case (_, (p, a)) => Seq(p, a) }.toSet
+    val free = r.source.toSeq.filterNot(kv => fixedKeys(kv._1)).sortBy(_._1)
+    val sourceFields = fixedFields ++ Seq(
+      "keys" -> arr(free.map(kv => q(kv._1))),
+      "values" -> arr(free.map(kv => q(kv._2))))
     obj(
-      "source" -> obj(r.source.toSeq.sortBy(_._1)
-        .map { case (k, v) => k -> q(v) }: _*),
+      "source" -> obj(sourceFields: _*),
       "consumers" -> arr(r.consumers.map(q)),
       "response" -> arr(r.objects.map(render)))
+  }
 
   /** Build a Grid from a DataFrame (driver-side, capped collect). */
   def gridOf(objkey: String, title: String, df: DataFrame,

@@ -67,12 +67,41 @@ object Engine {
   val hierarchies: Map[String, Seq[String]] = Map(
     "oph_time" -> Seq("second", "minute", "hour", "day", "week", "month",
       "quarter", "year"))
+
+  /** Concept-level -> derived-column expression for aggregate2/reduce2
+    * over a time dimension (the reference's hierarchy XML levels). */
+  def conceptLevelExpr(level: String): (org.apache.spark.sql.Column
+      => org.apache.spark.sql.Column, String) = level.toLowerCase match {
+    case "year" => (d => date_format(d, "yyyy"), "year")
+    case "quarter" =>
+      (d => concat_ws("Q", date_format(d, "yyyy"),
+        quarter(d).cast("string")), "quarter")
+    case "month" => (d => date_format(d, "yyyy-MM"), "month")
+    case "week" => (d => concat_ws("W", date_format(d, "YYYY"),
+      lpad(weekofyear(d).cast("string"), 2, "0")), "week")
+    case "day" => (d => date_format(d, "yyyy-MM-dd"), "day")
+    case "hour" => (d => date_format(d, "yyyy-MM-dd HH"), "hour")
+    case "minute" => (d => date_format(d, "yyyy-MM-dd HH:mm"), "minute")
+    case "second" => (d => date_format(d, "yyyy-MM-dd HH:mm:ss"), "second")
+    case other =>
+      throw new Engine.EngineError(s"unknown concept level '$other'")
+  }
+
+  /** An oph_input message completing an input-wait: variable names and
+    * values to inject into the waiting scope, plus the action deciding
+    * the wait outcome (`oph_flow_control_operators.c:1234-1246`). */
+  final case class InputMessage(names: Seq[String], values: Seq[String],
+      action: String)
 }
 
 final class Engine(
     val spark: SparkSession,
     val catalog: Catalog,
-    val user: String = "graft") {
+    val user: String = "graft",
+    /** Injectable clock (oph_wait sleeps) — tests pass a no-op or a
+      * virtual clock; production uses the real one. The reference polls
+      * in 1 s steps (`oph_flow_control_operators.c:270`). */
+    val sleeper: Long => Unit = Thread.sleep(_)) {
 
   import Engine._
 
@@ -86,6 +115,29 @@ final class Engine(
     * oph_manage_session / oph_resume / oph_log_info backend). */
   val sessions = new graft.server.SessionService
   sessions.newSession(user, code = Some(catalog.sessionCode))
+
+  /** Input-wait registry: task name -> promise an oph_input completes
+    * (the reference's waiting-task table scanned by `oph_set_impl`'s
+    * has_action path, `oph_flow_control_operators.c:1336-1357`).
+    * Engine-level: the input typically arrives from ANOTHER workflow
+    * (or an async run) while this one blocks in oph_wait. */
+  private val inputWaits = scala.collection.concurrent.TrieMap[
+    String, scala.concurrent.Promise[Engine.InputMessage]]()
+
+  /** Deliver an oph_input to a waiting task. Target resolution mirrors
+    * the reference: exact taskname match, else THE single waiting task
+    * (ambiguous => error), `oph_flow_control_operators.c:1336-1356`. */
+  def deliverInput(taskname: Option[String], msg: Engine.InputMessage): Boolean = {
+    val target = taskname match {
+      case Some(n) => inputWaits.get(n)
+      case None =>
+        if (inputWaits.size > 1)
+          throw new Engine.EngineError(
+            "oph_input: task not found or ambiguous")
+        inputWaits.headOption.map(_._2)
+    }
+    target.exists { p => p.trySuccess(msg) }
+  }
 
   def cube(pid: String): Option[Cube] = cubes.get(pid)
 
@@ -184,9 +236,12 @@ final class Engine(
     * oph_resume (`document_type=request`). `checkpointSkip` carries
     * replayable prior results (threaded explicitly — instance state
     * would race across concurrent runs). */
-  def run(spec: Workflow.Spec, requestJson: Option[String],
+  def run(spec0: Workflow.Spec, requestJson: Option[String],
       checkpointSkip: Map[String, TaskResult] = Map.empty): Map[String, TaskResult] = {
-    Workflow.validate(spec)
+    Workflow.validate(spec0)
+    // the reference schedules by readiness; our positional walk gets the
+    // same effect by topo-sorting each run of data tasks (ADVICE r2)
+    val spec = Workflow.reorderSegments(spec0)
     // synchronized: concurrent runAsync submissions must not mint the
     // same job-group id (lost-update on the shared counter)
     val wfId = synchronized { workflowSeq += 1; workflowSeq }
@@ -196,6 +251,9 @@ final class Engine(
     spark.sparkContext.setJobGroup(jobGroup, spec.name,
       interruptOnCancel = true)
     val results = scala.collection.concurrent.TrieMap[String, TaskResult]()
+    // (action, pid) pairs executed at workflow end — the reference's
+    // exit-cube list (`oph_workflow_define.h:72-79`)
+    val exitActions = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val initialVars = scala.collection.mutable.Map[String, Workflow.Var]()
     spec.variables.foreach { case (k, v) => initialVars(k) = Workflow.Var(v) }
 
@@ -339,51 +397,65 @@ final class Engine(
           case "oph_endfor" | "oph_endif" | "oph_else" =>
             i += 1 // structural markers; bodies handled by their openers
 
-          case "oph_set" =>
-            val args = t.arguments.map { case (k, v) => k -> sub(v) }
-            val key = args.getOrElse("key", "var")
-            val raw = args.getOrElse("value", "")
-            val value = args.get("subset_filter") match {
-              case Some(m) if m.equalsIgnoreCase("yes") =>
-                val vs = raw.split('|').toSeq.map(_.trim).filter(_.nonEmpty)
-                  .map(_.toLong)
-                val off = args.get("offset").map(_.toLong).getOrElse(1L)
-                Subset.compress(vs, off)
-              case Some(m) if m.equalsIgnoreCase("real") =>
-                val vs = raw.split('|').toSeq.map(_.trim).filter(_.nonEmpty)
-                  .map(_.toDouble)
-                val off = args.get("offset").map(_.toDouble).getOrElse(0.0)
-                Subset.compressReal(vs, off)
-              case _ => raw
+          case "oph_set" | "oph_wait" | "oph_input" =>
+            // flow-control tasks honor on_error like data tasks: a bad
+            // timeout/key records an Error and follows skip/break/abort
+            val sig =
+              try {
+                val args = t.arguments.map { case (k, v) => k -> sub(v) }
+                op match {
+                  case "oph_set" =>
+                    val summary = setVariables(args, vars)
+                    results(s"${t.name}$iterSuffix") =
+                      TaskResult(JobStatus.Completed, message = summary)
+                    0
+                  case "oph_wait" =>
+                    val status = runWait(t.name, args, vars)
+                    results(s"${t.name}$iterSuffix") = TaskResult(status,
+                      message = s"wait ${status.toString.toLowerCase}")
+                    if (status == JobStatus.Aborted) 2 else 0
+                  case _ => // oph_input: oph_set with has_action — sets
+                    // variables AND can complete a waiting task
+                    // (`oph_set_impl(..., has_action=1)`)
+                    val names = splitMulti(args.getOrElse("key", ""))
+                    val values = splitMulti(args.getOrElse("value", ""))
+                    val action = args.getOrElse("action", "continue")
+                    if (!Set("continue", "abort", "wait").contains(action))
+                      throw new Engine.EngineError(
+                        s"oph_input: wrong action '$action'")
+                    val delivered = deliverInput(args.get("taskname"),
+                      Engine.InputMessage(names, values, action))
+                    // also visible in the current scope (same-workflow)
+                    val summary =
+                      if (names.nonEmpty)
+                        setVariables(args - "action" - "taskname", vars)
+                      else ""
+                    results(s"${t.name}$iterSuffix") =
+                      TaskResult(JobStatus.Completed,
+                        message = (if (delivered) "input delivered"
+                          else "input set") +
+                          (if (summary.nonEmpty) s"; $summary" else ""))
+                    0
+                }
+              } catch {
+                case e: Exception =>
+                  results(s"${t.name}$iterSuffix") =
+                    TaskResult(JobStatus.Error, message = e.getMessage)
+                  t.onError match {
+                    case "skip" | "continue" | "nop" | "repeat" => 0
+                    case "break" => 1
+                    case _ => 2
+                  }
+              }
+            sig match {
+              case 1 => return 1
+              case 2 =>
+                (i + 1 until until).foreach(k =>
+                  results(s"${spec.tasks(k).name}$iterSuffix") =
+                    TaskResult(JobStatus.Aborted))
+                return 2
+              case _ => i += 1
             }
-            vars(key) = Workflow.Var(value)
-            results(s"${t.name}$iterSuffix") =
-              TaskResult(JobStatus.Completed, message = s"$key=$value")
-            i += 1
-
-          case "oph_wait" =>
-            val args = t.arguments.map { case (k, v) => k -> sub(v) }
-            val timeout = args.get("timeout").map(_.toLong).getOrElse(0L)
-            args.getOrElse("type", "clock") match {
-              case "clock" => if (timeout > 0) Thread.sleep(math.min(timeout, 10) * 100)
-              case "file" =>
-                val f = new java.io.File(args.getOrElse("filename", ""))
-                val deadline = System.currentTimeMillis + timeout * 1000
-                while (!f.exists && System.currentTimeMillis < deadline)
-                  Thread.sleep(50)
-              case _ =>
-            }
-            results(s"${t.name}$iterSuffix") =
-              TaskResult(JobStatus.Completed, message = "wait done")
-            i += 1
-
-          case "oph_input" =>
-            val args = t.arguments.map { case (k, v) => k -> sub(v) }
-            args.get("key").foreach(k =>
-              vars(k) = Workflow.Var(args.getOrElse("value", "")))
-            results(s"${t.name}$iterSuffix") =
-              TaskResult(JobStatus.Completed, message = "input set")
-            i += 1
 
           case _ =>
             if (!t.run) {
@@ -402,16 +474,32 @@ final class Engine(
             } else {
               synchronized { markerId += 1 }
               val args = t.arguments.map { case (k, v) => k -> sub(v) }
-              // dependency cube harvesting: inject the parent's output,
-              // preferring THIS iteration's instance — parallel for
-              // branches must not read a sibling branch's cube
+              // dependency output harvesting, preferring THIS
+              // iteration's instance — parallel for branches must not
+              // read a sibling branch's cube. Deps with an explicit
+              // `argument` (type all|single) inject into that slot,
+              // ordered by `order` and '|'-joined when several target
+              // the same slot (`oph_workflow_structs.h:83-102`);
+              // embedded deps keep the legacy single-`cube` fallback.
+              def depPid(d: Workflow.Dependency): Option[String] =
+                outPids.get(s"${d.task}$iterSuffix")
+                  .orElse(outPids.get(d.task))
+              val explicitDeps = t.dependencies
+                .filter(_.depType != "embedded") // argument default "cube"
+              val routed = explicitDeps.groupBy(_.argument.getOrElse("cube"))
+                .foldLeft(args) { case (m, (argName, ds)) =>
+                  if (m.contains(argName)) m
+                  else {
+                    val pids = ds.sortBy(_.order).flatMap(depPid)
+                    if (pids.isEmpty) m else m + (argName -> pids.mkString("|"))
+                  }
+                }
               val withCube: Map[String, String] =
-                if (args.contains("cube") || t.dependencies.isEmpty) args
+                if (routed.contains("cube") || t.dependencies.isEmpty) routed
                 else t.dependencies.reverseIterator
-                  .flatMap(d => outPids.get(s"${d.task}$iterSuffix")
-                    .orElse(outPids.get(d.task)))
+                  .flatMap(depPid)
                   .nextOption()
-                  .map(p => args + ("cube" -> p)).getOrElse(args)
+                  .map(p => routed + ("cube" -> p)).getOrElse(routed)
               // on_error=repeat retries with linear backoff before
               // giving up (reference auto-retry, engine.c:860-877)
               val maxAttempts = if (t.onError == "repeat") 3 else 1
@@ -425,6 +513,12 @@ final class Engine(
                   r.cubePid.foreach { p =>
                     outPids(s"${t.name}$iterSuffix") = p
                     outPids(t.name) = p
+                    // on_exit: collect this task's output for the
+                    // workflow-end exit action
+                    // (`oph_workflow_define.h:77-79`)
+                    if (t.onExit == "oph_delete" ||
+                        t.onExit == "oph_deletecontainer")
+                      exitActions += ((t.onExit, p))
                   }
                   i += 1
                   settled = true
@@ -463,6 +557,23 @@ final class Engine(
     try runBlock(0, spec.tasks.size, "", initialVars)
     finally {
       spark.sparkContext.clearJobGroup()
+      // exit actions: drop intermediate cubes flagged on_exit=oph_delete
+      // (containers for oph_deletecontainer) exactly once, tolerating
+      // cubes already deleted mid-workflow
+      exitActions.distinct.foreach { case (action, pid) =>
+        try {
+          if (action == "oph_deletecontainer") {
+            cubes.remove(pid)
+            catalog.container(pid.split("/").dropRight(1).last.toLong)
+              .foreach(c => catalog.deleteContainer(c.name, "/", force = true))
+          } else if (cubes.remove(pid).isDefined)
+            catalog.deleteCube(idOf(pid))
+          sessions.log(s"on_exit $action applied to $pid")
+        } catch {
+          case e: Exception =>
+            sessions.log(s"on_exit $action failed for $pid: ${e.getMessage}")
+        }
+      }
       val summary = results.toSeq.sortBy(_._1).map { case (k, v) =>
         s"$k=${v.status}${v.cubePid.map(p => s"($p)").getOrElse("")}"
       }.mkString(";")
@@ -470,6 +581,161 @@ final class Engine(
         requestJson.getOrElse(spec.name), summary)
     }
     results.toMap
+  }
+
+  // --------------------------------------------- flow-control helpers
+
+  private def splitMulti(s: String): Seq[String] =
+    if (s.isEmpty) Seq.empty
+    else s.split('|').toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /**
+   * oph_set variable assignment with the reference's multi-`key`
+   * semantics (`oph_flow_control_operators.c:1359-1430`): `key=a|b`
+   * zips names to '|'-split values; a single name with an array value
+   * receives the WHOLE array while `name_1..n` receive the elements;
+   * surplus values land in `name_<j+1>`. `subset_filter=yes|real`
+   * compresses the value list to a subset string first.
+   */
+  private def setVariables(args: Map[String, String],
+      vars: scala.collection.mutable.Map[String, Workflow.Var]): String = {
+    val names = splitMulti(args.getOrElse("key", "var"))
+    names.foreach { n =>
+      if (!n.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        throw new Engine.EngineError(s"oph_set: invalid variable name '$n'")
+    }
+    val raw = args.getOrElse("value", "")
+    val value = args.get("subset_filter") match {
+      case Some(m) if m.equalsIgnoreCase("yes") =>
+        val vs = splitMulti(raw).map(_.toLong)
+        val off = args.get("offset").map(_.toLong).getOrElse(1L)
+        Subset.compress(vs, off)
+      case Some(m) if m.equalsIgnoreCase("real") =>
+        val vs = splitMulti(raw).map(_.toDouble)
+        val off = args.get("offset").map(_.toDouble).getOrElse(0.0)
+        Subset.compressReal(vs, off)
+      case _ => raw
+    }
+    // no value: names bind their 1-based position (reference ivalue)
+    val values0 = splitMulti(value)
+    val values =
+      if (values0.isEmpty) names.indices.map(j => (j + 1).toString)
+      else values0
+    if (values.size < names.size)
+      throw new Engine.EngineError(
+        "oph_set: bad number of keys in parameter 'value'")
+    // names[0]_1 always carries the first value (reference repeat step)
+    vars(s"${names.head}_1") = Workflow.Var(values.head)
+    if (names.size == 1 && values.size > 1) {
+      vars(names.head) = Workflow.Var(values.mkString("|"))
+      values.zipWithIndex.drop(1).foreach { case (v, j) =>
+        vars(s"${names.head}_${j + 1}") = Workflow.Var(v)
+      }
+    } else {
+      names.zip(values).foreach { case (n, v) => vars(n) = Workflow.Var(v) }
+      (names.size until values.size).foreach { j =>
+        vars(s"${names.head}_${j - names.size + 2}") = Workflow.Var(values(j))
+      }
+    }
+    names.zip(values).map { case (n, v) => s"$n=$v" }.mkString(";")
+  }
+
+  /**
+   * oph_wait (`oph_flow_control_operators.c:144-360,2040-2212`):
+   * type=clock sleeps the REAL timeout (1 s poll steps through the
+   * injectable `sleeper`); type=file polls a path (or an http(s) HEAD)
+   * until it exists; type=input blocks until an oph_input targets this
+   * task — applying its variables and action — or the timeout passes.
+   * `timeout_type=deadline` converts a 'yyyy-MM-dd HH:mm:ss' date to a
+   * remaining duration (`:2187-2204`). Negative timeout = infinite,
+   * only for type=input (`:2206-2212`).
+   */
+  private def runWait(taskName: String, args: Map[String, String],
+      vars: scala.collection.mutable.Map[String, Workflow.Var]): JobStatus.Value = {
+    val wtype = args.getOrElse("type", "clock")
+    if (!Set("clock", "file", "input").contains(wtype))
+      throw new Engine.EngineError(s"oph_wait: wrong type '$wtype'")
+    val ttype = args.getOrElse("timeout_type", "duration")
+    if (!Set("duration", "deadline").contains(ttype))
+      throw new Engine.EngineError(s"oph_wait: wrong timeout type '$ttype'")
+    val timeoutSec: Long = args.get("timeout") match {
+      case Some(tstr) if ttype == "deadline" =>
+        val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+        val epoch =
+          try fmt.parse(tstr).getTime / 1000
+          catch {
+            case _: java.text.ParseException => throw new Engine.EngineError(
+              s"oph_wait: date conversion error for '$tstr'")
+          }
+        // a deadline already passed = no wait (clamped, not an error)
+        math.max(0L, epoch - System.currentTimeMillis / 1000)
+      case Some(t) => t.toLong
+      case None => if (wtype == "input") -1L else 0L
+    }
+    if (timeoutSec < 0 && wtype != "input")
+      throw new Engine.EngineError(
+        "oph_wait: timeout can be infinity only for type 'input'")
+
+    def httpHead(url: String): Boolean =
+      try {
+        val c = new java.net.URL(url).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod("HEAD")
+        c.setConnectTimeout(2000); c.setReadTimeout(2000)
+        val code = c.getResponseCode
+        code >= 200 && code < 400
+      } catch { case _: Exception => false }
+
+    wtype match {
+      case "clock" =>
+        var c = 0L
+        while (c < timeoutSec) { sleeper(1000); c += 1 }
+        JobStatus.Completed
+      case "file" =>
+        val fname = args.getOrElse("filename", args.getOrElse("output", ""))
+        if (fname.isEmpty)
+          throw new Engine.EngineError("oph_wait: empty parameter 'filename'")
+        def exists(): Boolean =
+          if (fname.startsWith("http")) httpHead(fname)
+          else new java.io.File(fname).exists
+        var c = 0L
+        var found = exists()
+        while (!found && c < timeoutSec) {
+          sleeper(1000); c += 1; found = exists()
+        }
+        // a timeout also completes the task — the reference flips the
+        // waiting status to COMPLETED either way (`:300-330`)
+        JobStatus.Completed
+      case _ => // input
+        var promise = scala.concurrent.Promise[Engine.InputMessage]()
+        inputWaits(taskName) = promise
+        try {
+          var c = 0L
+          var outcome: Option[JobStatus.Value] = None
+          while (outcome.isEmpty) {
+            promise.future.value match {
+              case Some(scala.util.Success(msg)) =>
+                if (msg.names.nonEmpty)
+                  setVariables(Map("key" -> msg.names.mkString("|"),
+                    "value" -> msg.values.mkString("|")), vars)
+                msg.action match {
+                  case "abort" => outcome = Some(JobStatus.Aborted)
+                  case "wait" => // stay waiting on a fresh promise
+                    promise = scala.concurrent.Promise[Engine.InputMessage]()
+                    inputWaits(taskName) = promise
+                  case _ => outcome = Some(JobStatus.Completed)
+                }
+              case Some(scala.util.Failure(e)) =>
+                throw new Engine.EngineError(s"oph_wait: ${e.getMessage}")
+              case None =>
+                if (timeoutSec >= 0 && c >= timeoutSec)
+                  outcome = Some(JobStatus.Completed) // timeout ends the wait
+                else { sleeper(1000); c += 1 }
+            }
+          }
+          outcome.get
+        } finally inputWaits.remove(taskName)
+    }
   }
 
   /** Index of the matching closer for the opener at `start`. */
@@ -544,6 +810,21 @@ final class Engine(
         val path = args.getOrElse("src_path",
           args.getOrElse("input",
             throw new Engine.EngineError("import: missing src_path")))
+        // massive src_path: `[path=...;file=*x*;recursive=yes]` fans the
+        // import out over every matching FILE, one cube per file
+        // (`oph_massive_operations.c:222-258`)
+        if (path.contains("[")) {
+          val files = MassiveFilter.expandFiles(path)
+          if (files.isEmpty)
+            throw new Engine.EngineError(s"import: no files match $path")
+          if (!MassiveFilter.parse(path).runEnabled)
+            return TaskResult(JobStatus.Completed, message = files.mkString("|"))
+          val sub = files.map(f =>
+            runDataOperator(operator, args + ("src_path" -> f)))
+          return TaskResult(JobStatus.Completed,
+            cubePid = sub.lastOption.flatMap(_.cubePid),
+            message = sub.map(r => r.cubePid.getOrElse(r.message)).mkString("|"))
+        }
         val paths = path.split('|').toSeq // importncs: multi-file, one cube
         val measure = args.getOrElse("measure", "measure")
         val exp = args.get("exp_dim").map(_.split('|').toSeq).getOrElse(Seq.empty)
@@ -578,10 +859,17 @@ final class Engine(
         TaskResult(JobStatus.Completed, cubePid = Some(newPid))
 
       case "oph_randcube" | "oph_randcube2" =>
-        val c = CubeOps.randcube(spark,
-          args.getOrElse("nrows", "100").toLong,
-          args.getOrElse("array_length", "16").toInt,
-          args.getOrElse("seed", "42").toLong)
+        val nrows = args.getOrElse("nrows", "100").toLong
+        val seed = args.getOrElse("seed", "42").toLong
+        // dim_size=n1|n2 selects the 2-implicit-dim generator — the
+        // reference's multi-dim randcube2 (`oph_json_objkeys.h:104`)
+        val sizes = args.get("dim_size").map(_.split('|').toSeq.map(_.toInt))
+          .getOrElse(Seq(args.getOrElse("array_length", "16").toInt))
+        val c =
+          if (op == "oph_randcube2" || sizes.size == 2) {
+            val Seq(n1, n2) = sizes.padTo(2, 4).take(2)
+            CubeOps.randcube2(spark, nrows, n1, n2, seed)
+          } else CubeOps.randcube(spark, nrows, sizes.head, seed)
         val pid = register(c, args.getOrElse("container", "rand"),
           args.getOrElse("cwd", "/"), sourceTask = Some(op))
         TaskResult(JobStatus.Completed, cubePid = Some(pid))
@@ -608,9 +896,26 @@ final class Engine(
 
       case "oph_aggregate" | "oph_aggregate2" =>
         val (pid, c) = needCube()
-        val keep = args.get("group_by").map(_.split('|').toSeq)
-          .getOrElse(c.explicitDimNames.dropRight(1))
-        val out = CubeOps.aggregate(c, keep, args.getOrElse("operation", "sum"))
+        val operation = args.getOrElse("operation", "sum")
+        // concept_level routes through the hierarchy to the derived
+        // grouping expression — the real oph_aggregate2 path the
+        // reference drives from `concept_level`/`hierarchy` args
+        val out = args.get("concept_level") match {
+          case Some(levelName) =>
+            val hierarchy = args.getOrElse("hierarchy", "oph_time")
+            if (!Engine.hierarchies.getOrElse(hierarchy, Seq.empty)
+                .contains(levelName.toLowerCase))
+              throw new Engine.EngineError(
+                s"aggregate2: level '$levelName' not in hierarchy '$hierarchy'")
+            val dim = args.getOrElse("dim", c.explicitDimNames.last)
+            val (levelExpr, lname) = Engine.conceptLevelExpr(levelName)
+            CubeOps.aggregate2(c, dim, levelExpr, s"${dim}_$lname", operation)
+          case None =>
+            val keep = args.get("group_by").map(_.split('|').toSeq)
+              .getOrElse(c.explicitDimNames.dropRight(1))
+            if (c.hasImplicit) CubeOps.aggregateArrays(c, keep, operation)
+            else CubeOps.aggregate(c, keep, operation)
+        }
         val newPid = register(out, containerOf(pid), parents = Seq(idOf(pid)),
           sourceTask = Some(op))
         TaskResult(JobStatus.Completed, cubePid = Some(newPid))
@@ -665,9 +970,27 @@ final class Engine(
           sourceTask = Some(op))
         TaskResult(JobStatus.Completed, cubePid = Some(newPid))
 
-      case "oph_permute" =>
+      case "oph_permute" | "oph_permute2" =>
         val (pid, c) = needCube()
-        val out = CubeOps.permuteReverse(c)
+        // permutation_order names the implicit dims in their NEW order
+        // ('|' or ',' separated) — reference arg `permutation`
+        val order = args.get("permutation_order")
+          .orElse(args.get("permutation"))
+          .map(_.split("[|,]").toSeq.map(_.trim).filter(_.nonEmpty))
+        val dimNames = c.desc.implicitDims.map(_.name)
+        val out = order match {
+          case Some(want) if want == dimNames =>
+            CubeOps.duplicate(c) // identity permutation
+          case Some(want) if dimNames.size == 2 && want == dimNames.reverse =>
+            CubeOps.permute2(c)
+          case Some(want) if want.sorted != dimNames.sorted =>
+            throw new Engine.EngineError(
+              s"permute: '$op' order ${want.mkString(",")} does not match " +
+                s"implicit dims ${dimNames.mkString(",")}")
+          case Some(_) | None if op == "oph_permute2" ||
+              dimNames.size == 2 => CubeOps.permute2(c)
+          case _ => CubeOps.permuteReverse(c)
+        }
         val newPid = register(out, containerOf(pid), parents = Seq(idOf(pid)),
           sourceTask = Some(op))
         TaskResult(JobStatus.Completed, cubePid = Some(newPid))
@@ -809,13 +1132,19 @@ final class Engine(
         TaskResult(JobStatus.Completed, df = Some(raw.describe()))
 
       case "oph_inspectfrag" =>
-        // dump one fragment (= Spark partition): per-partition sample
+        // dump one fragment (= Spark partition): a single-partition
+        // runJob — NOT a full scan; at 100 TB only the target fragment's
+        // tasks run (`sc.runJob(rdd, f, Seq(frag))`)
         val (_, c) = needCube()
         val frag = args.getOrElse("frag_id", "0").toInt
         val limit = args.getOrElse("limit", "20").toInt
-        val rows = c.df.rdd.mapPartitionsWithIndex { (i, it) =>
-          if (i == frag) it.take(limit) else Iterator.empty
-        }.collect()
+        val rdd = c.df.rdd
+        if (frag < 0 || frag >= rdd.getNumPartitions)
+          throw new Engine.EngineError(
+            s"inspectfrag: no fragment $frag (0..${rdd.getNumPartitions - 1})")
+        val rows = spark.sparkContext.runJob(rdd,
+          (it: Iterator[org.apache.spark.sql.Row]) => it.take(limit).toArray,
+          Seq(frag)).head
         TaskResult(JobStatus.Completed,
           message = rows.map(_.toString).mkString("\n"))
 
@@ -983,7 +1312,12 @@ final class Engine(
     if (filterOpt.isEmpty) c
     else {
       val filter = filterOpt.get
-      if (dims.isEmpty || c.desc.implicitDims.exists(_.name == dims))
+      if (c.desc.implicitDims.size == 2 &&
+          c.desc.implicitDims.exists(_.name == dims))
+        // 2-implicit-dim cube: per-dim stride filter, NOT the flat
+        // head-dim filter (wrong per-dim semantics otherwise)
+        CubeOps.subsetImplicit2(c, dims, filter)
+      else if (dims.isEmpty || c.desc.implicitDims.exists(_.name == dims))
         CubeOps.subsetImplicit(c, filter,
           c.desc.implicitDims.headOption.flatMap(_.size))
       else if (subType == "coord") {

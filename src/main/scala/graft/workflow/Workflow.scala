@@ -15,10 +15,18 @@ import scala.jdk.CollectionConverters._
  */
 object Workflow {
 
+  /** Full dependency surface (`oph_workflow_structs.h:83-102`):
+    * `argument`/`order` name the dependent-task slot the harvested
+    * output lands in; `outputArgument`/`outputOrder` name which output
+    * of the producer to harvest; `depType` all|single|embedded. */
   final case class Dependency(
       task: String,
       argument: Option[String] = None,
-      depType: String = "embedded") // all | single | embedded
+      depType: String = "embedded", // all | single | embedded
+      order: Int = 0,
+      filter: String = "all",
+      outputArgument: String = "cube",
+      outputOrder: Int = 0)
 
   final case class Task(
       name: String,
@@ -26,7 +34,8 @@ object Workflow {
       arguments: Map[String, String] = Map.empty,
       dependencies: Seq[Dependency] = Seq.empty,
       onError: String = "abort", // nop|skip|continue|break|repeat|abort
-      run: Boolean = true)
+      run: Boolean = true,
+      onExit: String = "nop") // nop|oph_delete|oph_deletecontainer
 
   final case class Spec(
       name: String,
@@ -37,6 +46,12 @@ object Workflow {
       cwd: String = "/",
       cube: Option[String] = None,
       onError: String = "abort",
+      onExit: String = "nop",
+      checkpoint: Option[String] = None,   // `oph_workflow_parsing.c:283-290`
+      outputFormat: String = "classic",    // classic|compact (`:291-298`)
+      ncores: Option[Int] = None,
+      nhosts: Option[Int] = None,
+      hostPartition: Option[String] = None,
       variables: Map[String, String] = Map.empty,
       tasks: Seq[Task] = Seq.empty)
 
@@ -49,22 +64,39 @@ object Workflow {
     val n = mapper.readTree(json)
     def str(node: JsonNode, field: String, dflt: String): String =
       Option(node.get(field)).map(_.asText).getOrElse(dflt)
+    val wfOnError = str(n, "on_error", "abort")
+    val wfOnExit = str(n, "on_exit", "nop")
     val tasks = Option(n.get("tasks")).map(_.elements.asScala.toSeq)
       .getOrElse(Seq.empty).map { tn =>
         val args = Option(tn.get("arguments"))
           .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
-          .map(_.asText.split("=", 2))
-          .collect { case Array(k, v) => k -> v }.toMap
+          .map { an =>
+            // reject malformed pairs like the reference parser — a
+            // silently-dropped argument runs the operator with defaults
+            an.asText.split("=", 2) match {
+              case Array(k, v) => k -> v
+              case _ => throw new ValidationError(
+                s"malformed argument '${an.asText}' (expected key=value)")
+            }
+          }.toMap
         val deps = Option(tn.get("dependencies"))
           .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
           .map { dn =>
             Dependency(str(dn, "task", ""),
               Option(dn.get("argument")).map(_.asText),
-              str(dn, "type", "embedded"))
+              // reference default: argument present => "all", else
+              // "embedded" (`oph_workflow_parsing.c:592-596`)
+              str(dn, "type",
+                if (dn.has("argument")) "all" else "embedded"),
+              order = str(dn, "order", "0").toInt,
+              filter = str(dn, "filter", "all"),
+              outputArgument = str(dn, "output_argument", "cube"),
+              outputOrder = str(dn, "output_order", "0").toInt)
           }
         Task(str(tn, "name", ""), str(tn, "operator", ""), args, deps,
-          str(tn, "on_error", "abort"),
-          !str(tn, "run", "yes").equalsIgnoreCase("no"))
+          str(tn, "on_error", wfOnError),
+          !str(tn, "run", "yes").equalsIgnoreCase("no"),
+          onExit = str(tn, "on_exit", wfOnExit))
       }
     val vars = Option(n.get("variables")).map { vn =>
       vn.properties.asScala.map(e => e.getKey -> e.getValue.asText).toMap
@@ -77,9 +109,62 @@ object Workflow {
       execMode = str(n, "exec_mode", "sync"),
       cwd = str(n, "cwd", "/"),
       cube = Option(n.get("cube")).map(_.asText),
-      onError = str(n, "on_error", "abort"),
+      onError = wfOnError,
+      onExit = wfOnExit,
+      checkpoint = Option(n.get("checkpoint")).map(_.asText),
+      outputFormat = str(n, "output_format", "classic"),
+      ncores = Option(n.get("ncores")).map(_.asText.toInt),
+      nhosts = Option(n.get("nhost")).map(_.asText.toInt),
+      hostPartition = Option(n.get("host_partition")).map(_.asText),
       variables = vars,
       tasks = tasks)
+  }
+
+  private val flowOps = Set("oph_for", "oph_endfor", "oph_if", "oph_elseif",
+    "oph_else", "oph_endif")
+
+  /**
+   * Reorder data tasks into dependency order within each maximal run of
+   * consecutive non-flow-control tasks. The reference schedules by
+   * readiness, so a valid DAG may list a dependent before its producer
+   * (`oph_workflow_execute`); our executor walks the list positionally,
+   * so each segment is stably topo-sorted first. Flow-control markers
+   * stay put — their blocks are positional by definition.
+   */
+  def reorderSegments(spec: Spec): Spec = {
+    val byName = spec.tasks.zipWithIndex.map { case (t, i) => t.name -> i }.toMap
+    def sortSegment(seg: Seq[Task]): Seq[Task] = {
+      if (seg.size < 2) return seg
+      val segIdx = seg.map(t => byName(t.name)).toSet
+      // stable Kahn: among ready tasks, keep original listing order
+      val pending = scala.collection.mutable.ArrayBuffer(seg: _*)
+      val done = scala.collection.mutable.Set[String]()
+      val out = Seq.newBuilder[Task]
+      var progress = true
+      while (pending.nonEmpty && progress) {
+        progress = false
+        val i = pending.indexWhere(t => t.dependencies.forall(d =>
+          !segIdx.contains(byName.getOrElse(d.task, -1)) || done(d.task)))
+        if (i >= 0) {
+          val t = pending.remove(i)
+          done += t.name
+          out += t
+          progress = true
+        }
+      }
+      out ++= pending // cycle within segment: validate() rejects it anyway
+      out.result()
+    }
+    val tasks = Seq.newBuilder[Task]
+    val seg = scala.collection.mutable.ArrayBuffer[Task]()
+    spec.tasks.foreach { t =>
+      if (flowOps.contains(t.operator.toLowerCase)) {
+        tasks ++= sortSegment(seg.toSeq); seg.clear()
+        tasks += t
+      } else seg += t
+    }
+    tasks ++= sortSegment(seg.toSeq)
+    spec.copy(tasks = tasks.result())
   }
 
   /** Resolve dependency names to indices (oph_workflow_indexing). */

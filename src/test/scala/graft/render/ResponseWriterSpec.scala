@@ -9,11 +9,17 @@ class ResponseWriterSpec extends SparkSpec {
 
   private val mapper = new ObjectMapper()
 
-  test("text object renders valid JSON with objkey vocabulary") {
+  test("text object wraps content in an objcontent array (reference format)") {
     val json = ResponseWriter.render(TextObj("summary", "Status", "ok \"quoted\""))
     val n = mapper.readTree(json)
     assert(n.get("objclass").asText == "text")
-    assert(n.get("message").asText == "ok \"quoted\"")
+    assert(n.get("objkey").asText == "summary")
+    // title/message live INSIDE objcontent, not beside objkey
+    // (`oph_json_common.c:387-440`)
+    assert(n.get("message") == null)
+    val c = n.get("objcontent").get(0)
+    assert(c.get("title").asText == "Status")
+    assert(c.get("message").asText == "ok \"quoted\"")
   }
 
   test("grid from DataFrame caps rows and carries field types") {
@@ -23,20 +29,34 @@ class ResponseWriterSpec extends SparkSpec {
     assert(grid.keys == Seq("id", "name", "v"))
     assert(grid.fieldTypes == Seq("long", "string", "double"))
     assert(grid.values.size == 2)
-    val n = mapper.readTree(ResponseWriter.render(grid))
-    assert(n.get("rowvalues").size == 2)
-    assert(n.get("rowkeys").get(0).asText == "id")
+    val c = mapper.readTree(ResponseWriter.render(grid)).get("objcontent").get(0)
+    assert(c.get("rowvalues").size == 2)
+    assert(c.get("rowkeys").get(0).asText == "id")
+    assert(c.get("rowfieldtypes").get(0).asText == "long")
   }
 
-  test("full response envelope is valid JSON") {
+  test("full response envelope carries the fixed source keys") {
     val r = Response(
-      source = Map("srckey" -> "session", "producer" -> "graft"),
+      source = Map("srckey" -> "sess01", "producer" -> "graft",
+        "workflow" -> "wf1", "marker" -> "7"),
       consumers = Seq("user1"),
       objects = Seq(TextObj("status", "t", "m"),
         Grid("grid", "g", Seq("k"), Seq("string"), Seq(Seq("v")))))
     val n = mapper.readTree(ResponseWriter.render(r))
     assert(n.get("response").size == 2)
     assert(n.get("consumers").get(0).asText == "user1")
+    val src = n.get("source")
+    assert(src.get("srckey").asText == "sess01")
+    assert(src.get("srcname").asText == "wf1")
+    assert(src.get("producer").asText == "graft")
+    // free pairs land in the parallel keys/values arrays
+    assert(src.get("keys").get(0).asText == "marker")
+    assert(src.get("values").get(0).asText == "7")
+    // every response element follows {objkey, objclass, objcontent}
+    (0 until 2).foreach { i =>
+      val el = n.get("response").get(i)
+      assert(el.has("objkey") && el.has("objclass") && el.has("objcontent"))
+    }
   }
 
   test("multigrid renders a pivoted array cube") {
@@ -52,7 +72,7 @@ class ResponseWriterSpec extends SparkSpec {
     assert(mg.values.forall(_.length == 3)) // key + 2 measure cells
     val n = mapper.readTree(ResponseWriter.render(mg))
     assert(n.get("objclass").asText == "multidimgrid")
-    assert(n.get("measurename").asText == "v")
+    assert(n.get("objcontent").get(0).get("measurename").asText == "v")
   }
 
   test("provenance digraph from the catalog") {
@@ -66,6 +86,6 @@ class ResponseWriterSpec extends SparkSpec {
     assert(g.nodes.size == 3)
     assert(g.links.size == 2)
     val n = mapper.readTree(ResponseWriter.render(g))
-    assert(n.get("links").size == 2)
+    assert(n.get("objcontent").get(0).get("links").size == 2)
   }
 }

@@ -335,7 +335,7 @@ class WorkflowSpec extends SparkSpec {
       ]}"""))
     val json = e.renderResponse("wf", res)
     val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-    assert(n.get("source").get("workflow").asText == "wf")
+    assert(n.get("source").get("srcname").asText == "wf")
     val classes = (0 until n.get("response").size)
       .map(i => n.get("response").get(i).get("objclass").asText).toSet
     assert(classes == Set("text", "grid"))
