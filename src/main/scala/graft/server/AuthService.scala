@@ -1,0 +1,92 @@
+package graft.server
+
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+/**
+ * Credential store + token minting — the reference's `oph_auth.c`
+ * surface reduced to its semantics: users authenticate with
+ * user/password or with a bearer token (the reference models tokens as
+ * `userid=__token__, password=<token>`, `src/oph_auth.h:37,121`;
+ * password hashes via crypt, `oph_auth.c` user table). Failed attempts
+ * per host are throttled by a simple counter, mirroring the reference's
+ * block-list (`oph_is_in_bl`, `oph_auth.c:327`).
+ */
+object AuthService {
+  val TokenUser = "__token__" // `oph_auth.h:37`
+  val MaxAttempts = 5
+}
+
+final class AuthService {
+  import AuthService._
+
+  private val users =
+    scala.collection.concurrent.TrieMap[String, String]() // name -> pw hash
+  private val tokens =
+    scala.collection.concurrent.TrieMap[String, String]() // token -> name
+  private val failures =
+    scala.collection.concurrent.TrieMap[String, Int]()    // name -> attempts
+
+  /** Salted SHA-256 stand-in for the reference's crypt() hashes. */
+  private def hash(user: String, password: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    Base64.getEncoder.encodeToString(
+      d.digest(s"graft:$user:$password".getBytes(StandardCharsets.UTF_8)))
+  }
+
+  def addUser(name: String, password: String): Unit =
+    users(name) = hash(name, password)
+
+  def removeUser(name: String): Unit = {
+    users.remove(name)
+    tokens.filterInPlace { case (_, u) => u != name }
+  }
+
+  /** Check user/password; mints and returns a bearer token on success. */
+  def login(name: String, password: String): Option[String] = {
+    if (failures.getOrElse(name, 0) >= MaxAttempts) return None
+    if (users.get(name).contains(hash(name, password))) {
+      failures.remove(name)
+      val token = java.util.UUID.randomUUID().toString.replace("-", "")
+      tokens(token) = name
+      Some(token)
+    } else {
+      failures.updateWith(name) { c => Some(c.getOrElse(0) + 1) }
+      None
+    }
+  }
+
+  def checkToken(token: String): Option[String] = tokens.get(token)
+
+  def revokeToken(token: String): Unit = tokens.remove(token)
+
+  /**
+   * Resolve an HTTP Authorization header to a user name:
+   * `Bearer <token>`, `Basic base64(user:password)`, or
+   * `Basic base64(__token__:<token>)` (the reference's token-as-password
+   * convention). None = unauthenticated.
+   */
+  def authenticate(header: Option[String]): Option[String] =
+    header.map(_.trim).flatMap {
+      case h if h.regionMatches(true, 0, "Bearer ", 0, 7) =>
+        checkToken(h.substring(7).trim)
+      case h if h.regionMatches(true, 0, "Basic ", 0, 6) =>
+        val decoded =
+          try new String(Base64.getDecoder.decode(h.substring(6).trim),
+            StandardCharsets.UTF_8)
+          catch { case _: IllegalArgumentException => return None }
+        decoded.split(":", 2) match {
+          case Array(TokenUser, token) => checkToken(token)
+          case Array(user, password) =>
+            if (failures.getOrElse(user, 0) >= MaxAttempts) None
+            else if (users.get(user).contains(hash(user, password))) {
+              failures.remove(user); Some(user)
+            } else {
+              failures.updateWith(user) { c => Some(c.getOrElse(0) + 1) }
+              None
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+}

@@ -1,0 +1,199 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.core.JobStatus
+import graft.workflow.{Engine, Workflow}
+
+/**
+ * The HTTP/JSON service layer — the Spark-first equivalent of the
+ * reference's SOAP endpoint (`/root/reference/src/oph_execute_main.c:256`
+ * `oph__ophExecuteMain`): a request document goes in, a
+ * `{jobid, response, error}` envelope comes out, with the same error
+ * vocabulary (`src/oph_server_error.h:22-29`). The transport is plain
+ * HTTP/JSON (the payload the reference ships inside its SOAP body IS
+ * the workflow JSON) served by the JDK's built-in HttpServer — the
+ * server is control-plane only, so no Spark involvement in transport.
+ *
+ * Routes:
+ *  - `POST /services/execute` — body = workflow request JSON;
+ *    `exec_mode=sync` runs inline and returns the rendered Response,
+ *    `exec_mode=async` returns the minted jobid immediately.
+ *  - `GET /services/status?jobid=N` — lifecycle of an async job.
+ *  - `GET /services/resume?id=N&document_type=request|response` — the
+ *    saved document store (oph_resume over HTTP).
+ *  - `GET /services/info` — service liveness (oph_service).
+ *
+ * Authentication (`src/oph_auth.c`, token constants `oph_auth.h:37,121`):
+ * HTTP Basic `user:password`, Basic `__token__:<token>`, or
+ * `Authorization: Bearer <token>` — 401 without valid credentials.
+ * Authorization: executing requires the session's Execute role bit
+ * (`oph_auth.h:79-96` role model) — 403 otherwise.
+ */
+object HttpService {
+  // `src/oph_server_error.h:22-29`
+  val Ok = 0
+  val ErrUnknown = 1
+  val ErrNullPointer = 2
+  val ErrGeneric = 3
+  val ErrIo = 4
+  val ErrAuth = 5
+  val ErrSystem = 6
+  val ErrWrongParameter = 7
+
+  final case class Job(id: Int,
+      future: scala.concurrent.Future[Map[String, Engine.TaskResult]])
+}
+
+final class HttpService(
+    val engine: Engine,
+    val auth: AuthService,
+    port: Int = 0) {
+  import HttpService._
+
+  private var server: HttpServer = _
+  private val jobSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val jobs =
+    scala.collection.concurrent.TrieMap[Int, HttpService.Job]()
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): HttpService = {
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.setExecutor(Executors.newFixedThreadPool(8))
+    server.createContext("/services/execute", exchange =>
+      guard(exchange) { user => handleExecute(exchange, user) })
+    server.createContext("/services/status", exchange =>
+      guard(exchange) { _ => handleStatus(exchange) })
+    server.createContext("/services/resume", exchange =>
+      guard(exchange) { user => handleResume(exchange, user) })
+    server.createContext("/services/info", exchange =>
+      guard(exchange) { _ =>
+        reply(exchange, 200, s"""{"status":"up","error":$Ok}""")
+      })
+    server.start()
+    this
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // ------------------------------------------------------- handlers
+
+  /** Authenticate, run the handler, convert stray errors to 500s. */
+  private def guard(ex: HttpExchange)(body: String => Unit): Unit =
+    try {
+      auth.authenticate(Option(ex.getRequestHeaders.getFirst("Authorization"))) match {
+        case Some(user) => body(user)
+        case None =>
+          ex.getResponseHeaders.add("WWW-Authenticate", "Basic realm=\"graft\"")
+          reply(ex, 401, s"""{"error":$ErrAuth,"message":"authentication required"}""")
+      }
+    } catch {
+      case e: Exception =>
+        reply(ex, 500,
+          s"""{"error":$ErrSystem,"message":${quote(e.getMessage)}}""")
+    } finally ex.close()
+
+  private def handleExecute(ex: HttpExchange, user: String): Unit = {
+    if (ex.getRequestMethod != "POST")
+      return reply(ex, 405, s"""{"error":$ErrWrongParameter,"message":"POST only"}""")
+    val body = new String(ex.getRequestBody.readAllBytes, StandardCharsets.UTF_8)
+    if (body.trim.isEmpty)
+      return reply(ex, 400, s"""{"error":$ErrNullPointer,"message":"empty request"}""")
+    // authorization: the session's Execute role bit (`oph_auth.h:79-96`)
+    if (!engine.sessions.hasRole(engine.catalog.sessionCode, user,
+        SessionService.RoleExecute))
+      return reply(ex, 403,
+        s"""{"error":$ErrAuth,"message":"user '$user' lacks the execute role"}""")
+    val spec =
+      try Workflow.parse(body)
+      catch {
+        case e: Exception => return reply(ex, 400,
+          s"""{"error":$ErrWrongParameter,"message":${quote(e.getMessage)}}""")
+      }
+    try Workflow.validate(spec)
+    catch {
+      case e: Workflow.ValidationError => return reply(ex, 400,
+        s"""{"error":$ErrWrongParameter,"message":${quote(e.getMessage)}}""")
+    }
+    val jobid = jobSeq.incrementAndGet()
+    if (spec.execMode.equalsIgnoreCase("async")) {
+      jobs(jobid) = Job(jobid, engine.runAsync(spec, Some(body)))
+      reply(ex, 200, s"""{"jobid":$jobid,"error":$Ok,"response":null}""")
+    } else {
+      val results = engine.run(spec, Some(body))
+      val rendered = engine.renderResponse(spec.name, results)
+      val failed = results.values.exists(_.status == JobStatus.Error)
+      reply(ex, 200,
+        s"""{"jobid":$jobid,"error":${if (failed) ErrGeneric else Ok},""" +
+          s""""response":$rendered}""")
+    }
+  }
+
+  private def handleStatus(ex: HttpExchange): Unit = {
+    val jobid = query(ex).get("jobid").flatMap(_.toIntOption)
+    jobid.flatMap(jobs.get) match {
+      case None =>
+        reply(ex, 404, s"""{"error":$ErrWrongParameter,"message":"unknown jobid"}""")
+      case Some(job) =>
+        val status = job.future.value match {
+          case None => "running"
+          case Some(scala.util.Success(rs))
+            if rs.values.exists(_.status == JobStatus.Error) => "error"
+          case Some(scala.util.Success(_)) => "completed"
+          case Some(scala.util.Failure(_)) => "error"
+        }
+        reply(ex, 200,
+          s"""{"jobid":${job.id},"status":"$status","error":$Ok}""")
+    }
+  }
+
+  private def handleResume(ex: HttpExchange, user: String): Unit = {
+    val q = query(ex)
+    val code = q.getOrElse("session", engine.catalog.sessionCode)
+    val id = q.get("id").flatMap(_.toIntOption).getOrElse(0)
+    val docType = q.getOrElse("document_type", "response")
+    try {
+      val doc = engine.sessions.resume(code, user, id, docType)
+      reply(ex, 200, s"""{"error":$Ok,"document":${quote(doc)}}""")
+    } catch {
+      case e: SessionService.AuthError =>
+        reply(ex, 403, s"""{"error":$ErrAuth,"message":${quote(e.getMessage)}}""")
+      case _: NoSuchElementException =>
+        reply(ex, 404, s"""{"error":$ErrWrongParameter,"message":"no such document"}""")
+    }
+  }
+
+  // -------------------------------------------------------- helpers
+
+  private def query(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).map(_.split('&').toSeq
+      .flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k ->
+          java.net.URLDecoder.decode(v, StandardCharsets.UTF_8))
+        case _ => None
+      }).toMap).getOrElse(Map.empty)
+
+  private def quote(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}

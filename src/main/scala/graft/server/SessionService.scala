@@ -83,6 +83,12 @@ final class SessionService {
   private def roleOf(s: Session, user: String): Int =
     if (s.owner == user) RoleAll else s.roles.getOrElse(user, RoleNone)
 
+  /** Authorization check for the service layer: does `user` hold every
+    * bit of `mask` on session `code`? Unknown sessions grant nothing. */
+  def hasRole(code: String, user: String, mask: Int): Boolean = synchronized {
+    sessions.get(code).exists(s => (roleOf(s, user) & mask) == mask)
+  }
+
   private def require_(cond: Boolean, msg: String): Unit =
     if (!cond) throw new AuthError(msg)
 

@@ -1,0 +1,218 @@
+package graft.server
+
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.SparkSpec
+import graft.core.Catalog
+import graft.workflow.Engine
+
+/**
+ * End-to-end service-layer checks: POST the reference-shaped workflow
+ * request JSON over real HTTP, get the rendered Response envelope back;
+ * 401/403 paths; async + status; resume route.
+ */
+class HttpServiceSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+
+  private def withService(test: (HttpService, String, Engine) => Unit): Unit = {
+    val engine = new Engine(spark, new Catalog("sess"))
+    val auth = new AuthService
+    auth.addUser("graft", "secret")      // the engine session owner
+    auth.addUser("intruder", "pw")       // authenticated, zero roles
+    val svc = new HttpService(engine, auth).start()
+    try test(svc, s"http://127.0.0.1:${svc.boundPort}", engine)
+    finally svc.stop()
+  }
+
+  private def http(url: String, method: String = "GET",
+      body: Option[String] = None,
+      authHeader: Option[String] = None): (Int, String) = {
+    val c = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    c.setRequestMethod(method)
+    authHeader.foreach(c.setRequestProperty("Authorization", _))
+    body.foreach { b =>
+      c.setDoOutput(true)
+      val os = c.getOutputStream
+      try os.write(b.getBytes(StandardCharsets.UTF_8)) finally os.close()
+    }
+    val code = c.getResponseCode
+    val is = if (code < 400) c.getInputStream else c.getErrorStream
+    val text =
+      if (is == null) ""
+      else try new String(is.readAllBytes, StandardCharsets.UTF_8)
+      finally is.close()
+    (code, text)
+  }
+
+  private def basic(user: String, pw: String): String =
+    "Basic " + Base64.getEncoder.encodeToString(
+      s"$user:$pw".getBytes(StandardCharsets.UTF_8))
+
+  private def workflowAggRequest: String = s"""{
+    "name": "wf_http", "exec_mode": "sync", "tasks": [
+      {"name": "imp", "operator": "oph_importnc",
+       "arguments": ["src_path=${sf("lineitem")}",
+         "measure=l_quantity", "exp_dim=l_orderkey|l_linenumber",
+         "container=li"]},
+      {"name": "sub", "operator": "oph_subset",
+       "arguments": ["subset_dims=l_linenumber", "subset_filter=1:3"],
+       "dependencies": [{"task": "imp"}]},
+      {"name": "agg", "operator": "oph_aggregate",
+       "arguments": ["operation=sum", "group_by=l_orderkey"],
+       "dependencies": [{"task": "sub"}]},
+      {"name": "peek", "operator": "oph_explorecube",
+       "arguments": ["limit_filter=1000"],
+       "dependencies": [{"task": "agg"}]}
+    ]}"""
+
+  test("unauthenticated requests get 401 with WWW-Authenticate") {
+    withService { (_, base, _) =>
+      val (code, body) = http(s"$base/services/execute", "POST",
+        Some(workflowAggRequest))
+      assert(code == 401)
+      assert(mapper.readTree(body).get("error").asInt == HttpService.ErrAuth)
+      val (badCode, _) = http(s"$base/services/execute", "POST",
+        Some(workflowAggRequest), Some(basic("graft", "WRONG")))
+      assert(badCode == 401)
+    }
+  }
+
+  test("authenticated user without the execute role gets 403") {
+    withService { (_, base, _) =>
+      val (code, body) = http(s"$base/services/execute", "POST",
+        Some(workflowAggRequest), Some(basic("intruder", "pw")))
+      assert(code == 403)
+      assert(mapper.readTree(body).get("error").asInt == HttpService.ErrAuth)
+    }
+  }
+
+  test("the workflow_agg request over HTTP matches the engine run") {
+    withService { (_, base, e) =>
+      val (code, body) = http(s"$base/services/execute", "POST",
+        Some(workflowAggRequest), Some(basic("graft", "secret")))
+      assert(code == 200)
+      val n = mapper.readTree(body)
+      assert(n.get("error").asInt == HttpService.Ok)
+      assert(n.get("jobid").asInt >= 1)
+      val response = n.get("response")
+      assert(response.get("source").get("srckey").asText == "sess")
+      // find the explorecube grid among the response objects
+      val objs = response.get("response")
+      val grids = (0 until objs.size).map(objs.get)
+        .filter(_.get("objclass").asText == "grid")
+      assert(grids.nonEmpty)
+      val grid = grids.head.get("objcontent").get(0)
+      val rows = grid.get("rowvalues")
+      // oracle check against a direct Spark computation on the same
+      // parquet: sum(l_quantity) for l_linenumber 1..3 per order
+      import org.apache.spark.sql.functions._
+      val expected = spark.read.parquet(sf("lineitem"))
+        .filter(col("l_linenumber").between(1, 3))
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("s"))
+        .collect().map(r => r.getLong(0).toString ->
+          r.getDouble(1)).toMap
+      val keyIdx = (0 until grid.get("rowkeys").size)
+        .find(i => grid.get("rowkeys").get(i).asText == "l_orderkey").get
+      val mIdx = (0 until grid.get("rowkeys").size)
+        .find(i => grid.get("rowkeys").get(i).asText == "l_quantity").get
+      assert(rows.size > 0)
+      (0 until rows.size).foreach { i =>
+        val k = rows.get(i).get(keyIdx).asText
+        val v = rows.get(i).get(mIdx).asText.toDouble
+        assert(math.abs(expected(k) - v) < 1e-6,
+          s"order $k: grid=$v oracle=${expected(k)}")
+      }
+    }
+  }
+
+  test("bearer tokens authenticate; revoked tokens do not") {
+    withService { (svc, base, _) =>
+      val token = svc.auth.login("graft", "secret").get
+      val (code, _) = http(s"$base/services/info",
+        authHeader = Some(s"Bearer $token"))
+      assert(code == 200)
+      // the reference's token-as-password form
+      val (code2, _) = http(s"$base/services/info",
+        authHeader = Some(basic(AuthService.TokenUser, token)))
+      assert(code2 == 200)
+      svc.auth.revokeToken(token)
+      val (code3, _) = http(s"$base/services/info",
+        authHeader = Some(s"Bearer $token"))
+      assert(code3 == 401)
+    }
+  }
+
+  test("async execution returns a jobid; status tracks completion") {
+    withService { (_, base, _) =>
+      val async = workflowAggRequest.replace("\"exec_mode\": \"sync\"",
+        "\"exec_mode\": \"async\"")
+      val (code, body) = http(s"$base/services/execute", "POST",
+        Some(async), Some(basic("graft", "secret")))
+      assert(code == 200)
+      val jobid = mapper.readTree(body).get("jobid").asInt
+      assert(mapper.readTree(body).get("response").isNull)
+      val deadline = System.currentTimeMillis + 60000
+      var status = "running"
+      while (status == "running" && System.currentTimeMillis < deadline) {
+        val (_, s) = http(s"$base/services/status?jobid=$jobid",
+          authHeader = Some(basic("graft", "secret")))
+        status = mapper.readTree(s).get("status").asText
+        if (status == "running") Thread.sleep(100)
+      }
+      assert(status == "completed")
+    }
+  }
+
+  test("bad requests get 400 with the reference error codes") {
+    withService { (_, base, _) =>
+      val (c1, b1) = http(s"$base/services/execute", "POST", Some(""),
+        Some(basic("graft", "secret")))
+      assert(c1 == 400)
+      assert(mapper.readTree(b1).get("error").asInt ==
+        HttpService.ErrNullPointer)
+      val cyclic = """{"name": "w", "tasks": [
+        {"name": "a", "operator": "oph_randcube",
+         "dependencies": [{"task": "b"}]},
+        {"name": "b", "operator": "oph_reduce",
+         "dependencies": [{"task": "a"}]}
+      ]}"""
+      val (c2, b2) = http(s"$base/services/execute", "POST", Some(cyclic),
+        Some(basic("graft", "secret")))
+      assert(c2 == 400)
+      assert(mapper.readTree(b2).get("error").asInt ==
+        HttpService.ErrWrongParameter)
+    }
+  }
+
+  test("resume serves the saved request and response documents") {
+    withService { (_, base, _) =>
+      http(s"$base/services/execute", "POST", Some(workflowAggRequest),
+        Some(basic("graft", "secret")))
+      val (code, body) = http(
+        s"$base/services/resume?id=1&document_type=request",
+        authHeader = Some(basic("graft", "secret")))
+      assert(code == 200)
+      val doc = mapper.readTree(body).get("document").asText
+      assert(doc.contains("wf_http"))
+      val (c2, b2) = http(s"$base/services/resume?id=99",
+        authHeader = Some(basic("graft", "secret")))
+      assert(c2 == 404)
+      assert(b2.nonEmpty)
+    }
+  }
+
+  test("repeated failures throttle an account") {
+    val auth = new AuthService
+    auth.addUser("u", "right")
+    (1 to AuthService.MaxAttempts).foreach { _ =>
+      assert(auth.login("u", "wrong").isEmpty)
+    }
+    // correct password no longer helps: the account is blocked
+    assert(auth.login("u", "right").isEmpty)
+  }
+}
