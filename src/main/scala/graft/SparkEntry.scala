@@ -44,6 +44,35 @@ object SparkEntry {
     CubeOps.importParquet(s, s"$dir/lineitem.parquet", "l_quantity",
       explicitDims = Seq("l_orderkey", "l_linenumber", "l_returnflag"))
 
+  /** Dense 2-implicit-dim cube from orders: per priority `p`, a
+    * row-major (year 1992-1998 x month 1-12) grid of ORDER COUNTS
+    * (integers — exact in doubles). Missing (y, m) cells are 0, so the
+    * grid is dense by construction and the reduce2/permute2 stride
+    * arithmetic applies. Built with a two-level aggregation: the
+    * (p,y,m) groupBy gets map-side partial agg; the per-p map collect
+    * touches at most 84 entries per key. */
+  private def ordersGrid2(s: SparkSession, dir: String): Cube = {
+    import graft.core.{CubeDescriptor, DimensionSpec}
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("p"),
+        year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+    val cnt = o.groupBy("p", "y", "m").count()
+    val maps = cnt.groupBy("p").agg(
+      map_from_entries(collect_list(struct(
+        (col("y") * 100 + col("m")).as("k"),
+        col("count").cast("double").as("v")))).as("__kv"))
+    val df = maps.withColumn("n_orders",
+      transform(sequence(lit(0), lit(83)), k =>
+        coalesce(element_at(col("__kv"),
+          ((floor(k / 12) + 1992) * 100 + pmod(k, lit(12)) + 1).cast("int")),
+          lit(0.0))))
+      .drop("__kv")
+    Cube(df, CubeDescriptor(0, 0, "grid2", "/", "n_orders", "double", 0,
+      Seq(DimensionSpec("p", "string", explicit = true)),
+      Seq(DimensionSpec("y", "int", explicit = false, size = Some(7L)),
+        DimensionSpec("m", "int", explicit = false, size = Some(12L)))))
+  }
+
   /** posexplode an array-measure cube to (dims..., pos 1-based, value). */
   private def explodeArr(c: Cube, posName: String, valName: String): DataFrame =
     c.df.select(col("l_orderkey"),
@@ -158,6 +187,42 @@ object SparkEntry {
           round(col("__v"), 4).as("sum_qty"))
     }),
 
+    "reduce_min" -> ((s, dir) => {
+      val r = CubeOps.reduce(liCube(s, dir), "min")
+      r.df.select(col("l_orderkey"), col("l_quantity").as("min_qty"))
+    }),
+
+    "reduce_count" -> ((s, dir) => {
+      val r = CubeOps.reduce(liCube(s, dir), "count")
+      r.df.select(col("l_orderkey"), col("l_quantity").as("n_items"))
+    }),
+
+    "reduce_var" -> ((s, dir) => {
+      val r = CubeOps.reduce(liCube(s, dir), "var")
+      r.df.select(col("l_orderkey"),
+        round(col("l_quantity") + 0.0, 4).as("var_qty"))
+    }),
+
+    "reduce_argmax" -> ((s, dir) => {
+      // 1-based position of the max within the deterministic
+      // (linenumber, value)-sorted in-cell array; ties -> first position
+      val r = CubeOps.reduce(liCube(s, dir), "arg_max")
+      r.df.select(col("l_orderkey"), col("l_quantity").as("amax"))
+    }),
+
+    "reduce_argmin" -> ((s, dir) => {
+      val r = CubeOps.reduce(liCube(s, dir), "arg_min")
+      r.df.select(col("l_orderkey"), col("l_quantity").as("amin"))
+    }),
+
+    "reduce_rmoment" -> ((s, dir) => {
+      // 3rd raw moment E[x^3] along the implicit dim
+      val cube = liCube(s, dir)
+      cube.df.select(col("l_orderkey"),
+        round(CubeOps.reduceExpr(col("l_quantity"), "rmoment", 3.0) + 0.0, 2)
+          .as("rm3"))
+    }),
+
     // -------------------------------------------------- oph_aggregate
     "aggregate_sum" -> ((s, dir) => {
       val cube = CubeOps.importParquet(s, s"$dir/lineitem.parquet",
@@ -240,6 +305,46 @@ object SparkEntry {
           // + 0.0 canonicalizes IEEE -0.0 from tiny negative correlations
           when(den > 0, round(num / den, 3) + 0.0)
             .otherwise(lit(null)).as("corr_qp"))
+    }),
+
+    "intercube_sum" -> ((s, dir) => {
+      val a = CubeOps.importParquet(s, s"$dir/orders.parquet",
+        "o_totalprice", Seq("o_orderkey"))
+      val liSum = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      val b = CubeOps.aggregate(
+        CubeOps.build(liSum, "l_quantity", Seq("o_orderkey"), None, "c", dir),
+        Seq("o_orderkey"), "sum")
+      val ic = CubeOps.intercube(a, b, "sum", "tot")
+      ic.df.select(col("o_orderkey"), round(col("tot"), 2).as("tot"))
+    }),
+
+    "intercube_div" -> ((s, dir) => {
+      // price per unit: totalprice / total quantity, elementwise scalar
+      val a = CubeOps.importParquet(s, s"$dir/orders.parquet",
+        "o_totalprice", Seq("o_orderkey"))
+      val liSum = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      val b = CubeOps.aggregate(
+        CubeOps.build(liSum, "l_quantity", Seq("o_orderkey"), None, "c", dir),
+        Seq("o_orderkey"), "sum")
+      val ic = CubeOps.intercube(a, b, "div", "unit_price")
+      // NO rounding: the divisor is a sum of integer-valued doubles
+      // (exact in any order), so the IEEE division is bit-identical on
+      // both sides — rounding would only re-introduce boundary flips
+      ic.df.select(col("o_orderkey"), col("unit_price"))
+    }),
+
+    "intercube_abs" -> ((s, dir) => {
+      // |a - b| on ARRAY measures: per-cell |qty - qty*2| = qty
+      val a = liCube(s, dir)
+      val b = a.copy(df = a.df.withColumn(a.desc.measure,
+        expr("transform(l_quantity, x -> x * 2D)")))
+      val ic = CubeOps.intercube(a, b, "abs", "absdiff")
+      ic.df.select(col("l_orderkey"),
+          posexplode(col("absdiff")).as(Seq("__p", "__v")))
+        .select(col("l_orderkey"), (col("__p") + 1).cast("long").as("pos"),
+          round(col("__v"), 4).as("ad"))
     }),
 
     // ------------------------------------------------- oph_mergecubes
@@ -470,6 +575,101 @@ object SparkEntry {
         ]}"""))
       val out = eng.cube(res("agg").cubePid.get).get
       out.df.select(col("l_orderkey"), round(col("l_quantity"), 4).as("sum_qty"))
+    }),
+
+    "workflow_aggregate2" -> ((s, dir) => {
+      // the WORKFLOW-driven aggregate2 path: concept_level=month routed
+      // through the oph_time hierarchy by the engine dispatch
+      val eng = new graft.workflow.Engine(s, new graft.core.Catalog("sess"))
+      val res = eng.run(graft.workflow.Workflow.parse(s"""{
+        "name": "wf", "tasks": [
+          {"name": "imp", "operator": "oph_importnc",
+           "arguments": ["src_path=$dir/orders.parquet",
+             "measure=o_totalprice", "exp_dim=o_orderdate",
+             "container=ord"]},
+          {"name": "agg", "operator": "oph_aggregate2",
+           "arguments": ["operation=sum", "dim=o_orderdate",
+             "concept_level=month", "hierarchy=oph_time"],
+           "dependencies": [{"task": "imp", "type": "single"}]}
+        ]}"""))
+      val out = eng.cube(res("agg").cubePid.get).get
+      out.df.select(col("o_orderdate_month").as("omonth"),
+        round(col("o_totalprice"), 2).as("sum_price"))
+    }),
+
+    "workflow_mergecubes" -> ((s, dir) => {
+      // engine-path mergecubes with the 'cubes' argument wired entirely
+      // by dependency argument/order routing: concat of in-cell slices
+      // 1:2 and 3:4 equals the 1:4 slice of the source cube
+      val eng = new graft.workflow.Engine(s, new graft.core.Catalog("sess"))
+      val res = eng.run(graft.workflow.Workflow.parse(s"""{
+        "name": "wf", "tasks": [
+          {"name": "imp", "operator": "oph_importnc",
+           "arguments": ["src_path=$dir/lineitem.parquet",
+             "measure=l_quantity", "exp_dim=l_orderkey",
+             "imp_dim=l_linenumber", "container=li"]},
+          {"name": "head", "operator": "oph_subset",
+           "arguments": ["subset_dims=l_linenumber", "subset_filter=1:2"],
+           "dependencies": [{"task": "imp", "type": "single"}]},
+          {"name": "tail", "operator": "oph_subset",
+           "arguments": ["subset_dims=l_linenumber", "subset_filter=3:4"],
+           "dependencies": [{"task": "imp", "type": "single"}]},
+          {"name": "cat", "operator": "oph_mergecubes",
+           "arguments": [],
+           "dependencies": [
+             {"task": "head", "argument": "cubes", "type": "all", "order": "0"},
+             {"task": "tail", "argument": "cubes", "type": "all", "order": "1"}
+           ]}
+        ]}"""))
+      val out = eng.cube(res("cat").cubePid.get).get
+      out.df.select(col("l_orderkey"),
+          posexplode(col("l_quantity")).as(Seq("__p", "__v")))
+        .select(col("l_orderkey"), (col("__p") + 1).cast("long").as("pos"),
+          col("__v").as("qty"))
+    }),
+
+    // ---------------------------------- array-measure oph_aggregate
+    "aggregate_arrays" -> ((s, dir) => {
+      // collapse the l_orderkey dim ELEMENTWISE: cell i sums the i-th
+      // lineitem quantity across every order (ragged arrays: cell i
+      // aggregates exactly the orders that HAVE an i-th item)
+      val agg = CubeOps.aggregateArrays(liCube(s, dir), Seq.empty, "sum")
+      agg.df.select(posexplode(col("l_quantity")).as(Seq("__p", "__v")))
+        .select((col("__p") + 1).cast("long").as("pos"),
+          round(col("__v"), 2).as("qty"))
+    }),
+
+    "aggregate_arrays_avg" -> ((s, dir) => {
+      val agg = CubeOps.aggregateArrays(liCube(s, dir), Seq.empty, "avg")
+      agg.df.select(posexplode(col("l_quantity")).as(Seq("__p", "__v")))
+        .select((col("__p") + 1).cast("long").as("pos"),
+          round(col("__v"), 4).as("qty"))
+    }),
+
+    // ------------------------------- 2-implicit-dim reduce2/permute2
+    "reduce2_inner" -> ((s, dir) => {
+      // dense (year x month) order-count grid per priority; reduce
+      // along the INNER dim (month) -> yearly counts. Counts are
+      // integers: exact in doubles, no rounding needed.
+      val c = ordersGrid2(s, dir)
+      val red = CubeOps.reduce2(c, "m", "sum")
+      red.df.select(col("p"),
+          posexplode(col("n_orders")).as(Seq("__p", "__v")))
+        .select(col("p"), (col("__p") + 1).cast("long").as("ypos"),
+          col("__v").cast("long").as("n"))
+    }),
+
+    "permute2_flat" -> ((s, dir) => {
+      // transpose the (year x month) grid to (month x year) and flatten
+      // with the row-major index arithmetic of the NEW shape
+      val c = ordersGrid2(s, dir)
+      val tr = CubeOps.permute2(c)
+      tr.df.select(col("p"),
+          posexplode(col("n_orders")).as(Seq("__k", "__v")))
+        .select(col("p"),
+          (floor(col("__k") / 7) + 1).cast("long").as("mpos"),
+          (pmod(col("__k"), lit(7)) + 1).cast("long").as("ypos"),
+          col("__v").cast("long").as("n"))
     }),
 
     "sketch_quantile" -> ((s, dir) => {
@@ -720,6 +920,125 @@ object SparkEntry {
       """SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
          FROM lineitem WHERE l_linenumber BETWEEN 1 AND 3
          GROUP BY l_orderkey""",
+
+    "reduce_min" ->
+      """SELECT l_orderkey, min(l_quantity) AS min_qty
+         FROM lineitem GROUP BY l_orderkey""",
+
+    "reduce_count" ->
+      """SELECT l_orderkey, count(*) AS n_items
+         FROM lineitem GROUP BY l_orderkey""",
+
+    "reduce_var" ->
+      """SELECT l_orderkey, round(var_pop(l_quantity), 4) + 0.0 AS var_qty
+         FROM lineitem GROUP BY l_orderkey""",
+
+    "reduce_argmax" ->
+      """WITH p AS (
+           SELECT l_orderkey, l_quantity,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_quantity) AS pos
+           FROM lineitem)
+         SELECT p.l_orderkey AS l_orderkey, min(p.pos) AS amax
+         FROM p
+         JOIN (SELECT l_orderkey, max(l_quantity) AS mx
+               FROM lineitem GROUP BY 1) m
+           ON p.l_orderkey = m.l_orderkey AND p.l_quantity = m.mx
+         GROUP BY 1""",
+
+    "reduce_argmin" ->
+      """WITH p AS (
+           SELECT l_orderkey, l_quantity,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_quantity) AS pos
+           FROM lineitem)
+         SELECT p.l_orderkey AS l_orderkey, min(p.pos) AS amin
+         FROM p
+         JOIN (SELECT l_orderkey, min(l_quantity) AS mn
+               FROM lineitem GROUP BY 1) m
+           ON p.l_orderkey = m.l_orderkey AND p.l_quantity = m.mn
+         GROUP BY 1""",
+
+    "reduce_rmoment" ->
+      """SELECT l_orderkey,
+                round(sum(l_quantity * l_quantity * l_quantity)
+                  / count(*), 2) AS rm3
+         FROM lineitem GROUP BY l_orderkey""",
+
+    "intercube_sum" ->
+      """SELECT o.o_orderkey AS o_orderkey, round(o.o_totalprice + s.sq, 2) AS tot
+         FROM orders o
+         JOIN (SELECT l_orderkey, sum(l_quantity) AS sq
+               FROM lineitem GROUP BY 1) s
+           ON o.o_orderkey = s.l_orderkey""",
+
+    "intercube_div" ->
+      """SELECT o.o_orderkey AS o_orderkey,
+                o.o_totalprice / s.sq AS unit_price
+         FROM orders o
+         JOIN (SELECT l_orderkey, sum(l_quantity) AS sq
+               FROM lineitem GROUP BY 1) s
+           ON o.o_orderkey = s.l_orderkey""",
+
+    "intercube_abs" ->
+      """WITH p AS (
+           SELECT l_orderkey, l_quantity,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_quantity) AS pos
+           FROM lineitem)
+         SELECT l_orderkey, pos, round(l_quantity, 4) AS ad FROM p""",
+
+    "workflow_aggregate2" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS omonth,
+                round(sum(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY 1""",
+
+    "workflow_mergecubes" ->
+      """WITH p AS (
+           SELECT l_orderkey, l_quantity,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_quantity) AS pos
+           FROM lineitem)
+         SELECT l_orderkey, pos, l_quantity AS qty FROM p WHERE pos <= 4""",
+
+    "aggregate_arrays" ->
+      """WITH p AS (
+           SELECT l_orderkey, l_quantity,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_quantity) AS pos
+           FROM lineitem)
+         SELECT pos, round(sum(l_quantity), 2) AS qty FROM p GROUP BY pos""",
+
+    "aggregate_arrays_avg" ->
+      """WITH p AS (
+           SELECT l_orderkey, l_quantity,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_quantity) AS pos
+           FROM lineitem)
+         SELECT pos, round(avg(l_quantity), 4) AS qty FROM p GROUP BY pos""",
+
+    "reduce2_inner" ->
+      """WITH years AS (SELECT 1992 + i AS y, i + 1 AS ypos FROM range(7) t(i)),
+         prio AS (SELECT DISTINCT o_orderpriority AS p FROM orders),
+         agg AS (SELECT o_orderpriority AS p, year(o_orderdate) AS y,
+                        count(*) AS c
+                 FROM orders GROUP BY 1, 2)
+         SELECT prio.p AS p, years.ypos AS ypos, coalesce(agg.c, 0) AS n
+         FROM prio CROSS JOIN years
+         LEFT JOIN agg ON agg.p = prio.p AND agg.y = years.y""",
+
+    "permute2_flat" ->
+      """WITH years AS (SELECT 1992 + i AS y, i + 1 AS ypos FROM range(7) t(i)),
+         months AS (SELECT 1 + i AS m, i + 1 AS mpos FROM range(12) t(i)),
+         prio AS (SELECT DISTINCT o_orderpriority AS p FROM orders),
+         agg AS (SELECT o_orderpriority AS p, year(o_orderdate) AS y,
+                        month(o_orderdate) AS m, count(*) AS c
+                 FROM orders GROUP BY 1, 2, 3)
+         SELECT prio.p AS p, months.mpos AS mpos, years.ypos AS ypos,
+                coalesce(agg.c, 0) AS n
+         FROM prio CROSS JOIN years CROSS JOIN months
+         LEFT JOIN agg ON agg.p = prio.p AND agg.y = years.y
+           AND agg.m = months.m""",
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

@@ -10,16 +10,21 @@ import org.apache.spark.sql.expressions.Aggregator
  * cell-by-cell: fragment-local partial then global final,
  * `/root/reference/src/oph_json/oph_json_objkeys.h:98` operator).
  *
- * A typed `Aggregator` is the scalable shape: the buffer is ONE array
- * (+ count) per group per partition, reduced locally and merged in the
- * exchange — map-side partial aggregation with constant memory per
- * group, unlike a `collect_list` fold that would materialize every row
- * of a group before combining. Safe at 1000 executors.
+ * A typed `Aggregator` is the scalable shape: the buffer is ONE cell
+ * array + ONE count array per group per partition, reduced locally and
+ * merged in the exchange — map-side partial aggregation with constant
+ * memory per group, unlike a `collect_list` fold that would materialize
+ * every row of a group before combining. Safe at 1000 executors.
  *
- * `op`: sum | max | min | avg | count. avg divides the running sums by
- * the row count at finish; count emits the per-cell row count.
+ * Ragged inputs are handled associatively: the buffer extends to the
+ * LONGEST array seen and each cell tracks how many rows contributed, so
+ * cell i aggregates exactly the rows that have a position i — the
+ * merge order can never change the result.
+ *
+ * `op`: sum | max | min | avg | count. avg divides each cell's running
+ * sum by that cell's contribution count; count emits the counts.
  */
-final case class ArrayAggBuffer(var cells: Array[Double], var n: Long)
+final case class ArrayAggBuffer(var cells: Array[Double], var counts: Array[Long])
 
 final class ArrayCombine(op: String)
     extends Aggregator[Seq[Double], ArrayAggBuffer, Seq[Double]] {
@@ -30,35 +35,52 @@ final class ArrayCombine(op: String)
     case _ => a + b // sum | avg | count(cells unused)
   }
 
-  override def zero: ArrayAggBuffer = ArrayAggBuffer(null, 0L)
+  private def grow(b: ArrayAggBuffer, n: Int): Unit = {
+    if (b.cells == null) {
+      b.cells = new Array[Double](n)
+      b.counts = new Array[Long](n)
+    } else if (b.cells.length < n) {
+      b.cells = java.util.Arrays.copyOf(b.cells, n)
+      b.counts = java.util.Arrays.copyOf(b.counts, n)
+    }
+  }
+
+  override def zero: ArrayAggBuffer = ArrayAggBuffer(null, null)
 
   override def reduce(b: ArrayAggBuffer, a: Seq[Double]): ArrayAggBuffer = {
     if (a == null) return b
-    if (b.cells == null) b.cells = a.toArray
-    else {
-      val n = math.min(b.cells.length, a.length)
-      var i = 0
-      while (i < n) { b.cells(i) = combine(b.cells(i), a(i)); i += 1 }
+    grow(b, a.length)
+    var i = 0
+    a.foreach { v =>
+      b.cells(i) = if (b.counts(i) == 0L) v else combine(b.cells(i), v)
+      b.counts(i) += 1L
+      i += 1
     }
-    b.n += 1L
     b
   }
 
   override def merge(x: ArrayAggBuffer, y: ArrayAggBuffer): ArrayAggBuffer = {
-    if (y.cells == null) return { x.n += y.n; x }
-    if (x.cells == null) return { y.n += x.n; y }
-    val n = math.min(x.cells.length, y.cells.length)
+    if (y.cells == null) return x
+    if (x.cells == null) return y
+    val (big, small) = if (x.cells.length >= y.cells.length) (x, y) else (y, x)
     var i = 0
-    while (i < n) { x.cells(i) = combine(x.cells(i), y.cells(i)); i += 1 }
-    x.n += y.n
-    x
+    while (i < small.cells.length) {
+      if (small.counts(i) > 0L)
+        big.cells(i) =
+          if (big.counts(i) == 0L) small.cells(i)
+          else combine(big.cells(i), small.cells(i))
+      big.counts(i) += small.counts(i)
+      i += 1
+    }
+    big
   }
 
   override def finish(b: ArrayAggBuffer): Seq[Double] =
     if (b.cells == null) Seq.empty
     else op match {
-      case "avg" => b.cells.toSeq.map(_ / b.n)
-      case "count" => Seq.fill(b.cells.length)(b.n.toDouble)
+      case "avg" => b.cells.toSeq.zip(b.counts).map { case (s, n) =>
+        if (n == 0L) Double.NaN else s / n }
+      case "count" => b.counts.toSeq.map(_.toDouble)
       case _ => b.cells.toSeq
     }
 
