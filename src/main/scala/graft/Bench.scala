@@ -15,7 +15,14 @@ object Bench {
     // warm up the session (codegen, parquet footer reads) so the first
     // timed query isn't charged ~6s of one-off JVM setup
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional subset for local profiling: SPARK_GRAFT_QUERIES=a,b,c
+    val wanted = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(',').toSet)
+    val selected = wanted match {
+      case Some(ws) => SparkEntry.queries.filter(q => ws(q._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -151,17 +151,21 @@ object Dedup {
       .select(col("id"),
         graft.functions.expressions.HashExpressions
           .simhash64(split(lower(col("text")), "\\s+")).as("sig"))
+    // Exact-dup clusters share one signature: collapse to ONE row per
+    // distinct signature carrying its member-id list (a single shuffle
+    // on sig), run the block LSH on those rows only, and expand pairs
+    // IN-CELL afterwards. A cluster of k identical docs otherwise costs
+    // k^2 candidate rows per block — on crawl corpora (where exact dups
+    // dominate) that quadratic term swamps the join — and re-joining
+    // members back per side would shuffle the signature table four
+    // more times. Probe at sf0.1: 10k docs / 4960 distinct sigs /
+    // 966k candidates without the collapse.
+    val members = sigs.groupBy(col("sig"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
       .persist()
-    // Exact-dup clusters share one signature: run the block LSH on
-    // DISTINCT signatures only, then expand clusters back. A cluster of
-    // k identical docs otherwise costs k^2 candidate rows per block —
-    // on crawl corpora (where exact dups dominate) that quadratic term
-    // swamps the join. Probe at sf0.1: 10k docs / 4960 distinct sigs /
-    // 966k candidates without this collapse.
-    val distinctSigs = sigs.select("sig").distinct()
     val blockArr = array((0 until 4).map(b =>
       shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)
-    val blocks = distinctSigs.select(col("sig"),
+    val blocks = members.select(col("sig"),
       posexplode(blockArr).as(Seq("blk", "blkval")))
     val sigPairs = blocks.select(col("blk"), col("blkval"), col("sig").as("sig_a"))
       .join(blocks.select(col("blk"), col("blkval"), col("sig").as("sig_b")),
@@ -171,17 +175,28 @@ object Dedup {
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
-    // cross-cluster pairs: members of sig_a x members of sig_b
+    // cross-cluster pairs: the member lists are small arrays — the
+    // a x b expansion happens inside the executors, no further shuffle
+    def crossOf(as: Column, bs: Column): Column =
+      flatten(transform(as, a => transform(bs, b =>
+        struct(least(a, b).as("id_a"), greatest(a, b).as("id_b")))))
     val crossPairs = sigPairs
-      .join(sigs.select(col("id").as("ia"), col("sig").as("sig_a")), Seq("sig_a"))
-      .join(sigs.select(col("id").as("ib"), col("sig").as("sig_b")), Seq("sig_b"))
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
-    // within-cluster pairs: identical signatures, hamming 0
-    val withinPairs = sigs.select(col("id").as("id_a"), col("sig"))
-      .join(sigs.select(col("id").as("id_b"), col("sig")), Seq("sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+      .join(members.select(col("sig").as("sig_a"), col("ids").as("ids_a")),
+        Seq("sig_a"))
+      .join(members.select(col("sig").as("sig_b"), col("ids").as("ids_b")),
+        Seq("sig_b"))
+      .select(explode(crossOf(col("ids_a"), col("ids_b"))).as("pr"),
+        col("hamming"))
+      .select(col("pr.id_a"), col("pr.id_b"), col("hamming"))
+    // within-cluster pairs (identical signature, hamming 0): the
+    // i<j combinations of each sorted member list, expanded in-cell
+    def pairsOf(ids: Column): Column =
+      flatten(transform(ids, (a, i0) =>
+        transform(slice(ids, i0 + 2, greatest(size(ids), lit(1))), b =>
+          struct(a.as("id_a"), b.as("id_b")))))
+    val withinPairs = members.filter(size(col("ids")) >= 2)
+      .select(explode(pairsOf(col("ids"))).as("pr"))
+      .select(col("pr.id_a"), col("pr.id_b"), lit(0).as("hamming"))
     crossPairs.unionByName(withinPairs)
   }
 

@@ -71,19 +71,23 @@ object Similarity {
     // narrower bands flood the verify step with false candidates
     val rows = nBits / bands
     val par = emb.sparkSession.sparkContext.defaultParallelism
-    val sigs = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // the persisted frame is ONLY (id, band, bandhash) — 3 narrow
+    // columns. The signature pass (the expensive HOF dot products) runs
+    // once to produce it; the embedding vectors are NOT carried through
+    // the explode or the self-join (bands x rows of wide arrays would
+    // dominate the cache and the shuffle at scale)
+    val banded = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .repartition(par, col("id"))
       .withColumn("sig", rhpSignature(col("vec"), nBits, dim))
-      .select(col("id"), col("vec"),
+      .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
           .as(Seq("band", "bandhash")))
       .persist()
-    // candidates dedupe on the id pair ONLY — shuffling full embedding
-    // vectors through the distinct would dominate at scale; vectors
-    // join back for the exact-cosine verify afterwards
-    val lhs = sigs.select(col("band"), col("bandhash"), col("id").as("id_a"))
-    val rhs = sigs.select(col("band"), col("bandhash"), col("id").as("id_b"))
+    // candidates dedupe on the id pair ONLY; vectors join back for the
+    // exact-cosine verify afterwards
+    val lhs = banded.select(col("band"), col("bandhash"), col("id").as("id_a"))
+    val rhs = banded.select(col("band"), col("bandhash"), col("id").as("id_b"))
     val cand = lhs.join(rhs, Seq("band", "bandhash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -97,25 +101,30 @@ object Similarity {
   }
 
   /**
-   * IVF (inverted-file) approximate top-k: k-means partitions the
-   * corpus into `nClusters` cells (MLlib KMeans, fixed seed); a query
-   * probes only its `nProbe` nearest cells and reranks those candidates
-   * by exact cosine. The scan is pruned by the cluster assignment join
-   * — at scale, cost drops by ~nProbe/nClusters vs brute force, and the
-   * partitioning can be persisted as a reusable index.
+   * A built IVF index: the (tiny) centroid table plus the persisted
+   * cluster assignment of the corpus. Fit ONCE, queried many times —
+   * at 100 TB the k-means fit is a batch job and the assignment is a
+   * stored table; rebuilding it per query would be absurd. `unpersist()`
+   * releases the assignment cache.
    */
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-      queryIds: Seq[Long], k: Int,
-      nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+  final case class IvfIndex(
+      centroids: Array[Array[Double]],
+      assigned: DataFrame) {
+    def unpersist(): Unit = assigned.unpersist()
+  }
+
+  /**
+   * Fit the IVF index: k-means over L2-NORMALIZED vectors (Euclidean
+   * k-means on the unit sphere is monotone with cosine, so the cells
+   * match the rerank metric; unnormalized vectors would split
+   * directions by magnitude and silently drop cosine-nearest neighbors
+   * from the probed cells). The assignment (id, vec, cell) persists for
+   * reuse across query batches.
+   */
+  def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = emb.sparkSession
-    import spark.implicits._
-
-    // cluster on L2-NORMALIZED vectors: Euclidean k-means on the unit
-    // sphere is monotone with cosine, so the cells match the rerank
-    // metric (unnormalized vectors would split directions by magnitude
-    // and silently drop cosine-nearest neighbors from the probed cells)
     val norm = sqrt(F.aggregate(col("vec"),
       lit(0.0), (a, x) => a + x * x))
     val feats = emb.select(col(idCol).cast("long").as("id"),
@@ -127,17 +136,29 @@ object Similarity {
       .fit(feats)
     val assigned = model.transform(feats)
       .select(col("id"), col("vec"), col("prediction").as("cell"))
+      .persist()
+    IvfIndex(model.clusterCenters.map(_.toArray), assigned)
+  }
 
+  /**
+   * IVF (inverted-file) approximate top-k against a PRE-BUILT index:
+   * a query probes only its `nProbe` nearest cells and reranks those
+   * candidates by exact cosine. The scan is pruned by the cell join —
+   * cost drops by ~nProbe/nClusters vs brute force.
+   */
+  def ivfTopK(index: IvfIndex, queryIds: Seq[Long], k: Int,
+      nProbe: Int): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
     // per query: nearest nProbe centroids (driver-side — centroids are
-    // tiny), then candidates = rows of the probed cells. Centroids and
-    // queries are normalized, so the dot product IS the cosine order;
-    // zero vectors score 0 instead of NaN-poisoning the sort.
-    val centroids = model.clusterCenters.map(_.toArray)
-    val queryVecs = assigned.filter(col("id").isin(queryIds: _*))
+    // tiny). Centroids and queries are normalized, so the dot product
+    // IS the cosine order; zero vectors score 0 instead of
+    // NaN-poisoning the sort.
+    val queryVecs = index.assigned.filter(col("id").isin(queryIds: _*))
       .select(col("id"), col("vec")).as[(Long, Seq[Double])].collect()
     val probes = queryVecs.flatMap { case (qid, qv) =>
       val n1 = math.sqrt(qv.map(x => x * x).sum)
-      centroids.zipWithIndex.map { case (c, cell) =>
+      index.centroids.zipWithIndex.map { case (c, cell) =>
         val dot = qv.zip(c).map { case (a, b) => a * b }.sum
         val n2 = math.sqrt(c.map(x => x * x).sum)
         val score = if (n1 > 0 && n2 > 0) dot / (n1 * n2) else 0.0
@@ -145,14 +166,23 @@ object Similarity {
       }.sortBy(_._3).take(nProbe).map(p => (p._1, p._2))
     }.toSeq.toDF("query_id", "cell")
 
-    val queries = assigned.filter(col("id").isin(queryIds: _*))
+    val queries = index.assigned.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), col("vec").as("qvec"))
-    val cands = assigned.join(broadcast(probes), Seq("cell"))
+    val cands = index.assigned.join(broadcast(probes), Seq("cell"))
       .join(broadcast(queries), Seq("query_id"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("qvec"), col("id").as("nn_id"),
         col("vec").as("nvec"))
     topK(cands.withColumn("score", cosine(col("qvec"), col("nvec"))), k)
+  }
+
+  /** Convenience form fitting a throwaway index — correctness tests and
+    * one-shot queries; production callers build the index once. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int,
+      nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+    val index = buildIvfIndex(emb, idCol, vecCol, nClusters)
+    ivfTopK(index, queryIds, k, nProbe)
   }
 
   /** Random-hyperplane signature: bit j = sign of <v, plane_j>. The

@@ -87,6 +87,28 @@ class SimilaritySpec extends SparkSpec {
     assert(ranked.sorted(Ordering[Double].reverse).toSeq == ranked.toSeq)
   }
 
+  test("an IVF index fits once and serves multiple query batches") {
+    val emb = (1L to 40L).map { i =>
+      val base = if (i <= 20) (1.0f, 0.0f) else (0.0f, 1.0f)
+      (i, Seq(base._1 + (i % 5) * 0.01f, base._2 + (i % 7) * 0.01f,
+        0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val index = Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+      nClusters = 4)
+    try {
+      // the SAME index object answers both batches — no refit anywhere
+      val b1 = Similarity.ivfTopK(index, Seq(1L), 3, nProbe = 2)
+      val b2 = Similarity.ivfTopK(index, Seq(30L), 3, nProbe = 2)
+      assert(b1.select("nn_id").as[Long].collect().forall(_ <= 20))
+      assert(b2.select("nn_id").as[Long].collect().forall(_ > 20))
+      // the assignment is cached: the per-batch plans read InMemoryRelation
+      // instead of re-running the k-means transform
+      val plan = b2.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan") ||
+        plan.contains("TableCacheQueryStage"), s"no cache in plan:\n$plan")
+    } finally index.unpersist()
+  }
+
   test("lsh join is bucketed (no cartesian product in the plan)") {
     val emb = (1L to 20L).map(i => (i, Seq(i.toFloat, 1.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
