@@ -101,22 +101,43 @@ object MassiveFilter {
       g.filters.get(key + "!").foreach(v => preds += ((mk(v), true)))
     }
 
-    add("level") { v => val ls = multi(v).map(_.toInt).toSet
+    /** A malformed filter VALUE is a FilterError, never a stray
+      * NumberFormatException — the reference's oph_filter_* functions
+      * return an error code for every malformed input
+      * (`test/oph_server_test.c:3815+` edge cases). */
+    def bad(key: String, v: String): Nothing =
+      throw new FilterError(s"malformed value '$v' for filter '$key'")
+
+    /** PID tail: the numeric id after the last '/' — `wrong`,
+      * `http://localhostwrong`, `http://localhost/` all fail like the
+      * reference's oph_filter_parent checks. */
+    def pidTail(key: String, v: String): Long = {
+      val tail = v.split("/").lastOption.getOrElse("")
+      tail.toLongOption.getOrElse(bad(key, v))
+    }
+
+    add("level") { v =>
+      // '|' and ',' both separate level lists (the reference golden
+      // `[level=1,3]` form, `test/oph_server_test.c:2430`)
+      val ls = v.split("[|,]").map(_.trim).filter(_.nonEmpty)
+        .map(x => x.toIntOption.getOrElse(bad("level", v))).toSet
       e => ls.contains(e.level) }
     add("measure") { v => val ms = multi(v).toSet
       e => ms.contains(e.measure) }
     add("container") { v => val cs = multi(v).toSet
       e => cs.contains(catalog.containerNameOf(e)) }
     add("container_pid") { v =>
-      val id = v.split("/").last.toLong
+      val id = pidTail("container_pid", v)
       e => e.containerId == id }
     add("cube_filter") { v =>
       // subset string on the cube id, `end` = max current id
       val max = catalog.allCubes.map(_.id).maxOption
-      val spec = Subset.parse(v, max)
+      val spec =
+        try Subset.parse(v, max)
+        catch { case _: Exception => bad("cube_filter", v) }
       e => spec.contains(e.id) }
     add("parent_cube") { v =>
-      val id = v.split("/").last.toLong
+      val id = pidTail("parent_cube", v)
       e => e.parents.contains(id) }
     // file= glob matches the BASENAME of the cube's source file
     // (`oph_massive_operations.c:211-214` file clause); convention=
@@ -153,7 +174,8 @@ object MassiveFilter {
     def pathPred(v: String): E => Boolean = {
       val full = catalog.resolve(v, cwd)
       val recursive = g.filters.get("recursive").exists(_.equalsIgnoreCase("yes"))
-      val depth = g.filters.get("depth").map(_.toInt).getOrElse(0)
+      val depth = g.filters.get("depth")
+        .map(d => d.toIntOption.getOrElse(bad("depth", d))).getOrElse(0)
       e => {
         val f = catalog.folderOf(e)
         if (recursive)

@@ -423,8 +423,26 @@ final class Engine(
                     if (!Set("continue", "abort", "wait").contains(action))
                       throw new Engine.EngineError(
                         s"oph_input: wrong action '$action'")
+                    // workflow identifier: positive = this engine's
+                    // registry (single-server); <= 0 rejected like the
+                    // reference (`oph_server_test.c` input case 7)
+                    args.get("id").foreach { id =>
+                      if (!id.toLongOption.exists(_ > 0))
+                        throw new Engine.EngineError(
+                          s"oph_input: wrong workflow identifier '$id'")
+                    }
                     val delivered = deliverInput(args.get("taskname"),
                       Engine.InputMessage(names, values, action))
+                    // an explicit taskname must name SOME oph_wait task
+                    // (live here or declared in this workflow) — the
+                    // reference's static lookup error otherwise
+                    if (!delivered) args.get("taskname").foreach { tn =>
+                      if (!spec.tasks.exists(w =>
+                          w.operator.equalsIgnoreCase("oph_wait") &&
+                          w.name == tn))
+                        throw new Engine.EngineError(
+                          "oph_input: invalid task name, task not found or ambiguous")
+                    }
                     // also visible in the current scope (same-workflow)
                     val summary =
                       if (names.nonEmpty)
@@ -675,6 +693,21 @@ final class Engine(
     if (timeoutSec < 0 && wtype != "input")
       throw new Engine.EngineError(
         "oph_wait: timeout can be infinity only for type 'input'")
+    val fnameOpt =
+      if (wtype == "file") {
+        val f = args.getOrElse("filename", args.getOrElse("output", ""))
+        if (f.isEmpty)
+          throw new Engine.EngineError("oph_wait: empty parameter 'filename'")
+        Some(f)
+      } else None
+    // run=no: validate every parameter but do not wait
+    // (`oph_server_test.c` wait cases 0-5 all pass run=no)
+    args.get("run") match {
+      case Some(r) if r.equalsIgnoreCase("no") => return JobStatus.Completed
+      case Some(r) if !r.equalsIgnoreCase("yes") =>
+        throw new Engine.EngineError(s"oph_wait: wrong value '$r' for parameter 'run'")
+      case _ =>
+    }
 
     def httpHead(url: String): Boolean =
       try {
@@ -692,9 +725,7 @@ final class Engine(
         while (c < timeoutSec) { sleeper(1000); c += 1 }
         JobStatus.Completed
       case "file" =>
-        val fname = args.getOrElse("filename", args.getOrElse("output", ""))
-        if (fname.isEmpty)
-          throw new Engine.EngineError("oph_wait: empty parameter 'filename'")
+        val fname = fnameOpt.get
         def exists(): Boolean =
           if (fname.startsWith("http")) httpHead(fname)
           else new java.io.File(fname).exists
