@@ -125,8 +125,8 @@ final class HttpService(
       jobs(jobid) = Job(jobid, engine.runAsync(spec, Some(body)))
       reply(ex, 200, s"""{"jobid":$jobid,"error":$Ok,"response":null}""")
     } else {
-      val results = engine.run(spec, Some(body))
-      val rendered = engine.renderResponse(spec.name, results)
+      val results = engine.runRequest(spec, Some(body))
+      val rendered = engine.renderResponse(spec.name, results, spec.outputFormat)
       val failed = results.values.exists(_.status == JobStatus.Error)
       reply(ex, 200,
         s"""{"jobid":$jobid,"error":${if (failed) ErrGeneric else Ok},""" +

@@ -165,8 +165,24 @@ final class Engine(
   def runAsync(spec: Workflow.Spec, requestJson: Option[String] = None)
       : scala.concurrent.Future[Map[String, TaskResult]] = {
     import scala.concurrent.ExecutionContext.Implicits.global
-    scala.concurrent.Future(run(spec, requestJson))
+    scala.concurrent.Future(runRequest(spec, requestJson))
   }
+
+  /** Last completed run per workflow name — the store the request-level
+    * `checkpoint` field resumes from. */
+  private val lastRuns = scala.collection.concurrent.TrieMap[
+    String, (Workflow.Spec, Map[String, TaskResult])]()
+
+  /** Request entry honoring `checkpoint` (`oph_workflow_parsing.c:
+    * 283-290`): any non-empty value resumes from the last recorded run
+    * of the same workflow name — completed tasks whose output cubes
+    * still exist replay instead of re-executing. */
+  def runRequest(spec: Workflow.Spec,
+      requestJson: Option[String] = None): Map[String, TaskResult] =
+    spec.checkpoint.filter(_.nonEmpty).flatMap(_ => lastRuns.get(spec.name)) match {
+      case Some((priorSpec, prior)) => runFrom(spec, priorSpec, prior, requestJson)
+      case None => run(spec, requestJson)
+    }
 
   /**
    * Checkpointed re-execution — `checkpoint` request arg +
@@ -210,21 +226,40 @@ final class Engine(
 
   /** Render a run's results as the reference's JSON Response envelope
     * (`src/oph_json/oph_json_common.c`): DataFrame results become
-    * grids, the rest text objects; keyed by task name. */
+    * grids, the rest text objects; keyed by task name.
+    * `outputFormat` follows `oph_workflow_parsing.c:291-298`: classic
+    * keeps one object per task; compact collapses the per-task texts of
+    * successful tasks into one summary object (grids and errors always
+    * survive — they carry the payload). */
   def renderResponse(workflowName: String,
-      results: Map[String, TaskResult]): String = {
+      results: Map[String, TaskResult],
+      outputFormat: String = "classic"): String = {
     import graft.core.{Response, TextObj}
-    val objs = results.toSeq.sortBy(_._1).map { case (name, r) =>
-      r.df match {
-        case Some(df) =>
-          graft.render.ResponseWriter.gridOf(name, name, df, limit = 100)
-        case None =>
-          TextObj(name, name,
-            s"${r.status}" +
-              r.cubePid.map(p => s" cube=$p").getOrElse("") +
-              (if (r.message.nonEmpty) s" ${r.message}" else ""))
+    def textOf(name: String, r: TaskResult) =
+      TextObj(name, name,
+        s"${r.status}" +
+          r.cubePid.map(p => s" cube=$p").getOrElse("") +
+          (if (r.message.nonEmpty) s" ${r.message}" else ""))
+    val sorted = results.toSeq.sortBy(_._1)
+    val objs =
+      if (outputFormat.equalsIgnoreCase("compact")) {
+        val grids = sorted.collect { case (name, r) if r.df.nonEmpty =>
+          graft.render.ResponseWriter.gridOf(name, name, r.df.get, limit = 100)
+        }
+        val errors = sorted.collect {
+          case (name, r) if r.df.isEmpty && r.status == JobStatus.Error =>
+            textOf(name, r)
+        }
+        val okCount = sorted.count(_._2.status == JobStatus.Completed)
+        TextObj("status", "Workflow Status",
+          s"$okCount/${sorted.size} tasks completed") +: (errors ++ grids)
+      } else sorted.map { case (name, r) =>
+        r.df match {
+          case Some(df) =>
+            graft.render.ResponseWriter.gridOf(name, name, df, limit = 100)
+          case None => textOf(name, r)
+        }
       }
-    }
     graft.render.ResponseWriter.render(Response(
       source = Map("session" -> catalog.sessionCode,
         "workflow" -> workflowName, "producer" -> user),
@@ -260,10 +295,14 @@ final class Engine(
     val builtins = Map(
       "OPH_SESSION_ID" -> catalog.sessionCode,
       "OPH_SESSION_CODE" -> catalog.sessionCode,
-      "OPH_WORKFLOW_ID" -> "1",
+      "OPH_WORKFLOW_ID" -> wfId.toString,
       "OPH_USER" -> user,
       "OPH_MARKER_ID" -> markerId.toString,
-      "NCORES" -> spark.sparkContext.defaultParallelism.toString)
+      // request-level ncores overrides the builtin (`oph_workflow_
+      // define.h:90` OPH_WORKFLOW_BVAR_KEY_NCORES)
+      "NCORES" -> spec.ncores.getOrElse(
+        spark.sparkContext.defaultParallelism).toString,
+      "NHOST" -> spec.nhosts.getOrElse(1).toString)
 
     // last produced cube PID per task name (for dependency harvesting)
     val outPids = scala.collection.concurrent.TrieMap[String, String]()
@@ -597,6 +636,9 @@ final class Engine(
       }.mkString(";")
       sessions.saveWorkflow(catalog.sessionCode,
         requestJson.getOrElse(spec.name), summary)
+      // record for request-level checkpoint resume (the ORIGINAL spec:
+      // runFrom compares task definitions against the next request)
+      lastRuns(spec0.name) = (spec0, results.toMap)
     }
     results.toMap
   }

@@ -462,6 +462,61 @@ class EngineRound3Spec extends SparkSpec {
     assert(e.cube(res("red").cubePid.get).get.df.count() == 8)
   }
 
+  test("request checkpoint replays completed tasks instead of re-running") {
+    val e = engine()
+    val req = """{
+      "name": "ckpt_wf", "tasks": [
+        {"name": "mk", "operator": "oph_randcube",
+         "arguments": ["nrows=6", "array_length=2", "container=c"]},
+        {"name": "red", "operator": "oph_reduce",
+         "arguments": ["operation=avg"],
+         "dependencies": [{"task": "mk", "type": "single"}]}
+      ]}"""
+    val first = e.runRequest(Workflow.parse(req))
+    val nCubes = e.catalog.allCubes.size
+    // same request with checkpoint set: everything replays, no new cubes
+    val again = e.runRequest(Workflow.parse(
+      req.replace("\"ckpt_wf\",", "\"ckpt_wf\", \"checkpoint\": \"auto\",")))
+    assert(again("mk").cubePid == first("mk").cubePid)
+    assert(again("red").cubePid == first("red").cubePid)
+    assert(e.catalog.allCubes.size == nCubes, "checkpoint must not re-run")
+    // without checkpoint the tasks re-execute and mint new cubes
+    val rerun = e.runRequest(Workflow.parse(req))
+    assert(rerun("mk").cubePid != first("mk").cubePid)
+  }
+
+  test("output_format=compact collapses per-task texts, keeps grids") {
+    val e = engine()
+    val res = e.run(Workflow.parse("""{
+      "name": "wf", "tasks": [
+        {"name": "mk", "operator": "oph_randcube",
+         "arguments": ["nrows=4", "array_length=2", "container=c"]},
+        {"name": "peek", "operator": "oph_explorecube",
+         "arguments": ["limit_filter=2"],
+         "dependencies": [{"task": "mk", "type": "single"}]}
+      ]}"""))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val classic = mapper.readTree(e.renderResponse("wf", res))
+    val compact = mapper.readTree(e.renderResponse("wf", res, "compact"))
+    assert(classic.get("response").size == 2) // one object per task
+    assert(compact.get("response").size == 2) // summary + the grid
+    val classes = (0 until 2).map(i =>
+      compact.get("response").get(i).get("objclass").asText).toSet
+    assert(classes == Set("text", "grid"))
+    assert(compact.get("response").get(0).get("objcontent").get(0)
+      .get("message").asText.contains("2/2 tasks completed"))
+  }
+
+  test("request-level ncores overrides the NCORES builtin") {
+    val e = engine()
+    val res = e.run(Workflow.parse("""{
+      "name": "wf", "ncores": 3, "tasks": [
+        {"name": "mk", "operator": "oph_randcube",
+         "arguments": ["nrows=@{NCORES}", "array_length=2", "container=c"]}
+      ]}"""))
+    assert(e.cube(res("mk").cubePid.get).get.df.count() == 3)
+  }
+
   test("malformed arguments are rejected at parse time") {
     intercept[Workflow.ValidationError](Workflow.parse("""{
       "name": "wf", "tasks": [
