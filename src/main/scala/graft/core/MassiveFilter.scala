@@ -240,7 +240,9 @@ object MassiveFilter {
       if (!root.isDirectory)
         throw new FilterError(s"src_path '${root.getPath}' is not a directory")
       val recursive = g.filters.get("recursive").exists(_.equalsIgnoreCase("yes"))
-      val depth = g.filters.get("depth").map(_.toInt).getOrElse(0)
+      val depth = g.filters.get("depth").map(d => d.toIntOption.getOrElse(
+        throw new FilterError(s"malformed value '$d' for filter 'depth'")))
+        .getOrElse(0)
       val fileRes = g.filters.get("file")
         .map(v => v.split('|').toSeq.map(_.trim).filter(_.nonEmpty).map(globRegex))
         .getOrElse(Seq.empty)

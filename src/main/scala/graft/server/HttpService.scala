@@ -56,6 +56,7 @@ final class HttpService(
   import HttpService._
 
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
   private val jobSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   private val jobs =
     scala.collection.concurrent.TrieMap[Int, HttpService.Job]()
@@ -64,7 +65,8 @@ final class HttpService(
 
   def start(): HttpService = {
     server = HttpServer.create(new InetSocketAddress(port), 0)
-    server.setExecutor(Executors.newFixedThreadPool(8))
+    pool = Executors.newFixedThreadPool(8)
+    server.setExecutor(pool)
     server.createContext("/services/execute", exchange =>
       guard(exchange) { user => handleExecute(exchange, user) })
     server.createContext("/services/status", exchange =>
@@ -79,7 +81,10 @@ final class HttpService(
     this
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) pool.shutdown() // the pool is ours: release its threads
+  }
 
   // ------------------------------------------------------- handlers
 
@@ -126,6 +131,9 @@ final class HttpService(
       reply(ex, 200, s"""{"jobid":$jobid,"error":$Ok,"response":null}""")
     } else {
       val results = engine.runRequest(spec, Some(body))
+      // register the sync job too: its minted jobid must answer
+      // /services/status like an async one
+      jobs(jobid) = Job(jobid, scala.concurrent.Future.successful(results))
       val rendered = engine.renderResponse(spec.name, results, spec.outputFormat)
       val failed = results.values.exists(_.status == JobStatus.Error)
       reply(ex, 200,

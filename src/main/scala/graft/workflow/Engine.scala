@@ -77,8 +77,16 @@ object Engine {
       (d => concat_ws("Q", date_format(d, "yyyy"),
         quarter(d).cast("string")), "quarter")
     case "month" => (d => date_format(d, "yyyy-MM"), "month")
-    case "week" => (d => concat_ws("W", date_format(d, "YYYY"),
-      lpad(weekofyear(d).cast("string"), 2, "0")), "week")
+    case "week" =>
+      // week-based date_format patterns ('Y') throw since Spark 3.0;
+      // the ISO week-year is the year of the Thursday of the same ISO
+      // week (dayofweek is 1=Sun..7=Sat -> iso dow = pmod(dow+5,7)+1)
+      (d => {
+        val isoDow = pmod(dayofweek(d) + 5, lit(7)) + 1
+        concat_ws("W",
+          year(date_add(d, (lit(4) - isoDow).cast("int"))).cast("string"),
+          lpad(weekofyear(d).cast("string"), 2, "0"))
+      }, "week")
     case "day" => (d => date_format(d, "yyyy-MM-dd"), "day")
     case "hour" => (d => date_format(d, "yyyy-MM-dd HH"), "hour")
     case "minute" => (d => date_format(d, "yyyy-MM-dd HH:mm"), "minute")
@@ -116,27 +124,29 @@ final class Engine(
   val sessions = new graft.server.SessionService
   sessions.newSession(user, code = Some(catalog.sessionCode))
 
-  /** Input-wait registry: task name -> promise an oph_input completes
-    * (the reference's waiting-task table scanned by `oph_set_impl`'s
-    * has_action path, `oph_flow_control_operators.c:1336-1357`).
-    * Engine-level: the input typically arrives from ANOTHER workflow
-    * (or an async run) while this one blocks in oph_wait. */
+  /** Input-wait registry: (workflow id, task name) -> promise an
+    * oph_input completes (the reference's waiting-task table scanned by
+    * `oph_set_impl`'s has_action path,
+    * `oph_flow_control_operators.c:1336-1357`). Engine-level and keyed
+    * by workflow id: concurrent async runs of the SAME workflow each
+    * register their own promise — a bare-name key would let run 2
+    * clobber (and later remove) run 1's registration. */
   private val inputWaits = scala.collection.concurrent.TrieMap[
-    String, scala.concurrent.Promise[Engine.InputMessage]]()
+    (Int, String), scala.concurrent.Promise[Engine.InputMessage]]()
 
   /** Deliver an oph_input to a waiting task. Target resolution mirrors
-    * the reference: exact taskname match, else THE single waiting task
-    * (ambiguous => error), `oph_flow_control_operators.c:1336-1356`. */
-  def deliverInput(taskname: Option[String], msg: Engine.InputMessage): Boolean = {
-    val target = taskname match {
-      case Some(n) => inputWaits.get(n)
-      case None =>
-        if (inputWaits.size > 1)
-          throw new Engine.EngineError(
-            "oph_input: task not found or ambiguous")
-        inputWaits.headOption.map(_._2)
+    * the reference: exact taskname match (optionally scoped to the
+    * `id` workflow), else THE single waiting task (ambiguous => error),
+    * `oph_flow_control_operators.c:1336-1356`. */
+  def deliverInput(taskname: Option[String], msg: Engine.InputMessage,
+      workflowId: Option[Int] = None): Boolean = {
+    val candidates = inputWaits.toSeq.filter { case ((wid, name), _) =>
+      taskname.forall(_ == name) && workflowId.forall(_ == wid)
     }
-    target.exists { p => p.trySuccess(msg) }
+    if (candidates.size > 1)
+      throw new Engine.EngineError(
+        "oph_input: task not found or ambiguous")
+    candidates.headOption.exists { case (_, p) => p.trySuccess(msg) }
   }
 
   def cube(pid: String): Option[Cube] = cubes.get(pid)
@@ -449,7 +459,7 @@ final class Engine(
                       TaskResult(JobStatus.Completed, message = summary)
                     0
                   case "oph_wait" =>
-                    val status = runWait(t.name, args, vars)
+                    val status = runWait(wfId, t.name, args, vars)
                     results(s"${t.name}$iterSuffix") = TaskResult(status,
                       message = s"wait ${status.toString.toLowerCase}")
                     if (status == JobStatus.Aborted) 2 else 0
@@ -462,16 +472,16 @@ final class Engine(
                     if (!Set("continue", "abort", "wait").contains(action))
                       throw new Engine.EngineError(
                         s"oph_input: wrong action '$action'")
-                    // workflow identifier: positive = this engine's
-                    // registry (single-server); <= 0 rejected like the
-                    // reference (`oph_server_test.c` input case 7)
-                    args.get("id").foreach { id =>
-                      if (!id.toLongOption.exists(_ > 0))
+                    // workflow identifier: positive ids scope the
+                    // delivery to that workflow's waits; <= 0 rejected
+                    // like the reference (`oph_server_test.c` case 7)
+                    val targetWf = args.get("id").map { id =>
+                      id.toIntOption.filter(_ > 0).getOrElse(
                         throw new Engine.EngineError(
-                          s"oph_input: wrong workflow identifier '$id'")
+                          s"oph_input: wrong workflow identifier '$id'"))
                     }
                     val delivered = deliverInput(args.get("taskname"),
-                      Engine.InputMessage(names, values, action))
+                      Engine.InputMessage(names, values, action), targetWf)
                     // an explicit taskname must name SOME oph_wait task
                     // (live here or declared in this workflow) — the
                     // reference's static lookup error otherwise
@@ -538,12 +548,39 @@ final class Engine(
               // ordered by `order` and '|'-joined when several target
               // the same slot (`oph_workflow_structs.h:83-102`);
               // embedded deps keep the legacy single-`cube` fallback.
-              def depPid(d: Workflow.Dependency): Option[String] =
-                outPids.get(s"${d.task}$iterSuffix")
-                  .orElse(outPids.get(d.task))
+              def depPid(d: Workflow.Dependency): Option[String] = {
+                // the declared dependency surface must not be silently
+                // ignored: unsupported output_argument/filter values
+                // error instead of pretending to work
+                if (d.outputArgument != "cube")
+                  throw new Engine.EngineError(s"dependency on '${d.task}': " +
+                    s"unsupported output_argument '${d.outputArgument}'")
+                if (d.filter != "all")
+                  throw new Engine.EngineError(s"dependency on '${d.task}': " +
+                    s"unsupported dependency filter '${d.filter}'")
+                // a fan-out producer (massive cube/file expansion)
+                // lists its minted pids '|'-joined: output_order
+                // indexes that list (0 = first). Single-output
+                // producers use the recorded pid.
+                val fanOut = results.get(s"${d.task}$iterSuffix")
+                  .orElse(results.get(d.task))
+                  .map(_.message.split('|').toSeq)
+                  .filter(arr => arr.length > 1 && arr.forall(_.contains("/")))
+                fanOut match {
+                  case Some(arr) =>
+                    arr.lift(d.outputOrder).orElse(
+                      throw new Engine.EngineError(s"dependency on " +
+                        s"'${d.task}': no output ${d.outputOrder}"))
+                  case None if d.outputOrder > 0 =>
+                    throw new Engine.EngineError(s"dependency on " +
+                      s"'${d.task}': no output ${d.outputOrder}")
+                  case None => outPids.get(s"${d.task}$iterSuffix")
+                    .orElse(outPids.get(d.task))
+                }
+              }
               val explicitDeps = t.dependencies
                 .filter(_.depType != "embedded") // argument default "cube"
-              val routed = explicitDeps.groupBy(_.argument.getOrElse("cube"))
+              lazy val routed = explicitDeps.groupBy(_.argument.getOrElse("cube"))
                 .foldLeft(args) { case (m, (argName, ds)) =>
                   if (m.contains(argName)) m
                   else {
@@ -551,9 +588,16 @@ final class Engine(
                     if (pids.isEmpty) m else m + (argName -> pids.mkString("|"))
                   }
                 }
-              val withCube: Map[String, String] =
+              // the legacy fallback injects ONLY embedded deps into
+              // 'cube' — a dep explicitly routed to another slot must
+              // not double as the cube input (intercube(B,B) otherwise).
+              // lazy: routing errors (bad output_order, unsupported
+              // filter) must surface inside the attempt loop so the
+              // task's on_error policy applies to them too
+              lazy val withCube: Map[String, String] =
                 if (routed.contains("cube") || t.dependencies.isEmpty) routed
                 else t.dependencies.reverseIterator
+                  .filter(_.depType == "embedded")
                   .flatMap(depPid)
                   .nextOption()
                   .map(p => routed + ("cube" -> p)).getOrElse(routed)
@@ -710,7 +754,7 @@ final class Engine(
    * remaining duration (`:2187-2204`). Negative timeout = infinite,
    * only for type=input (`:2206-2212`).
    */
-  private def runWait(taskName: String, args: Map[String, String],
+  private def runWait(wfId: Int, taskName: String, args: Map[String, String],
       vars: scala.collection.mutable.Map[String, Workflow.Var]): JobStatus.Value = {
     val wtype = args.getOrElse("type", "clock")
     if (!Set("clock", "file", "input").contains(wtype))
@@ -721,6 +765,10 @@ final class Engine(
     val timeoutSec: Long = args.get("timeout") match {
       case Some(tstr) if ttype == "deadline" =>
         val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+        // deadlines are UTC like every timestamp in the system
+        // (spark.sql.session.timeZone pins UTC) — the JVM-default zone
+        // would shift them by the host's offset
+        fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
         val epoch =
           try fmt.parse(tstr).getTime / 1000
           catch {
@@ -781,7 +829,7 @@ final class Engine(
         JobStatus.Completed
       case _ => // input
         var promise = scala.concurrent.Promise[Engine.InputMessage]()
-        inputWaits(taskName) = promise
+        inputWaits((wfId, taskName)) = promise
         try {
           var c = 0L
           var outcome: Option[JobStatus.Value] = None
@@ -795,7 +843,7 @@ final class Engine(
                   case "abort" => outcome = Some(JobStatus.Aborted)
                   case "wait" => // stay waiting on a fresh promise
                     promise = scala.concurrent.Promise[Engine.InputMessage]()
-                    inputWaits(taskName) = promise
+                    inputWaits((wfId, taskName)) = promise
                   case _ => outcome = Some(JobStatus.Completed)
                 }
               case Some(scala.util.Failure(e)) =>
@@ -807,7 +855,7 @@ final class Engine(
             }
           }
           outcome.get
-        } finally inputWaits.remove(taskName)
+        } finally inputWaits.remove((wfId, taskName))
     }
   }
 
@@ -1054,15 +1102,21 @@ final class Engine(
         val out = order match {
           case Some(want) if want == dimNames =>
             CubeOps.duplicate(c) // identity permutation
-          case Some(want) if dimNames.size == 2 && want == dimNames.reverse =>
-            CubeOps.permute2(c)
           case Some(want) if want.sorted != dimNames.sorted =>
             throw new Engine.EngineError(
               s"permute: '$op' order ${want.mkString(",")} does not match " +
                 s"implicit dims ${dimNames.mkString(",")}")
-          case Some(_) | None if op == "oph_permute2" ||
-              dimNames.size == 2 => CubeOps.permute2(c)
-          case _ => CubeOps.permuteReverse(c)
+          case Some(_) if dimNames.size == 2 =>
+            CubeOps.permute2(c) // the only non-identity 2-dim order
+          case Some(want) =>
+            // a valid >2-dim permutation we cannot express — error, do
+            // NOT silently substitute a reverse
+            throw new Engine.EngineError(
+              s"permute: order ${want.mkString(",")} unsupported " +
+                "(identity and 2-dim transpose only)")
+          case None if op == "oph_permute2" || dimNames.size == 2 =>
+            CubeOps.permute2(c)
+          case None => CubeOps.permuteReverse(c)
         }
         val newPid = register(out, containerOf(pid), parents = Seq(idOf(pid)),
           sourceTask = Some(op))

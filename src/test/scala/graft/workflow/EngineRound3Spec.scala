@@ -67,6 +67,88 @@ class EngineRound3Spec extends SparkSpec {
     assert(merged.df.count() == 5)
   }
 
+  test("an embedded dep supplies cube while a routed dep fills cube2") {
+    val e = engine()
+    val res = e.run(Workflow.parse("""{
+      "name": "wf", "tasks": [
+        {"name": "a", "operator": "oph_randcube",
+         "arguments": ["nrows=8", "array_length=4", "container=c", "seed=1"]},
+        {"name": "b", "operator": "oph_randcube",
+         "arguments": ["nrows=8", "array_length=4", "container=c", "seed=2"]},
+        {"name": "diff", "operator": "oph_intercube",
+         "arguments": ["operation=sub"],
+         "dependencies": [
+           {"task": "a"},
+           {"task": "b", "argument": "cube2"}
+         ]}
+      ]}"""))
+    assert(res("diff").status == JobStatus.Completed)
+    // cube must be a (embedded), cube2 must be b (routed): a-b != 0;
+    // the old fallback injected b into BOTH slots -> all zeros
+    import org.apache.spark.sql.functions._
+    val out = e.cube(res("diff").cubePid.get).get
+    val total = out.df.select(
+      sum(expr(s"aggregate(${out.desc.measure}, 0D, (s, x) -> s + abs(x))"))
+        .as("t")).head.getDouble(0)
+    assert(total > 0, "intercube must combine DIFFERENT cubes")
+  }
+
+  test("dependency output_order selects the Nth fan-out output") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_oo").toFile
+    val src = spark.read.parquet(sf("orders")).limit(30)
+    src.write.mode("overwrite").parquet(new java.io.File(dir, "a.parquet").getPath)
+    src.limit(10).write.mode("overwrite")
+      .parquet(new java.io.File(dir, "b.parquet").getPath)
+    val e = engine()
+    val res = e.run(Workflow.parse(s"""{
+      "name": "wf", "tasks": [
+        {"name": "fan", "operator": "oph_importnc",
+         "arguments": ["src_path=[path=${dir.getPath};file=*.parquet]",
+           "measure=o_totalprice", "exp_dim=o_orderdate", "container=f"]},
+        {"name": "schema", "operator": "oph_cubeelements",
+         "arguments": [],
+         "dependencies": [{"task": "fan", "argument": "cube",
+           "output_order": "0"}]}
+      ]}"""))
+    assert(res("schema").status == JobStatus.Completed)
+    // output 0 is a.parquet (sorted fan-out): 30 elements, not 10
+    val n = res("schema").df.get.collect()(0).getLong(0)
+    assert(n == 30L, s"expected the FIRST fan-out output, got $n elements")
+  }
+
+  test("unsupported dependency filter and output_argument error") {
+    val e = engine()
+    val res = e.run(Workflow.parse("""{
+      "name": "wf", "tasks": [
+        {"name": "a", "operator": "oph_randcube",
+         "arguments": ["nrows=4", "array_length=2", "container=c"]},
+        {"name": "red", "operator": "oph_reduce", "on_error": "skip",
+         "arguments": ["operation=avg"],
+         "dependencies": [{"task": "a", "argument": "cube",
+           "filter": "level=2"}]}
+      ]}"""))
+    assert(res("red").status == JobStatus.Error)
+    assert(res("red").message.contains("unsupported dependency filter"))
+  }
+
+  test("aggregate2 concept_level=week uses the ISO week-year (no 'Y' pattern)") {
+    val e = engine()
+    val res = e.run(Workflow.parse(s"""{
+      "name": "wf", "tasks": [
+        {"name": "imp", "operator": "oph_importnc",
+         "arguments": ["src_path=${sf("orders")}", "measure=o_totalprice",
+           "exp_dim=o_orderdate"]},
+        {"name": "agg", "operator": "oph_aggregate2",
+         "arguments": ["operation=count", "dim=o_orderdate",
+           "concept_level=week"],
+         "dependencies": [{"task": "imp", "type": "single"}]}
+      ]}"""))
+    assert(res("agg").status == JobStatus.Completed)
+    val keys = e.cube(res("agg").cubePid.get).get.df
+      .select("o_orderdate_week").distinct().collect().map(_.getString(0))
+    assert(keys.nonEmpty && keys.forall(_.matches("\\d{4}W\\d{2}")))
+  }
+
   // --------------------------------------------------------- on_exit
 
   test("on_exit=oph_delete drops intermediate cubes at workflow end") {
