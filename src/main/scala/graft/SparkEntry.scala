@@ -635,6 +635,27 @@ object SparkEntry {
           col("__v").as("qty"))
     }),
 
+    "netcdf_roundtrip" -> ((s, dir) => {
+      // REAL NetCDF-3 classic I/O: write the first 1000 orders into a
+      // .nc file (pure-Scala classic writer), read it back through the
+      // netcdf3 DataSource V2, aggregate — hash-verified against the
+      // same computation on the parquet source in DuckDB, so the
+      // binary round-trip itself is oracle-checked
+      val rows = t(s, dir, "orders").orderBy("o_orderkey")
+        .limit(1000)
+        .select(col("o_orderkey").cast("double"),
+          col("o_totalprice").cast("double")).collect()
+      val f = java.io.File.createTempFile("graft_orders", ".nc")
+      graft.sources.NetCDF3.write(f.getPath,
+        dims = Seq(graft.sources.NetCDF3.Dim("row", rows.length)),
+        vars = Seq(
+          ("o_orderkey", Seq(0), rows.map(_.getDouble(0))),
+          ("o_totalprice", Seq(0), rows.map(_.getDouble(1)))))
+      s.read.format("netcdf3").load(f.getPath)
+        .groupBy(floor(col("o_orderkey") / 1000).cast("long").as("bucket"))
+        .agg(round(sum(col("o_totalprice")), 2).as("s"))
+    }),
+
     // ---------------------------------- array-measure oph_aggregate
     "aggregate_arrays" -> ((s, dir) => {
       // collapse the l_orderkey dim ELEMENTWISE: cell i sums the i-th
@@ -1007,6 +1028,13 @@ object SparkEntry {
                     ORDER BY l_linenumber, l_quantity) AS pos
            FROM lineitem)
          SELECT l_orderkey, pos, l_quantity AS qty FROM p WHERE pos <= 4""",
+
+    "netcdf_roundtrip" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice FROM orders
+                    ORDER BY o_orderkey LIMIT 1000)
+         SELECT CAST(floor(o_orderkey / 1000) AS BIGINT) AS bucket,
+                round(sum(o_totalprice), 2) AS s
+         FROM t GROUP BY 1""",
 
     "aggregate_arrays" ->
       """WITH p AS (

@@ -1,0 +1,239 @@
+package graft.sources
+
+import java.io.{DataOutputStream, FileOutputStream, RandomAccessFile}
+import java.nio.charset.StandardCharsets
+
+/**
+ * NetCDF-3 "classic" binary format — pure-JVM reader/writer for the
+ * subset the reference's importnc/exportnc traffic needs: fixed-size
+ * (non-record) variables of type byte/char/short/int/float/double,
+ * dimensions, and (name, text/numeric) attributes.
+ *
+ * The classic format is public and simple: a big-endian header
+ * (magic 'CDF\x01|\x02', numrecs, dim list, global attributes, var
+ * list with per-var begin offsets) followed by each variable's
+ * row-major data slab, everything padded to 4-byte boundaries. Version
+ * 2 ('CDF\x02') differs only in 8-byte begin offsets. This replaces
+ * round-2's parquet stand-in for `oph_importnc`
+ * (`/root/reference/src/oph_json/oph_json_objkeys.h:114`) with the real
+ * file format.
+ *
+ * Scale note: `readHeader` touches only the header bytes (KBs), never
+ * the data; slab reads are offset-addressed, so a distributed reader
+ * can open the file per partition and read ONLY its row range of ONLY
+ * the projected variables — column pruning maps to skipping whole
+ * slabs.
+ */
+object NetCDF3 {
+
+  // nc_type codes (classic spec)
+  val NcByte = 1; val NcChar = 2; val NcShort = 3
+  val NcInt = 4; val NcFloat = 5; val NcDouble = 6
+
+  private val TagDim = 0x0A
+  private val TagVar = 0x0B
+  private val TagAtt = 0x0C
+
+  def typeSize(t: Int): Int = t match {
+    case NcByte | NcChar => 1
+    case NcShort => 2
+    case NcInt | NcFloat => 4
+    case NcDouble => 8
+    case other => throw new IllegalArgumentException(s"nc_type $other")
+  }
+
+  final case class Dim(name: String, length: Int)
+  final case class Att(name: String, ncType: Int, text: String,
+      numbers: Seq[Double])
+  final case class Var(
+      name: String,
+      ncType: Int,
+      dimIds: Seq[Int],
+      atts: Seq[Att],
+      vsize: Long,
+      begin: Long)
+  final case class Header(
+      version: Int,
+      numrecs: Int,
+      dims: Seq[Dim],
+      gatts: Seq[Att],
+      vars: Seq[Var]) {
+    def shapeOf(v: Var): Seq[Int] = v.dimIds.map(dims(_).length)
+    def varByName(n: String): Var = vars.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no variable '$n'"))
+  }
+
+  final class FormatError(msg: String) extends Exception(msg)
+
+  // ------------------------------------------------------------ read
+
+  def readHeader(path: String): Header = {
+    val f = new RandomAccessFile(path, "r")
+    try {
+      val magic = new Array[Byte](4)
+      f.readFully(magic)
+      if (magic(0) != 'C' || magic(1) != 'D' || magic(2) != 'F')
+        throw new FormatError(s"$path: not a NetCDF classic file")
+      val version = magic(3).toInt
+      if (version != 1 && version != 2)
+        throw new FormatError(s"$path: unsupported CDF version $version")
+      def u32(): Int = f.readInt()
+      def offset(): Long = if (version == 2) f.readLong() else u32().toLong
+      def name(): String = {
+        val n = u32()
+        val bytes = new Array[Byte](n)
+        f.readFully(bytes)
+        f.skipBytes(pad4(n) - n)
+        new String(bytes, StandardCharsets.UTF_8)
+      }
+      def attList(): Seq[Att] = {
+        val tag = u32(); val count = u32()
+        if (tag == 0 && count == 0) return Seq.empty
+        if (tag != TagAtt) throw new FormatError(s"bad att tag $tag")
+        (0 until count).map { _ =>
+          val an = name(); val t = u32(); val n = u32()
+          if (t == NcChar) {
+            val bytes = new Array[Byte](n)
+            f.readFully(bytes)
+            f.skipBytes(pad4(n) - n)
+            Att(an, t, new String(bytes, StandardCharsets.UTF_8), Seq.empty)
+          } else {
+            val vals = (0 until n).map { _ =>
+              t match {
+                case NcByte => f.readByte().toDouble
+                case NcShort => f.readShort().toDouble
+                case NcInt => f.readInt().toDouble
+                case NcFloat => f.readFloat().toDouble
+                case NcDouble => f.readDouble()
+                case other => throw new FormatError(s"att type $other")
+              }
+            }
+            f.skipBytes(pad4(n * typeSize(t)) - n * typeSize(t))
+            Att(an, t, "", vals)
+          }
+        }
+      }
+      val numrecs = u32()
+      val dims = {
+        val tag = u32(); val count = u32()
+        if (tag == 0 && count == 0) Seq.empty[Dim]
+        else {
+          if (tag != TagDim) throw new FormatError(s"bad dim tag $tag")
+          (0 until count).map(_ => Dim(name(), u32()))
+        }
+      }
+      val gatts = attList()
+      val vars = {
+        val tag = u32(); val count = u32()
+        if (tag == 0 && count == 0) Seq.empty[Var]
+        else {
+          if (tag != TagVar) throw new FormatError(s"bad var tag $tag")
+          (0 until count).map { _ =>
+            val vn = name()
+            val nd = u32()
+            val dimIds = (0 until nd).map(_ => u32())
+            val atts = attList()
+            val t = u32()
+            val vsize = u32().toLong
+            val begin = offset()
+            Var(vn, t, dimIds, atts, vsize, begin)
+          }
+        }
+      }
+      Header(version, numrecs, dims, gatts, vars)
+    } finally f.close()
+  }
+
+  /** Read `count` cells of `v` starting at row-major cell `start` —
+    * exactly the bytes of that range, independent of variable size. */
+  def readSlab(path: String, header: Header, v: Var,
+      start: Long, count: Int): Array[Double] = {
+    val ts = typeSize(v.ncType)
+    val f = new RandomAccessFile(path, "r")
+    try {
+      f.seek(v.begin + start * ts)
+      val bytes = new Array[Byte](count * ts)
+      f.readFully(bytes)
+      val buf = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+      val out = new Array[Double](count)
+      var i = 0
+      while (i < count) {
+        out(i) = v.ncType match {
+          case NcByte | NcChar => buf.get().toDouble
+          case NcShort => buf.getShort().toDouble
+          case NcInt => buf.getInt().toDouble
+          case NcFloat => buf.getFloat().toDouble
+          case NcDouble => buf.getDouble()
+        }
+        i += 1
+      }
+      out
+    } finally f.close()
+  }
+
+  // ----------------------------------------------------------- write
+
+  private def pad4(n: Int): Int = (n + 3) & ~3
+
+  /** Write a classic (CDF-1) file of fixed-size double variables over
+    * shared dimensions. `varData` is row-major per variable. */
+  def write(path: String,
+      dims: Seq[Dim],
+      vars: Seq[(String, Seq[Int], Array[Double])], // (name, dimIds, data)
+      gatts: Seq[(String, String)] = Seq.empty): Unit = {
+    val headerSize = {
+      def nameLen(s: String) = 4 + pad4(s.getBytes(StandardCharsets.UTF_8).length)
+      def attLen(a: (String, String)) =
+        nameLen(a._1) + 8 + pad4(a._2.getBytes(StandardCharsets.UTF_8).length)
+      4 + 4 + // magic + numrecs
+        8 + dims.map(d => nameLen(d.name) + 4).sum +
+        8 + gatts.map(attLen).sum +
+        8 + vars.map { case (n, ds, _) =>
+          nameLen(n) + 4 + 4 * ds.size + 8 /*empty atts*/ + 4 + 4 + 4
+        }.sum
+    }
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      new FileOutputStream(path)))
+    try {
+      def wName(s: String): Unit = {
+        val b = s.getBytes(StandardCharsets.UTF_8)
+        out.writeInt(b.length); out.write(b)
+        (b.length until pad4(b.length)).foreach(_ => out.writeByte(0))
+      }
+      out.write(Array[Byte]('C', 'D', 'F', 1))
+      out.writeInt(0) // numrecs
+      if (dims.isEmpty) { out.writeInt(0); out.writeInt(0) }
+      else {
+        out.writeInt(TagDim); out.writeInt(dims.size)
+        dims.foreach { d => wName(d.name); out.writeInt(d.length) }
+      }
+      if (gatts.isEmpty) { out.writeInt(0); out.writeInt(0) }
+      else {
+        out.writeInt(TagAtt); out.writeInt(gatts.size)
+        gatts.foreach { case (k, v) =>
+          wName(k); out.writeInt(NcChar)
+          val b = v.getBytes(StandardCharsets.UTF_8)
+          out.writeInt(b.length); out.write(b)
+          (b.length until pad4(b.length)).foreach(_ => out.writeByte(0))
+        }
+      }
+      if (vars.isEmpty) { out.writeInt(0); out.writeInt(0) }
+      else {
+        out.writeInt(TagVar); out.writeInt(vars.size)
+        var begin = headerSize.toLong
+        vars.foreach { case (n, dimIds, data) =>
+          wName(n)
+          out.writeInt(dimIds.size)
+          dimIds.foreach(out.writeInt)
+          out.writeInt(0); out.writeInt(0) // no per-var attributes
+          out.writeInt(NcDouble)
+          val vsize = data.length.toLong * 8
+          out.writeInt(vsize.toInt)
+          out.writeInt(begin.toInt) // CDF-1: 4-byte offsets
+          begin += vsize
+        }
+        vars.foreach { case (_, _, data) => data.foreach(out.writeDouble) }
+      }
+    } finally out.close()
+  }
+}

@@ -953,7 +953,13 @@ final class Engine(
         val raw = if (op == "oph_importcsv")
           spark.read.option("header", "true").option("inferSchema", "true")
             .csv(paths: _*)
-        else spark.read.parquet(paths: _*)
+        else if (paths.forall(_.endsWith(".nc"))) {
+          // REAL NetCDF-3 classic input through the custom DSv2 source
+          // (schema from the header only; per-partition slab reads)
+          val dfs = paths.map(p => spark.read.format("netcdf3")
+            .option("measure", measure).load(p))
+          dfs.reduce(_.unionByName(_))
+        } else spark.read.parquet(paths: _*)
         val c = CubeOps.build(raw, measure, exp, imp,
           args.getOrElse("container", "container"), path)
         val pid = register(c, args.getOrElse("container", "container"),
@@ -1168,7 +1174,26 @@ final class Engine(
         val (_, c) = needCube()
         val out = args.getOrElse("output_path",
           throw new Engine.EngineError("export: missing output_path"))
-        c.flatten.write.mode("overwrite").option("header", "true").csv(out)
+        if (out.endsWith(".nc")) {
+          // real NetCDF-3 classic output: table-style encoding — a
+          // 'row' dimension with the measure and every numeric dim as
+          // variables. Driver-side streaming write (exports are the
+          // human-scale egress path, like the reference's), capped.
+          val flat = c.flatten
+          val numeric = flat.schema.fields.filter(f => f.dataType match {
+            case _: org.apache.spark.sql.types.NumericType => true
+            case _ => false
+          }).map(_.name).toSeq
+          val capped = flat.select(numeric.map(n =>
+            col(n).cast("double")): _*).limit(1000000).collect()
+          val dims = Seq(graft.sources.NetCDF3.Dim("row", capped.length))
+          val vars = numeric.zipWithIndex.map { case (name, i) =>
+            (name, Seq(0), capped.map(_.getDouble(i)))
+          }
+          graft.sources.NetCDF3.write(out, dims, vars,
+            gatts = Seq("source" -> "graft", "measure" -> c.desc.measure))
+        } else
+          c.flatten.write.mode("overwrite").option("header", "true").csv(out)
         TaskResult(JobStatus.Completed, message = s"exported to $out")
 
       case "oph_split" =>
