@@ -646,6 +646,7 @@ object SparkEntry {
         .select(col("o_orderkey").cast("double"),
           col("o_totalprice").cast("double")).collect()
       val f = java.io.File.createTempFile("graft_orders", ".nc")
+      f.deleteOnExit() // repeated Verify/Bench sweeps must not litter /tmp
       graft.sources.NetCDF3.write(f.getPath,
         dims = Seq(graft.sources.NetCDF3.Dim("row", rows.length)),
         vars = Seq(

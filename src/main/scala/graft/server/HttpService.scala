@@ -45,8 +45,16 @@ object HttpService {
   val ErrSystem = 6
   val ErrWrongParameter = 7
 
+  /** Status entries hold only per-task STATUSES — retaining full
+    * TaskResults would pin DataFrame plans for the life of the map. */
   final case class Job(id: Int,
-      future: scala.concurrent.Future[Map[String, Engine.TaskResult]])
+      future: scala.concurrent.Future[Map[String, JobStatus.Value]])
+
+  /** Completed-job retention bound: older entries evict FIFO (a status
+    * poll for an evicted jobid gets 404, like an expired reference
+    * marker); without it a long-lived server leaks one entry per
+    * request. */
+  val MaxTrackedJobs = 512
 }
 
 final class HttpService(
@@ -126,14 +134,23 @@ final class HttpService(
         s"""{"error":$ErrWrongParameter,"message":${quote(e.getMessage)}}""")
     }
     val jobid = jobSeq.incrementAndGet()
+    def track(f: scala.concurrent.Future[Map[String, JobStatus.Value]]): Unit = {
+      jobs(jobid) = Job(jobid, f)
+      if (jobs.size > MaxTrackedJobs)
+        jobs.keys.toSeq.sorted.take(jobs.size - MaxTrackedJobs)
+          .foreach(jobs.remove)
+    }
     if (spec.execMode.equalsIgnoreCase("async")) {
-      jobs(jobid) = Job(jobid, engine.runAsync(spec, Some(body)))
+      import scala.concurrent.ExecutionContext.Implicits.global
+      track(engine.runAsync(spec, Some(body))
+        .map(_.map { case (k, r) => k -> r.status }))
       reply(ex, 200, s"""{"jobid":$jobid,"error":$Ok,"response":null}""")
     } else {
       val results = engine.runRequest(spec, Some(body))
       // register the sync job too: its minted jobid must answer
       // /services/status like an async one
-      jobs(jobid) = Job(jobid, scala.concurrent.Future.successful(results))
+      track(scala.concurrent.Future.successful(
+        results.map { case (k, r) => k -> r.status }))
       val rendered = engine.renderResponse(spec.name, results, spec.outputFormat)
       val failed = results.values.exists(_.status == JobStatus.Error)
       reply(ex, 200,
@@ -151,7 +168,7 @@ final class HttpService(
         val status = job.future.value match {
           case None => "running"
           case Some(scala.util.Success(rs))
-            if rs.values.exists(_.status == JobStatus.Error) => "error"
+            if rs.values.exists(_ == JobStatus.Error) => "error"
           case Some(scala.util.Success(_)) => "completed"
           case Some(scala.util.Failure(_)) => "error"
         }

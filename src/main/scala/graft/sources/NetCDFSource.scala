@@ -61,7 +61,15 @@ object NetCDFSource {
     val dimNames = h.dims.map(_.name).toSet
     measure match {
       case Some(ms) =>
-        ms.split('|').toSeq.map(_.trim).filter(_.nonEmpty).map(h.varByName)
+        val vs = ms.split('|').toSeq.map(_.trim).filter(_.nonEmpty)
+          .map(h.varByName)
+        // mixed grids would misalign the flat cell indexing
+        vs.find(_.dimIds != vs.head.dimIds).foreach { v =>
+          throw new IllegalArgumentException(
+            s"netcdf3: variable '${v.name}' is not on the same grid as " +
+              s"'${vs.head.name}' — select variables sharing one dim tuple")
+        }
+        vs
       case None =>
         val data = h.vars.filterNot(v =>
           v.dimIds.size == 1 && dimNames.contains(v.name) &&
@@ -176,9 +184,17 @@ final class NcReader(path: String, projected: Array[String],
     }
   }
 
+  // reuse one mutable row: get() runs once per CELL — per-row Seq
+  // allocation and boxing would dominate the scan at scale
+  private val row =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      columns.length)
   private var pos = -1
   override def next(): Boolean = { pos += 1; pos < n }
-  override def get(): InternalRow =
-    InternalRow.fromSeq(columns.toSeq.map(c => c(pos)))
+  override def get(): InternalRow = {
+    var i = 0
+    while (i < columns.length) { row.update(i, columns(i)(pos)); i += 1 }
+    row
+  }
   override def close(): Unit = ()
 }

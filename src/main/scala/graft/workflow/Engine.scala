@@ -27,7 +27,11 @@ object Engine {
       status: JobStatus.Value,
       cubePid: Option[String] = None,
       df: Option[DataFrame] = None,
-      message: String = "")
+      message: String = "",
+      /** Fan-out producers (massive cube/file expansion) list EVERY
+        * minted pid here — dependency `output_order` indexes this,
+        * never the human-facing message. */
+      outputs: Seq[String] = Seq.empty)
 
   final class EngineError(msg: String) extends Exception(msg)
 
@@ -140,8 +144,14 @@ final class Engine(
     * `oph_flow_control_operators.c:1336-1356`. */
   def deliverInput(taskname: Option[String], msg: Engine.InputMessage,
       workflowId: Option[Int] = None): Boolean = {
+    // registrations are keyed by the ITERATION-suffixed name (parallel
+    // for branches each own a distinct promise); a target name matches
+    // its exact registration or any of its loop instances
+    def nameMatches(target: String, registered: String): Boolean =
+      registered == target ||
+        registered.matches(java.util.regex.Pattern.quote(target) + "(_\\d+)+")
     val candidates = inputWaits.toSeq.filter { case ((wid, name), _) =>
-      taskname.forall(_ == name) && workflowId.forall(_ == wid)
+      taskname.forall(nameMatches(_, name)) && workflowId.forall(_ == wid)
     }
     if (candidates.size > 1)
       throw new Engine.EngineError(
@@ -459,7 +469,7 @@ final class Engine(
                       TaskResult(JobStatus.Completed, message = summary)
                     0
                   case "oph_wait" =>
-                    val status = runWait(wfId, t.name, args, vars)
+                    val status = runWait(wfId, s"${t.name}$iterSuffix", args, vars)
                     results(s"${t.name}$iterSuffix") = TaskResult(status,
                       message = s"wait ${status.toString.toLowerCase}")
                     if (status == JobStatus.Aborted) 2 else 0
@@ -558,14 +568,14 @@ final class Engine(
                 if (d.filter != "all")
                   throw new Engine.EngineError(s"dependency on '${d.task}': " +
                     s"unsupported dependency filter '${d.filter}'")
-                // a fan-out producer (massive cube/file expansion)
-                // lists its minted pids '|'-joined: output_order
-                // indexes that list (0 = first). Single-output
-                // producers use the recorded pid.
+                // a fan-out producer records its minted pids in
+                // TaskResult.outputs: output_order indexes that list
+                // (0 = first). Single-output producers use the
+                // recorded pid — message text is NEVER parsed (listing
+                // operators also join '/'-bearing strings with '|').
                 val fanOut = results.get(s"${d.task}$iterSuffix")
                   .orElse(results.get(d.task))
-                  .map(_.message.split('|').toSeq)
-                  .filter(arr => arr.length > 1 && arr.forall(_.contains("/")))
+                  .map(_.outputs).filter(_.nonEmpty)
                 fanOut match {
                   case Some(arr) =>
                     arr.lift(d.outputOrder).orElse(
@@ -910,7 +920,8 @@ final class Engine(
       return TaskResult(JobStatus.Completed,
         cubePid = sub.lastOption.flatMap(_.cubePid),
         message = sub.map(r =>
-          r.cubePid.getOrElse(r.message)).mkString("|"))
+          r.cubePid.getOrElse(r.message)).mkString("|"),
+        outputs = sub.flatMap(_.cubePid))
     }
 
     def needCube(): (String, Cube) = {
@@ -944,7 +955,8 @@ final class Engine(
             runDataOperator(operator, args + ("src_path" -> f)))
           return TaskResult(JobStatus.Completed,
             cubePid = sub.lastOption.flatMap(_.cubePid),
-            message = sub.map(r => r.cubePid.getOrElse(r.message)).mkString("|"))
+            message = sub.map(r => r.cubePid.getOrElse(r.message)).mkString("|"),
+            outputs = sub.flatMap(_.cubePid))
         }
         val paths = path.split('|').toSeq // importncs: multi-file, one cube
         val measure = args.getOrElse("measure", "measure")
@@ -1176,25 +1188,45 @@ final class Engine(
           throw new Engine.EngineError("export: missing output_path"))
         if (out.endsWith(".nc")) {
           // real NetCDF-3 classic output: table-style encoding — a
-          // 'row' dimension with the measure and every numeric dim as
-          // variables. Driver-side streaming write (exports are the
-          // human-scale egress path, like the reference's), capped.
+          // 'row' dimension with the measure and every encodable dim as
+          // variables. Dates/timestamps export as epoch days/seconds;
+          // nulls as NaN (the conventional _FillValue for doubles);
+          // string axes cannot be doubles and are reported as dropped.
+          // Driver-side streaming write (exports are the human-scale
+          // egress path, like the reference's), capped and the cap
+          // reported when hit.
+          import org.apache.spark.sql.types._
+          val limit = 1000000
           val flat = c.flatten
-          val numeric = flat.schema.fields.filter(f => f.dataType match {
-            case _: org.apache.spark.sql.types.NumericType => true
-            case _ => false
-          }).map(_.name).toSeq
-          val capped = flat.select(numeric.map(n =>
-            col(n).cast("double")): _*).limit(1000000).collect()
+          val encodable = flat.schema.fields.collect {
+            case f if f.dataType.isInstanceOf[NumericType] =>
+              f.name -> col(f.name).cast("double")
+            case f if f.dataType == DateType =>
+              f.name -> datediff(col(f.name), lit("1970-01-01")).cast("double")
+            case f if f.dataType == TimestampType =>
+              f.name -> unix_timestamp(col(f.name)).cast("double")
+          }.toSeq
+          val dropped = flat.schema.fieldNames.toSeq
+            .filterNot(encodable.map(_._1).contains)
+          if (encodable.isEmpty)
+            throw new Engine.EngineError("exportnc: no encodable columns")
+          val capped = flat.select(encodable.map(_._2): _*)
+            .limit(limit).collect()
           val dims = Seq(graft.sources.NetCDF3.Dim("row", capped.length))
-          val vars = numeric.zipWithIndex.map { case (name, i) =>
-            (name, Seq(0), capped.map(_.getDouble(i)))
+          val vars = encodable.map(_._1).zipWithIndex.map { case (name, i) =>
+            (name, Seq(0), capped.map(r =>
+              if (r.isNullAt(i)) Double.NaN else r.getDouble(i)))
           }
           graft.sources.NetCDF3.write(out, dims, vars,
             gatts = Seq("source" -> "graft", "measure" -> c.desc.measure))
-        } else
+          TaskResult(JobStatus.Completed, message = s"exported to $out" +
+            (if (dropped.nonEmpty)
+              s" (dropped non-encodable: ${dropped.mkString(",")})" else "") +
+            (if (capped.length == limit) s" (truncated at $limit rows)" else ""))
+        } else {
           c.flatten.write.mode("overwrite").option("header", "true").csv(out)
-        TaskResult(JobStatus.Completed, message = s"exported to $out")
+          TaskResult(JobStatus.Completed, message = s"exported to $out")
+        }
 
       case "oph_split" =>
         val (pid, c) = needCube()
