@@ -635,6 +635,24 @@ object SparkEntry {
           col("__v").as("qty"))
     }),
 
+    "explore_multigrid" -> ((s, dir) => {
+      // the pivoted explorecube view (oph_json_multigrid.h:50-71):
+      // rows = explicit dims, columns = implicit-dim values, cells =
+      // the measure matrix; flattened back to (key, col, cell) triples
+      // for the rows-only check (driver-side render, deterministic via
+      // the orderBy)
+      val cube = liCube(s, dir)
+      val sorted = cube.copy(df = cube.df.orderBy("l_orderkey").limit(50))
+      val mg = graft.render.ResponseWriter.multigridOf(
+        "explorecube_dimvalues", "slice", sorted, limit = 50)
+      import s.implicits._
+      mg.values.zipWithIndex.flatMap { case (row, r) =>
+        row.drop(mg.rowKeys.size).zipWithIndex.map { case (cell, c) =>
+          (row.head, (c + 1).toLong, cell)
+        }
+      }.toDF("l_orderkey", "pos", "cell")
+    }),
+
     "netcdf_roundtrip" -> ((s, dir) => {
       // REAL NetCDF-3 classic I/O: write the first 1000 orders into a
       // .nc file (pure-Scala classic writer), read it back through the
