@@ -69,6 +69,24 @@ final class HttpService(
   private val jobs =
     scala.collection.concurrent.TrieMap[Int, HttpService.Job]()
 
+  /** Session routing (`sessionid` request field / `session` query
+    * param): each session code owns its OWN engine — catalog, cube
+    * store, role table — exactly the reference's per-session state.
+    * The first authenticated user to name a new session becomes its
+    * owner; everyone else needs a granted role on it. */
+  private val sessionEngines =
+    scala.collection.concurrent.TrieMap[String, Engine](
+      engine.catalog.sessionCode -> engine)
+
+  private def engineFor(code: String, user: String,
+      createIfAbsent: Boolean): Option[Engine] =
+    sessionEngines.get(code).orElse {
+      if (!createIfAbsent) None
+      else Some(sessionEngines.getOrElseUpdate(code,
+        new Engine(engine.spark, new graft.core.Catalog(code), user,
+          engine.sleeper)))
+    }
+
   def boundPort: Int = server.getAddress.getPort
 
   def start(): HttpService = {
@@ -117,17 +135,20 @@ final class HttpService(
     val body = new String(ex.getRequestBody.readAllBytes, StandardCharsets.UTF_8)
     if (body.trim.isEmpty)
       return reply(ex, 400, s"""{"error":$ErrNullPointer,"message":"empty request"}""")
-    // authorization: the session's Execute role bit (`oph_auth.h:79-96`)
-    if (!engine.sessions.hasRole(engine.catalog.sessionCode, user,
-        SessionService.RoleExecute))
-      return reply(ex, 403,
-        s"""{"error":$ErrAuth,"message":"user '$user' lacks the execute role"}""")
     val spec =
       try Workflow.parse(body)
       catch {
         case e: Exception => return reply(ex, 400,
           s"""{"error":$ErrWrongParameter,"message":${quote(e.getMessage)}}""")
       }
+    // session routing: sessionid selects (or mints) the target
+    // session's engine; the authenticated user needs its Execute role
+    // bit (`oph_auth.h:79-96`) — the creator owns a new session
+    val code = spec.sessionId.getOrElse(engine.catalog.sessionCode)
+    val eng = engineFor(code, user, createIfAbsent = true).get
+    if (!eng.sessions.hasRole(code, user, SessionService.RoleExecute))
+      return reply(ex, 403,
+        s"""{"error":$ErrAuth,"message":"user '$user' lacks the execute role on session '$code'"}""")
     try Workflow.validate(spec)
     catch {
       case e: Workflow.ValidationError => return reply(ex, 400,
@@ -142,16 +163,16 @@ final class HttpService(
     }
     if (spec.execMode.equalsIgnoreCase("async")) {
       import scala.concurrent.ExecutionContext.Implicits.global
-      track(engine.runAsync(spec, Some(body))
+      track(eng.runAsync(spec, Some(body))
         .map(_.map { case (k, r) => k -> r.status }))
       reply(ex, 200, s"""{"jobid":$jobid,"error":$Ok,"response":null}""")
     } else {
-      val results = engine.runRequest(spec, Some(body))
+      val results = eng.runRequest(spec, Some(body))
       // register the sync job too: its minted jobid must answer
       // /services/status like an async one
       track(scala.concurrent.Future.successful(
         results.map { case (k, r) => k -> r.status }))
-      val rendered = engine.renderResponse(spec.name, results, spec.outputFormat)
+      val rendered = eng.renderResponse(spec.name, results, spec.outputFormat)
       val failed = results.values.exists(_.status == JobStatus.Error)
       reply(ex, 200,
         s"""{"jobid":$jobid,"error":${if (failed) ErrGeneric else Ok},""" +
@@ -182,8 +203,11 @@ final class HttpService(
     val code = q.getOrElse("session", engine.catalog.sessionCode)
     val id = q.get("id").flatMap(_.toIntOption).getOrElse(0)
     val docType = q.getOrElse("document_type", "response")
+    val target = engineFor(code, user, createIfAbsent = false).getOrElse(
+      return reply(ex, 404,
+        s"""{"error":$ErrWrongParameter,"message":"no session '$code'"}"""))
     try {
-      val doc = engine.sessions.resume(code, user, id, docType)
+      val doc = target.sessions.resume(code, user, id, docType)
       reply(ex, 200, s"""{"error":$Ok,"document":${quote(doc)}}""")
     } catch {
       case e: SessionService.AuthError =>

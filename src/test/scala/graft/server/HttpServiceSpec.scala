@@ -206,6 +206,37 @@ class HttpServiceSpec extends SparkSpec {
     }
   }
 
+  test("sessionid routes requests to per-session engines with ownership") {
+    withService { (_, base, defaultEngine) =>
+      val inSession = workflowAggRequest.replace("\"name\": \"wf_http\",",
+        "\"name\": \"wf_http\", \"sessionid\": \"sess_b\",")
+      // 'intruder' names a NEW session: they become its owner and run
+      val (c1, b1) = http(s"$base/services/execute", "POST", Some(inSession),
+        Some(basic("intruder", "pw")))
+      assert(c1 == 200, b1)
+      assert(mapper.readTree(b1).get("error").asInt == HttpService.Ok)
+      // the default session stays isolated: no cubes appeared in it
+      assert(defaultEngine.catalog.allCubes.isEmpty)
+      // another user has NO role on that session -> 403 there...
+      val (c2, _) = http(s"$base/services/execute", "POST", Some(inSession),
+        Some(basic("graft", "secret")))
+      assert(c2 == 403)
+      // ...while still owning the default session
+      val (c3, _) = http(s"$base/services/execute", "POST",
+        Some(workflowAggRequest), Some(basic("graft", "secret")))
+      assert(c3 == 200)
+      // resume serves the routed session's documents to its owner
+      val (c4, b4) = http(s"$base/services/resume?session=sess_b&id=1" +
+        "&document_type=request", authHeader = Some(basic("intruder", "pw")))
+      assert(c4 == 200)
+      assert(mapper.readTree(b4).get("document").asText.contains("sess_b"))
+      // unknown sessions 404 on resume instead of being minted
+      val (c5, _) = http(s"$base/services/resume?session=nope",
+        authHeader = Some(basic("graft", "secret")))
+      assert(c5 == 404)
+    }
+  }
+
   test("repeated failures throttle an account") {
     val auth = new AuthService
     auth.addUser("u", "right")
