@@ -635,6 +635,31 @@ object SparkEntry {
           col("__v").as("qty"))
     }),
 
+    "workflow_concatnc" -> ((s, dir) => {
+      // engine-path oph_concatnc: append fresh source data along the
+      // implicit dim of an existing (subset) cube — positions become
+      // [first two items] ++ [all items]
+      val eng = new graft.workflow.Engine(s, new graft.core.Catalog("sess"))
+      val res = eng.run(graft.workflow.Workflow.parse(s"""{
+        "name": "wf", "tasks": [
+          {"name": "imp", "operator": "oph_importnc",
+           "arguments": ["src_path=$dir/lineitem.parquet",
+             "measure=l_quantity", "exp_dim=l_orderkey",
+             "imp_dim=l_linenumber", "container=li"]},
+          {"name": "sub", "operator": "oph_subset",
+           "arguments": ["subset_dims=l_linenumber", "subset_filter=1:2"],
+           "dependencies": [{"task": "imp", "type": "single"}]},
+          {"name": "cat", "operator": "oph_concatnc",
+           "arguments": ["src_path=$dir/lineitem.parquet"],
+           "dependencies": [{"task": "sub", "type": "single"}]}
+        ]}"""))
+      val out = eng.cube(res("cat").cubePid.get).get
+      out.df.select(col("l_orderkey"),
+          posexplode(col("l_quantity")).as(Seq("__p", "__v")))
+        .select(col("l_orderkey"), (col("__p") + 1).cast("long").as("pos"),
+          col("__v").as("qty"))
+    }),
+
     "explore_multigrid" -> ((s, dir) => {
       // the pivoted explorecube view (oph_json_multigrid.h:50-71):
       // rows = explicit dims, columns = implicit-dim values, cells =
@@ -1047,6 +1072,17 @@ object SparkEntry {
                     ORDER BY l_linenumber, l_quantity) AS pos
            FROM lineitem)
          SELECT l_orderkey, pos, l_quantity AS qty FROM p WHERE pos <= 4""",
+
+    "workflow_concatnc" ->
+      """WITH p AS (
+           SELECT l_orderkey, l_quantity,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_quantity) AS pos,
+                  count(*) OVER (PARTITION BY l_orderkey) AS n
+           FROM lineitem)
+         SELECT l_orderkey, pos, l_quantity AS qty FROM p WHERE pos <= 2
+         UNION ALL
+         SELECT l_orderkey, least(n, 2) + pos, l_quantity AS qty FROM p""",
 
     "netcdf_roundtrip" ->
       """WITH t AS (SELECT o_orderkey, o_totalprice FROM orders

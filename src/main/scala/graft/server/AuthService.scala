@@ -58,6 +58,14 @@ final class AuthService {
 
   def checkToken(token: String): Option[String] = tokens.get(token)
 
+  /** Mint a token for an ALREADY-authenticated principal (the login
+    * route verifies credentials through `authenticate` first). */
+  def loginAuthenticated(user: String): String = {
+    val token = java.util.UUID.randomUUID().toString.replace("-", "")
+    tokens(token) = user
+    token
+  }
+
   def revokeToken(token: String): Unit = tokens.remove(token)
 
   /**

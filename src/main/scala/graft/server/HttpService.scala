@@ -103,6 +103,14 @@ final class HttpService(
       guard(exchange) { _ =>
         reply(exchange, 200, s"""{"status":"up","error":$Ok}""")
       })
+    // login mints a bearer token from Basic credentials (the
+    // reference's token grant, `oph_auth.h:121` access_token)
+    server.createContext("/services/login", exchange =>
+      guard(exchange) { user =>
+        val token = auth.loginAuthenticated(user)
+        reply(exchange, 200,
+          s"""{"error":$Ok,"access_token":${quote(token)}}""")
+      })
     server.start()
     this
   }

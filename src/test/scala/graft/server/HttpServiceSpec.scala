@@ -237,6 +237,19 @@ class HttpServiceSpec extends SparkSpec {
     }
   }
 
+  test("login mints a token usable as Bearer auth") {
+    withService { (_, base, _) =>
+      val (code, body) = http(s"$base/services/login", "POST",
+        authHeader = Some(basic("graft", "secret")))
+      assert(code == 200)
+      val token = mapper.readTree(body).get("access_token").asText
+      assert(token.nonEmpty)
+      val (c2, _) = http(s"$base/services/info",
+        authHeader = Some(s"Bearer $token"))
+      assert(c2 == 200)
+    }
+  }
+
   test("repeated failures throttle an account") {
     val auth = new AuthService
     auth.addUser("u", "right")
