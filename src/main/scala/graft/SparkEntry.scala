@@ -551,6 +551,41 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))),
 
+    "events_stream_hourly" -> ((s, dir) => {
+      // the STREAMING path inside the correctness gate: file-source
+      // readStream over the events drop dir -> watermark + tumbling
+      // window -> memory sink, drained with Trigger.AvailableNow.
+      // Complete mode's final table equals the batch aggregation, so
+      // the SAME hourly oracle hash-verifies the streaming machinery.
+      import org.apache.spark.sql.types._
+      // the file source streams a DIRECTORY of drops; the testdata
+      // table is a single file, so stage it as one "arrived" drop
+      val drops = java.nio.file.Files.createTempDirectory("graft_stream")
+      drops.toFile.deleteOnExit()
+      val link = drops.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val raw = s.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType))))
+        .parquet(drops.toString)
+      val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = graft.streaming.EventStream.hourlyAggregates(ev)
+      val q = agg.writeStream.format("memory")
+        .queryName("events_stream_hourly")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("events_stream_hourly")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH").as("hr"),
+          col("event_type"), col("n"), round(col("sv"), 2).as("sv"))
+    }),
+
     "events_sessions" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -1228,6 +1263,11 @@ object SparkEntry {
          QUALIFY rank <= 5""",
 
     "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
+                event_type, count(*) AS n, round(sum(value), 2) AS sv
+         FROM events GROUP BY 1, 2""",
+
+    "events_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
                 event_type, count(*) AS n, round(sum(value), 2) AS sv
          FROM events GROUP BY 1, 2""",
