@@ -175,23 +175,31 @@ object NetCDF3 {
 
   private def pad4(n: Int): Int = (n + 3) & ~3
 
-  /** Write a classic (CDF-1) file of fixed-size double variables over
-    * shared dimensions. `varData` is row-major per variable. */
+  /** Write a classic file of fixed-size double variables over shared
+    * dimensions; `varData` is row-major per variable. Files whose data
+    * section would overflow 4-byte begin offsets are written as CDF-2
+    * (64-bit-offset variant — same layout, 8-byte begins), so exports
+    * past 2 GiB stay valid. */
   def write(path: String,
       dims: Seq[Dim],
       vars: Seq[(String, Seq[Int], Array[Double])], // (name, dimIds, data)
       gatts: Seq[(String, String)] = Seq.empty): Unit = {
-    val headerSize = {
+    val totalData = vars.map(_._3.length.toLong * 8).sum
+    def headerSizeFor(offBytes: Int): Long = {
       def nameLen(s: String) = 4 + pad4(s.getBytes(StandardCharsets.UTF_8).length)
       def attLen(a: (String, String)) =
         nameLen(a._1) + 8 + pad4(a._2.getBytes(StandardCharsets.UTF_8).length)
-      4 + 4 + // magic + numrecs
+      4L + 4 + // magic + numrecs
         8 + dims.map(d => nameLen(d.name) + 4).sum +
         8 + gatts.map(attLen).sum +
         8 + vars.map { case (n, ds, _) =>
-          nameLen(n) + 4 + 4 * ds.size + 8 /*empty atts*/ + 4 + 4 + 4
+          nameLen(n) + 4 + 4 * ds.size + 8 /*empty atts*/ + 4 + 4 + offBytes
         }.sum
     }
+    val version =
+      if (headerSizeFor(4) + totalData > Int.MaxValue.toLong) 2 else 1
+    val offBytes = if (version == 2) 8 else 4
+    val headerSize = headerSizeFor(offBytes)
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       new FileOutputStream(path)))
     try {
@@ -200,7 +208,7 @@ object NetCDF3 {
         out.writeInt(b.length); out.write(b)
         (b.length until pad4(b.length)).foreach(_ => out.writeByte(0))
       }
-      out.write(Array[Byte]('C', 'D', 'F', 1))
+      out.write(Array[Byte]('C', 'D', 'F', version.toByte))
       out.writeInt(0) // numrecs
       if (dims.isEmpty) { out.writeInt(0); out.writeInt(0) }
       else {
@@ -220,7 +228,7 @@ object NetCDF3 {
       if (vars.isEmpty) { out.writeInt(0); out.writeInt(0) }
       else {
         out.writeInt(TagVar); out.writeInt(vars.size)
-        var begin = headerSize.toLong
+        var begin = headerSize
         vars.foreach { case (n, dimIds, data) =>
           wName(n)
           out.writeInt(dimIds.size)
@@ -228,8 +236,10 @@ object NetCDF3 {
           out.writeInt(0); out.writeInt(0) // no per-var attributes
           out.writeInt(NcDouble)
           val vsize = data.length.toLong * 8
-          out.writeInt(vsize.toInt)
-          out.writeInt(begin.toInt) // CDF-1: 4-byte offsets
+          // vsize caps at the spec's 2^32-4 sentinel for huge vars
+          out.writeInt(if (vsize > 0XFFFFFFFCL) -1 else vsize.toInt)
+          if (version == 2) out.writeLong(begin)
+          else out.writeInt(begin.toInt)
           begin += vsize
         }
         vars.foreach { case (_, _, data) => data.foreach(out.writeDouble) }
