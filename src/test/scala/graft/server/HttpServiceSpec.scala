@@ -250,6 +250,29 @@ class HttpServiceSpec extends SparkSpec {
     }
   }
 
+  test("concurrent requests get distinct jobids and consistent state") {
+    withService { (_, base, e) =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val req = (i: Int) => s"""{
+        "name": "par_$i", "tasks": [
+          {"name": "mk", "operator": "oph_randcube",
+           "arguments": ["nrows=5", "array_length=2", "container=c$i",
+             "seed=$i"]}
+        ]}"""
+      val futs = (1 to 8).map(i => Future(
+        http(s"$base/services/execute", "POST", Some(req(i)),
+          Some(basic("graft", "secret")))))
+      val results = Await.result(Future.sequence(futs), Duration(120, "s"))
+      assert(results.forall(_._1 == 200), results.map(_._1))
+      val jobids = results.map(r => mapper.readTree(r._2).get("jobid").asInt)
+      assert(jobids.distinct.size == 8, s"jobids collided: $jobids")
+      // every workflow minted its own cube under its own container
+      assert(e.catalog.allCubes.size == 8)
+    }
+  }
+
   test("repeated failures throttle an account") {
     val auth = new AuthService
     auth.addUser("u", "right")
