@@ -563,9 +563,11 @@ object SparkEntry {
       val drops = java.nio.file.Files.createTempDirectory("graft_stream")
       drops.toFile.deleteOnExit()
       val link = drops.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(link,
-          java.nio.file.Paths.get(s"$dir/events.parquet"))
+      // absolute target: a relative data dir would resolve against the
+      // temp dir and dangle
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$dir/events.parquet")
+          .toAbsolutePath.normalize)
       val raw = s.readStream
         .schema(StructType(Seq(
           StructField("event_id", LongType), StructField("ts", LongType),
@@ -706,7 +708,7 @@ object SparkEntry {
       val mg = graft.render.ResponseWriter.multigridOf(
         "explorecube_dimvalues", "slice", sorted, limit = 50)
       import s.implicits._
-      mg.values.zipWithIndex.flatMap { case (row, r) =>
+      mg.values.flatMap { row =>
         row.drop(mg.rowKeys.size).zipWithIndex.map { case (cell, c) =>
           (row.head, (c + 1).toLong, cell)
         }

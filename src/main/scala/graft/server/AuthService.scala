@@ -59,12 +59,31 @@ final class AuthService {
   def checkToken(token: String): Option[String] = tokens.get(token)
 
   /** Mint a token for an ALREADY-authenticated principal (the login
-    * route verifies credentials through `authenticate` first). */
+    * route verifies PASSWORD credentials via `authenticatePassword`
+    * first — tokens never mint tokens). */
   def loginAuthenticated(user: String): String = {
     val token = java.util.UUID.randomUUID().toString.replace("-", "")
     tokens(token) = user
     token
   }
+
+  /** Like `authenticate` but accepts ONLY Basic user:password — Bearer
+    * and the `__token__` convention are rejected, so a leaked token
+    * cannot derive fresh tokens that outlive its revocation. */
+  def authenticatePassword(header: Option[String]): Option[String] =
+    header.map(_.trim).filter(_.regionMatches(true, 0, "Basic ", 0, 6))
+      .flatMap { h =>
+        val decoded =
+          try new String(Base64.getDecoder.decode(h.substring(6).trim),
+            StandardCharsets.UTF_8)
+          catch { case _: IllegalArgumentException => return None }
+        decoded.split(":", 2) match {
+          case Array(TokenUser, _) => None
+          case Array(user, password)
+            if users.get(user).contains(hash(user, password)) => Some(user)
+          case _ => None
+        }
+      }
 
   def revokeToken(token: String): Unit = tokens.remove(token)
 

@@ -55,6 +55,10 @@ object HttpService {
     * marker); without it a long-lived server leaks one entry per
     * request. */
   val MaxTrackedJobs = 512
+
+  /** Routed-session bound — engines are NOT evictable (they hold live
+    * cube stores), so minting past this is refused with 503. */
+  val MaxSessions = 64
 }
 
 final class HttpService(
@@ -72,19 +76,36 @@ final class HttpService(
   /** Session routing (`sessionid` request field / `session` query
     * param): each session code owns its OWN engine — catalog, cube
     * store, role table — exactly the reference's per-session state.
-    * The first authenticated user to name a new session becomes its
-    * owner; everyone else needs a granted role on it. */
+    * The first authenticated user to name a NEW code becomes its owner;
+    * everyone else needs a granted role on it. Guard rails: codes are
+    * validated, capped in number (an authenticated user must not be
+    * able to allocate engines without bound), and a code already
+    * registered in ANY engine's session service cannot be squatted by
+    * minting a second owner for it over HTTP. */
   private val sessionEngines =
     scala.collection.concurrent.TrieMap[String, Engine](
       engine.catalog.sessionCode -> engine)
+
+  final case class RoutingError(status: Int, message: String)
+    extends Exception(message)
 
   private def engineFor(code: String, user: String,
       createIfAbsent: Boolean): Option[Engine] =
     sessionEngines.get(code).orElse {
       if (!createIfAbsent) None
-      else Some(sessionEngines.getOrElseUpdate(code,
-        new Engine(engine.spark, new graft.core.Catalog(code), user,
-          engine.sleeper)))
+      else {
+        if (!code.matches("[A-Za-z0-9_-]{1,64}"))
+          throw RoutingError(400, s"invalid session code '$code'")
+        if (sessionEngines.size >= MaxSessions)
+          throw RoutingError(503,
+            s"session limit ($MaxSessions) reached")
+        if (sessionEngines.values.exists(_.sessions.exists(code)))
+          throw RoutingError(403,
+            s"session '$code' already exists in another registry")
+        Some(sessionEngines.getOrElseUpdate(code,
+          new Engine(engine.spark, new graft.core.Catalog(code), user,
+            engine.sleeper)))
+      }
     }
 
   def boundPort: Int = server.getAddress.getPort
@@ -103,13 +124,22 @@ final class HttpService(
       guard(exchange) { _ =>
         reply(exchange, 200, s"""{"status":"up","error":$Ok}""")
       })
-    // login mints a bearer token from Basic credentials (the
-    // reference's token grant, `oph_auth.h:121` access_token)
+    // login mints a bearer token from PASSWORD credentials only (the
+    // reference's token grant, `oph_auth.h:121` access_token) — a
+    // presented token must NOT mint further tokens, or revocation of
+    // the original would be escapable through derived tokens
     server.createContext("/services/login", exchange =>
-      guard(exchange) { user =>
-        val token = auth.loginAuthenticated(user)
-        reply(exchange, 200,
-          s"""{"error":$Ok,"access_token":${quote(token)}}""")
+      guard(exchange) { _ =>
+        auth.authenticatePassword(Option(
+          exchange.getRequestHeaders.getFirst("Authorization"))) match {
+          case Some(user) =>
+            val token = auth.loginAuthenticated(user)
+            reply(exchange, 200,
+              s"""{"error":$Ok,"access_token":${quote(token)}}""")
+          case None =>
+            reply(exchange, 401,
+              s"""{"error":$ErrAuth,"message":"login requires Basic user:password"}""")
+        }
       })
     server.start()
     this
@@ -149,19 +179,25 @@ final class HttpService(
         case e: Exception => return reply(ex, 400,
           s"""{"error":$ErrWrongParameter,"message":${quote(e.getMessage)}}""")
       }
-    // session routing: sessionid selects (or mints) the target
-    // session's engine; the authenticated user needs its Execute role
-    // bit (`oph_auth.h:79-96`) — the creator owns a new session
-    val code = spec.sessionId.getOrElse(engine.catalog.sessionCode)
-    val eng = engineFor(code, user, createIfAbsent = true).get
-    if (!eng.sessions.hasRole(code, user, SessionService.RoleExecute))
-      return reply(ex, 403,
-        s"""{"error":$ErrAuth,"message":"user '$user' lacks the execute role on session '$code'"}""")
     try Workflow.validate(spec)
     catch {
       case e: Workflow.ValidationError => return reply(ex, 400,
         s"""{"error":$ErrWrongParameter,"message":${quote(e.getMessage)}}""")
     }
+    // session routing AFTER validation: an invalid workflow must not
+    // allocate anything. sessionid selects (or mints) the target
+    // session's engine; the authenticated user needs its Execute role
+    // bit (`oph_auth.h:79-96`) — the creator owns a new session
+    val code = spec.sessionId.getOrElse(engine.catalog.sessionCode)
+    val eng =
+      try engineFor(code, user, createIfAbsent = true).get
+      catch {
+        case RoutingError(status, msg) => return reply(ex, status,
+          s"""{"error":$ErrAuth,"message":${quote(msg)}}""")
+      }
+    if (!eng.sessions.hasRole(code, user, SessionService.RoleExecute))
+      return reply(ex, 403,
+        s"""{"error":$ErrAuth,"message":"user '$user' lacks the execute role on session '$code'"}""")
     val jobid = jobSeq.incrementAndGet()
     def track(f: scala.concurrent.Future[Map[String, JobStatus.Value]]): Unit = {
       jobs(jobid) = Job(jobid, f)

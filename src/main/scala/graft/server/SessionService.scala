@@ -89,6 +89,9 @@ final class SessionService {
     sessions.get(code).exists(s => (roleOf(s, user) & mask) == mask)
   }
 
+  /** Is `code` registered here? (Service-layer squat check.) */
+  def exists(code: String): Boolean = synchronized(sessions.contains(code))
+
   private def require_(cond: Boolean, msg: String): Unit =
     if (!cond) throw new AuthError(msg)
 

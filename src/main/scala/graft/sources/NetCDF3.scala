@@ -134,7 +134,9 @@ object NetCDF3 {
             val dimIds = (0 until nd).map(_ => u32())
             val atts = attList()
             val t = u32()
-            val vsize = u32().toLong
+            // vsize is UNSIGNED on disk (CDF-2 vars can exceed 2 GiB;
+            // 0xFFFFFFFF is the too-large sentinel)
+            val vsize = u32().toLong & 0xFFFFFFFFL
             val begin = offset()
             Var(vn, t, dimIds, atts, vsize, begin)
           }

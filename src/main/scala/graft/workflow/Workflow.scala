@@ -62,8 +62,11 @@ object Workflow {
   /** Parse a JSON request into a Spec (jansson → Jackson). */
   def parse(json: String): Spec = {
     val n = mapper.readTree(json)
+    // a JSON null is ABSENT (NullNode.asText would yield "null")
+    def opt(node: JsonNode, field: String): Option[JsonNode] =
+      Option(node.get(field)).filterNot(_.isNull)
     def str(node: JsonNode, field: String, dflt: String): String =
-      Option(node.get(field)).map(_.asText).getOrElse(dflt)
+      opt(node, field).map(_.asText).getOrElse(dflt)
     val wfOnError = str(n, "on_error", "abort")
     val wfOnExit = str(n, "on_exit", "nop")
     val tasks = Option(n.get("tasks")).map(_.elements.asScala.toSeq)
@@ -83,7 +86,7 @@ object Workflow {
           .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
           .map { dn =>
             Dependency(str(dn, "task", ""),
-              Option(dn.get("argument")).map(_.asText),
+              Option(dn.get("argument")).filterNot(_.isNull).map(_.asText),
               // reference default: argument present => "all", else
               // "embedded" (`oph_workflow_parsing.c:592-596`)
               str(dn, "type",
@@ -105,17 +108,17 @@ object Workflow {
       name = str(n, "name", "workflow"),
       author = str(n, "author", ""),
       abstractText = str(n, "abstract", ""),
-      sessionId = Option(n.get("sessionid")).map(_.asText),
+      sessionId = opt(n, "sessionid").map(_.asText),
       execMode = str(n, "exec_mode", "sync"),
       cwd = str(n, "cwd", "/"),
-      cube = Option(n.get("cube")).map(_.asText),
+      cube = opt(n, "cube").map(_.asText),
       onError = wfOnError,
       onExit = wfOnExit,
-      checkpoint = Option(n.get("checkpoint")).map(_.asText),
+      checkpoint = opt(n, "checkpoint").map(_.asText),
       outputFormat = str(n, "output_format", "classic"),
-      ncores = Option(n.get("ncores")).map(_.asText.toInt),
-      nhosts = Option(n.get("nhost")).map(_.asText.toInt),
-      hostPartition = Option(n.get("host_partition")).map(_.asText),
+      ncores = opt(n, "ncores").map(_.asText.toInt),
+      nhosts = opt(n, "nhost").map(_.asText.toInt),
+      hostPartition = opt(n, "host_partition").map(_.asText),
       variables = vars,
       tasks = tasks)
   }
