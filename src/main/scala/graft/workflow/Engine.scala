@@ -342,18 +342,41 @@ final class Engine(
         op match {
           case "oph_for" =>
             val end = matching(spec, i, "oph_for", "oph_endfor")
-            val args = t.arguments.map { case (k, v) => k -> sub(v) }
-            val key = args.getOrElse("key", "index")
-            // IEEE Std 1003.1 name check, as the reference enforces on
-            // the loop counter (`oph_flow_control_operators.c:1705-1717`)
-            if (!key.matches("[A-Za-z_][A-Za-z0-9_]*"))
-              throw new Engine.EngineError(
-                s"oph_for: invalid variable name '$key'")
-            val values: Seq[String] =
-              args.get("values").map(_.split('|').toSeq)
-                .orElse(args.get("counter").map(c =>
-                  Subset.parse(c).indices.map(_.toString)))
-                .getOrElse(Seq("1"))
+            // a bad loop key or counter string is a task Error that
+            // follows on_error, like every other flow-control failure
+            val setup =
+              try {
+                val args = t.arguments.map { case (k, v) => k -> sub(v) }
+                val key = args.getOrElse("key", "index")
+                // IEEE Std 1003.1 name check, as the reference enforces
+                // on the loop counter (`oph_flow_control_operators.c:
+                // 1705-1717`)
+                if (!key.matches("[A-Za-z_][A-Za-z0-9_]*"))
+                  throw new Engine.EngineError(
+                    s"oph_for: invalid variable name '$key'")
+                val values: Seq[String] =
+                  args.get("values").map(_.split('|').toSeq)
+                    .orElse(args.get("counter").map(c =>
+                      Subset.parse(c).indices.map(_.toString)))
+                    .getOrElse(Seq("1"))
+                Right((args, key, values))
+              } catch {
+                case e: Exception => Left(e)
+              }
+            setup match {
+              case Left(e) =>
+                results(s"${t.name}$iterSuffix") =
+                  TaskResult(JobStatus.Error, message = e.getMessage)
+                t.onError match {
+                  case "skip" | "continue" | "nop" | "repeat" => i = end + 1
+                  case "break" => return 1
+                  case _ =>
+                    (i + 1 until until).foreach(k =>
+                      results(s"${spec.tasks(k).name}$iterSuffix") =
+                        TaskResult(JobStatus.Aborted))
+                    return 2
+                }
+              case Right((args, key, values)) =>
             var broke = false
             var aborted = false
             if (args.get("parallel").exists(_.equalsIgnoreCase("yes"))) {
@@ -404,14 +427,17 @@ final class Engine(
                 (if (broke) " (broken early)" else ""))
             if (aborted) return 2
             i = end + 1
+            }
 
           case "oph_if" | "oph_elseif" =>
             // find the chain: branch starts and the closing endif
             val endif = matching(spec, i, "oph_if", "oph_endif")
             var selected = -1
-            // walk branches at this nesting level
+            // walk branches at this nesting level; a bad condition
+            // (0/0, '---', unresolved var) is a task Error that follows
+            // on_error like any other flow-control failure
             var j = i
-            while (j < endif) {
+            try while (j < endif) {
               val bt = spec.tasks(j)
               bt.operator.toLowerCase match {
                 case "oph_if" | "oph_elseif" if selected < 0 =>
@@ -422,7 +448,25 @@ final class Engine(
                 case _ =>
               }
               j = nextBranch(spec, j, endif)
+            } catch {
+              case e @ (_: Engine.EngineError | _: Workflow.ValidationError) =>
+                results(s"${t.name}$iterSuffix") =
+                  TaskResult(JobStatus.Error, message = e.getMessage)
+                t.onError match {
+                  case "skip" | "continue" | "nop" | "repeat" =>
+                    i = endif + 1
+                  case "break" => return 1
+                  case _ =>
+                    (i + 1 until until).foreach(k =>
+                      results(s"${spec.tasks(k).name}$iterSuffix") =
+                        TaskResult(JobStatus.Aborted))
+                    return 2
+                }
             }
+            if (results.get(s"${t.name}$iterSuffix")
+                .exists(_.status == JobStatus.Error)) {
+              // condition error already handled above; skip the block
+            } else {
             // execute only the selected branch; its break/abort
             // signal propagates (break reaches the enclosing loop)
             var branchEnd = -1
@@ -452,6 +496,7 @@ final class Engine(
               TaskResult(JobStatus.Completed, message = "selection evaluated")
             if (branchSignal != 0) return branchSignal
             i = endif + 1
+            }
 
           case "oph_endfor" | "oph_endif" | "oph_else" =>
             i += 1 // structural markers; bodies handled by their openers

@@ -285,9 +285,17 @@ object Workflow {
    * delegates to GNU libmatheval with no free variables
    * (`oph_flow_control_operators.c:592-628`); this is a small
    * recursive-descent equivalent over doubles: numbers, + - * / %,
-   * comparisons, ! && ||, parentheses. Non-zero => true.
+   * comparisons, ! && ||, parentheses. Non-zero => true. An empty
+   * condition is TRUE (reference if_impl case 0) and a non-finite
+   * result (0/0, 1/0) is the reference's "Wrong condition" error.
    */
-  def evalCondition(expr: String): Double = new CondParser(expr).parse()
+  def evalCondition(expr: String): Double = {
+    if (expr.trim.isEmpty) return 1.0
+    val v = new CondParser(expr).parse()
+    if (v.isNaN || v.isInfinite)
+      throw new ValidationError(s"wrong condition '$expr'")
+    v
+  }
 
   private final class CondParser(s: String) {
     private var pos = 0

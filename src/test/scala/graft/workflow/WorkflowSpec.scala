@@ -167,12 +167,15 @@ class WorkflowSpec extends SparkSpec {
 
   test("oph_for rejects non-IEEE variable names (reference :1705-1717)") {
     val e = engine()
-    intercept[Engine.EngineError](e.run(Workflow.parse("""{
+    // the bad key is a task Error that follows on_error (default abort)
+    val res = e.run(Workflow.parse("""{
       "name": "wf", "tasks": [
         {"name": "loop", "operator": "oph_for",
          "arguments": ["key=2bad", "values=1"]},
         {"name": "end", "operator": "oph_endfor"}
-      ]}""")))
+      ]}"""))
+    assert(res("loop").status == JobStatus.Error)
+    assert(res("loop").message.contains("invalid variable name"))
   }
 
   test("oph_for with counter subset string") {
