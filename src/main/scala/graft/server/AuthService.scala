@@ -9,23 +9,45 @@ import java.util.Base64
  * user/password or with a bearer token (the reference models tokens as
  * `userid=__token__, password=<token>`, `src/oph_auth.h:37,121`;
  * password hashes via crypt, `oph_auth.c` user table). Failed attempts
- * per host are throttled by a simple counter, mirroring the reference's
- * block-list (`oph_is_in_bl`, `oph_auth.c:327`).
+ * are throttled per remote HOST inside an expiring window, mirroring
+ * the reference's block-list (`oph_is_in_bl`, `oph_auth.c:327` —
+ * per-host entries that age out) — keying by user name would let any
+ * unauthenticated client lock out a known account.
  */
 object AuthService {
   val TokenUser = "__token__" // `oph_auth.h:37`
   val MaxAttempts = 5
+  /** Block-window length: a host's failure counter resets this long
+    * after its FIRST failure of the window (reference block-list
+    * check period). */
+  val BlockWindowMs = 300000L
 }
 
-final class AuthService {
+final class AuthService(now: () => Long = () => System.currentTimeMillis) {
   import AuthService._
 
   private val users =
     scala.collection.concurrent.TrieMap[String, String]() // name -> pw hash
   private val tokens =
     scala.collection.concurrent.TrieMap[String, String]() // token -> name
-  private val failures =
-    scala.collection.concurrent.TrieMap[String, Int]()    // name -> attempts
+  private val failures = scala.collection.concurrent
+    .TrieMap[String, (Int, Long)]() // host -> (attempts, window start)
+
+  /** True while `host` is inside an un-expired block window with too
+    * many failures; an expired window is dropped on sight. */
+  private def blocked(host: String): Boolean =
+    failures.get(host) match {
+      case Some((n, t0)) if now() - t0 >= BlockWindowMs =>
+        failures.remove(host); false
+      case Some((n, _)) => n >= MaxAttempts
+      case None => false
+    }
+
+  private def recordFailure(host: String): Unit =
+    failures.updateWith(host) {
+      case Some((n, t0)) if now() - t0 < BlockWindowMs => Some((n + 1, t0))
+      case _ => Some((1, now()))
+    }
 
   /** Salted SHA-256 stand-in for the reference's crypt() hashes. */
   private def hash(user: String, password: String): String = {
@@ -42,16 +64,18 @@ final class AuthService {
     tokens.filterInPlace { case (_, u) => u != name }
   }
 
-  /** Check user/password; mints and returns a bearer token on success. */
-  def login(name: String, password: String): Option[String] = {
-    if (failures.getOrElse(name, 0) >= MaxAttempts) return None
+  /** Check user/password; mints and returns a bearer token on success.
+    * `host` is the remote address the attempt came from — throttling
+    * is per host, never per account. */
+  def login(name: String, password: String, host: String = ""): Option[String] = {
+    if (blocked(host)) return None
     if (users.get(name).contains(hash(name, password))) {
-      failures.remove(name)
+      failures.remove(host)
       val token = java.util.UUID.randomUUID().toString.replace("-", "")
       tokens(token) = name
       Some(token)
     } else {
-      failures.updateWith(name) { c => Some(c.getOrElse(0) + 1) }
+      recordFailure(host)
       None
     }
   }
@@ -91,9 +115,10 @@ final class AuthService {
    * Resolve an HTTP Authorization header to a user name:
    * `Bearer <token>`, `Basic base64(user:password)`, or
    * `Basic base64(__token__:<token>)` (the reference's token-as-password
-   * convention). None = unauthenticated.
+   * convention). None = unauthenticated. `host` keys the per-host
+   * failure throttle.
    */
-  def authenticate(header: Option[String]): Option[String] =
+  def authenticate(header: Option[String], host: String = ""): Option[String] =
     header.map(_.trim).flatMap {
       case h if h.regionMatches(true, 0, "Bearer ", 0, 7) =>
         checkToken(h.substring(7).trim)
@@ -105,11 +130,11 @@ final class AuthService {
         decoded.split(":", 2) match {
           case Array(TokenUser, token) => checkToken(token)
           case Array(user, password) =>
-            if (failures.getOrElse(user, 0) >= MaxAttempts) None
+            if (blocked(host)) None
             else if (users.get(user).contains(hash(user, password))) {
-              failures.remove(user); Some(user)
+              failures.remove(host); Some(user)
             } else {
-              failures.updateWith(user) { c => Some(c.getOrElse(0) + 1) }
+              recordFailure(host)
               None
             }
           case _ => None

@@ -89,22 +89,31 @@ final class HttpService(
   final case class RoutingError(status: Int, message: String)
     extends Exception(message)
 
+  /** Serializes session minting: the cap check, the squat check, and
+    * the insert must be one atomic step — `getOrElseUpdate` alone can
+    * both exceed the cap under concurrency and evaluate its thunk
+    * twice, registering a discarded Engine's session code. */
+  private val mintLock = new Object
+
   private def engineFor(code: String, user: String,
       createIfAbsent: Boolean): Option[Engine] =
     sessionEngines.get(code).orElse {
       if (!createIfAbsent) None
-      else {
-        if (!code.matches("[A-Za-z0-9_-]{1,64}"))
-          throw RoutingError(400, s"invalid session code '$code'")
-        if (sessionEngines.size >= MaxSessions)
-          throw RoutingError(503,
-            s"session limit ($MaxSessions) reached")
-        if (sessionEngines.values.exists(_.sessions.exists(code)))
-          throw RoutingError(403,
-            s"session '$code' already exists in another registry")
-        Some(sessionEngines.getOrElseUpdate(code,
-          new Engine(engine.spark, new graft.core.Catalog(code), user,
-            engine.sleeper)))
+      else mintLock.synchronized {
+        sessionEngines.get(code).orElse {
+          if (!code.matches("[A-Za-z0-9_-]{1,64}"))
+            throw RoutingError(400, s"invalid session code '$code'")
+          if (sessionEngines.size >= MaxSessions)
+            throw RoutingError(503,
+              s"session limit ($MaxSessions) reached")
+          if (sessionEngines.values.exists(_.sessions.exists(code)))
+            throw RoutingError(403,
+              s"session '$code' already exists in another registry")
+          val minted = new Engine(engine.spark,
+            new graft.core.Catalog(code), user, engine.sleeper)
+          sessionEngines(code) = minted
+          Some(minted)
+        }
       }
     }
 
@@ -155,7 +164,14 @@ final class HttpService(
   /** Authenticate, run the handler, convert stray errors to 500s. */
   private def guard(ex: HttpExchange)(body: String => Unit): Unit =
     try {
-      auth.authenticate(Option(ex.getRequestHeaders.getFirst("Authorization"))) match {
+      // throttling is keyed by the REMOTE HOST (reference `oph_is_in_bl`
+      // block-list) — an attacker must not be able to lock out an
+      // account by name from anywhere
+      val host = Option(ex.getRemoteAddress)
+        .flatMap(a => Option(a.getAddress)).map(_.getHostAddress)
+        .getOrElse("")
+      auth.authenticate(
+        Option(ex.getRequestHeaders.getFirst("Authorization")), host) match {
         case Some(user) => body(user)
         case None =>
           ex.getResponseHeaders.add("WWW-Authenticate", "Basic realm=\"graft\"")
@@ -202,8 +218,14 @@ final class HttpService(
     def track(f: scala.concurrent.Future[Map[String, JobStatus.Value]]): Unit = {
       jobs(jobid) = Job(jobid, f)
       if (jobs.size > MaxTrackedJobs)
-        jobs.keys.toSeq.sorted.take(jobs.size - MaxTrackedJobs)
-          .foreach(jobs.remove)
+        // only COMPLETED jobs age out (oldest first) — evicting a
+        // still-running job would 404 its status polls while it runs;
+        // if everything is in flight the map temporarily exceeds the
+        // bound rather than losing a live job
+        jobs.toSeq.sortBy(_._1).iterator
+          .filter(_._2.future.isCompleted)
+          .take(jobs.size - MaxTrackedJobs)
+          .foreach { case (id, _) => jobs.remove(id) }
     }
     if (spec.execMode.equalsIgnoreCase("async")) {
       import scala.concurrent.ExecutionContext.Implicits.global

@@ -35,6 +35,10 @@ object Engine {
 
   final class EngineError(msg: String) extends Exception(msg)
 
+  /** Checkpoint-store bound: at most this many workflow names keep a
+    * replayable last run (arbitrary entries beyond it age out). */
+  val MaxLastRuns = 64
+
   /** The operator surface (for oph_operators_list introspection —
     * mirrors the reference objkey vocabulary `oph_json_objkeys.h:27-173`). */
   val operatorList: Seq[String] = Seq(
@@ -156,7 +160,24 @@ final class Engine(
     if (candidates.size > 1)
       throw new Engine.EngineError(
         "oph_input: task not found or ambiguous")
-    candidates.headOption.exists { case (_, p) => p.trySuccess(msg) }
+    // an action=wait handler completes the old promise, THEN registers
+    // its replacement — a message landing in that gap would hit the
+    // already-completed promise and be silently dropped, so retry
+    // against whatever is currently registered until it lands or the
+    // task stops waiting
+    candidates.headOption.exists { case (key, p0) =>
+      var p = p0
+      var delivered = p.trySuccess(msg)
+      var spins = 0
+      while (!delivered && spins < 500) {
+        inputWaits.get(key) match {
+          case Some(p2) if p2 ne p => p = p2; delivered = p.trySuccess(msg)
+          case Some(_) => Thread.sleep(2); spins += 1
+          case None => spins = 500 // task finished waiting; undeliverable
+        }
+      }
+      delivered
+    }
   }
 
   def cube(pid: String): Option[Cube] = cubes.get(pid)
@@ -736,8 +757,15 @@ final class Engine(
       sessions.saveWorkflow(catalog.sessionCode,
         requestJson.getOrElse(spec.name), summary)
       // record for request-level checkpoint resume (the ORIGINAL spec:
-      // runFrom compares task definitions against the next request)
-      lastRuns(spec0.name) = (spec0, results.toMap)
+      // runFrom compares task definitions against the next request).
+      // df is stripped — replay only needs status/cubePid/outputs, and
+      // retaining it would pin one DataFrame plan per workflow name for
+      // the engine's lifetime; the map itself is bounded the same way
+      lastRuns(spec0.name) =
+        (spec0, results.toMap.map { case (k, r) => k -> r.copy(df = None) })
+      if (lastRuns.size > Engine.MaxLastRuns)
+        lastRuns.keys.filter(_ != spec0.name)
+          .take(lastRuns.size - Engine.MaxLastRuns).foreach(lastRuns.remove)
     }
     results.toMap
   }

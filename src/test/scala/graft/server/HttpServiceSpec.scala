@@ -279,7 +279,31 @@ class HttpServiceSpec extends SparkSpec {
     (1 to AuthService.MaxAttempts).foreach { _ =>
       assert(auth.login("u", "wrong").isEmpty)
     }
-    // correct password no longer helps: the account is blocked
+    // correct password no longer helps: the HOST is blocked
     assert(auth.login("u", "right").isEmpty)
+  }
+
+  test("lockout is per host, not per account — and the window expires") {
+    var clock = 0L
+    val auth = new AuthService(() => clock)
+    auth.addUser("u", "right")
+    // attacker on host A burns the attempts against the account name
+    (1 to AuthService.MaxAttempts).foreach { _ =>
+      assert(auth.login("u", "wrong", host = "10.0.0.66").isEmpty)
+    }
+    assert(auth.login("u", "right", host = "10.0.0.66").isEmpty,
+      "attacking host must be blocked")
+    // the legitimate user on host B is unaffected
+    assert(auth.login("u", "right", host = "10.0.0.1").nonEmpty,
+      "a lockout keyed per account would DoS the real user")
+    // the same applies to the Basic-auth path used by guard()
+    val hdr = Some("Basic " + java.util.Base64.getEncoder.encodeToString(
+      "u:right".getBytes("UTF-8")))
+    assert(auth.authenticate(hdr, host = "10.0.0.66").isEmpty)
+    assert(auth.authenticate(hdr, host = "10.0.0.2").contains("u"))
+    // and the attacker's block decays once the window passes
+    clock = AuthService.BlockWindowMs + 1
+    assert(auth.login("u", "right", host = "10.0.0.66").nonEmpty,
+      "block window must expire")
   }
 }
