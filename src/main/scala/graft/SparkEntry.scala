@@ -737,6 +737,67 @@ object SparkEntry {
         .agg(round(sum(col("o_totalprice")), 2).as("s"))
     }),
 
+    "netcdf_record_roundtrip" -> ((s, dir) => {
+      // record-dimension (UNLIMITED) round-trip: the same orders slice
+      // written as TWO record variables over a record dim — the
+      // interleaved record section and numrecs-resolved extent are what
+      // the hash match verifies (real climate files put time on the
+      // record dim; `/root/reference/src/oph_json/oph_json_objkeys.h:134`)
+      val rows = t(s, dir, "orders").orderBy("o_orderkey")
+        .limit(500)
+        .select(col("o_orderkey").cast("double"),
+          col("o_totalprice").cast("double")).collect()
+      val f = java.io.File.createTempFile("graft_rec_orders", ".nc")
+      f.deleteOnExit()
+      graft.sources.NetCDF3.write(f.getPath,
+        dims = Seq(graft.sources.NetCDF3.Dim("row", 0)), // UNLIMITED
+        vars = Seq(
+          ("o_orderkey", Seq(0), rows.map(_.getDouble(0))),
+          ("o_totalprice", Seq(0), rows.map(_.getDouble(1)))))
+      s.read.format("netcdf3").load(f.getPath)
+        .groupBy(floor(col("o_orderkey") / 1000).cast("long").as("bucket"))
+        .agg(round(sum(col("o_totalprice")), 2).as("s"))
+    }),
+
+    "workflow_concatnc_record" -> ((s, dir) => {
+      // engine-path concatnc ALONG THE RECORD DIM: two record-dim .nc
+      // files (t = UNLIMITED, 2 records each) import + append into one
+      // cube whose per-customer series spans all 4 records
+      val cust = t(s, dir, "customer").orderBy("c_custkey").limit(100)
+        .select(col("c_custkey").cast("double"),
+          col("c_acctbal").cast("double")).collect()
+      val keys = cust.map(_.getDouble(0))
+      val bals = cust.map(_.getDouble(1))
+      def writeNc(ts: Seq[Int]): String = {
+        val f = java.io.File.createTempFile("graft_rec_cat", ".nc")
+        f.deleteOnExit()
+        graft.sources.NetCDF3.write(f.getPath,
+          dims = Seq(graft.sources.NetCDF3.Dim("t", 0),
+            graft.sources.NetCDF3.Dim("cust", keys.length)),
+          vars = Seq(
+            ("t", Seq(0), ts.map(_.toDouble).toArray),
+            ("cust", Seq(1), keys),
+            ("bal", Seq(0, 1), ts.toArray.flatMap(tv => bals.map(_ * tv)))))
+        f.getPath
+      }
+      val f1 = writeNc(Seq(1, 2)); val f2 = writeNc(Seq(3, 4))
+      val eng = new graft.workflow.Engine(s, new graft.core.Catalog("sess"))
+      val res = eng.run(graft.workflow.Workflow.parse(s"""{
+        "name": "wf", "tasks": [
+          {"name": "imp", "operator": "oph_importnc",
+           "arguments": ["src_path=$f1", "measure=bal",
+             "exp_dim=cust", "imp_dim=t", "container=ncr"]},
+          {"name": "cat", "operator": "oph_concatnc",
+           "arguments": ["src_path=$f2"],
+           "dependencies": [{"task": "imp", "type": "single"}]}
+        ]}"""))
+      val out = eng.cube(res("cat").cubePid.get).get
+      out.df.select(col("cust"),
+          posexplode(col("bal")).as(Seq("__p", "__v")))
+        .select(col("cust"), (col("__p") + 1).cast("long").as("pos"),
+          round(col("__v"), 2).as("val"))
+    }),
+
     // ---------------------------------- array-measure oph_aggregate
     "aggregate_arrays" -> ((s, dir) => {
       // collapse the l_orderkey dim ELEMENTWISE: cell i sums the i-th
@@ -1127,6 +1188,20 @@ object SparkEntry {
          SELECT CAST(floor(o_orderkey / 1000) AS BIGINT) AS bucket,
                 round(sum(o_totalprice), 2) AS s
          FROM t GROUP BY 1""",
+
+    "netcdf_record_roundtrip" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice FROM orders
+                    ORDER BY o_orderkey LIMIT 500)
+         SELECT CAST(floor(o_orderkey / 1000) AS BIGINT) AS bucket,
+                round(sum(o_totalprice), 2) AS s
+         FROM t GROUP BY 1""",
+
+    "workflow_concatnc_record" ->
+      """WITH c AS (SELECT c_custkey, c_acctbal FROM customer
+                    ORDER BY c_custkey LIMIT 100)
+         SELECT CAST(c_custkey AS DOUBLE) AS cust, i + 1 AS pos,
+                round(c_acctbal * (i + 1), 2) AS val
+         FROM c CROSS JOIN range(4) t(i)""",
 
     "aggregate_arrays" ->
       """WITH p AS (

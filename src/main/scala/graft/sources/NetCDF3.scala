@@ -58,7 +58,31 @@ object NetCDF3 {
       dims: Seq[Dim],
       gatts: Seq[Att],
       vars: Seq[Var]) {
-    def shapeOf(v: Var): Seq[Int] = v.dimIds.map(dims(_).length)
+    /** The UNLIMITED dimension: header length 0, actual extent in
+      * `numrecs` (classic spec: at most one, first dim of every record
+      * variable). */
+    val recordDimId: Option[Int] = {
+      val i = dims.indexWhere(_.length == 0)
+      if (i >= 0) Some(i) else None
+    }
+    def isRecord(v: Var): Boolean =
+      v.dimIds.headOption.exists(recordDimId.contains)
+    /** Resolved extent: the record dim reads as `numrecs`. */
+    def dimLength(id: Int): Int =
+      if (recordDimId.contains(id)) numrecs else dims(id).length
+    def shapeOf(v: Var): Seq[Int] = v.dimIds.map(dimLength)
+    /** Cells in ONE record of a record variable (non-record dims). */
+    def cellsPerRecord(v: Var): Long =
+      v.dimIds.drop(1).map(dims(_).length.toLong).product
+    /** Byte stride between consecutive records in the interleaved
+      * record section. Spec: each record var's per-record slab is
+      * padded to 4 bytes, EXCEPT when there is exactly one record
+      * variable (then records pack without padding). */
+    lazy val recSize: Long = {
+      val rvs = vars.filter(isRecord)
+      if (rvs.size == 1) cellsPerRecord(rvs.head) * typeSize(rvs.head.ncType)
+      else rvs.map(v => pad4L(cellsPerRecord(v) * typeSize(v.ncType))).sum
+    }
     def varByName(n: String): Var = vars.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"no variable '$n'"))
   }
@@ -147,27 +171,50 @@ object NetCDF3 {
   }
 
   /** Read `count` cells of `v` starting at row-major cell `start` —
-    * exactly the bytes of that range, independent of variable size. */
+    * exactly the bytes of that range, independent of variable size.
+    * Fixed variables are one contiguous seek+read; record variables
+    * gather per-record slabs at stride `recSize` (still offset-
+    * addressed — a partition reads only its records of only this
+    * variable). */
   def readSlab(path: String, header: Header, v: Var,
       start: Long, count: Int): Array[Double] = {
     val ts = typeSize(v.ncType)
     val f = new RandomAccessFile(path, "r")
     try {
-      f.seek(v.begin + start * ts)
-      val bytes = new Array[Byte](count * ts)
-      f.readFully(bytes)
-      val buf = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
       val out = new Array[Double](count)
-      var i = 0
-      while (i < count) {
-        out(i) = v.ncType match {
-          case NcByte | NcChar => buf.get().toDouble
-          case NcShort => buf.getShort().toDouble
-          case NcInt => buf.getInt().toDouble
-          case NcFloat => buf.getFloat().toDouble
-          case NcDouble => buf.getDouble()
+      def decode(bytes: Array[Byte], outOff: Int, n: Int): Unit = {
+        val buf = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+        var i = 0
+        while (i < n) {
+          out(outOff + i) = v.ncType match {
+            case NcByte | NcChar => buf.get().toDouble
+            case NcShort => buf.getShort().toDouble
+            case NcInt => buf.getInt().toDouble
+            case NcFloat => buf.getFloat().toDouble
+            case NcDouble => buf.getDouble()
+          }
+          i += 1
         }
-        i += 1
+      }
+      if (!header.isRecord(v)) {
+        f.seek(v.begin + start * ts)
+        val bytes = new Array[Byte](count * ts)
+        f.readFully(bytes)
+        decode(bytes, 0, count)
+      } else {
+        val perRec = header.cellsPerRecord(v)
+        var cell = start   // flat row-major cell index across records
+        var done = 0
+        while (done < count) {
+          val rec = cell / perRec
+          val within = cell % perRec
+          val n = math.min(count - done, (perRec - within).toInt)
+          f.seek(v.begin + rec * header.recSize + within * ts)
+          val bytes = new Array[Byte](n * ts)
+          f.readFully(bytes)
+          decode(bytes, done, n)
+          cell += n; done += n
+        }
       }
       out
     } finally f.close()
@@ -176,17 +223,52 @@ object NetCDF3 {
   // ----------------------------------------------------------- write
 
   private def pad4(n: Int): Int = (n + 3) & ~3
+  private[sources] def pad4L(n: Long): Long = (n + 3) & ~3L
 
-  /** Write a classic file of fixed-size double variables over shared
-    * dimensions; `varData` is row-major per variable. Files whose data
-    * section would overflow 4-byte begin offsets are written as CDF-2
+  /** Write a classic file of double variables over shared dimensions;
+    * `varData` is row-major per variable. A `Dim` of length 0 declares
+    * the record (UNLIMITED) dimension: variables whose FIRST dim it is
+    * become record variables, written interleaved record-by-record
+    * after all fixed data (the classic record section), with the
+    * record count in the header's `numrecs`. Files whose data section
+    * would overflow 4-byte begin offsets are written as CDF-2
     * (64-bit-offset variant — same layout, 8-byte begins), so exports
     * past 2 GiB stay valid. */
   def write(path: String,
       dims: Seq[Dim],
       vars: Seq[(String, Seq[Int], Array[Double])], // (name, dimIds, data)
       gatts: Seq[(String, String)] = Seq.empty): Unit = {
-    val totalData = vars.map(_._3.length.toLong * 8).sum
+    val recDimId = dims.indexWhere(_.length == 0)
+    def isRec(dimIds: Seq[Int]) =
+      recDimId >= 0 && dimIds.headOption.contains(recDimId)
+    vars.foreach { case (n, ds, _) =>
+      if (ds.drop(1).contains(recDimId) && recDimId >= 0)
+        throw new FormatError(
+          s"$n: the record dimension must be a variable's FIRST dimension")
+    }
+    def cellsPerRec(ds: Seq[Int]): Long =
+      ds.drop(1).map(dims(_).length.toLong).product
+    val recVars = vars.filter(v => isRec(v._2))
+    val numrecs: Int = recVars.headOption.map { case (n, ds, data) =>
+      val cpr = cellsPerRec(ds)
+      if (cpr <= 0 || data.length % cpr != 0)
+        throw new FormatError(s"$n: data length ${data.length} is not a " +
+          s"whole number of records of $cpr cells")
+      (data.length / cpr).toInt
+    }.getOrElse(0)
+    recVars.foreach { case (n, ds, data) =>
+      if (data.length != cellsPerRec(ds) * numrecs)
+        throw new FormatError(
+          s"$n: record variables disagree on the record count")
+    }
+    // per-record byte stride (doubles are 4-aligned, so the >1-var
+    // padding rule is a no-op here)
+    val recSize: Long =
+      if (recVars.size == 1) cellsPerRec(recVars.head._2) * 8
+      else recVars.map(v => pad4L(cellsPerRec(v._2) * 8)).sum
+    val totalData =
+      vars.filterNot(v => isRec(v._2)).map(_._3.length.toLong * 8).sum +
+        numrecs.toLong * recSize
     def headerSizeFor(offBytes: Int): Long = {
       def nameLen(s: String) = 4 + pad4(s.getBytes(StandardCharsets.UTF_8).length)
       def attLen(a: (String, String)) =
@@ -211,7 +293,7 @@ object NetCDF3 {
         (b.length until pad4(b.length)).foreach(_ => out.writeByte(0))
       }
       out.write(Array[Byte]('C', 'D', 'F', version.toByte))
-      out.writeInt(0) // numrecs
+      out.writeInt(numrecs)
       if (dims.isEmpty) { out.writeInt(0); out.writeInt(0) }
       else {
         out.writeInt(TagDim); out.writeInt(dims.size)
@@ -230,21 +312,44 @@ object NetCDF3 {
       if (vars.isEmpty) { out.writeInt(0); out.writeInt(0) }
       else {
         out.writeInt(TagVar); out.writeInt(vars.size)
-        var begin = headerSize
+        // begins: fixed slabs pack from the end of the header; record
+        // vars get their record-0 slot after ALL fixed data (records
+        // then repeat at stride recSize)
+        var fixedBegin = headerSize
+        val fixedEnd = headerSize +
+          vars.filterNot(v => isRec(v._2)).map(_._3.length.toLong * 8).sum
+        var recBegin = fixedEnd
         vars.foreach { case (n, dimIds, data) =>
           wName(n)
           out.writeInt(dimIds.size)
           dimIds.foreach(out.writeInt)
           out.writeInt(0); out.writeInt(0) // no per-var attributes
           out.writeInt(NcDouble)
-          val vsize = data.length.toLong * 8
-          // vsize caps at the spec's 2^32-4 sentinel for huge vars
+          // vsize: whole slab for fixed vars, per-RECORD bytes for
+          // record vars; caps at the spec's 2^32-4 sentinel
+          val vsize =
+            if (isRec(dimIds)) pad4L(cellsPerRec(dimIds) * 8)
+            else data.length.toLong * 8
           out.writeInt(if (vsize > 0XFFFFFFFCL) -1 else vsize.toInt)
+          val begin = if (isRec(dimIds)) recBegin else fixedBegin
           if (version == 2) out.writeLong(begin)
           else out.writeInt(begin.toInt)
-          begin += vsize
+          if (isRec(dimIds)) recBegin += vsize else fixedBegin += data.length.toLong * 8
         }
-        vars.foreach { case (_, _, data) => data.foreach(out.writeDouble) }
+        vars.foreach { case (_, dimIds, data) =>
+          if (!isRec(dimIds)) data.foreach(out.writeDouble)
+        }
+        // the record section: record r = one slab of each record var
+        var r = 0
+        while (r < numrecs) {
+          recVars.foreach { case (_, ds, data) =>
+            val cpr = cellsPerRec(ds).toInt
+            var i = r * cpr
+            val end = i + cpr
+            while (i < end) { out.writeDouble(data(i)); i += 1 }
+          }
+          r += 1
+        }
       }
     } finally out.close()
   }

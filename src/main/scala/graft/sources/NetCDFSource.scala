@@ -127,7 +127,8 @@ final class NcScan(path: String, fullSchema: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val h = NetCDF3.readHeader(path)
     val vs = NetCDFSource.gridVars(h, measure)
-    val total = vs.head.dimIds.map(h.dims(_).length.toLong).product
+    // dimLength resolves the record (UNLIMITED) dim to numrecs
+    val total = vs.head.dimIds.map(h.dimLength(_).toLong).product
     val slices = math.max(1, math.min(total,
       org.apache.spark.sql.SparkSession.active
         .sparkContext.defaultParallelism.toLong)).toInt
@@ -159,7 +160,8 @@ final class NcReader(path: String, projected: Array[String],
   private val h = NetCDF3.readHeader(path)
   private val vs = NetCDFSource.gridVars(h, measure)
   private val axes = vs.head.dimIds.map(h.dims(_))
-  private val shape = axes.map(_.length)
+  // record (UNLIMITED) axes resolve to numrecs, not the stored 0
+  private val shape = vs.head.dimIds.map(h.dimLength)
   private val n = (part.end - part.start).toInt
 
   // per projected column: a function flat-offset -> double

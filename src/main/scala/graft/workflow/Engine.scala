@@ -1058,7 +1058,12 @@ final class Engine(
         val path = args.getOrElse("src_path",
           throw new Engine.EngineError("concatnc: missing src_path"))
         val measure = c.desc.measure
-        val raw = spark.read.parquet(path)
+        // real .nc sources go through the netcdf3 DSv2 (record-dim
+        // aware — appending along time IS the record-dim use case)
+        val raw =
+          if (path.endsWith(".nc"))
+            spark.read.format("netcdf3").option("measure", measure).load(path)
+          else spark.read.parquet(path)
         val addition = CubeOps.build(raw, measure,
           c.desc.explicitDims.map(_.name),
           c.desc.implicitDims.headOption.map(_.name),

@@ -88,6 +88,94 @@ class NetCDFSpec extends SparkSpec {
       Seq((1.0, 1.0), (1.0, 2.0), (2.0, 1.0), (2.0, 2.0)))
   }
 
+  /** Record-dim file: time is UNLIMITED (length 0 in the header,
+    * extent in numrecs) with a record coordinate var, a fixed level
+    * axis, and a record measure — so the record section interleaves
+    * TWO record vars per record, exercising the recSize stride. */
+  private def writeRecordGrid(path: String, recs: Int,
+      base: Double = 0.0): Unit = {
+    import NetCDF3._
+    write(path,
+      dims = Seq(Dim("time", 0), Dim("level", 3)),
+      vars = Seq(
+        ("time", Seq(0), Array.tabulate(recs)(r => base + 100.0 * (r + 1))),
+        ("level", Seq(1), Array(1000.0, 850.0, 500.0)),
+        ("tas", Seq(0, 1),
+          Array.tabulate(recs * 3)(i => base + (i / 3 + 1) * 10.0 + i % 3 + 1))),
+      gatts = Seq("title" -> "record grid"))
+  }
+
+  test("record (UNLIMITED) dimension: header, numrecs, interleaved slabs") {
+    val path = tmpNc("rec")
+    writeRecordGrid(path, recs = 4)
+    val h = NetCDF3.readHeader(path)
+    assert(h.dims == Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("level", 3)))
+    assert(h.numrecs == 4)
+    assert(h.recordDimId.contains(0))
+    val tas = h.varByName("tas")
+    val time = h.varByName("time")
+    assert(h.isRecord(tas) && h.isRecord(time))
+    assert(!h.isRecord(h.varByName("level")))
+    // resolved shape substitutes numrecs for the record dim
+    assert(h.shapeOf(tas) == Seq(4, 3))
+    // recSize = one time cell + one 3-cell tas row, both doubles
+    assert(h.recSize == 8 + 24)
+    // whole-variable read crosses record boundaries (stride recSize)
+    assert(NetCDF3.readSlab(path, h, tas, 0, 12).toSeq ==
+      (0 until 12).map(i => (i / 3 + 1) * 10.0 + i % 3 + 1))
+    // mid-file slab: last cell of record 1 through first of record 3
+    assert(NetCDF3.readSlab(path, h, tas, 5, 5).toSeq ==
+      Seq(23.0, 31.0, 32.0, 33.0, 41.0))
+    // the record coordinate variable reads at the same stride
+    assert(NetCDF3.readSlab(path, h, time, 0, 4).toSeq ==
+      Seq(100.0, 200.0, 300.0, 400.0))
+  }
+
+  test("DSv2 reads a record-dim file; pruning still skips slabs") {
+    val path = tmpNc("rec")
+    writeRecordGrid(path, recs = 4)
+    val df = spark.read.format("netcdf3").load(path)
+    assert(df.columns.toSeq == Seq("time", "level", "tas"))
+    assert(df.count() == 12)
+    val cell = df.filter(col("time") === 300.0 && col("level") === 850.0)
+      .select("tas").head.getDouble(0)
+    assert(cell == 32.0)
+    val pruned = spark.read.format("netcdf3").load(path).select("tas")
+    assert(pruned.queryExecution.executedPlan.toString.contains("[tas]"))
+    assert(pruned.agg(sum(col("tas"))).head.getDouble(0) ==
+      (0 until 12).map(i => (i / 3 + 1) * 10.0 + i % 3 + 1).sum)
+  }
+
+  test("engine imports a record-dim .nc and concatnc appends along time") {
+    val p1 = tmpNc("rec1"); val p2 = tmpNc("rec2")
+    writeRecordGrid(p1, recs = 2)
+    // the appended file continues the time axis past the first file
+    writeRecordGrid(p2, recs = 2, base = 200.0)
+    // time is the IMPLICIT (array) dim — concatnc appends along it,
+    // making every level's time series longer (the climate use case)
+    val e = new Engine(spark, new Catalog("sess"))
+    val res = e.run(Workflow.parse(s"""{
+      "name": "wf", "tasks": [
+        {"name": "imp", "operator": "oph_importnc",
+         "arguments": ["src_path=$p1", "measure=tas",
+           "exp_dim=level", "imp_dim=time", "container=nc"]},
+        {"name": "cat", "operator": "oph_concatnc",
+         "arguments": ["src_path=$p2"],
+         "dependencies": [{"task": "imp", "type": "single"}]},
+        {"name": "red", "operator": "oph_reduce",
+         "arguments": ["operation=avg"],
+         "dependencies": [{"task": "cat", "type": "single"}]}
+      ]}"""))
+    assert(res("red").status == JobStatus.Completed,
+      res("red").message)
+    val out = e.cube(res("red").cubePid.get).get
+    val avgs = out.df.orderBy("level").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    // per level: avg over the 4-record concatenated time series
+    // level 1000: (11+21+211+221)/4 etc.
+    assert(avgs == Seq((500.0, 118.0), (850.0, 117.0), (1000.0, 116.0)))
+  }
+
   test("engine importnc reads a real .nc into a cube end-to-end") {
     val path = tmpNc("grid")
     writeGrid(path)
