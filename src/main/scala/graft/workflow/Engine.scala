@@ -980,6 +980,15 @@ final class Engine(
   def runDataOperator(operator: String, args: Map[String, String]): TaskResult = {
     val op = operator.toLowerCase
 
+    // runtime pass of the descriptor checks on SUBSTITUTED values —
+    // a `@var` that resolves outside an enum/domain must fail loudly,
+    // not silently fall back to a default
+    try ArgSpecs.validate(op, args, hasDeps = args.contains("cube"),
+      checkValues = true)
+    catch {
+      case e: ArgSpecs.ArgError => throw new Engine.EngineError(e.getMessage)
+    }
+
     args.get("cube").filter(_.contains("[")).foreach { cubeArg =>
       val spec = MassiveFilter.parse(cubeArg)
       val entries = MassiveFilter.expand(cubeArg, catalog,

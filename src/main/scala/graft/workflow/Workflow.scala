@@ -208,6 +208,16 @@ object Workflow {
     if (visited != n)
       throw new ValidationError("graph is not a DAG (cycle detected)")
     validateFlowBlocks(spec)
+    // argument-descriptor validation (the reference's task parser
+    // layer): unknown keys, missing mandatory, literal value domains
+    spec.tasks.foreach { t =>
+      try ArgSpecs.validate(t.operator, t.arguments,
+        hasDeps = t.dependencies.nonEmpty || spec.cube.nonEmpty)
+      catch {
+        case e: ArgSpecs.ArgError =>
+          throw new ValidationError(s"task '${t.name}': ${e.getMessage}")
+      }
+    }
     order.result()
   }
 
