@@ -56,15 +56,24 @@ object HttpService {
     * request. */
   val MaxTrackedJobs = 512
 
-  /** Routed-session bound — engines are NOT evictable (they hold live
-    * cube stores), so minting past this is refused with 503. */
+  /** Routed-session bound — live engines are not evicted behind their
+    * users' backs, so minting past this is refused with 503 (idle
+    * `autoremove` sessions ARE reaped first, freeing slots). */
   val MaxSessions = 64
+
+  /** Idle threshold after which an `autoremove` session's engine is
+    * reaped (reference sessions expire via the session timeout +
+    * autoremove property, `src/oph_parser.h:202`). */
+  val DefaultIdleTtlMillis: Long = 30L * 60 * 1000
 }
 
 final class HttpService(
     val engine: Engine,
     val auth: AuthService,
-    port: Int = 0) {
+    port: Int = 0,
+    /** autoremove-session idle TTL; injectable for tests. */
+    idleTtlMillis: Long = HttpService.DefaultIdleTtlMillis,
+    nowMillis: () => Long = System.currentTimeMillis) {
   import HttpService._
 
   private var server: HttpServer = _
@@ -95,9 +104,46 @@ final class HttpService(
     * twice, registering a discarded Engine's session code. */
   private val mintLock = new Object
 
+  /** Last-request stamp per routed session — feeds the autoremove
+    * reaper. The primary engine never appears here (it is never
+    * reaped). */
+  private val lastUsed =
+    scala.collection.concurrent.TrieMap[String, Long]()
+
+  /** Release a routed engine: drop its cube store (unpersisting any
+    * cached blocks) and forget the route. */
+  private def releaseEngine(code: String, eng: Engine): Unit = {
+    sessionEngines.remove(code)
+    lastUsed.remove(code)
+    eng.clearCubes()
+  }
+
+  /** Opportunistic session GC, run on every route resolution (the
+    * reference runs session cleanup server-side on its timer): an
+    * engine whose session was REMOVED via oph_manage_session releases
+    * immediately; an `autoremove` session idle past the TTL is removed
+    * and released — exactly the reference's autoremove semantics
+    * (`src/oph_parser.h:202`). */
+  private def reapSessions(): Unit = {
+    val now = nowMillis()
+    sessionEngines.foreach { case (code, eng) =>
+      if (eng ne engine) {
+        if (!eng.sessions.exists(code)) {
+          releaseEngine(code, eng)
+          engine.sessions.log(s"session $code engine released (removed)")
+        } else if (eng.sessions.autoremoveEnabled(code) &&
+            now - lastUsed.getOrElse(code, now) > idleTtlMillis) {
+          releaseEngine(code, eng)
+          engine.sessions.log(s"session $code reaped (autoremove, idle)")
+        }
+      }
+    }
+  }
+
   private def engineFor(code: String, user: String,
-      createIfAbsent: Boolean): Option[Engine] =
-    sessionEngines.get(code).orElse {
+      createIfAbsent: Boolean): Option[Engine] = {
+    reapSessions()
+    val found = sessionEngines.get(code).orElse {
       if (!createIfAbsent) None
       else mintLock.synchronized {
         sessionEngines.get(code).orElse {
@@ -116,6 +162,10 @@ final class HttpService(
         }
       }
     }
+    if (found.isDefined && (found.get ne engine))
+      lastUsed(code) = nowMillis()
+    found
+  }
 
   def boundPort: Int = server.getAddress.getPort
 

@@ -92,6 +92,13 @@ final class SessionService {
   /** Is `code` registered here? (Service-layer squat check.) */
   def exists(code: String): Boolean = synchronized(sessions.contains(code))
 
+  /** Does `code` ask to be garbage-collected when idle? (The reference's
+    * session `autoremove` property, `src/oph_parser.h:202` — an
+    * autoremove session is reaped by the server instead of living until
+    * explicit removal.) */
+  def autoremoveEnabled(code: String): Boolean =
+    synchronized(sessions.get(code).exists(_.autoremove))
+
   private def require_(cond: Boolean, msg: String): Unit =
     if (!cond) throw new AuthError(msg)
 
@@ -182,11 +189,19 @@ final class SessionService {
   /** oph_workflow_save analog: record the request + response document. */
   def saveWorkflow(code: String, request: String, response: String): Int =
     synchronized {
-      val s = get(code)
-      val id = s.workflows.size + 1
-      s.workflows += SavedWorkflow(id, request, response)
-      log(s"session $code workflow $id saved")
-      id
+      sessions.get(code) match {
+        case Some(s) =>
+          val id = s.workflows.size + 1
+          s.workflows += SavedWorkflow(id, request, response)
+          log(s"session $code workflow $id saved")
+          id
+        case None =>
+          // the workflow itself may have removed its own session
+          // (oph_manage_session action=remove) — nothing to save INTO,
+          // but the run must still complete normally
+          log(s"session $code gone before save (removed mid-run)")
+          0
+      }
     }
 
   /** oph_resume: retrieve a saved request or response

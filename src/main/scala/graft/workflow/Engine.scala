@@ -117,13 +117,60 @@ final class Engine(
     /** Injectable clock (oph_wait sleeps) — tests pass a no-op or a
       * virtual clock; production uses the real one. The reference polls
       * in 1 s steps (`oph_flow_control_operators.c:270`). */
-    val sleeper: Long => Unit = Thread.sleep(_)) {
+    val sleeper: Long => Unit = Thread.sleep(_),
+    /** Cube-store cap; <=0 reads `spark.graft.cubeStoreMax` (default
+      * 4096). The reference parks cube data in OphidiaDB where it costs
+      * the server nothing; here every registered cube pins a DataFrame
+      * plan in driver memory, so a long-lived engine needs a bound. */
+    maxCubes: Int = 0) {
 
   import Engine._
 
   /** Data-plane store: PID -> materialized cube (concurrent: parallel
     * oph_for branches register cubes simultaneously). */
   private val cubes = scala.collection.concurrent.TrieMap[String, Cube]()
+
+  /** LRU bookkeeping for the cube store: every lookup/registration
+    * stamps a monotone tick; past the cap the stalest PID is dropped.
+    * A dangling reference to an evicted cube fails loudly ("no such
+    * cube") rather than serving stale data — mirroring the reference's
+    * session-expired cube behavior (session cleanup removes cubes,
+    * `oph_manage_session` + OphidiaDB GC). */
+  private val cubeCap: Int =
+    if (maxCubes > 0) maxCubes
+    else spark.conf.getOption("spark.graft.cubeStoreMax")
+      .flatMap(_.toIntOption).getOrElse(4096)
+  private val cubeTick = new java.util.concurrent.atomic.AtomicLong(0)
+  private val cubeAccess = scala.collection.concurrent.TrieMap[String, Long]()
+
+  private def touchCube(pid: String): Unit =
+    cubeAccess(pid) = cubeTick.incrementAndGet()
+
+  /** Remove one cube from the store, releasing any cached blocks its
+    * plan holds. Single exit point for oph_delete, on_exit actions and
+    * LRU eviction. */
+  def dropCube(pid: String): Boolean = {
+    cubeAccess.remove(pid)
+    cubes.remove(pid) match {
+      case Some(c) => c.df.unpersist(blocking = false); true
+      case None => false
+    }
+  }
+
+  /** Release the whole store (session close / engine eviction). */
+  def clearCubes(): Unit = cubes.keySet.foreach(dropCube)
+
+  /** Number of live (non-evicted) cubes — soak tests assert the bound. */
+  def cubeCount: Int = cubes.size
+
+  private def evictExcess(): Unit =
+    if (cubes.size > cubeCap) cubeAccess.synchronized {
+      while (cubes.size > cubeCap) {
+        val victim = cubes.keysIterator.minBy(p => cubeAccess.getOrElse(p, 0L))
+        dropCube(victim)
+        sessions.log(s"cube $victim evicted (store cap $cubeCap)")
+      }
+    }
   private var markerId = 0
   private var workflowSeq = 0
 
@@ -180,7 +227,11 @@ final class Engine(
     }
   }
 
-  def cube(pid: String): Option[Cube] = cubes.get(pid)
+  def cube(pid: String): Option[Cube] = {
+    val c = cubes.get(pid)
+    if (c.isDefined) touchCube(pid)
+    c
+  }
 
   /** Register a cube in the catalog + store, minting its PID. */
   def register(c: Cube, containerName: String, folder: String = "/",
@@ -190,6 +241,8 @@ final class Engine(
       c.desc.metadata, parents, sourceTask)
     val pid = e.pid(catalog)
     cubes(pid) = c
+    touchCube(pid)
+    evictExcess()
     pid
   }
 
@@ -740,10 +793,10 @@ final class Engine(
       exitActions.distinct.foreach { case (action, pid) =>
         try {
           if (action == "oph_deletecontainer") {
-            cubes.remove(pid)
+            dropCube(pid)
             catalog.container(pid.split("/").dropRight(1).last.toLong)
               .foreach(c => catalog.deleteContainer(c.name, "/", force = true))
-          } else if (cubes.remove(pid).isDefined)
+          } else if (dropCube(pid))
             catalog.deleteCube(idOf(pid))
           sessions.log(s"on_exit $action applied to $pid")
         } catch {
@@ -1009,7 +1062,7 @@ final class Engine(
     def needCube(): (String, Cube) = {
       val pidArg = args.getOrElse("cube",
         throw new Engine.EngineError(s"$op: missing 'cube'"))
-      (pidArg, cubes.getOrElse(pidArg,
+      (pidArg, cube(pidArg).getOrElse(
         throw new Engine.EngineError(s"$op: unknown cube $pidArg")))
     }
 
@@ -1159,7 +1212,7 @@ final class Engine(
         val (pid, a) = needCube()
         val pid2 = args.getOrElse("cube2",
           throw new Engine.EngineError("intercube: missing cube2"))
-        val b = cubes.getOrElse(pid2,
+        val b = cube(pid2).getOrElse(
           throw new Engine.EngineError(s"unknown cube2 $pid2"))
         val out = CubeOps.intercube(a, b,
           args.getOrElse("operation", "sub"),
@@ -1172,7 +1225,8 @@ final class Engine(
         val pids = args.getOrElse("cubes", args.getOrElse("cube", ""))
           .split('|').toSeq.filter(_.nonEmpty)
         require(pids.size >= 2, "mergecubes: need >=2 cubes")
-        val cs = pids.map(p => cubes(p))
+        val cs = pids.map(p => cube(p).getOrElse(
+          throw new Engine.EngineError(s"unknown cube $p")))
         val out =
           if (op == "oph_mergecubes2")
             CubeOps.mergecubes2(pids.zip(cs), "source_cube")
@@ -1245,7 +1299,7 @@ final class Engine(
 
       case "oph_delete" =>
         val (pid, _) = needCube()
-        cubes.remove(pid)
+        dropCube(pid)
         catalog.deleteCube(idOf(pid))
         TaskResult(JobStatus.Completed, message = s"deleted $pid")
 

@@ -306,4 +306,77 @@ class HttpServiceSpec extends SparkSpec {
     assert(auth.login("u", "right", host = "10.0.0.66").nonEmpty,
       "block window must expire")
   }
+
+  // --------------------------------------------- session engine GC
+
+  private def manageSessionRequest(code: String,
+      actions: (String, Map[String, String])*): String = {
+    val tasks = actions.zipWithIndex.map { case ((action, extra), i) =>
+      val args = (Map("action" -> action, "session" -> code) ++ extra)
+        .map { case (k, v) => s""""$k=$v"""" }.mkString(",")
+      val deps = if (i == 0) ""
+      else s""", "dependencies": [{"task": "t${i - 1}"}]"""
+      s"""{"name": "t$i", "operator": "oph_manage_session",
+          "arguments": [$args]$deps}"""
+    }.mkString(",")
+    s"""{"name": "wf_mgmt", "sessionid": "$code", "exec_mode": "sync",
+        "tasks": [$tasks]}"""
+  }
+
+  test("an idle autoremove session is reaped; a plain session is not") {
+    val engine = new Engine(spark, new Catalog("sess"))
+    val auth = new AuthService
+    auth.addUser("graft", "secret")
+    var now = 0L
+    val svc = new HttpService(engine, auth,
+      idleTtlMillis = 1000, nowMillis = () => now).start()
+    try {
+      val base = s"http://127.0.0.1:${svc.boundPort}"
+      val cred = Some(basic("graft", "secret"))
+      // mint two routed sessions; only auto1 opts into autoremove
+      val (c1, _) = http(s"$base/services/execute", "POST",
+        Some(manageSessionRequest("auto1",
+          "setenv" -> Map("key" -> "autoremove", "value" -> "yes"))), cred)
+      assert(c1 == 200)
+      val (c2, _) = http(s"$base/services/execute", "POST",
+        Some(manageSessionRequest("keep1", "env" -> Map.empty)), cred)
+      assert(c2 == 200)
+      // both engines answer while fresh
+      assert(http(s"$base/services/resume?session=auto1&id=1",
+        authHeader = cred)._1 == 200)
+      now = 500
+      assert(http(s"$base/services/resume?session=keep1&id=1",
+        authHeader = cred)._1 == 200) // touches keep1, not auto1
+      // past the TTL the autoremove engine is gone, the plain one stays
+      now = 1600
+      assert(http(s"$base/services/resume?session=auto1&id=1",
+        authHeader = cred)._1 == 404, "idle autoremove session must be reaped")
+      assert(http(s"$base/services/resume?session=keep1&id=1",
+        authHeader = cred)._1 == 200,
+        "a session without autoremove must survive idling")
+    } finally svc.stop()
+  }
+
+  test("removing a session via oph_manage_session releases its engine") {
+    val engine = new Engine(spark, new Catalog("sess"))
+    val auth = new AuthService
+    auth.addUser("graft", "secret")
+    val svc = new HttpService(engine, auth).start()
+    try {
+      val base = s"http://127.0.0.1:${svc.boundPort}"
+      val cred = Some(basic("graft", "secret"))
+      val (c1, _) = http(s"$base/services/execute", "POST",
+        Some(manageSessionRequest("rm1",
+          "disable" -> Map.empty, "remove" -> Map.empty)), cred)
+      assert(c1 == 200)
+      // the next route resolution notices the removal and releases
+      assert(http(s"$base/services/resume?session=rm1&id=1",
+        authHeader = cred)._1 == 404,
+        "a removed session's engine must be released")
+      // and the code can be re-minted afterwards (no squat ghost)
+      val (c2, _) = http(s"$base/services/execute", "POST",
+        Some(manageSessionRequest("rm1", "env" -> Map.empty)), cred)
+      assert(c2 == 200)
+    } finally svc.stop()
+  }
 }
