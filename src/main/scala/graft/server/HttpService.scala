@@ -82,6 +82,36 @@ final class HttpService(
   private val jobs =
     scala.collection.concurrent.TrieMap[Int, HttpService.Job]()
 
+  /** `oph__oph_notify` bookkeeping (`src/oph_notify.c:42-48`:
+    * service_info->incoming_notifications). */
+  private val incomingNotifications =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private lazy val callbackClient = java.net.http.HttpClient.newBuilder()
+    .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+
+  /** Completion push to a request's `callback_url` — the reference's
+    * curl GET appending result info to the caller-supplied URL
+    * (`oph_workflow_engine.c:6768-6818`, CONNECTTIMEOUT 10,
+    * FOLLOWLOCATION). Failures are logged, never raised: a dead
+    * callback listener must not fail the workflow. */
+  private def notifyCallback(url: String, jobid: Int, status: String): Unit = {
+    val sep = if (url.contains("?")) "&" else "?"
+    val full = s"$url${sep}jobid=$jobid&status=$status"
+    try {
+      val req = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(full))
+        .timeout(java.time.Duration.ofSeconds(10)).GET().build()
+      callbackClient.send(req,
+        java.net.http.HttpResponse.BodyHandlers.discarding())
+      engine.sessions.log(s"sent notification to $full")
+    } catch {
+      case e: Exception =>
+        engine.sessions.log(s"unable to send notification to $full: ${e.getMessage}")
+    }
+  }
+
   /** Session routing (`sessionid` request field / `session` query
     * param): each session code owns its OWN engine — catalog, cube
     * store, role table — exactly the reference's per-session state.
@@ -181,7 +211,21 @@ final class HttpService(
       guard(exchange) { user => handleResume(exchange, user) })
     server.createContext("/services/info", exchange =>
       guard(exchange) { _ =>
-        reply(exchange, 200, s"""{"status":"up","error":$Ok}""")
+        reply(exchange, 200, s"""{"status":"up","error":$Ok,""" +
+          s""""notifications":${incomingNotifications.get}}""")
+      })
+    // the notification receiver — the reference's second SOAP endpoint
+    // `oph__oph_notify` (`src/oph_notify.c:39`): a chained engine or an
+    // external notifier posts completion data; authenticated like any
+    // other route, counted like service_info->incoming_notifications
+    server.createContext("/services/notify", exchange =>
+      guard(exchange) { user =>
+        val data = new String(exchange.getRequestBody.readAllBytes,
+          StandardCharsets.UTF_8)
+        incomingNotifications.incrementAndGet()
+        engine.sessions.log(
+          s"notification from '$user': ${data.take(200)}")
+        reply(exchange, 200, s"""{"response":$Ok}""")
       })
     // login mints a bearer token from PASSWORD credentials only (the
     // reference's token grant, `oph_auth.h:121` access_token) — a
@@ -267,6 +311,19 @@ final class HttpService(
     val jobid = jobSeq.incrementAndGet()
     def track(f: scala.concurrent.Future[Map[String, JobStatus.Value]]): Unit = {
       jobs(jobid) = Job(jobid, f)
+      // completion push (`callback_url`, `oph_workflow_engine.c:6768`):
+      // fires for sync and async alike once the run settles
+      spec.callbackUrl.foreach { cb =>
+        f.onComplete { r =>
+          val status = r match {
+            case scala.util.Success(rs)
+              if rs.values.exists(_ == JobStatus.Error) => "error"
+            case scala.util.Success(_) => "completed"
+            case scala.util.Failure(_) => "error"
+          }
+          notifyCallback(cb, jobid, status)
+        }(scala.concurrent.ExecutionContext.global)
+      }
       if (jobs.size > MaxTrackedJobs)
         // only COMPLETED jobs age out (oldest first) — evicting a
         // still-running job would 404 its status polls while it runs;

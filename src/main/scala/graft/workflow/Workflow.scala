@@ -49,6 +49,10 @@ object Workflow {
       onExit: String = "nop",
       checkpoint: Option[String] = None,   // `oph_workflow_parsing.c:283-290`
       outputFormat: String = "classic",    // classic|compact (`:291-298`)
+      /** Completion push target (`oph_workflow_parsing.c:91-95`,
+        * fired at `oph_workflow_engine.c:6768-6818`): on workflow
+        * completion the server calls back with jobid + status. */
+      callbackUrl: Option[String] = None,
       ncores: Option[Int] = None,
       nhosts: Option[Int] = None,
       hostPartition: Option[String] = None,
@@ -116,6 +120,7 @@ object Workflow {
       onExit = wfOnExit,
       checkpoint = opt(n, "checkpoint").map(_.asText),
       outputFormat = str(n, "output_format", "classic"),
+      callbackUrl = opt(n, "callback_url").map(_.asText),
       ncores = opt(n, "ncores").map(_.asText.toInt),
       nhosts = opt(n, "nhost").map(_.asText.toInt),
       hostPartition = opt(n, "host_partition").map(_.asText),

@@ -307,6 +307,54 @@ class HttpServiceSpec extends SparkSpec {
       "block window must expire")
   }
 
+  // ------------------------------------------------ notify callbacks
+
+  test("callback_url receives the completion push before any status poll") {
+    withService { (_, base, _) =>
+      // a one-shot listener standing in for the caller's callback server
+      val received = scala.concurrent.Promise[String]()
+      val listener = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress(0), 0)
+      listener.createContext("/cb", (ex: com.sun.net.httpserver.HttpExchange) => {
+        received.trySuccess(Option(ex.getRequestURI.getQuery).getOrElse(""))
+        ex.sendResponseHeaders(200, -1)
+        ex.close()
+      })
+      listener.start()
+      try {
+        val cbUrl = s"http://127.0.0.1:${listener.getAddress.getPort}/cb?tag=t1"
+        val req = workflowAggRequest.replaceFirst(
+          """"exec_mode": "sync"""",
+          s""""exec_mode": "async", "callback_url": "$cbUrl"""")
+        val (code, body) = http(s"$base/services/execute", "POST",
+          Some(req), Some(basic("graft", "secret")))
+        assert(code == 200)
+        val jobid = mapper.readTree(body).get("jobid").asInt
+        // the push arrives WITHOUT polling /services/status
+        val q = scala.concurrent.Await.result(
+          received.future, scala.concurrent.duration.Duration("30s"))
+        assert(q.contains("tag=t1"))
+        assert(q.contains(s"jobid=$jobid"))
+        assert(q.contains("status=completed"))
+      } finally listener.stop(0)
+    }
+  }
+
+  test("the notify receiver counts authenticated notifications") {
+    withService { (_, base, _) =>
+      val cred = Some(basic("graft", "secret"))
+      assert(http(s"$base/services/notify", "POST",
+        Some("jobid=7;status=OPH_STATUS_COMPLETED"))._1 == 401,
+        "unauthenticated notify must be rejected")
+      val (c1, b1) = http(s"$base/services/notify", "POST",
+        Some("jobid=7;status=OPH_STATUS_COMPLETED"), cred)
+      assert(c1 == 200)
+      assert(mapper.readTree(b1).get("response").asInt == 0)
+      val (_, info) = http(s"$base/services/info", authHeader = cred)
+      assert(mapper.readTree(info).get("notifications").asLong >= 1)
+    }
+  }
+
   // --------------------------------------------- session engine GC
 
   private def manageSessionRequest(code: String,
