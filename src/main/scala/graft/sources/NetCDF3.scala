@@ -225,6 +225,107 @@ object NetCDF3 {
   private def pad4(n: Int): Int = (n + 3) & ~3
   private[sources] def pad4L(n: Long): Long = (n + 3) & ~3L
 
+  /**
+   * Header-only writer for a distributed table export: every variable
+   * is a fixed DOUBLE var over `dims` (no record dimension). Emits the
+   * same header bytes `write` would, extends the file to its final
+   * size, and returns the per-variable begin offsets — classic slabs
+   * are offset-addressed, so parallel writers can then fill DISJOINT
+   * row ranges at `begin + rowStart*8` without coordination. This is
+   * the scale path for `oph_exportnc`: the driver never buffers the
+   * data, executors stream their partitions straight into the file
+   * (single-file classic output assumes a shared filesystem, exactly
+   * like the reference's server-side export directory).
+   */
+  def writeTableHeader(path: String,
+      dims: Seq[Dim],
+      varDefs: Seq[(String, Seq[Int])],
+      gatts: Seq[(String, String)] = Seq.empty): Seq[Long] = {
+    require(dims.forall(_.length > 0),
+      "writeTableHeader: fixed dimensions only")
+    def cells(ds: Seq[Int]): Long = ds.map(dims(_).length.toLong).product
+    val totalData = varDefs.map(v => cells(v._2) * 8).sum
+    def headerSizeFor(offBytes: Int): Long = {
+      def nameLen(s: String) = 4 + pad4(s.getBytes(StandardCharsets.UTF_8).length)
+      def attLen(a: (String, String)) =
+        nameLen(a._1) + 8 + pad4(a._2.getBytes(StandardCharsets.UTF_8).length)
+      4L + 4 +
+        8 + dims.map(d => nameLen(d.name) + 4).sum +
+        8 + gatts.map(attLen).sum +
+        8 + varDefs.map { case (n, ds) =>
+          nameLen(n) + 4 + 4 * ds.size + 8 + 4 + 4 + offBytes
+        }.sum
+    }
+    val version =
+      if (headerSizeFor(4) + totalData > Int.MaxValue.toLong) 2 else 1
+    val offBytes = if (version == 2) 8 else 4
+    val headerSize = headerSizeFor(offBytes)
+    val begins = Seq.newBuilder[Long]
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      new FileOutputStream(path)))
+    try {
+      def wName(s: String): Unit = {
+        val b = s.getBytes(StandardCharsets.UTF_8)
+        out.writeInt(b.length); out.write(b)
+        (b.length until pad4(b.length)).foreach(_ => out.writeByte(0))
+      }
+      out.write(Array[Byte]('C', 'D', 'F', version.toByte))
+      out.writeInt(0) // numrecs: no record dimension in a table export
+      if (dims.isEmpty) { out.writeInt(0); out.writeInt(0) }
+      else {
+        out.writeInt(TagDim); out.writeInt(dims.size)
+        dims.foreach { d => wName(d.name); out.writeInt(d.length) }
+      }
+      if (gatts.isEmpty) { out.writeInt(0); out.writeInt(0) }
+      else {
+        out.writeInt(TagAtt); out.writeInt(gatts.size)
+        gatts.foreach { case (k, v) =>
+          wName(k); out.writeInt(NcChar)
+          val b = v.getBytes(StandardCharsets.UTF_8)
+          out.writeInt(b.length); out.write(b)
+          (b.length until pad4(b.length)).foreach(_ => out.writeByte(0))
+        }
+      }
+      if (varDefs.isEmpty) { out.writeInt(0); out.writeInt(0) }
+      else {
+        out.writeInt(TagVar); out.writeInt(varDefs.size)
+        var begin = headerSize
+        varDefs.foreach { case (n, dimIds) =>
+          wName(n)
+          out.writeInt(dimIds.size)
+          dimIds.foreach(out.writeInt)
+          out.writeInt(0); out.writeInt(0) // no per-var attributes
+          out.writeInt(NcDouble)
+          val vsize = cells(dimIds) * 8
+          out.writeInt(if (vsize > 0XFFFFFFFCL) -1 else vsize.toInt)
+          if (version == 2) out.writeLong(begin)
+          else out.writeInt(begin.toInt)
+          begins += begin
+          begin += vsize
+        }
+      }
+    } finally out.close()
+    // extend to the final size so concurrent slab writers and early
+    // readers see a complete (zero-filled) data section
+    val raf = new RandomAccessFile(path, "rw")
+    try raf.setLength(headerSize + totalData) finally raf.close()
+    begins.result()
+  }
+
+  /** Fill rows [rowStart, rowStart+values.length) of a fixed variable
+    * whose begin offset is `begin` — one positioned contiguous write,
+    * safe to run concurrently with writers of disjoint ranges. */
+  def writeSlab(path: String, begin: Long, rowStart: Long,
+      values: Array[Double]): Unit = {
+    val bb = java.nio.ByteBuffer.allocate(values.length * 8)
+    values.foreach(bb.putDouble)
+    val raf = new RandomAccessFile(path, "rw")
+    try {
+      raf.seek(begin + rowStart * 8)
+      raf.write(bb.array())
+    } finally raf.close()
+  }
+
   /** Write a classic file of double variables over shared dimensions;
     * `varData` is row-major per variable. A `Dim` of length 0 declares
     * the record (UNLIMITED) dimension: variables whose FIRST dim it is

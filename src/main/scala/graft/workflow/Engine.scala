@@ -1333,11 +1333,12 @@ final class Engine(
           // variables. Dates/timestamps export as epoch days/seconds;
           // nulls as NaN (the conventional _FillValue for doubles);
           // string axes cannot be doubles and are reported as dropped.
-          // Driver-side streaming write (exports are the human-scale
-          // egress path, like the reference's), capped and the cap
-          // reported when hit.
+          // DISTRIBUTED write, no row cap: one sizing pass per
+          // partition, then executors fill disjoint offset-addressed
+          // slabs of the single classic file in parallel (classic is
+          // single-file by spec, so this assumes a shared filesystem —
+          // same as the reference's server-side export directory).
           import org.apache.spark.sql.types._
-          val limit = 1000000
           val flat = c.flatten
           val encodable = flat.schema.fields.collect {
             case f if f.dataType.isInstanceOf[NumericType] =>
@@ -1351,19 +1352,59 @@ final class Engine(
             .filterNot(encodable.map(_._1).contains)
           if (encodable.isEmpty)
             throw new Engine.EngineError("exportnc: no encodable columns")
-          val capped = flat.select(encodable.map(_._2): _*)
-            .limit(limit).collect()
-          val dims = Seq(graft.sources.NetCDF3.Dim("row", capped.length))
-          val vars = encodable.map(_._1).zipWithIndex.map { case (name, i) =>
-            (name, Seq(0), capped.map(r =>
-              if (r.isNullAt(i)) Double.NaN else r.getDouble(i)))
+          val dfEnc = flat.select(encodable.map(_._2): _*)
+          val names = encodable.map(_._1)
+          // pass 1: per-partition row counts -> each partition's start row
+          val counts = dfEnc.rdd
+            .mapPartitionsWithIndex { case (i, it) =>
+              var n = 0L; while (it.hasNext) { it.next(); n += 1 }
+              Iterator(i -> n)
+            }.collect().sortBy(_._1).map(_._2)
+          val total = counts.sum
+          if (total > Int.MaxValue - 8)
+            throw new Engine.EngineError(
+              s"exportnc: $total rows exceed the classic 'row' dimension; split the cube first")
+          if (total == 0) {
+            // degenerate: a zero-length FIXED dim would parse as the
+            // record dim, so write the empty table driver-side
+            graft.sources.NetCDF3.write(out,
+              Seq(graft.sources.NetCDF3.Dim("row", 0)),
+              names.map(n => (n, Seq(0), Array.empty[Double])),
+              gatts = Seq("source" -> "graft", "measure" -> c.desc.measure))
+            return TaskResult(JobStatus.Completed,
+              message = s"exported 0 rows to $out")
           }
-          graft.sources.NetCDF3.write(out, dims, vars,
+          val dims = Seq(graft.sources.NetCDF3.Dim("row", total.toInt))
+          val begins = graft.sources.NetCDF3.writeTableHeader(out, dims,
+            names.map(n => (n, Seq(0))),
             gatts = Seq("source" -> "graft", "measure" -> c.desc.measure))
-          TaskResult(JobStatus.Completed, message = s"exported to $out" +
-            (if (dropped.nonEmpty)
-              s" (dropped non-encodable: ${dropped.mkString(",")})" else "") +
-            (if (capped.length == limit) s" (truncated at $limit rows)" else ""))
+          val starts = counts.scanLeft(0L)(_ + _)
+          val nVars = names.size
+          // pass 2: each partition buffers its column slabs and issues
+          // one positioned write per variable — writers never overlap
+          dfEnc.rdd.mapPartitionsWithIndex { case (pi, it) =>
+            val bufs = Array.fill(nVars)(
+              new scala.collection.mutable.ArrayBuilder.ofDouble)
+            while (it.hasNext) {
+              val r = it.next()
+              var j = 0
+              while (j < nVars) {
+                bufs(j) += (if (r.isNullAt(j)) Double.NaN else r.getDouble(j))
+                j += 1
+              }
+            }
+            var j = 0
+            while (j < nVars) {
+              graft.sources.NetCDF3.writeSlab(out, begins(j), starts(pi),
+                bufs(j).result())
+              j += 1
+            }
+            Iterator.single(pi)
+          }.count()
+          TaskResult(JobStatus.Completed,
+            message = s"exported $total rows to $out" +
+              (if (dropped.nonEmpty)
+                s" (dropped non-encodable: ${dropped.mkString(",")})" else ""))
         } else {
           c.flatten.write.mode("overwrite").option("header", "true").csv(out)
           TaskResult(JobStatus.Completed, message = s"exported to $out")

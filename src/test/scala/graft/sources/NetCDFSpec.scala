@@ -213,4 +213,53 @@ class NetCDFSpec extends SparkSpec {
     val readBack = back.agg(sum(col("measure"))).head.getDouble(0)
     assert(math.abs(orig - readBack) < 1e-9)
   }
+
+  test("distributed exportnc is byte-identical to the driver-side writer") {
+    import graft.cube.CubeOps
+    // a multi-partition cube: the export's slab writers must land each
+    // partition at its exact row offset for the bytes to line up
+    val raw = spark.read.parquet(sf("lineitem"))
+      .repartition(4, col("l_orderkey"))
+    val cube = CubeOps.build(raw, "l_quantity",
+      Seq("l_orderkey", "l_linenumber"), None, "c", "mem")
+    val e = new Engine(spark, new Catalog("sess"))
+    val pid = e.register(cube, "c")
+    val out = tmpNc("dist")
+    val r = e.runDataOperator("oph_exportnc",
+      Map("cube" -> pid, "output_path" -> out))
+    assert(r.status == JobStatus.Completed)
+    assert(!r.message.contains("truncated"), "the row cap must be gone")
+
+    // reference: the same flattened frame collected and written on the
+    // driver through the single-threaded writer
+    val flat = cube.flatten
+    val names = flat.columns.toSeq
+    val rows = flat.select(names.map(n => col(n).cast("double")): _*).collect()
+    val vars = names.zipWithIndex.map { case (n, i) =>
+      (n, Seq(0), rows.map(r =>
+        if (r.isNullAt(i)) Double.NaN else r.getDouble(i)))
+    }
+    val ref = tmpNc("ref")
+    NetCDF3.write(ref, Seq(NetCDF3.Dim("row", rows.length)), vars,
+      gatts = Seq("source" -> "graft", "measure" -> "l_quantity"))
+    val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out))
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(ref))
+    assert(a.length == b.length, s"sizes differ: ${a.length} vs ${b.length}")
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("exporting an empty cube writes a valid zero-row file") {
+    import graft.cube.CubeOps
+    val raw = spark.read.parquet(sf("lineitem")).where(lit(false))
+    val cube = CubeOps.build(raw, "l_quantity",
+      Seq("l_orderkey", "l_linenumber"), None, "c", "mem")
+    val e = new Engine(spark, new Catalog("sess"))
+    val pid = e.register(cube, "c")
+    val out = tmpNc("empty")
+    val r = e.runDataOperator("oph_exportnc",
+      Map("cube" -> pid, "output_path" -> out))
+    assert(r.status == JobStatus.Completed)
+    val h = NetCDF3.readHeader(out)
+    assert(h.numrecs == 0)
+  }
 }
