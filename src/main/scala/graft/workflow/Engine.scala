@@ -328,15 +328,22 @@ final class Engine(
   def renderResponse(workflowName: String,
       results: Map[String, TaskResult],
       outputFormat: String = "classic"): String = {
-    import graft.core.{Response, TextObj}
+    import graft.core.{Grid, Response, TextObj}
     def textOf(name: String, r: TaskResult) =
       TextObj(name, name,
         s"${r.status}" +
           r.cubePid.map(p => s" cube=$p").getOrElse("") +
           (if (r.message.nonEmpty) s" ${r.message}" else ""))
     val sorted = results.toSeq.sortBy(_._1)
-    val objs =
-      if (outputFormat.equalsIgnoreCase("compact")) {
+    // `oph_workflow_parsing.c:291-305` format matrix: compact collapses
+    // the per-task texts into one status line; extended adds the
+    // workflow task-list grid (`oph_workflow_engine.c:5897+` renders it
+    // when is_extended); extended_compact does both
+    val fmt = outputFormat.toLowerCase
+    val isCompact = fmt == "compact" || fmt == "extended_compact"
+    val isExtended = fmt == "extended" || fmt == "extended_compact"
+    val base =
+      if (isCompact) {
         val grids = sorted.collect { case (name, r) if r.df.nonEmpty =>
           graft.render.ResponseWriter.gridOf(name, name, r.df.get, limit = 100)
         }
@@ -354,6 +361,14 @@ final class Engine(
           case None => textOf(name, r)
         }
       }
+    val objs =
+      if (!isExtended) base
+      else Grid("workflow_list", "Workflow Task List",
+        keys = Seq("TASK NAME", "EXIT STATUS", "OUTPUT CUBE"),
+        fieldTypes = Seq("string", "string", "string"),
+        values = sorted.map { case (name, r) =>
+          Seq(name, r.status.toString, r.cubePid.getOrElse(""))
+        }) +: base
     graft.render.ResponseWriter.render(Response(
       source = Map("session" -> catalog.sessionCode,
         "workflow" -> workflowName, "producer" -> user),
@@ -396,6 +411,7 @@ final class Engine(
       // define.h:90` OPH_WORKFLOW_BVAR_KEY_NCORES)
       "NCORES" -> spec.ncores.getOrElse(
         spark.sparkContext.defaultParallelism).toString,
+      "NTHREADS" -> spec.nthreads.getOrElse(1).toString,
       "NHOST" -> spec.nhosts.getOrElse(1).toString)
 
     // last produced cube PID per task name (for dependency harvesting)
@@ -669,7 +685,13 @@ final class Engine(
               i += 1
             } else {
               synchronized { markerId += 1 }
-              val args = t.arguments.map { case (k, v) => k -> sub(v) }
+              // request-level cdd is each task's default data directory
+              // (`oph_workflow_parsing.c:91-95`): relative src_path /
+              // output_path values resolve against it in the operator
+              val args0 = t.arguments.map { case (k, v) => k -> sub(v) }
+              val args =
+                if (args0.contains("cdd") || spec.cdd == "/") args0
+                else args0 + ("cdd" -> spec.cdd)
               // dependency output harvesting, preferring THIS
               // iteration's instance — parallel for branches must not
               // read a sibling branch's cube. Deps with an explicit
@@ -807,8 +829,11 @@ final class Engine(
       val summary = results.toSeq.sortBy(_._1).map { case (k, v) =>
         s"$k=${v.status}${v.cubePid.map(p => s"($p)").getOrElse("")}"
       }.mkString(";")
-      sessions.saveWorkflow(catalog.sessionCode,
-        requestJson.getOrElse(spec.name), summary)
+      // `save=no` (`oph_workflow_parsing.c:270-290`): the caller opted
+      // out of the session document store; oph_resume will not see it
+      if (spec.save)
+        sessions.saveWorkflow(catalog.sessionCode,
+          requestJson.getOrElse(spec.name), summary)
       // record for request-level checkpoint resume (the ORIGINAL spec:
       // runFrom compares task definitions against the next request).
       // df is stripped — replay only needs status/cubePid/outputs, and
@@ -1066,6 +1091,16 @@ final class Engine(
         throw new Engine.EngineError(s"$op: unknown cube $pidArg")))
     }
 
+    // `cdd` (current data directory, `oph_workflow_parsing.c:91-95`):
+    // relative file paths resolve against it; absolute paths and URIs
+    // pass through
+    def resolvePath(p: String): String =
+      if (p.startsWith("/") || p.contains("://") || p.startsWith("[")) p
+      else {
+        val base = args.getOrElse("cdd", "/")
+        (if (base.endsWith("/")) base else base + "/") + p
+      }
+
     op match {
       case "oph_createcontainer" =>
         val c = catalog.createContainer(
@@ -1093,7 +1128,7 @@ final class Engine(
             message = sub.map(r => r.cubePid.getOrElse(r.message)).mkString("|"),
             outputs = sub.flatMap(_.cubePid))
         }
-        val paths = path.split('|').toSeq // importncs: multi-file, one cube
+        val paths = path.split('|').toSeq.map(resolvePath) // importncs: multi-file, one cube
         val measure = args.getOrElse("measure", "measure")
         val exp = args.get("exp_dim").map(_.split('|').toSeq).getOrElse(Seq.empty)
         val imp = args.get("imp_dim")
@@ -1117,8 +1152,8 @@ final class Engine(
         // append new source data to an existing cube along the implicit
         // dim (incremental union + in-cell concat)
         val (pid, c) = needCube()
-        val path = args.getOrElse("src_path",
-          throw new Engine.EngineError("concatnc: missing src_path"))
+        val path = resolvePath(args.getOrElse("src_path",
+          throw new Engine.EngineError("concatnc: missing src_path")))
         val measure = c.desc.measure
         // real .nc sources go through the netcdf3 DSv2 (record-dim
         // aware — appending along time IS the record-dim use case)
@@ -1325,8 +1360,8 @@ final class Engine(
 
       case "oph_exportcsv" | "oph_exportnc" | "oph_exportnc2" =>
         val (_, c) = needCube()
-        val out = args.getOrElse("output_path",
-          throw new Engine.EngineError("export: missing output_path"))
+        val out = resolvePath(args.getOrElse("output_path",
+          throw new Engine.EngineError("export: missing output_path")))
         if (out.endsWith(".nc")) {
           // real NetCDF-3 classic output: table-style encoding — a
           // 'row' dimension with the measure and every encodable dim as
@@ -1492,8 +1527,8 @@ final class Engine(
 
       case "oph_explorenc" =>
         // explore a raw source file: schema + summary stats
-        val path = args.getOrElse("src_path",
-          throw new Engine.EngineError("explorenc: missing src_path"))
+        val path = resolvePath(args.getOrElse("src_path",
+          throw new Engine.EngineError("explorenc: missing src_path")))
         val raw = spark.read.parquet(path)
         TaskResult(JobStatus.Completed, df = Some(raw.describe()))
 

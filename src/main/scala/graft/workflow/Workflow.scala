@@ -48,12 +48,31 @@ object Workflow {
       onError: String = "abort",
       onExit: String = "nop",
       checkpoint: Option[String] = None,   // `oph_workflow_parsing.c:283-290`
-      outputFormat: String = "classic",    // classic|compact (`:291-298`)
+      /** classic | compact | extended | extended_compact
+        * (`oph_workflow_parsing.c:291-305`): `compact` collapses the
+        * per-task texts, `extended` adds the task-list grid; the
+        * combination does both. Any other value is a parse error like
+        * the reference's BAD_PARAM. */
+      outputFormat: String = "classic",
       /** Completion push target (`oph_workflow_parsing.c:91-95`,
         * fired at `oph_workflow_engine.c:6768-6818`): on workflow
         * completion the server calls back with jobid + status. */
       callbackUrl: Option[String] = None,
       ncores: Option[Int] = None,
+      /** Per-task thread hint (`oph_workflow_parsing.c:91-95` nthreads)
+        * — surfaces as the NTHREADS builtin variable. */
+      nthreads: Option[Int] = None,
+      /** Current data directory: relative src_path/output_path values
+        * resolve against it (`oph_workflow_parsing.c:91-95` cdd). */
+      cdd: String = "/",
+      /** Accounting tag forwarded with the run (reference `project`,
+        * resource-manager accounting). */
+      project: Option[String] = None,
+      /** save=no skips recording the request/response in the session
+        * store (`oph_workflow_parsing.c:270-290`). */
+      save: Boolean = true,
+      directOutput: Boolean = false,
+      url: Option[String] = None,
       nhosts: Option[Int] = None,
       hostPartition: Option[String] = None,
       variables: Map[String, String] = Map.empty,
@@ -119,9 +138,28 @@ object Workflow {
       onError = wfOnError,
       onExit = wfOnExit,
       checkpoint = opt(n, "checkpoint").map(_.asText),
-      outputFormat = str(n, "output_format", "classic"),
+      outputFormat = {
+        val of = str(n, "output_format", "classic")
+        if (!Set("classic", "compact", "extended", "extended_compact")
+          .contains(of.toLowerCase))
+          throw new ValidationError(s"error in parsing parameter " +
+            s"'output_format' (got '$of')")
+        of.toLowerCase
+      },
       callbackUrl = opt(n, "callback_url").map(_.asText),
       ncores = opt(n, "ncores").map(_.asText.toInt),
+      nthreads = opt(n, "nthreads").map(_.asText.toInt),
+      cdd = str(n, "cdd", "/"),
+      project = opt(n, "project").map(_.asText),
+      save = {
+        val s = str(n, "save", "yes")
+        if (!Set("yes", "no").contains(s.toLowerCase))
+          throw new ValidationError(
+            s"error in parsing parameter 'save' (got '$s')")
+        !s.equalsIgnoreCase("no")
+      },
+      directOutput = str(n, "direct_output", "no").equalsIgnoreCase("yes"),
+      url = opt(n, "url").map(_.asText),
       nhosts = opt(n, "nhost").map(_.asText.toInt),
       hostPartition = opt(n, "host_partition").map(_.asText),
       variables = vars,
