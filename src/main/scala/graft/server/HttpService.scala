@@ -46,9 +46,17 @@ object HttpService {
   val ErrWrongParameter = 7
 
   /** Status entries hold only per-task STATUSES — retaining full
-    * TaskResults would pin DataFrame plans for the life of the map. */
+    * TaskResults would pin DataFrame plans for the life of the map.
+    * `cancel` targets the run's reserved workflow id on its engine
+    * (the /services/cancel route). */
   final case class Job(id: Int,
-      future: scala.concurrent.Future[Map[String, JobStatus.Value]])
+      future: scala.concurrent.Future[Map[String, JobStatus.Value]],
+      cancel: () => Unit = () => ())
+
+  /** HTTP worker pool size — the reference provisions a thread farm
+    * (`SERVER_FARM_SIZE`, `etc/server.conf.in:27`, default 128) so
+    * long sync workflows don't head-of-line block other requests. */
+  val DefaultPoolSize = 128
 
   /** Completed-job retention bound: older entries evict FIFO (a status
     * poll for an evicted jobid gets 404, like an expired reference
@@ -73,7 +81,9 @@ final class HttpService(
     port: Int = 0,
     /** autoremove-session idle TTL; injectable for tests. */
     idleTtlMillis: Long = HttpService.DefaultIdleTtlMillis,
-    nowMillis: () => Long = System.currentTimeMillis) {
+    nowMillis: () => Long = System.currentTimeMillis,
+    /** Worker threads serving requests (reference SERVER_FARM_SIZE). */
+    poolSize: Int = HttpService.DefaultPoolSize) {
   import HttpService._
 
   private var server: HttpServer = _
@@ -201,12 +211,27 @@ final class HttpService(
 
   def start(): HttpService = {
     server = HttpServer.create(new InetSocketAddress(port), 0)
-    pool = Executors.newFixedThreadPool(8)
+    pool = Executors.newFixedThreadPool(poolSize)
     server.setExecutor(pool)
     server.createContext("/services/execute", exchange =>
       guard(exchange) { user => handleExecute(exchange, user) })
     server.createContext("/services/status", exchange =>
       guard(exchange) { _ => handleStatus(exchange) })
+    // cancel one submitted request's run — the reference's OPH_CANCEL
+    // known operator (`src/oph_parser.h:206`) over the jobid the
+    // execute route minted; drives the engine's cancelJobGroup path
+    server.createContext("/services/cancel", exchange =>
+      guard(exchange) { _ =>
+        query(exchange).get("jobid").flatMap(_.toIntOption)
+          .flatMap(jobs.get) match {
+          case None => reply(exchange, 404,
+            s"""{"error":$ErrWrongParameter,"message":"unknown jobid"}""")
+          case Some(job) =>
+            job.cancel()
+            reply(exchange, 200,
+              s"""{"jobid":${job.id},"error":$Ok,"message":"cancel sent"}""")
+        }
+      })
     server.createContext("/services/resume", exchange =>
       guard(exchange) { user => handleResume(exchange, user) })
     server.createContext("/services/info", exchange =>
@@ -309,8 +334,11 @@ final class HttpService(
       return reply(ex, 403,
         s"""{"error":$ErrAuth,"message":"user '$user' lacks the execute role on session '$code'"}""")
     val jobid = jobSeq.incrementAndGet()
+    // reserve the run's workflow id up front so /services/cancel can
+    // target exactly this request's Spark job group
+    val wfId = eng.reserveWorkflowId()
     def track(f: scala.concurrent.Future[Map[String, JobStatus.Value]]): Unit = {
-      jobs(jobid) = Job(jobid, f)
+      jobs(jobid) = Job(jobid, f, () => eng.cancelWorkflow(wfId))
       // completion push (`callback_url`, `oph_workflow_engine.c:6768`):
       // fires for sync and async alike once the run settles
       spec.callbackUrl.foreach { cb =>
@@ -336,11 +364,11 @@ final class HttpService(
     }
     if (spec.execMode.equalsIgnoreCase("async")) {
       import scala.concurrent.ExecutionContext.Implicits.global
-      track(eng.runAsync(spec, Some(body))
+      track(eng.runAsync(spec, Some(body), presetId = Some(wfId))
         .map(_.map { case (k, r) => k -> r.status }))
       reply(ex, 200, s"""{"jobid":$jobid,"error":$Ok,"response":null}""")
     } else {
-      val results = eng.runRequest(spec, Some(body))
+      val results = eng.runRequest(spec, Some(body), presetId = Some(wfId))
       // register the sync job too: its minted jobid must answer
       // /services/status like an async one
       track(scala.concurrent.Future.successful(

@@ -39,6 +39,9 @@ object Engine {
     * replayable last run (arbitrary entries beyond it age out). */
   val MaxLastRuns = 64
 
+  /** Per-engine job-group nonce source (see `jobGroupOf`). */
+  private val nonceSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** The operator surface (for oph_operators_list introspection —
     * mirrors the reference objkey vocabulary `oph_json_objkeys.h:27-173`). */
   val operatorList: Seq[String] = Seq(
@@ -256,10 +259,33 @@ final class Engine(
 
   /** exec_mode=async (`src/oph_parser.h:78-81`): submit and return a
     * Future; the caller polls or oph_resume's the saved response. */
-  def runAsync(spec: Workflow.Spec, requestJson: Option[String] = None)
+  def runAsync(spec: Workflow.Spec, requestJson: Option[String] = None,
+      presetId: Option[Int] = None)
       : scala.concurrent.Future[Map[String, TaskResult]] = {
     import scala.concurrent.ExecutionContext.Implicits.global
-    scala.concurrent.Future(runRequest(spec, requestJson))
+    scala.concurrent.Future(runRequest(spec, requestJson, presetId))
+  }
+
+  /** Reserve the workflow id a subsequent run will use when handed back
+    * via `presetId` — an external submitter (the HTTP layer) holds it to
+    * target `cancelWorkflow` at one specific in-flight request. */
+  def reserveWorkflowId(): Int = synchronized { workflowSeq += 1; workflowSeq }
+
+  /** Spark job-group tag of one workflow run. The engine nonce keeps
+    * groups unique across engines sharing a SparkContext (per-session
+    * HTTP engines): cancellation is STICKY (future jobs of the group
+    * die too), so a name collision would poison another engine's run. */
+  private val engineNonce = Engine.nonceSeq.incrementAndGet()
+  private def jobGroupOf(wfId: Int): String =
+    s"${catalog.sessionCode}:$engineNonce:$wfId"
+
+  /** Cancel every Spark job of one workflow run — the oph_cancel path
+    * (the reference's scancel analog) keyed the same way the run tagged
+    * its jobs. AndFutureJobs: a cancel racing ahead of the run's first
+    * job submission must still kill the workflow, not no-op. */
+  def cancelWorkflow(wfId: Int): Unit = {
+    spark.sparkContext.cancelJobGroupAndFutureJobs(jobGroupOf(wfId))
+    sessions.log(s"cancel requested for workflow $wfId")
   }
 
   /** Last completed run per workflow name — the store the request-level
@@ -272,10 +298,12 @@ final class Engine(
     * of the same workflow name — completed tasks whose output cubes
     * still exist replay instead of re-executing. */
   def runRequest(spec: Workflow.Spec,
-      requestJson: Option[String] = None): Map[String, TaskResult] =
+      requestJson: Option[String] = None,
+      presetId: Option[Int] = None): Map[String, TaskResult] =
     spec.checkpoint.filter(_.nonEmpty).flatMap(_ => lastRuns.get(spec.name)) match {
-      case Some((priorSpec, prior)) => runFrom(spec, priorSpec, prior, requestJson)
-      case None => run(spec, requestJson)
+      case Some((priorSpec, prior)) =>
+        runFrom(spec, priorSpec, prior, requestJson, presetId)
+      case None => run(spec, requestJson, presetId = presetId)
     }
 
   /**
@@ -291,7 +319,8 @@ final class Engine(
    */
   def runFrom(spec: Workflow.Spec, priorSpec: Workflow.Spec,
       prior: Map[String, TaskResult],
-      requestJson: Option[String] = None): Map[String, TaskResult] = {
+      requestJson: Option[String] = None,
+      presetId: Option[Int] = None): Map[String, TaskResult] = {
     // a prior result replays ONLY if the task's definition is unchanged
     // between the two specs — an edited-and-previously-'completed' task
     // must re-run, not silently serve stale data. Iteration-suffixed
@@ -315,7 +344,7 @@ final class Engine(
         newTasks.get(baseName(name)).exists(t =>
           priorTasks.get(baseName(name)).contains(t)) => name -> r
     }
-    run(spec, requestJson, completed)
+    run(spec, requestJson, completed, presetId)
   }
 
   /** Render a run's results as the reference's JSON Response envelope
@@ -381,15 +410,17 @@ final class Engine(
     * replayable prior results (threaded explicitly — instance state
     * would race across concurrent runs). */
   def run(spec0: Workflow.Spec, requestJson: Option[String],
-      checkpointSkip: Map[String, TaskResult] = Map.empty): Map[String, TaskResult] = {
+      checkpointSkip: Map[String, TaskResult] = Map.empty,
+      presetId: Option[Int] = None): Map[String, TaskResult] = {
     Workflow.validate(spec0)
     // the reference schedules by readiness; our positional walk gets the
     // same effect by topo-sorting each run of data tasks (ADVICE r2)
     val spec = Workflow.reorderSegments(spec0)
     // synchronized: concurrent runAsync submissions must not mint the
-    // same job-group id (lost-update on the shared counter)
-    val wfId = synchronized { workflowSeq += 1; workflowSeq }
-    val jobGroup = s"${catalog.sessionCode}:$wfId"
+    // same job-group id (lost-update on the shared counter); an
+    // externally-reserved id (HTTP cancel route) passes through
+    val wfId = presetId.getOrElse(reserveWorkflowId())
+    val jobGroup = jobGroupOf(wfId)
     // Spark jobs of this workflow share a job group so oph_cancel can
     // target them (`cancelJobGroup` — the reference's scancel analog)
     spark.sparkContext.setJobGroup(jobGroup, spec.name,
@@ -1615,9 +1646,8 @@ final class Engine(
           s"master=${spark.sparkContext.master}")
 
       case "oph_cancel" =>
-        val wfId = args.getOrElse("id", workflowSeq.toString)
-        spark.sparkContext.cancelJobGroup(s"${catalog.sessionCode}:$wfId")
-        sessions.log(s"cancel requested for workflow $wfId")
+        val wfId = args.getOrElse("id", workflowSeq.toString).toInt
+        cancelWorkflow(wfId)
         TaskResult(JobStatus.Completed, message = s"cancel sent to $wfId")
 
       case "oph_log_info" =>

@@ -307,6 +307,82 @@ class HttpServiceSpec extends SparkSpec {
       "block window must expire")
   }
 
+  // ------------------------------------------- cancel + farm sizing
+
+  test("/services/cancel kills a running async workflow") {
+    withService { (_, base, _) =>
+      val cred = Some(basic("graft", "secret"))
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_cancel").toString + "/out"
+      // a long-enough Spark job (~100M cells) — small enough that a
+      // killed task that ignores the interrupt frees its slot in
+      // seconds, not minutes (it would otherwise starve later tests)
+      val req = s"""{
+        "name": "wf_cancel", "exec_mode": "async", "tasks": [
+          {"name": "mk", "operator": "oph_randcube",
+           "arguments": ["nrows=2000000", "array_length=50",
+             "container=c"]},
+          {"name": "exp", "operator": "oph_exportcsv",
+           "arguments": ["output_path=$outDir"],
+           "dependencies": [{"task": "mk"}]}
+        ]}"""
+      val (code, body) = http(s"$base/services/execute", "POST",
+        Some(req), cred)
+      assert(code == 200)
+      val jobid = mapper.readTree(body).get("jobid").asInt
+      Thread.sleep(1000) // let the export job start
+      val (cc, cb) = http(s"$base/services/cancel?jobid=$jobid",
+        authHeader = cred)
+      assert(cc == 200)
+      assert(mapper.readTree(cb).get("message").asText == "cancel sent")
+      // the run must settle as error well before the job could finish
+      var status = "running"
+      val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+      while (status == "running" && System.nanoTime < deadline) {
+        Thread.sleep(250)
+        val (_, sb) = http(s"$base/services/status?jobid=$jobid",
+          authHeader = cred)
+        status = mapper.readTree(sb).get("status").asText
+      }
+      assert(status == "error", "a cancelled workflow must settle as error")
+      // unknown jobid is a 404
+      assert(http(s"$base/services/cancel?jobid=99999",
+        authHeader = cred)._1 == 404)
+    }
+  }
+
+  test("32 in-flight sync requests don't head-of-line block the service") {
+    // the reference provisions a 128-thread farm (SERVER_FARM_SIZE) so
+    // slow sync workflows can't starve the listener: while 32 waits
+    // occupy workers, /services/info must still answer immediately
+    val engine = new Engine(spark, new Catalog("sess"))
+    val auth = new AuthService
+    auth.addUser("graft", "secret")
+    val svc = new HttpService(engine, auth).start()
+    try {
+      val base = s"http://127.0.0.1:${svc.boundPort}"
+      val cred = Some(basic("graft", "secret"))
+      def waitWf(i: Int) = s"""{
+        "name": "wf_wait$i", "tasks": [
+          {"name": "w", "operator": "oph_wait",
+           "arguments": ["type=clock", "timeout=3"]}
+        ]}"""
+      val threads = (1 to 32).map { i =>
+        new Thread(() => http(s"$base/services/execute", "POST",
+          Some(waitWf(i)), cred))
+      }
+      threads.foreach(_.start())
+      Thread.sleep(500) // let the waits occupy their workers
+      val t0 = System.nanoTime
+      val (code, _) = http(s"$base/services/info", authHeader = cred)
+      val ms = (System.nanoTime - t0) / 1000000
+      assert(code == 200)
+      assert(ms < 2000,
+        s"info took ${ms}ms behind 32 in-flight syncs — head-of-line blocked")
+      threads.foreach(_.join())
+    } finally svc.stop()
+  }
+
   // ------------------------------------------------ notify callbacks
 
   test("callback_url receives the completion push before any status poll") {
@@ -330,9 +406,10 @@ class HttpServiceSpec extends SparkSpec {
           Some(req), Some(basic("graft", "secret")))
         assert(code == 200)
         val jobid = mapper.readTree(body).get("jobid").asInt
-        // the push arrives WITHOUT polling /services/status
+        // the push arrives WITHOUT polling /services/status (generous
+        // bound: the shared host swings >2.5x under load)
         val q = scala.concurrent.Await.result(
-          received.future, scala.concurrent.duration.Duration("30s"))
+          received.future, scala.concurrent.duration.Duration("120s"))
         assert(q.contains("tag=t1"))
         assert(q.contains(s"jobid=$jobid"))
         assert(q.contains("status=completed"))
