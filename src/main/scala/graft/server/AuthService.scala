@@ -23,7 +23,11 @@ object AuthService {
   val BlockWindowMs = 300000L
 }
 
-final class AuthService(now: () => Long = () => System.currentTimeMillis) {
+final class AuthService(now: () => Long = () => System.currentTimeMillis,
+    /** Durable credential store (reference `oph_auth.c` user table):
+      * users and live tokens survive a server restart. None = memory
+      * only. */
+    stateFile: Option[java.nio.file.Path] = None) {
   import AuthService._
 
   private val users =
@@ -32,6 +36,25 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis) {
     scala.collection.concurrent.TrieMap[String, String]() // token -> name
   private val failures = scala.collection.concurrent
     .TrieMap[String, (Int, Long)]() // host -> (attempts, window start)
+
+  // restore: tab-separated "U\tname\thash" / "T\ttoken\tuser" lines
+  // (hashes are base64, tokens hex — neither contains a tab)
+  stateFile.flatMap(StateStore.load).foreach { text =>
+    text.linesIterator.foreach(_.split('\t') match {
+      case Array("U", name, h) => users(name) = h
+      case Array("T", token, user) => tokens(token) = user
+      case _ => // tolerate unknown lines (forward compatibility)
+    })
+  }
+
+  private def persist(): Unit = stateFile.foreach { p =>
+    val sb = new StringBuilder
+    users.toSeq.sortBy(_._1).foreach { case (n, h) =>
+      sb.append("U\t").append(n).append('\t').append(h).append('\n') }
+    tokens.toSeq.sortBy(_._1).foreach { case (t, u) =>
+      sb.append("T\t").append(t).append('\t').append(u).append('\n') }
+    StateStore.save(p, sb.result())
+  }
 
   /** True while `host` is inside an un-expired block window with too
     * many failures; an expired window is dropped on sight. */
@@ -56,12 +79,15 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis) {
       d.digest(s"graft:$user:$password".getBytes(StandardCharsets.UTF_8)))
   }
 
-  def addUser(name: String, password: String): Unit =
+  def addUser(name: String, password: String): Unit = {
     users(name) = hash(name, password)
+    persist()
+  }
 
   def removeUser(name: String): Unit = {
     users.remove(name)
     tokens.filterInPlace { case (_, u) => u != name }
+    persist()
   }
 
   /** Check user/password; mints and returns a bearer token on success.
@@ -73,6 +99,7 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis) {
       failures.remove(host)
       val token = java.util.UUID.randomUUID().toString.replace("-", "")
       tokens(token) = name
+      persist()
       Some(token)
     } else {
       recordFailure(host)
@@ -88,6 +115,7 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis) {
   def loginAuthenticated(user: String): String = {
     val token = java.util.UUID.randomUUID().toString.replace("-", "")
     tokens(token) = user
+    persist()
     token
   }
 
@@ -109,7 +137,10 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis) {
         }
       }
 
-  def revokeToken(token: String): Unit = tokens.remove(token)
+  def revokeToken(token: String): Unit = {
+    tokens.remove(token)
+    persist()
+  }
 
   /**
    * Resolve an HTTP Authorization header to a user name:

@@ -15,6 +15,9 @@ import graft.workflow.Engine
  *   GRAFT_PORT         listen port (default 11732, the reference's)
  *   GRAFT_USERS        comma list of user:password pairs
  *                      (default graft:graft)
+ *   GRAFT_STATE_DIR    durable state directory: users, tokens and
+ *                      session tables survive restarts (unset =
+ *                      memory only)
  *   SPARK_GRAFT_CPUS   local[] parallelism (default 32)
  */
 object GraftServer {
@@ -35,10 +38,15 @@ object GraftServer {
         case Array(u, p) => (u, p)
       }
     val owner = users.headOption.map(_._1).getOrElse("graft")
-    val engine = new Engine(spark, new Catalog("sess0001"), owner)
-    val auth = new AuthService
+    val stateDir = sys.env.get("GRAFT_STATE_DIR")
+      .map(java.nio.file.Path.of(_))
+    val engine = new Engine(spark, new Catalog("sess0001"), owner,
+      sessionStateFile = stateDir.map(_.resolve("session-sess0001.json")))
+    val auth = new AuthService(
+      stateFile = stateDir.map(_.resolve("auth.tsv")))
     users.foreach { case (u, p) => auth.addUser(u, p) }
-    val svc = new HttpService(engine, auth, port).start()
+    val svc = new HttpService(engine, auth, port,
+      stateDir = stateDir).start()
     println(s"[graft-server] listening on :${svc.boundPort} " +
       s"(users: ${users.map(_._1).mkString(",")})")
     sys.addShutdownHook { svc.stop(); spark.stop() }

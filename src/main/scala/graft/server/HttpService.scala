@@ -83,7 +83,13 @@ final class HttpService(
     idleTtlMillis: Long = HttpService.DefaultIdleTtlMillis,
     nowMillis: () => Long = System.currentTimeMillis,
     /** Worker threads serving requests (reference SERVER_FARM_SIZE). */
-    poolSize: Int = HttpService.DefaultPoolSize) {
+    poolSize: Int = HttpService.DefaultPoolSize,
+    /** Durable per-session state directory: each routed session's
+      * role table + saved documents persist as `session-<code>.json`
+      * and are restored after a restart (ownership included — a
+      * restarted server must not hand someone else's session to the
+      * first requester). None = memory only. */
+    stateDir: Option[java.nio.file.Path] = None) {
   import HttpService._
 
   private var server: HttpServer = _
@@ -173,6 +179,10 @@ final class HttpService(
           engine.sessions.log(s"session $code engine released (removed)")
         } else if (eng.sessions.autoremoveEnabled(code) &&
             now - lastUsed.getOrElse(code, now) > idleTtlMillis) {
+          // autoremove REMOVES the session (reference semantics), so the
+          // persisted state must forget it too or a later request would
+          // resurrect it
+          eng.sessions.purge(code)
           releaseEngine(code, eng)
           engine.sessions.log(s"session $code reaped (autoremove, idle)")
         }
@@ -180,11 +190,18 @@ final class HttpService(
     }
   }
 
+  private def sessionFileOf(code: String): Option[java.nio.file.Path] =
+    stateDir.map(_.resolve(s"session-$code.json"))
+
   private def engineFor(code: String, user: String,
       createIfAbsent: Boolean): Option[Engine] = {
     reapSessions()
+    // a persisted session restores on ANY route (status/resume too) —
+    // the restart must be transparent to clients holding a session code
+    val restorable = sessionFileOf(code)
+      .exists(java.nio.file.Files.isRegularFile(_))
     val found = sessionEngines.get(code).orElse {
-      if (!createIfAbsent) None
+      if (!createIfAbsent && !restorable) None
       else mintLock.synchronized {
         sessionEngines.get(code).orElse {
           if (!code.matches("[A-Za-z0-9_-]{1,64}"))
@@ -196,7 +213,8 @@ final class HttpService(
             throw RoutingError(403,
               s"session '$code' already exists in another registry")
           val minted = new Engine(engine.spark,
-            new graft.core.Catalog(code), user, engine.sleeper)
+            new graft.core.Catalog(code), user, engine.sleeper,
+            sessionStateFile = sessionFileOf(code))
           sessionEngines(code) = minted
           Some(minted)
         }

@@ -60,13 +60,57 @@ object SessionService {
   final class AuthError(msg: String) extends Exception(msg)
 }
 
-final class SessionService {
+final class SessionService(
+    /** Durable session table (the reference persists sessions in
+      * OphidiaDB): codes, owners, roles, flags and saved workflow
+      * documents survive a restart. None = memory only. */
+    stateFile: Option[java.nio.file.Path] = None) {
   import SessionService._
 
   private val sessions = mutable.LinkedHashMap[String, Session]()
   private val logRing = mutable.ArrayDeque[String]()
   private val maxLog = 1000
   private var nextCode = 0
+
+  // restore persisted sessions (the log ring is intentionally volatile)
+  stateFile.flatMap(StateStore.load).foreach { text =>
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    nextCode = Option(n.get("nextCode")).map(_.asInt).getOrElse(0)
+    Option(n.get("sessions")).foreach(_.elements().forEachRemaining { sn =>
+      val s = Session(
+        sn.get("code").asText, sn.get("owner").asText,
+        sn.get("label").asText, sn.get("active").asBoolean,
+        sn.get("autoremove").asBoolean)
+      Option(sn.get("roles")).foreach(_.properties().forEach(e =>
+        s.roles(e.getKey) = e.getValue.asInt))
+      Option(sn.get("workflows")).foreach(_.elements().forEachRemaining(w =>
+        s.workflows += SavedWorkflow(w.get("id").asInt,
+          w.get("request").asText, w.get("response").asText)))
+      sessions(s.code) = s
+    })
+  }
+
+  private def persist(): Unit = stateFile.foreach { p =>
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val body = sessions.values.map { s =>
+      val roles = s.roles.map { case (u, m) => s"${q(u)}:$m" }.mkString(",")
+      val wfs = s.workflows.map(w =>
+        s"""{"id":${w.workflowId},"request":${q(w.request)},""" +
+          s""""response":${q(w.response)}}""").mkString(",")
+      s"""{"code":${q(s.code)},"owner":${q(s.owner)},"label":${q(s.label)},""" +
+        s""""active":${s.active},"autoremove":${s.autoremove},""" +
+        s""""roles":{$roles},"workflows":[$wfs]}"""
+    }.mkString(",")
+    StateStore.save(p, s"""{"nextCode":$nextCode,"sessions":[$body]}""")
+  }
 
   // ------------------------------------------------------------- log
 
@@ -110,6 +154,7 @@ final class SessionService {
     val s = Session(c, owner, label)
     sessions(s.code) = s
     log(s"session ${s.code} created by $owner")
+    persist()
     s
   }
 
@@ -149,6 +194,7 @@ final class SessionService {
         case other => throw new IllegalArgumentException(s"unknown key '$other'")
       }
       log(s"session $code setenv $key=$value by $user")
+      persist()
     }
 
   /** action=grant / revoke (admin-or-owner only). */
@@ -159,6 +205,7 @@ final class SessionService {
       require_(target != s.owner, "owner role is immutable")
       s.roles(target) = parseRole(role)
       log(s"session $code grant $target=$role by $user")
+      persist()
     }
 
   def revoke(code: String, user: String, target: String): Unit = synchronized {
@@ -166,11 +213,21 @@ final class SessionService {
     require_((roleOf(s, user) & RoleAdmin) != 0, s"$user cannot revoke on $code")
     s.roles.remove(target)
     log(s"session $code revoke $target by $user")
+    persist()
   }
 
   /** action=disable / enable / remove (owner only for remove). */
   def setActive(code: String, user: String, active: Boolean): Unit =
     setenv(code, user, "active", if (active) "yes" else "no")
+
+  /** Server-side removal without an acting user — the autoremove
+    * reaper's path (the reference's session GC); also forgets the
+    * session in the persisted state. */
+  private[server] def purge(code: String): Unit = synchronized {
+    sessions.remove(code)
+    log(s"session $code purged (autoremove)")
+    persist()
+  }
 
   def remove(code: String, user: String): Unit = synchronized {
     val s = get(code)
@@ -178,6 +235,7 @@ final class SessionService {
     require_(!s.active, "disable the session before removing it")
     sessions.remove(code)
     log(s"session $code removed by $user")
+    persist()
   }
 
   private def get(code: String): Session =
@@ -194,6 +252,7 @@ final class SessionService {
           val id = s.workflows.size + 1
           s.workflows += SavedWorkflow(id, request, response)
           log(s"session $code workflow $id saved")
+          persist()
           id
         case None =>
           // the workflow itself may have removed its own session

@@ -125,7 +125,11 @@ final class Engine(
       * 4096). The reference parks cube data in OphidiaDB where it costs
       * the server nothing; here every registered cube pins a DataFrame
       * plan in driver memory, so a long-lived engine needs a bound. */
-    maxCubes: Int = 0) {
+    maxCubes: Int = 0,
+    /** Durable session-table file (roles, flags, saved workflow
+      * documents survive a restart — the reference's OphidiaDB session
+      * persistence). None = memory only. */
+    sessionStateFile: Option[java.nio.file.Path] = None) {
 
   import Engine._
 
@@ -178,9 +182,13 @@ final class Engine(
   private var workflowSeq = 0
 
   /** Session registry + log ring + saved-workflow store (the
-    * oph_manage_session / oph_resume / oph_log_info backend). */
-  val sessions = new graft.server.SessionService
-  sessions.newSession(user, code = Some(catalog.sessionCode))
+    * oph_manage_session / oph_resume / oph_log_info backend). A
+    * restored state file already contains this engine's session — the
+    * ORIGINAL owner must survive the restart, so only a genuinely new
+    * code registers here. */
+  val sessions = new graft.server.SessionService(sessionStateFile)
+  if (!sessions.exists(catalog.sessionCode))
+    sessions.newSession(user, code = Some(catalog.sessionCode))
 
   /** Input-wait registry: (workflow id, task name) -> promise an
     * oph_input completes (the reference's waiting-task table scanned by

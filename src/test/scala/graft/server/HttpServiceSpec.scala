@@ -432,6 +432,62 @@ class HttpServiceSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ persisted state
+
+  test("tokens, users and sessions survive a server restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state")
+    val authFile = dir.resolve("auth.tsv")
+
+    // ---- first server lifetime: mint a token, run in a routed session
+    val auth1 = new AuthService(stateFile = Some(authFile))
+    auth1.addUser("graft", "secret")
+    val engine1 = new Engine(spark, new Catalog("sess"))
+    val svc1 = new HttpService(engine1, auth1, stateDir = Some(dir)).start()
+    val token =
+      try {
+        val base = s"http://127.0.0.1:${svc1.boundPort}"
+        val cred = Some(basic("graft", "secret"))
+        val (lc, lb) = http(s"$base/services/login", authHeader = cred)
+        assert(lc == 200)
+        val tok = mapper.readTree(lb).get("access_token").asText
+        // a routed session with a grant and a saved document
+        val (ec, _) = http(s"$base/services/execute", "POST",
+          Some(manageSessionRequest("durable1",
+            "grant" -> Map("grantee" -> "colleague", "role" -> "read"))),
+          cred)
+        assert(ec == 200)
+        tok
+      } finally svc1.stop()
+
+    // ---- second lifetime: fresh objects, same state files
+    val auth2 = new AuthService(stateFile = Some(authFile))
+    val engine2 = new Engine(spark, new Catalog("sess"))
+    val svc2 = new HttpService(engine2, auth2, stateDir = Some(dir)).start()
+    try {
+      val base = s"http://127.0.0.1:${svc2.boundPort}"
+      // the pre-restart token authenticates without re-login
+      val (ic, _) = http(s"$base/services/info",
+        authHeader = Some(s"Bearer $token"))
+      assert(ic == 200, "a pre-restart token must survive the restart")
+      // the user's password still works (user table persisted)
+      assert(http(s"$base/services/info",
+        authHeader = Some(basic("graft", "secret")))._1 == 200)
+      // the routed session restores: owner intact, grant intact,
+      // saved response resumable
+      val (rc, rb) = http(s"$base/services/resume?session=durable1&id=1",
+        authHeader = Some(s"Bearer $token"))
+      assert(rc == 200, "a persisted session must restore after restart")
+      assert(mapper.readTree(rb).get("document").asText.nonEmpty)
+      // ownership survived: an intruder cannot squat the restored code
+      val auth2b = auth2
+      auth2b.addUser("intruder", "pw")
+      val (sc, _) = http(s"$base/services/execute", "POST",
+        Some(manageSessionRequest("durable1", "env" -> Map.empty)),
+        Some(basic("intruder", "pw")))
+      assert(sc == 403, "restored ownership must still gate execution")
+    } finally svc2.stop()
+  }
+
   // --------------------------------------------- session engine GC
 
   private def manageSessionRequest(code: String,
