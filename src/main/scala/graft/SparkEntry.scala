@@ -852,12 +852,12 @@ object SparkEntry {
     }),
 
     "multimodal_features" -> ((s, dir) => {
-      // binary media columns -> stubbed decode -> typed feature rows;
-      // the Spark-side plumbing (schema, partition batches) is real
-      val media = graft.pipeline.Multimodal.syntheticMedia(s, 200)
-      graft.pipeline.Multimodal.extractFeatures(media)
-        .toDF().select(col("media_id"), col("kind"), col("width"),
-          col("height"), col("n_bytes"))
+      // binary media columns -> REAL PNG decode (javax.imageio) ->
+      // relational stats; the synthetic PNGs have arithmetically
+      // predictable dimensions and solid colors, so a SQL oracle
+      // verifies the actual codec path (a fake decode would mismatch)
+      val media = graft.pipeline.Multimodal.syntheticPngMedia(s, 200)
+      graft.pipeline.Multimodal.imageStats(media)
     }),
 
     // --------------------------------------------------- oph_randcube
@@ -1357,6 +1357,18 @@ object SparkEntry {
                       epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id) AS gap
                FROM events)
-         GROUP BY 1"""
+         GROUP BY 1""",
+
+    // the synthetic PNGs are solid-color with id-derived dimensions:
+    // the real javax.imageio decode must reproduce these arithmetic
+    // values exactly (solid color => channel mean is an exact integer)
+    "multimodal_features" ->
+      """SELECT i AS media_id,
+                8 + i % 16 AS width,
+                8 + (i * 7) % 16 AS height,
+                CAST((i * 13) % 256 AS DOUBLE) AS mean_r,
+                CAST((i * 29) % 256 AS DOUBLE) AS mean_g,
+                CAST((i * 47) % 256 AS DOUBLE) AS mean_b
+         FROM range(200) t(i)"""
   )
 }

@@ -18,6 +18,27 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(r => again(r.media_id) == r.features.toSeq))
   }
 
+  test("real PNG decode recovers exact dimensions and channel means") {
+    val media = Multimodal.syntheticPngMedia(spark, 40)
+    val stats = Multimodal.imageStats(media)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(stats.length == 40, "every synthetic PNG must decode")
+    stats.foreach { case (id, w, h, mr, mg, mb) =>
+      assert(w == 8 + id % 16)
+      assert(h == 8 + (id * 7) % 16)
+      assert(mr == ((id * 13) % 256).toDouble) // solid color: exact mean
+      assert(mg == ((id * 29) % 256).toDouble)
+      assert(mb == ((id * 47) % 256).toDouble)
+    }
+    // extractFeatures routes images through the real codec too
+    val f = Multimodal.extractFeatures(media).collect()
+    assert(f.forall(r => r.width == 8 + r.media_id % 16))
+    // garbage bytes don't crash the image path — they fall to the stub
+    val garbage = Multimodal.syntheticMedia(spark, 6) // payloads aren't PNGs
+    assert(Multimodal.imageStats(garbage).count() == 0)
+    assert(Multimodal.extractFeatures(garbage).count() == 6)
+  }
+
   test("frame sampling explodes one row per frame") {
     val media = Multimodal.syntheticMedia(spark, 5)
     val frames = Multimodal.sampleFrames(media, stride = 16)
