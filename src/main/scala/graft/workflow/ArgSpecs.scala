@@ -247,7 +247,9 @@ object ArgSpecs {
     "oph_explorenc" -> Seq(mand("src_path"), a("measure"),
       int("limit_filter", min = 0), a("exp_dim"), a("imp_dim"),
       a("level"), enum("show_index", yesNo: _*),
-      enum("show_time", yesNo: _*), a("stats_mask")),
+      enum("show_time", yesNo: _*), a("stats_mask"), a("show_stats"),
+      enum("show_fit", yesNo: _*), enum("wavelet", "yes", "no", "only"),
+      int("wavelet_coeff", min = 1), a("dim")),
     "oph_inspectfrag" -> Seq(a("frag_id"), int("limit", min = 1),
       a("level")),
     "oph_metadata" -> Seq(

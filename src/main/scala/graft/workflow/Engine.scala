@@ -740,22 +740,45 @@ final class Engine(
               // embedded deps keep the legacy single-`cube` fallback.
               def depPid(d: Workflow.Dependency): Option[String] = {
                 // the declared dependency surface must not be silently
-                // ignored: unsupported output_argument/filter values
-                // error instead of pretending to work
+                // ignored: unsupported output_argument values error
+                // instead of pretending to work
                 if (d.outputArgument != "cube")
                   throw new Engine.EngineError(s"dependency on '${d.task}': " +
                     s"unsupported output_argument '${d.outputArgument}'")
-                if (d.filter != "all")
-                  throw new Engine.EngineError(s"dependency on '${d.task}': " +
-                    s"unsupported dependency filter '${d.filter}'")
                 // a fan-out producer records its minted pids in
                 // TaskResult.outputs: output_order indexes that list
                 // (0 = first). Single-output producers use the
                 // recorded pid — message text is NEVER parsed (listing
                 // operators also join '/'-bearing strings with '|').
-                val fanOut = results.get(s"${d.task}$iterSuffix")
+                val fanOut0 = results.get(s"${d.task}$iterSuffix")
                   .orElse(results.get(d.task))
                   .map(_.outputs).filter(_.nonEmpty)
+                // dependency `filter` (`oph_workflow_structs.h:90`,
+                // default "all"): a 1-based index filter in the subset
+                // grammar selecting WHICH of a fan-out producer's
+                // outputs flow in; output_order then indexes the
+                // filtered list
+                val fanOut = (d.filter, fanOut0) match {
+                  case ("all", f) => f
+                  case (flt, Some(arr)) =>
+                    val spec =
+                      try graft.core.Subset.parse(flt, Some(arr.size.toLong))
+                      catch {
+                        case e: Exception => throw new Engine.EngineError(
+                          s"dependency on '${d.task}': bad filter '$flt': " +
+                            e.getMessage)
+                      }
+                    val kept = arr.zipWithIndex.collect {
+                      case (p, i) if spec.contains(i + 1L) => p
+                    }
+                    if (kept.isEmpty)
+                      throw new Engine.EngineError(s"dependency on " +
+                        s"'${d.task}': filter '$flt' selects no outputs")
+                    Some(kept)
+                  case (flt, None) =>
+                    throw new Engine.EngineError(s"dependency on " +
+                      s"'${d.task}': filter '$flt' needs a fan-out producer")
+                }
                 fanOut match {
                   case Some(arr) =>
                     arr.lift(d.outputOrder).orElse(
@@ -1565,11 +1588,117 @@ final class Engine(
         TaskResult(JobStatus.Completed, message = "unpublished")
 
       case "oph_explorenc" =>
-        // explore a raw source file: schema + summary stats
+        // explore a raw source file. Modes follow the reference's objkey
+        // vocabulary (`oph_json_objkeys.h:85-91`): describe (default),
+        // show_stats (explorenc_stats), show_fit (explorenc_fit),
+        // wavelet (explorenc_wavelet_coeff)
         val path = resolvePath(args.getOrElse("src_path",
           throw new Engine.EngineError("explorenc: missing src_path")))
-        val raw = spark.read.parquet(path)
-        TaskResult(JobStatus.Completed, df = Some(raw.describe()))
+        val raw =
+          if (path.endsWith(".nc")) {
+            val r = spark.read.format("netcdf3")
+            args.get("measure").fold(r)(m => r.option("measure", m)).load(path)
+          } else spark.read.parquet(path)
+        import org.apache.spark.sql.types.NumericType
+        def numericCols = raw.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[NumericType] => f.name
+        }.toSeq
+        val mcol = args.get("measure").filter(raw.columns.contains)
+          .orElse(numericCols.lastOption)
+          .getOrElse(throw new Engine.EngineError(
+            "explorenc: no numeric measure column"))
+        // the x axis for fit/wavelet: an explicit `dim`, else the first
+        // numeric non-measure column, else a constant (fit degenerates)
+        def xcol = args.get("dim").filter(raw.columns.contains)
+          .orElse(numericCols.filterNot(_ == mcol).headOption)
+        val statsMask = args.getOrElse("show_stats",
+          args.getOrElse("stats_mask", ""))
+        val wavelet = args.getOrElse("wavelet", "no").toLowerCase
+        if (statsMask.contains('1')) {
+          // bit i of the mask enables statistic i (reference mask order:
+          // mean|variance|std|skew|kurtosis|median|min|max|range);
+          // one distributed aggregation, no collect
+          val m = col(mcol).cast("double")
+          val all = Seq[(String, org.apache.spark.sql.Column)](
+            "mean" -> avg(m), "variance" -> var_samp(m),
+            "std" -> stddev_samp(m), "skew" -> skewness(m),
+            "kurtosis" -> kurtosis(m),
+            "median" -> percentile_approx(m, lit(0.5), lit(10000)),
+            "min" -> min(m), "max" -> max(m),
+            "range" -> (max(m) - min(m)))
+          val picked = statsMask.zipWithIndex.collect {
+            case ('1', i) if i < all.size => all(i)
+          }.toSeq
+          val sel = if (picked.nonEmpty) picked else all
+          TaskResult(JobStatus.Completed, df = Some(
+            raw.agg(sel.head._2.as(sel.head._1),
+              sel.tail.map { case (n, c) => c.as(n) }: _*)))
+        } else if (args.get("show_fit").exists(_.equalsIgnoreCase("yes"))) {
+          // least-squares linear fit measure ~ x, computed from one
+          // pass of distributed sums (no window, no collect): slope =
+          // (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+          val x = xcol.map(col(_).cast("double")).getOrElse(
+            throw new Engine.EngineError(
+              "explorenc: show_fit needs a numeric dimension column"))
+          val y = col(mcol).cast("double")
+          val s = raw.agg(
+            count(y).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+            sum(x * y).as("sxy"), sum(x * x).as("sxx")).head()
+          val (n, sx, sy, sxy, sxx) = (s.getLong(0).toDouble,
+            s.getDouble(1), s.getDouble(2), s.getDouble(3), s.getDouble(4))
+          val den = n * sxx - sx * sx
+          if (den == 0) throw new Engine.EngineError(
+            "explorenc: degenerate x axis (zero variance)")
+          val slope = (n * sxy - sx * sy) / den
+          val intercept = (sy - slope * sx) / n
+          import spark.implicits._
+          TaskResult(JobStatus.Completed, df = Some(
+            Seq((mcol, xcol.get, slope, intercept))
+              .toDF("measure", "dim", "slope", "intercept")))
+        } else if (wavelet == "yes" || wavelet == "only") {
+          // Haar DWT over the series (ordered by x, capped like every
+          // render path — wavelets need the whole ordered series, so
+          // this is the human-egress branch, not a scale path)
+          val cap = args.getOrElse("limit_filter", "1024").toInt
+          val ordered = xcol.map(c => raw.orderBy(col(c))).getOrElse(raw)
+          val series = ordered.select(col(mcol).cast("double"))
+            .limit(cap).collect().map(r =>
+              if (r.isNullAt(0)) 0.0 else r.getDouble(0))
+          // pad to a power of two with the last value
+          val n2 = Integer.highestOneBit(math.max(1, series.length)) match {
+            case p if p == series.length => p
+            case p => p * 2
+          }
+          val data = java.util.Arrays.copyOf(series, n2)
+          if (series.nonEmpty)
+            (series.length until n2).foreach(i => data(i) = series.last)
+          // in-place Haar: averages in the front half, details behind
+          val coeffs = Seq.newBuilder[(Int, Int, Double)]
+          var len = n2
+          var level = 0
+          val buf = data.clone()
+          while (len > 1) {
+            val half = len / 2
+            val tmp = new Array[Double](len)
+            var i = 0
+            while (i < half) {
+              tmp(i) = (buf(2 * i) + buf(2 * i + 1)) / 2
+              tmp(half + i) = (buf(2 * i) - buf(2 * i + 1)) / 2
+              i += 1
+            }
+            System.arraycopy(tmp, 0, buf, 0, len)
+            (0 until half).foreach(p => coeffs += ((level, p, buf(half + p))))
+            len = half
+            level += 1
+          }
+          coeffs += ((level, 0, buf(0))) // the final average
+          val k = args.getOrElse("wavelet_coeff", "16").toInt
+          val top = coeffs.result().sortBy { case (_, _, c) => -math.abs(c) }
+            .take(k)
+          import spark.implicits._
+          TaskResult(JobStatus.Completed, df = Some(
+            top.toDF("level", "pos", "coeff")))
+        } else TaskResult(JobStatus.Completed, df = Some(raw.describe()))
 
       case "oph_inspectfrag" =>
         // dump one fragment (= Spark partition): a single-partition

@@ -128,7 +128,7 @@ class EngineRound3Spec extends SparkSpec {
            "filter": "level=2"}]}
       ]}"""))
     assert(res("red").status == JobStatus.Error)
-    assert(res("red").message.contains("unsupported dependency filter"))
+    assert(res("red").message.contains("needs a fan-out producer"))
   }
 
   test("aggregate2 concept_level=week uses the ISO week-year (no 'Y' pattern)") {

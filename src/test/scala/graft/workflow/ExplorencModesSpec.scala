@@ -1,0 +1,112 @@
+package graft.workflow
+
+import graft.SparkSpec
+import graft.core.{Catalog, JobStatus}
+import org.apache.spark.sql.functions._
+
+/**
+ * oph_explorenc advanced modes (`oph_json_objkeys.h:85-91`:
+ * explorenc_stats / explorenc_fit / explorenc_wavelet_coeff) and
+ * dependency `filter` values beyond "all"
+ * (`oph_workflow_structs.h:90`).
+ */
+class ExplorencModesSpec extends SparkSpec {
+
+  private def engine() = new Engine(spark, new Catalog("sess"),
+    sleeper = _ => ())
+
+  test("show_stats computes the masked statistics distributed") {
+    val e = engine()
+    val r = e.runDataOperator("oph_explorenc", Map(
+      "src_path" -> sf("lineitem"), "measure" -> "l_quantity",
+      "show_stats" -> "101000011")) // mean, std, max, range
+    assert(r.status == JobStatus.Completed)
+    val row = r.df.get.head()
+    assert(r.df.get.columns.toSeq == Seq("mean", "std", "max", "range"))
+    val direct = spark.read.parquet(sf("lineitem"))
+      .agg(avg(col("l_quantity")), stddev_samp(col("l_quantity")),
+        max(col("l_quantity")).cast("double"),
+        (max(col("l_quantity")) - min(col("l_quantity"))).cast("double"))
+      .head()
+    assert(math.abs(row.getDouble(0) - direct.getDouble(0)) < 1e-9)
+    assert(math.abs(row.getDouble(1) - direct.getDouble(1)) < 1e-9)
+    assert(row.getDouble(2) == direct.getDouble(2))
+    assert(row.getDouble(3) == direct.getDouble(3))
+  }
+
+  test("show_fit returns the least-squares line of measure over dim") {
+    // y = 3x + 2 exactly: the fit must recover slope/intercept
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fit")
+    val p = dir.resolve("series.parquet").toString
+    (1 to 100).map(i => (i.toDouble, 3.0 * i + 2.0))
+      .toDF("t", "y").write.mode("overwrite").parquet(p)
+    val e = engine()
+    val r = e.runDataOperator("oph_explorenc", Map(
+      "src_path" -> p, "measure" -> "y", "dim" -> "t",
+      "show_fit" -> "yes"))
+    assert(r.status == JobStatus.Completed)
+    val row = r.df.get.head()
+    assert(math.abs(row.getDouble(2) - 3.0) < 1e-9, "slope")
+    assert(math.abs(row.getDouble(3) - 2.0) < 1e-9, "intercept")
+  }
+
+  test("wavelet=only emits the Haar coefficients of the ordered series") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wav")
+    val p = dir.resolve("series.parquet").toString
+    // series [1,2,3,4] ordered by t: Haar coeffs are known exactly
+    Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 4.0))
+      .toDF("t", "y").write.mode("overwrite").parquet(p)
+    val e = engine()
+    val r = e.runDataOperator("oph_explorenc", Map(
+      "src_path" -> p, "measure" -> "y", "dim" -> "t",
+      "wavelet" -> "only", "wavelet_coeff" -> "4"))
+    assert(r.status == JobStatus.Completed)
+    val got = r.df.get.collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getDouble(2))).toSet
+    // level0 details -0.5,-0.5; level1 detail -1.0; final average 2.5
+    assert(got == Set((0, 0, -0.5), (0, 1, -0.5), (1, 0, -1.0), (2, 0, 2.5)))
+  }
+
+  test("dependency filter selects a subset of fan-out outputs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_df").toFile
+    val src = spark.read.parquet(sf("orders")).limit(40)
+    src.limit(10).write.mode("overwrite")
+      .parquet(new java.io.File(dir, "a.parquet").getPath)
+    src.limit(20).write.mode("overwrite")
+      .parquet(new java.io.File(dir, "b.parquet").getPath)
+    src.limit(40).write.mode("overwrite")
+      .parquet(new java.io.File(dir, "c.parquet").getPath)
+    val e = engine()
+    val res = e.run(Workflow.parse(s"""{
+      "name": "wf", "tasks": [
+        {"name": "fan", "operator": "oph_importnc",
+         "arguments": ["src_path=[path=${dir.getPath};file=*.parquet]",
+           "measure=o_totalprice", "exp_dim=o_orderdate", "container=f"]},
+        {"name": "pick", "operator": "oph_cubeelements",
+         "arguments": [],
+         "dependencies": [{"task": "fan", "argument": "cube",
+           "filter": "2:3", "output_order": "1"}]}
+      ]}"""))
+    assert(res("pick").status == JobStatus.Completed)
+    // filter 2:3 keeps (b, c); output_order 1 = c -> 40 elements
+    val n = res("pick").df.get.collect()(0).getLong(0)
+    assert(n == 40L, s"filter+output_order must index the FILTERED list, got $n")
+
+    // a filter selecting nothing errors loudly
+    val res2 = e.run(Workflow.parse(s"""{
+      "name": "wf2", "tasks": [
+        {"name": "fan", "operator": "oph_importnc",
+         "arguments": ["src_path=[path=${dir.getPath};file=*.parquet]",
+           "measure=o_totalprice", "exp_dim=o_orderdate", "container=f2"]},
+        {"name": "pick", "operator": "oph_cubeelements", "on_error": "skip",
+         "arguments": [],
+         "dependencies": [{"task": "fan", "argument": "cube",
+           "filter": "9:12"}]}
+      ]}"""))
+    assert(res2("pick").status == JobStatus.Error)
+    assert(res2("pick").message.contains("selects no outputs") ||
+      res2("pick").message.contains("bad filter"))
+  }
+}
