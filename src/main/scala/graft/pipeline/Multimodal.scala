@@ -24,8 +24,14 @@ object Multimodal {
     * R/G/B channel values. None = payload not a decodable image. */
   def decodeImage(content: Array[Byte])
       : Option[(Int, Int, Double, Double, Double)] =
-    Option(javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(content))).map { img =>
+    (try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(content)))
+    catch {
+      // a corrupt image (valid signature, damaged body) THROWS rather
+      // than returning null — either way it is "not decodable", and a
+      // bad row must not kill the whole Spark job
+      case _: java.io.IOException | _: RuntimeException => None
+    }).map { img =>
       val (w, h) = (img.getWidth, img.getHeight)
       var (sr, sg, sb) = (0L, 0L, 0L)
       var y = 0

@@ -51,7 +51,11 @@ object HttpService {
     * (the /services/cancel route). */
   final case class Job(id: Int,
       future: scala.concurrent.Future[Map[String, JobStatus.Value]],
-      cancel: () => Unit = () => ())
+      cancel: () => Unit = () => (),
+      /** Cancellation authorization: the submitter, or anyone holding
+        * the Execute role on the job's session — a global sequential
+        * jobid must not let any authenticated user kill others' runs. */
+      canCancel: String => Boolean = _ => true)
 
   /** HTTP worker pool size — the reference provisions a thread farm
     * (`SERVER_FARM_SIZE`, `etc/server.conf.in:27`, default 128) so
@@ -173,7 +177,9 @@ final class HttpService(
   private def reapSessions(): Unit = {
     val now = nowMillis()
     sessionEngines.foreach { case (code, eng) =>
-      if (eng ne engine) {
+      if ((eng ne engine) && eng.runningCount == 0) {
+        // runningCount guard: an engine mid-workflow is BUSY, not idle —
+        // reaping it would clear cubes under the run's feet
         if (!eng.sessions.exists(code)) {
           releaseEngine(code, eng)
           engine.sessions.log(s"session $code engine released (removed)")
@@ -239,11 +245,14 @@ final class HttpService(
     // known operator (`src/oph_parser.h:206`) over the jobid the
     // execute route minted; drives the engine's cancelJobGroup path
     server.createContext("/services/cancel", exchange =>
-      guard(exchange) { _ =>
+      guard(exchange) { user =>
         query(exchange).get("jobid").flatMap(_.toIntOption)
           .flatMap(jobs.get) match {
           case None => reply(exchange, 404,
             s"""{"error":$ErrWrongParameter,"message":"unknown jobid"}""")
+          case Some(job) if !job.canCancel(user) =>
+            reply(exchange, 403, s"""{"error":$ErrAuth,"message":""" +
+              s""""user '$user' cannot cancel job ${job.id}"}""")
           case Some(job) =>
             job.cancel()
             reply(exchange, 200,
@@ -355,8 +364,11 @@ final class HttpService(
     // reserve the run's workflow id up front so /services/cancel can
     // target exactly this request's Spark job group
     val wfId = eng.reserveWorkflowId()
+    val submitter = user
     def track(f: scala.concurrent.Future[Map[String, JobStatus.Value]]): Unit = {
-      jobs(jobid) = Job(jobid, f, () => eng.cancelWorkflow(wfId))
+      jobs(jobid) = Job(jobid, f, () => eng.cancelWorkflow(wfId),
+        u => u == submitter ||
+          eng.sessions.hasRole(code, u, SessionService.RoleExecute))
       // completion push (`callback_url`, `oph_workflow_engine.c:6768`):
       // fires for sync and async alike once the run settles
       spec.callbackUrl.foreach { cb =>
@@ -386,11 +398,16 @@ final class HttpService(
         .map(_.map { case (k, r) => k -> r.status }))
       reply(ex, 200, s"""{"jobid":$jobid,"error":$Ok,"response":null}""")
     } else {
-      val results = eng.runRequest(spec, Some(body), presetId = Some(wfId))
-      // register the sync job too: its minted jobid must answer
-      // /services/status like an async one
-      track(scala.concurrent.Future.successful(
-        results.map { case (k, r) => k -> r.status }))
+      // register BEFORE running: a long sync workflow must be visible
+      // to /services/status and killable via /services/cancel while it
+      // executes, not only after it returns
+      val p = scala.concurrent
+        .Promise[Map[String, JobStatus.Value]]()
+      track(p.future)
+      val results =
+        try eng.runRequest(spec, Some(body), presetId = Some(wfId))
+        catch { case e: Throwable => p.tryFailure(e); throw e }
+      p.trySuccess(results.map { case (k, r) => k -> r.status })
       val rendered = eng.renderResponse(spec.name, results, spec.outputFormat)
       val failed = results.values.exists(_.status == JobStatus.Error)
       reply(ex, 200,
@@ -422,9 +439,16 @@ final class HttpService(
     val code = q.getOrElse("session", engine.catalog.sessionCode)
     val id = q.get("id").flatMap(_.toIntOption).getOrElse(0)
     val docType = q.getOrElse("document_type", "response")
-    val target = engineFor(code, user, createIfAbsent = false).getOrElse(
-      return reply(ex, 404,
-        s"""{"error":$ErrWrongParameter,"message":"no session '$code'"}"""))
+    val target =
+      try engineFor(code, user, createIfAbsent = false).getOrElse(
+        return reply(ex, 404,
+          s"""{"error":$ErrWrongParameter,"message":"no session '$code'"}"""))
+      catch {
+        // the restore path mints an engine and can hit the same limits
+        // as execute — surface them with their intended status, not 500
+        case RoutingError(status, msg) => return reply(ex, status,
+          s"""{"error":$ErrAuth,"message":${quote(msg)}}""")
+      }
     try {
       val doc = target.sessions.resume(code, user, id, docType)
       reply(ex, 200, s"""{"error":$Ok,"document":${quote(doc)}}""")

@@ -59,6 +59,11 @@ object ArgSpecs {
     * `mandatory` is satisfied when the task HAS dependencies. */
   private val injectable = Set("cube", "cube2", "cubes", "src_path")
 
+  /** A mandatory argument satisfied by a legacy alias the engine also
+    * accepts (`src_path` may arrive as `input`, the reference's
+    * OPH_IMPORTNC alternative). */
+  private val aliases = Map("src_path" -> "input")
+
   private val subsetArgs = Seq(
     multi("subset_dims"), multi("subset_filter"),
     enum("subset_type", "index", "coord"),
@@ -210,7 +215,8 @@ object ArgSpecs {
       enum("operation", "count", "sum", "avg", "max", "min", "var", "std"),
       multi("group_by"), a("dim"), a("concept_level"), a("hierarchy"),
       a("missingvalue")),
-    "oph_apply" -> Seq(mand("query"), a("dim_query"), a("measure"),
+    // query has an engine-side default ("measure", the identity apply)
+    "oph_apply" -> Seq(a("query"), a("dim_query"), a("measure"),
       a("measure_type"), a("dim_type"), enum("check_type", yesNo: _*),
       enum("on_reduce", "update", "skip"), enum("compressed", yesNo: _*)),
     "oph_intercube" -> Seq(
@@ -266,7 +272,8 @@ object ArgSpecs {
     "oph_primitives_list" -> Seq(a("primitive_filter"), a("level"),
       a("limit_filter"), a("dbms_filter"), a("return_type"),
       a("primitive_type")),
-    "oph_script" -> Seq(mand("script"), a("args"), a("stdout"),
+    // script defaults to the no-op "true" like the reference operator
+    "oph_script" -> Seq(a("script"), a("args"), a("stdout"),
       a("stderr"), a("space"), enum("list", yesNo: _*)),
     "oph_instances" -> Seq(a("host_partition"), a("ioserver_filter"),
       int("level", min = 1, max = 3), a("host_status")),
@@ -334,7 +341,8 @@ object ArgSpecs {
         args.get(s.name) match {
           case Some(v) => if (checkValues) checkValue(op, s, v)
           case None =>
-            if (s.mandatory && !(hasDeps && injectable.contains(s.name)))
+            if (s.mandatory && !(hasDeps && injectable.contains(s.name)) &&
+                !aliases.get(s.name).exists(args.contains))
               throw new ArgError(
                 s"$op: missing mandatory argument '${s.name}'")
         }

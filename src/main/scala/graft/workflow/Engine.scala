@@ -167,6 +167,11 @@ final class Engine(
   /** Release the whole store (session close / engine eviction). */
   def clearCubes(): Unit = cubes.keySet.foreach(dropCube)
 
+  /** Workflows currently executing on this engine — the session reaper
+    * must not evict an engine mid-run. */
+  private val activeRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  def runningCount: Int = activeRuns.get
+
   /** Number of live (non-evicted) cubes — soak tests assert the bound. */
   def cubeCount: Int = cubes.size
 
@@ -868,8 +873,10 @@ final class Engine(
     // a stale job group on the driver thread or an unsaved run —
     // otherwise a later oph_cancel of this id hits unrelated jobs and
     // oph_resume can't see the failure
+    activeRuns.incrementAndGet()
     try runBlock(0, spec.tasks.size, "", initialVars)
     finally {
+      activeRuns.decrementAndGet()
       spark.sparkContext.clearJobGroup()
       // exit actions: drop intermediate cubes flagged on_exit=oph_delete
       // (containers for oph_deletecontainer) exactly once, tolerating
@@ -1154,14 +1161,16 @@ final class Engine(
     }
 
     // `cdd` (current data directory, `oph_workflow_parsing.c:91-95`):
-    // relative file paths resolve against it; absolute paths and URIs
-    // pass through
-    def resolvePath(p: String): String =
-      if (p.startsWith("/") || p.contains("://") || p.startsWith("[")) p
-      else {
-        val base = args.getOrElse("cdd", "/")
+    // relative file paths resolve against it when one was supplied;
+    // absolute paths, URIs and cdd-less requests pass through untouched
+    // (a bare relative path keeps resolving against the process cwd as
+    // before)
+    def resolvePath(p: String): String = args.get("cdd") match {
+      case Some(base)
+        if !p.startsWith("/") && !p.contains("://") && !p.startsWith("[") =>
         (if (base.endsWith("/")) base else base + "/") + p
-      }
+      case _ => p
+    }
 
     op match {
       case "oph_createcontainer" =>
@@ -1478,7 +1487,11 @@ final class Engine(
           val starts = counts.scanLeft(0L)(_ + _)
           val nVars = names.size
           // pass 2: each partition buffers its column slabs and issues
-          // one positioned write per variable — writers never overlap
+          // one positioned write per variable — writers never overlap.
+          // The sizing pass re-evaluates the plan, so a nondeterministic
+          // plan could shift rows between partitions: verify each
+          // partition still matches its pass-1 count and fail LOUDLY
+          // rather than write overlapping/corrupt slabs
           dfEnc.rdd.mapPartitionsWithIndex { case (pi, it) =>
             val bufs = Array.fill(nVars)(
               new scala.collection.mutable.ArrayBuilder.ofDouble)
@@ -1490,10 +1503,16 @@ final class Engine(
                 j += 1
               }
             }
+            val slabs = bufs.map(_.result())
+            if (slabs.headOption.exists(_.length != counts(pi)))
+              throw new IllegalStateException(
+                s"exportnc: partition $pi produced ${slabs.head.length} rows " +
+                  s"but the sizing pass saw ${counts(pi)} — nondeterministic " +
+                  "plan; persist the cube before exporting")
             var j = 0
             while (j < nVars) {
               graft.sources.NetCDF3.writeSlab(out, begins(j), starts(pi),
-                bufs(j).result())
+                slabs(j))
               j += 1
             }
             Iterator.single(pi)
@@ -1644,6 +1663,8 @@ final class Engine(
           val s = raw.agg(
             count(y).as("n"), sum(x).as("sx"), sum(y).as("sy"),
             sum(x * y).as("sxy"), sum(x * x).as("sxx")).head()
+          if (s.getLong(0) == 0) throw new Engine.EngineError(
+            "explorenc: show_fit over an empty input")
           val (n, sx, sy, sxy, sxx) = (s.getLong(0).toDouble,
             s.getDouble(1), s.getDouble(2), s.getDouble(3), s.getDouble(4))
           val den = n * sxx - sx * sx

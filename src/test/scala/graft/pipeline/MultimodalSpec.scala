@@ -37,6 +37,14 @@ class MultimodalSpec extends SparkSpec {
     val garbage = Multimodal.syntheticMedia(spark, 6) // payloads aren't PNGs
     assert(Multimodal.imageStats(garbage).count() == 0)
     assert(Multimodal.extractFeatures(garbage).count() == 6)
+    // a CORRUPT png (valid signature, damaged body) makes ImageIO.read
+    // THROW rather than return null — must degrade, not kill the job
+    val corrupt = Multimodal.syntheticPng(3).take(40)
+    val corruptDs = spark.createDataset(Seq(
+      Multimodal.MediaRow(99, "image", "synthetic://corrupt", corrupt)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    assert(Multimodal.imageStats(corruptDs).count() == 0)
+    assert(Multimodal.extractFeatures(corruptDs).count() == 1)
   }
 
   test("frame sampling explodes one row per frame") {

@@ -331,6 +331,10 @@ class HttpServiceSpec extends SparkSpec {
       assert(code == 200)
       val jobid = mapper.readTree(body).get("jobid").asInt
       Thread.sleep(1000) // let the export job start
+      // an authenticated user WITHOUT a role on the session cannot
+      // kill someone else's job (jobids are guessable integers)
+      assert(http(s"$base/services/cancel?jobid=$jobid",
+        authHeader = Some(basic("intruder", "pw")))._1 == 403)
       val (cc, cb) = http(s"$base/services/cancel?jobid=$jobid",
         authHeader = cred)
       assert(cc == 200)

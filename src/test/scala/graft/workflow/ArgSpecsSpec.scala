@@ -27,14 +27,19 @@ class ArgSpecsSpec extends AnyFunSuite {
   test("missing mandatory argument rejected") {
     assert(err("oph_importnc", "measure" -> "t")
       .contains("missing mandatory argument 'src_path'"))
-    assert(err("oph_apply").contains("missing mandatory argument 'query'"))
+    assert(err("oph_exportnc")
+      .contains("missing mandatory argument 'output_path'"))
+  }
+
+  test("the legacy input= alias satisfies src_path") {
+    ok("oph_importnc", "input" -> "/x.nc", "measure" -> "t")
   }
 
   test("dependency edge satisfies an injectable mandatory arg") {
     ArgSpecs.validate("oph_importnc", Map("measure" -> "t"), hasDeps = true)
     // but a non-injectable mandatory still fails even with deps
     intercept[ArgSpecs.ArgError](
-      ArgSpecs.validate("oph_apply", Map.empty, hasDeps = true))
+      ArgSpecs.validate("oph_exportnc", Map.empty, hasDeps = true))
   }
 
   test("enum value domain enforced") {
