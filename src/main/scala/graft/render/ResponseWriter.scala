@@ -39,6 +39,11 @@ object ResponseWriter {
 
   private def q(s: String): String = "\"" + esc(s) + "\""
 
+  /** Shared JSON string quoting — the single escaper for every JSON
+    * emitter in the project (response render, HTTP replies, persisted
+    * session state): one place to fix escaping, three users. */
+  def jsonQuote(s: String): String = "\"" + esc(Option(s).getOrElse("")) + "\""
+
   private def arr(xs: Seq[String]): String = xs.mkString("[", ",", "]")
 
   private def obj(fields: (String, String)*): String =

@@ -47,13 +47,21 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
     })
   }
 
-  private def persist(): Unit = stateFile.foreach { p =>
-    val sb = new StringBuilder
-    users.toSeq.sortBy(_._1).foreach { case (n, h) =>
-      sb.append("U\t").append(n).append('\t').append(h).append('\n') }
-    tokens.toSeq.sortBy(_._1).foreach { case (t, u) =>
-      sb.append("T\t").append(t).append('\t').append(u).append('\n') }
-    StateStore.save(p, sb.result())
+  /** Serializes mutate+persist pairs: two concurrent logins must not
+    * each snapshot-and-rewrite the file missing the other's token
+    * (last atomic move would win and silently drop a live token). */
+  private val persistLock = new Object
+
+  private def mutate(change: => Unit): Unit = persistLock.synchronized {
+    change
+    stateFile.foreach { p =>
+      val sb = new StringBuilder
+      users.toSeq.sortBy(_._1).foreach { case (n, h) =>
+        sb.append("U\t").append(n).append('\t').append(h).append('\n') }
+      tokens.toSeq.sortBy(_._1).foreach { case (t, u) =>
+        sb.append("T\t").append(t).append('\t').append(u).append('\n') }
+      StateStore.save(p, sb.result())
+    }
   }
 
   /** True while `host` is inside an un-expired block window with too
@@ -79,15 +87,12 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
       d.digest(s"graft:$user:$password".getBytes(StandardCharsets.UTF_8)))
   }
 
-  def addUser(name: String, password: String): Unit = {
-    users(name) = hash(name, password)
-    persist()
-  }
+  def addUser(name: String, password: String): Unit =
+    mutate { users(name) = hash(name, password) }
 
-  def removeUser(name: String): Unit = {
+  def removeUser(name: String): Unit = mutate {
     users.remove(name)
     tokens.filterInPlace { case (_, u) => u != name }
-    persist()
   }
 
   /** Check user/password; mints and returns a bearer token on success.
@@ -98,8 +103,7 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
     if (users.get(name).contains(hash(name, password))) {
       failures.remove(host)
       val token = java.util.UUID.randomUUID().toString.replace("-", "")
-      tokens(token) = name
-      persist()
+      mutate { tokens(token) = name }
       Some(token)
     } else {
       recordFailure(host)
@@ -114,8 +118,7 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
     * first — tokens never mint tokens). */
   def loginAuthenticated(user: String): String = {
     val token = java.util.UUID.randomUUID().toString.replace("-", "")
-    tokens(token) = user
-    persist()
+    mutate { tokens(token) = user }
     token
   }
 
@@ -137,10 +140,8 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
         }
       }
 
-  def revokeToken(token: String): Unit = {
-    tokens.remove(token)
-    persist()
-  }
+  def revokeToken(token: String): Unit =
+    mutate { tokens.remove(token) }
 
   /**
    * Resolve an HTTP Authorization header to a user name:

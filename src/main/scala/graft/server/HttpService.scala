@@ -123,11 +123,17 @@ final class HttpService(
       val req = java.net.http.HttpRequest
         .newBuilder(java.net.URI.create(full))
         .timeout(java.time.Duration.ofSeconds(10)).GET().build()
-      callbackClient.send(req,
-        java.net.http.HttpResponse.BodyHandlers.discarding())
-      engine.sessions.log(s"sent notification to $full")
+      // sendAsync: a dead listener hanging until its timeout must not
+      // pin a global-EC thread (the same pool that runs async
+      // workflows) for the duration
+      callbackClient.sendAsync(req,
+          java.net.http.HttpResponse.BodyHandlers.discarding())
+        .whenComplete((_, err) =>
+          if (err == null) engine.sessions.log(s"sent notification to $full")
+          else engine.sessions.log(
+            s"unable to send notification to $full: ${err.getMessage}"))
     } catch {
-      case e: Exception =>
+      case e: Exception => // malformed URI etc.
         engine.sessions.log(s"unable to send notification to $full: ${e.getMessage}")
     }
   }
@@ -471,15 +477,7 @@ final class HttpService(
       }).toMap).getOrElse(Map.empty)
 
   private def quote(s: String): String =
-    "\"" + Option(s).getOrElse("").flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    graft.render.ResponseWriter.jsonQuote(s)
 
   private def reply(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)

@@ -91,15 +91,11 @@ final class SessionService(
   }
 
   private def persist(): Unit = stateFile.foreach { p =>
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // an empty table DELETES the file: a lingering empty state file
+    // would still read as "restorable" to the HTTP layer, letting a
+    // later requester re-mint (and own) a removed session's code
+    if (sessions.isEmpty) { StateStore.delete(p); return }
+    def q(s: String): String = graft.render.ResponseWriter.jsonQuote(s)
     val body = sessions.values.map { s =>
       val roles = s.roles.map { case (u, m) => s"${q(u)}:$m" }.mkString(",")
       val wfs = s.workflows.map(w =>

@@ -28,4 +28,6 @@ object StateStore {
     if (Files.isRegularFile(path))
       Some(Files.readString(path, StandardCharsets.UTF_8))
     else None
+
+  def delete(path: Path): Unit = Files.deleteIfExists(path)
 }

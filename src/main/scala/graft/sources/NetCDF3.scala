@@ -208,7 +208,9 @@ object NetCDF3 {
         while (done < count) {
           val rec = cell / perRec
           val within = cell % perRec
-          val n = math.min(count - done, (perRec - within).toInt)
+          // min as Long FIRST: (perRec - within) can exceed Int range
+          // for records wider than 2^31 cells; the min always fits
+          val n = math.min((count - done).toLong, perRec - within).toInt
           f.seek(v.begin + rec * header.recSize + within * ts)
           val bytes = new Array[Byte](n * ts)
           f.readFully(bytes)
@@ -313,16 +315,26 @@ object NetCDF3 {
   }
 
   /** Fill rows [rowStart, rowStart+values.length) of a fixed variable
-    * whose begin offset is `begin` — one positioned contiguous write,
-    * safe to run concurrently with writers of disjoint ranges. */
+    * whose begin offset is `begin` — positioned contiguous writes,
+    * safe to run concurrently with writers of disjoint ranges. Chunked
+    * (16 MiB) so a large partition neither overflows Int byte
+    * arithmetic (2^28 rows × 8 B) nor double-buffers itself on the
+    * heap. */
   def writeSlab(path: String, begin: Long, rowStart: Long,
       values: Array[Double]): Unit = {
-    val bb = java.nio.ByteBuffer.allocate(values.length * 8)
-    values.foreach(bb.putDouble)
+    val chunkRows = 2 * 1024 * 1024 // 16 MiB of doubles per write
     val raf = new RandomAccessFile(path, "rw")
     try {
       raf.seek(begin + rowStart * 8)
-      raf.write(bb.array())
+      var off = 0
+      while (off < values.length) {
+        val n = math.min(chunkRows, values.length - off)
+        val bb = java.nio.ByteBuffer.allocate(n * 8)
+        var i = 0
+        while (i < n) { bb.putDouble(values(off + i)); i += 1 }
+        raf.write(bb.array())
+        off += n
+      }
     } finally raf.close()
   }
 

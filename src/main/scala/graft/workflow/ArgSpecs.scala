@@ -109,7 +109,8 @@ object ArgSpecs {
 
     // ------------------------------------------------------ management
     // `etc/xml/OPH_CANCEL_operator_1.0.xml`
-    "oph_cancel" -> Seq(int("id", min = 1).copy(mandatory = true),
+    // id defaults to the CURRENT workflow (engine-side self-cancel)
+    "oph_cancel" -> Seq(int("id", min = 1),
       enum("type", "kill", "abort", "stop")),
     // `etc/xml/OPH_MANAGE_SESSION_operator_1.0.xml` (grantee/role carry
     // the grant/revoke payload in this engine's surface)

@@ -31,7 +31,12 @@ object Engine {
       /** Fan-out producers (massive cube/file expansion) list EVERY
         * minted pid here — dependency `output_order` indexes this,
         * never the human-facing message. */
-      outputs: Seq[String] = Seq.empty)
+      outputs: Seq[String] = Seq.empty,
+      /** True when the ORIGINAL run produced a DataFrame that was later
+        * stripped for storage (checkpoint store drops plans to avoid
+        * pinning them): such a task must RE-RUN on checkpoint resume or
+        * its grid would render as plain text. */
+      hadDf: Boolean = false)
 
   final class EngineError(msg: String) extends Exception(msg)
 
@@ -256,8 +261,11 @@ final class Engine(
     val e = catalog.addCube(cont.id, c.desc.measure, c.desc.level,
       c.desc.metadata, parents, sourceTask)
     val pid = e.pid(catalog)
-    cubes(pid) = c
+    // stamp BEFORE inserting: a concurrent evictExcess must never see
+    // the new pid without an access tick (tickless reads as coldest and
+    // the just-registered cube would be the eviction victim)
     touchCube(pid)
+    cubes(pid) = c
     evictExcess()
     pid
   }
@@ -352,6 +360,10 @@ final class Engine(
       }
     val completed = prior.collect {
       case (name, r) if r.status == JobStatus.Completed &&
+        // a stored result whose DataFrame was stripped cannot serve its
+        // grid on replay — render/peek tasks re-run (cheap: the plan is
+        // lazy, the data work already happened upstream)
+        !(r.hadDf && r.df.isEmpty) &&
         r.cubePid.forall(cubes.contains) &&
         (name == baseName(name) || flowUnchanged) &&
         newTasks.get(baseName(name)).exists(t =>
@@ -909,7 +921,8 @@ final class Engine(
       // retaining it would pin one DataFrame plan per workflow name for
       // the engine's lifetime; the map itself is bounded the same way
       lastRuns(spec0.name) =
-        (spec0, results.toMap.map { case (k, r) => k -> r.copy(df = None) })
+        (spec0, results.toMap.map { case (k, r) =>
+          k -> r.copy(df = None, hadDf = r.df.nonEmpty) })
       if (lastRuns.size > Engine.MaxLastRuns)
         lastRuns.keys.filter(_ != spec0.name)
           .take(lastRuns.size - Engine.MaxLastRuns).foreach(lastRuns.remove)
@@ -1622,13 +1635,22 @@ final class Engine(
         def numericCols = raw.schema.fields.collect {
           case f if f.dataType.isInstanceOf[NumericType] => f.name
         }.toSeq
-        val mcol = args.get("measure").filter(raw.columns.contains)
+        // an explicitly-named column that doesn't exist is a loud error
+        // (the silent-wrong-answer class the ArgSpecs layer exists to
+        // prevent); only an ABSENT arg falls back to a numeric column
+        def named(arg: String): Option[String] = args.get(arg).map { c =>
+          if (!raw.columns.contains(c)) throw new Engine.EngineError(
+            s"explorenc: no column '$c' in $path " +
+              s"(have: ${raw.columns.mkString(",")})")
+          c
+        }
+        val mcol = named("measure")
           .orElse(numericCols.lastOption)
           .getOrElse(throw new Engine.EngineError(
             "explorenc: no numeric measure column"))
         // the x axis for fit/wavelet: an explicit `dim`, else the first
-        // numeric non-measure column, else a constant (fit degenerates)
-        def xcol = args.get("dim").filter(raw.columns.contains)
+        // numeric non-measure column
+        def xcol = named("dim")
           .orElse(numericCols.filterNot(_ == mcol).headOption)
         val statsMask = args.getOrElse("show_stats",
           args.getOrElse("stats_mask", ""))
