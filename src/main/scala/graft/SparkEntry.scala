@@ -599,6 +599,39 @@ object SparkEntry {
           .cast("long").as("n_sessions"))
     }),
 
+    "events_stream_sessions" -> ((s, dir) => {
+      // the STATEFUL streaming path inside the correctness gate:
+      // mapGroupsWithState sessionization over the file-source stream,
+      // update-mode memory sink drained with AvailableNow. The session
+      // counter is monotone per user, so max(updates) = the final
+      // count and the BATCH gap-count oracle verifies the custom state
+      // machine end to end.
+      import org.apache.spark.sql.types._
+      val drops = java.nio.file.Files.createTempDirectory("graft_stream_s")
+      drops.toFile.deleteOnExit()
+      java.nio.file.Files.createSymbolicLink(
+        drops.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet")
+          .toAbsolutePath.normalize)
+      val raw = s.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType))))
+        .parquet(drops.toString)
+      val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val sess = graft.streaming.EventStream.sessionize(s, ev)
+      val q = sess.writeStream.format("memory")
+        .queryName("events_stream_sessions").outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("events_stream_sessions")
+        .groupBy(col("userId").cast("long").as("user_id"))
+        .agg(max(col("sessions")).cast("long").as("n_sessions"))
+    }),
+
     // ------------------------------------------- workflow engine e2e
     "workflow_agg" -> ((s, dir) => {
       // import -> subset -> aggregate driven by the workflow engine:
@@ -1350,6 +1383,17 @@ object SparkEntry {
          FROM events GROUP BY 1, 2""",
 
     "events_sessions" ->
+      """SELECT user_id,
+                CAST(1 + sum(CASE WHEN gap > 1800000 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_sessions
+         FROM (SELECT user_id,
+                      epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) AS gap
+               FROM events)
+         GROUP BY 1""",
+
+    // the streaming state machine must converge to the batch gap-count
+    "events_stream_sessions" ->
       """SELECT user_id,
                 CAST(1 + sum(CASE WHEN gap > 1800000 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_sessions

@@ -504,6 +504,18 @@ final class Engine(
                   args.get("values").map(_.split('|').toSeq)
                     .orElse(args.get("counter").map(c =>
                       Subset.parse(c).indices.map(_.toString)))
+                    // src_path/input: one iteration per matching FILE
+                    // (`oph_workflow_engine.c:964-1000`, HISTORY #63) —
+                    // the loop variable binds each file path in turn
+                    .orElse(args.get("src_path").orElse(args.get("input"))
+                      .map { p =>
+                        val massive =
+                          if (p.contains("[")) p else s"[path=$p]"
+                        val files = MassiveFilter.expandFiles(massive)
+                        if (files.isEmpty) throw new Engine.EngineError(
+                          s"oph_for: no files match '$p'")
+                        files
+                      })
                     .getOrElse(Seq("1"))
                 Right((args, key, values))
               } catch {

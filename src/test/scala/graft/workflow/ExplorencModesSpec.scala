@@ -69,6 +69,32 @@ class ExplorencModesSpec extends SparkSpec {
     assert(got == Set((0, 0, -0.5), (0, 1, -0.5), (1, 0, -1.0), (2, 0, 2.5)))
   }
 
+  test("oph_for src_path expands a folder to one iteration per file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_forfile").toFile
+    val src = spark.read.parquet(sf("orders")).limit(30)
+    Seq("a", "b", "c").zipWithIndex.foreach { case (n, i) =>
+      src.limit(10 * (i + 1)).write.mode("overwrite")
+        .parquet(new java.io.File(dir, s"$n.parquet").getPath)
+    }
+    val e = engine()
+    val res = e.run(Workflow.parse(s"""{
+      "name": "wf", "tasks": [
+        {"name": "loop", "operator": "oph_for",
+         "arguments": ["key=file", "src_path=${dir.getPath}"]},
+        {"name": "imp", "operator": "oph_importnc",
+         "arguments": ["src_path=@{file}", "measure=o_totalprice",
+           "exp_dim=o_orderdate", "container=ff"]},
+        {"name": "done", "operator": "oph_endfor"}
+      ]}"""))
+    // three files -> three loop instances, each importing ITS file
+    val instances = res.keys.filter(_.startsWith("imp_")).toSeq.sorted
+    assert(instances == Seq("imp_1", "imp_2", "imp_3"))
+    assert(instances.forall(k => res(k).status == JobStatus.Completed))
+    val counts = instances.map(k =>
+      e.cube(res(k).cubePid.get).get.df.count()).sorted
+    assert(counts == Seq(10L, 20L, 30L))
+  }
+
   test("dependency filter selects a subset of fan-out outputs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_df").toFile
     val src = spark.read.parquet(sf("orders")).limit(40)
