@@ -181,6 +181,10 @@ object ArgSpecs {
     "oph_find" -> Seq(a("path"), a("container_filter"),
       a("metadata_key_filter"), a("metadata_value_filter"),
       a("measure_filter"), enum("recursive", yesNo: _*)),
+    // public OPH_B2DROP semantics (WebDAV drop with netrc credentials);
+    // `server` names the share (http(s) URL or local drop directory)
+    "oph_b2drop" -> Seq(enum("action", "put", "get", "delete"),
+      a("src_path"), a("dest_path"), a("auth_path"), mand("server")),
     "oph_publish" -> Seq(a("output_path"), a("content"),
       enum("show_index", yesNo: _*), enum("show_id", yesNo: _*),
       enum("show_time", yesNo: _*)),

@@ -54,7 +54,7 @@ object Engine {
     "oph_concatnc", "oph_concatnc2", "oph_randcube", "oph_randcube2",
     "oph_createcontainer", "oph_deletecontainer", "oph_restorecontainer",
     "oph_delete", "oph_folder", "oph_fs", "oph_list", "oph_search",
-    "oph_find", "oph_publish", "oph_unpublish",
+    "oph_find", "oph_publish", "oph_unpublish", "oph_b2drop",
     "oph_subset", "oph_subset2", "oph_reduce", "oph_reduce2",
     "oph_aggregate", "oph_aggregate2", "oph_apply", "oph_intercube",
     "oph_intercube2", "oph_mergecubes", "oph_mergecubes2", "oph_duplicate",
@@ -1630,6 +1630,92 @@ final class Engine(
         val (pid, _) = needCube()
         catalog.dropMetadata(idOf(pid), "published")
         TaskResult(JobStatus.Completed, message = "unpublished")
+
+      case "oph_b2drop" =>
+        // remote-drop sink (the reference's B2DROP/EUDAT upload, a
+        // WebDAV share addressed with ~/.netrc credentials — SURVEY
+        // §2.C row; the operator body lives outside ophidia-server, so
+        // this follows the public WebDAV semantics): put/get/delete a
+        // file against `server`. An http(s) server takes real WebDAV
+        // verbs (PUT/GET/DELETE + Basic auth from the netrc file); a
+        // plain path acts as the generic local drop directory.
+        val action = args.getOrElse("action", "put")
+        if (!Set("put", "get", "delete").contains(action))
+          throw new Engine.EngineError(s"b2drop: unknown action '$action'")
+        val srcPath = args.get("src_path").map(resolvePath)
+        val dest = args.getOrElse("dest_path",
+          srcPath.map(p => new java.io.File(p).getName).getOrElse(
+            throw new Engine.EngineError("b2drop: missing dest_path")))
+        val server = args.getOrElse("server",
+          throw new Engine.EngineError("b2drop: missing 'server'"))
+        if (server.contains("://")) {
+          // netrc: `machine <host> login <user> password <pw>` lines
+          val host = java.net.URI.create(server).getHost
+          val auth = args.get("auth_path").flatMap { ap =>
+            val toks = scala.io.Source.fromFile(resolvePath(ap)).mkString
+              .split("\\s+").toSeq
+            def field(name: String, from: Int): Option[String] = {
+              val i = toks.indexOf(name, from)
+              if (i >= 0 && i + 1 < toks.size) Some(toks(i + 1)) else None
+            }
+            val m = toks.indexOf("machine")
+            val scoped = toks.zipWithIndex.collect {
+              case ("machine", i) if toks.lift(i + 1).contains(host) => i
+            }.headOption.orElse(if (m >= 0) Some(m) else None)
+            scoped.flatMap(i => for {
+              u <- field("login", i); p <- field("password", i)
+            } yield (u, p))
+          }
+          val url = s"${server.stripSuffix("/")}/$dest"
+          val b = java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(url))
+            .timeout(java.time.Duration.ofSeconds(30))
+          auth.foreach { case (u, p) =>
+            b.header("Authorization", "Basic " +
+              java.util.Base64.getEncoder.encodeToString(
+                s"$u:$p".getBytes("UTF-8")))
+          }
+          val client = java.net.http.HttpClient.newHttpClient()
+          val resp = action match {
+            case "put" =>
+              val f = java.nio.file.Paths.get(srcPath.getOrElse(
+                throw new Engine.EngineError("b2drop put: missing src_path")))
+              client.send(b.PUT(java.net.http.HttpRequest.BodyPublishers
+                .ofFile(f)).build(),
+                java.net.http.HttpResponse.BodyHandlers.discarding())
+            case "get" =>
+              val target = java.nio.file.Paths.get(srcPath.getOrElse(
+                throw new Engine.EngineError("b2drop get: missing src_path")))
+              client.send(b.GET().build(),
+                java.net.http.HttpResponse.BodyHandlers.ofFile(target))
+            case "delete" =>
+              client.send(b.DELETE().build(),
+                java.net.http.HttpResponse.BodyHandlers.discarding())
+          }
+          if (resp.statusCode() >= 300)
+            throw new Engine.EngineError(
+              s"b2drop $action $url: HTTP ${resp.statusCode()}")
+          TaskResult(JobStatus.Completed,
+            message = s"$action $dest on $server: HTTP ${resp.statusCode()}")
+        } else {
+          // generic local drop directory
+          val dir = java.nio.file.Paths.get(server)
+          java.nio.file.Files.createDirectories(dir)
+          val target = dir.resolve(dest)
+          action match {
+            case "put" => java.nio.file.Files.copy(
+              java.nio.file.Paths.get(srcPath.getOrElse(throw
+                new Engine.EngineError("b2drop put: missing src_path"))),
+              target,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            case "get" => java.nio.file.Files.copy(target,
+              java.nio.file.Paths.get(srcPath.getOrElse(throw
+                new Engine.EngineError("b2drop get: missing src_path"))),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            case "delete" => java.nio.file.Files.deleteIfExists(target)
+          }
+          TaskResult(JobStatus.Completed, message = s"$action $target")
+        }
 
       case "oph_explorenc" =>
         // explore a raw source file. Modes follow the reference's objkey

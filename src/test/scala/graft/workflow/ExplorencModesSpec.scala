@@ -95,6 +95,86 @@ class ExplorencModesSpec extends SparkSpec {
     assert(counts == Seq(10L, 20L, 30L))
   }
 
+  test("oph_b2drop speaks WebDAV verbs with netrc credentials") {
+    // a local stand-in WebDAV share: PUT stores, GET serves, DELETE
+    // removes — Basic auth required, credentials read from a netrc file
+    val store = scala.collection.concurrent.TrieMap[String, Array[Byte]]()
+    val expected = "Basic " + java.util.Base64.getEncoder.encodeToString(
+      "alice:s3cret".getBytes("UTF-8"))
+    val dav = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    dav.createContext("/webdav", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val name = ex.getRequestURI.getPath.stripPrefix("/webdav/")
+      if (Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .forall(_ != expected)) {
+        ex.sendResponseHeaders(401, -1); ex.close()
+      } else ex.getRequestMethod match {
+        case "PUT" =>
+          store(name) = ex.getRequestBody.readAllBytes()
+          ex.sendResponseHeaders(201, -1); ex.close()
+        case "GET" => store.get(name) match {
+          case Some(b) =>
+            ex.sendResponseHeaders(200, b.length)
+            ex.getResponseBody.write(b); ex.close()
+          case None => ex.sendResponseHeaders(404, -1); ex.close()
+        }
+        case "DELETE" =>
+          store.remove(name)
+          ex.sendResponseHeaders(204, -1); ex.close()
+        case _ => ex.sendResponseHeaders(405, -1); ex.close()
+      }
+    })
+    dav.start()
+    try {
+      val base = s"http://127.0.0.1:${dav.getAddress.getPort}/webdav"
+      val dir = java.nio.file.Files.createTempDirectory("graft_b2")
+      val netrc = dir.resolve("netrc")
+      java.nio.file.Files.writeString(netrc,
+        "machine 127.0.0.1 login alice password s3cret\n")
+      val src = dir.resolve("payload.nc")
+      java.nio.file.Files.write(src, Array.tabulate(256)(_.toByte))
+      val e = engine()
+      // put
+      val up = e.runDataOperator("oph_b2drop", Map(
+        "action" -> "put", "src_path" -> src.toString,
+        "dest_path" -> "exported.nc", "server" -> base,
+        "auth_path" -> netrc.toString))
+      assert(up.status == JobStatus.Completed)
+      assert(store("exported.nc").toSeq ==
+        java.nio.file.Files.readAllBytes(src).toSeq)
+      // get it back to a new local file
+      val back = dir.resolve("back.nc")
+      e.runDataOperator("oph_b2drop", Map(
+        "action" -> "get", "src_path" -> back.toString,
+        "dest_path" -> "exported.nc", "server" -> base,
+        "auth_path" -> netrc.toString))
+      assert(java.nio.file.Files.readAllBytes(back).toSeq ==
+        java.nio.file.Files.readAllBytes(src).toSeq)
+      // delete
+      e.runDataOperator("oph_b2drop", Map(
+        "action" -> "delete", "dest_path" -> "exported.nc",
+        "server" -> base, "auth_path" -> netrc.toString))
+      assert(!store.contains("exported.nc"))
+      // wrong credentials are a loud failure, not a silent no-op
+      val badrc = dir.resolve("badrc")
+      java.nio.file.Files.writeString(badrc,
+        "machine 127.0.0.1 login alice password WRONG\n")
+      val err = intercept[Engine.EngineError](
+        e.runDataOperator("oph_b2drop", Map(
+          "action" -> "put", "src_path" -> src.toString,
+          "dest_path" -> "x.nc", "server" -> base,
+          "auth_path" -> badrc.toString)))
+      assert(err.getMessage.contains("HTTP 401"))
+      // the local drop-directory transport
+      val drop = dir.resolve("dropdir").toString
+      e.runDataOperator("oph_b2drop", Map(
+        "action" -> "put", "src_path" -> src.toString,
+        "dest_path" -> "local.nc", "server" -> drop))
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(drop, "local.nc")))
+    } finally dav.stop(0)
+  }
+
   test("dependency filter selects a subset of fan-out outputs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_df").toFile
     val src = spark.read.parquet(sf("orders")).limit(40)
