@@ -47,6 +47,16 @@ object Engine {
   /** Per-engine job-group nonce source (see `jobGroupOf`). */
   private val nonceSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** One shared HTTP client for remote-drop transfers: per-call
+    * construction leaks a selector thread each time, and real WebDAV
+    * shares answer http->https upgrades with redirects a standard
+    * client follows. */
+  private[workflow] lazy val dropClient = java.net.http.HttpClient
+    .newBuilder()
+    .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+    .connectTimeout(java.time.Duration.ofSeconds(10))
+    .build()
+
   /** The operator surface (for oph_operators_list introspection —
     * mirrors the reference objkey vocabulary `oph_json_objkeys.h:27-173`). */
   val operatorList: Seq[String] = Seq(
@@ -506,12 +516,20 @@ final class Engine(
                       Subset.parse(c).indices.map(_.toString)))
                     // src_path/input: one iteration per matching FILE
                     // (`oph_workflow_engine.c:964-1000`, HISTORY #63) —
-                    // the loop variable binds each file path in turn
+                    // the loop variable binds each file path in turn.
+                    // The arg is multi: '|'-separated folders (outside
+                    // brackets) each expand and concatenate
                     .orElse(args.get("src_path").orElse(args.get("input"))
                       .map { p =>
-                        val massive =
-                          if (p.contains("[")) p else s"[path=$p]"
-                        val files = MassiveFilter.expandFiles(massive)
+                        val parts =
+                          if (p.contains("[")) Seq(p)
+                          else p.split('|').toSeq.filter(_.nonEmpty)
+                        val files = parts.flatMap { part =>
+                          val massive =
+                            if (part.contains("[")) part
+                            else s"[path=$part]"
+                          MassiveFilter.expandFiles(massive)
+                        }
                         if (files.isEmpty) throw new Engine.EngineError(
                           s"oph_for: no files match '$p'")
                         files
@@ -1649,24 +1667,40 @@ final class Engine(
         val server = args.getOrElse("server",
           throw new Engine.EngineError("b2drop: missing 'server'"))
         if (server.contains("://")) {
-          // netrc: `machine <host> login <user> password <pw>` lines
+          // netrc (`machine <host> login <u> password <p>` stanzas,
+          // optional trailing `default`): credentials are scoped to the
+          // STANZA for this host — never borrowed from another host's
+          // stanza (that would leak one share's password to another)
           val host = java.net.URI.create(server).getHost
           val auth = args.get("auth_path").flatMap { ap =>
-            val toks = scala.io.Source.fromFile(resolvePath(ap)).mkString
-              .split("\\s+").toSeq
-            def field(name: String, from: Int): Option[String] = {
-              val i = toks.indexOf(name, from)
-              if (i >= 0 && i + 1 < toks.size) Some(toks(i + 1)) else None
+            val toks = java.nio.file.Files.readString(
+              java.nio.file.Paths.get(resolvePath(ap)))
+              .split("\\s+").toSeq.filter(_.nonEmpty)
+            val starts = toks.zipWithIndex.collect {
+              case ("machine", i) => i
+              case ("default", i) => i
             }
-            val m = toks.indexOf("machine")
-            val scoped = toks.zipWithIndex.collect {
-              case ("machine", i) if toks.lift(i + 1).contains(host) => i
-            }.headOption.orElse(if (m >= 0) Some(m) else None)
-            scoped.flatMap(i => for {
-              u <- field("login", i); p <- field("password", i)
+            def stanza(i: Int): Seq[String] = {
+              val end = starts.find(_ > i).getOrElse(toks.size)
+              toks.slice(i, end)
+            }
+            def fieldIn(s: Seq[String], name: String): Option[String] = {
+              val i = s.indexOf(name)
+              if (i >= 0 && i + 1 < s.size) Some(s(i + 1)) else None
+            }
+            val matched = starts.find(i =>
+              toks(i) == "machine" && toks.lift(i + 1).contains(host))
+              .orElse(starts.find(i => toks(i) == "default"))
+            matched.map(stanza).flatMap(s => for {
+              u <- fieldIn(s, "login"); p <- fieldIn(s, "password")
             } yield (u, p))
           }
-          val url = s"${server.stripSuffix("/")}/$dest"
+          // encode each path segment: dest names with spaces or
+          // non-ASCII must not blow up URI.create
+          val encDest = dest.split('/').map(seg =>
+            java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20"))
+            .mkString("/")
+          val url = s"${server.stripSuffix("/")}/$encDest"
           val b = java.net.http.HttpRequest.newBuilder(
             java.net.URI.create(url))
             .timeout(java.time.Duration.ofSeconds(30))
@@ -1675,7 +1709,7 @@ final class Engine(
               java.util.Base64.getEncoder.encodeToString(
                 s"$u:$p".getBytes("UTF-8")))
           }
-          val client = java.net.http.HttpClient.newHttpClient()
+          val client = Engine.dropClient
           val resp = action match {
             case "put" =>
               val f = java.nio.file.Paths.get(srcPath.getOrElse(
@@ -1684,10 +1718,23 @@ final class Engine(
                 .ofFile(f)).build(),
                 java.net.http.HttpResponse.BodyHandlers.discarding())
             case "get" =>
+              // download to a TEMP file and move into place only on
+              // success: a 404 error body or a shorter object must
+              // never clobber (or leave stale tail bytes in) the target
               val target = java.nio.file.Paths.get(srcPath.getOrElse(
                 throw new Engine.EngineError("b2drop get: missing src_path")))
-              client.send(b.GET().build(),
-                java.net.http.HttpResponse.BodyHandlers.ofFile(target))
+              val tmp = java.nio.file.Files.createTempFile(
+                Option(target.getParent).getOrElse(
+                  java.nio.file.Paths.get(".")), ".b2drop", ".part")
+              val r = client.send(b.GET().build(),
+                java.net.http.HttpResponse.BodyHandlers.ofFile(tmp,
+                  java.nio.file.StandardOpenOption.WRITE,
+                  java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
+              if (r.statusCode() < 300)
+                java.nio.file.Files.move(tmp, target,
+                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              else java.nio.file.Files.deleteIfExists(tmp)
+              r
             case "delete" =>
               client.send(b.DELETE().build(),
                 java.net.http.HttpResponse.BodyHandlers.discarding())

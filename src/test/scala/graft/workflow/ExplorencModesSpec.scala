@@ -93,6 +93,22 @@ class ExplorencModesSpec extends SparkSpec {
     val counts = instances.map(k =>
       e.cube(res(k).cubePid.get).get.df.count()).sorted
     assert(counts == Seq(10L, 20L, 30L))
+
+    // the arg is multi: '|'-joined folders concatenate their files
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_forfile2").toFile
+    src.limit(5).write.mode("overwrite")
+      .parquet(new java.io.File(dir2, "d.parquet").getPath)
+    val res2 = e.run(Workflow.parse(s"""{
+      "name": "wf2", "tasks": [
+        {"name": "loop", "operator": "oph_for",
+         "arguments": ["key=file",
+           "src_path=${dir.getPath}|${dir2.getPath}"]},
+        {"name": "imp", "operator": "oph_importnc",
+         "arguments": ["src_path=@{file}", "measure=o_totalprice",
+           "exp_dim=o_orderdate", "container=ff2"]},
+        {"name": "done", "operator": "oph_endfor"}
+      ]}"""))
+    assert(res2.keys.count(_.startsWith("imp_")) == 4)
   }
 
   test("oph_b2drop speaks WebDAV verbs with netrc credentials") {
@@ -155,6 +171,24 @@ class ExplorencModesSpec extends SparkSpec {
         "action" -> "delete", "dest_path" -> "exported.nc",
         "server" -> base, "auth_path" -> netrc.toString))
       assert(!store.contains("exported.nc"))
+      // get over an EXISTING LONGER file must fully replace it (no
+      // stale tail bytes) — the download lands via temp+move
+      java.nio.file.Files.write(back,
+        Array.fill[Byte](10000)(0x55)) // 10 KB of junk
+      store("exported.nc") = java.nio.file.Files.readAllBytes(src)
+      e.runDataOperator("oph_b2drop", Map(
+        "action" -> "get", "src_path" -> back.toString,
+        "dest_path" -> "exported.nc", "server" -> base,
+        "auth_path" -> netrc.toString))
+      assert(java.nio.file.Files.size(back) == 256,
+        "a shorter download must not leave the old file's tail")
+      store.remove("exported.nc")
+      // a dest name with a space is percent-encoded, not a URI error
+      e.runDataOperator("oph_b2drop", Map(
+        "action" -> "put", "src_path" -> src.toString,
+        "dest_path" -> "with space.nc", "server" -> base,
+        "auth_path" -> netrc.toString))
+      assert(store.contains("with space.nc"))
       // wrong credentials are a loud failure, not a silent no-op
       val badrc = dir.resolve("badrc")
       java.nio.file.Files.writeString(badrc,
@@ -165,6 +199,19 @@ class ExplorencModesSpec extends SparkSpec {
           "dest_path" -> "x.nc", "server" -> base,
           "auth_path" -> badrc.toString)))
       assert(err.getMessage.contains("HTTP 401"))
+      // a netrc stanza for ANOTHER host must never leak here: with no
+      // matching stanza (and no default) the request goes out
+      // unauthenticated and the share rejects it
+      val otherrc = dir.resolve("otherrc")
+      java.nio.file.Files.writeString(otherrc,
+        "machine b2drop.example.org login alice password s3cret\n")
+      val err2 = intercept[Engine.EngineError](
+        e.runDataOperator("oph_b2drop", Map(
+          "action" -> "put", "src_path" -> src.toString,
+          "dest_path" -> "y.nc", "server" -> base,
+          "auth_path" -> otherrc.toString)))
+      assert(err2.getMessage.contains("HTTP 401"),
+        "credentials scoped to another host must not be sent here")
       // the local drop-directory transport
       val drop = dir.resolve("dropdir").toString
       e.runDataOperator("oph_b2drop", Map(
