@@ -36,7 +36,12 @@ object Engine {
         * stripped for storage (checkpoint store drops plans to avoid
         * pinning them): such a task must RE-RUN on checkpoint resume or
         * its grid would render as plain text. */
-      hadDf: Boolean = false)
+      hadDf: Boolean = false,
+      /** Extra fully-rendered response objects beyond the main grid —
+        * the reference emits several objkeys per operator (e.g.
+        * explorecube_data + _summary + _dimvalues,
+        * `oph_json_objkeys.h:81-83`). */
+      aux: Seq[graft.core.ResponseObject] = Seq.empty)
 
   final class EngineError(msg: String) extends Exception(msg)
 
@@ -416,14 +421,17 @@ final class Engine(
             textOf(name, r)
         }
         val okCount = sorted.count(_._2.status == JobStatus.Completed)
+        // aux objects carry payload (summary/dimvalues grids) and
+        // survive the compact collapse like grids do
         TextObj("status", "Workflow Status",
-          s"$okCount/${sorted.size} tasks completed") +: (errors ++ grids)
-      } else sorted.map { case (name, r) =>
-        r.df match {
+          s"$okCount/${sorted.size} tasks completed") +:
+          (errors ++ grids ++ sorted.flatMap(_._2.aux))
+      } else sorted.flatMap { case (name, r) =>
+        (r.df match {
           case Some(df) =>
             graft.render.ResponseWriter.gridOf(name, name, df, limit = 100)
           case None => textOf(name, r)
-        }
+        }) +: r.aux
       }
     val objs =
       if (!isExtended) base
@@ -1454,11 +1462,35 @@ final class Engine(
 
       case "oph_explorecube" =>
         // peek with optional subset before the limit — the SAME subset
-        // routing as oph_subset (implicit dims, coord semantics, `end`)
+        // routing as oph_subset (implicit dims, coord semantics, `end`).
+        // Reference objkey trio (`oph_json_objkeys.h:81-83`):
+        // explorecube_data (the grid) always; explorecube_summary
+        // (total vs displayed rows) at level>=2; explorecube_dimvalues
+        // (per-dimension value lists) with show_index=yes
         val (_, c) = needCube()
         val limit = args.getOrElse("limit_filter", "100").toInt
+        val sub = applySubset(c, args)
+        val aux = Seq.newBuilder[graft.core.ResponseObject]
+        if (args.get("level").flatMap(_.toIntOption).exists(_ >= 2)) {
+          val total = sub.df.count()
+          aux += graft.core.TextObj("explorecube_summary", "Summary",
+            s"total rows: $total; displayed: ${math.min(total, limit)}")
+        }
+        if (args.get("show_index").exists(_.equalsIgnoreCase("yes"))) {
+          val dimRows = sub.desc.explicitDims.map { d =>
+            val vals = sub.df.select(sub.df(d.name)).distinct()
+              .orderBy(sub.df(d.name)).limit(limit).collect()
+              .map(r => Option(r.get(0)).map(_.toString).getOrElse("null"))
+            Seq(d.name, vals.mkString("|"))
+          }
+          aux += graft.core.Grid("explorecube_dimvalues", "Dimension Values",
+            keys = Seq("DIMENSION", "VALUES"),
+            fieldTypes = Seq("string", "string"),
+            values = dimRows)
+        }
         TaskResult(JobStatus.Completed,
-          df = Some(CubeOps.explorecube(applySubset(c, args), None, limit)))
+          df = Some(CubeOps.explorecube(sub, None, limit)),
+          aux = aux.result())
 
       case "oph_cubeschema" =>
         val (_, c) = needCube()

@@ -67,6 +67,31 @@ class RequestFieldsSpec extends SparkSpec {
     assert(grid.get("rowvalues").size == 3)
   }
 
+  test("explorecube renders the summary and dimvalues objects") {
+    val e = engine()
+    val results = e.run(Workflow.parse("""{
+      "name": "wf_explore", "tasks": [
+        {"name": "mk", "operator": "oph_randcube",
+         "arguments": ["nrows=6", "array_length=2", "container=c"]},
+        {"name": "peek", "operator": "oph_explorecube",
+         "arguments": ["limit_filter=4", "level=2", "show_index=yes"],
+         "dependencies": [{"task": "mk"}]}
+      ]}"""))
+    val keys = objkeys(e.renderResponse("wf", results, "classic"))
+    assert(keys.contains("peek"))
+    assert(keys.contains("explorecube_summary"))
+    assert(keys.contains("explorecube_dimvalues"))
+    val rendered = mapper.readTree(e.renderResponse("wf", results, "classic"))
+    val summary = (0 until rendered.get("response").size)
+      .map(rendered.get("response").get(_))
+      .find(_.get("objkey").asText == "explorecube_summary").get
+    assert(summary.get("objcontent").get(0).get("message").asText
+      .contains("total rows: 6"))
+    // aux objects survive the compact collapse (they carry payload)
+    assert(objkeys(e.renderResponse("wf", results, "compact"))
+      .contains("explorecube_dimvalues"))
+  }
+
   test("an unknown output_format or save value is a parse error") {
     intercept[Workflow.ValidationError](
       Workflow.parse(smallWf(""", "output_format": "verbose"""")))
