@@ -1916,8 +1916,50 @@ final class Engine(
           val top = coeffs.result().sortBy { case (_, _, c) => -math.abs(c) }
             .take(k)
           import spark.implicits._
-          TaskResult(JobStatus.Completed, df = Some(
-            top.toDF("level", "pos", "coeff")))
+          val coeffDf = top.toDF("level", "pos", "coeff")
+          if (wavelet == "only")
+            TaskResult(JobStatus.Completed, df = Some(coeffDf))
+          else {
+            // wavelet=yes: main object = the DENOISED series
+            // (explorenc_wavelet_data) reconstructed from only the
+            // retained top-k coefficients; the coefficient grid rides
+            // along as explorenc_wavelet_coeff
+            val kept = top.toSet
+            val rec = new Array[Double](n2)
+            rec(0) = if (kept.exists(c => c._1 == level && c._2 == 0))
+              buf(0) else 0.0
+            var l = level - 1
+            var width = 1
+            while (l >= 0) {
+              // expand averages one level down, applying kept details
+              val next = new Array[Double](width * 2)
+              var p = 0
+              while (p < width) {
+                val d = if (kept.exists(c => c._1 == l && c._2 == p))
+                  buf(width + p) else 0.0
+                next(2 * p) = rec(p) + d
+                next(2 * p + 1) = rec(p) - d
+                p += 1
+              }
+              // buf layout after the transform: level-l details live at
+              // [width, 2*width) only for the FINAL state of that
+              // region — recover them from the recorded coeff list
+              // instead (kept filter above already does)
+              System.arraycopy(next, 0, rec, 0, width * 2)
+              l -= 1
+              width *= 2
+            }
+            val recDf = rec.take(series.length).zipWithIndex
+              .map { case (v, i) => (i + 1, series(i), v) }.toSeq
+              .toDF("idx", "value", "denoised")
+            TaskResult(JobStatus.Completed, df = Some(recDf),
+              aux = Seq(graft.core.Grid("explorenc_wavelet_coeff",
+                "Wavelet Coefficients",
+                keys = Seq("LEVEL", "POS", "COEFF"),
+                fieldTypes = Seq("int", "int", "double"),
+                values = top.map { case (l2, p2, c2) =>
+                  Seq(l2.toString, p2.toString, c2.toString) })))
+          }
         } else TaskResult(JobStatus.Completed, df = Some(raw.describe()))
 
       case "oph_inspectfrag" =>

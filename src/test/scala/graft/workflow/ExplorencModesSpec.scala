@@ -67,6 +67,23 @@ class ExplorencModesSpec extends SparkSpec {
       .map(x => (x.getInt(0), x.getInt(1), x.getDouble(2))).toSet
     // level0 details -0.5,-0.5; level1 detail -1.0; final average 2.5
     assert(got == Set((0, 0, -0.5), (0, 1, -0.5), (1, 0, -1.0), (2, 0, 2.5)))
+
+    // wavelet=yes: ALL coefficients kept reconstructs the series
+    // exactly; only-the-average kept denoises to the flat mean
+    val full = e.runDataOperator("oph_explorenc", Map(
+      "src_path" -> p, "measure" -> "y", "dim" -> "t",
+      "wavelet" -> "yes", "wavelet_coeff" -> "4"))
+    val rows = full.df.get.orderBy("idx").collect()
+      .map(x => (x.getInt(0), x.getDouble(1), x.getDouble(2)))
+    assert(rows.map(_._3).toSeq == Seq(1.0, 2.0, 3.0, 4.0),
+      "full coefficient set must reconstruct the series")
+    assert(full.aux.exists(_.objkey == "explorenc_wavelet_coeff"))
+    val flat = e.runDataOperator("oph_explorenc", Map(
+      "src_path" -> p, "measure" -> "y", "dim" -> "t",
+      "wavelet" -> "yes", "wavelet_coeff" -> "1"))
+    assert(flat.df.get.orderBy("idx").collect()
+      .map(_.getDouble(2)).toSeq == Seq(2.5, 2.5, 2.5, 2.5),
+      "keeping only the average must denoise to the mean")
   }
 
   test("oph_for src_path expands a folder to one iteration per file") {
