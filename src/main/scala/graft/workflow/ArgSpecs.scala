@@ -253,7 +253,7 @@ object ArgSpecs {
     "oph_explorecube" -> (Seq(int("limit_filter", min = 0),
       enum("show_index", yesNo: _*), enum("show_id", yesNo: _*),
       enum("show_time", yesNo: _*), enum("base64", yesNo: _*),
-      a("level"), a("output_path"), a("output_name"),
+      int("level", min = 1), a("output_path"), a("output_name"),
       enum("export_metadata", yesNo: _*)) ++ subsetArgs),
     "oph_explorenc" -> Seq(mand("src_path"), a("measure"),
       int("limit_filter", min = 0), a("exp_dim"), a("imp_dim"),

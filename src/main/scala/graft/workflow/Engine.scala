@@ -53,12 +53,15 @@ object Engine {
   private val nonceSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** One shared HTTP client for remote-drop transfers: per-call
-    * construction leaks a selector thread each time, and real WebDAV
-    * shares answer http->https upgrades with redirects a standard
-    * client follows. */
+    * construction leaks a selector thread each time. Redirects are
+    * NOT auto-followed — the JDK client re-sends caller-set headers on
+    * redirect, which would leak the netrc Authorization to whatever
+    * host a 302 points at; the b2drop handler follows SAME-HOST
+    * redirects itself (http->https upgrades) and refuses cross-host
+    * ones. */
   private[workflow] lazy val dropClient = java.net.http.HttpClient
     .newBuilder()
-    .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+    .followRedirects(java.net.http.HttpClient.Redirect.NEVER)
     .connectTimeout(java.time.Duration.ofSeconds(10))
     .build()
 
@@ -529,15 +532,27 @@ final class Engine(
                     // brackets) each expand and concatenate
                     .orElse(args.get("src_path").orElse(args.get("input"))
                       .map { p =>
-                        val parts =
-                          if (p.contains("[")) Seq(p)
-                          else p.split('|').toSeq.filter(_.nonEmpty)
-                        val files = parts.flatMap { part =>
-                          val massive =
-                            if (part.contains("[")) part
-                            else s"[path=$part]"
-                          MassiveFilter.expandFiles(massive)
+                        // split on '|' OUTSIDE brackets: a mixed list
+                        // like '/a|[path=/b]' expands BOTH parts (each
+                        // bare folder wraps into its own [path=...])
+                        val parts = Seq.newBuilder[String]
+                        var depth = 0
+                        val cur = new StringBuilder
+                        p.foreach {
+                          case '[' => depth += 1; cur.append('[')
+                          case ']' => depth -= 1; cur.append(']')
+                          case '|' if depth == 0 =>
+                            parts += cur.result(); cur.clear()
+                          case c => cur.append(c)
                         }
+                        parts += cur.result()
+                        val files = parts.result().filter(_.nonEmpty)
+                          .flatMap { part =>
+                            val massive =
+                              if (part.startsWith("[")) part
+                              else s"[path=$part]"
+                            MassiveFilter.expandFiles(massive)
+                          }
                         if (files.isEmpty) throw new Engine.EngineError(
                           s"oph_for: no files match '$p'")
                         files
@@ -1470,23 +1485,38 @@ final class Engine(
         val (_, c) = needCube()
         val limit = args.getOrElse("limit_filter", "100").toInt
         val sub = applySubset(c, args)
+        val wantSummary =
+          args.get("level").flatMap(_.toIntOption).exists(_ >= 2)
+        val wantDims =
+          args.get("show_index").exists(_.equalsIgnoreCase("yes"))
         val aux = Seq.newBuilder[graft.core.ResponseObject]
-        if (args.get("level").flatMap(_.toIntOption).exists(_ >= 2)) {
-          val total = sub.df.count()
-          aux += graft.core.TextObj("explorecube_summary", "Summary",
-            s"total rows: $total; displayed: ${math.min(total, limit)}")
-        }
-        if (args.get("show_index").exists(_.equalsIgnoreCase("yes"))) {
-          val dimRows = sub.desc.explicitDims.map { d =>
-            val vals = sub.df.select(sub.df(d.name)).distinct()
-              .orderBy(sub.df(d.name)).limit(limit).collect()
-              .map(r => Option(r.get(0)).map(_.toString).getOrElse("null"))
-            Seq(d.name, vals.mkString("|"))
-          }
-          aux += graft.core.Grid("explorecube_dimvalues", "Dimension Values",
-            keys = Seq("DIMENSION", "VALUES"),
-            fieldTypes = Seq("string", "string"),
-            values = dimRows)
+        if (wantSummary || wantDims) {
+          // count + per-dim distinct each re-run the subset plan:
+          // cache it for the duration of the aux scans
+          sub.df.persist()
+          try {
+            if (wantSummary) {
+              val total = sub.df.count()
+              // the renderer caps grids at 100 rows regardless of
+              // limit_filter — report what is actually shown
+              aux += graft.core.TextObj("explorecube_summary", "Summary",
+                s"total rows: $total; displayed: " +
+                  s"${math.min(total, math.min(limit, 100))}")
+            }
+            if (wantDims) {
+              val dimRows = sub.desc.explicitDims.map { d =>
+                val vals = sub.df.select(sub.df(d.name)).distinct()
+                  .orderBy(sub.df(d.name)).limit(limit).collect()
+                  .map(r => Option(r.get(0)).map(_.toString).getOrElse("null"))
+                Seq(d.name, vals.mkString("|"))
+              }
+              aux += graft.core.Grid("explorecube_dimvalues",
+                "Dimension Values",
+                keys = Seq("DIMENSION", "VALUES"),
+                fieldTypes = Seq("string", "string"),
+                values = dimRows)
+            }
+          } finally sub.df.unpersist(blocking = false)
         }
         TaskResult(JobStatus.Completed,
           df = Some(CubeOps.explorecube(sub, None, limit)),
@@ -1727,26 +1757,53 @@ final class Engine(
               u <- fieldIn(s, "login"); p <- fieldIn(s, "password")
             } yield (u, p))
           }
-          // encode each path segment: dest names with spaces or
-          // non-ASCII must not blow up URI.create
-          val encDest = dest.split('/').map(seg =>
+          // encode each path segment (dest names with spaces or
+          // non-ASCII must not blow up URI.create); empty segments
+          // from a leading/trailing '/' are dropped, not doubled
+          val encDest = dest.split('/').filter(_.nonEmpty).map(seg =>
             java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20"))
             .mkString("/")
           val url = s"${server.stripSuffix("/")}/$encDest"
-          val b = java.net.http.HttpRequest.newBuilder(
-            java.net.URI.create(url))
-            .timeout(java.time.Duration.ofSeconds(30))
-          auth.foreach { case (u, p) =>
-            b.header("Authorization", "Basic " +
-              java.util.Base64.getEncoder.encodeToString(
-                s"$u:$p".getBytes("UTF-8")))
-          }
           val client = Engine.dropClient
+          def request(u: String): java.net.http.HttpRequest.Builder = {
+            val rb = java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(u))
+              .timeout(java.time.Duration.ofSeconds(30))
+            auth.foreach { case (usr, p) =>
+              rb.header("Authorization", "Basic " +
+                java.util.Base64.getEncoder.encodeToString(
+                  s"$usr:$p".getBytes("UTF-8")))
+            }
+            rb
+          }
+          /** Manual redirect handling: SAME-HOST hops only (the JDK
+            * client would re-send our Authorization header to whatever
+            * host a 302 names — a credential leak), bounded depth. */
+          def send[T](build: java.net.http.HttpRequest.Builder =>
+              java.net.http.HttpRequest,
+              handler: java.net.http.HttpResponse.BodyHandler[T])
+              : java.net.http.HttpResponse[T] = {
+            var u = url
+            var hops = 0
+            while (true) {
+              val r = client.send(build(request(u)), handler)
+              val loc = r.headers().firstValue("Location")
+              if (r.statusCode() / 100 == 3 && loc.isPresent && hops < 3) {
+                val next = java.net.URI.create(u).resolve(loc.get).toString
+                if (java.net.URI.create(next).getHost != host)
+                  throw new Engine.EngineError(s"b2drop: refusing " +
+                    s"cross-host redirect to '$next' (credentials are " +
+                    s"scoped to $host)")
+                u = next; hops += 1
+              } else return r
+            }
+            sys.error("unreachable")
+          }
           val resp = action match {
             case "put" =>
               val f = java.nio.file.Paths.get(srcPath.getOrElse(
                 throw new Engine.EngineError("b2drop put: missing src_path")))
-              client.send(b.PUT(java.net.http.HttpRequest.BodyPublishers
+              send(_.PUT(java.net.http.HttpRequest.BodyPublishers
                 .ofFile(f)).build(),
                 java.net.http.HttpResponse.BodyHandlers.discarding())
             case "get" =>
@@ -1758,17 +1815,21 @@ final class Engine(
               val tmp = java.nio.file.Files.createTempFile(
                 Option(target.getParent).getOrElse(
                   java.nio.file.Paths.get(".")), ".b2drop", ".part")
-              val r = client.send(b.GET().build(),
-                java.net.http.HttpResponse.BodyHandlers.ofFile(tmp,
-                  java.nio.file.StandardOpenOption.WRITE,
-                  java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
-              if (r.statusCode() < 300)
-                java.nio.file.Files.move(tmp, target,
-                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-              else java.nio.file.Files.deleteIfExists(tmp)
-              r
+              var moved = false
+              try {
+                val r = send(_.GET().build(),
+                  java.net.http.HttpResponse.BodyHandlers.ofFile(tmp,
+                    java.nio.file.StandardOpenOption.WRITE,
+                    java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
+                if (r.statusCode() < 300) {
+                  java.nio.file.Files.move(tmp, target,
+                    java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                  moved = true
+                }
+                r
+              } finally if (!moved) java.nio.file.Files.deleteIfExists(tmp)
             case "delete" =>
-              client.send(b.DELETE().build(),
+              send(_.DELETE().build(),
                 java.net.http.HttpResponse.BodyHandlers.discarding())
           }
           if (resp.statusCode() >= 300)
