@@ -34,7 +34,9 @@ object MassiveFilter {
   final class FilterError(msg: String) extends Exception(msg)
 
   /** Split on `sep` outside square brackets. */
-  private def splitTop(s: String, sep: Char): Seq[String] = {
+  /** Split on `sep` OUTSIDE brackets, trimming parts — shared with the
+    * workflow engine's oph_for src_path list handling. */
+  private[graft] def splitTop(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0

@@ -532,21 +532,11 @@ final class Engine(
                     // brackets) each expand and concatenate
                     .orElse(args.get("src_path").orElse(args.get("input"))
                       .map { p =>
-                        // split on '|' OUTSIDE brackets: a mixed list
-                        // like '/a|[path=/b]' expands BOTH parts (each
-                        // bare folder wraps into its own [path=...])
-                        val parts = Seq.newBuilder[String]
-                        var depth = 0
-                        val cur = new StringBuilder
-                        p.foreach {
-                          case '[' => depth += 1; cur.append('[')
-                          case ']' => depth -= 1; cur.append(']')
-                          case '|' if depth == 0 =>
-                            parts += cur.result(); cur.clear()
-                          case c => cur.append(c)
-                        }
-                        parts += cur.result()
-                        val files = parts.result().filter(_.nonEmpty)
+                        // split on '|' OUTSIDE brackets (shared
+                        // MassiveFilter splitter): a mixed list like
+                        // '/a|[path=/b]' expands BOTH parts, each bare
+                        // folder wrapping into its own [path=...]
+                        val files = MassiveFilter.splitTop(p, '|')
                           .flatMap { part =>
                             val massive =
                               if (part.startsWith("[")) part
@@ -1491,9 +1481,12 @@ final class Engine(
           args.get("show_index").exists(_.equalsIgnoreCase("yes"))
         val aux = Seq.newBuilder[graft.core.ResponseObject]
         if (wantSummary || wantDims) {
-          // count + per-dim distinct each re-run the subset plan:
-          // cache it for the duration of the aux scans
-          sub.df.persist()
+          // the aux scans each re-run the subset plan — cache it ONLY
+          // when more than one scan follows (a lone count is cheaper
+          // through the pruned scan than via a full materialization)
+          val scans = (if (wantSummary) 1 else 0) +
+            (if (wantDims) sub.desc.explicitDims.size else 0)
+          if (scans > 1) sub.df.persist()
           try {
             if (wantSummary) {
               val total = sub.df.count()
@@ -1516,7 +1509,7 @@ final class Engine(
                 fieldTypes = Seq("string", "string"),
                 values = dimRows)
             }
-          } finally sub.df.unpersist(blocking = false)
+          } finally if (scans > 1) sub.df.unpersist(blocking = false)
         }
         TaskResult(JobStatus.Completed,
           df = Some(CubeOps.explorecube(sub, None, limit)),
@@ -1783,18 +1776,31 @@ final class Engine(
               java.net.http.HttpRequest,
               handler: java.net.http.HttpResponse.BodyHandler[T])
               : java.net.http.HttpResponse[T] = {
+            // a hop is followed only when it stays on the SAME origin
+            // (case-insensitive host, same port) with the same scheme —
+            // or upgrades http->https. Anything else (host change,
+            // https->http downgrade, port change) would hand the Basic
+            // header to a different security context.
+            def sameOrigin(a: java.net.URI, b: java.net.URI): Boolean = {
+              val hostOk = a.getHost != null && b.getHost != null &&
+                a.getHost.equalsIgnoreCase(b.getHost)
+              val schemeOk = a.getScheme == b.getScheme ||
+                (a.getScheme == "http" && b.getScheme == "https")
+              hostOk && schemeOk && a.getPort == b.getPort
+            }
             var u = url
             var hops = 0
             while (true) {
               val r = client.send(build(request(u)), handler)
               val loc = r.headers().firstValue("Location")
               if (r.statusCode() / 100 == 3 && loc.isPresent && hops < 3) {
-                val next = java.net.URI.create(u).resolve(loc.get).toString
-                if (java.net.URI.create(next).getHost != host)
+                val cur2 = java.net.URI.create(u)
+                val next = cur2.resolve(loc.get)
+                if (!sameOrigin(cur2, next))
                   throw new Engine.EngineError(s"b2drop: refusing " +
-                    s"cross-host redirect to '$next' (credentials are " +
-                    s"scoped to $host)")
-                u = next; hops += 1
+                    s"redirect to '$next' (credentials are scoped to " +
+                    s"${cur2.getScheme}://${cur2.getAuthority})")
+                u = next.toString; hops += 1
               } else return r
             }
             sys.error("unreachable")

@@ -67,11 +67,13 @@ class PlanAuditSpec extends SparkSpec {
     }
     val df = spark.read.format("netcdf3").load(path).select("a")
     val p = plan(df)
-    assert(p.contains("a"), p)
-    // the pruned scan description must not mention the unprojected var
+    // the scan's column list must carry the projected variable (as a
+    // column reference `a#<id>`) and NOT the unprojected one
     val scanLine = p.linesIterator
       .find(l => l.contains("BatchScan") || l.contains("Scan")).getOrElse("")
-    assert(!scanLine.matches(".*\\bb\\b.*"),
+    assert(scanLine.matches(".*\\ba#\\d+.*"),
+      s"projected variable must survive in the scan: $scanLine")
+    assert(!scanLine.matches(".*\\bb#\\d+.*"),
       s"unprojected variable must be pruned from the scan: $scanLine")
   }
 }
