@@ -21,6 +21,9 @@ object AuthService {
     * after its FIRST failure of the window (reference block-list
     * check period). */
   val BlockWindowMs = 300000L
+  /** Failure-map size past which recordFailure sweeps expired windows
+    * (bounds memory against scanners that never retry). */
+  val SweepThreshold = 1024
 }
 
 final class AuthService(now: () => Long = () => System.currentTimeMillis,
@@ -74,11 +77,21 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
       case None => false
     }
 
-  private def recordFailure(host: String): Unit =
+  private def recordFailure(host: String): Unit = {
     failures.updateWith(host) {
       case Some((n, t0)) if now() - t0 < BlockWindowMs => Some((n + 1, t0))
       case _ => Some((1, now()))
     }
+    // an internet-facing server sees one entry per scanning IP and
+    // only ever cleans an entry when that SAME host comes back — so
+    // opportunistically sweep expired windows once the map gets big
+    if (failures.size > SweepThreshold) {
+      val t = now()
+      failures.foreach { case (h, (_, t0)) =>
+        if (t - t0 >= BlockWindowMs) failures.remove(h)
+      }
+    }
+  }
 
   /** Salted SHA-256 stand-in for the reference's crypt() hashes. */
   private def hash(user: String, password: String): String = {

@@ -535,12 +535,24 @@ final class Engine(
                         // split on '|' OUTSIDE brackets (shared
                         // MassiveFilter splitter): a mixed list like
                         // '/a|[path=/b]' expands BOTH parts, each bare
-                        // folder wrapping into its own [path=...]
+                        // folder wrapping into its own [path=...].
+                        // Relative folders resolve against the
+                        // request-level cdd, like operator src_path
+                        // values do (`oph_workflow_parsing.c:91-95`)
+                        val cdd = args.get("cdd")
+                          .orElse(Option(spec.cdd).filter(_ != "/"))
+                        def resolve(part: String): String = cdd match {
+                          case Some(base) if !part.startsWith("/") &&
+                              !part.contains("://") =>
+                            (if (base.endsWith("/")) base
+                             else base + "/") + part
+                          case _ => part
+                        }
                         val files = MassiveFilter.splitTop(p, '|')
                           .flatMap { part =>
                             val massive =
                               if (part.startsWith("[")) part
-                              else s"[path=$part]"
+                              else s"[path=${resolve(part)}]"
                             MassiveFilter.expandFiles(massive)
                           }
                         if (files.isEmpty) throw new Engine.EngineError(
@@ -1786,7 +1798,18 @@ final class Engine(
                 a.getHost.equalsIgnoreCase(b.getHost)
               val schemeOk = a.getScheme == b.getScheme ||
                 (a.getScheme == "http" && b.getScheme == "https")
-              hostOk && schemeOk && a.getPort == b.getPort
+              // compare EFFECTIVE ports: a legit upgrade redirect may
+              // make the scheme default explicit (http://h ->
+              // https://h:443) or drop an explicit :80. An http->https
+              // upgrade is fine default-to-default (80 -> 443) or on
+              // the same explicit port; anything else is a new origin.
+              def port(u: java.net.URI): Int =
+                if (u.getPort != -1) u.getPort
+                else if (u.getScheme == "https") 443 else 80
+              val portOk = port(a) == port(b) ||
+                (a.getScheme == "http" && b.getScheme == "https" &&
+                  port(a) == 80 && port(b) == 443)
+              hostOk && schemeOk && portOk
             }
             var u = url
             var hops = 0
@@ -1847,7 +1870,13 @@ final class Engine(
           // generic local drop directory
           val dir = java.nio.file.Paths.get(server)
           java.nio.file.Files.createDirectories(dir)
-          val target = dir.resolve(dest)
+          // dest must stay INSIDE the drop directory: a '../x' or
+          // absolute dest_path would otherwise escape it
+          val target = dir.resolve(dest).normalize()
+          if (!target.startsWith(dir.toAbsolutePath.normalize) &&
+              !target.startsWith(dir.normalize))
+            throw new Engine.EngineError(
+              s"b2drop: dest_path '$dest' escapes drop directory '$dir'")
           action match {
             case "put" => java.nio.file.Files.copy(
               java.nio.file.Paths.get(srcPath.getOrElse(throw

@@ -236,6 +236,15 @@ class ExplorencModesSpec extends SparkSpec {
         "dest_path" -> "local.nc", "server" -> drop))
       assert(java.nio.file.Files.exists(
         java.nio.file.Paths.get(drop, "local.nc")))
+      // a traversal or absolute dest_path must not escape the drop dir
+      for (bad <- Seq("../escape.nc", "/tmp/abs_escape.nc")) {
+        val e3 = intercept[Engine.EngineError](
+          e.runDataOperator("oph_b2drop", Map(
+            "action" -> "put", "src_path" -> src.toString,
+            "dest_path" -> bad, "server" -> drop)))
+        assert(e3.getMessage.contains("escapes drop directory"))
+      }
+      assert(!java.nio.file.Files.exists(dir.resolve("escape.nc")))
     } finally dav.stop(0)
   }
 
