@@ -269,6 +269,44 @@ object SparkEntry {
           round(col("__v"), 4).as("mavg"))
     }),
 
+    "apply_shift" -> ((s, dir) => {
+      // oph_shift: one step toward higher in-cell indices, 0-fill —
+      // the SQL mirror is lag(x, 1, 0) over the cell ordering
+      val cube = liCube(s, dir)
+      val sh = cube.df.withColumn("l_quantity",
+        ArrayPrimitives("oph_shift(measure, 1, 0)", col("l_quantity")))
+      sh.select(col("l_orderkey"),
+          posexplode(col("l_quantity")).as(Seq("__p", "__v")))
+        .select(col("l_orderkey"), (col("__p") + 1).cast("long").as("pos"),
+          col("__v").as("shifted"))
+    }),
+
+    "apply_histogram" -> ((s, dir) => {
+      // oph_gsl_histogram: per-cell counts over 5 uniform bins of
+      // [0, 50) (GSL semantics: upper bound exclusive)
+      val cube = liCube(s, dir)
+      val hist = cube.df.withColumn("l_quantity",
+        ArrayPrimitives("oph_gsl_histogram(measure, 5, 0, 50)",
+          col("l_quantity")))
+      hist.select(col("l_orderkey"),
+          posexplode(col("l_quantity")).as(Seq("__p", "__v")))
+        .select(col("l_orderkey"), (col("__p") + 1).cast("long").as("pos"),
+          col("__v").as("cnt"))
+    }),
+
+    "apply_fft" -> ((s, dir) => {
+      // oph_gsl_fft: DFT per cell, GSL-packed [re0, im0, re1, im1, …].
+      // The oracle rebuilds the same O(n^2) direct form with a
+      // per-order self-join; -0.0 sums are canonicalized with + 0.0
+      val cube = liCube(s, dir)
+      val fft = cube.df.withColumn("l_quantity",
+        ArrayPrimitives("oph_gsl_fft(measure)", col("l_quantity")))
+      fft.select(col("l_orderkey"),
+          posexplode(col("l_quantity")).as(Seq("__p", "__v")))
+        .select(col("l_orderkey"), (col("__p") + 1).cast("long").as("pos"),
+          (round(col("__v"), 4) + 0.0).as("coef"))
+    }),
+
     // -------------------------------------------------- oph_intercube
     "intercube_sub" -> ((s, dir) => {
       val a = CubeOps.importParquet(s, s"$dir/orders.parquet",
@@ -411,6 +449,37 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "join_asof" -> ((s, dir) => {
+      // as-of join: each click picks up the user's most recent
+      // prior-or-equal purchase — union + single window pass, one
+      // shuffle on user_id (operators/Joins.asof)
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.Joins.asof(clicks, purchases, Seq("user_id"),
+        "ts", "ts", Seq("value"))
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          unix_millis(col("matched_ts")).as("pts_ms"),
+          round(col("value"), 2).as("purch_value"))
+    }),
+
+    "join_range" -> ((s, dir) => {
+      // interval join via bin quantization: price bands (width 950, NOT
+      // aligned to the 400-wide bins) match orders by containment with
+      // an equi-join on the bin — no theta-join, no cartesian
+      val bands = s.range(600).select(col("id").as("band"),
+        (col("id") * lit(950.0)).as("lo"),
+        (col("id") * lit(950.0) + lit(950.0)).as("hi"))
+      graft.operators.Joins.rangeJoinBinned(t(s, dir, "orders"),
+        "o_totalprice", bands, "lo", "hi", binWidth = 400.0)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sv"))
+    }),
+
     "grouping_rollup" -> ((s, dir) => {
       // grouping sets: ROLLUP over (returnflag, linestatus) — subtotals
       // and a grand total in one pass (partial aggregation per set)
@@ -497,6 +566,24 @@ object SparkEntry {
       a.join(b, "doc_id")
         .select(col("doc_id"),
           round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 3), 4).as("j3"))
+    }),
+
+    "dedup_clusters" -> ((s, dir) => {
+      // candidate pairs -> dedup clusters: connected components by
+      // min-label propagation with pointer jumping (O(log diameter)
+      // rounds). Edge fixture: chains linking consecutive line numbers
+      // within an order — genuine multi-hop components (length <= 7)
+      // whose transitive closure a recursive-CTE oracle can also reach.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+      def vid(k: Column, l: Column): Column = (k * 8 + l).cast("long")
+      val verts = li.select(vid(col("l_orderkey"), col("l_linenumber")).as("id"))
+      val e = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("b.l_linenumber") === col("a.l_linenumber") + 1)
+        .select(vid(col("a.l_orderkey"), col("a.l_linenumber")).as("src"),
+          vid(col("b.l_orderkey"), col("b.l_linenumber")).as("dst"))
+      Dedup.connectedComponents(verts, e)
     }),
 
     // ---------------------------------- LLM pipeline: text analysis
@@ -586,6 +673,19 @@ object SparkEntry {
       s.table("events_stream_hourly")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH").as("hr"),
           col("event_type"), col("n"), round(col("sv"), 2).as("sv"))
+    }),
+
+    "sample_stratified" -> ((s, dir) => {
+      // exactly-k-per-stratum deterministic sample: rank rows inside
+      // each stratum by a multiplicative hash of the id (identical
+      // arithmetic on the oracle side) and keep the first 50. One
+      // shuffle on the stratum key; no driver-side sampling state.
+      val h = pmod(col("event_id") * lit(2654435761L), lit(1000000007L))
+      val w = Window.partitionBy(col("event_type")).orderBy(h, col("event_id"))
+      events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          row_number().over(w).cast("long").as("rk"))
+        .filter(col("rk") <= 50)
     }),
 
     "events_sessions" -> ((s, dir) => {
@@ -1009,6 +1109,52 @@ object SparkEntry {
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg
          FROM lineitem""",
 
+    "apply_shift" ->
+      """SELECT l_orderkey,
+                CAST(row_number() OVER w AS BIGINT) AS pos,
+                lag(l_quantity, 1, 0) OVER w AS shifted
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_orderkey
+                      ORDER BY l_linenumber, l_quantity)""",
+
+    // dense 5-bin histogram per order; quantity = 50 falls outside the
+    // half-open top bin, like the GSL histogram it mirrors
+    "apply_histogram" ->
+      """WITH keys AS (SELECT DISTINCT l_orderkey FROM lineitem),
+         cnt AS (SELECT l_orderkey,
+                        CAST(floor(l_quantity / 10) AS BIGINT) AS b,
+                        count(*) AS c
+                 FROM lineitem
+                 WHERE l_quantity >= 0 AND l_quantity < 50 GROUP BY 1, 2)
+         SELECT k.l_orderkey, CAST(t.i + 1 AS BIGINT) AS pos,
+                CAST(coalesce(cnt.c, 0) AS BIGINT) AS cnt
+         FROM keys k CROSS JOIN range(5) t(i)
+         LEFT JOIN cnt ON cnt.l_orderkey = k.l_orderkey AND cnt.b = t.i""",
+
+    // direct DFT rebuilt with a per-order self-join: coefficient k is
+    // sum_j x_j * (cos, sin)(-2 pi k j / n), GSL-packed interleaved
+    "apply_fft" ->
+      """WITH cells AS (
+           SELECT l_orderkey,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_quantity) - 1 AS j,
+                  l_quantity AS x,
+                  count(*) OVER (PARTITION BY l_orderkey) AS n
+           FROM lineitem),
+         coefs AS (
+           SELECT k.l_orderkey, k.j AS k,
+                  round(sum(c.x * cos(-2 * pi() * k.j * c.j / k.n)), 4)
+                    + 0.0 AS re,
+                  round(sum(c.x * sin(-2 * pi() * k.j * c.j / k.n)), 4)
+                    + 0.0 AS im
+           FROM cells k JOIN cells c ON c.l_orderkey = k.l_orderkey
+           GROUP BY 1, 2, k.n)
+         SELECT l_orderkey, CAST(2 * k + 1 AS BIGINT) AS pos, re AS coef
+         FROM coefs
+         UNION ALL
+         SELECT l_orderkey, CAST(2 * k + 2 AS BIGINT) AS pos, im AS coef
+         FROM coefs""",
+
     "intercube_corr" ->
       """SELECT l_orderkey,
                 round(corr(l_quantity, l_extendedprice), 3) + 0.0 AS corr_qp
@@ -1081,6 +1227,21 @@ object SparkEntry {
          FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
          GROUP BY 1, 2
          ORDER BY revenue DESC, c_custkey LIMIT 10""",
+
+    "join_asof" ->
+      """SELECT c.user_id, c.event_id, epoch_ms(c.ts) AS ts_ms,
+                epoch_ms(p.ts) AS pts_ms, round(p.value, 2) AS purch_value
+         FROM (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'click') c
+         ASOF JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND c.ts >= p.ts""",
+
+    "join_range" ->
+      """SELECT i AS band, count(*) AS n, round(sum(o_totalprice), 2) AS sv
+         FROM range(600) t(i) JOIN orders
+           ON o_totalprice >= i * 950 AND o_totalprice < i * 950 + 950
+         GROUP BY 1""",
 
     "grouping_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
@@ -1297,6 +1458,23 @@ object SparkEntry {
                   AS j3
          FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""",
 
+    // min reachable id per vertex = transitive closure + min; the
+    // Spark side must converge to the same fixpoint
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+         v AS (SELECT l_orderkey * 8 + l_linenumber AS id FROM lineitem),
+         e AS (SELECT a.l_orderkey * 8 + a.l_linenumber AS src,
+                      b.l_orderkey * 8 + b.l_linenumber AS dst
+               FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey
+                AND b.l_linenumber = a.l_linenumber + 1),
+         sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         r(id, lbl) AS (
+           SELECT id, id FROM v
+           UNION
+           SELECT r.id, s.dst FROM r JOIN sym s ON r.lbl = s.src)
+         SELECT id AS vertex_id, min(lbl) AS cluster_id FROM r GROUP BY 1""",
+
     "text_stats" ->
       """SELECT doc_id,
                 CAST(length(text) AS BIGINT) AS n_chars_c,
@@ -1381,6 +1559,14 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
                 event_type, count(*) AS n, round(sum(value), 2) AS sv
          FROM events GROUP BY 1, 2""",
+
+    "sample_stratified" ->
+      """SELECT event_id, event_type,
+                CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY (event_id * 2654435761) % 1000000007, event_id)
+                  AS BIGINT) AS rk
+         FROM events
+         QUALIFY rk <= 50""",
 
     "events_sessions" ->
       """SELECT user_id,

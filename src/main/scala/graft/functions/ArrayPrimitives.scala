@@ -121,6 +121,74 @@ object ArrayPrimitives {
         case "oph_head" => slice(a(0), 1, num(1).toInt)
         case "oph_tail" =>
           slice(a(0), -num(1).toInt, num(1).toInt)
+        // sorted copy of the cell (reference oph_gsl_sort)
+        case "oph_sort" | "oph_gsl_sort" => array_sort(a(0))
+        // shift(a, offset, fill): move elements offset places toward
+        // higher indices (negative = toward lower), vacated slots get
+        // the fill value — one indexed pass, any |offset|
+        case "oph_shift" =>
+          val arr = a(0); val k = num(1).toInt
+          val fill = if (args.length > 2) num(2) else 0.0
+          transform(sequence(lit(1), size(arr)), i => {
+            val src = i - lit(k)
+            when(src >= 1 && src <= size(arr), element_at(arr, src))
+              .otherwise(lit(fill))
+          })
+        // rotate(a, offset): circular shift (reference oph_rotate)
+        case "oph_rotate" =>
+          val arr = a(0); val k = num(1).toInt
+          transform(sequence(lit(1), size(arr)), i =>
+            element_at(arr, pmod(i - lit(k) - 1, size(arr)) + 1))
+        // padding(a, size, value): right-pad up to `size` elements
+        case "oph_padding" =>
+          val arr = a(0)
+          val fill = if (args.length > 2) num(2) else 0.0
+          concat(arr, array_repeat(lit(fill),
+            greatest(lit(num(1).toInt) - size(arr), lit(0))))
+        // extend(a, k): replicate each element k times in place
+        case "oph_extend" =>
+          flatten(transform(a(0), x => array_repeat(x, num(1).toInt)))
+        // interlace(a, b): alternate elements of two equal-length cells
+        case "oph_interlace" =>
+          flatten(zip_with(a(0), a(1), (x, y) => array(x, y)))
+        // concat two cells end to end (reference oph_concat)
+        case "oph_concat" => concat(a(0), a(1))
+        // find(a, v): number of elements equal to v
+        case "oph_find" =>
+          size(filter(a(0), x => x === lit(num(1)))).cast("long")
+        // gsl_histogram(a, nbins, lo, hi): per-bin counts over
+        // uniform bins [lo + i*w, lo + (i+1)*w), upper bound exclusive,
+        // out-of-range values ignored (GSL semantics)
+        case "oph_gsl_histogram" =>
+          val arr = a(0); val nb = num(1).toInt
+          val lo = num(2); val hi = num(3)
+          val w = (hi - lo) / nb
+          transform(sequence(lit(0), lit(nb - 1)), b =>
+            size(filter(arr, x =>
+              x >= lit(lo) + b.cast("double") * lit(w) &&
+                x < lit(lo) + (b + 1).cast("double") * lit(w)))
+              .cast("long"))
+        // gsl_fft(a): discrete Fourier transform of the real cell,
+        // returned GSL-packed as [re0, im0, re1, im1, ...]. The O(n^2)
+        // direct form stays entirely inside codegen'd HOFs — in-cell
+        // arrays are short (a time series per cell), so n^2 tiny
+        // in-register passes beat shipping cells to any native FFT
+        case "oph_gsl_fft" =>
+          val arr = a(0)
+          val n = size(arr)
+          flatten(transform(sequence(lit(0), n - 1), k => {
+            def term(trig: Column => Column): Column =
+              aggregate(sequence(lit(0), n - 1), lit(0.0), (acc, j) =>
+                acc + element_at(arr, j.cast("int") + 1) *
+                  trig(lit(-2.0 * math.Pi) * k.cast("double") *
+                    j.cast("double") / n.cast("double")))
+            array(term(cos), term(sin))
+          }))
+        // GSL aliases for reductions already in the surface
+        case "oph_gsl_sd" => CubeOps.reduceExpr(a(0), "std")
+        case "oph_gsl_quantile" =>
+          CubeOps.reduceExpr(a(0), "quantile", num(1))
+        case "oph_gsl_boxplot" => compile(Call("oph_boxplot", args), measure)
         case other =>
           throw new IllegalArgumentException(s"unknown primitive '$other'")
       }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Join operators Spark lacks natively, built for the 100 TB shape.
+ *
+ * The reference engine's workload is relational-over-cubes, but a
+ * large-scale pipeline constantly needs two non-equi joins: the as-of
+ * join (latest state at event time) and the interval/range join. The
+ * naive formulations — `a JOIN b ON a.k = b.k AND a.t >= b.t` with an
+ * argmax, or an inequality-only theta join — degrade to per-key
+ * cartesian products (Spark plans them as BroadcastNestedLoopJoin or
+ * an exploded SortMergeJoin). Both operators here are ONE equi-shuffle
+ * each, so they scale linearly with input instead of quadratically
+ * with key group size.
+ */
+object Joins {
+
+  /**
+   * As-of join: for every left row, attach the payload of the right
+   * row with the greatest `rightTime` <= `leftTime` (backward,
+   * inclusive; `strict=true` uses < instead) within the same key group.
+   *
+   * Implementation: tag the two sides, UNION them into one relation,
+   * and run a single `last(payload, ignoreNulls)` window pass ordered
+   * by (time, side). Each left row then carries the most recent
+   * preceding right payload. This is one shuffle on the key — no range
+   * explosion, no per-key argmax subquery — the standard
+   * linear-scan formulation of as-of used by time-series engines.
+   *
+   * Left rows with no preceding right row are dropped (inner as-of).
+   * Ties between right rows at the same instant resolve to the
+   * largest payload tuple, deterministically.
+   *
+   * @param payload right-side columns to carry (must not collide with
+   *                left column names; `rightTime` is exposed as
+   *                `matched_<rightTime>`)
+   */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      strict: Boolean = false): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val matchedTime = s"matched_$rightTime"
+    // side ordering at equal times decides inclusivity: right-first
+    // (0) lets an equal-time right row match (>=); left-first is <
+    val (rightSide, leftSide) = if (strict) (1, 0) else (0, 1)
+    val r = right.select(
+      (keys.map(col) :+ col(rightTime).as("__t") :+
+        lit(rightSide).as("__side") :+
+        col(rightTime).as(matchedTime)) ++
+        payload.map(col) ++
+        leftCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val l = left.select(
+      (keys.map(col) :+ col(leftTime).as("__t") :+
+        lit(leftSide).as("__side") :+
+        lit(null).cast(right.schema(rightTime).dataType).as(matchedTime)) ++
+        payload.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(c)) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+    // deterministic tie-break among equal-time right rows: the payload
+    // tuple itself (only compares rows that are already time-equal)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col("__t") +: col("__side") +:
+        (matchedTime +: payload).map(col)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = r.unionByName(l)
+    // one select so every windowed fill sorts on the ORIGINAL columns
+    val filled = u.select(
+      u.columns.filterNot((matchedTime +: payload).contains).map(col) ++
+        (matchedTime +: payload).map(p =>
+          last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+    filled.filter(col("__side") === leftSide && col(matchedTime).isNotNull)
+      .select((keys ++ leftCols.filterNot(keys.contains) ++
+        (matchedTime +: payload)).map(col): _*)
+  }
+
+  /**
+   * Range (interval) join: match each fact row to every interval
+   * containing its value (`lo <= v < hi`).
+   *
+   * Implementation: quantize both sides to fixed-width bins — facts
+   * get ONE bin each, intervals explode to the bins they overlap —
+   * then equi-join on the bin and re-check the exact bounds. A fact
+   * meets an interval in at most one bin (the fact's own), so no
+   * dedup pass is needed. Shuffle volume is |facts| + |intervals| x
+   * (interval_len / binWidth): pick binWidth near the typical
+   * interval length and the join is linear, where the theta-join
+   * Spark would otherwise plan is |facts| x |intervals|.
+   */
+  def rangeJoinBinned(facts: DataFrame, valueCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binWidth: Double): DataFrame = {
+    val f = facts.withColumn("__bin",
+      floor(col(valueCol) / binWidth).cast("long"))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    f.join(iv, Seq("__bin"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__bin")
+  }
+}

@@ -213,4 +213,61 @@ object Dedup {
     size(array_intersect(ga, gb)).cast("double") /
       size(array_union(ga, gb)).cast("double")
   }
+
+  /**
+   * Connected components over a candidate-pair edge list — the step
+   * that turns pairwise duplicate hits (minhash/simhash/embedding
+   * candidates) into dedup CLUSTERS: every vertex gets the minimum
+   * vertex id reachable from it, so "keep one doc per cluster" is a
+   * groupBy(cluster).min(id) away.
+   *
+   * Algorithm: min-label propagation with pointer jumping. Each round
+   * first takes the min label over the vertex's neighborhood
+   * (one join + one groupBy), then short-circuits label chains by
+   * replacing every label with its label's label (one self-join) —
+   * the path-halving step that makes convergence O(log diameter)
+   * rounds instead of O(diameter), which is what lets a crawl-scale
+   * graph with long duplicate chains finish in single-digit rounds.
+   * Each round is a fixed number of equi-shuffles on vertex id; the
+   * per-round `localCheckpoint` truncates the growing lineage (on a
+   * real cluster point `spark.sparkContext.setCheckpointDir` at
+   * durable storage and swap in `checkpoint()`).
+   *
+   * @param vertices one `id` column (LongType); isolated vertices
+   *                 become their own singleton cluster
+   * @param edges    `src`/`dst` columns; direction is ignored
+   * @return (vertex_id, cluster_id) with cluster_id = min reachable id
+   */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxRounds: Int = 25): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = vertices.select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // neighborhood min: own label vs the min of neighbors' labels
+      val nbr = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val stepped = labels.unionByName(nbr)
+        .groupBy("id").agg(min("label").as("label"))
+      // pointer jump: label := label's label (labels are vertex ids,
+      // so every label resolves; min-propagation keeps it monotone)
+      val l2 = stepped.as("a")
+        .join(stepped.as("b"), col("a.label") === col("b.id"))
+        .select(col("a.id"), col("b.label").as("label"))
+        .localCheckpoint(true)
+      converged = l2.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = l2
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxRounds rounds")
+    labels.select(col("id").as("vertex_id"), col("label").as("cluster_id"))
+  }
 }

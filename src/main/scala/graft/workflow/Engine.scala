@@ -94,7 +94,11 @@ object Engine {
     "oph_mul_array", "oph_div_array", "oph_predicate", "oph_max", "oph_min",
     "oph_sum", "oph_avg", "oph_count", "oph_std", "oph_var", "oph_arg_max",
     "oph_arg_min", "oph_quantile", "oph_moving_avg", "oph_boxplot",
-    "oph_reverse", "oph_head", "oph_tail")
+    "oph_reverse", "oph_head", "oph_tail",
+    "oph_sort", "oph_gsl_sort", "oph_shift", "oph_rotate", "oph_padding",
+    "oph_extend", "oph_interlace", "oph_concat", "oph_find",
+    "oph_gsl_histogram", "oph_gsl_fft", "oph_gsl_sd", "oph_gsl_quantile",
+    "oph_gsl_boxplot")
 
   /** Concept hierarchies (oph_hierarchy; the reference ships XML
     * hierarchy documents — time levels drive aggregate2/reduce2). */
