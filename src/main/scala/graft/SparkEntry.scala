@@ -45,7 +45,7 @@ object SparkEntry {
       explicitDims = Seq("l_orderkey", "l_linenumber", "l_returnflag"))
 
   /** Dense 2-implicit-dim cube from orders: per priority `p`, a
-    * row-major (year 1992-1998 x month 1-12) grid of ORDER COUNTS
+    * row-major (year 1995-2001 x month 1-12) grid of ORDER COUNTS
     * (integers — exact in doubles). Missing (y, m) cells are 0, so the
     * grid is dense by construction and the reduce2/permute2 stride
     * arithmetic applies. Built with a two-level aggregation: the
@@ -64,7 +64,7 @@ object SparkEntry {
     val df = maps.withColumn("n_orders",
       transform(sequence(lit(0), lit(83)), k =>
         coalesce(element_at(col("__kv"),
-          ((floor(k / 12) + 1992) * 100 + pmod(k, lit(12)) + 1).cast("int")),
+          ((floor(k / 12) + 1995) * 100 + pmod(k, lit(12)) + 1).cast("int")),
           lit(0.0))))
       .drop("__kv")
     Cube(df, CubeDescriptor(0, 0, "grid2", "/", "n_orders", "double", 0,
@@ -962,6 +962,18 @@ object SparkEntry {
           col("__v").cast("long").as("n"))
     }),
 
+    "reduce2_outer" -> ((s, dir) => {
+      // reduce along the OUTER dim (year) of the same dense grid ->
+      // a 12-cell monthly profile per priority; exercises the strided
+      // (non-contiguous) reduction path of the 2-implicit-dim layout
+      val c = ordersGrid2(s, dir)
+      val red = CubeOps.reduce2(c, "y", "sum")
+      red.df.select(col("p"),
+          posexplode(col("n_orders")).as(Seq("__p", "__v")))
+        .select(col("p"), (col("__p") + 1).cast("long").as("mpos"),
+          col("__v").cast("long").as("n"))
+    }),
+
     "permute2_flat" -> ((s, dir) => {
       // transpose the (year x month) grid to (month x year) and flatten
       // with the row-major index arithmetic of the NEW shape
@@ -1414,7 +1426,7 @@ object SparkEntry {
          SELECT pos, round(avg(l_quantity), 4) AS qty FROM p GROUP BY pos""",
 
     "reduce2_inner" ->
-      """WITH years AS (SELECT 1992 + i AS y, i + 1 AS ypos FROM range(7) t(i)),
+      """WITH years AS (SELECT 1995 + i AS y, i + 1 AS ypos FROM range(7) t(i)),
          prio AS (SELECT DISTINCT o_orderpriority AS p FROM orders),
          agg AS (SELECT o_orderpriority AS p, year(o_orderdate) AS y,
                         count(*) AS c
@@ -1423,8 +1435,18 @@ object SparkEntry {
          FROM prio CROSS JOIN years
          LEFT JOIN agg ON agg.p = prio.p AND agg.y = years.y""",
 
+    "reduce2_outer" ->
+      """WITH months AS (SELECT 1 + i AS m, i + 1 AS mpos FROM range(12) t(i)),
+         prio AS (SELECT DISTINCT o_orderpriority AS p FROM orders),
+         agg AS (SELECT o_orderpriority AS p, month(o_orderdate) AS m,
+                        count(*) AS c
+                 FROM orders GROUP BY 1, 2)
+         SELECT prio.p AS p, months.mpos AS mpos, coalesce(agg.c, 0) AS n
+         FROM prio CROSS JOIN months
+         LEFT JOIN agg ON agg.p = prio.p AND agg.m = months.m""",
+
     "permute2_flat" ->
-      """WITH years AS (SELECT 1992 + i AS y, i + 1 AS ypos FROM range(7) t(i)),
+      """WITH years AS (SELECT 1995 + i AS y, i + 1 AS ypos FROM range(7) t(i)),
          months AS (SELECT 1 + i AS m, i + 1 AS mpos FROM range(12) t(i)),
          prio AS (SELECT DISTINCT o_orderpriority AS p FROM orders),
          agg AS (SELECT o_orderpriority AS p, year(o_orderdate) AS y,

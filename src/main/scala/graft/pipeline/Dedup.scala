@@ -242,16 +242,27 @@ object Dedup {
       maxRounds: Int = 25): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = vertices.select(col("id"), col("id").as("label"))
+    // the vertex SET: callers may hand a frame with repeated ids, and
+    // a duplicate id would multiply rows through the pointer-jump
+    // self-join every round — exponentially. One distinct up front
+    // keeps `labels` unique-by-id, which every later join relies on.
+    var labels = vertices.select(col("id")).distinct()
+      .withColumn("label", col("id"))
       .localCheckpoint(true)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      // neighborhood min: own label vs the min of neighbors' labels
-      val nbr = sym.join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-      val stepped = labels.unionByName(nbr)
-        .groupBy("id").agg(min("label").as("label"))
+      // neighborhood min: own label vs the min of neighbors' labels —
+      // a left join + least() rather than a union+groupBy (fewer rows
+      // through the shuffle, and unioning a frame with a derivation of
+      // itself trips Catalyst's union constraint rewriting)
+      val nbrMin = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst")).agg(min("label").as("nlbl"))
+        .select(col("dst").as("id"), col("nlbl"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlbl"), col("label")))
+            .as("label"))
       // pointer jump: label := label's label (labels are vertex ids,
       // so every label resolves; min-propagation keeps it monotone)
       val l2 = stepped.as("a")

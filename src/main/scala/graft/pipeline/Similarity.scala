@@ -123,21 +123,75 @@ object Similarity {
    */
   def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
       nClusters: Int = 16): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val norm = sqrt(F.aggregate(col("vec"),
       lit(0.0), (a, x) => a + x * x))
     val feats = emb.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("nvecn", when(norm > 0,
+      .withColumn("nvec", when(norm > 0,
         transform(col("vec"), x => x / norm)).otherwise(col("vec")))
-      .withColumn("features", array_to_vector(col("nvecn")))
-    val model = new KMeans().setK(nClusters).setSeed(42).setMaxIter(10)
-      .fit(feats)
-    val assigned = model.transform(feats)
-      .select(col("id"), col("vec"), col("prediction").as("cell"))
+    // IVF training is ALWAYS on a bounded sample (~200 points per
+    // centroid, the FAISS heuristic), so run spherical k-means on the
+    // DRIVER over that sample — a few MB and a few ms — instead of
+    // iterating distributed jobs over the corpus. The cluster then
+    // does what a cluster is for: ONE codegen'd assignment pass
+    // scoring every vector against the 16 broadcast centroid
+    // literals. At 100 TB that is the difference between maxIter full
+    // scans and a single one.
+    val targetTrain = 200L * nClusters
+    val sampled = feats.select(col("id"), col("nvec"))
+      .orderBy(xxhash64(col("id"))).limit(targetTrain.toInt)
+    val train: Array[Array[Double]] = sampled
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(train.length >= nClusters,
+      s"IVF: ${train.length} training vectors for $nClusters cells")
+    val dim = train.head.length
+    // deterministic init: evenly spaced points of the (hash-ordered)
+    // sample; Lloyd with centroid renormalization (spherical k-means,
+    // monotone with the cosine rerank metric); empty cells keep their
+    // previous centroid
+    var centroids = Array.tabulate(nClusters)(i =>
+      train(((i.toLong * train.length) / nClusters).toInt).clone())
+    def nearest(v: Array[Double]): Int = {
+      var best = 0; var bestDot = Double.MinValue; var c = 0
+      while (c < centroids.length) {
+        var dot = 0.0; var j = 0
+        val cen = centroids(c)
+        while (j < dim) { dot += v(j) * cen(j); j += 1 }
+        if (dot > bestDot) { bestDot = dot; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 0 until 10) {
+      val sums = Array.fill(nClusters)(new Array[Double](dim))
+      val counts = new Array[Long](nClusters)
+      train.foreach { v =>
+        val c = nearest(v); counts(c) += 1
+        var j = 0; while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
+      centroids = Array.tabulate(nClusters) { c =>
+        if (counts(c) == 0) centroids(c)
+        else {
+          val s = sums(c)
+          val n = math.sqrt(s.map(x => x * x).sum)
+          if (n > 0) s.map(_ / n) else s
+        }
+      }
+    }
+    // distributed assignment: argmax dot against the centroid table,
+    // shipped as ONE 2-D constant literal (16 separate 64-element
+    // literal arrays would bloat the generated code past what janino
+    // compiles quickly; a single constant keeps the codegen tree tiny)
+    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val dots = transform(centLit, c =>
+      F.aggregate(zip_with(col("nvec"), c, (x, y) => x * y),
+        lit(0.0), (a, x) => a + x))
+    val assigned = feats
+      .withColumn("cell",
+        (array_position(dots, array_max(dots)) - 1).cast("int"))
+      .select(col("id"), col("vec"), col("cell"))
       .persist()
-    IvfIndex(model.clusterCenters.map(_.toArray), assigned)
+    IvfIndex(centroids, assigned)
   }
 
   /**

@@ -75,7 +75,7 @@ object ArgSpecs {
     a("imp_concept_level"), a("hierarchy"), a("units"),
     a("calendar"), a("vocabulary"), enum("compressed", yesNo: _*),
     enum("base_time", Seq.empty: _*), a("ioserver"),
-    a("nhost"), a("nfrag"), a("ndb"), a("ndbms"),
+    a("nhost"), a("nfrag"), a("ndb"), a("ndbms"), a("host_partition"),
     enum("check_compliance", yesNo: _*), a("dim"), a("dim_pos"))
 
   /** Per-operator descriptors. An operator absent from this map skips

@@ -164,6 +164,13 @@ final class Engine(
     * oph_for branches register cubes simultaneously). */
   private val cubes = scala.collection.concurrent.TrieMap[String, Cube]()
 
+  /** User-deployed host partitions (oph_cluster deploy/undeploy,
+    * `oph_management_operators.c:2736`): name -> host count. Imports
+    * naming a `host_partition` inherit its nhost as their
+    * fragmentation default. */
+  private val hostPartitions =
+    scala.collection.concurrent.TrieMap[String, Int]()
+
   /** LRU bookkeeping for the cube store: every lookup/registration
     * stamps a monotone tick; past the cap the stalest PID is dropped.
     * A dangling reference to an evicted cube fails loudly ("no such
@@ -1285,8 +1292,31 @@ final class Engine(
             .option("measure", measure).load(p))
           dfs.reduce(_.unionByName(_))
         } else spark.read.parquet(paths: _*)
-        val c = CubeOps.build(raw, measure, exp, imp,
+        val c0 = CubeOps.build(raw, measure, exp, imp,
           args.getOrElse("container", "container"), path)
+        // fragmentation knobs (reference storage layout: nhost hosts x
+        // ndbms x ndb x nfrag fragments): map the requested fragment
+        // count onto Spark partitioning, hash-distributed on the first
+        // explicit dim so same-key rows stay co-located like rows of
+        // one fragment do
+        // a named host_partition (oph_cluster deploy) supplies the
+        // host count when nhost isn't given explicitly
+        val partHosts = args.get("host_partition").map(p =>
+          hostPartitions.getOrElse(p, throw new Engine.EngineError(
+            s"import: no host partition '$p' deployed")))
+        val fragKnobs = Seq("nhost", "ndbms", "ndb", "nfrag")
+          .map(k => args.get(k).map(_.toInt))
+          .updated(0, args.get("nhost").map(_.toInt).orElse(partHosts))
+        val c =
+          if (fragKnobs.forall(_.isEmpty)) c0
+          else {
+            val parts = fragKnobs.flatten.product max 1
+            val df = exp.headOption match {
+              case Some(d) => c0.df.repartition(parts, col(d))
+              case None => c0.df.repartition(parts)
+            }
+            Cube(df, c0.desc)
+          }
         val pid = register(c, args.getOrElse("container", "container"),
           args.getOrElse("cwd", "/"), sourceTask = Some(op))
         TaskResult(JobStatus.Completed, cubePid = Some(pid))
@@ -2140,9 +2170,37 @@ final class Engine(
             .map { case (k, v) => s"$k=$v" }.mkString(";"))
 
       case "oph_cluster" =>
-        TaskResult(JobStatus.Completed, message =
-          s"cores=${spark.sparkContext.defaultParallelism};" +
-          s"master=${spark.sparkContext.master}")
+        // reference actions (`oph_management_operators.c:2745-2758`):
+        // info (default) / info_cluster list deployments; deploy
+        // allocates a named host partition; undeploy releases it
+        args.getOrElse("action", "info") match {
+          case "deploy" =>
+            val name = args.getOrElse("host_partition",
+              throw new Engine.EngineError("cluster deploy: missing host_partition"))
+            val n = args.getOrElse("nhost",
+              throw new Engine.EngineError("cluster deploy: missing nhost")).toInt
+            if (n <= 0)
+              throw new Engine.EngineError("cluster deploy: nhost must be > 0")
+            if (hostPartitions.putIfAbsent(name, n).isDefined)
+              throw new Engine.EngineError(
+                s"cluster deploy: partition '$name' already deployed")
+            TaskResult(JobStatus.Completed, message = s"$name:$n")
+          case "undeploy" =>
+            val name = args.getOrElse("host_partition",
+              throw new Engine.EngineError("cluster undeploy: missing host_partition"))
+            if (hostPartitions.remove(name).isEmpty)
+              throw new Engine.EngineError(
+                s"cluster undeploy: no partition '$name'")
+            TaskResult(JobStatus.Completed, message = name)
+          case "info" | "info_cluster" =>
+            val deployed = hostPartitions.toSeq.sortBy(_._1)
+              .map { case (n, h) => s"$n:$h" }.mkString("|")
+            TaskResult(JobStatus.Completed, message =
+              s"cores=${spark.sparkContext.defaultParallelism};" +
+              s"master=${spark.sparkContext.master};partitions=$deployed")
+          case other =>
+            throw new Engine.EngineError(s"cluster: wrong action '$other'")
+        }
 
       case "oph_cancel" =>
         val wfId = args.getOrElse("id", workflowSeq.toString).toInt

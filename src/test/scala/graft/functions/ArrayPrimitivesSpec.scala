@@ -68,4 +68,70 @@ class ArrayPrimitivesSpec extends SparkSpec {
     assert(eval("oph_tail(measure, 2)", Seq(1.0, 2.0, 3.0)) == Seq(2.0, 3.0))
     assert(eval("oph_reverse(measure)", Seq(1.0, 2.0)) == Seq(2.0, 1.0))
   }
+
+  test("sort and gsl alias") {
+    assert(eval("oph_sort(measure)", Seq(3.0, 1.0, 2.0)) == Seq(1.0, 2.0, 3.0))
+    assert(eval("oph_gsl_sort(measure)", Seq(2.0, 1.0)) == Seq(1.0, 2.0))
+    assert(eval("oph_gsl_sd(measure)", Seq(2.0, 4.0)) == 1.0)
+  }
+
+  test("shift fills vacated slots; any offset magnitude") {
+    assert(eval("oph_shift(measure, 1, 0)", Seq(1.0, 2.0, 3.0)) ==
+      Seq(0.0, 1.0, 2.0))
+    assert(eval("oph_shift(measure, -2, 9)", Seq(1.0, 2.0, 3.0)) ==
+      Seq(3.0, 9.0, 9.0))
+    assert(eval("oph_shift(measure, 5, 7)", Seq(1.0, 2.0)) == Seq(7.0, 7.0))
+  }
+
+  test("rotate is circular in both directions") {
+    assert(eval("oph_rotate(measure, 1)", Seq(1.0, 2.0, 3.0)) ==
+      Seq(3.0, 1.0, 2.0))
+    assert(eval("oph_rotate(measure, -1)", Seq(1.0, 2.0, 3.0)) ==
+      Seq(2.0, 3.0, 1.0))
+    assert(eval("oph_rotate(measure, 4)", Seq(1.0, 2.0, 3.0)) ==
+      Seq(3.0, 1.0, 2.0))
+  }
+
+  test("padding/extend/interlace/concat reshape cells") {
+    assert(eval("oph_padding(measure, 4, 0)", Seq(1.0, 2.0)) ==
+      Seq(1.0, 2.0, 0.0, 0.0))
+    assert(eval("oph_padding(measure, 1, 0)", Seq(1.0, 2.0)) == Seq(1.0, 2.0))
+    assert(eval("oph_extend(measure, 2)", Seq(1.0, 2.0)) ==
+      Seq(1.0, 1.0, 2.0, 2.0))
+    assert(eval("oph_interlace(measure, oph_mul_scalar(measure, 10))",
+      Seq(1.0, 2.0)) == Seq(1.0, 10.0, 2.0, 20.0))
+    assert(eval("oph_concat(measure, oph_reverse(measure))", Seq(1.0, 2.0)) ==
+      Seq(1.0, 2.0, 2.0, 1.0))
+  }
+
+  test("find counts matching elements") {
+    assert(eval("oph_find(measure, 2)", Seq(2.0, 1.0, 2.0)) == 2L)
+    assert(eval("oph_find(measure, 9)", Seq(2.0, 1.0)) == 0L)
+  }
+
+  test("gsl_histogram: uniform bins, upper bound exclusive") {
+    assert(eval("oph_gsl_histogram(measure, 3, 0, 30)",
+      Seq(5.0, 15.0, 15.0, 29.0, 30.0, -1.0)) == Seq(1L, 2L, 1L))
+  }
+
+  test("gsl_fft matches a naive DFT") {
+    val xs = Seq(1.0, 2.0, 3.0, 5.0)
+    val n = xs.length
+    val expected = (0 until n).flatMap { k =>
+      val re = xs.zipWithIndex.map { case (x, j) =>
+        x * math.cos(-2 * math.Pi * k * j / n) }.sum
+      val im = xs.zipWithIndex.map { case (x, j) =>
+        x * math.sin(-2 * math.Pi * k * j / n) }.sum
+      Seq(re, im)
+    }
+    val got = eval("oph_gsl_fft(measure)", xs)
+      .asInstanceOf[scala.collection.Seq[Any]]
+      .map(_.asInstanceOf[Double]).toSeq
+    assert(got.length == 2 * n)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-9, s"got $g expected $e") }
+    // parseval sanity: sum |X_k|^2 = n * sum x_j^2
+    val energy = got.grouped(2).map(p => p(0) * p(0) + p(1) * p(1)).sum
+    assert(math.abs(energy - n * xs.map(x => x * x).sum) < 1e-9)
+  }
 }

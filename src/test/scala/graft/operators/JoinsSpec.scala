@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof picks the latest right row at or before each left time") {
+    val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 110.0), (2L, 5L, 50.0))
+      .toDF("k", "t", "px")
+    val trades = Seq((1L, 10L, "a"), (1L, 15L, "b"), (1L, 25L, "c"),
+      (2L, 4L, "d"), (3L, 9L, "e")).toDF("k", "t", "tag")
+    val out = Joins.asof(trades, quotes, Seq("k"), "t", "t", Seq("px"))
+      .select($"k", $"t", $"tag", $"matched_t", $"px")
+      .as[(Long, Long, String, Long, Double)].collect().toSet
+    // t=10 matches the equal-time quote (inclusive); t=15 the t=10 one;
+    // t=25 the t=20 one; k=2 t=4 has no preceding quote -> dropped;
+    // k=3 has no quotes at all -> dropped
+    assert(out == Set((1L, 10L, "a", 10L, 100.0), (1L, 15L, "b", 10L, 100.0),
+      (1L, 25L, "c", 20L, 110.0)))
+  }
+
+  test("asof strict mode excludes equal-time matches") {
+    val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 110.0)).toDF("k", "t", "px")
+    val trades = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "t", "tag")
+    val out = Joins.asof(trades, quotes, Seq("k"), "t", "t", Seq("px"),
+      strict = true)
+      .select($"t", $"tag", $"matched_t").as[(Long, String, Long)]
+      .collect().toSet
+    // t=10 has no STRICTLY earlier quote; t=20 matches the t=10 quote
+    assert(out == Set((20L, "b", 10L)))
+  }
+
+  test("asof resolves equal-time right ties deterministically (max payload)") {
+    val quotes = Seq((1L, 10L, 100.0), (1L, 10L, 105.0)).toDF("k", "t", "px")
+    val trades = Seq((1L, 12L, "a")).toDF("k", "t", "tag")
+    val out = Joins.asof(trades, quotes, Seq("k"), "t", "t", Seq("px"))
+      .select($"px").as[Double].collect().toSeq
+    assert(out == Seq(105.0))
+  }
+
+  test("range join matches containment across bin boundaries, no dups") {
+    // interval [5, 25) spans several width-4 bins; values on both
+    // boundaries check half-open semantics
+    val iv = Seq((1L, 5.0, 25.0), (2L, 20.0, 30.0)).toDF("iid", "lo", "hi")
+    val facts = Seq(4.9, 5.0, 13.0, 20.0, 24.9, 25.0, 29.0).map(Tuple1(_))
+      .toDF("v")
+    val out = Joins.rangeJoinBinned(facts, "v", iv, "lo", "hi", 4.0)
+      .select($"iid", $"v").as[(Long, Double)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+    assert(out.values.forall(_ == 1), "each (interval, fact) at most once")
+    assert(out.keySet == Set((1L, 5.0), (1L, 13.0), (1L, 20.0), (1L, 24.9),
+      (2L, 20.0), (2L, 24.9), (2L, 25.0), (2L, 29.0)))
+  }
+
+  test("range join plans an equi-join, not a nested-loop product") {
+    val iv = Seq((1L, 5.0, 25.0)).toDF("iid", "lo", "hi")
+    val facts = Seq(Tuple1(13.0)).toDF("v")
+    val plan = Joins.rangeJoinBinned(facts, "v", iv, "lo", "hi", 4.0)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Cross"), s"cartesian in plan:\n$plan")
+  }
+}

@@ -92,4 +92,27 @@ class DedupSpec extends SparkSpec {
     assert(ac == 0.0)
     assert(ab > 0.4 && ab < 1.0)
   }
+
+  test("connected components: chains, cliques, isolated vertices") {
+    // chain 1-2-3-4-5, clique 10-11-12, isolated 20; edge direction
+    // must not matter (3->2 reversed inside the chain)
+    val verts = (Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 20L))
+      .toDF("id")
+    val edges = Seq((1L, 2L), (3L, 2L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val got = Dedup.connectedComponents(verts, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("connected components converge on a long chain (pointer jumping)") {
+    val n = 200L
+    val verts = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Dedup.connectedComponents(verts, edges, maxRounds = 12)
+      .as[(Long, Long)].collect()
+    // a 200-hop chain collapses to one cluster well inside log-rounds
+    assert(got.length == n && got.forall(_._2 == 1L))
+  }
 }

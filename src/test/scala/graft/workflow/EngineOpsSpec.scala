@@ -197,4 +197,37 @@ class EngineOpsSpec extends SparkSpec {
     e.runDataOperator("oph_exportcsv", Map("cube" -> pid, "output_path" -> dir))
     assert(spark.read.option("header", "true").csv(dir).count() == 20) // 5 x 4
   }
+
+  test("fragmentation knobs map to cube partitioning") {
+    val e = engine()
+    val r = e.runDataOperator("oph_importnc", Map(
+      "src_path" -> sf("orders"), "measure" -> "o_totalprice",
+      "exp_dim" -> "o_orderkey", "container" -> "f",
+      "nhost" -> "3", "nfrag" -> "2"))
+    assert(e.cube(r.cubePid.get).get.df.rdd.getNumPartitions == 6)
+  }
+
+  test("cluster deploy/undeploy manages host partitions; imports use them") {
+    val e = engine()
+    // deploy a named partition and import against it
+    val d = e.runDataOperator("oph_cluster", Map(
+      "action" -> "deploy", "host_partition" -> "p1", "nhost" -> "4"))
+    assert(d.status == JobStatus.Completed && d.message == "p1:4")
+    intercept[Engine.EngineError](e.runDataOperator("oph_cluster", Map(
+      "action" -> "deploy", "host_partition" -> "p1", "nhost" -> "2")))
+    val info = e.runDataOperator("oph_cluster", Map("action" -> "info"))
+    assert(info.message.contains("partitions=p1:4"))
+    val imp = e.runDataOperator("oph_importnc", Map(
+      "src_path" -> sf("orders"), "measure" -> "o_totalprice",
+      "exp_dim" -> "o_orderkey", "container" -> "f",
+      "host_partition" -> "p1"))
+    assert(e.cube(imp.cubePid.get).get.df.rdd.getNumPartitions == 4)
+    // undeploy releases the name; a dangling reference fails loudly
+    e.runDataOperator("oph_cluster", Map(
+      "action" -> "undeploy", "host_partition" -> "p1"))
+    intercept[Engine.EngineError](e.runDataOperator("oph_importnc", Map(
+      "src_path" -> sf("orders"), "measure" -> "o_totalprice",
+      "exp_dim" -> "o_orderkey", "container" -> "f",
+      "host_partition" -> "p1")))
+  }
 }

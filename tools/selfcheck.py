@@ -74,8 +74,11 @@ def main(sf_dir, out_dir):
             n_pass += 1
         else:
             n_fail += 1
-            diff_g = [r for r in g if r not in set(map(tuple, w))][:3]
-            diff_w = [r for r in w if r not in set(map(tuple, g))][:3]
+            # hoist the sets: building them per-row is O(n^2) and hangs
+            # on a 100k-row mismatch
+            w_set, g_set = set(map(tuple, w)), set(map(tuple, g))
+            diff_g = [r for r in g if r not in w_set][:3]
+            diff_w = [r for r in w if r not in g_set][:3]
             print(f"FAIL {name}: rows spark={len(g)} oracle={len(w)}")
             print(f"  spark-only: {diff_g}")
             print(f"  oracle-only: {diff_w}")
