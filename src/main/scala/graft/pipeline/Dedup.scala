@@ -240,8 +240,12 @@ object Dedup {
    */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxRounds: Int = 25): DataFrame = {
+    // materialize the symmetric edge list ONCE — every round joins
+    // against it, and without this the (possibly expensive) edge
+    // derivation re-executes per round
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
     // the vertex SET: callers may hand a frame with repeated ids, and
     // a duplicate id would multiply rows through the pointer-jump
     // self-join every round — exponentially. One distinct up front
@@ -251,6 +255,14 @@ object Dedup {
       .localCheckpoint(true)
     var round = 0
     var converged = false
+    // labels only ever DECREASE (min-propagation is monotone), so the
+    // label sum is a strictly decreasing convergence witness — one
+    // cheap aggregate per round instead of a change-detection join.
+    // decimal(38,0): a long sum can overflow (and ANSI mode throws)
+    // on billions of large vertex ids
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     while (!converged && round < maxRounds) {
       // neighborhood min: own label vs the min of neighbors' labels —
       // a left join + least() rather than a union+groupBy (fewer rows
@@ -269,10 +281,9 @@ object Dedup {
         .join(stepped.as("b"), col("a.label") === col("b.id"))
         .select(col("a.id"), col("b.label").as("label"))
         .localCheckpoint(true)
-      converged = l2.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
+      val curSum = labelSum(l2)
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       labels = l2
       round += 1
     }
