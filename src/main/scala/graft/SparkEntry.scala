@@ -622,6 +622,19 @@ object SparkEntry {
       batch1.unionByName(batch2).filter(col("query_id") <= 3)
     }),
 
+    "simsearch_ivfpq" -> ((s, dir) => {
+      // IVF-PQ: the corpus index is (id, cell, m byte-codes) — 32×
+      // smaller than raw vectors. ADC scores candidates with table
+      // lookups; only the top k·refine survivors touch raw vectors for
+      // the exact rerank. Same fit-once/query-many pattern as IVF.
+      val index = Similarity.buildPqIndex(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        nClusters = 16, m = 8, nCodes = 16)
+      val batch1 = Similarity.pqTopK(index, Seq(1L, 2L, 3L), 5, nProbe = 4)
+      val batch2 = Similarity.pqTopK(index, Seq(4L, 5L), 5, nProbe = 4)
+      batch1.unionByName(batch2).filter(col("query_id") <= 3)
+    }),
+
     "embed_neardup" -> ((s, dir) => {
       // double the corpus so exact-duplicate vectors exist; LSH buckets
       // generate candidates, exact cosine >= tau verifies
@@ -730,6 +743,66 @@ object SparkEntry {
       s.table("events_stream_sessions")
         .groupBy(col("userId").cast("long").as("user_id"))
         .agg(max(col("sessions")).cast("long").as("n_sessions"))
+    }),
+
+    "events_stream_dedup" -> ((s, dir) => {
+      // streaming EXACT dedup inside the correctness gate: the stream
+      // is fed the SAME events file twice (two drops), so every event
+      // arrives twice; dropDuplicates holds one state entry per
+      // event_id and emits only the first arrival (append mode). The
+      // batch aggregation over the sink then hash-matches the
+      // single-corpus oracle — double-delivery fully cancelled.
+      import org.apache.spark.sql.types._
+      val drops = java.nio.file.Files.createTempDirectory("graft_stream_dd")
+      drops.toFile.deleteOnExit()
+      for (n <- Seq("a", "b"))
+        java.nio.file.Files.createSymbolicLink(
+          drops.resolve(s"events_$n.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet")
+            .toAbsolutePath.normalize)
+      val raw = s.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType))))
+        .parquet(drops.toString)
+      val deduped = graft.streaming.EventStream.dedupEvents(raw)
+      val q = deduped.writeStream.format("memory")
+        .queryName("events_stream_dedup").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("events_stream_dedup")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+    }),
+
+    "pipeline_corpus" -> ((s, dir) => {
+      // END-TO-END training-corpus preparation, the composition a 100 TB
+      // data pipeline actually runs: per-doc quality gate + language
+      // routing (pure codegen'd row expressions — no shuffle), exact
+      // dedup keeping the lowest doc_id per content hash (one shuffle on
+      // md5(text)), then a deterministic per-language budget sample by
+      // multiplicative-hash rank (one shuffle on lang). Every stage is
+      // oracle-verified in one hash via the composed DuckDB SQL.
+      val d = t(s, dir, "documents")
+      val scored = d.select(col("doc_id"), col("text"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val gated = scored
+        .filter(col("quality") > 0.5501 && col("lang") =!= "und")
+      val deduped = gated
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(1000000007L))
+      val ws = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
+      deduped.withColumn("rk", row_number().over(ws).cast("long"))
+        .filter(col("rk") <= 100)
+        .select(col("doc_id"), col("lang"), col("quality"),
+          col("n_tokens"), col("rk"))
     }),
 
     // ------------------------------------------- workflow engine e2e
@@ -1581,6 +1654,75 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
                 event_type, count(*) AS n, round(sum(value), 2) AS sv
          FROM events GROUP BY 1, 2""",
+
+    "events_stream_dedup" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
+         FROM events GROUP BY 1""",
+
+    "pipeline_corpus" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS tk,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n
+           FROM documents),
+         sc AS (
+           SELECT doc_id,
+             len(list_filter(tk, x -> x IN ('the','and','of','to','in','is','that','for'))) / n AS s_en,
+             len(list_filter(tk, x -> x IN ('der','die','und','das','ist','nicht','ein','mit'))) / n AS s_de,
+             len(list_filter(tk, x -> x IN ('le','la','et','les','des','est','une','dans'))) / n AS s_fr,
+             len(list_filter(tk, x -> x IN ('el','la','de','que','y','en','los','una'))) / n AS s_es
+           FROM toks),
+         lang AS (
+           SELECT doc_id,
+                CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                     WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                     WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                     WHEN s_en >= s_de THEN 'en'
+                     ELSE 'de' END AS lang
+           FROM sc),
+         qf AS (
+           SELECT doc_id,
+                  least(length(text) / 500.0, 1.0) AS len_score,
+                  CASE WHEN trim(text) = '' THEN 0.0
+                    ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                           x -> x IN ('the','and','of','to','in','is','that','for')))
+                         / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+                  END AS stop_ratio,
+                  CASE WHEN trim(text) = '' THEN 0.0
+                    ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> regexp_full_match(x, '[A-Za-z]+')))
+                         / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+                  END AS alpha_ratio,
+                  CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                         / CAST(length(text) AS DOUBLE) END AS punct_ratio
+           FROM documents),
+         q AS (
+           SELECT doc_id,
+                round((len_score + least(stop_ratio * 4.0, 1.0) + alpha_ratio
+                       + greatest(1.0 - punct_ratio * 5.0, 0.0)) / 4.0, 4) AS quality
+           FROM qf),
+         scored AS (
+           SELECT d.doc_id, d.text, l.lang, q.quality,
+                  CASE WHEN trim(d.text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(d.text), '\s+'))
+                  END AS n_tokens
+           FROM documents d
+           JOIN lang l USING (doc_id) JOIN q USING (doc_id)
+           WHERE q.quality > 0.5501 AND l.lang <> 'und'),
+         dedup AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM scored),
+         sampled AS (
+           SELECT doc_id, lang, quality,
+                  CAST(n_tokens AS BIGINT) AS n_tokens,
+                  CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id)
+                    AS BIGINT) AS rk
+           FROM dedup WHERE rn = 1)
+         SELECT doc_id, lang, quality, n_tokens, rk
+         FROM sampled WHERE rk <= 100""",
 
     "sample_stratified" ->
       """SELECT event_id, event_type,

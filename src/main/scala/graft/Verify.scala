@@ -18,7 +18,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional subset for local iteration: SPARK_GRAFT_QUERIES=a,b,c
+    // (oracle_sql.json is still written in full; the selfcheck gate
+    // walks the dump dirs, so a partial dump compares partially)
+    val wanted = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(',').toSet)
+    val selected = wanted match {
+      case Some(ws) => SparkEntry.queries.filter(q => ws(q._1))
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

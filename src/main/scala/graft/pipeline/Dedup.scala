@@ -250,8 +250,17 @@ object Dedup {
     // a duplicate id would multiply rows through the pointer-jump
     // self-join every round — exponentially. One distinct up front
     // keeps `labels` unique-by-id, which every later join relies on.
+    //
+    // init folds the FIRST neighborhood-min in for free: with identity
+    // labels, "min label over the neighborhood" is just min(src) per
+    // dst over the edge list — a groupBy, no join against a label
+    // frame. That saves one full (join + groupBy + join + jump) round.
+    val nbr0 = sym.groupBy(col("dst")).agg(min(col("src")).as("nlbl"))
+      .select(col("dst").as("id"), col("nlbl"))
     var labels = vertices.select(col("id")).distinct()
-      .withColumn("label", col("id"))
+      .join(nbr0, Seq("id"), "left_outer")
+      .select(col("id"),
+        least(col("id"), coalesce(col("nlbl"), col("id"))).as("label"))
       .localCheckpoint(true)
     var round = 0
     var converged = false
@@ -275,12 +284,15 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nlbl"), col("label")))
             .as("label"))
-      // pointer jump: label := label's label (labels are vertex ids,
-      // so every label resolves; min-propagation keeps it monotone)
-      val l2 = stepped.as("a")
-        .join(stepped.as("b"), col("a.label") === col("b.id"))
+      // pointer jump ×2: label := label's label, twice (labels are
+      // vertex ids, so every label resolves; min-propagation keeps it
+      // monotone). Two jumps quadruple the shortcut reach for one
+      // extra equi-shuffle — cheaper than the full neighborhood round
+      // another iteration would cost.
+      def jump(df: DataFrame): DataFrame = df.as("a")
+        .join(df.as("b"), col("a.label") === col("b.id"))
         .select(col("a.id"), col("b.label").as("label"))
-        .localCheckpoint(true)
+      val l2 = jump(jump(stepped)).localCheckpoint(true)
       val curSum = labelSum(l2)
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum

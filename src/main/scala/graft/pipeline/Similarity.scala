@@ -144,40 +144,7 @@ object Similarity {
       .collect().map(_.getSeq[Double](1).toArray)
     require(train.length >= nClusters,
       s"IVF: ${train.length} training vectors for $nClusters cells")
-    val dim = train.head.length
-    // deterministic init: evenly spaced points of the (hash-ordered)
-    // sample; Lloyd with centroid renormalization (spherical k-means,
-    // monotone with the cosine rerank metric); empty cells keep their
-    // previous centroid
-    var centroids = Array.tabulate(nClusters)(i =>
-      train(((i.toLong * train.length) / nClusters).toInt).clone())
-    def nearest(v: Array[Double]): Int = {
-      var best = 0; var bestDot = Double.MinValue; var c = 0
-      while (c < centroids.length) {
-        var dot = 0.0; var j = 0
-        val cen = centroids(c)
-        while (j < dim) { dot += v(j) * cen(j); j += 1 }
-        if (dot > bestDot) { bestDot = dot; best = c }
-        c += 1
-      }
-      best
-    }
-    for (_ <- 0 until 10) {
-      val sums = Array.fill(nClusters)(new Array[Double](dim))
-      val counts = new Array[Long](nClusters)
-      train.foreach { v =>
-        val c = nearest(v); counts(c) += 1
-        var j = 0; while (j < dim) { sums(c)(j) += v(j); j += 1 }
-      }
-      centroids = Array.tabulate(nClusters) { c =>
-        if (counts(c) == 0) centroids(c)
-        else {
-          val s = sums(c)
-          val n = math.sqrt(s.map(x => x * x).sum)
-          if (n > 0) s.map(_ / n) else s
-        }
-      }
-    }
+    val centroids = lloyd(train, nClusters, iters = 10, spherical = true)
     // distributed assignment: argmax dot against the centroid table,
     // shipped as ONE 2-D constant literal (16 separate 64-element
     // literal arrays would bloat the generated code past what janino
@@ -237,6 +204,197 @@ object Similarity {
       nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
     val index = buildIvfIndex(emb, idCol, vecCol, nClusters)
     ivfTopK(index, queryIds, k, nProbe)
+  }
+
+  /** Driver-side Lloyd k-means with deterministic evenly-spaced init
+    * over the (hash-ordered) training sample; empty cells keep their
+    * previous centroid. `spherical=true` scores by dot product and
+    * renormalizes centroids each round (assumes unit-norm input —
+    * monotone with the cosine rerank metric); `false` is plain L2
+    * k-means (PQ subspace codebooks, where sub-vectors are not unit). */
+  private def lloyd(train: Array[Array[Double]], k: Int, iters: Int,
+      spherical: Boolean): Array[Array[Double]] = {
+    val dim = train.head.length
+    var centroids = Array.tabulate(k)(i =>
+      train(((i.toLong * train.length) / k).toInt).clone())
+    def nearest(v: Array[Double]): Int = {
+      var best = 0; var bestScore = Double.MinValue; var c = 0
+      while (c < centroids.length) {
+        val cen = centroids(c)
+        var acc = 0.0; var j = 0
+        if (spherical) {
+          while (j < dim) { acc += v(j) * cen(j); j += 1 }
+        } else {
+          while (j < dim) { val d = v(j) - cen(j); acc -= d * d; j += 1 }
+        }
+        if (acc > bestScore) { bestScore = acc; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      train.foreach { v =>
+        val c = nearest(v); counts(c) += 1
+        var j = 0; while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else {
+          val s = sums(c)
+          if (spherical) {
+            val n = math.sqrt(s.map(x => x * x).sum)
+            if (n > 0) s.map(_ / n) else s
+          } else s.map(_ / counts(c))
+        }
+      }
+    }
+    centroids
+  }
+
+  /**
+   * A built IVF-PQ index — the 100 TB ANN memory story. The corpus is
+   * held as (id, cell, codes) where `codes` is m small integers per
+   * vector: ~m bytes instead of 4·dim — a 64-dim float corpus
+   * compresses 32× (256 B → 8 B/vector), which is what lets the whole
+   * index sit in cluster memory at scales where raw vectors cannot.
+   * Queries scan only probed cells, score candidates by table lookups
+   * (ADC — no per-candidate float math beyond m additions), and only
+   * the few rerank survivors ever touch a raw vector again.
+   */
+  final case class PqIndex(
+      centroids: Array[Array[Double]],          // coarse cells, unit-norm
+      codebooks: Array[Array[Array[Double]]],   // m × nCodes × subDim
+      encoded: DataFrame,                       // (id, cell, codes) persisted
+      vecs: DataFrame) {                        // (id, vec) LAZY — rerank only
+    def unpersist(): Unit = encoded.unpersist()
+  }
+
+  /**
+   * Fit an IVF-PQ index: a coarse spherical k-means partitions the
+   * corpus into `nClusters` cells (same as the plain IVF index), and a
+   * product quantizer splits each L2-normalized vector into `m`
+   * subspaces of dim/m, each encoded as the id of its nearest codeword
+   * out of `nCodes` (plain L2 k-means per subspace — sub-vectors are
+   * not unit-norm). All training runs on the driver over a bounded
+   * hash-ordered sample (the FAISS heuristic); the cluster pays ONE
+   * codegen'd pass that assigns cell + m codes per vector against the
+   * codebooks shipped as constant literals. The persisted index frame
+   * is 2 + m small integers wide — no vectors.
+   */
+  def buildPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16, m: Int = 8, nCodes: Int = 16): PqIndex = {
+    val norm = sqrt(F.aggregate(col("vec"),
+      lit(0.0), (a, x) => a + x * x))
+    val feats = emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("nvec", when(norm > 0,
+        transform(col("vec"), x => x / norm)).otherwise(col("vec")))
+    val targetTrain = (200 * math.max(nClusters, nCodes)).min(100000)
+    val sampled = feats.select(col("id"), col("nvec"))
+      .orderBy(xxhash64(col("id"))).limit(targetTrain)
+    val train: Array[Array[Double]] = sampled
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(train.length >= math.max(nClusters, nCodes),
+      s"PQ: ${train.length} training vectors for $nClusters cells / $nCodes codes")
+    val dim = train.head.length
+    require(dim % m == 0, s"PQ: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val centroids = lloyd(train, nClusters, iters = 10, spherical = true)
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      lloyd(train.map(v => v.slice(j * subDim, (j + 1) * subDim)),
+        nCodes, iters = 10, spherical = false)
+    }
+    // one distributed pass: coarse cell (argmax dot) + m codes (argmin
+    // L2, computed as -2<s,c> + |c|² — |s|² is constant per row so it
+    // cannot change the argmin). Both tables ride as single constant
+    // literals, keeping the generated code small enough for janino.
+    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val cellDots = transform(centLit, c =>
+      F.aggregate(zip_with(col("nvec"), c, (x, y) => x * y),
+        lit(0.0), (a, x) => a + x))
+    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val codesExpr = transform(sequence(lit(0), lit(m - 1)), j => {
+      val sub = slice(col("nvec"), j * subDim + 1, lit(subDim))
+      val dists = transform(element_at(cbLit, (j + 1).cast("int")), cw =>
+        F.aggregate(zip_with(sub, cw, (s, c) => c * c - lit(2.0) * s * c),
+          lit(0.0), (a, x) => a + x))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+    val encoded = feats
+      .withColumn("cell",
+        (array_position(cellDots, array_max(cellDots)) - 1).cast("int"))
+      .withColumn("codes", codesExpr)
+      .select(col("id"), col("cell"), col("codes"))
+      .persist()
+    PqIndex(centroids, codebooks, encoded,
+      feats.select(col("id"), col("vec")))
+  }
+
+  /**
+   * IVF-PQ approximate top-k against a pre-built index. Per query:
+   * probe the `nProbe` nearest cells; score every candidate by ADC —
+   * the query's per-subspace inner products with each codeword are
+   * precomputed into an m × nCodes table (driver-side, tiny), so a
+   * candidate costs m array lookups + m additions, touching only the
+   * `codes` column; keep the top k·`refine` by ADC and rerank those
+   * few with exact cosine against the raw vectors (joined back by id —
+   * the only point where vectors are read at all).
+   */
+  def pqTopK(index: PqIndex, queryIds: Seq[Long], k: Int,
+      nProbe: Int, refine: Int = 4): DataFrame = {
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
+    val m = index.codebooks.length
+    val queryVecs = index.vecs.filter(col("id").isin(queryIds: _*))
+      .select(col("id"), col("vec")).as[(Long, Seq[Double])].collect()
+    val probes = queryVecs.flatMap { case (qid, qv) =>
+      val n1 = math.sqrt(qv.map(x => x * x).sum)
+      index.centroids.zipWithIndex.map { case (c, cell) =>
+        val dot = qv.zip(c).map { case (a, b) => a * b }.sum
+        val n2 = math.sqrt(c.map(x => x * x).sum)
+        val score = if (n1 > 0 && n2 > 0) dot / (n1 * n2) else 0.0
+        (qid, cell, -score)
+      }.sortBy(_._3).take(nProbe).map(p => (p._1, p._2))
+    }.toSeq.toDF("query_id", "cell")
+    // ADC tables over the NORMALIZED query (the codebooks encode
+    // normalized vectors, so table[j][c] = <q̂_j, codeword_jc> and the
+    // ADC sum approximates cosine directly)
+    val qtabs = queryVecs.map { case (qid, qv) =>
+      val n1 = math.sqrt(qv.map(x => x * x).sum)
+      val nq = if (n1 > 0) qv.map(_ / n1) else qv
+      val subDim = nq.length / m
+      val tab: Seq[Seq[Double]] = index.codebooks.toSeq.zipWithIndex.map {
+        case (cb, j) =>
+          val sub = nq.slice(j * subDim, (j + 1) * subDim)
+          cb.toSeq.map(cw => cw.zip(sub).map { case (a, b) => a * b }.sum)
+      }
+      (qid, tab)
+    }.toSeq.toDF("query_id", "qtab")
+    val adc = F.aggregate(
+      zip_with(col("codes"), col("qtab"),
+        (c, tab) => element_at(tab, c + 1)),
+      lit(0.0), (a, x) => a + x)
+    val cands = index.encoded.join(broadcast(probes), Seq("cell"))
+      .join(broadcast(qtabs), Seq("query_id"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("adc", adc)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("id"))
+    val survivors = cands.withColumn("arank", row_number().over(w))
+      .filter(col("arank") <= k * refine)
+      .select(col("query_id"), col("id").as("nn_id"))
+    val queries = index.vecs.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    // survivors is ≤ |queries|·k·refine rows — broadcast IT so the raw
+    // vector table is probed with a broadcast hash join, never shuffled
+    val reranked = index.vecs
+      .select(col("id").as("nn_id"), col("vec").as("nvec"))
+      .join(broadcast(survivors), Seq("nn_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("score", cosine(col("qvec"), col("nvec")))
+    topK(reranked, k)
   }
 
   /** Random-hyperplane signature: bit j = sign of <v, plane_j>. The

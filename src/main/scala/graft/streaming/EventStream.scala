@@ -79,6 +79,18 @@ object EventStream {
       }.toDF("userId", "sessions")
   }
 
+  /** Streaming exact dedup: emit each key's FIRST arrival, drop every
+    * later duplicate — the streaming half of the corpus-dedup story
+    * (an ingest pipeline replaying overlapping drops must not double
+    * rows). State is one entry per key in the state store; a
+    * production stream over event-time data should bound it with
+    * `withWatermark` + `dropDuplicatesWithinWatermark` — here the keys
+    * are unbounded-retention exact ids so re-delivery is caught no
+    * matter how late (the AvailableNow backfill shape). */
+  def dedupEvents(events: DataFrame,
+      keys: Seq[String] = Seq("event_id")): DataFrame =
+    events.dropDuplicates(keys)
+
   /** Start a console-less memory-sink query for tests/inspection. */
   def startMemorySink(df: DataFrame, name: String,
       outputMode: String = "update"): StreamingQuery =

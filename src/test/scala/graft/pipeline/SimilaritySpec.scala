@@ -109,6 +109,63 @@ class SimilaritySpec extends SparkSpec {
     } finally index.unpersist()
   }
 
+  test("pq top-k: codes stay narrow, ADC candidates rerank to true order") {
+    // two tight clusters far apart in a 8-dim space; PQ must keep
+    // same-cluster neighbors ahead of cross-cluster ones after rerank
+    val emb = (1L to 40L).map { i =>
+      val base = if (i <= 20) Seq(1.0f, 0f, 0f, 0f, 1.0f, 0f, 0f, 0f)
+                 else         Seq(0f, 1.0f, 0f, 0f, 0f, 1.0f, 0f, 0f)
+      (i, base.zipWithIndex.map { case (b, j) =>
+        b + ((i + j) % 5) * 0.01f })
+    }.toDF("vec_id", "embedding")
+    val index = Similarity.buildPqIndex(emb, "vec_id", "embedding",
+      nClusters = 4, m = 4, nCodes = 8)
+    try {
+      // index frame carries NO vectors — (id, cell, codes) only
+      assert(index.encoded.columns.toSeq == Seq("id", "cell", "codes"))
+      val out = Similarity.pqTopK(index, Seq(1L), 5, nProbe = 2)
+      val ids = out.select("nn_id").as[Long].collect().toSet
+      assert(ids.size == 5)
+      assert(ids.forall(_ <= 20), s"cross-cluster leak: $ids")
+      // rerank is exact: scores equal the true cosine, descending
+      val ranked = out.orderBy("rank").select("score").as[Double].collect()
+      assert(ranked.sorted(Ordering[Double].reverse).toSeq == ranked.toSeq)
+      // a second batch reuses the same encoded table (cached)
+      val b2 = Similarity.pqTopK(index, Seq(30L), 3, nProbe = 2)
+      assert(b2.select("nn_id").as[Long].collect().forall(_ > 20))
+      val plan = b2.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan") ||
+        plan.contains("TableCacheQueryStage"), s"no cache in plan:\n$plan")
+    } finally index.unpersist()
+  }
+
+  test("pq codes round-trip: each code is the nearest subspace codeword") {
+    val emb = (1L to 64L).map(i =>
+      (i, Seq.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val index = Similarity.buildPqIndex(emb, "vec_id", "embedding",
+      nClusters = 2, m = 2, nCodes = 4)
+    try {
+      val m = 2; val subDim = 4
+      val rows = index.encoded.join(
+          emb.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+        .select(col("id"), col("codes"), col("embedding"))
+        .as[(Long, Seq[Int], Seq[Float])].collect()
+      assert(rows.length == 64)
+      rows.foreach { case (_, codes, vec) =>
+        val n = math.sqrt(vec.map(x => x.toDouble * x).sum)
+        val nv = vec.map(_ / n)
+        for (j <- 0 until m) {
+          val sub = nv.slice(j * subDim, (j + 1) * subDim)
+          val best = index.codebooks(j).zipWithIndex.minBy { case (cw, _) =>
+            cw.zip(sub).map { case (a, b) => (a - b) * (a - b) }.sum
+          }._2
+          assert(codes(j) == best, s"code mismatch in subspace $j")
+        }
+      }
+    } finally index.unpersist()
+  }
+
   test("lsh join is bucketed (no cartesian product in the plan)") {
     val emb = (1L to 20L).map(i => (i, Seq(i.toFloat, 1.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
