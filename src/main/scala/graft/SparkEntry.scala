@@ -1078,6 +1078,15 @@ object SparkEntry {
       graft.pipeline.Multimodal.imageStats(media)
     }),
 
+    "multimodal_audio" -> ((s, dir) => {
+      // binary audio columns -> REAL WAV decode (javax.sound.sampled)
+      // -> waveform stats; the synthetic square waves make rms exactly
+      // the amplitude and the zero-crossing count closed-form, so the
+      // SQL oracle verifies the true codec path end to end
+      val media = graft.pipeline.Multimodal.syntheticWavMedia(s, 200)
+      graft.pipeline.Multimodal.audioStats(media)
+    }),
+
     // --------------------------------------------------- oph_randcube
     "randcube_reduce" -> ((s, dir) => {
       val rc = CubeOps.randcube(s, 1000, 16, seed = 42)
@@ -1763,6 +1772,21 @@ object SparkEntry {
                 CAST((i * 13) % 256 AS DOUBLE) AS mean_r,
                 CAST((i * 29) % 256 AS DOUBLE) AS mean_g,
                 CAST((i * 47) % 256 AS DOUBLE) AS mean_b
+         FROM range(200) t(i)""",
+
+    // the real javax.sound.sampled WAV decode must reproduce these
+    // closed-form square-wave statistics exactly: n = 2*halfPeriod*
+    // cycles samples of +/-A => rms = A (perfect square under sqrt),
+    // sign flips at every halfPeriod boundary => n/halfPeriod - 1
+    "multimodal_audio" ->
+      """SELECT i AS media_id,
+                CAST(8000 + (i % 4) * 4000 AS BIGINT) AS sample_rate,
+                CAST(1 AS BIGINT) AS channels,
+                CAST(2 * (8 + i % 8) * (10 + i % 5) AS BIGINT) AS n_samples,
+                CAST(1000 + (i * 17) % 20000 AS DOUBLE) AS rms,
+                CAST(2 * (10 + i % 5) - 1 AS BIGINT) AS zero_crossings,
+                CAST((2 * (8 + i % 8) * (10 + i % 5)) * 1000000
+                  // (8000 + (i % 4) * 4000) AS BIGINT) AS duration_us
          FROM range(200) t(i)"""
   )
 }

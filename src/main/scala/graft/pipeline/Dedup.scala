@@ -269,8 +269,12 @@ object Dedup {
     // cheap aggregate per round instead of a change-detection join.
     // decimal(38,0): a long sum can overflow (and ANSI mode throws)
     // on billions of large vertex ids
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // sum over an EMPTY frame is null — an empty vertex set must
+      // converge on round 1, not NPE in the comparison
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     while (!converged && round < maxRounds) {
       // neighborhood min: own label vs the min of neighbors' labels —

@@ -47,6 +47,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.extractFeatures(corruptDs).count() == 1)
   }
 
+  test("real WAV decode round-trips the synthetic square waves exactly") {
+    val media = Multimodal.syntheticWavMedia(spark, 24)
+    val rows = Multimodal.audioStats(media)
+      .as[(Long, Long, Long, Long, Double, Long, Long)].collect()
+    assert(rows.length == 24) // every payload decoded — real codec path
+    rows.foreach { case (id, sr, ch, n, rms, zc, durUs) =>
+      val hp = 8 + (id % 8); val cyc = 10 + (id % 5)
+      assert(sr == 8000 + (id % 4) * 4000)
+      assert(ch == 1L)
+      assert(n == 2 * hp * cyc)
+      assert(rms == (1000 + (id * 17) % 20000).toDouble) // EXACT
+      assert(zc == 2 * cyc - 1)
+      assert(durUs == n * 1000000L / sr)
+    }
+    // non-audio payloads are "not decodable", never a crash
+    val garbage = Multimodal.syntheticMedia(spark, 5)
+    assert(Multimodal.audioStats(garbage).count() == 0)
+    // a WAV truncated INSIDE the header is not decodable audio (the
+    // codec throws; a body-truncated file by contrast decodes its
+    // surviving samples — lenient, like the reference's partial reads)
+    val corrupt = Multimodal.syntheticWav(3).take(20)
+    val corruptDs = spark.createDataset(Seq(
+      Multimodal.MediaRow(99, "audio", "synthetic://corrupt", corrupt)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    assert(Multimodal.audioStats(corruptDs).count() == 0)
+  }
+
   test("frame sampling explodes one row per frame") {
     val media = Multimodal.syntheticMedia(spark, 5)
     val frames = Multimodal.sampleFrames(media, stride = 16)
