@@ -586,6 +586,27 @@ object SparkEntry {
       Dedup.connectedComponents(verts, e)
     }),
 
+    "pipeline_redact" -> ((s, dir) => {
+      // PII scrub before a corpus ships: plant deterministic emails /
+      // phone numbers into the documents (same arithmetic on the
+      // oracle side), count them, and hash the redacted text — one
+      // per-row codegen'd regex pass, no shuffle
+      val d = t(s, dir, "documents")
+      val aug = d.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now")))
+          .when(col("doc_id") % 5 === 0,
+            concat(lit(" call +1 415 555-00"), col("doc_id").cast("string"),
+              lit(" today")))
+          .otherwise(lit(""))).as("text"))
+      aug.select(col("doc_id"),
+        TextAnalysis.emailCount(col("text")).as("n_emails"),
+        TextAnalysis.phoneCount(col("text")).as("n_phones"),
+        md5(TextAnalysis.redactPii(col("text"))).as("redacted_md5"))
+    }),
+
     // ---------------------------------- LLM pipeline: text analysis
     "text_stats" -> ((s, dir) =>
       TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")),
@@ -1667,6 +1688,25 @@ object SparkEntry {
     "events_stream_dedup" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
          FROM events GROUP BY 1""",
+
+    "pipeline_redact" ->
+      """WITH aug AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 3 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                  WHEN doc_id % 5 = 0
+                    THEN ' call +1 415 555-00' || CAST(doc_id AS VARCHAR) || ' today'
+                  ELSE '' END AS text
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\+[0-9][0-9()./ -]{7,}[0-9]')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+[0-9][0-9()./ -]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+         FROM aug""",
 
     "pipeline_corpus" ->
       """WITH toks AS (

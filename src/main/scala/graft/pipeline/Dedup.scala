@@ -296,8 +296,11 @@ object Dedup {
       def jump(df: DataFrame): DataFrame = df.as("a")
         .join(df.as("b"), col("a.label") === col("b.id"))
         .select(col("a.id"), col("b.label").as("label"))
+      val t0 = System.nanoTime()
       val l2 = jump(jump(stepped)).localCheckpoint(true)
       val curSum = labelSum(l2)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $round: ${(System.nanoTime() - t0) / 1e9}s sum=$curSum")
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
       labels = l2

@@ -82,6 +82,27 @@ object TextAnalysis {
     graft.functions.expressions.GraftExpressions.poly_hash(
       regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  // PII patterns kept to the regex subset RE2 (DuckDB) and
+  // java.util.regex execute identically: character classes, bounded
+  // repetition, no backrefs/lookaround.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+[0-9][0-9()./ -]{7,}[0-9]"
+
+  /** Count of email-shaped substrings. */
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailRe), lit(0))).cast("long")
+
+  /** Count of international-phone-shaped substrings (+CC digits). */
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(phoneRe), lit(0))).cast("long")
+
+  /** PII scrub for training corpora: emails → `<EMAIL>`, +CC phone
+    * runs → `<PHONE>` — a per-row codegen'd regexp_replace pass, the
+    * standard redaction step before a corpus ships to training. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+
   /** One-stop per-document stats frame. */
   def stats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

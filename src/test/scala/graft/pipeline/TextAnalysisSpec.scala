@@ -50,6 +50,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp1 >= 0L && fp1 < 1000000007L)
   }
 
+  test("PII redaction replaces emails and phones, counts match") {
+    val t = "write to alice.smith+x@corp.example.org or call " +
+      "+44 (20) 7946-0958 today; bob@bad leaves no address"
+    assert(one[String](TextAnalysis.redactPii($"t"), t) ==
+      "write to <EMAIL> or call <PHONE> today; bob@bad leaves no address")
+    assert(one[Long](TextAnalysis.emailCount($"t"), t) == 1L)
+    assert(one[Long](TextAnalysis.phoneCount($"t"), t) == 1L)
+    // clean text passes through untouched
+    val clean = "no contact details at all here"
+    assert(one[String](TextAnalysis.redactPii($"t"), clean) == clean)
+    assert(one[Long](TextAnalysis.emailCount($"t"), clean) == 0L)
+  }
+
   test("qualityScore is bounded and ranks prose above noise") {
     val prose = "the quick brown fox jumps over the lazy dog and then " +
       "the cat is seen in the garden for a while with all of them there"
