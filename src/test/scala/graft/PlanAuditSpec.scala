@@ -53,6 +53,71 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
   }
 
+  test("asof join is one equi-shuffle: no nested-loop, no range explosion") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "c"))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, 5L, 1.0), (1L, 18L, 2.0), (2L, 9L, 3.0))
+      .toDF("k", "t", "v")
+    val out = graft.operators.Joins.asof(left, right, Seq("k"), "t", "t", Seq("v"))
+    val p = plan(out)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"asof must never theta-join:\n$p")
+    // union + ONE window pass = exactly one shuffle on the key
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"asof must be a single equi-shuffle, got:\n$p")
+    assert(p.contains("Window"), s"expected the window fill pass:\n$p")
+  }
+
+  test("binned range join compiles to an equi-join, not a theta join") {
+    import spark.implicits._
+    val facts = Seq((1L, 12.0), (2L, 47.0)).toDF("id", "v")
+    val ivs = Seq((10L, 0.0, 25.0), (20L, 25.0, 50.0)).toDF("iv", "lo", "hi")
+    val out = graft.operators.Joins.rangeJoinBinned(facts, "v", ivs,
+      "lo", "hi", binWidth = 10.0)
+    val p = plan(out)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"range join must bucket to an equi-join:\n$p")
+    assert(p.contains("Join"), s"expected a hash/merge equi-join:\n$p")
+  }
+
+  test("pq query path: broadcast probes, no shuffle of the encoded corpus") {
+    import spark.implicits._
+    val emb = (1L to 64L).map(i =>
+      (i, Seq.tabulate(8)(j => math.sin(i * 0.3 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val index = graft.pipeline.Similarity.buildPqIndex(
+      emb, "vec_id", "embedding", nClusters = 2, m = 2, nCodes = 4)
+    try {
+      val p = plan(graft.pipeline.Similarity.pqTopK(index, Seq(1L), 3, nProbe = 1))
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+        s"pq scoring must stay equi-join:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"probes/tables/survivors must broadcast against the corpus:\n$p")
+    } finally index.unpersist()
+  }
+
+  test("corpus pipeline is two windows = two shuffles, filters row-local") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq((1L, "the cat and the dog"), (2L, "the cat and the dog"),
+      (3L, "und und und")).toDF("doc_id", "text")
+    val ta = graft.pipeline.TextAnalysis
+    val scored = docs.select(col("doc_id"), col("text"),
+      ta.langId(col("text")).as("lang"),
+      ta.qualityScore(col("text")).as("quality"))
+    val deduped = scored.filter(col("lang") =!= "und")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    val sampled = deduped.withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= 100)
+    val p = plan(sampled)
+    assert("Exchange".r.findAllIn(p).size == 2,
+      s"gate+route are row-local; only dedup + sample may shuffle:\n$p")
+  }
+
   test("the netcdf3 scan lists only projected variables") {
     val path = {
       val f = java.io.File.createTempFile("plan_nc", ".nc")
