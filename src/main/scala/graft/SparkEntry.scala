@@ -32,6 +32,30 @@ object SparkEntry {
     t(s, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** The file source streams a DIRECTORY of drops; the testdata table
+    * is a single file, so stage it as `copies` "arrived" drops
+    * (absolute symlink targets — a relative data dir would resolve
+    * against the temp dir and dangle) and open a file-source stream.
+    * `ts` stays the raw nanos long; callers convert like `events`. */
+  private def stagedEventsStream(s: SparkSession, dir: String,
+      copies: Int = 1): DataFrame = {
+    import org.apache.spark.sql.types._
+    val drops = java.nio.file.Files.createTempDirectory("graft_stream")
+    drops.toFile.deleteOnExit()
+    val target = java.nio.file.Paths.get(s"$dir/events.parquet")
+      .toAbsolutePath.normalize
+    for (i <- 1 to copies)
+      java.nio.file.Files.createSymbolicLink(
+        drops.resolve(s"events_$i.parquet"), target)
+    s.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+      .parquet(drops.toString)
+  }
+
   /** lineitem as a datacube: explicit dim l_orderkey, implicit dim
     * l_linenumber serialized into the in-cell array (deterministic
     * order: by (linenumber, value) — linenumber alone is not unique). */
@@ -456,8 +480,12 @@ object SparkEntry {
       val ev = events(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("event_id"))
+      // pre-aggregate equal-instant purchases: DuckDB's ASOF JOIN
+      // leaves same-timestamp ties UNSPECIFIED, so the oracle compare
+      // is only sound when at most one right row exists per instant
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("value"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("value"))
       graft.operators.Joins.asof(clicks, purchases, Seq("user_id"),
         "ts", "ts", Seq("value"))
         .select(col("user_id"), col("event_id"),
@@ -678,25 +706,8 @@ object SparkEntry {
       // window -> memory sink, drained with Trigger.AvailableNow.
       // Complete mode's final table equals the batch aggregation, so
       // the SAME hourly oracle hash-verifies the streaming machinery.
-      import org.apache.spark.sql.types._
-      // the file source streams a DIRECTORY of drops; the testdata
-      // table is a single file, so stage it as one "arrived" drop
-      val drops = java.nio.file.Files.createTempDirectory("graft_stream")
-      drops.toFile.deleteOnExit()
-      val link = drops.resolve("events.parquet")
-      // absolute target: a relative data dir would resolve against the
-      // temp dir and dangle
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$dir/events.parquet")
-          .toAbsolutePath.normalize)
-      val raw = s.readStream
-        .schema(StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType))))
-        .parquet(drops.toString)
-      val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = stagedEventsStream(s, dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val agg = graft.streaming.EventStream.hourlyAggregates(ev)
       val q = agg.writeStream.format("memory")
         .queryName("events_stream_hourly")
@@ -714,7 +725,8 @@ object SparkEntry {
       // each stratum by a multiplicative hash of the id (identical
       // arithmetic on the oracle side) and keep the first 50. One
       // shuffle on the stratum key; no driver-side sampling state.
-      val h = pmod(col("event_id") * lit(2654435761L), lit(1000000007L))
+      val h = pmod(pmod(col("event_id"), lit(1000000007L)) * 2654435761L,
+        lit(1000000007L))
       val w = Window.partitionBy(col("event_type")).orderBy(h, col("event_id"))
       events(s, dir)
         .select(col("event_id"), col("event_type"),
@@ -740,21 +752,8 @@ object SparkEntry {
       // counter is monotone per user, so max(updates) = the final
       // count and the BATCH gap-count oracle verifies the custom state
       // machine end to end.
-      import org.apache.spark.sql.types._
-      val drops = java.nio.file.Files.createTempDirectory("graft_stream_s")
-      drops.toFile.deleteOnExit()
-      java.nio.file.Files.createSymbolicLink(
-        drops.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet")
-          .toAbsolutePath.normalize)
-      val raw = s.readStream
-        .schema(StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType))))
-        .parquet(drops.toString)
-      val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = stagedEventsStream(s, dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val sess = graft.streaming.EventStream.sessionize(s, ev)
       val q = sess.writeStream.format("memory")
         .queryName("events_stream_sessions").outputMode("update")
@@ -773,22 +772,8 @@ object SparkEntry {
       // event_id and emits only the first arrival (append mode). The
       // batch aggregation over the sink then hash-matches the
       // single-corpus oracle — double-delivery fully cancelled.
-      import org.apache.spark.sql.types._
-      val drops = java.nio.file.Files.createTempDirectory("graft_stream_dd")
-      drops.toFile.deleteOnExit()
-      for (n <- Seq("a", "b"))
-        java.nio.file.Files.createSymbolicLink(
-          drops.resolve(s"events_$n.parquet"),
-          java.nio.file.Paths.get(s"$dir/events.parquet")
-            .toAbsolutePath.normalize)
-      val raw = s.readStream
-        .schema(StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType))))
-        .parquet(drops.toString)
-      val deduped = graft.streaming.EventStream.dedupEvents(raw)
+      val deduped = graft.streaming.EventStream.dedupEvents(
+        stagedEventsStream(s, dir, copies = 2))
       val q = deduped.writeStream.format("memory")
         .queryName("events_stream_dedup").outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -818,7 +803,8 @@ object SparkEntry {
         .withColumn("rn", row_number().over(
           Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
         .filter(col("rn") === 1)
-      val h = pmod(col("doc_id") * lit(2654435761L), lit(1000000007L))
+      val h = pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L,
+        lit(1000000007L))
       val ws = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
       deduped.withColumn("rk", row_number().over(ws).cast("long"))
         .filter(col("rk") <= 100)
@@ -1348,8 +1334,8 @@ object SparkEntry {
                 epoch_ms(p.ts) AS pts_ms, round(p.value, 2) AS purch_value
          FROM (SELECT user_id, ts, event_id FROM events
                WHERE event_type = 'click') c
-         ASOF JOIN (SELECT user_id, ts, value FROM events
-                    WHERE event_type = 'purchase') p
+         ASOF JOIN (SELECT user_id, ts, max(value) AS value FROM events
+                    WHERE event_type = 'purchase' GROUP BY 1, 2) p
            ON c.user_id = p.user_id AND c.ts >= p.ts""",
 
     "join_range" ->
@@ -1767,7 +1753,7 @@ object SparkEntry {
            SELECT doc_id, lang, quality,
                   CAST(n_tokens AS BIGINT) AS n_tokens,
                   CAST(row_number() OVER (PARTITION BY lang
-                    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id)
+                    ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id)
                     AS BIGINT) AS rk
            FROM dedup WHERE rn = 1)
          SELECT doc_id, lang, quality, n_tokens, rk
@@ -1776,7 +1762,7 @@ object SparkEntry {
     "sample_stratified" ->
       """SELECT event_id, event_type,
                 CAST(row_number() OVER (PARTITION BY event_type
-                  ORDER BY (event_id * 2654435761) % 1000000007, event_id)
+                  ORDER BY ((event_id % 1000000007) * 2654435761) % 1000000007, event_id)
                   AS BIGINT) AS rk
          FROM events
          QUALIFY rk <= 50""",

@@ -250,6 +250,9 @@ object Dedup {
     // a duplicate id would multiply rows through the pointer-jump
     // self-join every round — exponentially. One distinct up front
     // keeps `labels` unique-by-id, which every later join relies on.
+    // Edge endpoints are unioned in so an endpoint missing from the
+    // vertex frame still resolves in the pointer-jump inner join —
+    // otherwise rows whose label points at it would silently VANISH.
     //
     // init folds the FIRST neighborhood-min in for free: with identity
     // labels, "min label over the neighborhood" is just min(src) per
@@ -257,7 +260,9 @@ object Dedup {
     // frame. That saves one full (join + groupBy + join + jump) round.
     val nbr0 = sym.groupBy(col("dst")).agg(min(col("src")).as("nlbl"))
       .select(col("dst").as("id"), col("nlbl"))
-    var labels = vertices.select(col("id")).distinct()
+    var labels = vertices.select(col("id"))
+      .unionByName(sym.select(col("src").as("id")))
+      .distinct()
       .join(nbr0, Seq("id"), "left_outer")
       .select(col("id"),
         least(col("id"), coalesce(col("nlbl"), col("id"))).as("label"))

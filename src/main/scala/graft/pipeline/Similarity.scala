@@ -121,41 +121,70 @@ object Similarity {
    * from the probed cells). The assignment (id, vec, cell) persists for
    * reuse across query batches.
    */
-  def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
-      nClusters: Int = 16): IvfIndex = {
+  /** (id, vec, nvec) projection: vec as double array, nvec L2-
+    * normalized (zero vectors pass through unnormalized). */
+  private def normalized(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
     val norm = sqrt(F.aggregate(col("vec"),
       lit(0.0), (a, x) => a + x * x))
-    val feats = emb.select(col(idCol).cast("long").as("id"),
+    emb.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"))
       .withColumn("nvec", when(norm > 0,
         transform(col("vec"), x => x / norm)).otherwise(col("vec")))
-    // IVF training is ALWAYS on a bounded sample (~200 points per
-    // centroid, the FAISS heuristic), so run spherical k-means on the
-    // DRIVER over that sample — a few MB and a few ms — instead of
-    // iterating distributed jobs over the corpus. The cluster then
-    // does what a cluster is for: ONE codegen'd assignment pass
-    // scoring every vector against the 16 broadcast centroid
-    // literals. At 100 TB that is the difference between maxIter full
-    // scans and a single one.
-    val targetTrain = 200L * nClusters
-    val sampled = feats.select(col("id"), col("nvec"))
-      .orderBy(xxhash64(col("id"))).limit(targetTrain.toInt)
-    val train: Array[Array[Double]] = sampled
+  }
+
+  /** Bounded hash-ordered training sample, collected to the driver.
+    * Index training is ALWAYS on a bounded sample (~200 points per
+    * centroid, the FAISS heuristic), so k-means runs on the DRIVER —
+    * a few MB and a few ms — instead of iterating distributed jobs
+    * over the corpus; the cluster then pays ONE codegen'd assignment
+    * pass. At 100 TB that is the difference between maxIter full
+    * scans and a single one. */
+  private def trainSample(feats: DataFrame, target: Int,
+      atLeast: Int, what: String): Array[Array[Double]] = {
+    val train = feats.select(col("id"), col("nvec"))
+      .orderBy(xxhash64(col("id"))).limit(target)
       .collect().map(_.getSeq[Double](1).toArray)
-    require(train.length >= nClusters,
-      s"IVF: ${train.length} training vectors for $nClusters cells")
-    val centroids = lloyd(train, nClusters, iters = 10, spherical = true)
-    // distributed assignment: argmax dot against the centroid table,
-    // shipped as ONE 2-D constant literal (16 separate 64-element
-    // literal arrays would bloat the generated code past what janino
-    // compiles quickly; a single constant keeps the codegen tree tiny)
+    require(train.length >= atLeast,
+      s"$what: ${train.length} training vectors, need >= $atLeast")
+    train
+  }
+
+  /** Distributed coarse-cell assignment: argmax dot against the
+    * centroid table, shipped as ONE 2-D constant literal (k separate
+    * literal arrays would bloat the generated code past what janino
+    * compiles quickly; a single constant keeps the codegen tree tiny). */
+  private def coarseCell(nvec: Column,
+      centroids: Array[Array[Double]]): Column = {
     val centLit = typedLit(centroids.map(_.toSeq).toSeq)
     val dots = transform(centLit, c =>
-      F.aggregate(zip_with(col("nvec"), c, (x, y) => x * y),
+      F.aggregate(zip_with(nvec, c, (x, y) => x * y),
         lit(0.0), (a, x) => a + x))
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** Driver-side probe list: each query's `nProbe` nearest cells by
+    * cosine (centroids are tiny; zero vectors score 0 instead of
+    * NaN-poisoning the sort). */
+  private def probeCells(centroids: Array[Array[Double]],
+      queryVecs: Array[(Long, Seq[Double])], nProbe: Int): Seq[(Long, Int)] =
+    queryVecs.toSeq.flatMap { case (qid, qv) =>
+      val n1 = math.sqrt(qv.map(x => x * x).sum)
+      centroids.zipWithIndex.map { case (c, cell) =>
+        val dot = qv.zip(c).map { case (a, b) => a * b }.sum
+        val n2 = math.sqrt(c.map(x => x * x).sum)
+        val score = if (n1 > 0 && n2 > 0) dot / (n1 * n2) else 0.0
+        (qid, cell, -score)
+      }.sortBy(_._3).take(nProbe).map(p => (p._1, p._2)).toSeq
+    }
+
+  def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16): IvfIndex = {
+    val feats = normalized(emb, idCol, vecCol)
+    val train = trainSample(feats, 200 * nClusters, nClusters, "IVF")
+    val centroids = lloyd(train, nClusters, iters = 10, spherical = true)
     val assigned = feats
-      .withColumn("cell",
-        (array_position(dots, array_max(dots)) - 1).cast("int"))
+      .withColumn("cell", coarseCell(col("nvec"), centroids))
       .select(col("id"), col("vec"), col("cell"))
       .persist()
     IvfIndex(centroids, assigned)
@@ -171,21 +200,10 @@ object Similarity {
       nProbe: Int): DataFrame = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
-    // per query: nearest nProbe centroids (driver-side — centroids are
-    // tiny). Centroids and queries are normalized, so the dot product
-    // IS the cosine order; zero vectors score 0 instead of
-    // NaN-poisoning the sort.
     val queryVecs = index.assigned.filter(col("id").isin(queryIds: _*))
       .select(col("id"), col("vec")).as[(Long, Seq[Double])].collect()
-    val probes = queryVecs.flatMap { case (qid, qv) =>
-      val n1 = math.sqrt(qv.map(x => x * x).sum)
-      index.centroids.zipWithIndex.map { case (c, cell) =>
-        val dot = qv.zip(c).map { case (a, b) => a * b }.sum
-        val n2 = math.sqrt(c.map(x => x * x).sum)
-        val score = if (n1 > 0 && n2 > 0) dot / (n1 * n2) else 0.0
-        (qid, cell, -score)
-      }.sortBy(_._3).take(nProbe).map(p => (p._1, p._2))
-    }.toSeq.toDF("query_id", "cell")
+    val probes = probeCells(index.centroids, queryVecs, nProbe)
+      .toDF("query_id", "cell")
 
     val queries = index.assigned.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), col("vec").as("qvec"))
@@ -285,19 +303,10 @@ object Similarity {
    */
   def buildPqIndex(emb: DataFrame, idCol: String, vecCol: String,
       nClusters: Int = 16, m: Int = 8, nCodes: Int = 16): PqIndex = {
-    val norm = sqrt(F.aggregate(col("vec"),
-      lit(0.0), (a, x) => a + x * x))
-    val feats = emb.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("nvec", when(norm > 0,
-        transform(col("vec"), x => x / norm)).otherwise(col("vec")))
-    val targetTrain = (200 * math.max(nClusters, nCodes)).min(100000)
-    val sampled = feats.select(col("id"), col("nvec"))
-      .orderBy(xxhash64(col("id"))).limit(targetTrain)
-    val train: Array[Array[Double]] = sampled
-      .collect().map(_.getSeq[Double](1).toArray)
-    require(train.length >= math.max(nClusters, nCodes),
-      s"PQ: ${train.length} training vectors for $nClusters cells / $nCodes codes")
+    val feats = normalized(emb, idCol, vecCol)
+    val train = trainSample(feats,
+      (200 * math.max(nClusters, nCodes)).min(100000),
+      math.max(nClusters, nCodes), "PQ")
     val dim = train.head.length
     require(dim % m == 0, s"PQ: dim $dim not divisible by m=$m")
     val subDim = dim / m
@@ -306,14 +315,11 @@ object Similarity {
       lloyd(train.map(v => v.slice(j * subDim, (j + 1) * subDim)),
         nCodes, iters = 10, spherical = false)
     }
-    // one distributed pass: coarse cell (argmax dot) + m codes (argmin
-    // L2, computed as -2<s,c> + |c|² — |s|² is constant per row so it
-    // cannot change the argmin). Both tables ride as single constant
-    // literals, keeping the generated code small enough for janino.
-    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
-    val cellDots = transform(centLit, c =>
-      F.aggregate(zip_with(col("nvec"), c, (x, y) => x * y),
-        lit(0.0), (a, x) => a + x))
+    // one distributed pass: coarse cell (argmax dot, shared helper) +
+    // m codes (argmin L2, computed as -2<s,c> + |c|² — |s|² is
+    // constant per row so it cannot change the argmin). The codebook
+    // rides as a single 3-D constant literal for the same
+    // janino-size reason as the centroid table.
     val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
     val codesExpr = transform(sequence(lit(0), lit(m - 1)), j => {
       val sub = slice(col("nvec"), j * subDim + 1, lit(subDim))
@@ -323,8 +329,7 @@ object Similarity {
       (array_position(dists, array_min(dists)) - 1).cast("int")
     })
     val encoded = feats
-      .withColumn("cell",
-        (array_position(cellDots, array_max(cellDots)) - 1).cast("int"))
+      .withColumn("cell", coarseCell(col("nvec"), centroids))
       .withColumn("codes", codesExpr)
       .select(col("id"), col("cell"), col("codes"))
       .persist()
@@ -349,15 +354,8 @@ object Similarity {
     val m = index.codebooks.length
     val queryVecs = index.vecs.filter(col("id").isin(queryIds: _*))
       .select(col("id"), col("vec")).as[(Long, Seq[Double])].collect()
-    val probes = queryVecs.flatMap { case (qid, qv) =>
-      val n1 = math.sqrt(qv.map(x => x * x).sum)
-      index.centroids.zipWithIndex.map { case (c, cell) =>
-        val dot = qv.zip(c).map { case (a, b) => a * b }.sum
-        val n2 = math.sqrt(c.map(x => x * x).sum)
-        val score = if (n1 > 0 && n2 > 0) dot / (n1 * n2) else 0.0
-        (qid, cell, -score)
-      }.sortBy(_._3).take(nProbe).map(p => (p._1, p._2))
-    }.toSeq.toDF("query_id", "cell")
+    val probes = probeCells(index.centroids, queryVecs, nProbe)
+      .toDF("query_id", "cell")
     // ADC tables over the NORMALIZED query (the codebooks encode
     // normalized vectors, so table[j][c] = <q̂_j, codeword_jc> and the
     // ADC sum approximates cosine directly)

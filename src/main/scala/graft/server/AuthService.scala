@@ -39,6 +39,12 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
     scala.collection.concurrent.TrieMap[String, String]() // token -> name
   private val failures = scala.collection.concurrent
     .TrieMap[String, (Int, Long)]() // host -> (attempts, window start)
+  /** Earliest time the next failure-map sweep can possibly remove
+    * anything: sweeping before any window expired is O(n) work for
+    * nothing, and under a distributed scan (>threshold hosts inside
+    * one window) that would amplify every failed attempt to a full
+    * map scan — O(n^2) total on the auth hot path. */
+  private val nextSweepAt = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // restore: tab-separated "U\tname\thash" / "T\ttoken\tuser" lines
   // (hashes are base64, tokens hex — neither contains a tab)
@@ -84,11 +90,16 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
     }
     // an internet-facing server sees one entry per scanning IP and
     // only ever cleans an entry when that SAME host comes back — so
-    // opportunistically sweep expired windows once the map gets big
+    // opportunistically sweep expired windows once the map gets big,
+    // but at most once per block window: before that, no entry can
+    // have expired since the last sweep, so the scan would be wasted
+    val t = now()
     if (failures.size > SweepThreshold) {
-      val t = now()
-      failures.foreach { case (h, (_, t0)) =>
-        if (t - t0 >= BlockWindowMs) failures.remove(h)
+      val due = nextSweepAt.get
+      if (t >= due && nextSweepAt.compareAndSet(due, t + BlockWindowMs)) {
+        failures.foreach { case (h, (_, t0)) =>
+          if (t - t0 >= BlockWindowMs) failures.remove(h)
+        }
       }
     }
   }

@@ -92,6 +92,14 @@ class ArrayPrimitivesSpec extends SparkSpec {
       Seq(3.0, 1.0, 2.0))
   }
 
+  test("index-generating primitives return [] for an empty cell") {
+    // sequence(1, 0) in Spark is the DESCENDING [1, 0] — without the
+    // guard these would emit two garbage elements instead of []
+    assert(eval("oph_shift(measure, 1, 0)", Seq.empty[Double]) == Seq())
+    assert(eval("oph_rotate(measure, 2)", Seq.empty[Double]) == Seq())
+    assert(eval("oph_gsl_fft(measure)", Seq.empty[Double]) == Seq())
+  }
+
   test("padding/extend/interlace/concat reshape cells") {
     assert(eval("oph_padding(measure, 4, 0)", Seq(1.0, 2.0)) ==
       Seq(1.0, 2.0, 0.0, 0.0))

@@ -106,6 +106,17 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("connected components keep vertices whose neighbor is unlisted") {
+    // endpoint 1 is NOT in the vertex frame: vertex 5 must still land
+    // in cluster 1 (and 1 itself surfaces from the edge list) instead
+    // of silently vanishing through the pointer-jump inner join
+    val verts = Seq(5L).toDF("id")
+    val edges = Seq((5L, 1L)).toDF("src", "dst")
+    val got = Dedup.connectedComponents(verts, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 1L, 1L -> 1L))
+  }
+
   test("connected components converge on a long chain (pointer jumping)") {
     val n = 200L
     val verts = (1L to n).toDF("id")
