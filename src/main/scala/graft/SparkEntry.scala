@@ -774,14 +774,17 @@ object SparkEntry {
       // single-corpus oracle — double-delivery fully cancelled.
       val deduped = graft.streaming.EventStream.dedupEvents(
         stagedEventsStream(s, dir, copies = 2))
-      val q = deduped.writeStream.format("memory")
-        .queryName("events_stream_dedup").outputMode("append")
+      // aggregate INSIDE the stream (dedup state -> agg state): the
+      // complete-mode sink then holds one row per event type instead
+      // of every deduped event
+      val agg = deduped.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      val q = agg.writeStream.format("memory")
+        .queryName("events_stream_dedup").outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
       s.table("events_stream_dedup")
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
     }),
 
     "pipeline_corpus" -> ((s, dir) => {
@@ -792,11 +795,8 @@ object SparkEntry {
       // md5(text)), then a deterministic per-language budget sample by
       // multiplicative-hash rank (one shuffle on lang). Every stage is
       // oracle-verified in one hash via the composed DuckDB SQL.
-      val d = t(s, dir, "documents")
-      val scored = d.select(col("doc_id"), col("text"),
-        TextAnalysis.langId(col("text")).as("lang"),
-        TextAnalysis.qualityScore(col("text")).as("quality"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val scored = TextAnalysis.scoreDocuments(
+        t(s, dir, "documents"), "doc_id", "text")
       val gated = scored
         .filter(col("quality") > 0.5501 && col("lang") =!= "und")
       val deduped = gated

@@ -129,16 +129,16 @@ object ArrayPrimitives {
         case "oph_shift" =>
           val arr = a(0); val k = num(1).toInt
           val fill = if (args.length > 2) num(2) else 0.0
-          emptySafe(arr, transform(sequence(lit(1), size(arr)), i => {
+          transform(indicesOf(arr, 1), i => {
             val src = i - lit(k)
             when(src >= 1 && src <= size(arr), element_at(arr, src))
               .otherwise(lit(fill))
-          }))
+          })
         // rotate(a, offset): circular shift (reference oph_rotate)
         case "oph_rotate" =>
           val arr = a(0); val k = num(1).toInt
-          emptySafe(arr, transform(sequence(lit(1), size(arr)), i =>
-            element_at(arr, pmod(i - lit(k) - 1, size(arr)) + 1)))
+          transform(indicesOf(arr, 1), i =>
+            element_at(arr, pmod(i - lit(k) - 1, size(arr)) + 1))
         // padding(a, size, value): right-pad up to `size` elements
         case "oph_padding" =>
           val arr = a(0)
@@ -176,14 +176,14 @@ object ArrayPrimitives {
         case "oph_gsl_fft" =>
           val arr = a(0)
           val n = size(arr)
-          emptySafe(arr, flatten(transform(sequence(lit(0), n - 1), k => {
+          flatten(transform(indicesOf(arr, 0), k => {
             def term(trig: Column => Column): Column =
               aggregate(sequence(lit(0), n - 1), lit(0.0), (acc, j) =>
                 acc + element_at(arr, j.cast("int") + 1) *
                   trig(lit(-2.0 * math.Pi) * k.cast("double") *
                     j.cast("double") / n.cast("double")))
             array(term(cos), term(sin))
-          })))
+          }))
         // GSL aliases for reductions already in the surface
         case "oph_gsl_sd" => CubeOps.reduceExpr(a(0), "std")
         case "oph_gsl_quantile" =>
@@ -194,12 +194,15 @@ object ArrayPrimitives {
       }
   }
 
-  /** Empty cells short-circuit to an empty cell: index-generating
-    * primitives build positions with sequence(1, size(arr)), and
-    * Spark's sequence(1, 0) yields the DESCENDING [1, 0] — two
-    * garbage elements — instead of an empty array. */
-  private def emptySafe(arr: Column, expr: Column): Column =
-    when(size(arr) === 0, array().cast("array<double>")).otherwise(expr)
+  /** Position vector [from, from+n) that is EMPTY for an empty cell:
+    * Spark's sequence(1, 0) yields the DESCENDING [1, 0] — two garbage
+    * positions — so index-generating primitives must not feed size-1
+    * into sequence directly. slice keeps the whole expression a plain
+    * codegen'd HOF chain (a CaseWhen guard around the primitive would
+    * knock the enclosing projection out of whole-stage codegen). */
+  private def indicesOf(arr: Column, from: Int): Column =
+    slice(sequence(lit(from), greatest(size(arr) + (from - 1), lit(from))),
+      lit(1), size(arr))
 
   /** One-shot: compile a query string against a measure column. */
   def apply(query: String, measure: Column): Column =

@@ -82,6 +82,45 @@ object TextAnalysis {
     graft.functions.expressions.GraftExpressions.poly_hash(
       regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Token-staged document scoring: (id, text, lang, quality,
+    * n_tokens) with the token arrays computed ONCE as columns and
+    * every ratio derived from the attribute. Arithmetic is identical
+    * to `langId`/`qualityScore`/`tokenCount` — but the composed
+    * single-expression form re-tokenizes the text ~9× and the
+    * blown-up projection falls out of whole-stage codegen (measured
+    * ~6× slower at sf0.1), so the composed corpus pipeline uses this
+    * staged form. */
+  def scoreDocuments(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val text = col(textCol)
+    val staged = df.select(col(idCol), text,
+      split(trim(text), "\\s+").as("__tk"),
+      split(lower(trim(text)), "\\s+").as("__tkl"))
+    val n = size(col("__tk")).cast("double")
+    val empty = trim(text) === ""
+    def ratio(lang: String): Column = {
+      val words = stopwords(lang)
+      when(empty, lit(0.0)).otherwise(
+        size(F.filter(col("__tkl"), t => t.isin(words: _*))) / n)
+    }
+    val scores = stopwords.keys.toSeq.sorted.map(l =>
+      struct(ratio(l).as("s"), lit(l).as("l")))
+    val best = array_max(array(scores: _*))
+    val lang = when(best.getField("s") > 0, best.getField("l"))
+      .otherwise("und")
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopScore = least(ratio("en") * 4.0, lit(1.0))
+    val alphaScore = when(empty, lit(0.0)).otherwise(
+      size(F.filter(col("__tk"), t => t.rlike("^[A-Za-z]+$"))) / n)
+    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * 5.0, lit(0.0))
+    val quality = round(
+      (lenScore + stopScore + alphaScore + punctPenalty) / 4.0, 4)
+    staged.select(col(idCol), text,
+      lang.as("lang"), quality.as("quality"),
+      when(empty, 0L).otherwise(size(col("__tk")).cast("long"))
+        .as("n_tokens"))
+  }
+
   // PII patterns kept to the regex subset RE2 (DuckDB) and
   // java.util.regex execute identically: character classes, bounded
   // repetition, no backrefs/lookaround.
