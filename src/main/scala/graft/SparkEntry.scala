@@ -508,6 +508,36 @@ object SparkEntry {
           round(sum(col("o_totalprice")), 2).as("sv"))
     }),
 
+    "join_skew_salted" -> ((s, dir) => {
+      // skew-safe join: lineitem probe rows scatter over 8 salt
+      // buckets, the orders build side replicates 8x — same result as
+      // the plain equi-join (the oracle is the UNSALTED SQL), but a
+      // hot orderkey spreads over 8 reducers instead of one
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.operators.Skew.saltedJoin(li, o, Seq("l_orderkey"),
+          scatter = col("l_linenumber"), salt = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+
+    "agg_skew_salted" -> ((s, dir) => {
+      // two-phase salted aggregation: l_returnflag has only 3 groups
+      // (maximally hot keys); phase 1 splits each across 16 buckets,
+      // phase 2 merges partials — exact, hash-matched by the plain
+      // GROUP BY oracle
+      graft.operators.Skew.saltedAgg(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity",
+          scatter = col("l_orderkey"), salt = 16)
+        .select(col("l_returnflag"),
+          round(col("sum_l_quantity"), 2).as("sum_qty"), col("n"),
+          col("min_l_quantity").as("min_qty"),
+          col("max_l_quantity").as("max_qty"))
+    }),
+
     "grouping_rollup" -> ((s, dir) => {
       // grouping sets: ROLLUP over (returnflag, linestatus) — subtotals
       // and a grand total in one pass (partial aggregation per set)
@@ -1337,6 +1367,18 @@ object SparkEntry {
          ASOF JOIN (SELECT user_id, ts, max(value) AS value FROM events
                     WHERE event_type = 'purchase' GROUP BY 1, 2) p
            ON c.user_id = p.user_id AND c.ts >= p.ts""",
+
+    "join_skew_salted" ->
+      """SELECT o_orderstatus, round(sum(l_quantity), 2) AS sum_qty,
+                count(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+
+    "agg_skew_salted" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+                count(*) AS n, min(l_quantity) AS min_qty,
+                max(l_quantity) AS max_qty
+         FROM lineitem GROUP BY 1""",
 
     "join_range" ->
       """SELECT i AS band, count(*) AS n, round(sum(o_totalprice), 2) AS sv

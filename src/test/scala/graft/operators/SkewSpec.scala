@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain equi-join result") {
+    // one maximally hot key (40 of 50 rows) plus normal keys
+    val probe = (1L to 50L).map(i =>
+      (if (i <= 40) 1L else i, i, i * 2.0)).toDF("k", "row", "v")
+    val build = Seq((1L, "hot"), (42L, "a"), (45L, "b"), (99L, "miss"))
+      .toDF("k", "tag")
+    val plain = probe.join(build, Seq("k"))
+      .select("k", "row", "v", "tag").as[(Long, Long, Double, String)]
+      .collect().toSet
+    val salted = Skew.saltedJoin(probe, build, Seq("k"),
+        scatter = col("row"), salt = 4)
+      .select("k", "row", "v", "tag").as[(Long, Long, Double, String)]
+      .collect().toSet
+    assert(salted == plain)
+    // the hot key really spreads: >1 distinct salt bucket for key 1
+    val buckets = probe.filter($"k" === 1L)
+      .select(pmod(xxhash64(col("row")), lit(4L)).cast("int"))
+      .distinct().count()
+    assert(buckets > 1, "scatter column must spread the hot key")
+  }
+
+  test("salted aggregation merges partials exactly") {
+    val df = (1L to 1000L).map(i =>
+      (if (i % 2 == 0) "hot" else s"k${i % 7}", i, i.toDouble / 4))
+      .toDF("g", "row", "v")
+    val plain = df.groupBy("g").agg(
+        sum($"v").as("s"), count(lit(1)).as("n"),
+        min($"v").as("mn"), max($"v").as("mx"))
+      .as[(String, Double, Long, Double, Double)].collect().toSet
+    val salted = Skew.saltedAgg(df, Seq("g"), "v",
+        scatter = col("row"), salt = 8)
+      .select(col("g"), col("sum_v"), col("n"), col("min_v"), col("max_v"))
+      .as[(String, Double, Long, Double, Double)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("salted join plan stays an equi-join on the widened key") {
+    val probe = (1L to 20L).map(i => (i, i)).toDF("k", "row")
+    val build = Seq((1L, "x")).toDF("k", "tag")
+    val p = Skew.saltedJoin(probe, build, Seq("k"),
+      scatter = col("row"), salt = 4)
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("Cross") && !p.contains("NestedLoop"),
+      s"salted join must stay an equi-join:\n$p")
+  }
+}
