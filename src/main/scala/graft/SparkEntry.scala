@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.core.Subset
 import graft.cube.{Cube, CubeOps}
 import graft.functions.ArrayPrimitives
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{CorpusOps, Dedup, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -840,6 +840,49 @@ object SparkEntry {
         .filter(col("rk") <= 100)
         .select(col("doc_id"), col("lang"), col("quality"),
           col("n_tokens"), col("rk"))
+    }),
+
+    "corpus_repetition" -> ((s, dir) =>
+      // Gopher-style repetition quality gate: distinct-token ratio,
+      // duplicated-2-gram fraction, top-token share — all per-row
+      // in-cell array arithmetic, zero shuffle
+      CorpusOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text")),
+
+    "corpus_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: the eval set is the first 8 tokens
+      // of every 40th doc (so overlaps provably exist); a doc is
+      // contaminated when it shares any word-5-gram. The benchmark
+      // gram set broadcasts; the corpus side never shuffles raw text.
+      val d = t(s, dir, "documents")
+      val bench = d.filter(col("doc_id") % 40 === 0)
+        .select(concat_ws(" ",
+          slice(split(lower(trim(col("text"))), "\\s+"), 1, 8)).as("text"))
+      CorpusOps.decontaminate(d, bench, "doc_id", "text", n = 5)
+    }),
+
+    "corpus_domains" -> ((s, dir) => {
+      // per-domain corpus accounting + blocklist: plant deterministic
+      // URLs (same arithmetic oracle-side), extract hostnames, drop
+      // blocked.example.com, count docs/mentions per domain
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://host"), (col("doc_id") % 7).cast("string"),
+          lit(".example.org/p"), col("doc_id").cast("string"),
+          when(col("doc_id") % 4 === 0,
+            lit(" and http://blocked.example.com/x")).otherwise(lit(""))
+        ).as("text"))
+      CorpusOps.domainStats(aug, "doc_id", "text",
+        blocklist = Seq("blocked.example.com"))
+    }),
+
+    "corpus_shards" -> ((s, dir) => {
+      // token-budget shard packing via the two-level distributed
+      // prefix sum (no single-partition global window); shard =
+      // floor(exclusive-prefix-tokens / 500)
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      CorpusOps.packShards(d, "doc_id", "n_tokens", budget = 500L,
+        numPartitions = 8)
     }),
 
     // ------------------------------------------- workflow engine e2e
@@ -1800,6 +1843,85 @@ object SparkEntry {
            FROM dedup WHERE rn = 1)
          SELECT doc_id, lang, quality, n_tokens, rk
          FROM sampled WHERE rk <= 100""",
+
+    "corpus_repetition" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+           FROM documents),
+         g AS (
+           SELECT doc_id, tk,
+                  CASE WHEN len(tk) >= 2
+                       THEN list_transform(range(1, len(tk)),
+                              i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+                       ELSE CAST([] AS VARCHAR[]) END AS g2
+           FROM tok)
+         SELECT doc_id,
+                round(CASE WHEN len(tk) = 0 OR (len(tk) = 1 AND tk[1] = '') THEN 0.0
+                  ELSE len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE) END, 4)
+                  AS distinct_token_ratio,
+                round(CASE WHEN len(g2) = 0 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE) END, 4)
+                  AS dup_2gram_frac,
+                round(CASE WHEN len(tk) = 0 OR (len(tk) = 1 AND tk[1] = '') THEN 0.0
+                  ELSE list_max(list_transform(list_distinct(tk),
+                         t -> len(list_filter(tk, x -> x = t))))
+                       / CAST(len(tk) AS DOUBLE) END, 4) AS top_token_frac
+         FROM g""",
+
+    "corpus_decontaminate" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+           FROM documents),
+         bench AS (
+           SELECT list_slice(tk, 1, 8) AS btk FROM tok WHERE doc_id % 40 = 0),
+         bgi AS (
+           SELECT btk, unnest(range(1, len(btk) - 3)) AS i
+           FROM bench WHERE len(btk) >= 5),
+         bg AS (
+           SELECT DISTINCT array_to_string(list_slice(btk, i, i + 4), ' ') AS gram
+           FROM bgi),
+         dgi AS (
+           SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+           FROM tok WHERE len(tk) >= 5),
+         dg AS (
+           SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(tk, i, i + 4), ' ') AS gram
+           FROM dgi)
+         SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_hits
+         FROM dg JOIN bg USING (gram)
+         GROUP BY 1""",
+
+    "corpus_domains" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  text || ' see https://host' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example.org/p' || CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN ' and http://blocked.example.com/x'
+                               ELSE '' END AS text
+           FROM documents),
+         d AS (
+           SELECT doc_id,
+                  unnest(regexp_extract_all(text,
+                    'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+           FROM aug)
+         SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_urls
+         FROM d WHERE domain <> 'blocked.example.com'
+         GROUP BY 1""",
+
+    "corpus_shards" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                  END AS n_tokens
+           FROM documents)
+         SELECT doc_id,
+                CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) / 500.0) AS BIGINT) AS shard_id
+         FROM w""",
 
     "sample_stratified" ->
       """SELECT event_id, event_type,

@@ -1,0 +1,145 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Corpus-preparation operators a large-scale training-data pipeline
+ * needs beyond scoring/dedup: Gopher-style repetition filters,
+ * benchmark decontamination, URL/domain accounting, and token-budget
+ * shard packing. Everything row-local is a codegen'd builtin
+ * composition; the two operators that must see global state
+ * (decontamination, packing) are shaped for 100 TB — a broadcast
+ * semi-join against the (small) benchmark n-gram set, and a
+ * two-level distributed prefix sum instead of a single-partition
+ * global window.
+ */
+object CorpusOps {
+
+  private def toks(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Word n-grams of `tk` as strings; empty array when the doc is too
+    * short (guarded — `sequence(1, 0)` would descend). */
+  private def ngrams(tk: Column, n: Int): Column =
+    when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", slice(tk, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /**
+   * Gopher-style repetition statistics, the standard "repetitious
+   * text" quality gate (Rae et al. 2021 §A1.1): fraction of distinct
+   * tokens, fraction of duplicated word-2-grams, and the share of the
+   * single most frequent token. All per-row over short in-cell arrays
+   * — the O(distinct·n) top-token scan stays in-register and inside
+   * whole-stage codegen, which beats exploding 100 TB of tokens
+   * through a shuffle by orders of magnitude.
+   */
+  def repetitionStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tk = toks(col(textCol))
+    val staged = df.select(col(idCol), tk.as("__tk"),
+      ngrams(tk, 2).as("__g2"))
+    val n = size(col("__tk")).cast("double")
+    val empty = size(col("__tk")) === 0 ||
+      (size(col("__tk")) === 1 && col("__tk").getItem(0) === "")
+    val distinctRatio = when(empty, lit(0.0))
+      .otherwise(size(array_distinct(col("__tk"))) / n)
+    val dup2 = when(size(col("__g2")) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(col("__g2"))).cast("double") / size(col("__g2")))
+    val topTok = when(empty, lit(0.0)).otherwise(
+      array_max(transform(array_distinct(col("__tk")),
+        t => size(F.filter(col("__tk"), x => x === t)))).cast("double") / n)
+    staged.select(col(idCol),
+      round(distinctRatio, 4).as("distinct_token_ratio"),
+      round(dup2, 4).as("dup_2gram_frac"),
+      round(topTok, 4).as("top_token_frac"))
+  }
+
+  /**
+   * Benchmark decontamination: flag documents sharing any word
+   * `n`-gram with an evaluation set — the overlap check every
+   * training corpus runs before a model ships (GPT-3 appendix C
+   * methodology). The benchmark side is small by nature, so its
+   * distinct grams BROADCAST and the corpus streams through a
+   * broadcast hash join on the exploded (already-deduplicated)
+   * doc grams — no shuffle of the 100 TB side.
+   * Returns (id, n_hits): distinct contaminated grams per document.
+   */
+  def decontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    val bg = bench
+      .select(explode(ngrams(toks(col(textCol)), n)).as("gram")).distinct()
+    val dg = docs.select(col(idCol),
+      explode(array_distinct(ngrams(toks(col(textCol)), n))).as("gram"))
+    dg.join(broadcast(bg), "gram")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_hits"))
+  }
+
+  private val urlRe = "https?://([A-Za-z0-9.-]+)"
+
+  /** All URL hostnames mentioned in `text` (scheme stripped). */
+  def urlDomains(text: Column): Column =
+    regexp_extract_all(text, lit(urlRe), lit(1))
+
+  /**
+   * Per-domain corpus accounting with a blocklist: explode mentioned
+   * domains, drop blocklisted ones, count documents and mentions per
+   * domain. One hash-aggregation shuffle on the domain key — the
+   * crawl-corpus "who contributes what" report.
+   */
+  def domainStats(df: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    val dom = df.select(col(idCol),
+      explode(urlDomains(col(textCol))).as("domain"))
+    val kept = if (blocklist.isEmpty) dom
+      else dom.filter(!col("domain").isin(blocklist: _*))
+    kept.groupBy(col("domain"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_urls"))
+  }
+
+  /**
+   * Token-budget shard packing: assign each document the shard whose
+   * token-budget window its START offset falls in (shard = floor of
+   * the exclusive prefix sum / budget) — the deterministic,
+   * order-preserving way to cut a corpus into ~budget-token training
+   * shards.
+   *
+   * A naive `Window.orderBy(id)` with no partition key collapses all
+   * data into ONE task — the classic global-window scale trap. This
+   * is the two-level distributed prefix sum instead: range-partition
+   * by id, run the running sum per partition, then shift each
+   * partition by the total of everything before it (a tiny
+   * per-partition offset frame, broadcast back). Two scans, no
+   * single-partition sort, works at any scale.
+   */
+  def packShards(df: DataFrame, idCol: String, weightCol: String,
+      budget: Long, numPartitions: Int = 32): DataFrame = {
+    val ranged = df.select(col(idCol), col(weightCol))
+      .repartitionByRange(numPartitions, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    // running sum within each range partition (ordered by id)
+    val local = ranged.withColumn("__cum",
+      sum(col(weightCol)).over(
+        Window.partitionBy(col("__pid")).orderBy(col(idCol))))
+    // per-partition totals -> exclusive offsets; numPartitions rows,
+    // so the unpartitioned window is trivially cheap and the join
+    // side broadcasts
+    val offsets = local.groupBy(col("__pid"))
+      .agg(sum(col(weightCol)).as("__tot"))
+      .withColumn("__off",
+        coalesce(sum(col("__tot")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), "__pid")
+      .select(col(idCol),
+        floor((col("__cum") + col("__off") - col(weightCol))
+          .cast("double") / budget.toDouble).cast("long").as("shard_id"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionStats computes Gopher-style ratios") {
+    val df = Seq(
+      (1L, "a b a b a"),            // 2 distinct / 5; g2 = ab ba ab ba -> dup 0.5; top a = 3/5
+      (2L, "all words here differ"),
+      (3L, "")).toDF("doc_id", "text")
+    val r = CorpusOps.repetitionStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getDouble(1) == 0.4)     // distinct_token_ratio
+    assert(r(0).getDouble(2) == 0.5)     // dup_2gram_frac
+    assert(r(0).getDouble(3) == 0.6)     // top_token_frac
+    assert(r(1).getDouble(1) == 1.0)
+    assert(r(1).getDouble(2) == 0.0)
+    assert(r(1).getDouble(3) == 0.25)
+    assert(r(2).getDouble(1) == 0.0 && r(2).getDouble(2) == 0.0 &&
+      r(2).getDouble(3) == 0.0)          // empty doc: all guards fire
+  }
+
+  test("decontaminate flags exactly the docs sharing a 5-gram") {
+    val docs = Seq(
+      (1L, "q w e r t y u i o p"),      // contains the benchmark 5-grams
+      (2L, "totally unrelated words live here now"),
+      (3L, "x q w e r t z z z")         // shares 'q w e r t' only
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("q w e r t y")).toDF("text")
+    val r = CorpusOps.decontaminate(docs, bench, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+    // bench grams: "q w e r t", "w e r t y"
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((1L, 2L), (3L, 1L)))
+    // the benchmark side broadcasts — no shuffle of the corpus side
+    val plan = CorpusOps.decontaminate(docs, bench, "doc_id", "text", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("domainStats extracts hostnames and honors the blocklist") {
+    val df = Seq(
+      (1L, "go to https://a.example.org/x and http://b.example.org/y"),
+      (2L, "again https://a.example.org/z plus https://bad.example.com/k"),
+      (3L, "no urls at all")).toDF("doc_id", "text")
+    val r = CorpusOps.domainStats(df, "doc_id", "text",
+        blocklist = Seq("bad.example.com"))
+      .orderBy("domain").collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq ==
+      Seq(("a.example.org", 2L, 2L), ("b.example.org", 1L, 1L)))
+  }
+
+  test("packShards matches the sequential exclusive-prefix assignment") {
+    // weights 30,40,50,... over ids 1..40; budget 200
+    val rows = (1L to 40L).map(i => (i, 20L + 10L * (i % 5)))
+    val df = rows.toDF("doc_id", "w")
+    val got = CorpusOps.packShards(df, "doc_id", "w", budget = 200L,
+        numPartitions = 4)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    var cum = 0L
+    val want = rows.map { case (id, w) =>
+      val shard = (cum / 200L); cum += w; (id, shard)
+    }
+    assert(got.toSeq == want)
+    // more than one shard actually produced
+    assert(got.map(_._2).distinct.length > 3)
+  }
+
+  test("packShards never collapses to a single-partition global window") {
+    val df = (1L to 1000L).map(i => (i, 7L)).toDF("doc_id", "w")
+    val plan = CorpusOps.packShards(df, "doc_id", "w", budget = 100L,
+      numPartitions = 8).queryExecution.executedPlan.toString
+    // the data-bearing window runs per range partition, keyed by __pid;
+    // only the 8-row offset frame uses an unpartitioned window
+    assert(plan.contains("__pid"))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
