@@ -1167,6 +1167,16 @@ object SparkEntry {
       graft.pipeline.Multimodal.audioStats(media)
     }),
 
+    "multimodal_video" -> ((s, dir) => {
+      // binary video columns -> REAL MJPEG-AVI demux (pure-Scala RIFF
+      // parser) + per-frame JPEG decode (javax.imageio); the synthetic
+      // clips have closed-form dimensions / frame counts / fps, and
+      // frames_decoded only reaches n_frames when every JPEG truly
+      // decodes, so the SQL oracle verifies the whole video path
+      val media = graft.pipeline.Multimodal.syntheticAviMedia(s, 200)
+      graft.pipeline.Multimodal.videoStats(media)
+    }),
+
     // --------------------------------------------------- oph_randcube
     "randcube_reduce" -> ((s, dir) => {
       val rc = CubeOps.randcube(s, 1000, 16, seed = 42)
@@ -1977,6 +1987,20 @@ object SparkEntry {
                 CAST(2 * (10 + i % 5) - 1 AS BIGINT) AS zero_crossings,
                 CAST((2 * (8 + i % 8) * (10 + i % 5)) * 1000000
                   // (8000 + (i % 4) * 4000) AS BIGINT) AS duration_us
+         FROM range(200) t(i)""",
+
+    // the AVI demux + JPEG frame decode must reproduce the closed-form
+    // container parameters; frames_decoded = n_frames certifies every
+    // frame payload really decoded at the header dimensions
+    "multimodal_video" ->
+      """SELECT i AS media_id,
+                CAST(16 + (i % 8) * 2 AS BIGINT) AS width,
+                CAST(16 + ((i * 3) % 8) * 2 AS BIGINT) AS height,
+                CAST(10 + i % 5 AS BIGINT) AS fps,
+                CAST(3 + i % 4 AS BIGINT) AS n_frames,
+                CAST(3 + i % 4 AS BIGINT) AS frames_decoded,
+                CAST((3 + i % 4) * (1000000 // (10 + i % 5)) AS BIGINT)
+                  AS duration_us
          FROM range(200) t(i)"""
   )
 }

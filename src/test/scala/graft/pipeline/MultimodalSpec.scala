@@ -82,4 +82,50 @@ class MultimodalSpec extends SparkSpec {
     assert(counts.keySet == (0L until 5L).toSet)
     assert(counts.values.forall(_ >= 1))
   }
+
+  test("AVI/MJPEG writer-demuxer roundtrip preserves frames and headers") {
+    val jpeg = { // one real JPEG via ImageIO
+      val img = new java.awt.image.BufferedImage(20, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos); bos.toByteArray
+    }
+    val avi = AviMjpeg.write(Seq(jpeg, jpeg, jpeg), 20, 12, fps = 25)
+    val m = AviMjpeg.parse(avi).get
+    assert(m.width == 20 && m.height == 12)
+    assert(m.fps == 25 && m.usPerFrame == 40000)
+    assert(m.nFrames == 3 && m.frames.forall(_.sameElements(jpeg)))
+    assert(m.durationUs == 120000L)
+    // odd-length frame payloads survive word-alignment padding
+    val odd = jpeg :+ 0x7F.toByte
+    val m2 = AviMjpeg.parse(AviMjpeg.write(Seq(odd, odd), 20, 12, 10)).get
+    assert(m2.nFrames == 2 && m2.frames.forall(_.length == odd.length))
+    // garbage and truncation are "not a video", never a crash
+    assert(AviMjpeg.parse(Array[Byte](1, 2, 3)).isEmpty)
+    assert(AviMjpeg.parse(avi.take(40)).isEmpty)
+    assert(AviMjpeg.parse("RIFF1234WAVE".getBytes).isEmpty)
+  }
+
+  test("real video decode: closed-form stats and true per-frame decode") {
+    val media = Multimodal.syntheticAviMedia(spark, 25)
+    val stats = Multimodal.videoStats(media)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(stats.length == 25, "every synthetic AVI must demux")
+    stats.foreach { case (id, w, h, fps, nf, ok, durUs) =>
+      assert(w == 16 + (id % 8) * 2)
+      assert(h == 16 + ((id * 3) % 8) * 2)
+      assert(fps == 10 + id % 5)
+      assert(nf == 3 + id % 4)
+      assert(ok == nf, "every JPEG frame must decode at header dims")
+      assert(durUs == nf * (1000000L / fps))
+    }
+    // video frame sampling: stride 2 keeps ceil(n/2) frames, real dims
+    val sampled = Multimodal.sampleVideoFrames(media, stride = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(sampled.forall { case (id, i, w, h, nb) =>
+      i % 2 == 0 && w == 16 + (id % 8) * 2 && nb > 0 })
+    // extractFeatures uses the real first-frame decode for videos
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.forall(f => f.width == 16 + (f.media_id % 8) * 2))
+  }
 }
