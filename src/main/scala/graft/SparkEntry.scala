@@ -817,6 +817,31 @@ object SparkEntry {
       s.table("events_stream_dedup")
     }),
 
+    "events_stream_join" -> ((s, dir) => {
+      // STREAM-STREAM event-time interval join inside the correctness
+      // gate: clicks join same-user views from the trailing 24 h. Both
+      // sides are watermarked and the join carries the time bound, so
+      // state stays bounded; inner-join emission is exactly-once per
+      // match independent of batch boundaries, so the AvailableNow run
+      // hash-matches the BATCH join oracle.
+      val ev = stagedEventsStream(s, dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+      val joined = graft.streaming.EventStream.intervalJoin(
+        clicks, views, windowMillis = 86400000L)
+        .select(col("l.event_id").as("click_id"), col("r.view_id"),
+          col("l.user_id").as("user_id"))
+      val q = joined.writeStream.format("memory")
+        .queryName("events_stream_join").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("events_stream_join")
+    }),
+
     "pipeline_corpus" -> ((s, dir) => {
       // END-TO-END training-corpus preparation, the composition a 100 TB
       // data pipeline actually runs: per-doc quality gate + language
@@ -1769,6 +1794,15 @@ object SparkEntry {
     "events_stream_dedup" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
          FROM events GROUP BY 1""",
+
+    // the stream-stream interval join must emit exactly the batch join
+    "events_stream_join" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id,
+                c.user_id AS user_id
+         FROM events c JOIN events v ON c.user_id = v.user_id
+           AND c.event_type = 'click' AND v.event_type = 'view'
+           AND epoch_ms(v.ts) BETWEEN epoch_ms(c.ts) - 86400000
+                                  AND epoch_ms(c.ts)""",
 
     "pipeline_redact" ->
       """WITH aug AS (

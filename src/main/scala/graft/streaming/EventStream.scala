@@ -91,6 +91,25 @@ object EventStream {
       keys: Seq[String] = Seq("event_id")): DataFrame =
     events.dropDuplicates(keys)
 
+  /** Stream-stream event-time interval join: each left event joins
+    * right events of the same user whose timestamp falls within
+    * `windowMillis` BEFORE it. Both sides carry watermarks and the
+    * join condition carries the time bound, so the state store evicts
+    * rows once they age past watermark + window — the bounded-state
+    * 100 TB shape. Inner-join output is deterministic regardless of
+    * micro-batch boundaries (each match emits exactly once when both
+    * sides have arrived), so an AvailableNow run must equal the batch
+    * join — which is what the oracle checks. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      windowMillis: Long, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      col("l.user_id") === col("r.user_id") &&
+        col("r.ts") >= col("l.ts") - expr(s"INTERVAL ${windowMillis / 1000} SECONDS") &&
+        col("r.ts") <= col("l.ts"))
+  }
+
   /** Start a console-less memory-sink query for tests/inspection. */
   def startMemorySink(df: DataFrame, name: String,
       outputMode: String = "update"): StreamingQuery =

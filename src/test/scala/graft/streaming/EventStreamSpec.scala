@@ -53,6 +53,35 @@ class EventStreamSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val dir = Files.createTempDirectory("graft_ssj").toString
+    writeEventChunk(dir, 0, 30)
+    writeEventChunk(dir, 30, 30)
+    val stream = EventStream.fileStream(spark, dir, maxFilesPerTrigger = 1)
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = stream.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+    // 5-minute trailing window, 10-minute watermark
+    val joined = EventStream.intervalJoin(clicks, views,
+        windowMillis = 5 * 60000L, watermark = "10 minutes")
+      .select(col("l.event_id").as("click_id"), col("r.view_id"))
+    val q = EventStream.startMemorySink(joined, "ssj_test", "append")
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT click_id, view_id FROM ssj_test")
+      .as[(Long, Long)].collect().toSet
+    // batch reference over the same files
+    val batch = spark.read.parquet(dir)
+    val want = batch.as("c").filter(col("c.event_type") === "click")
+      .join(batch.as("v").filter(col("v.event_type") === "view"),
+        col("c.user_id") === col("v.user_id") &&
+          col("v.ts") >= col("c.ts") - expr("INTERVAL 300 SECONDS") &&
+          col("v.ts") <= col("c.ts"))
+      .select(col("c.event_id"), col("v.event_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   private def ts(minute: Int) =
     new java.sql.Timestamp(1700000000000L + minute * 60000L)
 }
