@@ -644,6 +644,20 @@ object SparkEntry {
       Dedup.connectedComponents(verts, e)
     }),
 
+    "dedup_incremental" -> ((s, dir) => {
+      // cross-run dedup: the "incoming" batch replays every corpus doc
+      // (ids offset; even ids byte-identical text, odd ids fresh text).
+      // Bloom prefilter (broadcast sketch of corpus hashes) passes the
+      // definitively-new rows join-free; only bloom-positives pay the
+      // exact anti-join. Exactly the odd-id half must survive.
+      val corpus = t(s, dir, "documents").select("doc_id", "text")
+      val incoming = corpus.select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" fresh"))).as("text"))
+      Dedup.incrementalNew(corpus, incoming, "doc_id", "text")
+    }),
+
     "pipeline_redact" -> ((s, dir) => {
       // PII scrub before a corpus ships: plant deterministic emails /
       // phone numbers into the documents (same arithmetic on the
@@ -1803,6 +1817,19 @@ object SparkEntry {
            AND c.event_type = 'click' AND v.event_type = 'view'
            AND epoch_ms(v.ts) BETWEEN epoch_ms(c.ts) - 86400000
                                   AND epoch_ms(c.ts)""",
+
+    // bloom false positives must be fully cancelled by the exact
+    // verify: the result equals the plain anti-join
+    "dedup_incremental" ->
+      """WITH inc AS (
+           SELECT doc_id + 1000000 AS doc_id,
+                  CASE WHEN doc_id % 2 = 0 THEN text
+                       ELSE text || ' fresh' END AS text
+           FROM documents),
+         ch AS (SELECT DISTINCT md5(text) AS h FROM documents)
+         SELECT i.doc_id, md5(i.text) AS content_hash
+         FROM inc i LEFT JOIN ch c ON md5(i.text) = c.h
+         WHERE c.h IS NULL""",
 
     "pipeline_redact" ->
       """WITH aug AS (

@@ -316,4 +316,46 @@ object Dedup {
         s"connectedComponents: no fixpoint after $maxRounds rounds")
     labels.select(col("id").as("vertex_id"), col("label").as("cluster_id"))
   }
+
+  /**
+   * Incremental (cross-run) exact dedup: keep only the rows of
+   * `incoming` whose content does not already exist in `corpus` — the
+   * "dedup today's crawl against yesterday's 100 TB" step every
+   * continuously-ingesting pipeline runs.
+   *
+   * Scale shape: the corpus is summarized into a BLOOM FILTER over its
+   * content hashes (built distributed — per-partition sketches merged
+   * once — by `DataFrameStatFunctions.bloomFilter`) and broadcast.
+   * Bloom-NEGATIVE incoming rows are definitively new (no false
+   * negatives) and skip the join entirely; only the small
+   * bloom-positive candidate set pays the exact LEFT ANTI join that
+   * removes false positives. The result is therefore EXACT while the
+   * shuffled probe side shrinks from |incoming| to ~dup-rate·|incoming|.
+   * The membership probe is a partition-local typed filter (the one
+   * non-codegen stage — an O(1) sketch lookup per row against the
+   * broadcast, no data movement).
+   */
+  def incrementalNew(corpus: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, expectedItems: Long = 0L,
+      fpp: Double = 0.01): DataFrame = {
+    val ch = corpus.select(md5(col(textCol)).as("content_hash")).distinct()
+    // an empty corpus means everything is new — and Spark's
+    // bloom_filter_agg returns a null buffer over zero rows (NPE in
+    // BloomFilter.readFrom), so the guard is also load-bearing
+    if (ch.isEmpty)
+      return incoming.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    val n = if (expectedItems > 0) expectedItems else ch.count()
+    val bloom = ch.stat.bloomFilter("content_hash", math.max(n, 1L), fpp)
+    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val inc = incoming.select(col(idCol),
+      md5(col(textCol)).as("content_hash"))
+    val hIdx = 1 // content_hash position in `inc`
+    val definiteNew =
+      inc.filter(r => !bc.value.mightContainString(r.getString(hIdx)))
+    val candidates =
+      inc.filter(r => bc.value.mightContainString(r.getString(hIdx)))
+    val verifiedNew = candidates.join(ch, Seq("content_hash"), "left_anti")
+      .select(col(idCol), col("content_hash"))
+    definiteNew.unionByName(verifiedNew)
+  }
 }

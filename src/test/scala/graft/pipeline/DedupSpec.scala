@@ -126,4 +126,25 @@ class DedupSpec extends SparkSpec {
     // a 200-hop chain collapses to one cluster well inside log-rounds
     assert(got.length == n && got.forall(_._2 == 1L))
   }
+
+  test("incremental dedup: bloom prefilter + exact verify equals anti-join") {
+    val corpus = (1L to 100L).map(i => (i, s"doc number $i"))
+      .toDF("doc_id", "text")
+    // incoming: 50 exact dups of corpus docs + 50 genuinely new
+    val incoming = ((101L to 150L).map(i => (i, s"doc number ${i - 100}")) ++
+      (151L to 200L).map(i => (i, s"brand new content $i")))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNew(corpus, incoming, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == (151L to 200L).toSet)
+    // a tight bloom (high fpp) still yields the exact answer — false
+    // positives are cancelled by the verify join
+    val gotTight = Dedup.incrementalNew(corpus, incoming, "doc_id", "text",
+      expectedItems = 10, fpp = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(gotTight == (151L to 200L).toSet)
+    // empty corpus: everything is new
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.incrementalNew(empty, incoming, "doc_id", "text")
+      .count() == 100L)
+  }
 }
