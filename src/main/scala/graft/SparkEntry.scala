@@ -1815,8 +1815,8 @@ object SparkEntry {
                 c.user_id AS user_id
          FROM events c JOIN events v ON c.user_id = v.user_id
            AND c.event_type = 'click' AND v.event_type = 'view'
-           AND epoch_ms(v.ts) BETWEEN epoch_ms(c.ts) - 86400000
-                                  AND epoch_ms(c.ts)""",
+           AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - 86400000000
+                                  AND epoch_us(c.ts)""",
 
     // bloom false positives must be fully cancelled by the exact
     // verify: the result equals the plain anti-join

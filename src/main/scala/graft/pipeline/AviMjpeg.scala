@@ -133,7 +133,8 @@ object AviMjpeg {
     var usPerFrame = 0
     var w = 0; var h = 0
     var scale = 0; var rate = 0
-    var inVids = false
+    var strhSeen = 0
+    var vidsStream = -1 // stream number of the first 'vids' stream
     val frames = IndexedSeq.newBuilder[Array[Byte]]
 
     def walk(start: Int, end: Int): Boolean = {
@@ -142,7 +143,9 @@ object AviMjpeg {
         val id = rdCc(bytes, off)
         val sz = rdLe32(bytes, off + 4)
         val body = off + 8
-        if (sz < 0 || body + sz > end) return false // truncated chunk
+        // compare in long space: a hostile 32-bit size can overflow
+        // `body + sz` negative and slip past an int-typed bounds check
+        if (sz < 0 || body.toLong + sz > end) return false // truncated
         id match {
           case "LIST" =>
             if (sz < 4) return false
@@ -151,11 +154,16 @@ object AviMjpeg {
             usPerFrame = rdLe32(bytes, body)
             w = rdLe32(bytes, body + 32); h = rdLe32(bytes, body + 36)
           case "strh" if sz >= 32 =>
-            inVids = rdCc(bytes, body) == "vids"
-            if (inVids) {
+            if (vidsStream < 0 && rdCc(bytes, body) == "vids") {
+              vidsStream = strhSeen
               scale = rdLe32(bytes, body + 20); rate = rdLe32(bytes, body + 24)
             }
-          case id if id.endsWith("dc") || id.endsWith("db") =>
+            strhSeen += 1
+          case id if (id.endsWith("dc") || id.endsWith("db")) &&
+              id.take(2).forall(_.isDigit) &&
+              // only the video stream's chunks are frames; '01dc' from
+              // a second stream must not inflate the frame count
+              id.take(2).toInt == math.max(vidsStream, 0) =>
             frames += java.util.Arrays.copyOfRange(bytes, body, body + sz)
           case _ => ()
         }

@@ -18,7 +18,7 @@ import org.apache.spark.sql.{functions => F}
  */
 object CorpusOps {
 
-  private def toks(text: Column): Column = split(lower(trim(text)), "\\s+")
+  private def toks(text: Column): Column = TextAnalysis.tokensLower(text)
 
   /** Word n-grams of `tk` as strings; empty array when the doc is too
     * short (guarded — `sequence(1, 0)` would descend). */

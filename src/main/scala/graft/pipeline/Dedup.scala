@@ -338,14 +338,22 @@ object Dedup {
   def incrementalNew(corpus: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, expectedItems: Long = 0L,
       fpp: Double = 0.01): DataFrame = {
+    // the distinct hash set is consumed three times (count, bloom
+    // build, anti-join build side) — persist it so the md5+distinct
+    // shuffle over the big corpus runs once; it is hashes only
+    // (16 bytes/row), not the corpus text
     val ch = corpus.select(md5(col(textCol)).as("content_hash")).distinct()
+      .persist()
+    val n = ch.count()
     // an empty corpus means everything is new — and Spark's
     // bloom_filter_agg returns a null buffer over zero rows (NPE in
     // BloomFilter.readFrom), so the guard is also load-bearing
-    if (ch.isEmpty)
+    if (n == 0) {
+      ch.unpersist()
       return incoming.select(col(idCol), md5(col(textCol)).as("content_hash"))
-    val n = if (expectedItems > 0) expectedItems else ch.count()
-    val bloom = ch.stat.bloomFilter("content_hash", math.max(n, 1L), fpp)
+    }
+    val sized = if (expectedItems > 0) expectedItems else n
+    val bloom = ch.stat.bloomFilter("content_hash", math.max(sized, 1L), fpp)
     val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
     val inc = incoming.select(col(idCol),
       md5(col(textCol)).as("content_hash"))

@@ -11,6 +11,11 @@ import org.apache.spark.sql.{functions => F}
  */
 object TextAnalysis {
 
+  /** The canonical lowercased whitespace tokenizer every text operator
+    * (and its DuckDB oracle) shares — one definition so the token
+    * arithmetic can never desynchronize between operators. */
+  def tokensLower(text: Column): Column = split(lower(trim(text)), "\\s+")
+
   /** Whitespace token count; empty/blank text counts 0. */
   def tokenCount(text: Column): Column =
     when(trim(text) === "", 0)
@@ -48,7 +53,7 @@ object TextAnalysis {
     * signal ("natural prose has stopwords") and the language-ID score. */
   def stopwordRatio(text: Column, lang: String): Column = {
     val words = stopwords(lang)
-    val toks = split(lower(trim(text)), "\\s+")
+    val toks = tokensLower(text)
     when(trim(text) === "", lit(0.0)).otherwise(
       size(F.filter(toks, t => t.isin(words: _*))).cast("double") /
         size(toks).cast("double"))
@@ -95,7 +100,7 @@ object TextAnalysis {
     val text = col(textCol)
     val staged = df.select(col(idCol), text,
       split(trim(text), "\\s+").as("__tk"),
-      split(lower(trim(text)), "\\s+").as("__tkl"))
+      tokensLower(text).as("__tkl"))
     val n = size(col("__tk")).cast("double")
     val empty = trim(text) === ""
     def ratio(lang: String): Column = {

@@ -106,7 +106,7 @@ object EventStream {
     val r = right.withWatermark("ts", watermark).alias("r")
     l.join(r,
       col("l.user_id") === col("r.user_id") &&
-        col("r.ts") >= col("l.ts") - expr(s"INTERVAL ${windowMillis / 1000} SECONDS") &&
+        col("r.ts") >= col("l.ts") - expr(s"INTERVAL $windowMillis MILLISECONDS") &&
         col("r.ts") <= col("l.ts"))
   }
 

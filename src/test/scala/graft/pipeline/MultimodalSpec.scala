@@ -104,6 +104,20 @@ class MultimodalSpec extends SparkSpec {
     assert(AviMjpeg.parse(Array[Byte](1, 2, 3)).isEmpty)
     assert(AviMjpeg.parse(avi.take(40)).isEmpty)
     assert(AviMjpeg.parse("RIFF1234WAVE".getBytes).isEmpty)
+    // a hostile chunk size near Int.MaxValue must fail the (long-space)
+    // bounds check, not overflow past it and crash
+    val hostile = java.nio.ByteBuffer.allocate(20)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes).putInt(12).put("AVI ".getBytes)
+      .put("00dc".getBytes).putInt(0x7FFFFFF8).array()
+    assert(AviMjpeg.parse(hostile).isEmpty)
+    // frame chunks of OTHER streams ('01dc' when video is stream 0)
+    // must not inflate the frame count
+    val stray = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("01dc".getBytes).putInt(4).putInt(0xDEAD).array()
+    val m3 = AviMjpeg.parse(avi ++ stray).get
+    assert(m3.nFrames == 3)
   }
 
   test("real video decode: closed-form stats and true per-frame decode") {
