@@ -914,6 +914,25 @@ object SparkEntry {
         blocklist = Seq("blocked.example.com"))
     }),
 
+    "corpus_span_dedup" -> ((s, dir) => {
+      // duplicated-window pass (Lee et al. span dedup): every 10-token
+      // sliding window hashed, windows occurring >1x globally counted
+      // per doc. Every third doc is replayed with an offset id, so its
+      // windows are provably duplicated (dup_frac 1.0); the rest
+      // mostly 0. One shuffle on window hash, doc-id rollup after.
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val doubled = d.unionByName(d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      CorpusOps.spanDedup(doubled, "doc_id", "text", w = 10)
+    }),
+
+    "embed_centroids" -> ((s, dir) =>
+      // array-column aggregation at scale: posexplode -> two-phase
+      // hash agg on (label, dim); no vector set ever collects
+      graft.pipeline.Similarity.centroids(
+        t(s, dir, "embeddings"), "label", "embedding")
+        .select(col("label"), col("dim").cast("long").as("dim"), col("c"))),
+
     "corpus_shards" -> ((s, dir) => {
       // token-budget shard packing via the two-level distributed
       // prefix sum (no single-partition global window); shard =
@@ -1980,6 +1999,41 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_urls
          FROM d WHERE domain <> 'blocked.example.com'
          GROUP BY 1""",
+
+    "corpus_span_dedup" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents
+           WHERE doc_id % 3 = 0),
+         tok AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+           FROM corpus),
+         wi AS (
+           SELECT doc_id, tk, unnest(range(1, len(tk) - 8)) AS i
+           FROM tok WHERE len(tk) >= 10),
+         win AS (
+           SELECT doc_id,
+                  md5(array_to_string(list_slice(tk, i, i + 9), ' ')) AS whash
+           FROM wi),
+         dup AS (SELECT whash FROM win GROUP BY 1 HAVING count(*) > 1)
+         SELECT w.doc_id,
+                CAST(count(*) AS BIGINT) AS n_windows,
+                CAST(sum(CASE WHEN d.whash IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_windows,
+                round(sum(CASE WHEN d.whash IS NOT NULL THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 4) AS dup_frac
+         FROM win w LEFT JOIN dup d USING (whash)
+         GROUP BY 1""",
+
+    "embed_centroids" ->
+      """WITH e AS (
+           SELECT label, embedding,
+                  unnest(generate_series(1, len(embedding))) AS dim
+           FROM embeddings)
+         SELECT label, CAST(dim AS BIGINT) AS dim,
+                round(avg(CAST(embedding[dim] AS DOUBLE)), 4) AS c
+         FROM e GROUP BY 1, 2""",
 
     "corpus_shards" ->
       """WITH w AS (

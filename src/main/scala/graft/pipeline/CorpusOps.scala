@@ -80,6 +80,39 @@ object CorpusOps {
       .agg(countDistinct(col("gram")).as("n_hits"))
   }
 
+  /**
+   * Span-level exact-substring dedup (the duplicated-window pass of
+   * "Deduplicating Training Data Makes Language Models Better", Lee
+   * et al. 2022, at token-window granularity): hash every `w`-token
+   * sliding window, find hashes occurring more than once in the
+   * corpus, and report per document how many of its windows are
+   * globally duplicated. The 100 TB shape: windows shuffle ONCE on
+   * the window hash (two-phase count), duplicated hashes join back,
+   * and the per-doc rollup shuffles doc ids only — no string
+   * comparison ever leaves a row.
+   * Returns (id, n_windows, n_dup_windows, dup_frac).
+   */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 10): DataFrame = {
+    val tk = toks(col(textCol))
+    val windows = df.select(col(idCol),
+        explode(when(size(tk) >= w,
+          transform(sequence(lit(1), size(tk) - (w - 1)),
+            i => md5(concat_ws(" ", slice(tk, i, lit(w))))))
+          .otherwise(array().cast("array<string>"))).as("whash"))
+    val dupHashes = windows.groupBy(col("whash"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+      .select(col("whash"))
+    windows.join(dupHashes, Seq("whash"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_windows"))
+      .join(windows.groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_windows")), Seq(idCol), "right")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup_windows"), lit(0L)) /
+          col("n_windows").cast("double"), 4).as("dup_frac"))
+  }
+
   private val urlRe = "https?://([A-Za-z0-9.-]+)"
 
   /** All URL hostnames mentioned in `text` (scheme stripped). */

@@ -44,6 +44,21 @@ object Similarity {
     topK(scored, k)
   }
 
+  /**
+   * Per-group embedding centroids as (group, dim, value) rows — the
+   * scalable shape for aggregating an array column: posexplode turns
+   * each vector into (dim, component) pairs, the average runs as an
+   * ordinary two-phase hash aggregation on (group, dim), and nothing
+   * ever collects a whole vector set anywhere. |groups|·dim output
+   * rows; reassembling arrays is the (cheap) caller's choice.
+   */
+  def centroids(emb: DataFrame, groupCol: String,
+      vecCol: String): DataFrame =
+    emb.select(col(groupCol),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col(groupCol), (col("dim") + 1).as("dim"))
+      .agg(round(avg(col("v").cast("double")), 4).as("c"))
+
   /** Per-query top-k by cosine score (deterministic nn_id tie-break) —
     * shared by the brute/LSH/IVF paths. Expects columns
     * (query_id, nn_id, score). */

@@ -69,6 +69,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.map(_._2).distinct.length > 3)
   }
 
+  test("spanDedup counts globally duplicated token windows per doc") {
+    val base = "a b c d e f g h i j k l"      // 12 tokens -> 3 windows @ w=10
+    val df = Seq(
+      (1L, base),                             // duplicated by doc 2
+      (2L, base),
+      (3L, "totally different words one two three four five six seven"),
+      (4L, "short doc")                       // < 10 tokens: no windows
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.spanDedup(df, "doc_id", "text", w = 10)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L)) // doc 4 absent
+    assert(r(0).getLong(1) == 3 && r(0).getLong(2) == 3 &&
+      r(0).getDouble(3) == 1.0)              // all windows duplicated
+    assert(r(1).getLong(2) == 3)
+    assert(r(2).getLong(1) == 1 && r(2).getLong(2) == 0 &&
+      r(2).getDouble(3) == 0.0)
+  }
+
   test("packShards never collapses to a single-partition global window") {
     val df = (1L to 1000L).map(i => (i, 7L)).toDF("doc_id", "w")
     val plan = CorpusOps.packShards(df, "doc_id", "w", budget = 100L,

@@ -173,4 +173,17 @@ class SimilaritySpec extends SparkSpec {
       nBits = 8, bands = 4, dim = 4).queryExecution.optimizedPlan.toString
     assert(!plan.contains("Cross"), s"plan has a cartesian:\n$plan")
   }
+
+  test("centroids average each dimension per group, 1-based dims") {
+    val emb = Seq(
+      (1L, "a", Array(1.0f, 2.0f)),
+      (2L, "a", Array(3.0f, 6.0f)),
+      (3L, "b", Array(10.0f, 20.0f))
+    ).toDF("vec_id", "grp", "embedding")
+    val got = Similarity.centroids(emb, "grp", "embedding")
+      .orderBy("grp", "dim")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("a", 1, 2.0), ("a", 2, 4.0),
+      ("b", 1, 10.0), ("b", 2, 20.0)))
+  }
 }
