@@ -71,13 +71,19 @@ object CorpusOps {
    */
   def decontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 5): DataFrame = {
+    // grams compare by 64-bit hash, not string: the broadcast set and
+    // the probe keys stay 8 bytes wide (collisions across a benchmark
+    // set's ~1e3..1e6 grams are vanishing at 64 bits, and a collision
+    // could only over-count n_hits by 1, never miss a real overlap)
     val bg = bench
-      .select(explode(ngrams(toks(col(textCol)), n)).as("gram")).distinct()
+      .select(explode(ngrams(toks(col(textCol)), n)).as("gram"))
+      .select(xxhash64(col("gram")).as("gh")).distinct()
     val dg = docs.select(col(idCol),
       explode(array_distinct(ngrams(toks(col(textCol)), n))).as("gram"))
-    dg.join(broadcast(bg), "gram")
+      .select(col(idCol), xxhash64(col("gram")).as("gh"))
+    dg.join(broadcast(bg), "gh")
       .groupBy(col(idCol))
-      .agg(countDistinct(col("gram")).as("n_hits"))
+      .agg(countDistinct(col("gh")).as("n_hits"))
   }
 
   /**
@@ -86,8 +92,9 @@ object CorpusOps {
    * et al. 2022, at token-window granularity): hash every `w`-token
    * sliding window, find hashes occurring more than once in the
    * corpus, and report per document how many of its windows are
-   * globally duplicated. The 100 TB shape: windows shuffle ONCE on
-   * the window hash (two-phase count), duplicated hashes join back,
+   * globally duplicated. The 100 TB shape: the exploded windows
+   * shuffle ONCE on the window hash, the duplicate flag is a window
+   * count over that partitioning (no join, no second corpus pass),
    * and the per-doc rollup shuffles doc ids only — no string
    * comparison ever leaves a row.
    * Returns (id, n_windows, n_dup_windows, dup_frac).
@@ -100,17 +107,21 @@ object CorpusOps {
           transform(sequence(lit(1), size(tk) - (w - 1)),
             i => md5(concat_ws(" ", slice(tk, i, lit(w))))))
           .otherwise(array().cast("array<string>"))).as("whash"))
-    val dupHashes = windows.groupBy(col("whash"))
-      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
-      .select(col("whash"))
-    windows.join(dupHashes, Seq("whash"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_windows"))
-      .join(windows.groupBy(col(idCol))
-        .agg(count(lit(1)).as("n_windows")), Seq(idCol), "right")
-      .select(col(idCol), col("n_windows"),
-        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
-        round(coalesce(col("n_dup_windows"), lit(0L)) /
-          col("n_windows").cast("double"), 4).as("dup_frac"))
+    // global dup detection as a WINDOW count over whash: the explode
+    // runs once, shuffles once on the window hash, and the doc rollup
+    // is the only other exchange — no join, no second pass over the
+    // corpus. (A pathologically hot boilerplate window concentrates
+    // its copies in one task; that is the same skew a groupBy(whash)
+    // would see, and salting the hash is the escape hatch.)
+    val cnt = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("whash")))
+    windows.withColumn("cnt", cnt)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .select(col(idCol), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows") / col("n_windows").cast("double"), 4)
+          .as("dup_frac"))
   }
 
   private val urlRe = "https?://([A-Za-z0-9.-]+)"

@@ -87,6 +87,18 @@ class CorpusOpsSpec extends SparkSpec {
       r(2).getDouble(3) == 0.0)
   }
 
+  test("spanDedup explodes once and shuffles exactly twice, no join") {
+    val df = (1L to 50L).map(i => (i, ("tok " * 15).trim + s" $i"))
+      .toDF("doc_id", "text")
+    val plan = CorpusOps.spanDedup(df, "doc_id", "text", w = 10)
+      .queryExecution.executedPlan.toString
+    // one pass over the corpus (single explode), one whash shuffle for
+    // the window count + one doc-id shuffle for the rollup, no join
+    assert(plan.split("Generate explode").length - 1 == 1, plan)
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 2, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("packShards never collapses to a single-partition global window") {
     val df = (1L to 1000L).map(i => (i, 7L)).toDF("doc_id", "w")
     val plan = CorpusOps.packShards(df, "doc_id", "w", budget = 100L,
