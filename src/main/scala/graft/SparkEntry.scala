@@ -933,6 +933,12 @@ object SparkEntry {
         t(s, dir, "embeddings"), "label", "embedding")
         .select(col("label"), col("dim").cast("long").as("dim"), col("c"))),
 
+    "corpus_mixture" -> ((s, dir) =>
+      // temperature-weighted mixture sample over the language groups:
+      // sqrt-smoothed shares, integer-only thresholds, hash membership
+      CorpusOps.mixtureSample(t(s, dir, "documents"), "doc_id", "lang",
+        budget = 200L)),
+
     "corpus_shards" -> ((s, dir) => {
       // token-budget shard packing via the two-level distributed
       // prefix sum (no single-partition global window); shard =
@@ -1999,6 +2005,18 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_urls
          FROM d WHERE domain <> 'blocked.example.com'
          GROUP BY 1""",
+
+    "corpus_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         r AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS rt FROM c),
+         s AS (SELECT sum(rt) AS srt FROM r),
+         thr AS (SELECT lang,
+                        least(10000, (200 * rt * 10000) // (srt * n)) AS t
+                 FROM r, s)
+         SELECT d.doc_id, d.lang
+         FROM documents d JOIN thr ON d.lang = thr.lang
+         WHERE ((d.doc_id % 1000000007) * 2654435761) % 1000000007 % 10000
+               < thr.t""",
 
     "corpus_span_dedup" ->
       """WITH corpus AS (

@@ -148,6 +148,35 @@ object CorpusOps {
   }
 
   /**
+   * Deterministic temperature-weighted mixture sampling: draw a
+   * ~`budget`-document sample whose group shares follow sqrt-smoothed
+   * counts (tau = 0.5 "temperature" reweighting — small groups get
+   * upsampled relative to their raw share, the standard multilingual
+   * mixing step). Per-group keep thresholds use INTEGER arithmetic
+   * only (floor(sqrt(n)) of an exact integer is deterministic across
+   * engines; everything after is integer mul/div), so membership is
+   * a pure function of the id and the oracle matches hash-exactly.
+   * One tiny aggregation for the rates (broadcast back), one
+   * multiplicative-hash filter over the corpus — no corpus shuffle.
+   */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+      budget: Long): DataFrame = {
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__rt", floor(sqrt(col("__n"))).cast("long"))
+    val tot = counts.agg(sum(col("__rt")).as("__srt"))
+    val thr = counts.crossJoin(broadcast(tot))
+      .select(col(groupCol),
+        least(lit(10000L),
+          expr(s"($budget * __rt * 10000) div (__srt * __n)")).as("__thr"))
+    val h = pmod(pmod(col(idCol), lit(1000000007L)) * 2654435761L,
+      lit(1000000007L)) % 10000L
+    df.join(broadcast(thr), groupCol)
+      .filter(h < col("__thr"))
+      .select(col(idCol), col(groupCol))
+  }
+
+  /**
    * Token-budget shard packing: assign each document the shard whose
    * token-budget window its START offset falls in (shard = floor of
    * the exclusive prefix sum / budget) — the deterministic,

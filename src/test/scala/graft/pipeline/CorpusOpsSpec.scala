@@ -87,6 +87,24 @@ class CorpusOpsSpec extends SparkSpec {
       r(2).getDouble(3) == 0.0)
   }
 
+  test("mixtureSample upsamples small groups and respects the budget") {
+    // 900 docs in group "big", 100 in "small"; raw shares 90/10,
+    // sqrt-smoothed shares 30/10 -> "small" keeps a ~3x larger rate
+    val df = ((1L to 900L).map(i => (i, "big")) ++
+      (901L to 1000L).map(i => (i, "small"))).toDF("doc_id", "grp")
+    val kept = CorpusOps.mixtureSample(df, "doc_id", "grp", budget = 400L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bigRate = kept.count(_._2 == "big") / 900.0
+    val smallRate = kept.count(_._2 == "small") / 100.0
+    assert(smallRate > bigRate * 2, s"big=$bigRate small=$smallRate")
+    // the multiplicative hash spreads the rates close to their targets
+    assert(kept.length > 250 && kept.length < 550, kept.length.toString)
+    // deterministic: same input -> identical sample
+    val again = CorpusOps.mixtureSample(df, "doc_id", "grp", budget = 400L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet == again.toSet)
+  }
+
   test("spanDedup explodes once and shuffles exactly twice, no join") {
     val df = (1L to 50L).map(i => (i, ("tok " * 15).trim + s" $i"))
       .toDF("doc_id", "text")
