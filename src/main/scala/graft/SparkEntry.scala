@@ -2011,7 +2011,8 @@ object SparkEntry {
          r AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS rt FROM c),
          s AS (SELECT sum(rt) AS srt FROM r),
          thr AS (SELECT lang,
-                        least(10000, (200 * rt * 10000) // (srt * n)) AS t
+                        least(10000, (CAST(200 AS HUGEINT) * rt * 10000)
+                                     // (CAST(srt AS HUGEINT) * n)) AS t
                  FROM r, s)
          SELECT d.doc_id, d.lang
          FROM documents d JOIN thr ON d.lang = thr.lang

@@ -72,9 +72,10 @@ object CorpusOps {
   def decontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 5): DataFrame = {
     // grams compare by 64-bit hash, not string: the broadcast set and
-    // the probe keys stay 8 bytes wide (collisions across a benchmark
-    // set's ~1e3..1e6 grams are vanishing at 64 bits, and a collision
-    // could only over-count n_hits by 1, never miss a real overlap)
+    // the probe keys stay 8 bytes wide. Collisions are vanishing at
+    // 64 bits over a benchmark set's ~1e3..1e6 grams; when one does
+    // occur it can flag a clean doc or merge two real hits into one
+    // count (never MISS a real overlap — true matches always collide)
     val bg = bench
       .select(explode(ngrams(toks(col(textCol)), n)).as("gram"))
       .select(xxhash64(col("gram")).as("gh")).distinct()
@@ -101,20 +102,19 @@ object CorpusOps {
    */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
       w: Int = 10): DataFrame = {
-    val tk = toks(col(textCol))
+    // 64-bit window keys: the shuffle carries 8-byte longs, and the
+    // oracle only compares duplicate COUNTS (never hash values), so
+    // any collision-resistant hash matches it
     val windows = df.select(col(idCol),
-        explode(when(size(tk) >= w,
-          transform(sequence(lit(1), size(tk) - (w - 1)),
-            i => md5(concat_ws(" ", slice(tk, i, lit(w))))))
-          .otherwise(array().cast("array<string>"))).as("whash"))
+      explode(transform(ngrams(toks(col(textCol)), w),
+        g => xxhash64(g))).as("whash"))
     // global dup detection as a WINDOW count over whash: the explode
     // runs once, shuffles once on the window hash, and the doc rollup
     // is the only other exchange — no join, no second pass over the
     // corpus. (A pathologically hot boilerplate window concentrates
     // its copies in one task; that is the same skew a groupBy(whash)
     // would see, and salting the hash is the escape hatch.)
-    val cnt = count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("whash")))
+    val cnt = count(lit(1)).over(Window.partitionBy(col("whash")))
     windows.withColumn("cnt", cnt)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_windows"),
@@ -165,10 +165,15 @@ object CorpusOps {
       .agg(count(lit(1)).as("__n"))
       .withColumn("__rt", floor(sqrt(col("__n"))).cast("long"))
     val tot = counts.agg(sum(col("__rt")).as("__srt"))
+    // 38-digit decimal arithmetic: at planetary scale (budget·rt·1e4
+    // can pass 2^63) a long product would wrap negative in non-ANSI
+    // mode and silently drop whole groups; decimals keep the integer
+    // division exact and `div` still yields a long
     val thr = counts.crossJoin(broadcast(tot))
       .select(col(groupCol),
         least(lit(10000L),
-          expr(s"($budget * __rt * 10000) div (__srt * __n)")).as("__thr"))
+          expr(s"(cast($budget as decimal(38,0)) * __rt * 10000)" +
+            " div (cast(__srt as decimal(38,0)) * __n)")).as("__thr"))
     val h = pmod(pmod(col(idCol), lit(1000000007L)) * 2654435761L,
       lit(1000000007L)) % 10000L
     df.join(broadcast(thr), groupCol)

@@ -120,6 +120,22 @@ class MultimodalSpec extends SparkSpec {
     assert(m3.nFrames == 3)
   }
 
+  test("AVI parser survives byte-flip fuzzing without throwing") {
+    // the parser runs on arbitrary 'video'-kind payloads inside
+    // executors — any mutation must yield Some/None, never an exception
+    val base = Multimodal.syntheticAvi(7)
+    val rnd = new scala.util.Random(42)
+    (1 to 300).foreach { _ =>
+      val mutated = base.clone()
+      (1 to 1 + rnd.nextInt(4)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      AviMjpeg.parse(mutated) // must not throw
+    }
+    // truncations at every prefix length of the header region
+    (0 until 200).foreach(n => AviMjpeg.parse(base.take(n)))
+  }
+
   test("real video decode: closed-form stats and true per-frame decode") {
     val media = Multimodal.syntheticAviMedia(spark, 25)
     val stats = Multimodal.videoStats(media)
