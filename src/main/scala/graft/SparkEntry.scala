@@ -691,6 +691,11 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))),
 
+    "text_tfidf" -> ((s, dir) =>
+      // corpus-statistics scoring: tf on (doc, term), df on term,
+      // broadcast scalar N, doc rollup — the classic salience signal
+      TextAnalysis.tfidf(t(s, dir, "documents"), "doc_id", "text")),
+
     "fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
@@ -1760,6 +1765,21 @@ object SparkEntry {
                        / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
                   END, 4) AS stopword_ratio_en
          FROM documents""",
+
+    "text_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+                 FROM tok GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents)
+         SELECT tf.doc_id,
+                round(sum(tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df)), 4)
+                  AS tfidf
+         FROM tf JOIN dfq USING (term), n
+         GROUP BY 1""",
 
     "lang_id" ->
       """WITH toks AS (

@@ -147,6 +147,30 @@ object TextAnalysis {
     regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"),
       phoneRe, "<PHONE>")
 
+  /**
+   * TF-IDF document scores: sum over the document's terms of
+   * tf · ln(N / df) — the classic corpus-statistics quality/salience
+   * signal. Fully distributed: term frequencies aggregate on
+   * (doc, term), document frequencies on term (the explode is
+   * row-local and runs once per consumer — recomputing a projection
+   * scan beats persisting a tokens×corpus blow-up), the corpus size
+   * joins in as a broadcast scalar, and the final rollup shuffles doc
+   * ids only.
+   */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(tokensLower(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("tf") *
+        log(col("n").cast("double") / col("df"))), 4).as("tfidf"))
+  }
+
   /** One-stop per-document stats frame. */
   def stats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

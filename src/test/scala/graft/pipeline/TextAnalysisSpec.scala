@@ -41,6 +41,15 @@ class TextAnalysisSpec extends SparkSpec {
       "xyzzy plugh qwerty") == "und")
   }
 
+  test("tfidf matches the closed-form score on a tiny corpus") {
+    val docs = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidf(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    // df: a->2 (idf 0), b/c->1 (idf ln 2); doc1 = 1*ln2, doc2 = 1*ln2
+    val ln2 = math.rint(math.log(2) * 10000) / 10000
+    assert(got.toSeq == Seq((1L, ln2), (2L, ln2)))
+  }
+
   test("fingerprint is deterministic, normalized, and content-sensitive") {
     val fp1 = one[Long](TextAnalysis.fingerprint($"t"), "Hello   World")
     val fp2 = one[Long](TextAnalysis.fingerprint($"t"), "hello world")

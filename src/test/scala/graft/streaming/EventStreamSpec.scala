@@ -82,6 +82,52 @@ class EventStreamSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("watermark drops late data deterministically across ordered drops") {
+    val dir = Files.createTempDirectory("graft_wm").toString
+    def drop(name: String, modMinute: Int, rows: Seq[(Long, Int)]): Unit = {
+      // stage as a single top-level file (the file source does not
+      // recurse) with a pinned mod-time to fix the processing order
+      val tmp = Files.createTempDirectory("graft_wm_stage")
+      rows.map { case (id, minute) =>
+        (id, ts(minute), 1L, "click", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString
+        .endsWith(".parquet")).findFirst.get
+      val dest = java.nio.file.Paths.get(dir, s"$name.parquet")
+      Files.move(part, dest)
+      dest.toFile.setLastModified(1700000000000L + modMinute * 60000L)
+    }
+    // drop 1: events through minute 60 -> watermark becomes 50 after
+    // batch 0. (Spark filters late rows with the PREVIOUS batch's
+    // watermark and evicts with the current one, so the drop that
+    // carries the late row must come two batches after the one that
+    // advanced the watermark past its window.)
+    drop("d1", 1, Seq((1L, 2), (2L, 5), (3L, 60)))
+    // drop 2: fresh event only; batch 1 runs with late-filter wm=50
+    // and finalizes the [*, +10) window holding events 1-2
+    drop("d2", 2, Seq((4L, 61)))
+    // drop 3: a LATE event for the finalized window + a fresh one —
+    // the late row must be dropped, not re-emitted
+    drop("d3", 3, Seq((5L, 5), (6L, 62)))
+
+    val stream = spark.readStream.schema(EventStream.eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val agg = EventStream.hourlyAggregates(stream,
+      watermark = "10 minutes", window_ = "10 minutes")
+    val q = EventStream.startMemorySink(agg, "wm_test", "append")
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT window_start, n FROM wm_test")
+      .as[(java.sql.Timestamp, Long)].collect()
+      .map { case (w, n) => ((w.getTime - 1700000000000L) / 60000L, n) }
+    // the early window emits exactly once, with only its two on-time
+    // rows — the late event 5 was dropped by the watermark
+    assert(rows.toSeq == Seq((-3L, 2L)), rows.mkString(","))
+    // the batch equivalent over the same files counts all three
+    val batch = spark.read.parquet(dir).filter(col("ts") < ts(10)).count()
+    assert(batch == 3L)
+  }
+
   private def ts(minute: Int) =
     new java.sql.Timestamp(1700000000000L + minute * 60000L)
 }
