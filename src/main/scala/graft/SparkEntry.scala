@@ -1236,6 +1236,42 @@ object SparkEntry {
       graft.pipeline.Multimodal.audioStats(media)
     }),
 
+    "jsonl_roundtrip" -> ((s, dir) => {
+      // JSONL source/sink: documents -> write.json (one JSON object
+      // per line, the lingua franca of crawl pipelines) -> read back
+      // with explicit schema -> aggregate fingerprint. The oracle
+      // computes the same aggregates straight from the parquet table,
+      // so any unfaithful escape/encode/decode breaks the hash.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl")
+      tmp.toFile.deleteOnExit()
+      val docs = t(s, dir, "documents")
+      docs.write.mode("overwrite").json(tmp.toString)
+      val back = s.read.schema(docs.schema).json(tmp.toString)
+      back.agg(
+        count(lit(1)).as("n"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(length(col("text"))).as("sum_len"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(md5(col("text"))).as("n_texts"),
+        max(md5(col("text"))).as("max_md5"))
+    }),
+
+    "sink_partitioned" -> ((s, dir) => {
+      // partitioned training-shard sink: write the corpus partitioned
+      // by language (the standard on-disk layout for mixture-weighted
+      // training reads), read it back through partition discovery and
+      // fingerprint per language. Partition pruning on the read side
+      // is what makes per-language budget reads O(partition) at 100 TB.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_shards")
+      tmp.toFile.deleteOnExit()
+      t(s, dir, "documents").write.mode("overwrite")
+        .partitionBy("lang").parquet(tmp.toString)
+      s.read.parquet(tmp.toString)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+          max(md5(col("text"))).as("max_md5"))
+    }),
+
     "multimodal_video" -> ((s, dir) => {
       // binary video columns -> REAL MJPEG-AVI demux (pure-Scala RIFF
       // parser) + per-frame JPEG decode (javax.imageio); the synthetic
@@ -2142,6 +2178,25 @@ object SparkEntry {
                 CAST((2 * (8 + i % 8) * (10 + i % 5)) * 1000000
                   // (8000 + (i % 4) * 4000) AS BIGINT) AS duration_us
          FROM range(200) t(i)""",
+
+    // the JSON encode/decode roundtrip must preserve every field —
+    // computed INDEPENDENTLY from the parquet table on the oracle side
+    "jsonl_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(doc_id) AS BIGINT) AS sum_id,
+                CAST(sum(length(text)) AS BIGINT) AS sum_len,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts,
+                max(md5(text)) AS max_md5
+         FROM documents""",
+
+    // the partitioned write + partition-discovery read must preserve
+    // every row of every language partition
+    "sink_partitioned" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(doc_id) AS BIGINT) AS sum_id,
+                max(md5(text)) AS max_md5
+         FROM documents GROUP BY 1""",
 
     // the AVI demux + JPEG frame decode must reproduce the closed-form
     // container parameters; frames_decoded = n_frames certifies every
