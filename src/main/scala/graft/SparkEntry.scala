@@ -938,6 +938,32 @@ object SparkEntry {
         t(s, dir, "embeddings"), "label", "embedding")
         .select(col("label"), col("dim").cast("long").as("dim"), col("c"))),
 
+    "pipeline_corpus2" -> ((s, dir) => {
+      // the FULL modern corpus-prep composition in one verified hash:
+      // repetition gate (Gopher dup-2gram < 0.2) -> benchmark
+      // decontamination (drop docs sharing any 5-gram with the eval
+      // set) -> temperature mixture sample (budget 150 by lang) ->
+      // token-budget shard assignment. Row-local gates, one broadcast
+      // anti-join, one broadcast rate filter, two prefix-sum scans.
+      val d = t(s, dir, "documents")
+      val rep = CorpusOps.repetitionStats(d, "doc_id", "text")
+        .filter(col("dup_2gram_frac") < 0.2).select("doc_id")
+      val gated = d.join(rep, "doc_id")
+      val bench = d.filter(col("doc_id") % 40 === 0)
+        .select(concat_ws(" ",
+          slice(split(lower(trim(col("text"))), "\\s+"), 1, 8)).as("text"))
+      val hits = CorpusOps.decontaminate(gated, bench, "doc_id", "text")
+      val clean = gated.join(hits, Seq("doc_id"), "left_anti")
+      val sampled = CorpusOps.mixtureSample(clean, "doc_id", "lang",
+        budget = 150L)
+      val weighted = sampled.join(d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens")), "doc_id")
+      CorpusOps.packShards(weighted, "doc_id", "n_tokens", budget = 500L,
+          numPartitions = 8)
+        .join(sampled, "doc_id")
+        .select(col("doc_id"), col("lang"), col("shard_id"))
+    }),
+
     "corpus_mixture" -> ((s, dir) =>
       // temperature-weighted mixture sample over the language groups:
       // sqrt-smoothed shares, integer-only thresholds, hash membership
@@ -2061,6 +2087,70 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_urls
          FROM d WHERE domain <> 'blocked.example.com'
          GROUP BY 1""",
+
+    // the composed corpus-prep pipeline: every stage's arithmetic is
+    // reproduced in one CTE chain so a single hash verifies the whole
+    // flow (gate -> decontaminate -> mixture -> shards)
+    "pipeline_corpus2" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+           FROM documents),
+         g AS (
+           SELECT doc_id, tk,
+                  CASE WHEN len(tk) >= 2
+                       THEN list_transform(range(1, len(tk)),
+                              i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+                       ELSE CAST([] AS VARCHAR[]) END AS g2
+           FROM tok),
+         rep AS (
+           SELECT doc_id FROM g
+           WHERE round(CASE WHEN len(g2) = 0 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE)
+                 END, 4) < 0.2),
+         bench AS (
+           SELECT list_slice(tk, 1, 8) AS btk FROM tok WHERE doc_id % 40 = 0),
+         bgi AS (
+           SELECT btk, unnest(range(1, len(btk) - 3)) AS i
+           FROM bench WHERE len(btk) >= 5),
+         bg AS (
+           SELECT DISTINCT array_to_string(list_slice(btk, i, i + 4), ' ') AS gram
+           FROM bgi),
+         dgi AS (
+           SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+           FROM tok WHERE len(tk) >= 5
+             AND doc_id IN (SELECT doc_id FROM rep)),
+         dg AS (
+           SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(tk, i, i + 4), ' ') AS gram
+           FROM dgi),
+         hits AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (gram)),
+         clean AS (
+           SELECT d.doc_id, d.lang, d.text FROM documents d
+           JOIN rep USING (doc_id)
+           WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)),
+         c AS (SELECT lang, count(*) AS n FROM clean GROUP BY 1),
+         r AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS rt FROM c),
+         st AS (SELECT sum(rt) AS srt FROM r),
+         thr AS (SELECT lang,
+                        least(10000, (CAST(150 AS HUGEINT) * rt * 10000)
+                                     // (CAST(srt AS HUGEINT) * n)) AS t
+                 FROM r, st),
+         sampled AS (
+           SELECT cl.doc_id, cl.lang, cl.text FROM clean cl
+           JOIN thr USING (lang)
+           WHERE ((cl.doc_id % 1000000007) * 2654435761) % 1000000007 % 10000
+                 < thr.t),
+         w AS (
+           SELECT doc_id, lang,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                  END AS n_tokens
+           FROM sampled)
+         SELECT doc_id, lang,
+                CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) / 500.0) AS BIGINT) AS shard_id
+         FROM w""",
 
     "corpus_mixture" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
