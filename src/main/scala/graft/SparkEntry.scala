@@ -946,21 +946,28 @@ object SparkEntry {
       // token-budget shard assignment. Row-local gates, one broadcast
       // anti-join, one broadcast rate filter, two prefix-sum scans.
       val d = t(s, dir, "documents")
-      val rep = CorpusOps.repetitionStats(d, "doc_id", "text")
-        .filter(col("dup_2gram_frac") < 0.2).select("doc_id")
-      val gated = d.join(rep, "doc_id")
+      // the repetition gate is ROW-LOCAL (only the dup-2gram stat is
+      // needed) so the scan filters in place instead of joining the
+      // full stats frame back. The gated corpus is MATERIALIZED once
+      // (localCheckpoint — the moral equivalent of the intermediate
+      // write every production pipeline does between stages): five
+      // downstream branches reuse the rows, and the large generated
+      // gate expression compiles exactly once instead of per stage.
+      val gated = d.filter(
+          round(CorpusOps.dupNgramFrac(col("text"), 2), 4) < 0.2)
+        .select("doc_id", "lang", "text").localCheckpoint(true)
       val bench = d.filter(col("doc_id") % 40 === 0)
         .select(concat_ws(" ",
           slice(split(lower(trim(col("text"))), "\\s+"), 1, 8)).as("text"))
       val hits = CorpusOps.decontaminate(gated, bench, "doc_id", "text")
-      val clean = gated.join(hits, Seq("doc_id"), "left_anti")
+      val clean = gated.join(broadcast(hits), Seq("doc_id"), "left_anti")
       val sampled = CorpusOps.mixtureSample(clean, "doc_id", "lang",
-        budget = 150L)
+        budget = 150L).localCheckpoint(true)
       val weighted = sampled.join(d.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens")), "doc_id")
       CorpusOps.packShards(weighted, "doc_id", "n_tokens", budget = 500L,
           numPartitions = 8)
-        .join(sampled, "doc_id")
+        .join(broadcast(sampled), "doc_id")
         .select(col("doc_id"), col("lang"), col("shard_id"))
     }),
 

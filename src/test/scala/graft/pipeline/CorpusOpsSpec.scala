@@ -87,6 +87,27 @@ class CorpusOpsSpec extends SparkSpec {
       r(2).getDouble(3) == 0.0)
   }
 
+  test("native word_gram_hashes matches the HOF formulation bit-for-bit") {
+    val texts = Seq("The  quick   Brown fox jumps over the lazy dog",
+      " padded   both  ends ", "one two", "single", "", "   ",
+      "a b c d e f g h i j k l m n o p")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for (n <- Seq(2, 5)) {
+      val tk = split(lower(trim(col("text"))), "\\s+")
+      val hof = when(size(tk) >= n,
+        transform(sequence(lit(1), size(tk) - (n - 1)),
+          i => xxhash64(concat_ws(" ", slice(tk, i, lit(n))))))
+        .otherwise(array().cast("array<long>"))
+      val native = graft.functions.expressions.HashExpressions
+        .word_gram_hashes(col("text"), n)
+      val rows = df.select(col("id"), hof.as("h"), native.as("v"))
+        .as[(Long, Seq[Long], Seq[Long])].collect()
+      rows.foreach { case (id, h, v) =>
+        assert(h == v, s"mismatch for id=$id n=$n: $h vs $v") }
+    }
+  }
+
   test("mixtureSample upsamples small groups and respects the budget") {
     // 900 docs in group "big", 100 in "small"; raw shares 90/10,
     // sqrt-smoothed shares 30/10 -> "small" keeps a ~3x larger rate
