@@ -29,8 +29,12 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries that persist intermediates (dedup signatures) must not
-      // bleed cached blocks / GC pressure into later measurements
+      // bleed cached blocks / GC pressure into later measurements;
+      // clearCache only drops catalog-cached relations, so release
+      // RDD-level blocks (localCheckpoint / persist) explicitly too
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

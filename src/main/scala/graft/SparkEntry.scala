@@ -963,7 +963,9 @@ object SparkEntry {
       val clean = gated.join(broadcast(hits), Seq("doc_id"), "left_anti")
       val sampled = CorpusOps.mixtureSample(clean, "doc_id", "lang",
         budget = 150L).localCheckpoint(true)
-      val weighted = sampled.join(d.select(col("doc_id"),
+      // token weights from the CHECKPOINTED gated rows (sampled is a
+      // subset of gated) — not a second scan of the raw corpus
+      val weighted = sampled.join(gated.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens")), "doc_id")
       CorpusOps.packShards(weighted, "doc_id", "n_tokens", budget = 500L,
           numPartitions = 8)
@@ -2058,7 +2060,14 @@ object SparkEntry {
            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
            FROM documents),
          bench AS (
-           SELECT list_slice(tk, 1, 8) AS btk FROM tok WHERE doc_id % 40 = 0),
+           -- rebuilt exactly like the Spark side: join the first 8
+           -- tokens with single spaces and RE-TOKENIZE, so an empty
+           -- token (tab/newline-edged text survives SQL trim) cannot
+           -- make the oracle's gram set differ from Spark's
+           SELECT regexp_split_to_array(
+                    trim(array_to_string(list_slice(tk, 1, 8), ' ')),
+                    '\s+') AS btk
+           FROM tok WHERE doc_id % 40 = 0),
          bgi AS (
            SELECT btk, unnest(range(1, len(btk) - 3)) AS i
            FROM bench WHERE len(btk) >= 5),
@@ -2100,8 +2109,10 @@ object SparkEntry {
     // flow (gate -> decontaminate -> mixture -> shards)
     "pipeline_corpus2" ->
       """WITH tok AS (
+           -- null text is "no document" on both sides (Spark's gate
+           -- drops it via null propagation)
            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
          g AS (
            SELECT doc_id, tk,
                   CASE WHEN len(tk) >= 2
@@ -2115,7 +2126,14 @@ object SparkEntry {
                  ELSE 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE)
                  END, 4) < 0.2),
          bench AS (
-           SELECT list_slice(tk, 1, 8) AS btk FROM tok WHERE doc_id % 40 = 0),
+           -- rebuilt exactly like the Spark side: join the first 8
+           -- tokens with single spaces and RE-TOKENIZE, so an empty
+           -- token (tab/newline-edged text survives SQL trim) cannot
+           -- make the oracle's gram set differ from Spark's
+           SELECT regexp_split_to_array(
+                    trim(array_to_string(list_slice(tk, 1, 8), ' ')),
+                    '\s+') AS btk
+           FROM tok WHERE doc_id % 40 = 0),
          bgi AS (
            SELECT btk, unnest(range(1, len(btk) - 3)) AS i
            FROM bench WHERE len(btk) >= 5),

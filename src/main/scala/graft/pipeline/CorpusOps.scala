@@ -52,22 +52,18 @@ object CorpusOps {
   def repetitionStats(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val tk = toks(col(textCol))
-    val staged = df.select(col(idCol), tk.as("__tk"),
-      gramHashes(col(textCol), 2).as("__g2"))
+    val staged = df.select(col(idCol), col(textCol), tk.as("__tk"))
     val n = size(col("__tk")).cast("double")
     val empty = size(col("__tk")) === 0 ||
       (size(col("__tk")) === 1 && col("__tk").getItem(0) === "")
     val distinctRatio = when(empty, lit(0.0))
       .otherwise(size(array_distinct(col("__tk"))) / n)
-    val dup2 = when(size(col("__g2")) === 0, lit(0.0))
-      .otherwise(lit(1.0) -
-        size(array_distinct(col("__g2"))).cast("double") / size(col("__g2")))
     val topTok = when(empty, lit(0.0)).otherwise(
       array_max(transform(array_distinct(col("__tk")),
         t => size(F.filter(col("__tk"), x => x === t)))).cast("double") / n)
     staged.select(col(idCol),
       round(distinctRatio, 4).as("distinct_token_ratio"),
-      round(dup2, 4).as("dup_2gram_frac"),
+      round(dupNgramFrac(col(textCol), 2), 4).as("dup_2gram_frac"),
       round(topTok, 4).as("top_token_frac"))
   }
 
