@@ -108,6 +108,29 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("property: native gram hashes match the HOF on random texts") {
+    // 300 random texts over a nasty alphabet (runs of every \s class,
+    // unicode letters, empties) — one batched DataFrame comparison
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab YZ\t\n\r\f  é Ж 9 .,"
+    val texts = Seq.fill(300) {
+      val len = rnd.nextInt(60)
+      (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val n = 3
+    val tk = split(lower(trim(col("text"))), "\\s+")
+    val hof = when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => xxhash64(concat_ws(" ", slice(tk, i, lit(n))))))
+      .otherwise(array().cast("array<long>"))
+    val native = graft.functions.expressions.HashExpressions
+      .word_gram_hashes(col("text"), n)
+    val bad = df.filter(not(hof <=> native)).count()
+    assert(bad == 0, s"$bad/300 random texts mismatched")
+  }
+
   test("mixtureSample upsamples small groups and respects the budget") {
     // 900 docs in group "big", 100 in "small"; raw shares 90/10,
     // sqrt-smoothed shares 30/10 -> "small" keeps a ~3x larger rate
