@@ -1188,6 +1188,111 @@ object SparkEntry {
           round(col("__v"), 2).as("val"))
     }),
 
+    "workflow_flow" -> ((s, dir) => {
+      // END-TO-END flow control (`oph_workflow_engine.c` for/if layer):
+      // a counter oph_for (i=1:3) over an oph_if-gated branch pair —
+      // odd iterations scale the i-th lineitem slice by @i, even ones
+      // by the oph_set-bound @evenscale. The final hash depends on the
+      // loop iterating exactly 1..3, the condition '@i % 2' routing
+      // each iteration to the RIGHT branch (exclusivity asserted: the
+      // untaken branch must leave no cube), and @var substitution
+      // reaching subset_filter and the apply query.
+      val eng = new graft.workflow.Engine(s, new graft.core.Catalog("sess"))
+      val res = eng.run(graft.workflow.Workflow.parse(s"""{
+        "name": "wf", "tasks": [
+          {"name": "imp", "operator": "oph_importnc",
+           "arguments": ["src_path=$dir/lineitem.parquet",
+             "measure=l_quantity", "exp_dim=l_orderkey",
+             "imp_dim=l_linenumber", "container=li"]},
+          {"name": "setup", "operator": "oph_set",
+           "arguments": ["key=evenscale", "value=100"]},
+          {"name": "loop", "operator": "oph_for",
+           "arguments": ["key=i", "counter=1:3"]},
+          {"name": "gate", "operator": "oph_if",
+           "arguments": ["condition=@i % 2"]},
+          {"name": "pick_odd", "operator": "oph_subset",
+           "arguments": ["subset_dims=l_linenumber", "subset_filter=@i:@i"],
+           "dependencies": [{"task": "imp", "type": "single"}]},
+          {"name": "scale_odd", "operator": "oph_apply",
+           "arguments": ["query=oph_mul_scalar(measure, @i)"],
+           "dependencies": [{"task": "pick_odd", "type": "single"}]},
+          {"name": "other", "operator": "oph_else"},
+          {"name": "pick_even", "operator": "oph_subset",
+           "arguments": ["subset_dims=l_linenumber", "subset_filter=@i:@i"],
+           "dependencies": [{"task": "imp", "type": "single"}]},
+          {"name": "scale_even", "operator": "oph_apply",
+           "arguments": ["query=oph_mul_scalar(measure, @evenscale)"],
+           "dependencies": [{"task": "pick_even", "type": "single"}]},
+          {"name": "gate_end", "operator": "oph_endif"},
+          {"name": "loop_end", "operator": "oph_endfor"}
+        ]}"""))
+      // harvest the per-iteration light tasks (suffixed `_<n>` like the
+      // reference) — exactly ONE branch per iteration may have produced
+      // a cube, and WHICH branch it was feeds the hash via the scale
+      val picked = (1 to 3).map { i =>
+        val pids = Seq(s"scale_odd_$i", s"scale_even_$i")
+          .flatMap(n => res.get(n).flatMap(_.cubePid))
+        require(pids.size == 1,
+          s"iteration $i: expected exactly one taken branch, got $pids")
+        pids.head
+      }
+      picked.map(p => eng.cube(p).get.df
+          .select(col("l_orderkey"), explode(col("l_quantity")).as("__v")))
+        .reduce(_ unionAll _)
+        .groupBy("l_orderkey")
+        .agg(round(sum("__v"), 4).as("val"))
+        .select(col("l_orderkey"), col("val"))
+    }),
+
+    "workflow_massive" -> ((s, dir) => {
+      // OPH_MASSIVE end-to-end (`oph_workflow_engine.c:1002-1057`): a
+      // `cube=[container=li;level=1]` filter fans oph_apply out over
+      // every level-1 cube (the three subsets, NOT the level-0 import),
+      // the fan-out's minted pids route into oph_mergecubes through the
+      // dependency surface (output_order indexing + the `filter` subset
+      // grammar on the third edge), and oph_reduce collapses the merged
+      // arrays — so the hash depends on the filter matching EXACTLY the
+      // three subset cubes and the per-cube transform running on each.
+      val eng = new graft.workflow.Engine(s, new graft.core.Catalog("sess"))
+      val res = eng.run(graft.workflow.Workflow.parse(s"""{
+        "name": "wf", "tasks": [
+          {"name": "imp", "operator": "oph_importnc",
+           "arguments": ["src_path=$dir/lineitem.parquet",
+             "measure=l_quantity", "exp_dim=l_orderkey",
+             "imp_dim=l_linenumber", "container=li"]},
+          {"name": "s1", "operator": "oph_subset",
+           "arguments": ["subset_dims=l_linenumber", "subset_filter=1:1"],
+           "dependencies": [{"task": "imp", "type": "single"}]},
+          {"name": "s2", "operator": "oph_subset",
+           "arguments": ["subset_dims=l_linenumber", "subset_filter=2:2"],
+           "dependencies": [{"task": "imp", "type": "single"}]},
+          {"name": "s3", "operator": "oph_subset",
+           "arguments": ["subset_dims=l_linenumber", "subset_filter=3:3"],
+           "dependencies": [{"task": "imp", "type": "single"}]},
+          {"name": "mass", "operator": "oph_apply",
+           "arguments": ["query=oph_mul_scalar(measure, 2)",
+             "cube=[container=li;level=1]"],
+           "dependencies": [{"task": "s1", "type": "single"},
+             {"task": "s2", "type": "single"},
+             {"task": "s3", "type": "single"}]},
+          {"name": "cat", "operator": "oph_mergecubes", "arguments": [],
+           "dependencies": [
+             {"task": "mass", "argument": "cubes", "type": "all",
+              "order": "0", "output_order": "0"},
+             {"task": "mass", "argument": "cubes", "type": "all",
+              "order": "1", "output_order": "1"},
+             {"task": "mass", "argument": "cubes", "type": "all",
+              "order": "2", "filter": "3", "output_order": "0"}]},
+          {"name": "red", "operator": "oph_reduce",
+           "arguments": ["operation=sum"],
+           "dependencies": [{"task": "cat", "type": "single"}]}
+        ]}"""))
+      require(res("mass").outputs.size == 3,
+        s"massive fan-out minted ${res("mass").outputs.size} cubes, want 3")
+      eng.cube(res("red").cubePid.get).get.df
+        .select(col("l_orderkey"), round(col("l_quantity"), 4).as("val"))
+    }),
+
     // ---------------------------------- array-measure oph_aggregate
     "aggregate_arrays" -> ((s, dir) => {
       // collapse the l_orderkey dim ELEMENTWISE: cell i sums the i-th
@@ -1732,6 +1837,26 @@ object SparkEntry {
          SELECT CAST(c_custkey AS DOUBLE) AS cust, i + 1 AS pos,
                 round(c_acctbal * (i + 1), 2) AS val
          FROM c CROSS JOIN range(4) t(i)""",
+
+    "workflow_flow" ->
+      """WITH p AS (
+           SELECT l_orderkey, l_quantity,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_quantity) AS pos
+           FROM lineitem)
+         SELECT l_orderkey,
+                round(sum(CASE WHEN pos % 2 = 1 THEN l_quantity * pos
+                               ELSE l_quantity * 100 END), 4) AS val
+         FROM p WHERE pos <= 3 GROUP BY 1""",
+
+    "workflow_massive" ->
+      """WITH p AS (
+           SELECT l_orderkey, l_quantity,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_quantity) AS pos
+           FROM lineitem)
+         SELECT l_orderkey, round(sum(l_quantity * 2), 4) AS val
+         FROM p WHERE pos <= 3 GROUP BY 1""",
 
     "aggregate_arrays" ->
       """WITH p AS (
