@@ -37,6 +37,16 @@ object HashExpressions {
   def word_gram_hashes(text: Column, n: Int): Column =
     ColumnBridge.column(WordGramHashes(
       ColumnBridge.expression(text.cast("string")), n))
+
+  /** Count of the single most frequent element of a string array in
+    * ONE hashed pass — the linear replacement for the O(distinct x n)
+    * `array_max(transform(array_distinct(tk), t -> size(filter(tk,
+    * x == t))))` HOF, whose in-cell quadratic blows up on the
+    * long-document tail of a crawl corpus (a 100k-token doc costs
+    * ~10^9 string comparisons in a single row). Same equality classes
+    * as the HOF (binary UTF8 equality; null elements count 0). */
+  def top_token_count(tokens: Column): Column =
+    ColumnBridge.column(TopTokenCount(ColumnBridge.expression(tokens)))
 }
 
 case class MinHashSig(child: Expression, k: Int, numHashes: Int)
@@ -183,6 +193,55 @@ object WordGramHashes {
       i += 1
     }
     new GenericArrayData(out)
+  }
+}
+
+case class TopTokenCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"top_token_count expects array<string>, got $other")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_top_token_count"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(
+      TopTokenCount.compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"${ev.value} = graft.functions.expressions.TopTokenCount.compute($arr);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TopTokenCount =
+    copy(child = newChild)
+}
+
+object TopTokenCount {
+  /** Single pass, open hashing on the tokens themselves. UTF8String
+    * equals/hashCode are binary, matching Spark's `===` on strings.
+    * Null elements are skipped: the HOF formulation also yields 0 for
+    * the null group (`filter(tk, x === null)` drops every element),
+    * so an all-null array returns 0 under both. */
+  def compute(tokens: ArrayData): Int = {
+    val n = tokens.numElements()
+    if (n == 0) return 0
+    val counts = new java.util.HashMap[UTF8String, Array[Int]](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        var c = counts.get(t)
+        if (c == null) { c = new Array[Int](1); counts.put(t, c) }
+        c(0) += 1
+        if (c(0) > best) best = c(0)
+      }
+      i += 1
+    }
+    best
   }
 }
 

@@ -44,10 +44,13 @@ object CorpusOps {
    * Gopher-style repetition statistics, the standard "repetitious
    * text" quality gate (Rae et al. 2021 §A1.1): fraction of distinct
    * tokens, fraction of duplicated word-2-grams, and the share of the
-   * single most frequent token. All per-row over short in-cell arrays
-   * — the O(distinct·n) top-token scan stays in-register and inside
-   * whole-stage codegen, which beats exploding 100 TB of tokens
-   * through a shuffle by orders of magnitude.
+   * single most frequent token. All per-row, inside whole-stage
+   * codegen — no token ever leaves its row, which beats exploding
+   * 100 TB of tokens through a shuffle by orders of magnitude. The
+   * top-token term is a native single-pass hashed count
+   * (`TopTokenCount`): linear in document length, so the 100k-token
+   * tail of a crawl corpus costs 100k map hits, not the ~10^9 string
+   * comparisons of the HOF distinct-x-scan formulation.
    */
   def repetitionStats(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
@@ -59,8 +62,8 @@ object CorpusOps {
     val distinctRatio = when(empty, lit(0.0))
       .otherwise(size(array_distinct(col("__tk"))) / n)
     val topTok = when(empty, lit(0.0)).otherwise(
-      array_max(transform(array_distinct(col("__tk")),
-        t => size(F.filter(col("__tk"), x => x === t)))).cast("double") / n)
+      graft.functions.expressions.HashExpressions
+        .top_token_count(col("__tk")).cast("double") / n)
     staged.select(col(idCol),
       round(distinctRatio, 4).as("distinct_token_ratio"),
       round(dupNgramFrac(col(textCol), 2), 4).as("dup_2gram_frac"),

@@ -131,6 +131,45 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bad == 0, s"$bad/300 random texts mismatched")
   }
 
+  test("property: native top-token count matches the HOF on random arrays") {
+    // same nasty alphabet; arrays include empty strings, repeats, and
+    // null elements (null groups count 0 under BOTH formulations)
+    val rnd = new scala.util.Random(11)
+    val pool = Seq("a", "b", "ab", "", "é", "Ж", "a b", "\t")
+    val arrays: Seq[Seq[String]] = Seq.fill(300) {
+      val len = rnd.nextInt(30)
+      (1 to len).map(_ =>
+        if (rnd.nextInt(10) == 0) null else pool(rnd.nextInt(pool.size)))
+    }
+    val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("id", "tk")
+    val hof = when(size(col("tk")) === 0, lit(0)).otherwise(
+      array_max(transform(array_distinct(col("tk")),
+        t => size(filter(col("tk"), x => x === t)))))
+    val native = graft.functions.expressions.HashExpressions
+      .top_token_count(col("tk"))
+    val bad = df.filter(not(hof <=> native)).count()
+    assert(bad == 0, s"$bad/300 random arrays mismatched")
+  }
+
+  test("repetitionStats handles a 50k-token document linearly") {
+    // the long-document tail: 50k tokens over 1k distinct words. The
+    // old distinct-x-scan HOF did 5e7 string comparisons in this one
+    // cell; the native count does 5e4 map hits. Wall-clock bound is a
+    // regression tripwire, not a benchmark (generous for shared CI).
+    val rnd = new scala.util.Random(3)
+    val doc = (1 to 50000).map(_ => s"w${rnd.nextInt(1000)}").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a a b")).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val rows = CorpusOps.repetitionStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(rows(1).getDouble(3) == 0.6667) // top 'a' = 2/3, sane output
+    val top = rows(0).getDouble(3)
+    assert(top > 0.0 && top < 0.01, s"top_token_frac=$top")
+    assert(secs < 30, f"50k-token repetitionStats took $secs%.1f s")
+  }
+
   test("mixtureSample upsamples small groups and respects the budget") {
     // 900 docs in group "big", 100 in "small"; raw shares 90/10,
     // sqrt-smoothed shares 30/10 -> "small" keeps a ~3x larger rate
