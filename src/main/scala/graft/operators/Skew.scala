@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
  */
 object Skew {
 
+  /** The salt column must not silently shadow (and later drop) a real
+    * input column — `withColumn` overwrites an existing name, which
+    * would corrupt the "identical result to the plain join" guarantee
+    * for inputs that happen to carry one. */
+  private def saltCol(dfs: DataFrame*): String = {
+    var name = "__salt"
+    var i = 0
+    while (dfs.exists(_.columns.contains(name))) {
+      i += 1
+      name = s"__salt$i"
+    }
+    name
+  }
+
   /**
    * Skew-safe inner equi-join: the build side is replicated `salt`
    * times (one copy per salt value) and each probe row is scattered
@@ -38,11 +52,12 @@ object Skew {
   def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
       scatter: Column, salt: Int): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
-    val p = probe.withColumn("__salt",
+    val sc = saltCol(probe, build)
+    val p = probe.withColumn(sc,
       pmod(xxhash64(scatter), lit(salt.toLong)).cast("int"))
-    val b = build.withColumn("__salt",
+    val b = build.withColumn(sc,
       explode(sequence(lit(0), lit(salt - 1))))
-    p.join(b, keys :+ "__salt").drop("__salt")
+    p.join(b, keys :+ sc).drop(sc)
   }
 
   /**
@@ -58,10 +73,21 @@ object Skew {
   def saltedAgg(df: DataFrame, groupKeys: Seq[String], valueCol: String,
       scatter: Column, salt: Int): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
+    // fixed output names (n, sum_/min_/max_<col>) are part of the
+    // declared result schema; reject inputs they would shadow rather
+    // than silently replacing a caller's column
+    val outNames = Seq("n", s"sum_$valueCol", s"min_$valueCol",
+      s"max_$valueCol")
+    val clash = outNames.filter(n =>
+      df.columns.contains(n) && !groupKeys.contains(n))
+    require(clash.isEmpty,
+      s"saltedAgg output column(s) ${clash.mkString(", ")} already " +
+        "exist on the input; rename them first")
+    val sc = saltCol(df)
     val bucketed = df
-      .withColumn("__salt",
+      .withColumn(sc,
         pmod(xxhash64(scatter), lit(salt.toLong)).cast("int"))
-      .groupBy((groupKeys :+ "__salt").map(col): _*)
+      .groupBy((groupKeys :+ sc).map(col): _*)
       .agg(sum(col(valueCol)).as("__psum"),
         count(lit(1)).as("__pcnt"),
         min(col(valueCol)).as("__pmin"),

@@ -127,7 +127,13 @@ object AviMjpeg {
     * payloads. None = not a parseable MJPEG AVI (truncated, wrong
     * magic, or no video frames). Per-frame image decode is the
     * caller's job (ImageIO), keeping demux cheap for frame sampling. */
-  def parse(bytes: Array[Byte]): Option[VideoMeta] = {
+  def parse(bytes: Array[Byte]): Option[VideoMeta] =
+    // same contract as decodeImage: a hostile/corrupt row yields None,
+    // it never throws into the Spark task
+    try parse0(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def parse0(bytes: Array[Byte]): Option[VideoMeta] = {
     if (bytes.length < 12 || rdCc(bytes, 0) != "RIFF" ||
         rdCc(bytes, 8) != "AVI ") return None
     var usPerFrame = 0
@@ -137,7 +143,11 @@ object AviMjpeg {
     var vidsStream = -1 // stream number of the first 'vids' stream
     val frames = IndexedSeq.newBuilder[Array[Byte]]
 
-    def walk(start: Int, end: Int): Boolean = {
+    def walk(start: Int, end: Int, depth: Int): Boolean = {
+      // real AVIs nest RIFF/LIST ~4 deep; a crafted file of thousands
+      // of 12-byte LIST headers must hit this cap, not StackOverflow
+      // past the Option contract and kill the whole Spark task
+      if (depth > 32) return false
       var off = start
       while (off + 8 <= end) {
         val id = rdCc(bytes, off)
@@ -149,7 +159,7 @@ object AviMjpeg {
         id match {
           case "LIST" =>
             if (sz < 4) return false
-            if (!walk(body + 4, body + sz)) return false
+            if (!walk(body + 4, body + sz, depth + 1)) return false
           case "avih" if sz >= 40 =>
             usPerFrame = rdLe32(bytes, body)
             w = rdLe32(bytes, body + 32); h = rdLe32(bytes, body + 36)
@@ -171,7 +181,7 @@ object AviMjpeg {
       }
       true
     }
-    if (!walk(12, bytes.length)) return None
+    if (!walk(12, bytes.length, 0)) return None
     val fs = frames.result()
     if (fs.isEmpty || w <= 0 || h <= 0) None
     else {

@@ -169,6 +169,16 @@ object CorpusOps {
    */
   def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
       budget: Long): DataFrame = {
+    // the membership hash is integer arithmetic on the id: a string id
+    // would cast to null row-by-row in non-ANSI mode and the filter
+    // would silently return an EMPTY sample — misuse must fail loudly
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"mixtureSample: id column '$idCol' must be integral, got " +
+          s"$other — hash non-numeric ids first (e.g. xxhash64($idCol))")
+    }
     val counts = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__rt", floor(sqrt(col("__n"))).cast("long"))

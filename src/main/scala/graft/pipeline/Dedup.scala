@@ -334,6 +334,16 @@ object Dedup {
    * The membership probe is a partition-local typed filter (the one
    * non-codegen stage — an O(1) sketch lookup per row against the
    * broadcast, no data movement).
+   *
+   * CACHE CONTRACT: the returned (lazy) frame depends on a persisted
+   * corpus-hash frame that CANNOT be eagerly unpersisted here — the
+   * anti-join still reads it when the caller finally executes. After
+   * materializing the result (write/collect), callers running many
+   * increments in one session should release it:
+   * `spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist())`
+   * (what Verify/Bench do between queries), or `spark.catalog
+   * .clearCache()`. A one-shot job can ignore this — the blocks die
+   * with the session.
    */
   def incrementalNew(corpus: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, expectedItems: Long = 0L,

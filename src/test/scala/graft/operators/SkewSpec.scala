@@ -42,6 +42,41 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("salting never clobbers a pre-existing __salt input column") {
+    // inputs that already carry '__salt' must keep it through the join
+    // and aggregate unchanged (the internal salt picks a fresh name)
+    val probe = (1L to 30L).map(i => (i % 3, i, s"p$i")).toDF("k", "row", "__salt")
+    val build = Seq((0L, "x"), (1L, "y")).toDF("k", "tag")
+    val joined = Skew.saltedJoin(probe, build, Seq("k"),
+      scatter = col("row"), salt = 4)
+    assert(joined.columns.contains("__salt"))
+    val plain = probe.join(build, Seq("k"))
+      .select("k", "row", "__salt", "tag")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(joined.select("k", "row", "__salt", "tag")
+      .as[(Long, Long, String, String)].collect().toSet == plain)
+    // build-side collision too
+    val build2 = Seq((0L, "x", "b0"), (1L, "y", "b1"))
+      .toDF("k", "tag", "__salt")
+    // ambiguous '__salt' on both sides would break the join; the fresh
+    // name must dodge BOTH frames' columns
+    val j2 = Skew.saltedJoin(probe.drop("__salt"), build2, Seq("k"),
+      scatter = col("row"), salt = 4)
+    assert(j2.columns.contains("__salt"))
+    // aggregation: a '__salt' group key survives; clashing OUTPUT
+    // names are rejected loudly instead of silently replaced
+    val agg = Skew.saltedAgg(probe.withColumnRenamed("__salt", "g"),
+      Seq("g"), "row", scatter = col("row"), salt = 4)
+    assert(agg.columns.sorted.toSeq ==
+      Seq("g", "max_row", "min_row", "n", "sum_row"))
+    val clashing = probe.withColumn("n", lit(1))
+    val err = intercept[IllegalArgumentException] {
+      Skew.saltedAgg(clashing, Seq("k"), "row",
+        scatter = col("row"), salt = 4)
+    }
+    assert(err.getMessage.contains("n"))
+  }
+
   test("salted join plan stays an equi-join on the widened key") {
     val probe = (1L to 20L).map(i => (i, i)).toDF("k", "row")
     val build = Seq((1L, "x")).toDF("k", "tag")

@@ -188,6 +188,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept.toSet == again.toSet)
   }
 
+  test("mixtureSample rejects a non-integral id column loudly") {
+    // a string id would hash to null row-by-row and silently return an
+    // EMPTY sample — the misuse must throw instead
+    val df = Seq(("doc-1", "g"), ("doc-2", "g")).toDF("doc_id", "grp")
+    val err = intercept[IllegalArgumentException] {
+      CorpusOps.mixtureSample(df, "doc_id", "grp", budget = 1L)
+    }
+    assert(err.getMessage.contains("integral"))
+  }
+
   test("spanDedup explodes once and shuffles exactly twice, no join") {
     val df = (1L to 50L).map(i => (i, ("tok " * 15).trim + s" $i"))
       .toDF("doc_id", "text")

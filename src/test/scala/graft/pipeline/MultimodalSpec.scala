@@ -136,6 +136,25 @@ class MultimodalSpec extends SparkSpec {
     (0 until 200).foreach(n => AviMjpeg.parse(base.take(n)))
   }
 
+  test("AVI parser bounds LIST nesting instead of overflowing the stack") {
+    // thousands of nested 12-byte LIST headers: each level declares a
+    // size covering the rest of the file. Must return None (depth cap),
+    // not StackOverflowError escaping the Option contract.
+    val levels = 20000
+    val inner = 4 // innermost payload
+    val buf = java.nio.ByteBuffer
+      .allocate(12 + levels * 12 + inner)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val total = buf.capacity()
+    buf.put("RIFF".getBytes).putInt(total - 8).put("AVI ".getBytes)
+    (0 until levels).foreach { i =>
+      val remaining = total - 12 - i * 12 - 8 // this LIST's body size
+      buf.put("LIST".getBytes).putInt(remaining).put("obfu".getBytes)
+    }
+    buf.putInt(0)
+    assert(AviMjpeg.parse(buf.array()).isEmpty)
+  }
+
   test("real video decode: closed-form stats and true per-frame decode") {
     val media = Multimodal.syntheticAviMedia(spark, 25)
     val stats = Multimodal.videoStats(media)
