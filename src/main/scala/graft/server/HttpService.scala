@@ -18,6 +18,8 @@ import graft.workflow.{Engine, Workflow}
  * HTTP/JSON (the payload the reference ships inside its SOAP body IS
  * the workflow JSON) served by the JDK's built-in HttpServer — the
  * server is control-plane only, so no Spark involvement in transport.
+ * With a [[Tls]] config the same routes serve HTTPS-only (the
+ * reference's SSL transport, `src/ssl/oph_server.c`).
  *
  * Routes:
  *  - `POST /services/execute` — body = workflow request JSON;
@@ -93,7 +95,13 @@ final class HttpService(
       * and are restored after a restart (ownership included — a
       * restarted server must not hand someone else's session to the
       * first requester). None = memory only. */
-    stateDir: Option[java.nio.file.Path] = None) {
+    stateDir: Option[java.nio.file.Path] = None,
+    /** TLS materials (reference `src/ssl/oph_server.c` serves SOAP
+      * over SSL) — when set, the service speaks HTTPS only and a
+      * plaintext client is refused at the handshake; bearer tokens
+      * never cross the wire in the clear. None = plaintext HTTP (dev
+      * / behind a terminating proxy). */
+    tls: Option[Tls] = None) {
   import HttpService._
 
   private var server: HttpServer = _
@@ -240,7 +248,15 @@ final class HttpService(
   def boundPort: Int = server.getAddress.getPort
 
   def start(): HttpService = {
-    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server = tls match {
+      case Some(t) =>
+        val https = com.sun.net.httpserver.HttpsServer
+          .create(new InetSocketAddress(port), 0)
+        https.setHttpsConfigurator(
+          new com.sun.net.httpserver.HttpsConfigurator(t.sslContext()))
+        https
+      case None => HttpServer.create(new InetSocketAddress(port), 0)
+    }
     pool = Executors.newFixedThreadPool(poolSize)
     server.setExecutor(pool)
     server.createContext("/services/execute", exchange =>

@@ -564,4 +564,60 @@ class HttpServiceSpec extends SparkSpec {
       assert(c2 == 200)
     } finally svc.stop()
   }
+
+  test("TLS: the full request flow works over https, plaintext refused") {
+    val engine = new Engine(spark, new Catalog("sess"))
+    val auth = new AuthService
+    auth.addUser("graft", "secret")
+    val tls = Tls.devSelfSigned()
+    val svc = new HttpService(engine, auth, tls = Some(tls)).start()
+    try {
+      val base = s"https://127.0.0.1:${svc.boundPort}"
+      val sf = tls.clientContext().getSocketFactory
+      def https(url: String, method: String = "GET",
+          body: Option[String] = None,
+          authHeader: Option[String] = None): (Int, String) = {
+        val c = new URL(url).openConnection()
+          .asInstanceOf[javax.net.ssl.HttpsURLConnection]
+        c.setSSLSocketFactory(sf)
+        c.setRequestMethod(method)
+        authHeader.foreach(c.setRequestProperty("Authorization", _))
+        body.foreach { b =>
+          c.setDoOutput(true)
+          val os = c.getOutputStream
+          try os.write(b.getBytes(StandardCharsets.UTF_8)) finally os.close()
+        }
+        val code = c.getResponseCode
+        val is = if (code < 400) c.getInputStream else c.getErrorStream
+        val text = if (is == null) "" else
+          try new String(is.readAllBytes, StandardCharsets.UTF_8)
+          finally is.close()
+        (code, text)
+      }
+      val cred = Some(basic("graft", "secret"))
+      // unauthenticated still 401 over TLS
+      assert(https(s"$base/services/info")._1 == 401)
+      // token login + execute: the bearer flow, now encrypted in transit
+      val (lc, lbody) = https(s"$base/services/login", authHeader = cred)
+      assert(lc == 200, lbody)
+      val token = mapper.readTree(lbody).get("access_token").asText
+      val (ec, ebody) = https(s"$base/services/execute", "POST",
+        Some(workflowAggRequest), Some(s"Bearer $token"))
+      assert(ec == 200, ebody)
+      assert(mapper.readTree(ebody).get("error").asInt == 0, ebody)
+      // a PLAINTEXT client must be refused at the handshake — tokens
+      // cannot be replayed onto the same port in the clear
+      intercept[java.io.IOException] {
+        http(s"http://127.0.0.1:${svc.boundPort}/services/info",
+          authHeader = cred)
+      }
+      // and a client that does NOT trust the self-signed cert fails
+      // the handshake (no silent trust-anything client in the repo)
+      intercept[javax.net.ssl.SSLException] {
+        val c = new URL(s"$base/services/info").openConnection()
+          .asInstanceOf[javax.net.ssl.HttpsURLConnection]
+        c.getResponseCode
+      }
+    } finally svc.stop()
+  }
 }
