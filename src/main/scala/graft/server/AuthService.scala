@@ -37,6 +37,10 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
     scala.collection.concurrent.TrieMap[String, String]() // name -> pw hash
   private val tokens =
     scala.collection.concurrent.TrieMap[String, String]() // token -> name
+  /** Admin bit per user (reference `oph_manage_user.c` is_admin
+    * property) — gates the user-management surface. */
+  private val admins =
+    scala.collection.concurrent.TrieMap[String, Unit]()
   private val failures = scala.collection.concurrent
     .TrieMap[String, (Int, Long)]() // host -> (attempts, window start)
   /** Earliest time the next failure-map sweep can possibly remove
@@ -52,6 +56,7 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
     text.linesIterator.foreach(_.split('\t') match {
       case Array("U", name, h) => users(name) = h
       case Array("T", token, user) => tokens(token) = user
+      case Array("A", name) => admins(name) = ()
       case _ => // tolerate unknown lines (forward compatibility)
     })
   }
@@ -69,6 +74,8 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
         sb.append("U\t").append(n).append('\t').append(h).append('\n') }
       tokens.toSeq.sortBy(_._1).foreach { case (t, u) =>
         sb.append("T\t").append(t).append('\t').append(u).append('\n') }
+      admins.keys.toSeq.sorted.foreach { n =>
+        sb.append("A\t").append(n).append('\n') }
       StateStore.save(p, sb.result())
     }
   }
@@ -111,12 +118,69 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
       d.digest(s"graft:$user:$password".getBytes(StandardCharsets.UTF_8)))
   }
 
-  def addUser(name: String, password: String): Unit =
-    mutate { users(name) = hash(name, password) }
+  def addUser(name: String, password: String, admin: Boolean = false): Unit =
+    mutate {
+      users(name) = hash(name, password)
+      if (admin) admins(name) = ()
+    }
 
   def removeUser(name: String): Unit = mutate {
     users.remove(name)
+    admins.remove(name)
     tokens.filterInPlace { case (_, u) => u != name }
+  }
+
+  // ------------------------ admin surface (`src/oph_manage_user.c`)
+
+  def isAdmin(name: String): Boolean = admins.contains(name)
+
+  def userExists(name: String): Boolean = users.contains(name)
+
+  /** add|del|update|list actions of the reference's user-management
+    * tool, as a guarded facade: `actor` must hold the admin bit. An
+    * update that changes the password also revokes the user's live
+    * tokens (a password reset must invalidate stolen sessions). */
+  def manageUser(actor: String, action: String,
+      args: Map[String, String]): Seq[(String, Boolean)] = {
+    if (!isAdmin(actor))
+      throw new SessionService.AuthError(s"'$actor' is not an admin")
+    def need(k: String): String = args.getOrElse(k,
+      throw new IllegalArgumentException(s"manage_user $action: missing '$k'"))
+    action.toLowerCase match {
+      case "add" | "append" | "create" =>
+        val name = need("username")
+        if (userExists(name))
+          throw new IllegalArgumentException(s"user '$name' already exists")
+        addUser(name, need("password"),
+          admin = args.get("is_admin").exists(_.equalsIgnoreCase("yes")))
+        Nil
+      case "del" | "delete" | "rm" | "remove" =>
+        val name = need("username")
+        if (!userExists(name))
+          throw new IllegalArgumentException(s"unknown user '$name'")
+        removeUser(name)
+        Nil
+      case "update" =>
+        val name = need("username")
+        if (!userExists(name))
+          throw new IllegalArgumentException(s"unknown user '$name'")
+        mutate {
+          args.get("password").foreach { pw =>
+            users(name) = hash(name, pw)
+            tokens.filterInPlace { case (_, u) => u != name }
+          }
+          args.get("is_admin").foreach { v =>
+            if (v.equalsIgnoreCase("yes")) admins(name) = ()
+            else admins.remove(name)
+          }
+        }
+        Nil
+      case "list" =>
+        users.keys.toSeq.sorted.map(n => (n, isAdmin(n)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"manage_user: bad action '$other' (add|del|update|list)")
+    }
   }
 
   /** Check user/password; mints and returns a bearer token on success.

@@ -288,6 +288,48 @@ final class HttpService(
         reply(exchange, 200, s"""{"status":"up","error":$Ok,""" +
           s""""notifications":${incomingNotifications.get}}""")
       })
+    // the per-session browsable HTML report (`oph_session_report.h`):
+    // every saved command with links into the resume document store
+    server.createContext("/services/report", exchange =>
+      guard(exchange) { user =>
+        val code = query(exchange).getOrElse("session",
+          engine.catalog.sessionCode)
+        try engineFor(code, user, createIfAbsent = false) match {
+          case None => reply(exchange, 404,
+            s"""{"error":$ErrWrongParameter,"message":"no session '$code'"}""")
+          case Some(target) =>
+            replyHtml(exchange, 200, target.sessions.report(code, user))
+        } catch {
+          case RoutingError(status, msg) => reply(exchange, status,
+            s"""{"error":$ErrAuth,"message":${quote(msg)}}""")
+          case e: SessionService.AuthError => reply(exchange, 403,
+            s"""{"error":$ErrAuth,"message":${quote(e.getMessage)}}""")
+        }
+      })
+    // admin user CRUD (`src/oph_manage_user.c` actions add|del|
+    // update|list) — 403 unless the authenticated caller holds the
+    // admin bit; a removed user's live tokens die with the account
+    server.createContext("/services/manage_user", exchange =>
+      guard(exchange) { user =>
+        val q = query(exchange)
+        val action = q.getOrElse("action", "")
+        try {
+          val listing = auth.manageUser(user, action, q)
+          if (action.equalsIgnoreCase("list")) {
+            val rows = listing.map { case (n, adm) =>
+              s"""{"username":${quote(n)},"is_admin":$adm}"""
+            }.mkString(",")
+            reply(exchange, 200, s"""{"error":$Ok,"users":[$rows]}""")
+          } else
+            reply(exchange, 200,
+              s"""{"error":$Ok,"message":"$action done"}""")
+        } catch {
+          case e: SessionService.AuthError => reply(exchange, 403,
+            s"""{"error":$ErrAuth,"message":${quote(e.getMessage)}}""")
+          case e: IllegalArgumentException => reply(exchange, 400,
+            s"""{"error":$ErrWrongParameter,"message":${quote(e.getMessage)}}""")
+        }
+      })
     // the notification receiver — the reference's second SOAP endpoint
     // `oph__oph_notify` (`src/oph_notify.c:39`): a chained engine or an
     // external notifier posts completion data; authenticated like any
@@ -498,6 +540,14 @@ final class HttpService(
   private def reply(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def replyHtml(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "text/html; charset=utf-8")
     ex.sendResponseHeaders(code, bytes.length)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()

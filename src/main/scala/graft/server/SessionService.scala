@@ -259,6 +259,48 @@ final class SessionService(
       }
     }
 
+  /** Session report (`src/oph_session_report.h:29-31`:
+    * `oph_session_report_append_command/link` render the per-session
+    * browsable HTML log of submitted commands with links to their
+    * output documents). Requires the Read role, like `resume`. The
+    * links target the resume route so a browser can walk from the
+    * report straight to each saved request/response document. */
+  def report(code: String, user: String): String = synchronized {
+    val s = get(code)
+    require_((roleOf(s, user) & RoleRead) != 0, s"$user cannot read $code")
+    def esc(t: String): String = t
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+    // command cell: the workflow NAME when the request parses, else
+    // the head of the raw text — the reference logs the submitted
+    // command string per (workflowid, markerid)
+    def describe(req: String): String =
+      try {
+        val n = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(req)
+        Option(n.get("name")).map(_.asText).getOrElse(req.take(80))
+      } catch { case _: Exception => req.take(80) }
+    val rows = s.workflows.map { w =>
+      val base = s"/services/resume?session=${esc(code)}&id=${w.workflowId}"
+      s"""<tr><td>${w.workflowId}</td>
+         |<td>${esc(describe(w.request))}</td>
+         |<td><code>${esc(w.request.take(200))}</code></td>
+         |<td><a href="$base&document_type=request">request</a>
+         |<a href="$base&document_type=response">response</a></td></tr>"""
+        .stripMargin
+    }.mkString("\n")
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8">
+       |<title>Session ${esc(code)}</title></head>
+       |<body><h1>Session ${esc(code)}${
+          if (s.label.nonEmpty) " — " + esc(s.label) else ""}</h1>
+       |<p>owner: ${esc(s.owner)} · ${s.workflows.size} workflow(s)</p>
+       |<table border="1" cellpadding="4">
+       |<tr><th>#</th><th>workflow</th><th>command</th><th>documents</th></tr>
+       |$rows
+       |</table></body></html>""".stripMargin
+  }
+
   /** oph_resume: retrieve a saved request or response
     * (`document_type=request|response`); workflowId 0 = latest. */
   def resume(code: String, user: String, workflowId: Int,

@@ -565,6 +565,80 @@ class HttpServiceSpec extends SparkSpec {
     } finally svc.stop()
   }
 
+  test("session report lists a completed workflow with document links") {
+    withService { (svc, base, _) =>
+      val cred = Some(basic("graft", "secret"))
+      val (c1, _) = http(s"$base/services/execute", "POST",
+        Some(workflowAggRequest), cred)
+      assert(c1 == 200)
+      val (rc, html) = http(s"$base/services/report", authHeader = cred)
+      assert(rc == 200, html)
+      // the report names the workflow and links both saved documents
+      assert(html.contains("<html"), "report must be browsable HTML")
+      assert(html.contains("wf_http"), html.take(400))
+      assert(html.contains("id=1&document_type=request"), html.take(800))
+      assert(html.contains("id=1&document_type=response"), html.take(800))
+      // the linked document actually resolves in the resume store
+      val (dc, doc) = http(
+        s"$base/services/resume?id=1&document_type=request",
+        authHeader = cred)
+      assert(dc == 200 && doc.contains("wf_http"))
+      // no Read role on the session -> 403, like resume
+      val (fc, _) = http(s"$base/services/report",
+        authHeader = Some(basic("intruder", "pw")))
+      assert(fc == 403)
+    }
+  }
+
+  test("manage_user: admin CRUD; removed user's token dies") {
+    val engine = new Engine(spark, new Catalog("sess"))
+    val auth = new AuthService
+    auth.addUser("root", "rootpw", admin = true)
+    auth.addUser("graft", "secret")
+    val svc = new HttpService(engine, auth).start()
+    try {
+      val b = s"http://127.0.0.1:${svc.boundPort}"
+      val admin = Some(basic("root", "rootpw"))
+      // non-admins cannot touch the surface
+      val (nc, _) = http(s"$b/services/manage_user?action=list",
+        authHeader = Some(basic("graft", "secret")))
+      assert(nc == 403)
+      // add: the new user can log in immediately
+      val (ac, _) = http(
+        s"$b/services/manage_user?action=add&username=alice&password=apw",
+        "POST", authHeader = admin)
+      assert(ac == 200)
+      val tok = auth.login("alice", "apw")
+      assert(tok.nonEmpty, "added user must be able to log in")
+      // list shows both, with admin bits
+      val (lc, lbody) = http(s"$b/services/manage_user?action=list",
+        authHeader = admin)
+      assert(lc == 200 && lbody.contains("alice") &&
+        lbody.contains(""""username":"root","is_admin":true"""), lbody)
+      // update password: old one dies, live tokens are revoked
+      val (uc, _) = http(
+        s"$b/services/manage_user?action=update&username=alice&password=new",
+        "POST", authHeader = admin)
+      assert(uc == 200)
+      assert(auth.login("alice", "apw").isEmpty, "old password must die")
+      assert(auth.checkToken(tok.get).isEmpty,
+        "password reset must revoke live tokens")
+      val tok2 = auth.login("alice", "new").get
+      // remove: account and its tokens die together
+      val (dc, _) = http(
+        s"$b/services/manage_user?action=del&username=alice",
+        "POST", authHeader = admin)
+      assert(dc == 200)
+      assert(auth.login("alice", "new").isEmpty)
+      assert(auth.checkToken(tok2).isEmpty, "removed user's token must die")
+      // duplicate add + unknown del fail loudly
+      assert(http(s"$b/services/manage_user?action=add&username=root&password=x",
+        "POST", authHeader = admin)._1 == 400)
+      assert(http(s"$b/services/manage_user?action=del&username=ghost",
+        "POST", authHeader = admin)._1 == 400)
+    } finally svc.stop()
+  }
+
   test("TLS: the full request flow works over https, plaintext refused") {
     val engine = new Engine(spark, new Catalog("sess"))
     val auth = new AuthService
