@@ -1098,11 +1098,17 @@ object SparkEntry {
       val mg = graft.render.ResponseWriter.multigridOf(
         "explorecube_dimvalues", "slice", sorted, limit = 50)
       import s.implicits._
+      // the render emits STRING cells (the JSON grid payload); parse
+      // them back to typed values so the grid contents hash against a
+      // plain SQL oracle — a wrong flatten/order/pad would still flip
+      // the hash, but double formatting quirks cannot
       mg.values.flatMap { row =>
         row.drop(mg.rowKeys.size).zipWithIndex.map { case (cell, c) =>
           (row.head, (c + 1).toLong, cell)
         }
-      }.toDF("l_orderkey", "pos", "cell")
+      }.toDF("__k", "pos", "__cell")
+        .select(col("__k").cast("long").as("l_orderkey"), col("pos"),
+          round(col("__cell").cast("double"), 2).as("cell"))
     }),
 
     "netcdf_roundtrip" -> ((s, dir) => {
@@ -1351,11 +1357,20 @@ object SparkEntry {
 
     "sketch_quantile" -> ((s, dir) => {
       // mergeable DDSketch-style quantile Aggregator: the 100 TB path
-      // for explicit-dim quantiles (no sort, order-independent merge);
-      // approximate by design -> structural check only
+      // for explicit-dim quantiles (no sort, order-independent merge).
+      // Approximate by design, so the ORACLE pins (a) the exact median
+      // per group against DuckDB's quantile_cont and (b) that the
+      // sketch answer sits inside the exact median's error band
+      // (alpha + one value-grid step of interpolation slack); a sketch
+      // drifting out of band flips in_band and fails the hash
       val udaf = graft.functions.QuantileSketch.quantileUdaf(0.5, alpha = 0.01)
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(udaf(col("l_quantity")).as("median_qty"))
+        .agg(udaf(col("l_quantity")).as("__sk"),
+          expr("percentile(l_quantity, 0.5)").as("__med"))
+        .select(col("l_returnflag"),
+          round(col("__med"), 4).as("median_qty"),
+          (abs(col("__sk") - col("__med")) <=
+            col("__med") * 0.02 + lit(1.0)).as("in_band"))
     }),
 
     "multimodal_features" -> ((s, dir) => {
@@ -1837,6 +1852,26 @@ object SparkEntry {
          SELECT CAST(c_custkey AS DOUBLE) AS cust, i + 1 AS pos,
                 round(c_acctbal * (i + 1), 2) AS val
          FROM c CROSS JOIN range(4) t(i)""",
+
+    "explore_multigrid" ->
+      """WITH keys AS (
+           SELECT DISTINCT l_orderkey FROM lineitem
+           ORDER BY l_orderkey LIMIT 50),
+         p AS (
+           SELECT l_orderkey, l_quantity,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_quantity) AS pos
+           FROM lineitem)
+         SELECT p.l_orderkey, p.pos,
+                round(CAST(p.l_quantity AS DOUBLE), 2) AS cell
+         FROM p JOIN keys USING (l_orderkey)""",
+
+    "sketch_quantile" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 4)
+                  AS median_qty,
+                true AS in_band
+         FROM lineitem GROUP BY 1""",
 
     "workflow_flow" ->
       """WITH p AS (
