@@ -1133,6 +1133,29 @@ object SparkEntry {
         .agg(round(sum(col("o_totalprice")), 2).as("s"))
     }),
 
+    "netcdf4_roundtrip" -> ((s, dir) => {
+      // REAL NetCDF-4/HDF5 I/O: the same orders slice written through
+      // the pure-JVM HDF5 writer (chunked + deflate, dimension scales,
+      // DIMENSION_LIST via the global heap) and read back through the
+      // dual-format DSv2 — the hash match oracle-checks the whole
+      // HDF5 binary round-trip, chunk B-tree walk and inflate included
+      val rows = t(s, dir, "orders").orderBy("o_orderkey")
+        .limit(1000)
+        .select(col("o_orderkey").cast("double"),
+          col("o_totalprice").cast("double")).collect()
+      val f = java.io.File.createTempFile("graft_nc4_orders", ".nc")
+      f.deleteOnExit()
+      graft.sources.NetCDF4.write(f.getPath,
+        dims = Seq(graft.sources.NetCDF3.Dim("row", rows.length)),
+        vars = Seq(
+          ("o_orderkey", Seq(0), rows.map(_.getDouble(0))),
+          ("o_totalprice", Seq(0), rows.map(_.getDouble(1)))),
+        chunkCells = 256) // multi-chunk: exercises the chunk index
+      s.read.format("netcdf4").load(f.getPath)
+        .groupBy(floor(col("o_orderkey") / 1000).cast("long").as("bucket"))
+        .agg(round(sum(col("o_totalprice")), 2).as("s"))
+    }),
+
     "netcdf_record_roundtrip" -> ((s, dir) => {
       // record-dimension (UNLIMITED) round-trip: the same orders slice
       // written as TWO record variables over a record dim — the
@@ -1833,6 +1856,13 @@ object SparkEntry {
          SELECT l_orderkey, least(n, 2) + pos, l_quantity AS qty FROM p""",
 
     "netcdf_roundtrip" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice FROM orders
+                    ORDER BY o_orderkey LIMIT 1000)
+         SELECT CAST(floor(o_orderkey / 1000) AS BIGINT) AS bucket,
+                round(sum(o_totalprice), 2) AS s
+         FROM t GROUP BY 1""",
+
+    "netcdf4_roundtrip" ->
       """WITH t AS (SELECT o_orderkey, o_totalprice FROM orders
                     ORDER BY o_orderkey LIMIT 1000)
          SELECT CAST(floor(o_orderkey / 1000) AS BIGINT) AS bucket,

@@ -96,6 +96,13 @@ object NetCDF3 {
     try {
       val magic = new Array[Byte](4)
       f.readFully(magic)
+      // the HDF5 signature means NetCDF-4: name the format in the
+      // error instead of failing as a generic parse error
+      if (magic(0) == 0x89.toByte && magic(1) == 'H' && magic(2) == 'D' &&
+          magic(3) == 'F')
+        throw new FormatError(s"$path: NetCDF-4/HDF5 file — read it " +
+          "through NetCDF4/Hdf5 (the netcdf3 reader handles classic " +
+          "CDF-1/CDF-2 only)")
       if (magic(0) != 'C' || magic(1) != 'D' || magic(2) != 'F')
         throw new FormatError(s"$path: not a NetCDF classic file")
       val version = magic(3).toInt

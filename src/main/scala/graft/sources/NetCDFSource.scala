@@ -13,20 +13,53 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import scala.jdk.CollectionConverters._
 
 /**
- * DataSource V2 for NetCDF-3 classic files:
+ * Format-neutral view of a NetCDF file: resolved dimensions (the
+ * classic record dim reads as its current extent), variables with
+ * their dim tuples, and offset-addressed slab reads. Dispatches on the
+ * file magic — CDF-1/CDF-2 through [[NetCDF3]], NetCDF-4/HDF5 through
+ * [[NetCDF4]] — so every consumer (the DSv2 below, the engine's
+ * importnc) handles both transparently.
+ */
+final case class NcVarView(name: String, dimIds: Seq[Int])
+final case class NcView(
+    dims: Seq[NetCDF3.Dim],
+    vars: Seq[NcVarView],
+    slab: (String, Long, Int) => Array[Double]) {
+  def varByName(n: String): NcVarView = vars.find(_.name == n).getOrElse(
+    throw new IllegalArgumentException(s"no variable '$n'"))
+}
+
+object NcView {
+  def open(path: String): NcView =
+    if (Hdf5.isHdf5(path)) {
+      val m = NetCDF4.open(path)
+      NcView(m.dims, m.vars.map(v => NcVarView(v.name, v.dimIds)),
+        (n, s, c) => NetCDF4.readSlab(path, m.varByName(n), s, c))
+    } else {
+      val h = NetCDF3.readHeader(path)
+      NcView(
+        h.dims.indices.map(i => NetCDF3.Dim(h.dims(i).name, h.dimLength(i))),
+        h.vars.map(v => NcVarView(v.name, v.dimIds)),
+        (n, s, c) => NetCDF3.readSlab(path, h, h.varByName(n), s, c))
+    }
+}
+
+/**
+ * DataSource V2 for NetCDF files (classic AND NetCDF-4/HDF5):
  * `spark.read.format("netcdf3").load(path)` yields the relational view
  * of the file's grid — one row per cell, one column per dimension
  * (coordinate-variable values when the file has them, 1-based indices
- * otherwise) and one column per data variable.
+ * otherwise) and one column per data variable. The short name is
+ * historical; `netcdf4` registers the same source.
  *
  * Spark-first mechanics:
- *  - the driver reads ONLY the header (KBs) to infer the schema;
+ *  - the driver reads ONLY the metadata (KBs) to infer the schema;
  *  - `planInputPartitions` splits the flat cell range into
  *    `spark.default.parallelism`-sized chunks — each partition reads
- *    just its byte range of each variable slab (offset-addressed IO,
- *    no full-file scan per task);
+ *    just its cell range of each variable (offset-addressed slabs for
+ *    classic, only the intersecting chunks for NetCDF-4);
  *  - column pruning (`SupportsPushDownRequiredColumns`) reaches the
- *    reader: unprojected variables' slabs are never read, unprojected
+ *    reader: unprojected variables are never read, unprojected
  *    dimension columns are never computed.
  *
  * This is the real-format replacement for the reference's
@@ -37,12 +70,12 @@ class NetCDFSource extends TableProvider with DataSourceRegister {
 
   private def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("netcdf3: 'path' option required"))
+      throw new IllegalArgumentException("netcdf: 'path' option required"))
     p
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    NetCDFSource.schemaOf(NetCDF3.readHeader(pathOf(options)),
+    NetCDFSource.schemaOf(NcView.open(pathOf(options)),
       Option(options.get("measure")))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -54,27 +87,33 @@ class NetCDFSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 }
 
+/** `spark.read.format("netcdf4")` — alias for the same dual-format
+  * source, for callers who want the intent in the code. */
+class NetCDF4Source extends NetCDFSource {
+  override def shortName(): String = "netcdf4"
+}
+
 object NetCDFSource {
   /** Grid variables = the non-coordinate vars of maximal rank (or the
     * explicit `measure` list); their shared dims are the axes. */
-  def gridVars(h: NetCDF3.Header, measure: Option[String]): Seq[NetCDF3.Var] = {
-    val dimNames = h.dims.map(_.name).toSet
+  def gridVars(v: NcView, measure: Option[String]): Seq[NcVarView] = {
+    val dimNames = v.dims.map(_.name).toSet
     measure match {
       case Some(ms) =>
         val vs = ms.split('|').toSeq.map(_.trim).filter(_.nonEmpty)
-          .map(h.varByName)
+          .map(v.varByName)
         // mixed grids would misalign the flat cell indexing
-        vs.find(_.dimIds != vs.head.dimIds).foreach { v =>
+        vs.find(_.dimIds != vs.head.dimIds).foreach { bad =>
           throw new IllegalArgumentException(
-            s"netcdf3: variable '${v.name}' is not on the same grid as " +
+            s"netcdf: variable '${bad.name}' is not on the same grid as " +
               s"'${vs.head.name}' — select variables sharing one dim tuple")
         }
         vs
       case None =>
-        val data = h.vars.filterNot(v =>
-          v.dimIds.size == 1 && dimNames.contains(v.name) &&
-            h.dims(v.dimIds.head).name == v.name)
-        if (data.isEmpty) h.vars
+        val data = v.vars.filterNot(x =>
+          x.dimIds.size == 1 && dimNames.contains(x.name) &&
+            v.dims(x.dimIds.head).name == x.name)
+        if (data.isEmpty) v.vars
         else {
           val maxRank = data.map(_.dimIds.size).max
           val top = data.filter(_.dimIds.size == maxRank)
@@ -83,19 +122,19 @@ object NetCDFSource {
     }
   }
 
-  def schemaOf(h: NetCDF3.Header, measure: Option[String]): StructType = {
-    val vs = gridVars(h, measure)
-    require(vs.nonEmpty, "netcdf3: no data variables")
-    val axes = vs.head.dimIds.map(h.dims(_))
+  def schemaOf(v: NcView, measure: Option[String]): StructType = {
+    val vs = gridVars(v, measure)
+    require(vs.nonEmpty, "netcdf: no data variables")
+    val axes = vs.head.dimIds.map(v.dims(_))
     StructType(
       axes.map(d => StructField(d.name, DoubleType, nullable = false)) ++
-        vs.map(v => StructField(v.name, DoubleType, nullable = false)))
+        vs.map(x => StructField(x.name, DoubleType, nullable = false)))
   }
 }
 
 final class NcTable(path: String, schema: StructType,
     measure: Option[String]) extends Table with SupportsRead {
-  override def name(): String = s"netcdf3:$path"
+  override def name(): String = s"netcdf:$path"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
@@ -121,14 +160,13 @@ final class NcScan(path: String, fullSchema: StructType,
     required: StructType, measure: Option[String]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"netcdf3 $path [${required.fieldNames.mkString(",")}]"
+    s"netcdf $path [${required.fieldNames.mkString(",")}]"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val h = NetCDF3.readHeader(path)
-    val vs = NetCDFSource.gridVars(h, measure)
-    // dimLength resolves the record (UNLIMITED) dim to numrecs
-    val total = vs.head.dimIds.map(h.dimLength(_).toLong).product
+    val v = NcView.open(path)
+    val vs = NetCDFSource.gridVars(v, measure)
+    val total = vs.head.dimIds.map(v.dims(_).length.toLong).product
     val slices = math.max(1, math.min(total,
       org.apache.spark.sql.SparkSession.active
         .sparkContext.defaultParallelism.toLong)).toInt
@@ -157,11 +195,10 @@ final class NcReader(path: String, projected: Array[String],
     measure: Option[String], part: NcPartition)
     extends PartitionReader[InternalRow] {
 
-  private val h = NetCDF3.readHeader(path)
-  private val vs = NetCDFSource.gridVars(h, measure)
-  private val axes = vs.head.dimIds.map(h.dims(_))
-  // record (UNLIMITED) axes resolve to numrecs, not the stored 0
-  private val shape = vs.head.dimIds.map(h.dimLength)
+  private val view = NcView.open(path)
+  private val vs = NetCDFSource.gridVars(view, measure)
+  private val axes = vs.head.dimIds.map(view.dims(_))
+  private val shape = vs.head.dimIds.map(view.dims(_).length)
   private val n = (part.end - part.start).toInt
 
   // per projected column: a function flat-offset -> double
@@ -172,16 +209,15 @@ final class NcReader(path: String, projected: Array[String],
         val stride = shape.drop(ax + 1).map(_.toLong).product
         val len = shape(ax)
         // coordinate variable (1-D var named like the dim) or 1-based index
-        val coords = h.vars.find(v => v.name == name &&
-            v.dimIds == Seq(h.dims.indexWhere(_.name == name)))
-          .map(cv => NetCDF3.readSlab(path, h, cv, 0, len))
+        val coords = view.vars.find(v => v.name == name &&
+            v.dimIds == Seq(view.dims.indexWhere(_.name == name)))
+          .map(_ => view.slab(name, 0, len))
         (i: Int) => {
           val idx = (((part.start + i) / stride) % len).toInt
           coords.map(_(idx)).getOrElse((idx + 1).toDouble)
         }
       case _ =>
-        val v = h.varByName(name)
-        val slab = NetCDF3.readSlab(path, h, v, part.start, n)
+        val slab = view.slab(name, part.start, n)
         (i: Int) => slab(i)
     }
   }

@@ -1,0 +1,160 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * NetCDF-4/HDF5: the pure-JVM writer/reader pair and its DSv2
+ * integration. The writer emits real HDF5 structures (superblock v0,
+ * v1 object headers, symbol-table group, chunked+deflate layout,
+ * dimension scales + DIMENSION_LIST through the global heap) and the
+ * reader walks them back — every assertion below exercises both sides
+ * of the public spec subset.
+ */
+class Hdf5Spec extends SparkSpec {
+
+  private def tmp(prefix: String): String = {
+    val f = java.io.File.createTempFile(prefix, ".nc4")
+    f.delete(); f.getPath
+  }
+
+  private def writeGrid(path: String): Unit = {
+    import NetCDF3.Dim
+    NetCDF4.write(path,
+      dims = Seq(Dim("time", 2), Dim("level", 3)),
+      vars = Seq(
+        ("time", Seq(0), Array(100.0, 200.0)),
+        ("level", Seq(1), Array(1000.0, 850.0, 500.0)),
+        ("tas", Seq(0, 1), Array(11.0, 12.0, 13.0, 21.0, 22.0, 23.0)),
+        ("pr", Seq(0, 1), Array(1.1, 1.2, 1.3, 2.1, 2.2, 2.3))),
+      gatts = Seq("title" -> "graft nc4 grid"))
+  }
+
+  test("hdf5 magic: NetCDF3 rejects it by name, isHdf5 detects it") {
+    val path = tmp("magic")
+    writeGrid(path)
+    assert(Hdf5.isHdf5(path))
+    val err = intercept[NetCDF3.FormatError](NetCDF3.readHeader(path))
+    assert(err.getMessage.contains("NetCDF-4"))
+    // and the classic writer's output is NOT detected as HDF5
+    val classic = tmp("classic")
+    NetCDF3.write(classic, Seq(NetCDF3.Dim("x", 2)),
+      Seq(("v", Seq(0), Array(1.0, 2.0))))
+    assert(!Hdf5.isHdf5(classic))
+  }
+
+  test("nc4 roundtrip: dims, scales, DIMENSION_LIST, attrs, data") {
+    val path = tmp("grid")
+    writeGrid(path)
+    val m = NetCDF4.open(path)
+    assert(m.dims == Seq(NetCDF3.Dim("time", 2), NetCDF3.Dim("level", 3)))
+    assert(m.gatts.exists(a => a.name == "title" && a.text == "graft nc4 grid"))
+    // coordinate vars and data vars, with dims resolved through
+    // DIMENSION_LIST object references
+    val tas = m.varByName("tas")
+    assert(tas.dimIds == Seq(0, 1))
+    assert(m.varByName("pr").dimIds == Seq(0, 1))
+    assert(m.varByName("time").dimIds == Seq(0))
+    assert(NetCDF4.readSlab(path, tas, 0, 6).toSeq ==
+      Seq(11.0, 12.0, 13.0, 21.0, 22.0, 23.0))
+    // partial slab across the row boundary
+    assert(NetCDF4.readSlab(path, tas, 2, 3).toSeq == Seq(13.0, 21.0, 22.0))
+    assert(NetCDF4.readSlab(path, m.varByName("level"), 1, 2).toSeq ==
+      Seq(850.0, 500.0))
+  }
+
+  test("multi-chunk deflate: slab reads cross chunk boundaries") {
+    val path = tmp("chunky")
+    val n = 10000
+    val data = Array.tabulate(n)(i => (i * 7 % 1000).toDouble)
+    // chunkCells=512 -> 20 chunks -> exercises the chunk B-tree
+    NetCDF4.write(path, Seq(NetCDF3.Dim("row", n)),
+      Seq(("v", Seq(0), data)), chunkCells = 512)
+    val m = NetCDF4.open(path)
+    val v = m.varByName("v")
+    val chunks = Hdf5.chunkIndex(path, v.ds)
+    assert(chunks.size == 20, s"expected 20 chunks, got ${chunks.size}")
+    // deflate actually compressed the repetitive data
+    assert(chunks.map(_._3).sum < n * 8)
+    assert(NetCDF4.readSlab(path, v, 0, n).toSeq == data.toSeq)
+    // a slab spanning chunks 1..3 only
+    assert(NetCDF4.readSlab(path, v, 500, 1050).toSeq ==
+      data.slice(500, 1550).toSeq)
+    // single-cell read deep in the file
+    assert(NetCDF4.readSlab(path, v, 9997, 3).toSeq ==
+      data.slice(9997, 10000).toSeq)
+  }
+
+  test("anonymous dimension: scale without data reads as index column") {
+    val path = tmp("anon")
+    // no coordinate variable for 'row'
+    NetCDF4.write(path, Seq(NetCDF3.Dim("row", 4)),
+      Seq(("v", Seq(0), Array(5.0, 6.0, 7.0, 8.0))))
+    val m = NetCDF4.open(path)
+    assert(m.dims == Seq(NetCDF3.Dim("row", 4)))
+    // the sentinel-NAMEd scale is not a variable
+    assert(m.vars.map(_.name) == Seq("v"))
+    val df = spark.read.format("netcdf4").load(path)
+    assert(df.columns.toSeq == Seq("row", "v"))
+    val rows = df.orderBy("row").collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(5.0, 6.0, 7.0, 8.0))
+  }
+
+  test("DSv2 reads an nc4 grid with coordinate values and pruning") {
+    val path = tmp("dsv2")
+    writeGrid(path)
+    // the historical 'netcdf3' short name dispatches on magic
+    val df = spark.read.format("netcdf3").load(path)
+    assert(df.columns.toSeq == Seq("time", "level", "tas", "pr"))
+    val rows = df.orderBy("time", "level").collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getDouble(0)).toSet == Set(100.0, 200.0))
+    assert(rows.map(_.getDouble(1)).toSet == Set(1000.0, 850.0, 500.0))
+    assert(rows.map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      .contains((200.0, 850.0, 22.0)))
+    // pruning: a 2-column projection plans a 2-column scan
+    val pruned = df.select("tas").queryExecution.executedPlan.toString
+    assert(pruned.contains("tas") && !pruned.contains("pr"),
+      s"projection should prune pr:\n$pruned")
+    // aggregate matches the written data
+    val s = df.agg(sum("pr")).collect()(0).getDouble(0)
+    assert(math.abs(s - 10.2) < 1e-9)
+  }
+
+  test("importnc engine path consumes an nc4 file transparently") {
+    val path = tmp("engine")
+    writeGrid(path)
+    val df = spark.read.format("netcdf3").option("measure", "tas").load(path)
+    assert(df.columns.toSeq == Seq("time", "level", "tas"))
+    assert(df.count() == 6)
+  }
+
+  test("2-D chunked variable: partial slabs decode the right cells") {
+    val path = tmp("grid2d")
+    val rows = 50; val cols = 40
+    val data = Array.tabulate(rows * cols)(i => i.toDouble)
+    // chunkCells=400 -> 10 rows per chunk -> 5 chunks
+    NetCDF4.write(path, Seq(NetCDF3.Dim("y", rows), NetCDF3.Dim("x", cols)),
+      Seq(("m", Seq(0, 1), data)), chunkCells = 400)
+    val m = NetCDF4.open(path)
+    val v = m.varByName("m")
+    assert(m.shapeOf(v) == Seq(50, 40))
+    assert(Hdf5.chunkIndex(path, v.ds).size == 5)
+    // a slab crossing the chunk-row boundary at row 10
+    val got = NetCDF4.readSlab(path, v, 9 * cols + 20, cols)
+    assert(got.toSeq == data.slice(9 * cols + 20, 10 * cols + 20).toSeq)
+  }
+
+  test("edge chunk: a non-multiple extent pads, reads back exactly") {
+    val path = tmp("edge")
+    val n = 777 // chunkCells 256 -> chunks of 256, last one partial
+    val data = Array.tabulate(n)(i => math.sin(i).abs * 100)
+    NetCDF4.write(path, Seq(NetCDF3.Dim("row", n)),
+      Seq(("v", Seq(0), data)), chunkCells = 256)
+    val m = NetCDF4.open(path)
+    assert(NetCDF4.readSlab(path, m.varByName("v"), 0, n).toSeq == data.toSeq)
+    assert(NetCDF4.readSlab(path, m.varByName("v"), 770, 7).toSeq ==
+      data.slice(770, 777).toSeq)
+  }
+}

@@ -69,7 +69,7 @@ class NetCDFSpec extends SparkSpec {
     writeGrid(path)
     val df = spark.read.format("netcdf3").load(path).select("tas")
     val scan = df.queryExecution.executedPlan.toString
-    assert(scan.contains("netcdf3") && scan.contains("[tas]"),
+    assert(scan.contains("netcdf") && scan.contains("[tas]"),
       s"pruned scan description missing:\n$scan")
     assert(df.collect().map(_.getDouble(0)).sorted.toSeq ==
       Seq(11.0, 12.0, 13.0, 21.0, 22.0, 23.0))
