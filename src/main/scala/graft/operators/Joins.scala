@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,6 +34,12 @@ object Joins {
    * Left rows with no preceding right row are dropped (inner as-of).
    * Ties between right rows at the same instant resolve to the
    * largest payload tuple, deterministically.
+   *
+   * SKEW NOTE: the window partitions by key, so ONE pathologically
+   * hot key serializes into one task — the same failure mode
+   * Skew.scala documents for joins/aggs. When one key dominates,
+   * use [[asofBucketed]]: identical semantics, heavy window split
+   * by (key, time bucket).
    *
    * @param payload right-side columns to carry (must not collide with
    *                left column names; `rightTime` is exposed as
@@ -69,6 +75,91 @@ object Joins {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val u = r.unionByName(l)
     // one select so every windowed fill sorts on the ORIGINAL columns
+    val filled = u.select(
+      u.columns.filterNot((matchedTime +: payload).contains).map(col) ++
+        (matchedTime +: payload).map(p =>
+          last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+    filled.filter(col("__side") === leftSide && col(matchedTime).isNotNull)
+      .select((keys ++ leftCols.filterNot(keys.contains) ++
+        (matchedTime +: payload)).map(col): _*)
+  }
+
+  /**
+   * Hot-key escape for [[asof]]. The plain formulation runs ONE
+   * window pass per key group, so a single pathologically hot key
+   * (one symbol carrying most of the stream) serializes into one
+   * task at scale. This variant buckets time into `bucketWidth`-wide
+   * ranges and partitions the heavy window by (key, bucket) — a hot
+   * key's rows spread over its time buckets the same way
+   * [[Skew.saltedJoin]] spreads a hot key over salt buckets.
+   *
+   * Mechanics (cheap bucket-granularity passes + the bucketed fill):
+   *  1. per (key, bucket): the LAST right row, with [[asof]]'s exact
+   *     tie-break (lexicographic max of the (time, payload) tuple);
+   *  2. the state ENTERING each left bucket = plain [[asof]] of the
+   *     distinct left buckets against those carries, STRICTLY at
+   *     bucket granularity — this window is over per-bucket rows,
+   *     thousands of times smaller than the raw stream;
+   *  3. union boundary + right + left rows and fill inside each
+   *     (key, bucket) partition; boundary rows sort first via
+   *     null-time, so in-bucket rows always override older state.
+   *
+   * Inclusive/strict and equal-time semantics match [[asof]] exactly
+   * (parity-tested in JoinsSpec). Times must be numeric — cast
+   * timestamps to epoch first. Pick `bucketWidth` so the densest
+   * (key, bucket) cell fits one task; the cost is two extra small
+   * shuffles, which is why [[asof]] stays the default.
+   */
+  def asofBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      bucketWidth: Long, strict: Boolean = false): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val leftCols = left.columns.toSeq
+    val matchedTime = s"matched_$rightTime"
+    val (rightSide, leftSide) = if (strict) (1, 0) else (0, 1)
+    val timeType = left.schema(leftTime).dataType
+    def bucketOf(c: Column): Column =
+      floor(c.cast("double") / bucketWidth).cast("long")
+
+    // 1. last right row per (key, bucket): lexicographic struct max
+    // reproduces asof's (time, payload) tie-break
+    val carry = right
+      .groupBy(keys.map(col) :+ bucketOf(col(rightTime)).as("__b"): _*)
+      .agg(max(struct(col(rightTime) +: payload.map(col): _*)).as("__m"))
+      .select((keys.map(col) :+ col("__b") :+
+        col(s"__m.$rightTime").as("__rt")) ++
+        payload.map(p => col(s"__m.$p").as(p)): _*)
+
+    // 2. state entering each left bucket (strictly earlier buckets) —
+    // an asof over DISTINCT buckets, not raw rows
+    val lb = left.select(
+      keys.map(col) :+ bucketOf(col(leftTime)).as("__b"): _*).distinct()
+    val boundary = asof(lb, carry, keys, "__b", "__b",
+      "__rt" +: payload, strict = true).drop("matched___b")
+
+    // 3. bucketed union fill — the shape of asof, partitioned finer
+    val nullLeft = leftCols.filterNot(keys.contains).map(c =>
+      lit(null).cast(left.schema(c).dataType).as(c))
+    val r = right.select(
+      (keys.map(col) :+ bucketOf(col(rightTime)).as("__b") :+
+        col(rightTime).as("__t") :+ lit(rightSide).as("__side") :+
+        col(rightTime).as(matchedTime)) ++ payload.map(col) ++
+        nullLeft: _*)
+    val b = boundary.select(
+      (keys.map(col) :+ col("__b") :+
+        lit(null).cast(timeType).as("__t") :+ lit(-1).as("__side") :+
+        col("__rt").as(matchedTime)) ++ payload.map(col) ++ nullLeft: _*)
+    val l = left.select(
+      (keys.map(col) :+ bucketOf(col(leftTime)).as("__b") :+
+        col(leftTime).as("__t") :+ lit(leftSide).as("__side") :+
+        lit(null).cast(right.schema(rightTime).dataType).as(matchedTime)) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+    val u = r.unionByName(l).unionByName(b)
+    val w = Window.partitionBy((keys :+ "__b").map(col): _*)
+      .orderBy(col("__t").asc_nulls_first +: col("__side").asc +:
+        (matchedTime +: payload).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = u.select(
       u.columns.filterNot((matchedTime +: payload).contains).map(col) ++
         (matchedTime +: payload).map(p =>
