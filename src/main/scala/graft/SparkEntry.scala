@@ -1156,6 +1156,26 @@ object SparkEntry {
         .agg(round(sum(col("o_totalprice")), 2).as("s"))
     }),
 
+    "netcdf4_export_roundtrip" -> ((s, dir) => {
+      // the DISTRIBUTED NetCDF-4 export: executors deflate chunk
+      // blobs, the driver streams metadata + sidecars (NetCDF4
+      // .writeTableDistributed), then the dual-format DSv2 reads the
+      // file back — hash-checked against the same computation on the
+      // parquet source, so the whole executor-side compress/assemble
+      // cycle is oracle-verified
+      val src = t(s, dir, "orders").orderBy("o_orderkey").limit(2000)
+        .select(col("o_orderkey").cast("double").as("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+      val f = java.io.File.createTempFile("graft_nc4x_orders", ".nc4")
+      f.delete()
+      graft.sources.NetCDF4.writeTableDistributed(src, f.getPath,
+        chunkRows = 512) // 4 chunks across partitions
+      f.deleteOnExit()
+      s.read.format("netcdf4").load(f.getPath)
+        .groupBy(floor(col("o_orderkey") / 1000).cast("long").as("bucket"))
+        .agg(round(sum(col("o_totalprice")), 2).as("s"))
+    }),
+
     "netcdf_record_roundtrip" -> ((s, dir) => {
       // record-dimension (UNLIMITED) round-trip: the same orders slice
       // written as TWO record variables over a record dim — the
@@ -1865,6 +1885,13 @@ object SparkEntry {
     "netcdf4_roundtrip" ->
       """WITH t AS (SELECT o_orderkey, o_totalprice FROM orders
                     ORDER BY o_orderkey LIMIT 1000)
+         SELECT CAST(floor(o_orderkey / 1000) AS BIGINT) AS bucket,
+                round(sum(o_totalprice), 2) AS s
+         FROM t GROUP BY 1""",
+
+    "netcdf4_export_roundtrip" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice FROM orders
+                    ORDER BY o_orderkey LIMIT 2000)
          SELECT CAST(floor(o_orderkey / 1000) AS BIGINT) AS bucket,
                 round(sum(o_totalprice), 2) AS s
          FROM t GROUP BY 1""",

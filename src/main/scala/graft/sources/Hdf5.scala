@@ -630,30 +630,48 @@ object Hdf5 {
               val bb = ByteBuffer.wrap(raw)
                 .order(if (ds.dtype.littleEndian) ByteOrder.LITTLE_ENDIAN
                        else ByteOrder.BIG_ENDIAN)
-              // copy the chunk-local cells that land inside [start, end)
-              val local = new Array[Long](rank)
-              val cells = chDims.map(_.toLong).product
-              var c = 0L
-              while (c < cells) {
-                var flat = 0L; var inBounds = true
-                var i = 0
-                while (i < rank) {
-                  val g = origin(i) + local(i)
-                  if (g >= shape(i)) inBounds = false
-                  flat += g * strides(i)
-                  i += 1
+              // row-block chunks (trailing dims full-width — what
+              // netCDF writers emit) are CONTIGUOUS in the flat index:
+              // bulk-copy the overlap without per-cell coordinate math
+              val rowBlock = (1 until rank).forall(i =>
+                chDims(i).toLong == shape(i))
+              if (rowBlock) {
+                val cells = chDims.map(_.toLong).product
+                val lo = math.max(first, start)
+                val hi = math.min(first + cells, end)
+                var flat = lo
+                while (flat < hi) {
+                  out((flat - start).toInt) =
+                    cellAt(bb, ds.dtype, (flat - first).toInt)
+                  flat += 1
                 }
-                if (inBounds && flat >= start && flat < end)
-                  out((flat - start).toInt) = cellAt(bb, ds.dtype, c.toInt)
-                // advance row-major within the chunk
-                var k = rank - 1
-                var carry = true
-                while (k >= 0 && carry) {
-                  local(k) += 1
-                  if (local(k) == chDims(k)) local(k) = 0 else carry = false
-                  k -= 1
+              } else {
+                // general case: walk the chunk's cells in row-major
+                // order, mapping each to its global flat index
+                val local = new Array[Long](rank)
+                val cells = chDims.map(_.toLong).product
+                var c = 0L
+                while (c < cells) {
+                  var flat = 0L; var inBounds = true
+                  var i = 0
+                  while (i < rank) {
+                    val g = origin(i) + local(i)
+                    if (g >= shape(i)) inBounds = false
+                    flat += g * strides(i)
+                    i += 1
+                  }
+                  if (inBounds && flat >= start && flat < end)
+                    out((flat - start).toInt) = cellAt(bb, ds.dtype, c.toInt)
+                  // advance row-major within the chunk
+                  var k = rank - 1
+                  var carry = true
+                  while (k >= 0 && carry) {
+                    local(k) += 1
+                    if (local(k) == chDims(k)) local(k) = 0 else carry = false
+                    k -= 1
+                  }
+                  c += 1
                 }
-                c += 1
               }
             }
           }

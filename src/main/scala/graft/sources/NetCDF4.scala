@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.ByteArrayOutputStream
+import java.io.{ByteArrayOutputStream, OutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
 import java.util.zip.Deflater
 
@@ -21,10 +21,11 @@ import java.util.zip.Deflater
  *    scale datasets), with a shape-match fallback;
  *  - global attributes live on the root group's object header.
  *
- * `write` emits chunked + deflated variables — the layout that makes
- * NetCDF-4 worthwhile at scale — with real dimension scales and
- * DIMENSION_LIST references, one chunk per row-block so a distributed
- * reader decompresses only its own row range.
+ * Writing splits into [[write]] (in-memory data, the NetCDF3.write
+ * mirror) and the lower-level [[emit]] used by the engine's
+ * DISTRIBUTED export: executors deflate their own chunks in parallel
+ * and emit streams the metadata + compressed payloads sequentially —
+ * the driver never holds the data, only the chunk size table.
  */
 object NetCDF4 {
 
@@ -95,6 +96,68 @@ object NetCDF4 {
 
   private val Undef = -1L
 
+  /** Chunk geometry of one variable: first-dim row blocks of at most
+    * `chunkCells` cells (full-width trailing dims). */
+  private[sources] final case class ChunkGrid(shape: Seq[Long],
+      chunkDims: Seq[Int]) {
+    val rowCells: Long = shape.drop(1).product max 1L
+    val chunkRows: Int = chunkDims.headOption.getOrElse(1)
+    val cellsPerChunk: Int = chunkDims.map(_.toLong).product.toInt
+    val nChunks: Int =
+      if (shape.product == 0) 0
+      else (((shape.headOption.getOrElse(1L)) + chunkRows - 1) / chunkRows).toInt
+    def origin(c: Int): Seq[Long] =
+      (c.toLong * chunkRows) +: shape.drop(1).map(_ => 0L)
+  }
+
+  private[sources] def chunkGrid(shape: Seq[Long], chunkCells: Int): ChunkGrid = {
+    val rowCells = shape.drop(1).product max 1L
+    val chunkRows = math.max(1L, math.min(shape.headOption.getOrElse(1L) max 1L,
+      chunkCells / rowCells max 1L)).toInt
+    ChunkGrid(shape, chunkRows +: shape.drop(1).map(_.toInt))
+  }
+
+  /** One variable for [[emit]]: geometry plus the STORED byte size of
+    * each compressed chunk, in chunk order. */
+  private[sources] final case class VarMeta(name: String, dimIds: Seq[Int],
+      grid: ChunkGrid, chunkSizes: Seq[Int])
+
+  /** Deflate one chunk's values (padding to the full chunk cell count
+    * — HDF5 stores full edge chunks), optionally byte-shuffled first.
+    * This is the executor-side half of the distributed export. */
+  private[sources] def compressChunk(values: Array[Double], cells: Int,
+      deflateLevel: Int, shuffle: Boolean): Array[Byte] = {
+    val buf = ByteBuffer.allocate(cells * 8).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < cells) {
+      buf.putDouble(if (i < values.length) values(i) else 0.0)
+      i += 1
+    }
+    // shuffle filter: transpose the 8 byte planes so deflate sees runs
+    // of high-order bytes (the reader runs the pipeline in reverse)
+    val src =
+      if (!shuffle) buf.array()
+      else {
+        val raw = buf.array()
+        val n = raw.length / 8
+        val sh = new Array[Byte](raw.length)
+        var b = 0
+        while (b < 8) {
+          var j = 0
+          while (j < n) { sh(b * n + j) = raw(j * 8 + b); j += 1 }
+          b += 1
+        }
+        sh
+      }
+    val defl = new Deflater(deflateLevel)
+    defl.setInput(src); defl.finish()
+    val out = new ByteArrayOutputStream
+    val tmp = new Array[Byte](64 * 1024)
+    while (!defl.finished()) out.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    out.toByteArray
+  }
+
   /** Mirror of [[NetCDF3.write]]: double variables over shared dims,
     * emitted as netCDF-4/HDF5. Variables are chunked by row-block and
     * deflated; dims with a same-named 1-D variable become coordinate
@@ -104,19 +167,175 @@ object NetCDF4 {
       vars: Seq[(String, Seq[Int], Array[Double])],
       gatts: Seq[(String, String)] = Seq.empty,
       deflateLevel: Int = 1,
-      chunkCells: Int = 256 * 1024): Unit = {
-    require(dims.forall(_.length > 0), "netcdf4: fixed dimensions only")
-
-    // coordinate variables double as the dim's scale dataset
-    val coordOf: Map[Int, (String, Seq[Int], Array[Double])] =
+      chunkCells: Int = 256 * 1024,
+      shuffle: Boolean = false): Unit = {
+    val coordOf: Map[Int, Array[Double]] =
       dims.indices.flatMap { i =>
-        vars.find(v => v._1 == dims(i).name && v._2 == Seq(i)).map(i -> _)
+        vars.find(v => v._1 == dims(i).name && v._2 == Seq(i)).map(i -> _._3)
       }.toMap
-    val plainVars = vars.filterNot(coordOf.values.toSet.contains)
+    val plainVars = vars.filterNot(v =>
+      coordOf.contains(v._2.headOption.getOrElse(-1)) &&
+        dims.indices.exists(i => dims(i).name == v._1 && v._2 == Seq(i)))
+    // compress every chunk up front (in-memory data), then stream
+    val blobs: Seq[Seq[Array[Byte]]] = plainVars.map { case (_, dimIds, data) =>
+      val grid = chunkGrid(dimIds.map(dims(_).length.toLong), chunkCells)
+      (0 until grid.nChunks).map { c =>
+        val startCell = c.toLong * grid.chunkRows * grid.rowCells
+        val slice = data.slice(startCell.toInt,
+          math.min(startCell + grid.cellsPerChunk, data.length.toLong).toInt)
+        compressChunk(slice, grid.cellsPerChunk, deflateLevel, shuffle)
+      }
+    }
+    val metas = plainVars.zip(blobs).map { case ((name, dimIds, _), bs) =>
+      VarMeta(name, dimIds, chunkGrid(dimIds.map(dims(_).length.toLong),
+        chunkCells), bs.map(_.length))
+    }
+    emit(path, dims, coordOf, metas, gatts, deflateLevel, shuffle,
+      (vi, ci, os) => os.write(blobs(vi)(ci)))
+  }
 
-    // ---- build every object's bytes with a two-pass address plan:
-    // sizes first (no block's SIZE depends on an address), then
-    // addresses by fixed order, then emission with addresses known.
+  /**
+   * DISTRIBUTED table export — the scale path for `oph_exportnc` to
+   * NetCDF-4: every column of `df` (all DoubleType) becomes a deflated
+   * chunked variable over one `row` dimension.
+   *
+   * Unlike the classic writer (preallocated slabs, executors seek +
+   * write disjoint ranges), compressed chunk sizes are unknown until
+   * compression — so the work splits:
+   *  - EXECUTORS do all the heavy lifting: rows regroup into
+   *    chunk-aligned blocks (one shuffle keyed on rowId/chunkRows),
+   *    each task deflates its chunks for every column and spills the
+   *    compressed blobs to a sidecar file per chunk;
+   *  - the DRIVER collects only the chunk SIZE table (nChunks x nVars
+   *    ints), plans the HDF5 layout, and streams metadata + sidecar
+   *    bytes sequentially into the final file — O(compressed bytes)
+   *    IO, O(size table) memory, no decompression.
+   *
+   * Returns the exported row count.
+   */
+  def writeTableDistributed(df: org.apache.spark.sql.DataFrame,
+      out: String,
+      gatts: Seq[(String, String)] = Seq.empty,
+      chunkRows: Int = 256 * 1024,
+      deflateLevel: Int = 1,
+      shuffle: Boolean = false): Long = {
+    val names = df.columns.toSeq
+    val nV = names.size
+    require(nV > 0, "netcdf4 export: no columns")
+    require(df.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.DoubleType),
+      "netcdf4 export: all columns must be double")
+    val level = deflateLevel; val shuf = shuffle; val cr = chunkRows
+    // global row ids pin each row to its chunk; zipWithIndex runs one
+    // sizing job, so (like the classic path) a nondeterministic input
+    // plan must be persisted by the caller first
+    val withId = df.rdd.zipWithIndex()
+    val total = withId.count() match {
+      case 0L =>
+        emit(out, Seq(NetCDF3.Dim("row", 0)), Map.empty,
+          names.map(n => VarMeta(n, Seq(0), chunkGrid(Seq(0L), cr),
+            Seq.empty)),
+          gatts, level, shuf, (_, _, _) => ())
+        return 0L
+      case n => n
+    }
+    val nChunks = ((total + cr - 1) / cr).toInt
+    val sideDir = new java.io.File(out + ".chunks")
+    sideDir.mkdirs()
+    val sc = df.sparkSession.sparkContext
+    val sidePath = sideDir.getPath
+    // one shuffle: rows -> their chunk; each chunk task deflates all
+    // columns and writes ONE sidecar blob file
+    val sizes: Array[Array[Int]] = withId
+      .map { case (r, id) =>
+        val a = new Array[Double](nV)
+        var j = 0
+        while (j < nV) {
+          a(j) = if (r.isNullAt(j)) Double.NaN else r.getDouble(j)
+          j += 1
+        }
+        (id / cr, (id % cr, a))
+      }
+      .groupByKey(new org.apache.spark.HashPartitioner(
+        math.max(1, math.min(nChunks, sc.defaultParallelism * 2))))
+      .map { case (cid, rows) =>
+        val rowsIn =
+          if (cid == nChunks - 1) (total - cid * cr).toInt else cr
+        val cols = Array.fill(nV)(new Array[Double](rowsIn))
+        var seen = 0
+        rows.foreach { case (off, a) =>
+          var j = 0
+          while (j < nV) { cols(j)(off.toInt) = a(j); j += 1 }
+          seen += 1
+        }
+        if (seen != rowsIn) throw new IllegalStateException(
+          s"netcdf4 export: chunk $cid saw $seen of $rowsIn rows — " +
+            "nondeterministic plan; persist before exporting")
+        val blobs = cols.map(c => compressChunk(c, cr, level, shuf))
+        val f = new java.io.File(sidePath, f"chunk-$cid%08d")
+        val os = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(f))
+        try blobs.foreach(os.write) finally os.close()
+        (cid, blobs.map(_.length))
+      }.collect().sortBy(_._1).map(_._2)
+    require(sizes.length == nChunks,
+      s"netcdf4 export: ${sizes.length} chunks for $nChunks planned")
+    try {
+      val grid = chunkGrid(Seq(total), cr)
+      val metas = names.zipWithIndex.map { case (n, j) =>
+        VarMeta(n, Seq(0), grid, sizes.map(_(j)).toSeq)
+      }
+      // var-major assembly: skip to this var's blob inside the chunk's
+      // sidecar, copy exactly its bytes
+      if (total > Int.MaxValue)
+        throw new Hdf5.FormatError(
+          s"netcdf4 export: $total rows exceed the Int dim model — " +
+            "split the cube first")
+      emit(out, Seq(NetCDF3.Dim("row", total.toInt)), Map.empty, metas, gatts,
+        level, shuf, (vi, ci, os) => {
+          val f = new java.io.File(sidePath, f"chunk-$ci%08d")
+          val in = new java.io.FileInputStream(f)
+          try {
+            var toSkip = sizes(ci).take(vi).map(_.toLong).sum
+            while (toSkip > 0) toSkip -= in.skip(toSkip)
+            val buf = new Array[Byte](64 * 1024)
+            var left = sizes(ci)(vi)
+            while (left > 0) {
+              val n = in.read(buf, 0, math.min(left, buf.length))
+              if (n < 0) throw new Hdf5.FormatError(
+                s"netcdf4 export: sidecar chunk $ci truncated")
+              os.write(buf, 0, n); left -= n
+            }
+          } finally in.close()
+        })
+    } finally {
+      sideDir.listFiles().foreach(_.delete())
+      sideDir.delete()
+    }
+    total
+  }
+
+  /**
+   * Stream a complete netCDF-4/HDF5 file: superblock, local heap,
+   * dimension-scale datasets (+ coordinate data), global heap
+   * (DIMENSION_LIST references), variable object headers, then each
+   * variable's chunks — whose bytes come from `payload(varIdx,
+   * chunkIdx, out)`, so callers can hand over pre-compressed chunks
+   * from anywhere (memory, executor sidecar files) — chunk B-trees,
+   * symbol table, and the root group.
+   *
+   * All addresses are planned from block SIZES before a byte is
+   * written; the stream position is asserted against the plan.
+   */
+  private[sources] def emit(path: String,
+      dims: Seq[NetCDF3.Dim],
+      coordOf: Map[Int, Array[Double]],
+      varMetas: Seq[VarMeta],
+      gatts: Seq[(String, String)],
+      deflateLevel: Int,
+      shuffle: Boolean,
+      payload: (Int, Int, OutputStream) => Unit): Unit = {
+    require(dims.forall(_.length >= 0), "netcdf4: negative dimension")
 
     def pad8(n: Int): Int = (n + 7) & ~7
 
@@ -182,46 +401,8 @@ object NetCDF4 {
 
     val fillMsg: Array[Byte] = new B().u8(2).u8(2).u8(2).u8(0).bytes
 
-    // ---- chunk planning + compression (sizes needed for the layout)
-    final case class VarPlan(name: String, dimIds: Seq[Int],
-        shape: Seq[Long], chunkDims: Seq[Int],
-        chunks: Seq[(Seq[Long], Array[Byte])]) // (origin, deflated bytes)
-
-    def planVar(name: String, dimIds: Seq[Int], data: Array[Double]): VarPlan = {
-      val shape = dimIds.map(dims(_).length.toLong)
-      val rowCells = shape.drop(1).product max 1L
-      val chunkRows = math.max(1L, math.min(shape.headOption.getOrElse(1L),
-        chunkCells / rowCells max 1L)).toInt
-      val chunkDims = chunkRows +: shape.drop(1).map(_.toInt)
-      val cellsPerChunk = chunkDims.map(_.toLong).product.toInt
-      val nChunks = ((shape.headOption.getOrElse(1L) + chunkRows - 1) /
-        chunkRows).toInt max 1
-      val chunks = (0 until nChunks).map { c =>
-        val origin = (c.toLong * chunkRows) +: shape.drop(1).map(_ => 0L)
-        // HDF5 stores FULL chunks; edge chunks pad with fill
-        val buf = ByteBuffer.allocate(cellsPerChunk * 8)
-          .order(ByteOrder.LITTLE_ENDIAN)
-        var i = 0
-        val base = c.toLong * chunkRows * rowCells
-        while (i < cellsPerChunk) {
-          val src = base + i
-          buf.putDouble(if (src < data.length) data(src.toInt) else 0.0)
-          i += 1
-        }
-        val defl = new Deflater(deflateLevel)
-        defl.setInput(buf.array()); defl.finish()
-        val out = new ByteArrayOutputStream
-        val tmp = new Array[Byte](64 * 1024)
-        while (!defl.finished()) out.write(tmp, 0, defl.deflate(tmp))
-        defl.end()
-        (origin, out.toByteArray)
-      }
-      VarPlan(name, dimIds, shape, chunkDims, chunks)
-    }
-    val varPlans = plainVars.map(v => planVar(v._1, v._2, v._3))
-
     // ---- local heap: "" at offset 0, then every dataset name
-    val dsNames = (dims.map(_.name) ++ varPlans.map(_.name)).distinct
+    val dsNames = (dims.map(_.name) ++ varMetas.map(_.name)).distinct
     val heapOffsets = scala.collection.mutable.Map.empty[String, Long]
     val heapData = {
       val b = new B().u8(0).padTo8()
@@ -232,7 +413,6 @@ object NetCDF4 {
       b.bytes
     }
 
-    // ---- size plan, in emission order
     val rank1 = dims.indices.map(i => Seq(dims(i).length.toLong))
     def scaleMsgs(i: Int, dataAddr: Long): Seq[(Int, Array[Byte])] = {
       val name = dims(i).name
@@ -249,7 +429,7 @@ object NetCDF4 {
           else s"$NotAVariable. ${dims(i).length}"),
         0x000C -> intAttr("_Netcdf4Dimid", i))
     }
-    def varMsgs(p: VarPlan, btreeAddr: Long, gcolAddr: Long,
+    def varMsgs(p: VarMeta, btreeAddr: Long, gcolAddr: Long,
         gcolBase: Int): Seq[(Int, Array[Byte])] = {
       val dimList = {
         val data = new B()
@@ -260,14 +440,19 @@ object NetCDF4 {
           dsSimple(Seq(p.dimIds.size.toLong)), data.bytes)
       }
       Seq(
-        0x0001 -> dsSimple(p.shape),
+        0x0001 -> dsSimple(p.grid.shape),
         0x0003 -> dtDouble,
         0x0005 -> fillMsg,
-        0x000B -> new B().u8(1).u8(1).u16(0).u32(0)
-          .u16(1).u16(0).u16(0).u16(1).u32(deflateLevel).u32(0).bytes,
+        0x000B -> {
+          // v1 pipeline, in application order: [shuffle,] deflate
+          val b = new B().u8(1).u8(if (shuffle) 2 else 1).u16(0).u32(0)
+          if (shuffle) b.u16(2).u16(0).u16(0).u16(1).u32(8).u32(0)
+          b.u16(1).u16(0).u16(0).u16(1).u32(deflateLevel).u32(0)
+          b.bytes
+        },
         0x0008 -> {
-          val b = new B().u8(3).u8(2).u8(p.shape.size + 1).u64(btreeAddr)
-          p.chunkDims.foreach(d => b.u32(d.toLong))
+          val b = new B().u8(3).u8(2).u8(p.grid.shape.size + 1).u64(btreeAddr)
+          p.grid.chunkDims.foreach(d => b.u32(d.toLong))
           b.u32(8)
           b.bytes
         },
@@ -278,35 +463,34 @@ object NetCDF4 {
     val keySize = (rank: Int) => 8 + 8 * (rank + 1)
     def btreeNodeSize(rank: Int, used: Int): Int =
       24 + used * (keySize(rank) + 8) + keySize(rank)
-    final case class BtPlan(leaves: Seq[Seq[Int]], hasRoot: Boolean) // chunk idxs
-    def btPlan(p: VarPlan): BtPlan = {
-      val groups = p.chunks.indices.grouped(32).map(_.toSeq).toSeq
+    final case class BtPlan(leaves: Seq[Seq[Int]], hasRoot: Boolean)
+    def btPlan(p: VarMeta): BtPlan = {
+      val groups = (0 until p.grid.nChunks).grouped(32).map(_.toSeq).toSeq
       if (groups.size > 256) throw new Hdf5.FormatError(
-        s"${p.name}: ${p.chunks.size} chunks exceed the writer's B-tree plan")
+        s"${p.name}: ${p.grid.nChunks} chunks exceed the writer's B-tree plan")
       BtPlan(groups, groups.size > 1)
     }
-    val btPlans = varPlans.map(btPlan)
+    val btPlans = varMetas.map(btPlan)
 
     // global heap: one 8-byte ref object per (var, axis)
-    val nRefs = varPlans.map(_.dimIds.size).sum
+    val nRefs = varMetas.map(_.dimIds.size).sum
     val gcolSize = math.max(4096L, 16L + 24L * nRefs + 16L)
-    // per-var base index into the collection (indices are 1-based)
-    val gcolBase = varPlans.scanLeft(1)((a, p) => a + p.dimIds.size)
+    val gcolBase = varMetas.scanLeft(1)((a, p) => a + p.dimIds.size)
 
     // sizes: OH sizes are independent of the addresses they embed
     val scaleOhSize = dims.indices.map(i =>
       objectHeader(scaleMsgs(i, 0L)).length)
     val scaleDataSize = dims.indices.map(i =>
       if (coordOf.contains(i)) dims(i).length.toLong * 8 else 0L)
-    val varOhSize = varPlans.map(p =>
+    val varOhSize = varMetas.map(p =>
       objectHeader(varMsgs(p, 0L, 0L, 1)).length)
     val rootMsgsOf = (btree: Long, heap: Long) =>
       (0x0011 -> new B().u64(btree).u64(heap).bytes) +:
         gatts.map { case (k, v) => 0x000C -> strAttr(k, v) }
     val rootOhSize = objectHeader(rootMsgsOf(0L, 0L)).length
 
-    // ---- assign addresses in emission order
-    // NOTE: the plan must `take` blocks in the EXACT emission order
+    // ---- assign addresses; the plan must `take` blocks in the EXACT
+    // emission order
     var at = 96L // superblock
     def take(n: Long): Long = { val a = at; at += n; a }
     val heapDataAddr = take(heapData.length)
@@ -320,125 +504,140 @@ object NetCDF4 {
         if (coordOf.contains(i)) take(scaleDataSize(i)) else Undef
     }
     val gcolAddr = take(gcolSize)
-    val varOhAddr = varPlans.indices.map(i => take(varOhSize(i)))
+    val varOhAddr = varMetas.indices.map(i => take(varOhSize(i)))
     // per var: chunk data, B-tree leaves, optional level-1 root
-    val chunkAddr = Array.ofDim[Seq[Long]](varPlans.size)
-    val leafAddr = Array.ofDim[Seq[Long]](varPlans.size)
-    val btRootAddr = Array.ofDim[Long](varPlans.size)
-    varPlans.zipWithIndex.foreach { case (p, i) =>
+    val chunkAddr = Array.ofDim[Seq[Long]](varMetas.size)
+    val leafAddr = Array.ofDim[Seq[Long]](varMetas.size)
+    val btRootAddr = Array.ofDim[Long](varMetas.size)
+    varMetas.zipWithIndex.foreach { case (p, i) =>
       val bt = btPlans(i)
-      chunkAddr(i) = p.chunks.map(c => take(c._2.length))
-      leafAddr(i) = bt.leaves.map(l => take(btreeNodeSize(p.shape.size, l.size)))
+      chunkAddr(i) = p.chunkSizes.map(sz => take(sz.toLong))
+      leafAddr(i) = bt.leaves.map(l =>
+        take(btreeNodeSize(p.grid.shape.size, l.size)))
       btRootAddr(i) =
-        if (bt.hasRoot) take(btreeNodeSize(p.shape.size, bt.leaves.size))
-        else leafAddr(i).head
+        if (bt.hasRoot) take(btreeNodeSize(p.grid.shape.size, bt.leaves.size))
+        else leafAddr(i).headOption.getOrElse(Undef)
     }
     val snodAddr = take(8L + 40L * dsNames.size)
     val gbtreeAddr = take(24L + 8L * 3)
     val rootOhAddr = take(rootOhSize)
     val eof = at
 
-    // ---- emit
-    val out = new B()
-    // superblock v0
-    out.raw(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
-    out.u8(0).u8(0).u8(0).u8(0).u8(0).u8(8).u8(8).u8(0)
-    out.u16(dsNames.size max 4).u16(16).u32(0)
-    out.u64(0).u64(Undef).u64(eof).u64(Undef)
-    // root symbol-table entry: name 0, OH, cached btree+heap
-    out.u64(0).u64(rootOhAddr).u32(1).u32(0).u64(gbtreeAddr).u64(heapHdrAddr)
+    // ---- stream the file; `pos` asserts each block lands on plan
+    val fos = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path), 1 << 20)
+    var pos = 0L
+    def putBytes(b: Array[Byte]): Unit = { fos.write(b); pos += b.length }
+    def expect(addr: Long, what: String): Unit =
+      if (pos != addr) throw new Hdf5.FormatError(
+        s"netcdf4 writer: $what planned @$addr, streaming @$pos")
+    try {
+      // superblock v0
+      val sb = new B()
+      sb.raw(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
+      sb.u8(0).u8(0).u8(0).u8(0).u8(0).u8(8).u8(8).u8(0)
+      sb.u16(dsNames.size max 4).u16(16).u32(0)
+      sb.u64(0).u64(Undef).u64(eof).u64(Undef)
+      sb.u64(0).u64(rootOhAddr).u32(1).u32(0).u64(gbtreeAddr).u64(heapHdrAddr)
+      putBytes(sb.bytes)
 
-    out.raw(heapData)
-    out.raw(new B().str("HEAP").u8(0).u8(0).u8(0).u8(0)
-      .u64(heapData.length).u64(Undef).u64(heapDataAddr).bytes)
-    dims.indices.foreach { i =>
-      out.raw(objectHeader(scaleMsgs(i, scaleDataAddr(i))))
-      if (coordOf.contains(i)) {
-        val buf = ByteBuffer.allocate(coordOf(i)._3.length * 8)
-          .order(ByteOrder.LITTLE_ENDIAN)
-        coordOf(i)._3.foreach(buf.putDouble)
-        out.raw(buf.array())
-      }
-    }
-    // global heap collection
-    locally {
-      val g = new B().str("GCOL").u8(1).u8(0).u8(0).u8(0).u64(gcolSize)
-      var idx = 1
-      varPlans.foreach { p =>
-        p.dimIds.foreach { d =>
-          g.u16(idx).u16(1).u32(0).u64(8).u64(scaleOhAddr(d))
-          idx += 1
+      expect(heapDataAddr, "local heap data")
+      putBytes(heapData)
+      putBytes(new B().str("HEAP").u8(0).u8(0).u8(0).u8(0)
+        .u64(heapData.length).u64(Undef).u64(heapDataAddr).bytes)
+      dims.indices.foreach { i =>
+        expect(scaleOhAddr(i), s"scale OH ${dims(i).name}")
+        putBytes(objectHeader(scaleMsgs(i, scaleDataAddr(i))))
+        coordOf.get(i).foreach { data =>
+          val buf = ByteBuffer.allocate(data.length * 8)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          data.foreach(buf.putDouble)
+          putBytes(buf.array())
         }
       }
-      val free = gcolSize - (16 + 24L * nRefs)
-      g.u16(0).u16(0).u32(0).u64(free)
-      g.raw(new Array[Byte]((free - 16).toInt))
-      out.raw(g.bytes)
-    }
-    varPlans.zipWithIndex.foreach { case (p, i) =>
-      out.raw(objectHeader(varMsgs(p, btRootAddr(i), gcolAddr, gcolBase(i))))
-    }
-    // chunk data, then B-tree leaves, then optional level-1 root
-    varPlans.zipWithIndex.foreach { case (p, i) =>
-      p.chunks.foreach { case (_, bytes) => out.raw(bytes) }
-      val bt = btPlans(i)
-      val rank = p.shape.size
-      def key(b: B, chunkIdx: Int): Unit = {
-        val (origin, bytes) = p.chunks(chunkIdx)
-        b.u32(bytes.length.toLong).u32(0)
-        origin.foreach(b.u64); b.u64(0)
+      // global heap collection
+      expect(gcolAddr, "global heap")
+      locally {
+        val g = new B().str("GCOL").u8(1).u8(0).u8(0).u8(0).u64(gcolSize)
+        var idx = 1
+        varMetas.foreach { p =>
+          p.dimIds.foreach { d =>
+            g.u16(idx).u16(1).u32(0).u64(8).u64(scaleOhAddr(d))
+            idx += 1
+          }
+        }
+        val free = gcolSize - (16 + 24L * nRefs)
+        g.u16(0).u16(0).u32(0).u64(free)
+        g.raw(new Array[Byte]((free - 16).toInt))
+        putBytes(g.bytes)
       }
-      def endKey(b: B): Unit = {
-        b.u32(0).u32(0)
-        // one past the last chunk in every axis
-        val last = p.chunks.last._1
-        last.indices.foreach(k => b.u64(last(k) + (if (k == 0) p.chunkDims(0) else p.chunkDims(k))))
-        b.u64(0)
+      varMetas.zipWithIndex.foreach { case (p, i) =>
+        expect(varOhAddr(i), s"var OH ${p.name}")
+        putBytes(objectHeader(varMsgs(p, btRootAddr(i), gcolAddr, gcolBase(i))))
       }
-      bt.leaves.zipWithIndex.foreach { case (leaf, li) =>
-        val b = new B().str("TREE").u8(1).u8(0).u16(leaf.size)
-        b.u64(if (li > 0) leafAddr(i)(li - 1) else Undef)
-        b.u64(if (li < bt.leaves.size - 1) leafAddr(i)(li + 1) else Undef)
-        leaf.foreach { ci => key(b, ci); b.u64(chunkAddr(i)(ci)) }
-        if (li == bt.leaves.size - 1) endKey(b)
-        else key(b, bt.leaves(li + 1).head)
-        out.raw(b.bytes)
-      }
-      if (bt.hasRoot) {
-        val b = new B().str("TREE").u8(1).u8(1).u16(bt.leaves.size)
-        b.u64(Undef).u64(Undef)
+      // chunk data (streamed from the caller), then B-trees
+      varMetas.zipWithIndex.foreach { case (p, i) =>
+        (0 until p.grid.nChunks).foreach { c =>
+          expect(chunkAddr(i)(c), s"${p.name} chunk $c")
+          payload(i, c, fos)
+          pos += p.chunkSizes(c)
+        }
+        val bt = btPlans(i)
+        def key(b: B, chunkIdx: Int): Unit = {
+          b.u32(p.chunkSizes(chunkIdx).toLong).u32(0)
+          p.grid.origin(chunkIdx).foreach(b.u64); b.u64(0)
+        }
+        def endKey(b: B): Unit = {
+          b.u32(0).u32(0)
+          // one past the last chunk in every axis
+          val last = p.grid.origin(p.grid.nChunks - 1)
+          last.indices.foreach(k => b.u64(last(k) + p.grid.chunkDims(k)))
+          b.u64(0)
+        }
         bt.leaves.zipWithIndex.foreach { case (leaf, li) =>
-          key(b, leaf.head); b.u64(leafAddr(i)(li))
+          val b = new B().str("TREE").u8(1).u8(0).u16(leaf.size)
+          b.u64(if (li > 0) leafAddr(i)(li - 1) else Undef)
+          b.u64(if (li < bt.leaves.size - 1) leafAddr(i)(li + 1) else Undef)
+          leaf.foreach { ci => key(b, ci); b.u64(chunkAddr(i)(ci)) }
+          if (li == bt.leaves.size - 1) endKey(b)
+          else key(b, bt.leaves(li + 1).head)
+          putBytes(b.bytes)
         }
-        endKey(b)
-        out.raw(b.bytes)
+        if (bt.hasRoot) {
+          val b = new B().str("TREE").u8(1).u8(1).u16(bt.leaves.size)
+          b.u64(Undef).u64(Undef)
+          bt.leaves.zipWithIndex.foreach { case (leaf, li) =>
+            key(b, leaf.head); b.u64(leafAddr(i)(li))
+          }
+          endKey(b)
+          putBytes(b.bytes)
+        }
       }
-    }
-    // SNOD: entries sorted by link name
-    locally {
-      val b = new B().str("SNOD").u8(1).u8(0).u16(dsNames.size)
-      val ohOf: Map[String, Long] =
-        dims.indices.map(i => dims(i).name -> scaleOhAddr(i)).toMap ++
-          varPlans.zipWithIndex.map { case (p, i) => p.name -> varOhAddr(i) }
-      dsNames.sorted.foreach { n =>
-        b.u64(heapOffsets(n)).u64(ohOf(n)).u32(0).u32(0)
-          .u64(0).u64(0)
+      // SNOD: entries sorted by link name
+      expect(snodAddr, "symbol node")
+      locally {
+        val b = new B().str("SNOD").u8(1).u8(0).u16(dsNames.size)
+        val ohOf: Map[String, Long] =
+          dims.indices.map(i => dims(i).name -> scaleOhAddr(i)).toMap ++
+            varMetas.zipWithIndex.map { case (p, i) => p.name -> varOhAddr(i) }
+        dsNames.sorted.foreach { n =>
+          b.u64(heapOffsets(n)).u64(ohOf(n)).u32(0).u32(0)
+            .u64(0).u64(0)
+        }
+        putBytes(b.bytes)
       }
-      out.raw(b.bytes)
-    }
-    // group B-tree: one SNOD child
-    locally {
-      val b = new B().str("TREE").u8(0).u8(0).u16(1).u64(Undef).u64(Undef)
-      b.u64(0).u64(snodAddr).u64(heapOffsets(dsNames.sorted.last))
-      out.raw(b.bytes)
-    }
-    out.raw(objectHeader(rootMsgsOf(gbtreeAddr, heapHdrAddr)))
-
-    val bytes = out.bytes
-    if (bytes.length != eof)
+      // group B-tree: one SNOD child
+      expect(gbtreeAddr, "group B-tree")
+      locally {
+        val b = new B().str("TREE").u8(0).u8(0).u16(1).u64(Undef).u64(Undef)
+        b.u64(0).u64(snodAddr).u64(heapOffsets(dsNames.sorted.last))
+        putBytes(b.bytes)
+      }
+      expect(rootOhAddr, "root OH")
+      putBytes(objectHeader(rootMsgsOf(gbtreeAddr, heapHdrAddr)))
+    } finally fos.close()
+    if (pos != eof)
       throw new Hdf5.FormatError(
-        s"netcdf4 writer: layout planned $eof bytes, emitted ${bytes.length}")
-    val fos = new java.io.FileOutputStream(path)
-    try fos.write(bytes) finally fos.close()
+        s"netcdf4 writer: layout planned $eof bytes, emitted $pos")
   }
 }

@@ -24,7 +24,13 @@ final case class NcVarView(name: String, dimIds: Seq[Int])
 final case class NcView(
     dims: Seq[NetCDF3.Dim],
     vars: Seq[NcVarView],
-    slab: (String, Long, Int) => Array[Double]) {
+    slab: (String, Long, Int) => Array[Double],
+    /** Partition-boundary grain in flat cells: for chunked NetCDF-4,
+      * the (largest) per-chunk cell count of the data variables, so
+      * split planning can avoid two partitions inflating the same
+      * chunk. 1 = no constraint (classic files are offset-addressed
+      * at any cell). */
+    alignCells: Long = 1L) {
   def varByName(n: String): NcVarView = vars.find(_.name == n).getOrElse(
     throw new IllegalArgumentException(s"no variable '$n'"))
 }
@@ -33,8 +39,12 @@ object NcView {
   def open(path: String): NcView =
     if (Hdf5.isHdf5(path)) {
       val m = NetCDF4.open(path)
+      val align = m.vars.map(_.ds.layout).collect {
+        case c: Hdf5.Chunked => c.chunkDims.map(_.toLong).product
+      }.maxOption.getOrElse(1L)
       NcView(m.dims, m.vars.map(v => NcVarView(v.name, v.dimIds)),
-        (n, s, c) => NetCDF4.readSlab(path, m.varByName(n), s, c))
+        (n, s, c) => NetCDF4.readSlab(path, m.varByName(n), s, c),
+        alignCells = align max 1L)
     } else {
       val h = NetCDF3.readHeader(path)
       NcView(
@@ -170,7 +180,10 @@ final class NcScan(path: String, fullSchema: StructType,
     val slices = math.max(1, math.min(total,
       org.apache.spark.sql.SparkSession.active
         .sparkContext.defaultParallelism.toLong)).toInt
-    val step = (total + slices - 1) / slices
+    val raw = (total + slices - 1) / slices
+    // round the split up to the chunk grain: a boundary inside a
+    // NetCDF-4 chunk would make BOTH partitions read+inflate it
+    val step = ((raw + v.alignCells - 1) / v.alignCells) * v.alignCells
     (0L until total by step).map(s =>
       NcPartition(s, math.min(s + step, total)): InputPartition).toArray
   }

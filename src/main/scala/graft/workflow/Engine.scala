@@ -1577,7 +1577,32 @@ final class Engine(
         val (_, c) = needCube()
         val out = resolvePath(args.getOrElse("output_path",
           throw new Engine.EngineError("export: missing output_path")))
-        if (out.endsWith(".nc")) {
+        if (out.endsWith(".nc4")) {
+          // NetCDF-4/HDF5 output: distributed chunk deflate on the
+          // executors, metadata + sidecar streaming on the driver
+          // (see NetCDF4.writeTableDistributed for the scale shape)
+          import org.apache.spark.sql.types._
+          val flat = c.flatten
+          val encodable = flat.schema.fields.collect {
+            case f if f.dataType.isInstanceOf[NumericType] =>
+              f.name -> col(f.name).cast("double")
+            case f if f.dataType == DateType =>
+              f.name -> datediff(col(f.name), lit("1970-01-01")).cast("double")
+            case f if f.dataType == TimestampType =>
+              f.name -> unix_timestamp(col(f.name)).cast("double")
+          }.toSeq
+          val dropped = flat.schema.fieldNames.toSeq
+            .filterNot(encodable.map(_._1).contains)
+          if (encodable.isEmpty)
+            throw new Engine.EngineError("exportnc: no encodable columns")
+          val total = graft.sources.NetCDF4.writeTableDistributed(
+            flat.select(encodable.map(_._2): _*), out,
+            gatts = Seq("source" -> "graft", "measure" -> c.desc.measure))
+          TaskResult(JobStatus.Completed,
+            message = s"exported $total rows to $out (netcdf4)" +
+              (if (dropped.nonEmpty)
+                s" (dropped non-encodable: ${dropped.mkString(",")})" else ""))
+        } else if (out.endsWith(".nc")) {
           // real NetCDF-3 classic output: table-style encoding — a
           // 'row' dimension with the measure and every encodable dim as
           // variables. Dates/timestamps export as epoch days/seconds;

@@ -146,6 +146,104 @@ class Hdf5Spec extends SparkSpec {
     assert(got.toSeq == data.slice(9 * cols + 20, 10 * cols + 20).toSeq)
   }
 
+  test("shuffle+deflate filter pipeline roundtrips (reverse-order read)") {
+    val path = tmp("shuffled")
+    val n = 3000
+    val data = Array.tabulate(n)(i => (i / 10).toDouble) // byte-plane friendly
+    NetCDF4.write(path, Seq(NetCDF3.Dim("row", n)),
+      Seq(("v", Seq(0), data)), chunkCells = 1000, shuffle = true)
+    val m = NetCDF4.open(path)
+    val v = m.varByName("v")
+    // both filters recorded, in application order
+    assert(v.ds.filters.map(_.id) == Seq(2, 1))
+    assert(NetCDF4.readSlab(path, v, 0, n).toSeq == data.toSeq)
+    assert(NetCDF4.readSlab(path, v, 995, 10).toSeq ==
+      data.slice(995, 1005).toSeq)
+    // shuffle + deflate beats deflate alone on this monotone data
+    val plain = tmp("plainz")
+    NetCDF4.write(plain, Seq(NetCDF3.Dim("row", n)),
+      Seq(("v", Seq(0), data)), chunkCells = 1000)
+    val shufBytes = Hdf5.chunkIndex(path, v.ds).map(_._3).sum
+    val plainBytes = Hdf5.chunkIndex(plain,
+      NetCDF4.open(plain).varByName("v").ds).map(_._3).sum
+    assert(shufBytes < plainBytes,
+      s"shuffle should help deflate: $shufBytes vs $plainBytes")
+  }
+
+  test("partition planning aligns to the chunk grain") {
+    val path = tmp("aligned")
+    val n = 10000
+    NetCDF4.write(path, Seq(NetCDF3.Dim("row", n)),
+      Seq(("v", Seq(0), Array.tabulate(n)(_.toDouble))), chunkCells = 768)
+    val view = NcView.open(path)
+    assert(view.alignCells == 768)
+    val scan = new NcScan(path, NetCDFSource.schemaOf(view, None),
+      NetCDFSource.schemaOf(view, None), None)
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[NcPartition])
+    // every internal boundary sits on a chunk multiple; full coverage
+    assert(parts.head.start == 0L && parts.last.end == n)
+    parts.dropRight(1).foreach(p =>
+      assert(p.end % 768 == 0, s"boundary ${p.end} splits a chunk"))
+    assert(parts.sliding(2).forall(w =>
+      w.length < 2 || w(0).end == w(1).start))
+  }
+
+  test("distributed nc4 export: executor-deflated chunks, exact roundtrip") {
+    import org.apache.spark.sql.functions._
+    // multi-partition, multi-chunk: 10k rows over 4 partitions with
+    // chunkRows 1500 -> 7 chunks assembled var-major from sidecars
+    val df = spark.range(10000).repartition(4)
+      .select(col("id").cast("double").as("k"),
+        (col("id") * 2 + 1).cast("double").as("v"))
+    val out = tmp("distnc4")
+    val n = NetCDF4.writeTableDistributed(df, out,
+      gatts = Seq("source" -> "graft"), chunkRows = 1500)
+    assert(n == 10000)
+    assert(!new java.io.File(out + ".chunks").exists(), "sidecars cleaned")
+    val m = NetCDF4.open(out)
+    assert(m.vars.map(_.name) == Seq("k", "v"))
+    assert(Hdf5.chunkIndex(out, m.varByName("v").ds).size == 7)
+    val back = spark.read.format("netcdf4").load(out)
+    assert(back.count() == 10000)
+    // exact content parity, not just aggregates
+    val got = back.select(col("k"), col("v")).orderBy("k").collect()
+    assert(got.length == 10000)
+    assert(got.zipWithIndex.forall { case (r, i) =>
+      r.getDouble(0) == i.toDouble && r.getDouble(1) == i * 2.0 + 1 })
+  }
+
+  test("engine exportnc to .nc4 roundtrips through the engine importer") {
+    import graft.core.{Catalog, JobStatus}
+    import graft.workflow.Engine
+    import org.apache.spark.sql.functions._
+    val e = new Engine(spark, new Catalog("sess"))
+    val mk = e.runDataOperator("oph_randcube",
+      Map("nrows" -> "10", "array_length" -> "4", "container" -> "c"))
+    val out = tmp("engineout").stripSuffix(".nc4") + ".nc4"
+    val r = e.runDataOperator("oph_exportnc2",
+      Map("cube" -> mk.cubePid.get, "output_path" -> out))
+    assert(r.status == JobStatus.Completed)
+    assert(r.message.contains("netcdf4"))
+    val back = spark.read.format("netcdf3").load(out) // magic dispatch
+    assert(back.count() == 40)
+    val orig = e.cube(mk.cubePid.get).get.flatten
+      .agg(sum(col("measure"))).head.getDouble(0)
+    val readBack = back.agg(sum(col("measure"))).head.getDouble(0)
+    assert(math.abs(orig - readBack) < 1e-9)
+  }
+
+  test("distributed nc4 export of an empty frame writes a valid file") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(10).filter(col("id") < 0)
+      .select(col("id").cast("double").as("v"))
+    val out = tmp("emptync4")
+    assert(NetCDF4.writeTableDistributed(df, out) == 0L)
+    val m = NetCDF4.open(out)
+    assert(m.dims == Seq(NetCDF3.Dim("row", 0)))
+    assert(m.vars.map(_.name) == Seq("v"))
+    assert(NetCDF4.readSlab(out, m.varByName("v"), 0, 0).isEmpty)
+  }
+
   test("edge chunk: a non-multiple extent pads, reads back exactly") {
     val path = tmp("edge")
     val n = 777 // chunkCells 256 -> chunks of 256, last one partial
