@@ -24,6 +24,61 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The corpus plus three PLANTED probes (ids 9001..9003 carrying
+    * the exact vectors of 1..3). The sf embeddings are near-random —
+    * no genuine neighbor structure exists, so raw recall@10 is not a
+    * contract any index can promise — but a planted duplicate IS the
+    * contract: identical vectors share every LSH bucket / IVF cell /
+    * PQ code by construction, so a working index must surface the
+    * source. RecallSpec separately gates recall on a clustered
+    * fixture. */
+  private def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    e.unionByName(e.filter(col("vec_id").isin(1L, 2L, 3L))
+      .select((col("vec_id") + 9000).as("vec_id"), col("embedding")))
+  }
+
+  /** Oracle shape for the approximate ANN queries over the planted
+    * corpus: per probe, the EXACT top-1 neighbor (DuckDB-verifiable:
+    * the planted source at cosine 1.0) plus a boolean that the ANN
+    * top-10 contains that source. `ann` must carry (query_id, nn_id)
+    * rows for probes 9001..9003. */
+  private def annPlanted(s: SparkSession, dir: String,
+      ann: DataFrame): DataFrame = {
+    val brute = graft.pipeline.Similarity.bruteTopK(
+      plantedEmbeddings(s, dir), "vec_id", "embedding",
+      Seq(9001L, 9002L, 9003L), 1)
+    val found = ann.filter(col("nn_id") === col("query_id") - 9000)
+      .select(col("query_id")).distinct().withColumn("__f", lit(true))
+    brute.select(col("query_id"), col("nn_id").as("exact_top1"),
+        col("score").as("top1_score"))
+      .join(found, Seq("query_id"), "left")
+      .select(col("query_id"), col("exact_top1"), col("top1_score"),
+        coalesce(col("__f"), lit(false)).as("found_planted"))
+  }
+
+  /** Shared oracle for the ANN planted-probe queries: DuckDB computes
+    * the exact top-1 per probe over the same augmented corpus (the
+    * planted source at cosine 1.0); found_planted is pinned true — a
+    * broken index flips it on the Spark side and fails the hash. */
+  private val annOracle: String =
+    """WITH aug AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         UNION ALL
+         SELECT vec_id + 9000, CAST(embedding AS DOUBLE[])
+         FROM embeddings WHERE vec_id IN (1, 2, 3)),
+       q AS (SELECT vec_id AS query_id, v AS qvec FROM aug
+             WHERE vec_id IN (9001, 9002, 9003)),
+       pairs AS (
+         SELECT q.query_id, e.vec_id AS nn_id,
+                list_cosine_similarity(q.qvec, e.v) AS score
+         FROM aug e, q WHERE e.vec_id != q.query_id)
+       SELECT query_id, nn_id AS exact_top1,
+              round(score, 4) AS top1_score, true AS found_planted
+       FROM pairs
+       QUALIFY row_number() OVER (PARTITION BY query_id
+         ORDER BY score DESC, nn_id) = 1"""
+
   /** events.parquet stores TIMESTAMP(NANOS), which Spark only reads as
     * long (`spark.sql.legacy.parquet.nanosAsLong`); convert to a
     * microsecond timestamp with integer division (a double division
@@ -705,19 +760,28 @@ object SparkEntry {
       Similarity.bruteTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryIds = Seq(1L, 2L, 3L), k = 5)),
 
+    // The three approximate ANN methods are seed-deterministic but not
+    // SQL-expressible, so each ORACLE pins (a) the exact top-1 neighbor
+    // per planted probe against DuckDB's list_cosine_similarity (the
+    // source vector at cosine 1.0) and (b) that the ANN top-10 surfaces
+    // it — a broken index flips found_planted and fails the hash
+    // (sketch_quantile's in-band pattern; see plantedEmbeddings).
     "simsearch_lsh" -> ((s, dir) =>
-      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        queryIds = Seq(1L, 2L, 3L), k = 5)),
+      annPlanted(s, dir,
+        Similarity.lshTopK(plantedEmbeddings(s, dir), "vec_id", "embedding",
+          queryIds = Seq(9001L, 9002L, 9003L), k = 10))),
 
     "simsearch_ivf" -> ((s, dir) => {
       // fit-once index, queried by TWO batches — the k-means fit and
       // assignment happen a single time; each batch only pays the
       // probed-cell scan + rerank (the 100 TB usage pattern)
       val index = Similarity.buildIvfIndex(
-        t(s, dir, "embeddings"), "vec_id", "embedding", nClusters = 16)
-      val batch1 = Similarity.ivfTopK(index, Seq(1L, 2L, 3L), 5, nProbe = 4)
-      val batch2 = Similarity.ivfTopK(index, Seq(4L, 5L), 5, nProbe = 4)
-      batch1.unionByName(batch2).filter(col("query_id") <= 3)
+        plantedEmbeddings(s, dir), "vec_id", "embedding", nClusters = 16)
+      val batch1 = Similarity.ivfTopK(index, Seq(9001L, 9002L, 9003L), 10,
+        nProbe = 4)
+      val batch2 = Similarity.ivfTopK(index, Seq(4L, 5L), 10, nProbe = 4)
+      annPlanted(s, dir,
+        batch1.unionByName(batch2).filter(col("query_id") >= 9001L))
     }),
 
     "simsearch_ivfpq" -> ((s, dir) => {
@@ -726,11 +790,13 @@ object SparkEntry {
       // lookups; only the top k·refine survivors touch raw vectors for
       // the exact rerank. Same fit-once/query-many pattern as IVF.
       val index = Similarity.buildPqIndex(
-        t(s, dir, "embeddings"), "vec_id", "embedding",
+        plantedEmbeddings(s, dir), "vec_id", "embedding",
         nClusters = 16, m = 8, nCodes = 16)
-      val batch1 = Similarity.pqTopK(index, Seq(1L, 2L, 3L), 5, nProbe = 4)
-      val batch2 = Similarity.pqTopK(index, Seq(4L, 5L), 5, nProbe = 4)
-      batch1.unionByName(batch2).filter(col("query_id") <= 3)
+      val batch1 = Similarity.pqTopK(index, Seq(9001L, 9002L, 9003L), 10,
+        nProbe = 4)
+      val batch2 = Similarity.pqTopK(index, Seq(4L, 5L), 10, nProbe = 4)
+      annPlanted(s, dir,
+        batch1.unionByName(batch2).filter(col("query_id") >= 9001L))
     }),
 
     "embed_neardup" -> ((s, dir) => {
@@ -2127,6 +2193,39 @@ object SparkEntry {
                 nn_id, round(score, 4) AS score
          FROM pairs
          QUALIFY rank <= 5""",
+
+    // the native PolyHash codegen replayed in SQL: fold
+    // (h*31 + codepoint) % 1e9+7 over the normalized text — a full
+    // hash oracle for the custom Expression itself
+    "fingerprint" ->
+      """SELECT doc_id,
+              list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(
+                    split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+                    c -> CAST(unicode(c) AS BIGINT))),
+                (h, c) -> (h * 31 + c) % 1000000007) AS fp
+         FROM documents""",
+
+    "simsearch_lsh" -> annOracle,
+    "simsearch_ivf" -> annOracle,
+    "simsearch_ivfpq" -> annOracle,
+
+    // at tau=0.999 on 64-dim near-random vectors, ONLY the planted
+    // exact duplicates qualify — and identical vectors share every
+    // random-hyperplane band by construction, so the LSH candidate
+    // pass is guaranteed-complete and DuckDB's exact all-pairs
+    // cosine is a fair hash oracle for the whole pipeline
+    "embed_neardup" ->
+      """WITH d AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+           FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.v, b.v), 4) AS cos
+         FROM d a JOIN d b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.999""",
 
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
