@@ -119,8 +119,12 @@ object Hdf5 {
       val rootMsgs = readObjectHeader(in, rootOh)
       val rootAttrs = rootMsgs.collect { case (0x000C, d) => parseAttr(in, d) }
       // walk the root group's children; nested groups flatten with a
-      // '/'-joined name (netCDF-4 group hierarchy)
+      // '/'-joined name (netCDF-4 group hierarchy). The visited set
+      // terminates crafted link cycles (group -> itself).
+      val visited = scala.collection.mutable.Set.empty[Long]
       def walkGroup(ohAddr: Long, prefix: String): Unit = {
+        if (!visited.add(ohAddr))
+          throw new FormatError(s"$path: group link cycle @$ohAddr")
         val msgs = if (ohAddr == rootOh) rootMsgs else readObjectHeader(in, ohAddr)
         val links = groupLinks(in, msgs, path)
         links.foreach { case (name, child) =>
@@ -200,10 +204,13 @@ object Hdf5 {
     // nMsgs counts EVERY message incl. NIL and continuations
     var parsed = 0
     // (start, length) message blocks; continuations append more
+    val seen = scala.collection.mutable.Set.empty[Long]
     var blocks = List((addr + 16, firstSize))
     while (parsed < nMsgs && blocks.nonEmpty) {
       val (start, len) = blocks.head
       blocks = blocks.tail
+      if (!seen.add(start) || seen.size > MaxBlocks)
+        throw new FormatError(s"object header @$addr: continuation cycle")
       in.seek(start)
       val end = start + len
       while (parsed < nMsgs && in.pos + 8 <= end) {
@@ -218,6 +225,13 @@ object Hdf5 {
     }
     msgs.toSeq
   }
+
+  // hostile-input bounds: a crafted file must fail with a catchable
+  // FormatError, never an unbounded loop, recursion, or allocation
+  private val MaxBlocks = 4096        // OH continuation blocks
+  private val MaxBtreeDepth = 64      // B-tree recursion
+  private val MaxChunkBytes = 1L << 30 // stored or inflated chunk size
+  private val MaxNameBytes = 1 << 16  // heap string length
 
   private def readOhV2(in: In, addr: Long): Seq[(Int, Array[Byte])] = {
     in.seek(addr + 4)
@@ -235,11 +249,15 @@ object Hdf5 {
     }
     val creationOrder = (flags & 0x4) != 0
     val msgs = ArrayBuffer.empty[(Int, Array[Byte])]
-    // (start, end) of message runs; v2 blocks end with a 4-byte checksum
+    // (start, end) of message runs; v2 blocks end with a 4-byte checksum.
+    // visited-set + cap: crafted continuation cycles must terminate
+    val seen = scala.collection.mutable.Set.empty[Long]
     var blocks = List((in.pos, in.pos + chunk0 - 4))
     while (blocks.nonEmpty) {
       val (start, end) = blocks.head
       blocks = blocks.tail
+      if (!seen.add(start) || seen.size > MaxBlocks)
+        throw new FormatError(s"OHDR @$addr: continuation cycle")
       in.seek(start)
       // a message header is 4 bytes (+2 creation order)
       val hdr = if (creationOrder) 6 else 4
@@ -300,7 +318,9 @@ object Hdf5 {
   }
 
   private def walkGroupBtree(in: In, nodeAddr: Long, heap: Long,
-      out: ArrayBuffer[(String, Long)]): Unit = {
+      out: ArrayBuffer[(String, Long)], depth: Int = 0): Unit = {
+    if (depth > MaxBtreeDepth)
+      throw new FormatError(s"group B-tree @$nodeAddr: depth/cycle bound hit")
     in.seek(nodeAddr)
     if (!in.bytes(4).sameElements("TREE".getBytes))
       throw new FormatError(s"bad group B-tree node @$nodeAddr")
@@ -310,7 +330,7 @@ object Hdf5 {
     // keys (heap offsets) alternate with children: k0 c0 k1 c1 ... kN
     val children = (0 until used).map { _ => in.u64(); in.u64() }
     children.foreach { child =>
-      if (level > 0) walkGroupBtree(in, child, heap, out)
+      if (level > 0) walkGroupBtree(in, child, heap, out, depth + 1)
       else readSnod(in, child, heap, out)
     }
   }
@@ -343,7 +363,12 @@ object Hdf5 {
     in.seek(dataAddr + offset)
     val sb = new ArrayBuffer[Byte]
     var b = in.u8()
-    while (b != 0) { sb += b.toByte; b = in.u8() }
+    while (b != 0) {
+      sb += b.toByte
+      if (sb.length > MaxNameBytes)
+        throw new FormatError(s"local heap @$heap: unterminated name")
+      b = in.u8()
+    }
     new String(sb.toArray, "UTF-8")
   }
 
@@ -417,7 +442,13 @@ object Hdf5 {
         val dims = b.get() & 0xFF // rank + 1
         val btree = b.getLong
         val cd = (0 until dims).map(_ => b.getInt)
-        Chunked(btree, cd.dropRight(1)) // last entry = element size
+        val chunkDims = cd.dropRight(1) // last entry = element size
+        // bound the per-chunk allocation a crafted header could demand
+        val cells = chunkDims.foldLeft(1L)((a, d) =>
+          if (d <= 0 || a > MaxChunkBytes) MaxChunkBytes + 1 else a * d)
+        if (chunkDims.exists(_ <= 0) || cells * 8 > MaxChunkBytes)
+          throw new FormatError(s"$path: implausible chunk dims $chunkDims")
+        Chunked(btree, chunkDims)
       case c => throw new FormatError(s"$path: layout class $c")
     }
   }
@@ -473,6 +504,9 @@ object Hdf5 {
     val dsB = new Array[Byte](dsSize); b.get(dsB)
     if (padded) b.position(b.position() + (pad8(dsSize) - dsSize))
     val n = parseDataspace(dsB).product max 1L
+    // bound attr payload allocation against crafted size/count fields
+    if (dtype.size < 0 || n < 0 || dtype.size.toLong * n > (1L << 26))
+      throw new FormatError(s"attribute $name: implausible size")
     dtype.clazz match {
       case ClassString =>
         val t = new Array[Byte](dtype.size * n.toInt); b.get(t)
@@ -558,7 +592,9 @@ object Hdf5 {
   }
 
   private def walkChunkBtree(in: In, nodeAddr: Long, rank: Int,
-      out: ArrayBuffer[(Seq[Long], Long, Int)]): Unit = {
+      out: ArrayBuffer[(Seq[Long], Long, Int)], depth: Int = 0): Unit = {
+    if (depth > MaxBtreeDepth)
+      throw new FormatError(s"chunk B-tree @$nodeAddr: depth/cycle bound hit")
     in.seek(nodeAddr)
     if (!in.bytes(4).sameElements("TREE".getBytes))
       throw new FormatError(s"bad chunk B-tree node @$nodeAddr")
@@ -567,13 +603,15 @@ object Hdf5 {
     in.u64(); in.u64()
     // entries: key_i (size,mask,offsets[rank+1]) then child_i; +final key
     val entries = (0 until used).map { _ =>
-      val sz = in.u32().toInt; in.u32()
+      val szL = in.u32(); in.u32()
+      if (szL > MaxChunkBytes)
+        throw new FormatError(s"chunk B-tree @$nodeAddr: stored size $szL")
       val offs = (0 to rank).map(_ => in.u64()).dropRight(1)
       val child = in.u64()
-      (offs, child, sz)
+      (offs, child, szL.toInt)
     }
     entries.foreach { case (offs, child, sz) =>
-      if (level > 0) walkChunkBtree(in, child, rank, out)
+      if (level > 0) walkChunkBtree(in, child, rank, out, depth + 1)
       else out += ((offs, child, sz))
     }
   }
@@ -584,6 +622,8 @@ object Hdf5 {
       fill: Double = 0.0): Array[Double] = {
     val out = Array.fill(count)(fill)
     val es = ds.dtype.size
+    if (es < 1 || es > 8)
+      throw new FormatError(s"${ds.name}: element size $es not readable")
     ds.layout match {
       case Contiguous(addr, _) =>
         if (!defined(addr)) return out // never-allocated: all fill

@@ -101,6 +101,47 @@ class Hdf5V2Spec extends SparkSpec {
     assert(Hdf5.readSlab(path, ds, 2, 2).toSeq == vals.slice(2, 4))
   }
 
+  test("HDF5 parser survives byte-flip fuzzing: no hangs, loops, or Errors") {
+    // the reader runs inside Spark tasks over files the engine did not
+    // write — a corrupt or crafted file must fail with a catchable
+    // Exception (FormatError/IO/runtime), never a JVM Error
+    // (StackOverflow/OOM from unbounded recursion or allocation) and
+    // never an unbounded loop (cycle guards in B-trees/continuations)
+    val base = {
+      val p = java.io.File.createTempFile("fuzzbase", ".nc4").getPath
+      NetCDF4.write(p, Seq(NetCDF3.Dim("t", 40), NetCDF3.Dim("x", 5)),
+        vars = Seq(
+          ("t", Seq(0), Array.tabulate(40)(_.toDouble)),
+          ("m", Seq(0, 1), Array.tabulate(200)(_ * 0.5)),
+          ("p", Seq(0, 1), Array.tabulate(200)(_ * 2.0))),
+        gatts = Seq("title" -> "fuzz fixture"), chunkCells = 64)
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    }
+    val rnd = new scala.util.Random(42)
+    var parsed = 0
+    (1 to 300).foreach { _ =>
+      val mutated = base.clone()
+      // 1-4 byte flips anywhere, headers included
+      (0 to rnd.nextInt(4)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      val f = java.io.File.createTempFile("fuzz", ".nc4")
+      java.nio.file.Files.write(f.toPath, mutated)
+      try {
+        val file = Hdf5.open(f.getPath)
+        file.datasets.foreach { ds =>
+          val n = math.min(ds.cells, 200L).toInt
+          Hdf5.readSlab(f.getPath, ds, 0, n)
+        }
+        parsed += 1
+      } catch {
+        case _: Exception => () // catchable failure is the contract
+      } finally f.delete()
+    }
+    // most single-byte flips land in data/padding: the file still parses
+    assert(parsed > 50, s"only $parsed/300 mutants parsed — fixture broken?")
+  }
+
   test("dense (fractal heap) groups fail with a NAMED error") {
     // root OHDR carrying only a Link Info message (0x0002) — the
     // compact-to-dense transition the reader declares unsupported
