@@ -25,6 +25,8 @@ final case class NcView(
     dims: Seq[NetCDF3.Dim],
     vars: Seq[NcVarView],
     slab: (String, Long, Int) => Array[Double],
+    /** Global attributes: (name, text-or-rendered-number). */
+    gatts: Seq[(String, String)] = Seq.empty,
     /** Partition-boundary grain in flat cells: for chunked NetCDF-4,
       * the (largest) per-chunk cell count of the data variables, so
       * split planning can avoid two partitions inflating the same
@@ -36,6 +38,28 @@ final case class NcView(
 }
 
 object NcView {
+  private def renderAtt(a: NetCDF3.Att): (String, String) =
+    a.name -> (if (a.text.nonEmpty || a.numbers.isEmpty) a.text
+               else a.numbers.mkString(","))
+
+  /** True when `path` is a NetCDF file of EITHER flavor — by
+    * extension or, for files on disk, by magic (plenty of NetCDF-4
+    * archives are named plain `.nc`). */
+  def isNetcdf(path: String): Boolean =
+    path.endsWith(".nc") || path.endsWith(".nc4") || {
+      val f = new java.io.File(path)
+      f.isFile && f.length >= 8 && {
+        val raf = new java.io.RandomAccessFile(f, "r")
+        try {
+          val m = new Array[Byte](8)
+          raf.readFully(m)
+          (m(0) == 'C' && m(1) == 'D' && m(2) == 'F' &&
+            (m(3) == 1 || m(3) == 2)) ||
+            (m(0) == 0x89.toByte && m(1) == 'H' && m(2) == 'D' && m(3) == 'F')
+        } finally raf.close()
+      }
+    }
+
   def open(path: String): NcView =
     if (Hdf5.isHdf5(path)) {
       val m = NetCDF4.open(path)
@@ -44,13 +68,15 @@ object NcView {
       }.maxOption.getOrElse(1L)
       NcView(m.dims, m.vars.map(v => NcVarView(v.name, v.dimIds)),
         (n, s, c) => NetCDF4.readSlab(path, m.varByName(n), s, c),
+        gatts = m.gatts.map(renderAtt),
         alignCells = align max 1L)
     } else {
       val h = NetCDF3.readHeader(path)
       NcView(
         h.dims.indices.map(i => NetCDF3.Dim(h.dims(i).name, h.dimLength(i))),
         h.vars.map(v => NcVarView(v.name, v.dimIds)),
-        (n, s, c) => NetCDF3.readSlab(path, h, h.varByName(n), s, c))
+        (n, s, c) => NetCDF3.readSlab(path, h, h.varByName(n), s, c),
+        gatts = h.gatts.map(renderAtt))
     }
 }
 

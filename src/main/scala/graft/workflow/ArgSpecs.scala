@@ -76,7 +76,11 @@ object ArgSpecs {
     a("calendar"), a("vocabulary"), enum("compressed", yesNo: _*),
     enum("base_time", Seq.empty: _*), a("ioserver"),
     a("nhost"), a("nfrag"), a("ndb"), a("ndbms"), a("host_partition"),
-    enum("check_compliance", yesNo: _*), a("dim"), a("dim_pos"))
+    enum("check_compliance", yesNo: _*), a("dim"), a("dim_pos"),
+    // subset-at-import + attribute import (reference importnc surface)
+    multi("subset_dims"), multi("subset_filter"),
+    enum("subset_type", "index", "coord"), a("offset"),
+    enum("import_metadata", yesNo: _*))
 
   /** Per-operator descriptors. An operator absent from this map skips
     * validation (the engine rejects unknown operators itself). */

@@ -1282,18 +1282,30 @@ final class Engine(
         val measure = args.getOrElse("measure", "measure")
         val exp = args.get("exp_dim").map(_.split('|').toSeq).getOrElse(Seq.empty)
         val imp = args.get("imp_dim")
+        // dispatch on magic, not extension: NetCDF-4/HDF5 archives are
+        // routinely named plain `.nc`
+        val isNc = op != "oph_importcsv" &&
+          paths.forall(graft.sources.NcView.isNetcdf)
         val raw = if (op == "oph_importcsv")
           spark.read.option("header", "true").option("inferSchema", "true")
             .csv(paths: _*)
-        else if (paths.forall(_.endsWith(".nc"))) {
-          // REAL NetCDF-3 classic input through the custom DSv2 source
-          // (schema from the header only; per-partition slab reads)
+        else if (isNc) {
+          // REAL NetCDF input (classic AND NetCDF-4) through the custom
+          // dual-format DSv2 (schema from metadata only; per-partition
+          // slab/chunk reads)
           val dfs = paths.map(p => spark.read.format("netcdf3")
             .option("measure", measure).load(p))
           dfs.reduce(_.unionByName(_))
         } else spark.read.parquet(paths: _*)
-        val c0 = CubeOps.build(raw, measure, exp, imp,
+        val built = CubeOps.build(raw, measure, exp, imp,
           args.getOrElse("container", "container"), path)
+        // subset at import (reference importnc subset_dims/subset_filter/
+        // subset_type args): same semantics as a follow-up oph_subset,
+        // but the predicate prunes the very first scan
+        val c0 =
+          if (args.contains("subset_filter") || args.contains("subset_dims"))
+            applySubset(built, args)
+          else built
         // fragmentation knobs (reference storage layout: nhost hosts x
         // ndbms x ndb x nfrag fragments): map the requested fragment
         // count onto Spark partitioning, hash-distributed on the first
@@ -1319,6 +1331,15 @@ final class Engine(
           }
         val pid = register(c, args.getOrElse("container", "container"),
           args.getOrElse("cwd", "/"), sourceTask = Some(op))
+        // import the source's global attributes as cube metadata
+        // (reference import_metadata, default yes) — the header-only
+        // read costs KBs
+        if (isNc && !args.get("import_metadata").contains("no"))
+          paths.foreach { p =>
+            graft.sources.NcView.open(p).gatts.foreach { case (k, v) =>
+              catalog.setMetadata(idOf(pid), k, v)
+            }
+          }
         TaskResult(JobStatus.Completed, cubePid = Some(pid))
 
       case "oph_concatnc" | "oph_concatnc2" =>

@@ -244,6 +244,45 @@ class Hdf5Spec extends SparkSpec {
     assert(NetCDF4.readSlab(out, m.varByName("v"), 0, 0).isEmpty)
   }
 
+  test("importnc: magic dispatch for .nc-named HDF5, subset + metadata import") {
+    import graft.core.{Catalog, JobStatus}
+    import graft.workflow.Engine
+    import org.apache.spark.sql.functions._
+    // an HDF5 file named plain .nc — the common real-world case
+    val path = java.io.File.createTempFile("nc4named_nc", ".nc").getPath
+    NetCDF4.write(path,
+      dims = Seq(NetCDF3.Dim("row", 100)),
+      vars = Seq(
+        ("row", Seq(0), Array.tabulate(100)(i => (i + 1).toDouble)),
+        ("tas", Seq(0), Array.tabulate(100)(i => i * 2.0))),
+      gatts = Seq("institution" -> "graft test", "frequency" -> "day"))
+    assert(NcView.isNetcdf(path))
+    val cat = new Catalog("sess")
+    val e = new Engine(spark, cat)
+    // subset at import: coord filter keeps rows 11..20
+    val r = e.runDataOperator("oph_importnc",
+      Map("src_path" -> path, "measure" -> "tas", "exp_dim" -> "row",
+        "container" -> "c", "subset_dims" -> "row",
+        "subset_filter" -> "11:20", "subset_type" -> "coord"))
+    assert(r.status == JobStatus.Completed)
+    val cube = e.cube(r.cubePid.get).get
+    assert(cube.df.count() == 10)
+    assert(cube.df.agg(sum(col("tas"))).head.getDouble(0) ==
+      (10 to 19).map(_ * 2.0).sum)
+    // global attributes landed as cube metadata
+    val meta = e.runDataOperator("oph_metadata",
+      Map("cube" -> r.cubePid.get, "mode" -> "read"))
+    assert(meta.message.contains("institution") &&
+      meta.message.contains("graft test"))
+    // import_metadata=no suppresses it
+    val r2 = e.runDataOperator("oph_importnc",
+      Map("src_path" -> path, "measure" -> "tas", "exp_dim" -> "row",
+        "container" -> "c", "import_metadata" -> "no"))
+    val meta2 = e.runDataOperator("oph_metadata",
+      Map("cube" -> r2.cubePid.get, "mode" -> "read"))
+    assert(!meta2.message.contains("institution"))
+  }
+
   test("edge chunk: a non-multiple extent pads, reads back exactly") {
     val path = tmp("edge")
     val n = 777 // chunkCells 256 -> chunks of 256, last one partial
