@@ -1595,9 +1595,16 @@ final class Engine(
         TaskResult(JobStatus.Completed, df = Some(CubeOps.cubeelements(c)))
 
       case "oph_exportcsv" | "oph_exportnc" | "oph_exportnc2" =>
-        val (_, c) = needCube()
+        val (exportPid, c) = needCube()
         val out = resolvePath(args.getOrElse("output_path",
           throw new Engine.EngineError("export: missing output_path")))
+        // cube metadata travels as global attributes (symmetric with
+        // importnc's attribute import), after the fixed provenance keys
+        val exportGatts: Seq[(String, String)] =
+          Seq("source" -> "graft", "measure" -> c.desc.measure) ++
+            catalog.cube(idOf(exportPid)).map(_.metadata).getOrElse(Map.empty)
+              .toSeq.sortBy(_._1).filterNot(kv =>
+                kv._1 == "source" || kv._1 == "measure")
         if (out.endsWith(".nc4")) {
           // NetCDF-4/HDF5 output: distributed chunk deflate on the
           // executors, metadata + sidecar streaming on the driver
@@ -1618,7 +1625,7 @@ final class Engine(
             throw new Engine.EngineError("exportnc: no encodable columns")
           val total = graft.sources.NetCDF4.writeTableDistributed(
             flat.select(encodable.map(_._2): _*), out,
-            gatts = Seq("source" -> "graft", "measure" -> c.desc.measure))
+            gatts = exportGatts)
           TaskResult(JobStatus.Completed,
             message = s"exported $total rows to $out (netcdf4)" +
               (if (dropped.nonEmpty)
@@ -1666,14 +1673,14 @@ final class Engine(
             graft.sources.NetCDF3.write(out,
               Seq(graft.sources.NetCDF3.Dim("row", 0)),
               names.map(n => (n, Seq(0), Array.empty[Double])),
-              gatts = Seq("source" -> "graft", "measure" -> c.desc.measure))
+              gatts = exportGatts)
             return TaskResult(JobStatus.Completed,
               message = s"exported 0 rows to $out")
           }
           val dims = Seq(graft.sources.NetCDF3.Dim("row", total.toInt))
           val begins = graft.sources.NetCDF3.writeTableHeader(out, dims,
             names.map(n => (n, Seq(0))),
-            gatts = Seq("source" -> "graft", "measure" -> c.desc.measure))
+            gatts = exportGatts)
           val starts = counts.scanLeft(0L)(_ + _)
           val nVars = names.size
           // pass 2: each partition buffers its column slabs and issues
@@ -1980,7 +1987,7 @@ final class Engine(
         val path = resolvePath(args.getOrElse("src_path",
           throw new Engine.EngineError("explorenc: missing src_path")))
         val raw =
-          if (path.endsWith(".nc")) {
+          if (graft.sources.NcView.isNetcdf(path)) { // magic, not extension
             val r = spark.read.format("netcdf3")
             args.get("measure").fold(r)(m => r.option("measure", m)).load(path)
           } else spark.read.parquet(path)

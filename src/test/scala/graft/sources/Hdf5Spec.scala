@@ -283,6 +283,35 @@ class Hdf5Spec extends SparkSpec {
     assert(!meta2.message.contains("institution"))
   }
 
+  test("metadata survives import -> export -> re-import (both formats)") {
+    import graft.core.{Catalog, JobStatus}
+    import graft.workflow.Engine
+    val src = java.io.File.createTempFile("metasrc", ".nc4").getPath
+    NetCDF4.write(src, Seq(NetCDF3.Dim("row", 20)),
+      vars = Seq(("v", Seq(0), Array.tabulate(20)(_.toDouble))),
+      gatts = Seq("experiment" -> "piControl"))
+    val e = new Engine(spark, new Catalog("sess"))
+    val imp = e.runDataOperator("oph_importnc",
+      Map("src_path" -> src, "measure" -> "v", "container" -> "c"))
+    assert(imp.status == JobStatus.Completed)
+    for (ext <- Seq(".nc", ".nc4")) {
+      val out = java.io.File.createTempFile("metaout", ext).getPath
+      val r = e.runDataOperator("oph_exportnc",
+        Map("cube" -> imp.cubePid.get, "output_path" -> out))
+      assert(r.status == JobStatus.Completed)
+      // the cube's imported metadata rode along as global attributes
+      val gatts = NcView.open(out).gatts.toMap
+      assert(gatts.get("experiment").contains("piControl"), s"$ext: $gatts")
+      assert(gatts.get("measure").contains("v"))
+      // and a re-import carries it into the new cube's metadata
+      val again = e.runDataOperator("oph_importnc",
+        Map("src_path" -> out, "measure" -> "v", "container" -> "c"))
+      val meta = e.runDataOperator("oph_metadata",
+        Map("cube" -> again.cubePid.get, "mode" -> "read"))
+      assert(meta.message.contains("piControl"))
+    }
+  }
+
   test("edge chunk: a non-multiple extent pads, reads back exactly") {
     val path = tmp("edge")
     val n = 777 // chunkCells 256 -> chunks of 256, last one partial
