@@ -357,7 +357,8 @@ object NetCDF3 {
   def write(path: String,
       dims: Seq[Dim],
       vars: Seq[(String, Seq[Int], Array[Double])], // (name, dimIds, data)
-      gatts: Seq[(String, String)] = Seq.empty): Unit = {
+      gatts: Seq[(String, String)] = Seq.empty,
+      varAtts: Map[String, Seq[(String, String)]] = Map.empty): Unit = {
     val recDimId = dims.indexWhere(_.length == 0)
     def isRec(dimIds: Seq[Int]) =
       recDimId >= 0 && dimIds.headOption.contains(recDimId)
@@ -393,11 +394,13 @@ object NetCDF3 {
       def nameLen(s: String) = 4 + pad4(s.getBytes(StandardCharsets.UTF_8).length)
       def attLen(a: (String, String)) =
         nameLen(a._1) + 8 + pad4(a._2.getBytes(StandardCharsets.UTF_8).length)
+      def attListLen(as: Seq[(String, String)]) = 8 + as.map(attLen).sum
       4L + 4 + // magic + numrecs
         8 + dims.map(d => nameLen(d.name) + 4).sum +
         8 + gatts.map(attLen).sum +
         8 + vars.map { case (n, ds, _) =>
-          nameLen(n) + 4 + 4 * ds.size + 8 /*empty atts*/ + 4 + 4 + offBytes
+          nameLen(n) + 4 + 4 * ds.size +
+            attListLen(varAtts.getOrElse(n, Seq.empty)) + 4 + 4 + offBytes
         }.sum
     }
     val version =
@@ -419,16 +422,18 @@ object NetCDF3 {
         out.writeInt(TagDim); out.writeInt(dims.size)
         dims.foreach { d => wName(d.name); out.writeInt(d.length) }
       }
-      if (gatts.isEmpty) { out.writeInt(0); out.writeInt(0) }
-      else {
-        out.writeInt(TagAtt); out.writeInt(gatts.size)
-        gatts.foreach { case (k, v) =>
-          wName(k); out.writeInt(NcChar)
-          val b = v.getBytes(StandardCharsets.UTF_8)
-          out.writeInt(b.length); out.write(b)
-          (b.length until pad4(b.length)).foreach(_ => out.writeByte(0))
+      def wAttList(as: Seq[(String, String)]): Unit =
+        if (as.isEmpty) { out.writeInt(0); out.writeInt(0) }
+        else {
+          out.writeInt(TagAtt); out.writeInt(as.size)
+          as.foreach { case (k, v) =>
+            wName(k); out.writeInt(NcChar)
+            val b = v.getBytes(StandardCharsets.UTF_8)
+            out.writeInt(b.length); out.write(b)
+            (b.length until pad4(b.length)).foreach(_ => out.writeByte(0))
+          }
         }
-      }
+      wAttList(gatts)
       if (vars.isEmpty) { out.writeInt(0); out.writeInt(0) }
       else {
         out.writeInt(TagVar); out.writeInt(vars.size)
@@ -443,7 +448,7 @@ object NetCDF3 {
           wName(n)
           out.writeInt(dimIds.size)
           dimIds.foreach(out.writeInt)
-          out.writeInt(0); out.writeInt(0) // no per-var attributes
+          wAttList(varAtts.getOrElse(n, Seq.empty))
           out.writeInt(NcDouble)
           // vsize: whole slab for fixed vars, per-RECORD bytes for
           // record vars; caps at the spec's 2^32-4 sentinel

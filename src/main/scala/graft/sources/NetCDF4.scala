@@ -120,7 +120,8 @@ object NetCDF4 {
   /** One variable for [[emit]]: geometry plus the STORED byte size of
     * each compressed chunk, in chunk order. */
   private[sources] final case class VarMeta(name: String, dimIds: Seq[Int],
-      grid: ChunkGrid, chunkSizes: Seq[Int])
+      grid: ChunkGrid, chunkSizes: Seq[Int],
+      atts: Seq[(String, String)] = Seq.empty)
 
   /** Deflate one chunk's values (padding to the full chunk cell count
     * — HDF5 stores full edge chunks), optionally byte-shuffled first.
@@ -168,7 +169,8 @@ object NetCDF4 {
       gatts: Seq[(String, String)] = Seq.empty,
       deflateLevel: Int = 1,
       chunkCells: Int = 256 * 1024,
-      shuffle: Boolean = false): Unit = {
+      shuffle: Boolean = false,
+      varAtts: Map[String, Seq[(String, String)]] = Map.empty): Unit = {
     val coordOf: Map[Int, Array[Double]] =
       dims.indices.flatMap { i =>
         vars.find(v => v._1 == dims(i).name && v._2 == Seq(i)).map(i -> _._3)
@@ -188,10 +190,14 @@ object NetCDF4 {
     }
     val metas = plainVars.zip(blobs).map { case ((name, dimIds, _), bs) =>
       VarMeta(name, dimIds, chunkGrid(dimIds.map(dims(_).length.toLong),
-        chunkCells), bs.map(_.length))
+        chunkCells), bs.map(_.length), varAtts.getOrElse(name, Seq.empty))
     }
+    // attributes of a coordinate variable attach to its scale dataset
+    val coordAtts = dims.indices.flatMap(i =>
+      varAtts.get(dims(i).name).filter(_ => coordOf.contains(i)).map(i -> _)
+    ).toMap
     emit(path, dims, coordOf, metas, gatts, deflateLevel, shuffle,
-      (vi, ci, os) => os.write(blobs(vi)(ci)))
+      (vi, ci, os) => os.write(blobs(vi)(ci)), coordAtts)
   }
 
   /**
@@ -334,7 +340,8 @@ object NetCDF4 {
       gatts: Seq[(String, String)],
       deflateLevel: Int,
       shuffle: Boolean,
-      payload: (Int, Int, OutputStream) => Unit): Unit = {
+      payload: (Int, Int, OutputStream) => Unit,
+      coordAtts: Map[Int, Seq[(String, String)]] = Map.empty): Unit = {
     require(dims.forall(_.length >= 0), "netcdf4: negative dimension")
 
     def pad8(n: Int): Int = (n + 7) & ~7
@@ -427,7 +434,10 @@ object NetCDF4 {
         0x000C -> strAttr("NAME",
           if (isCoord) name
           else s"$NotAVariable. ${dims(i).length}"),
-        0x000C -> intAttr("_Netcdf4Dimid", i))
+        0x000C -> intAttr("_Netcdf4Dimid", i)) ++
+        coordAtts.getOrElse(i, Seq.empty).map { case (k, v) =>
+          0x000C -> strAttr(k, v)
+        }
     }
     def varMsgs(p: VarMeta, btreeAddr: Long, gcolAddr: Long,
         gcolBase: Int): Seq[(Int, Array[Byte])] = {
@@ -456,7 +466,8 @@ object NetCDF4 {
           b.u32(8)
           b.bytes
         },
-        0x000C -> dimList)
+        0x000C -> dimList) ++
+        p.atts.map { case (k, v) => 0x000C -> strAttr(k, v) }
     }
 
     // chunk B-tree geometry: leaves of <=32 entries (+ level-1 root)

@@ -27,6 +27,8 @@ final case class NcView(
     slab: (String, Long, Int) => Array[Double],
     /** Global attributes: (name, text-or-rendered-number). */
     gatts: Seq[(String, String)] = Seq.empty,
+    /** Per-variable attributes, same rendering. */
+    varAtts: Map[String, Seq[(String, String)]] = Map.empty,
     /** Partition-boundary grain in flat cells: for chunked NetCDF-4,
       * the (largest) per-chunk cell count of the data variables, so
       * split planning can avoid two partitions inflating the same
@@ -69,6 +71,10 @@ object NcView {
       NcView(m.dims, m.vars.map(v => NcVarView(v.name, v.dimIds)),
         (n, s, c) => NetCDF4.readSlab(path, m.varByName(n), s, c),
         gatts = m.gatts.map(renderAtt),
+        varAtts = m.vars.map(v => v.name -> v.ds.attrs
+          .filterNot(a => Seq("CLASS", "NAME", "DIMENSION_LIST",
+            "_Netcdf4Dimid").contains(a.name))
+          .map(a => a.name -> a.text)).toMap,
         alignCells = align max 1L)
     } else {
       val h = NetCDF3.readHeader(path)
@@ -76,7 +82,8 @@ object NcView {
         h.dims.indices.map(i => NetCDF3.Dim(h.dims(i).name, h.dimLength(i))),
         h.vars.map(v => NcVarView(v.name, v.dimIds)),
         (n, s, c) => NetCDF3.readSlab(path, h, h.varByName(n), s, c),
-        gatts = h.gatts.map(renderAtt))
+        gatts = h.gatts.map(renderAtt),
+        varAtts = h.vars.map(v => v.name -> v.atts.map(renderAtt)).toMap)
     }
 }
 

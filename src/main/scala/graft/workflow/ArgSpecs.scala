@@ -80,7 +80,7 @@ object ArgSpecs {
     // subset-at-import + attribute import (reference importnc surface)
     multi("subset_dims"), multi("subset_filter"),
     enum("subset_type", "index", "coord"), a("offset"),
-    enum("import_metadata", yesNo: _*))
+    enum("import_metadata", yesNo: _*), enum("time_conversion", yesNo: _*))
 
   /** Per-operator descriptors. An operator absent from this map skips
     * validation (the engine rejects unknown operators itself). */

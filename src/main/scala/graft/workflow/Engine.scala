@@ -1297,7 +1297,45 @@ final class Engine(
             .option("measure", measure).load(p))
           dfs.reduce(_.unionByName(_))
         } else spark.read.parquet(paths: _*)
-        val built = CubeOps.build(raw, measure, exp, imp,
+        // CF time axis: a dimension whose source variable carries a
+        // CF units attribute ("days since 1850-01-01", "seconds since
+        // ...") becomes a REAL date/timestamp column, so time_filter /
+        // season subsets work on NetCDF-imported cubes exactly as on
+        // native date dims. Standard (gregorian) calendar only — other
+        // CF calendars (360_day, noleap) keep their numeric axis.
+        val CfUnits =
+          """(seconds|minutes|hours|days) since (\d{1,4}-\d{1,2}-\d{1,2})([ T].*)?""".r
+        val timeConverted =
+          if (!isNc || args.get("time_conversion").contains("no")) raw
+          else {
+            val calendar = args.getOrElse("calendar", "standard").toLowerCase
+            val standard = Seq("standard", "gregorian", "proleptic_gregorian")
+              .contains(calendar)
+            val atts = graft.sources.NcView.open(paths.head).varAtts
+            (exp ++ imp.toSeq).foldLeft(raw) { (df, d) =>
+              atts.getOrElse(d, Seq.empty)
+                .collectFirst { case ("units", CfUnits(unit, base, _)) =>
+                  (unit, base)
+                } match {
+                case Some((unit, base)) if standard && df.columns.contains(d) =>
+                  val secs = unit match {
+                    case "seconds" => 1L
+                    case "minutes" => 60L
+                    case "hours" => 3600L
+                    case "days" => 86400L
+                  }
+                  if (unit == "days")
+                    df.withColumn(d,
+                      date_add(to_date(lit(base)), col(d).cast("int")))
+                  else
+                    df.withColumn(d, timestamp_seconds(
+                      unix_timestamp(to_timestamp(lit(base))) +
+                        (col(d) * secs).cast("long")))
+                case _ => df
+              }
+            }
+          }
+        val built = CubeOps.build(timeConverted, measure, exp, imp,
           args.getOrElse("container", "container"), path)
         // subset at import (reference importnc subset_dims/subset_filter/
         // subset_type args): same semantics as a follow-up oph_subset,

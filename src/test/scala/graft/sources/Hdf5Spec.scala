@@ -312,6 +312,81 @@ class Hdf5Spec extends SparkSpec {
     }
   }
 
+  test("CF time axis: 'days since' units become a real date dimension") {
+    import graft.core.{Catalog, JobStatus}
+    import graft.workflow.Engine
+    import org.apache.spark.sql.functions._
+    val path = java.io.File.createTempFile("cftime", ".nc4").getPath
+    // one year of daily tas over a time coord with CF units
+    NetCDF4.write(path,
+      dims = Seq(NetCDF3.Dim("time", 366)),
+      vars = Seq(
+        ("time", Seq(0), Array.tabulate(366)(_.toDouble)),
+        ("tas", Seq(0), Array.tabulate(366)(i => 250.0 + i % 40))),
+      varAtts = Map("time" -> Seq("units" -> "days since 2020-01-01",
+        "standard_name" -> "time")))
+    // the attribute round-trips through the nc4 writer/reader
+    assert(NcView.open(path).varAtts("time")
+      .contains("units" -> "days since 2020-01-01"))
+    val e = new Engine(spark, new Catalog("sess"))
+    val r = e.runDataOperator("oph_importnc",
+      Map("src_path" -> path, "measure" -> "tas", "exp_dim" -> "time",
+        "container" -> "c"))
+    assert(r.status == JobStatus.Completed)
+    val df = e.cube(r.cubePid.get).get.df
+    assert(df.schema("time").dataType ==
+      org.apache.spark.sql.types.DateType)
+    val mm = df.agg(min(col("time")).cast("string"),
+      max(col("time")).cast("string")).head
+    assert(mm.getString(0) == "2020-01-01" && mm.getString(1) == "2020-12-31")
+    // a coord subset in DATE terms now works on the imported cube
+    val sub = e.runDataOperator("oph_subset",
+      Map("cube" -> r.cubePid.get, "subset_dims" -> "time",
+        "subset_type" -> "coord",
+        "subset_filter" -> "2020-03-01:2020-03-31"))
+    assert(e.cube(sub.cubePid.get).get.df.count() == 31)
+    // time_conversion=no keeps the raw numeric axis
+    val rawImp = e.runDataOperator("oph_importnc",
+      Map("src_path" -> path, "measure" -> "tas", "exp_dim" -> "time",
+        "container" -> "c", "time_conversion" -> "no"))
+    assert(e.cube(rawImp.cubePid.get).get.df.schema("time").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    // non-standard calendars keep the numeric axis too
+    val cal360 = e.runDataOperator("oph_importnc",
+      Map("src_path" -> path, "measure" -> "tas", "exp_dim" -> "time",
+        "container" -> "c", "calendar" -> "360_day"))
+    assert(e.cube(cal360.cubePid.get).get.df.schema("time").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+  }
+
+  test("CF time axis: 'hours since' yields timestamps (classic writer)") {
+    import graft.core.{Catalog, JobStatus}
+    import graft.workflow.Engine
+    import org.apache.spark.sql.functions._
+    val path = java.io.File.createTempFile("cfhours", ".nc").getPath
+    NetCDF3.write(path,
+      dims = Seq(NetCDF3.Dim("time", 48)),
+      vars = Seq(
+        ("time", Seq(0), Array.tabulate(48)(_.toDouble)),
+        ("pr", Seq(0), Array.tabulate(48)(i => i * 0.1))),
+      varAtts = Map("time" -> Seq("units" -> "hours since 2021-06-01")))
+    val h = NetCDF3.readHeader(path)
+    assert(h.varByName("time").atts
+      .exists(a => a.name == "units" && a.text == "hours since 2021-06-01"))
+    val e = new Engine(spark, new Catalog("sess"))
+    val r = e.runDataOperator("oph_importnc",
+      Map("src_path" -> path, "measure" -> "pr", "exp_dim" -> "time",
+        "container" -> "c"))
+    assert(r.status == JobStatus.Completed)
+    val df = e.cube(r.cubePid.get).get.df
+    assert(df.schema("time").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val mm = df.agg(min(col("time")).cast("string"),
+      max(col("time")).cast("string")).head
+    assert(mm.getString(0).startsWith("2021-06-01 00:00") &&
+      mm.getString(1).startsWith("2021-06-02 23:00"))
+  }
+
   test("edge chunk: a non-multiple extent pads, reads back exactly") {
     val path = tmp("edge")
     val n = 777 // chunkCells 256 -> chunks of 256, last one partial
