@@ -1242,6 +1242,41 @@ object SparkEntry {
         .agg(round(sum(col("o_totalprice")), 2).as("s"))
     }),
 
+    "netcdf_time_roundtrip" -> ((s, dir) => {
+      // CF TIME end-to-end on the ENGINE path: orders dates encode as
+      // 'days since 1970-01-01' in a NetCDF-4 file with the units
+      // attribute; importnc converts the axis back to real dates and
+      // aggregate2 rolls it up by month — the hash matches DuckDB
+      // running the same monthly rollup on the parquet dates, so the
+      // attribute round-trip AND the CF conversion are both verified
+      val daily = t(s, dir, "orders").orderBy("o_orderkey").limit(1000)
+        .groupBy(col("o_orderdate"))
+        .agg(round(sum(col("o_totalprice")), 2).as("p"))
+        .select(
+          datediff(col("o_orderdate"), lit("1970-01-01"))
+            .cast("double").as("t"),
+          col("p").cast("double"))
+        .orderBy("t").collect()
+      val f = java.io.File.createTempFile("graft_cftime", ".nc4")
+      f.deleteOnExit()
+      graft.sources.NetCDF4.write(f.getPath,
+        dims = Seq(graft.sources.NetCDF3.Dim("time", daily.length)),
+        vars = Seq(
+          ("time", Seq(0), daily.map(_.getDouble(0))), // coordinate var
+          ("price", Seq(0), daily.map(_.getDouble(1)))),
+        varAtts = Map("time" -> Seq("units" -> "days since 1970-01-01")))
+      val eng = new graft.workflow.Engine(s, new graft.core.Catalog("sess"))
+      val res = eng.run(graft.workflow.Workflow.parse(s"""{
+        "name": "wf", "tasks": [
+          {"name": "imp", "operator": "oph_importnc",
+           "arguments": ["src_path=${f.getPath}", "measure=price",
+             "exp_dim=time", "container=c"]}
+        ]}"""))
+      val cube = eng.cube(res("imp").cubePid.get).get
+      cube.df.groupBy(date_format(col("time"), "yyyy-MM").as("month"))
+        .agg(round(sum(col("price")), 2).as("s"))
+    }),
+
     "netcdf_record_roundtrip" -> ((s, dir) => {
       // record-dimension (UNLIMITED) round-trip: the same orders slice
       // written as TWO record variables over a record dim — the
@@ -1961,6 +1996,15 @@ object SparkEntry {
          SELECT CAST(floor(o_orderkey / 1000) AS BIGINT) AS bucket,
                 round(sum(o_totalprice), 2) AS s
          FROM t GROUP BY 1""",
+
+    "netcdf_time_roundtrip" ->
+      """WITH t AS (SELECT o_orderdate, o_totalprice FROM orders
+                    ORDER BY o_orderkey LIMIT 1000),
+         d AS (SELECT o_orderdate, round(sum(o_totalprice), 2) AS p
+               FROM t GROUP BY 1)
+         SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                round(sum(p), 2) AS s
+         FROM d GROUP BY 1""",
 
     "netcdf_record_roundtrip" ->
       """WITH t AS (SELECT o_orderkey, o_totalprice FROM orders
