@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -187,8 +188,10 @@ final class NcTable(path: String, schema: StructType,
 
 final class NcScanBuilder(path: String, fullSchema: StructType,
     measure: Option[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var hints: Array[sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep the file's column order; an empty projection (count(*))
     // keeps one cheapest column for row counting
@@ -196,29 +199,114 @@ final class NcScanBuilder(path: String, fullSchema: StructType,
       if (requiredSchema.isEmpty) StructType(fullSchema.take(1))
       else StructType(fullSchema.filter(f =>
         requiredSchema.fieldNames.contains(f.name)))
-  override def build(): Scan = new NcScan(path, fullSchema, required, measure)
+  /** Filters are SCAN-RANGE HINTS only: comparisons on the first axis
+    * shrink the planned cell range (partition pruning on the time
+    * axis of a huge file), but every filter is returned for Spark to
+    * re-apply — correctness never depends on the pruning. */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    hints = filters
+    filters // Spark must still evaluate everything
+  }
+  override def pushedFilters(): Array[sources.Filter] = hints
+  override def build(): Scan =
+    new NcScan(path, fullSchema, required, measure, hints)
 }
 
 final class NcScan(path: String, fullSchema: StructType,
-    required: StructType, measure: Option[String]) extends Scan with Batch {
+    required: StructType, measure: Option[String],
+    hints: Array[sources.Filter] = Array.empty) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"netcdf $path [${required.fieldNames.mkString(",")}]"
+    s"netcdf $path [${required.fieldNames.mkString(",")}]" +
+      (if (hints.nonEmpty) s" hints: ${hints.mkString(",")}" else "")
   override def toBatch: Batch = this
+
+  /** Row range [lo, hi) of the FIRST axis surviving the filter hints.
+    * The axis value per row is the coordinate variable when present
+    * (must be non-decreasing for pruning) or the 1-based index. At
+    * most 16M coordinate values are examined at planning time — the
+    * axis metadata, never the measure data. */
+  private def firstAxisRange(v: NcView, axis: NetCDF3.Dim,
+      rows: Int): (Long, Long) = {
+    val relevant = hints.flatMap {
+      case sources.GreaterThan(a, x: Number) if a == axis.name =>
+        Some(('>', x.doubleValue))
+      case sources.GreaterThanOrEqual(a, x: Number) if a == axis.name =>
+        Some(('g', x.doubleValue))
+      case sources.LessThan(a, x: Number) if a == axis.name =>
+        Some(('<', x.doubleValue))
+      case sources.LessThanOrEqual(a, x: Number) if a == axis.name =>
+        Some(('l', x.doubleValue))
+      case sources.EqualTo(a, x: Number) if a == axis.name =>
+        Some(('=', x.doubleValue))
+      case _ => None
+    }
+    if (relevant.isEmpty || rows > (1 << 24)) return (0L, rows.toLong)
+    val hasCoord = v.vars.exists(x => x.name == axis.name &&
+      x.dimIds == Seq(v.dims.indexWhere(_.name == axis.name)))
+    val coords: Array[Double] =
+      if (hasCoord) v.slab(axis.name, 0, rows)
+      else Array.tabulate(rows)(i => (i + 1).toDouble)
+    // pruning needs monotonicity; an unsorted axis scans fully
+    if (coords.sliding(2).exists(w => w.length == 2 && w(0) > w(1)))
+      return (0L, rows.toLong)
+    var lo = 0L; var hi = rows.toLong
+    relevant.foreach { case (op, x) =>
+      def lowerBound(strict: Boolean): Long = { // first row NOT excluded
+        var a = 0; var b = rows
+        while (a < b) {
+          val m = (a + b) >>> 1
+          if (coords(m) < x || (strict && coords(m) == x)) a = m + 1 else b = m
+        }
+        a.toLong
+      }
+      def upperBound(strict: Boolean): Long = { // first row excluded
+        var a = 0; var b = rows
+        while (a < b) {
+          val m = (a + b) >>> 1
+          if (coords(m) < x || (!strict && coords(m) == x)) a = m + 1 else b = m
+        }
+        a.toLong
+      }
+      op match {
+        case '>' => lo = lo max lowerBound(strict = true)
+        case 'g' => lo = lo max lowerBound(strict = false)
+        case '<' => hi = hi min upperBound(strict = true)
+        case 'l' => hi = hi min upperBound(strict = false)
+        case '=' => lo = lo max lowerBound(strict = false)
+                    hi = hi min upperBound(strict = false)
+      }
+    }
+    (lo min hi, hi)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val v = NcView.open(path)
     val vs = NetCDFSource.gridVars(v, measure)
-    val total = vs.head.dimIds.map(v.dims(_).length.toLong).product
-    val slices = math.max(1, math.min(total,
+    val axes = vs.head.dimIds.map(v.dims(_))
+    val total = axes.map(_.length.toLong).product
+    // first-axis pruning: rows outside the hint range are never read
+    val rowCells = axes.drop(1).map(_.length.toLong).product max 1L
+    val (loRow, hiRow) = axes.headOption
+      .map(a => firstAxisRange(v, a, a.length))
+      .getOrElse((0L, 1L))
+    val (first, last) = (loRow * rowCells, (hiRow * rowCells) min total)
+    val span = (last - first) max 0L
+    if (span == 0) return Array.empty
+    val slices = math.max(1, math.min(span,
       org.apache.spark.sql.SparkSession.active
         .sparkContext.defaultParallelism.toLong)).toInt
-    val raw = (total + slices - 1) / slices
+    val raw = (span + slices - 1) / slices
     // round the split up to the chunk grain: a boundary inside a
     // NetCDF-4 chunk would make BOTH partitions read+inflate it
     val step = ((raw + v.alignCells - 1) / v.alignCells) * v.alignCells
-    (0L until total by step).map(s =>
-      NcPartition(s, math.min(s + step, total)): InputPartition).toArray
+    // align the range start DOWN to the grain too
+    val start = (first / v.alignCells) * v.alignCells
+    (start until last by step).map(s =>
+      NcPartition(s max first, math.min(s + step, last)): InputPartition)
+      .filter(p => p.asInstanceOf[NcPartition].start <
+        p.asInstanceOf[NcPartition].end)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -387,6 +387,55 @@ class Hdf5Spec extends SparkSpec {
       mm.getString(1).startsWith("2021-06-02 23:00"))
   }
 
+  test("first-axis filter pushdown prunes the planned cell range") {
+    import org.apache.spark.sql.functions._
+    val n = 10000
+    val path = tmp("pushdown")
+    // sorted time coordinate 0..9999, 10 chunks of 1000
+    NetCDF4.write(path, Seq(NetCDF3.Dim("time", n)),
+      vars = Seq(
+        ("time", Seq(0), Array.tabulate(n)(_.toDouble)),
+        ("v", Seq(0), Array.tabulate(n)(i => i * 3.0))),
+      chunkCells = 1000)
+    val df = spark.read.format("netcdf4").load(path)
+      .filter(col("time") >= 7000 && col("time") < 7500)
+    // correctness first: Spark re-applies the filters regardless
+    assert(df.count() == 500)
+    assert(df.agg(sum(col("v"))).head.getDouble(0) ==
+      (7000 until 7500).map(_ * 3.0).sum)
+    // the scan planned ONLY the pruned row range (chunk-aligned)
+    val view = NcView.open(path)
+    val scan = {
+      val b = new NcScanBuilder(path,
+        NetCDFSource.schemaOf(view, None), None)
+      b.pushFilters(Array(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("time", 7000.0),
+        org.apache.spark.sql.sources.LessThan("time", 7500.0)))
+      b.build().asInstanceOf[NcScan]
+    }
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[NcPartition])
+    assert(parts.nonEmpty)
+    val lo = parts.map(_.start).min; val hi = parts.map(_.end).max
+    assert(lo >= 7000 - 1000 && hi <= 7500 + 1000,
+      s"planned [$lo,$hi) should hug [7000,7500) to the chunk grain")
+    // an impossible range plans nothing at all
+    val b2 = new NcScanBuilder(path, NetCDFSource.schemaOf(view, None), None)
+    b2.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThan("time", 99999.0)))
+    assert(b2.build().asInstanceOf[NcScan].planInputPartitions().isEmpty)
+    // equality pins a single chunk's worth of rows
+    val b3 = new NcScanBuilder(path, NetCDFSource.schemaOf(view, None), None)
+    b3.pushFilters(Array(
+      org.apache.spark.sql.sources.EqualTo("time", 4242.0)))
+    val p3 = b3.build().asInstanceOf[NcScan].planInputPartitions()
+      .map(_.asInstanceOf[NcPartition])
+    assert(p3.map(p => p.end - p.start).sum <= 1000)
+    // and the end-to-end equality query still answers exactly
+    val one = spark.read.format("netcdf4").load(path)
+      .filter(col("time") === 4242).select("v").collect()
+    assert(one.map(_.getDouble(0)).toSeq == Seq(4242 * 3.0))
+  }
+
   test("edge chunk: a non-multiple extent pads, reads back exactly") {
     val path = tmp("edge")
     val n = 777 // chunkCells 256 -> chunks of 256, last one partial
