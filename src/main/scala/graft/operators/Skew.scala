@@ -75,11 +75,13 @@ object Skew {
     require(salt >= 1, s"salt must be >= 1, got $salt")
     // fixed output names (n, sum_/min_/max_<col>) are part of the
     // declared result schema; reject inputs they would shadow rather
-    // than silently replacing a caller's column
+    // than silently replacing a caller's column. A GROUP KEY with one
+    // of these names is just as fatal — the result would carry two
+    // identically-named columns and every downstream reference is
+    // AMBIGUOUS_REFERENCE — so keys get no exemption.
     val outNames = Seq("n", s"sum_$valueCol", s"min_$valueCol",
       s"max_$valueCol")
-    val clash = outNames.filter(n =>
-      df.columns.contains(n) && !groupKeys.contains(n))
+    val clash = outNames.filter(df.columns.contains)
     require(clash.isEmpty,
       s"saltedAgg output column(s) ${clash.mkString(", ")} already " +
         "exist on the input; rename them first")

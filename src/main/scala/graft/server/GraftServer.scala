@@ -13,11 +13,16 @@ import graft.workflow.Engine
  *
  * Config via environment:
  *   GRAFT_PORT         listen port (default 11732, the reference's)
- *   GRAFT_USERS        comma list of user:password pairs
- *                      (default graft:graft)
+ *   GRAFT_USERS        comma list of user:password[:admin] triples
+ *                      (default graft:graft:admin — the FIRST user
+ *                      defaults to admin so manage_user is reachable
+ *                      on a fresh deployment)
  *   GRAFT_STATE_DIR    durable state directory: users, tokens and
  *                      session tables survive restarts (unset =
  *                      memory only)
+ *   GRAFT_TLS          'dev' = HTTPS with a process-lifetime
+ *                      self-signed cert; '<keystore.p12>:<password>'
+ *                      = HTTPS with that PKCS12 store; unset = HTTP
  *   SPARK_GRAFT_CPUS   local[] parallelism (default 32)
  */
 object GraftServer {
@@ -33,22 +38,39 @@ object GraftServer {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    val users = sys.env.getOrElse("GRAFT_USERS", "graft:graft")
-      .split(',').toSeq.map(_.split(":", 2)).collect {
-        case Array(u, p) => (u, p)
+    // user:password or user:password:admin; without any explicit admin
+    // the FIRST user gets the bit, so the manage_user surface is
+    // reachable on a fresh deployment instead of permanently 403
+    val users = sys.env.getOrElse("GRAFT_USERS", "graft:graft:admin")
+      .split(',').toSeq.map(_.split(":", 3)).collect {
+        case Array(u, p) => (u, p, false)
+        case Array(u, p, flag) => (u, p, flag.equalsIgnoreCase("admin"))
       }
-    val owner = users.headOption.map(_._1).getOrElse("graft")
+    val withAdmin =
+      if (users.exists(_._3)) users
+      else users.zipWithIndex.map { case ((u, p, _), i) => (u, p, i == 0) }
+    val owner = withAdmin.headOption.map(_._1).getOrElse("graft")
     val stateDir = sys.env.get("GRAFT_STATE_DIR")
       .map(java.nio.file.Path.of(_))
     val engine = new Engine(spark, new Catalog("sess0001"), owner,
       sessionStateFile = stateDir.map(_.resolve("session-sess0001.json")))
     val auth = new AuthService(
       stateFile = stateDir.map(_.resolve("auth.tsv")))
-    users.foreach { case (u, p) => auth.addUser(u, p) }
+    withAdmin.foreach { case (u, p, admin) => auth.addUser(u, p, admin) }
+    val tls = sys.env.get("GRAFT_TLS").map {
+      case "dev" => Tls.devSelfSigned()
+      case spec => spec.split(":", 2) match {
+        case Array(ks, pw) => Tls(java.nio.file.Path.of(ks), pw.toCharArray)
+        case _ => throw new IllegalArgumentException(
+          "GRAFT_TLS must be 'dev' or '<keystore.p12>:<password>'")
+      }
+    }
     val svc = new HttpService(engine, auth, port,
-      stateDir = stateDir).start()
+      stateDir = stateDir, tls = tls).start()
     println(s"[graft-server] listening on :${svc.boundPort} " +
-      s"(users: ${users.map(_._1).mkString(",")})")
+      s"${if (tls.isDefined) "(https)" else "(http)"} " +
+      s"(users: ${withAdmin.map(u => u._1 +
+        (if (u._3) "[admin]" else "")).mkString(",")})")
     sys.addShutdownHook { svc.stop(); spark.stop() }
     Thread.currentThread.join() // serve until killed
   }

@@ -296,7 +296,8 @@ final class HttpService(
           engine.catalog.sessionCode)
         try engineFor(code, user, createIfAbsent = false) match {
           case None => reply(exchange, 404,
-            s"""{"error":$ErrWrongParameter,"message":"no session '$code'"}""")
+            s"""{"error":$ErrWrongParameter,""" +
+              s""""message":${quote(s"no session '$code'")}}""")
           case Some(target) =>
             replyHtml(exchange, 200, target.sessions.report(code, user))
         } catch {

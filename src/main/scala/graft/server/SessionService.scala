@@ -273,11 +273,13 @@ final class SessionService(
       .replace("\"", "&quot;")
     // command cell: the workflow NAME when the request parses, else
     // the head of the raw text — the reference logs the submitted
-    // command string per (workflowid, markerid)
+    // command string per (workflowid, markerid). ONE mapper for the
+    // whole render: ObjectMapper is expensive and this method holds
+    // the service monitor.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def describe(req: String): String =
       try {
-        val n = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(req)
+        val n = mapper.readTree(req)
         Option(n.get("name")).map(_.asText).getOrElse(req.take(80))
       } catch { case _: Exception => req.take(80) }
     val rows = s.workflows.map { w =>

@@ -54,8 +54,14 @@ object NetCDF4 {
       s.attr("_Netcdf4Dimid").flatMap(_.numbers.headOption)
         .map(_.toInt).getOrElse(i)
     }.map(_._1)
-    val dims = ordered.map(s => NetCDF3.Dim(s.name,
-      s.shape.headOption.getOrElse(0L).toInt))
+    val dims = ordered.map { s =>
+      val len = s.shape.headOption.getOrElse(0L)
+      // HDF5 dims are u64; the Dim model is Int — fail LOUDLY rather
+      // than silently truncating a >2^31 axis
+      if (len > Int.MaxValue) throw new Hdf5.FormatError(
+        s"$path: dimension ${s.name} length $len exceeds the Int dim model")
+      NetCDF3.Dim(s.name, len.toInt)
+    }
     val idOfAddr: Map[Long, Int] =
       ordered.zipWithIndex.map { case (s, i) => s.addr -> i }.toMap
     def resolveDims(ds: Hdf5.Dataset): Seq[Int] = {
@@ -232,19 +238,25 @@ object NetCDF4 {
       _.dataType == org.apache.spark.sql.types.DoubleType),
       "netcdf4 export: all columns must be double")
     val level = deflateLevel; val shuf = shuffle; val cr = chunkRows
-    // global row ids pin each row to its chunk; zipWithIndex runs one
-    // sizing job, so (like the classic path) a nondeterministic input
-    // plan must be persisted by the caller first
-    val withId = df.rdd.zipWithIndex()
-    val total = withId.count() match {
-      case 0L =>
-        emit(out, Seq(NetCDF3.Dim("row", 0)), Map.empty,
-          names.map(n => VarMeta(n, Seq(0), chunkGrid(Seq(0L), cr),
-            Seq.empty)),
-          gatts, level, shuf, (_, _, _) => ())
-        return 0L
-      case n => n
+    // ONE sizing pass (per-partition counts -> global offsets), like
+    // the classic slab exporter — zipWithIndex + count() would cost a
+    // third full evaluation of the input plan. A nondeterministic
+    // unpersisted plan is still the caller's hazard; the per-chunk
+    // row-count check below fails loudly if rows move.
+    val rdd = df.rdd
+    val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var n = 0L; while (it.hasNext) { it.next(); n += 1 }
+      Iterator(i -> n)
+    }.collect().sortBy(_._1).map(_._2)
+    val total = counts.sum
+    if (total == 0L) {
+      emit(out, Seq(NetCDF3.Dim("row", 0)), Map.empty,
+        names.map(n => VarMeta(n, Seq(0), chunkGrid(Seq(0L), cr),
+          Seq.empty)),
+        gatts, level, shuf, (_, _, _) => ())
+      return 0L
     }
+    val offsets = counts.scanLeft(0L)(_ + _)
     val nChunks = ((total + cr - 1) / cr).toInt
     val sideDir = new java.io.File(out + ".chunks")
     sideDir.mkdirs()
@@ -252,15 +264,20 @@ object NetCDF4 {
     val sidePath = sideDir.getPath
     // one shuffle: rows -> their chunk; each chunk task deflates all
     // columns and writes ONE sidecar blob file
-    val sizes: Array[Array[Int]] = withId
-      .map { case (r, id) =>
-        val a = new Array[Double](nV)
-        var j = 0
-        while (j < nV) {
-          a(j) = if (r.isNullAt(j)) Double.NaN else r.getDouble(j)
-          j += 1
+    val sizes: Array[Array[Int]] = rdd
+      .mapPartitionsWithIndex { case (pi, it) =>
+        var id = offsets(pi)
+        it.map { r =>
+          val a = new Array[Double](nV)
+          var j = 0
+          while (j < nV) {
+            a(j) = if (r.isNullAt(j)) Double.NaN else r.getDouble(j)
+            j += 1
+          }
+          val out = (id / cr, (id % cr, a))
+          id += 1
+          out
         }
-        (id / cr, (id % cr, a))
       }
       .groupByKey(new org.apache.spark.HashPartitioner(
         math.max(1, math.min(nChunks, sc.defaultParallelism * 2))))

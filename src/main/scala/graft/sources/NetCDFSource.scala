@@ -247,8 +247,11 @@ final class NcScan(path: String, fullSchema: StructType,
     val coords: Array[Double] =
       if (hasCoord) v.slab(axis.name, 0, rows)
       else Array.tabulate(rows)(i => (i + 1).toDouble)
-    // pruning needs monotonicity; an unsorted axis scans fully
-    if (coords.sliding(2).exists(w => w.length == 2 && w(0) > w(1)))
+    // pruning must be CONSERVATIVE: an unsorted axis — or any NaN,
+    // which breaks the total order binary search relies on — scans
+    // fully rather than risk excluding live rows
+    if (coords.exists(_.isNaN) ||
+        coords.sliding(2).exists(w => w.length == 2 && w(0) > w(1)))
       return (0L, rows.toLong)
     var lo = 0L; var hi = rows.toLong
     relevant.foreach { case (op, x) =>
@@ -342,13 +345,22 @@ final class NcReader(path: String, projected: Array[String],
         // stride of this axis in the row-major flat index
         val stride = shape.drop(ax + 1).map(_.toLong).product
         val len = shape(ax)
-        // coordinate variable (1-D var named like the dim) or 1-based index
-        val coords = view.vars.find(v => v.name == name &&
-            v.dimIds == Seq(view.dims.indexWhere(_.name == name)))
-          .map(_ => view.slab(name, 0, len))
+        val isCoordVar = view.vars.exists(v => v.name == name &&
+          v.dimIds == Seq(view.dims.indexWhere(_.name == name)))
+        // the FIRST axis only ever touches its partition's index range
+        // — read just that slice (a 10^9-step time axis would otherwise
+        // cost every partition the whole coordinate array); inner axes
+        // wrap modulo, so they read fully (they are small: lat/lon)
+        val (coordBase, coords) =
+          if (!isCoordVar) (0, None)
+          else if (ax == 0 && stride > 0) {
+            val lo = (part.start / stride).toInt
+            val hi = ((part.end - 1) / stride).toInt
+            (lo, Some(view.slab(name, lo, hi - lo + 1)))
+          } else (0, Some(view.slab(name, 0, len)))
         (i: Int) => {
           val idx = (((part.start + i) / stride) % len).toInt
-          coords.map(_(idx)).getOrElse((idx + 1).toDouble)
+          coords.map(_(idx - coordBase)).getOrElse((idx + 1).toDouble)
         }
       case _ =>
         val slab = view.slab(name, part.start, n)

@@ -1311,9 +1311,9 @@ final class Engine(
             val calendar = args.getOrElse("calendar", "standard").toLowerCase
             val standard = Seq("standard", "gregorian", "proleptic_gregorian")
               .contains(calendar)
-            val atts = graft.sources.NcView.open(paths.head).varAtts
+            val view = graft.sources.NcView.open(paths.head)
             (exp ++ imp.toSeq).foldLeft(raw) { (df, d) =>
-              atts.getOrElse(d, Seq.empty)
+              view.varAtts.getOrElse(d, Seq.empty)
                 .collectFirst { case ("units", CfUnits(unit, base, _)) =>
                   (unit, base)
                 } match {
@@ -1324,9 +1324,25 @@ final class Engine(
                     case "hours" => 3600L
                     case "days" => 86400L
                   }
-                  if (unit == "days")
+                  // 'days since' with whole-day offsets -> DATE; any
+                  // fractional offset (6-hourly CF files routinely use
+                  // 0.25-day steps) -> TIMESTAMP, so distinct sub-daily
+                  // points never collapse onto one date. The check
+                  // samples the coordinate values (bounded, header-side)
+                  val wholeDays = unit == "days" && {
+                    val dimId = view.dims.indexWhere(_.name == d)
+                    val hasCoord = dimId >= 0 && view.vars.exists(x =>
+                      x.name == d && x.dimIds == Seq(dimId))
+                    !hasCoord || {
+                      val n = math.min(view.dims(dimId).length, 1000)
+                      view.slab(d, 0, n).forall(v => v == math.floor(v))
+                    }
+                  }
+                  if (wholeDays)
+                    // floor, not cast: -0.5 belongs to the PRIOR day
                     df.withColumn(d,
-                      date_add(to_date(lit(base)), col(d).cast("int")))
+                      date_add(to_date(lit(base)),
+                        floor(col(d)).cast("int")))
                   else
                     df.withColumn(d, timestamp_seconds(
                       unix_timestamp(to_timestamp(lit(base))) +
@@ -1387,10 +1403,12 @@ final class Engine(
         val path = resolvePath(args.getOrElse("src_path",
           throw new Engine.EngineError("concatnc: missing src_path")))
         val measure = c.desc.measure
-        // real .nc sources go through the netcdf3 DSv2 (record-dim
-        // aware — appending along time IS the record-dim use case)
+        // real NetCDF sources go through the dual-format DSv2
+        // (record-dim aware — appending along time IS the record-dim
+        // use case); magic dispatch like importnc, so `.nc4` and
+        // HDF5-in-`.nc` route correctly
         val raw =
-          if (path.endsWith(".nc"))
+          if (graft.sources.NcView.isNetcdf(path))
             spark.read.format("netcdf3").option("measure", measure).load(path)
           else spark.read.parquet(path)
         val addition = CubeOps.build(raw, measure,
@@ -1643,27 +1661,35 @@ final class Engine(
             catalog.cube(idOf(exportPid)).map(_.metadata).getOrElse(Map.empty)
               .toSeq.sortBy(_._1).filterNot(kv =>
                 kv._1 == "source" || kv._1 == "measure")
-        if (out.endsWith(".nc4")) {
-          // NetCDF-4/HDF5 output: distributed chunk deflate on the
-          // executors, metadata + sidecar streaming on the driver
-          // (see NetCDF4.writeTableDistributed for the scale shape)
+        // shared by both NetCDF branches: encode every exportable
+        // column to double UNDER ITS OWN NAME (dates as epoch days,
+        // timestamps as epoch seconds, nulls as NaN downstream);
+        // non-encodable (string) columns are reported as dropped
+        def encodePlan(): (org.apache.spark.sql.DataFrame, Seq[String], Seq[String]) = {
           import org.apache.spark.sql.types._
           val flat = c.flatten
           val encodable = flat.schema.fields.collect {
             case f if f.dataType.isInstanceOf[NumericType] =>
-              f.name -> col(f.name).cast("double")
+              f.name -> col(f.name).cast("double").as(f.name)
             case f if f.dataType == DateType =>
-              f.name -> datediff(col(f.name), lit("1970-01-01")).cast("double")
+              f.name -> datediff(col(f.name), lit("1970-01-01"))
+                .cast("double").as(f.name)
             case f if f.dataType == TimestampType =>
-              f.name -> unix_timestamp(col(f.name)).cast("double")
+              f.name -> unix_timestamp(col(f.name)).cast("double").as(f.name)
           }.toSeq
           val dropped = flat.schema.fieldNames.toSeq
             .filterNot(encodable.map(_._1).contains)
           if (encodable.isEmpty)
             throw new Engine.EngineError("exportnc: no encodable columns")
+          (flat.select(encodable.map(_._2): _*), encodable.map(_._1), dropped)
+        }
+        if (out.endsWith(".nc4")) {
+          // NetCDF-4/HDF5 output: distributed chunk deflate on the
+          // executors, metadata + sidecar streaming on the driver
+          // (see NetCDF4.writeTableDistributed for the scale shape)
+          val (dfEnc, _, dropped) = encodePlan()
           val total = graft.sources.NetCDF4.writeTableDistributed(
-            flat.select(encodable.map(_._2): _*), out,
-            gatts = exportGatts)
+            dfEnc, out, gatts = exportGatts)
           TaskResult(JobStatus.Completed,
             message = s"exported $total rows to $out (netcdf4)" +
               (if (dropped.nonEmpty)
@@ -1671,30 +1697,12 @@ final class Engine(
         } else if (out.endsWith(".nc")) {
           // real NetCDF-3 classic output: table-style encoding — a
           // 'row' dimension with the measure and every encodable dim as
-          // variables. Dates/timestamps export as epoch days/seconds;
-          // nulls as NaN (the conventional _FillValue for doubles);
-          // string axes cannot be doubles and are reported as dropped.
-          // DISTRIBUTED write, no row cap: one sizing pass per
-          // partition, then executors fill disjoint offset-addressed
+          // variables. DISTRIBUTED write, no row cap: one sizing pass
+          // per partition, then executors fill disjoint offset-addressed
           // slabs of the single classic file in parallel (classic is
           // single-file by spec, so this assumes a shared filesystem —
           // same as the reference's server-side export directory).
-          import org.apache.spark.sql.types._
-          val flat = c.flatten
-          val encodable = flat.schema.fields.collect {
-            case f if f.dataType.isInstanceOf[NumericType] =>
-              f.name -> col(f.name).cast("double")
-            case f if f.dataType == DateType =>
-              f.name -> datediff(col(f.name), lit("1970-01-01")).cast("double")
-            case f if f.dataType == TimestampType =>
-              f.name -> unix_timestamp(col(f.name)).cast("double")
-          }.toSeq
-          val dropped = flat.schema.fieldNames.toSeq
-            .filterNot(encodable.map(_._1).contains)
-          if (encodable.isEmpty)
-            throw new Engine.EngineError("exportnc: no encodable columns")
-          val dfEnc = flat.select(encodable.map(_._2): _*)
-          val names = encodable.map(_._1)
+          val (dfEnc, names, dropped) = encodePlan()
           // pass 1: per-partition row counts -> each partition's start row
           val counts = dfEnc.rdd
             .mapPartitionsWithIndex { case (i, it) =>

@@ -436,6 +436,60 @@ class Hdf5Spec extends SparkSpec {
     assert(one.map(_.getDouble(0)).toSeq == Seq(4242 * 3.0))
   }
 
+  test("nc4 export keeps column NAMES for date/timestamp dims") {
+    import graft.core.{Catalog, JobStatus}
+    import graft.workflow.Engine
+    // a cube whose dim is a real DATE (the CF import shape): the .nc4
+    // export must name the variable 'time', not the cast expression
+    val src = java.io.File.createTempFile("dexp", ".nc4").getPath
+    NetCDF4.write(src, Seq(NetCDF3.Dim("time", 10)),
+      vars = Seq(
+        ("time", Seq(0), Array.tabulate(10)(_.toDouble)),
+        ("v", Seq(0), Array.tabulate(10)(i => i * 1.5))),
+      varAtts = Map("time" -> Seq("units" -> "days since 2020-01-01")))
+    val e = new Engine(spark, new Catalog("sess"))
+    val imp = e.runDataOperator("oph_importnc",
+      Map("src_path" -> src, "measure" -> "v", "exp_dim" -> "time",
+        "container" -> "c"))
+    val out = java.io.File.createTempFile("dexpout", ".nc4").getPath
+    val r = e.runDataOperator("oph_exportnc2",
+      Map("cube" -> imp.cubePid.get, "output_path" -> out))
+    assert(r.status == JobStatus.Completed)
+    val m = NetCDF4.open(out)
+    assert(m.vars.map(_.name).toSet == Set("time", "v"),
+      s"got ${m.vars.map(_.name)}")
+    // dates round-tripped as epoch days under their own name
+    assert(NetCDF4.readSlab(out, m.varByName("time"), 0, 10).toSeq ==
+      (0 until 10).map(i => 18262.0 + i)) // 2020-01-01 = epoch day 18262
+  }
+
+  test("CF fractional 'days since' become timestamps, not collapsed dates") {
+    import graft.core.{Catalog, JobStatus}
+    import graft.workflow.Engine
+    import org.apache.spark.sql.functions._
+    val path = java.io.File.createTempFile("cffrac", ".nc4").getPath
+    // 6-hourly data: 0.0, 0.25, 0.5 ... day offsets
+    NetCDF4.write(path, Seq(NetCDF3.Dim("time", 8)),
+      vars = Seq(
+        ("time", Seq(0), Array.tabulate(8)(_ * 0.25)),
+        ("v", Seq(0), Array.tabulate(8)(_.toDouble))),
+      varAtts = Map("time" -> Seq("units" -> "days since 2020-01-01")))
+    val e = new Engine(spark, new Catalog("sess"))
+    val r = e.runDataOperator("oph_importnc",
+      Map("src_path" -> path, "measure" -> "v", "exp_dim" -> "time",
+        "container" -> "c"))
+    assert(r.status == JobStatus.Completed)
+    val df = e.cube(r.cubePid.get).get.df
+    // TIMESTAMP, not DATE: the 8 sub-daily points stay distinct
+    assert(df.schema("time").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(df.select(col("time")).distinct().count() == 8)
+    val times = df.select(date_format(col("time"), "yyyy-MM-dd HH:mm"))
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().sorted
+    assert(times.head == "2020-01-01 00:00" &&
+      times.last == "2020-01-02 18:00")
+  }
+
   test("edge chunk: a non-multiple extent pads, reads back exactly") {
     val path = tmp("edge")
     val n = 777 // chunkCells 256 -> chunks of 256, last one partial
