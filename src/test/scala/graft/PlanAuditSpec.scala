@@ -141,4 +141,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(!scanLine.matches(".*\\bb#\\d+.*"),
       s"unprojected variable must be pruned from the scan: $scanLine")
   }
+
+  test("asofBucketed keeps the heavy window partitioned by (key, bucket)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 2500L, "b")).toDF("k", "t", "ev")
+    val right = Seq((1L, 5L, 1.0), (1L, 1800L, 2.0)).toDF("k", "t", "v")
+    val out = graft.operators.Joins.asofBucketed(left, right, Seq("k"),
+      "t", "t", Seq("v"), bucketWidth = 1000L)
+    val p = plan(out)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"asofBucketed must never theta-join:\n$p")
+    // the FILL window (the one over the unioned stream) must partition
+    // by the bucket as well as the key — that split IS the skew escape
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.exists(l => l.contains("__b") && l.contains("k#")),
+      s"the fill window must partition by (key, __b):\n${windowLines.mkString("\n")}")
+  }
+
+  test("netcdf filter pushdown reaches the scan as range hints") {
+    val path = {
+      val f = java.io.File.createTempFile("plan_push", ".nc4")
+      f.delete()
+      graft.sources.NetCDF4.write(f.getPath,
+        dims = Seq(graft.sources.NetCDF3.Dim("t", 100)),
+        vars = Seq(
+          ("t", Seq(0), Array.tabulate(100)(_.toDouble)),
+          ("a", Seq(0), Array.tabulate(100)(i => i * 2.0))))
+      f.getPath
+    }
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("netcdf4").load(path)
+      .filter(col("t") >= 40 && col("t") < 60)
+    val p = plan(df)
+    // V2ScanRelationPushDown delivered the comparisons to the builder:
+    // the scan's description advertises them as range hints
+    assert(p.contains("hints:") && p.contains("GreaterThanOrEqual(t,"),
+      s"pushed filters must reach the scan description:\n$p")
+    // and correctness is Spark's: the filter still runs above the scan
+    assert(p.contains("Filter"), s"Spark must re-apply the filters:\n$p")
+  }
 }
