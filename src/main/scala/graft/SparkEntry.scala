@@ -152,6 +152,35 @@ object SparkEntry {
         DimensionSpec("m", "int", explicit = false, size = Some(12L)))))
   }
 
+  /** Dense 3-implicit-dim (year 7 x month 12 x status 3) order-count
+    * grid per priority — the n-D layer's oracle fixture. Same
+    * construction as ordersGrid2, one more axis: one groupBy shuffle,
+    * then a per-row map lookup densifies the row-major cell. */
+  private def ordersGrid3(s: SparkSession, dir: String): Cube = {
+    import graft.core.{CubeDescriptor, DimensionSpec}
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("p"),
+        year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+        when(col("o_orderstatus") === "F", 1)
+          .when(col("o_orderstatus") === "O", 2)
+          .when(col("o_orderstatus") === "P", 3).as("st"))
+    val cnt = o.groupBy("p", "y", "m", "st").count()
+    val maps = cnt.groupBy("p").agg(
+      map_from_entries(collect_list(struct(
+        ((((col("y") - 1995) * 12 + col("m") - 1) * 3 + col("st") - 1)
+          .cast("int")).as("k"),
+        col("count").cast("double").as("v")))).as("__kv"))
+    val df = maps.withColumn("n_orders",
+      transform(sequence(lit(0), lit(7 * 12 * 3 - 1)), k =>
+        coalesce(element_at(col("__kv"), k.cast("int")), lit(0.0))))
+      .drop("__kv")
+    Cube(df, CubeDescriptor(0, 0, "grid3", "/", "n_orders", "double", 0,
+      Seq(DimensionSpec("p", "string", explicit = true)),
+      Seq(DimensionSpec("y", "int", explicit = false, size = Some(7L)),
+        DimensionSpec("m", "int", explicit = false, size = Some(12L)),
+        DimensionSpec("st", "int", explicit = false, size = Some(3L)))))
+  }
+
   /** posexplode an array-measure cube to (dims..., pos 1-based, value). */
   private def explodeArr(c: Cube, posName: String, valName: String): DataFrame =
     c.df.select(col("l_orderkey"),
@@ -1499,6 +1528,34 @@ object SparkEntry {
           col("__v").cast("long").as("n"))
     }),
 
+    // -------------------------- n-implicit-dim permute/reduce (3-D)
+    "permute3_order" -> ((s, dir) => {
+      // permutation_order (st, y, m) over the (y, m, st) grid — a
+      // genuine 3-axis rotation, not a reverse; flatten with the NEW
+      // shape's row-major arithmetic (st outer, then year, then month)
+      val tr = CubeOps.permuteN(ordersGrid3(s, dir), Seq("st", "y", "m"))
+      tr.df.select(col("p"),
+          posexplode(col("n_orders")).as(Seq("__k", "__v")))
+        .select(col("p"),
+          (floor(col("__k") / (7 * 12)) + 1).cast("long").as("spos"),
+          (pmod(floor(col("__k") / 12), lit(7)) + 1).cast("long").as("ypos"),
+          (pmod(col("__k"), lit(12)) + 1).cast("long").as("mpos"),
+          col("__v").cast("long").as("n"))
+    }),
+
+    "reduce3_mid" -> ((s, dir) => {
+      // reduce along the MIDDLE axis (month) of the 3-D grid — the
+      // strided-gather path a 2-D layout cannot express; out shape
+      // (year 7 x status 3)
+      val red = CubeOps.reduceN(ordersGrid3(s, dir), "m", "sum")
+      red.df.select(col("p"),
+          posexplode(col("n_orders")).as(Seq("__k", "__v")))
+        .select(col("p"),
+          (floor(col("__k") / 3) + 1).cast("long").as("ypos"),
+          (pmod(col("__k"), lit(3)) + 1).cast("long").as("spos"),
+          col("__v").cast("long").as("n"))
+    }),
+
     "sketch_quantile" -> ((s, dir) => {
       // mergeable DDSketch-style quantile Aggregator: the 100 TB path
       // for explicit-dim quantiles (no sort, order-independent merge).
@@ -2108,6 +2165,34 @@ object SparkEntry {
          FROM prio CROSS JOIN years CROSS JOIN months
          LEFT JOIN agg ON agg.p = prio.p AND agg.y = years.y
            AND agg.m = months.m""",
+
+    "permute3_order" ->
+      """WITH years AS (SELECT 1995 + i AS y, i + 1 AS ypos FROM range(7) t(i)),
+         months AS (SELECT 1 + i AS m, i + 1 AS mpos FROM range(12) t(i)),
+         sts AS (SELECT * FROM (VALUES ('F', 1), ('O', 2), ('P', 3)) v(st, spos)),
+         prio AS (SELECT DISTINCT o_orderpriority AS p FROM orders),
+         agg AS (SELECT o_orderpriority AS p, year(o_orderdate) AS y,
+                        month(o_orderdate) AS m, o_orderstatus AS st,
+                        count(*) AS c
+                 FROM orders GROUP BY 1, 2, 3, 4)
+         SELECT prio.p AS p, sts.spos AS spos, years.ypos AS ypos,
+                months.mpos AS mpos, coalesce(agg.c, 0) AS n
+         FROM prio CROSS JOIN sts CROSS JOIN years CROSS JOIN months
+         LEFT JOIN agg ON agg.p = prio.p AND agg.y = years.y
+           AND agg.m = months.m AND agg.st = sts.st""",
+
+    "reduce3_mid" ->
+      """WITH years AS (SELECT 1995 + i AS y, i + 1 AS ypos FROM range(7) t(i)),
+         sts AS (SELECT * FROM (VALUES ('F', 1), ('O', 2), ('P', 3)) v(st, spos)),
+         prio AS (SELECT DISTINCT o_orderpriority AS p FROM orders),
+         agg AS (SELECT o_orderpriority AS p, year(o_orderdate) AS y,
+                        o_orderstatus AS st, count(*) AS c
+                 FROM orders GROUP BY 1, 2, 3)
+         SELECT prio.p AS p, years.ypos AS ypos, sts.spos AS spos,
+                coalesce(sum(agg.c), 0) AS n
+         FROM prio CROSS JOIN years CROSS JOIN sts
+         LEFT JOIN agg ON agg.p = prio.p AND agg.y = years.y AND agg.st = sts.st
+         GROUP BY 1, 2, 3""",
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

@@ -152,33 +152,116 @@ object CubeOps {
   private def filter_positions(arr: Column, p: Column => Column): Column =
     filter(arr, (_: Column, i0: Column) => p(i0 + lit(1)))
 
-  /** Index subset along ONE named implicit dim of a 2-implicit-dim
-    * cube: per-dim position filters via row-major stride arithmetic
-    * (outer dim i1 = k/n2 + 1, inner dim i2 = k%n2 + 1) — in-cell,
-    * executor-local, and the surviving shape metadata is updated. */
-  def subsetImplicit2(cube: Cube, dim: String, filterStr: String): Cube = {
-    require(cube.desc.implicitDims.size == 2,
-      "subsetImplicit2 expects 2 implicit dims")
-    val Seq(d1, d2) = cube.desc.implicitDims
-    val n1 = d1.size.getOrElse(
-      throw new IllegalArgumentException(s"dim ${d1.name} has no size"))
-    val n2 = d2.size.getOrElse(
-      throw new IllegalArgumentException(s"dim ${d2.name} has no size"))
-    val alongOuter = dim == d1.name
-    require(alongOuter || dim == d2.name, s"no implicit dim '$dim'")
-    val spec = Subset.parse(filterStr, Some(if (alongOuter) n1 else n2))
+  /** Index subset along ONE named implicit dim of a multi-implicit-dim
+    * cube (row-major stride arithmetic, in-cell, executor-local).
+    * Kept as the 2-dim name for API stability; delegates to the n-D
+    * path, which handles any rank. */
+  def subsetImplicit2(cube: Cube, dim: String, filterStr: String): Cube =
+    subsetImplicitN(cube, dim, filterStr)
+
+  // -------------------------------------------------------------------
+  // n-implicit-dim cubes: flattened row-major arrays with shape
+  // metadata — the reference's n-dimensional in-blob layout
+  // (`src/oph_ophidiadb_query.h:48` fragments of arbitrary cubes;
+  // per-dimension subset args `src/oph_parser.h:68-70`). All ops below
+  // are pure index arithmetic inside `transform`/`filter` HOFs:
+  // executor-local, no shuffle, no explode, codegen-friendly — the
+  // 100 TB shape is identical to the scalar case (one narrow map).
+  // -------------------------------------------------------------------
+
+  /** Implicit-dim sizes, failing loudly when shape metadata is absent. */
+  def implicitShape(cube: Cube): Seq[Long] =
+    cube.desc.implicitDims.map(d => d.size.getOrElse(
+      throw new IllegalArgumentException(s"dim ${d.name} has no size")))
+
+  /** Row-major strides: strides(i) = prod(shape(i+1..)). */
+  private def rowMajorStrides(shape: Seq[Long]): Seq[Long] =
+    shape.scanRight(1L)(_ * _).tail
+
+  /** Exact non-negative integer division/modulo on Columns (flattened
+    * indices are always >= 0; floor-of-double is exact below 2^53 and
+    * in-cell arrays are far smaller by design). */
+  private def idiv(a: Column, b: Long): Column =
+    floor(a / lit(b.toDouble)).cast("long")
+  private def imod(a: Column, b: Long): Column = pmod(a, lit(b)).cast("long")
+
+  /** oph_permute with an arbitrary `permutation_order` (reference
+    * semantics: the measure is re-laid-out so the implicit dims appear
+    * in the requested order, `oph_json_objkeys.h:93`). Output cell K
+    * decomposes into the output multi-index, which maps straight onto
+    * input strides — one `transform` per row. */
+  def permuteN(cube: Cube, order: Seq[String]): Cube = {
+    val dims = cube.desc.implicitDims
+    require(order.sorted == dims.map(_.name).sorted,
+      s"permute order ${order.mkString(",")} must be a permutation of " +
+        dims.map(_.name).mkString(","))
+    val shape = implicitShape(cube)
+    val sIn = rowMajorStrides(shape)
+    val byName = dims.map(_.name).zipWithIndex.toMap
+    val perm = order.map(byName) // perm(j) = input axis at output pos j
+    if (perm == perm.indices.toSeq) return bump(cube, "oph_permute")
+    val outShape = perm.map(shape)
+    val sOut = rowMajorStrides(outShape)
+    val total = shape.product
     val m = cube.desc.measure
-    def dimIndex(i0: Column): Column =
-      if (alongOuter) floor(i0 / n2.toInt).cast("long") + 1
-      else pmod(i0, lit(n2.toInt)).cast("long") + 1
+    def srcIdx(k: Column): Column =
+      perm.indices.map { j =>
+        imod(idiv(k, sOut(j)), outShape(j)) * lit(sIn(perm(j)))
+      }.reduce(_ + _)
+    val out = cube.df.withColumn(m,
+      transform(sequence(lit(0L), lit(total - 1)), k =>
+        element_at(cube.df(m), (srcIdx(k) + 1).cast("int"))))
+    Cube(out, cube.desc.copy(implicitDims = perm.map(dims),
+      level = cube.desc.level + 1, sourceTask = Some("oph_permute")))
+  }
+
+  /** oph_reduce2 along ONE named implicit axis of an n-implicit-dim
+    * cube: for each surviving cell, gather the reduced axis with a
+    * strided `element_at` walk and fold it with `reduceExpr`. The
+    * surviving dims keep their row-major order. Rank 1 degenerates to
+    * plain `reduce` (scalar measure out). */
+  def reduceN(cube: Cube, dim: String, op: String): Cube = {
+    val dims = cube.desc.implicitDims
+    val r = dims.indexWhere(_.name == dim)
+    require(r >= 0, s"no implicit dim '$dim'")
+    if (dims.size == 1) return reduce(cube, op)
+    val shape = implicitShape(cube)
+    val sIn = rowMajorStrides(shape)
+    val nR = shape(r); val sR = sIn(r)
+    val outAxes = dims.indices.filterNot(_ == r)
+    val outShape = outAxes.map(shape)
+    val sOut = rowMajorStrides(outShape)
+    val total = outShape.product
+    val m = cube.desc.measure
+    def baseIdx(k: Column): Column =
+      outAxes.indices.map { j =>
+        imod(idiv(k, sOut(j)), outShape(j)) * lit(sIn(outAxes(j)))
+      }.reduce(_ + _)
+    val out = cube.df.withColumn(m,
+      transform(sequence(lit(0L), lit(total - 1)), k =>
+        reduceExpr(transform(sequence(lit(0L), lit(nR - 1)), t =>
+          element_at(cube.df(m), (baseIdx(k) + t * sR + 1).cast("int"))), op)))
+    Cube(out, cube.desc.copy(implicitDims = outAxes.map(dims),
+      level = cube.desc.level + 1, sourceTask = Some("oph_reduce2")))
+  }
+
+  /** Per-axis index subset of an n-implicit-dim cube: keep flattened
+    * positions whose index along `dim` matches the subset spec, and
+    * shrink that axis's shape metadata to the kept count. */
+  def subsetImplicitN(cube: Cube, dim: String, filterStr: String): Cube = {
+    val dims = cube.desc.implicitDims
+    val r = dims.indexWhere(_.name == dim)
+    require(r >= 0, s"no implicit dim '$dim'")
+    val shape = implicitShape(cube)
+    val sIn = rowMajorStrides(shape)
+    val nR = shape(r); val sR = sIn(r)
+    val spec = Subset.parse(filterStr, Some(nR))
+    val m = cube.desc.measure
     val df = cube.df.withColumn(m,
       filter(cube.df(m), (_: Column, i0: Column) =>
-        spec.toLambda(dimIndex(i0))))
-    val kept = spec.indices.count(i => i >= 1 &&
-      i <= (if (alongOuter) n1 else n2))
-    val newDims =
-      if (alongOuter) Seq(d1.copy(size = Some(kept.toLong)), d2)
-      else Seq(d1, d2.copy(size = Some(kept.toLong)))
+        spec.toLambda(imod(idiv(i0, sR), nR) + 1)))
+    val kept = spec.indices.count(i => i >= 1 && i <= nR)
+    val newDims = dims.updated(r, dims(r).copy(size = Some(kept.toLong)))
     Cube(df, cube.desc.copy(implicitDims = newDims,
       level = cube.desc.level + 1, sourceTask = Some("oph_subset")))
   }
@@ -527,36 +610,16 @@ object CubeOps {
         reduceExpr(transform(sequence(lit(0), lit(n1 - 1)),
           i => element_at(arr, (i * n2 + j + 1).cast("int"))), op))
 
-  /** oph_reduce2 at the cube level: reduce along a NAMED implicit dim
-    * of a 2-implicit-dim cube; the surviving dim keeps its spec. */
-  def reduce2(cube: Cube, dim: String, op: String): Cube = {
-    require(cube.desc.implicitDims.size == 2,
-      s"reduce2 expects 2 implicit dims, got ${cube.desc.implicitDims.size}")
-    val Seq(d1, d2) = cube.desc.implicitDims
-    val n1 = d1.size.getOrElse(
-      throw new IllegalArgumentException(s"dim ${d1.name} has no size")).toInt
-    val n2 = d2.size.getOrElse(
-      throw new IllegalArgumentException(s"dim ${d2.name} has no size")).toInt
-    val alongInner = dim == d2.name
-    require(alongInner || dim == d1.name, s"no implicit dim '$dim'")
-    val m = cube.desc.measure
-    val out = cube.df.withColumn(m,
-      reduceAlong2(cube.df(m), n1, n2, alongInner, op))
-    Cube(out, cube.desc.copy(
-      implicitDims = Seq(if (alongInner) d1 else d2),
-      level = cube.desc.level + 1, sourceTask = Some("oph_reduce2")))
-  }
+  /** oph_reduce2 at the cube level: reduce along a NAMED implicit dim;
+    * the surviving dims keep their specs. Delegates to the n-D path. */
+  def reduce2(cube: Cube, dim: String, op: String): Cube =
+    reduceN(cube, dim, op)
 
   /** oph_permute for a 2-implicit-dim cube: swap the dims (transpose
-    * each in-cell array). */
+    * each in-cell array). Delegates to the n-D permutation. */
   def permute2(cube: Cube): Cube = {
     require(cube.desc.implicitDims.size == 2, "permute2 expects 2 implicit dims")
-    val Seq(d1, d2) = cube.desc.implicitDims
-    val n1 = d1.size.get.toInt; val n2 = d2.size.get.toInt
-    val m = cube.desc.measure
-    Cube(cube.df.withColumn(m, transpose2(cube.df(m), n1, n2)),
-      cube.desc.copy(implicitDims = Seq(d2, d1),
-        level = cube.desc.level + 1, sourceTask = Some("oph_permute")))
+    permuteN(cube, cube.desc.implicitDims.map(_.name).reverse)
   }
 
   /** Deterministic synthetic 2-implicit-dim cube (shape n1 x n2). */
