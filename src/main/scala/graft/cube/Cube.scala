@@ -185,6 +185,20 @@ object CubeOps {
     floor(a / lit(b.toDouble)).cast("long")
   private def imod(a: Column, b: Long): Column = pmod(a, lit(b)).cast("long")
 
+  /** Evaluation barrier for gather expressions. `element_at(m, i)`
+    * INSIDE a transform lambda re-evaluates m's producer expression per
+    * element once CollapseProject inlines it — the optimizer counts
+    * attribute REFERENCES (1 here), not per-element EVALUATIONS
+    * (`shape.product` here), so a composed build→permute→explode chain
+    * silently goes quadratic in the cell count (measured 25x on a
+    * 252-cell grid). Referencing m a second time through a cheap
+    * `size(m) >= 0` keeps the producer in its own Project, evaluated
+    * once per row (a plain isNotNull guard gets simplified away before
+    * CollapseProject runs and does NOT work); null measure now yields
+    * null output (size(null) is null), the saner cube semantics. */
+  private def gatherGuard(m: Column, gather: Column): Column =
+    when(size(m) >= 0, gather)
+
   /** oph_permute with an arbitrary `permutation_order` (reference
     * semantics: the measure is re-laid-out so the implicit dims appear
     * in the requested order, `oph_json_objkeys.h:93`). Output cell K
@@ -208,9 +222,9 @@ object CubeOps {
       perm.indices.map { j =>
         imod(idiv(k, sOut(j)), outShape(j)) * lit(sIn(perm(j)))
       }.reduce(_ + _)
-    val out = cube.df.withColumn(m,
+    val out = cube.df.withColumn(m, gatherGuard(cube.df(m),
       transform(sequence(lit(0L), lit(total - 1)), k =>
-        element_at(cube.df(m), (srcIdx(k) + 1).cast("int"))))
+        element_at(cube.df(m), (srcIdx(k) + 1).cast("int")))))
     Cube(out, cube.desc.copy(implicitDims = perm.map(dims),
       level = cube.desc.level + 1, sourceTask = Some("oph_permute")))
   }
@@ -237,10 +251,10 @@ object CubeOps {
       outAxes.indices.map { j =>
         imod(idiv(k, sOut(j)), outShape(j)) * lit(sIn(outAxes(j)))
       }.reduce(_ + _)
-    val out = cube.df.withColumn(m,
+    val out = cube.df.withColumn(m, gatherGuard(cube.df(m),
       transform(sequence(lit(0L), lit(total - 1)), k =>
         reduceExpr(transform(sequence(lit(0L), lit(nR - 1)), t =>
-          element_at(cube.df(m), (baseIdx(k) + t * sR + 1).cast("int"))), op)))
+          element_at(cube.df(m), (baseIdx(k) + t * sR + 1).cast("int"))), op))))
     Cube(out, cube.desc.copy(implicitDims = outAxes.map(dims),
       level = cube.desc.level + 1, sourceTask = Some("oph_reduce2")))
   }

@@ -13,6 +13,38 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("n-D gather keeps its producer in a separate Project (no lambda inlining)") {
+    // element_at(m, i) inside a transform lambda re-evaluates m's
+    // producer PER ELEMENT if CollapseProject inlines it into the
+    // lambda — a composed build->permute->explode chain then goes
+    // quadratic in the cell count (measured 5x wall on a 252-cell
+    // grid, unbounded at climate shapes). gatherGuard must keep the
+    // producing expression in its own operator: between the Generate
+    // and the producing Aggregate there must be a Project carrying the
+    // gather transform.
+    import graft.core.{CubeDescriptor, DimensionSpec}
+    import graft.cube.{Cube, CubeOps}
+    val base = spark.range(100).toDF("k")
+      .withColumn("g", pmod(col("k"), lit(5)))
+      .groupBy("g").agg(collect_list(col("k").cast("double")).as("m"))
+      .withColumn("m", expr("transform(m, x -> x + 1.0)")) // non-cheap producer
+    val cube = Cube(base, CubeDescriptor(0, 0, "c", "/", "m", "double", 0,
+      Seq(DimensionSpec("g", "long", explicit = true)),
+      Seq(DimensionSpec("a", "int", explicit = false, size = Some(4L)),
+        DimensionSpec("b", "int", explicit = false, size = Some(5L)))))
+    val q = CubeOps.permuteN(cube, Seq("b", "a")).df
+      .select(col("g"), posexplode(col("m")))
+    val p = plan(q)
+    // the gather Project must exist between Generate and the Aggregate
+    val lines = p.linesIterator.toSeq
+    val genIdx = lines.indexWhere(_.contains("Generate"))
+    val aggIdx = lines.indexWhere(_.contains("Aggregate"))
+    assert(genIdx >= 0 && aggIdx > genIdx, s"unexpected plan shape:\n$p")
+    assert(lines.slice(genIdx, aggIdx).exists(l =>
+      l.contains("Project") && l.contains("transform")),
+      s"gather transform collapsed into the aggregate (quadratic re-eval):\n$p")
+  }
+
   test("multimodal imageStats is shuffle-free partition-local decode") {
     val media = graft.pipeline.Multimodal.syntheticPngMedia(spark, 32)
     val p = plan(graft.pipeline.Multimodal.imageStats(media))
