@@ -1306,6 +1306,62 @@ object SparkEntry {
         .agg(round(sum(col("price")), 2).as("s"))
     }),
 
+    "netcdf4_3d_pipeline" -> ((s, dir) => {
+      // the full 3-D climate path through the ENGINE: NetCDF-4 import
+      // of a (time x lat x lon) variable with CF time + coordinate
+      // axes, a coord subset on time, index subsets on BOTH implicit
+      // axes, reduce along lon, distributed NetCDF-4 export, DSv2
+      // read-back — the hash checks every layer at once (n-D build,
+      // stride subsets, strided reduce, axis-coordinate flatten,
+      // epoch-day date encoding, chunked HDF5 write+read)
+      val (nt, nlat, nlon) = (16, 6, 10)
+      val vals = Array.tabulate(nt * nlat * nlon) { k =>
+        val t = k / (nlat * nlon); val la = (k / nlon) % nlat; val lo = k % nlon
+        ((t * 37 + la * 11 + lo * 5) % 89 + 0.5)
+      }
+      val f = java.io.File.createTempFile("graft_3d", ".nc4")
+      f.deleteOnExit()
+      graft.sources.NetCDF4.write(f.getPath,
+        dims = Seq(graft.sources.NetCDF3.Dim("time", nt),
+          graft.sources.NetCDF3.Dim("lat", nlat),
+          graft.sources.NetCDF3.Dim("lon", nlon)),
+        vars = Seq(
+          ("time", Seq(0), Array.tabulate(nt)(_.toDouble)),
+          ("lat", Seq(1), Array.tabulate(nlat)(i => -75.0 + 30 * i)),
+          ("lon", Seq(2), Array.tabulate(nlon)(i => 36.0 * i)),
+          ("tas", Seq(0, 1, 2), vals)),
+        varAtts = Map("time" -> Seq("units" -> "days since 2000-01-01")))
+      val outF = java.io.File.createTempFile("graft_3d_out", ".nc4")
+      outF.delete(); outF.deleteOnExit()
+      val eng = new graft.workflow.Engine(s, new graft.core.Catalog("sess"))
+      eng.run(graft.workflow.Workflow.parse(s"""{
+        "name": "wf", "tasks": [
+          {"name": "imp", "operator": "oph_importnc",
+           "arguments": ["src_path=${f.getPath}", "measure=tas",
+             "exp_dim=time", "imp_dim=lat|lon", "container=clim"]},
+          {"name": "subt", "operator": "oph_subset",
+           "arguments": ["subset_dims=time", "subset_type=coord",
+             "subset_filter=2000-01-03:2000-01-12"],
+           "dependencies": [{"task": "imp", "type": "single"}]},
+          {"name": "subla", "operator": "oph_subset",
+           "arguments": ["subset_dims=lat", "subset_filter=2:5"],
+           "dependencies": [{"task": "subt", "type": "single"}]},
+          {"name": "sublo", "operator": "oph_subset",
+           "arguments": ["subset_dims=lon", "subset_filter=1:2:9"],
+           "dependencies": [{"task": "subla", "type": "single"}]},
+          {"name": "red", "operator": "oph_reduce2",
+           "arguments": ["dim=lon", "operation=avg"],
+           "dependencies": [{"task": "sublo", "type": "single"}]},
+          {"name": "exp", "operator": "oph_exportnc2",
+           "arguments": ["output_path=${outF.getPath}"],
+           "dependencies": [{"task": "red", "type": "single"}]}
+        ]}"""))
+      s.read.format("netcdf4").load(outF.getPath)
+        .select(col("time").cast("long").as("t_days"),
+          col("lat").cast("double").as("lat"),
+          round(col("tas"), 4).as("tas"))
+    }),
+
     "netcdf_record_roundtrip" -> ((s, dir) => {
       // record-dimension (UNLIMITED) round-trip: the same orders slice
       // written as TWO record variables over a record dim — the
@@ -2165,6 +2221,21 @@ object SparkEntry {
          FROM prio CROSS JOIN years CROSS JOIN months
          LEFT JOIN agg ON agg.p = prio.p AND agg.y = years.y
            AND agg.m = months.m""",
+
+    "netcdf4_3d_pipeline" ->
+      """WITH t AS (SELECT i AS ti FROM range(16) r(i)),
+         la AS (SELECT i AS lai FROM range(6) r(i)),
+         lo AS (SELECT i AS loi FROM range(10) r(i)),
+         cells AS (
+           SELECT ti, lai, loi,
+                  CAST((ti*37 + lai*11 + loi*5) % 89 + 0.5 AS DOUBLE) AS v
+           FROM t CROSS JOIN la CROSS JOIN lo)
+         SELECT CAST(10957 + ti AS BIGINT) AS t_days,
+                CAST(-75.0 + 30*lai AS DOUBLE) AS lat,
+                round(avg(v), 4) AS tas
+         FROM cells
+         WHERE ti BETWEEN 2 AND 11 AND lai BETWEEN 1 AND 4 AND loi % 2 = 0
+         GROUP BY 1, 2""",
 
     "permute3_order" ->
       """WITH years AS (SELECT 1995 + i AS y, i + 1 AS ypos FROM range(7) t(i)),

@@ -37,10 +37,13 @@ final case class Cube(df: DataFrame, desc: CubeDescriptor) {
   def explicitDimNames: Seq[String] = desc.explicitDims.map(_.name)
 
   /** Relational (long-form) view: implicit dims exploded back to rows.
-    * Used to hand results to SQL-facing consumers and the oracle. */
+    * Used to hand results to SQL-facing consumers and the oracle.
+    * Rank 1 zips the cell-aligned companion array; rank >= 2 decodes
+    * the row-major flat index per axis and looks the value up in the
+    * axis-aligned `__dim_<name>` array (1-based index when absent). */
   def flatten: DataFrame =
     if (!hasImplicit) df
-    else {
+    else if (desc.implicitDims.size == 1) {
       val dim = desc.implicitDims.head.name
       val cols = explicitDimNames.map(col) ++ Seq(
         col("__x.i").as(dim), col("__x.v").as(desc.measure))
@@ -48,6 +51,27 @@ final case class Cube(df: DataFrame, desc: CubeDescriptor) {
           explode(arrays_zip(col(s"__dim_$dim").as("i"),
             col(desc.measure).as("v"))).as("__x"): _*)
         .select(cols: _*)
+    } else {
+      val dims = desc.implicitDims
+      val shape = dims.map(_.size.getOrElse(throw new IllegalArgumentException(
+        s"flatten: dim ${dims.find(_.size.isEmpty).get.name} has no size")))
+      val strides = shape.scanRight(1L)(_ * _).tail
+      val exploded = df.select(
+        (explicitDimNames.map(col) ++
+          dims.map(_.name).filter(n => df.columns.contains(s"__dim_$n"))
+            .map(n => col(s"__dim_$n"))) :+
+          posexplode(col(desc.measure)).as(Seq("__k", "__v")): _*)
+      val axisCols = dims.zipWithIndex.map { case (d, j) =>
+        val idx0 = pmod(floor(col("__k") / lit(strides(j).toDouble))
+          .cast("long"), lit(shape(j)))
+        val c =
+          if (df.columns.contains(s"__dim_${d.name}"))
+            element_at(col(s"__dim_${d.name}"), (idx0 + 1).cast("int"))
+          else idx0 + 1
+        c.as(d.name)
+      }
+      exploded.select(explicitDimNames.map(col) ++ axisCols :+
+        col("__v").as(desc.measure): _*)
     }
 }
 
@@ -76,9 +100,29 @@ object CubeOps {
       explicitDims: Seq[String],
       implicitDim: Option[String],
       container: String,
+      source: String): Cube =
+    buildN(raw, measure, explicitDims, implicitDim.toSeq, container, source)
+
+  /** Build with ANY number of implicit dims. Rank >= 2 serializes the
+    * cell in row-major order of the dim tuple (array_sort on the
+    * lexicographic struct), keeps one axis-aligned `__dim_<name>`
+    * coordinate array per implicit dim, and records per-axis sizes as
+    * shape metadata (one small distinct-count job at import — the
+    * reference's importnc is an eager fragment materialization too,
+    * `src/oph_json/oph_json_objkeys.h:114`). The grid must be dense:
+    * a ragged group fails loudly at action time via raise_error. */
+  def buildN(
+      raw: DataFrame,
+      measure: String,
+      explicitDims: Seq[String],
+      implicitDims: Seq[String],
+      container: String,
       source: String): Cube = {
-    val df = implicitDim match {
-      case Some(id) =>
+    var sizes: Map[String, Long] = Map.empty
+    val df = implicitDims match {
+      case Seq() =>
+        raw.select((explicitDims :+ measure).map(col): _*)
+      case Seq(id) =>
         // One shuffle on the explicit dims; array_sort on the (i, v)
         // structs gives a deterministic in-cell order by dim value.
         raw.groupBy(explicitDims.map(col): _*)
@@ -87,14 +131,35 @@ object CubeOps {
           .withColumn(measure, expr("transform(__kv, x -> x.v)"))
           .withColumn(s"__dim_$id", expr("transform(__kv, x -> x.i)"))
           .drop("__kv")
-      case None =>
-        raw.select((explicitDims :+ measure).map(col): _*)
+      case many =>
+        val sizeRow = raw.select(
+          many.map(d => countDistinct(col(d)).as(d)): _*).head()
+        sizes = many.zipWithIndex
+          .map { case (d, i) => d -> sizeRow.getLong(i) }.toMap
+        val total = sizes.values.product
+        val kvFields = many.zipWithIndex.map { case (d, i) =>
+          col(d).as(s"d$i") } :+ col(measure).as("__v")
+        val grouped = raw.groupBy(explicitDims.map(col): _*)
+          .agg(array_sort(collect_list(struct(kvFields: _*))).as("__kv"))
+        val withM = grouped.withColumn(measure,
+          when(size(col("__kv")) === lit(total),
+            expr("transform(__kv, x -> x.__v)"))
+            .otherwise(raise_error(concat(
+              lit(s"buildN: group is not a dense ${many.mkString("x")} grid" +
+                s" (expected $total cells, got "),
+              size(col("__kv")).cast("string"), lit(")")))))
+        val withDims = many.zipWithIndex.foldLeft(withM) { case (d2, (d, i)) =>
+          d2.withColumn(s"__dim_$d",
+            array_sort(array_distinct(expr(s"transform(__kv, x -> x.d$i)"))))
+        }
+        withDims.drop("__kv")
     }
     val mType = raw.schema(measure).dataType
     val eDims = explicitDims.map(d =>
       DimensionSpec(d, SparkTypeName(raw.schema(d).dataType), explicit = true))
-    val iDims = implicitDim.toSeq.map(d =>
-      DimensionSpec(d, SparkTypeName(raw.schema(d).dataType), explicit = false))
+    val iDims = implicitDims.map(d =>
+      DimensionSpec(d, SparkTypeName(raw.schema(d).dataType),
+        explicit = false, size = sizes.get(d)))
     Cube(df, CubeDescriptor(
       id = 0, containerId = 0, container = container, path = "/",
       measure = measure, measureType = SparkTypeName(mType), level = 0,
@@ -255,6 +320,7 @@ object CubeOps {
       transform(sequence(lit(0L), lit(total - 1)), k =>
         reduceExpr(transform(sequence(lit(0L), lit(nR - 1)), t =>
           element_at(cube.df(m), (baseIdx(k) + t * sR + 1).cast("int"))), op))))
+      .drop(s"__dim_${dims(r).name}") // axis-aligned coords die with the axis
     Cube(out, cube.desc.copy(implicitDims = outAxes.map(dims),
       level = cube.desc.level + 1, sourceTask = Some("oph_reduce2")))
   }
@@ -266,14 +332,23 @@ object CubeOps {
     val dims = cube.desc.implicitDims
     val r = dims.indexWhere(_.name == dim)
     require(r >= 0, s"no implicit dim '$dim'")
+    if (dims.size == 1) // rank 1: cell-aligned companions filter with m
+      return subsetImplicit(cube, filterStr, dims.head.size)
     val shape = implicitShape(cube)
     val sIn = rowMajorStrides(shape)
     val nR = shape(r); val sR = sIn(r)
     val spec = Subset.parse(filterStr, Some(nR))
     val m = cube.desc.measure
-    val df = cube.df.withColumn(m,
+    var df = cube.df.withColumn(m,
       filter(cube.df(m), (_: Column, i0: Column) =>
         spec.toLambda(imod(idiv(i0, sR), nR) + 1)))
+    // rank >= 2 keeps axis-aligned coordinate arrays: slice the subset
+    // axis's by POSITION with the same spec (rank 1's cell-aligned
+    // companion is handled by subsetImplicit)
+    if (dims.size > 1 && df.columns.contains(s"__dim_${dims(r).name}"))
+      df = df.withColumn(s"__dim_${dims(r).name}",
+        filter(df(s"__dim_${dims(r).name}"), (_: Column, i0: Column) =>
+          spec.toLambda(i0 + 1)))
     val kept = spec.indices.count(i => i >= 1 && i <= nR)
     val newDims = dims.updated(r, dims(r).copy(size = Some(kept.toLong)))
     Cube(df, cube.desc.copy(implicitDims = newDims,

@@ -1281,7 +1281,11 @@ final class Engine(
         val paths = path.split('|').toSeq.map(resolvePath) // importncs: multi-file, one cube
         val measure = args.getOrElse("measure", "measure")
         val exp = args.get("exp_dim").map(_.split('|').toSeq).getOrElse(Seq.empty)
-        val imp = args.get("imp_dim")
+        // imp_dim accepts a '|'-separated list: 2+ names build an
+        // n-implicit-dim cube (row-major in-cell layout + shape
+        // metadata), the reference's n-D data model
+        val imp = args.get("imp_dim").map(_.split('|').toSeq.filter(_.nonEmpty))
+          .getOrElse(Seq.empty)
         // dispatch on magic, not extension: NetCDF-4/HDF5 archives are
         // routinely named plain `.nc`
         val isNc = op != "oph_importcsv" &&
@@ -1312,7 +1316,7 @@ final class Engine(
             val standard = Seq("standard", "gregorian", "proleptic_gregorian")
               .contains(calendar)
             val view = graft.sources.NcView.open(paths.head)
-            (exp ++ imp.toSeq).foldLeft(raw) { (df, d) =>
+            (exp ++ imp).foldLeft(raw) { (df, d) =>
               view.varAtts.getOrElse(d, Seq.empty)
                 .collectFirst { case ("units", CfUnits(unit, base, _)) =>
                   (unit, base)
@@ -1351,7 +1355,7 @@ final class Engine(
               }
             }
           }
-        val built = CubeOps.build(timeConverted, measure, exp, imp,
+        val built = CubeOps.buildN(timeConverted, measure, exp, imp,
           args.getOrElse("container", "container"), path)
         // subset at import (reference importnc subset_dims/subset_filter/
         // subset_type args): same semantics as a follow-up oph_subset,
@@ -1449,8 +1453,9 @@ final class Engine(
         val (pid, c) = needCube()
         val operation = args.getOrElse("operation", "avg")
         val out = args.get("dim") match {
-          case Some(d) if c.desc.implicitDims.size == 2 =>
-            CubeOps.reduce2(c, d, operation) // reduce along the named dim
+          case Some(d) if c.desc.implicitDims.size >= 2 &&
+              c.desc.implicitDims.exists(_.name == d) =>
+            CubeOps.reduceN(c, d, operation) // reduce along the named dim
           case _ =>
             CubeOps.reduce(c, operation, args.get("group_size").map(_.toInt))
         }
@@ -1550,14 +1555,8 @@ final class Engine(
             throw new Engine.EngineError(
               s"permute: '$op' order ${want.mkString(",")} does not match " +
                 s"implicit dims ${dimNames.mkString(",")}")
-          case Some(_) if dimNames.size == 2 =>
-            CubeOps.permute2(c) // the only non-identity 2-dim order
           case Some(want) =>
-            // a valid >2-dim permutation we cannot express — error, do
-            // NOT silently substitute a reverse
-            throw new Engine.EngineError(
-              s"permute: order ${want.mkString(",")} unsupported " +
-                "(identity and 2-dim transpose only)")
+            CubeOps.permuteN(c, want) // any rank, any order
           case None if op == "oph_permute2" || dimNames.size == 2 =>
             CubeOps.permute2(c)
           case None => CubeOps.permuteReverse(c)
@@ -2399,11 +2398,11 @@ final class Engine(
     if (filterOpt.isEmpty) c
     else {
       val filter = filterOpt.get
-      if (c.desc.implicitDims.size == 2 &&
+      if (c.desc.implicitDims.size >= 2 &&
           c.desc.implicitDims.exists(_.name == dims))
-        // 2-implicit-dim cube: per-dim stride filter, NOT the flat
+        // multi-implicit-dim cube: per-dim stride filter, NOT the flat
         // head-dim filter (wrong per-dim semantics otherwise)
-        CubeOps.subsetImplicit2(c, dims, filter)
+        CubeOps.subsetImplicitN(c, dims, filter)
       else if (dims.isEmpty || c.desc.implicitDims.exists(_.name == dims))
         CubeOps.subsetImplicit(c, filter,
           c.desc.implicitDims.headOption.flatMap(_.size))

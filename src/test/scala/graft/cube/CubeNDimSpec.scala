@@ -126,6 +126,56 @@ class CubeNDimSpec extends SparkSpec {
     assert(cell(red).size == 2 * 4)
   }
 
+  test("buildN serializes a dense 2-D grid row-major with axis arrays") {
+    val raw = (for { a <- Seq(10, 20); b <- Seq(1, 2, 3) }
+      yield (1L, a, b, (a * 10 + b).toDouble)).toDF("k", "a", "b", "v")
+    val c = CubeOps.buildN(raw, "v", Seq("k"), Seq("a", "b"), "t", "mem")
+    assert(CubeOps.implicitShape(c) == Seq(2L, 3L))
+    assert(cell(c) == Seq(101.0, 102.0, 103.0, 201.0, 202.0, 203.0))
+    assert(c.df.select("__dim_a").as[Seq[Int]].head() == Seq(10, 20))
+    assert(c.df.select("__dim_b").as[Seq[Int]].head() == Seq(1, 2, 3))
+    // flatten reconstructs the long form exactly
+    val flat = c.flatten.select("k", "a", "b", "v")
+      .as[(Long, Int, Int, Double)].collect().sortBy(r => (r._2, r._3))
+    assert(flat.toSeq == raw.as[(Long, Int, Int, Double)]
+      .collect().sortBy(r => (r._2, r._3)).toSeq)
+  }
+
+  test("buildN fails loudly on a ragged (non-dense) grid") {
+    val raw = Seq((1L, 10, 1, 1.0), (1L, 10, 2, 2.0), (1L, 20, 1, 3.0))
+      .toDF("k", "a", "b", "v") // missing (20, 2) cell
+    val c = CubeOps.buildN(raw, "v", Seq("k"), Seq("a", "b"), "t", "mem")
+    val e = intercept[Exception](c.df.collect())
+    assert(e.getMessage.contains("dense") ||
+      Option(e.getCause).exists(_.getMessage.contains("dense")))
+  }
+
+  test("buildN 3-D: subset + reduce along named axes keep coordinates") {
+    val raw = (for { t <- 1 to 4; a <- Seq(-30, 0, 30); b <- Seq(100, 110) }
+      yield (t, a, b, (t * 100 + (a + 30) + b / 10).toDouble))
+      .toDF("t", "lat", "lon", "v")
+    val c = CubeOps.buildN(raw, "v", Seq.empty, Seq("t", "lat", "lon"), "t", "mem")
+    assert(CubeOps.implicitShape(c) == Seq(4L, 3L, 2L))
+    // subset lat to the last two values by index
+    val sub = CubeOps.subsetImplicitN(c, "lat", "2:3")
+    assert(sub.df.select("__dim_lat").as[Seq[Int]].head() == Seq(0, 30))
+    assert(CubeOps.implicitShape(sub) == Seq(4L, 2L, 2L))
+    // reduce over t: output (lat 2 x lon 2), avg over the 4 times
+    val red = CubeOps.reduceN(sub, "t", "avg")
+    assert(red.desc.implicitDims.map(_.name) == Seq("lat", "lon"))
+    assert(!red.df.columns.contains("__dim_t"))
+    val got = cell(red)
+    // avg over t of t*100 + (lat+30) + lon/10 = 250 + (lat+30) + lon/10
+    val expect = for { a <- Seq(0, 30); b <- Seq(100, 110) }
+      yield 250.0 + (a + 30) + b / 10
+    assert(got == expect)
+    // flatten exposes real coordinate values, not indices
+    val flat = red.flatten.select("lat", "lon", "v")
+      .as[(Int, Int, Double)].collect().toSeq.sorted
+    assert(flat == (for { a <- Seq(0, 30); b <- Seq(100, 110) }
+      yield (a, b, 250.0 + (a + 30) + b / 10)).sorted)
+  }
+
   test("reduce2/permute2 delegate to the n-D path unchanged") {
     val (cube, vals) = ndCube(Seq(3, 5), Seq("x", "y"))
     val t = CubeOps.permute2(cube)
