@@ -94,8 +94,11 @@ object Joins {
    * [[Skew.saltedJoin]] spreads a hot key over salt buckets.
    *
    * Mechanics (cheap bucket-granularity passes + the bucketed fill):
-   *  1. per (key, bucket): the LAST right row, with [[asof]]'s exact
-   *     tie-break (lexicographic max of the (time, payload) tuple);
+   *  1. per (key, bucket) and per payload COLUMN: the last non-null
+   *     value by [[asof]]'s exact order (lexicographic (time, payload)
+   *     tuple) — per-column, not whole-row, because asof's
+   *     `last(ignoreNulls)` fills each column independently and
+   *     last-non-null composes associatively across ordered buckets;
    *  2. the state ENTERING each left bucket = plain [[asof]] of the
    *     distinct left buckets against those carries, STRICTLY at
    *     bucket granularity — this window is over per-bucket rows,
@@ -121,14 +124,18 @@ object Joins {
     def bucketOf(c: Column): Column =
       floor(c.cast("double") / bucketWidth).cast("long")
 
-    // 1. last right row per (key, bucket): lexicographic struct max
-    // reproduces asof's (time, payload) tie-break
+    // 1. per (key, bucket): matched time = max right time; each payload
+    // column = its value in the last row WHERE IT IS NON-NULL, ordered
+    // by the lexicographic (time, payload) tuple — asof's exact
+    // tie-break, applied per column like its last(ignoreNulls)
+    val rOrder = struct(col(rightTime) +: payload.map(col): _*)
     val carry = right
       .groupBy(keys.map(col) :+ bucketOf(col(rightTime)).as("__b"): _*)
-      .agg(max(struct(col(rightTime) +: payload.map(col): _*)).as("__m"))
-      .select((keys.map(col) :+ col("__b") :+
-        col(s"__m.$rightTime").as("__rt")) ++
-        payload.map(p => col(s"__m.$p").as(p)): _*)
+      .agg(max(col(rightTime)).as("__rt"),
+        payload.map(p =>
+          max(when(col(p).isNotNull, rOrder)).as(s"__m_$p")): _*)
+      .select((keys.map(col) :+ col("__b") :+ col("__rt")) ++
+        payload.map(p => col(s"__m_$p").getField(p).as(p)): _*)
 
     // 2. state entering each left bucket (strictly earlier buckets) —
     // an asof over DISTINCT buckets, not raw rows

@@ -38,17 +38,29 @@ object GraftServer {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    // user:password or user:password:admin; without any explicit admin
-    // the FIRST user gets the bit, so the manage_user surface is
-    // reachable on a fresh deployment instead of permanently 403
+    // user:password or user:password:admin; an unrecognized third field
+    // fails LOUDLY — a password containing ':' would otherwise be
+    // silently truncated at the colon
     val users = sys.env.getOrElse("GRAFT_USERS", "graft:graft:admin")
-      .split(',').toSeq.map(_.split(":", 3)).collect {
+      .split(',').toSeq.map(_.split(":", 3)).map {
         case Array(u, p) => (u, p, false)
-        case Array(u, p, flag) => (u, p, flag.equalsIgnoreCase("admin"))
+        case Array(u, p, flag) if flag.equalsIgnoreCase("admin") =>
+          (u, p, true)
+        case parts => throw new IllegalArgumentException(
+          s"GRAFT_USERS entry '${parts.headOption.getOrElse("")}:...': " +
+            "expected user:password or user:password:admin — a third " +
+            "field must be 'admin' (passwords may not contain ':')")
       }
+    // without any explicit admin the FIRST user gets the bit, so the
+    // manage_user surface is reachable on a fresh deployment instead of
+    // permanently 403 — announced loudly below since it changes behavior
     val withAdmin =
       if (users.exists(_._3)) users
       else users.zipWithIndex.map { case ((u, p, _), i) => (u, p, i == 0) }
+    if (!users.exists(_._3))
+      users.headOption.foreach { case (u, _, _) => println(
+        s"[graft-server] WARNING: no ':admin' flag in GRAFT_USERS — " +
+          s"promoting first user '$u' to admin") }
     val owner = withAdmin.headOption.map(_._1).getOrElse("graft")
     val stateDir = sys.env.get("GRAFT_STATE_DIR")
       .map(java.nio.file.Path.of(_))

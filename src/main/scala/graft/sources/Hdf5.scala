@@ -249,10 +249,12 @@ object Hdf5 {
     }
     val creationOrder = (flags & 0x4) != 0
     val msgs = ArrayBuffer.empty[(Int, Array[Byte])]
-    // (start, end) of message runs; v2 blocks end with a 4-byte checksum.
+    // (start, end) of message runs. Chunk-0 size EXCLUDES the trailing
+    // 4-byte checksum (unlike a continuation block's length, which
+    // covers its OCHK signature and checksum) — libhdf5/jHDF agree.
     // visited-set + cap: crafted continuation cycles must terminate
     val seen = scala.collection.mutable.Set.empty[Long]
-    var blocks = List((in.pos, in.pos + chunk0 - 4))
+    var blocks = List((in.pos, in.pos + chunk0))
     while (blocks.nonEmpty) {
       val (start, end) = blocks.head
       blocks = blocks.tail

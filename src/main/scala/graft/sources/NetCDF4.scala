@@ -487,7 +487,11 @@ object NetCDF4 {
         p.atts.map { case (k, v) => 0x000C -> strAttr(k, v) }
     }
 
-    // chunk B-tree geometry: leaves of <=32 entries (+ level-1 root)
+    // chunk B-tree geometry: leaves of <=32 entries (+ level-1 root).
+    // The superblock is v1 with indexed-storage K=128 so external HDF5
+    // readers size internal-node buffers at 2K=256 — a v0 superblock
+    // implies the default K=16 and libhdf5 rejects a root with >32
+    // children, making >1024-chunk files unreadable outside this repo
     val keySize = (rank: Int) => 8 + 8 * (rank + 1)
     def btreeNodeSize(rank: Int, used: Int): Int =
       24 + used * (keySize(rank) + 8) + keySize(rank)
@@ -519,7 +523,7 @@ object NetCDF4 {
 
     // ---- assign addresses; the plan must `take` blocks in the EXACT
     // emission order
-    var at = 96L // superblock
+    var at = 100L // superblock v1 (96 + indexed-storage K field)
     def take(n: Long): Long = { val a = at; at += n; a }
     val heapDataAddr = take(heapData.length)
     val heapHdrAddr = take(32)
@@ -560,11 +564,11 @@ object NetCDF4 {
       if (pos != addr) throw new Hdf5.FormatError(
         s"netcdf4 writer: $what planned @$addr, streaming @$pos")
     try {
-      // superblock v0
+      // superblock v1: like v0 plus the indexed-storage internal-node K
       val sb = new B()
       sb.raw(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
-      sb.u8(0).u8(0).u8(0).u8(0).u8(0).u8(8).u8(8).u8(0)
-      sb.u16(dsNames.size max 4).u16(16).u32(0)
+      sb.u8(1).u8(0).u8(0).u8(0).u8(0).u8(8).u8(8).u8(0)
+      sb.u16(dsNames.size max 4).u16(16).u16(128).u16(0).u32(0)
       sb.u64(0).u64(Undef).u64(eof).u64(Undef)
       sb.u64(0).u64(rootOhAddr).u32(1).u32(0).u64(gbtreeAddr).u64(heapHdrAddr)
       putBytes(sb.bytes)

@@ -102,4 +102,33 @@ class JoinsSpec extends SparkSpec {
     assert(out == Set(("eq", 10L, 1.0), ("b1", 99L, 2.0),
       ("b2", 99L, 2.0), ("b3", 99L, 2.0)))
   }
+
+  test("asofBucketed: null payloads fill per-column across bucket edges") {
+    // asof's last(ignoreNulls) fills EACH payload column independently:
+    // the latest right row may carry null px but non-null sz, and the
+    // non-null px must come from an older row — including when that
+    // older row sits in an earlier BUCKET (the carry must be
+    // per-column, not whole-row)
+    val quotes = Seq(
+      (1L, 10L, Some(1.0), Option.empty[Long]),  // px only, bucket 0
+      (1L, 80L, Option.empty[Double], Some(7L)), // sz only, later in b0
+      (1L, 250L, Option.empty[Double], Some(9L)) // sz only, bucket 2
+    ).toDF("k", "t", "px", "sz")
+    val trades = Seq((1L, 90L, "a"), (1L, 150L, "b"), (1L, 300L, "c"))
+      .toDF("k", "t", "tag")
+    for (strict <- Seq(false, true)) {
+      val plain = Joins.asof(trades, quotes, Seq("k"), "t", "t",
+        Seq("px", "sz"), strict)
+        .select($"tag", $"matched_t", $"px", $"sz")
+        .as[(String, Long, Option[Double], Option[Long])].collect().toSet
+      val bucketed = Joins.asofBucketed(trades, quotes, Seq("k"), "t", "t",
+        Seq("px", "sz"), bucketWidth = 100L, strict = strict)
+        .select($"tag", $"matched_t", $"px", $"sz")
+        .as[(String, Long, Option[Double], Option[Long])].collect().toSet
+      assert(bucketed == plain, s"strict=$strict: $bucketed vs $plain")
+      // and the fill really is column-mixed: px from t=10, sz from later
+      assert(plain == Set(("a", 80L, Some(1.0), Some(7L)),
+        ("b", 80L, Some(1.0), Some(7L)), ("c", 250L, Some(1.0), Some(9L))))
+    }
+  }
 }

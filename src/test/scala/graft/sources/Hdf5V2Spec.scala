@@ -60,7 +60,7 @@ class Hdf5V2Spec extends SparkSpec {
     msgs.u8(0x06).u16(link.length).u8(0).raw(link)
     val chunk0 = msgs.bytes
     new B().str("OHDR").u8(2).u8(0) // version 2, flags: 1-byte chunk0 size
-      .u8(chunk0.length + 4) // size of chunk 0 incl. checksum
+      .u8(chunk0.length) // size of chunk 0 EXCLUDES the trailing checksum
       .raw(chunk0).u32(0).bytes // messages + (unvalidated) checksum
   }
 
@@ -150,7 +150,7 @@ class Hdf5V2Spec extends SparkSpec {
     msgs.u8(0x02).u16(linkInfo.length).u8(0).raw(linkInfo)
     val chunk0 = msgs.bytes
     val root = new B().str("OHDR").u8(2).u8(0)
-      .u8(chunk0.length + 4).raw(chunk0).u32(0).bytes
+      .u8(chunk0.length).raw(chunk0).u32(0).bytes
     val rootAddr = 48L
     val eof = rootAddr + root.length
     val f = new B()
