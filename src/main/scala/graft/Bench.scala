@@ -1,5 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-task-end accumulation of the metrics that adjudicate a slow
+  * query: real spill vs GC pressure vs plain compute. Registered once;
+  * `snapshot` drains the running totals between queries. */
+private final class BenchDiagListener
+    extends org.apache.spark.scheduler.SparkListener {
+  private var gcMs = 0L
+  private var spillMem = 0L
+  private var spillDisk = 0L
+  private var runMs = 0L
+  override def onTaskEnd(
+      t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+    synchronized {
+      val m = t.taskMetrics
+      if (m != null) {
+        gcMs += m.jvmGCTime
+        spillMem += m.memoryBytesSpilled
+        spillDisk += m.diskBytesSpilled
+        runMs += m.executorRunTime
+      }
+    }
+  /** (gc ms, spilled mem bytes, spilled disk bytes, run ms) since last call. */
+  def snapshot(): (Long, Long, Long, Long) = synchronized {
+    val s = (gcMs, spillMem, spillDisk, runMs)
+    gcMs = 0; spillMem = 0; spillDisk = 0; runMs = 0
+    s
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,10 +53,17 @@ object Bench {
       case Some(ws) => SparkEntry.queries.filter(q => ws(q._1))
       case None => SparkEntry.queries
     }
+    val diag = new BenchDiagListener
+    spark.sparkContext.addSparkListener(diag)
+    val diags = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
+      diag.snapshot() // drop metrics from setup/the previous cleanup
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      val (gc, sm, sd, run) = diag.snapshot()
+      diags(name) =
+        s"""{"gc_ms":$gc,"spill_mem":$sm,"spill_disk":$sd,"run_ms":$run}"""
       // queries that persist intermediates (dedup signatures) must not
       // bleed cached blocks / GC pressure into later measurements;
       // clearCache only drops catalog-cached relations, so release
@@ -37,10 +73,25 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the full per-query map goes to a FILE: the driver keeps only the
+    // last ~2KB of stdout, and 110+ queries in one line overflow that
+    // window (round 6's artifact had parsed:null for exactly this
+    // reason). The stdout line stays under the window by carrying only
+    // the slowest queries plus a pointer to the committed full map.
+    val dg = diags.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"diag":$dg,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+    val slow = results.toSeq.sortBy(-_._2).take(12)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow,"nq":${results.size},"queries_file":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

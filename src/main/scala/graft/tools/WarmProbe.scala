@@ -7,7 +7,11 @@ import org.apache.spark.sql.SparkSession
   * the steady-state cost that matters at scale. Uses the same
   * count()-materialization and SPARK_GRAFT_CPUS sizing as Bench so
   * its numbers are directly comparable to the recorded floors.
-  * Usage: runMain graft.tools.WarmProbe <query> <sfDir> */
+  * Usage: runMain graft.tools.WarmProbe <query> <sfDir>
+  *    or: runMain graft.tools.WarmProbe --all <sfDir>
+  * `--all` sweeps the ENTIRE suite twice in one session and prints a
+  * JSON warm-floor map (min of the two in-session runs per query) —
+  * the full-suite ledger the round-6 verdict asked for. */
 object WarmProbe {
   def main(args: Array[String]): Unit = {
     val name = args(0); val dir = args(1)
@@ -19,16 +23,28 @@ object WarmProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def run(): Double = {
+    def run(q: String): Double = {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, dir).count()
+      graft.SparkEntry.queries(q)(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       dt
     }
-    println(f"[warmprobe] cold=${run()}%.2f warm=${run()}%.2f warm2=${run()}%.2f")
+    if (name == "--all") {
+      val qs = graft.SparkEntry.queries.keys.toSeq.sorted
+      def sweep(): Map[String, Double] = qs.map(q => q -> run(q)).toMap
+      val s1 = sweep(); val s2 = sweep()
+      val floors = qs.map(q => s"\"" + q + "\":" +
+        f"${math.min(s1(q), s2(q))}%.3f").mkString("{", ",", "}")
+      val out = s"""{"warm_floors":$floors,"sf":"$dir","cpus":$cpus}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("WARM_FLOORS.json"), out + "\n")
+      println(out)
+    } else
+      println(f"[warmprobe] cold=${run(name)}%.2f " +
+        f"warm=${run(name)}%.2f warm2=${run(name)}%.2f")
     spark.stop()
   }
 }
