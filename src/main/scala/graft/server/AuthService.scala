@@ -30,8 +30,19 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
     /** Durable credential store (reference `oph_auth.c` user table):
       * users and live tokens survive a server restart. None = memory
       * only. */
-    stateFile: Option[java.nio.file.Path] = None) {
+    stateFile: Option[java.nio.file.Path] = None,
+    /** Federated bearer validation (reference OPENID support): a
+      * Bearer/`__token__` credential that is not a locally-minted token
+      * is tried as an OpenID JWT. With `allowLocalUser` unset the
+      * deployment is federation-only and password logins are refused
+      * (`oph_execute_main.c:366` semantics). */
+    openId: Option[OpenIdService] = None) {
   import AuthService._
+
+  /** True when password (Basic) credentials are acceptable: always,
+    * unless an OIDC federation is configured WITHOUT the
+    * allow-local-user escape. */
+  private def localAllowed: Boolean = openId.forall(_.allowLocalUser)
 
   private val users =
     scala.collection.concurrent.TrieMap[String, String]() // name -> pw hash
@@ -187,7 +198,7 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
     * `host` is the remote address the attempt came from — throttling
     * is per host, never per account. */
   def login(name: String, password: String, host: String = ""): Option[String] = {
-    if (blocked(host)) return None
+    if (!localAllowed || blocked(host)) return None
     if (users.get(name).contains(hash(name, password))) {
       failures.remove(host)
       val token = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -199,7 +210,11 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
     }
   }
 
-  def checkToken(token: String): Option[String] = tokens.get(token)
+  /** Locally-minted tokens first (no network, constant time), then the
+    * OIDC validator — the reference's `oph_auth_user` local check with
+    * the token-type fallback chain (`oph_execute_main.c:343-361`). */
+  def checkToken(token: String): Option[String] =
+    tokens.get(token).orElse(openId.flatMap(_.validate(token)))
 
   /** Mint a token for an ALREADY-authenticated principal (the login
     * route verifies PASSWORD credentials via `authenticatePassword`
@@ -214,7 +229,8 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
     * and the `__token__` convention are rejected, so a leaked token
     * cannot derive fresh tokens that outlive its revocation. */
   def authenticatePassword(header: Option[String]): Option[String] =
-    header.map(_.trim).filter(_.regionMatches(true, 0, "Basic ", 0, 6))
+    header.filter(_ => localAllowed).map(_.trim)
+      .filter(_.regionMatches(true, 0, "Basic ", 0, 6))
       .flatMap { h =>
         val decoded =
           try new String(Base64.getDecoder.decode(h.substring(6).trim),
@@ -250,7 +266,7 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
         decoded.split(":", 2) match {
           case Array(TokenUser, token) => checkToken(token)
           case Array(user, password) =>
-            if (blocked(host)) None
+            if (!localAllowed || blocked(host)) None
             else if (users.get(user).contains(hash(user, password))) {
               failures.remove(host); Some(user)
             } else {

@@ -24,6 +24,12 @@ import graft.workflow.Engine
  *                      self-signed cert; '<keystore.p12>:<password>'
  *                      = HTTPS with that PKCS12 store; unset = HTTP
  *   SPARK_GRAFT_CPUS   local[] parallelism (default 32)
+ *   GRAFT_OPENID_ENDPOINT  OIDC issuer; JWKS fetched from
+ *                      <endpoint>/jwk (reference OPENID_ENDPOINT)
+ *   GRAFT_OPENID_CLIENT_ID expected token audience (optional)
+ *   GRAFT_OPENID_USER_CLAIM claim carrying the user id (default sub)
+ *   GRAFT_OPENID_ALLOW_LOCAL_USER  'no' = federation-only: password
+ *                      logins refused (default yes)
  */
 object GraftServer {
   def main(args: Array[String]): Unit = {
@@ -66,8 +72,10 @@ object GraftServer {
       .map(java.nio.file.Path.of(_))
     val engine = new Engine(spark, new Catalog("sess0001"), owner,
       sessionStateFile = stateDir.map(_.resolve("session-sess0001.json")))
+    val openId = OpenIdService.fromEnv(sys.env)
     val auth = new AuthService(
-      stateFile = stateDir.map(_.resolve("auth.tsv")))
+      stateFile = stateDir.map(_.resolve("auth.tsv")),
+      openId = openId)
     withAdmin.foreach { case (u, p, admin) => auth.addUser(u, p, admin) }
     val tls = sys.env.get("GRAFT_TLS").map {
       case "dev" => Tls.devSelfSigned()
