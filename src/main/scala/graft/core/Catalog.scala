@@ -140,6 +140,38 @@ final class Catalog(val sessionCode: String, val webServer: String = "http://loc
     trash(c.id) = c
   }
 
+  /** Move (and optionally rename) a container to another folder —
+    * oph_movecontainer (`src/oph_json/oph_json_objkeys.h:127`). The
+    * container keeps its numeric id, so cube PIDs — which embed the
+    * container id (`src/oph_massive_operations.c:346` builds
+    * `{web_server}/{id_container}/{id_datacube}`) — remain addressable
+    * after the move. `dest` naming an EXISTING folder moves the
+    * container into it under its current name; otherwise dest's last
+    * segment is the new name and its parent must already exist. */
+  def moveContainer(src: String, dest: String,
+      cwd: String = "/"): Container = synchronized {
+    val srcFull = resolve(src, cwd)
+    val slash = srcFull.lastIndexOf('/')
+    val (srcFolder, srcName) = (srcFull.take(slash), srcFull.drop(slash + 1))
+    val c = containers.values
+      .find(x => x.folder == srcFolder && x.name == srcName)
+      .getOrElse(throw new NoSuchElementException(s"container $srcFull"))
+    val destFull = resolve(dest, cwd)
+    val (dFolder, dName) =
+      if (folders.contains(destFull)) (destFull, srcName)
+      else {
+        val ds = destFull.lastIndexOf('/')
+        (destFull.take(ds), destFull.drop(ds + 1))
+      }
+    require(folders.contains(dFolder), s"no such folder: $dFolder")
+    require(!containers.values.exists(x =>
+      x.id != c.id && x.folder == dFolder && x.name == dName),
+      s"container exists: $dFolder/$dName")
+    val moved = c.copy(folder = dFolder, name = dName)
+    containers(c.id) = moved
+    moved
+  }
+
   def restoreContainer(name: String): Container = synchronized {
     val c = trash.values.find(_.name == name)
       .getOrElse(throw new NoSuchElementException(s"not in trash: $name"))

@@ -174,6 +174,29 @@ class EngineOpsSpec extends SparkSpec {
     assert(e.catalog.findContainer("c").nonEmpty)
   }
 
+  test("movecontainer keeps cube PIDs addressable (id embeds in PID)") {
+    val e = engine()
+    val pid = mk(e) // creates container "c" at the session root
+    e.runDataOperator("oph_folder", Map("command" -> "mkdir", "path" -> "/d"))
+    val r = e.runDataOperator("oph_movecontainer",
+      Map("container" -> "c", "container_output" -> "/d"))
+    assert(r.message.endsWith("/d/c"))
+    assert(e.catalog.findContainer("c").isEmpty, "gone from the root")
+    assert(e.catalog.findContainer("c", "/d").nonEmpty)
+    // the PID embeds the container ID, not its path — still resolvable
+    assert(e.cube(pid).nonEmpty)
+    assert(e.runDataOperator("oph_cubeschema", Map("cube" -> pid))
+      .status == JobStatus.Completed)
+    // rename form: last dest segment is the new name
+    e.runDataOperator("oph_movecontainer",
+      Map("container" -> "/d/c", "container_output" -> "/d/c2"))
+    assert(e.catalog.findContainer("c2", "/d").nonEmpty)
+    assert(e.cube(pid).nonEmpty)
+    // a collision at the destination fails loudly
+    mk(e) // re-creates "c" at the root
+    intercept[Exception](e.catalog.moveContainer("/d/c2", "/c"))
+  }
+
   test("instances / tasks / loggingbk report engine state") {
     val e = engine()
     mk(e)
