@@ -1575,6 +1575,19 @@ final class Engine(
         val c = catalog.restoreContainer(args.getOrElse("container", "container"))
         TaskResult(JobStatus.Completed, message = s"restored ${c.name}")
 
+      case "oph_movecontainer" =>
+        // named reference operator (`oph_json_objkeys.h:127`): move or
+        // rename a container; ids — and therefore cube PIDs, which
+        // embed the container id — survive the move
+        val src = args.getOrElse("container",
+          throw new Engine.EngineError("movecontainer: missing 'container'"))
+        val dest = args.get("container_output").orElse(args.get("dest"))
+          .getOrElse(throw new Engine.EngineError(
+            "movecontainer: missing 'container_output'"))
+        val c = catalog.moveContainer(src, dest, args.getOrElse("cwd", "/"))
+        TaskResult(JobStatus.Completed,
+          message = s"moved to ${c.folder}/${c.name}")
+
       case "oph_duplicate" =>
         val (pid, c) = needCube()
         val newPid = register(CubeOps.duplicate(c), containerOf(pid),
