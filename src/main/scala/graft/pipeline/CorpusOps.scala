@@ -132,6 +132,59 @@ object CorpusOps {
           .as("dup_frac"))
   }
 
+  /**
+   * Skew-safe [[spanDedup]]: identical output, built for a corpus where
+   * ONE boilerplate window (a shared header/footer) repeats hundreds of
+   * millions of times. The plain formulation colocates every copy of a
+   * whash in one window-function task — window functions cannot
+   * partial-aggregate, so a hot window key serializes. This variant
+   * re-aggregates EXACTLY with every group bounded:
+   *
+   *  1. pre-collapse to (id, whash, k) — group size bounded by DOC
+   *     length, never by corpus frequency;
+   *  2. whash totals from the collapsed pairs via two-phase hash
+   *     aggregation: the map-side partial sums play the salt — a hot
+   *     whash reaches the exchange as one partial row per map task;
+   *  3. whashes with >= `hotThreshold` occurrences are BY CONSTRUCTION
+   *     few (<= total_windows / T — the salting-threshold argument) and
+   *     all duplicated, so they resolve through a BROADCAST semi-join;
+   *     the anti side keeps hot keys out of the cold equi-join, whose
+   *     per-key row count is then < T on both sides.
+   *
+   * The (id, whash) aggregate feeds totals AND both marked branches, so
+   * it is PERSISTED (memory-and-disk): three consumers over one
+   * materialization of the collapsed 24-byte rows, instead of exploding
+   * the corpus three times — AQE cannot reuse the stages because the
+   * broadcast semi/anti pushdown makes each branch's subtree distinct
+   * (asserted in PlanAuditSpec). Use when telemetry shows boilerplate
+   * hot spots; the plain two-exchange form stays the default.
+   */
+  def spanDedupSalted(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 10, hotThreshold: Long = 100000L): DataFrame = {
+    require(hotThreshold >= 2, "hotThreshold must be >= 2 (hot => dup)")
+    val windows = df.select(col(idCol),
+      explode(gramHashes(col(textCol), w)).as("whash"))
+    val perDoc = windows.groupBy(col(idCol), col("whash"))
+      .agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = perDoc.groupBy(col("whash")).agg(sum(col("k")).as("cnt"))
+    val hot = totals.filter(col("cnt") >= hotThreshold).select("whash")
+    val hotMarked = perDoc
+      .join(broadcast(hot), Seq("whash"), "left_semi")
+      .withColumn("dup", lit(true)) // threshold >= 2 makes hot => dup
+    val coldMarked = perDoc
+      .join(broadcast(hot), Seq("whash"), "left_anti")
+      .join(totals.filter(col("cnt") < hotThreshold), Seq("whash"))
+      .withColumn("dup", col("cnt") > 1).drop("cnt")
+    hotMarked.unionByName(coldMarked)
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_windows"),
+        sum(when(col("dup"), col("k")).otherwise(0L)).as("n_dup_windows"))
+      .select(col(idCol), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows") / col("n_windows").cast("double"), 4)
+          .as("dup_frac"))
+  }
+
   private val urlRe = "https?://([A-Za-z0-9.-]+)"
 
   /** All URL hostnames mentioned in `text` (scheme stripped). */

@@ -87,6 +87,40 @@ class CorpusOpsSpec extends SparkSpec {
       r(2).getDouble(3) == 0.0)
   }
 
+  test("spanDedupSalted matches spanDedup exactly on a hot-boilerplate corpus") {
+    // doc texts share ONE boilerplate window (the hot key: 24 copies,
+    // >= the test threshold) plus per-doc unique windows and a
+    // cold-duplicated pair — the parity must hold across the
+    // hot-broadcast path, the cold-join path, and the unique path
+    val boiler = "standard legal footer text all rights reserved inc ltd"
+    val docs = (1L to 24L).map { i =>
+      (i, s"$boiler unique body $i with words w${i}a w${i}b w${i}c w${i}d")
+    } ++ Seq(
+      (100L, "cold duplicated sentence pair one two three four five six"),
+      (101L, "cold duplicated sentence pair one two three four five six"),
+      (102L, "entirely unique document nine eight seven six five four three"))
+    val df = docs.toDF("doc_id", "text")
+    for (w <- Seq(5, 10)) {
+      val plain = CorpusOps.spanDedup(df, "doc_id", "text", w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val salted = CorpusOps.spanDedupSalted(df, "doc_id", "text", w,
+        hotThreshold = 20L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(salted == plain, s"w=$w:\n${(salted diff plain).take(3)} | " +
+        s"${(plain diff salted).take(3)}")
+    }
+    // degenerate thresholds: everything hot / nothing hot still exact
+    val plain = CorpusOps.spanDedup(df, "doc_id", "text", 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    for (t <- Seq(2L, 1000000L)) {
+      val s2 = CorpusOps.spanDedupSalted(df, "doc_id", "text", 10, t)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(s2 == plain, s"threshold $t diverged")
+    }
+  }
+
   test("native word_gram_hashes matches the HOF formulation bit-for-bit") {
     val texts = Seq("The  quick   Brown fox jumps over the lazy dog",
       " padded   both  ends ", "one two", "single", "", "   ",
