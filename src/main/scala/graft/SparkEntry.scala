@@ -677,6 +677,33 @@ object SparkEntry {
       """)
     }),
 
+    "sql_q18" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      // TPC-H Q18 shape: top-k over a 3-table join with a groupBy +
+      // HAVING inner block. The plan this text produces — and the one
+      // to want at 100 TB — aggregates lineitem BEFORE any join
+      // (partial agg, one shuffle on l_orderkey), joins the shrunken
+      // qualifier set to orders, broadcasts customer, and takes the
+      // ORDER BY + LIMIT as TakeOrderedAndProject (per-partition top-k
+      // + driver merge, never a global sort). The ordering key is made
+      // total (orderkey tiebreak) so the top-100 set is deterministic.
+      s.sql("""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS o_orderdate,
+               o.o_totalprice,
+               CAST(round(big.sum_qty, 2) AS DOUBLE) AS sum_qty
+        FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 300) big
+        JOIN orders o ON o.o_orderkey = big.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+        LIMIT 100
+      """)
+    }),
+
     // ------------------------------------------- LLM pipeline: dedup
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
@@ -1479,6 +1506,50 @@ object SparkEntry {
         .select(col("l_orderkey"), col("val"))
     }),
 
+    "workflow_wait_input" -> ((s, dir) => {
+      // §2.A's last test-only pair driven into a HASHED result:
+      // oph_wait type=input blocks the flow until an oph_input message
+      // lands (delivered here through the engine's injectable sleeper —
+      // the first wait poll plays the second session that posts the
+      // input, deterministically), carrying TWO variables
+      // (@cut, @scale) with action=continue; a later in-flow oph_input
+      // sets @offset. The hash depends on the wait actually completing,
+      // the multi-key delivery reaching @cut in subset_filter and
+      // @scale in the apply, and the in-flow input binding @offset.
+      var engRef: graft.workflow.Engine = null
+      val eng = new graft.workflow.Engine(s, new graft.core.Catalog("sess"),
+        sleeper = _ => engRef.deliverInput(Some("gate"),
+          graft.workflow.Engine.InputMessage(
+            Seq("cut", "scale"), Seq("3", "7"), "continue")))
+      engRef = eng
+      val res = eng.run(graft.workflow.Workflow.parse(s"""{
+        "name": "wf_wait", "tasks": [
+          {"name": "imp", "operator": "oph_importnc",
+           "arguments": ["src_path=$dir/lineitem.parquet",
+             "measure=l_quantity", "exp_dim=l_orderkey",
+             "imp_dim=l_linenumber", "container=li"]},
+          {"name": "gate", "operator": "oph_wait",
+           "arguments": ["type=input"]},
+          {"name": "sub", "operator": "oph_subset",
+           "arguments": ["subset_dims=l_linenumber", "subset_filter=1:@cut"],
+           "dependencies": [{"task": "imp", "type": "single"}]},
+          {"name": "mul", "operator": "oph_apply",
+           "arguments": ["query=oph_mul_scalar(measure, @scale)"],
+           "dependencies": [{"task": "sub", "type": "single"}]},
+          {"name": "inject", "operator": "oph_input",
+           "arguments": ["key=offset", "value=5"]},
+          {"name": "mul2", "operator": "oph_apply",
+           "arguments": ["query=oph_mul_scalar(measure, @offset)"],
+           "dependencies": [{"task": "mul", "type": "single"}]}
+        ]}"""))
+      val pid = res("mul2").cubePid.get
+      eng.cube(pid).get.df
+        .select(col("l_orderkey"), explode(col("l_quantity")).as("__v"))
+        .groupBy("l_orderkey")
+        .agg(round(sum("__v"), 4).as("val"))
+        .select(col("l_orderkey"), col("val"))
+    }),
+
     "workflow_massive" -> ((s, dir) => {
       // OPH_MASSIVE end-to-end (`oph_workflow_engine.c:1002-1057`): a
       // `cube=[container=li;level=1]` filter fans oph_apply out over
@@ -1993,6 +2064,19 @@ object SparkEntry {
          HAVING sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) > 100000""",
 
+    "sql_q18" ->
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+                CAST(o.o_orderdate AS DATE) AS o_orderdate,
+                o.o_totalprice,
+                CAST(round(big.sum_qty, 2) AS DOUBLE) AS sum_qty
+         FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+               FROM lineitem GROUP BY l_orderkey
+               HAVING sum(l_quantity) > 300) big
+         JOIN orders o ON o.o_orderkey = big.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+         LIMIT 100""",
+
     "workflow_agg" ->
       """SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
          FROM lineitem WHERE l_linenumber BETWEEN 1 AND 3
@@ -2171,6 +2255,15 @@ object SparkEntry {
                     ORDER BY l_linenumber, l_quantity) AS pos
            FROM lineitem)
          SELECT l_orderkey, round(sum(l_quantity * 2), 4) AS val
+         FROM p WHERE pos <= 3 GROUP BY 1""",
+
+    "workflow_wait_input" ->
+      """WITH p AS (
+           SELECT l_orderkey, l_quantity,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_quantity) AS pos
+           FROM lineitem)
+         SELECT l_orderkey, round(sum((l_quantity * 7) * 5), 4) AS val
          FROM p WHERE pos <= 3 GROUP BY 1""",
 
     "aggregate_arrays" ->

@@ -190,6 +190,49 @@ class PlanAuditSpec extends SparkSpec {
       s"the fill window must partition by (key, __b):\n${windowLines.mkString("\n")}")
   }
 
+  test("sql_q18 plans top-k without a global sort and no cartesian") {
+    // the q18 shape at 100 TB: lineitem aggregates before any join
+    // (HAVING shrinks the qualifier set), and ORDER BY + LIMIT becomes
+    // TakeOrderedAndProject — per-partition top-k + driver merge, never
+    // a full Sort over the joined relation
+    val df = graft.SparkEntry.queries("sql_q18")(spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
+      s"q18 must stay equi-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must avoid a global sort:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.trim.startsWith("Sort") || l.contains("+- Sort ")),
+      s"no standalone global Sort may remain:\n$p")
+    // the HAVING aggregate must sit BELOW the joins (agg-then-join)
+    val lines = p.linesIterator.toSeq
+    val joinIdx = lines.lastIndexWhere(_.contains("Join"))
+    assert(lines.drop(joinIdx).exists(_.contains("Aggregate")),
+      s"lineitem must aggregate before joining:\n$p")
+  }
+
+  test("spanDedupSalted: no whash window, hot keys broadcast, reused agg") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k l")).toDF("doc_id", "text")
+    val p = plan(graft.pipeline.CorpusOps.spanDedupSalted(
+      df, "doc_id", "text", 10, hotThreshold = 100L))
+    // the skew escape: NO window function partitioned by the corpus
+    // frequency key — the hot path must be broadcast joins over the
+    // bounded (id, whash) pre-aggregate
+    assert(!p.contains("Window"),
+      s"salted form must not window over whash:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot whashes must resolve via broadcast:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"))
+    // the (id, whash) aggregate feeds three branches from ONE persisted
+    // materialization — the corpus must not explode three times
+    assert(p.contains("InMemoryTableScan"),
+      s"the pre-collapse must be persisted and re-read, not recomputed:\n$p")
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   test("netcdf filter pushdown reaches the scan as range hints") {
     val path = {
       val f = java.io.File.createTempFile("plan_push", ".nc4")
