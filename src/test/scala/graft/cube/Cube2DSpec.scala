@@ -47,10 +47,18 @@ class Cube2DSpec extends SparkSpec {
       Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
   }
 
-  test("reduce2 rejects unknown dims and 1-dim cubes") {
+  test("reduce2 rejects unknown dims; rank-1 named dim = plain reduce") {
     intercept[IllegalArgumentException](CubeOps.reduce2(cube2(), "nope", "sum"))
+    // naming the ONLY implicit dim is valid reference semantics (the
+    // pre-n-D reject was this repo's 2-dim limitation): it degenerates
+    // to the whole-array reduce
     val c1 = CubeOps.randcube(spark, 3, 4, 1)
-    intercept[IllegalArgumentException](CubeOps.reduce2(c1, "idx", "sum"))
+    val viaN = CubeOps.reduce2(c1, "idx", "sum")
+    val plain = CubeOps.reduce(c1, "sum", None)
+    assert(viaN.df.select("key", "measure").as[(Long, Double)].collect().toSet
+      == plain.df.select("key", "measure").as[(Long, Double)].collect().toSet)
+    assert(viaN.desc.implicitDims.isEmpty ||
+      viaN.desc.implicitDims.forall(_.size.contains(1L)))
   }
 
   test("randcube2 + engine reduce2 dispatch end-to-end") {
