@@ -58,7 +58,17 @@ object Hdf5 {
   sealed trait Layout
   /** addr == Undef: storage never allocated (all fill). */
   final case class Contiguous(addr: Long, size: Long) extends Layout
-  final case class Chunked(btree: Long, chunkDims: Seq[Int]) extends Layout
+  /** `index`: how chunk (origin → address) records are stored. 0 = v1
+    * B-tree (layout message v3, what netCDF-4 writers emit by default);
+    * the rest are layout-message-v4 "latest" indexes: 1 = single chunk,
+    * 2 = implicit (dense address arithmetic), 3 = fixed array,
+    * 5 = version-2 B-tree. `chunkSize0` carries the single-chunk
+    * filtered size; `noFilterPartial` mirrors the v4
+    * DONT_FILTER_PARTIAL_BOUND_CHUNKS flag (rejected when filters are
+    * present — edge chunks would decode wrongly). */
+  final case class Chunked(btree: Long, chunkDims: Seq[Int],
+      index: Int = 0, chunkSize0: Long = -1L,
+      noFilterPartial: Boolean = false) extends Layout
 
   final case class Filter(id: Int, client: Seq[Int]) // 1=deflate 2=shuffle
 
@@ -434,23 +444,61 @@ object Hdf5 {
   private def parseLayout(d: Array[Byte], path: String): Layout = {
     val b = ByteBuffer.wrap(d).order(ByteOrder.LITTLE_ENDIAN)
     val ver = b.get()
-    if (ver != 3)
-      throw new FormatError(s"$path: data layout version $ver (need 3)")
+    if (ver != 3 && ver != 4)
+      throw new FormatError(s"$path: data layout version $ver (need 3 or 4)")
+    // bound the per-chunk allocation a crafted header could demand
+    def checkDims(chunkDims: Seq[Int]): Seq[Int] = {
+      val cells = chunkDims.foldLeft(1L)((a, d) =>
+        if (d <= 0 || a > MaxChunkBytes) MaxChunkBytes + 1 else a * d)
+      if (chunkDims.exists(_ <= 0) || cells * 8 > MaxChunkBytes)
+        throw new FormatError(s"$path: implausible chunk dims $chunkDims")
+      chunkDims
+    }
     (b.get() & 0xFF) match {
       case 0 => // compact: size(2) + inline data — model as contiguous-in-msg
         throw new FormatError(s"$path: compact layout not supported")
       case 1 => Contiguous(b.getLong, b.getLong)
-      case 2 =>
+      case 2 if ver == 3 =>
         val dims = b.get() & 0xFF // rank + 1
         val btree = b.getLong
         val cd = (0 until dims).map(_ => b.getInt)
-        val chunkDims = cd.dropRight(1) // last entry = element size
-        // bound the per-chunk allocation a crafted header could demand
-        val cells = chunkDims.foldLeft(1L)((a, d) =>
-          if (d <= 0 || a > MaxChunkBytes) MaxChunkBytes + 1 else a * d)
-        if (chunkDims.exists(_ <= 0) || cells * 8 > MaxChunkBytes)
-          throw new FormatError(s"$path: implausible chunk dims $chunkDims")
-        Chunked(btree, chunkDims)
+        Chunked(btree, checkDims(cd.dropRight(1))) // last = element size
+      case 2 =>
+        // layout v4 ("latest" compat): per-index-type chunk storage
+        val flags = b.get() & 0xFF
+        val ndims = b.get() & 0xFF // rank + 1, element size last (as v3)
+        val encLen = b.get() & 0xFF
+        if (encLen < 1 || encLen > 8)
+          throw new FormatError(s"$path: layout v4 dim encoding $encLen")
+        def dimVal(): Long = {
+          var v = 0L; var i = 0
+          while (i < encLen) { v |= (b.get() & 0xFFL) << (8 * i); i += 1 }
+          v
+        }
+        val dims = Seq.fill(ndims)(dimVal())
+        val chunkDims = checkDims(dims.dropRight(1).map(_.toInt))
+        val noFilterPartial = (flags & 0x1) != 0
+        (b.get() & 0xFF) match {
+          case 1 => // single chunk; filtered variant carries size + mask
+            val sz = if ((flags & 0x2) != 0) {
+              val s = b.getLong; b.getInt; s
+            } else -1L
+            Chunked(b.getLong, chunkDims, index = 1, chunkSize0 = sz,
+              noFilterPartial = noFilterPartial)
+          case 2 => // implicit: dense unfiltered chunks, pure arithmetic
+            Chunked(b.getLong, chunkDims, index = 2,
+              noFilterPartial = noFilterPartial)
+          case 3 => // fixed array
+            b.get() // page bits (paged data blocks rejected at read)
+            Chunked(b.getLong, chunkDims, index = 3,
+              noFilterPartial = noFilterPartial)
+          case 5 => // version-2 B-tree
+            b.getInt; b.get(); b.get() // node size/split/merge (in BTHD too)
+            Chunked(b.getLong, chunkDims, index = 5,
+              noFilterPartial = noFilterPartial)
+          case t => throw new FormatError(
+            s"$path: chunk index type $t not supported")
+        }
       case c => throw new FormatError(s"$path: layout class $c")
     }
   }
@@ -579,18 +627,185 @@ object Hdf5 {
   // ----------------------------------------------------- data reading
 
   /** All chunks of a chunked dataset: (origin coords, file addr,
-    * stored byte size). Metadata-only walk of the v1 chunk B-tree. */
+    * stored byte size). Metadata-only walk of the chunk index — the v1
+    * B-tree for classic files, or the layout-v4 "latest" structures
+    * (single chunk / implicit / fixed array / v2 B-tree). */
   def chunkIndex(path: String, ds: Dataset): Seq[(Seq[Long], Long, Int)] = {
     val ch = ds.layout match {
       case c: Chunked => c
       case _ => return Seq.empty
     }
+    val unfilteredBytes = ch.chunkDims.map(_.toLong).product * ds.dtype.size
+    if (unfilteredBytes > MaxChunkBytes)
+      throw new FormatError(s"${ds.name}: chunk bytes $unfilteredBytes")
+    if (ch.noFilterPartial && ds.filters.nonEmpty)
+      throw new FormatError(s"${ds.name}: unfiltered partial edge chunks " +
+        "(DONT_FILTER_PARTIAL_BOUND_CHUNKS) not supported with filters")
     val in = new In(new RandomAccessFile(path, "r"))
     try {
       val out = ArrayBuffer.empty[(Seq[Long], Long, Int)]
-      if (defined(ch.btree)) walkChunkBtree(in, ch.btree, ds.shape.size, out)
+      if (defined(ch.btree)) ch.index match {
+        case 0 => walkChunkBtree(in, ch.btree, ds.shape.size, out)
+        case 1 => // single chunk at the recorded address
+          val sz = if (ch.chunkSize0 >= 0) ch.chunkSize0 else unfilteredBytes
+          if (sz > MaxChunkBytes)
+            throw new FormatError(s"${ds.name}: single chunk size $sz")
+          out += ((Seq.fill(ds.shape.size)(0L), ch.btree, sz.toInt))
+        case 2 => // implicit: dense row-major, address arithmetic only
+          val grid = chunkGrid(ds, ch)
+          val n = grid.product
+          var i = 0L
+          while (i < n) {
+            out += ((originOf(i, grid, ch.chunkDims),
+              ch.btree + i * unfilteredBytes, unfilteredBytes.toInt))
+            i += 1
+          }
+        case 3 => walkFixedArray(in, ch, ds, unfilteredBytes, out)
+        case 5 => walkChunkBtree2(in, ch, ds, unfilteredBytes, out)
+        case t => throw new FormatError(s"${ds.name}: chunk index type $t")
+      }
       out.toSeq
     } finally in.f.close()
+  }
+
+  /** Per-dimension chunk counts (row-major grid over the dataset). */
+  private def chunkGrid(ds: Dataset, ch: Chunked): Seq[Long] =
+    ds.shape.zip(ch.chunkDims).map { case (s, c) => (s + c - 1) / c }
+
+  /** Element-space origin of the `i`-th chunk in the row-major grid. */
+  private def originOf(i: Long, grid: Seq[Long],
+      chunkDims: Seq[Int]): Seq[Long] = {
+    val idx = new Array[Long](grid.size)
+    var rem = i
+    var d = grid.size - 1
+    while (d >= 0) { idx(d) = rem % grid(d); rem /= grid(d); d -= 1 }
+    idx.toSeq.zip(chunkDims).map { case (k, c) => k * c }
+  }
+
+  /** Fixed-array chunk index ("latest" fixed-shape datasets): FAHD
+    * header + one FADB data block of direct elements. Paged data
+    * blocks (element count past the page size) are declared
+    * unsupported rather than misread. */
+  private def walkFixedArray(in: In, ch: Chunked, ds: Dataset,
+      unfilteredBytes: Long, out: ArrayBuffer[(Seq[Long], Long, Int)]): Unit = {
+    in.seek(ch.btree)
+    if (!in.bytes(4).sameElements("FAHD".getBytes))
+      throw new FormatError(s"bad fixed-array header @${ch.btree}")
+    in.u8() // version
+    val clientId = in.u8() // 0 = unfiltered chunks, 1 = filtered
+    if (clientId != 0 && clientId != 1)
+      throw new FormatError(s"fixed array client $clientId not supported")
+    val entrySize = in.u8()
+    val pageBits = in.u8()
+    val nElmts = in.u64()
+    val dbAddr = in.u64()
+    if (nElmts > (1L << math.min(pageBits, 62)))
+      throw new FormatError("paged fixed-array chunk index not supported")
+    if (nElmts > (1L << 24))
+      throw new FormatError(s"implausible fixed-array entry count $nElmts")
+    if (!defined(dbAddr)) return
+    in.seek(dbAddr)
+    if (!in.bytes(4).sameElements("FADB".getBytes))
+      throw new FormatError(s"bad fixed-array data block @$dbAddr")
+    in.u8(); in.u8(); in.u64() // version, client id, header address
+    val grid = chunkGrid(ds, ch)
+    val szLen = entrySize - 8 - 4
+    if (clientId == 1 && (szLen < 1 || szLen > 8))
+      throw new FormatError(s"fixed array entry size $entrySize")
+    var i = 0L
+    while (i < nElmts) {
+      val addr = in.u64()
+      val sz =
+        if (clientId == 0) unfilteredBytes
+        else {
+          var s = 0L; var j = 0
+          while (j < szLen) { s |= in.u8().toLong << (8 * j); j += 1 }
+          in.u32() // filter mask
+          s
+        }
+      if (sz > MaxChunkBytes)
+        throw new FormatError(s"fixed array chunk size $sz")
+      if (defined(addr))
+        out += ((originOf(i, grid, ch.chunkDims), addr, sz.toInt))
+      i += 1
+    }
+  }
+
+  /** Version-2 B-tree chunk index (record types 10 = unfiltered,
+    * 11 = filtered): BTHD header, BTLF leaves, one BTIN level. Deeper
+    * trees (>~100k chunks in one file at default node size) are
+    * declared unsupported rather than misread. */
+  private def walkChunkBtree2(in: In, ch: Chunked, ds: Dataset,
+      unfilteredBytes: Long, out: ArrayBuffer[(Seq[Long], Long, Int)]): Unit = {
+    in.seek(ch.btree)
+    if (!in.bytes(4).sameElements("BTHD".getBytes))
+      throw new FormatError(s"bad v2 B-tree header @${ch.btree}")
+    in.u8() // version
+    val btype = in.u8()
+    if (btype != 10 && btype != 11)
+      throw new FormatError(s"v2 B-tree record type $btype is not a chunk index")
+    val nodeSize = in.u32()
+    val recSize = in.u16()
+    val depth = in.u16()
+    in.u8(); in.u8() // split / merge percents
+    val rootAddr = in.u64()
+    val rootNrec = in.u16()
+    in.u64() // total records
+    if (!defined(rootAddr)) return
+    if (depth > 1)
+      throw new FormatError(s"v2 B-tree chunk index depth $depth not supported")
+    val rank = ds.shape.size
+    val szLen = recSize - 8 - 4 - 8 * rank // filtered records only
+    if (btype == 10 && recSize != 8 + 8 * rank)
+      throw new FormatError(s"v2 B-tree record size $recSize for rank $rank")
+    if (btype == 11 && (szLen < 1 || szLen > 8))
+      throw new FormatError(s"v2 B-tree filtered record size $recSize")
+    // child-pointer record-count width: bytes for the leaf max count
+    val leafMax = (nodeSize - 10) / recSize
+    var nrecBytes = 1
+    while ((1L << (8 * nrecBytes)) <= leafMax && nrecBytes < 8) nrecBytes += 1
+    def readRecord(): Unit = {
+      val addr = in.u64()
+      val sz =
+        if (btype == 10) unfilteredBytes
+        else {
+          var s = 0L; var j = 0
+          while (j < szLen) { s |= in.u8().toLong << (8 * j); j += 1 }
+          in.u32() // filter mask
+          s
+        }
+      val scaled = Seq.fill(rank)(in.u64())
+      if (sz > MaxChunkBytes) throw new FormatError(s"v2 B-tree chunk size $sz")
+      if (defined(addr))
+        out += ((scaled.zip(ch.chunkDims).map { case (s, c) => s * c },
+          addr, sz.toInt))
+    }
+    def walkNode(addr: Long, nrec: Int, level: Int): Unit = {
+      in.seek(addr)
+      val sig = in.bytes(4)
+      val want = if (level == 0) "BTLF" else "BTIN"
+      if (!sig.sameElements(want.getBytes))
+        throw new FormatError(s"bad v2 B-tree node @$addr (want $want)")
+      in.u8() // version
+      if (in.u8() != btype)
+        throw new FormatError(s"v2 B-tree node type mismatch @$addr")
+      if (nrec > leafMax + 1)
+        throw new FormatError(s"v2 B-tree node @$addr holds $nrec records")
+      (0 until nrec).foreach(_ => readRecord())
+      if (level > 0) {
+        // child pointers follow the records: address + record count
+        val children = (0 to nrec).map { _ =>
+          val a = in.u64()
+          var n = 0L; var j = 0
+          while (j < nrecBytes) { n |= in.u8().toLong << (8 * j); j += 1 }
+          (a, n)
+        }
+        children.foreach { case (a, n) =>
+          if (defined(a)) walkNode(a, n.toInt, level - 1)
+        }
+      }
+    }
+    walkNode(rootAddr, rootNrec, depth)
   }
 
   private def walkChunkBtree(in: In, nodeAddr: Long, rank: Int,
@@ -659,13 +874,23 @@ object Hdf5 {
               f.seek(addr)
               var raw = new Array[Byte](storedSize)
               f.readFully(raw)
-              // filters apply in reverse pipeline order on read
-              ds.filters.reverse.foreach { flt =>
+              // Filters apply in reverse pipeline order on read. When
+              // fletcher32 PRECEDES deflate in the pipeline (the h5py /
+              // netcdf-c default), the deflated payload still carries
+              // the 4-byte checksum: inflate must expect it, and the
+              // checksum is verified before the strip.
+              val fl = ds.filters
+              var stage = fl.size
+              while (stage > 0) {
+                stage -= 1
+                val flt = fl(stage)
                 raw = flt.id match {
-                  case 1 => inflate(raw,
-                    chDims.map(_.toLong).product.toInt * es)
+                  case 1 =>
+                    val extra = 4 * fl.take(stage).count(_.id == 3)
+                    inflate(raw,
+                      chDims.map(_.toLong).product.toInt * es + extra)
                   case 2 => unshuffle(raw, flt.client.headOption.getOrElse(es))
-                  case 3 => raw.dropRight(4) // fletcher32: trailing checksum
+                  case 3 => fletcherStrip(raw, ds.name)
                   case id => throw new FormatError(s"filter $id not supported")
                 }
               }
@@ -750,6 +975,50 @@ object Hdf5 {
     if (off != expected)
       throw new FormatError(s"deflate chunk: got $off of $expected bytes")
     out
+  }
+
+  /** HDF5's Fletcher-32 over big-endian 16-bit words (H5checksum.c —
+    * 360-word inner blocks before each modular reduction). Public
+    * algorithm; the stored checksum trails the data little-endian. */
+  private[sources] def fletcher32(data: Array[Byte], len: Int): Long = {
+    var sum1 = 0L; var sum2 = 0L
+    var i = 0
+    var rem = len / 2
+    while (rem > 0) {
+      var tlen = math.min(rem, 360)
+      rem -= tlen
+      while (tlen > 0) {
+        sum1 += (((data(i) & 0xFF) << 8) | (data(i + 1) & 0xFF)).toLong
+        i += 2
+        sum2 += sum1
+        tlen -= 1
+      }
+      sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+      sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    }
+    if ((len & 1) == 1) {
+      sum1 += (data(i) & 0xFF).toLong << 8
+      sum2 += sum1
+      sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+      sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    }
+    sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+    sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    (sum2 << 16) | sum1
+  }
+
+  /** Verify and strip the trailing fletcher32 checksum of a chunk. */
+  private def fletcherStrip(raw: Array[Byte], what: String): Array[Byte] = {
+    if (raw.length < 4)
+      throw new FormatError(s"$what: fletcher32 chunk under 4 bytes")
+    val n = raw.length - 4
+    val stored = (raw(n) & 0xFFL) | ((raw(n + 1) & 0xFFL) << 8) |
+      ((raw(n + 2) & 0xFFL) << 16) | ((raw(n + 3) & 0xFFL) << 24)
+    val calc = fletcher32(raw, n)
+    if (calc != stored)
+      throw new FormatError(
+        f"$what: fletcher32 mismatch (stored 0x$stored%08x, computed 0x$calc%08x)")
+    java.util.Arrays.copyOf(raw, n)
   }
 
   private def unshuffle(raw: Array[Byte], es: Int): Array[Byte] = {
