@@ -402,6 +402,33 @@ object SparkEntry {
           col("__v").as("cnt"))
     }),
 
+    "apply_math_cum" -> ((s, dir) => {
+      // composed new-primitive path: per-cell cumulative sum of sin(x)
+      // (oph_math by name + the native O(n) accumulate scan)
+      val cube = liCube(s, dir)
+      val cum = cube.df.withColumn("l_quantity",
+        ArrayPrimitives("oph_accumulate(oph_math(measure, 'sin'))",
+          col("l_quantity")))
+      cum.select(col("l_orderkey"),
+          posexplode(col("l_quantity")).as(Seq("__p", "__v")))
+        .select(col("l_orderkey"), (col("__p") + 1).cast("long").as("pos"),
+          round(col("__v"), 4).as("cum_sin"))
+    }),
+
+    "apply_subarray_stats" -> ((s, dir) => {
+      // in-cell subset by index filter (stride-2 from position 1) and
+      // selected summary statistics in request order
+      val cube = liCube(s, dir)
+      val st = cube.df.withColumn("l_quantity",
+        ArrayPrimitives(
+          "oph_gsl_stats(oph_get_subarray2(measure, '1:2:end'), 'mean|max|sum')",
+          col("l_quantity")))
+      st.select(col("l_orderkey"),
+          posexplode(col("l_quantity")).as(Seq("__p", "__v")))
+        .select(col("l_orderkey"), (col("__p") + 1).cast("long").as("pos"),
+          round(col("__v"), 4).as("stat"))
+    }),
+
     "apply_fft" -> ((s, dir) => {
       // oph_gsl_fft: DFT per cell, GSL-packed [re0, im0, re1, im1, …].
       // The oracle rebuilds the same O(n^2) direct form with a
@@ -1902,6 +1929,38 @@ object SparkEntry {
                 CAST(coalesce(cnt.c, 0) AS BIGINT) AS cnt
          FROM keys k CROSS JOIN range(5) t(i)
          LEFT JOIN cnt ON cnt.l_orderkey = k.l_orderkey AND cnt.b = t.i""",
+
+    // cumulative sin via an ordered window sum, same cell order as the
+    // cube's implicit dim (l_linenumber, then value for ties)
+    "apply_math_cum" ->
+      """SELECT l_orderkey,
+                CAST(row_number() OVER w AS BIGINT) AS pos,
+                round(sum(sin(l_quantity)) OVER (PARTITION BY l_orderkey
+                  ORDER BY l_linenumber, l_quantity
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                  AS cum_sin
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_orderkey
+                      ORDER BY l_linenumber, l_quantity)""",
+
+    // stride-2 in-cell subset (positions 1,3,5,...) then mean/max/sum
+    // in request order as positions 1..3
+    "apply_subarray_stats" ->
+      """WITH cells AS (
+           SELECT l_orderkey, l_quantity,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_quantity) AS p
+           FROM lineitem),
+         sel AS (
+           SELECT l_orderkey, avg(l_quantity) AS m, max(l_quantity) AS mx,
+                  sum(l_quantity) AS sm
+           FROM cells WHERE p % 2 = 1 GROUP BY 1)
+         SELECT l_orderkey, CAST(1 AS BIGINT) AS pos, round(m, 4) AS stat
+         FROM sel
+         UNION ALL
+         SELECT l_orderkey, CAST(2 AS BIGINT), round(mx, 4) FROM sel
+         UNION ALL
+         SELECT l_orderkey, CAST(3 AS BIGINT), round(sm, 4) FROM sel""",
 
     // direct DFT rebuilt with a per-order self-join: coefficient k is
     // sum_j x_j * (cos, sin)(-2 pi k j / n), GSL-packed interleaved

@@ -23,6 +23,9 @@ object ArrayPrimitives {
   final case class Call(name: String, args: Seq[Ast]) extends Ast
   final case object Measure extends Ast
   final case class Num(value: Double) extends Ast
+  /** Quoted ('sin') or bare (sin) string argument — option names for
+    * primitives like oph_math / oph_gsl_stats / oph_get_subarray2. */
+  final case class Str(value: String) extends Ast
 
   /** Recursive-descent parse of `oph_name(a, b, oph_other(c))`. */
   def parse(s: String): Ast = {
@@ -36,13 +39,20 @@ object ArrayPrimitives {
     val t = s.dropWhile(_ == ' ')
     if (t.startsWith("measure"))
       (Measure, t.drop("measure".length))
-    else if (t.nonEmpty && (t.head.isDigit || t.head == '-' || t.head == '.')) {
+    else if (t.startsWith("'")) {
+      val end = t.indexOf('\'', 1)
+      if (end < 0)
+        throw new IllegalArgumentException(s"unterminated string at: '$t'")
+      (Str(t.substring(1, end)), t.substring(end + 1))
+    } else if (t.nonEmpty && (t.head.isDigit || t.head == '-' || t.head == '.')) {
       val (num, rest) = t.span(c => c.isDigit || c == '.' || c == '-' || c == 'e' || c == 'E')
       (Num(num.toDouble), rest)
     } else {
       val (name, afterName) = t.span(c => c.isLetterOrDigit || c == '_')
-      if (name.isEmpty || !afterName.startsWith("("))
+      if (name.isEmpty)
         throw new IllegalArgumentException(s"expected primitive call at: '$t'")
+      if (!afterName.startsWith("(")) // bare identifier = string option
+        return (Str(name), afterName)
       var rest = afterName.drop(1)
       val args = scala.collection.mutable.ArrayBuffer.empty[Ast]
       var done = rest.dropWhile(_ == ' ').startsWith(")")
@@ -65,12 +75,20 @@ object ArrayPrimitives {
   def compile(ast: Ast, measure: Column): Column = ast match {
     case Measure   => measure
     case Num(v)    => lit(v)
+    case Str(v)    => throw new IllegalArgumentException(
+      s"string option '$v' is not valid here — only specific primitives " +
+        "take string arguments")
     case Call(name, args) =>
       def a(i: Int): Column = compile(args(i), measure)
       def num(i: Int): Double = args(i) match {
         case Num(v) => v
         case other  => throw new IllegalArgumentException(
           s"$name: argument ${i + 1} must be a literal number, got $other")
+      }
+      def str(i: Int): String = args(i) match {
+        case Str(v) => v
+        case other  => throw new IllegalArgumentException(
+          s"$name: argument ${i + 1} must be a string option, got $other")
       }
       name match {
         // elementwise array -> array
@@ -184,6 +202,132 @@ object ArrayPrimitives {
                     j.cast("double") / n.cast("double")))
             array(term(cos), term(sin))
           }))
+        // math(a, fname): elementwise math function by name — the
+        // reference's oph_math surface (accepts 'sin', 'OPH_MATH_SIN',
+        // quoted or bare, case-insensitive)
+        case "oph_math" =>
+          val f = str(1).toLowerCase
+            .stripPrefix("oph_math_").stripPrefix("oph_")
+          val fn: Column => Column = f match {
+            case "sin" => sin; case "cos" => cos; case "tan" => tan
+            case "asin" => asin; case "acos" => acos; case "atan" => atan
+            case "sinh" => sinh; case "cosh" => cosh; case "tanh" => tanh
+            case "exp" => exp; case "expm1" => expm1
+            case "log" | "ln" => log; case "log1p" => log1p
+            case "log2" => log2; case "log10" => log10
+            case "sqrt" => sqrt; case "cbrt" => cbrt
+            case "abs" | "fabs" => abs
+            case "ceil" => x => ceil(x).cast("double")
+            case "floor" => x => floor(x).cast("double")
+            case "round" => x => round(x, 0)
+            case "sign" | "sgn" => x => signum(x)
+            case "square" | "sqr" => x => x * x
+            case "recip" | "inv" => x => lit(1.0) / x
+            case "degrees" => degrees; case "radians" => radians
+            case other => throw new IllegalArgumentException(
+              s"oph_math: unknown function '$other'")
+          }
+          transform(a(0), fn)
+        // elementwise pairing of two cells
+        case "oph_max_array" => zip_with(a(0), a(1), (x, y) => greatest(x, y))
+        case "oph_min_array" => zip_with(a(0), a(1), (x, y) => least(x, y))
+        // which input (1 or 2) held the extremum, elementwise
+        case "oph_arg_max_array" =>
+          zip_with(a(0), a(1), (x, y) => when(x >= y, 1.0).otherwise(2.0))
+        case "oph_arg_min_array" =>
+          zip_with(a(0), a(1), (x, y) => when(x <= y, 1.0).otherwise(2.0))
+        // mask(a, m): keep x where the mask is nonzero, else 0 (the
+        // reference's oph_mask fill)
+        case "oph_mask" =>
+          zip_with(a(0), a(1), (x, m) => when(m =!= 0.0, x).otherwise(0.0))
+        // replace(a, from, to): exact-match value rewrite; a NaN `from`
+        // replaces NaN cells (the common missing-value rewrite)
+        case "oph_replace" =>
+          val from = num(1); val to = num(2)
+          transform(a(0), x =>
+            if (from.isNaN) when(isnan(x), lit(to)).otherwise(x)
+            else when(x === lit(from), lit(to)).otherwise(x))
+        // literal vector / scalar broadcast
+        case "oph_vector" => array(args.indices.map(a): _*)
+        case "oph_scalar2array" => array_repeat(a(0), num(1).toInt)
+        // cast(a, type): value-level cast — integer targets truncate
+        // toward zero (storage stays double in this engine)
+        case "oph_cast" | "oph_convert_d" =>
+          str(1).toLowerCase.stripPrefix("oph_") match {
+            case "byte" | "short" | "int" | "long" =>
+              transform(a(0), x =>
+                when(x >= 0, floor(x)).otherwise(ceil(x)).cast("double"))
+            case "float" =>
+              transform(a(0), x => x.cast("float").cast("double"))
+            case "double" => a(0)
+            case other => throw new IllegalArgumentException(
+              s"oph_cast: unknown target type '$other'")
+          }
+        // cumulative scan: accumulate(a[, op]) op in sum|mul|max|min —
+        // native O(n) codegen pass (HOF scans are O(n^2))
+        case "oph_accumulate" | "oph_cumulative" | "oph_cumsum" =>
+          val op = if (args.length > 1) str(1).toLowerCase else "sum"
+          graft.functions.expressions.GraftExpressions.cum_op(a(0), op)
+        // inverse of accumulate(sum): first differences, first kept
+        case "oph_deaccumulate" =>
+          val arr = a(0)
+          when(size(arr) === 0, arr).otherwise(
+            zip_with(arr,
+              concat(array(lit(0.0)), slice(arr, lit(1),
+                greatest(size(arr) - 1, lit(0)))),
+              (x, p) => x - p))
+        // in-cell subset: get_subarray(a, start, size) 1-based slice
+        case "oph_get_subarray" => slice(a(0), num(1).toInt, num(2).toInt)
+        // get_subarray2(a, 'filter'): reference index-filter syntax —
+        // comma-separated 1-based parts `i`, `s:e`, `s:step:e`, with
+        // `end` for the last index; inclusive bounds
+        case "oph_get_subarray2" =>
+          val arr = a(0)
+          val parts = str(1).split(",").map(_.trim).filter(_.nonEmpty)
+          val pieces = parts.map { p =>
+            val seg = p.split(":").map(_.trim)
+            def bound(s: String): Column =
+              if (s == "end") size(arr) else lit(s.toInt)
+            val (startC, stepC, endC) = seg.length match {
+              case 1 => (bound(seg(0)), lit(1), bound(seg(0)))
+              case 2 => (bound(seg(0)), lit(1), bound(seg(1)))
+              case 3 => (bound(seg(0)), lit(seg(1).toInt), bound(seg(2)))
+              case _ => throw new IllegalArgumentException(
+                s"oph_get_subarray2: bad filter part '$p'")
+            }
+            // clamp to the cell and keep sequence() legal when empty
+            val hi = least(endC, size(arr))
+            transform(
+              when(startC <= hi, sequence(startC, hi, stepC))
+                .otherwise(array().cast("array<int>")),
+              i => element_at(arr, i))
+          }
+          pieces.reduceLeft(concat(_, _))
+        // gsl_stats(a, 'mean|std|...'): selected summary statistics in
+        // request order ('|', '+', or ';' separated tokens)
+        case "oph_gsl_stats" =>
+          val toks = str(1).toLowerCase.split("[|+;]").map(_.trim)
+            .filter(_.nonEmpty)
+          array(toks.map {
+            case "mean" | "avg" => CubeOps.reduceExpr(a(0), "avg")
+            case "variance" | "var" => CubeOps.reduceExpr(a(0), "var")
+            case "sd" | "std" => CubeOps.reduceExpr(a(0), "std")
+            case "min" => CubeOps.reduceExpr(a(0), "min")
+            case "max" => CubeOps.reduceExpr(a(0), "max")
+            case "sum" => CubeOps.reduceExpr(a(0), "sum")
+            case "absdev" => // mean absolute deviation from the mean
+              val m = CubeOps.reduceExpr(a(0), "avg")
+              CubeOps.reduceExpr(transform(a(0), x => abs(x - m)), "avg")
+            case other => throw new IllegalArgumentException(
+              s"oph_gsl_stats: unknown statistic '$other'")
+          }: _*)
+        // generic reduction by operator name (reference oph_operator)
+        case "oph_operator" =>
+          val op = str(1).toLowerCase.stripPrefix("oph_")
+          CubeOps.reduceExpr(a(0), op)
+        // aliases for names real reference queries use
+        case "oph_append" => concat(a(0), a(1))
+        case "oph_count_array" => CubeOps.reduceExpr(a(0), "count")
         // GSL aliases for reductions already in the surface
         case "oph_gsl_sd" => CubeOps.reduceExpr(a(0), "std")
         case "oph_gsl_quantile" =>

@@ -40,6 +40,83 @@ object GraftExpressions {
   def poly_hash(s: Column): Column =
     ColumnBridge.column(PolyHash(
       ColumnBridge.expression(s.cast("string"))))
+
+  /** Cumulative scan (sum/max/min/mul) over an array<double> column in
+    * one O(n) pass — the HOF formulation is O(n^2) (per-element slice
+    * + aggregate, or array-accumulator concat copying). */
+  def cum_op(arr: Column, op: String): Column =
+    ColumnBridge.column(CumOp(
+      ColumnBridge.expression(arr.cast("array<double>")), op))
+}
+
+/** One-pass cumulative scan; `op` fixed at plan time so codegen emits
+  * the bare accumulator update. Backs `oph_accumulate`. */
+case class CumOp(child: Expression, op: String)
+    extends UnaryExpression {
+  require(CumOp.ops.contains(op), s"cum_op: unknown op '$op'")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cum_op expects array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = s"graft_cum_$op"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Double](n)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = arr.getDouble(i)
+      acc =
+        if (i == 0) x
+        else op match {
+          case "sum" => acc + x
+          case "mul" => acc * x
+          case "max" => math.max(acc, x)
+          case "min" => math.min(acc, x)
+        }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      val out = ctx.freshName("out")
+      val update = op match {
+        case "sum" => s"$acc + $x"
+        case "mul" => s"$acc * $x"
+        case "max" => s"java.lang.Math.max($acc, $x)"
+        case "min" => s"java.lang.Math.min($acc, $x)"
+      }
+      s"""
+        final int $n = $arr.numElements();
+        final double[] $out = new double[$n];
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          final double $x = $arr.getDouble($i);
+          $acc = ($i == 0) ? $x : ($update);
+          $out[$i] = $acc;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CumOp =
+    copy(child = newChild)
+}
+
+object CumOp {
+  val ops: Set[String] = Set("sum", "mul", "max", "min")
 }
 
 /** One-pass ring-sum moving average; `k >= 1`. Null elements are

@@ -142,4 +142,115 @@ class ArrayPrimitivesSpec extends SparkSpec {
     val energy = got.grouped(2).map(p => p(0) * p(0) + p(1) * p(1)).sum
     assert(math.abs(energy - n * xs.map(x => x * x).sum) < 1e-9)
   }
+
+  private def approx(got: Any, exp: Seq[Double], tol: Double = 1e-12): Unit = {
+    val g = got.asInstanceOf[scala.collection.Seq[Any]]
+      .map(_.asInstanceOf[Double]).toSeq
+    assert(g.length == exp.length, s"got $g expected $exp")
+    g.zip(exp).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= tol, s"got $g expected $exp") }
+  }
+
+  test("math: function by name, quoted or reference-style") {
+    approx(eval("oph_math(measure, 'sin')", Seq(0.0, math.Pi / 2)),
+      Seq(0.0, 1.0), 1e-15)
+    approx(eval("oph_math(measure, 'OPH_MATH_LOG10')", Seq(1.0, 100.0)),
+      Seq(0.0, 2.0))
+    approx(eval("oph_math(measure, sqr)", Seq(3.0, -2.0)), Seq(9.0, 4.0))
+    approx(eval("oph_math(measure, 'floor')", Seq(1.7, -1.2)),
+      Seq(1.0, -2.0))
+    intercept[IllegalArgumentException](
+      eval("oph_math(measure, 'nope')", Seq(1.0)))
+  }
+
+  test("elementwise pairing: max/min/arg of two cells") {
+    assert(eval("oph_max_array(measure, oph_reverse(measure))",
+      Seq(1.0, 5.0, 2.0)) == Seq(2.0, 5.0, 2.0))
+    assert(eval("oph_min_array(measure, oph_reverse(measure))",
+      Seq(1.0, 5.0, 2.0)) == Seq(1.0, 5.0, 1.0))
+    assert(eval("oph_arg_max_array(measure, oph_reverse(measure))",
+      Seq(1.0, 5.0, 2.0)) == Seq(2.0, 1.0, 1.0))
+    assert(eval("oph_arg_min_array(measure, oph_reverse(measure))",
+      Seq(1.0, 5.0, 2.0)) == Seq(1.0, 1.0, 2.0))
+  }
+
+  test("mask keeps nonzero-mask cells, zeroes the rest") {
+    assert(eval("oph_mask(measure, oph_predicate(measure, 2, 1, 0))",
+      Seq(1.0, 2.0, 3.0)) == Seq(0.0, 0.0, 3.0))
+  }
+
+  test("replace rewrites exact values; NaN `from` hits NaN cells") {
+    assert(eval("oph_replace(measure, 2, 9)", Seq(1.0, 2.0, 3.0)) ==
+      Seq(1.0, 9.0, 3.0))
+    val got = eval("oph_replace(measure, 0.0, 7)", Seq(1.0, 0.0))
+    assert(got == Seq(1.0, 7.0))
+  }
+
+  test("vector / scalar2array literals") {
+    assert(eval("oph_vector(1, 2.5, 3)", Seq(0.0)) == Seq(1.0, 2.5, 3.0))
+    assert(eval("oph_scalar2array(oph_sum(measure), 3)", Seq(1.0, 2.0)) ==
+      Seq(3.0, 3.0, 3.0))
+  }
+
+  test("cast truncates toward zero for integer targets") {
+    assert(eval("oph_cast(measure, 'int')", Seq(1.7, -1.7, 2.0)) ==
+      Seq(1.0, -1.0, 2.0))
+    assert(eval("oph_cast(measure, 'double')", Seq(1.7)) == Seq(1.7))
+    intercept[IllegalArgumentException](
+      eval("oph_cast(measure, 'complex')", Seq(1.0)))
+  }
+
+  test("accumulate: native cumulative scan, all ops") {
+    assert(eval("oph_accumulate(measure)", Seq(1.0, 2.0, 3.0)) ==
+      Seq(1.0, 3.0, 6.0))
+    assert(eval("oph_cumsum(measure)", Seq(-1.0, 1.0)) == Seq(-1.0, 0.0))
+    assert(eval("oph_accumulate(measure, 'max')", Seq(1.0, 3.0, 2.0)) ==
+      Seq(1.0, 3.0, 3.0))
+    assert(eval("oph_accumulate(measure, 'min')", Seq(2.0, 1.0, 3.0)) ==
+      Seq(2.0, 1.0, 1.0))
+    assert(eval("oph_accumulate(measure, 'mul')", Seq(2.0, 3.0, 4.0)) ==
+      Seq(2.0, 6.0, 24.0))
+  }
+
+  test("deaccumulate inverts accumulate; empty cell stays empty") {
+    assert(eval("oph_deaccumulate(oph_accumulate(measure))",
+      Seq(1.0, 2.0, 3.0)) == Seq(1.0, 2.0, 3.0))
+    assert(eval("oph_deaccumulate(measure)", Seq.empty[Double]) ==
+      Seq.empty[Double])
+  }
+
+  test("get_subarray: 1-based slice; subarray2 filter syntax") {
+    assert(eval("oph_get_subarray(measure, 2, 2)",
+      Seq(1.0, 2.0, 3.0, 4.0)) == Seq(2.0, 3.0))
+    assert(eval("oph_get_subarray2(measure, '1:2,4')",
+      Seq(1.0, 2.0, 3.0, 4.0)) == Seq(1.0, 2.0, 4.0))
+    assert(eval("oph_get_subarray2(measure, '2:2:end')",
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0)) == Seq(2.0, 4.0))
+    // range past the cell clamps; fully-out-of-range part is empty
+    assert(eval("oph_get_subarray2(measure, '3:9')", Seq(1.0, 2.0, 3.0)) ==
+      Seq(3.0))
+    assert(eval("oph_get_subarray2(measure, '7:9,1')", Seq(1.0, 2.0)) ==
+      Seq(1.0))
+  }
+
+  test("gsl_stats: selected statistics in request order") {
+    approx(eval("oph_gsl_stats(measure, 'mean|max|min')",
+      Seq(1.0, 2.0, 3.0)), Seq(2.0, 3.0, 1.0))
+    approx(eval("oph_gsl_stats(measure, 'sum+absdev')",
+      Seq(1.0, 2.0, 3.0)), Seq(6.0, 2.0 / 3.0), 1e-12)
+    intercept[IllegalArgumentException](
+      eval("oph_gsl_stats(measure, 'mode')", Seq(1.0)))
+  }
+
+  test("operator: reduction by name; append/count_array aliases") {
+    assert(eval("oph_operator(measure, 'OPH_SUM')", Seq(1.0, 2.0)) == 3.0)
+    assert(eval("oph_operator(measure, max)", Seq(1.0, 5.0)) == 5.0)
+    assert(eval("oph_append(measure, measure)", Seq(1.0, 2.0)) ==
+      Seq(1.0, 2.0, 1.0, 2.0))
+    assert(eval("oph_count_array(measure)", Seq(1.0, 2.0)) == 2L)
+  }
+
+  test("string args only where a primitive expects them") {
+    intercept[IllegalArgumentException](eval("oph_abs('sin')", Seq(1.0)))
+  }
 }
