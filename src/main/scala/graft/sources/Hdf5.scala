@@ -1031,6 +1031,9 @@ object Hdf5 {
       while (i < n) { out(i * es + b) = raw(b * n + i); i += 1 }
       b += 1
     }
+    // H5Zshuffle leaves a non-multiple-of-es tail unshuffled: copy it
+    var t = n * es
+    while (t < raw.length) { out(t) = raw(t); t += 1 }
     out
   }
 }

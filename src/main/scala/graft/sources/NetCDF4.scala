@@ -130,10 +130,14 @@ object NetCDF4 {
       atts: Seq[(String, String)] = Seq.empty)
 
   /** Deflate one chunk's values (padding to the full chunk cell count
-    * — HDF5 stores full edge chunks), optionally byte-shuffled first.
-    * This is the executor-side half of the distributed export. */
+    * — HDF5 stores full edge chunks), optionally byte-shuffled first
+    * and fletcher32-checksummed (write pipeline [shuffle,] [fletcher,]
+    * deflate — the netcdf-c filter order, so external readers verify
+    * the checksum after inflate). Executor-side half of the
+    * distributed export. */
   private[sources] def compressChunk(values: Array[Double], cells: Int,
-      deflateLevel: Int, shuffle: Boolean): Array[Byte] = {
+      deflateLevel: Int, shuffle: Boolean,
+      fletcher32: Boolean = false): Array[Byte] = {
     val buf = ByteBuffer.allocate(cells * 8).order(ByteOrder.LITTLE_ENDIAN)
     var i = 0
     while (i < cells) {
@@ -142,7 +146,7 @@ object NetCDF4 {
     }
     // shuffle filter: transpose the 8 byte planes so deflate sees runs
     // of high-order bytes (the reader runs the pipeline in reverse)
-    val src =
+    val shuffled =
       if (!shuffle) buf.array()
       else {
         val raw = buf.array()
@@ -155,6 +159,17 @@ object NetCDF4 {
           b += 1
         }
         sh
+      }
+    val src =
+      if (!fletcher32) shuffled
+      else {
+        val c = Hdf5.fletcher32(shuffled, shuffled.length)
+        val withSum = java.util.Arrays.copyOf(shuffled, shuffled.length + 4)
+        withSum(shuffled.length) = c.toByte
+        withSum(shuffled.length + 1) = (c >> 8).toByte
+        withSum(shuffled.length + 2) = (c >> 16).toByte
+        withSum(shuffled.length + 3) = (c >> 24).toByte
+        withSum
       }
     val defl = new Deflater(deflateLevel)
     defl.setInput(src); defl.finish()
@@ -176,7 +191,8 @@ object NetCDF4 {
       deflateLevel: Int = 1,
       chunkCells: Int = 256 * 1024,
       shuffle: Boolean = false,
-      varAtts: Map[String, Seq[(String, String)]] = Map.empty): Unit = {
+      varAtts: Map[String, Seq[(String, String)]] = Map.empty,
+      fletcher32: Boolean = false): Unit = {
     val coordOf: Map[Int, Array[Double]] =
       dims.indices.flatMap { i =>
         vars.find(v => v._1 == dims(i).name && v._2 == Seq(i)).map(i -> _._3)
@@ -191,7 +207,8 @@ object NetCDF4 {
         val startCell = c.toLong * grid.chunkRows * grid.rowCells
         val slice = data.slice(startCell.toInt,
           math.min(startCell + grid.cellsPerChunk, data.length.toLong).toInt)
-        compressChunk(slice, grid.cellsPerChunk, deflateLevel, shuffle)
+        compressChunk(slice, grid.cellsPerChunk, deflateLevel, shuffle,
+          fletcher32)
       }
     }
     val metas = plainVars.zip(blobs).map { case ((name, dimIds, _), bs) =>
@@ -203,7 +220,7 @@ object NetCDF4 {
       varAtts.get(dims(i).name).filter(_ => coordOf.contains(i)).map(i -> _)
     ).toMap
     emit(path, dims, coordOf, metas, gatts, deflateLevel, shuffle,
-      (vi, ci, os) => os.write(blobs(vi)(ci)), coordAtts)
+      (vi, ci, os) => os.write(blobs(vi)(ci)), coordAtts, fletcher32)
   }
 
   /**
@@ -230,7 +247,8 @@ object NetCDF4 {
       gatts: Seq[(String, String)] = Seq.empty,
       chunkRows: Int = 256 * 1024,
       deflateLevel: Int = 1,
-      shuffle: Boolean = false): Long = {
+      shuffle: Boolean = false,
+      fletcher32: Boolean = false): Long = {
     val names = df.columns.toSeq
     val nV = names.size
     require(nV > 0, "netcdf4 export: no columns")
@@ -238,6 +256,7 @@ object NetCDF4 {
       _.dataType == org.apache.spark.sql.types.DoubleType),
       "netcdf4 export: all columns must be double")
     val level = deflateLevel; val shuf = shuffle; val cr = chunkRows
+    val fl32 = fletcher32
     // ONE sizing pass (per-partition counts -> global offsets), like
     // the classic slab exporter — zipWithIndex + count() would cost a
     // third full evaluation of the input plan. A nondeterministic
@@ -294,7 +313,7 @@ object NetCDF4 {
         if (seen != rowsIn) throw new IllegalStateException(
           s"netcdf4 export: chunk $cid saw $seen of $rowsIn rows — " +
             "nondeterministic plan; persist before exporting")
-        val blobs = cols.map(c => compressChunk(c, cr, level, shuf))
+        val blobs = cols.map(c => compressChunk(c, cr, level, shuf, fl32))
         val f = new java.io.File(sidePath, f"chunk-$cid%08d")
         val os = new java.io.BufferedOutputStream(
           new java.io.FileOutputStream(f))
@@ -315,7 +334,7 @@ object NetCDF4 {
           s"netcdf4 export: $total rows exceed the Int dim model — " +
             "split the cube first")
       emit(out, Seq(NetCDF3.Dim("row", total.toInt)), Map.empty, metas, gatts,
-        level, shuf, (vi, ci, os) => {
+        level, shuf, fletcher32 = fl32, payload = (vi, ci, os) => {
           val f = new java.io.File(sidePath, f"chunk-$ci%08d")
           val in = new java.io.FileInputStream(f)
           try {
@@ -358,7 +377,8 @@ object NetCDF4 {
       deflateLevel: Int,
       shuffle: Boolean,
       payload: (Int, Int, OutputStream) => Unit,
-      coordAtts: Map[Int, Seq[(String, String)]] = Map.empty): Unit = {
+      coordAtts: Map[Int, Seq[(String, String)]] = Map.empty,
+      fletcher32: Boolean = false): Unit = {
     require(dims.forall(_.length >= 0), "netcdf4: negative dimension")
 
     def pad8(n: Int): Int = (n + 7) & ~7
@@ -471,9 +491,13 @@ object NetCDF4 {
         0x0003 -> dtDouble,
         0x0005 -> fillMsg,
         0x000B -> {
-          // v1 pipeline, in application order: [shuffle,] deflate
-          val b = new B().u8(1).u8(if (shuffle) 2 else 1).u16(0).u32(0)
+          // v1 pipeline, in application order:
+          // [shuffle,] [fletcher32,] deflate (the netcdf-c call order —
+          // checksum covers the shuffled bytes, verified post-inflate)
+          val nf = 1 + (if (shuffle) 1 else 0) + (if (fletcher32) 1 else 0)
+          val b = new B().u8(1).u8(nf).u16(0).u32(0)
           if (shuffle) b.u16(2).u16(0).u16(0).u16(1).u32(8).u32(0)
+          if (fletcher32) b.u16(3).u16(0).u16(0).u16(0)
           b.u16(1).u16(0).u16(0).u16(1).u32(deflateLevel).u32(0)
           b.bytes
         },

@@ -197,9 +197,11 @@ object ArgSpecs {
       enum("export_metadata", yesNo: _*)),
     "oph_exportnc" -> Seq(mand("output_path"), a("output_name"),
       enum("export_metadata", yesNo: _*), enum("force", yesNo: _*),
+      enum("fletcher32", yesNo: _*), enum("shuffle", yesNo: _*),
       a("misc")),
     "oph_exportnc2" -> Seq(mand("output_path"), a("output_name"),
       enum("export_metadata", yesNo: _*), enum("force", yesNo: _*),
+      enum("fletcher32", yesNo: _*), enum("shuffle", yesNo: _*),
       a("misc")),
 
     // ------------------------------------------------------ transforms

@@ -1700,8 +1700,14 @@ final class Engine(
           // executors, metadata + sidecar streaming on the driver
           // (see NetCDF4.writeTableDistributed for the scale shape)
           val (dfEnc, _, dropped) = encodePlan()
+          // fletcher32=yes adds per-chunk checksums (the netcdf-c
+          // nc_def_var_fletcher32 surface); shuffle=yes the byte
+          // transpose that improves deflate on slowly-varying doubles
           val total = graft.sources.NetCDF4.writeTableDistributed(
-            dfEnc, out, gatts = exportGatts)
+            dfEnc, out, gatts = exportGatts,
+            shuffle = args.get("shuffle").exists(_.equalsIgnoreCase("yes")),
+            fletcher32 =
+              args.get("fletcher32").exists(_.equalsIgnoreCase("yes")))
           TaskResult(JobStatus.Completed,
             message = s"exported $total rows to $out (netcdf4)" +
               (if (dropped.nonEmpty)

@@ -170,6 +170,61 @@ class Hdf5Spec extends SparkSpec {
       s"shuffle should help deflate: $shufBytes vs $plainBytes")
   }
 
+  test("fletcher32 checksums roundtrip; full 3-filter pipeline verified") {
+    val n = 3000
+    val data = Array.tabulate(n)(i => math.sin(i * 0.01) * 50)
+    // fletcher only: pipeline [fletcher32, deflate]
+    val p1 = tmp("fl32")
+    NetCDF4.write(p1, Seq(NetCDF3.Dim("row", n)),
+      Seq(("v", Seq(0), data)), chunkCells = 1000, fletcher32 = true)
+    val v1 = NetCDF4.open(p1).varByName("v")
+    assert(v1.ds.filters.map(_.id) == Seq(3, 1))
+    assert(NetCDF4.readSlab(p1, v1, 0, n).toSeq == data.toSeq)
+    // netcdf-c order [shuffle, fletcher32, deflate]: checksum covers
+    // the shuffled bytes and the read verifies it post-inflate
+    val p2 = tmp("fl32sh")
+    NetCDF4.write(p2, Seq(NetCDF3.Dim("row", n)),
+      Seq(("v", Seq(0), data)), chunkCells = 1000, shuffle = true,
+      fletcher32 = true)
+    val v2 = NetCDF4.open(p2).varByName("v")
+    assert(v2.ds.filters.map(_.id) == Seq(2, 3, 1))
+    assert(NetCDF4.readSlab(p2, v2, 0, n).toSeq == data.toSeq)
+    assert(NetCDF4.readSlab(p2, v2, 995, 10).toSeq ==
+      data.slice(995, 1005).toSeq)
+  }
+
+  test("distributed nc4 export with fletcher32 roundtrips") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(5000).repartition(3)
+      .select(col("id").cast("double").as("k"),
+        sin(col("id").cast("double")).as("v"))
+    val out = tmp("distfl32")
+    assert(NetCDF4.writeTableDistributed(df, out, chunkRows = 1500,
+      fletcher32 = true) == 5000L)
+    val m = NetCDF4.open(out)
+    assert(m.varByName("v").ds.filters.map(_.id) == Seq(3, 1))
+    val back = spark.read.format("netcdf4").load(out)
+    val s = back.agg(sum(col("v"))).head.getDouble(0)
+    assert(math.abs(s - (0 until 5000).map(i => math.sin(i.toDouble)).sum)
+      < 1e-6)
+  }
+
+  test("engine exportnc honors fletcher32=yes and shuffle=yes args") {
+    import graft.core.{Catalog, JobStatus}
+    import graft.workflow.Engine
+    val e = new Engine(spark, new Catalog("sess"))
+    val mk = e.runDataOperator("oph_randcube",
+      Map("nrows" -> "10", "array_length" -> "4", "container" -> "c"))
+    val out = tmp("englfl32").stripSuffix(".nc4") + ".nc4"
+    val r = e.runDataOperator("oph_exportnc2",
+      Map("cube" -> mk.cubePid.get, "output_path" -> out,
+        "fletcher32" -> "yes", "shuffle" -> "yes"))
+    assert(r.status == JobStatus.Completed)
+    val m = NetCDF4.open(out)
+    assert(m.varByName("measure").ds.filters.map(_.id) == Seq(2, 3, 1))
+    assert(spark.read.format("netcdf4").load(out).count() == 40)
+  }
+
   test("partition planning aligns to the chunk grain") {
     val path = tmp("aligned")
     val n = 10000
