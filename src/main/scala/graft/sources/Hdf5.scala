@@ -732,9 +732,12 @@ object Hdf5 {
   }
 
   /** Version-2 B-tree chunk index (record types 10 = unfiltered,
-    * 11 = filtered): BTHD header, BTLF leaves, one BTIN level. Deeper
-    * trees (>~100k chunks in one file at default node size) are
-    * declared unsupported rather than misread. */
+    * 11 = filtered): BTHD header, BTLF leaves, BTIN internal nodes at
+    * any depth. Child-pointer field widths follow the H5B2 node-
+    * capacity recursion from the public spec: the record-count field
+    * is sized for the LEAF maximum (the fullest node kind), and each
+    * internal child pointer carries a cumulative-total field sized by
+    * that level's maximum subtree record count. */
   private def walkChunkBtree2(in: In, ch: Chunked, ds: Dataset,
       unfilteredBytes: Long, out: ArrayBuffer[(Seq[Long], Long, Int)]): Unit = {
     in.seek(ch.btree)
@@ -752,18 +755,41 @@ object Hdf5 {
     val rootNrec = in.u16()
     in.u64() // total records
     if (!defined(rootAddr)) return
-    if (depth > 1)
-      throw new FormatError(s"v2 B-tree chunk index depth $depth not supported")
+    if (depth > MaxBtreeDepth)
+      throw new FormatError(s"v2 B-tree chunk index depth $depth")
     val rank = ds.shape.size
     val szLen = recSize - 8 - 4 - 8 * rank // filtered records only
     if (btype == 10 && recSize != 8 + 8 * rank)
       throw new FormatError(s"v2 B-tree record size $recSize for rank $rank")
     if (btype == 11 && (szLen < 1 || szLen > 8))
       throw new FormatError(s"v2 B-tree filtered record size $recSize")
-    // child-pointer record-count width: bytes for the leaf max count
+    if (nodeSize <= 10 || recSize <= 0)
+      throw new FormatError(s"v2 B-tree node size $nodeSize")
+    def bytesFor(v: Long): Int = {
+      var b = 1
+      while (b < 8 && (1L << (8 * b)) <= v) b += 1
+      b
+    }
+    // metadata prefix = sig(4) + version(1) + type(1) + checksum(4)
     val leafMax = (nodeSize - 10) / recSize
-    var nrecBytes = 1
-    while ((1L << (8 * nrecBytes)) <= leafMax && nrecBytes < 8) nrecBytes += 1
+    if (leafMax <= 0)
+      throw new FormatError(s"v2 B-tree leaf capacity 0 (node $nodeSize)")
+    val nrecBytes = bytesFor(leafMax) // hdr max_nrec_size: leaf is fullest
+    // cumSize(u): bytes of the cumulative-total field for a child at
+    // level u (present in its parent's pointer when u > 0)
+    val cumSize = new Array[Int](math.max(depth, 1))
+    var cumMax: Long = leafMax
+    cumSize(0) = bytesFor(cumMax)
+    var u = 1
+    while (u < depth) {
+      val ptr = 8 + nrecBytes + cumSize(u - 1)
+      val maxRec = (nodeSize - 10 - ptr) / (recSize + ptr)
+      if (maxRec <= 0)
+        throw new FormatError(s"v2 B-tree internal capacity 0 at level $u")
+      cumMax = (maxRec + 1) * cumMax + maxRec
+      cumSize(u) = bytesFor(cumMax)
+      u += 1
+    }
     def readRecord(): Unit = {
       val addr = in.u64()
       val sz =
@@ -780,7 +806,11 @@ object Hdf5 {
         out += ((scaled.zip(ch.chunkDims).map { case (s, c) => s * c },
           addr, sz.toInt))
     }
+    var visited = 0L
     def walkNode(addr: Long, nrec: Int, level: Int): Unit = {
+      visited += 1
+      if (visited > (1L << 22))
+        throw new FormatError("v2 B-tree node count exceeds sanity bound")
       in.seek(addr)
       val sig = in.bytes(4)
       val want = if (level == 0) "BTLF" else "BTIN"
@@ -794,10 +824,15 @@ object Hdf5 {
       (0 until nrec).foreach(_ => readRecord())
       if (level > 0) {
         // child pointers follow the records: address + record count
+        // (+ subtree total when the child is itself internal)
         val children = (0 to nrec).map { _ =>
           val a = in.u64()
           var n = 0L; var j = 0
           while (j < nrecBytes) { n |= in.u8().toLong << (8 * j); j += 1 }
+          if (level - 1 > 0) {
+            var k = 0
+            while (k < cumSize(level - 1)) { in.u8(); k += 1 } // subtree total
+          }
           (a, n)
         }
         children.foreach { case (a, n) =>

@@ -281,6 +281,56 @@ class Hdf5LatestSpec extends SparkSpec {
     assert(readAll(path) == vals16)
   }
 
+  test("layout v4 version-2 B-tree index, depth 2 (sized child pointers)") {
+    // 8 chunks of 4 -> shape 32; node size 512, rec size 16:
+    // leafMax 31 -> nrec field 1 byte, cum(0) 1 byte;
+    // level-1 ptr = 8+1+1 -> maxRec 18, cum(1) = 19*31+18 = 607 -> 2 bytes.
+    // Root (level 2) pointers are addr+nrec(1)+total(2); level-1
+    // pointers addr+nrec(1) — exactly the H5B2 sizing recursion.
+    val vals32 = (1 to 32).map(_ * 0.125)
+    val data = f64(vals32)
+    val btAddr = SbSize + data.length
+    val bthdSize = 34
+    val rootAddr = btAddr + bthdSize
+    val rootSize = 6 + 16 + 2 * (8 + 1 + 2) + 4
+    val aAddr = rootAddr + rootSize
+    val intSize = 6 + 16 + 2 * (8 + 1) + 4
+    val bAddr = aAddr + intSize
+    val leaf1Size = 6 + 16 + 4
+    val a0 = bAddr + intSize
+    val a1 = a0 + leaf1Size
+    val b0 = a1 + leaf1Size
+    val b1 = b0 + leaf1Size
+    def rec(b: B, chunk: Int): Unit = {
+      b.u64(SbSize + chunk * 32L).u64(chunk.toLong); ()
+    }
+    val body = new B().raw(data)
+    body.str("BTHD").u8(0).u8(10).u32(512).u16(16).u16(2).u8(100).u8(40)
+      .u64(rootAddr).u16(1).u64(8)
+    body.str("BTIN").u8(0).u8(10) // root, level 2
+    rec(body, 3)
+    body.u64(aAddr).u8(1).u16(3) // child A: 1 own record, 3 in subtree
+    body.u64(bAddr).u8(1).u16(4)
+    body.u32(0)
+    body.str("BTIN").u8(0).u8(10) // A, level 1
+    rec(body, 1)
+    body.u64(a0).u8(1).u64(a1).u8(1)
+    body.u32(0)
+    body.str("BTIN").u8(0).u8(10) // B, level 1
+    rec(body, 5)
+    body.u64(b0).u8(1).u64(b1).u8(2)
+    body.u32(0)
+    body.str("BTLF").u8(0).u8(10); rec(body, 0); body.u32(0)
+    body.str("BTLF").u8(0).u8(10); rec(body, 2); body.u32(0)
+    body.str("BTLF").u8(0).u8(10); rec(body, 4); body.u32(0)
+    body.str("BTLF").u8(0).u8(10); rec(body, 6); rec(body, 7); body.u32(0)
+    val path = build(body.bytes,
+      _ => layoutV4(Seq(4L), indexType = 5, btAddr,
+        indexExtra = b => { b.u32(512); b.u8(100); b.u8(40); () }),
+      Seq(32L))
+    assert(readAll(path) == vals32)
+  }
+
   test("layout v4 version-2 B-tree index, filtered records (type 11)") {
     val vals8 = vals10.take(8)
     val chunks = vals8.grouped(4).toSeq
@@ -319,10 +369,10 @@ class Hdf5LatestSpec extends SparkSpec {
       Hdf5.readSlab(p1, f1.datasets.head, 0, 10))
     assert(e1.getMessage.contains("paged fixed-array"))
 
-    // v2 B-tree of depth 2
+    // v2 B-tree of absurd depth (65 > the 64 recursion bound)
     val p2 = build({
       val b = new B()
-      b.str("BTHD").u8(0).u8(10).u32(512).u16(16).u16(2).u8(100).u8(40)
+      b.str("BTHD").u8(0).u8(10).u32(512).u16(16).u16(65).u8(100).u8(40)
         .u64(SbSize).u16(1).u64(99)
       b.bytes
     }, _ => layoutV4(Seq(4L), indexType = 5, SbSize,
@@ -330,7 +380,7 @@ class Hdf5LatestSpec extends SparkSpec {
     val f2 = Hdf5.open(p2)
     val e2 = intercept[Hdf5.FormatError](
       Hdf5.readSlab(p2, f2.datasets.head, 0, 10))
-    assert(e2.getMessage.contains("depth 2 not supported"))
+    assert(e2.getMessage.contains("depth 65"))
   }
 
   test("unfiltered-partial-edge-chunk flag with filters is rejected") {
