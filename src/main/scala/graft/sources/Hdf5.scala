@@ -699,8 +699,6 @@ object Hdf5 {
     val pageBits = in.u8()
     val nElmts = in.u64()
     val dbAddr = in.u64()
-    if (nElmts > (1L << math.min(pageBits, 62)))
-      throw new FormatError("paged fixed-array chunk index not supported")
     if (nElmts > (1L << 24))
       throw new FormatError(s"implausible fixed-array entry count $nElmts")
     if (!defined(dbAddr)) return
@@ -712,8 +710,9 @@ object Hdf5 {
     val szLen = entrySize - 8 - 4
     if (clientId == 1 && (szLen < 1 || szLen > 8))
       throw new FormatError(s"fixed array entry size $entrySize")
-    var i = 0L
-    while (i < nElmts) {
+    if (clientId == 0 && entrySize != 8)
+      throw new FormatError(s"fixed array entry size $entrySize for client 0")
+    def readEntry(i: Long): Unit = {
       val addr = in.u64()
       val sz =
         if (clientId == 0) unfilteredBytes
@@ -727,7 +726,33 @@ object Hdf5 {
         throw new FormatError(s"fixed array chunk size $sz")
       if (defined(addr))
         out += ((originOf(i, grid, ch.chunkDims), addr, sz.toInt))
-      i += 1
+    }
+    val pageSize = 1L << math.min(pageBits, 30)
+    if (nElmts <= pageSize) {
+      var i = 0L
+      while (i < nElmts) { readEntry(i); i += 1 }
+    } else {
+      // paged data block: page-initialization bitmask + prefix
+      // checksum, then pages of elements (last truncated, the total is
+      // fixed), each page trailed by its own checksum. Uninitialized
+      // pages occupy file space but hold no allocated chunks.
+      val npages = (nElmts + pageSize - 1) / pageSize
+      if (npages > (1L << 20))
+        throw new FormatError(s"fixed array page count $npages")
+      val bitmask = in.bytes(((npages + 7) / 8).toInt)
+      in.u32() // data-block prefix checksum (reader never validates)
+      var p = 0L
+      while (p < npages) {
+        val inPage = math.min(pageSize, nElmts - p * pageSize).toInt
+        val initd =
+          (bitmask((p / 8).toInt) & (1 << (p % 8).toInt)) != 0
+        if (initd) {
+          var j = 0
+          while (j < inPage) { readEntry(p * pageSize + j); j += 1 }
+          in.u32() // page checksum
+        } else in.seek(in.pos + inPage.toLong * entrySize + 4)
+        p += 1
+      }
     }
   }
 

@@ -356,19 +356,52 @@ class Hdf5LatestSpec extends SparkSpec {
     assert(readAll(path) == vals8)
   }
 
-  test("paged fixed array and deep v2 B-trees fail with NAMED errors") {
-    // paged fixed array: 3 entries but 2^1-entry pages
-    val p1 = build({
-      val b = new B()
-      b.str("FAHD").u8(0).u8(0).u8(8).u8(1).u64(3).u64(Undef).u32(0)
-      b.bytes
-    }, _ => layoutV4(Seq(4L), indexType = 3, SbSize,
-      indexExtra = b => { b.u8(1); () }), Seq(10L))
-    val f1 = Hdf5.open(p1)
-    val e1 = intercept[Hdf5.FormatError](
-      Hdf5.readSlab(p1, f1.datasets.head, 0, 10))
-    assert(e1.getMessage.contains("paged fixed-array"))
+  test("layout v4 paged fixed-array index: bitmask, per-page checksums") {
+    // 5 chunks of 4 (shape 20), page bits 1 -> 2-entry pages, 3 pages
+    // (last truncated), all initialized
+    val vals20 = (1 to 20).map(_ * 0.5)
+    val data = f64(vals20)
+    val fahdAddr = SbSize + data.length
+    val fadbAddr = fahdAddr + 28
+    val body = new B().raw(data)
+    body.str("FAHD").u8(0).u8(0).u8(8).u8(1).u64(5).u64(fadbAddr).u32(0)
+    body.str("FADB").u8(0).u8(0).u64(fahdAddr)
+    body.u8(0x07) // page-init bitmask: pages 0..2 initialized
+    body.u32(0) // data-block prefix checksum
+    body.u64(SbSize).u64(SbSize + 32).u32(0) // page 0 + checksum
+    body.u64(SbSize + 64).u64(SbSize + 96).u32(0) // page 1
+    body.u64(SbSize + 128).u32(0) // page 2 (truncated)
+    val path = build(body.bytes,
+      _ => layoutV4(Seq(4L), indexType = 3, fahdAddr,
+        indexExtra = b => { b.u8(1); () }),
+      Seq(20L))
+    assert(readAll(path) == vals20)
+  }
 
+  test("paged fixed array: uninitialized page reads as fill, not garbage") {
+    val vals20 = (1 to 20).map(_ * 0.5)
+    val data = f64(vals20)
+    val fahdAddr = SbSize + data.length
+    val fadbAddr = fahdAddr + 28
+    val body = new B().raw(data)
+    body.str("FAHD").u8(0).u8(0).u8(8).u8(1).u64(5).u64(fadbAddr).u32(0)
+    body.str("FADB").u8(0).u8(0).u64(fahdAddr)
+    body.u8(0x05) // pages 0 and 2 initialized, page 1 NOT
+    body.u32(0)
+    body.u64(SbSize).u64(SbSize + 32).u32(0) // page 0
+    body.u64(-2L).u64(-3L).u32(0) // page 1: garbage bytes, must be skipped
+    body.u64(SbSize + 128).u32(0) // page 2
+    val path = build(body.bytes,
+      _ => layoutV4(Seq(4L), indexType = 3, fahdAddr,
+        indexExtra = b => { b.u8(1); () }),
+      Seq(20L))
+    val got = readAll(path)
+    assert(got.take(8) == vals20.take(8))
+    assert(got.slice(8, 16) == Seq.fill(8)(0.0)) // chunks 2,3 -> fill
+    assert(got.drop(16) == vals20.drop(16))
+  }
+
+  test("absurd v2 B-tree depth fails with a NAMED error") {
     // v2 B-tree of absurd depth (65 > the 64 recursion bound)
     val p2 = build({
       val b = new B()
