@@ -1138,6 +1138,15 @@ object SparkEntry {
         numPartitions = 8)
     }),
 
+    "corpus_pack_sequences" -> ((s, dir) => {
+      // concat-then-chunk sequence packing into 128-token training
+      // windows: one row per (doc, sequence) overlap with slice bounds
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      CorpusOps.packSequences(d, "doc_id", "n_tokens", seqLen = 128,
+        numPartitions = 8)
+    }),
+
     // ------------------------------------------- workflow engine e2e
     "workflow_agg" -> ((s, dir) => {
       // import -> subset -> aggregate driven by the workflow engine:
@@ -2905,6 +2914,34 @@ object SparkEntry {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      - n_tokens) / 500.0) AS BIGINT) AS shard_id
          FROM w""",
+
+    // concat-then-chunk: docs laid end to end in id order, cut into
+    // 128-token sequences; one row per (doc, sequence) overlap
+    "corpus_pack_sequences" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                  END AS n
+           FROM documents),
+         s AS (
+           SELECT doc_id, n,
+                  sum(n) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+                    AS start
+           FROM w WHERE n > 0)
+         SELECT doc_id, CAST(t.seq_id AS BIGINT) AS seq_id,
+                CAST(greatest(start, t.seq_id * 128) - start AS BIGINT)
+                  AS doc_from,
+                CAST(least(start + n, (t.seq_id + 1) * 128) - start
+                  AS BIGINT) AS doc_to,
+                CAST(greatest(start, t.seq_id * 128) - t.seq_id * 128
+                  AS BIGINT) AS seq_off
+         FROM s, LATERAL (
+           SELECT unnest(generate_series(
+             CAST(start // 128 AS BIGINT),
+             CAST((start + n - 1) // 128 AS BIGINT))) AS seq_id
+         ) t""",
 
     "sample_stratified" ->
       """SELECT event_id, event_type,

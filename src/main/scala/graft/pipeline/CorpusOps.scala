@@ -291,4 +291,53 @@ object CorpusOps {
         floor((col("__cum") + col("__off") - col(weightCol))
           .cast("double") / budget.toDouble).cast("long").as("shard_id"))
   }
+
+  /**
+   * Sequence packing for pretraining — concat-then-chunk: documents
+   * are laid end to end in id order inside one global token stream,
+   * which is cut into fixed `seqLen`-token training sequences.
+   * Returns one row per (document, sequence) overlap with the slice
+   * bounds a gather needs to materialize the sequence:
+   * `seq_id`, `doc_from`/`doc_to` (token range within the doc,
+   * end-exclusive) and `seq_off` (where the slice starts inside the
+   * sequence). A doc spanning several windows emits several rows;
+   * empty docs emit none.
+   *
+   * Scale shape: the SAME two-level distributed prefix sum as
+   * [[packShards]] (no global single-task window), then a bounded
+   * per-doc `sequence()` explode — a doc emits ceil(tokens/seqLen)+1
+   * rows, so output is ~corpus_tokens/seqLen rows regardless of skew.
+   * Integer arithmetic throughout (`div`), exact at any corpus size.
+   */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+      seqLen: Int, numPartitions: Int = 32): DataFrame = {
+    require(seqLen > 0, s"packSequences: seqLen $seqLen")
+    val ranged = df.select(col(idCol), col(tokenCol).cast("long").as("__n"))
+      .repartitionByRange(numPartitions, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val local = ranged.withColumn("__cum",
+      sum(col("__n")).over(
+        Window.partitionBy(col("__pid")).orderBy(col(idCol))))
+    val offsets = local.groupBy(col("__pid"))
+      .agg(sum(col("__n")).as("__tot"))
+      .withColumn("__off",
+        coalesce(sum(col("__tot")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val started = local.join(broadcast(offsets), "__pid")
+      .filter(col("__n") > 0)
+      .withColumn("__start", col("__cum") + col("__off") - col("__n"))
+    val L = seqLen.toLong
+    started
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__start div $L"), expr(s"(__start + __n - 1) div $L"))))
+      .select(col(idCol), col("seq_id"),
+        (greatest(col("__start"), col("seq_id") * L) - col("__start"))
+          .as("doc_from"),
+        (least(col("__start") + col("__n"), (col("seq_id") + 1) * L)
+          - col("__start")).as("doc_to"),
+        (greatest(col("__start"), col("seq_id") * L) - col("seq_id") * L)
+          .as("seq_off"))
+  }
 }

@@ -244,6 +244,55 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("packSequences: concat-then-chunk slices cover every token once") {
+    // docs of 0..9 tokens over 30 ids; seqLen 16 forces mid-doc cuts,
+    // the zero-token docs must vanish
+    val rows = (1L to 30L).map(i => (i, i % 10))
+    val df = rows.toDF("doc_id", "n")
+    val got = CorpusOps.packSequences(df, "doc_id", "n", seqLen = 16,
+        numPartitions = 4)
+      .orderBy("doc_id", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // brute-force sequential reference
+    var start = 0L
+    val want = rows.filter(_._2 > 0).flatMap { case (id, n) =>
+      val s = start; start += n
+      (s / 16 to (s + n - 1) / 16).map { q =>
+        val from = math.max(s, q * 16); val to = math.min(s + n, (q + 1) * 16)
+        (id, q, from - s, to - s, from - q * 16)
+      }
+    }
+    assert(got.toSeq == want)
+    // every sequence except the last is exactly full
+    val perSeq = got.groupBy(_._2).view
+      .mapValues(_.map(x => x._4 - x._3).sum).toMap
+    val lastSeq = perSeq.keys.max
+    perSeq.foreach { case (q, tot) =>
+      if (q != lastSeq) assert(tot == 16L, s"seq $q holds $tot tokens") }
+    // slice bounds are doc-local and end-exclusive
+    got.foreach { case (id, _, from, to, off) =>
+      assert(from >= 0 && to > from && off >= 0 && off < 16,
+        s"bad slice ($id, $from, $to, $off)") }
+  }
+
+  test("packSequences: a doc longer than seqLen spans multiple windows") {
+    val df = Seq((1L, 5L), (2L, 40L), (3L, 3L)).toDF("doc_id", "n")
+    val got = CorpusOps.packSequences(df, "doc_id", "n", seqLen = 16)
+      .orderBy("doc_id", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 2 starts at token 5, spans tokens [5, 45) -> seqs 0,1,2
+    assert(got.filter(_._1 == 2L).map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(got.filter(_._1 == 2L).map(x => x._4 - x._3).sum == 40L)
+    // same scale shape as packShards: per-partition window + broadcast
+    // offsets, never a single-task global window
+    val plan = CorpusOps.packSequences(df, "doc_id", "n", seqLen = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("packShards never collapses to a single-partition global window") {
     val df = (1L to 1000L).map(i => (i, 7L)).toDF("doc_id", "w")
     val plan = CorpusOps.packShards(df, "doc_id", "w", budget = 100L,
