@@ -281,12 +281,12 @@ class Hdf5LatestSpec extends SparkSpec {
     assert(readAll(path) == vals16)
   }
 
-  test("layout v4 version-2 B-tree index, depth 2 (sized child pointers)") {
-    // 8 chunks of 4 -> shape 32; node size 512, rec size 16:
-    // leafMax 31 -> nrec field 1 byte, cum(0) 1 byte;
-    // level-1 ptr = 8+1+1 -> maxRec 18, cum(1) = 19*31+18 = 607 -> 2 bytes.
-    // Root (level 2) pointers are addr+nrec(1)+total(2); level-1
-    // pointers addr+nrec(1) — exactly the H5B2 sizing recursion.
+  /** Depth-2 v2-B-tree fixture: 8 chunks of 4 (shape 32); node size
+    * 512, rec size 16: leafMax 31 -> nrec field 1 byte, cum(0) 1
+    * byte; level-1 ptr = 8+1+1 -> maxRec 18, cum(1) = 19*31+18 = 607
+    * -> 2 bytes. Root (level 2) pointers are addr+nrec(1)+total(2);
+    * level-1 pointers addr+nrec(1) — the H5B2 sizing recursion. */
+  private def depth2BtreeFixture(): (String, Seq[Double]) = {
     val vals32 = (1 to 32).map(_ * 0.125)
     val data = f64(vals32)
     val btAddr = SbSize + data.length
@@ -324,10 +324,35 @@ class Hdf5LatestSpec extends SparkSpec {
     body.str("BTLF").u8(0).u8(10); rec(body, 2); body.u32(0)
     body.str("BTLF").u8(0).u8(10); rec(body, 4); body.u32(0)
     body.str("BTLF").u8(0).u8(10); rec(body, 6); rec(body, 7); body.u32(0)
-    val path = build(body.bytes,
+    (build(body.bytes,
       _ => layoutV4(Seq(4L), indexType = 5, btAddr,
         indexExtra = b => { b.u32(512); b.u8(100); b.u8(40); () }),
-      Seq(32L))
+      Seq(32L)), vals32)
+  }
+
+  /** Paged fixed-array fixture: 5 chunks of 4 (shape 20), page bits 1
+    * -> 2-entry pages, 3 pages (last truncated), all initialized. */
+  private def pagedFixedArrayFixture(): (String, Seq[Double]) = {
+    val vals20 = (1 to 20).map(_ * 0.5)
+    val data = f64(vals20)
+    val fahdAddr = SbSize + data.length
+    val fadbAddr = fahdAddr + 28
+    val body = new B().raw(data)
+    body.str("FAHD").u8(0).u8(0).u8(8).u8(1).u64(5).u64(fadbAddr).u32(0)
+    body.str("FADB").u8(0).u8(0).u64(fahdAddr)
+    body.u8(0x07) // page-init bitmask: pages 0..2 initialized
+    body.u32(0) // data-block prefix checksum
+    body.u64(SbSize).u64(SbSize + 32).u32(0) // page 0 + checksum
+    body.u64(SbSize + 64).u64(SbSize + 96).u32(0) // page 1
+    body.u64(SbSize + 128).u32(0) // page 2 (truncated)
+    (build(body.bytes,
+      _ => layoutV4(Seq(4L), indexType = 3, fahdAddr,
+        indexExtra = b => { b.u8(1); () }),
+      Seq(20L)), vals20)
+  }
+
+  test("layout v4 version-2 B-tree index, depth 2 (sized child pointers)") {
+    val (path, vals32) = depth2BtreeFixture()
     assert(readAll(path) == vals32)
   }
 
@@ -357,24 +382,7 @@ class Hdf5LatestSpec extends SparkSpec {
   }
 
   test("layout v4 paged fixed-array index: bitmask, per-page checksums") {
-    // 5 chunks of 4 (shape 20), page bits 1 -> 2-entry pages, 3 pages
-    // (last truncated), all initialized
-    val vals20 = (1 to 20).map(_ * 0.5)
-    val data = f64(vals20)
-    val fahdAddr = SbSize + data.length
-    val fadbAddr = fahdAddr + 28
-    val body = new B().raw(data)
-    body.str("FAHD").u8(0).u8(0).u8(8).u8(1).u64(5).u64(fadbAddr).u32(0)
-    body.str("FADB").u8(0).u8(0).u64(fahdAddr)
-    body.u8(0x07) // page-init bitmask: pages 0..2 initialized
-    body.u32(0) // data-block prefix checksum
-    body.u64(SbSize).u64(SbSize + 32).u32(0) // page 0 + checksum
-    body.u64(SbSize + 64).u64(SbSize + 96).u32(0) // page 1
-    body.u64(SbSize + 128).u32(0) // page 2 (truncated)
-    val path = build(body.bytes,
-      _ => layoutV4(Seq(4L), indexType = 3, fahdAddr,
-        indexExtra = b => { b.u8(1); () }),
-      Seq(20L))
+    val (path, vals20) = pagedFixedArrayFixture()
     assert(readAll(path) == vals20)
   }
 
@@ -426,6 +434,39 @@ class Hdf5LatestSpec extends SparkSpec {
     val err = intercept[Hdf5.FormatError](
       Hdf5.readSlab(path, file.datasets.head, 0, 5))
     assert(err.getMessage.contains("DONT_FILTER_PARTIAL_BOUND_CHUNKS"))
+  }
+
+  test("latest-format walkers survive byte-flip fuzzing") {
+    // the v4-layout index walkers (fixed array, v2 B-tree, implicit)
+    // parse attacker-controllable geometry: apply the repo's fuzz
+    // standard to the richest fixtures — catchable exceptions only,
+    // no JVM Errors, no hangs
+    val fixtures: Seq[Array[Byte]] = Seq(
+      depth2BtreeFixture()._1, pagedFixedArrayFixture()._1).map(p =>
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+    val rnd = new scala.util.Random(7)
+    var parsed = 0
+    fixtures.foreach { base =>
+      (1 to 200).foreach { _ =>
+        val mutated = base.clone()
+        (0 to rnd.nextInt(4)).foreach { _ =>
+          mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+        }
+        val f = java.io.File.createTempFile("fuzzlatest", ".h5")
+        java.nio.file.Files.write(f.toPath, mutated)
+        try {
+          val file = Hdf5.open(f.getPath)
+          file.datasets.foreach { ds =>
+            Hdf5.readSlab(f.getPath, ds, 0,
+              math.min(ds.cells, 100L).toInt)
+          }
+          parsed += 1
+        } catch {
+          case _: Exception => () // catchable failure is the contract
+        } finally f.delete()
+      }
+    }
+    assert(parsed > 40, s"only $parsed/400 mutants parsed — fixture broken?")
   }
 
   test("fletcher32 matches the spec algorithm's fixed points") {
