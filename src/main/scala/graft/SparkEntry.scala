@@ -834,6 +834,12 @@ object SparkEntry {
       // broadcast scalar N, doc rollup — the classic salience signal
       TextAnalysis.tfidf(t(s, dir, "documents"), "doc_id", "text")),
 
+    "text_lm_score" -> ((s, dir) =>
+      // perplexity-proxy: mean Laplace bigram logprob vs broadcast
+      // top-K corpus gram tables (deterministic count/gram cut)
+      TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 2, topK = 1000)),
+
     "fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
@@ -2494,6 +2500,36 @@ object SparkEntry {
                 round(sum(tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df)), 4)
                   AS tfidf
          FROM tf JOIN dfq USING (term), n
+         GROUP BY 1""",
+
+    // mean Laplace bigram logprob vs the same deterministic top-K
+    // gram tables (count desc, gram asc, K=1000, min count 2)
+    "text_lm_score" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+           FROM documents WHERE trim(text) <> ''),
+         uni AS (SELECT t AS w, count(*) AS cu
+                 FROM toks, unnest(ts) u(t) GROUP BY 1),
+         vocab AS (SELECT count(*) AS v FROM uni),
+         unik AS (SELECT w, cu FROM uni WHERE cu >= 2
+                  ORDER BY cu DESC, w LIMIT 1000),
+         pairs AS (
+           SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+           FROM toks, LATERAL (
+             SELECT unnest(generate_series(1,
+               CAST(len(ts) - 1 AS BIGINT))) AS i) g
+           WHERE len(ts) >= 2),
+         big AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
+         bigk AS (SELECT w1, w2, cb FROM big WHERE cb >= 2
+                  ORDER BY cb DESC, w1, w2 LIMIT 1000)
+         SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                round(avg(ln((coalesce(bk.cb, 0) + 1.0)
+                  / (coalesce(uk.cu, 0) + v.v))), 4) AS lm_score
+         FROM pairs p
+         LEFT JOIN bigk bk ON bk.w1 = p.w1 AND bk.w2 = p.w2
+         LEFT JOIN unik uk ON uk.w = p.w1
+         CROSS JOIN vocab v
          GROUP BY 1""",
 
     "lang_id" ->

@@ -171,6 +171,53 @@ object TextAnalysis {
         log(col("n").cast("double") / col("df"))), 4).as("tfidf"))
   }
 
+  /**
+   * N-gram language-model quality score — the perplexity-proxy filter
+   * of large-corpus pipelines: per document, the mean Laplace-smoothed
+   * bigram log-probability `avg ln((c(w1,w2)+1) / (c(w1)+V))` against
+   * corpus-wide gram tables. Low scores flag gibberish / boilerplate /
+   * wrong-language text without any external model.
+   *
+   * Scale shape: unigram + bigram counts are two aggregation shuffles
+   * over exploded grams; both tables are then cut to a BOUNDED top-K
+   * (deterministic order: count desc, gram asc — a TakeOrdered, no
+   * global sort) and broadcast, so the scoring pass is explode + two
+   * broadcast joins + one final doc-id aggregation. Out-of-table grams
+   * back off to count 0 — at 100 TB the table stays K entries no
+   * matter the vocabulary; V (distinct-token count) is exact.
+   * Only documents with >= 2 tokens appear in the output.
+   */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 2, topK: Int = 50000): DataFrame = {
+    val nonEmpty = df.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), tokensLower(col(textCol)).as("__ts"))
+    val unis = nonEmpty.select(explode(col("__ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val vocab = unis.agg(count(lit(1)).as("v"))
+    val uniTop = unis.filter(col("cu") >= minCount)
+      .orderBy(col("cu").desc, col("w")).limit(topK)
+    val pairsOf = (d: DataFrame) => d
+      .filter(size(col("__ts")) >= 2)
+      .select(col(idCol), col("__ts"), posexplode(slice(col("__ts"), lit(1),
+        size(col("__ts")) - 1)).as(Seq("__p", "w1")))
+      .withColumn("w2", expr("__ts[__p + 1]"))
+      .select(col(idCol), col("w1"), col("w2"))
+    // recompute the projection scan per consumer (same call as tfidf:
+    // cheaper than persisting a grams-by-corpus blow-up)
+    val bigs = pairsOf(nonEmpty).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+      .orderBy(col("cb").desc, col("w1"), col("w2")).limit(topK)
+    pairsOf(nonEmpty)
+      .join(broadcast(bigs), Seq("w1", "w2"), "left")
+      .join(broadcast(uniTop), col("w1") === uniTop("w"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("cu"), lit(0L)) + col("v")))), 4).as("lm_score"))
+  }
+
   /** One-stop per-document stats frame. */
   def stats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

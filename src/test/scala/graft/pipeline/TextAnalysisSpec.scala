@@ -72,6 +72,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one[Long](TextAnalysis.emailCount($"t"), clean) == 0L)
   }
 
+  test("lmScore: common-bigram text outscores gibberish; exact values") {
+    // corpus: 'a b' appears in 3 docs (cb=3, cu(a)=3+..), 'x q' once
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b"),
+      (4L, "x q"), (5L, ""), (6L, "solo")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(df, "doc_id", "text",
+        minCount = 2, topK = 100)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // vocab V = distinct tokens over non-empty docs: a,b,c,x,q,solo = 6
+    // tables (min count 2): uni a->3, b->3, c->2; big (a,b)->3, (b,c)->2
+    def lp(cb: Long, cu: Long): Double = math.log((cb + 1.0) / (cu + 6.0))
+    val d1 = BigDecimal((lp(3, 3) + lp(2, 3)) / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d3 = BigDecimal(lp(3, 3))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d4 = BigDecimal(lp(0, 0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L)) // blank+solo drop
+    assert(got(0) == ((1L, 2L, d1)))
+    assert(got(2) == ((3L, 1L, d3)))
+    assert(got(3) == ((4L, 1L, d4)))
+    assert(d1 > d4 && d3 > d4) // common text beats gibberish
+  }
+
   test("qualityScore is bounded and ranks prose above noise") {
     val prose = "the quick brown fox jumps over the lazy dog and then " +
       "the cat is seen in the garden for a while with all of them there"
