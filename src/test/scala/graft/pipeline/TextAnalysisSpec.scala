@@ -96,6 +96,12 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) == ((3L, 1L, d3)))
     assert(got(3) == ((4L, 1L, d4)))
     assert(d1 > d4 && d3 > d4) // common text beats gibberish
+    // scale shape: bounded top-K via TakeOrdered, scoring joins
+    // broadcast — the corpus never sort-merge-joins on grams
+    val plan = TextAnalysis.lmScore(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(500))
   }
 
   test("qualityScore is bounded and ranks prose above noise") {
