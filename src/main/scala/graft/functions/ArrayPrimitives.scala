@@ -328,6 +328,48 @@ object ArrayPrimitives {
         // aliases for names real reference queries use
         case "oph_append" => concat(a(0), a(1))
         case "oph_count_array" => CubeOps.reduceExpr(a(0), "count")
+        // gsl_ifft(a): inverse DFT over a GSL-packed [re0, im0, ...]
+        // cell — x_j = (1/n) sum_k (re_k cos t - im_k sin t),
+        // t = 2 pi k j / n; returns the real parts (the inverse of a
+        // real-input fft), packed back as [re0, 0, re1, 0, ...]
+        case "oph_gsl_ifft" =>
+          val packed = a(0)
+          val n = (size(packed) / 2).cast("int")
+          flatten(transform(zeroUntil(n), j => {
+            def acc(f: (Column, Column, Column) => Column): Column =
+              aggregate(sequence(lit(0), n - 1), lit(0.0), (s, k) => {
+                val t = lit(2.0 * math.Pi) * k.cast("double") *
+                  j.cast("double") / n.cast("double")
+                val re = element_at(packed, k.cast("int") * 2 + 1)
+                val im = element_at(packed, k.cast("int") * 2 + 2)
+                s + f(re, im, t)
+              })
+            val re = acc((re, im, t) => re * cos(t) - im * sin(t)) /
+              n.cast("double")
+            val im = acc((re, im, t) => re * sin(t) + im * cos(t)) /
+              n.cast("double")
+            array(re, im)
+          }))
+        // unpack a GSL complex cell: every other element
+        case "oph_gsl_complex_get_real" =>
+          val packed = a(0)
+          transform(zeroUntil((size(packed) / 2).cast("int")), k =>
+            element_at(packed, k * 2 + 1))
+        case "oph_gsl_complex_get_imag" =>
+          val packed = a(0)
+          transform(zeroUntil((size(packed) / 2).cast("int")), k =>
+            element_at(packed, k * 2 + 2))
+        // complex modulus/argument over the packed cell
+        case "oph_gsl_complex_get_abs" =>
+          val packed = a(0)
+          transform(zeroUntil((size(packed) / 2).cast("int")), k =>
+            sqrt(pow(element_at(packed, k * 2 + 1), 2) +
+              pow(element_at(packed, k * 2 + 2), 2)))
+        case "oph_gsl_complex_get_arg" =>
+          val packed = a(0)
+          transform(zeroUntil((size(packed) / 2).cast("int")), k =>
+            atan2(element_at(packed, k * 2 + 2),
+              element_at(packed, k * 2 + 1)))
         // GSL aliases for reductions already in the surface
         case "oph_gsl_sd" => CubeOps.reduceExpr(a(0), "std")
         case "oph_gsl_quantile" =>
@@ -337,6 +379,11 @@ object ArrayPrimitives {
           throw new IllegalArgumentException(s"unknown primitive '$other'")
       }
   }
+
+  /** Positions [0, n) as a column, EMPTY when n = 0 (sequence(0, -1)
+    * would yield a descending garbage pair — same guard as indicesOf). */
+  private def zeroUntil(n: Column): Column =
+    slice(sequence(lit(0), greatest(n - 1, lit(0))), lit(1), n)
 
   /** Position vector [from, from+n) that is EMPTY for an empty cell:
     * Spark's sequence(1, 0) yields the DESCENDING [1, 0] — two garbage

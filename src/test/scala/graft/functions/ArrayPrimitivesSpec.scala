@@ -253,4 +253,32 @@ class ArrayPrimitivesSpec extends SparkSpec {
   test("string args only where a primitive expects them") {
     intercept[IllegalArgumentException](eval("oph_abs('sin')", Seq(1.0)))
   }
+
+  test("gsl_ifft inverts gsl_fft; complex unpack primitives") {
+    val xs = Seq(1.0, -2.5, 3.0, 0.5, 7.25)
+    // ifft(fft(x)) packs back as [x0, ~0, x1, ~0, ...]
+    val round = eval("oph_gsl_ifft(oph_gsl_fft(measure))", xs)
+      .asInstanceOf[scala.collection.Seq[Any]]
+      .map(_.asInstanceOf[Double]).toSeq
+    assert(round.length == 2 * xs.length)
+    round.grouped(2).zip(xs.iterator).foreach { case (Seq(re, im), x) =>
+      assert(math.abs(re - x) < 1e-9, s"re $re vs $x")
+      assert(math.abs(im) < 1e-9, s"im $im not ~0")
+    }
+    val reals = eval(
+      "oph_gsl_complex_get_real(oph_gsl_ifft(oph_gsl_fft(measure)))", xs)
+      .asInstanceOf[scala.collection.Seq[Any]]
+      .map(_.asInstanceOf[Double]).toSeq
+    assert(reals.zip(xs).forall { case (g, e) => math.abs(g - e) < 1e-9 })
+    // abs/arg of a known packed cell: [3,4] -> r 5, theta atan2(4,3)
+    approx(eval("oph_gsl_complex_get_abs(measure)", Seq(3.0, 4.0)),
+      Seq(5.0), 1e-12)
+    approx(eval("oph_gsl_complex_get_arg(measure)", Seq(3.0, 4.0)),
+      Seq(math.atan2(4.0, 3.0)), 1e-12)
+    approx(eval("oph_gsl_complex_get_imag(measure)", Seq(3.0, 4.0)),
+      Seq(4.0), 1e-12)
+    // empty cell stays empty through the packed paths
+    assert(eval("oph_gsl_ifft(measure)", Seq.empty[Double]) ==
+      Seq.empty[Double])
+  }
 }
