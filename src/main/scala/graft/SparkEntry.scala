@@ -731,6 +731,22 @@ object SparkEntry {
       """)
     }),
 
+    "sql_q6" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      // TPC-H Q6 shape: tight selective filter + single aggregate. The
+      // point at 100 TB is the SCAN: every predicate must reach the
+      // parquet reader (PushedFilters) and the projection must prune
+      // to the 4 touched columns — asserted in PlanAuditSpec.
+      s.sql("""
+        SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS DOUBLE)
+                 AS revenue
+        FROM lineitem
+        WHERE l_quantity < 24
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_extendedprice > 1000
+      """)
+    }),
+
     // ------------------------------------------- LLM pipeline: dedup
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
@@ -2150,6 +2166,14 @@ object SparkEntry {
          JOIN customer c ON c.c_custkey = o.o_custkey
          ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
          LIMIT 100""",
+
+    "sql_q6" ->
+      """SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS DOUBLE)
+                AS revenue
+         FROM lineitem
+         WHERE l_quantity < 24
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_extendedprice > 1000""",
 
     "workflow_agg" ->
       """SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty

@@ -211,6 +211,26 @@ class PlanAuditSpec extends SparkSpec {
       s"lineitem must aggregate before joining:\n$p")
   }
 
+  test("sql_q6: every predicate pushed to the parquet scan, 4-column read") {
+    // the q6 shape at 100 TB is all about the scan: selective filters
+    // must reach the reader as PushedFilters and the projection must
+    // prune to the touched columns — a full-width scan here multiplies
+    // IO by the table width
+    val df = graft.SparkEntry.queries("sql_q6")(spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: ["), s"filters must push down:\n$p")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters:")).get
+    Seq("l_quantity", "l_discount", "l_extendedprice").foreach(c =>
+      assert(pushed.contains(c), s"$c missing from PushedFilters:\n$pushed"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).get
+    assert(!readSchema.contains("l_orderkey") &&
+      !readSchema.contains("l_comment"),
+      s"projection must prune untouched columns:\n$readSchema")
+    // one partial+final aggregate pair, single exchange
+    assert(p.split("Exchange").length - 1 == 1,
+      s"q6 is one aggregation exchange:\n$p")
+  }
+
   test("spanDedupSalted: no whash window, hot keys broadcast, reused agg") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e f g h i j k l"),
