@@ -1242,6 +1242,37 @@ object SparkEntry {
           col("__v").as("qty"))
     }),
 
+    "workflow_intercube2" -> ((s, dir) => {
+      // N-cube intercube2 through the engine: avg of (1x, 2x, 3x) the
+      // same array cube = 2x the original, wired by order routing
+      val eng = new graft.workflow.Engine(s, new graft.core.Catalog("sess"))
+      val res = eng.run(graft.workflow.Workflow.parse(s"""{
+        "name": "wf", "tasks": [
+          {"name": "imp", "operator": "oph_importnc",
+           "arguments": ["src_path=$dir/lineitem.parquet",
+             "measure=l_quantity", "exp_dim=l_orderkey",
+             "imp_dim=l_linenumber", "container=li"]},
+          {"name": "x2", "operator": "oph_apply",
+           "arguments": ["query=oph_mul_scalar(measure, 2)"],
+           "dependencies": [{"task": "imp", "type": "single"}]},
+          {"name": "x3", "operator": "oph_apply",
+           "arguments": ["query=oph_mul_scalar(measure, 3)"],
+           "dependencies": [{"task": "imp", "type": "single"}]},
+          {"name": "avg", "operator": "oph_intercube2",
+           "arguments": ["operation=avg", "output_measure=m"],
+           "dependencies": [
+             {"task": "imp", "argument": "cubes", "type": "all", "order": "0"},
+             {"task": "x2", "argument": "cubes", "type": "all", "order": "1"},
+             {"task": "x3", "argument": "cubes", "type": "all", "order": "2"}
+           ]}
+        ]}"""))
+      val out = eng.cube(res("avg").cubePid.get).get
+      out.df.select(col("l_orderkey"),
+          posexplode(col("m")).as(Seq("__p", "__v")))
+        .select(col("l_orderkey"), (col("__p") + 1).cast("long").as("pos"),
+          round(col("__v"), 2).as("avg_qty"))
+    }),
+
     "workflow_concatnc" -> ((s, dir) => {
       // engine-path oph_concatnc: append fresh source data along the
       // implicit dim of an existing (subset) cube — positions become
@@ -2259,6 +2290,14 @@ object SparkEntry {
                     ORDER BY l_linenumber, l_quantity) AS pos
            FROM lineitem)
          SELECT l_orderkey, pos, l_quantity AS qty FROM p WHERE pos <= 4""",
+
+    // avg of (1x, 2x, 3x) elementwise = 2x the source measure
+    "workflow_intercube2" ->
+      """SELECT l_orderkey,
+                CAST(row_number() OVER (PARTITION BY l_orderkey
+                  ORDER BY l_linenumber, l_quantity) AS BIGINT) AS pos,
+                round(l_quantity * 2, 2) AS avg_qty
+         FROM lineitem""",
 
     "workflow_concatnc" ->
       """WITH p AS (

@@ -588,6 +588,48 @@ object CubeOps {
       sourceTask = Some("oph_intercube")))
   }
 
+  /** oph_intercube2 proper (`oph_json_objkeys.h` intercube2): an
+    * elementwise operation across N >= 2 cubes — sum, avg, mul, max,
+    * min. Joins every cube to the first on the shared explicit dims
+    * (each rhs pre-projected to keys + measure, same hygiene as
+    * [[intercube]]); the combine stays one codegen'd expression, avg
+    * divides once at the end. At scale each join shuffles on the same
+    * dim key, so AQE/bucketing co-locates the chain. */
+  def intercubeN(cs: Seq[Cube], op: String, outName: String): Cube = {
+    require(cs.size >= 2, "intercube2: need >= 2 cubes")
+    require(Seq("sum", "avg", "mul", "max", "min").contains(op),
+      s"intercube2 op '$op'")
+    val a = cs.head
+    val keys = cs.map(_.explicitDimNames).reduce(_ intersect _)
+    require(keys.nonEmpty, "intercube2: no shared explicit dims")
+    def comb(x: Column, y: Column): Column = op match {
+      case "sum" | "avg" => x + y
+      case "mul" => x * y
+      case "max" => greatest(x, y)
+      case "min" => least(x, y)
+    }
+    val joined = cs.tail.zipWithIndex.foldLeft(a.df) {
+      case (acc, (c, i)) =>
+        acc.join(c.df.select(
+          keys.map(col) :+ col(c.desc.measure).as(s"__rhs_$i"): _*), keys)
+    }
+    val rhs = cs.tail.indices.map(i => col(s"__rhs_$i"))
+    val combined = rhs.foldLeft(col(a.desc.measure)) { (x, y) =>
+      if (a.hasImplicit) zip_with(x, y, comb) else comb(x, y)
+    }
+    val finished =
+      if (op != "avg") combined
+      else if (a.hasImplicit)
+        transform(combined, v => v / lit(cs.size.toDouble))
+      else combined / lit(cs.size.toDouble)
+    val out = joined.withColumn(outName, finished)
+      .drop(cs.tail.indices.map(i => s"__rhs_$i") ++
+        (if (a.desc.measure != outName) Seq(a.desc.measure)
+         else Seq.empty): _*)
+    Cube(out, a.desc.copy(measure = outName, level = a.desc.level + 1,
+      sourceTask = Some("oph_intercube2")))
+  }
+
   // -------------------------------------------------------------------
   // oph_mergecubes / oph_mergecubes2 (`oph_json_objkeys.h:136`)
   // -------------------------------------------------------------------

@@ -1498,7 +1498,8 @@ final class Engine(
           sourceTask = Some(op))
         TaskResult(JobStatus.Completed, cubePid = Some(newPid))
 
-      case "oph_intercube" | "oph_intercube2" =>
+      case "oph_intercube" | "oph_intercube2"
+          if op == "oph_intercube" || !args.contains("cubes") =>
         val (pid, a) = needCube()
         val pid2 = args.getOrElse("cube2",
           throw new Engine.EngineError("intercube: missing cube2"))
@@ -1509,6 +1510,20 @@ final class Engine(
           args.getOrElse("output_measure", a.desc.measure))
         val newPid = register(out, containerOf(pid),
           parents = Seq(idOf(pid), idOf(pid2)), sourceTask = Some(op))
+        TaskResult(JobStatus.Completed, cubePid = Some(newPid))
+
+      case "oph_intercube2" =>
+        // N-cube form (`cubes=pid|pid|...`): elementwise
+        // sum/avg/mul/max/min across every listed cube
+        val pids = args("cubes").split('|').toSeq.filter(_.nonEmpty)
+        require(pids.size >= 2, "intercube2: need >= 2 cubes")
+        val cs = pids.map(p => cube(p).getOrElse(
+          throw new Engine.EngineError(s"unknown cube $p")))
+        val out = CubeOps.intercubeN(cs,
+          args.getOrElse("operation", "sum"),
+          args.getOrElse("output_measure", cs.head.desc.measure))
+        val newPid = register(out, containerOf(pids.head),
+          parents = pids.map(idOf), sourceTask = Some(op))
         TaskResult(JobStatus.Completed, cubePid = Some(newPid))
 
       case "oph_mergecubes" | "oph_mergecubes2" =>

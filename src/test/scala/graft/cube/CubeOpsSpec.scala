@@ -105,6 +105,20 @@ class CubeOpsSpec extends SparkSpec {
     assert(row == Seq(20.0, 40.0, 60.0, 80.0))
   }
 
+  test("intercubeN: elementwise ops across 3 cubes, avg divides once") {
+    val a = toyCube(); val b = toyCube(); val c = toyCube()
+    val avg = CubeOps.intercubeN(Seq(a, b, c), "avg", "m")
+    val row = avg.df.filter($"k" === 1L).select("m").as[Seq[Double]].head()
+    assert(row == Seq(10.0, 20.0, 30.0, 40.0)) // avg of 3 equals = self
+    val mx = CubeOps.intercubeN(Seq(a, b), "max", "m")
+    assert(mx.df.filter($"k" === 1L).select("m").as[Seq[Double]].head() ==
+      Seq(10.0, 20.0, 30.0, 40.0))
+    intercept[IllegalArgumentException](
+      CubeOps.intercubeN(Seq(a), "sum", "m"))
+    intercept[IllegalArgumentException](
+      CubeOps.intercubeN(Seq(a, b), "corr", "m"))
+  }
+
   test("mergecubes concatenates along the implicit dim") {
     val m = CubeOps.mergecubes(toyCube(), toyCube())
     val row = m.df.filter($"k" === 2L).select("v").as[Seq[Double]].head()
