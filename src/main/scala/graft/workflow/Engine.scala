@@ -98,7 +98,16 @@ object Engine {
     "oph_sort", "oph_gsl_sort", "oph_shift", "oph_rotate", "oph_padding",
     "oph_extend", "oph_interlace", "oph_concat", "oph_find",
     "oph_gsl_histogram", "oph_gsl_fft", "oph_gsl_sd", "oph_gsl_quantile",
-    "oph_gsl_boxplot")
+    "oph_gsl_boxplot",
+    // round 7 additions
+    "oph_math", "oph_max_array", "oph_min_array", "oph_arg_max_array",
+    "oph_arg_min_array", "oph_mask", "oph_replace", "oph_vector",
+    "oph_scalar2array", "oph_cast", "oph_convert_d", "oph_accumulate",
+    "oph_cumulative", "oph_cumsum", "oph_deaccumulate",
+    "oph_get_subarray", "oph_get_subarray2", "oph_gsl_stats",
+    "oph_operator", "oph_append", "oph_count_array", "oph_gsl_ifft",
+    "oph_gsl_complex_get_real", "oph_gsl_complex_get_imag",
+    "oph_gsl_complex_get_abs", "oph_gsl_complex_get_arg")
 
   /** Concept hierarchies (oph_hierarchy; the reference ships XML
     * hierarchy documents — time levels drive aggregate2/reduce2). */

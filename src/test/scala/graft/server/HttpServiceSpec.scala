@@ -411,9 +411,11 @@ class HttpServiceSpec extends SparkSpec {
         assert(code == 200)
         val jobid = mapper.readTree(body).get("jobid").asInt
         // the push arrives WITHOUT polling /services/status (generous
-        // bound: the shared host swings >2.5x under load)
+        // bound: the full suite runs concurrently in this JVM and the
+        // async Spark job queues behind every other suite's stages —
+        // 120s has flaked under that contention)
         val q = scala.concurrent.Await.result(
-          received.future, scala.concurrent.duration.Duration("120s"))
+          received.future, scala.concurrent.duration.Duration("300s"))
         assert(q.contains("tag=t1"))
         assert(q.contains(s"jobid=$jobid"))
         assert(q.contains("status=completed"))
