@@ -536,16 +536,29 @@ object CubeOps {
     * measures: zip_with for array measures, scalar op otherwise.
     * op ∈ sum|sub|mul|div|abs (abs = |a-b|). The join keys are the dim
     * columns, so Catalyst picks broadcast vs sort-merge by stats. */
-  def intercube(a: Cube, b: Cube, op: String, outName: String): Cube = {
+  def intercube(a: Cube, b: Cube, op: String, outName: String,
+      missingValue: Option[Double] = None): Cube = {
     val keys = a.explicitDimNames.intersect(b.explicitDimNames)
     require(keys.nonEmpty, "intercube: no shared explicit dims")
-    def combine(x: Column, y: Column): Column = op match {
-      case "sum" => x + y
-      case "sub" => x - y
-      case "mul" => x * y
-      case "div" => x / y
-      case "abs" => abs(x - y)
-      case other => throw new IllegalArgumentException(s"intercube op '$other'")
+    def combine(x: Column, y: Column): Column = {
+      val raw = op match {
+        case "sum" => x + y
+        case "sub" => x - y
+        case "mul" => x * y
+        case "div" => x / y
+        case "abs" => abs(x - y)
+        case other => throw new IllegalArgumentException(s"intercube op '$other'")
+      }
+      // reference missingvalue semantics: a missing operand poisons
+      // the cell (NaN sentinels compare via isnan — === NaN is never
+      // true)
+      missingValue match {
+        case Some(mv) if mv.isNaN =>
+          when(isnan(x) || isnan(y), lit(Double.NaN)).otherwise(raw)
+        case Some(mv) =>
+          when(x === lit(mv) || y === lit(mv), lit(mv)).otherwise(raw)
+        case None => raw
+      }
     }
     /** Pearson correlation of the two in-cell arrays (array -> scalar;
       * the reference's intercube corr mode). Null when variance is 0. */
@@ -595,18 +608,28 @@ object CubeOps {
     * [[intercube]]); the combine stays one codegen'd expression, avg
     * divides once at the end. At scale each join shuffles on the same
     * dim key, so AQE/bucketing co-locates the chain. */
-  def intercubeN(cs: Seq[Cube], op: String, outName: String): Cube = {
+  def intercubeN(cs: Seq[Cube], op: String, outName: String,
+      missingValue: Option[Double] = None): Cube = {
     require(cs.size >= 2, "intercube2: need >= 2 cubes")
     require(Seq("sum", "avg", "mul", "max", "min").contains(op),
       s"intercube2 op '$op'")
     val a = cs.head
     val keys = cs.map(_.explicitDimNames).reduce(_ intersect _)
     require(keys.nonEmpty, "intercube2: no shared explicit dims")
-    def comb(x: Column, y: Column): Column = op match {
-      case "sum" | "avg" => x + y
-      case "mul" => x * y
-      case "max" => greatest(x, y)
-      case "min" => least(x, y)
+    def isMiss(c: Column): Column = missingValue match {
+      case Some(mv) if mv.isNaN => isnan(c)
+      case Some(mv) => c === lit(mv)
+      case None => lit(false)
+    }
+    def comb(x: Column, y: Column): Column = {
+      val raw = op match {
+        case "sum" | "avg" => x + y
+        case "mul" => x * y
+        case "max" => greatest(x, y)
+        case "min" => least(x, y)
+      }
+      if (missingValue.isEmpty) raw
+      else when(isMiss(x) || isMiss(y), lit(missingValue.get)).otherwise(raw)
     }
     val joined = cs.tail.zipWithIndex.foldLeft(a.df) {
       case (acc, (c, i)) =>
@@ -617,11 +640,12 @@ object CubeOps {
     val combined = rhs.foldLeft(col(a.desc.measure)) { (x, y) =>
       if (a.hasImplicit) zip_with(x, y, comb) else comb(x, y)
     }
+    def divTotal(v: Column): Column = // keep the missing sentinel whole
+      when(isMiss(v), v).otherwise(v / lit(cs.size.toDouble))
     val finished =
       if (op != "avg") combined
-      else if (a.hasImplicit)
-        transform(combined, v => v / lit(cs.size.toDouble))
-      else combined / lit(cs.size.toDouble)
+      else if (a.hasImplicit) transform(combined, divTotal(_))
+      else divTotal(combined)
     val out = joined.withColumn(outName, finished)
       .drop(cs.tail.indices.map(i => s"__rhs_$i") ++
         (if (a.desc.measure != outName) Seq(a.desc.measure)

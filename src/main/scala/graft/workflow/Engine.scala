@@ -1516,7 +1516,8 @@ final class Engine(
           throw new Engine.EngineError(s"unknown cube2 $pid2"))
         val out = CubeOps.intercube(a, b,
           args.getOrElse("operation", "sub"),
-          args.getOrElse("output_measure", a.desc.measure))
+          args.getOrElse("output_measure", a.desc.measure),
+          args.get("missingvalue").map(_.toDouble))
         val newPid = register(out, containerOf(pid),
           parents = Seq(idOf(pid), idOf(pid2)), sourceTask = Some(op))
         TaskResult(JobStatus.Completed, cubePid = Some(newPid))
@@ -1530,7 +1531,8 @@ final class Engine(
           throw new Engine.EngineError(s"unknown cube $p")))
         val out = CubeOps.intercubeN(cs,
           args.getOrElse("operation", "sum"),
-          args.getOrElse("output_measure", cs.head.desc.measure))
+          args.getOrElse("output_measure", cs.head.desc.measure),
+          args.get("missingvalue").map(_.toDouble))
         val newPid = register(out, containerOf(pids.head),
           parents = pids.map(idOf), sourceTask = Some(op))
         TaskResult(JobStatus.Completed, cubePid = Some(newPid))

@@ -119,6 +119,23 @@ class CubeOpsSpec extends SparkSpec {
       CubeOps.intercubeN(Seq(a, b), "corr", "m"))
   }
 
+  test("intercube missingvalue poisons cells, avg keeps the sentinel whole") {
+    val a = toyCube(); val b = toyCube()
+    // mark one source cell missing via apply-style rewrite
+    val aMiss = graft.cube.Cube(
+      a.df.withColumn("v", org.apache.spark.sql.functions.transform(
+        $"v", x => org.apache.spark.sql.functions.when(x === 10.0, -999.0)
+          .otherwise(x))), a.desc)
+    val ic = CubeOps.intercube(aMiss, b, "sum", "s",
+      missingValue = Some(-999.0))
+    val row = ic.df.filter($"k" === 1L).select("s").as[Seq[Double]].head()
+    assert(row == Seq(-999.0, 40.0, 60.0, 80.0))
+    val av = CubeOps.intercubeN(Seq(aMiss, b, b), "avg", "m",
+      missingValue = Some(-999.0))
+    val arow = av.df.filter($"k" === 1L).select("m").as[Seq[Double]].head()
+    assert(arow == Seq(-999.0, 20.0, 30.0, 40.0))
+  }
+
   test("mergecubes concatenates along the implicit dim") {
     val m = CubeOps.mergecubes(toyCube(), toyCube())
     val row = m.df.filter($"k" === 2L).select("v").as[Seq[Double]].head()
