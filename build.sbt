@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // a 119-query sweep generates hundreds of whole-stage-codegen
+  // classes; the 240m default code cache silently sweeps compiled
+  // methods mid-sweep, forcing recompiles that show as wall>>cpu
+  // single-query spikes with zero GC/spill
+  "-XX:ReservedCodeCacheSize=1g",
 )
