@@ -71,6 +71,7 @@ object Engine {
     "oph_importnc", "oph_importnc2", "oph_importncs", "oph_importcsv",
     "oph_concatnc", "oph_concatnc2", "oph_randcube", "oph_randcube2",
     "oph_createcontainer", "oph_deletecontainer", "oph_restorecontainer",
+    "oph_movecontainer",
     "oph_delete", "oph_folder", "oph_fs", "oph_list", "oph_search",
     "oph_find", "oph_publish", "oph_unpublish", "oph_b2drop",
     "oph_subset", "oph_subset2", "oph_reduce", "oph_reduce2",
