@@ -30,6 +30,36 @@ class PrimitivePropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: accumulate equals scanLeft; deaccumulate inverts it") {
+    val cum = evalAll("oph_accumulate(measure)")
+    arrays.zip(cum).foreach { case (a, c) =>
+      val want = a.tail.scanLeft(a.head)(_ + _)
+      val got = c.asInstanceOf[scala.collection.Seq[Double]].toSeq
+      got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+    }
+    val round = evalAll("oph_deaccumulate(oph_accumulate(measure))")
+    arrays.zip(round).foreach { case (a, r) =>
+      val got = r.asInstanceOf[scala.collection.Seq[Double]].toSeq
+      got.zip(a).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+    }
+  }
+
+  test("property: cummax is monotone and bounded by max") {
+    val cm = evalAll("oph_accumulate(measure, 'max')")
+    arrays.zip(cm).foreach { case (a, c) =>
+      val got = c.asInstanceOf[scala.collection.Seq[Double]].toSeq
+      assert(got == got.sorted, s"cummax not monotone: $got")
+      assert(got.last == a.max)
+    }
+  }
+
+  test("property: get_subarray2('1:end') is the identity") {
+    val ident = evalAll("oph_get_subarray2(measure, '1:end')")
+    arrays.zip(ident).foreach { case (a, r) =>
+      assert(r.asInstanceOf[scala.collection.Seq[Double]].toSeq == a)
+    }
+  }
+
   test("property: reverse is an involution") {
     val twice = evalAll("oph_reverse(oph_reverse(measure))")
     arrays.zip(twice).foreach { case (a, t) =>

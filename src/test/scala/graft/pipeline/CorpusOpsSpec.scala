@@ -293,6 +293,38 @@ class CorpusOpsSpec extends SparkSpec {
       plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("packSequences invariants on a 200-doc random corpus") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 200L).map(i => (i, rnd.nextInt(40).toLong))
+    val L = 32
+    val df = rows.toDF("doc_id", "n")
+    val got = CorpusOps.packSequences(df, "doc_id", "n", seqLen = L,
+        numPartitions = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val byDoc = got.groupBy(_._1)
+    // every non-empty doc's slices cover its tokens exactly once
+    rows.filter(_._2 > 0).foreach { case (id, n) =>
+      val slices = byDoc.getOrElse(id, Array.empty).sortBy(_._2)
+      assert(slices.map(x => x._4 - x._3).sum == n, s"doc $id")
+      assert(slices.head._3 == 0 && slices.last._4 == n, s"doc $id bounds")
+      slices.sliding(2).foreach {
+        case Array(p, q) => assert(p._4 == q._3, s"doc $id gap")
+        case _ => ()
+      }
+    }
+    rows.filter(_._2 == 0).foreach { case (id, _) =>
+      assert(!byDoc.contains(id)) }
+    // every sequence except the highest holds exactly L tokens
+    val bySeq = got.groupBy(_._2).view.mapValues(_.map(x => x._4 - x._3).sum)
+    val last = bySeq.keys.max
+    bySeq.foreach { case (q, tot) =>
+      if (q != last) assert(tot == L.toLong, s"seq $q holds $tot") }
+    // slice offsets sit inside the window
+    got.foreach { case (_, _, from, to, off) =>
+      assert(off >= 0 && off < L && to - from <= L) }
+  }
+
   test("packShards never collapses to a single-partition global window") {
     val df = (1L to 1000L).map(i => (i, 7L)).toDF("doc_id", "w")
     val plan = CorpusOps.packShards(df, "doc_id", "w", budget = 100L,
