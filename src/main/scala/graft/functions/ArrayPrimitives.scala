@@ -187,21 +187,13 @@ object ArrayPrimitives {
                 x < lit(lo) + (b + 1).cast("double") * lit(w)))
               .cast("long"))
         // gsl_fft(a): discrete Fourier transform of the real cell,
-        // returned GSL-packed as [re0, im0, re1, im1, ...]. The O(n^2)
-        // direct form stays entirely inside codegen'd HOFs — in-cell
-        // arrays are short (a time series per cell), so n^2 tiny
-        // in-register passes beat shipping cells to any native FFT
+        // returned GSL-packed as [re0, im0, re1, im1, ...]. O(n^2)
+        // direct form (in-cell series are short) as a native codegen
+        // Expression — compiled double loops, no interpreted HOF
+        // boundary per element (the HOF formulation benched ~5x slower)
         case "oph_gsl_fft" =>
-          val arr = a(0)
-          val n = size(arr)
-          flatten(transform(indicesOf(arr, 0), k => {
-            def term(trig: Column => Column): Column =
-              aggregate(sequence(lit(0), n - 1), lit(0.0), (acc, j) =>
-                acc + element_at(arr, j.cast("int") + 1) *
-                  trig(lit(-2.0 * math.Pi) * k.cast("double") *
-                    j.cast("double") / n.cast("double")))
-            array(term(cos), term(sin))
-          }))
+          graft.functions.expressions.GraftExpressions.dft(a(0),
+            inverse = false)
         // math(a, fname): elementwise math function by name — the
         // reference's oph_math surface (accepts 'sin', 'OPH_MATH_SIN',
         // quoted or bare, case-insensitive)
@@ -329,27 +321,10 @@ object ArrayPrimitives {
         case "oph_append" => concat(a(0), a(1))
         case "oph_count_array" => CubeOps.reduceExpr(a(0), "count")
         // gsl_ifft(a): inverse DFT over a GSL-packed [re0, im0, ...]
-        // cell — x_j = (1/n) sum_k (re_k cos t - im_k sin t),
-        // t = 2 pi k j / n; returns the real parts (the inverse of a
-        // real-input fft), packed back as [re0, 0, re1, 0, ...]
+        // cell, 1/n scaled, packed back — same native codegen Expression
         case "oph_gsl_ifft" =>
-          val packed = a(0)
-          val n = (size(packed) / 2).cast("int")
-          flatten(transform(zeroUntil(n), j => {
-            def acc(f: (Column, Column, Column) => Column): Column =
-              aggregate(sequence(lit(0), n - 1), lit(0.0), (s, k) => {
-                val t = lit(2.0 * math.Pi) * k.cast("double") *
-                  j.cast("double") / n.cast("double")
-                val re = element_at(packed, k.cast("int") * 2 + 1)
-                val im = element_at(packed, k.cast("int") * 2 + 2)
-                s + f(re, im, t)
-              })
-            val re = acc((re, im, t) => re * cos(t) - im * sin(t)) /
-              n.cast("double")
-            val im = acc((re, im, t) => re * sin(t) + im * cos(t)) /
-              n.cast("double")
-            array(re, im)
-          }))
+          graft.functions.expressions.GraftExpressions.dft(a(0),
+            inverse = true)
         // unpack a GSL complex cell: every other element
         case "oph_gsl_complex_get_real" =>
           val packed = a(0)

@@ -47,6 +47,124 @@ object GraftExpressions {
   def cum_op(arr: Column, op: String): Column =
     ColumnBridge.column(CumOp(
       ColumnBridge.expression(arr.cast("array<double>")), op))
+
+  /** Direct DFT over an array<double> cell, GSL-packed output
+    * [re0, im0, re1, im1, ...]. forward: n reals in; inverse: 2n
+    * packed in. Still O(n^2) per cell (in-cell series are short) but
+    * in compiled double loops instead of interpreted HOF chains. */
+  def dft(arr: Column, inverse: Boolean): Column =
+    ColumnBridge.column(Dft(
+      ColumnBridge.expression(arr.cast("array<double>")), inverse))
+}
+
+/** Direct discrete Fourier transform, forward (real input -> packed
+  * complex) or inverse (packed complex -> packed complex, 1/n scaled).
+  * Backs oph_gsl_fft / oph_gsl_ifft. */
+case class Dft(child: Expression, inverse: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"dft expects array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = if (inverse) "graft_idft" else "graft_dft"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out =
+      if (!inverse) {
+        val n = arr.numElements()
+        val o = new Array[Double](2 * n)
+        var k = 0
+        while (k < n) {
+          var re = 0.0; var im = 0.0
+          var j = 0
+          while (j < n) {
+            val t = -2.0 * math.Pi * k * j / n
+            val x = arr.getDouble(j)
+            re += x * math.cos(t); im += x * math.sin(t)
+            j += 1
+          }
+          o(2 * k) = re; o(2 * k + 1) = im
+          k += 1
+        }
+        o
+      } else {
+        val n = arr.numElements() / 2
+        val o = new Array[Double](2 * n)
+        var j = 0
+        while (j < n) {
+          var re = 0.0; var im = 0.0
+          var k = 0
+          while (k < n) {
+            val t = 2.0 * math.Pi * k * j / n
+            val xr = arr.getDouble(2 * k); val xi = arr.getDouble(2 * k + 1)
+            val c = math.cos(t); val s = math.sin(t)
+            re += xr * c - xi * s
+            im += xr * s + xi * c
+            k += 1
+          }
+          o(2 * j) = re / n; o(2 * j + 1) = im / n
+          j += 1
+        }
+        o
+      }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val re = ctx.freshName("re")
+      val im = ctx.freshName("im")
+      val t = ctx.freshName("t")
+      val out = ctx.freshName("out")
+      val x = ctx.freshName("x")
+      val xr = ctx.freshName("xr")
+      val xi = ctx.freshName("xi")
+      val c = ctx.freshName("c")
+      val sn = ctx.freshName("s")
+      val body =
+        if (!inverse) s"""
+          final int $n = $arr.numElements();
+          final double[] $out = new double[2 * $n];
+          for (int $k = 0; $k < $n; $k++) {
+            double $re = 0.0, $im = 0.0;
+            for (int $j = 0; $j < $n; $j++) {
+              final double $t = -2.0 * Math.PI * $k * $j / $n;
+              final double $x = $arr.getDouble($j);
+              $re += $x * Math.cos($t); $im += $x * Math.sin($t);
+            }
+            $out[2 * $k] = $re; $out[2 * $k + 1] = $im;
+          }
+        """ else s"""
+          final int $n = $arr.numElements() / 2;
+          final double[] $out = new double[2 * $n];
+          for (int $j = 0; $j < $n; $j++) {
+            double $re = 0.0, $im = 0.0;
+            for (int $k = 0; $k < $n; $k++) {
+              final double $t = 2.0 * Math.PI * $k * $j / $n;
+              final double $xr = $arr.getDouble(2 * $k);
+              final double $xi = $arr.getDouble(2 * $k + 1);
+              final double $c = Math.cos($t), $sn = Math.sin($t);
+              $re += $xr * $c - $xi * $sn;
+              $im += $xr * $sn + $xi * $c;
+            }
+            $out[2 * $j] = $re / $n; $out[2 * $j + 1] = $im / $n;
+          }
+        """
+      s"""
+        $body
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Dft =
+    copy(child = newChild)
 }
 
 /** One-pass cumulative scan; `op` fixed at plan time so codegen emits
