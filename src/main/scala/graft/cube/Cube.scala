@@ -561,19 +561,13 @@ object CubeOps {
       }
     }
     /** Pearson correlation of the two in-cell arrays (array -> scalar;
-      * the reference's intercube corr mode). Null when variance is 0. */
-    def corrArrays(x: Column, y: Column): Column = {
-      def s1(c: Column) = F.aggregate(c, lit(0.0), (acc, v) => acc + v.cast("double"))
-      def s2(c: Column) = F.aggregate(c, lit(0.0),
-        (acc, v) => acc + v.cast("double") * v.cast("double"))
-      val n = size(x).cast("double")
-      val sxy = F.aggregate(zip_with(x, y,
-        (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-      val num = n * sxy - s1(x) * s1(y)
-      val den = sqrt(n * s2(x) - s1(x) * s1(x)) * sqrt(n * s2(y) - s1(y) * s1(y))
-      when(den > 0, num / den)
-    }
+      * the reference's intercube corr mode). Null when variance is 0.
+      * Native one-pass codegen Expression — the HOF formulation ran
+      * five interpreted aggregates per cell and was this operator's
+      * recurring sweep-spike. Identical accumulation order, so results
+      * are bit-equal. */
+    def corrArrays(x: Column, y: Column): Column =
+      graft.functions.expressions.GraftExpressions.corr_arrays(x, y)
     // project b down to keys + measure BEFORE the join: b's __dim_*
     // companions must not survive as duplicate columns beside a's
     // (downstream flatten/drilldown would hit AMBIGUOUS_REFERENCE)

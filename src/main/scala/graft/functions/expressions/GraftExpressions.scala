@@ -3,7 +3,7 @@ package graft.functions.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -55,6 +55,80 @@ object GraftExpressions {
   def dft(arr: Column, inverse: Boolean): Column =
     ColumnBridge.column(Dft(
       ColumnBridge.expression(arr.cast("array<double>")), inverse))
+
+  /** Pearson correlation of two array<double> cells in ONE fused pass
+    * (the HOF formulation runs five interpreted aggregates per cell).
+    * Null when either variance term is <= 0 — same contract as the
+    * intercube corr mode it backs. */
+  def corr_arrays(x: Column, y: Column): Column =
+    ColumnBridge.column(CorrArrays(
+      ColumnBridge.expression(x.cast("array<double>")),
+      ColumnBridge.expression(y.cast("array<double>"))))
+}
+
+/** One-pass Pearson correlation over paired cells; pairs up to the
+  * shorter cell (zip_with semantics would null-pad — the engine only
+  * feeds equal-length cells). */
+case class CorrArrays(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"corr_arrays expects two array<double>, got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_corr_arrays"
+
+  override def nullSafeEval(xs: Any, ys: Any): Any = {
+    val x = xs.asInstanceOf[ArrayData]
+    val y = ys.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s1x = 0.0; var s1y = 0.0; var s2x = 0.0; var s2y = 0.0
+    var sxy = 0.0
+    var i = 0
+    while (i < n) {
+      val a = x.getDouble(i); val b = y.getDouble(i)
+      s1x += a; s1y += b; s2x += a * a; s2y += b * b; sxy += a * b
+      i += 1
+    }
+    val num = n * sxy - s1x * s1y
+    val den = math.sqrt(n * s2x - s1x * s1x) * math.sqrt(n * s2y - s1y * s1y)
+    if (den > 0) java.lang.Double.valueOf(num / den) else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xs, ys) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s1x = ctx.freshName("s1x"); val s1y = ctx.freshName("s1y")
+      val s2x = ctx.freshName("s2x"); val s2y = ctx.freshName("s2y")
+      val sxy = ctx.freshName("sxy")
+      val a = ctx.freshName("a"); val b = ctx.freshName("b")
+      val num = ctx.freshName("num"); val den = ctx.freshName("den")
+      s"""
+        final int $n = Math.min($xs.numElements(), $ys.numElements());
+        double $s1x = 0.0, $s1y = 0.0, $s2x = 0.0, $s2y = 0.0, $sxy = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          final double $a = $xs.getDouble($i);
+          final double $b = $ys.getDouble($i);
+          $s1x += $a; $s1y += $b; $s2x += $a * $a; $s2y += $b * $b;
+          $sxy += $a * $b;
+        }
+        final double $num = $n * $sxy - $s1x * $s1y;
+        final double $den = Math.sqrt($n * $s2x - $s1x * $s1x)
+          * Math.sqrt($n * $s2y - $s1y * $s1y);
+        if ($den > 0) { ${ev.value} = $num / $den; }
+        else { ${ev.isNull} = true; }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CorrArrays =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Direct discrete Fourier transform, forward (real input -> packed
