@@ -64,6 +64,85 @@ object GraftExpressions {
     ColumnBridge.column(CorrArrays(
       ColumnBridge.expression(x.cast("array<double>")),
       ColumnBridge.expression(y.cast("array<double>"))))
+
+  /** GSL-style uniform histogram (upper bound exclusive, out-of-range
+    * ignored) in one O(n) pass — the HOF form filters the cell once
+    * per bin. */
+  def histogram(arr: Column, nbins: Int, lo: Double, hi: Double): Column =
+    ColumnBridge.column(HistogramBins(
+      ColumnBridge.expression(arr.cast("array<double>")), nbins, lo, hi))
+}
+
+/** Single-pass uniform binning [lo + i*w, lo + (i+1)*w), w = (hi-lo)/n.
+  * Bin index arithmetic mirrors the HOF per-bin bounds exactly: a
+  * value lands in bin i iff lo + i*w <= x < lo + (i+1)*w, checked
+  * AGAINST THE BOUNDS (not via division) so edge doubles bin the same
+  * way the reference HOF did. */
+case class HistogramBins(child: Expression, nbins: Int, lo: Double, hi: Double)
+    extends UnaryExpression {
+  require(nbins >= 1, s"histogram needs >= 1 bin, got $nbins")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"histogram expects array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_histogram"
+
+  private def width: Double = (hi - lo) / nbins
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](nbins)
+    val w = width
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val x = arr.getDouble(i)
+      if (x >= lo && x < lo + nbins * w) {
+        var b = ((x - lo) / w).toInt
+        if (b >= nbins) b = nbins - 1
+        // division can land one off the HOF's bound arithmetic on
+        // edge doubles: nudge to the bin whose bounds contain x
+        while (b > 0 && x < lo + b * w) b -= 1
+        while (b < nbins - 1 && x >= lo + (b + 1) * w) b += 1
+        if (x >= lo + b * w && x < lo + (b + 1) * w) out(b) += 1L
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val b = ctx.freshName("b")
+      val out = ctx.freshName("out")
+      val w = ctx.freshName("w")
+      s"""
+        final int $n = $arr.numElements();
+        final long[] $out = new long[$nbins];
+        final double $w = ${width}D;
+        for (int $i = 0; $i < $n; $i++) {
+          final double $x = $arr.getDouble($i);
+          if ($x >= ${lo}D && $x < ${lo}D + $nbins * $w) {
+            int $b = (int) (($x - ${lo}D) / $w);
+            if ($b >= $nbins) $b = $nbins - 1;
+            while ($b > 0 && $x < ${lo}D + $b * $w) $b--;
+            while ($b < $nbins - 1 && $x >= ${lo}D + ($b + 1) * $w) $b++;
+            if ($x >= ${lo}D + $b * $w && $x < ${lo}D + ($b + 1) * $w)
+              $out[$b]++;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HistogramBins =
+    copy(child = newChild)
 }
 
 /** One-pass Pearson correlation over paired cells; pairs up to the
