@@ -2490,7 +2490,7 @@ object SparkEntry {
                         o_orderstatus AS st, count(*) AS c
                  FROM orders GROUP BY 1, 2, 3)
          SELECT prio.p AS p, years.ypos AS ypos, sts.spos AS spos,
-                coalesce(sum(agg.c), 0) AS n
+                CAST(coalesce(sum(agg.c), 0) AS BIGINT) AS n
          FROM prio CROSS JOIN years CROSS JOIN sts
          LEFT JOIN agg ON agg.p = prio.p AND agg.y = years.y AND agg.st = sts.st
          GROUP BY 1, 2, 3""",

@@ -592,7 +592,10 @@ object NetCDF4 {
       val sb = new B()
       sb.raw(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
       sb.u8(1).u8(0).u8(0).u8(0).u8(0).u8(8).u8(8).u8(0)
-      sb.u16(dsNames.size max 4).u16(16).u16(128).u16(0).u32(0)
+      // leaf K, internal K, file-consistency flags (u32), then the
+      // v1-only indexed-storage K + reserved — flags precede the K
+      // fields per the HDF5 spec (and our own reader, Hdf5.scala:172)
+      sb.u16(dsNames.size max 4).u16(16).u32(0).u16(128).u16(0)
       sb.u64(0).u64(Undef).u64(eof).u64(Undef)
       sb.u64(0).u64(rootOhAddr).u32(1).u32(0).u64(gbtreeAddr).u64(heapHdrAddr)
       putBytes(sb.bytes)

@@ -30,6 +30,26 @@ class Hdf5Spec extends SparkSpec {
       gatts = Seq("title" -> "graft nc4 grid"))
   }
 
+  test("superblock v1 byte layout: flags precede indexed-storage K") {
+    // our reader skips both fields, so pin the spec ordering at the
+    // byte level: leaf K, internal K, consistency flags (u32), THEN
+    // the v1-only indexed-storage K + reserved, then base address 0
+    val path = tmp("sbv1")
+    writeGrid(path)
+    val in = new java.io.DataInputStream(
+      new java.io.FileInputStream(path))
+    val head = new Array[Byte](36)
+    in.readFully(head); in.close()
+    def u16(o: Int) = (head(o) & 0xff) | ((head(o + 1) & 0xff) << 8)
+    def u32(o: Int) = u16(o).toLong | (u16(o + 2).toLong << 16)
+    assert(head(8) == 1, "superblock version 1")
+    assert(u16(18) == 16, "group internal node K")
+    assert(u32(20) == 0L, "file consistency flags (before v1 K fields)")
+    assert(u16(24) == 128, "indexed-storage internal node K")
+    assert(u16(26) == 0, "reserved after indexed-storage K")
+    assert(u32(28) == 0L && u32(32) == 0L, "base address 0")
+  }
+
   test("hdf5 magic: NetCDF3 rejects it by name, isHdf5 detects it") {
     val path = tmp("magic")
     writeGrid(path)
