@@ -79,19 +79,34 @@ object SparkEntry {
        QUALIFY row_number() OVER (PARTITION BY query_id
          ORDER BY score DESC, nn_id) = 1"""
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark only reads as
-    * long (`spark.sql.legacy.parquet.nanosAsLong`); convert to a
-    * microsecond timestamp with integer division (a double division
-    * would lose precision above 2^53). */
+  /** events.parquet's `ts` physical type varies across testdata
+    * generations: TIMESTAMP(NANOS) arrives as a long (via
+    * `spark.sql.legacy.parquet.nanosAsLong`) and needs integer
+    * division to micros (double division would lose precision above
+    * 2^53); TIMESTAMP(MICROS) arrives as a timestamp already and only
+    * needs a cast to session-TZ TimestampType (sessions run UTC).
+    * Normalizing on the READ schema — not a value heuristic — keeps
+    * both generations exact. */
+  private def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
+
   private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(t(s, dir, "events"))
 
   /** The file source streams a DIRECTORY of drops; the testdata table
     * is a single file, so stage it as `copies` "arrived" drops
     * (absolute symlink targets — a relative data dir would resolve
     * against the temp dir and dangle) and open a file-source stream.
-    * `ts` stays the raw nanos long; callers convert like `events`. */
+    * The forced stream schema must carry the FILE's physical `ts` type
+    * (a footer peek via a batch read — forcing LongType over a
+    * TIMESTAMP(MICROS) column would silently read raw micros and shear
+    * every event-time 1000×), then `ts` is normalized to TimestampType
+    * like the batch path. */
   private def stagedEventsStream(s: SparkSession, dir: String,
       copies: Int = 1): DataFrame = {
     import org.apache.spark.sql.types._
@@ -102,13 +117,14 @@ object SparkEntry {
     for (i <- 1 to copies)
       java.nio.file.Files.createSymbolicLink(
         drops.resolve(s"events_$i.parquet"), target)
-    s.readStream
+    val tsType = s.read.parquet(target.toString).schema("ts").dataType
+    normalizeTs(s.readStream
       .schema(StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("event_id", LongType), StructField("ts", tsType),
         StructField("user_id", LongType),
         StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType))))
-      .parquet(drops.toString)
+      .parquet(drops.toString))
   }
 
   /** lineitem as a datacube: explicit dim l_orderkey, implicit dim
@@ -927,7 +943,6 @@ object SparkEntry {
       // Complete mode's final table equals the batch aggregation, so
       // the SAME hourly oracle hash-verifies the streaming machinery.
       val ev = stagedEventsStream(s, dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val agg = graft.streaming.EventStream.hourlyAggregates(ev)
       val q = agg.writeStream.format("memory")
         .queryName("events_stream_hourly")
@@ -973,7 +988,6 @@ object SparkEntry {
       // count and the BATCH gap-count oracle verifies the custom state
       // machine end to end.
       val ev = stagedEventsStream(s, dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val sess = graft.streaming.EventStream.sessionize(s, ev)
       val q = sess.writeStream.format("memory")
         .queryName("events_stream_sessions").outputMode("update")
@@ -1015,7 +1029,6 @@ object SparkEntry {
       // match independent of batch boundaries, so the AvailableNow run
       // hash-matches the BATCH join oracle.
       val ev = stagedEventsStream(s, dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val views = ev.filter(col("event_type") === "view")
