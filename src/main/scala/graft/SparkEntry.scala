@@ -1400,6 +1400,29 @@ object SparkEntry {
         .agg(round(sum(col("o_totalprice")), 2).as("s"))
     }),
 
+    "netcdf4_dense_groups" -> ((s, dir) => {
+      // DENSE (fractal-heap) group links end-to-end: 11 variables +
+      // the row dimension push the root group past netcdf-c's 8-link
+      // threshold, so the distributed exporter emits a fractal heap +
+      // v2 B-tree name index and the reader walks them back — the
+      // layout every real many-variable climate file uses. Hash-checked
+      // against DuckDB running the same aggregate on the parquet source
+      val src = t(s, dir, "orders").orderBy("o_orderkey").limit(2000)
+        .select(col("o_orderkey").cast("double").as("k") +:
+          (1 to 10).map(j =>
+            (col("o_totalprice") * j).cast("double").as(f"m$j%02d")): _*)
+      val f = java.io.File.createTempFile("graft_nc4_dense", ".nc4")
+      f.delete()
+      graft.sources.NetCDF4.writeTableDistributed(src, f.getPath,
+        chunkRows = 512)
+      f.deleteOnExit()
+      val aggs = (1 to 10).map(j =>
+        round(sum(col(f"m$j%02d")), 2).as(f"s$j%02d"))
+      s.read.format("netcdf4").load(f.getPath)
+        .groupBy(floor(col("k") / 1000).cast("long").as("bucket"))
+        .agg(aggs.head, aggs.tail: _*)
+    }),
+
     "netcdf_time_roundtrip" -> ((s, dir) => {
       // CF TIME end-to-end on the ENGINE path: orders dates encode as
       // 'days since 1970-01-01' in a NetCDF-4 file with the units
@@ -2343,6 +2366,15 @@ object SparkEntry {
          SELECT CAST(floor(o_orderkey / 1000) AS BIGINT) AS bucket,
                 round(sum(o_totalprice), 2) AS s
          FROM t GROUP BY 1""",
+
+    "netcdf4_dense_groups" ->
+      ("""WITH t AS (SELECT o_orderkey, o_totalprice FROM orders
+                     ORDER BY o_orderkey LIMIT 2000)
+          SELECT CAST(floor(o_orderkey / 1000) AS BIGINT) AS bucket, """ +
+        (1 to 10).map(j =>
+          s"round(sum(o_totalprice * $j), 2) AS s${"%02d".format(j)}")
+          .mkString(", ") +
+        " FROM t GROUP BY 1"),
 
     "netcdf_time_roundtrip" ->
       """WITH t AS (SELECT o_orderdate, o_totalprice FROM orders

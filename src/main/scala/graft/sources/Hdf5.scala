@@ -303,11 +303,236 @@ object Hdf5 {
         val links = msgs.filter(_._1 == 0x0006).map { case (_, d) =>
           parseLink(d)
         }
-        if (links.isEmpty && msgs.exists(_._1 == 0x0002))
-          throw new FormatError(
-            s"$path: dense (fractal-heap) group links not supported")
-        links
+        if (links.isEmpty)
+          msgs.find(_._1 == 0x0002) match {
+            case Some((_, d)) => denseLinks(in, d, path)
+            case None => links
+          }
+        else links
     }
+  }
+
+  /** Dense ("new style") group storage: past ~8 links netcdf-c/libhdf5
+    * switch from compact Link messages to a fractal heap holding the
+    * link-message bodies plus a v2 B-tree (record type 5) indexing
+    * them by name hash — the layout of any real CMIP-style file with
+    * many variables. The Link Info message (0x0002) carries both
+    * addresses. Spec: HDF5 File Format Spec III.D / III.A.2 / IV.A.2.c. */
+  private def denseLinks(in: In, d: Array[Byte],
+      path: String): Seq[(String, Long)] = {
+    val b = ByteBuffer.wrap(d).order(ByteOrder.LITTLE_ENDIAN)
+    val ver = b.get() & 0xFF
+    if (ver != 0) throw new FormatError(s"$path: link info version $ver")
+    val flags = b.get() & 0xFF
+    if ((flags & 1) != 0) b.getLong // max creation order index
+    val fheap = b.getLong
+    val nameIndex = b.getLong
+    if (!defined(fheap) || !defined(nameIndex)) return Seq.empty
+    val heap = readFractalHeap(in, fheap, path)
+    // hash order is meaningless to callers; sort by name for the same
+    // determinism the old-style (name-sorted B-tree) path gives
+    walkV2Btree(in, nameIndex, path).map { rec =>
+      parseLink(fetchManaged(in, heap, rec.drop(4), path))
+    }.sortBy(_._1)
+  }
+
+  /** `offSize`/`lenSize`: byte widths of the offset/length halves of a
+    * managed heap ID (derived from max heap size bits / max managed
+    * object size, per spec). */
+  private final case class FractalHeap(idLen: Int, flags: Int,
+      width: Int, startSize: Long, maxDirectSize: Long, offSize: Int,
+      lenSize: Int, rootAddr: Long, curRows: Int, filtered: Boolean)
+
+  private def bytesFor(v: Long): Int = {
+    var n = 1; var x = v >>> 8
+    while (x != 0) { n += 1; x >>>= 8 }
+    n
+  }
+
+  private def readFractalHeap(in: In, addr: Long,
+      path: String): FractalHeap = {
+    in.seek(addr)
+    if (!in.bytes(4).sameElements("FRHP".getBytes))
+      throw new FormatError(s"$path: bad fractal heap header @$addr")
+    val ver = in.u8()
+    if (ver != 0) throw new FormatError(s"$path: fractal heap version $ver")
+    val idLen = in.u16()
+    val filterLen = in.u16()
+    val flags = in.u8()
+    val maxManaged = in.u32()
+    // next huge id, huge B-tree, free space, fs manager, managed
+    // space, allocated, iterator offset, object count, huge/tiny
+    // sizes+counts — 12 lengths/addresses we don't need for reading
+    (0 until 12).foreach(_ => in.u64())
+    val width = in.u16()
+    val startSize = in.u64()
+    val maxDirectSize = in.u64()
+    val maxHeapBits = in.u16()
+    in.u16() // starting rows in root indirect block
+    val rootAddr = in.u64()
+    val curRows = in.u16()
+    FractalHeap(idLen, flags, width, startSize, maxDirectSize,
+      (maxHeapBits + 7) / 8, bytesFor(maxManaged), rootAddr, curRows,
+      filterLen > 0)
+  }
+
+  /** Bytes of one managed object given its heap ID (type byte +
+    * variable-width heap offset + length). */
+  private def fetchManaged(in: In, h: FractalHeap, id: Array[Byte],
+      path: String): Array[Byte] = {
+    if ((((id(0) & 0xFF) >> 4) & 0x3) != 0)
+      throw new FormatError(
+        s"$path: huge/tiny fractal heap objects not supported")
+    var off = 0L
+    (0 until h.offSize).foreach(i => off |= (id(1 + i) & 0xFFL) << (8 * i))
+    var len = 0L
+    (0 until h.lenSize).foreach(i =>
+      len |= (id(1 + h.offSize + i) & 0xFFL) << (8 * i))
+    in.seek(heapOffsetToAddr(in, h, off, path))
+    in.bytes(len.toInt)
+  }
+
+  /** Heap-space offset -> file address, through the doubling table:
+    * row 0 and 1 are `startSize` blocks, row i doubles; object offsets
+    * land inside direct blocks (past their headers) by construction.
+    * Root is either a single direct block (curRows == 0) or an
+    * indirect block whose direct-row entries we index arithmetically.
+    * Nested indirect rows would mean a multi-GB link heap — named
+    * error, not silent truncation. */
+  private def heapOffsetToAddr(in: In, h: FractalHeap, off: Long,
+      path: String): Long = {
+    if (h.filtered)
+      throw new FormatError(s"$path: filtered fractal heap not supported")
+    def directAddr(blockAddr: Long, blockOff: Long): Long = {
+      in.seek(blockAddr)
+      if (!in.bytes(4).sameElements("FHDB".getBytes))
+        throw new FormatError(
+          s"$path: bad fractal heap direct block @$blockAddr")
+      blockAddr + (off - blockOff)
+    }
+    if (h.curRows == 0) return directAddr(h.rootAddr, 0L)
+    def log2(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    val maxDirectRows = log2(h.maxDirectSize) - log2(h.startSize) + 2
+    def rowSize(r: Int): Long =
+      if (r < 2) h.startSize else h.startSize << (r - 1)
+    var row = 0; var rowStart = 0L
+    while (off >= rowStart + h.width * rowSize(row)) {
+      rowStart += h.width * rowSize(row); row += 1
+      if (row > 64)
+        throw new FormatError(s"$path: fractal heap offset $off out of range")
+    }
+    if (row >= maxDirectRows)
+      throw new FormatError(
+        s"$path: nested indirect fractal-heap blocks not supported")
+    val col = ((off - rowStart) / rowSize(row)).toInt
+    in.seek(h.rootAddr)
+    if (!in.bytes(4).sameElements("FHIB".getBytes))
+      throw new FormatError(
+        s"$path: bad fractal heap indirect block @${h.rootAddr}")
+    in.u8(); in.u64() // version, heap header address
+    in.bytes(h.offSize) // block offset
+    (0 until row * h.width + col).foreach(_ => in.u64())
+    val blockAddr = in.u64()
+    if (!defined(blockAddr))
+      throw new FormatError(
+        s"$path: fractal heap offset $off in an unallocated block")
+    directAddr(blockAddr, rowStart + col.toLong * rowSize(row))
+  }
+
+  /** Jenkins lookup3 ("hashlittle", Bob Jenkins 2006, public domain) —
+    * what HDF5 uses both as the metadata checksum of v2 structures
+    * (fractal heap blocks, v2 B-tree nodes) and as the link-name hash
+    * in dense-group B-tree records. */
+  private[sources] def lookup3(data: Array[Byte], init: Int = 0): Int = {
+    def rot(x: Int, k: Int): Int = Integer.rotateLeft(x, k)
+    def word(o: Int, n: Int): Int = {
+      var v = 0; var j = n - 1
+      while (j >= 0) { v = (v << 8) | (data(o + j) & 0xFF); j -= 1 }
+      v
+    }
+    var a = 0xdeadbeef + data.length + init
+    var b = a; var c = a
+    var i = 0; var len = data.length
+    while (len > 12) {
+      a += word(i, 4); b += word(i + 4, 4); c += word(i + 8, 4)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      i += 12; len -= 12
+    }
+    if (len > 0) {
+      if (len >= 9) {
+        c += word(i + 8, len - 8); b += word(i + 4, 4); a += word(i, 4)
+      } else if (len >= 5) {
+        b += word(i + 4, len - 4); a += word(i, 4)
+      } else a += word(i, len)
+      c ^= b; c -= rot(b, 14)
+      a ^= c; a -= rot(c, 11)
+      b ^= a; b -= rot(a, 25)
+      c ^= b; c -= rot(b, 16)
+      a ^= c; a -= rot(c, 4)
+      b ^= a; b -= rot(a, 14)
+      c ^= b; c -= rot(b, 24)
+    }
+    c
+  }
+
+  /** All records of a v2 B-tree (link-name index, record type 5:
+    * 4-byte name hash + heap ID). Depth 0/1 cover any realistic link
+    * count (a 512-byte node holds ~45 records -> depth 1 reaches
+    * ~2000 links per group); deeper trees get a named error. */
+  private def walkV2Btree(in: In, addr: Long,
+      path: String): Seq[Array[Byte]] = {
+    in.seek(addr)
+    if (!in.bytes(4).sameElements("BTHD".getBytes))
+      throw new FormatError(s"$path: bad v2 B-tree header @$addr")
+    val ver = in.u8()
+    if (ver != 0) throw new FormatError(s"$path: v2 B-tree version $ver")
+    val btype = in.u8()
+    if (btype != 5)
+      throw new FormatError(
+        s"$path: v2 B-tree record type $btype (expected link-name index)")
+    val nodeSize = in.u32()
+    val recSize = in.u16()
+    val depth = in.u16()
+    in.u8(); in.u8() // split / merge percent
+    val rootAddr = in.u64()
+    val rootNrec = in.u16()
+    in.u64() // total record count
+    val maxLeafRec = ((nodeSize - 10) / recSize).toInt
+    val szNrec = bytesFor(maxLeafRec.toLong)
+    val out = ArrayBuffer.empty[Array[Byte]]
+    def leaf(a: Long, n: Int): Unit = {
+      in.seek(a)
+      if (!in.bytes(4).sameElements("BTLF".getBytes))
+        throw new FormatError(s"$path: bad v2 B-tree leaf @$a")
+      in.u8(); in.u8() // version, type
+      (0 until n).foreach(_ => out += in.bytes(recSize))
+    }
+    depth match {
+      case 0 => leaf(rootAddr, rootNrec)
+      case 1 =>
+        in.seek(rootAddr)
+        if (!in.bytes(4).sameElements("BTIN".getBytes))
+          throw new FormatError(
+            s"$path: bad v2 B-tree internal node @$rootAddr")
+        in.u8(); in.u8() // version, type
+        // internal records carry real entries too; order is irrelevant
+        (0 until rootNrec).foreach(_ => out += in.bytes(recSize))
+        val ptrs = (0 to rootNrec).map { _ =>
+          val a = in.u64()
+          var n = 0L
+          (0 until szNrec).foreach(i => n |= (in.u8() & 0xFFL) << (8 * i))
+          (a, n.toInt)
+        }
+        ptrs.foreach { case (a, n) => leaf(a, n) }
+      case d =>
+        throw new FormatError(s"$path: v2 B-tree depth $d not supported")
+    }
+    out.toSeq
   }
 
   private def parseLink(d: Array[Byte]): (String, Long) = {

@@ -192,7 +192,8 @@ object NetCDF4 {
       chunkCells: Int = 256 * 1024,
       shuffle: Boolean = false,
       varAtts: Map[String, Seq[(String, String)]] = Map.empty,
-      fletcher32: Boolean = false): Unit = {
+      fletcher32: Boolean = false,
+      denseGroups: Boolean = false): Unit = {
     val coordOf: Map[Int, Array[Double]] =
       dims.indices.flatMap { i =>
         vars.find(v => v._1 == dims(i).name && v._2 == Seq(i)).map(i -> _._3)
@@ -220,7 +221,8 @@ object NetCDF4 {
       varAtts.get(dims(i).name).filter(_ => coordOf.contains(i)).map(i -> _)
     ).toMap
     emit(path, dims, coordOf, metas, gatts, deflateLevel, shuffle,
-      (vi, ci, os) => os.write(blobs(vi)(ci)), coordAtts, fletcher32)
+      (vi, ci, os) => os.write(blobs(vi)(ci)), coordAtts, fletcher32,
+      denseGroups)
   }
 
   /**
@@ -248,7 +250,8 @@ object NetCDF4 {
       chunkRows: Int = 256 * 1024,
       deflateLevel: Int = 1,
       shuffle: Boolean = false,
-      fletcher32: Boolean = false): Long = {
+      fletcher32: Boolean = false,
+      denseGroups: Boolean = false): Long = {
     val names = df.columns.toSeq
     val nV = names.size
     require(nV > 0, "netcdf4 export: no columns")
@@ -272,7 +275,7 @@ object NetCDF4 {
       emit(out, Seq(NetCDF3.Dim("row", 0)), Map.empty,
         names.map(n => VarMeta(n, Seq(0), chunkGrid(Seq(0L), cr),
           Seq.empty)),
-        gatts, level, shuf, (_, _, _) => ())
+        gatts, level, shuf, (_, _, _) => (), denseGroups = denseGroups)
       return 0L
     }
     val offsets = counts.scanLeft(0L)(_ + _)
@@ -334,7 +337,8 @@ object NetCDF4 {
           s"netcdf4 export: $total rows exceed the Int dim model — " +
             "split the cube first")
       emit(out, Seq(NetCDF3.Dim("row", total.toInt)), Map.empty, metas, gatts,
-        level, shuf, fletcher32 = fl32, payload = (vi, ci, os) => {
+        level, shuf, fletcher32 = fl32, denseGroups = denseGroups,
+        payload = (vi, ci, os) => {
           val f = new java.io.File(sidePath, f"chunk-$ci%08d")
           val in = new java.io.FileInputStream(f)
           try {
@@ -378,7 +382,8 @@ object NetCDF4 {
       shuffle: Boolean,
       payload: (Int, Int, OutputStream) => Unit,
       coordAtts: Map[Int, Seq[(String, String)]] = Map.empty,
-      fletcher32: Boolean = false): Unit = {
+      fletcher32: Boolean = false,
+      denseGroups: Boolean = false): Unit = {
     require(dims.forall(_.length >= 0), "netcdf4: negative dimension")
 
     def pad8(n: Int): Int = (n + 7) & ~7
@@ -540,17 +545,44 @@ object NetCDF4 {
       if (coordOf.contains(i)) dims(i).length.toLong * 8 else 0L)
     val varOhSize = varMetas.map(p =>
       objectHeader(varMsgs(p, 0L, 0L, 1)).length)
-    val rootMsgsOf = (btree: Long, heap: Long) =>
-      (0x0011 -> new B().u64(btree).u64(heap).bytes) +:
+    // netcdf-c's threshold: past 8 root links libhdf5 converts the
+    // group to dense storage; mirror it (or force via denseGroups)
+    val dense = denseGroups || dsNames.size > 8
+    // dense root group: the two address args are (fractal heap hdr,
+    // name-index v2 B-tree hdr); old-style: (group B-tree, local heap)
+    val rootMsgsOf = (a: Long, b: Long) =>
+      (if (dense) 0x0002 -> new B().u8(0).u8(0).u64(a).u64(b).bytes
+       else 0x0011 -> new B().u64(a).u64(b).bytes) +:
         gatts.map { case (k, v) => 0x000C -> strAttr(k, v) }
     val rootOhSize = objectHeader(rootMsgsOf(0L, 0L)).length
+    // dense-link plan: every link-message body in ONE fractal-heap
+    // direct block (power-of-two sized), indexed by a single-leaf v2
+    // B-tree of (name hash, heap id) records
+    def linkBody(name: String, oh: Long): Array[Byte] = {
+      val nb = name.getBytes("UTF-8")
+      val b = new B().u8(1) // link message version
+      if (nb.length > 255) b.u8(1).u16(nb.length) else b.u8(0).u8(nb.length)
+      b.raw(nb).u64(oh).bytes
+    }
+    val denseBodySizes = dsNames.map(n => linkBody(n, 0L).length)
+    if (dense) {
+      require(denseBodySizes.forall(_ <= 4096),
+        "netcdf4 writer: link name exceeds the 4096-byte managed-object cap")
+      require(dsNames.size <= 65535,
+        "netcdf4 writer: too many root links for a single-leaf v2 B-tree")
+    }
+    val FhDbHeader = 4 + 1 + 8 + 4 + 4 // sig, ver, hdr addr, 4B offset, cksum
+    val fhObjOff = denseBodySizes.scanLeft(FhDbHeader.toLong)(_ + _)
+    def pow2ceil(v: Long): Long = { var s = 512L; while (s < v) s <<= 1; s }
+    val fhBlockSize = pow2ceil(fhObjOff.last)
+    val btNodeSize = pow2ceil(10L + 11L * dsNames.size)
 
     // ---- assign addresses; the plan must `take` blocks in the EXACT
     // emission order
     var at = 100L // superblock v1 (96 + indexed-storage K field)
     def take(n: Long): Long = { val a = at; at += n; a }
-    val heapDataAddr = take(heapData.length)
-    val heapHdrAddr = take(32)
+    val heapDataAddr = if (dense) Undef else take(heapData.length)
+    val heapHdrAddr = if (dense) Undef else take(32)
     // per dim: OH then (for coordinates) its contiguous data
     val scaleOhAddr = new Array[Long](dims.size)
     val scaleDataAddr = new Array[Long](dims.size)
@@ -574,8 +606,11 @@ object NetCDF4 {
         if (bt.hasRoot) take(btreeNodeSize(p.grid.shape.size, bt.leaves.size))
         else leafAddr(i).headOption.getOrElse(Undef)
     }
-    val snodAddr = take(8L + 40L * dsNames.size)
-    val gbtreeAddr = take(24L + 8L * 3)
+    val (fhDirectAddr, fhHdrAddr, btLeafAddr, btHdrAddr) =
+      if (dense) (take(fhBlockSize), take(146L), take(btNodeSize), take(38L))
+      else (Undef, Undef, Undef, Undef)
+    val snodAddr = if (dense) Undef else take(8L + 40L * dsNames.size)
+    val gbtreeAddr = if (dense) Undef else take(24L + 8L * 3)
     val rootOhAddr = take(rootOhSize)
     val eof = at
 
@@ -597,13 +632,19 @@ object NetCDF4 {
       // fields per the HDF5 spec (and our own reader, Hdf5.scala:172)
       sb.u16(dsNames.size max 4).u16(16).u32(0).u16(128).u16(0)
       sb.u64(0).u64(Undef).u64(eof).u64(Undef)
-      sb.u64(0).u64(rootOhAddr).u32(1).u32(0).u64(gbtreeAddr).u64(heapHdrAddr)
+      // root symbol-table entry: old-style caches the group B-tree +
+      // local heap (cache type 1); a dense root has nothing to cache
+      if (dense) sb.u64(0).u64(rootOhAddr).u32(0).u32(0).u64(0).u64(0)
+      else sb.u64(0).u64(rootOhAddr).u32(1).u32(0)
+        .u64(gbtreeAddr).u64(heapHdrAddr)
       putBytes(sb.bytes)
 
-      expect(heapDataAddr, "local heap data")
-      putBytes(heapData)
-      putBytes(new B().str("HEAP").u8(0).u8(0).u8(0).u8(0)
-        .u64(heapData.length).u64(Undef).u64(heapDataAddr).bytes)
+      if (!dense) {
+        expect(heapDataAddr, "local heap data")
+        putBytes(heapData)
+        putBytes(new B().str("HEAP").u8(0).u8(0).u8(0).u8(0)
+          .u64(heapData.length).u64(Undef).u64(heapDataAddr).bytes)
+      }
       dims.indices.foreach { i =>
         expect(scaleOhAddr(i), s"scale OH ${dims(i).name}")
         putBytes(objectHeader(scaleMsgs(i, scaleDataAddr(i))))
@@ -672,28 +713,96 @@ object NetCDF4 {
           putBytes(b.bytes)
         }
       }
-      // SNOD: entries sorted by link name
-      expect(snodAddr, "symbol node")
-      locally {
-        val b = new B().str("SNOD").u8(1).u8(0).u16(dsNames.size)
-        val ohOf: Map[String, Long] =
-          dims.indices.map(i => dims(i).name -> scaleOhAddr(i)).toMap ++
-            varMetas.zipWithIndex.map { case (p, i) => p.name -> varOhAddr(i) }
-        dsNames.sorted.foreach { n =>
-          b.u64(heapOffsets(n)).u64(ohOf(n)).u32(0).u32(0)
-            .u64(0).u64(0)
+      val ohOf: Map[String, Long] =
+        dims.indices.map(i => dims(i).name -> scaleOhAddr(i)).toMap ++
+          varMetas.zipWithIndex.map { case (p, i) => p.name -> varOhAddr(i) }
+      if (dense) {
+        // fractal heap: one checksummed direct block holding every
+        // link-message body back to back
+        expect(fhDirectAddr, "fractal heap direct block")
+        locally {
+          val b = new B().str("FHDB").u8(0).u64(fhHdrAddr).u32(0).u32(0)
+          dsNames.foreach(n => b.raw(linkBody(n, ohOf(n))))
+          b.raw(new Array[Byte]((fhBlockSize - b.o.size).toInt))
+          val img = b.bytes
+          // checksum over the whole block with its field zeroed, then
+          // patched in place (bytes 17..20)
+          val sum = Hdf5.lookup3(img)
+          img(17) = sum.toByte; img(18) = (sum >> 8).toByte
+          img(19) = (sum >> 16).toByte; img(20) = (sum >> 24).toByte
+          putBytes(img)
         }
-        putBytes(b.bytes)
-      }
-      // group B-tree: one SNOD child
-      expect(gbtreeAddr, "group B-tree")
-      locally {
-        val b = new B().str("TREE").u8(0).u8(0).u16(1).u64(Undef).u64(Undef)
-        b.u64(0).u64(snodAddr).u64(heapOffsets(dsNames.sorted.last))
-        putBytes(b.bytes)
+        expect(fhHdrAddr, "fractal heap header")
+        locally {
+          val h = new B().str("FRHP").u8(0)
+            .u16(7)    // heap ID length: 1 type + 4 offset + 2 length
+            .u16(0)    // no I/O filters on link heaps
+            .u8(0x02)  // direct blocks carry checksums
+            .u32(4096) // max managed object size (=> 2-byte lengths)
+            .u64(0).u64(Undef)                  // huge: next id, B-tree
+            .u64(fhBlockSize - fhObjOff.last)   // free space
+            .u64(Undef)                         // free-space manager
+            .u64(fhBlockSize).u64(fhBlockSize)  // managed, allocated
+            .u64(fhBlockSize)                   // block iterator offset
+            .u64(dsNames.size.toLong)           // managed object count
+            .u64(0).u64(0).u64(0).u64(0)        // huge/tiny sizes+counts
+            .u16(4)                             // doubling-table width
+            .u64(fhBlockSize)                   // starting block size
+            .u64(math.max(fhBlockSize, 65536L)) // max direct block size
+            .u16(32)                            // max heap size (bits)
+            .u16(1)                             // starting rows
+            .u64(fhDirectAddr)                  // root block address
+            .u16(0)                             // cur rows 0: root direct
+          h.u32(Hdf5.lookup3(h.bytes).toLong)
+          putBytes(h.bytes)
+        }
+        // v2 B-tree, single leaf: (lookup3 name hash, heap id) records
+        // in unsigned hash order — the on-disk sort libhdf5 expects
+        expect(btLeafAddr, "v2 B-tree leaf")
+        locally {
+          val lb = new B().str("BTLF").u8(0).u8(5)
+          dsNames.indices
+            .map(j => (Hdf5.lookup3(dsNames(j).getBytes("UTF-8")).toLong
+              & 0xFFFFFFFFL, dsNames(j), j))
+            .sortBy(r => (r._1, r._2))
+            .foreach { case (hash, _, j) =>
+              lb.u32(hash).u8(0).u32(fhObjOff(j)).u16(denseBodySizes(j))
+            }
+          lb.u32(Hdf5.lookup3(lb.bytes).toLong)
+          lb.raw(new Array[Byte]((btNodeSize - lb.o.size).toInt))
+          putBytes(lb.bytes)
+        }
+        expect(btHdrAddr, "v2 B-tree header")
+        locally {
+          val hb = new B().str("BTHD").u8(0).u8(5).u32(btNodeSize)
+            .u16(11).u16(0).u8(100).u8(40)
+            .u64(btLeafAddr).u16(dsNames.size).u64(dsNames.size.toLong)
+          hb.u32(Hdf5.lookup3(hb.bytes).toLong)
+          putBytes(hb.bytes)
+        }
+      } else {
+        // SNOD: entries sorted by link name
+        expect(snodAddr, "symbol node")
+        locally {
+          val b = new B().str("SNOD").u8(1).u8(0).u16(dsNames.size)
+          dsNames.sorted.foreach { n =>
+            b.u64(heapOffsets(n)).u64(ohOf(n)).u32(0).u32(0)
+              .u64(0).u64(0)
+          }
+          putBytes(b.bytes)
+        }
+        // group B-tree: one SNOD child
+        expect(gbtreeAddr, "group B-tree")
+        locally {
+          val b = new B().str("TREE").u8(0).u8(0).u16(1).u64(Undef).u64(Undef)
+          b.u64(0).u64(snodAddr).u64(heapOffsets(dsNames.sorted.last))
+          putBytes(b.bytes)
+        }
       }
       expect(rootOhAddr, "root OH")
-      putBytes(objectHeader(rootMsgsOf(gbtreeAddr, heapHdrAddr)))
+      putBytes(objectHeader(
+        if (dense) rootMsgsOf(fhHdrAddr, btHdrAddr)
+        else rootMsgsOf(gbtreeAddr, heapHdrAddr)))
     } finally fos.close()
     if (pos != eof)
       throw new Hdf5.FormatError(

@@ -142,26 +142,33 @@ class Hdf5V2Spec extends SparkSpec {
     assert(parsed > 50, s"only $parsed/300 mutants parsed — fixture broken?")
   }
 
-  test("dense (fractal heap) groups fail with a NAMED error") {
-    // root OHDR carrying only a Link Info message (0x0002) — the
-    // compact-to-dense transition the reader declares unsupported
-    val linkInfo = new B().u8(0).u8(0).u64(Undef).u64(Undef).bytes
-    val msgs = new B()
-    msgs.u8(0x02).u16(linkInfo.length).u8(0).raw(linkInfo)
-    val chunk0 = msgs.bytes
-    val root = new B().str("OHDR").u8(2).u8(0)
-      .u8(chunk0.length).raw(chunk0).u32(0).bytes
-    val rootAddr = 48L
-    val eof = rootAddr + root.length
-    val f = new B()
-    f.raw(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
-    f.u8(3).u8(8).u8(8).u8(0)
-    f.u64(0).u64(Undef).u64(eof).u64(rootAddr).u32(0)
-    f.raw(root)
-    val path = java.io.File.createTempFile("hdf5dense", ".h5").getPath
-    val os = new FileOutputStream(path)
-    try os.write(f.bytes) finally os.close()
-    val err = intercept[Hdf5.FormatError](Hdf5.open(path))
-    assert(err.getMessage.contains("fractal-heap"))
+  test("Link Info with unallocated heap reads as an empty group; " +
+      "a bogus heap address is a NAMED error") {
+    // a Link Info message (0x0002) with UNDEFINED fractal heap /
+    // B-tree addresses is how libhdf5 stores a still-compact group
+    // that has no links yet — a valid empty group, not an error
+    def fileWith(fheap: Long, btree: Long): String = {
+      val linkInfo = new B().u8(0).u8(0).u64(fheap).u64(btree).bytes
+      val msgs = new B()
+      msgs.u8(0x02).u16(linkInfo.length).u8(0).raw(linkInfo)
+      val chunk0 = msgs.bytes
+      val root = new B().str("OHDR").u8(2).u8(0)
+        .u8(chunk0.length).raw(chunk0).u32(0).bytes
+      val rootAddr = 48L
+      val eof = rootAddr + root.length
+      val f = new B()
+      f.raw(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
+      f.u8(3).u8(8).u8(8).u8(0)
+      f.u64(0).u64(Undef).u64(eof).u64(rootAddr).u32(0)
+      f.raw(root)
+      val path = java.io.File.createTempFile("hdf5dense", ".h5").getPath
+      val os = new FileOutputStream(path)
+      try os.write(f.bytes) finally os.close()
+      path
+    }
+    assert(Hdf5.open(fileWith(Undef, Undef)).datasets.isEmpty)
+    // defined addresses pointing at garbage must diagnose, not crash
+    val err = intercept[Hdf5.FormatError](Hdf5.open(fileWith(8L, 8L)))
+    assert(err.getMessage.contains("fractal heap"))
   }
 }
