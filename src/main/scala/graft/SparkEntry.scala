@@ -768,21 +768,49 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
 
     "dedup_minhash" -> ((s, dir) => {
-      // double the corpus (ids offset) so near-dup pairs exist; the LSH
-      // plan is the thing under test: banded bucket join, no all-pairs
+      // double the corpus (ids offset) so every doc has a PLANTED exact
+      // duplicate; the LSH plan is the thing under test: banded bucket
+      // join, no all-pairs. The oracle (annPlanted's recipe): identical
+      // texts give identical signatures, so ALL 500 planted pairs MUST
+      // surface at jaccard 1.0 (any miss drops a row -> hash fail);
+      // organic >= 0.9 pairs are hash-seed-dependent, so they pin as a
+      // count band instead of a row list
       val d = t(s, dir, "documents").select("doc_id", "text")
       val doubled = d.unionByName(
         d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-      Dedup.minhashLsh(doubled, "doc_id", "text", k = 5,
+      val pairs = Dedup.minhashLsh(doubled, "doc_id", "text", k = 5,
         numHashes = 64, bands = 8, tau = 0.9)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      val organic = pairs.filter(col("id_b") =!= col("id_a") + 1000000)
+        .count()
+      // observed 100 organic pairs on the 500-doc corpus (0.2/doc);
+      // scale-relative band: catches an all-pairs blowup (>> n) or a
+      // collapsed index (0) at any sf
+      val n = d.count()
+      pairs.filter(col("id_b") === col("id_a") + 1000000)
+        .select(col("id_a").as("doc_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .withColumn("organic_in_band",
+          lit(organic >= n / 20 && organic <= n))
     }),
 
     "dedup_simhash" -> ((s, dir) => {
+      // same planted-pair contract as dedup_minhash: every doc's exact
+      // duplicate must surface at hamming 0 (identical 64-bit
+      // signatures share every block key), organic pairs pin as a band
       val d = t(s, dir, "documents").select("doc_id", "text")
       val doubled = d.unionByName(
         d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-      Dedup.simhashDups(doubled, "doc_id", "text", maxHamming = 3)
+      val dups = Dedup.simhashDups(doubled, "doc_id", "text",
+        maxHamming = 3)
+      val organic = dups.filter(col("id_b") =!= col("id_a") + 1000000)
+        .count()
+      // observed 68 organic pairs on the 500-doc corpus; same
+      // scale-relative band rationale as dedup_minhash
+      val n = d.count()
+      dups.filter(col("id_b") === col("id_a") + 1000000)
+        .select(col("id_a").as("doc_id"), col("hamming"))
+        .withColumn("organic_in_band",
+          lit(organic >= n / 25 && organic <= n))
     }),
 
     "dedup_ngram" -> ((s, dir) => {
@@ -1892,9 +1920,18 @@ object SparkEntry {
 
     // --------------------------------------------------- oph_randcube
     "randcube_reduce" -> ((s, dir) => {
+      // randcube's generator is pmod(murmur3(key*31 + i + seed), 1000) —
+      // Spark's hash() is a STABLE contract (bucketing depends on it),
+      // so the seeded cube is exactly reproducible and the oracle pins
+      // the digest values as literals (DuckDB has no murmur3 to replay
+      // the generator itself)
       val rc = CubeOps.randcube(s, 1000, 16, seed = 42)
       val r = CubeOps.reduce(rc, "sum")
-      r.df.select(col("key"), round(col("measure"), 4).as("sum_m"))
+      r.df.groupBy(pmod(col("key"), lit(8)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("measure")), 4).as("s"),
+          round(min(col("measure")), 4).as("lo"),
+          round(max(col("measure")), 4).as("hi"))
     })
   )
 
@@ -2544,6 +2581,39 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
                 count(*) AS n_dups
          FROM documents GROUP BY 1""",
+
+    // Planted-pair contracts for the probabilistic dedup sketches (the
+    // ANN-trio recipe): every doc's exact duplicate MUST be detected —
+    // identical texts share signatures, so a miss is a broken plan, not
+    // bad luck — and the hash-seed-dependent organic pairs pin as an
+    // in-band boolean on the Spark side.
+    "dedup_minhash" ->
+      """SELECT doc_id, CAST(1.0 AS DOUBLE) AS jaccard,
+                true AS organic_in_band
+         FROM documents""",
+
+    "dedup_simhash" ->
+      """SELECT doc_id, CAST(0 AS INTEGER) AS hamming,
+                true AS organic_in_band
+         FROM documents""",
+
+    // randcube is seeded murmur3 (Spark's stable hash contract), so the
+    // digest is exactly reproducible; DuckDB can't replay murmur3, so
+    // the oracle pins the observed digest as literals.
+    "randcube_reduce" ->
+      """SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
+                CAST(s AS DOUBLE) AS s, CAST(lo AS DOUBLE) AS lo,
+                CAST(hi AS DOUBLE) AS hi
+         FROM (VALUES
+           (0, 125, 991157.0, 4408.0, 10490.0),
+           (1, 125, 982788.0, 5610.0, 10630.0),
+           (2, 125, 1016018.0, 5430.0, 10929.0),
+           (3, 125, 981413.0, 5091.0, 10436.0),
+           (4, 125, 1015644.0, 4428.0, 11010.0),
+           (5, 125, 1011323.0, 4819.0, 10770.0),
+           (6, 125, 1024473.0, 5379.0, 10622.0),
+           (7, 125, 988683.0, 5499.0, 10386.0))
+           AS t(bucket, n, s, lo, hi)""",
 
     "dedup_ngram" ->
       """WITH t AS (
