@@ -1185,6 +1185,46 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("shard_id"))
     }),
 
+    "pipeline_corpus3" -> ((s, dir) => {
+      // v3 of the corpus composition — every r7 stage folded into ONE
+      // verified hash: repetition gate -> span-level dedup gate (docs
+      // with any globally-duplicated 10-token window drop) -> benchmark
+      // decontamination -> temperature mixture -> 128-token sequence
+      // packing, then the bigram LM (fit on the FINAL sampled corpus)
+      // scores each packed doc. Row-local gates, two broadcast
+      // anti-joins, one window-hash shuffle, the two-level prefix sum,
+      // and broadcast gram tables — nothing all-pairs, nothing
+      // driver-side.
+      val d = t(s, dir, "documents")
+      val gated = d.filter(
+          round(CorpusOps.dupNgramFrac(col("text"), 2), 4) < 0.2)
+        .select("doc_id", "lang", "text").localCheckpoint(true)
+      val span = CorpusOps.spanDedup(gated, "doc_id", "text", w = 10)
+      val spanClean = gated.join(
+        broadcast(span.filter(col("n_dup_windows") > 0).select("doc_id")),
+        Seq("doc_id"), "left_anti")
+      val bench = d.filter(col("doc_id") % 40 === 0)
+        .select(concat_ws(" ",
+          slice(split(lower(trim(col("text"))), "\\s+"), 1, 8)).as("text"))
+      val hits = CorpusOps.decontaminate(spanClean, bench, "doc_id", "text")
+      val clean = spanClean.join(broadcast(hits), Seq("doc_id"), "left_anti")
+      val sampled = CorpusOps.mixtureSample(clean, "doc_id", "lang",
+          budget = 150L)
+        .join(clean.select("doc_id", "text"), "doc_id")
+        .localCheckpoint(true)
+      val toks = sampled.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val packed = CorpusOps.packSequences(toks, "doc_id", "n_tokens",
+        seqLen = 128, numPartitions = 8)
+      val lm = TextAnalysis.lmScore(sampled, "doc_id", "text",
+        minCount = 2, topK = 1000)
+      packed.join(lm.select(col("doc_id"), col("lm_score")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("seq_id"), col("doc_from"),
+          col("doc_to"), col("seq_off"),
+          coalesce(col("lm_score"), lit(0.0)).as("lm"))
+    }),
+
     "corpus_mixture" -> ((s, dir) =>
       // temperature-weighted mixture sample over the language groups:
       // sqrt-smoothed shares, integer-only thresholds, hash membership
@@ -1540,6 +1580,60 @@ object SparkEntry {
         .select(col("time").cast("long").as("t_days"),
           col("lat").cast("double").as("lat"),
           round(col("tas"), 4).as("tas"))
+    }),
+
+    "netcdf4_3d_intercube" -> ((s, dir) => {
+      // rank-3 intercube + concept-level aggregate2 through the ENGINE
+      // dispatch: two (time x lat x lon) variables import as
+      // 2-implicit-axis cubes with a CF time axis, oph_intercube
+      // subtracts them cell-wise (zip_with on the in-cell grids),
+      // oph_aggregate2 rolls daily grids up to monthly means
+      // ELEMENTWISE (the array-measure aggregate2 path) — DuckDB
+      // replays the generator arithmetic for the hash
+      val (nt, nlat, nlon) = (60, 4, 5) // Jan(31) + leap Feb(29) 2000
+      def gen(f: (Int, Int, Int) => Double) =
+        Array.tabulate(nt * nlat * nlon) { k =>
+          f(k / (nlat * nlon), (k / nlon) % nlat, k % nlon)
+        }
+      val tas = gen((t, la, lo) => (t * 37 + la * 11 + lo * 5) % 89 + 0.5)
+      val pr = gen((t, la, lo) => (t * 13 + la * 7 + lo * 3) % 53 + 0.25)
+      val f = java.io.File.createTempFile("graft_3d_ic", ".nc4")
+      f.deleteOnExit()
+      graft.sources.NetCDF4.write(f.getPath,
+        dims = Seq(graft.sources.NetCDF3.Dim("time", nt),
+          graft.sources.NetCDF3.Dim("lat", nlat),
+          graft.sources.NetCDF3.Dim("lon", nlon)),
+        vars = Seq(
+          ("time", Seq(0), Array.tabulate(nt)(_.toDouble)),
+          ("lat", Seq(1), Array.tabulate(nlat)(i => -60.0 + 40 * i)),
+          ("lon", Seq(2), Array.tabulate(nlon)(i => 72.0 * i)),
+          ("tas", Seq(0, 1, 2), tas),
+          ("pr", Seq(0, 1, 2), pr)),
+        varAtts = Map("time" -> Seq("units" -> "days since 2000-01-01")))
+      val eng = new graft.workflow.Engine(s, new graft.core.Catalog("sess"))
+      val res = eng.run(graft.workflow.Workflow.parse(s"""{
+        "name": "wf", "tasks": [
+          {"name": "imp_t", "operator": "oph_importnc",
+           "arguments": ["src_path=${f.getPath}", "measure=tas",
+             "exp_dim=time", "imp_dim=lat|lon", "container=c3"]},
+          {"name": "imp_p", "operator": "oph_importnc",
+           "arguments": ["src_path=${f.getPath}", "measure=pr",
+             "exp_dim=time", "imp_dim=lat|lon", "container=c3"]},
+          {"name": "ic", "operator": "oph_intercube",
+           "arguments": ["operation=sub", "output_measure=d"],
+           "dependencies": [
+             {"task": "imp_t", "type": "single"},
+             {"task": "imp_p", "argument": "cube2", "type": "all"}]},
+          {"name": "agg", "operator": "oph_aggregate2",
+           "arguments": ["operation=avg", "dim=time",
+             "concept_level=month", "hierarchy=oph_time"],
+           "dependencies": [{"task": "ic", "type": "single"}]}
+        ]}"""))
+      val out = eng.cube(res("agg").cubePid.get).get
+      out.df.select(col("time_month").as("month"),
+          posexplode(col("d")).as(Seq("__p", "__v")))
+        .select(col("month"), (col("__p") + 1).cast("long").as("pos"),
+          round(col("__v"), 4).as("val"))
     }),
 
     "netcdf_record_roundtrip" -> ((s, dir) => {
@@ -1919,6 +2013,23 @@ object SparkEntry {
     }),
 
     // --------------------------------------------------- oph_randcube
+    "apply_dwt" -> ((s, dir) => {
+      // oph_gsl_dwt (Daubechies-4, periodized, full pyramid) on a fixed
+      // testdata-independent 16-series; the oracle pins the
+      // coefficients computed by an INDEPENDENT dev-time replay of the
+      // same filter bank (plus Parseval: energies match exactly).
+      // round+0.0 canonicalizes IEEE -0.0 details so both sides hash
+      // the same zero
+      val series = (0 until 16).map(i => ((i * 37) % 19 + 0.5))
+      import s.implicits._
+      val df = Seq(Tuple1(series)).toDF("m")
+      df.select(posexplode(
+          ArrayPrimitives("oph_gsl_dwt(measure, 'db4')", col("m")))
+          .as(Seq("p", "c")))
+        .select((col("p") + 1).cast("long").as("pos"),
+          (round(col("c"), 4) + lit(0.0)).as("coeff"))
+    }),
+
     "randcube_reduce" -> ((s, dir) => {
       // randcube's generator is pmod(murmur3(key*31 + i + seed), 1000) —
       // Spark's hash() is a STABLE contract (bucketing depends on it),
@@ -2549,6 +2660,21 @@ object SparkEntry {
          WHERE ti BETWEEN 2 AND 11 AND lai BETWEEN 1 AND 4 AND loi % 2 = 0
          GROUP BY 1, 2""",
 
+    "netcdf4_3d_intercube" ->
+      """WITH t AS (SELECT i AS ti FROM range(60) r(i)),
+         la AS (SELECT i AS lai FROM range(4) r(i)),
+         lo AS (SELECT i AS loi FROM range(5) r(i)),
+         cells AS (
+           SELECT strftime(DATE '2000-01-01' + CAST(ti AS INTEGER),
+                    '%Y-%m') AS month,
+                  CAST(lai * 5 + loi + 1 AS BIGINT) AS pos,
+                  (CAST((ti*37 + lai*11 + loi*5) % 89 + 0.5 AS DOUBLE)
+                   - CAST((ti*13 + lai*7 + loi*3) % 53 + 0.25 AS DOUBLE))
+                    AS d
+           FROM t CROSS JOIN la CROSS JOIN lo)
+         SELECT month, pos, round(avg(d), 4) AS val
+         FROM cells GROUP BY 1, 2""",
+
     "permute3_order" ->
       """WITH years AS (SELECT 1995 + i AS y, i + 1 AS ypos FROM range(7) t(i)),
          months AS (SELECT 1 + i AS m, i + 1 AS mpos FROM range(12) t(i)),
@@ -2596,6 +2722,15 @@ object SparkEntry {
       """SELECT doc_id, CAST(0 AS INTEGER) AS hamming,
                 true AS organic_in_band
          FROM documents""",
+
+    "apply_dwt" ->
+      """SELECT CAST(pos AS BIGINT) AS pos, CAST(coeff AS DOUBLE) AS coeff
+         FROM (VALUES
+           (1, 43.25), (2, 14.4883), (3, 1.9367), (4, 8.0553),
+           (5, 1.1875), (6, 0.0), (7, 1.3248), (8, 0.9387),
+           (9, 2.4588), (10, 0.0), (11, 0.0), (12, 0.0),
+           (13, 0.0), (14, 0.0), (15, 0.0), (16, -10.237))
+           AS t(pos, coeff)""",
 
     // randcube is seeded murmur3 (Spark's stable hash contract), so the
     // digest is exactly reproducible; DuckDB can't replay murmur3, so
@@ -3067,6 +3202,127 @@ object SparkEntry {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      - n_tokens) / 500.0) AS BIGINT) AS shard_id
          FROM w""",
+
+    "pipeline_corpus3" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+           FROM documents WHERE text IS NOT NULL),
+         g AS (
+           SELECT doc_id, tk,
+                  CASE WHEN len(tk) >= 2
+                       THEN list_transform(range(1, len(tk)),
+                              i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+                       ELSE CAST([] AS VARCHAR[]) END AS g2
+           FROM tok),
+         rep AS (
+           SELECT doc_id FROM g
+           WHERE round(CASE WHEN len(g2) = 0 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE)
+                 END, 4) < 0.2),
+         wi AS (
+           SELECT doc_id, tk, unnest(range(1, len(tk) - 8)) AS i
+           FROM tok WHERE len(tk) >= 10
+             AND doc_id IN (SELECT doc_id FROM rep)),
+         win AS (
+           SELECT doc_id,
+                  md5(array_to_string(list_slice(tk, i, i + 9), ' ')) AS whash
+           FROM wi),
+         dupw AS (SELECT whash FROM win GROUP BY 1 HAVING count(*) > 1),
+         spanflag AS (SELECT DISTINCT doc_id FROM win JOIN dupw USING (whash)),
+         spanclean AS (
+           SELECT doc_id FROM rep
+           WHERE doc_id NOT IN (SELECT doc_id FROM spanflag)),
+         bench AS (
+           SELECT regexp_split_to_array(
+                    trim(array_to_string(list_slice(tk, 1, 8), ' ')),
+                    '\s+') AS btk
+           FROM tok WHERE doc_id % 40 = 0),
+         bgi AS (
+           SELECT btk, unnest(range(1, len(btk) - 3)) AS i
+           FROM bench WHERE len(btk) >= 5),
+         bg AS (
+           SELECT DISTINCT array_to_string(list_slice(btk, i, i + 4), ' ') AS gram
+           FROM bgi),
+         dgi AS (
+           SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+           FROM tok WHERE len(tk) >= 5
+             AND doc_id IN (SELECT doc_id FROM spanclean)),
+         dg AS (
+           SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(tk, i, i + 4), ' ') AS gram
+           FROM dgi),
+         hits AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (gram)),
+         clean AS (
+           SELECT d.doc_id, d.lang, d.text FROM documents d
+           JOIN spanclean USING (doc_id)
+           WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)),
+         c AS (SELECT lang, count(*) AS n FROM clean GROUP BY 1),
+         r AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS rt FROM c),
+         st AS (SELECT sum(rt) AS srt FROM r),
+         thr AS (SELECT lang,
+                        least(10000, (CAST(150 AS HUGEINT) * rt * 10000)
+                                     // (CAST(srt AS HUGEINT) * n)) AS t
+                 FROM r, st),
+         sampled AS (
+           SELECT cl.doc_id, cl.text FROM clean cl
+           JOIN thr USING (lang)
+           WHERE ((cl.doc_id % 1000000007) * 2654435761) % 1000000007 % 10000
+                 < thr.t),
+         w AS (
+           SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                  END AS n
+           FROM sampled),
+         sgm AS (
+           SELECT doc_id, n,
+                  sum(n) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+                    AS start
+           FROM w WHERE n > 0),
+         packed AS (
+           SELECT doc_id, CAST(t.seq_id AS BIGINT) AS seq_id,
+                  CAST(greatest(start, t.seq_id * 128) - start AS BIGINT)
+                    AS doc_from,
+                  CAST(least(start + n, (t.seq_id + 1) * 128) - start
+                    AS BIGINT) AS doc_to,
+                  CAST(greatest(start, t.seq_id * 128) - t.seq_id * 128
+                    AS BIGINT) AS seq_off
+           FROM sgm, LATERAL (
+             SELECT unnest(generate_series(
+               CAST(start // 128 AS BIGINT),
+               CAST((start + n - 1) // 128 AS BIGINT))) AS seq_id
+           ) t),
+         toks AS (
+           SELECT doc_id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+           FROM sampled WHERE trim(text) <> ''),
+         uni AS (SELECT t AS w, count(*) AS cu
+                 FROM toks, unnest(ts) u(t) GROUP BY 1),
+         vocab AS (SELECT count(*) AS v FROM uni),
+         unik AS (SELECT w, cu FROM uni WHERE cu >= 2
+                  ORDER BY cu DESC, w LIMIT 1000),
+         pairs AS (
+           SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+           FROM toks, LATERAL (
+             SELECT unnest(generate_series(1,
+               CAST(len(ts) - 1 AS BIGINT))) AS i) gg
+           WHERE len(ts) >= 2),
+         big AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
+         bigk AS (SELECT w1, w2, cb FROM big WHERE cb >= 2
+                  ORDER BY cb DESC, w1, w2 LIMIT 1000),
+         lm AS (
+           SELECT p.doc_id,
+                  round(avg(ln((coalesce(bk.cb, 0) + 1.0)
+                    / (coalesce(uk.cu, 0) + v.v))), 4) AS lm_score
+           FROM pairs p
+           LEFT JOIN bigk bk ON bk.w1 = p.w1 AND bk.w2 = p.w2
+           LEFT JOIN unik uk ON uk.w = p.w1
+           CROSS JOIN vocab v
+           GROUP BY 1)
+         SELECT p.doc_id, p.seq_id, p.doc_from, p.doc_to, p.seq_off,
+                coalesce(lm.lm_score, 0.0) AS lm
+         FROM packed p LEFT JOIN lm USING (doc_id)""",
 
     "corpus_mixture" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),

@@ -512,16 +512,30 @@ object CubeOps {
   def aggregate2(cube: Cube, dim: String, levelExpr: Column => Column,
       levelName: String, op: String): Cube = {
     val m = cube.desc.measure
-    val agg: Column = op match {
-      case "sum" => sum(cube.df(m)); case "avg" => avg(cube.df(m))
-      case "max" => max(cube.df(m)); case "min" => min(cube.df(m))
-      case "count" => count(lit(1))
-      case other => throw new IllegalArgumentException(s"aggregate2 op '$other'")
-    }
     val others = cube.explicitDimNames.filterNot(_ == dim)
-    val out = cube.df
-      .withColumn(levelName, levelExpr(cube.df(dim)))
-      .groupBy((others :+ levelName).map(col): _*).agg(agg.as(m))
+    val withLevel = cube.df.withColumn(levelName, levelExpr(cube.df(dim)))
+    val groupCols = (others :+ levelName).map(col)
+    val out =
+      if (cube.hasImplicit) {
+        // array measure: elementwise combine per concept-level group —
+        // the rank-n rollup (daily (lat x lon) grids -> monthly means).
+        // Same map-side-partial Aggregator as oph_aggregate; implicit
+        // geometry is untouched so the __dim_* axes carry over.
+        val dimCols = cube.desc.implicitDims.map(d => s"__dim_${d.name}")
+        withLevel.groupBy(groupCols: _*)
+          .agg(graft.functions.ArrayCombine(op)(
+            col(m).cast("array<double>")).as(m),
+            dimCols.map(c => first(col(c)).as(c)): _*)
+      } else {
+        val agg: Column = op match {
+          case "sum" => sum(cube.df(m)); case "avg" => avg(cube.df(m))
+          case "max" => max(cube.df(m)); case "min" => min(cube.df(m))
+          case "count" => count(lit(1))
+          case other =>
+            throw new IllegalArgumentException(s"aggregate2 op '$other'")
+        }
+        withLevel.groupBy(groupCols: _*).agg(agg.as(m))
+      }
     Cube(out, cube.desc.copy(
       explicitDims = cube.desc.explicitDims.filterNot(_.name == dim) :+
         DimensionSpec(levelName, "string", explicit = true),

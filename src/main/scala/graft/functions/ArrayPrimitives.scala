@@ -194,6 +194,12 @@ object ArrayPrimitives {
         case "oph_gsl_fft" =>
           graft.functions.expressions.GraftExpressions.dft(a(0),
             inverse = false)
+        // gsl_dwt(a, 'haar'|'db4'): full-pyramid discrete wavelet
+        // transform (periodic, power-of-two cells) — native codegen
+        // kernel shared with explorenc's wavelet modes
+        case "oph_gsl_dwt" =>
+          graft.functions.expressions.GraftExpressions.dwt(a(0),
+            if (args.size > 1) str(1) else "haar")
         // math(a, fname): elementwise math function by name — the
         // reference's oph_math surface (accepts 'sin', 'OPH_MATH_SIN',
         // quoted or bare, case-insensitive)

@@ -56,6 +56,13 @@ object GraftExpressions {
     ColumnBridge.column(Dft(
       ColumnBridge.expression(arr.cast("array<double>")), inverse))
 
+  /** Full-pyramid discrete wavelet transform of the real cell
+    * (periodic boundary, power-of-two length; haar / db4 — the
+    * reference's oph_gsl_dwt surface). */
+  def dwt(arr: Column, family: String): Column =
+    ColumnBridge.column(Dwt(
+      ColumnBridge.expression(arr.cast("array<double>")), family))
+
   /** Pearson correlation of two array<double> cells in ONE fused pass
     * (the HOF formulation runs five interpreted aggregates per cell).
     * Null when either variance term is <= 0 — same contract as the
@@ -317,6 +324,44 @@ case class Dft(child: Expression, inverse: Boolean)
     })
 
   override protected def withNewChildInternal(newChild: Expression): Dft =
+    copy(child = newChild)
+}
+
+/** Full-pyramid DWT of a power-of-two array<double> cell. The pyramid
+  * has cross-element dependencies no HOF can express, so both eval and
+  * codegen delegate to the shared static kernel (graft.functions
+  * .Wavelet.forwardChecked) — a static call inside generated code
+  * keeps the expression inside whole-stage codegen, exactly like
+  * Spark's own StaticInvoke. `family` is validated at construction so
+  * a typo fails at plan time, not per row. */
+case class Dwt(child: Expression, family: String)
+    extends UnaryExpression {
+  graft.functions.Wavelet.lowpass(family) // plan-time family check
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"dwt expects array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_dwt"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    new GenericArrayData(
+      graft.functions.Wavelet.forwardChecked(arr.toDoubleArray(), family))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val fam = ctx.addReferenceObj("family", family, "java.lang.String")
+      s"""
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          graft.functions.Wavelet.forwardChecked($arr.toDoubleArray(), $fam));
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Dwt =
     copy(child = newChild)
 }
 

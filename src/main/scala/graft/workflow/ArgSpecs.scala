@@ -266,7 +266,9 @@ object ArgSpecs {
       a("level"), enum("show_index", yesNo: _*),
       enum("show_time", yesNo: _*), a("stats_mask"), a("show_stats"),
       enum("show_fit", yesNo: _*), enum("wavelet", "yes", "no", "only"),
-      int("wavelet_coeff", min = 1), a("dim")),
+      int("wavelet_coeff", min = 1),
+      enum("wavelet_family", "haar", "db4", "daubechies4", "daubechies"),
+      a("dim")),
     "oph_inspectfrag" -> Seq(a("frag_id"), int("limit", min = 1),
       a("level")),
     "oph_metadata" -> Seq(

@@ -99,7 +99,7 @@ object Engine {
     "oph_sort", "oph_gsl_sort", "oph_shift", "oph_rotate", "oph_padding",
     "oph_extend", "oph_interlace", "oph_concat", "oph_find",
     "oph_gsl_histogram", "oph_gsl_fft", "oph_gsl_sd", "oph_gsl_quantile",
-    "oph_gsl_boxplot",
+    "oph_gsl_boxplot", "oph_gsl_dwt",
     // round 7 additions
     "oph_math", "oph_max_array", "oph_min_array", "oph_arg_max_array",
     "oph_arg_min_array", "oph_mask", "oph_replace", "oph_vector",
@@ -2166,6 +2166,42 @@ final class Engine(
           val data = java.util.Arrays.copyOf(series, n2)
           if (series.nonEmpty)
             (series.length until n2).foreach(i => data(i) = series.last)
+          val family = args.getOrElse("wavelet_family", "haar").toLowerCase
+          if (family != "haar") {
+            // orthonormal DWT families (db4, ...): the shared pyramid
+            // kernel; level numbering matches the haar path (0 =
+            // finest details, final smooth at the top level)
+            val fw = graft.functions.Wavelet.forward(data, family)
+            val levels = 31 - Integer.numberOfLeadingZeros(n2)
+            val coeffs = Seq.newBuilder[(Int, Int, Double)]
+            (0 until levels).foreach { l =>
+              val base = n2 >> (l + 1)
+              (0 until base).foreach(p => coeffs += ((l, p, fw(base + p))))
+            }
+            coeffs += ((levels, 0, fw(0)))
+            val k = args.getOrElse("wavelet_coeff", "16").toInt
+            val top = coeffs.result()
+              .sortBy { case (_, _, c) => -math.abs(c) }.take(k)
+            import spark.implicits._
+            val coeffDf = top.toDF("level", "pos", "coeff")
+            if (wavelet == "only")
+              return TaskResult(JobStatus.Completed, df = Some(coeffDf))
+            val kept = new Array[Double](n2)
+            top.foreach { case (l, p, c) =>
+              kept(if (l == levels) 0 else (n2 >> (l + 1)) + p) = c
+            }
+            val rec = graft.functions.Wavelet.inverse(kept, family)
+            val recDf = rec.take(series.length).zipWithIndex
+              .map { case (v, i) => (i + 1, series(i), v) }.toSeq
+              .toDF("idx", "value", "denoised")
+            return TaskResult(JobStatus.Completed, df = Some(recDf),
+              aux = Seq(graft.core.Grid("explorenc_wavelet_coeff",
+                "Wavelet Coefficients",
+                keys = Seq("LEVEL", "POS", "COEFF"),
+                fieldTypes = Seq("int", "int", "double"),
+                values = top.map { case (l2, p2, c2) =>
+                  Seq(l2.toString, p2.toString, c2.toString) })))
+          }
           // in-place Haar: averages in the front half, details behind
           val coeffs = Seq.newBuilder[(Int, Int, Double)]
           var len = n2

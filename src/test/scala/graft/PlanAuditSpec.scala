@@ -45,6 +45,27 @@ class PlanAuditSpec extends SparkSpec {
       s"gather transform collapsed into the aggregate (quadratic re-eval):\n$p")
   }
 
+  test("pipeline_corpus3: composed corpus prep keeps its scale shape") {
+    // the v3 composition end-to-end on sf0.001: the FINAL assembly
+    // (pack join lm) must broadcast the gram tables and the lm score
+    // join — no cartesian product, no sort-merge join on the doc axis,
+    // and the only unpartitioned window is the prefix-sum offset frame
+    // over <= numPartitions rows (the documented benign frame)
+    val q = SparkEntry.queries("pipeline_corpus3")(
+      spark, "/root/testdata/sf0.001")
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast gram-table joins, got:\n$p")
+    // corpus-sized x corpus-sized joins on the doc axis (the lm-score
+    // attach) legitimately shuffle; everything else must broadcast —
+    // more than ONE sort-merge join means a bounded gram/threshold
+    // table stopped broadcasting
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1,
+      s"bounded side fell out of broadcast:\n$p")
+    assert(q.count() > 0, "composition produced no packed sequences")
+  }
+
   test("multimodal imageStats is shuffle-free partition-local decode") {
     val media = graft.pipeline.Multimodal.syntheticPngMedia(spark, 32)
     val p = plan(graft.pipeline.Multimodal.imageStats(media))
