@@ -71,7 +71,8 @@ object GraftServer {
     val stateDir = sys.env.get("GRAFT_STATE_DIR")
       .map(java.nio.file.Path.of(_))
     val engine = new Engine(spark, new Catalog("sess0001"), owner,
-      sessionStateFile = stateDir.map(_.resolve("session-sess0001.json")))
+      sessionStateFile = stateDir.map(_.resolve("session-sess0001.json")),
+      runStateFile = stateDir.map(_.resolve("runs-sess0001.json")))
     val openId = OpenIdService.fromEnv(sys.env)
     val auth = new AuthService(
       stateFile = stateDir.map(_.resolve("auth.tsv")),

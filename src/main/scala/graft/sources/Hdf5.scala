@@ -25,7 +25,8 @@ import scala.collection.mutable.ArrayBuffer
  *    both endiannesses; fixed strings; object references; vlen;
  *  - dataspaces v1/v2; layouts: contiguous and chunked v3 with a
  *    v1 B-tree chunk index (any depth);
- *  - filters: deflate (zlib) and shuffle, in pipeline order;
+ *  - filters: deflate (zlib), shuffle, fletcher32, and szip
+ *    (CCSDS 121 Rice — see Szip.scala), in pipeline order;
  *  - attributes v1/v2/v3, including vlen-of-object-reference
  *    (DIMENSION_LIST) resolved through the global heap.
  *
@@ -1176,6 +1177,18 @@ object Hdf5 {
                       chDims.map(_.toLong).product.toInt * es + extra)
                   case 2 => unshuffle(raw, flt.client.headOption.getOrElse(es))
                   case 3 => fletcherStrip(raw, ds.name)
+                  case 4 =>
+                    // H5Zszip prepends the ORIGINAL byte count as a
+                    // 4-byte little-endian header before the szip
+                    // stream; pixels = original bytes / sample size
+                    if (raw.length < 4)
+                      throw new FormatError(s"${ds.name}: szip chunk " +
+                        s"of ${raw.length} bytes has no size header")
+                    val origBytes = ((raw(0) & 0xFFL) | ((raw(1) & 0xFFL) << 8) |
+                      ((raw(2) & 0xFFL) << 16) | ((raw(3) & 0xFFL) << 24)).toInt
+                    val bps = Szip.params(flt.client, ds.name).bytesPerSample
+                    Szip.decode(java.util.Arrays.copyOfRange(raw, 4, raw.length),
+                      flt.client, origBytes / bps, ds.name)
                   case id => throw new FormatError(s"filter $id not supported")
                 }
               }

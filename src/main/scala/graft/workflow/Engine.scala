@@ -166,7 +166,15 @@ final class Engine(
     /** Durable session-table file (roles, flags, saved workflow
       * documents survive a restart — the reference's OphidiaDB session
       * persistence). None = memory only. */
-    sessionStateFile: Option[java.nio.file.Path] = None) {
+    sessionStateFile: Option[java.nio.file.Path] = None,
+    /** Durable workflow-run store — the reference's `oph_workflow_save`
+      * (`src/oph_workflow_engine.c:244-288`): each completed-or-aborted
+      * run's request document + per-task outcome persists, so a
+      * RESTARTED server honors `checkpoint` requests. Cube DataFrames
+      * do not survive a restart, so replayed entries whose cubes are
+      * gone re-execute and re-create the lineage deterministically;
+      * tasks with no cube output replay directly. None = memory only. */
+    runStateFile: Option[java.nio.file.Path] = None) {
 
   import Engine._
 
@@ -352,6 +360,61 @@ final class Engine(
     * `checkpoint` field resumes from. */
   private val lastRuns = scala.collection.concurrent.TrieMap[
     String, (Workflow.Spec, Map[String, TaskResult])]()
+
+  /** Raw request documents of recorded runs (what persists — the spec
+    * re-parses from them on restart). */
+  private val lastRunJson =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  private def persistRuns(): Unit = runStateFile.foreach { p =>
+    def q(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case '\n' => "\\n"; case '\r' => "\\r"; case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val runs = lastRuns.toSeq.flatMap { case (name, (_, results)) =>
+      lastRunJson.get(name).map { js =>
+        val rs = results.map { case (k, r) =>
+          s"""{"task":${q(k)},"status":${q(r.status.toString)},""" +
+            s""""cubePid":${r.cubePid.map(q).getOrElse("null")},""" +
+            s""""hadDf":${r.hadDf}}"""
+        }.mkString(",")
+        s"""{"request":$js,"results":[$rs]}"""
+      }
+    }
+    graft.server.StateStore.save(p, s"""{"runs":[${runs.mkString(",")}]}""")
+  }
+
+  // restore recorded runs (torn/old-format state must never block
+  // startup — a run that fails to parse is simply not resumable)
+  runStateFile.flatMap(graft.server.StateStore.load).foreach { text =>
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n = mapper.readTree(text)
+      Option(n.get("runs")).foreach { arr =>
+        arr.elements.forEachRemaining { run =>
+          try {
+            val reqNode = run.get("request")
+            val reqJson = reqNode.toString
+            val spec = Workflow.parse(reqJson)
+            val results = scala.collection.mutable.Map.empty[String, TaskResult]
+            Option(run.get("results")).foreach(_.elements.forEachRemaining {
+              r =>
+                results(r.get("task").asText) = TaskResult(
+                  JobStatus.withName(r.get("status").asText),
+                  cubePid = Option(r.get("cubePid"))
+                    .filterNot(_.isNull).map(_.asText),
+                  hadDf = Option(r.get("hadDf")).exists(_.asBoolean))
+            })
+            lastRuns(spec.name) = (spec, results.toMap)
+            lastRunJson(spec.name) = reqJson
+          } catch { case _: Exception => () }
+        }
+      }
+    } catch { case _: Exception => () }
+  }
 
   /** Request entry honoring `checkpoint` (`oph_workflow_parsing.c:
     * 283-290`): any non-empty value resumes from the last recorded run
@@ -1001,7 +1064,11 @@ final class Engine(
           k -> r.copy(df = None, hadDf = r.df.nonEmpty) })
       if (lastRuns.size > Engine.MaxLastRuns)
         lastRuns.keys.filter(_ != spec0.name)
-          .take(lastRuns.size - Engine.MaxLastRuns).foreach(lastRuns.remove)
+          .take(lastRuns.size - Engine.MaxLastRuns).foreach { k =>
+            lastRuns.remove(k); lastRunJson.remove(k)
+          }
+      requestJson.foreach(js => lastRunJson(spec0.name) = js)
+      persistRuns()
     }
     results.toMap
   }

@@ -288,6 +288,63 @@ class WorkflowSpec extends SparkSpec {
     assert(r3("agg").status == JobStatus.Completed)
   }
 
+  test("crash mid-workflow: a NEW engine resumes the checkpoint request " +
+      "and re-creates the cube lineage identically") {
+    // the oph_workflow_save golden path: run a workflow that dies on
+    // its second task, "kill" the server (drop the engine — cubes and
+    // memory state are gone, only the run-state file survives), then a
+    // FRESH engine honors checkpoint and the final cube matches an
+    // uninterrupted run bit-for-bit
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_runstate")
+    val runFile = stateDir.resolve("runs.json")
+    def req(op: String) = s"""{
+      "name": "ckwf", "checkpoint": "last", "tasks": [
+        {"name": "imp", "operator": "oph_importnc",
+         "arguments": ["src_path=${sf("lineitem")}", "measure=l_quantity",
+           "exp_dim=l_orderkey|l_linenumber", "container=ck"]},
+        {"name": "agg", "operator": "oph_aggregate",
+         "arguments": ["operation=$op", "group_by=l_orderkey"],
+         "dependencies": [{"task": "imp"}]}
+      ]}"""
+    val e1 = new Engine(spark, new Catalog("s1"),
+      runStateFile = Some(runFile))
+    val bad = req("NOPE")
+    val r1 = e1.run(Workflow.parse(bad), requestJson = Some(bad))
+    assert(r1("imp").status == JobStatus.Completed)
+    assert(r1("agg").status == JobStatus.Error)
+    assert(java.nio.file.Files.isRegularFile(runFile),
+      "partial run was not persisted")
+
+    // --- crash: e1 is gone; a new engine restores the run record
+    val e2 = new Engine(spark, new Catalog("s2"),
+      runStateFile = Some(runFile))
+    val fixed = req("sum")
+    val r2 = e2.runRequest(Workflow.parse(fixed), Some(fixed))
+    // the import's cube died with the old engine, so checkpoint
+    // resume RE-RUNS it (never serves a dangling pid), then the fixed
+    // aggregate completes
+    assert(r2("imp").status == JobStatus.Completed)
+    assert(r2("agg").status == JobStatus.Completed)
+    val resumed = e2.cube(r2("agg").cubePid.get).get.df
+      .orderBy("l_orderkey").collect().map(_.toString).toSeq
+
+    // --- reference: the same fixed workflow, uninterrupted
+    val e3 = new Engine(spark, new Catalog("s3"))
+    val r3 = e3.run(Workflow.parse(fixed))
+    val fresh = e3.cube(r3("agg").cubePid.get).get.df
+      .orderBy("l_orderkey").collect().map(_.toString).toSeq
+    assert(resumed == fresh, "resumed lineage diverged from a clean run")
+
+    // --- same-engine checkpoint replays without re-running: an
+    // IDENTICAL request against the live record serves every pid from
+    // the record and mints NOTHING new
+    val cubesBefore = e2.catalog.allCubes.size
+    val r4 = e2.runRequest(Workflow.parse(fixed), Some(fixed))
+    assert(r4("imp").cubePid == r2("imp").cubePid, "live cube re-imported")
+    assert(r4("agg").cubePid == r2("agg").cubePid, "live agg re-ran")
+    assert(e2.catalog.allCubes.size == cubesBefore)
+  }
+
   test("runFrom break-in-if propagates to the enclosing loop") {
     val e = engine()
     // loop of 3; iteration task fails with on_error=break inside an if:
