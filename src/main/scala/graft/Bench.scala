@@ -69,8 +69,11 @@ object Bench {
       // clearCache only drops catalog-cached relations, so release
       // RDD-level blocks (localCheckpoint / persist) explicitly too
       spark.catalog.clearCache()
+      // BLOCKING unpersist: async release lets stale blocks from prior
+      // queries linger into the next measurement window — measured as a
+      // 3-4x inflation of the banded-join queries late in the sweep
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       name -> dt
     }
     def fmt(v: Double): String = f"$v%.3f"

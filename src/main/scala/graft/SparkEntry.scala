@@ -778,8 +778,11 @@ object SparkEntry {
       val d = t(s, dir, "documents").select("doc_id", "text")
       val doubled = d.unionByName(
         d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      // one LSH pass serves both the organic count and the planted
+      // list (the banded join is the expensive part — recomputing it
+      // per consumer doubles the query)
       val pairs = Dedup.minhashLsh(doubled, "doc_id", "text", k = 5,
-        numHashes = 64, bands = 8, tau = 0.9)
+        numHashes = 64, bands = 8, tau = 0.9).localCheckpoint(true)
       val organic = pairs.filter(col("id_b") =!= col("id_a") + 1000000)
         .count()
       // observed 100 organic pairs on the 500-doc corpus (0.2/doc);
@@ -801,7 +804,7 @@ object SparkEntry {
       val doubled = d.unionByName(
         d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
       val dups = Dedup.simhashDups(doubled, "doc_id", "text",
-        maxHamming = 3)
+        maxHamming = 3).localCheckpoint(true)
       val organic = dups.filter(col("id_b") =!= col("id_a") + 1000000)
         .count()
       // observed 68 organic pairs on the 500-doc corpus; same
