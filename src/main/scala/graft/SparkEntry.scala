@@ -951,6 +951,26 @@ object SparkEntry {
         batch1.unionByName(batch2).filter(col("query_id") >= 9001L))
     }),
 
+    "embed_semdedup" -> ((s, dir) => {
+      // SemDeDup (cluster-bucketed semantic dedup): double the corpus
+      // so every vector has a planted exact duplicate — identical
+      // vectors land in the SAME k-means cell by construction, so all
+      // planted pairs MUST surface at cosine 1.0 (deterministic,
+      // unlike banded LSH); organic >= tau pairs depend on the fitted
+      // cells and pin as a scale-relative band
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val doubled = e.unionByName(e.select(
+        (col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      val pairs = Similarity.semanticDedup(doubled, "vec_id", "embedding",
+        tau = 0.999, nClusters = 16).localCheckpoint(true)
+      val organic = pairs.filter(col("dup_id") =!= col("keep_id") + 1000000)
+        .count()
+      val n = e.count()
+      pairs.filter(col("dup_id") === col("keep_id") + 1000000)
+        .select(col("keep_id"), col("score"))
+        .withColumn("organic_in_band", lit(organic <= n))
+    }),
+
     "embed_neardup" -> ((s, dir) => {
       // double the corpus so exact-duplicate vectors exist; LSH buckets
       // generate candidates, exact cosine >= tau verifies
@@ -2929,6 +2949,16 @@ object SparkEntry {
     // random-hyperplane band by construction, so the LSH candidate
     // pass is guaranteed-complete and DuckDB's exact all-pairs
     // cosine is a fair hash oracle for the whole pipeline
+    // planted-pair contract (the dedup_minhash recipe): identical
+    // vectors share a k-means cell by construction, so every doubled
+    // vector MUST surface at cosine 1.0; organic pairs depend on the
+    // fitted cells (cross-cell misses are SemDeDup's documented
+    // approximation) and pin as an in-band boolean
+    "embed_semdedup" ->
+      """SELECT vec_id AS keep_id, CAST(1.0 AS DOUBLE) AS score,
+                true AS organic_in_band
+         FROM embeddings""",
+
     "embed_neardup" ->
       """WITH d AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

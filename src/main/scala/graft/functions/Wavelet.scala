@@ -29,10 +29,20 @@ object Wavelet {
     case "db4" | "daubechies4" | "daubechies" => Array(
       (1 + S3) / (4 * Sqrt2), (3 + S3) / (4 * Sqrt2),
       (3 - S3) / (4 * Sqrt2), (1 - S3) / (4 * Sqrt2))
+    // 6- and 8-tap Daubechies scaling filters — Daubechies' published
+    // orthonormal constants (3 resp. 4 vanishing moments); the
+    // Parseval and moment-annihilation specs pin them against typos
+    case "db6" | "daubechies6" => Array(
+      0.3326705529500825, 0.8068915093110924, 0.4598775021184914,
+      -0.1350110200102546, -0.0854412738820267, 0.0352262918857095)
+    case "db8" | "daubechies8" => Array(
+      0.2303778133088964, 0.7148465705529154, 0.6308807679298587,
+      -0.0279837694168599, -0.1870348117190931, 0.0308413818355607,
+      0.0328830116668852, -0.0105974017850690)
     case f => throw new IllegalArgumentException(s"wavelet family '$f'")
   }
 
-  def families: Seq[String] = Seq("haar", "db4")
+  def families: Seq[String] = Seq("haar", "db4", "db6", "db8")
 
   private def highAt(h: Array[Double], k: Int): Double =
     if (k % 2 == 0) h(h.length - 1 - k) else -h(h.length - 1 - k)

@@ -193,6 +193,48 @@ object Similarity {
       }.sortBy(_._3).take(nProbe).map(p => (p._1, p._2)).toSeq
     }
 
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+   * cluster the corpus with the same bounded-driver-sample k-means the
+   * IVF index uses, then verify near-duplicate pairs ONLY inside each
+   * cluster cell — the cell key bounds the self-join, so nothing
+   * all-pairs ever runs, and exact duplicates can never be missed
+   * (identical vectors share a cell by construction, unlike banded
+   * LSH where detection is probabilistic). Returns one row per
+   * detected pair: (keep_id < dup_id, cosine score >= tau).
+   *
+   * Scale note: within-cell cost is sum(|cell|^2); production SemDeDup
+   * raises nClusters with corpus size (cells of ~1e3-1e4 docs), which
+   * this fit supports — the k-means runs on a bounded sample and the
+   * corpus pays one codegen'd assignment pass regardless of k.
+   */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      tau: Double, nClusters: Int = 16): DataFrame = {
+    val feats = normalized(emb, idCol, vecCol)
+    val train = trainSample(feats, 200 * nClusters, nClusters, "semdedup")
+    val cents = lloyd(train, nClusters, iters = 10, spherical = true)
+    // materialize the assignment ONCE: both self-join sides consume it
+    // (re-deriving it per side would run the codegen'd argmax pass
+    // twice). The cell argmax is scale-invariant — argmax_c <v/|v|, c>
+    // = argmax_c <v, c> — so the assignment runs on the RAW vectors:
+    // one fewer column, and no normalization attr for Spark's Union
+    // constraint-rewrite to trip over during the eager checkpoint
+    val assigned = emb
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("cell", coarseCell(col("vec"), cents))
+      .localCheckpoint(true)
+    val a = assigned.select(col("cell"), col("id").as("keep_id"),
+      col("vec").as("va"))
+    val b = assigned.select(col("cell"), col("id").as("dup_id"),
+      col("vec").as("vb"))
+    a.join(b, Seq("cell")).filter(col("keep_id") < col("dup_id"))
+      .withColumn("score", cosine(col("va"), col("vb")))
+      .filter(col("score") >= tau)
+      .select(col("keep_id"), col("dup_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
       nClusters: Int = 16): IvfIndex = {
     val feats = normalized(emb, idCol, vecCol)

@@ -267,7 +267,8 @@ object ArgSpecs {
       enum("show_time", yesNo: _*), a("stats_mask"), a("show_stats"),
       enum("show_fit", yesNo: _*), enum("wavelet", "yes", "no", "only"),
       int("wavelet_coeff", min = 1),
-      enum("wavelet_family", "haar", "db4", "daubechies4", "daubechies"),
+      enum("wavelet_family", "haar", "db4", "db6", "db8",
+        "daubechies4", "daubechies6", "daubechies8", "daubechies"),
       a("dim")),
     "oph_inspectfrag" -> Seq(a("frag_id"), int("limit", min = 1),
       a("level")),

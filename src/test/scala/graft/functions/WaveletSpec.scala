@@ -40,6 +40,24 @@ class WaveletSpec extends SparkSpec {
       "wrap windows should carry the boundary jump")
   }
 
+  test("db6/db8 annihilate quadratics/cubics (their vanishing moments)") {
+    // wrong published constants would break BOTH Parseval (covered
+    // above) and these exact-annihilation properties — together they
+    // pin the filters to the real Daubechies coefficients
+    val quad = Array.tabulate(64)(i => 0.5 * i * i - 3.0 * i + 7.0)
+    val fwQ = Wavelet.forward(quad, "db6")
+    (32 until 58).foreach(i => // windows clear of the periodic wrap
+      assert(math.abs(fwQ(i)) < 1e-6, s"db6 quad detail $i = ${fwQ(i)}"))
+    val cubic = Array.tabulate(64)(i => 0.01 * i * i * i - i * i + 2.0 * i)
+    val fwC = Wavelet.forward(cubic, "db8")
+    (32 until 56).foreach(i =>
+      assert(math.abs(fwC(i)) < 1e-5, s"db8 cubic detail $i = ${fwC(i)}"))
+    // db4 (two moments) must NOT annihilate the quadratic interior
+    val fwQ4 = Wavelet.forward(quad, "db4")
+    assert((34 until 58).exists(i => math.abs(fwQ4(i)) > 1e-3),
+      "db4 unexpectedly annihilated a quadratic")
+  }
+
   test("haar pyramid matches the hand arithmetic on a 4-series") {
     val fw = Wavelet.forward(Array(1.0, 3.0, 2.0, 6.0), "haar")
     val s = math.sqrt(2.0)

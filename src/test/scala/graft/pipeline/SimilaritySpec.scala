@@ -229,4 +229,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 1, 2.0), ("a", 2, 4.0),
       ("b", 1, 10.0), ("b", 2, 20.0)))
   }
+
+  test("semanticDedup: planted exact duplicates always surface in-cell") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val doubled = e.unionByName(e.select(
+      (org.apache.spark.sql.functions.col("vec_id") + 1000000)
+        .as("vec_id"),
+      org.apache.spark.sql.functions.col("embedding")))
+    val pairs = Similarity.semanticDedup(doubled, "vec_id", "embedding",
+      tau = 0.999, nClusters = 8)
+    val n = e.count()
+    val planted = pairs.filter(
+      org.apache.spark.sql.functions.col("dup_id") ===
+        org.apache.spark.sql.functions.col("keep_id") + 1000000).count()
+    assert(planted == n, s"$planted of $n planted duplicates detected")
+  }
 }
