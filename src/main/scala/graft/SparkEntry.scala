@@ -961,8 +961,11 @@ object SparkEntry {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       val doubled = e.unionByName(e.select(
         (col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      // nClusters scales with the corpus in real SemDeDup (cells of
+      // ~1e3 docs bound the within-cell quadratic); planted detection
+      // is k-invariant, so the suite runs the production shape
       val pairs = Similarity.semanticDedup(doubled, "vec_id", "embedding",
-        tau = 0.999, nClusters = 16).localCheckpoint(true)
+        tau = 0.999, nClusters = 64).localCheckpoint(true)
       val organic = pairs.filter(col("dup_id") =!= col("keep_id") + 1000000)
         .count()
       val n = e.count()

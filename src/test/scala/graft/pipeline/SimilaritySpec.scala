@@ -247,4 +247,14 @@ class SimilaritySpec extends SparkSpec {
         org.apache.spark.sql.functions.col("keep_id") + 1000000).count()
     assert(planted == n, s"$planted of $n planted duplicates detected")
   }
+
+  test("semanticDedup plan: cell-key join, never a cartesian") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val plan = Similarity.semanticDedup(e, "vec_id", "embedding",
+      tau = 0.9, nClusters = 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("cell"), plan) // the bounding join key
+  }
 }
