@@ -307,12 +307,41 @@ object Similarity {
       }
       best
     }
+    // FIXED chunk count: per-chunk partial sums merge in chunk order,
+    // so the floating-point accumulation order — and therefore the
+    // fitted centroids — are bit-identical on any machine (a
+    // core-count-dependent split would make the fit, and the oracles'
+    // organic-pair bands, environment-dependent)
+    val nChunks = 8
+    val bounds = (0 to nChunks).map(i => (i * train.length) / nChunks)
     for (_ <- 0 until iters) {
+      val partials =
+        new Array[(Array[Array[Double]], Array[Long])](nChunks)
+      val threads = (0 until nChunks).map { ci =>
+        val t = new Thread(() => {
+          val sums = Array.fill(k)(new Array[Double](dim))
+          val counts = new Array[Long](k)
+          var i = bounds(ci)
+          while (i < bounds(ci + 1)) {
+            val v = train(i)
+            val c = nearest(v); counts(c) += 1
+            var j = 0; while (j < dim) { sums(c)(j) += v(j); j += 1 }
+            i += 1
+          }
+          partials(ci) = (sums, counts)
+        })
+        t.start(); t
+      }
+      threads.foreach(_.join())
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
-      train.foreach { v =>
-        val c = nearest(v); counts(c) += 1
-        var j = 0; while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      partials.foreach { case (ps, pc) =>
+        var c = 0
+        while (c < k) {
+          counts(c) += pc(c)
+          var j = 0; while (j < dim) { sums(c)(j) += ps(c)(j); j += 1 }
+          c += 1
+        }
       }
       centroids = Array.tabulate(k) { c =>
         if (counts(c) == 0) centroids(c)

@@ -92,6 +92,28 @@ class SzipSpec extends SparkSpec {
     assert(Szip.decode(enc, c, 512, "t").toSeq == data.toSeq)
   }
 
+  test("fuzz: corrupted szip streams fail catchably, never hang") {
+    // decode must stay bounded on garbage: the FS reader caps runaway
+    // unary codes and the bit reader throws at exhaustion — flip every
+    // byte position of a real stream and require catchable failures
+    val c = cli(Szip.EC | Szip.NN | Szip.LSB, 16, 8, 32)
+    val data = Array.tabulate(2 * 64)(i => ((i * 31) & 0xFF).toByte)
+    val enc = Szip.encode(data, c, "t")
+    val rng = new scala.util.Random(11)
+    (0 until 300).foreach { _ =>
+      val m = enc.clone()
+      val i = rng.nextInt(m.length)
+      m(i) = (m(i) ^ (1 << rng.nextInt(8))).toByte
+      try { Szip.decode(m, c, 64, "t"); () }
+      catch { case _: Exception => () } // catchable is the contract
+    }
+    // truncation at every length
+    (0 until enc.length).foreach { n =>
+      try { Szip.decode(java.util.Arrays.copyOf(enc, n), c, 64, "t"); () }
+      catch { case _: Exception => () }
+    }
+  }
+
   test("hand-built HDF5 file with a szip'd int32 chunk reads back") {
     val Undef = -1L
     final class B {
