@@ -968,10 +968,13 @@ object SparkEntry {
         tau = 0.999, nClusters = 64).localCheckpoint(true)
       val organic = pairs.filter(col("dup_id") =!= col("keep_id") + 1000000)
         .count()
-      val n = e.count()
+      // the embeddings corpus carries NO organic pair at cosine >=
+      // 0.999 (DuckDB-verified over the full cross join at sf0.01 and
+      // sf0.1), so the organic count pins EXACTLY zero: any
+      // false-positive in-cell pair fails the hash
       pairs.filter(col("dup_id") === col("keep_id") + 1000000)
         .select(col("keep_id"), col("score"))
-        .withColumn("organic_in_band", lit(organic <= n))
+        .withColumn("organic_in_band", lit(organic == 0L))
     }),
 
     "embed_neardup" -> ((s, dir) => {
