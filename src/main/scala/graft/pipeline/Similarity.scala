@@ -317,22 +317,29 @@ object Similarity {
     for (_ <- 0 until iters) {
       val partials =
         new Array[(Array[Array[Double]], Array[Long])](nChunks)
+      // capture worker failures: a bare throw inside a chunk thread
+      // would leave partials(ci) null and surface later as an opaque
+      // MatchError in the merge instead of the real error
+      val failures = new java.util.concurrent.atomic.AtomicReference[Throwable]()
       val threads = (0 until nChunks).map { ci =>
         val t = new Thread(() => {
-          val sums = Array.fill(k)(new Array[Double](dim))
-          val counts = new Array[Long](k)
-          var i = bounds(ci)
-          while (i < bounds(ci + 1)) {
-            val v = train(i)
-            val c = nearest(v); counts(c) += 1
-            var j = 0; while (j < dim) { sums(c)(j) += v(j); j += 1 }
-            i += 1
-          }
-          partials(ci) = (sums, counts)
+          try {
+            val sums = Array.fill(k)(new Array[Double](dim))
+            val counts = new Array[Long](k)
+            var i = bounds(ci)
+            while (i < bounds(ci + 1)) {
+              val v = train(i)
+              val c = nearest(v); counts(c) += 1
+              var j = 0; while (j < dim) { sums(c)(j) += v(j); j += 1 }
+              i += 1
+            }
+            partials(ci) = (sums, counts)
+          } catch { case e: Throwable => failures.compareAndSet(null, e) }
         })
         t.start(); t
       }
       threads.foreach(_.join())
+      Option(failures.get).foreach(e => throw e)
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
       partials.foreach { case (ps, pc) =>

@@ -761,10 +761,28 @@ object NetCDF4 {
         expect(btLeafAddr, "v2 B-tree leaf")
         locally {
           val lb = new B().str("BTLF").u8(0).u8(5)
+          // tie-break colliding hashes by unsigned UTF-8 byte order
+          // (libhdf5 memcmp's the heap-resident names, not UTF-16
+          // code units — Scala String order diverges for names mixing
+          // supplementary-plane and U+E000..U+FFFF characters)
+          val utf8Ord = new Ordering[Array[Byte]] {
+            def compare(a: Array[Byte], b: Array[Byte]): Int = {
+              val n = math.min(a.length, b.length)
+              var i = 0
+              while (i < n) {
+                val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+                if (d != 0) return d
+                i += 1
+              }
+              a.length - b.length
+            }
+          }
           dsNames.indices
-            .map(j => (Hdf5.lookup3(dsNames(j).getBytes("UTF-8")).toLong
-              & 0xFFFFFFFFL, dsNames(j), j))
-            .sortBy(r => (r._1, r._2))
+            .map { j =>
+              val nb = dsNames(j).getBytes("UTF-8")
+              (Hdf5.lookup3(nb).toLong & 0xFFFFFFFFL, nb, j)
+            }
+            .sortBy(r => (r._1, r._2))(Ordering.Tuple2(Ordering.Long, utf8Ord))
             .foreach { case (hash, _, j) =>
               lb.u32(hash).u8(0).u32(fhObjOff(j)).u16(denseBodySizes(j))
             }

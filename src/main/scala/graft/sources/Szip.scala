@@ -181,20 +181,29 @@ object Szip {
               else z
             zeroRun = run - 1
           } else {
-            // second extension: pairs -> one FS codeword
-            if (codedLen % 2 != 0)
+            // second extension: one FS gamma codeword per sample PAIR,
+            // paired on ABSOLUTE block positions (0,1)(2,3)…. A
+            // reference sample occupies position 0 and participates as
+            // a phantom zero delta (szlib/libaec preprocessing sets
+            // d[0]=0), so block 0 of an even-J scanline carries J/2
+            // codewords whose first decodes (phantom, mapped(0)).
+            if (bLen % 2 != 0)
               throw new Hdf5.FormatError(
-                s"$path: szip second extension on an odd block")
-            var i = 0
-            while (i < codedLen) {
+                s"$path: szip second extension on an odd-length block")
+            var pos = 0
+            while (pos < bLen) {
               val g = in.fs().toLong
               // invert gamma = (a+b)(a+b+1)/2 + b by triangular root
               var s = 0L
               while ((s + 1) * (s + 2) / 2 <= g) s += 1
               val b2 = g - s * (s + 1) / 2
               val a2 = s - b2
-              mapped(i) = a2; mapped(i + 1) = b2
-              i += 2
+              if (refHere && pos == 0) mapped(0) = b2 // a2 is phantom
+              else {
+                val mi = pos - (if (refHere) 1 else 0)
+                mapped(mi) = a2; mapped(mi + 1) = b2
+              }
+              pos += 2
             }
           }
         } else if (id == p.uncompressedId) {
@@ -244,9 +253,10 @@ object Szip {
 
   // ---------------------------------------------------------- encode
   // Mirrors the decoder exactly (round-trip tests); emits per block the
-  // cheapest of: zero-block (only single-block runs), split-k, or
-  // uncompressed. Never emits the second extension or ROS — decoders
-  // must handle streams without them.
+  // cheapest of: zero-block run (coalesced across blocks, ROS when the
+  // run reaches the 64-block segment end), second extension, split-k,
+  // or uncompressed — the same option set szlib chooses from, so
+  // round-trips exercise every decoder branch.
 
   def encode(raw: Array[Byte], client: Seq[Int], path: String): Array[Byte] = {
     val p = params(client, path)
@@ -280,33 +290,52 @@ object Szip {
       base: Int, count: Int): Unit = {
     val J = p.blockSize
     val nBlocks = (count + J - 1) / J
-    var block = 0
-    while (block < nBlocks) {
-      val bStart = block * J
-      val bLen = math.min(J, count - bStart)
-      val refHere = p.preprocess && block == 0
+    // mapped deltas per block, computed once up front (run coalescing
+    // needs lookahead over following blocks)
+    def blockLen(b: Int) = math.min(J, count - b * J)
+    val mappedByBlock: Array[Array[Long]] = Array.tabulate(nBlocks) { b =>
+      val bLen = blockLen(b)
+      val refHere = p.preprocess && b == 0
       val codedLen = if (refHere) bLen - 1 else bLen
-      if (refHere) w.bits(v(base), p.n)
-      val mapped = new Array[Long](codedLen)
+      val m = new Array[Long](codedLen)
       var i = 0
-      var idx = base + bStart + (if (refHere) 1 else 0)
+      var idx = base + b * J + (if (refHere) 1 else 0)
       while (i < codedLen) {
-        mapped(i) =
+        m(i) =
           if (p.preprocess) mapDelta(v(idx), v(idx - 1), p.n)
           else v(idx)
         i += 1; idx += 1
       }
+      m
+    }
+    var block = 0
+    while (block < nBlocks) {
+      val bLen = blockLen(block)
+      val refHere = p.preprocess && block == 0
+      val mapped = mappedByBlock(block)
+      val codedLen = mapped.length
+      if (refHere) w.bits(v(base), p.n)
       if (codedLen == 0) { block += 1 } // 1-sample scanline: ref only
       else if (mapped.forall(_ == 0L)) {
-        w.bits(0, p.idBits); w.bit(0); w.fs(0) // single zero block
-        block += 1
+        // coalesce consecutive all-zero blocks into one run header;
+        // runs never cross a 64-block segment (ROS semantics)
+        val segEnd = math.min(((block / 64) + 1) * 64, nBlocks)
+        var r = 1
+        while (block + r < segEnd && mappedByBlock(block + r).forall(_ == 0L))
+          r += 1
+        w.bits(0, p.idBits); w.bit(0)
+        if (block + r == segEnd && r >= 5) w.fs(4) // ROS: rest of segment
+        else if (r <= 4) w.fs(r - 1)
+        else w.fs(r)
+        block += r
       } else {
-        // best k by exact cost
+        // best among split-k, uncompressed, second extension — exact
+        // bit costs including the header (SE pays an extra option bit)
         var bestK = -1
-        var bestCost = p.n * codedLen // uncompressed
+        var bestCost = p.idBits + p.n * codedLen // uncompressed
         var k = 0
         while (k <= math.min(p.n - 2, p.uncompressedId - 2)) {
-          var cost = 0L
+          var cost = p.idBits.toLong
           var j = 0
           while (j < codedLen) {
             cost += (mapped(j) >> k) + 1 + k
@@ -315,7 +344,34 @@ object Szip {
           if (cost < bestCost) { bestCost = cost.toInt; bestK = k }
           k += 1
         }
-        if (bestK < 0) {
+        // second extension: one gamma FS codeword per absolute-position
+        // pair, the reference slot pairing as a phantom zero. Only
+        // defined for even-length blocks; skipped when any pair sum is
+        // large (the gamma codeword length explodes quadratically).
+        var seGammas: Array[Long] = null
+        if (bLen % 2 == 0) {
+          val g = new Array[Long](bLen / 2)
+          var ok = true
+          var cost = p.idBits.toLong + 1
+          var pos = 0
+          while (ok && pos < bLen) {
+            val a = if (refHere && pos == 0) 0L
+              else mapped(pos - (if (refHere) 1 else 0))
+            val b = mapped(pos + 1 - (if (refHere) 1 else 0))
+            if (a + b > 4096) ok = false
+            else {
+              val gamma = (a + b) * (a + b + 1) / 2 + b
+              g(pos / 2) = gamma
+              cost += gamma + 1
+            }
+            pos += 2
+          }
+          if (ok && cost < bestCost) { bestCost = cost.toInt; seGammas = g }
+        }
+        if (seGammas != null) {
+          w.bits(0, p.idBits); w.bit(1)
+          seGammas.foreach(gm => w.fs(gm.toInt))
+        } else if (bestK < 0) {
           w.bits(p.uncompressedId, p.idBits)
           mapped.foreach(m => w.bits(m, p.n))
         } else {

@@ -410,10 +410,21 @@ final class Engine(
             })
             lastRuns(spec.name) = (spec, results.toMap)
             lastRunJson(spec.name) = reqJson
-          } catch { case _: Exception => () }
+          } catch {
+            case e: Exception =>
+              System.err.println(
+                s"[graft] run-store: skipping unparseable run entry in " +
+                  s"${runStateFile.getOrElse("?")} (${e.getClass.getSimpleName}: ${e.getMessage}) " +
+                  "— that workflow will not be checkpoint-resumable")
+          }
         }
       }
-    } catch { case _: Exception => () }
+    } catch {
+      case e: Exception =>
+        System.err.println(
+          s"[graft] run-store: failed to parse ${runStateFile.getOrElse("?")} " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}) — checkpoint resume unavailable")
+    }
   }
 
   /** Request entry honoring `checkpoint` (`oph_workflow_parsing.c:

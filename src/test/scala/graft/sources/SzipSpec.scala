@@ -44,6 +44,90 @@ class SzipSpec extends SparkSpec {
     assert(got.toSeq == Seq[Byte](7, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
   }
 
+  test("hand fixture: second extension without reference sample") {
+    // n=8, J=4, pps=4, plain EC: samples [1,0,0,1]
+    // pairs (1,0),(0,1): gamma = (a+b)(a+b+1)/2 + b -> 1, 2
+    // stream: id=000, ext bit 1, FS 1 -> 01, FS 2 -> 001
+    val bits = "000" + "1" + "01" + "001"
+    val padded = bits + "0" * (8 - bits.length % 8)
+    val bytes = padded.grouped(8).map(Integer.parseInt(_, 2).toByte).toArray
+    val got = Szip.decode(bytes, cli(Szip.EC, 8, 4, 4), 4, "t")
+    assert(got.toSeq == Seq[Byte](1, 0, 0, 1))
+  }
+
+  test("hand fixture: second extension PAIRED WITH the reference sample") {
+    // the szlib low-entropy shape the old decoder refused: NN
+    // preprocessing, block 0 (odd codedLen, even block length). The
+    // reference slot pairs as a phantom zero delta (libaec d[0]=0).
+    // n=8 J=4 pps=4, samples [5,6,5,6]: ref=5, mapped deltas [2,1,2];
+    // pairs (0,2),(1,2) -> gammas (2·3/2+2)=5, (3·4/2+2)=8
+    // stream: ref 00000101, id=000, ext 1, FS 5 -> 000001, FS 8 ->
+    // 000000001
+    val bits = "00000101" + "000" + "1" + "000001" + "000000001"
+    val padded = bits + "0" * ((8 - bits.length % 8) % 8)
+    val bytes = padded.grouped(8).map(Integer.parseInt(_, 2).toByte).toArray
+    val got = Szip.decode(bytes, cli(Szip.EC | Szip.NN, 8, 4, 4), 4, "t")
+    assert(got.toSeq == Seq[Byte](5, 6, 5, 6))
+  }
+
+  test("hand fixture: ROS (rest-of-segment) zero run") {
+    // n=8 J=4 pps=28 -> 7 blocks; block0 [7,0,0,0] then 6 zero blocks
+    // coded as one ROS: id=000, run bit 0, FS z=4 -> 00001
+    val bits = "001" + "00000001" + "1" + "1" + "1" + "000" + "0" + "00001"
+    val padded = bits + "0" * ((8 - bits.length % 8) % 8)
+    val bytes = padded.grouped(8).map(Integer.parseInt(_, 2).toByte).toArray
+    val got = Szip.decode(bytes, cli(Szip.EC, 8, 4, 28), 28, "t")
+    assert(got.toSeq == (Seq[Byte](7) ++ Seq.fill(27)(0.toByte)))
+  }
+
+  test("encoder emits the second extension when cheapest and round-trips") {
+    // mostly-zero pairs with one isolated 1: SE cost beats every
+    // split-k, so the encoder must pick it (and the decoder must undo
+    // it). J=8 pps=8, no NN: mapped == samples [0,0,0,0,0,0,1,0]
+    val c = cli(Szip.EC, 8, 8, 8)
+    val data = Array[Byte](0, 0, 0, 0, 0, 0, 1, 0)
+    val enc = Szip.encode(data, c, "t")
+    // stream must start id=000 + ext bit 1 (not a split-k header)
+    assert((enc(0) & 0xF0) == 0x10,
+      f"expected SE header, got first byte 0x${enc(0) & 0xFF}%02x")
+    assert(Szip.decode(enc, c, 8, "t").toSeq == data.toSeq)
+  }
+
+  test("encoder coalesces zero runs into ROS and round-trips") {
+    // [7,0,0,...]: 10 blocks, blocks 1..9 all zero -> single ROS
+    // header instead of 9 zero-block headers
+    val c = cli(Szip.EC, 8, 4, 40)
+    val data = (Seq[Byte](7) ++ Seq.fill(39)(0.toByte)).toArray
+    val enc = Szip.encode(data, c, "t")
+    // block0 (id=001, FS 7,0,0,0) = 3+8+3 = 14 bits; ROS = 3+1+5 = 9
+    // bits -> 23 bits total, 3 bytes
+    assert(enc.length == 3, s"${enc.length} bytes: run not coalesced")
+    assert(Szip.decode(enc, c, 40, "t").toSeq == data.toSeq)
+    // and a mid-scanline run that does NOT reach the segment end
+    val data2 = (Seq[Byte](7) ++ Seq.fill(27)(0.toByte) ++
+      Seq[Byte](9, 0, 0, 0)).toArray
+    val enc2 = Szip.encode(data2, cli(Szip.EC, 8, 4, 32), "t")
+    assert(Szip.decode(enc2, cli(Szip.EC, 8, 4, 32), 32, "t").toSeq
+      == data2.toSeq)
+  }
+
+  test("NN round-trip on low-entropy data (SE + runs under preprocessing)") {
+    // constant + rare-step data after NN mapping is exactly the
+    // zero-run / second-extension regime; every option must compose
+    // with the reference sample
+    for (j <- Seq(4, 8, 16); pps <- Seq(j, 4 * j, 64)) {
+      if (pps >= j) {
+        val c = cli(Szip.EC | Szip.NN, 8, j, pps)
+        val data = Array.tabulate(130)(i =>
+          (40 + (if (i % 23 == 0) 1 else 0)).toByte)
+        val enc = Szip.encode(data, c, "t")
+        assert(Szip.decode(enc, c, 130, "t").toSeq == data.toSeq,
+          s"J=$j pps=$pps")
+        assert(enc.length < data.length, s"J=$j pps=$pps: no compression")
+      }
+    }
+  }
+
   test("NN mapper saturates correctly at the range edges") {
     // values hugging 0 and 255 exercise the one-sided fold; an
     // incorrect sign choice in unmap breaks the round-trip exactly here
