@@ -107,6 +107,23 @@ object SparkEntry {
     * TIMESTAMP(MICROS) column would silently read raw micros and shear
     * every event-time 1000×), then `ts` is normalized to TimestampType
     * like the batch path. */
+  /** Run `body` (which starts and drains a streaming query) with the
+    * session's shuffle-partition count temporarily lowered. Stateful
+    * streaming fixes its STATE partition count from
+    * `spark.sql.shuffle.partitions` at first start, and every
+    * micro-batch then writes a checkpoint delta per state store per
+    * partition — a stream-stream join carries 4 stores/partition, so
+    * 32 partitions is 128 checkpoint files per batch for a drop that
+    * fits in 8. On a real cluster the caller sizes this to the
+    * executor count; the value only shapes state layout, never
+    * results. */
+  private def withStreamShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private def stagedEventsStream(s: SparkSession, dir: String,
       copies: Int = 1): DataFrame = {
     import org.apache.spark.sql.types._
@@ -998,7 +1015,7 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))),
 
-    "events_stream_hourly" -> ((s, dir) => {
+    "events_stream_hourly" -> ((s, dir) => withStreamShuffle(s, 8) {
       // the STREAMING path inside the correctness gate: file-source
       // readStream over the events drop dir -> watermark + tumbling
       // window -> memory sink, drained with Trigger.AvailableNow.
@@ -1042,7 +1059,7 @@ object SparkEntry {
           .cast("long").as("n_sessions"))
     }),
 
-    "events_stream_sessions" -> ((s, dir) => {
+    "events_stream_sessions" -> ((s, dir) => withStreamShuffle(s, 8) {
       // the STATEFUL streaming path inside the correctness gate:
       // mapGroupsWithState sessionization over the file-source stream,
       // update-mode memory sink drained with AvailableNow. The session
@@ -1061,7 +1078,7 @@ object SparkEntry {
         .agg(max(col("sessions")).cast("long").as("n_sessions"))
     }),
 
-    "events_stream_dedup" -> ((s, dir) => {
+    "events_stream_dedup" -> ((s, dir) => withStreamShuffle(s, 8) {
       // streaming EXACT dedup inside the correctness gate: the stream
       // is fed the SAME events file twice (two drops), so every event
       // arrives twice; dropDuplicates holds one state entry per
@@ -1083,7 +1100,7 @@ object SparkEntry {
       s.table("events_stream_dedup")
     }),
 
-    "events_stream_join" -> ((s, dir) => {
+    "events_stream_join" -> ((s, dir) => withStreamShuffle(s, 8) {
       // STREAM-STREAM event-time interval join inside the correctness
       // gate: clicks join same-user views from the trailing 24 h. Both
       // sides are watermarked and the join carries the time bound, so
@@ -2034,6 +2051,146 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
           max(md5(col("text"))).as("max_md5"))
+    }),
+
+    "orc_roundtrip" -> ((s, dir) => {
+      // ORC source/sink (the OTHER columnar interchange format big
+      // warehouses hand over): documents -> write.orc -> read back ->
+      // aggregate fingerprint computed independently from parquet on
+      // the oracle side, so any value/encoding infidelity in the ORC
+      // path breaks the hash
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
+      tmp.toFile.deleteOnExit()
+      val docs = t(s, dir, "documents")
+      docs.write.mode("overwrite").orc(tmp.toString)
+      s.read.orc(tmp.toString).agg(
+        count(lit(1)).as("n"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(length(col("text"))).as("sum_len"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(md5(col("text"))).as("n_texts"),
+        max(md5(col("text"))).as("max_md5"))
+    }),
+
+    "sketch_hll" -> ((s, dir) =>
+      // HyperLogLog++ distinct-user counts per event type: the sketch
+      // is the 100 TB path (fixed-size mergeable registers, no
+      // distinct shuffle); the oracle pins the exact count and that
+      // the estimate sits inside the error band (sketch_quantile's
+      // in-band pattern) so estimator drift fails the hash
+      graft.pipeline.Sketches.hllDistinctBand(
+        events(s, dir), "event_type", "user_id")),
+
+    "sketch_topk" -> ((s, dir) => {
+      // exact heavy hitters, sketch-pruned: every third event
+      // collapses onto 5 hot users (deterministic plant, same
+      // arithmetic oracle-side), then per-partition Misra-Gries
+      // summaries nominate candidates and one broadcast semi-join
+      // confirms exact counts above total/k — the full-keyspace
+      // groupBy never happens
+      val keyed = events(s, dir).select(
+        when(col("event_id") % 3 === 0, col("user_id") % 5)
+          .otherwise(col("user_id")).as("uid"))
+      graft.pipeline.Sketches.heavyHitters(s, keyed, "uid", k = 64)
+    }),
+
+    "zorder_cluster" -> ((s, dir) => {
+      // Z-order (Morton) clustering for multi-dimensional file
+      // pruning: interleave the low 16 bits of two uncorrelated keys;
+      // cutting files along the curve gives every file a narrow
+      // min/max envelope on BOTH columns, so scans filtered on EITHER
+      // key skip most files — the layout Delta/Iceberg OPTIMIZE
+      // ZORDER produces, computed here as pure codegen'd bit
+      // arithmetic (identical expression on the oracle side)
+      val a = pmod(col("l_orderkey"), lit(65536L))
+      val b = pmod(col("l_partkey"), lit(65536L))
+      def bit(c: Column, i: Int): Column =
+        shiftright(c, i).bitwiseAND(lit(1L))
+      val morton = (0 until 16).map(i =>
+        shiftleft(bit(a, i), 2 * i + 1) + shiftleft(bit(b, i), 2 * i))
+        .reduce(_ + _)
+      t(s, dir, "lineitem")
+        .select(shiftright(morton, 22).as("zfile"),
+          col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("zfile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"),
+          min(col("l_partkey")).as("min_pk"),
+          max(col("l_partkey")).as("max_pk"))
+    }),
+
+    "join_bucketed" -> ((s, dir) => {
+      // bucketed co-located join: both sides written bucketBy the join
+      // key into a bucketed table, so the sort-merge join reads bucket
+      // files pairwise with ZERO Exchange on either side (plan-asserted
+      // in JoinsSpec) — the pre-shuffled layout that makes a repeated
+      // 100 TB fact-fact join pay its shuffle once at write time
+      val wh = java.nio.file.Files.createTempDirectory("graft_buckets")
+      wh.toFile.deleteOnExit()
+      s.sql("DROP TABLE IF EXISTS graft_b_li")
+      s.sql("DROP TABLE IF EXISTS graft_b_ord")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.format("parquet").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", s"$wh/li").mode("overwrite")
+        .saveAsTable("graft_b_li")
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        .write.format("parquet").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", s"$wh/ord").mode("overwrite")
+        .saveAsTable("graft_b_ord")
+      s.table("graft_b_li").join(s.table("graft_b_ord"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("rev"))
+    }),
+
+    "events_stream_session_window" -> ((s, dir) => withStreamShuffle(s, 8) {
+      // NATIVE session windows (vs events_stream_sessions' custom
+      // mapGroupsWithState machine): session_window merges events
+      // whose gaps stay under the threshold into one state-store
+      // window per session. Gap 1800001 ms makes the half-open window
+      // semantics split exactly where the batch oracle's `gap >
+      // 1800000` does, so sessions-per-user hash-matches the same
+      // gap-count oracle.
+      val ev = stagedEventsStream(s, dir)
+      val sess = ev.withWatermark("ts", "2 hours")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "1800001 milliseconds"))
+        .agg(count(lit(1)).as("n_events"))
+      val q = sess.writeStream.format("memory")
+        .queryName("events_stream_session_window").outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("events_stream_session_window")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_sessions"))
+    }),
+
+    "events_stream_dedup_wm" -> ((s, dir) => withStreamShuffle(s, 8) {
+      // BOUNDED-STATE streaming dedup: dropDuplicatesWithinWatermark
+      // evicts each key once the watermark passes its event time +
+      // delay — the production shape events_stream_dedup's unbounded
+      // dropDuplicates documents but does not exercise. The doubled
+      // drop arrives inside one AvailableNow batch (2 files <
+      // maxFilesPerTrigger), so every duplicate lands within the
+      // watermark window and the single-corpus oracle must hash-match.
+      val ev = stagedEventsStream(s, dir, copies = 2)
+      val deduped = ev.withWatermark("ts", "48 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+      val agg = deduped.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      val q = agg.writeStream.format("memory")
+        .queryName("events_stream_dedup_wm").outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("events_stream_dedup_wm")
     }),
 
     "multimodal_video" -> ((s, dir) => {
@@ -3531,6 +3688,73 @@ object SparkEntry {
                 CAST(sum(doc_id) AS BIGINT) AS sum_id,
                 max(md5(text)) AS max_md5
          FROM documents GROUP BY 1""",
+
+    // the ORC encode/decode roundtrip must preserve every field —
+    // computed independently from the parquet table on the oracle side
+    "orc_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(doc_id) AS BIGINT) AS sum_id,
+                CAST(sum(length(text)) AS BIGINT) AS sum_len,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts,
+                max(md5(text)) AS max_md5
+         FROM documents""",
+
+    // exact distinct count per group; the in-band flag pins the HLL
+    // estimate inside the 5% band (rsd 1% leaves wide margin)
+    "sketch_hll" ->
+      """SELECT event_type,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+                TRUE AS in_band
+         FROM events GROUP BY 1""",
+
+    // exact heavy hitters above total/k over the planted-skew key: the
+    // Misra-Gries candidate set is order-dependent but provably a
+    // superset, and the exact confirm pass makes the output identical
+    // to this full groupBy + HAVING
+    "sketch_topk" ->
+      """SELECT CASE WHEN event_id % 3 = 0 THEN user_id % 5
+                     ELSE user_id END AS uid,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY 1
+         HAVING count(*) > (SELECT count(*) FROM events) / 64.0""",
+
+    // identical Morton bit arithmetic on the oracle side: any
+    // interleave/shift slip in the codegen'd expression breaks the hash
+    "zorder_cluster" -> {
+      val morton = (0 until 16).map(i =>
+        s"((((l_orderkey % 65536) >> $i) & 1) << ${2 * i + 1})" +
+          s" + ((((l_partkey % 65536) >> $i) & 1) << ${2 * i})")
+        .mkString(" + ")
+      s"""SELECT CAST(($morton) >> 22 AS BIGINT) AS zfile,
+                 CAST(count(*) AS BIGINT) AS n,
+                 min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+                 min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+          FROM lineitem GROUP BY 1"""
+    },
+
+    // the bucketed-layout join must emit exactly the plain join
+    "join_bucketed" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+
+    // native session windows must converge to the batch gap-count
+    "events_stream_session_window" ->
+      """SELECT user_id,
+                CAST(1 + sum(CASE WHEN gap > 1800000 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_sessions
+         FROM (SELECT user_id,
+                      epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) AS gap
+               FROM events)
+         GROUP BY 1""",
+
+    // watermark-bounded dedup must fully cancel the double delivery
+    "events_stream_dedup_wm" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
+         FROM events GROUP BY 1""",
 
     // the AVI demux + JPEG frame decode must reproduce the closed-form
     // container parameters; frames_decoded = n_frames certifies every

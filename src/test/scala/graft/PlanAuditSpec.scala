@@ -296,4 +296,45 @@ class PlanAuditSpec extends SparkSpec {
     // and correctness is Spark's: the filter still runs above the scan
     assert(p.contains("Filter"), s"Spark must re-apply the filters:\n$p")
   }
+
+  test("bucketed join: the SMJ reads bucket files with zero Exchange") {
+    import org.apache.spark.sql.functions._
+    // own table names: QuerySurfaceSpec may run join_bucketed's tables
+    // concurrently in this shared session
+    val wh = java.nio.file.Files.createTempDirectory("plan_buckets")
+    wh.toFile.deleteOnExit()
+    spark.sql("DROP TABLE IF EXISTS plan_b_li")
+    spark.sql("DROP TABLE IF EXISTS plan_b_ord")
+    val dir = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .write.format("parquet").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey")
+      .option("path", s"$wh/li").mode("overwrite").saveAsTable("plan_b_li")
+    spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.format("parquet").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey")
+      .option("path", s"$wh/ord").mode("overwrite").saveAsTable("plan_b_ord")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("plan_b_li").join(spark.table("plan_b_ord"),
+        col("l_orderkey") === col("o_orderkey"))
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin"), s"expected an SMJ:\n$p")
+      // matching bucket count + key on both sides: the join's
+      // clustering requirement is satisfied straight from the scan, so
+      // NO Exchange appears anywhere in the plan — at 100 TB this is
+      // the fact-fact join whose shuffle was paid once at write time
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$p")
+      assert(joined.count() ==
+        spark.read.parquet(s"$dir/lineitem.parquet").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS plan_b_li")
+      spark.sql("DROP TABLE IF EXISTS plan_b_ord")
+    }
+  }
 }

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 3 hot keys x 1000 + 1000 tail keys x 10: N = 13000, so with
+    * k = 50 the threshold N/k = 260 admits exactly the hot keys. */
+  private def skewed = {
+    val hot = (0 until 3).flatMap(h => Seq.fill(1000)(9000L + h))
+    val tail = (0 until 1000).flatMap(t => Seq.fill(10)(t.toLong))
+    (hot ++ tail).toDF("key")
+  }
+
+  test("heavyHitters equals the exact groupBy + HAVING") {
+    val got = Sketches.heavyHitters(spark, skewed, "key", k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(9000L -> 1000L, 9001L -> 1000L, 9002L -> 1000L))
+  }
+
+  test("heavyHitters is partition-order independent") {
+    // the Misra-Gries CANDIDATE set varies with partition layout; the
+    // confirmed output must not. Adversarial layouts: hot keys packed
+    // into one partition, spread round-robin, and range-clustered.
+    val base = skewed
+    val layouts = Seq(
+      base.repartition(7),
+      base.repartition(3, col("key")),
+      base.orderBy(col("key")).coalesce(2),
+      base.orderBy(col("key").desc).repartition(13))
+    val expect = Map(9000L -> 1000L, 9001L -> 1000L, 9002L -> 1000L)
+    layouts.foreach { df =>
+      val got = Sketches.heavyHitters(spark, df, "key", k = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expect)
+    }
+  }
+
+  test("heavyHitters boundary: threshold is strictly greater-than") {
+    // 4 keys x 25 each, N = 100, k = 4 -> threshold 25; no key EXCEEDS
+    // 25, so the result is empty even though every key reaches it
+    val flat = (0 until 4).flatMap(k => Seq.fill(25)(k.toLong)).toDF("key")
+    assert(Sketches.heavyHitters(spark, flat, "key", k = 4).count() == 0)
+    // and one key nudged above the threshold is reported alone
+    val tipped = flat.union(Seq(2L).toDF("key"))
+    val got = Sketches.heavyHitters(spark, tipped, "key", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(2L -> 26L))
+  }
+
+  test("heavyHitters: k wider than the keyspace reports everything above N/k") {
+    val few = Seq(1L, 1L, 1L, 2L, 2L, 3L).toDF("key")
+    val got = Sketches.heavyHitters(spark, few, "key", k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // threshold 6/100 = 0.06 -> every key qualifies with exact counts
+    assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("heavyHitters on an empty frame is empty") {
+    assert(Sketches.heavyHitters(
+      spark, Seq.empty[Long].toDF("key"), "key", k = 8).count() == 0)
+  }
+
+  test("hllDistinctBand: exact counts with the estimate in band") {
+    val df = (0 until 5000).map(i => (s"g${i % 3}", (i % 700).toLong))
+      .toDF("grp", "uid")
+    val rows = Sketches.hllDistinctBand(df, "grp", "uid")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == 3)
+    // gcd(3, 700) = 1: within each residue class mod 3 every uid mod
+    // 700 occurs (5000 > 2 * lcm), so each group sees all 700 uids
+    rows.foreach { case (_, exact, inBand) =>
+      assert(exact == 700)
+      assert(inBand)
+    }
+  }
+}
