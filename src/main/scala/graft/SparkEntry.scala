@@ -107,17 +107,19 @@ object SparkEntry {
     * TIMESTAMP(MICROS) column would silently read raw micros and shear
     * every event-time 1000×), then `ts` is normalized to TimestampType
     * like the batch path. */
-  /** Run `body` (which starts and drains a streaming query) with the
-    * session's shuffle-partition count temporarily lowered. Stateful
-    * streaming fixes its STATE partition count from
+  /** Run `body` (which executes its query eagerly inside) with the
+    * session's shuffle-partition count temporarily lowered. Two users:
+    * (a) stateful streaming fixes its STATE partition count from
     * `spark.sql.shuffle.partitions` at first start, and every
     * micro-batch then writes a checkpoint delta per state store per
     * partition — a stream-stream join carries 4 stores/partition, so
     * 32 partitions is 128 checkpoint files per batch for a drop that
-    * fits in 8. On a real cluster the caller sizes this to the
-    * executor count; the value only shapes state layout, never
-    * results. */
-  private def withStreamShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
+    * fits in 8; (b) iterative jobs (label propagation) run ~10 shuffle
+    * stages over a frame whose per-partition slice at 32 ways is so
+    * small that task scheduling dominates. On a real cluster the
+    * caller sizes this to the executor count; the value only shapes
+    * parallelism, never results. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, n.toString)
@@ -844,7 +846,7 @@ object SparkEntry {
           round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 3), 4).as("j3"))
     }),
 
-    "dedup_clusters" -> ((s, dir) => {
+    "dedup_clusters" -> ((s, dir) => withShufflePartitions(s, 8) {
       // candidate pairs -> dedup clusters: connected components by
       // min-label propagation with pointer jumping (O(log diameter)
       // rounds). Edge fixture: chains linking consecutive line numbers
@@ -1015,7 +1017,7 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))),
 
-    "events_stream_hourly" -> ((s, dir) => withStreamShuffle(s, 8) {
+    "events_stream_hourly" -> ((s, dir) => withShufflePartitions(s, 8) {
       // the STREAMING path inside the correctness gate: file-source
       // readStream over the events drop dir -> watermark + tumbling
       // window -> memory sink, drained with Trigger.AvailableNow.
@@ -1059,7 +1061,7 @@ object SparkEntry {
           .cast("long").as("n_sessions"))
     }),
 
-    "events_stream_sessions" -> ((s, dir) => withStreamShuffle(s, 8) {
+    "events_stream_sessions" -> ((s, dir) => withShufflePartitions(s, 8) {
       // the STATEFUL streaming path inside the correctness gate:
       // mapGroupsWithState sessionization over the file-source stream,
       // update-mode memory sink drained with AvailableNow. The session
@@ -1078,7 +1080,7 @@ object SparkEntry {
         .agg(max(col("sessions")).cast("long").as("n_sessions"))
     }),
 
-    "events_stream_dedup" -> ((s, dir) => withStreamShuffle(s, 8) {
+    "events_stream_dedup" -> ((s, dir) => withShufflePartitions(s, 8) {
       // streaming EXACT dedup inside the correctness gate: the stream
       // is fed the SAME events file twice (two drops), so every event
       // arrives twice; dropDuplicates holds one state entry per
@@ -1100,7 +1102,7 @@ object SparkEntry {
       s.table("events_stream_dedup")
     }),
 
-    "events_stream_join" -> ((s, dir) => withStreamShuffle(s, 8) {
+    "events_stream_join" -> ((s, dir) => withShufflePartitions(s, 8) {
       // STREAM-STREAM event-time interval join inside the correctness
       // gate: clicks join same-user views from the trailing 24 h. Both
       // sides are watermarked and the join carries the time bound, so
@@ -2149,7 +2151,7 @@ object SparkEntry {
             .as("rev"))
     }),
 
-    "events_stream_session_window" -> ((s, dir) => withStreamShuffle(s, 8) {
+    "events_stream_session_window" -> ((s, dir) => withShufflePartitions(s, 8) {
       // NATIVE session windows (vs events_stream_sessions' custom
       // mapGroupsWithState machine): session_window merges events
       // whose gaps stay under the threshold into one state-store
@@ -2172,7 +2174,23 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_sessions"))
     }),
 
-    "events_stream_dedup_wm" -> ((s, dir) => withStreamShuffle(s, 8) {
+    "events_stream_session_log" -> ((s, dir) => withShufflePartitions(s, 8) {
+      // flatMapGroupsWithState: one row PER CLOSED SESSION (index,
+      // event count, duration) — the stateful emit-many shape. The
+      // oracle recomputes the closed-session log with batch window
+      // arithmetic and drops each user's final (still-open) session,
+      // which the stream must never have emitted.
+      val ev = stagedEventsStream(s, dir)
+      val log = graft.streaming.EventStream.sessionLog(s, ev)
+      val q = log.writeStream.format("memory")
+        .queryName("events_stream_session_log").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("events_stream_session_log")
+    }),
+
+    "events_stream_dedup_wm" -> ((s, dir) => withShufflePartitions(s, 8) {
       // BOUNDED-STATE streaming dedup: dropDuplicatesWithinWatermark
       // evicts each key once the watermark passes its event time +
       // delay — the production shape events_stream_dedup's unbounded
@@ -3750,6 +3768,31 @@ object SparkEntry {
                         PARTITION BY user_id ORDER BY ts, event_id) AS gap
                FROM events)
          GROUP BY 1""",
+
+    // the emitted closed-session log must equal the batch window
+    // arithmetic, with each user's final open session ABSENT
+    "events_stream_session_log" ->
+      """WITH brk AS (
+           SELECT user_id, epoch_ms(ts) AS em,
+                  CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                         PARTITION BY user_id ORDER BY ts) > 1800000
+                       THEN 1 ELSE 0 END AS b
+           FROM events),
+         sess AS (
+           SELECT user_id, em,
+                  sum(b) OVER (PARTITION BY user_id ORDER BY em
+                               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM brk),
+         agg AS (
+           SELECT user_id, sid,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(max(em) - min(em) AS BIGINT) AS duration_ms
+           FROM sess GROUP BY 1, 2)
+         SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+                n_events, duration_ms
+         FROM agg
+         WHERE sid < (SELECT max(sid) FROM agg a2
+                      WHERE a2.user_id = agg.user_id)""",
 
     // watermark-bounded dedup must fully cancel the double delivery
     "events_stream_dedup_wm" ->

@@ -268,19 +268,24 @@ object Dedup {
         least(col("id"), coalesce(col("nlbl"), col("id"))).as("label"))
       .localCheckpoint(true)
     var round = 0
-    var converged = false
-    // labels only ever DECREASE (min-propagation is monotone), so the
-    // label sum is a strictly decreasing convergence witness — one
-    // cheap aggregate per round instead of a change-detection join.
-    // decimal(38,0): a long sum can overflow (and ANSI mode throws)
-    // on billions of large vertex ids
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      // sum over an EMPTY frame is null — an empty vertex set must
-      // converge on round 1, not NPE in the comparison
-      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s
+    // convergence witness: min-propagation is at a fixpoint IFF every
+    // edge's endpoints carry the same label (uniform label per
+    // component = the component min, since labels are always ids of
+    // reachable vertices and the min vertex's own label can never
+    // exceed itself). Checking edges directly costs two equi-joins and
+    // an early-exit count — strictly cheaper than the one extra FULL
+    // propagation round a change-detection witness (label sum /
+    // changed-flag) needs to prove "nothing moved". An empty edge set
+    // is trivially agreed, so isolated-vertex inputs converge with
+    // zero rounds.
+    def edgesAgree(lbl: DataFrame): Boolean = {
+      val bySrc = lbl.select(col("id").as("src"), col("label").as("slbl"))
+      val byDst = lbl.select(col("id").as("dst"), col("label").as("dlbl"))
+      sym.join(bySrc, "src").join(byDst, "dst")
+        .filter(col("slbl") =!= col("dlbl"))
+        .limit(1).count() == 0L
     }
-    var prevSum = labelSum(labels)
+    var converged = edgesAgree(labels)
     while (!converged && round < maxRounds) {
       // neighborhood min: own label vs the min of neighbors' labels —
       // a left join + least() rather than a union+groupBy (fewer rows
@@ -303,11 +308,9 @@ object Dedup {
         .select(col("a.id"), col("b.label").as("label"))
       val t0 = System.nanoTime()
       val l2 = jump(jump(stepped)).localCheckpoint(true)
-      val curSum = labelSum(l2)
+      converged = edgesAgree(l2)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"[cc] round $round: ${(System.nanoTime() - t0) / 1e9}s sum=$curSum")
-      converged = curSum.compareTo(prevSum) == 0
-      prevSum = curSum
+        println(s"[cc] round $round: ${(System.nanoTime() - t0) / 1e9}s converged=$converged")
       labels = l2
       round += 1
     }

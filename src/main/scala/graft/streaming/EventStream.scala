@@ -79,6 +79,46 @@ object EventStream {
       }.toDF("userId", "sessions")
   }
 
+  /** Open-session state for flatMapGroupsWithState. */
+  final case class SessLogState(start: Long, last: Long, n: Long, idx: Long)
+  final case class ClosedSession(userId: Long, sessionIdx: Long,
+      nEvents: Long, durationMs: Long)
+
+  /** flatMapGroupsWithState sessionization that EMITS one row per
+    * CLOSED session (index, event count, duration) and keeps the open
+    * session in state — the multi-row-per-group stateful shape
+    * mapGroupsWithState cannot express (it must return exactly one row
+    * per group per batch). Append output: a session row is emitted
+    * exactly once, in the batch whose events closed it; the trailing
+    * open session stays in state and never emits, which is what the
+    * oracle checks (each user's last session is absent). */
+  def sessionLog(spark: SparkSession, events: DataFrame,
+      gapMillis: Long = 30 * 60 * 1000L): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id").as[Long](org.apache.spark.sql.Encoders.scalaLong),
+        unix_millis(col("ts")).as[Long](org.apache.spark.sql.Encoders.scalaLong))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessLogState, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[SessLogState]) =>
+          val ts = rows.map(_._2).toArray.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          var st = state.getOption.orNull
+          ts.foreach { t =>
+            if (st == null) st = SessLogState(t, t, 1, 0)
+            else if (t - st.last > gapMillis) {
+              out += ClosedSession(user, st.idx, st.n, st.last - st.start)
+              st = SessLogState(t, t, 1, st.idx + 1)
+            } else st = SessLogState(st.start, t, st.n + 1, st.idx)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }.toDF("user_id", "session_idx", "n_events", "duration_ms")
+  }
+
   /** Streaming exact dedup: emit each key's FIRST arrival, drop every
     * later duplicate — the streaming half of the corpus-dedup story
     * (an ingest pipeline replaying overlapping drops must not double

@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
@@ -51,6 +53,70 @@ class EventStreamSpec extends SparkSpec {
     val out = EventStream.sessionize(spark, df, gapMillis = 30 * 60 * 1000L)
       .as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("flatMapGroupsWithState session log: closed sessions emit once, open never") {
+    val dir = Files.createTempDirectory("graft_sesslog").toString
+    val t0 = 1700000000000L
+    def chunk(rows: Seq[(Long, Long)], off: Long): Unit =
+      rows.zipWithIndex.map { case ((u, t), i) =>
+        (off + i, new java.sql.Timestamp(t), u, "e", 0.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    // drop 1: user 7 bursts twice (closes one session inside the drop),
+    // user 8 bursts once
+    chunk(Seq((7L, t0), (7L, t0 + 60000), (7L, t0 + 7200000),
+      (8L, t0)), 0)
+    // drop 2: a later event for user 7 closes the second session; user
+    // 8's open session stays open (never emitted)
+    chunk(Seq((7L, t0 + 14400000)), 100)
+
+    val stream = EventStream.fileStream(spark, dir, maxFilesPerTrigger = 1)
+    val log = EventStream.sessionLog(spark, stream)
+    val q = log.writeStream.format("memory")
+      .queryName("sesslog_test").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("sesslog_test")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // session 0 of user 7 (2 events, 60s) closed by drop 1's third
+    // event; session 1 (1 event, 0 ms) closed by drop 2 — STATE
+    // crossed the batch boundary; user 8 has no closed session
+    assert(rows == Set((7L, 0L, 2L, 60000L), (7L, 1L, 1L, 0L)))
+  }
+
+  test("stateful streaming runs on the RocksDB state store provider") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("graft_rocks").toString
+      writeEventChunk(dir, 0, 20)
+      writeEventChunk(dir, 20, 20)
+      val stream = EventStream.fileStream(spark, dir, maxFilesPerTrigger = 1)
+      val agg = EventStream.dedupEvents(stream)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.format("memory")
+        .queryName("rocks_test").outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      // the provider really ran: RocksDB-specific metrics appear on the
+      // stateful operators of every progress event
+      val progressed = q.recentProgress.flatMap(_.stateOperators)
+      assert(progressed.exists(_.customMetrics.keySet.asScala
+        .exists(_.toLowerCase.contains("rocksdb"))),
+        "expected RocksDB state store metrics in query progress")
+      val n = spark.sql("SELECT sum(n) FROM rocks_test").as[Long].head()
+      assert(n == 40L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   test("stream-stream interval join equals the batch join") {
