@@ -19,8 +19,12 @@ import graft.functions.expressions.{MovingAvg, PolyHash}
  * or inject programmatically via `SparkSession.builder.withExtensions`.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // whole-operator extension: the native as-of join strategy
+    // (graft.plans.AsofJoin -> AsofJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -640,6 +640,27 @@ object SparkEntry {
           round(col("value"), 2).as("purch_value"))
     }),
 
+    "join_asof_native" -> ((s, dir) => {
+      // the SAME as-of semantics planned as the custom Catalyst
+      // operator (plans/AsofJoin: logical node + strategy + merge
+      // exec): each side shuffles its own unwidened rows, the
+      // per-partition pass is an O(1)-state two-iterator merge, and
+      // the identical DuckDB ASOF JOIN oracle pins parity with the
+      // union+window formulation above
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("value"))
+      graft.operators.Joins.asofNative(clicks, purchases, Seq("user_id"),
+        "ts", "ts", Seq("value"))
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          unix_millis(col("matched_ts")).as("pts_ms"),
+          round(col("value"), 2).as("purch_value"))
+    }),
+
     "join_range" -> ((s, dir) => {
       // interval join via bin quantization: price bands (width 950, NOT
       // aligned to the 400-wide bins) match orders by containment with
@@ -2515,6 +2536,17 @@ object SparkEntry {
          ORDER BY revenue DESC, c_custkey LIMIT 10""",
 
     "join_asof" ->
+      """SELECT c.user_id, c.event_id, epoch_ms(c.ts) AS ts_ms,
+                epoch_ms(p.ts) AS pts_ms, round(p.value, 2) AS purch_value
+         FROM (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'click') c
+         ASOF JOIN (SELECT user_id, ts, max(value) AS value FROM events
+                    WHERE event_type = 'purchase' GROUP BY 1, 2) p
+           ON c.user_id = p.user_id AND c.ts >= p.ts""",
+
+    // the custom Catalyst operator must emit exactly the window
+    // formulation's rows (same ASOF JOIN oracle as join_asof)
+    "join_asof_native" ->
       """SELECT c.user_id, c.event_id, epoch_ms(c.ts) AS ts_ms,
                 epoch_ms(p.ts) AS pts_ms, round(p.value, 2) AS purch_value
          FROM (SELECT user_id, ts, event_id FROM events

@@ -85,6 +85,49 @@ object Joins {
   }
 
   /**
+   * [[asof]] on the NATIVE physical operator
+   * ([[graft.plans.AsofJoinExec]]): same inner backward-as-of result
+   * shape and tie-break, planned as a custom Catalyst node instead of
+   * the union+window trick. Each side shuffles its own (unwidened)
+   * rows clustered by key, the per-partition pass is a two-iterator
+   * merge with O(1) state, and EnsureRequirements elides the exchange
+   * entirely when a side is already bucketed by the key — the
+   * repeated "events vs reference-table history" join at 100 TB.
+   * Parity with [[asof]] is spec-tested (JoinsSpec).
+   */
+  def asofNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      strict: Boolean = false): DataFrame = {
+    val spark = left.sparkSession
+    // idempotent per-session registration (also available through
+    // GraftExtensions for spark.sql.extensions users)
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    val leftCols = left.columns.toSeq
+    val matchedTime = s"matched_$rightTime"
+    // project the right side to unique names: (keys, time, payload) —
+    // this order IS the operator's equal-instant tie-break (its
+    // required right ordering appends the remaining columns), so the
+    // winner is the largest payload tuple, exactly like asof()
+    val r = right.select(
+      keys.map(c => col(c).as(s"__rk_$c")) ++
+        (col(rightTime).as("__rt") +: payload.map(col)): _*)
+    val lp = left.queryExecution.analyzed
+    val rp = r.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column $n"))
+    val node = graft.plans.AsofJoin(lp, rp,
+      keys.map(attr(lp, _)), keys.map(k => attr(rp, s"__rk_$k")),
+      attr(lp, leftTime), attr(rp, "__rt"), strict)
+    org.apache.spark.sql.graft.Bridge.ofRows(spark, node)
+      .withColumnRenamed("__rt", matchedTime)
+      .select((keys ++ leftCols.filterNot(keys.contains) ++
+        (matchedTime +: payload)).map(col): _*)
+  }
+
+  /**
    * Hot-key escape for [[asof]]. The plain formulation runs ONE
    * window pass per key group, so a single pathologically hot key
    * (one symbol carrying most of the stream) serializes into one

@@ -297,6 +297,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Filter"), s"Spark must re-apply the filters:\n$p")
   }
 
+  test("asofNative against a bucketed history side elides that Exchange") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the repeated 100 TB shape: a bucketed reference/history table
+    // as-of joined by a fresh event stream. The custom operator's
+    // ClusteredDistribution is satisfied straight from the bucketed
+    // scan, so ONLY the event side shuffles.
+    val wh = java.nio.file.Files.createTempDirectory("plan_asof_bucket")
+    wh.toFile.deleteOnExit()
+    spark.sql("DROP TABLE IF EXISTS plan_asof_hist")
+    (0 until 1000).map(i => ((i % 16).toLong, (i / 16).toLong, i * 1.5))
+      .toDF("__rk_k", "__rt", "px")
+      .write.format("parquet").bucketBy(4, "__rk_k")
+      .option("path", s"$wh/hist").mode("overwrite")
+      .saveAsTable("plan_asof_hist")
+    val hist = spark.table("plan_asof_hist")
+      .select(col("__rk_k").as("k"), col("__rt").as("t"), col("px"))
+    val events = (0 until 200).map(i => ((i % 16).toLong, 30L + i, i))
+      .toDF("k", "t", "tag")
+    try {
+      val df = graft.operators.Joins.asofNative(
+        events, hist, Seq("k"), "t", "t", Seq("px"))
+      val p = plan(df)
+      assert(p.contains("AsofJoin"), p)
+      assert("Exchange".r.findAllIn(p).size == 1,
+        s"only the unbucketed event side may shuffle:\n$p")
+      assert(df.count() == 200)
+    } finally spark.sql("DROP TABLE IF EXISTS plan_asof_hist")
+  }
+
   test("bucketed join: the SMJ reads bucket files with zero Exchange") {
     import org.apache.spark.sql.functions._
     // own table names: QuerySurfaceSpec may run join_bucketed's tables

@@ -40,6 +40,69 @@ class JoinsSpec extends SparkSpec {
     assert(out == Seq(105.0))
   }
 
+  test("asofNative: same fixtures as asof (inclusive, strict, ties)") {
+    val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 110.0), (2L, 5L, 50.0))
+      .toDF("k", "t", "px")
+    val trades = Seq((1L, 10L, "a"), (1L, 15L, "b"), (1L, 25L, "c"),
+      (2L, 4L, "d"), (3L, 9L, "e")).toDF("k", "t", "tag")
+    val out = Joins.asofNative(trades, quotes, Seq("k"), "t", "t", Seq("px"))
+      .select($"k", $"t", $"tag", $"matched_t", $"px")
+      .as[(Long, Long, String, Long, Double)].collect().toSet
+    assert(out == Set((1L, 10L, "a", 10L, 100.0), (1L, 15L, "b", 10L, 100.0),
+      (1L, 25L, "c", 20L, 110.0)))
+
+    val strictOut = Joins.asofNative(
+      Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "t", "tag"),
+      Seq((1L, 10L, 100.0), (1L, 20L, 110.0)).toDF("k", "t", "px"),
+      Seq("k"), "t", "t", Seq("px"), strict = true)
+      .select($"t", $"tag", $"matched_t").as[(Long, String, Long)]
+      .collect().toSet
+    assert(strictOut == Set((20L, "b", 10L)))
+
+    val tieOut = Joins.asofNative(
+      Seq((1L, 12L, "a")).toDF("k", "t", "tag"),
+      Seq((1L, 10L, 100.0), (1L, 10L, 105.0)).toDF("k", "t", "px"),
+      Seq("k"), "t", "t", Seq("px"))
+      .select($"px").as[Double].collect().toSeq
+    assert(tieOut == Seq(105.0))
+  }
+
+  test("asofNative: randomized parity with asof") {
+    val rnd = new scala.util.Random(7)
+    // duplicate (key, time) pairs on both sides, keys with no partner,
+    // payload ties at the same instant — every edge the window
+    // formulation resolves must resolve identically in the merge
+    val left = (0 until 600).map(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(60).toLong, i.toLong))
+      .toDF("k", "t", "tag")
+    val right = (0 until 400).map(_ =>
+      (rnd.nextInt(14).toLong, rnd.nextInt(60).toLong,
+        (rnd.nextInt(50) / 10.0)))
+      .toDF("k", "t", "px")
+    for (strict <- Seq(false, true)) {
+      val a = Joins.asof(left, right, Seq("k"), "t", "t", Seq("px"), strict)
+        .select($"k", $"t", $"tag", $"matched_t", $"px")
+        .as[(Long, Long, Long, Long, Double)].collect()
+      val b = Joins.asofNative(left, right, Seq("k"), "t", "t", Seq("px"),
+        strict)
+        .select($"k", $"t", $"tag", $"matched_t", $"px")
+        .as[(Long, Long, Long, Long, Double)].collect()
+      assert(a.length == b.length)
+      assert(a.toSet == b.toSet, s"strict=$strict")
+    }
+  }
+
+  test("asofNative plans the custom operator: no Window, no Union") {
+    val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 1.0)).toDF("k", "t", "px")
+    val df = Joins.asofNative(left, right, Seq("k"), "t", "t", Seq("px"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin"), s"expected the native exec node:\n$p")
+    assert(!p.contains("Window") && !p.contains("Union"),
+      s"the native plan must not fall back to union+window:\n$p")
+    assert(df.count() == 1)
+  }
+
   test("range join matches containment across bin boundaries, no dups") {
     // interval [5, 25) spans several width-4 bins; values on both
     // boundaries check half-open semantics
