@@ -976,6 +976,23 @@ object SparkEntry {
         batch1.unionByName(batch2).filter(col("query_id") >= 9001L))
     }),
 
+    "simsearch_ivf_persisted" -> ((s, dir) => {
+      // the index as a STORED TABLE: fit once, save partitioned by
+      // cell, load lazily, query — the probed-cell IN-filter prunes at
+      // partition-discovery time so only nProbe/nClusters of the files
+      // are read (plan-asserted in SimilaritySpec). Same planted-probe
+      // oracle as the in-memory variant.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf")
+      tmp.toFile.deleteOnExit()
+      val fitted = Similarity.buildIvfIndex(
+        plantedEmbeddings(s, dir), "vec_id", "embedding", nClusters = 16)
+      Similarity.saveIvfIndex(fitted, tmp.toString)
+      fitted.unpersist()
+      val index = Similarity.loadIvfIndex(s, tmp.toString)
+      annPlanted(s, dir,
+        Similarity.ivfTopK(index, Seq(9001L, 9002L, 9003L), 10, nProbe = 4))
+    }),
+
     "simsearch_ivfpq" -> ((s, dir) => {
       // IVF-PQ: the corpus index is (id, cell, m byte-codes) — 32×
       // smaller than raw vectors. ADC scores candidates with table
@@ -2195,6 +2212,32 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_sessions"))
     }),
 
+    "events_stream_sink" -> ((s, dir) => withShufflePartitions(s, 8) {
+      // transactional streaming FILE sink: stream -> stateless
+      // project/filter -> parquet sink with checkpoint. The sink's
+      // _spark_metadata log commits files atomically per batch
+      // (exactly-once on restart — spec-tested in EventStreamSpec);
+      // the readback aggregate must equal the batch oracle.
+      val out = java.nio.file.Files.createTempDirectory("graft_ssink")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ssink_ck")
+      out.toFile.deleteOnExit(); ckpt.toFile.deleteOnExit()
+      val ev = stagedEventsStream(s, dir)
+      val q = ev.filter(col("event_type").isin("click", "view", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out.toString)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("sv"))
+    }),
+
     "events_stream_session_log" -> ((s, dir) => withShufflePartitions(s, 8) {
       // flatMapGroupsWithState: one row PER CLOSED SESSION (index,
       // event count, duration) — the stateful emit-many shape. The
@@ -3160,6 +3203,7 @@ object SparkEntry {
 
     "simsearch_lsh" -> annOracle,
     "simsearch_ivf" -> annOracle,
+    "simsearch_ivf_persisted" -> annOracle,
     "simsearch_ivfpq" -> annOracle,
 
     // at tau=0.999 on 64-dim near-random vectors, ONLY the planted
@@ -3799,6 +3843,15 @@ object SparkEntry {
                       epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id) AS gap
                FROM events)
+         GROUP BY 1""",
+
+    // the transactional parquet sink's committed files must carry
+    // exactly the filtered stream rows
+    "events_stream_sink" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                round(sum(value), 2) AS sv
+         FROM events WHERE event_type IN ('click', 'view', 'purchase')
          GROUP BY 1""",
 
     // the emitted closed-session log must equal the batch window

@@ -259,17 +259,55 @@ object Similarity {
     import spark.implicits._
     val queryVecs = index.assigned.filter(col("id").isin(queryIds: _*))
       .select(col("id"), col("vec")).as[(Long, Seq[Double])].collect()
-    val probes = probeCells(index.centroids, queryVecs, nProbe)
-      .toDF("query_id", "cell")
+    val probePairs = probeCells(index.centroids, queryVecs, nProbe)
+    val probes = probePairs.toDF("query_id", "cell")
+    // the probed cell set is known driver-side, so push it as a STATIC
+    // IN-filter too: over a saved index (assignment partitioned by
+    // cell) this prunes at the FILE level before any row is read —
+    // the broadcast join alone would rely on runtime row filtering
+    val probedCells = probePairs.map(_._2).distinct
 
     val queries = index.assigned.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), col("vec").as("qvec"))
-    val cands = index.assigned.join(broadcast(probes), Seq("cell"))
+    val cands = index.assigned
+      .filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(probes), Seq("cell"))
       .join(broadcast(queries), Seq("query_id"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("qvec"), col("id").as("nn_id"),
         col("vec").as("nvec"))
     topK(cands.withColumn("score", cosine(col("qvec"), col("nvec"))), k)
+  }
+
+  /** Persist a fitted IVF index: the assignment table PARTITIONED BY
+    * CELL (an nProbe query over the loaded index then reads only the
+    * probed cells' files — the static IN-filter in [[ivfTopK]] prunes
+    * at partition-discovery time) plus a tiny centroid sidecar. This
+    * is the production shape: the k-means fit is a batch job, the
+    * index a stored table queried by many later batches. */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    index.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a saved IVF index. The assignment stays a lazy scan over the
+    * cell-partitioned files — deliberately NOT persisted: pruned disk
+    * reads of a few cells are the point at scale. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .select(col("id"), col("vec"), col("cell"))
+    IvfIndex(centroids, assigned)
   }
 
   /** Convenience form fitting a throwaway index — correctness tests and

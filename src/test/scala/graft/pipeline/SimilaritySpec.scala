@@ -248,6 +248,32 @@ class SimilaritySpec extends SparkSpec {
     assert(planted == n, s"$planted of $n planted duplicates detected")
   }
 
+  test("saved IVF index: load parity and file-level partition pruning") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val fitted = Similarity.buildIvfIndex(e, "vec_id", "embedding",
+      nClusters = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_save").toString
+    Similarity.saveIvfIndex(fitted, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    // same centroids -> same probes -> identical results
+    val qids = Seq(1L, 2L, 3L)
+    val a = Similarity.ivfTopK(fitted, qids, 5, nProbe = 2)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val b = Similarity.ivfTopK(loaded, qids, 5, nProbe = 2)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    fitted.unpersist()
+    assert(a == b)
+    // the probed-cell IN-filter must reach the scan as a PARTITION
+    // filter over the cell-partitioned files (pruned before any row
+    // is read — the saved-index scale path)
+    val p = Similarity.ivfTopK(loaded, qids, 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"expected cell partition pruning in:\n$p")
+  }
+
   test("semanticDedup plan: cell-key join, never a cartesian") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

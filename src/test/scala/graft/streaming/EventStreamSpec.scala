@@ -86,6 +86,33 @@ class EventStreamSpec extends SparkSpec {
     assert(rows == Set((7L, 0L, 2L, 60000L), (7L, 1L, 1L, 0L)))
   }
 
+  test("parquet sink restart resumes exactly-once from the checkpoint") {
+    val src = Files.createTempDirectory("graft_sink_src").toString
+    val out = Files.createTempDirectory("graft_sink_out").toString
+    val ckpt = Files.createTempDirectory("graft_sink_ck").toString
+    writeEventChunk(src, 0, 10)
+    writeEventChunk(src, 10, 10)
+    def drain(): Unit = {
+      val q = EventStream.fileStream(spark, src, maxFilesPerTrigger = 1)
+        .select(col("event_id"), col("event_type"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    drain() // run 1 commits the first two drops
+    assert(spark.read.parquet(out).count() == 20)
+    writeEventChunk(src, 20, 10)
+    drain() // the restart must process ONLY the unseen drop: the file
+    // source's checkpointed log skips the first two, and the sink's
+    // _spark_metadata keeps their output committed exactly once
+    val ids = spark.read.parquet(out).select("event_id")
+      .as[Long].collect().sorted
+    assert(ids.length == 30 && ids.toSet.size == 30)
+    assert(ids.head == 0L && ids.last == 29L)
+  }
+
   test("stateful streaming runs on the RocksDB state store provider") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
