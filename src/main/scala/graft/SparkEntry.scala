@@ -714,6 +714,53 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    "grouping_cube" -> ((s, dir) => {
+      // full CUBE over (returnflag, linestatus) with GROUPING markers:
+      // the markers disambiguate "subtotal NULL" from a genuine NULL
+      // key — the reference's hierarchy rollups need exactly this to
+      // label aggregation levels
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))
+    }),
+
+    "pivot_priority" -> ((s, dir) => {
+      // pivot: order counts per year x priority as a wide table (the
+      // explicit value list keeps the output schema static — the only
+      // sane shape at scale; an inferred pivot would scan twice).
+      // Absent cells fill 0 to match the oracle's FILTER counts.
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"))
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    "csv_roundtrip" -> ((s, dir) => {
+      // CSV source/sink (quoted/escaped, header): documents -> csv ->
+      // read back with explicit schema -> aggregate fingerprint vs the
+      // parquet-side oracle (any quote/escape infidelity, e.g. commas
+      // inside text, breaks the hash)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
+      tmp.toFile.deleteOnExit()
+      val docs = t(s, dir, "documents")
+      docs.write.mode("overwrite").option("header", "true")
+        .option("escape", "\"").csv(tmp.toString)
+      s.read.schema(docs.schema).option("header", "true")
+        .option("escape", "\"").csv(tmp.toString)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(length(col("text"))).as("sum_len"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(md5(col("text"))).as("n_texts"),
+          max(md5(col("text"))).as("max_md5"))
+    }),
+
     "window_lead" -> ((s, dir) => {
       // lead/lag: next order's totalprice per customer
       val w = Window.partitionBy(col("o_custkey"))
@@ -2110,6 +2157,25 @@ object SparkEntry {
         countDistinct(col("lang")).as("n_langs"),
         countDistinct(md5(col("text"))).as("n_texts"),
         max(md5(col("text"))).as("max_md5"))
+    }),
+
+    "avro_roundtrip" -> ((s, dir) => {
+      // Avro object-container source/sink built on the avro CORE lib
+      // (no spark-avro module needed): documents -> one deflate
+      // container per partition -> parallel readback -> aggregate
+      // fingerprint vs the parquet-side oracle
+      val tmp = java.nio.file.Files.createTempDirectory("graft_avro")
+      tmp.toFile.deleteOnExit()
+      val docs = t(s, dir, "documents")
+      graft.sources.AvroIO.write(docs, tmp.toString)
+      graft.sources.AvroIO.read(s, tmp.toString, docs.schema)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(length(col("text"))).as("sum_len"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(md5(col("text"))).as("n_texts"),
+          max(md5(col("text"))).as("max_md5"))
     }),
 
     "sketch_hll" -> ((s, dir) =>
@@ -3782,6 +3848,47 @@ object SparkEntry {
                 CAST(sum(doc_id) AS BIGINT) AS sum_id,
                 max(md5(text)) AS max_md5
          FROM documents GROUP BY 1""",
+
+    // CUBE with GROUPING markers must match DuckDB's lattice exactly
+    "grouping_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+                CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+
+    // the static-schema pivot equals per-priority FILTER counts
+    "pivot_priority" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+                CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS "1-URGENT",
+                CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS "2-HIGH",
+                CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS "3-MEDIUM",
+                CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS "4-NOT SPECIFIED",
+                CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS "5-LOW"
+         FROM orders GROUP BY 1""",
+
+    // the CSV quote/escape roundtrip must preserve every field —
+    // computed independently from the parquet table on the oracle side
+    "csv_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(doc_id) AS BIGINT) AS sum_id,
+                CAST(sum(length(text)) AS BIGINT) AS sum_len,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts,
+                max(md5(text)) AS max_md5
+         FROM documents""",
+
+    // the Avro container encode/decode roundtrip must preserve every
+    // field — computed independently from parquet on the oracle side
+    "avro_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(doc_id) AS BIGINT) AS sum_id,
+                CAST(sum(length(text)) AS BIGINT) AS sum_len,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts,
+                max(md5(text)) AS max_md5
+         FROM documents""",
 
     // the ORC encode/decode roundtrip must preserve every field —
     // computed independently from the parquet table on the oracle side
