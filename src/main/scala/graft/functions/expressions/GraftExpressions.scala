@@ -41,6 +41,13 @@ object GraftExpressions {
     ColumnBridge.column(PolyHash(
       ColumnBridge.expression(s.cast("string"))))
 
+  /** Fused one-pass cosine similarity of two numeric array columns
+    * (cast to array<double>; float widening is exact). */
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(
+      ColumnBridge.expression(a.cast("array<double>")),
+      ColumnBridge.expression(b.cast("array<double>"))))
+
   /** Cumulative scan (sum/max/min/mul) over an array<double> column in
     * one O(n) pass — the HOF formulation is O(n^2) (per-element slice
     * + aggregate, or array-accumulator concat copying). */
@@ -155,6 +162,73 @@ case class HistogramBins(child: Expression, nbins: Int, lo: Double, hi: Double)
 /** One-pass Pearson correlation over paired cells; pairs up to the
   * shorter cell (zip_with semantics would null-pad — the engine only
   * feeds equal-length cells). */
+/** Cosine similarity of two array&lt;double&gt; in ONE fused pass: dot
+  * product and both norms accumulate in the same loop with zero
+  * intermediate arrays. The HOF formulation (`aggregate(zip_with(...))`
+  * three times over) materializes three zipped arrays per row pair —
+  * on the ANN rerank paths that is the inner loop over every candidate.
+  * Length-mismatched inputs return null (`zip_with` null-pads, which
+  * nulls the HOF dot — same observable result); a zero norm yields NaN
+  * where the composed form's division THROWS under ANSI mode — the
+  * native expression is total. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim expects two array<double>, got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cosine_sim"
+
+  override def nullSafeEval(xs: Any, ys: Any): Any = {
+    val x = xs.asInstanceOf[ArrayData]
+    val y = ys.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val a = x.getDouble(i); val b = y.getDouble(i)
+        dot += a * b; nx += a * a; ny += b * b
+        i += 1
+      }
+      java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xs, ys) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val a = ctx.freshName("a"); val b = ctx.freshName("b")
+      s"""
+        if ($xs.numElements() != $ys.numElements()) { ${ev.isNull} = true; }
+        else {
+          final int $n = $xs.numElements();
+          double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            final double $a = $xs.getDouble($i);
+            final double $b = $ys.getDouble($i);
+            $dot += $a * $b; $nx += $a * $a; $ny += $b * $b;
+          }
+          ${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
 case class CorrArrays(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -19,9 +19,17 @@ import org.apache.spark.sql.expressions.Window
  */
 object Similarity {
 
-  /** Cosine similarity between two array columns, computed in double.
-    * `zip_with` dot product + norms — executor-local, codegen'd HOFs. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity between two array columns, computed in double —
+    * the native one-pass expression (dot + both norms in one fused
+    * loop, zero intermediate arrays; this is the inner loop of every
+    * ANN rerank and the semantic-dedup verify). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.GraftExpressions.cosine_sim(a, b)
+
+  /** The composed-HOF reference formulation (three
+    * `aggregate(zip_with(...))` passes) — kept as the parity oracle
+    * for the native expression (SimilaritySpec). */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       F.aggregate(zip_with(x, y, (p, q) =>
         p.cast("double") * q.cast("double")),

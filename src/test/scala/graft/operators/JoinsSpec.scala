@@ -92,6 +92,34 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("asofNative: parity holds across seeds and input layouts") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val left = (0 until 200).map(i =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(40).toLong, i.toLong))
+        .toDF("k", "t", "tag")
+      val right = (0 until 150).map(_ =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(40).toLong,
+          rnd.nextInt(30).toDouble)).toDF("k", "t", "px")
+      val expect = Joins.asof(left, right, Seq("k"), "t", "t", Seq("px"))
+        .select($"k", $"t", $"tag", $"matched_t", $"px")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      // pathological input layouts: single partition, many small,
+      // pre-sorted descending — the operator re-establishes its own
+      // distribution + ordering, so none of these may change output
+      val layouts = Seq(
+        (left.coalesce(1), right.repartition(9)),
+        (left.repartition(11), right.coalesce(1)),
+        (left.orderBy($"t".desc), right.orderBy($"k".desc, $"t".desc)))
+      layouts.foreach { case (l, r) =>
+        val got = Joins.asofNative(l, r, Seq("k"), "t", "t", Seq("px"))
+          .select($"k", $"t", $"tag", $"matched_t", $"px")
+          .as[(Long, Long, Long, Long, Double)].collect().toSet
+        assert(got == expect, s"seed=$seed")
+      }
+    }
+  }
+
   test("asofNative plans the custom operator: no Window, no Union") {
     val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
     val right = Seq((1L, 5L, 1.0)).toDF("k", "t", "px")

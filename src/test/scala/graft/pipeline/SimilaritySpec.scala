@@ -248,6 +248,42 @@ class SimilaritySpec extends SparkSpec {
     assert(planted == n, s"$planted of $n planted duplicates detected")
   }
 
+  test("native cosine expression: bitwise parity with the HOF formulation") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextDouble() - 0.5),
+        Seq.fill(16)(rnd.nextDouble() - 0.5))
+    } ++ Seq(
+      (101L, Seq.fill(8)(1.0), Seq.fill(16)(1.0))) // length mismatch -> null
+    val df = vecs.toDF("id", "a", "b")
+      .select(col("id"),
+        Similarity.cosine(col("a"), col("b")).as("nat"),
+        Similarity.cosineHof(col("a"), col("b")).as("hof"))
+    df.collect().foreach { r =>
+      val (n, h) = (r.isNullAt(1), r.isNullAt(2))
+      assert(n == h, s"null mismatch for id ${r.getLong(0)}")
+      if (!n) {
+        // bitwise: accumulation order is identical left-to-right
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(2)),
+          s"id ${r.getLong(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+      }
+    }
+    // zero-norm input: the native form is TOTAL (NaN), where the HOF
+    // division THROWS under ANSI mode — strictly more robust
+    val z = Seq((1L, Seq.fill(4)(0.0), Seq.fill(4)(1.0))).toDF("id", "a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("nat")).head()
+    assert(z.getDouble(0).isNaN)
+    // float arrays widen exactly
+    val fv = Seq((1L, Seq(1.0f, 2.0f, 3.0f), Seq(3.0f, 2.0f, 1.0f)))
+      .toDF("id", "a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("nat"),
+        Similarity.cosineHof(col("a"), col("b")).as("hof"))
+      .head()
+    assert(fv.getDouble(0) == fv.getDouble(1))
+  }
+
   test("saved IVF index: load parity and file-level partition pruning") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
