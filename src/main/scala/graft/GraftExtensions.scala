@@ -51,6 +51,15 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_poly_hash(str)")
         PolyHash(args.head)
+      }),
+    (
+      FunctionIdentifier("graft_cosine_sim"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.CosineSim].getName,
+        "graft_cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_cosine_sim(arr, arr)")
+        graft.functions.expressions.CosineSim(args(0), args(1))
       }))
 
   /** Register into an EXISTING session (getOrCreate ignores

@@ -75,15 +75,26 @@ object Sketches {
   def heavyHitters(spark: SparkSession, df: DataFrame, keyCol: String,
       k: Int): DataFrame = {
     import spark.implicits._
-    val keys: Dataset[Long] = df.select(col(keyCol).cast("long")).as[Long]
+    val all = df.select(col(keyCol).cast("long").as(keyCol))
+    // null keys can't flow through the primitive-long sketch, but a
+    // null group CAN be a heavy hitter (a groupBy would report it) —
+    // count it exactly in the same pass as the total and append
+    val counts = all.agg(count(lit(1)).as("__n"),
+      sum(col(keyCol).isNull.cast("long")).as("__nulls")).head
+    val total = counts.getLong(0)
+    val nullCnt = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+    val keys: Dataset[Long] = all.filter(col(keyCol).isNotNull).as[Long]
     val cands = keys.mapPartitions(it => misraGries(it, k))
       .toDF(keyCol).distinct()
-    val total = keys.count()
-    df.select(col(keyCol).cast("long").as(keyCol))
+    val hot = all.filter(col(keyCol).isNotNull)
       .join(broadcast(cands), keyCol)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > total.toDouble / k)
+    if (nullCnt > total.toDouble / k)
+      hot.unionByName(spark.sql(s"SELECT CAST(NULL AS BIGINT) AS `$keyCol`, " +
+        s"CAST($nullCnt AS BIGINT) AS cnt"))
+    else hot
   }
 
   /** Approximate distinct count (HyperLogLog++) per group, with the

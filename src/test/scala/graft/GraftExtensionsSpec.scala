@@ -29,4 +29,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     intercept[Exception](
       spark.sql("SELECT graft_moving_avg(array(1.0))").collect())
   }
+
+  test("graft_cosine_sim callable from SQL") {
+    import spark.implicits._
+    Seq((Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0)))
+      .toDF("a", "b", "c").createOrReplaceTempView("cos_t")
+    val out = spark.sql(
+      """SELECT graft_cosine_sim(a, b) AS same,
+                graft_cosine_sim(a, c) AS orth FROM cos_t""")
+      .as[(Double, Double)].head()
+    assert(math.abs(out._1 - 1.0) < 1e-12 && math.abs(out._2) < 1e-12)
+  }
 }

@@ -120,6 +120,19 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("asofNative: string keys and timestamp times") {
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val quotes = Seq(("aa", ts(10), 1.0), ("aa", ts(20), 2.0),
+      ("bb", ts(5), 3.0)).toDF("sym", "t", "px")
+    val trades = Seq(("aa", ts(15), 1L), ("aa", ts(25), 2L),
+      ("bb", ts(4), 3L), ("cc", ts(9), 4L)).toDF("sym", "t", "tid")
+    val out = Joins.asofNative(trades, quotes, Seq("sym"), "t", "t",
+      Seq("px"))
+      .select($"sym", $"tid", $"px").as[(String, Long, Double)]
+      .collect().toSet
+    assert(out == Set(("aa", 1L, 1.0), ("aa", 2L, 2.0)))
+  }
+
   test("asofNative plans the custom operator: no Window, no Union") {
     val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
     val right = Seq((1L, 5L, 1.0)).toDF("k", "t", "px")

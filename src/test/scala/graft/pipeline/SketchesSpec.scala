@@ -58,6 +58,16 @@ class SketchesSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("heavyHitters reports a heavy NULL group exactly") {
+    val df = (Seq.fill(60)(Option.empty[Long]) ++
+      (0 until 40).map(i => Some(i.toLong))).toDF("key")
+    val got = Sketches.heavyHitters(spark, df, "key", k = 4)
+      .collect().map(r =>
+        (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1)).toMap
+    // N = 100, threshold 25: only the 60-row null group qualifies
+    assert(got == Map(-1L -> 60L))
+  }
+
   test("heavyHitters on an empty frame is empty") {
     assert(Sketches.heavyHitters(
       spark, Seq.empty[Long].toDF("key"), "key", k = 8).count() == 0)
