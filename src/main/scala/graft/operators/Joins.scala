@@ -106,6 +106,16 @@ object Joins {
         spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
     val leftCols = left.columns.toSeq
     val matchedTime = s"matched_$rightTime"
+    // non-orderable payloads (maps) would silently fall out of the
+    // operator's tie-break ordering, making equal-instant winners
+    // nondeterministic — reject loudly instead
+    payload.foreach { p =>
+      require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(right.schema(p).dataType),
+        s"asofNative payload '$p' has non-orderable type " +
+          s"${right.schema(p).dataType}; equal-instant ties would be " +
+          "nondeterministic")
+    }
     // project the right side to unique names: (keys, time, payload) —
     // this order IS the operator's equal-instant tie-break (its
     // required right ordering appends the remaining columns), so the

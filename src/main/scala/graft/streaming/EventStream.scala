@@ -72,7 +72,9 @@ object EventStream {
           sortedTs.foreach { t =>
             if (st.lastTsMillis == Long.MinValue || t - st.lastTsMillis > gapMillis)
               st = SessionState(st.sessionCount + 1, t)
-            else st = st.copy(lastTsMillis = t)
+            // max: a cross-batch late event inside the gap must not
+            // rewind the session clock (in-batch rows are sorted)
+            else st = st.copy(lastTsMillis = math.max(st.lastTsMillis, t))
           }
           state.update(st)
           SessionUpdate(user, st.sessionCount)
@@ -91,7 +93,15 @@ object EventStream {
     * per group per batch). Append output: a session row is emitted
     * exactly once, in the batch whose events closed it; the trailing
     * open session stays in state and never emits, which is what the
-    * oracle checks (each user's last session is absent). */
+    * oracle checks (each user's last session is absent).
+    *
+    * Cross-batch contract: sessions close on the arrival order of
+    * batches (the file-drop replay shape). A late event landing INSIDE
+    * the open session's gap folds in without rewinding the session
+    * clock (last = max); one landing after a session already closed
+    * starts a new session — re-opening emitted rows is impossible in
+    * append mode, which is the standard log-structured-assembler
+    * trade-off. */
   def sessionLog(spark: SparkSession, events: DataFrame,
       gapMillis: Long = 30 * 60 * 1000L): DataFrame = {
     import spark.implicits._
@@ -112,7 +122,8 @@ object EventStream {
             else if (t - st.last > gapMillis) {
               out += ClosedSession(user, st.idx, st.n, st.last - st.start)
               st = SessLogState(t, t, 1, st.idx + 1)
-            } else st = SessLogState(st.start, t, st.n + 1, st.idx)
+            } else st = SessLogState(st.start, math.max(st.last, t),
+              st.n + 1, st.idx)
           }
           if (st != null) state.update(st)
           out.iterator
