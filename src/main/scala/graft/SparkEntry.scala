@@ -2278,6 +2278,34 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_sessions"))
     }),
 
+    "events_stream_pipeline" -> ((s, dir) => withShufflePartitions(s, 8) {
+      // the composed STREAMING ingest pipeline (the streaming analog of
+      // pipeline_corpus): doubled drop -> watermark-bounded exact dedup
+      // -> quality gate (stateless filter) -> transactional parquet
+      // sink -> readback aggregate. Every stage is the production
+      // bounded-state shape; the single-corpus batch oracle must match.
+      val out = java.nio.file.Files.createTempDirectory("graft_spipe")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_spipe_ck")
+      out.toFile.deleteOnExit(); ckpt.toFile.deleteOnExit()
+      val ev = stagedEventsStream(s, dir, copies = 2)
+      val q = ev.withWatermark("ts", "48 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .filter(col("event_type").isin("click", "purchase") &&
+          col("value") > 10.0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out.toString)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+          round(sum(col("value")), 2).as("sv"))
+    }),
+
     "events_stream_sink" -> ((s, dir) => withShufflePartitions(s, 8) {
       // transactional streaming FILE sink: stream -> stateless
       // project/filter -> parquet sink with checkpoint. The sink's
@@ -3950,6 +3978,16 @@ object SparkEntry {
                       epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id) AS gap
                FROM events)
+         GROUP BY 1""",
+
+    // dedup must fully cancel the doubled drop BEFORE the gate, and
+    // the sink must commit exactly the gated rows
+    "events_stream_pipeline" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(event_id) AS BIGINT) AS sum_id,
+                round(sum(value), 2) AS sv
+         FROM events
+         WHERE event_type IN ('click', 'purchase') AND value > 10.0
          GROUP BY 1""",
 
     // the transactional parquet sink's committed files must carry

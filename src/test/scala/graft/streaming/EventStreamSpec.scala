@@ -86,6 +86,32 @@ class EventStreamSpec extends SparkSpec {
     assert(rows == Set((7L, 0L, 2L, 60000L), (7L, 1L, 1L, 0L)))
   }
 
+  test("session log: a late in-gap event from a later batch folds in without splitting") {
+    val dir = Files.createTempDirectory("graft_late").toString
+    val t0 = 1700000000000L
+    def chunk(rows: Seq[(Long, Long)], off: Long): Unit =
+      rows.zipWithIndex.map { case ((u, t), i) =>
+        (off + i, new java.sql.Timestamp(t), u, "e", 0.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    // batch 1: two events 20 min apart (one open session, clock at +20m)
+    chunk(Seq((5L, t0), (5L, t0 + 1200000)), 0)
+    // batch 2: a LATE event at +10m (inside the gap) and an on-time
+    // event at +45m. Without the max() clock, the late event rewinds
+    // last to +10m and +45m falsely splits (35m > 30m gap); with it,
+    // +45m is 25m after +20m -> still ONE open session, nothing emits
+    chunk(Seq((5L, t0 + 600000), (5L, t0 + 2700000)), 100)
+    val stream = EventStream.fileStream(spark, dir, maxFilesPerTrigger = 1)
+    val q = EventStream.sessionLog(spark, stream)
+      .writeStream.format("memory")
+      .queryName("late_sesslog").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.table("late_sesslog").count() == 0,
+      "the late in-gap event must not split the open session")
+  }
+
   test("parquet sink restart resumes exactly-once from the checkpoint") {
     val src = Files.createTempDirectory("graft_sink_src").toString
     val out = Files.createTempDirectory("graft_sink_out").toString
