@@ -2278,6 +2278,28 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_sessions"))
     }),
 
+    "events_stream_enrich" -> ((s, dir) => withShufflePartitions(s, 8) {
+      // STREAM-STATIC join (the remaining join shape): the stream
+      // enriches each event with a batch-computed per-user history
+      // table (broadcast — no stream-side shuffle, no state store) and
+      // gates on it. The history side is exact integers so the gate
+      // has no floating-point boundary; the batch self-join oracle
+      // must hash-match.
+      val hist = events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_hist"))
+      val ev = stagedEventsStream(s, dir)
+      val joined = ev.join(broadcast(hist), Seq("user_id"))
+        .filter(col("n_hist") >= 60)
+      val agg = joined.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      val q = agg.writeStream.format("memory")
+        .queryName("events_stream_enrich").outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("events_stream_enrich")
+    }),
+
     "events_stream_pipeline" -> ((s, dir) => withShufflePartitions(s, 8) {
       // the composed STREAMING ingest pipeline (the streaming analog of
       // pipeline_corpus): doubled drop -> watermark-bounded exact dedup
@@ -3978,6 +4000,16 @@ object SparkEntry {
                       epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id) AS gap
                FROM events)
+         GROUP BY 1""",
+
+    // the stream-static enrichment must equal the batch self-join
+    "events_stream_enrich" ->
+      """WITH h AS (SELECT user_id, count(*) AS n_hist
+                    FROM events GROUP BY 1)
+         SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+                round(sum(e.value), 2) AS sv
+         FROM events e JOIN h USING (user_id)
+         WHERE h.n_hist >= 60
          GROUP BY 1""",
 
     // dedup must fully cancel the doubled drop BEFORE the gate, and
