@@ -327,6 +327,41 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS plan_asof_hist")
   }
 
+  test("asofNative with BOTH sides bucketed: zero Exchange end to end") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("plan_asof_both")
+    wh.toFile.deleteOnExit()
+    spark.sql("DROP TABLE IF EXISTS plan_ab_ev")
+    spark.sql("DROP TABLE IF EXISTS plan_ab_hist")
+    (0 until 300).map(i => ((i % 8).toLong, 40L + i, i.toLong))
+      .toDF("k", "t", "tag")
+      .write.format("parquet").bucketBy(4, "k")
+      .option("path", s"$wh/ev").mode("overwrite").saveAsTable("plan_ab_ev")
+    (0 until 800).map(i => ((i % 8).toLong, (i / 8).toLong, i * 0.5))
+      .toDF("__rk_k", "__rt", "px")
+      .write.format("parquet").bucketBy(4, "__rk_k")
+      .option("path", s"$wh/hist").mode("overwrite")
+      .saveAsTable("plan_ab_hist")
+    val hist = spark.table("plan_ab_hist")
+      .select(col("__rk_k").as("k"), col("__rt").as("t"), col("px"))
+    try {
+      val df = graft.operators.Joins.asofNative(
+        spark.table("plan_ab_ev"), hist, Seq("k"), "t", "t", Seq("px"))
+      val p = plan(df)
+      assert(p.contains("AsofJoin"), p)
+      // both clustering requirements satisfied straight from bucketed
+      // scans: the as-of join runs with NO shuffle anywhere — the
+      // repeated event-vs-history join at 100 TB costs only its sorts
+      assert(!p.contains("Exchange"),
+        s"fully bucketed as-of must not shuffle at all:\n$p")
+      assert(df.count() == 300)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS plan_ab_ev")
+      spark.sql("DROP TABLE IF EXISTS plan_ab_hist")
+    }
+  }
+
   test("bucketed join: the SMJ reads bucket files with zero Exchange") {
     import org.apache.spark.sql.functions._
     // own table names: QuerySurfaceSpec may run join_bucketed's tables

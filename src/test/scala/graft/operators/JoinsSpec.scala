@@ -133,6 +133,30 @@ class JoinsSpec extends SparkSpec {
     assert(out == Set(("aa", 1L, 1.0), ("aa", 2L, 2.0)))
   }
 
+  test("asofNative: AQE partition coalescing keeps both sides aligned") {
+    // many tiny shuffle partitions force AQE's coalescer to act; the
+    // custom node's two exchanges must stay co-partitioned through the
+    // rewrite or zipPartitions throws a partition-count mismatch
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val rnd = new scala.util.Random(3)
+      val left = (0 until 400).map(i =>
+        (rnd.nextInt(10).toLong, rnd.nextInt(50).toLong, i.toLong))
+        .toDF("k", "t", "tag")
+      val right = (0 until 300).map(_ =>
+        (rnd.nextInt(10).toLong, rnd.nextInt(50).toLong,
+          rnd.nextInt(20).toDouble)).toDF("k", "t", "px")
+      val a = Joins.asof(left, right, Seq("k"), "t", "t", Seq("px"))
+        .select($"k", $"t", $"tag", $"px")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val b = Joins.asofNative(left, right, Seq("k"), "t", "t", Seq("px"))
+        .select($"k", $"t", $"tag", $"px")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("asofNative plans the custom operator: no Window, no Union") {
     val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
     val right = Seq((1L, 5L, 1.0)).toDF("k", "t", "px")
