@@ -31,4 +31,8 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(failures.isEmpty,
       failures.map { case (n, e) => s"$n: $e" }.mkString("\n"))
   }
+
+  test("the driver's flagship entry answers with rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
 }
