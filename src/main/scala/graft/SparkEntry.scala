@@ -924,11 +924,17 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"))
       def vid(k: Column, l: Column): Column = (k * 8 + l).cast("long")
       val verts = li.select(vid(col("l_orderkey"), col("l_linenumber")).as("id"))
-      val e = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("b.l_linenumber") === col("a.l_linenumber") + 1)
-        .select(vid(col("a.l_orderkey"), col("a.l_linenumber")).as("src"),
-          vid(col("b.l_orderkey"), col("b.l_linenumber")).as("dst"))
+      // successor edges via ONE groupBy instead of a 600k x 600k
+      // self-join: line numbers within an order are a tiny set, so
+      // collect them per order and emit (ln, ln+1) pairs where both
+      // exist — same edge list, one shuffle, no sort-merge join
+      val e = li.groupBy(col("l_orderkey"))
+        .agg(array_distinct(collect_list(col("l_linenumber"))).as("lns"))
+        .select(col("l_orderkey"),
+          explode(filter(col("lns"),
+            x => array_contains(col("lns"), x + 1))).as("ln"))
+        .select(vid(col("l_orderkey"), col("ln")).as("src"),
+          vid(col("l_orderkey"), col("ln") + 1).as("dst"))
       Dedup.connectedComponents(verts, e)
     }),
 
