@@ -101,22 +101,33 @@ object AvroIO {
     val rdd = spark.sparkContext
       .parallelize(files.toSeq, math.max(files.length, 1))
       .flatMap { path =>
+        // STREAM the container instead of buffering it: a task holds
+        // one record at a time regardless of file size. The reader
+        // closes on exhaustion, and a task-completion listener covers
+        // early termination (limit/take/failure).
         val reader = DataFileReader.openReader(
           new File(path), new GenericDatumReader[GenericRecord]())
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        while (reader.hasNext) {
-          val rec = reader.next()
-          out += Row.fromSeq(names.toSeq.map { n =>
-            rec.get(n) match {
-              case u: org.apache.avro.util.Utf8 => u.toString
-              case b: ByteBuffer =>
-                val a = new Array[Byte](b.remaining()); b.get(a); a
-              case v => v
-            }
-          })
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => reader.close()))
+        new Iterator[Row] {
+          private var open = true
+          override def hasNext: Boolean = {
+            val h = open && reader.hasNext
+            if (open && !h) { reader.close(); open = false }
+            h
+          }
+          override def next(): Row = {
+            val rec = reader.next()
+            Row.fromSeq(names.toSeq.map { n =>
+              rec.get(n) match {
+                case u: org.apache.avro.util.Utf8 => u.toString
+                case b: ByteBuffer =>
+                  val a = new Array[Byte](b.remaining()); b.get(a); a
+                case v => v
+              }
+            })
+          }
         }
-        reader.close()
-        out
       }
     spark.createDataFrame(rdd, schema)
   }
