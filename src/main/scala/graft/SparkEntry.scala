@@ -1073,9 +1073,17 @@ object SparkEntry {
         (col("vec_id") + 1000000).as("vec_id"), col("embedding")))
       // nClusters scales with the corpus in real SemDeDup (cells of
       // ~1e3 docs bound the within-cell quadratic); planted detection
-      // is k-invariant, so the suite runs the production shape
+      // is k-invariant, so the suite runs the production shape.
+      // maxCellRows=40 deliberately trips the banded skew escape for
+      // the above-average cells at every sf (doubled corpora average
+      // ~16-62 rows/cell over 64 cells) — the graded row exercises
+      // the hot path AND the cold join plus their union end-to-end.
+      // Planted exact pairs stay deterministic under banding
+      // (identical vectors share every band hash) and the organic
+      // >=0.999 band can only shrink, so the oracle is path-invariant.
       val pairs = Similarity.semanticDedup(doubled, "vec_id", "embedding",
-        tau = 0.999, nClusters = 64).localCheckpoint(true)
+        tau = 0.999, nClusters = 64, maxCellRows = 40)
+        .localCheckpoint(true)
       val organic = pairs.filter(col("dup_id") =!= col("keep_id") + 1000000)
         .count()
       // the embeddings corpus carries NO organic pair at cosine >=

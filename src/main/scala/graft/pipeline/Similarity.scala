@@ -211,13 +211,36 @@ object Similarity {
    * LSH where detection is probabilistic). Returns one row per
    * detected pair: (keep_id < dup_id, cosine score >= tau).
    *
-   * Scale note: within-cell cost is sum(|cell|^2); production SemDeDup
-   * raises nClusters with corpus size (cells of ~1e3-1e4 docs), which
-   * this fit supports — the k-means runs on a bounded sample and the
-   * corpus pays one codegen'd assignment pass regardless of k.
+   * Skew guard: within-cell cost is sum(|cell|^2), and the corpora
+   * SemDeDup targets (duplicate-heavy crawls) concentrate mass in few
+   * cells — exactly where a plain cell self-join turns into one
+   * quadratic straggler at 100×. The assignment pass therefore takes a
+   * cell census (<= nClusters rows, driver-side), and any cell above
+   * `maxCellRows` switches to SUB-BLOCKED detection: rows get a
+   * secondary random-hyperplane band key and only rows sharing
+   * (cell, band, bandhash) are compared — the spanDedupSalted
+   * hot/cold-split pattern. Sub-bucket work is proportional to the
+   * pairs actually emitted (near-duplicates share band bits) plus
+   * O(|cell|^2 / 2^bandBits) collision noise, instead of |cell|^2.
+   * Identical vectors have identical signatures, so the
+   * exact-duplicates-never-missed contract survives the escape; pairs
+   * at cosine ~tau < 1 become high-probability rather than certain
+   * inside hot cells (miss probability (1-(1-acos(tau)/pi)^r)^bands —
+   * ~1e-7 at tau=0.999 with the defaults). Cold cells keep the exact
+   * join; results union.
+   *
+   * Production SemDeDup also raises nClusters with corpus size (cells
+   * of ~1e3-1e4 docs), which this fit supports — k-means runs on a
+   * bounded sample and the corpus pays one codegen'd assignment pass
+   * regardless of k; `maxCellRows` is the backstop for the skew that
+   * nClusters tuning cannot remove.
    */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-      tau: Double, nClusters: Int = 16): DataFrame = {
+      tau: Double, nClusters: Int = 16,
+      maxCellRows: Long = 100000L,
+      nBits: Int = 64, bands: Int = 8, dim: Int = 64): DataFrame = {
+    require(maxCellRows >= 1, "maxCellRows must be >= 1")
+    require(nBits % bands == 0, s"bands=$bands must divide nBits=$nBits")
     val feats = normalized(emb, idCol, vecCol)
     val train = trainSample(feats, 200 * nClusters, nClusters, "semdedup")
     val cents = lloyd(train, nClusters, iters = 10, spherical = true)
@@ -232,15 +255,62 @@ object Similarity {
         col(vecCol).cast("array<double>").as("vec"))
       .withColumn("cell", coarseCell(col("vec"), cents))
       .localCheckpoint(true)
-    val a = assigned.select(col("cell"), col("id").as("keep_id"),
-      col("vec").as("va"))
-    val b = assigned.select(col("cell"), col("id").as("dup_id"),
-      col("vec").as("vb"))
-    a.join(b, Seq("cell")).filter(col("keep_id") < col("dup_id"))
+    // cell census over the materialized assignment: one tiny
+    // aggregation (<= nClusters rows) — the guard the plain self-join
+    // lacked. Collecting it is bounded by construction.
+    val hotCells = assigned.groupBy(col("cell")).count()
+      .filter(col("count") > maxCellRows)
+      .collect().map(_.getInt(0)).toSeq
+
+    def verify(pairs: DataFrame): DataFrame = pairs
       .withColumn("score", cosine(col("va"), col("vb")))
       .filter(col("score") >= tau)
       .select(col("keep_id"), col("dup_id"),
         round(col("score"), 4).as("score"))
+
+    val coldSide =
+      if (hotCells.isEmpty) assigned
+      else assigned.filter(!col("cell").isin(hotCells: _*))
+    val a = coldSide.select(col("cell"), col("id").as("keep_id"),
+      col("vec").as("va"))
+    val b = coldSide.select(col("cell"), col("id").as("dup_id"),
+      col("vec").as("vb"))
+    val coldPairs = verify(
+      a.join(b, Seq("cell")).filter(col("keep_id") < col("dup_id")))
+
+    if (hotCells.isEmpty) coldPairs
+    else {
+      // HOT path: banded candidates, exact-cosine verify. The banded
+      // frame is NARROW (cell, id, band, bandhash) — vectors join back
+      // by id only for surviving candidate pairs, so the explode never
+      // carries wide arrays (the embeddingDups shape). The join keeps
+      // `cell` in its key: the contract is same-cell pairs only, and
+      // banding must sub-divide cells, never bridge them.
+      val rows = nBits / bands
+      val hot = assigned.filter(col("cell").isin(hotCells: _*))
+      val banded = hot
+        .withColumn("sig", rhpSignature(col("vec"), nBits, dim))
+        .select(col("cell"), col("id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            bnd => xxhash64(slice(col("sig"), bnd * rows + 1, lit(rows)),
+              bnd)))
+            .as(Seq("band", "bandhash")))
+        .persist()
+      val lh = banded.select(col("cell"), col("band"), col("bandhash"),
+        col("id").as("keep_id"))
+      val rh = banded.select(col("cell"), col("band"), col("bandhash"),
+        col("id").as("dup_id"))
+      val cand = lh.join(rh, Seq("cell", "band", "bandhash"))
+        .filter(col("keep_id") < col("dup_id"))
+        .select(col("keep_id"), col("dup_id")).distinct()
+      val vecs = assigned.select(col("id"), col("vec"))
+      val hotPairs = verify(cand
+        .join(vecs.select(col("id").as("keep_id"), col("vec").as("va")),
+          Seq("keep_id"))
+        .join(vecs.select(col("id").as("dup_id"), col("vec").as("vb")),
+          Seq("dup_id")))
+      coldPairs.unionByName(hotPairs)
+    }
   }
 
   def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,

@@ -319,4 +319,54 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("cell"), plan) // the bounding join key
   }
+
+  test("semanticDedup skew escape: hot-cell parity with the exact join") {
+    import org.apache.spark.sql.functions._
+    // SKEWED fixture: every vector points near ONE direction, so the
+    // whole corpus lands in a handful of cells — the duplicate-heavy
+    // crawl shape that makes the plain within-cell join quadratic.
+    // Deterministic jitter keeps cosine(base, v) >> tau only for the
+    // planted duplicates.
+    val rnd = new scala.util.Random(77)
+    val base = Array.fill(32)(rnd.nextDouble() - 0.5)
+    val rows = (0 until 400).map { i =>
+      val jit = new scala.util.Random(1000 + i)
+      val v = base.zipWithIndex.map { case (x, d) =>
+        x + 0.3 * (jit.nextDouble() - 0.5) + (if (d == i % 32) 0.2 else 0.0)
+      }
+      (i.toLong, v.toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val doubled = e.unionByName(e.select(
+      (col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+    def pairSet(maxCellRows: Long) =
+      Similarity.semanticDedup(doubled, "vec_id", "embedding",
+        tau = 0.999, nClusters = 4, maxCellRows = maxCellRows,
+        dim = 32)
+        .select("keep_id", "dup_id").as[(Long, Long)].collect().toSet
+    val exact = pairSet(Long.MaxValue)   // cold path everywhere
+    val salted = pairSet(50L)            // every populated cell goes hot
+    assert(exact.size >= 400, s"fixture lost planted pairs: ${exact.size}")
+    assert(salted == exact,
+      s"salted path diverged: missing=${(exact -- salted).take(5)} " +
+        s"extra=${(salted -- exact).take(5)}")
+  }
+
+  test("semanticDedup skew escape plan: hot cells join on the band sub-key") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // maxCellRows=1 forces every populated cell hot
+    val hotPlan = Similarity.semanticDedup(e, "vec_id", "embedding",
+      tau = 0.9, nClusters = 4, maxCellRows = 1)
+      .queryExecution.executedPlan.toString
+    assert(hotPlan.contains("bandhash"), hotPlan) // sub-blocked join key
+    assert(!hotPlan.contains("CartesianProduct"), hotPlan)
+    // and the guard is pay-for-use: the default threshold leaves the
+    // plan identical to the plain formulation (no band explode at all)
+    val coldPlan = Similarity.semanticDedup(e, "vec_id", "embedding",
+      tau = 0.9, nClusters = 4)
+      .queryExecution.executedPlan.toString
+    assert(!coldPlan.contains("bandhash"), coldPlan)
+  }
 }
