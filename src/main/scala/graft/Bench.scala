@@ -70,8 +70,22 @@ object Bench {
       else "none"
     })
     if (warmDir != "none") {
-      selected.foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      var warnedWarm = false
+      selected.foreach { case (name, fn) =>
+        try { fn(spark, warmDir).count() } catch { case e: Throwable =>
+          // a streaming query that died mid-warm (after .start(), before
+          // drain) keeps its fixed memory-sink name registered; the timed
+          // run of the same query would then fail with a confusing
+          // "query name already active" far from the root cause — stop
+          // leftovers and surface the first swallowed error once
+          spark.streams.active.foreach(q => try q.stop() catch {
+            case _: Throwable => () })
+          if (!warnedWarm) {
+            System.err.println(s"[bench] warm-up of $name failed " +
+              s"(first such; later ones silent): ${e.getMessage}")
+            warnedWarm = true
+          }
+        }
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
@@ -118,7 +132,15 @@ object Bench {
     val slow = results.toSeq.sortBy(-_._2).take(12)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow,"nq":${results.size},"queries_file":"BENCH_FULL.json","sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow,"nq":${results.size},"queries_file":"BENCH_FULL.json","sf":"$sfDir"}"""
+    // the summary ALSO goes to a fixed artifact file: the driver's
+    // tail-parse of stdout can miss the line behind sbt's [success]
+    // footer (r10's BENCH artifact had parsed:null for exactly this),
+    // while a file read cannot
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SUMMARY.json"), summary + "\n")
+    println(summary)
     spark.stop()
   }
 }
