@@ -59,7 +59,15 @@ object GraftExtensions {
         "graft_cosine_sim"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_cosine_sim(arr, arr)")
-        graft.functions.expressions.CosineSim(args(0), args(1))
+        // same implicit widening the Scala API applies: CosineSim has
+        // no ImplicitCastInputTypes, so an uncast array<float>/<int>
+        // argument would fail type-check through SQL while the
+        // identical call works via cosine_sim()
+        val dbl = org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)
+        graft.functions.expressions.CosineSim(
+          org.apache.spark.sql.catalyst.expressions.Cast(args(0), dbl),
+          org.apache.spark.sql.catalyst.expressions.Cast(args(1), dbl))
       }))
 
   /** Register into an EXISTING session (getOrCreate ignores

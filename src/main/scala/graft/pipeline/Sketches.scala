@@ -75,6 +75,19 @@ object Sketches {
   def heavyHitters(spark: SparkSession, df: DataFrame, keyCol: String,
       k: Int): DataFrame = {
     import spark.implicits._
+    // the sketch runs on primitive longs; a non-integral key (e.g. a
+    // string id) would cast to null row-by-row, silently collapsing
+    // every key into the null group — misuse must fail loudly instead
+    // (hash string keys to xxhash64 first if identity isn't needed)
+    df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"heavyHitters: key column $keyCol has non-integral type $other; " +
+          "pre-hash it (e.g. xxhash64) to a long key")
+    }
     val all = df.select(col(keyCol).cast("long").as(keyCol))
     // null keys can't flow through the primitive-long sketch, but a
     // null group CAN be a heavy hitter (a groupBy would report it) —

@@ -54,9 +54,28 @@ object AvroIO {
   }
 
   /** Write one Avro container file per partition under `dir`;
-    * returns the number of files written. */
+    * returns the number of files written.
+    *
+    * Commit protocol (the parquet/ORC sinks get this from Spark's
+    * committer; a hand-rolled sink must supply its own): stale
+    * `*.avro` files from an earlier write are cleared up-front (an
+    * earlier run with MORE partitions would otherwise leave leftovers
+    * that read() silently includes), and each task writes to an
+    * attempt-unique `.part-NNNNN.avro.<attempt>.tmp` renamed into
+    * place only on success — a retried or speculative attempt never
+    * interleaves bytes with a concurrent writer of the same final
+    * name, and a crashed attempt leaves only a `.tmp` that the reader
+    * ignores and the next write clears. */
   def write(df: DataFrame, dir: String): Int = {
-    new File(dir).mkdirs()
+    val d = new File(dir)
+    d.mkdirs()
+    Option(d.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.getName.endsWith(".avro") ||
+        f.getName.endsWith(".tmp"))
+      .foreach { f =>
+        if (!f.delete()) throw new java.io.IOException(
+          s"AvroIO.write: cannot clear stale ${f.getPath}")
+      }
     val schema = df.schema
     val schemaJson = avroSchema(schema).toString
     val names = schema.fieldNames
@@ -67,8 +86,11 @@ object AvroIO {
         val writer = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](avSchema))
         writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(3))
-        val f = new File(dir, f"part-$pid%05d.avro")
-        writer.create(avSchema, f)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val tmp = new File(dir, f".part-$pid%05d.avro.$attempt%d.tmp")
+        val dst = new File(dir, f"part-$pid%05d.avro")
+        writer.create(avSchema, tmp)
         rows.foreach { row =>
           val rec = new GenericData.Record(avSchema)
           var i = 0
@@ -84,7 +106,11 @@ object AvroIO {
           writer.append(rec)
         }
         writer.close()
-        Iterator.single(f.getPath)
+        // last-completer-wins rename: attempts of one partition carry
+        // identical rows, so whichever lands is a complete container
+        java.nio.file.Files.move(tmp.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Iterator.single(dst.getPath)
       }
     }.collect()
     paths.length

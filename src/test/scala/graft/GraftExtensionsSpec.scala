@@ -40,4 +40,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as[(Double, Double)].head()
     assert(math.abs(out._1 - 1.0) < 1e-12 && math.abs(out._2) < 1e-12)
   }
+
+  test("graft_cosine_sim accepts array<float>/array<int> like the Scala API") {
+    import spark.implicits._
+    Seq((Seq(1.0f, 2.0f), Seq(1, 2)))
+      .toDF("f", "i").createOrReplaceTempView("cos_ft")
+    val out = spark.sql(
+      "SELECT graft_cosine_sim(f, i) AS s FROM cos_ft").as[Double].head()
+    assert(math.abs(out - 1.0) < 1e-12)
+  }
 }

@@ -73,6 +73,13 @@ class SketchesSpec extends SparkSpec {
       spark, Seq.empty[Long].toDF("key"), "key", k = 8).count() == 0)
   }
 
+  test("heavyHitters rejects non-integral key columns loudly") {
+    val strings = Seq("a", "a", "b").toDF("key")
+    val e = intercept[IllegalArgumentException](
+      Sketches.heavyHitters(spark, strings, "key", k = 2))
+    assert(e.getMessage.contains("non-integral"))
+  }
+
   test("hllDistinctBand: exact counts with the estimate in band") {
     val df = (0 until 5000).map(i => (s"g${i % 3}", (i % 700).toLong))
       .toDF("grp", "uid")

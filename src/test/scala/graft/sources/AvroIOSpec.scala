@@ -66,4 +66,23 @@ class AvroIOSpec extends SparkSpec {
     val schema = StructType(Seq(StructField("id", LongType)))
     assert(AvroIO.read(spark, dir, schema).count() == 0)
   }
+
+  test("rewrite clears stale containers from a wider earlier write") {
+    val dir = Files.createTempDirectory("avro_rw").toString
+    val wide = spark.range(0, 100).toDF("id").repartition(8)
+    assert(AvroIO.write(wide, dir) == 8)
+    // fewer partitions on the second write: without the up-front clear,
+    // part-00001..00007 from the first write would survive and read()
+    // would silently include their rows
+    val narrow = spark.range(1000, 1010).toDF("id").coalesce(1)
+    assert(AvroIO.write(narrow, dir) == 1)
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val back = AvroIO.read(spark, dir, schema)
+      .collect().map(_.getLong(0)).sorted
+    assert(back.toSeq == (1000L until 1010L).toSeq)
+    // and no stray tmp files remain
+    val leftovers = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tmp"))
+    assert(leftovers.isEmpty)
+  }
 }
