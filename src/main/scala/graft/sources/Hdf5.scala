@@ -25,8 +25,9 @@ import scala.collection.mutable.ArrayBuffer
  *    both endiannesses; fixed strings; object references; vlen;
  *  - dataspaces v1/v2; layouts: contiguous and chunked v3 with a
  *    v1 B-tree chunk index (any depth);
- *  - filters: deflate (zlib), shuffle, fletcher32, and szip
- *    (CCSDS 121 Rice — see Szip.scala), in pipeline order;
+ *  - filters: deflate (zlib), shuffle, fletcher32, szip
+ *    (CCSDS 121 Rice — see Szip.scala), n-bit, and scale+offset
+ *    (bit-packing — see Hdf5Packed.scala), in pipeline order;
  *  - attributes v1/v2/v3, including vlen-of-object-reference
  *    (DIMENSION_LIST) resolved through the global heap.
  *
@@ -1173,7 +1174,15 @@ object Hdf5 {
                 raw = flt.id match {
                   case 1 =>
                     val extra = 4 * fl.take(stage).count(_.id == 3)
-                    inflate(raw,
+                    // a packing filter BELOW deflate (nbit/scaleoffset
+                    // applied before it on write) makes the inflated
+                    // size data-dependent — inflate to completion
+                    // instead of to the full chunk size
+                    if (fl.take(stage).exists(f => f.id == 5 || f.id == 6))
+                      inflateAll(raw,
+                        chDims.map(_.toLong).product.toInt * es + extra +
+                          graft.sources.ScaleOffset.PayloadOff)
+                    else inflate(raw,
                       chDims.map(_.toLong).product.toInt * es + extra)
                   case 2 => unshuffle(raw, flt.client.headOption.getOrElse(es))
                   case 3 => fletcherStrip(raw, ds.name)
@@ -1189,6 +1198,10 @@ object Hdf5 {
                     val bps = Szip.params(flt.client, ds.name).bytesPerSample
                     Szip.decode(java.util.Arrays.copyOfRange(raw, 4, raw.length),
                       flt.client, origBytes / bps, ds.name)
+                  case 5 => graft.sources.Nbit.decode(raw, flt.client,
+                    ds.dtype, ds.name)
+                  case 6 => graft.sources.ScaleOffset.decode(raw, flt.client,
+                    ds.dtype, ds.name)
                   case id => throw new FormatError(s"filter $id not supported")
                 }
               }
@@ -1273,6 +1286,26 @@ object Hdf5 {
     if (off != expected)
       throw new FormatError(s"deflate chunk: got $off of $expected bytes")
     out
+  }
+
+  /** Inflate to completion with `cap` as a sanity bound — for payloads
+    * whose unfiltered size is data-dependent (a packing filter below
+    * deflate in the pipeline). */
+  private def inflateAll(raw: Array[Byte], cap: Int): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(raw)
+    val out = new Array[Byte](cap)
+    var off = 0
+    while (!inf.finished()) {
+      if (off >= cap)
+        throw new FormatError(s"deflate chunk exceeds $cap-byte bound")
+      val n = inf.inflate(out, off, cap - off)
+      if (n == 0 && inf.needsInput())
+        throw new FormatError("truncated deflate chunk")
+      off += n
+    }
+    inf.end()
+    java.util.Arrays.copyOf(out, off)
   }
 
   /** HDF5's Fletcher-32 over big-endian 16-bit words (H5checksum.c —
