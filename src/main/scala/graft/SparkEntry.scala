@@ -146,6 +146,76 @@ object SparkEntry {
       .parquet(drops.toString))
   }
 
+  /** Sentinel user id carried by the watermark-flush drops of
+    * [[stagedEventsWithFlush]]; queries filter it from their output. */
+  private val FlushUser = -424242L
+
+  /** [[stagedEventsStream]] plus two far-future FLUSH sentinel drops
+    * staged as strictly LATER micro-batches (maxFilesPerTrigger pinned
+    * to the real drop's file count; sentinel mtimes forced after it).
+    * The first flush advances the watermark past every real user's
+    * (last event + gap) and the second makes the resulting event-time
+    * timeouts fire inside a DATA batch — the eviction proof never
+    * depends on the engine scheduling a trailing no-data batch. */
+  private def stagedEventsWithFlush(s: SparkSession, dir: String,
+      gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    val drops = java.nio.file.Files.createTempDirectory("graft_flush")
+    drops.toFile.deleteOnExit()
+    val target = java.nio.file.Paths.get(s"$dir/events.parquet")
+      .toAbsolutePath.normalize
+    java.nio.file.Files.createSymbolicLink(
+      drops.resolve("events_1.parquet"), target)
+    val base = s.read.parquet(target.toString)
+    val tsType = base.schema("ts").dataType
+    val nFiles =
+      if (java.nio.file.Files.isDirectory(target)) {
+        val st = java.nio.file.Files.list(target)
+        try st.filter { p =>
+          val n = p.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        }.count().toInt
+        finally st.close()
+      } else 1
+    val maxRow = base.orderBy(col("ts").desc).limit(1)
+    def flush(offsetMs: Long, name: String, mtimeMs: Long): Unit = {
+      val shifted = (tsType match {
+        case LongType => // raw nanos
+          maxRow.withColumn("ts", col("ts") + lit(offsetMs * 1000000L))
+        case _ =>
+          maxRow.withColumn("ts",
+            col("ts") + expr(s"INTERVAL $offsetMs MILLISECONDS"))
+      }).withColumn("user_id", lit(FlushUser))
+        .withColumn("event_id", lit(-1L))
+      // the sink writes a DIRECTORY; the file-source stream does not
+      // recurse into non-partition subdirectories, so surface the part
+      // file as a flat sibling of the events drop
+      val tmp = java.nio.file.Files.createTempDirectory("graft_flush_w")
+      shifted.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val st = java.nio.file.Files.list(tmp)
+        try st.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally st.close()
+      }
+      val dst = drops.resolve(name)
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    val now = System.currentTimeMillis()
+    flush(gapMs + 3600000L, "flush1.parquet", now + 3600000L)
+    flush(2 * (gapMs + 3600000L), "flush2.parquet", now + 7200000L)
+    normalizeTs(s.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", tsType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+      .option("maxFilesPerTrigger", nFiles)
+      .parquet(drops.toString))
+  }
+
   /** lineitem as a datacube: explicit dim l_orderkey, implicit dim
     * l_linenumber serialized into the in-cell array (deterministic
     * order: by (linenumber, value) — linenumber alone is not unique). */
@@ -1186,8 +1256,11 @@ object SparkEntry {
       // event_id and emits only the first arrival (append mode). The
       // batch aggregation over the sink then hash-matches the
       // single-corpus oracle — double-delivery fully cancelled.
+      // watermarkDelay = None: this row pins the UNBOUNDED backfill
+      // form (catch re-delivery no matter how late); the bounded
+      // default is exercised by events_stream_dedup_wm
       val deduped = graft.streaming.EventStream.dedupEvents(
-        stagedEventsStream(s, dir, copies = 2))
+        stagedEventsStream(s, dir, copies = 2), watermarkDelay = None)
       // aggregate INSIDE the stream (dedup state -> agg state): the
       // complete-mode sink then holds one row per event type instead
       // of every deduped event
@@ -2403,6 +2476,46 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.table("events_stream_dedup_wm")
+    }),
+
+    "events_stream_sessions_evict" -> ((s, dir) => withShufflePartitions(s, 8) {
+      // EVENT-TIME STATE EVICTION inside the correctness gate:
+      // mapGroupsWithState with EventTimeTimeout emits a TERMINAL
+      // closed=true row per user only when the watermark passes
+      // (last + gap) and its state is removed. The flush sentinels
+      // push the watermark past every user, so equality with the batch
+      // gap-count oracle proves the eviction path fired for each one —
+      // a closed row cannot be produced any other way.
+      val ev = stagedEventsWithFlush(s, dir, gapMs = 1800000L)
+      val sess = graft.streaming.EventStream.sessionizeEvicting(s, ev,
+        gapMillis = 1800000L, watermark = "1 second")
+      val q = sess.writeStream.format("memory")
+        .queryName("events_stream_sessions_evict").outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("events_stream_sessions_evict")
+        .filter(col("closed") && col("userId") =!= FlushUser)
+        .select(col("userId").cast("long").as("user_id"),
+          col("sessions").cast("long").as("n_sessions"))
+    }),
+
+    "events_stream_session_log_evict" -> ((s, dir) => withShufflePartitions(s, 8) {
+      // flatMapGroupsWithState + EventTimeTimeout: the emitted log must
+      // equal the COMPLETE batch session log — trailing sessions
+      // included, which the NoTimeout form (events_stream_session_log)
+      // structurally cannot emit; those rows exist only because the
+      // watermark evicted their state
+      val ev = stagedEventsWithFlush(s, dir, gapMs = 1800000L)
+      val log = graft.streaming.EventStream.sessionLogEvicting(s, ev,
+        gapMillis = 1800000L, watermark = "1 second")
+      val q = log.writeStream.format("memory")
+        .queryName("events_stream_session_log_evict").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("events_stream_session_log_evict")
+        .filter(col("user_id") =!= FlushUser)
     }),
 
     "multimodal_video" -> ((s, dir) => {
@@ -4074,6 +4187,39 @@ object SparkEntry {
     "events_stream_dedup_wm" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
          FROM events GROUP BY 1""",
+
+    // terminal eviction rows must converge to the batch gap-count:
+    // a closed=true row only exists because an event-time timeout
+    // fired and removed the user's state
+    "events_stream_sessions_evict" ->
+      """SELECT user_id,
+                CAST(1 + sum(CASE WHEN gap > 1800000 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_sessions
+         FROM (SELECT user_id,
+                      epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) AS gap
+               FROM events)
+         GROUP BY 1""",
+
+    // the evicting log equals the COMPLETE batch session log — the
+    // trailing (otherwise open) sessions are present, emitted by
+    // watermark eviction
+    "events_stream_session_log_evict" ->
+      """WITH brk AS (
+           SELECT user_id, epoch_ms(ts) AS em,
+                  CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                         PARTITION BY user_id ORDER BY ts) > 1800000
+                       THEN 1 ELSE 0 END AS b
+           FROM events),
+         sess AS (
+           SELECT user_id, em,
+                  sum(b) OVER (PARTITION BY user_id ORDER BY em
+                               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM brk)
+         SELECT user_id, CAST(min(em) AS BIGINT) AS start_ms,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(max(em) - min(em) AS BIGINT) AS duration_ms
+         FROM sess GROUP BY user_id, sid""",
 
     // the AVI demux + JPEG frame decode must reproduce the closed-form
     // container parameters; frames_decoded = n_frames certifies every

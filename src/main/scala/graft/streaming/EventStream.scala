@@ -81,9 +81,64 @@ object EventStream {
       }.toDF("userId", "sessions")
   }
 
+  final case class SessionFinal(userId: Long, sessions: Long,
+      closed: Boolean)
+
+  /** [[sessionize]] with EVENT-TIME STATE EVICTION — the continuous-
+    * deployment form. The input must carry a watermark; each user's
+    * state registers a timeout at (last event + gap), and when the
+    * watermark passes it the state machine emits a terminal
+    * `closed = true` row and REMOVES its state. Open-session updates
+    * emit with `closed = false` as before. State is therefore bounded
+    * by the set of users active within one gap of the watermark —
+    * unlike [[sessionize]]'s grow-forever NoTimeout map, which keeps
+    * its documented backfill-only contract. After eviction a late
+    * event restarts the counter at 1 (by the gap definition it IS a
+    * new session); downstream consumers sum the closed counts per
+    * user across epochs. */
+  def sessionizeEvicting(spark: SparkSession, events: DataFrame,
+      gapMillis: Long = 30 * 60 * 1000L,
+      watermark: String = "10 seconds"): DataFrame = {
+    import spark.implicits._
+    // the raw `ts` ATTRIBUTE must reach the stateful operator — any
+    // expression over it (unix_millis, cast) drops the watermark
+    // metadata and EventTimeTimeout then fails analysis
+    val typed = events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionFinal](
+        GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            SessionFinal(user, st.sessionCount, closed = true)
+          } else {
+            val sortedTs = rows.map(_._2.getTime).toSeq.sorted
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+            sortedTs.foreach { t =>
+              if (st.lastTsMillis == Long.MinValue ||
+                  t - st.lastTsMillis > gapMillis)
+                st = SessionState(st.sessionCount + 1, t)
+              else st = st.copy(lastTsMillis = math.max(st.lastTsMillis, t))
+            }
+            state.update(st)
+            // the timeout must sit past the current watermark or Spark
+            // rejects it; a user already older than watermark - gap
+            // then evicts on the next micro-batch
+            state.setTimeoutTimestamp(math.max(st.lastTsMillis + gapMillis,
+              state.getCurrentWatermarkMs() + 1))
+            SessionFinal(user, st.sessionCount, closed = false)
+          }
+      }.toDF("userId", "sessions", "closed")
+  }
+
   /** Open-session state for flatMapGroupsWithState. */
   final case class SessLogState(start: Long, last: Long, n: Long, idx: Long)
   final case class ClosedSession(userId: Long, sessionIdx: Long,
+      nEvents: Long, durationMs: Long)
+  final case class ClosedSessionAt(userId: Long, startMs: Long,
       nEvents: Long, durationMs: Long)
 
   /** flatMapGroupsWithState sessionization that EMITS one row per
@@ -101,7 +156,14 @@ object EventStream {
     * clock (last = max); one landing after a session already closed
     * starts a new session — re-opening emitted rows is impossible in
     * append mode, which is the standard log-structured-assembler
-    * trade-off. */
+    * trade-off.
+    *
+    * Per-group memory bound: each invocation materializes and sorts
+    * ONE user's events of ONE micro-batch (`rows.toArray.sorted`), so
+    * memory is bounded by the hottest key's per-batch row count —
+    * bound batch size (`maxFilesPerTrigger`) accordingly. A
+    * continuous deployment should prefer [[sessionLogEvicting]],
+    * which also bounds the state store via event-time eviction. */
   def sessionLog(spark: SparkSession, events: DataFrame,
       gapMillis: Long = 30 * 60 * 1000L): DataFrame = {
     import spark.implicits._
@@ -130,17 +192,78 @@ object EventStream {
       }.toDF("user_id", "session_idx", "n_events", "duration_ms")
   }
 
+  /** [[sessionLog]] with EVENT-TIME STATE EVICTION: a trailing open
+    * session EMITS (with its start timestamp instead of a per-user
+    * index — indexes would reset across evictions, timestamps are
+    * stable) and its state is removed once the watermark passes
+    * (last event + gap). The input must carry a watermark. With a
+    * late flush record advancing the watermark past every open
+    * session, the emitted log equals the COMPLETE batch session log
+    * — trailing sessions included, which is exactly what the NoTimeout
+    * form can never emit; that equality is the oracle-checked eviction
+    * proof. State is bounded by users active within one gap of the
+    * watermark. */
+  def sessionLogEvicting(spark: SparkSession, events: DataFrame,
+      gapMillis: Long = 30 * 60 * 1000L,
+      watermark: String = "10 seconds"): DataFrame = {
+    import spark.implicits._
+    // raw `ts` attribute for the watermark metadata, as in
+    // [[sessionizeEvicting]]
+    val typed = events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessLogState, ClosedSessionAt](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[SessLogState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(
+              ClosedSessionAt(user, st.start, st.n, st.last - st.start))
+          } else {
+            val ts = rows.map(_._2.getTime).toArray.sorted
+            val out =
+              scala.collection.mutable.ArrayBuffer.empty[ClosedSessionAt]
+            var st = state.getOption.orNull
+            ts.foreach { t =>
+              if (st == null) st = SessLogState(t, t, 1, 0)
+              else if (t - st.last > gapMillis) {
+                out += ClosedSessionAt(user, st.start, st.n,
+                  st.last - st.start)
+                st = SessLogState(t, t, 1, st.idx + 1)
+              } else st = SessLogState(st.start, math.max(st.last, t),
+                st.n + 1, st.idx)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(st.last + gapMillis,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }.toDF("user_id", "start_ms", "n_events", "duration_ms")
+  }
+
   /** Streaming exact dedup: emit each key's FIRST arrival, drop every
     * later duplicate — the streaming half of the corpus-dedup story
     * (an ingest pipeline replaying overlapping drops must not double
-    * rows). State is one entry per key in the state store; a
-    * production stream over event-time data should bound it with
-    * `withWatermark` + `dropDuplicatesWithinWatermark` — here the keys
-    * are unbounded-retention exact ids so re-delivery is caught no
-    * matter how late (the AvailableNow backfill shape). */
+    * rows). The DEFAULT is the bounded-state production shape:
+    * watermark on `ts` + `dropDuplicatesWithinWatermark`, which evicts
+    * each key once the watermark passes its event time + delay.
+    * `watermarkDelay = None` opts into unbounded `dropDuplicates` —
+    * one state entry per key FOREVER, so re-delivery is caught no
+    * matter how late; that form's contract is the AvailableNow
+    * backfill replay, never a continuous deployment. */
   def dedupEvents(events: DataFrame,
-      keys: Seq[String] = Seq("event_id")): DataFrame =
-    events.dropDuplicates(keys)
+      keys: Seq[String] = Seq("event_id"),
+      watermarkDelay: Option[String] = Some("48 hours")): DataFrame =
+    watermarkDelay match {
+      case Some(delay) => events.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(keys)
+      case None => events.dropDuplicates(keys)
+    }
 
   /** Stream-stream event-time interval join: each left event joins
     * right events of the same user whose timestamp falls within

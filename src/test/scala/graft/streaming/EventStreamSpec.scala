@@ -112,6 +112,67 @@ class EventStreamSpec extends SparkSpec {
       "the late in-gap event must not split the open session")
   }
 
+  test("evicting sessionize: timeouts emit terminal rows and drop state") {
+    val dir = Files.createTempDirectory("graft_evict1").toString
+    val t0 = 1700000000000L
+    def chunk(rows: Seq[(Long, Long)], off: Long): Unit =
+      rows.zipWithIndex.map { case ((u, t), i) =>
+        (off + i, new java.sql.Timestamp(t), u, "e", 0.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    // batch 1: user 1 has 2 sessions, user 2 has 1
+    chunk(Seq((1L, t0), (1L, t0 + 60000), (1L, t0 + 7200000),
+      (2L, t0)), 0)
+    // batches 2+3: flush sentinels push the watermark past every
+    // (last + gap), so batch 3 must fire user 1 and 2's timeouts
+    chunk(Seq((99L, t0 + 90 * 60000L)), 100)
+    chunk(Seq((99L, t0 + 300 * 60000L)), 200)
+    val stream = EventStream.fileStream(spark, dir, maxFilesPerTrigger = 1)
+    val out = EventStream.sessionizeEvicting(spark, stream,
+      gapMillis = 30 * 60 * 1000L, watermark = "1 second")
+    val q = out.writeStream.format("memory")
+      .queryName("evict_sess").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val terminal = spark.table("evict_sess").filter(col("closed"))
+      .select("userId", "sessions").as[(Long, Long)].collect().toMap
+    assert(terminal.view.filterKeys(_ != 99L).toMap ==
+      Map(1L -> 2L, 2L -> 1L),
+      s"expected terminal eviction rows, got $terminal")
+  }
+
+  test("evicting session log equals the full batch session log after flush") {
+    val dir = Files.createTempDirectory("graft_evict2").toString
+    val t0 = 1700000000000L
+    def chunk(rows: Seq[(Long, Long)], off: Long): Unit =
+      rows.zipWithIndex.map { case ((u, t), i) =>
+        (off + i, new java.sql.Timestamp(t), u, "e", 0.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    chunk(Seq((7L, t0), (7L, t0 + 60000), (7L, t0 + 7200000),
+      (8L, t0), (8L, t0 + 120000)), 0)
+    chunk(Seq((99L, t0 + 200 * 60000L)), 100)
+    chunk(Seq((99L, t0 + 500 * 60000L)), 200)
+    val stream = EventStream.fileStream(spark, dir, maxFilesPerTrigger = 1)
+    val q = EventStream.sessionLogEvicting(spark, stream,
+        watermark = "1 second")
+      .writeStream.format("memory")
+      .queryName("evict_log").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("evict_log").filter(col("user_id") =!= 99L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // EVERY session present, trailing ones included (the NoTimeout
+    // form can never emit those): user 7 = closed-in-stream session
+    // (2 ev, 60s) + evicted trailing single; user 8 = evicted burst
+    assert(rows == Set(
+      (7L, t0, 2L, 60000L),
+      (7L, t0 + 7200000, 1L, 0L),
+      (8L, t0, 2L, 120000L)), s"got $rows")
+  }
+
   test("parquet sink restart resumes exactly-once from the checkpoint") {
     val src = Files.createTempDirectory("graft_sink_src").toString
     val out = Files.createTempDirectory("graft_sink_out").toString
