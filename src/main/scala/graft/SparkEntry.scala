@@ -2518,6 +2518,49 @@ object SparkEntry {
         .filter(col("user_id") =!= FlushUser)
     }),
 
+    "events_stream_compact" -> ((s, dir) => withShufflePartitions(s, 8) {
+      // TRANSACTIONAL SMALL-FILE COMPACTION of the exactly-once sink:
+      // ingest (doubled drop -> watermark dedup -> filter -> parquet
+      // sink) leaves one file per shuffle partition; a planted STRAY
+      // file (failed-batch leftover) is invisible to the metadata-aware
+      // read; compaction rewrites the committed set to one file and
+      // swaps the sink log. The readback aggregate must hash-match the
+      // single-corpus batch oracle — a compactor that globbed the
+      // directory instead of reading the log would double the stray's
+      // rows and fail, and any loss in the swap would too.
+      val out = java.nio.file.Files.createTempDirectory("graft_scomp")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_scomp_ck")
+      out.toFile.deleteOnExit(); ckpt.toFile.deleteOnExit()
+      val ev = stagedEventsStream(s, dir, copies = 2)
+      val q = ev.withWatermark("ts", "48 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .filter(col("event_type").isin("click", "purchase") &&
+          col("value") > 10.0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val compaction = graft.streaming.SinkCompaction
+      val nCommitted = s.read.parquet(out.toString).count()
+      val committedFile = compaction.committedFiles(out.toString)._1.head
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(new java.net.URI(committedFile)),
+        out.resolve("stray-uncommitted.parquet"))
+      val strayExcluded = s.read.parquet(out.toString).count() == nCommitted
+      val (nb, na) = compaction.compact(s, out.toString,
+        targetFileBytes = 1L << 30)
+      s.read.parquet(out.toString)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+          round(sum(col("value")), 2).as("sv"))
+        .withColumn("compacted", lit(nb > 1 && na == 1))
+        .withColumn("stray_excluded", lit(strayExcluded))
+    }),
+
     "multimodal_video" -> ((s, dir) => {
       // binary video columns -> REAL MJPEG-AVI demux (pure-Scala RIFF
       // parser) + per-frame JPEG decode (javax.imageio); the synthetic
@@ -4220,6 +4263,18 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_events,
                 CAST(max(em) - min(em) AS BIGINT) AS duration_ms
          FROM sess GROUP BY user_id, sid""",
+
+    // post-compaction readback must hash-match the single-corpus batch
+    // pipeline; the lit flags pin that compaction really ran (many
+    // files -> 1) and that the planted stray stayed invisible
+    "events_stream_compact" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(event_id) AS BIGINT) AS sum_id,
+                round(sum(value), 2) AS sv,
+                TRUE AS compacted, TRUE AS stray_excluded
+         FROM events
+         WHERE event_type IN ('click', 'purchase') AND value > 10.0
+         GROUP BY 1""",
 
     // the AVI demux + JPEG frame decode must reproduce the closed-form
     // container parameters; frames_decoded = n_frames certifies every

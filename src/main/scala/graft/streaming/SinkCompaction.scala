@@ -1,0 +1,194 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Transactional small-file compaction for Spark's streaming parquet
+ * sink. A per-micro-batch file sink accumulates one file per batch per
+ * partition — at ingest scale that is the classic small-files problem:
+ * a year of 1-minute batches is half a million tiny files, and every
+ * downstream scan pays the per-file open cost. Compaction rewrites the
+ * COMMITTED file set to a target file size and swaps it in without
+ * ever letting a reader observe a half-state:
+ *
+ *  1. committed files come from the sink's `_spark_metadata` log (the
+ *     exactly-once source of truth — stray files from failed batches
+ *     are invisible to metadata-aware readers and stay invisible here);
+ *  2. the compacted files are written alongside the originals; they
+ *     are unreferenced by the current log, so concurrent readers still
+ *     see exactly the old state;
+ *  3. a replacement log directory is prepared with the SAME file names
+ *     as the live log (batch ids and any `.compact` files) — the full
+ *     compacted listing goes into the latest file and every earlier
+ *     one becomes an empty (`v1`-header-only) batch. Preserving the
+ *     name set matters twice over: a RESTARTED streaming query (same
+ *     checkpoint) still sees every committed batch id and never
+ *     re-commits old data, and the sink log's own interval compaction
+ *     derives `.compact` positions arithmetically, so the rewritten
+ *     history must keep the shape the arithmetic expects;
+ *  4. the swap is two directory renames (prepare -> retire old ->
+ *     publish new). Each rename is atomic on POSIX/HDFS; a crash
+ *     between them leaves the complete new log under
+ *     `_spark_metadata.compacting`, from which [[recover]] finishes
+ *     the publish. Old data files are deleted only after publish.
+ *
+ * Run against a sink whose query is stopped (the maintenance window);
+ * the restarted query appends batch ids after the kept one.
+ *
+ * The log format is the public one the sink writes: a version header
+ * line (`v1`) followed by one JSON `SinkFileStatus` per line with an
+ * `add` action; `<id>.compact` files hold the full listing at that id.
+ */
+object SinkCompaction {
+
+  private val MetadataDir = "_spark_metadata"
+  private val PrepareDir = "_spark_metadata.compacting"
+  private val RetireDir = "_spark_metadata.retired"
+
+  /** Committed data files per the sink log: entries of the latest
+    * `.compact` listing (if any) plus all later batch files, `add`
+    * actions minus `delete` actions. Returns (absolute paths, latest
+    * batch id). */
+  def committedFiles(sinkDir: String): (Seq[String], Long) = {
+    val log = Paths.get(sinkDir, MetadataDir)
+    require(Files.isDirectory(log), s"$sinkDir has no $MetadataDir log")
+    val entries = Files.list(log).iterator().asScala
+      .flatMap { p =>
+        val n = p.getFileName.toString
+        val compact = n.endsWith(".compact")
+        val idStr = if (compact) n.stripSuffix(".compact") else n
+        idStr.toLongOption.map(id => (id, compact, p))
+      }.toSeq.sortBy(_._1)
+    require(entries.nonEmpty, s"$sinkDir: empty $MetadataDir log")
+    val latestId = entries.map(_._1).max
+    val fromCompact = entries.filter(_._2).map(_._1).maxOption
+    val relevant = entries.filter { case (id, compact, _) =>
+      fromCompact match {
+        case Some(c) => id > c || (id == c && compact)
+        case None => true
+      }
+    }
+    val added = scala.collection.mutable.LinkedHashSet.empty[String]
+    relevant.foreach { case (_, _, p) =>
+      Files.readAllLines(p).asScala.foreach { line =>
+        if (line.startsWith("{")) {
+          val path = jsonField(line, "path")
+          val action = jsonField(line, "action")
+          action match {
+            case Some("add") => path.foreach(added += _)
+            case Some("delete") => path.foreach(added -= _)
+            case _ => ()
+          }
+        }
+      }
+    }
+    (added.toSeq, latestId)
+  }
+
+  private def jsonField(line: String, key: String): Option[String] = {
+    val m = ("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+    m.findFirstMatchIn(line).map(_.group(1)
+      .replace("\\/", "/").replace("\\\\", "\\"))
+  }
+
+  /** Compact the sink at `sinkDir` to roughly `targetFileBytes` per
+    * file. Returns (files before, files after). No-op (returns equal
+    * counts) when the sink already meets the target as one file. */
+  def compact(spark: SparkSession, sinkDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    recover(sinkDir) // finish any interrupted earlier swap first
+    val (committed, latestId) = committedFiles(sinkDir)
+    val local = committed.map(stripScheme)
+    val totalBytes = local.map(p => Files.size(Paths.get(p))).sum
+    val nOut = math.max(1, math.ceil(
+      totalBytes.toDouble / targetFileBytes).toInt)
+    if (local.size <= nOut) return (local.size, local.size)
+
+    // 2. rewrite: one batch job, repartitioned to the target count.
+    //    (coalesce would chain the file scan's partitioning; an
+    //    explicit round-robin repartition balances output sizes)
+    val df = spark.read.parquet(local: _*).repartition(nOut)
+    val tmpOut = Files.createTempDirectory("graft_compact")
+    df.write.mode("overwrite").parquet(tmpOut.toString)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val moved = Files.list(tmpOut).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      .zipWithIndex.map { case (p, i) =>
+        val dst = Paths.get(sinkDir, f"compact-$stamp-part-$i%05d.parquet")
+        Files.move(p, dst)
+        dst
+      }
+
+    // 3. prepare the replacement log: same file names as the live log,
+    //    full listing in the LATEST file, empty batches elsewhere
+    val prep = Paths.get(sinkDir, PrepareDir)
+    deleteRecursive(prep)
+    Files.createDirectory(prep)
+    val listing = "v1" +: moved.map { p =>
+      val size = Files.size(p)
+      val mtime = Files.getLastModifiedTime(p).toMillis
+      s"""{"path":"${p.toUri.toString}","size":$size,"isDir":false,""" +
+        s""""modificationTime":$mtime,"blockReplication":1,""" +
+        s""""blockSize":33554432,"action":"add"}"""
+    }
+    val liveNames = {
+      val st = Files.list(Paths.get(sinkDir, MetadataDir))
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.stripSuffix(".compact").toLongOption.isDefined)
+        .toSeq
+      finally st.close()
+    }
+    val latestName = liveNames
+      .maxBy(n => (n.stripSuffix(".compact").toLong, n.length))
+    require(latestName.stripSuffix(".compact").toLong == latestId,
+      s"sink log changed during compaction: $latestName vs $latestId")
+    liveNames.foreach { n =>
+      val content = if (n == latestName) listing.mkString("\n") else "v1"
+      Files.write(prep.resolve(n), content.getBytes("UTF-8"))
+    }
+
+    // 4. publish: retire old log, promote the prepared one, then GC
+    val live = Paths.get(sinkDir, MetadataDir)
+    val retired = Paths.get(sinkDir, RetireDir)
+    deleteRecursive(retired)
+    Files.move(live, retired, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(prep, live, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursive(retired)
+    local.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    (local.size, moved.size)
+  }
+
+  /** Finish an interrupted swap: if a complete prepared log exists and
+    * the live one is missing, publish it; a leftover retired log is
+    * garbage-collected. Safe to call unconditionally. */
+  def recover(sinkDir: String): Unit = {
+    val live = Paths.get(sinkDir, MetadataDir)
+    val prep = Paths.get(sinkDir, PrepareDir)
+    val retired = Paths.get(sinkDir, RetireDir)
+    if (!Files.exists(live) && Files.isDirectory(prep))
+      Files.move(prep, live, StandardCopyOption.ATOMIC_MOVE)
+    else deleteRecursive(prep)
+    if (Files.exists(live)) deleteRecursive(retired)
+  }
+
+  private def stripScheme(p: String): String =
+    if (p.startsWith("file:")) Paths.get(java.net.URI.create(p)).toString
+    else p
+
+  private def deleteRecursive(p: Path): Unit =
+    if (Files.exists(p)) {
+      val st = Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally st.close()
+    }
+
+  /** Metadata-aware read of the sink (what any downstream consumer
+    * does): only committed files are visible. */
+  def readCommitted(spark: SparkSession, sinkDir: String): DataFrame =
+    spark.read.parquet(sinkDir)
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SinkCompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeEventChunk(dir: String, idOffset: Long, n: Int): Unit = {
+    val rows = (0 until n).map { i =>
+      (idOffset + i,
+        new java.sql.Timestamp(1700000000000L + (idOffset + i) * 60000),
+        (idOffset + i) % 3,
+        if (i % 2 == 0) "click" else "view",
+        i.toDouble, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+  }
+
+  private def drain(src: String, out: String, ckpt: String): Unit = {
+    val q = EventStream.fileStream(spark, src, maxFilesPerTrigger = 1)
+      .select(col("event_id"), col("event_type"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+  }
+
+  private def dataFiles(out: String): Seq[String] = {
+    val st = Files.list(Paths.get(out))
+    try st.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+      .toSeq
+    finally st.close()
+  }
+
+  test("compaction preserves committed rows exactly and excludes strays") {
+    val src = Files.createTempDirectory("cmp_src").toString
+    val out = Files.createTempDirectory("cmp_out").toString
+    val ckpt = Files.createTempDirectory("cmp_ck").toString
+    (0 until 4).foreach(i => writeEventChunk(src, i * 10, 10))
+    drain(src, out, ckpt)
+    val before = spark.read.parquet(out).as[(Long, String)].collect().sorted
+    assert(before.length == 40)
+    assert(dataFiles(out).size >= 4, s"want >=4 files, got ${dataFiles(out)}")
+
+    // a stray file (failed-batch leftover): invisible via the metadata
+    // log before AND after the swap — a compactor that globbed the
+    // directory instead of reading the log would double these rows
+    val committed = SinkCompaction.committedFiles(out)._1.head
+    Files.copy(Paths.get(new java.net.URI(committed)),
+      Paths.get(out, "stray-uncommitted.parquet"))
+    assert(spark.read.parquet(out).count() == 40)
+
+    val (nb, na) = SinkCompaction.compact(spark, out, 1L << 30)
+    assert(nb >= 4 && na == 1, s"($nb, $na)")
+    val after = spark.read.parquet(out).as[(Long, String)].collect().sorted
+    assert(after.toSeq == before.toSeq, "hash identity broken by compaction")
+    // disk holds exactly the compacted file + the stray
+    val disk = dataFiles(out)
+    assert(disk.count(_.startsWith("compact-")) == 1 &&
+      disk.contains("stray-uncommitted.parquet") && disk.size == 2, disk)
+
+    // RESTART SAFETY: same checkpoint, one more drop — the kept batch
+    // ids mean nothing re-commits; rows appear exactly once
+    writeEventChunk(src, 40, 10)
+    drain(src, out, ckpt)
+    val ids = spark.read.parquet(out).select("event_id")
+      .as[Long].collect().sorted
+    assert(ids.length == 50 && ids.toSet.size == 50 && ids.last == 49L)
+  }
+
+  test("compaction is a no-op when already at the target") {
+    val src = Files.createTempDirectory("cmp1_src").toString
+    val out = Files.createTempDirectory("cmp1_out").toString
+    val ckpt = Files.createTempDirectory("cmp1_ck").toString
+    writeEventChunk(src, 0, 10)
+    drain(src, out, ckpt)
+    val (nb, na) = SinkCompaction.compact(spark, out, 1L << 30)
+    assert(nb == na)
+    assert(spark.read.parquet(out).count() == 10)
+  }
+
+  test("recover finishes an interrupted swap") {
+    val src = Files.createTempDirectory("cmp2_src").toString
+    val out = Files.createTempDirectory("cmp2_out").toString
+    val ckpt = Files.createTempDirectory("cmp2_ck").toString
+    (0 until 2).foreach(i => writeEventChunk(src, i * 10, 10))
+    drain(src, out, ckpt)
+    // simulate a crash between the two renames: live log retired, the
+    // prepared replacement not yet promoted
+    val live = Paths.get(out, "_spark_metadata")
+    val prep = Paths.get(out, "_spark_metadata.compacting")
+    Files.move(live, prep)
+    SinkCompaction.recover(out)
+    assert(Files.isDirectory(live) && !Files.exists(prep))
+    assert(spark.read.parquet(out).count() == 20)
+    // and recover with a healthy log is a harmless no-op
+    SinkCompaction.recover(out)
+    assert(spark.read.parquet(out).count() == 20)
+  }
+}
