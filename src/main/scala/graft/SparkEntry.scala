@@ -1116,6 +1116,32 @@ object SparkEntry {
         Similarity.ivfTopK(index, Seq(9001L, 9002L, 9003L), 10, nProbe = 4))
     }),
 
+    "simsearch_ivf_append" -> ((s, dir) => {
+      // INCREMENTAL index update: fit + save on the BASE corpus only,
+      // then append the planted probes against the frozen centroids
+      // (one assignment pass, appended cell partitions — existing
+      // files untouched). The reloaded index must answer the standard
+      // planted-probe oracle: each appended probe's source shares its
+      // cell deterministically (same centroids, identical vector), so
+      // found_planted can only be true if the appended rows really
+      // joined the probed cells.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfa")
+      tmp.toFile.deleteOnExit()
+      val base = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val fitted = Similarity.buildIvfIndex(base, "vec_id", "embedding",
+        nClusters = 16)
+      Similarity.saveIvfIndex(fitted, tmp.toString)
+      fitted.unpersist()
+      val planted = base.filter(col("vec_id").isin(1L, 2L, 3L))
+        .select((col("vec_id") + 9000).as("vec_id"), col("embedding"))
+      val appended = Similarity.appendToIvfIndex(s, tmp.toString,
+        planted, "vec_id", "embedding")
+      require(appended == 3, s"appended $appended of 3 rows")
+      val index = Similarity.loadIvfIndex(s, tmp.toString)
+      annPlanted(s, dir,
+        Similarity.ivfTopK(index, Seq(9001L, 9002L, 9003L), 10, nProbe = 4))
+    }),
+
     "simsearch_ivfpq" -> ((s, dir) => {
       // IVF-PQ: the corpus index is (id, cell, m byte-codes) — 32×
       // smaller than raw vectors. ADC scores candidates with table
@@ -2273,6 +2299,33 @@ object SparkEntry {
       // in-band pattern) so estimator drift fails the hash
       graft.pipeline.Sketches.hllDistinctBand(
         events(s, dir), "event_type", "user_id")),
+
+    "sketch_countmin" -> ((s, dir) => {
+      // Count-Min point-frequency sketch: depth x width counters built
+      // per partition and tree-merged (no shuffle, no key set
+      // anywhere) answer frequency queries for ANY key — the third
+      // sketch family next to heavy hitters (specific keys) and HLL
+      // (distinct counts). The oracle pins the exact probe counts plus
+      // the structural one-sided guarantee (estimates never
+      // undercount) and a width-derived error band; the hashes are
+      // deterministic so the flags are stable per dataset.
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val cm = graft.pipeline.Sketches.countMin(orders, "o_custkey")
+      val probes = Seq(1L, 2L, 5L, 7L, 11L, 100L, 101L)
+      val est = probes.map(k => (k, cm.estimate(k)))
+        .toDF("o_custkey", "cm_est")
+      val exact = orders.filter(col("o_custkey").isin(probes: _*))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("exact_n"))
+      val slack = 4L * cm.total / cm.width
+      est.join(exact, Seq("o_custkey"), "left")
+        .select(col("o_custkey"),
+          coalesce(col("exact_n"), lit(0L)).as("exact_n"),
+          (col("cm_est") >= coalesce(col("exact_n"), lit(0L)))
+            .as("never_undercounts"),
+          (col("cm_est") <= coalesce(col("exact_n"), lit(0L)) + lit(slack))
+            .as("in_band"))
+    }),
 
     "sketch_topk" -> ((s, dir) => {
       // exact heavy hitters, sketch-pruned: every third event
@@ -3490,6 +3543,7 @@ object SparkEntry {
     "simsearch_lsh" -> annOracle,
     "simsearch_ivf" -> annOracle,
     "simsearch_ivf_persisted" -> annOracle,
+    "simsearch_ivf_append" -> annOracle,
     "simsearch_ivfpq" -> annOracle,
 
     // at tau=0.999 on 64-dim near-random vectors, ONLY the planted
@@ -4128,6 +4182,18 @@ object SparkEntry {
                 CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
                 TRUE AS in_band
          FROM events GROUP BY 1""",
+
+    // Count-Min point queries: exact probe counts pinned, plus the
+    // structural one-sided guarantee (never undercounts) and the
+    // width-derived band — deterministic hashes make both flags stable
+    "sketch_countmin" ->
+      """WITH probes(k) AS (VALUES (1), (2), (5), (7), (11), (100), (101))
+         SELECT CAST(k AS BIGINT) AS o_custkey,
+                CAST(coalesce(cnt, 0) AS BIGINT) AS exact_n,
+                TRUE AS never_undercounts, TRUE AS in_band
+         FROM probes LEFT JOIN (
+           SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1) o
+           ON o.o_custkey = probes.k""",
 
     // exact heavy hitters above total/k over the planted-skew key: the
     // Misra-Gries candidate set is order-dependent but provably a

@@ -374,6 +374,33 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Append a new vector batch to a SAVED IVF index without refitting:
+    * the stored centroids are the frozen coarse quantizer (the
+    * standard production update path — FAISS's add-after-train), new
+    * vectors pay one codegen'd assignment pass and land as appended
+    * files under their cells' partition directories. The existing
+    * index files are never read or rewritten, so the append cost is
+    * O(new batch) regardless of index size — the daily-embedding-drop
+    * shape at 100 TB. Queries over the reloaded index see old and new
+    * vectors identically (same centroids ⇒ same probe math; an
+    * identical vector lands in the same cell deterministically).
+    * Periodic refit remains the caller's policy when drift makes the
+    * frozen cells unbalanced. Returns the number of appended rows. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, emb: DataFrame, idCol: String,
+      vecCol: String): Long = {
+    val centroids = loadIvfIndex(spark, path).centroids
+    // one assignment pass total: materialize before the count + write
+    val assigned = normalized(emb, idCol, vecCol)
+      .withColumn("cell", coarseCell(col("nvec"), centroids))
+      .select(col("id"), col("vec"), col("cell"))
+      .localCheckpoint(true)
+    val n = assigned.count()
+    assigned.write.mode("append").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    n
+  }
+
   /** Load a saved IVF index. The assignment stays a lazy scan over the
     * cell-partitioned files — deliberately NOT persisted: pruned disk
     * reads of a few cells are the point at scale. */
@@ -604,15 +631,30 @@ object Similarity {
     topK(reranked, k)
   }
 
-  /** Random-hyperplane signature: bit j = sign of <v, plane_j>. The
-    * planes are deterministic literals (seeded Scala-side) folded into
-    * the expression — per-element work is a plain multiply-add, with no
-    * hashing inside the inner loop. */
-  def rhpSignature(vec: Column, nBits: Int, dim: Int): Column = {
+  /** Deterministic plane table shared by the native and HOF signature
+    * forms (seeded Scala-side, generated row-major so both forms see
+    * the identical Random sequence). */
+  private[pipeline] def rhpPlanes(nBits: Int,
+      dim: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(4242)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(nBits)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
-    val planesLit = typedLit(planes)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+  }
+
+  /** Random-hyperplane signature: bit j = sign of <v, plane_j>,
+    * computed by the NATIVE codegen expression — one fused loop over
+    * all planes per row. The HOF form ([[rhpSignatureHof]]) pays
+    * nBits interpreted aggregate(zip_with) passes per row, which
+    * dominated the banding pipelines at scale; it stays as the parity
+    * oracle. */
+  def rhpSignature(vec: Column, nBits: Int, dim: Int): Column =
+    graft.functions.expressions.GraftExpressions.rhp_sig(
+      vec, rhpPlanes(nBits, dim))
+
+  /** The composed-HOF reference formulation — kept as the parity
+    * oracle for the native expression (SimilaritySpec). */
+  def rhpSignatureHof(vec: Column, nBits: Int, dim: Int): Column = {
+    val planesLit = typedLit(
+      rhpPlanes(nBits, dim).map(_.toSeq).toSeq)
     // truncate both sides to the shared length: a vector shorter than
     // `dim` would otherwise zip against nulls, nulling the dot product
     // and collapsing every signature to all-zeros (one giant bucket)

@@ -110,6 +110,80 @@ object Sketches {
     else hot
   }
 
+  /** A merged Count-Min sketch: `depth x width` counters, each row a
+    * different deterministic hash. Point estimate = min over rows —
+    * NEVER an undercount (every row only adds), overcount bounded by
+    * ~total/width per row in expectation. Memory is depth*width*8
+    * bytes regardless of data volume; merging is elementwise add. */
+  final case class CountMinSketch(depth: Int, width: Int,
+      table: Array[Array[Long]], total: Long) {
+    def merge(o: CountMinSketch): CountMinSketch = {
+      require(depth == o.depth && width == o.width, "shape mismatch")
+      val t = Array.tabulate(depth, width)((d, w) =>
+        table(d)(w) + o.table(d)(w))
+      CountMinSketch(depth, width, t, total + o.total)
+    }
+    def estimate(key: Long): Long = {
+      var best = Long.MaxValue
+      var d = 0
+      while (d < depth) {
+        val v = table(d)(CountMinSketch.bucket(key, d, width))
+        if (v < best) best = v
+        d += 1
+      }
+      if (best == Long.MaxValue) 0L else best
+    }
+  }
+
+  object CountMinSketch {
+    /** Deterministic per-row bucket: byteswap64 mix of (key, row). */
+    def bucket(key: Long, row: Int, width: Int): Int = {
+      val h = scala.util.hashing.byteswap64(
+        key ^ (0x9E3779B97F4A7C15L * (row + 1)))
+      (((h % width) + width) % width).toInt
+    }
+  }
+
+  /** Build a [[CountMinSketch]] over an integral key column: bounded
+    * per-partition tables (depth*width longs), merged with a tree
+    * reduction — no shuffle of the data, no driver-side key set. The
+    * sketch answers point-frequency queries over a keyspace too large
+    * to aggregate exactly; unlike [[heavyHitters]] it serves ANY key,
+    * at the price of an approximate (one-sided) answer. */
+  def countMin(df: DataFrame, keyCol: String, depth: Int = 5,
+      width: Int = 2048): CountMinSketch = {
+    df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"countMin: key column $keyCol has non-integral type $other; " +
+          "pre-hash it (e.g. xxhash64) to a long key")
+    }
+    val d = depth; val w = width
+    val parts = df.select(col(keyCol).cast("long"))
+      .filter(col(keyCol).isNotNull)
+      .rdd.map(_.getLong(0))
+      .mapPartitions { it =>
+        val t = Array.ofDim[Long](d, w)
+        var n = 0L
+        while (it.hasNext) {
+          val k = it.next()
+          var row = 0
+          while (row < d) {
+            t(row)(CountMinSketch.bucket(k, row, w)) += 1
+            row += 1
+          }
+          n += 1
+        }
+        Iterator.single(CountMinSketch(d, w, t, n))
+      }
+    if (parts.partitions.isEmpty)
+      CountMinSketch(d, w, Array.ofDim[Long](d, w), 0L)
+    else parts.treeReduce(_.merge(_), depth = 2)
+  }
+
   /** Approximate distinct count (HyperLogLog++) per group, with the
     * exact count alongside and an in-band flag — the sketch_quantile
     * pattern: the oracle pins the exact value and that the estimate

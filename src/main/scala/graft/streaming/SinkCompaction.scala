@@ -97,31 +97,60 @@ object SinkCompaction {
 
   /** Compact the sink at `sinkDir` to roughly `targetFileBytes` per
     * file. Returns (files before, files after). No-op (returns equal
-    * counts) when the sink already meets the target as one file. */
+    * counts) when the sink already meets the target. A `partitionBy`
+    * sink compacts PER PARTITION DIRECTORY — the partition values
+    * live in the directory names, so files must never leave their
+    * directory (and per-partition files are what partition-pruned
+    * readers want anyway). */
   def compact(spark: SparkSession, sinkDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     recover(sinkDir) // finish any interrupted earlier swap first
     val (committed, latestId) = committedFiles(sinkDir)
     val local = committed.map(stripScheme)
-    val totalBytes = local.map(p => Files.size(Paths.get(p))).sum
-    val nOut = math.max(1, math.ceil(
-      totalBytes.toDouble / targetFileBytes).toInt)
-    if (local.size <= nOut) return (local.size, local.size)
+    val root = Paths.get(sinkDir).toAbsolutePath.normalize
+    // group by the file's directory RELATIVE to the sink root: "" for
+    // a flat sink, "k=v[/k2=v2...]" for a partitioned one
+    val byDir = local.groupBy { p =>
+      root.relativize(Paths.get(p).toAbsolutePath.normalize.getParent)
+        .toString
+    }
+    val plans = byDir.toSeq.sortBy(_._1).map { case (rel, files) =>
+      val bytes = files.map(p => Files.size(Paths.get(p))).sum
+      val nOut = math.max(1, math.ceil(
+        bytes.toDouble / targetFileBytes).toInt)
+      (rel, files, nOut)
+    }
+    if (plans.forall { case (_, files, nOut) => files.size <= nOut })
+      return (local.size, local.size)
 
-    // 2. rewrite: one batch job, repartitioned to the target count.
-    //    (coalesce would chain the file scan's partitioning; an
-    //    explicit round-robin repartition balances output sizes)
-    val df = spark.read.parquet(local: _*).repartition(nOut)
-    val tmpOut = Files.createTempDirectory("graft_compact")
-    df.write.mode("overwrite").parquet(tmpOut.toString)
+    // 2. rewrite each directory group: one batch job per group,
+    //    repartitioned to its target count (coalesce would chain the
+    //    scan's partitioning; round-robin balances output sizes). The
+    //    group's files share their partition values, which stay
+    //    encoded in the directory name — the data columns are
+    //    rewritten verbatim.
     val stamp = java.util.UUID.randomUUID().toString.take(8)
-    val moved = Files.list(tmpOut).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-      .zipWithIndex.map { case (p, i) =>
-        val dst = Paths.get(sinkDir, f"compact-$stamp-part-$i%05d.parquet")
-        Files.move(p, dst)
-        dst
+    val moved = plans.flatMap { case (rel, files, nOut) =>
+      if (files.size <= nOut) files.map(Paths.get(_))
+      else {
+        val df = spark.read.parquet(files: _*).repartition(nOut)
+        val tmpOut = Files.createTempDirectory("graft_compact")
+        df.write.mode("overwrite").parquet(tmpOut.toString)
+        val dstDir = if (rel.isEmpty) root else root.resolve(rel)
+        val parts = {
+          val st = Files.list(tmpOut)
+          try st.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          finally st.close()
+        }
+        parts.zipWithIndex.map { case (p, i) =>
+          val dst = dstDir.resolve(
+            f"compact-$stamp-part-$i%05d.parquet")
+          Files.move(p, dst)
+          dst
+        }
       }
+    }
 
     // 3. prepare the replacement log: same file names as the live log,
     //    full listing in the LATEST file, empty batches elsewhere
@@ -151,14 +180,19 @@ object SinkCompaction {
       Files.write(prep.resolve(n), content.getBytes("UTF-8"))
     }
 
-    // 4. publish: retire old log, promote the prepared one, then GC
+    // 4. publish: retire old log, promote the prepared one, then GC.
+    //    Delete only files the new listing does NOT carry — groups
+    //    already at target keep their original files
     val live = Paths.get(sinkDir, MetadataDir)
     val retired = Paths.get(sinkDir, RetireDir)
     deleteRecursive(retired)
     Files.move(live, retired, StandardCopyOption.ATOMIC_MOVE)
     Files.move(prep, live, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursive(retired)
-    local.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    val kept = moved.map(_.toAbsolutePath.normalize.toString).toSet
+    local.filterNot(p =>
+        kept(Paths.get(p).toAbsolutePath.normalize.toString))
+      .foreach(p => Files.deleteIfExists(Paths.get(p)))
     (local.size, moved.size)
   }
 

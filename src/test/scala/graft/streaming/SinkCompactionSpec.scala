@@ -77,6 +77,40 @@ class SinkCompactionSpec extends SparkSpec {
     assert(ids.length == 50 && ids.toSet.size == 50 && ids.last == 49L)
   }
 
+  test("partitionBy sinks compact per partition directory") {
+    val src = Files.createTempDirectory("cmpp_src").toString
+    val out = Files.createTempDirectory("cmpp_out").toString
+    val ckpt = Files.createTempDirectory("cmpp_ck").toString
+    (0 until 3).foreach(i => writeEventChunk(src, i * 10, 10))
+    val q = EventStream.fileStream(spark, src, maxFilesPerTrigger = 1)
+      .select(col("event_id"), col("event_type"))
+      .writeStream.format("parquet").partitionBy("event_type")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val before = spark.read.parquet(out)
+      .as[(Long, String)].collect().sorted
+    assert(before.length == 30)
+    val (nb, na) = SinkCompaction.compact(spark, out, 1L << 30)
+    assert(nb == 6 && na == 2, s"($nb, $na)") // 3 batches x 2 types -> 1/dir
+    val after = spark.read.parquet(out).as[(Long, String)].collect().sorted
+    assert(after.toSeq == before.toSeq,
+      "partition values must survive compaction")
+    // files really live under their partition directories
+    Seq("click", "view").foreach { t =>
+      val dir = Paths.get(out, s"event_type=$t")
+      val st = Files.list(dir)
+      val files = try st.iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+        finally st.close()
+      assert(files.size == 1 && files.head.startsWith("compact-"), files)
+    }
+    // partition pruning still works over the compacted layout
+    assert(spark.read.parquet(out)
+      .filter(col("event_type") === "click").count() == 15)
+  }
+
   test("compaction is a no-op when already at the target") {
     val src = Files.createTempDirectory("cmp1_src").toString
     val out = Files.createTempDirectory("cmp1_out").toString
