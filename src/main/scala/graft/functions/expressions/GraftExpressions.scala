@@ -48,6 +48,16 @@ object GraftExpressions {
       ColumnBridge.expression(a.cast("array<double>")),
       ColumnBridge.expression(b.cast("array<double>"))))
 
+  /** Random-hyperplane sign bits (array<int> of 0/1) in ONE fused
+    * codegen loop over all planes — the HOF formulation pays nBits
+    * interpreted `aggregate(zip_with(...))` passes per row, which
+    * dominates every LSH/banding pipeline at scale. The plane table
+    * ships as a constant reference object, not literals, so the
+    * generated code stays tiny at any nBits x dim. */
+  def rhp_sig(vec: Column, planes: Array[Array[Double]]): Column =
+    ColumnBridge.column(RhpSig(
+      ColumnBridge.expression(vec.cast("array<double>")), planes))
+
   /** Cumulative scan (sum/max/min/mul) over an array<double> column in
     * one O(n) pass — the HOF formulation is O(n^2) (per-element slice
     * + aggregate, or array-accumulator concat copying). */
@@ -227,6 +237,89 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
+}
+
+/** Sign bits of <vec, plane_j> for a fixed plane table, all planes in
+  * one fused pass. Parity contract with the HOF formulation
+  * ([[graft.pipeline.Similarity.rhpSignatureHof]]): both sides
+  * truncate to min(|vec|, |plane|), a null element null-poisons every
+  * dot (all bits 0), and a zero dot yields bit 0. */
+case class RhpSig(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"rhp_sig expects array<double>, got $other")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_rhp_sig"
+
+  override def nullSafeEval(xs: Any): Any = {
+    val x = xs.asInstanceOf[ArrayData]
+    val nb = planes.length
+    val out = new Array[Int](nb)
+    val n = x.numElements()
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) {
+      if (x.isNullAt(i)) hasNull = true
+      i += 1
+    }
+    if (!hasNull) {
+      var j = 0
+      while (j < nb) {
+        val p = planes(j)
+        val d = math.min(n, p.length)
+        var acc = 0.0
+        var k = 0
+        while (k < d) { acc += x.getDouble(k) * p(k); k += 1 }
+        out(j) = if (acc > 0) 1 else 0
+        j += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("rhpPlanes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, xs => {
+      val n = ctx.freshName("n")
+      val nb = ctx.freshName("nb")
+      val hasNull = ctx.freshName("hasNull")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val d = ctx.freshName("d")
+      val p = ctx.freshName("p")
+      val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out")
+      s"""
+        final int $n = $xs.numElements();
+        boolean $hasNull = false;
+        for (int $i = 0; $i < $n && !$hasNull; $i++)
+          if ($xs.isNullAt($i)) $hasNull = true;
+        final int $nb = $planesRef.length;
+        final int[] $out = new int[$nb];
+        if (!$hasNull) {
+          for (int $j = 0; $j < $nb; $j++) {
+            final double[] $p = $planesRef[$j];
+            final int $d = Math.min($n, $p.length);
+            double $acc = 0.0;
+            for (int $k = 0; $k < $d; $k++)
+              $acc += $xs.getDouble($k) * $p[$k];
+            $out[$j] = $acc > 0 ? 1 : 0;
+          }
+        }
+        ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RhpSig = copy(child = newChild)
 }
 
 case class CorrArrays(left: Expression, right: Expression)

@@ -28,8 +28,10 @@ object WarmProbe {
       graft.SparkEntry.queries(q)(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      // BLOCKING, like Bench: async release lets stale blocks from a
+      // prior query linger into the next measurement window
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       dt
     }
     if (name == "--all") {
