@@ -58,6 +58,15 @@ object GraftExpressions {
     ColumnBridge.column(RhpSig(
       ColumnBridge.expression(vec.cast("array<double>")), planes))
 
+  /** Index of the table row with the greatest dot product against the
+    * vector — the k-means/IVF cell-assignment inner loop, fused into
+    * one codegen pass (the HOF formulation evaluates k interpreted
+    * aggregate(zip_with) dots per row). The table rides as a constant
+    * reference object. */
+  def argmax_dot(vec: Column, table: Array[Array[Double]]): Column =
+    ColumnBridge.column(ArgmaxDot(
+      ColumnBridge.expression(vec.cast("array<double>")), table))
+
   /** Cumulative scan (sum/max/min/mul) over an array<double> column in
     * one O(n) pass — the HOF formulation is O(n^2) (per-element slice
     * + aggregate, or array-accumulator concat copying). */
@@ -320,6 +329,95 @@ case class RhpSig(child: Expression, planes: Array[Array[Double]])
 
   override protected def withNewChildInternal(
       newChild: Expression): RhpSig = copy(child = newChild)
+}
+
+/** argmax_j <vec, table_j> with exact HOF-parity semantics
+  * ([[graft.pipeline.Similarity]] coarse assignment): ties keep the
+  * FIRST maximum, a NaN dot wins immediately (Spark's double ordering
+  * ranks NaN greatest and array_position matches it), and a vector
+  * whose length differs from the table rows' — or that carries a null
+  * element — yields null, exactly as zip_with's null padding
+  * null-poisons every HOF dot. */
+case class ArgmaxDot(child: Expression, table: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"argmax_dot expects array<double>, got $other")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_argmax_dot"
+
+  private val dim = if (table.nonEmpty) table(0).length else 0
+
+  override def nullSafeEval(xs: Any): Any = {
+    val x = xs.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != dim || table.isEmpty) return null
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      i += 1
+    }
+    var best = 0
+    var bestVal = Double.NegativeInfinity
+    var j = 0
+    var done = false
+    while (j < table.length && !done) {
+      val row = table(j)
+      var acc = 0.0
+      var k = 0
+      while (k < n) { acc += x.getDouble(k) * row(k); k += 1 }
+      if (java.lang.Double.isNaN(acc)) { best = j; done = true }
+      else if (acc > bestVal) { bestVal = acc; best = j }
+      j += 1
+    }
+    java.lang.Integer.valueOf(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("argmaxTable", table, "double[][]")
+    nullSafeCodeGen(ctx, ev, xs => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val row = ctx.freshName("row")
+      val acc = ctx.freshName("acc")
+      val best = ctx.freshName("best")
+      val bestVal = ctx.freshName("bestVal")
+      val done = ctx.freshName("done")
+      val bad = ctx.freshName("bad")
+      s"""
+        final int $n = $xs.numElements();
+        boolean $bad = ($tableRef.length == 0) ||
+          ($n != ($tableRef.length == 0 ? 0 : $tableRef[0].length));
+        for (int $i = 0; $i < $n && !$bad; $i++)
+          if ($xs.isNullAt($i)) $bad = true;
+        if ($bad) { ${ev.isNull} = true; }
+        else {
+          int $best = 0;
+          double $bestVal = Double.NEGATIVE_INFINITY;
+          boolean $done = false;
+          for (int $j = 0; $j < $tableRef.length && !$done; $j++) {
+            final double[] $row = $tableRef[$j];
+            double $acc = 0.0;
+            for (int $k = 0; $k < $n; $k++)
+              $acc += $xs.getDouble($k) * $row[$k];
+            if (Double.isNaN($acc)) { $best = $j; $done = true; }
+            else if ($acc > $bestVal) { $bestVal = $acc; $best = $j; }
+          }
+          ${ev.value} = $best;
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ArgmaxDot = copy(child = newChild)
 }
 
 case class CorrArrays(left: Expression, right: Expression)

@@ -174,10 +174,19 @@ object Similarity {
   }
 
   /** Distributed coarse-cell assignment: argmax dot against the
-    * centroid table, shipped as ONE 2-D constant literal (k separate
-    * literal arrays would bloat the generated code past what janino
-    * compiles quickly; a single constant keeps the codegen tree tiny). */
+    * centroid table via the NATIVE fused expression — the table rides
+    * as a constant reference object, so generated code size is
+    * independent of k x dim and every dot is a plain fused loop
+    * instead of an interpreted HOF pass. [[coarseCellHof]] stays as
+    * the parity oracle. */
   private def coarseCell(nvec: Column,
+      centroids: Array[Array[Double]]): Column =
+    graft.functions.expressions.GraftExpressions.argmax_dot(
+      nvec, centroids)
+
+  /** The composed-HOF reference formulation — the parity oracle for
+    * the native argmax (SimilaritySpec). */
+  private[pipeline] def coarseCellHof(nvec: Column,
       centroids: Array[Array[Double]]): Column = {
     val centLit = typedLit(centroids.map(_.toSeq).toSeq)
     val dots = transform(centLit, c =>

@@ -320,6 +320,36 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("cell"), plan) // the bounding join key
   }
 
+  test("native argmax-dot: exact parity with the HOF cell assignment") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(31)
+    val cents = Array.fill(16)(Array.fill(8)(rnd.nextDouble() - 0.5))
+    val rows = (0 until 80).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextDouble() - 0.5))) ++ Seq(
+      (200L, Seq.fill(8)(0.0)),          // zero vector -> first cell
+      (201L, cents(7).toSeq),            // exactly a centroid
+      (202L, Seq.fill(3)(1.0)),          // wrong length -> null
+      (203L, Seq.fill(8)(Double.NaN)))   // NaN dots -> first NaN row
+    val df = rows.toDF("id", "v").select(col("id"),
+      graft.functions.expressions.GraftExpressions
+        .argmax_dot(col("v"), cents).as("nat"),
+      Similarity.coarseCellHof(col("v").cast("array<double>"), cents)
+        .as("hof"))
+    df.collect().foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null mismatch id ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getInt(1) == r.getInt(2), s"id ${r.getLong(0)}")
+    }
+    // a null element null-poisons the HOF dots -> null; native matches
+    val nr = Seq((1L, Seq[java.lang.Double](1.0, null, 1.0, 1.0, 1.0, 1.0,
+      1.0, 1.0))).toDF("id", "v").select(
+      graft.functions.expressions.GraftExpressions
+        .argmax_dot(col("v"), cents).as("nat"),
+      Similarity.coarseCellHof(col("v").cast("array<double>"), cents)
+        .as("hof")).head()
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
+
   test("native rhp signature: exact parity with the HOF formulation") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(21)
