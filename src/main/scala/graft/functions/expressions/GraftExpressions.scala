@@ -67,6 +67,16 @@ object GraftExpressions {
     ColumnBridge.column(ArgmaxDot(
       ColumnBridge.expression(vec.cast("array<double>")), table))
 
+  /** Product-quantization codes: per subspace j, the index of the
+    * codebook row minimizing ||sub_j(vec) - codeword||^2, computed as
+    * argmin of (|c|^2 - 2<s,c>) in one fused pass over all m x nCodes
+    * codewords (|s|^2 is constant per row and cannot change the
+    * argmin — the same algebra the HOF formulation used, interpreted,
+    * per codeword). */
+  def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncode(
+      ColumnBridge.expression(vec.cast("array<double>")), codebooks))
+
   /** Cumulative scan (sum/max/min/mul) over an array<double> column in
     * one O(n) pass — the HOF formulation is O(n^2) (per-element slice
     * + aggregate, or array-accumulator concat copying). */
@@ -418,6 +428,119 @@ case class ArgmaxDot(child: Expression, table: Array[Array[Double]])
 
   override protected def withNewChildInternal(
       newChild: Expression): ArgmaxDot = copy(child = newChild)
+}
+
+/** Per-subspace argmin codes against a fixed m x nCodes x subDim
+  * codebook, all subspaces fused in one pass. Distances use the
+  * HOF-parity algebra (|c|^2 - 2<s,c>, accumulated left-to-right);
+  * first-min ties win and NaN distances are never selected unless all
+  * are (matching array_min/array_position double ordering). Malformed
+  * input (length != m*subDim, or a null element) yields NULL — the
+  * HOF form instead emits per-subspace null codes, but both only
+  * occur on inputs the PQ fit's `require` already rejects. */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_encode expects array<double>, got $other")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_encode"
+
+  private val m = codebooks.length
+  private val subDim =
+    if (m > 0 && codebooks(0).nonEmpty) codebooks(0)(0).length else 0
+
+  override def nullSafeEval(xs: Any): Any = {
+    val x = xs.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (m == 0 || subDim == 0 || n != m * subDim) return null
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      i += 1
+    }
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val base = j * subDim
+      var best = 0
+      var bestVal = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.length) {
+        val cw = cb(c)
+        var acc = 0.0
+        var k = 0
+        while (k < subDim) {
+          val cv = cw(k)
+          acc += cv * cv - 2.0 * x.getDouble(base + k) * cv
+          k += 1
+        }
+        if (acc < bestVal) { bestVal = acc; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    val mv = m; val sd = subDim
+    nullSafeCodeGen(ctx, ev, xs => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val k = ctx.freshName("k")
+      val cb = ctx.freshName("cb")
+      val cw = ctx.freshName("cw")
+      val cv = ctx.freshName("cv")
+      val base = ctx.freshName("base")
+      val acc = ctx.freshName("acc")
+      val best = ctx.freshName("best")
+      val bestVal = ctx.freshName("bestVal")
+      val out = ctx.freshName("out")
+      val bad = ctx.freshName("bad")
+      s"""
+        final int $n = $xs.numElements();
+        boolean $bad = ($n != ${mv * sd}) || ${mv == 0 || sd == 0};
+        for (int $i = 0; $i < $n && !$bad; $i++)
+          if ($xs.isNullAt($i)) $bad = true;
+        if ($bad) { ${ev.isNull} = true; }
+        else {
+          final int[] $out = new int[$mv];
+          for (int $j = 0; $j < $mv; $j++) {
+            final double[][] $cb = $cbRef[$j];
+            final int $base = $j * $sd;
+            int $best = 0;
+            double $bestVal = Double.POSITIVE_INFINITY;
+            for (int $c = 0; $c < $cb.length; $c++) {
+              final double[] $cw = $cb[$c];
+              double $acc = 0.0;
+              for (int $k = 0; $k < $sd; $k++) {
+                final double $cv = $cw[$k];
+                $acc += $cv * $cv - 2.0 * $xs.getDouble($base + $k) * $cv;
+              }
+              if ($acc < $bestVal) { $bestVal = $acc; $best = $c; }
+            }
+            $out[$j] = $best;
+          }
+          ${ev.value} =
+            new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqEncode = copy(child = newChild)
 }
 
 case class CorrArrays(left: Expression, right: Expression)

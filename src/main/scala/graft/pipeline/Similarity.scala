@@ -560,26 +560,35 @@ object Similarity {
       lloyd(train.map(v => v.slice(j * subDim, (j + 1) * subDim)),
         nCodes, iters = 10, spherical = false)
     }
-    // one distributed pass: coarse cell (argmax dot, shared helper) +
-    // m codes (argmin L2, computed as -2<s,c> + |c|² — |s|² is
-    // constant per row so it cannot change the argmin). The codebook
-    // rides as a single 3-D constant literal for the same
-    // janino-size reason as the centroid table.
+    // one distributed pass: coarse cell (native argmax dot) + m codes
+    // (native per-subspace argmin, computed as -2<s,c> + |c|² — |s|²
+    // is constant per row so it cannot change the argmin). Both
+    // tables ride as constant reference objects; the HOF code form
+    // stays below as the parity oracle.
+    val encoded = feats
+      .withColumn("cell", coarseCell(col("nvec"), centroids))
+      .withColumn("codes", graft.functions.expressions.GraftExpressions
+        .pq_encode(col("nvec"), codebooks))
+      .select(col("id"), col("cell"), col("codes"))
+      .persist()
+    PqIndex(centroids, codebooks, encoded,
+      feats.select(col("id"), col("vec")))
+  }
+
+  /** The composed-HOF PQ code formulation — the parity oracle for the
+    * native [[graft.functions.expressions.PqEncode]] (SimilaritySpec). */
+  private[pipeline] def pqCodesHof(nvec: Column,
+      codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val subDim = codebooks(0)(0).length
     val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-    val codesExpr = transform(sequence(lit(0), lit(m - 1)), j => {
-      val sub = slice(col("nvec"), j * subDim + 1, lit(subDim))
+    transform(sequence(lit(0), lit(m - 1)), j => {
+      val sub = slice(nvec, j * subDim + 1, lit(subDim))
       val dists = transform(element_at(cbLit, (j + 1).cast("int")), cw =>
         F.aggregate(zip_with(sub, cw, (s, c) => c * c - lit(2.0) * s * c),
           lit(0.0), (a, x) => a + x))
       (array_position(dists, array_min(dists)) - 1).cast("int")
     })
-    val encoded = feats
-      .withColumn("cell", coarseCell(col("nvec"), centroids))
-      .withColumn("codes", codesExpr)
-      .select(col("id"), col("cell"), col("codes"))
-      .persist()
-    PqIndex(centroids, codebooks, encoded,
-      feats.select(col("id"), col("vec")))
   }
 
   /**

@@ -350,6 +350,36 @@ class SimilaritySpec extends SparkSpec {
     assert(nr.isNullAt(0) && nr.isNullAt(1))
   }
 
+  test("native pq codes: exact parity with the HOF formulation") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(41)
+    // m=4 subspaces of dim 4, 8 codewords each
+    val cbs = Array.fill(4)(Array.fill(8)(
+      Array.fill(4)(rnd.nextDouble() - 0.5)))
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextDouble() - 0.5))) ++ Seq(
+      (200L, Seq.fill(16)(0.0)),
+      (201L, (cbs(0)(3) ++ cbs(1)(0) ++ cbs(2)(7) ++ cbs(3)(5)).toSeq))
+    val df = rows.toDF("id", "v").select(col("id"),
+      graft.functions.expressions.GraftExpressions
+        .pq_encode(col("v"), cbs).as("nat"),
+      Similarity.pqCodesHof(col("v").cast("array<double>"), cbs)
+        .as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"id ${r.getLong(0)}")
+    }
+    // the exact-codeword row must encode to its own indices
+    val exact = df.filter(col("id") === 201L)
+      .select("nat").head().getSeq[Int](0)
+    assert(exact == Seq(3, 0, 7, 5))
+    // malformed length yields null (the HOF form's per-subspace null
+    // codes only arise on inputs the fit's require already rejects)
+    val bad = Seq((1L, Seq(1.0, 2.0))).toDF("id", "v").select(
+      graft.functions.expressions.GraftExpressions
+        .pq_encode(col("v"), cbs).as("nat")).head()
+    assert(bad.isNullAt(0))
+  }
+
   test("native rhp signature: exact parity with the HOF formulation") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(21)
