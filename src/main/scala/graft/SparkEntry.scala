@@ -151,12 +151,15 @@ object SparkEntry {
   private val FlushUser = -424242L
 
   /** [[stagedEventsStream]] plus two far-future FLUSH sentinel drops
-    * staged as strictly LATER micro-batches (maxFilesPerTrigger pinned
-    * to the real drop's file count; sentinel mtimes forced after it).
-    * The first flush advances the watermark past every real user's
-    * (last event + gap) and the second makes the resulting event-time
-    * timeouts fire inside a DATA batch — the eviction proof never
-    * depends on the engine scheduling a trailing no-data batch. */
+    * staged as strictly LATER micro-batches. The real events land as
+    * ONE flattened file (a multi-part source directory would otherwise
+    * let a maxFilesPerTrigger cap put both sentinels into one batch),
+    * so with maxFilesPerTrigger=1 the batch sequence is exactly
+    * [events, flush1, flush2] by forced mtime order. The first flush
+    * advances the watermark past every real user's (last event + gap)
+    * and the second makes the resulting event-time timeouts fire
+    * inside a DATA batch — the eviction proof never depends on the
+    * engine scheduling a trailing no-data batch. */
   private def stagedEventsWithFlush(s: SparkSession, dir: String,
       gapMs: Long): DataFrame = {
     import org.apache.spark.sql.types._
@@ -164,19 +167,25 @@ object SparkEntry {
     drops.toFile.deleteOnExit()
     val target = java.nio.file.Paths.get(s"$dir/events.parquet")
       .toAbsolutePath.normalize
-    java.nio.file.Files.createSymbolicLink(
-      drops.resolve("events_1.parquet"), target)
     val base = s.read.parquet(target.toString)
     val tsType = base.schema("ts").dataType
-    val nFiles =
-      if (java.nio.file.Files.isDirectory(target)) {
-        val st = java.nio.file.Files.list(target)
-        try st.filter { p =>
-          val n = p.getFileName.toString
-          !n.startsWith("_") && !n.startsWith(".")
-        }.count().toInt
+    val isSingleFile = !java.nio.file.Files.isDirectory(target)
+    if (isSingleFile)
+      java.nio.file.Files.createSymbolicLink(
+        drops.resolve("events_1.parquet"), target)
+    else {
+      // flatten the multi-part table into one drop file
+      val w = java.nio.file.Files.createTempDirectory("graft_flush_ev")
+      base.coalesce(1).write.mode("overwrite").parquet(w.toString)
+      val part = {
+        val st = java.nio.file.Files.list(w)
+        try st.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
         finally st.close()
-      } else 1
+      }
+      java.nio.file.Files.move(part, drops.resolve("events_1.parquet"))
+    }
+    val nFiles = 1
     val maxRow = base.orderBy(col("ts").desc).limit(1)
     def flush(offsetMs: Long, name: String, mtimeMs: Long): Unit = {
       val shifted = (tsType match {
@@ -1137,6 +1146,68 @@ object SparkEntry {
       val appended = Similarity.appendToIvfIndex(s, tmp.toString,
         planted, "vec_id", "embedding")
       require(appended == 3, s"appended $appended of 3 rows")
+      val index = Similarity.loadIvfIndex(s, tmp.toString)
+      annPlanted(s, dir,
+        Similarity.ivfTopK(index, Seq(9001L, 9002L, 9003L), 10, nProbe = 4))
+    }),
+
+    "simsearch_ivf_stream" -> ((s, dir) => withShufflePartitions(s, 8) {
+      // CONTINUOUS ANN INGESTION: embedding drops stream in and each
+      // micro-batch appends to the persisted index via foreachBatch +
+      // appendToIvfIndex. foreachBatch is AT-LEAST-ONCE (a crash
+      // between the append and the checkpoint commit re-runs the
+      // batch), so the append runs with dedupAgainstExisting = true —
+      // the id anti-join makes re-delivery a no-op and the pipeline's
+      // EFFECTS exactly-once. The fit sees the BASE corpus only; the
+      // planted probes arrive exclusively through the stream, so the
+      // standard planted-probe oracle passes only if the streamed
+      // appends really joined the index. The composed production
+      // story: a daily embedding feed kept queryable without ever
+      // refitting or rewriting the index.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfs")
+      val drops = java.nio.file.Files.createTempDirectory("graft_ivfs_in")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ivfs_ck")
+      Seq(tmp, drops, ckpt).foreach(_.toFile.deleteOnExit())
+      val base = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val fitted = Similarity.buildIvfIndex(base, "vec_id", "embedding",
+        nClusters = 16)
+      Similarity.saveIvfIndex(fitted, tmp.toString)
+      fitted.unpersist()
+      // stage the planted probes as TWO drops (two micro-batches) —
+      // flat files: the file source does not recurse into the
+      // directories a parquet sink writes
+      Seq(Seq(1L), Seq(2L, 3L)).zipWithIndex.foreach { case (ids, i) =>
+        val w = java.nio.file.Files.createTempDirectory("graft_ivfs_w")
+        base.filter(col("vec_id").isin(ids: _*))
+          .select((col("vec_id") + 9000).as("vec_id"), col("embedding"))
+          .coalesce(1).write.mode("overwrite").parquet(w.toString)
+        val part = {
+          val st = java.nio.file.Files.list(w)
+          try st.filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally st.close()
+        }
+        java.nio.file.Files.move(part,
+          drops.resolve(s"drop_$i.parquet"))
+      }
+      val vecType = base.schema("embedding").dataType
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding", vecType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops.toString)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Similarity.appendToIvfIndex(s, tmp.toString, batch,
+            "vec_id", "embedding", dedupAgainstExisting = true)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
       val index = Similarity.loadIvfIndex(s, tmp.toString)
       annPlanted(s, dir,
         Similarity.ivfTopK(index, Seq(9001L, 9002L, 9003L), 10, nProbe = 4))
@@ -3544,6 +3615,7 @@ object SparkEntry {
     "simsearch_ivf" -> annOracle,
     "simsearch_ivf_persisted" -> annOracle,
     "simsearch_ivf_append" -> annOracle,
+    "simsearch_ivf_stream" -> annOracle,
     "simsearch_ivfpq" -> annOracle,
 
     // at tau=0.999 on 64-dim near-random vectors, ONLY the planted

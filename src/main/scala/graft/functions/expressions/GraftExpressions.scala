@@ -261,8 +261,9 @@ case class CosineSim(left: Expression, right: Expression)
 /** Sign bits of <vec, plane_j> for a fixed plane table, all planes in
   * one fused pass. Parity contract with the HOF formulation
   * ([[graft.pipeline.Similarity.rhpSignatureHof]]): both sides
-  * truncate to min(|vec|, |plane|), a null element null-poisons every
-  * dot (all bits 0), and a zero dot yields bit 0. */
+  * truncate to min(|vec|, |plane|), a null element WITHIN that read
+  * prefix null-poisons every dot (all bits 0; a null in the unread
+  * tail of a longer vector does not), and a zero dot yields bit 0. */
 case class RhpSig(child: Expression, planes: Array[Array[Double]])
     extends UnaryExpression {
 
@@ -275,14 +276,20 @@ case class RhpSig(child: Expression, planes: Array[Array[Double]])
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_rhp_sig"
 
+  private val sigDim = planes.map(_.length).maxOption.getOrElse(0)
+
   override def nullSafeEval(xs: Any): Any = {
     val x = xs.asInstanceOf[ArrayData]
     val nb = planes.length
     val out = new Array[Int](nb)
     val n = x.numElements()
+    // HOF parity: only the first min(|vec|, dim) elements are ever
+    // read, so a null in the TAIL of a longer vector must not poison
+    // the signature
+    val scan = math.min(n, sigDim)
     var hasNull = false
     var i = 0
-    while (i < n && !hasNull) {
+    while (i < scan && !hasNull) {
       if (x.isNullAt(i)) hasNull = true
       i += 1
     }
@@ -317,7 +324,7 @@ case class RhpSig(child: Expression, planes: Array[Array[Double]])
       s"""
         final int $n = $xs.numElements();
         boolean $hasNull = false;
-        for (int $i = 0; $i < $n && !$hasNull; $i++)
+        for (int $i = 0; $i < Math.min($n, $sigDim) && !$hasNull; $i++)
           if ($xs.isNullAt($i)) $hasNull = true;
         final int $nb = $planesRef.length;
         final int[] $out = new int[$nb];

@@ -266,9 +266,12 @@ object Similarity {
       .localCheckpoint(true)
     // cell census over the materialized assignment: one tiny
     // aggregation (<= nClusters rows) — the guard the plain self-join
-    // lacked. Collecting it is bounded by construction.
+    // lacked. Collecting it is bounded by construction. Rows with a
+    // NULL cell (malformed vectors: wrong length / null elements)
+    // never match the equi-joins below, so the census skips them
+    // instead of tripping over the null group.
     val hotCells = assigned.groupBy(col("cell")).count()
-      .filter(col("count") > maxCellRows)
+      .filter(col("cell").isNotNull && col("count") > maxCellRows)
       .collect().map(_.getInt(0)).toSeq
 
     def verify(pairs: DataFrame): DataFrame = pairs
@@ -297,6 +300,9 @@ object Similarity {
       // banding must sub-divide cells, never bridge them.
       val rows = nBits / bands
       val hot = assigned.filter(col("cell").isin(hotCells: _*))
+      // eager localCheckpoint like `assigned`: both join sides consume
+      // the banded frame, and the blocks release with the plan via the
+      // context cleaner instead of pinning a persist for the session
       val banded = hot
         .withColumn("sig", rhpSignature(col("vec"), nBits, dim))
         .select(col("cell"), col("id"),
@@ -304,7 +310,7 @@ object Similarity {
             bnd => xxhash64(slice(col("sig"), bnd * rows + 1, lit(rows)),
               bnd)))
             .as(Seq("band", "bandhash")))
-        .persist()
+        .localCheckpoint(true)
       val lh = banded.select(col("cell"), col("band"), col("bandhash"),
         col("id").as("keep_id"))
       val rh = banded.select(col("cell"), col("band"), col("bandhash"),
@@ -394,19 +400,34 @@ object Similarity {
     * vectors identically (same centroids ⇒ same probe math; an
     * identical vector lands in the same cell deterministically).
     * Periodic refit remains the caller's policy when drift makes the
-    * frozen cells unbalanced. Returns the number of appended rows. */
+    * frozen cells unbalanced. Returns the number of appended rows.
+    *
+    * Delivery semantics: a plain append is NOT idempotent — an
+    * at-least-once driver (e.g. `foreachBatch`, which can re-run a
+    * batch after a crash between the write and the checkpoint commit)
+    * would duplicate vectors on retry. `dedupAgainstExisting = true`
+    * anti-joins the batch against the index's id column first (a
+    * pruned single-column scan of the index), so re-delivery of the
+    * same ids is a no-op — the price of exactly-once EFFECTS over a
+    * sink with no transaction log. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, emb: DataFrame, idCol: String,
-      vecCol: String): Long = {
-    val centroids = loadIvfIndex(spark, path).centroids
+      path: String, emb: DataFrame, idCol: String, vecCol: String,
+      dedupAgainstExisting: Boolean = false): Long = {
+    val index = loadIvfIndex(spark, path)
+    val fresh = normalized(emb, idCol, vecCol)
+    val incoming =
+      if (dedupAgainstExisting)
+        fresh.join(index.assigned.select(col("id")), Seq("id"), "left_anti")
+      else fresh
     // one assignment pass total: materialize before the count + write
-    val assigned = normalized(emb, idCol, vecCol)
-      .withColumn("cell", coarseCell(col("nvec"), centroids))
+    val assigned = incoming
+      .withColumn("cell", coarseCell(col("nvec"), index.centroids))
       .select(col("id"), col("vec"), col("cell"))
       .localCheckpoint(true)
     val n = assigned.count()
-    assigned.write.mode("append").partitionBy("cell")
-      .parquet(s"$path/assigned")
+    if (n > 0)
+      assigned.write.mode("append").partitionBy("cell")
+        .parquet(s"$path/assigned")
     n
   }
 

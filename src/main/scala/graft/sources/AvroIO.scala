@@ -57,29 +57,39 @@ object AvroIO {
     * returns the number of files written.
     *
     * Commit protocol (the parquet/ORC sinks get this from Spark's
-    * committer; a hand-rolled sink must supply its own): stale
-    * `*.avro` files from an earlier write are cleared up-front (an
-    * earlier run with MORE partitions would otherwise leave leftovers
-    * that read() silently includes), and each task writes to an
-    * attempt-unique `.part-NNNNN.avro.<attempt>.tmp` renamed into
-    * place only on success — a retried or speculative attempt never
-    * interleaves bytes with a concurrent writer of the same final
-    * name, and a crashed attempt leaves only a `.tmp` that the reader
-    * ignores and the next write clears. */
+    * committer; a hand-rolled sink must supply its own): tasks write
+    * attempt-unique hidden temp files and rename them — still hidden
+    * (`.part-<stamp>-NNNNN.avro.fin`) — on task success, so a retried
+    * or speculative attempt never interleaves bytes and readers never
+    * see a partial container. Only after the WHOLE job succeeds does
+    * the driver reveal the stamped files and then delete the previous
+    * write's containers — a failed job leaves the old dataset fully
+    * intact (the up-front-delete alternative destroys it). The one
+    * non-atomic window is the driver's reveal-then-delete sweep: a
+    * crash inside it can leave old and new containers visible
+    * together, which the next write() heals (everything unstamped is
+    * stale); atomic replace needs a manifest, which the bare Avro
+    * directory layout does not have. */
   def write(df: DataFrame, dir: String): Int = {
     val d = new File(dir)
     d.mkdirs()
-    Option(d.listFiles()).getOrElse(Array.empty[File])
+    val old = Option(d.listFiles()).getOrElse(Array.empty[File])
       .filter(f => f.getName.endsWith(".avro") ||
-        f.getName.endsWith(".tmp"))
+        f.getName.endsWith(".tmp") || f.getName.endsWith(".fin"))
+    // leftover hidden files from a crashed earlier job are safe to
+    // clear now; visible .avro containers are NOT touched until the
+    // new job has fully succeeded
+    old.filter(f => f.getName.endsWith(".tmp") ||
+        f.getName.endsWith(".fin"))
       .foreach { f =>
         if (!f.delete()) throw new java.io.IOException(
-          s"AvroIO.write: cannot clear stale ${f.getPath}")
+          s"AvroIO.write: cannot clear leftover ${f.getPath}")
       }
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
     val schema = df.schema
     val schemaJson = avroSchema(schema).toString
     val names = schema.fieldNames
-    val paths = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+    val finished = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
         val avSchema = new Schema.Parser().parse(schemaJson)
@@ -88,8 +98,8 @@ object AvroIO {
         writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(3))
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(_.taskAttemptId()).getOrElse(0L)
-        val tmp = new File(dir, f".part-$pid%05d.avro.$attempt%d.tmp")
-        val dst = new File(dir, f"part-$pid%05d.avro")
+        val tmp = new File(dir, f".part-$stamp-$pid%05d.avro.$attempt%d.tmp")
+        val fin = new File(dir, f".part-$stamp-$pid%05d.avro.fin")
         writer.create(avSchema, tmp)
         rows.foreach { row =>
           val rec = new GenericData.Record(avSchema)
@@ -108,12 +118,23 @@ object AvroIO {
         writer.close()
         // last-completer-wins rename: attempts of one partition carry
         // identical rows, so whichever lands is a complete container
-        java.nio.file.Files.move(tmp.toPath, dst.toPath,
+        java.nio.file.Files.move(tmp.toPath, fin.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        Iterator.single(dst.getPath)
+        Iterator.single(fin.getName)
       }
     }.collect()
-    paths.length
+    // job succeeded: reveal the new containers, then retire the old
+    finished.foreach { hidden =>
+      val visible = hidden.stripPrefix(".").stripSuffix(".fin")
+      java.nio.file.Files.move(new File(dir, hidden).toPath,
+        new File(dir, visible).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    old.filter(_.getName.endsWith(".avro")).foreach { f =>
+      if (f.exists() && !f.delete()) throw new java.io.IOException(
+        s"AvroIO.write: cannot retire stale ${f.getPath}")
+    }
+    finished.length
   }
 
   /** Read every container file under `dir` into a DataFrame with

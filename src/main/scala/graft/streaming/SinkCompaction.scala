@@ -12,8 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * partition — at ingest scale that is the classic small-files problem:
  * a year of 1-minute batches is half a million tiny files, and every
  * downstream scan pays the per-file open cost. Compaction rewrites the
- * COMMITTED file set to a target file size and swaps it in without
- * ever letting a reader observe a half-state:
+ * COMMITTED file set to a target file size and swaps it in:
  *
  *  1. committed files come from the sink's `_spark_metadata` log (the
  *     exactly-once source of truth — stray files from failed batches
@@ -36,8 +35,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *     `_spark_metadata.compacting`, from which [[recover]] finishes
  *     the publish. Old data files are deleted only after publish.
  *
- * Run against a sink whose query is stopped (the maintenance window);
- * the restarted query appends batch ids after the kept one.
+ * Consistency contract, stated precisely: crash-safe at every point
+ * (recover() completes or rolls forward; committed data is never
+ * lost), but NOT lock-free for concurrent readers — in the instant
+ * between the two renames `_spark_metadata` does not exist, and a
+ * reader starting exactly then falls back to directory listing and
+ * can observe old + new files together. Run compaction in the sink's
+ * maintenance window (query stopped, no readers starting), the same
+ * contract table formats without a single-pointer manifest all carry.
+ * The restarted query appends batch ids after the kept one.
  *
  * The log format is the public one the sink writes: a version header
  * line (`v1`) followed by one JSON `SinkFileStatus` per line with an
@@ -198,7 +204,11 @@ object SinkCompaction {
 
   /** Finish an interrupted swap: if a complete prepared log exists and
     * the live one is missing, publish it; a leftover retired log is
-    * garbage-collected. Safe to call unconditionally. */
+    * garbage-collected, and so are `compact-*` data files a crashed
+    * run moved into place but never published (they are referenced by
+    * nothing — without this sweep, repeatedly interrupted compactions
+    * would accumulate invisible orphans, the exact bloat the tool
+    * removes). Safe to call unconditionally. */
   def recover(sinkDir: String): Unit = {
     val live = Paths.get(sinkDir, MetadataDir)
     val prep = Paths.get(sinkDir, PrepareDir)
@@ -206,7 +216,25 @@ object SinkCompaction {
     if (!Files.exists(live) && Files.isDirectory(prep))
       Files.move(prep, live, StandardCopyOption.ATOMIC_MOVE)
     else deleteRecursive(prep)
-    if (Files.exists(live)) deleteRecursive(retired)
+    if (Files.exists(live)) {
+      deleteRecursive(retired)
+      // GC compaction orphans: compact-* files the published log does
+      // not reference
+      val committed = committedFiles(sinkDir)._1
+        .map(p => Paths.get(stripScheme(p)).toAbsolutePath.normalize.toString)
+        .toSet
+      val root = Paths.get(sinkDir).toAbsolutePath.normalize
+      val walk = Files.walk(root)
+      try {
+        val orphans = walk.iterator().asScala.filter { p =>
+          val name = p.getFileName.toString
+          name.startsWith("compact-") && name.endsWith(".parquet") &&
+            !p.toAbsolutePath.normalize.startsWith(live) &&
+            !committed(p.toAbsolutePath.normalize.toString)
+        }.toSeq
+        orphans.foreach(Files.deleteIfExists(_))
+      } finally walk.close()
+    }
   }
 
   private def stripScheme(p: String): String =

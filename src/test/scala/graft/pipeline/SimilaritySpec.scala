@@ -410,6 +410,16 @@ class SimilaritySpec extends SparkSpec {
       .head()
     assert(nullRow.getSeq[Int](0) == Seq.fill(8)(0))
     assert(nullRow.getSeq[Int](0) == nullRow.getSeq[Int](1))
+    // a null in the UNREAD tail (beyond dim) must NOT poison the
+    // signature — the HOF form never reads it
+    val tailNull = Seq((1L,
+      Seq[java.lang.Double](1.0, -2.0, 3.0, 0.5, null, null)))
+      .toDF("id", "v")
+      .select(Similarity.rhpSignature(col("v"), 8, 4).as("nat"),
+        Similarity.rhpSignatureHof(col("v"), 8, 4).as("hof"))
+      .head()
+    assert(tailNull.getSeq[Int](0) == tailNull.getSeq[Int](1))
+    assert(tailNull.getSeq[Int](0).contains(1), "tail null poisoned the sig")
   }
 
   test("IVF append: frozen-centroid assignment, existing files untouched") {

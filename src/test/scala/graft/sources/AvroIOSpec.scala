@@ -80,9 +80,28 @@ class AvroIOSpec extends SparkSpec {
     val back = AvroIO.read(spark, dir, schema)
       .collect().map(_.getLong(0)).sorted
     assert(back.toSeq == (1000L until 1010L).toSeq)
-    // and no stray tmp files remain
+    // and no stray hidden files remain
     val leftovers = new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".tmp"))
+      .filter(f => f.getName.endsWith(".tmp") || f.getName.endsWith(".fin"))
     assert(leftovers.isEmpty)
+  }
+
+  test("a failed write leaves the previous dataset fully intact") {
+    val dir = Files.createTempDirectory("avro_fail").toString
+    AvroIO.write(spark.range(0, 50).toDF("id"), dir)
+    val schema = StructType(Seq(StructField("id", LongType)))
+    assert(AvroIO.read(spark, dir, schema).count() == 50)
+    // a job that dies mid-write (every task throws) must not destroy
+    // the old containers — the old up-front-delete protocol did
+    val boom = org.apache.spark.sql.functions.udf { (_: Long) =>
+      throw new RuntimeException("boom"); true
+    }
+    val poison = spark.range(0, 10).toDF("id")
+      .filter(boom(org.apache.spark.sql.functions.col("id")))
+    intercept[Exception](AvroIO.write(poison, dir))
+    val back = AvroIO.read(spark, dir, schema)
+      .collect().map(_.getLong(0)).sorted
+    assert(back.toSeq == (0L until 50L).toSeq,
+      "old dataset damaged by the failed write")
   }
 }

@@ -140,4 +140,25 @@ class SinkCompactionSpec extends SparkSpec {
     SinkCompaction.recover(out)
     assert(spark.read.parquet(out).count() == 20)
   }
+
+  test("recover garbage-collects unpublished compaction orphans") {
+    val src = Files.createTempDirectory("cmp3_src").toString
+    val out = Files.createTempDirectory("cmp3_out").toString
+    val ckpt = Files.createTempDirectory("cmp3_ck").toString
+    (0 until 2).foreach(i => writeEventChunk(src, i * 10, 10))
+    drain(src, out, ckpt)
+    // a crashed run's moved-but-never-published compact file: visible
+    // on disk, referenced by nothing
+    val committed = SinkCompaction.committedFiles(out)._1.head
+    val orphan = Paths.get(out, "compact-deadbeef-part-00000.parquet")
+    Files.copy(Paths.get(new java.net.URI(committed)), orphan)
+    SinkCompaction.recover(out)
+    assert(!Files.exists(orphan), "orphan survived recover")
+    assert(spark.read.parquet(out).count() == 20)
+    // a LIVE compaction's files survive the sweep (they are committed)
+    val (nb, na) = SinkCompaction.compact(spark, out, 1L << 30)
+    assert(nb == 2 && na == 1)
+    SinkCompaction.recover(out)
+    assert(spark.read.parquet(out).count() == 20)
+  }
 }
