@@ -2398,6 +2398,19 @@ object SparkEntry {
             .as("in_band"))
     }),
 
+    "profile_orders" -> ((s, dir) => {
+      // one-pass relational profiling (the ingest health report):
+      // row/null/distinct counts with the HLL estimate pinned in-band,
+      // min/max rendered through DECIMAL so both engines print
+      // identical fixed-scale text. One aggregation pass; the result
+      // is |columns| x 7, bounded by the schema.
+      // o_orderdate is excluded: its PHYSICAL parquet type varies by
+      // generation (nanos long vs micros timestamp), so the two
+      // engines would profile different logical types
+      graft.pipeline.Profile.profile(s, t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"))
+    }),
+
     "sketch_topk" -> ((s, dir) => {
       // exact heavy hitters, sketch-pruned: every third event
       // collapses onto 5 hot users (deterministic plant, same
@@ -4254,6 +4267,39 @@ object SparkEntry {
                 CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
                 TRUE AS in_band
          FROM events GROUP BY 1""",
+
+    // per-column profile: counts/distincts/min/max pinned exactly,
+    // the HLL band as a flag; min/max travel through DECIMAL(28,4) so
+    // both engines print identical fixed-scale text (strings: null —
+    // collation is engine-specific)
+    "profile_orders" ->
+      """SELECT 'o_orderkey' AS col_name,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+                CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                CAST(CAST(min(o_orderkey) AS VARCHAR) AS VARCHAR) AS min_v,
+                CAST(max(o_orderkey) AS VARCHAR) AS max_v,
+                TRUE AS hll_in_band
+         FROM orders
+         UNION ALL
+         SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+                count(DISTINCT o_custkey),
+                CAST(min(o_custkey) AS VARCHAR),
+                CAST(max(o_custkey) AS VARCHAR), TRUE
+         FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+                count(DISTINCT o_totalprice),
+                CAST(CAST(round(min(o_totalprice), 4) AS DECIMAL(28,4)) AS VARCHAR),
+                CAST(CAST(round(max(o_totalprice), 4) AS DECIMAL(28,4)) AS VARCHAR),
+                TRUE
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', count(*),
+                count(*) - count(o_orderpriority),
+                count(DISTINCT o_orderpriority),
+                CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), TRUE
+         FROM orders""",
 
     // Count-Min point queries: exact probe counts pinned, plus the
     // structural one-sided guarantee (never undercounts) and the

@@ -134,29 +134,41 @@ object SinkCompaction {
     //    scan's partitioning; round-robin balances output sizes). The
     //    group's files share their partition values, which stay
     //    encoded in the directory name — the data columns are
-    //    rewritten verbatim.
+    //    rewritten verbatim. Groups submit CONCURRENTLY (bounded
+    //    pool): a sink with thousands of partition directories would
+    //    otherwise serialize thousands of small jobs on the driver,
+    //    while the cluster scheduler interleaves them fine.
     val stamp = java.util.UUID.randomUUID().toString.take(8)
-    val moved = plans.flatMap { case (rel, files, nOut) =>
-      if (files.size <= nOut) files.map(Paths.get(_))
-      else {
-        val df = spark.read.parquet(files: _*).repartition(nOut)
-        val tmpOut = Files.createTempDirectory("graft_compact")
-        df.write.mode("overwrite").parquet(tmpOut.toString)
-        val dstDir = if (rel.isEmpty) root else root.resolve(rel)
-        val parts = {
-          val st = Files.list(tmpOut)
-          try st.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-          finally st.close()
-        }
-        parts.zipWithIndex.map { case (p, i) =>
-          val dst = dstDir.resolve(
-            f"compact-$stamp-part-$i%05d.parquet")
-          Files.move(p, dst)
-          dst
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val moved = try {
+      val futures = plans.map { case (rel, files, nOut) =>
+        if (files.size <= nOut)
+          scala.concurrent.Future.successful(files.map(Paths.get(_)))
+        else scala.concurrent.Future {
+          val df = spark.read.parquet(files: _*).repartition(nOut)
+          val tmpOut = Files.createTempDirectory("graft_compact")
+          df.write.mode("overwrite").parquet(tmpOut.toString)
+          val dstDir = if (rel.isEmpty) root else root.resolve(rel)
+          val parts = {
+            val st = Files.list(tmpOut)
+            try st.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+            finally st.close()
+          }
+          parts.zipWithIndex.map { case (p, i) =>
+            val dst = dstDir.resolve(
+              f"compact-$stamp-part-$i%05d.parquet")
+            Files.move(p, dst)
+            dst
+          }
         }
       }
-    }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf).flatten
+    } finally pool.shutdown()
 
     // 3. prepare the replacement log: same file names as the live log,
     //    full listing in the LATEST file, empty batches elsewhere
