@@ -150,6 +150,24 @@ object SparkEntry {
     * [[stagedEventsWithFlush]]; queries filter it from their output. */
   private val FlushUser = -424242L
 
+  /** Write `df` as ONE flat parquet file at `dst` (file sources do
+    * not recurse into the directories a parquet sink writes, so drop
+    * staging needs flat siblings). Fails loudly on an empty frame —
+    * the sink would emit no part file. */
+  private def writeSinglePartParquet(df: DataFrame,
+      dst: java.nio.file.Path): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_onepart")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = {
+      val st = java.nio.file.Files.list(tmp)
+      try st.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst()
+      finally st.close()
+    }
+    require(part.isPresent, s"no part file produced for $dst (empty frame?)")
+    java.nio.file.Files.move(part.get(), dst)
+  }
+
   /** [[stagedEventsStream]] plus two far-future FLUSH sentinel drops
     * staged as strictly LATER micro-batches. The real events land as
     * ONE flattened file (a multi-part source directory would otherwise
@@ -173,20 +191,11 @@ object SparkEntry {
     if (isSingleFile)
       java.nio.file.Files.createSymbolicLink(
         drops.resolve("events_1.parquet"), target)
-    else {
-      // flatten the multi-part table into one drop file
-      val w = java.nio.file.Files.createTempDirectory("graft_flush_ev")
-      base.coalesce(1).write.mode("overwrite").parquet(w.toString)
-      val part = {
-        val st = java.nio.file.Files.list(w)
-        try st.filter(_.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
-        finally st.close()
-      }
-      java.nio.file.Files.move(part, drops.resolve("events_1.parquet"))
-    }
+    else // flatten the multi-part table into one drop file
+      writeSinglePartParquet(base, drops.resolve("events_1.parquet"))
     val nFiles = 1
-    val maxRow = base.orderBy(col("ts").desc).limit(1)
+    // ONE top-1 job feeds both flush frames (localCheckpoint pins it)
+    val maxRow = base.orderBy(col("ts").desc).limit(1).localCheckpoint(true)
     def flush(offsetMs: Long, name: String, mtimeMs: Long): Unit = {
       val shifted = (tsType match {
         case LongType => // raw nanos
@@ -196,19 +205,8 @@ object SparkEntry {
             col("ts") + expr(s"INTERVAL $offsetMs MILLISECONDS"))
       }).withColumn("user_id", lit(FlushUser))
         .withColumn("event_id", lit(-1L))
-      // the sink writes a DIRECTORY; the file-source stream does not
-      // recurse into non-partition subdirectories, so surface the part
-      // file as a flat sibling of the events drop
-      val tmp = java.nio.file.Files.createTempDirectory("graft_flush_w")
-      shifted.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = {
-        val st = java.nio.file.Files.list(tmp)
-        try st.filter(_.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
-        finally st.close()
-      }
       val dst = drops.resolve(name)
-      java.nio.file.Files.move(part, dst)
+      writeSinglePartParquet(shifted, dst)
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
     }
@@ -1177,17 +1175,9 @@ object SparkEntry {
       // flat files: the file source does not recurse into the
       // directories a parquet sink writes
       Seq(Seq(1L), Seq(2L, 3L)).zipWithIndex.foreach { case (ids, i) =>
-        val w = java.nio.file.Files.createTempDirectory("graft_ivfs_w")
-        base.filter(col("vec_id").isin(ids: _*))
-          .select((col("vec_id") + 9000).as("vec_id"), col("embedding"))
-          .coalesce(1).write.mode("overwrite").parquet(w.toString)
-        val part = {
-          val st = java.nio.file.Files.list(w)
-          try st.filter(_.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
-          finally st.close()
-        }
-        java.nio.file.Files.move(part,
+        writeSinglePartParquet(
+          base.filter(col("vec_id").isin(ids: _*))
+            .select((col("vec_id") + 9000).as("vec_id"), col("embedding")),
           drops.resolve(s"drop_$i.parquet"))
       }
       val vecType = base.schema("embedding").dataType

@@ -92,7 +92,6 @@ object Similarity {
     // defaults: 16-bit bands — random pairs collide at ~2^-16 per band,
     // near-identical vectors (tau ~ 1) survive with ~0.999 recall;
     // narrower bands flood the verify step with false candidates
-    val rows = nBits / bands
     val par = emb.sparkSession.sparkContext.defaultParallelism
     // the persisted frame is ONLY (id, band, bandhash) — 3 narrow
     // columns. The signature pass (the expensive HOF dot products) runs
@@ -103,9 +102,7 @@ object Similarity {
       .repartition(par, col("id"))
       .withColumn("sig", rhpSignature(col("vec"), nBits, dim))
       .select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
-          .as(Seq("band", "bandhash")))
+        bandExplode(col("sig"), nBits, bands).as(Seq("band", "bandhash")))
       .persist()
     // candidates dedupe on the id pair ONLY; vectors join back for the
     // exact-cosine verify afterwards
@@ -298,7 +295,6 @@ object Similarity {
       // carries wide arrays (the embeddingDups shape). The join keeps
       // `cell` in its key: the contract is same-cell pairs only, and
       // banding must sub-divide cells, never bridge them.
-      val rows = nBits / bands
       val hot = assigned.filter(col("cell").isin(hotCells: _*))
       // eager localCheckpoint like `assigned`: both join sides consume
       // the banded frame, and the blocks release with the plan via the
@@ -306,10 +302,7 @@ object Similarity {
       val banded = hot
         .withColumn("sig", rhpSignature(col("vec"), nBits, dim))
         .select(col("cell"), col("id"),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            bnd => xxhash64(slice(col("sig"), bnd * rows + 1, lit(rows)),
-              bnd)))
-            .as(Seq("band", "bandhash")))
+          bandExplode(col("sig"), nBits, bands).as(Seq("band", "bandhash")))
         .localCheckpoint(true)
       val lh = banded.select(col("cell"), col("band"), col("bandhash"),
         col("id").as("keep_id"))
@@ -670,6 +663,18 @@ object Similarity {
     topK(reranked, k)
   }
 
+  /** The shared banding step: explode a signature into `bands`
+    * (band, bandhash) pairs, each hash covering nBits/bands sign bits.
+    * EVERY banding path (embedding near-dup, LSH top-k, the SemDeDup
+    * hot cells) must use this one definition — a seed or slice-bound
+    * change in one copy would silently break cross-path bucket
+    * compatibility. */
+  private def bandExplode(sig: Column, nBits: Int, bands: Int): Column = {
+    val rows = nBits / bands
+    posexplode(transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(sig, b * rows + 1, lit(rows)), b)))
+  }
+
   /** Deterministic plane table shared by the native and HOF signature
     * forms (seeded Scala-side, generated row-major so both forms see
     * the identical Random sequence). */
@@ -715,13 +720,10 @@ object Similarity {
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int,
       nBits: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
-    val rows = nBits / bands
     val sigs = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("sig", rhpSignature(col("vec"), nBits, dim))
       .select(col("id"), col("vec"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
-          .as(Seq("band", "bandhash")))
+        bandExplode(col("sig"), nBits, bands).as(Seq("band", "bandhash")))
     val queries = sigs.filter(col("id").isin(queryIds: _*))
       .select(col("band"), col("bandhash"),
         col("id").as("query_id"), col("vec").as("qvec"))

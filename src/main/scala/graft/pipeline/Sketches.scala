@@ -72,22 +72,27 @@ object Sketches {
     * partition order, but it is always a superset of the true heavy
     * hitters, and the confirm pass computes exact counts and applies
     * the threshold. */
-  def heavyHitters(spark: SparkSession, df: DataFrame, keyCol: String,
-      k: Int): DataFrame = {
-    import spark.implicits._
-    // the sketch runs on primitive longs; a non-integral key (e.g. a
-    // string id) would cast to null row-by-row, silently collapsing
-    // every key into the null group — misuse must fail loudly instead
-    // (hash string keys to xxhash64 first if identity isn't needed)
+  /** Every sketch here runs on primitive longs; a non-integral key
+    * (e.g. a string id) would cast to null row-by-row, silently
+    * collapsing every key into the null group — misuse must fail
+    * loudly instead (pre-hash string keys with xxhash64 when identity
+    * isn't needed). */
+  private def requireIntegralKey(df: DataFrame, keyCol: String,
+      what: String): Unit =
     df.schema(keyCol).dataType match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.LongType => ()
       case other => throw new IllegalArgumentException(
-        s"heavyHitters: key column $keyCol has non-integral type $other; " +
+        s"$what: key column $keyCol has non-integral type $other; " +
           "pre-hash it (e.g. xxhash64) to a long key")
     }
+
+  def heavyHitters(spark: SparkSession, df: DataFrame, keyCol: String,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    requireIntegralKey(df, keyCol, "heavyHitters")
     val all = df.select(col(keyCol).cast("long").as(keyCol))
     // null keys can't flow through the primitive-long sketch, but a
     // null group CAN be a heavy hitter (a groupBy would report it) —
@@ -152,15 +157,7 @@ object Sketches {
     * at the price of an approximate (one-sided) answer. */
   def countMin(df: DataFrame, keyCol: String, depth: Int = 5,
       width: Int = 2048): CountMinSketch = {
-    df.schema(keyCol).dataType match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"countMin: key column $keyCol has non-integral type $other; " +
-          "pre-hash it (e.g. xxhash64) to a long key")
-    }
+    requireIntegralKey(df, keyCol, "countMin")
     val d = depth; val w = width
     val parts = df.select(col(keyCol).cast("long"))
       .filter(col(keyCol).isNotNull)

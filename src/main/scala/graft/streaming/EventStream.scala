@@ -255,14 +255,18 @@ object EventStream {
     * `watermarkDelay = None` opts into unbounded `dropDuplicates` —
     * one state entry per key FOREVER, so re-delivery is caught no
     * matter how late; that form's contract is the AvailableNow
-    * backfill replay, never a continuous deployment. */
+    * backfill replay, never a continuous deployment. A BATCH frame
+    * always takes plain `dropDuplicates` (watermarks and
+    * within-watermark dedup are streaming-only; a batch job holds no
+    * state to bound). */
   def dedupEvents(events: DataFrame,
       keys: Seq[String] = Seq("event_id"),
       watermarkDelay: Option[String] = Some("48 hours")): DataFrame =
     watermarkDelay match {
-      case Some(delay) => events.withWatermark("ts", delay)
-        .dropDuplicatesWithinWatermark(keys)
-      case None => events.dropDuplicates(keys)
+      case Some(delay) if events.isStreaming =>
+        events.withWatermark("ts", delay)
+          .dropDuplicatesWithinWatermark(keys)
+      case _ => events.dropDuplicates(keys)
     }
 
   /** Stream-stream event-time interval join: each left event joins

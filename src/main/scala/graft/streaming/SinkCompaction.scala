@@ -35,15 +35,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *     `_spark_metadata.compacting`, from which [[recover]] finishes
  *     the publish. Old data files are deleted only after publish.
  *
- * Consistency contract, stated precisely: crash-safe at every point
- * (recover() completes or rolls forward; committed data is never
- * lost), but NOT lock-free for concurrent readers — in the instant
- * between the two renames `_spark_metadata` does not exist, and a
- * reader starting exactly then falls back to directory listing and
- * can observe old + new files together. Run compaction in the sink's
- * maintenance window (query stopped, no readers starting), the same
- * contract table formats without a single-pointer manifest all carry.
- * The restarted query appends batch ids after the kept one.
+ * Consistency contract, stated precisely: crash-safe at every point —
+ * recover() completes or rolls the swap forward, a durable retire
+ * list replays the old-file GC a crash interrupted, and committed
+ * data is never lost. Exclusive by design: a timestamped lock file
+ * serializes compactors (recover's orphan sweep cannot tell a crashed
+ * run's leftovers from a live run's work-in-progress). NOT lock-free
+ * for concurrent readers — in the instant between the two renames
+ * `_spark_metadata` does not exist, and a reader starting exactly
+ * then falls back to directory listing and can observe old + new
+ * files together. Run compaction in the sink's maintenance window
+ * (query stopped, no readers starting), the same contract table
+ * formats without a single-pointer manifest all carry. The restarted
+ * query appends batch ids after the kept one.
  *
  * The log format is the public one the sink writes: a version header
  * line (`v1`) followed by one JSON `SinkFileStatus` per line with an
@@ -54,6 +58,8 @@ object SinkCompaction {
   private val MetadataDir = "_spark_metadata"
   private val PrepareDir = "_spark_metadata.compacting"
   private val RetireDir = "_spark_metadata.retired"
+  private val RetireList = "_spark_metadata.retirelist"
+  private val LockFile = "_spark_metadata.compaction.lock"
 
   /** Committed data files per the sink log: entries of the latest
     * `.compact` listing (if any) plus all later batch files, `add`
@@ -109,7 +115,30 @@ object SinkCompaction {
     * directory (and per-partition files are what partition-pruned
     * readers want anyway). */
   def compact(spark: SparkSession, sinkDir: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      lockTtlMs: Long = 6 * 3600 * 1000L): (Int, Int) = {
+    // exclusivity: compaction (and its recover/GC) assumes ONE
+    // compactor. The lock carries its creation time; a stale lock
+    // (crashed run older than the TTL) is replaced after recover()
+    // has healed that run's state.
+    val lock = Paths.get(sinkDir, LockFile)
+    if (Files.exists(lock)) {
+      val age = System.currentTimeMillis() -
+        (try new String(Files.readAllBytes(lock), "UTF-8").trim.toLong
+         catch { case _: Exception => 0L })
+      if (age < lockTtlMs) throw new IllegalStateException(
+        s"$sinkDir: another compaction appears in flight ($lock, " +
+          s"${age / 1000}s old); remove the lock if that run is dead")
+      Files.deleteIfExists(lock)
+    }
+    Files.write(lock,
+      System.currentTimeMillis().toString.getBytes("UTF-8"))
+    try compactLocked(spark, sinkDir, targetFileBytes)
+    finally Files.deleteIfExists(lock)
+  }
+
+  private def compactLocked(spark: SparkSession, sinkDir: String,
+      targetFileBytes: Long): (Int, Int) = {
     recover(sinkDir) // finish any interrupted earlier swap first
     val (committed, latestId) = committedFiles(sinkDir)
     val local = committed.map(stripScheme)
@@ -157,12 +186,14 @@ object SinkCompaction {
               .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
             finally st.close()
           }
-          parts.zipWithIndex.map { case (p, i) =>
+          val out = parts.zipWithIndex.map { case (p, i) =>
             val dst = dstDir.resolve(
               f"compact-$stamp-part-$i%05d.parquet")
             Files.move(p, dst)
             dst
           }
+          deleteRecursive(tmpOut) // _SUCCESS/.crc leftovers
+          out
         }
       }
       scala.concurrent.Await.result(
@@ -198,29 +229,38 @@ object SinkCompaction {
       Files.write(prep.resolve(n), content.getBytes("UTF-8"))
     }
 
-    // 4. publish: retire old log, promote the prepared one, then GC.
-    //    Delete only files the new listing does NOT carry — groups
-    //    already at target keep their original files
+    // 3.5. durable retire list: the old files to delete once the new
+    //      log is live. A crash between publish and the delete loop
+    //      would otherwise orphan every replaced file forever (they do
+    //      not match the compact-* sweep); recover() replays this list.
+    val kept = moved.map(_.toAbsolutePath.normalize.toString).toSet
+    val toRetire = local.filterNot(p =>
+      kept(Paths.get(p).toAbsolutePath.normalize.toString))
+    val retireList = Paths.get(sinkDir, RetireList)
+    Files.write(retireList, toRetire.mkString("\n").getBytes("UTF-8"))
+
+    // 4. publish: retire old log, promote the prepared one, then GC
     val live = Paths.get(sinkDir, MetadataDir)
     val retired = Paths.get(sinkDir, RetireDir)
     deleteRecursive(retired)
     Files.move(live, retired, StandardCopyOption.ATOMIC_MOVE)
     Files.move(prep, live, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursive(retired)
-    val kept = moved.map(_.toAbsolutePath.normalize.toString).toSet
-    local.filterNot(p =>
-        kept(Paths.get(p).toAbsolutePath.normalize.toString))
-      .foreach(p => Files.deleteIfExists(Paths.get(p)))
+    toRetire.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    Files.deleteIfExists(retireList)
     (local.size, moved.size)
   }
 
   /** Finish an interrupted swap: if a complete prepared log exists and
-    * the live one is missing, publish it; a leftover retired log is
-    * garbage-collected, and so are `compact-*` data files a crashed
-    * run moved into place but never published (they are referenced by
-    * nothing — without this sweep, repeatedly interrupted compactions
-    * would accumulate invisible orphans, the exact bloat the tool
-    * removes). Safe to call unconditionally. */
+    * the live one is missing, publish it; a durable retire list from a
+    * crash between publish and GC is replayed (replaced originals do
+    * not match the compact-* sweep and would otherwise orphan
+    * forever); a leftover retired log is garbage-collected, and so are
+    * `compact-*` data files a crashed run moved into place but never
+    * published. Safe to call when no OTHER compaction is in flight —
+    * the sweep cannot distinguish a crashed run's leftovers from a
+    * live run's work-in-progress, which is why [[compact]] takes the
+    * lock before calling it. */
   def recover(sinkDir: String): Unit = {
     val live = Paths.get(sinkDir, MetadataDir)
     val prep = Paths.get(sinkDir, PrepareDir)
@@ -230,6 +270,21 @@ object SinkCompaction {
     else deleteRecursive(prep)
     if (Files.exists(live)) {
       deleteRecursive(retired)
+      // replay a retire list the crashed run never finished — but only
+      // entries the LIVE log does not reference (a pre-publish crash
+      // rolled back, and the old files are still committed)
+      val retireList = Paths.get(sinkDir, RetireList)
+      if (Files.exists(retireList)) {
+        val committedNow = committedFiles(sinkDir)._1
+          .map(p => Paths.get(stripScheme(p))
+            .toAbsolutePath.normalize.toString).toSet
+        Files.readAllLines(retireList).asScala
+          .filter(_.nonEmpty)
+          .map(p => Paths.get(p).toAbsolutePath.normalize)
+          .filterNot(p => committedNow(p.toString))
+          .foreach(Files.deleteIfExists(_))
+        Files.deleteIfExists(retireList)
+      }
       // GC compaction orphans: compact-* files the published log does
       // not reference
       val committed = committedFiles(sinkDir)._1

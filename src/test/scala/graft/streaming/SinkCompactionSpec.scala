@@ -161,4 +161,50 @@ class SinkCompactionSpec extends SparkSpec {
     SinkCompaction.recover(out)
     assert(spark.read.parquet(out).count() == 20)
   }
+
+  test("the compaction lock serializes compactors; stale locks break") {
+    val src = Files.createTempDirectory("cmp4_src").toString
+    val out = Files.createTempDirectory("cmp4_out").toString
+    val ckpt = Files.createTempDirectory("cmp4_ck").toString
+    (0 until 2).foreach(i => writeEventChunk(src, i * 10, 10))
+    drain(src, out, ckpt)
+    val lock = Paths.get(out, "_spark_metadata.compaction.lock")
+    // a fresh lock (live run) blocks
+    Files.write(lock,
+      System.currentTimeMillis().toString.getBytes("UTF-8"))
+    val e = intercept[IllegalStateException](
+      SinkCompaction.compact(spark, out, 1L << 30))
+    assert(e.getMessage.contains("in flight"))
+    // a stale lock (crashed run past the TTL) is replaced and the
+    // compaction proceeds
+    Files.write(lock, (System.currentTimeMillis() - 10L * 3600 * 1000)
+      .toString.getBytes("UTF-8"))
+    val (nb, na) = SinkCompaction.compact(spark, out, 1L << 30)
+    assert(nb == 2 && na == 1)
+    assert(!Files.exists(lock), "lock not released")
+    assert(spark.read.parquet(out).count() == 20)
+  }
+
+  test("recover replays an interrupted retire list, sparing committed files") {
+    val src = Files.createTempDirectory("cmp5_src").toString
+    val out = Files.createTempDirectory("cmp5_out").toString
+    val ckpt = Files.createTempDirectory("cmp5_ck").toString
+    (0 until 2).foreach(i => writeEventChunk(src, i * 10, 10))
+    drain(src, out, ckpt)
+    val committed = SinkCompaction.committedFiles(out)._1
+      .map(p => Paths.get(new java.net.URI(p)))
+    // crash-after-publish shape: a retire list naming a replaced file
+    // (simulated by an uncommitted copy) AND a still-committed file —
+    // recover must delete the former and spare the latter
+    val replaced = Paths.get(out, "old-replaced.parquet")
+    Files.copy(committed.head, replaced)
+    val retireList = Paths.get(out, "_spark_metadata.retirelist")
+    Files.write(retireList,
+      s"$replaced\n${committed.head}".getBytes("UTF-8"))
+    SinkCompaction.recover(out)
+    assert(!Files.exists(replaced), "replaced file survived GC replay")
+    assert(Files.exists(committed.head), "committed file deleted!")
+    assert(!Files.exists(retireList))
+    assert(spark.read.parquet(out).count() == 20)
+  }
 }
