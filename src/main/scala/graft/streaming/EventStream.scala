@@ -95,7 +95,11 @@ object EventStream {
     * its documented backfill-only contract. After eviction a late
     * event restarts the counter at 1 (by the gap definition it IS a
     * new session); downstream consumers sum the closed counts per
-    * user across epochs. */
+    * user across epochs. One Spark nuance: a group with new data in
+    * the very batch its timeout would fire takes the DATA path
+    * instead (no timeout invocation), so the event folds into the
+    * still-live state and the count simply continues — strictly more
+    * continuity, never double-counting. Both shapes are spec-pinned. */
   def sessionizeEvicting(spark: SparkSession, events: DataFrame,
       gapMillis: Long = 30 * 60 * 1000L,
       watermark: String = "10 seconds"): DataFrame = {

@@ -142,6 +142,72 @@ class EventStreamSpec extends SparkSpec {
       s"expected terminal eviction rows, got $terminal")
   }
 
+  test("evicting sessionize: post-eviction events restart a fresh epoch") {
+    // the DOCUMENTED trade of eviction: after a user's state is
+    // removed, a later event restarts the counter at 1 (by the gap
+    // definition it IS a new session); downstream sums the closed
+    // counts per user across epochs. Pin it so it cannot silently
+    // change.
+    val dir = Files.createTempDirectory("graft_evict3").toString
+    val t0 = 1700000000000L
+    def chunk(rows: Seq[(Long, Long)], off: Long): Unit =
+      rows.zipWithIndex.map { case ((u, t), i) =>
+        (off + i, new java.sql.Timestamp(t), u, "e", 0.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    chunk(Seq((1L, t0), (1L, t0 + 60000)), 0)       // epoch 1: 1 session
+    chunk(Seq((99L, t0 + 120 * 60000L)), 100)       // advance watermark
+    chunk(Seq((99L, t0 + 125 * 60000L)), 150)       // fire user 1's timeout
+    chunk(Seq((1L, t0 + 180 * 60000L)), 200)        // epoch 2 begins
+    chunk(Seq((99L, t0 + 360 * 60000L)), 300)       // advance watermark
+    chunk(Seq((99L, t0 + 540 * 60000L)), 400)       // fire epoch-2 timeout
+    val stream = EventStream.fileStream(spark, dir, maxFilesPerTrigger = 1)
+    val q = EventStream.sessionizeEvicting(spark, stream,
+        gapMillis = 30 * 60 * 1000L, watermark = "1 second")
+      .writeStream.format("memory")
+      .queryName("evict_epochs").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val closed = spark.table("evict_epochs")
+      .filter(col("closed") && col("userId") === 1L)
+      .select("sessions").as[Long].collect().toSeq
+    // two terminal rows, one per epoch, each counting from 1 — their
+    // SUM equals the batch gap-count (2 sessions)
+    assert(closed == Seq(1L, 1L), s"got $closed")
+  }
+
+  test("evicting sessionize: data arriving in the timeout batch folds in") {
+    // the companion shape: when a group's new data lands in the very
+    // batch its timeout would fire, Spark takes the data path — the
+    // event folds into the still-live state and the count CONTINUES
+    // (one terminal row, never a double count)
+    val dir = Files.createTempDirectory("graft_evict4").toString
+    val t0 = 1700000000000L
+    def chunk(rows: Seq[(Long, Long)], off: Long): Unit =
+      rows.zipWithIndex.map { case ((u, t), i) =>
+        (off + i, new java.sql.Timestamp(t), u, "e", 0.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    chunk(Seq((1L, t0), (1L, t0 + 60000)), 0)
+    chunk(Seq((99L, t0 + 120 * 60000L)), 100)   // watermark passes gap
+    chunk(Seq((1L, t0 + 180 * 60000L)), 200)    // collides with timeout
+    chunk(Seq((99L, t0 + 360 * 60000L)), 300)
+    chunk(Seq((99L, t0 + 540 * 60000L)), 400)
+    val stream = EventStream.fileStream(spark, dir, maxFilesPerTrigger = 1)
+    val q = EventStream.sessionizeEvicting(spark, stream,
+        gapMillis = 30 * 60 * 1000L, watermark = "1 second")
+      .writeStream.format("memory")
+      .queryName("evict_collide").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val closed = spark.table("evict_collide")
+      .filter(col("closed") && col("userId") === 1L)
+      .select("sessions").as[Long].collect().toSeq
+    assert(closed == Seq(2L), s"got $closed")
+  }
+
   test("evicting session log equals the full batch session log after flush") {
     val dir = Files.createTempDirectory("graft_evict2").toString
     val t0 = 1700000000000L
