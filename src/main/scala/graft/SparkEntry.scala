@@ -2401,6 +2401,13 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"))
     }),
 
+    "profile_embeddings" -> ((s, dir) =>
+      // the ANN preflight: null vectors, dimensionality drift against
+      // the modal dim, zero norms (cosine poison), and the norm range
+      // — one aggregation pass plus a tiny (dim, count) modal lookup
+      graft.pipeline.Profile.profileEmbeddings(
+        t(s, dir, "embeddings"), "embedding")),
+
     "sketch_topk" -> ((s, dir) => {
       // exact heavy hitters, sketch-pruned: every third event
       // collapses onto 5 hot users (deterministic plant, same
@@ -4290,6 +4297,32 @@ object SparkEntry {
                 count(DISTINCT o_orderpriority),
                 CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), TRUE
          FROM orders""",
+
+    // embedding health: identical norm algebra on the oracle side
+    // (per-element squares summed left-to-right, then sqrt), rounded
+    // to 4 decimals on both
+    "profile_embeddings" ->
+      """WITH norms AS (
+           SELECT sqrt(list_aggregate(list_transform(
+                    CAST(embedding AS DOUBLE[]), x -> x*x), 'sum')) AS nrm,
+                  len(embedding) AS dim
+           FROM embeddings WHERE embedding IS NOT NULL),
+         modal AS (SELECT dim FROM norms GROUP BY 1
+                   ORDER BY count(*) DESC, dim LIMIT 1)
+         SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT)
+                  AS n_vectors,
+                CAST((SELECT count(*) - count(embedding) FROM embeddings)
+                  AS BIGINT) AS n_null,
+                CAST(sum(CASE WHEN dim != (SELECT dim FROM modal)
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dim_mismatch,
+                CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_zero_norm,
+                CAST((SELECT dim FROM modal) AS BIGINT) AS modal_dim,
+                round(min(nrm), 4) AS min_norm,
+                round(max(nrm), 4) AS max_norm,
+                round(avg(nrm), 4) AS avg_norm
+         FROM norms""",
 
     // Count-Min point queries: exact probe counts pinned, plus the
     // structural one-sided guarantee (never undercounts) and the

@@ -45,9 +45,11 @@ object Profile {
     case _ => lit(null).cast("string")
   }
 
-  def profile(spark: SparkSession, df: DataFrame, columns: Seq[String],
-      band: Double = 0.05, exactDistinct: Boolean = true): DataFrame = {
-    require(columns.nonEmpty, "profile: no columns given")
+  /** The single shared statistics pass, exposed for plan audits: it
+    * must NEVER contain an Expand (see the class scaladoc — that is
+    * exactly the rewrite the split design avoids). */
+  private[pipeline] def statsAgg(df: DataFrame,
+      columns: Seq[String]): DataFrame = {
     val aggs: Seq[Column] = count(lit(1)).as("__n") +: columns.flatMap { c =>
       val dt = df.schema(c).dataType
       Seq(
@@ -57,7 +59,13 @@ object Profile {
         canon(dt, min(col(c))).as(s"__min_$c"),
         canon(dt, max(col(c))).as(s"__max_$c"))
     }
-    val r: Row = df.agg(aggs.head, aggs.tail: _*).head()
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  def profile(spark: SparkSession, df: DataFrame, columns: Seq[String],
+      band: Double = 0.05, exactDistinct: Boolean = true): DataFrame = {
+    require(columns.nonEmpty, "profile: no columns given")
+    val r: Row = statsAgg(df, columns).head()
     val n = r.getLong(0)
     // exact distincts as one small job per column — see the scaladoc
     // for why they must not join the agg above
@@ -78,5 +86,36 @@ object Profile {
     import spark.implicits._
     rows.toDF("col_name", "n_rows", "n_nulls", "n_distinct",
       "min_v", "max_v", "hll_in_band")
+  }
+
+  /** Embedding-corpus health, the ANN preflight: vector counts, null
+    * vectors, dimensionality consistency against the modal dimension,
+    * zero-norm vectors (they poison cosine math), and the norm range.
+    * One aggregation pass; norms ride a single fused dot via the
+    * native cosine building block's algebra (sum of squares). Returns
+    * one row: (n_vectors, n_null, n_dim_mismatch, n_zero_norm,
+    * modal_dim, min_norm, max_norm, avg_norm) with norms rounded to 4
+    * decimals for cross-engine comparison. */
+  def profileEmbeddings(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val norm = sqrt(aggregate(v.cast("array<double>"),
+      lit(0.0), (a, x) => a + x * x))
+    // modal dimension from a tiny (dim, count) aggregate
+    val modal = df.filter(v.isNotNull)
+      .groupBy(size(v).as("dim")).count()
+      .orderBy(col("count").desc, col("dim"))
+      .limit(1)
+    val modalDim = modal.collect().headOption
+      .map(_.getInt(0)).getOrElse(0)
+    df.agg(
+      count(lit(1)).as("n_vectors"),
+      sum(v.isNull.cast("long")).as("n_null"),
+      sum((v.isNotNull && size(v) =!= modalDim).cast("long"))
+        .as("n_dim_mismatch"),
+      sum((v.isNotNull && norm === 0.0).cast("long")).as("n_zero_norm"),
+      lit(modalDim).cast("long").as("modal_dim"),
+      round(min(norm), 4).as("min_norm"),
+      round(max(norm), 4).as("max_norm"),
+      round(avg(norm), 4).as("avg_norm"))
   }
 }

@@ -35,4 +35,35 @@ class ProfileSpec extends SparkSpec {
     assert(p.getLong(1) == 0L && p.getLong(2) == 0L && p.getLong(3) == 0L)
     assert(p.isNullAt(4) && p.isNullAt(5))
   }
+
+  test("the shared statistics pass never plans an Expand") {
+    // the lesson this module's split design encodes: multiple
+    // count(DISTINCT) columns mixed into one agg rewrite through an
+    // Expand whose generated aggregate blows up combinatorially
+    // (measured 28 s warm for 4 columns x 150k rows). Pin the shape.
+    val df = Seq((1L, 2.0, "a"), (2L, 3.0, "b")).toDF("a", "b", "c")
+    val plan = Profile.statsAgg(df, Seq("a", "b", "c"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+  }
+
+  test("profileEmbeddings: nulls, dim drift, zero norms, norm range") {
+    val rows = Seq(
+      (1L, Seq(3.0f, 4.0f)),        // norm 5
+      (2L, Seq(0.0f, 0.0f)),        // zero norm
+      (3L, Seq(1.0f, 0.0f, 0.0f)),  // dim mismatch (modal = 2)
+      (4L, null.asInstanceOf[Seq[Float]]),
+      (5L, Seq(6.0f, 8.0f)))        // norm 10
+    val df = rows.toDF("id", "embedding")
+    val r = Profile.profileEmbeddings(df, "embedding").head()
+    assert(r.getLong(0) == 5L)            // n_vectors
+    assert(r.getLong(1) == 1L)            // n_null
+    assert(r.getLong(2) == 1L)            // n_dim_mismatch
+    assert(r.getLong(3) == 1L)            // n_zero_norm
+    assert(r.getLong(4) == 2L)            // modal_dim
+    assert(r.getDouble(5) == 0.0)         // min_norm
+    assert(r.getDouble(6) == 10.0)        // max_norm
+    // avg over norms {5, 0, 1, 10} = 4.0
+    assert(r.getDouble(7) == 4.0)
+  }
 }
