@@ -4274,7 +4274,7 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
                 CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
-                CAST(CAST(min(o_orderkey) AS VARCHAR) AS VARCHAR) AS min_v,
+                CAST(min(o_orderkey) AS VARCHAR) AS min_v,
                 CAST(max(o_orderkey) AS VARCHAR) AS max_v,
                 TRUE AS hll_in_band
          FROM orders
@@ -4304,8 +4304,12 @@ object SparkEntry {
     "profile_embeddings" ->
       """WITH norms AS (
            SELECT sqrt(list_aggregate(list_transform(
-                    CAST(embedding AS DOUBLE[]), x -> x*x), 'sum')) AS nrm,
-                  len(embedding) AS dim
+                    list_filter(CAST(embedding AS DOUBLE[]),
+                                x -> x IS NOT NULL),
+                    x -> x*x), 'sum')) AS nrm,
+                  len(embedding) AS dim,
+                  CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+                       THEN 1 ELSE 0 END AS has_null_elem
            FROM embeddings WHERE embedding IS NOT NULL),
          modal AS (SELECT dim FROM norms GROUP BY 1
                    ORDER BY count(*) DESC, dim LIMIT 1)
@@ -4313,6 +4317,7 @@ object SparkEntry {
                   AS n_vectors,
                 CAST((SELECT count(*) - count(embedding) FROM embeddings)
                   AS BIGINT) AS n_null,
+                CAST(sum(has_null_elem) AS BIGINT) AS n_elem_null,
                 CAST(sum(CASE WHEN dim != (SELECT dim FROM modal)
                               THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_dim_mismatch,

@@ -68,11 +68,24 @@ object Profile {
     val r: Row = statsAgg(df, columns).head()
     val n = r.getLong(0)
     // exact distincts as one small job per column — see the scaladoc
-    // for why they must not join the agg above
+    // for why they must not join the agg above. The jobs are
+    // independent full scans, so they submit CONCURRENTLY (the same
+    // driver-serialization argument as SinkCompaction's group pool).
     val nds: Map[String, Long] =
-      if (exactDistinct) columns.map(c => c ->
-        df.filter(col(c).isNotNull).select(col(c)).distinct().count()).toMap
-      else Map.empty
+      if (!exactDistinct) Map.empty
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(4, columns.size))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(columns.map(c =>
+            scala.concurrent.Future(c ->
+              df.filter(col(c).isNotNull).select(col(c))
+                .distinct().count()))),
+          scala.concurrent.duration.Duration.Inf).toMap
+        finally pool.shutdown()
+      }
     val rows = columns.zipWithIndex.map { case (c, i) =>
       val base = 1 + i * 4
       val nulls = if (r.isNullAt(base)) 0L else r.getLong(base)
@@ -80,7 +93,12 @@ object Profile {
       val nd = nds.getOrElse(c, hll)
       val minV = if (r.isNullAt(base + 2)) null else r.getString(base + 2)
       val maxV = if (r.isNullAt(base + 3)) null else r.getString(base + 3)
-      val inBand = math.abs(hll - nd).toDouble <= math.max(1.0, nd * band)
+      // without an exact count there is nothing to band against — the
+      // flag is NULL, never vacuously true
+      val inBand: Option[Boolean] =
+        if (exactDistinct)
+          Some(math.abs(hll - nd).toDouble <= math.max(1.0, nd * band))
+        else None
       (c, n, nulls, nd, minV, maxV, inBand)
     }
     import spark.implicits._
@@ -89,16 +107,20 @@ object Profile {
   }
 
   /** Embedding-corpus health, the ANN preflight: vector counts, null
-    * vectors, dimensionality consistency against the modal dimension,
-    * zero-norm vectors (they poison cosine math), and the norm range.
-    * One aggregation pass; norms ride a single fused dot via the
-    * native cosine building block's algebra (sum of squares). Returns
-    * one row: (n_vectors, n_null, n_dim_mismatch, n_zero_norm,
+    * vectors, vectors with NULL ELEMENTS (counted explicitly — a
+    * naive fold would null-poison the norm and silently drop exactly
+    * the corruption a health report exists to catch), dimensionality
+    * consistency against the modal dimension, zero-norm vectors (they
+    * poison cosine math), and the norm range. Norms sum over the
+    * non-null elements, matching SQL engines' skip-null list
+    * aggregation so the oracle compares exactly. Returns one row:
+    * (n_vectors, n_null, n_elem_null, n_dim_mismatch, n_zero_norm,
     * modal_dim, min_norm, max_norm, avg_norm) with norms rounded to 4
     * decimals for cross-engine comparison. */
   def profileEmbeddings(df: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol)
-    val norm = sqrt(aggregate(v.cast("array<double>"),
+    val norm = sqrt(aggregate(
+      filter(v.cast("array<double>"), x => x.isNotNull),
       lit(0.0), (a, x) => a + x * x))
     // modal dimension from a tiny (dim, count) aggregate
     val modal = df.filter(v.isNotNull)
@@ -110,6 +132,9 @@ object Profile {
     df.agg(
       count(lit(1)).as("n_vectors"),
       sum(v.isNull.cast("long")).as("n_null"),
+      sum((v.isNotNull &&
+          size(filter(v, x => x.isNull)) > 0).cast("long"))
+        .as("n_elem_null"),
       sum((v.isNotNull && size(v) =!= modalDim).cast("long"))
         .as("n_dim_mismatch"),
       sum((v.isNotNull && norm === 0.0).cast("long")).as("n_zero_norm"),

@@ -118,23 +118,51 @@ object SinkCompaction {
       targetFileBytes: Long = 128L * 1024 * 1024,
       lockTtlMs: Long = 6 * 3600 * 1000L): (Int, Int) = {
     // exclusivity: compaction (and its recover/GC) assumes ONE
-    // compactor. The lock carries its creation time; a stale lock
-    // (crashed run older than the TTL) is replaced after recover()
-    // has healed that run's state.
+    // compactor. Acquisition is ATOMIC (CREATE_NEW — a plain
+    // exists-then-write check would let two compactors race through
+    // the gap); the lock carries `timestamp:token`, and release
+    // deletes it only when the token is OURS, so a TTL takeover can
+    // never cascade (the superseded run's finally must not free the
+    // new owner's lock). A lock older than the TTL is presumed
+    // crashed and replaced — size lockTtlMs ABOVE the longest
+    // legitimate run: the takeover heuristic cannot distinguish a
+    // slow live compactor from a dead one.
     val lock = Paths.get(sinkDir, LockFile)
-    if (Files.exists(lock)) {
-      val age = System.currentTimeMillis() -
-        (try new String(Files.readAllBytes(lock), "UTF-8").trim.toLong
-         catch { case _: Exception => 0L })
-      if (age < lockTtlMs) throw new IllegalStateException(
-        s"$sinkDir: another compaction appears in flight ($lock, " +
-          s"${age / 1000}s old); remove the lock if that run is dead")
-      Files.deleteIfExists(lock)
+    val token = java.util.UUID.randomUUID().toString
+    val payload =
+      s"${System.currentTimeMillis()}:$token".getBytes("UTF-8")
+    var acquired = false
+    var attempts = 0
+    while (!acquired && attempts < 2) {
+      attempts += 1
+      try {
+        Files.write(lock, payload,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        acquired = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val content =
+            try new String(Files.readAllBytes(lock), "UTF-8").trim
+            catch { case _: Exception => "" }
+          val ts = content.split(':').headOption
+            .flatMap(_.toLongOption).getOrElse(0L)
+          val age = System.currentTimeMillis() - ts
+          if (age < lockTtlMs) throw new IllegalStateException(
+            s"$sinkDir: another compaction appears in flight ($lock, " +
+              s"${age / 1000}s old); remove the lock if that run is dead")
+          Files.deleteIfExists(lock) // stale: retry CREATE_NEW once
+      }
     }
-    Files.write(lock,
-      System.currentTimeMillis().toString.getBytes("UTF-8"))
+    if (!acquired) throw new IllegalStateException(
+      s"$sinkDir: could not acquire $lock (lost the takeover race)")
     try compactLocked(spark, sinkDir, targetFileBytes)
-    finally Files.deleteIfExists(lock)
+    finally {
+      // release only OUR lock: a TTL takeover may have replaced it
+      val mine = try new String(Files.readAllBytes(lock), "UTF-8").trim
+        .endsWith(s":$token")
+        catch { case _: Exception => false }
+      if (mine) Files.deleteIfExists(lock)
+    }
   }
 
   private def compactLocked(spark: SparkSession, sinkDir: String,
@@ -199,7 +227,13 @@ object SinkCompaction {
       scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(futures),
         scala.concurrent.duration.Duration.Inf).flatten
-    } finally pool.shutdown()
+    } finally {
+      // a failed group rethrows above while sibling rewrites may still
+      // be mutating the sink; the lock must NOT be released (nor a
+      // retry's recover() sweep run) until every straggler has stopped
+      pool.shutdownNow()
+      pool.awaitTermination(30, java.util.concurrent.TimeUnit.MINUTES)
+    }
 
     // 3. prepare the replacement log: same file names as the live log,
     //    full listing in the LATEST file, empty batches elsewhere

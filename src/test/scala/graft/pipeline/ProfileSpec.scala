@@ -47,23 +47,36 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Expand"), plan)
   }
 
-  test("profileEmbeddings: nulls, dim drift, zero norms, norm range") {
+  test("profileEmbeddings: nulls, null elements, dim drift, zero norms, norms") {
     val rows = Seq(
-      (1L, Seq(3.0f, 4.0f)),        // norm 5
-      (2L, Seq(0.0f, 0.0f)),        // zero norm
-      (3L, Seq(1.0f, 0.0f, 0.0f)),  // dim mismatch (modal = 2)
-      (4L, null.asInstanceOf[Seq[Float]]),
-      (5L, Seq(6.0f, 8.0f)))        // norm 10
+      (1L, Seq[java.lang.Float](3.0f, 4.0f)),        // norm 5
+      (2L, Seq[java.lang.Float](0.0f, 0.0f)),        // zero norm
+      (3L, Seq[java.lang.Float](1.0f, 0.0f, 0.0f)),  // dim mismatch
+      (4L, null.asInstanceOf[Seq[java.lang.Float]]),
+      (5L, Seq[java.lang.Float](6.0f, 8.0f)),        // norm 10
+      (6L, Seq[java.lang.Float](3.0f, null)))        // null ELEMENT: norm 3
     val df = rows.toDF("id", "embedding")
     val r = Profile.profileEmbeddings(df, "embedding").head()
-    assert(r.getLong(0) == 5L)            // n_vectors
+    assert(r.getLong(0) == 6L)            // n_vectors
     assert(r.getLong(1) == 1L)            // n_null
-    assert(r.getLong(2) == 1L)            // n_dim_mismatch
-    assert(r.getLong(3) == 1L)            // n_zero_norm
-    assert(r.getLong(4) == 2L)            // modal_dim
-    assert(r.getDouble(5) == 0.0)         // min_norm
-    assert(r.getDouble(6) == 10.0)        // max_norm
-    // avg over norms {5, 0, 1, 10} = 4.0
-    assert(r.getDouble(7) == 4.0)
+    assert(r.getLong(2) == 1L)            // n_elem_null (id 6, flagged)
+    assert(r.getLong(3) == 1L)            // n_dim_mismatch
+    assert(r.getLong(4) == 1L)            // n_zero_norm
+    assert(r.getLong(5) == 2L)            // modal_dim
+    assert(r.getDouble(6) == 0.0)         // min_norm
+    assert(r.getDouble(7) == 10.0)        // max_norm
+    // skip-null norms {5, 0, 1, 10, 3} -> avg 3.8 (matches SQL list
+    // aggregation, which also skips nulls)
+    assert(r.getDouble(8) == 3.8)
+  }
+
+  test("profile with exactDistinct=false reports a NULL band flag") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val p = Profile.profile(spark, df, Seq("id"), exactDistinct = false)
+      .head()
+    // n_distinct falls back to the HLL estimate; the flag must be
+    // NULL, never vacuously true
+    assert(p.isNullAt(6), "hll_in_band must be null without an exact count")
+    assert(p.getLong(3) > 0L)
   }
 }

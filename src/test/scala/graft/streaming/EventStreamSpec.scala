@@ -22,6 +22,15 @@ class EventStreamSpec extends SparkSpec {
       .coalesce(1).write.mode("append").parquet(dir)
   }
 
+  /** One (user_id, ts) drop file — the staging shape every
+    * sessionization test shares. */
+  private def writeUserTsChunk(dir: String, rows: Seq[(Long, Long)],
+      off: Long): Unit =
+    rows.zipWithIndex.map { case ((u, t), i) =>
+      (off + i, new java.sql.Timestamp(t), u, "e", 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+
   test("file-source stream drains dropped files into windowed aggregates") {
     val dir = Files.createTempDirectory("graft_stream").toString
     writeEventChunk(dir, 0, 20)
@@ -59,10 +68,7 @@ class EventStreamSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_sesslog").toString
     val t0 = 1700000000000L
     def chunk(rows: Seq[(Long, Long)], off: Long): Unit =
-      rows.zipWithIndex.map { case ((u, t), i) =>
-        (off + i, new java.sql.Timestamp(t), u, "e", 0.0, "{}")
-      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("append").parquet(dir)
+      writeUserTsChunk(dir, rows, off)
     // drop 1: user 7 bursts twice (closes one session inside the drop),
     // user 8 bursts once
     chunk(Seq((7L, t0), (7L, t0 + 60000), (7L, t0 + 7200000),
@@ -90,10 +96,7 @@ class EventStreamSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_late").toString
     val t0 = 1700000000000L
     def chunk(rows: Seq[(Long, Long)], off: Long): Unit =
-      rows.zipWithIndex.map { case ((u, t), i) =>
-        (off + i, new java.sql.Timestamp(t), u, "e", 0.0, "{}")
-      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("append").parquet(dir)
+      writeUserTsChunk(dir, rows, off)
     // batch 1: two events 20 min apart (one open session, clock at +20m)
     chunk(Seq((5L, t0), (5L, t0 + 1200000)), 0)
     // batch 2: a LATE event at +10m (inside the gap) and an on-time
@@ -116,10 +119,7 @@ class EventStreamSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_evict1").toString
     val t0 = 1700000000000L
     def chunk(rows: Seq[(Long, Long)], off: Long): Unit =
-      rows.zipWithIndex.map { case ((u, t), i) =>
-        (off + i, new java.sql.Timestamp(t), u, "e", 0.0, "{}")
-      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("append").parquet(dir)
+      writeUserTsChunk(dir, rows, off)
     // batch 1: user 1 has 2 sessions, user 2 has 1
     chunk(Seq((1L, t0), (1L, t0 + 60000), (1L, t0 + 7200000),
       (2L, t0)), 0)
@@ -151,10 +151,7 @@ class EventStreamSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_evict3").toString
     val t0 = 1700000000000L
     def chunk(rows: Seq[(Long, Long)], off: Long): Unit =
-      rows.zipWithIndex.map { case ((u, t), i) =>
-        (off + i, new java.sql.Timestamp(t), u, "e", 0.0, "{}")
-      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("append").parquet(dir)
+      writeUserTsChunk(dir, rows, off)
     chunk(Seq((1L, t0), (1L, t0 + 60000)), 0)       // epoch 1: 1 session
     chunk(Seq((99L, t0 + 120 * 60000L)), 100)       // advance watermark
     chunk(Seq((99L, t0 + 125 * 60000L)), 150)       // fire user 1's timeout
@@ -185,10 +182,7 @@ class EventStreamSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_evict4").toString
     val t0 = 1700000000000L
     def chunk(rows: Seq[(Long, Long)], off: Long): Unit =
-      rows.zipWithIndex.map { case ((u, t), i) =>
-        (off + i, new java.sql.Timestamp(t), u, "e", 0.0, "{}")
-      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("append").parquet(dir)
+      writeUserTsChunk(dir, rows, off)
     chunk(Seq((1L, t0), (1L, t0 + 60000)), 0)
     chunk(Seq((99L, t0 + 120 * 60000L)), 100)   // watermark passes gap
     chunk(Seq((1L, t0 + 180 * 60000L)), 200)    // collides with timeout
@@ -212,10 +206,7 @@ class EventStreamSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_evict2").toString
     val t0 = 1700000000000L
     def chunk(rows: Seq[(Long, Long)], off: Long): Unit =
-      rows.zipWithIndex.map { case ((u, t), i) =>
-        (off + i, new java.sql.Timestamp(t), u, "e", 0.0, "{}")
-      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("append").parquet(dir)
+      writeUserTsChunk(dir, rows, off)
     chunk(Seq((7L, t0), (7L, t0 + 60000), (7L, t0 + 7200000),
       (8L, t0), (8L, t0 + 120000)), 0)
     chunk(Seq((99L, t0 + 200 * 60000L)), 100)
