@@ -166,6 +166,11 @@ object SparkEntry {
     }
     require(part.isPresent, s"no part file produced for $dst (empty frame?)")
     java.nio.file.Files.move(part.get(), dst)
+    // clear the _SUCCESS/.crc leftovers with the temp dir itself
+    val walk = java.nio.file.Files.walk(tmp)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
   }
 
   /** [[stagedEventsStream]] plus two far-future FLUSH sentinel drops
