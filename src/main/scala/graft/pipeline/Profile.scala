@@ -119,9 +119,14 @@ object Profile {
     * decimals for cross-engine comparison. */
   def profileEmbeddings(df: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol)
-    val norm = sqrt(aggregate(
-      filter(v.cast("array<double>"), x => x.isNotNull),
-      lit(0.0), (a, x) => a + x * x))
+    // a vector whose elements are ALL null (or an empty vector) has no
+    // norm: yield NULL, matching SQL engines' list aggregation over an
+    // empty list (a 0.0 here would count toward n_zero_norm/min_norm
+    // while the oracle excludes it)
+    val nonNullElems = filter(v.cast("array<double>"), x => x.isNotNull)
+    val norm = when(size(nonNullElems) === 0, lit(null).cast("double"))
+      .otherwise(sqrt(aggregate(
+        nonNullElems, lit(0.0), (a, x) => a + x * x)))
     // modal dimension from a tiny (dim, count) aggregate
     val modal = df.filter(v.isNotNull)
       .groupBy(size(v).as("dim")).count()

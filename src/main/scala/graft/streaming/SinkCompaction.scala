@@ -68,13 +68,17 @@ object SinkCompaction {
   def committedFiles(sinkDir: String): (Seq[String], Long) = {
     val log = Paths.get(sinkDir, MetadataDir)
     require(Files.isDirectory(log), s"$sinkDir has no $MetadataDir log")
-    val entries = Files.list(log).iterator().asScala
-      .flatMap { p =>
-        val n = p.getFileName.toString
-        val compact = n.endsWith(".compact")
-        val idStr = if (compact) n.stripSuffix(".compact") else n
-        idStr.toLongOption.map(id => (id, compact, p))
-      }.toSeq.sortBy(_._1)
+    val entries = {
+      val st = Files.list(log)
+      try st.iterator().asScala
+        .flatMap { p =>
+          val n = p.getFileName.toString
+          val compact = n.endsWith(".compact")
+          val idStr = if (compact) n.stripSuffix(".compact") else n
+          idStr.toLongOption.map(id => (id, compact, p))
+        }.toSeq.sortBy(_._1)
+      finally st.close()
+    }
     require(entries.nonEmpty, s"$sinkDir: empty $MetadataDir log")
     val latestId = entries.map(_._1).max
     val fromCompact = entries.filter(_._2).map(_._1).maxOption
@@ -156,12 +160,33 @@ object SinkCompaction {
     if (!acquired) throw new IllegalStateException(
       s"$sinkDir: could not acquire $lock (lost the takeover race)")
     try compactLocked(spark, sinkDir, targetFileBytes)
-    finally {
-      // release only OUR lock: a TTL takeover may have replaced it
-      val mine = try new String(Files.readAllBytes(lock), "UTF-8").trim
+    finally releaseLock(lock, token)
+  }
+
+  /** Release only OUR lock. A naive read-then-deleteIfExists has a
+    * window: a TTL takeover can replace the lock BETWEEN the read and
+    * the delete, and the superseded run would then free the new
+    * owner's lock. Instead the lock is first ATOMIC_MOVEd to a unique
+    * name — whoever wins that rename has exclusive possession of the
+    * file — then inspected: ours is deleted, someone else's is moved
+    * back. Residual window (documented, POSIX gives no atomic
+    * compare-and-delete): while a foreign lock sits under the moved
+    * name, a third compactor could CREATE_NEW the primary name; the
+    * move-back then fails and the foreign copy is deleted — at that
+    * point its owner was already operating on a TTL-expired lock. */
+  private def releaseLock(lock: Path, token: String): Unit = {
+    val moved = lock.resolveSibling(
+      lock.getFileName.toString + ".release." + token)
+    try Files.move(lock, moved, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: Exception => return } // lock already gone
+    val mine =
+      try new String(Files.readAllBytes(moved), "UTF-8").trim
         .endsWith(s":$token")
-        catch { case _: Exception => false }
-      if (mine) Files.deleteIfExists(lock)
+      catch { case _: Exception => false }
+    if (mine) Files.deleteIfExists(moved)
+    else {
+      try Files.move(moved, lock, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: Exception => Files.deleteIfExists(moved) }
     }
   }
 
