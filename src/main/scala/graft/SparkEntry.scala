@@ -1843,6 +1843,40 @@ object SparkEntry {
         .agg(round(sum(col("price")), 2).as("s"))
     }),
 
+    "netcdf4_3d_subset_pruned" -> ((s, dir) => {
+      // any-axis subset pushdown (VERDICT r11 #1): a (time x lat x
+      // lon) archive chunked on EVERY axis — 4 x 4 x 4 = 64 chunks —
+      // filtered on the MIDDLE and FAST axes. The DSv2 intersects the
+      // pushed per-axis ranges with the chunk grid and plans only the
+      // predicate box (the reference pushes subsets into storage on
+      // ANY dimension: oph_subset_library.h:35 via oph_filters.c:223);
+      // NetCDFBoxPruneSpec pins the I/O audit (12 of 48 chunks
+      // decoded); this row pins the VALUES through the DuckDB oracle.
+      val (nt, nlat, nlon) = (24, 32, 40)
+      val vals = Array.tabulate(nt * nlat * nlon) { k =>
+        val t = k / (nlat * nlon); val la = (k / nlon) % nlat; val lo = k % nlon
+        ((t * 37 + la * 11 + lo * 5) % 89 + 0.5)
+      }
+      val f = java.io.File.createTempFile("graft_3d_prune", ".nc4")
+      f.delete(); f.deleteOnExit()
+      graft.sources.NetCDF4.write(f.getPath,
+        dims = Seq(graft.sources.NetCDF3.Dim("time", nt),
+          graft.sources.NetCDF3.Dim("lat", nlat),
+          graft.sources.NetCDF3.Dim("lon", nlon)),
+        vars = Seq(
+          ("time", Seq(0), Array.tabulate(nt)(_.toDouble)),
+          ("lat", Seq(1), Array.tabulate(nlat)(i => -80.0 + 5 * i)),
+          ("lon", Seq(2), Array.tabulate(nlon)(i => 9.0 * i)),
+          ("tas", Seq(0, 1, 2), vals)),
+        chunkDimsOf = Map("tas" -> Seq(6, 8, 10)))
+      s.read.format("netcdf4").load(f.getPath)
+        .filter(col("lat") >= -40.0 && col("lat") < 40.0 &&
+          col("lon") >= 45.0 && col("lon") < 225.0 && col("time") >= 6.0)
+        .groupBy(col("time").cast("long").as("t"),
+          col("lat").cast("double").as("lat"))
+        .agg(round(avg(col("tas")), 4).as("tas_avg"))
+    }),
+
     "netcdf4_3d_pipeline" -> ((s, dir) => {
       // the full 3-D climate path through the ENGINE: NetCDF-4 import
       // of a (time x lat x lon) variable with CF time + coordinate
@@ -3353,6 +3387,21 @@ object SparkEntry {
          FROM prio CROSS JOIN years CROSS JOIN months
          LEFT JOIN agg ON agg.p = prio.p AND agg.y = years.y
            AND agg.m = months.m""",
+
+    "netcdf4_3d_subset_pruned" ->
+      """WITH t AS (SELECT i AS ti FROM range(24) r(i)),
+         la AS (SELECT i AS lai FROM range(32) r(i)),
+         lo AS (SELECT i AS loi FROM range(40) r(i)),
+         cells AS (
+           SELECT ti, lai, loi,
+                  CAST((ti*37 + lai*11 + loi*5) % 89 + 0.5 AS DOUBLE) AS v
+           FROM t CROSS JOIN la CROSS JOIN lo)
+         SELECT CAST(ti AS BIGINT) AS t,
+                CAST(-80.0 + 5*lai AS DOUBLE) AS lat,
+                round(avg(v), 4) AS tas_avg
+         FROM cells
+         WHERE ti >= 6 AND lai BETWEEN 8 AND 23 AND loi BETWEEN 5 AND 24
+         GROUP BY 1, 2""",
 
     "netcdf4_3d_pipeline" ->
       """WITH t AS (SELECT i AS ti FROM range(16) r(i)),

@@ -1120,6 +1120,71 @@ object Hdf5 {
     }
   }
 
+  /** Chunk reads+decodes since JVM start — the observable behind the
+    * any-axis subset-pruning I/O audit: a local-mode test resets it,
+    * runs a pruned scan, and asserts fewer chunks were inflated than a
+    * full scan costs. One increment per chunk fetched off disk. */
+  val chunkDecodes = new java.util.concurrent.atomic.AtomicLong
+
+  /** Fetch one chunk's stored bytes and run the filter pipeline in
+    * reverse application order, returning the decoded cell buffer.
+    * Shared by [[readSlab]] and [[readBox]]. */
+  private def readDecodeChunk(f: RandomAccessFile, ds: Dataset,
+      chDims: Seq[Int], es: Int, addr: Long,
+      storedSize: Int): ByteBuffer = {
+    chunkDecodes.incrementAndGet()
+    f.seek(addr)
+    var raw = new Array[Byte](storedSize)
+    f.readFully(raw)
+    // Filters apply in reverse pipeline order on read. When
+    // fletcher32 PRECEDES deflate in the pipeline (the h5py /
+    // netcdf-c default), the deflated payload still carries
+    // the 4-byte checksum: inflate must expect it, and the
+    // checksum is verified before the strip.
+    val fl = ds.filters
+    var stage = fl.size
+    while (stage > 0) {
+      stage -= 1
+      val flt = fl(stage)
+      raw = flt.id match {
+        case 1 =>
+          val extra = 4 * fl.take(stage).count(_.id == 3)
+          // a packing filter BELOW deflate (nbit/scaleoffset
+          // applied before it on write) makes the inflated
+          // size data-dependent — inflate to completion
+          // instead of to the full chunk size
+          if (fl.take(stage).exists(f => f.id == 5 || f.id == 6))
+            inflateAll(raw,
+              chDims.map(_.toLong).product.toInt * es + extra +
+                graft.sources.ScaleOffset.PayloadOff)
+          else inflate(raw,
+            chDims.map(_.toLong).product.toInt * es + extra)
+        case 2 => unshuffle(raw, flt.client.headOption.getOrElse(es))
+        case 3 => fletcherStrip(raw, ds.name)
+        case 4 =>
+          // H5Zszip prepends the ORIGINAL byte count as a
+          // 4-byte little-endian header before the szip
+          // stream; pixels = original bytes / sample size
+          if (raw.length < 4)
+            throw new FormatError(s"${ds.name}: szip chunk " +
+              s"of ${raw.length} bytes has no size header")
+          val origBytes = ((raw(0) & 0xFFL) | ((raw(1) & 0xFFL) << 8) |
+            ((raw(2) & 0xFFL) << 16) | ((raw(3) & 0xFFL) << 24)).toInt
+          val bps = Szip.params(flt.client, ds.name).bytesPerSample
+          Szip.decode(java.util.Arrays.copyOfRange(raw, 4, raw.length),
+            flt.client, origBytes / bps, ds.name)
+        case 5 => graft.sources.Nbit.decode(raw, flt.client,
+          ds.dtype, ds.name)
+        case 6 => graft.sources.ScaleOffset.decode(raw, flt.client,
+          ds.dtype, ds.name)
+        case id => throw new FormatError(s"filter $id not supported")
+      }
+    }
+    ByteBuffer.wrap(raw)
+      .order(if (ds.dtype.littleEndian) ByteOrder.LITTLE_ENDIAN
+             else ByteOrder.BIG_ENDIAN)
+  }
+
   /** Read `count` cells from flat row-major cell `start`, decoded to
     * doubles. Chunked reads touch only the intersecting chunks. */
   def readSlab(path: String, ds: Dataset, start: Long, count: Int,
@@ -1158,56 +1223,7 @@ object Hdf5 {
               math.min(origin(i) + chDims(i) - 1, shape(i) - 1))
             val last = (0 until rank).map(i => lastCoord(i) * strides(i)).sum
             if (last >= start && first < end) {
-              f.seek(addr)
-              var raw = new Array[Byte](storedSize)
-              f.readFully(raw)
-              // Filters apply in reverse pipeline order on read. When
-              // fletcher32 PRECEDES deflate in the pipeline (the h5py /
-              // netcdf-c default), the deflated payload still carries
-              // the 4-byte checksum: inflate must expect it, and the
-              // checksum is verified before the strip.
-              val fl = ds.filters
-              var stage = fl.size
-              while (stage > 0) {
-                stage -= 1
-                val flt = fl(stage)
-                raw = flt.id match {
-                  case 1 =>
-                    val extra = 4 * fl.take(stage).count(_.id == 3)
-                    // a packing filter BELOW deflate (nbit/scaleoffset
-                    // applied before it on write) makes the inflated
-                    // size data-dependent — inflate to completion
-                    // instead of to the full chunk size
-                    if (fl.take(stage).exists(f => f.id == 5 || f.id == 6))
-                      inflateAll(raw,
-                        chDims.map(_.toLong).product.toInt * es + extra +
-                          graft.sources.ScaleOffset.PayloadOff)
-                    else inflate(raw,
-                      chDims.map(_.toLong).product.toInt * es + extra)
-                  case 2 => unshuffle(raw, flt.client.headOption.getOrElse(es))
-                  case 3 => fletcherStrip(raw, ds.name)
-                  case 4 =>
-                    // H5Zszip prepends the ORIGINAL byte count as a
-                    // 4-byte little-endian header before the szip
-                    // stream; pixels = original bytes / sample size
-                    if (raw.length < 4)
-                      throw new FormatError(s"${ds.name}: szip chunk " +
-                        s"of ${raw.length} bytes has no size header")
-                    val origBytes = ((raw(0) & 0xFFL) | ((raw(1) & 0xFFL) << 8) |
-                      ((raw(2) & 0xFFL) << 16) | ((raw(3) & 0xFFL) << 24)).toInt
-                    val bps = Szip.params(flt.client, ds.name).bytesPerSample
-                    Szip.decode(java.util.Arrays.copyOfRange(raw, 4, raw.length),
-                      flt.client, origBytes / bps, ds.name)
-                  case 5 => graft.sources.Nbit.decode(raw, flt.client,
-                    ds.dtype, ds.name)
-                  case 6 => graft.sources.ScaleOffset.decode(raw, flt.client,
-                    ds.dtype, ds.name)
-                  case id => throw new FormatError(s"filter $id not supported")
-                }
-              }
-              val bb = ByteBuffer.wrap(raw)
-                .order(if (ds.dtype.littleEndian) ByteOrder.LITTLE_ENDIAN
-                       else ByteOrder.BIG_ENDIAN)
+              val bb = readDecodeChunk(f, ds, chDims, es, addr, storedSize)
               // row-block chunks (trailing dims full-width — what
               // netCDF writers emit) are CONTIGUOUS in the flat index:
               // bulk-copy the overlap without per-cell coordinate math
@@ -1258,6 +1274,141 @@ object Hdf5 {
     out
   }
 
+  /** Read a hyper-rectangle of the dataset — `lens(i)` cells starting
+    * at `origin(i)` along each axis — decoded to doubles in row-major
+    * BOX order. This is the I/O path behind any-axis subset pruning:
+    * a chunked layout reads and decodes ONLY the chunks intersecting
+    * the box (mirroring the reference's in-engine subset pushdown,
+    * `/root/reference/src/oph_subset_library.h:35` applied at
+    * `src/oph_filters.c:223`, but at the chunk-grid level), while a
+    * contiguous layout reads only the box's runs. Cells of chunks the
+    * file never allocated read as `fill`, like [[readSlab]]. */
+  def readBox(path: String, ds: Dataset, origin: Seq[Long],
+      lens: Seq[Int], fill: Double = 0.0): Array[Double] = {
+    val shape = ds.shape
+    val rank = shape.size
+    require(origin.size == rank && lens.size == rank,
+      s"${ds.name}: box rank ${origin.size}/${lens.size} vs dataset rank $rank")
+    require((0 until rank).forall(i => origin(i) >= 0 && lens(i) >= 0 &&
+      origin(i) + lens(i) <= shape(i)),
+      s"${ds.name}: box $origin+$lens outside shape $shape")
+    if (rank == 0) return readSlab(path, ds, 0, 1, fill)
+    val cellsL = lens.map(_.toLong).product
+    require(cellsL <= Int.MaxValue, s"${ds.name}: box of $cellsL cells")
+    val cells = cellsL.toInt
+    val out = Array.fill(cells)(fill)
+    if (cells == 0) return out
+    val es = ds.dtype.size
+    if (es < 1 || es > 8)
+      throw new FormatError(s"${ds.name}: element size $es not readable")
+    // row-major strides of the box (destination indexing)
+    val boxStrides = new Array[Long](rank)
+    locally {
+      var s = 1L; var d = rank - 1
+      while (d >= 0) { boxStrides(d) = s; s *= lens(d); d -= 1 }
+    }
+    ds.layout match {
+      case Contiguous(addr, _) =>
+        if (!defined(addr)) return out
+        // contiguous runs: merge trailing axes the box covers fully,
+        // then one seek+read per outer coordinate tuple
+        val strides = new Array[Long](rank)
+        locally {
+          var s = 1L; var d = rank - 1
+          while (d >= 0) { strides(d) = s; s *= shape(d); d -= 1 }
+        }
+        var k = rank - 1
+        while (k >= 0 && origin(k) == 0 && lens(k).toLong == shape(k)) k -= 1
+        val runLen =
+          if (k < 0) cellsL
+          else lens(k).toLong * strides(k)
+        val runAxis = math.max(k, 0)
+        val f = new RandomAccessFile(path, "r")
+        try {
+          val outerIdx = new Array[Int](runAxis) // axes 0..runAxis-1
+          var dst = 0L
+          var more = true
+          while (more && dst < cells) {
+            var flat = origin(runAxis) * strides(runAxis)
+            var i = 0
+            while (i < runAxis) {
+              flat += (origin(i) + outerIdx(i)) * strides(i); i += 1
+            }
+            f.seek(addr + flat * es)
+            val raw = new Array[Byte]((runLen * es).toInt)
+            f.readFully(raw)
+            val vals = decode(raw, ds.dtype, runLen.toInt)
+            System.arraycopy(vals, 0, out, dst.toInt, runLen.toInt)
+            dst += runLen
+            // odometer over the outer axes
+            var j = runAxis - 1
+            var carry = true
+            while (j >= 0 && carry) {
+              outerIdx(j) += 1
+              if (outerIdx(j) == lens(j)) outerIdx(j) = 0 else carry = false
+              j -= 1
+            }
+            more = runAxis > 0 && !carry
+          }
+        } finally f.close()
+      case ch: Chunked =>
+        val chDims = ch.chunkDims
+        val chunks = chunkIndex(path, ds)
+        val f = new RandomAccessFile(path, "r")
+        try chunks.foreach { case (corigin, addr, storedSize) =>
+          // chunk box ∩ requested box, clipped to the shape
+          val lo = new Array[Long](rank); val hi = new Array[Long](rank)
+          var empty = false
+          var i = 0
+          while (i < rank) {
+            lo(i) = math.max(corigin(i), origin(i))
+            hi(i) = math.min(math.min(corigin(i) + chDims(i),
+              origin(i) + lens(i)), shape(i))
+            if (lo(i) >= hi(i)) empty = true
+            i += 1
+          }
+          if (!empty) {
+            val bb = readDecodeChunk(f, ds, chDims, es, addr, storedSize)
+            // chunk-local strides (row-major over chDims)
+            val chStrides = new Array[Long](rank)
+            var s = 1L; var d = rank - 1
+            while (d >= 0) { chStrides(d) = s; s *= chDims(d); d -= 1 }
+            // copy the intersection; the innermost axis is contiguous
+            // in both chunk and box, so it runs as the inner loop
+            val innerN = (hi(rank - 1) - lo(rank - 1)).toInt
+            val idx = new Array[Long](rank - 1) // offsets on outer axes
+            var more = true
+            while (more) {
+              var src = (lo(rank - 1) - corigin(rank - 1))
+              var dstL = (lo(rank - 1) - origin(rank - 1))
+              var j = 0
+              while (j < rank - 1) {
+                src += (lo(j) + idx(j) - corigin(j)) * chStrides(j)
+                dstL += (lo(j) + idx(j) - origin(j)) * boxStrides(j)
+                j += 1
+              }
+              var t = 0
+              while (t < innerN) {
+                out((dstL + t).toInt) =
+                  cellAt(bb, ds.dtype, (src + t).toInt)
+                t += 1
+              }
+              var j2 = rank - 2
+              var carry = true
+              while (j2 >= 0 && carry) {
+                idx(j2) += 1
+                if (lo(j2) + idx(j2) == hi(j2)) idx(j2) = 0
+                else carry = false
+                j2 -= 1
+              }
+              more = rank > 1 && !carry
+            }
+          }
+        } finally f.close()
+    }
+    out
+  }
+
   private def cellAt(b: ByteBuffer, t: Dtype, i: Int): Double = t.clazz match {
     case ClassFloat if t.size == 4 => b.getFloat(i * 4).toDouble
     case ClassFloat if t.size == 8 => b.getDouble(i * 8)
@@ -1278,8 +1429,11 @@ object Hdf5 {
     var off = 0
     while (off < expected && !inf.finished()) {
       val n = inf.inflate(out, off, expected - off)
-      if (n == 0 && inf.needsInput())
-        throw new FormatError("truncated deflate chunk")
+      // needsDictionary: a crafted zlib header with FDICT set makes
+      // Inflater stall at 0 bytes without needing input — without this
+      // check the loop would spin forever instead of failing catchably
+      if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+        throw new FormatError("truncated or dictionary-requiring deflate chunk")
       off += n
     }
     inf.end()
@@ -1300,8 +1454,8 @@ object Hdf5 {
       if (off >= cap)
         throw new FormatError(s"deflate chunk exceeds $cap-byte bound")
       val n = inf.inflate(out, off, cap - off)
-      if (n == 0 && inf.needsInput())
-        throw new FormatError("truncated deflate chunk")
+      if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+        throw new FormatError("truncated or dictionary-requiring deflate chunk")
       off += n
     }
     inf.end()

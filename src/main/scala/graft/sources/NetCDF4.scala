@@ -102,18 +102,36 @@ object NetCDF4 {
 
   private val Undef = -1L
 
-  /** Chunk geometry of one variable: first-dim row blocks of at most
-    * `chunkCells` cells (full-width trailing dims). */
+  /** Chunk geometry of one variable — a general n-D chunk grid.
+    * [[chunkGrid]] builds the row-block special case (first-dim tiles,
+    * full-width trailing dims — what netcdf-c's default chunking and
+    * the distributed exporter emit); explicit `chunkDims` tile every
+    * axis, which is what real archives use and what any-axis subset
+    * pruning needs to skip I/O on. Chunks enumerate in row-major order
+    * of their grid indices — the order HDF5's v1 chunk B-tree keys
+    * require (the LAST row-major chunk has the maximal index on every
+    * axis, so the B-tree end key of origin+chunkDims stays correct). */
   private[sources] final case class ChunkGrid(shape: Seq[Long],
       chunkDims: Seq[Int]) {
     val rowCells: Long = shape.drop(1).product max 1L
     val chunkRows: Int = chunkDims.headOption.getOrElse(1)
     val cellsPerChunk: Int = chunkDims.map(_.toLong).product.toInt
+    /** Chunk count along each axis. */
+    val axisChunks: Seq[Int] =
+      shape.zip(chunkDims).map { case (s, c) => ((s + c - 1) / c).toInt }
     val nChunks: Int =
-      if (shape.product == 0) 0
-      else (((shape.headOption.getOrElse(1L)) + chunkRows - 1) / chunkRows).toInt
-    def origin(c: Int): Seq[Long] =
-      (c.toLong * chunkRows) +: shape.drop(1).map(_ => 0L)
+      if (shape.product == 0) 0 else axisChunks.product max 1
+    def origin(c: Int): Seq[Long] = {
+      val out = new Array[Long](chunkDims.size)
+      var rem = c
+      var i = chunkDims.size - 1
+      while (i >= 0) {
+        out(i) = (rem % axisChunks(i)).toLong * chunkDims(i)
+        rem /= axisChunks(i)
+        i -= 1
+      }
+      out.toSeq
+    }
   }
 
   private[sources] def chunkGrid(shape: Seq[Long], chunkCells: Int): ChunkGrid = {
@@ -128,6 +146,42 @@ object NetCDF4 {
   private[sources] final case class VarMeta(name: String, dimIds: Seq[Int],
       grid: ChunkGrid, chunkSizes: Seq[Int],
       atts: Seq[(String, String)] = Seq.empty)
+
+  /** Gather one chunk's cells from a flat row-major array: the full
+    * chunk box in row-major box order, zero-padded where the chunk
+    * overhangs the shape (HDF5 stores full edge chunks). */
+  private def gatherChunk(data: Array[Double], shape: Seq[Long],
+      chunkDims: Seq[Int], origin: Seq[Long]): Array[Double] = {
+    val rank = shape.size
+    val cells = chunkDims.map(_.toLong).product.toInt
+    val out = new Array[Double](cells)
+    val strides = new Array[Long](rank)
+    var s = 1L
+    var d = rank - 1
+    while (d >= 0) { strides(d) = s; s *= shape(d); d -= 1 }
+    val local = new Array[Long](rank)
+    var c = 0
+    while (c < cells) {
+      var flat = 0L; var inBounds = true
+      var i = 0
+      while (i < rank) {
+        val g = origin(i) + local(i)
+        if (g >= shape(i)) inBounds = false
+        flat += g * strides(i)
+        i += 1
+      }
+      if (inBounds) out(c) = data(flat.toInt)
+      var k = rank - 1
+      var carry = true
+      while (k >= 0 && carry) {
+        local(k) += 1
+        if (local(k) == chunkDims(k)) local(k) = 0 else carry = false
+        k -= 1
+      }
+      c += 1
+    }
+    out
+  }
 
   /** Deflate one chunk's values (padding to the full chunk cell count
     * — HDF5 stores full edge chunks), optionally byte-shuffled first
@@ -193,7 +247,11 @@ object NetCDF4 {
       shuffle: Boolean = false,
       varAtts: Map[String, Seq[(String, String)]] = Map.empty,
       fletcher32: Boolean = false,
-      denseGroups: Boolean = false): Unit = {
+      denseGroups: Boolean = false,
+      /** Explicit n-D chunk dims per variable (real archives tile
+        * EVERY axis — the layout any-axis subset pruning skips I/O
+        * on); variables absent here keep the row-block default. */
+      chunkDimsOf: Map[String, Seq[Int]] = Map.empty): Unit = {
     val coordOf: Map[Int, Array[Double]] =
       dims.indices.flatMap { i =>
         vars.find(v => v._1 == dims(i).name && v._2 == Seq(i)).map(i -> _._3)
@@ -201,20 +259,30 @@ object NetCDF4 {
     val plainVars = vars.filterNot(v =>
       coordOf.contains(v._2.headOption.getOrElse(-1)) &&
         dims.indices.exists(i => dims(i).name == v._1 && v._2 == Seq(i)))
+    def gridFor(name: String, dimIds: Seq[Int]): ChunkGrid = {
+      val shape = dimIds.map(dims(_).length.toLong)
+      chunkDimsOf.get(name) match {
+        case Some(cd) =>
+          require(cd.size == shape.size && cd.forall(_ > 0) &&
+            cd.zip(shape).forall { case (c, s) => c <= math.max(s, 1L) },
+            s"netcdf4 writer: chunk dims $cd invalid for $name shape $shape")
+          ChunkGrid(shape, cd)
+        case None => chunkGrid(shape, chunkCells)
+      }
+    }
     // compress every chunk up front (in-memory data), then stream
-    val blobs: Seq[Seq[Array[Byte]]] = plainVars.map { case (_, dimIds, data) =>
-      val grid = chunkGrid(dimIds.map(dims(_).length.toLong), chunkCells)
+    val blobs: Seq[Seq[Array[Byte]]] = plainVars.map { case (name, dimIds, data) =>
+      val grid = gridFor(name, dimIds)
+      val shape = dimIds.map(dims(_).length.toLong)
       (0 until grid.nChunks).map { c =>
-        val startCell = c.toLong * grid.chunkRows * grid.rowCells
-        val slice = data.slice(startCell.toInt,
-          math.min(startCell + grid.cellsPerChunk, data.length.toLong).toInt)
+        val slice = gatherChunk(data, shape, grid.chunkDims, grid.origin(c))
         compressChunk(slice, grid.cellsPerChunk, deflateLevel, shuffle,
           fletcher32)
       }
     }
     val metas = plainVars.zip(blobs).map { case ((name, dimIds, _), bs) =>
-      VarMeta(name, dimIds, chunkGrid(dimIds.map(dims(_).length.toLong),
-        chunkCells), bs.map(_.length), varAtts.getOrElse(name, Seq.empty))
+      VarMeta(name, dimIds, gridFor(name, dimIds),
+        bs.map(_.length), varAtts.getOrElse(name, Seq.empty))
     }
     // attributes of a coordinate variable attach to its scale dataset
     val coordAtts = dims.indices.flatMap(i =>

@@ -35,12 +35,70 @@ final case class NcView(
       * split planning can avoid two partitions inflating the same
       * chunk. 1 = no constraint (classic files are offset-addressed
       * at any cell). */
-    alignCells: Long = 1L) {
+    alignCells: Long = 1L,
+    /** Format-native hyper-rectangle read — (var, per-axis origins,
+      * per-axis lens) → row-major box cells, touching only the
+      * storage chunks the box intersects. Null = fall back to the
+      * generic run decomposition over [[slab]]. */
+    boxSlab: (String, Seq[Long], Seq[Int]) => Array[Double] = null,
+    /** n-D chunk dims of a variable's storage; None = unchunked. */
+    chunkDimsOf: String => Option[Seq[Int]] = _ => None) {
   def varByName(n: String): NcVarView = vars.find(_.name == n).getOrElse(
     throw new IllegalArgumentException(s"no variable '$n'"))
+
+  /** Box read with the generic fallback for formats without a native
+    * one (classic NetCDF-3: per-run offset slabs — no decompression,
+    * so runs cost only their bytes). */
+  def box(name: String, origin: Seq[Long], lens: Seq[Int]): Array[Double] =
+    if (boxSlab != null) boxSlab(name, origin, lens)
+    else {
+      val shape = varByName(name).dimIds.map(dims(_).length.toLong)
+      NcView.boxViaSlab(slab(name, _, _), shape, origin, lens)
+    }
 }
 
 object NcView {
+  /** Decompose a box into flat contiguous runs (trailing fully-covered
+    * axes merge into the run) and gather them through `slab`. */
+  private[sources] def boxViaSlab(slab: (Long, Int) => Array[Double],
+      shape: Seq[Long], origin: Seq[Long],
+      lens: Seq[Int]): Array[Double] = {
+    val rank = shape.size
+    if (rank == 0) return slab(0L, 1)
+    val cells = lens.map(_.toLong).product
+    require(cells <= Int.MaxValue, s"box of $cells cells")
+    if (cells == 0) return Array.empty
+    val strides = new Array[Long](rank)
+    locally {
+      var s = 1L; var d = rank - 1
+      while (d >= 0) { strides(d) = s; s *= shape(d); d -= 1 }
+    }
+    var k = rank - 1
+    while (k >= 0 && origin(k) == 0 && lens(k).toLong == shape(k)) k -= 1
+    if (k < 0) return slab(0L, cells.toInt)
+    val runLen = (lens(k) * strides(k)).toInt
+    val out = new Array[Double](cells.toInt)
+    val outerIdx = new Array[Int](k)
+    var dst = 0
+    var more = true
+    while (more && dst < cells) {
+      var flat = origin(k) * strides(k)
+      var i = 0
+      while (i < k) { flat += (origin(i) + outerIdx(i)) * strides(i); i += 1 }
+      System.arraycopy(slab(flat, runLen), 0, out, dst, runLen)
+      dst += runLen
+      var j = k - 1
+      var carry = true
+      while (j >= 0 && carry) {
+        outerIdx(j) += 1
+        if (outerIdx(j) == lens(j)) outerIdx(j) = 0 else carry = false
+        j -= 1
+      }
+      more = k > 0 && !carry
+    }
+    out
+  }
+
   private def renderAtt(a: NetCDF3.Att): (String, String) =
     a.name -> (if (a.text.nonEmpty || a.numbers.isEmpty) a.text
                else a.numbers.mkString(","))
@@ -76,7 +134,12 @@ object NcView {
           .filterNot(a => Seq("CLASS", "NAME", "DIMENSION_LIST",
             "_Netcdf4Dimid").contains(a.name))
           .map(a => a.name -> a.text)).toMap,
-        alignCells = align max 1L)
+        alignCells = align max 1L,
+        boxSlab = (n, o, l) => Hdf5.readBox(path, m.varByName(n).ds, o, l),
+        chunkDimsOf = n => m.varByName(n).ds.layout match {
+          case c: Hdf5.Chunked => Some(c.chunkDims)
+          case _ => None
+        })
     } else {
       val h = NetCDF3.readHeader(path)
       NcView(
@@ -221,12 +284,13 @@ final class NcScan(path: String, fullSchema: StructType,
       (if (hints.nonEmpty) s" hints: ${hints.mkString(",")}" else "")
   override def toBatch: Batch = this
 
-  /** Row range [lo, hi) of the FIRST axis surviving the filter hints.
-    * The axis value per row is the coordinate variable when present
+  /** Index range [lo, hi) of ANY axis surviving the filter hints.
+    * The axis value per index is the coordinate variable when present
     * (must be non-decreasing for pruning) or the 1-based index. At
     * most 16M coordinate values are examined at planning time — the
-    * axis metadata, never the measure data. */
-  private def firstAxisRange(v: NcView, axis: NetCDF3.Dim,
+    * axis metadata, never the measure data. Used for the first axis
+    * in flat-range planning and for every axis in box planning. */
+  private def axisRange(v: NcView, axis: NetCDF3.Dim,
       rows: Int): (Long, Long) = {
     val relevant = hints.flatMap {
       case sources.GreaterThan(a, x: Number) if a == axis.name =>
@@ -288,28 +352,88 @@ final class NcScan(path: String, fullSchema: StructType,
     val vs = NetCDFSource.gridVars(v, measure)
     val axes = vs.head.dimIds.map(v.dims(_))
     val total = axes.map(_.length.toLong).product
-    // first-axis pruning: rows outside the hint range are never read
-    val rowCells = axes.drop(1).map(_.length.toLong).product max 1L
-    val (loRow, hiRow) = axes.headOption
-      .map(a => firstAxisRange(v, a, a.length))
-      .getOrElse((0L, 1L))
-    val (first, last) = (loRow * rowCells, (hiRow * rowCells) min total)
-    val span = (last - first) max 0L
-    if (span == 0) return Array.empty
-    val slices = math.max(1, math.min(span,
-      org.apache.spark.sql.SparkSession.active
-        .sparkContext.defaultParallelism.toLong)).toInt
-    val raw = (span + slices - 1) / slices
-    // round the split up to the chunk grain: a boundary inside a
-    // NetCDF-4 chunk would make BOTH partitions read+inflate it
-    val step = ((raw + v.alignCells - 1) / v.alignCells) * v.alignCells
-    // align the range start DOWN to the grain too
-    val start = (first / v.alignCells) * v.alignCells
-    (start until last by step).map(s =>
-      NcPartition(s max first, math.min(s + step, last)): InputPartition)
-      .filter(p => p.asInstanceOf[NcPartition].start <
-        p.asInstanceOf[NcPartition].end)
-      .toArray
+    // per-axis pruning: the conjunctive comparison hints cut every
+    // axis to a surviving index range, so the scan plans only the
+    // predicate hyper-rectangle — the reference pushes subsets into
+    // storage on ANY dimension (oph_subset_library.h:35 via
+    // oph_filters.c:223); the chunk grid is this source's equivalent
+    val ranges = axes.map(a => axisRange(v, a, a.length))
+    if (ranges.exists(r => r._2 <= r._1) || total == 0) return Array.empty
+    val innerConstrained = axes.zip(ranges).drop(1).exists {
+      case (a, (lo, hi)) => lo > 0 || hi < a.length
+    }
+    val chunkDimsOpt = v.chunkDimsOf(vs.head.name)
+      .filter(_.size == axes.size)
+    // storage tiled on an INNER axis: a flat cell range's chunk
+    // overlap test degenerates (an inner-axis chunk's flat bounding
+    // range spans nearly the whole variable), so flat partitions
+    // would each decode nearly every chunk — box partitions decode
+    // each chunk exactly once whether or not a filter constrains it
+    val ndChunked = chunkDimsOpt.exists(cd =>
+      cd.zipWithIndex.drop(1).exists { case (c, i) => c < axes(i).length })
+    if (!innerConstrained && !ndChunked) {
+      // only the first axis (or nothing) is constrained: flat
+      // contiguous cell ranges, chunk-grain aligned — one slab read
+      // per variable per partition
+      val rowCells = axes.drop(1).map(_.length.toLong).product max 1L
+      val (loRow, hiRow) =
+        if (axes.isEmpty) (0L, 1L) else ranges.head
+      val (first, last) = (loRow * rowCells, (hiRow * rowCells) min total)
+      val span = (last - first) max 0L
+      if (span == 0) return Array.empty
+      val slices = math.max(1, math.min(span,
+        org.apache.spark.sql.SparkSession.active
+          .sparkContext.defaultParallelism.toLong)).toInt
+      val raw = (span + slices - 1) / slices
+      // round the split up to the chunk grain: a boundary inside a
+      // NetCDF-4 chunk would make BOTH partitions read+inflate it
+      val step = ((raw + v.alignCells - 1) / v.alignCells) * v.alignCells
+      // align the range start DOWN to the grain too
+      val start = (first / v.alignCells) * v.alignCells
+      (start until last by step).map(s =>
+        NcPartition(s max first, math.min(s + step, last)): InputPartition)
+        .filter(p => p.asInstanceOf[NcPartition].start <
+          p.asInstanceOf[NcPartition].end)
+        .toArray
+    } else {
+      // an INNER axis is constrained: plan the predicate box, tiled
+      // chunk-aligned along the outermost axis that spans more than
+      // one storage chunk (no two partitions decode the same chunk).
+      // Readers fetch each variable with one box read that touches
+      // only the intersecting chunks — a (lat, lon) subset of a
+      // (time, lat, lon) archive reads a slab, not the world.
+      val chunkDims: Seq[Int] =
+        chunkDimsOpt.getOrElse(1 +: axes.drop(1).map(_.length))
+      val boxLens = axes.indices.map(i => (ranges(i)._2 - ranges(i)._1))
+      val boxCells = boxLens.map(_.toLong).product
+      val par = org.apache.spark.sql.SparkSession.active
+        .sparkContext.defaultParallelism.toLong
+      val splitAxis = axes.indices.find { i =>
+        (ranges(i)._1 / chunkDims(i)) != ((ranges(i)._2 - 1) / chunkDims(i))
+      }.getOrElse(0)
+      val c = chunkDims(splitAxis)
+      val firstChunk = ranges(splitAxis)._1 / c
+      val lastChunk = (ranges(splitAxis)._2 - 1) / c
+      val nChunksAlong = lastChunk - firstChunk + 1
+      // bound per-partition cells so box buffers stay executor-sized
+      val maxCells = 1L << 24
+      val wanted = math.max(par, (boxCells + maxCells - 1) / maxCells)
+      val tiles = math.min(nChunksAlong, wanted) max 1L
+      val chunksPerTile = (nChunksAlong + tiles - 1) / tiles
+      (0L until tiles).flatMap { t =>
+        val lo = math.max(ranges(splitAxis)._1,
+          (firstChunk + t * chunksPerTile) * c)
+        val hi = math.min(ranges(splitAxis)._2,
+          (firstChunk + (t + 1) * chunksPerTile) * c)
+        if (lo >= hi) None
+        else Some(NcBoxPartition(
+          axes.indices.map(i =>
+            if (i == splitAxis) lo else ranges(i)._1),
+          axes.indices.map(i =>
+            if (i == splitAxis) (hi - lo).toInt
+            else boxLens(i).toInt)): InputPartition)
+      }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -318,11 +442,18 @@ final class NcScan(path: String, fullSchema: StructType,
 
 final case class NcPartition(start: Long, end: Long) extends InputPartition
 
+/** A hyper-rectangle of the grid: `lens(i)` cells from `origin(i)`
+  * along each axis — the unit of any-axis pruned planning. */
+final case class NcBoxPartition(origin: Seq[Long], lens: Seq[Int])
+    extends InputPartition
+
 final class NcReaderFactory(path: String, projected: Array[String],
     measure: Option[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new NcReader(path, projected, measure,
-      partition.asInstanceOf[NcPartition])
+    partition match {
+      case p: NcPartition => new NcReader(path, projected, measure, p)
+      case p: NcBoxPartition => new NcBoxReader(path, projected, measure, p)
+    }
 }
 
 /** Reads one flat cell range: each projected VARIABLE costs exactly one
@@ -370,6 +501,62 @@ final class NcReader(path: String, projected: Array[String],
 
   // reuse one mutable row: get() runs once per CELL — per-row Seq
   // allocation and boxing would dominate the scan at scale
+  private val row =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      columns.length)
+  private var pos = -1
+  override def next(): Boolean = { pos += 1; pos < n }
+  override def get(): InternalRow = {
+    var i = 0
+    while (i < columns.length) { row.update(i, columns(i)(pos)); i += 1 }
+    row
+  }
+  override def close(): Unit = ()
+}
+
+/** Reads one hyper-rectangle (any-axis pruned planning): each
+  * projected VARIABLE costs one box read touching only the storage
+  * chunks the box intersects; projected DIMENSION columns come from
+  * index arithmetic plus a per-axis coordinate slice no longer than
+  * the box edge. */
+final class NcBoxReader(path: String, projected: Array[String],
+    measure: Option[String], part: NcBoxPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val view = NcView.open(path)
+  private val vs = NetCDFSource.gridVars(view, measure)
+  private val axes = vs.head.dimIds.map(view.dims(_))
+  private val lens = part.lens
+  private val n = lens.map(_.toLong).product.toInt
+  // row-major strides WITHIN the box
+  private val boxStrides: Array[Long] = {
+    val s = new Array[Long](lens.size)
+    var acc = 1L; var d = lens.size - 1
+    while (d >= 0) { s(d) = acc; acc *= lens(d); d -= 1 }
+    s
+  }
+
+  private val columns: Array[Int => Double] = projected.map { name =>
+    axes.indexWhere(_.name == name) match {
+      case ax if ax >= 0 =>
+        val stride = boxStrides(ax)
+        val len = lens(ax)
+        val o = part.origin(ax)
+        val isCoordVar = view.vars.exists(v => v.name == name &&
+          v.dimIds == Seq(view.dims.indexWhere(_.name == name)))
+        val coords: Option[Array[Double]] =
+          if (!isCoordVar) None
+          else Some(view.slab(name, o, len))
+        (i: Int) => {
+          val idx = ((i / stride) % len).toInt
+          coords.map(_(idx)).getOrElse((o + idx + 1).toDouble)
+        }
+      case _ =>
+        val slab = view.box(name, part.origin, lens)
+        (i: Int) => slab(i)
+    }
+  }
+
   private val row =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       columns.length)
