@@ -140,7 +140,13 @@ object Bench {
     // while a file read cannot
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SUMMARY.json"), summary + "\n")
-    println(summary)
+    // stop the session BEFORE printing, then echo the summary to BOTH
+    // streams as the very last output: sbt's [success] footer and
+    // Spark's shutdown chatter otherwise land after the JSON line and
+    // can push it out of the driver's stdout tail window (the
+    // recurring parsed:null in BENCH_r*.json)
     spark.stop()
+    println(summary)
+    System.err.println(summary)
   }
 }

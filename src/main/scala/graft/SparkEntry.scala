@@ -2440,6 +2440,16 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"))
     }),
 
+    "profile_documents" -> ((s, dir) =>
+      // the corpus health report: the same one-pass profile over the
+      // documents table, exercising the TEXT min/max policy — string
+      // columns report their character-length envelope (lexicographic
+      // extremes are collation-dependent across engines and useless as
+      // a health signal; the length envelope catches truncated and
+      // runaway documents)
+      graft.pipeline.Profile.profile(s, t(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+
     "profile_embeddings" -> ((s, dir) =>
       // the ANN preflight: null vectors, dimensionality drift against
       // the modal dim, zero norms (cosine poison), and the norm range
@@ -4349,8 +4359,43 @@ object SparkEntry {
          SELECT 'o_orderpriority', count(*),
                 count(*) - count(o_orderpriority),
                 count(DISTINCT o_orderpriority),
-                CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), TRUE
+                CAST(min(length(o_orderpriority)) AS VARCHAR),
+                CAST(max(length(o_orderpriority)) AS VARCHAR), TRUE
          FROM orders""",
+
+    "profile_documents" ->
+      """SELECT 'doc_id' AS col_name,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                CAST(min(doc_id) AS VARCHAR) AS min_v,
+                CAST(max(doc_id) AS VARCHAR) AS max_v,
+                TRUE AS hll_in_band
+         FROM documents
+         UNION ALL
+         SELECT 'text', count(*), count(*) - count(text),
+                count(DISTINCT text),
+                CAST(min(length(text)) AS VARCHAR),
+                CAST(max(length(text)) AS VARCHAR), TRUE
+         FROM documents
+         UNION ALL
+         SELECT 'lang', count(*), count(*) - count(lang),
+                count(DISTINCT lang),
+                CAST(min(length(lang)) AS VARCHAR),
+                CAST(max(length(lang)) AS VARCHAR), TRUE
+         FROM documents
+         UNION ALL
+         SELECT 'source', count(*), count(*) - count(source),
+                count(DISTINCT source),
+                CAST(min(length(source)) AS VARCHAR),
+                CAST(max(length(source)) AS VARCHAR), TRUE
+         FROM documents
+         UNION ALL
+         SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                count(DISTINCT n_chars),
+                CAST(min(n_chars) AS VARCHAR),
+                CAST(max(n_chars) AS VARCHAR), TRUE
+         FROM documents""",
 
     // embedding health: identical norm algebra on the oracle side
     // (per-element squares summed left-to-right, then sqrt), rounded

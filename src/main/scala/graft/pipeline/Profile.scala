@@ -33,8 +33,11 @@ object Profile {
   /** Canonical cross-engine string rendering for min/max: integrals
     * and dates cast directly; floating types round to 4 decimals
     * through DECIMAL so both Spark and SQL engines print identical
-    * fixed-scale text; strings/timestamps yield null (collation and
-    * format are engine-specific). */
+    * fixed-scale text; TEXT columns report the min/max LENGTH in
+    * characters (see [[textMinMax]] — lexicographic extremes are
+    * collation-dependent across engines and useless as a corpus
+    * health signal, while the length envelope catches truncated and
+    * runaway documents); other types (timestamps, arrays) yield null. */
   private def canon(dt: DataType, c: Column): Column = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |
          BooleanType => c.cast("string")
@@ -43,6 +46,20 @@ object Profile {
     case _: DecimalType =>
       c.cast(DecimalType(28, 4)).cast("string")
     case _ => lit(null).cast("string")
+  }
+
+  /** Text min/max policy: the value fed to min()/max() for a string
+    * column is its character LENGTH, not the string itself. */
+  private def textMinMax(dt: DataType, c: Column): Column = dt match {
+    case StringType => length(c)
+    case _ => c
+  }
+
+  /** The type the min/max aggregate actually carries after the text
+    * policy rewrites strings to lengths. */
+  private def lenDt(dt: DataType): DataType = dt match {
+    case StringType => IntegerType
+    case other => other
   }
 
   /** The single shared statistics pass, exposed for plan audits: it
@@ -56,8 +73,8 @@ object Profile {
         sum(col(c).isNull.cast("long")).as(s"__nulls_$c"),
         // rsd << band keeps the flag stable (the hllDistinctBand rule)
         approx_count_distinct(col(c), 0.01).as(s"__hll_$c"),
-        canon(dt, min(col(c))).as(s"__min_$c"),
-        canon(dt, max(col(c))).as(s"__max_$c"))
+        canon(lenDt(dt), min(textMinMax(dt, col(c)))).as(s"__min_$c"),
+        canon(lenDt(dt), max(textMinMax(dt, col(c)))).as(s"__max_$c"))
     }
     df.agg(aggs.head, aggs.tail: _*)
   }

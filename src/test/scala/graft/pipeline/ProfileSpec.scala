@@ -20,8 +20,18 @@ class ProfileSpec extends SparkSpec {
     assert(p("id") == ((4L, 0L, 3L, Some("1"), Some("3"), true)))
     // doubles render with fixed DECIMAL(28,4) scale
     assert(p("x") == ((4L, 1L, 2L, Some("-1.2500"), Some("2.5000"), true)))
-    // strings: counts exact, min/max deliberately null (collation)
-    assert(p("s") == ((4L, 1L, 2L, None, None, true)))
+    // strings: counts exact; min/max report the character-LENGTH
+    // envelope (lexicographic extremes are collation-dependent across
+    // engines and useless as a health signal) — nulls skipped
+    assert(p("s") == ((4L, 1L, 2L, Some("1"), Some("1"), true)))
+  }
+
+  test("profile text policy: min/max are the length envelope") {
+    val df = Seq("x", "hello", "hi there!", null)
+      .toDF("t")
+    val p = Profile.profile(spark, df, Seq("t")).head()
+    assert(p.getLong(2) == 1L) // one null, skipped by min/max
+    assert(p.getString(4) == "1" && p.getString(5) == "9")
   }
 
   test("profile rejects an empty column list") {
