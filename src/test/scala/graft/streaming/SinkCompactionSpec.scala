@@ -207,4 +207,52 @@ class SinkCompactionSpec extends SparkSpec {
     assert(!Files.exists(retireList))
     assert(spark.read.parquet(out).count() == 20)
   }
+
+  test("restarted sink's own interval compaction carries the rewritten history") {
+    // the CompactibleFileStreamLog interaction the name-set-preserving
+    // rewrite exists for (VERDICT r11 #4): the sink log compacts
+    // itself every compactInterval batches at ARITHMETICALLY derived
+    // ids — after our rewrite, a restarted query run past the next
+    // boundary must produce a `.compact` whose listing still contains
+    // the compaction's file set (and the reader must see every row
+    // exactly once).
+    val interval = "spark.sql.streaming.fileSink.log.compactInterval"
+    val prev = spark.conf.get(interval, "10")
+    spark.conf.set(interval, "5") // boundaries at batch ids 4, 9, 14
+    try {
+      val src = Files.createTempDirectory("cmp6_src").toString
+      val out = Files.createTempDirectory("cmp6_out").toString
+      val ckpt = Files.createTempDirectory("cmp6_ck").toString
+      // 7 drops -> batches 0..6: the live log already holds 4.compact
+      (0 until 7).foreach(i => writeEventChunk(src, i * 10, 10))
+      drain(src, out, ckpt)
+      val logNames = {
+        val st = Files.list(Paths.get(out, "_spark_metadata"))
+        try st.iterator().asScala.map(_.getFileName.toString).toSeq
+        finally st.close()
+      }
+      assert(logNames.contains("4.compact"),
+        s"precondition: sink log should have self-compacted at 4: $logNames")
+
+      val (nb, na) = SinkCompaction.compact(spark, out, 1L << 30)
+      assert(nb == 7 && na == 1, s"($nb, $na)")
+      assert(spark.read.parquet(out).count() == 70)
+
+      // restart past the NEXT boundary: batches 7..11 cross id 9
+      (7 until 12).foreach(i => writeEventChunk(src, i * 10, 10))
+      drain(src, out, ckpt)
+      val ids = spark.read.parquet(out).select("event_id")
+        .as[Long].collect().sorted
+      assert(ids.length == 120 && ids.toSet.size == 120 &&
+        ids.last == 119L, "rows lost or duplicated across the boundary")
+      // the sink wrote 9.compact itself, and its full listing still
+      // references the compacted file — the rewritten history kept
+      // the shape the log's arithmetic expects
+      val nine = Paths.get(out, "_spark_metadata", "9.compact")
+      assert(Files.exists(nine), "sink log did not compact at id 9")
+      val listing = Files.readAllLines(nine).asScala.mkString("\n")
+      assert(listing.contains("compact-"),
+        "the sink's own .compact lost the compaction's file set")
+    } finally spark.conf.set(interval, prev)
+  }
 }
