@@ -389,6 +389,11 @@ final class HttpService(
           reply(ex, 401, s"""{"error":$ErrAuth,"message":"authentication required"}""")
       }
     } catch {
+      // admission refusal (QUEUE_SIZE, reference oph_job_list.c:104):
+      // Too Many Requests, not a server fault
+      case e: Engine.QueueFullError =>
+        reply(ex, 429,
+          s"""{"error":$ErrSystem,"message":${quote(e.getMessage)}}""")
       case e: Exception =>
         reply(ex, 500,
           s"""{"error":$ErrSystem,"message":${quote(e.getMessage)}}""")
@@ -425,6 +430,16 @@ final class HttpService(
     if (!eng.sessions.hasRole(code, user, SessionService.RoleExecute))
       return reply(ex, 403,
         s"""{"error":$ErrAuth,"message":"user '$user' lacks the execute role on session '$code'"}""")
+    // admission PRE-CHECK: an over-quota submission answers 429 HERE —
+    // before a jobid exists — for async as well as sync (the async
+    // path would otherwise admit the future and fail it later). The
+    // run itself re-checks, so the narrow race just converts to the
+    // same 429 through guard's mapping.
+    try eng.checkAdmission()
+    catch {
+      case e: Engine.QueueFullError => return reply(ex, 429,
+        s"""{"error":$ErrSystem,"message":${quote(e.getMessage)}}""")
+    }
     val jobid = jobSeq.incrementAndGet()
     // reserve the run's workflow id up front so /services/cancel can
     // target exactly this request's Spark job group

@@ -45,6 +45,10 @@ object Engine {
 
   final class EngineError(msg: String) extends Exception(msg)
 
+  /** Admission refusal (QUEUE_SIZE exceeded) — its own type so the
+    * HTTP layer can answer 429 instead of a generic 500. */
+  final class QueueFullError(msg: String) extends Exception(msg)
+
   /** Checkpoint-store bound: at most this many workflow names keep a
     * replayable last run (arbitrary entries beyond it age out). */
   val MaxLastRuns = 64
@@ -223,6 +227,62 @@ final class Engine(
     * must not evict an engine mid-run. */
   private val activeRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   def runningCount: Int = activeRuns.get
+
+  // ------------------------------------------------ admission control
+  // The reference's knobs (`/root/reference/src/oph_gather.h:63-65`,
+  // `etc/server.conf.in:28-30`, defaults 0 = unlimited):
+  //  - QUEUE_SIZE: with a farm of F, runs F+1..F+Q WAIT for a farm
+  //    slot and the (F+Q+1)th concurrent workflow is REFUSED
+  //    (`oph_job_list.c:104` rejects when counter >= farm + queue);
+  //  - TASK_LIMIT: at most this many data tasks EXECUTE concurrently;
+  //    excess submissions wait (`oph_rmanager.c:795-806` blocks on a
+  //    condition until running < limit).
+  // CORE_LIMIT is deliberately Spark's: executor cores and scheduler
+  // pools are the cluster manager's admission domain here, not the
+  // workflow engine's. Knobs read once at engine construction from
+  // the session conf.
+  private[graft] val farmSize: Int =
+    spark.conf.getOption("spark.graft.serverFarmSize")
+      .flatMap(_.toIntOption).getOrElse(128)
+  private[graft] val queueSize: Int =
+    spark.conf.getOption("spark.graft.queueSize")
+      .flatMap(_.toIntOption).getOrElse(0)
+  private[graft] val taskLimit: Int =
+    spark.conf.getOption("spark.graft.taskLimit")
+      .flatMap(_.toIntOption).getOrElse(0)
+  private val farmPermits =
+    new java.util.concurrent.Semaphore(math.max(farmSize, 1), true)
+  private val taskPermits =
+    if (taskLimit > 0) new java.util.concurrent.Semaphore(taskLimit, true)
+    else null
+  private val tasksExecuting = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var tasksPeak = 0
+  /** Highest observed concurrent data-task count (tests pin the bound). */
+  def taskConcurrencyPeak: Int = tasksPeak
+
+  /** Refuse past the cap — callers (HTTP execute) pre-check so an
+    * over-quota submission answers 429 before any work is admitted. */
+  def checkAdmission(): Unit =
+    if (queueSize > 0 && activeRuns.get >= farmSize + queueSize)
+      throw new Engine.QueueFullError(
+        s"queue full: $farmSize running + $queueSize queued (QUEUE_SIZE)")
+
+  /** TASK_LIMIT gate around ONE top-level data task. Applied only at
+    * the workflow walk's call site — `runDataOperator` recurses for
+    * massive fan-out, and re-acquiring there would self-deadlock. */
+  private def withTaskPermit[T](body: => T): T =
+    if (taskPermits == null) body
+    else {
+      taskPermits.acquire()
+      try {
+        val cur = tasksExecuting.incrementAndGet()
+        if (cur > tasksPeak) tasksPeak = cur
+        body
+      } finally {
+        tasksExecuting.decrementAndGet()
+        taskPermits.release()
+      }
+    }
 
   /** Number of live (non-evicted) cubes — soak tests assert the bound. */
   def cubeCount: Int = cubes.size
@@ -989,7 +1049,8 @@ final class Engine(
               while (!settled) {
                 attempt += 1
                 try {
-                  val r = runDataOperator(t.operator, withCube)
+                  val r = withTaskPermit(
+                    runDataOperator(t.operator, withCube))
                   results(s"${t.name}$iterSuffix") = r
                   r.cubePid.foreach { p =>
                     outPids(s"${t.name}$iterSuffix") = p
@@ -1035,9 +1096,16 @@ final class Engine(
     // a stale job group on the driver thread or an unsaved run —
     // otherwise a later oph_cancel of this id hits unrelated jobs and
     // oph_resume can't see the failure
+    // admission: refuse past farm+queue, then QUEUE behind the farm —
+    // a run beyond farmSize parks here until a slot frees (activeRuns
+    // counts queued runs too, so the refusal check sees them, like the
+    // reference's job-list counter)
+    checkAdmission()
     activeRuns.incrementAndGet()
+    if (queueSize > 0) farmPermits.acquire()
     try runBlock(0, spec.tasks.size, "", initialVars)
     finally {
+      if (queueSize > 0) farmPermits.release()
       activeRuns.decrementAndGet()
       spark.sparkContext.clearJobGroup()
       // exit actions: drop intermediate cubes flagged on_exit=oph_delete
@@ -2423,9 +2491,16 @@ final class Engine(
 
       // ------------------------------ management shims (info surface)
       case "oph_get_config" =>
+        // the reference's server.conf surface leads with the admission
+        // knobs (oph_gather.h:63-65); defaults report too, not just
+        // explicitly-set conf keys
+        val admission = Seq(
+          s"SERVER_FARM_SIZE=$farmSize",
+          s"QUEUE_SIZE=$queueSize",
+          s"TASK_LIMIT=$taskLimit")
         TaskResult(JobStatus.Completed, message =
-          spark.conf.getAll.toSeq.sortBy(_._1)
-            .map { case (k, v) => s"$k=$v" }.mkString(";"))
+          (admission ++ spark.conf.getAll.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }).mkString(";"))
 
       case "oph_cluster" =>
         // reference actions (`oph_management_operators.c:2745-2758`):
