@@ -380,6 +380,40 @@ object Similarity {
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // drift sidecar: the row count the coarse quantizer was FITTED on
+    // — [[ivfDriftStatus]] compares the live index size against it to
+    // surface the re-train trigger frozen-centroid appends need. The
+    // count is a parquet-footer aggregate over the files just written
+    // (no data read).
+    val fitted = spark.read.parquet(s"$path/assigned").count()
+    Seq(fitted).toDF("fitted_rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Frozen-centroid drift accounting for a saved IVF index.
+    * `appendToIvfIndex` never re-trains: appends that DRIFT from the
+    * fitted distribution pile into few cells and silently erode
+    * recall (FAISS's add-after-train has the same property). This is
+    * the documented re-train trigger: once the index has grown past
+    * `refitGrowthThreshold` times its fitted size, `needsRefit` turns
+    * true and the append path warns loudly — re-fit with
+    * [[buildIvfIndex]] + [[saveIvfIndex]] (a batch job) and resume
+    * appending. Both counts are parquet-footer aggregates, O(files)
+    * not O(rows). Indexes saved before the meta sidecar existed
+    * report zero growth (fitted = total). */
+  final case class IvfDrift(fittedRows: Long, totalRows: Long,
+      appendedFraction: Double, needsRefit: Boolean)
+
+  def ivfDriftStatus(spark: org.apache.spark.sql.SparkSession,
+      path: String, refitGrowthThreshold: Double = 1.0): IvfDrift = {
+    val total = spark.read.parquet(s"$path/assigned").count()
+    val fitted =
+      try spark.read.parquet(s"$path/meta")
+        .select(col("fitted_rows")).head().getLong(0)
+      catch { case _: Exception => total }
+    val frac =
+      if (fitted <= 0) 0.0 else (total - fitted).toDouble / fitted
+    IvfDrift(fitted, total, frac, frac > refitGrowthThreshold)
   }
 
   /** Append a new vector batch to a SAVED IVF index without refitting:
@@ -418,9 +452,20 @@ object Similarity {
       .select(col("id"), col("vec"), col("cell"))
       .localCheckpoint(true)
     val n = assigned.count()
-    if (n > 0)
+    if (n > 0) {
       assigned.write.mode("append").partitionBy("cell")
         .parquet(s"$path/assigned")
+      // re-train trigger (see [[ivfDriftStatus]]): frozen centroids
+      // erode recall SILENTLY as drifted appends accumulate — surface
+      // the threshold crossing loudly at the moment it happens
+      val drift = ivfDriftStatus(spark, path)
+      if (drift.needsRefit)
+        System.err.println(
+          f"[graft] IVF index at $path has grown ${drift.appendedFraction}%.2fx " +
+            f"past its fitted size (${drift.fittedRows} fitted, " +
+            f"${drift.totalRows} total): frozen-centroid recall is no " +
+            "longer trustworthy — re-fit with buildIvfIndex + saveIvfIndex")
+    }
     n
   }
 

@@ -310,6 +310,53 @@ class SimilaritySpec extends SparkSpec {
       s"expected cell partition pruning in:\n$p")
   }
 
+  test("IVF append drift gate: recall holds or the re-train trigger fires") {
+    // VERDICT r11 #7: appendToIvfIndex trusts frozen centroids
+    // forever; heavy appends that DRIFT from the fitted distribution
+    // erode recall silently. The contract pinned here: after appends
+    // grow the index past its fitted size, EITHER recall@10 on
+    // drifted queries still clears 0.9 OR ivfDriftStatus flags the
+    // re-train — silence is the one disallowed outcome. The drift
+    // accounting itself is asserted exactly.
+    val dim = 16
+    def noise(id: Long, j: Int): Double = ((id * 31 + j * 7) % 17 - 8) / 8.0
+    def baseVec(id: Long) = Array.tabulate(dim)(j =>
+      (if (j == 0) 5.0 else 0.0) + noise(id, j))
+    def driftVec(id: Long) = Array.tabulate(dim)(j =>
+      (if (j == 0) -5.0 else 0.0) + noise(id, j))
+    val base = (0L until 400L).map(i => (i, baseVec(i).toSeq)).toDF("id", "v")
+    val drifted = (1000L until 1500L).map(i => (i, driftVec(i).toSeq))
+      .toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_drift").toString
+    val fitted = Similarity.buildIvfIndex(base, "id", "v", nClusters = 8)
+    Similarity.saveIvfIndex(fitted, dir)
+    fitted.unpersist()
+    assert(Similarity.appendToIvfIndex(spark, dir, drifted, "id", "v") == 500L)
+    // exact drift accounting: 500 appended over 400 fitted = 1.25x
+    val drift = Similarity.ivfDriftStatus(spark, dir)
+    assert(drift.fittedRows == 400L && drift.totalRows == 900L)
+    assert(math.abs(drift.appendedFraction - 1.25) < 1e-9)
+    assert(drift.needsRefit, "1.25x growth must trip the default 1.0 trigger")
+    // recall@10 of the frozen-centroid index on DRIFTED queries
+    val qids = (1000L until 1010L).toSeq
+    val all = base.unionByName(drifted)
+    val k = 10
+    def truthOf(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "nn_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = truthOf(Similarity.bruteTopK(all, "id", "v", qids, k))
+    val approx = truthOf(Similarity.ivfTopK(
+      Similarity.loadIvfIndex(spark, dir), qids, k, nProbe = 2))
+    val recall = qids.map { q =>
+      val g = brute.getOrElse(q, Set.empty)
+      if (g.isEmpty) 1.0
+      else approx.getOrElse(q, Set.empty).intersect(g).size.toDouble / g.size
+    }.sum / qids.size
+    assert(recall >= 0.9 || drift.needsRefit,
+      f"recall@10 = $recall%.3f AND no re-train recommendation — the " +
+        "silent-erosion failure mode the gate exists to prevent")
+  }
+
   test("semanticDedup plan: cell-key join, never a cartesian") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
