@@ -1648,8 +1648,13 @@ final class Engine(
       case "oph_apply" =>
         val (pid, c) = needCube()
         val query = args.getOrElse("query", "measure")
-        val out = c.copy(df = c.df.withColumn(c.desc.measure,
-          ArrayPrimitives(query, c.df(c.desc.measure))))
+        // level bumps like every other transform (subset/reduce/
+        // permute/aggregate all do) — massive level-filters must be
+        // able to select apply outputs distinctly from their inputs
+        val out = c.copy(
+          df = c.df.withColumn(c.desc.measure,
+            ArrayPrimitives(query, c.df(c.desc.measure))),
+          desc = c.desc.copy(level = c.desc.level + 1))
         val newPid = register(out, containerOf(pid), parents = Seq(idOf(pid)),
           sourceTask = Some(op))
         TaskResult(JobStatus.Completed, cubePid = Some(newPid))
