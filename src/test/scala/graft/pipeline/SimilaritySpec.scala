@@ -332,11 +332,15 @@ class SimilaritySpec extends SparkSpec {
     Similarity.saveIvfIndex(fitted, dir)
     fitted.unpersist()
     assert(Similarity.appendToIvfIndex(spark, dir, drifted, "id", "v") == 500L)
-    // exact drift accounting: 500 appended over 400 fitted = 1.25x
+    // exact drift accounting: 500 appended over 400 fitted = 1.25x —
+    // and the zero-job advisory counter agrees with the authoritative
+    // parquet-footer recount
     val drift = Similarity.ivfDriftStatus(spark, dir)
     assert(drift.fittedRows == 400L && drift.totalRows == 900L)
     assert(math.abs(drift.appendedFraction - 1.25) < 1e-9)
     assert(drift.needsRefit, "1.25x growth must trip the default 1.0 trigger")
+    assert(Similarity.ivfDriftStatus(spark, dir, recount = true) == drift,
+      "advisory counter diverged from the footer recount")
     // recall@10 of the frozen-centroid index on DRIFTED queries
     val qids = (1000L until 1010L).toSeq
     val all = base.unionByName(drifted)
