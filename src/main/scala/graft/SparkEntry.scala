@@ -2478,8 +2478,13 @@ object SparkEntry {
       // o_orderdate is excluded: its PHYSICAL parquet type varies by
       // generation (nanos long vs micros timestamp), so the two
       // engines would profile different logical types
-      graft.pipeline.Profile.profile(s, t(s, dir, "orders"),
-        Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"))
+      // 8 shuffle partitions: the per-column exact-distinct jobs are
+      // scheduling-sized (a handful of MB each) — 32 partitions just
+      // multiplies tiny tasks across the 5 jobs
+      withShufflePartitions(s, 8) {
+        graft.pipeline.Profile.profile(s, t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"))
+      }
     }),
 
     "profile_documents" -> ((s, dir) =>
@@ -2488,9 +2493,11 @@ object SparkEntry {
       // columns report their character-length envelope (lexicographic
       // extremes are collation-dependent across engines and useless as
       // a health signal; the length envelope catches truncated and
-      // runaway documents)
-      graft.pipeline.Profile.profile(s, t(s, dir, "documents"),
-        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+      // runaway documents). Scheduling-sized like profile_orders.
+      withShufflePartitions(s, 8) {
+        graft.pipeline.Profile.profile(s, t(s, dir, "documents"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+      }),
 
     "profile_embeddings" -> ((s, dir) =>
       // the ANN preflight: null vectors, dimensionality drift against
