@@ -396,43 +396,50 @@ final class NcScan(path: String, fullSchema: StructType,
           p.asInstanceOf[NcPartition].end)
         .toArray
     } else {
-      // an INNER axis is constrained: plan the predicate box, tiled
-      // chunk-aligned along the outermost axis that spans more than
-      // one storage chunk (no two partitions decode the same chunk).
-      // Readers fetch each variable with one box read that touches
-      // only the intersecting chunks — a (lat, lon) subset of a
+      // an INNER axis is constrained: plan the predicate box as a
+      // cartesian grid of chunk-aligned tiles (no two partitions
+      // decode the same chunk). Split counts are chosen GREEDILY from
+      // the outermost axis inward until the tile count reaches the
+      // parallelism / cell-size target — a file with few outer chunks
+      // but many inner ones (a short-time high-resolution archive)
+      // still parallelizes across its inner chunk grid. Readers fetch
+      // each variable with one box read that touches only the
+      // intersecting chunks — a (lat, lon) subset of a
       // (time, lat, lon) archive reads a slab, not the world.
       val chunkDims: Seq[Int] =
         chunkDimsOpt.getOrElse(1 +: axes.drop(1).map(_.length))
-      val boxLens = axes.indices.map(i => (ranges(i)._2 - ranges(i)._1))
-      val boxCells = boxLens.map(_.toLong).product
+      val boxCells =
+        axes.indices.map(i => ranges(i)._2 - ranges(i)._1).product
       val par = org.apache.spark.sql.SparkSession.active
         .sparkContext.defaultParallelism.toLong
-      val splitAxis = axes.indices.find { i =>
-        (ranges(i)._1 / chunkDims(i)) != ((ranges(i)._2 - 1) / chunkDims(i))
-      }.getOrElse(0)
-      val c = chunkDims(splitAxis)
-      val firstChunk = ranges(splitAxis)._1 / c
-      val lastChunk = (ranges(splitAxis)._2 - 1) / c
-      val nChunksAlong = lastChunk - firstChunk + 1
       // bound per-partition cells so box buffers stay executor-sized
       val maxCells = 1L << 24
       val wanted = math.max(par, (boxCells + maxCells - 1) / maxCells)
-      val tiles = math.min(nChunksAlong, wanted) max 1L
-      val chunksPerTile = (nChunksAlong + tiles - 1) / tiles
-      (0L until tiles).flatMap { t =>
-        val lo = math.max(ranges(splitAxis)._1,
-          (firstChunk + t * chunksPerTile) * c)
-        val hi = math.min(ranges(splitAxis)._2,
-          (firstChunk + (t + 1) * chunksPerTile) * c)
-        if (lo >= hi) None
-        else Some(NcBoxPartition(
-          axes.indices.map(i =>
-            if (i == splitAxis) lo else ranges(i)._1),
-          axes.indices.map(i =>
-            if (i == splitAxis) (hi - lo).toInt
-            else boxLens(i).toInt)): InputPartition)
-      }.toArray
+      var remaining = wanted
+      val axisTiles: Seq[Seq[(Long, Long)]] = axes.indices.map { i =>
+        val c = chunkDims(i)
+        val firstChunk = ranges(i)._1 / c
+        val lastChunk = (ranges(i)._2 - 1) / c
+        val nAlong = lastChunk - firstChunk + 1
+        val s = if (remaining <= 1) 1L else math.min(nAlong, remaining)
+        remaining = (remaining + s - 1) / s
+        val chunksPerTile = (nAlong + s - 1) / s
+        (0L until s).flatMap { t =>
+          val lo = math.max(ranges(i)._1,
+            (firstChunk + t * chunksPerTile) * c)
+          val hi = math.min(ranges(i)._2,
+            (firstChunk + (t + 1) * chunksPerTile) * c)
+          if (lo >= hi) None else Some((lo, hi))
+        }
+      }
+      axisTiles
+        .foldLeft(Seq(Seq.empty[(Long, Long)])) { (acc, ts) =>
+          acc.flatMap(p => ts.map(p :+ _))
+        }
+        .map(combo => NcBoxPartition(
+          combo.map(_._1),
+          combo.map(t => (t._2 - t._1).toInt)): InputPartition)
+        .toArray
     }
   }
 

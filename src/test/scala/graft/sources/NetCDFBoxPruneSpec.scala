@@ -162,9 +162,47 @@ class NetCDFBoxPruneSpec extends SparkSpec {
     val cells = boxes.map(_.lens.map(_.toLong).product).sum
     assert(cells == nt.toLong * 8 * 10,
       s"planned $cells cells, predicate box is ${nt * 8 * 10}")
-    // boxes are disjoint along the split axis and chunk-aligned
-    val starts = boxes.map(_.origin.head).sorted
-    assert(starts.distinct.size == starts.size)
+    // the tile grid is disjoint (distinct origins + exact cell sum
+    // above together prove no overlap for axis-aligned boxes)
+    val origins = boxes.map(_.origin)
+    assert(origins.distinct.size == origins.size)
+    // multi-axis splitting: the box spans several partitions even
+    // though the OUTER axis alone has only 3 chunks
+    assert(boxes.size >= 3, s"expected >=3 tiles, got ${boxes.size}")
+  }
+
+  test("few outer chunks still parallelize across inner chunk axes") {
+    // a short-time high-resolution shape: ONE time chunk, many
+    // (lat, lon) chunks — the planner must tile the inner axes, not
+    // produce a single partition
+    val f = java.io.File.createTempFile("box_inner", ".nc4")
+    f.delete(); f.deleteOnExit()
+    val (t1, la1, lo1) = (2, 16, 20)
+    val vals = Array.tabulate(t1 * la1 * lo1)(k => (k % 13).toDouble)
+    NetCDF4.write(f.getPath,
+      dims = Seq(NetCDF3.Dim("time", t1), NetCDF3.Dim("lat", la1),
+        NetCDF3.Dim("lon", lo1)),
+      vars = Seq(
+        ("time", Seq(0), Array.tabulate(t1)(_.toDouble)),
+        ("lat", Seq(1), Array.tabulate(la1)(_.toDouble)),
+        ("lon", Seq(2), Array.tabulate(lo1)(_.toDouble)),
+        ("tas", Seq(0, 1, 2), vals)),
+      chunkDimsOf = Map("tas" -> Seq(2, 4, 5)))
+    val schema = spark.read.format("netcdf4").load(f.getPath).schema
+    val b = new NcScanBuilder(f.getPath, schema, None)
+    val parts = b.build().toBatch.planInputPartitions()
+    // n-D-chunked storage takes box planning even unfiltered; the
+    // single outer chunk forces the split onto lat/lon
+    assert(parts.length >= 4,
+      s"one outer chunk must not serialize the scan: ${parts.length}")
+    val cells = parts.map(_.asInstanceOf[NcBoxPartition])
+      .map(_.lens.map(_.toLong).product).sum
+    assert(cells == t1.toLong * la1 * lo1)
+    // and the data still reads exactly once per cell
+    val total = spark.read.format("netcdf4").load(f.getPath)
+      .agg(org.apache.spark.sql.functions.sum(col("tas")))
+      .collect()(0).getDouble(0)
+    assert(total == vals.sum)
   }
 
   test("classic NetCDF-3 contiguous box fallback prunes inner axes") {
