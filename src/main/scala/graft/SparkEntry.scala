@@ -1034,6 +1034,36 @@ object SparkEntry {
       Dedup.incrementalNew(corpus, incoming, "doc_id", "text")
     }),
 
+    "dedup_incremental_near" -> ((s, dir) => {
+      // cross-run NEAR-dup: yesterday's corpus is represented only by
+      // its saved LSH band index; today's batch replays every doc with
+      // even ids byte-identical (planted near-dups that MUST surface
+      // at jaccard 1.0 against their source) and odd ids fully fresh
+      // text (must NOT match). Organic matches (a copied doc also
+      // near-dupping a DIFFERENT corpus doc) are hash-seed-dependent,
+      // so they pin as a count band like dedup_minhash's
+      val corpus = t(s, dir, "documents").select("doc_id", "text")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_bandidx").toString + "/bands"
+      Dedup.saveBandIndex(corpus, "doc_id", "text", idx)
+      val incoming = corpus.select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(lit("entirely fresh document number "),
+            col("doc_id"),
+            lit(" with none of the original shingles present at all")))
+          .as("text"))
+      val hits = Dedup.incrementalNearDups(s, idx, corpus, incoming,
+        "doc_id", "text", tau = 0.9).localCheckpoint(true)
+      val organic = hits
+        .filter(col("corpus_id") =!= col("in_id") - 1000000).count()
+      val n = corpus.count()
+      hits.filter(col("corpus_id") === col("in_id") - 1000000)
+        .select((col("in_id") - 1000000).as("doc_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .withColumn("organic_in_band", lit(organic <= n))
+    }),
+
     "pipeline_redact" -> ((s, dir) => {
       // PII scrub before a corpus ships: plant deterministic emails /
       // phone numbers into the documents (same arithmetic on the
@@ -3543,6 +3573,15 @@ object SparkEntry {
       """SELECT doc_id, CAST(1.0 AS DOUBLE) AS jaccard,
                 true AS organic_in_band
          FROM documents""",
+
+    // every even-id incoming doc is a byte-identical copy of its
+    // corpus source: the banded probe MUST surface it at jaccard 1.0;
+    // fresh odd-id docs must not appear (a false positive would add a
+    // row and break the hash)
+    "dedup_incremental_near" ->
+      """SELECT doc_id, CAST(1.0 AS DOUBLE) AS jaccard,
+                true AS organic_in_band
+         FROM documents WHERE doc_id % 2 = 0""",
 
     "dedup_simhash" ->
       """SELECT doc_id, CAST(0 AS INTEGER) AS hamming,

@@ -104,6 +104,75 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** LSH band table of a corpus — one row per (band, bandhash, id),
+    * the whole index an incremental near-dup probe needs (text stays
+    * in the corpus table; candidates join back by id). */
+  private def bandTable(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    df.select(col(idCol).as("id"),
+        graft.functions.expressions.HashExpressions
+          .minhash_sig(col(textCol), k, numHashes).as("sig"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+          .as(Seq("band", "bandhash")))
+  }
+
+  /** Persist a corpus's LSH band table — the index the cross-run
+    * NEAR-dup path probes (the MinHash analog of [[incrementalNew]]'s
+    * Bloom filter): O(bands) longs per document, no text. Build it
+    * once per corpus generation; [[incrementalNearDups]] then prices
+    * each new crawl at one signature pass over the BATCH plus a
+    * bucketed join against this table. */
+  def saveBandIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, k: Int = 5, numHashes: Int = 64,
+      bands: Int = 8): Unit =
+    bandTable(df, idCol, textCol, k, numHashes, bands)
+      .write.mode("overwrite").parquet(path)
+
+  /**
+   * Cross-run NEAR-duplicate detection: which incoming documents
+   * near-duplicate something already in the corpus? The daily-crawl
+   * dedup at similarity level — [[incrementalNew]] catches only
+   * byte-identical content; this catches boilerplate re-crawls and
+   * lightly-edited copies.
+   *
+   * Scale shape: the corpus is represented ONLY by its saved band
+   * index (O(bands) longs/doc); the incoming batch pays one codegen'd
+   * signature pass and a join on (band, bandhash) — bucketed by
+   * construction, never all-pairs, and the batch side is broadcast
+   * (a daily batch is small next to a 100 TB corpus). Exact-Jaccard
+   * verification joins text for the CANDIDATE ids only: the corpus
+   * text table is probed by id, not scanned.
+   *
+   * @return (in_id, corpus_id, jaccard) for verified pairs >= tau
+   */
+  def incrementalNearDups(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, corpusText: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, k: Int = 5, numHashes: Int = 64,
+      bands: Int = 8, tau: Double = 0.8): DataFrame = {
+    val stored = spark.read.parquet(indexPath)
+    val inTexts = incoming.select(col(idCol).as("in_id"),
+      col(textCol).as("in_text"))
+    val inBanded = bandTable(incoming, idCol, textCol, k, numHashes,
+      bands).select(col("band"), col("bandhash"), col("id").as("in_id"))
+    val candidates = stored
+      .join(broadcast(inBanded), Seq("band", "bandhash"))
+      .select(col("in_id"), col("id").as("corpus_id")).distinct()
+    candidates
+      .join(inTexts, Seq("in_id"))
+      .join(corpusText.select(col(idCol).as("corpus_id"),
+        col(textCol).as("corpus_text")), Seq("corpus_id"))
+      .withColumn("sh_a", shinglesOf(col("in_text"), k))
+      .withColumn("sh_b", shinglesOf(col("corpus_text"), k))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select("in_id", "corpus_id", "jaccard")
+  }
+
   /** Hash whitespace tokens once into a long array (stage this as its
     * own column so downstream per-bit passes read an attribute instead
     * of re-tokenizing). */

@@ -44,6 +44,28 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Cross"), s"plan has a cartesian:\n$plan")
   }
 
+  test("incremental near-dup: saved band index finds copies, skips fresh") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("banddx").toString + "/bands"
+    Dedup.saveBandIndex(docs, "doc_id", "text", idx)
+    import spark.implicits._
+    val incoming = Seq(
+      (100L, docs.filter(col("doc_id") === 1).head().getString(1)), // copy
+      (101L, "a completely unrelated incoming document about nothing")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.incrementalNearDups(spark, idx, docs, incoming,
+      "doc_id", "text", tau = 0.9)
+    val got = hits.select("in_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(got.exists(r => r._1 == 100L && r._2 == 1L && r._3 == 1.0))
+    assert(!got.exists(_._1 == 101L), s"fresh doc matched: ${got.toSeq}")
+    // plan: bucketed band join with the batch side broadcast —
+    // never a cartesian against the corpus index
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && plan.contains("Broadcast"),
+      s"expected broadcast band join:\n$plan")
+  }
+
   test("simhash: identical docs collide at hamming 0") {
     val out = Dedup.simhashDups(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
