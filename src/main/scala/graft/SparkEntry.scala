@@ -1253,6 +1253,19 @@ object SparkEntry {
         batch1.unionByName(batch2).filter(col("query_id") >= 9001L))
     }),
 
+    "embed_decontaminate" -> ((s, dir) => {
+      // semantic decontamination: flag corpus vectors whose max cosine
+      // vs a benchmark subset (every 100th vec_id) reaches 0.3 — the
+      // embedding-level complement of corpus_decontaminate's n-gram
+      // overlap. The benchmark folds into ONE codegen'd ArgmaxDot
+      // constant table: no join, no shuffle, no broadcast exchange
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val bench = e.filter(col("vec_id") % 100 === 0)
+      graft.pipeline.Similarity.semanticDecontaminate(
+          e, bench, "vec_id", "embedding", tau = 0.3)
+        .select(col("id").as("vec_id"), col("max_cos"))
+    }),
+
     "embed_semdedup" -> ((s, dir) => {
       // SemDeDup (cluster-bucketed semantic dedup): double the corpus
       // so every vector has a planted exact duplicate — identical
@@ -3803,6 +3816,20 @@ object SparkEntry {
       """SELECT vec_id AS keep_id, CAST(1.0 AS DOUBLE) AS score,
                 true AS organic_in_band
          FROM embeddings""",
+
+    "embed_decontaminate" ->
+      """WITH bench AS (
+           SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS bv
+           FROM embeddings WHERE vec_id % 100 = 0),
+         docs AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 100 <> 0),
+         scored AS (
+           SELECT d.vec_id,
+                  max(list_cosine_similarity(d.v, b.bv)) AS mc
+           FROM docs d CROSS JOIN bench b GROUP BY 1)
+         SELECT vec_id, round(mc, 4) AS max_cos
+         FROM scored WHERE mc >= 0.3""",
 
     "embed_neardup" ->
       """WITH d AS (

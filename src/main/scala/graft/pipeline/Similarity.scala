@@ -153,6 +153,50 @@ object Similarity {
         transform(col("vec"), x => x / norm)).otherwise(col("vec")))
   }
 
+  /**
+   * Semantic decontamination: flag corpus vectors whose maximum cosine
+   * against a BENCHMARK set reaches `tau` — the embedding-level
+   * complement of `CorpusOps.decontaminate`'s n-gram overlap (catches
+   * paraphrased eval items that share no 5-gram with the original).
+   *
+   * Scale shape: the benchmark set is SMALL by definition (an eval
+   * suite, not a corpus) — it collects to the driver once and folds
+   * into ONE codegen'd `ArgmaxDot` pass as a constant table, so the
+   * corpus pays a single O(|bench| * dim) scan per row with no join,
+   * no shuffle, and no broadcast exchange. The max-cosine value is
+   * recovered with one dot against the argmax row (argmax ties cannot
+   * change the reported maximum). Benchmark members themselves are
+   * excluded from the output.
+   *
+   * @return (id, max_cos rounded to 4) for flagged corpus rows
+   */
+  def semanticDecontaminate(emb: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
+    val benchRows = bench
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+    require(benchRows.nonEmpty, "semanticDecontaminate: empty benchmark")
+    val benchIds: Seq[Long] = benchRows.map(_.getLong(0)).toSeq
+    val matrix: Array[Array[Double]] = benchRows.map { r =>
+      val v = r.getSeq[Double](1).toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    val mlit = typedLit(matrix.map(_.toSeq).toSeq)
+    val feats = normalized(emb, idCol, vecCol)
+      .filter(!col("id").isInCollection(benchIds))
+    val best = graft.functions.expressions.GraftExpressions
+      .argmax_dot(col("nvec"), matrix)
+    feats
+      .withColumn("best", best)
+      .withColumn("max_cos", F.aggregate(
+        zip_with(col("nvec"), element_at(mlit, col("best") + 1),
+          (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x))
+      .filter(col("max_cos") >= tau)
+      .select(col("id"), round(col("max_cos"), 4).as("max_cos"))
+  }
+
   /** Bounded hash-ordered training sample, collected to the driver.
     * Index training is ALWAYS on a bounded sample (~200 points per
     * centroid, the FAISS heuristic), so k-means runs on the DRIVER —

@@ -310,6 +310,29 @@ class SimilaritySpec extends SparkSpec {
       s"expected cell partition pruning in:\n$p")
   }
 
+  test("semanticDecontaminate: one codegen pass, no join, exact flags") {
+    import spark.implicits._
+    val e1 = Array(1.0, 0.0, 0.0, 0.0)
+    val close = Array(0.9, 0.1, 0.0, 0.0) // cos vs e1 ~ 0.9939
+    val far = Array(0.0, 0.0, 1.0, 0.0)
+    val mid = Array(0.5, 0.0, 0.5, 0.0)   // cos vs e1 ~ 0.7071
+    val df = Seq(
+      (0L, e1.toSeq), (1L, close.toSeq), (2L, far.toSeq), (3L, mid.toSeq)
+    ).toDF("vec_id", "embedding")
+    val bench = df.filter(col("vec_id") === 0L)
+    val out = Similarity.semanticDecontaminate(
+      df, bench, "vec_id", "embedding", tau = 0.9)
+    val got = out.as[(Long, Double)].collect().toMap
+    // the bench member itself is excluded; only the near-copy flags
+    assert(got.keySet == Set(1L), got.toString)
+    assert(math.abs(got(1L) - 0.9939) < 1e-3)
+    // plan shape: the benchmark is a constant table inside the pass —
+    // no join, no exchange anywhere
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"benchmark must fold into the scan pass:\n$p")
+  }
+
   test("IVF append drift gate: recall holds or the re-train trigger fires") {
     // VERDICT r11 #7: appendToIvfIndex trusts frozen centroids
     // forever; heavy appends that DRIFT from the fitted distribution
