@@ -1064,6 +1064,85 @@ object SparkEntry {
         .withColumn("organic_in_band", lit(organic <= n))
     }),
 
+    "dedup_incremental_near_stream" -> ((s, dir) => withShufflePartitions(s, 8) {
+      // CONTINUOUS near-dup ingestion: document drops stream in; each
+      // micro-batch probes the growing band index for near-dups, then
+      // appends its NEW documents' bands (and texts) so later batches
+      // dedup against earlier ones. The cross-batch plant is the
+      // point: batch 0 carries a FRESH doc, batch 1 its copy — the
+      // copy can only be caught if batch 0's append really joined the
+      // index. foreachBatch is at-least-once, so both the band append
+      // and the hit sink run id-deduplicated (exactly-once effects).
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_nds")
+      val drops = java.nio.file.Files.createTempDirectory("graft_nds_in")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_nds_ck")
+      Seq(idxDir, drops, ckpt).foreach(_.toFile.deleteOnExit())
+      val idx = s"$idxDir/bands"; val texts = s"$idxDir/texts"
+      val hitsDir = s"$idxDir/hits"
+      val corpus = t(s, dir, "documents").select("doc_id", "text")
+      Dedup.saveBandIndex(corpus, "doc_id", "text", idx)
+      corpus.write.mode("overwrite").parquet(texts)
+      val freshText = lit("synthetic streaming document alpha beta " +
+        "gamma delta epsilon zeta eta theta iota kappa")
+      // batch 0: copies of corpus docs 2,4,6 + the fresh doc;
+      // batch 1: copy of corpus doc 8 + a COPY OF THE FRESH DOC
+      val b0 = corpus.filter(col("doc_id").isin(2L, 4L, 6L))
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        .unionByName(s.range(1).select(lit(2000001L).as("doc_id"),
+          freshText.as("text")))
+      val b1 = corpus.filter(col("doc_id") === 8L)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        .unionByName(s.range(1).select(lit(2000002L).as("doc_id"),
+          freshText.as("text")))
+      Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+        writeSinglePartParquet(b, drops.resolve(s"drop_$i.parquet"))
+      }
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops.toString)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val corpusText = s.read.parquet(texts)
+          val hits = Dedup.incrementalNearDups(s, idx, corpusText,
+            batch, "doc_id", "text", tau = 0.9).localCheckpoint(true)
+          // idempotent hit sink: drop re-delivered in_ids
+          val prior =
+            try s.read.parquet(hitsDir).select(col("in_id")).distinct()
+            catch { case _: Exception => null }
+          val freshHits =
+            if (prior == null) hits
+            else hits.join(prior, Seq("in_id"), "left_anti")
+          freshHits.write.mode("append").parquet(hitsDir)
+          // grow the index + text store with the batch's NEW docs
+          val newDocs = batch.join(
+            hits.select(col("in_id").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          Dedup.appendToBandIndex(s, idx, newDocs, "doc_id", "text",
+            dedupAgainstExisting = true)
+          newDocs.join(corpusText.select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+            .write.mode("append").parquet(texts)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val allHits = s.read.parquet(hitsDir).localCheckpoint(true)
+      val planted = col("corpus_id") === col("in_id") - 1000000 ||
+        (col("in_id") === 2000002L && col("corpus_id") === 2000001L)
+      val organic = allHits.filter(!planted).count()
+      allHits.filter(planted)
+        .select(col("in_id"), col("corpus_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .withColumn("organic_in_band", lit(organic <= 20L))
+    }),
+
     "pipeline_redact" -> ((s, dir) => {
       // PII scrub before a corpus ships: plant deterministic emails /
       // phone numbers into the documents (same arithmetic on the
@@ -3595,6 +3674,18 @@ object SparkEntry {
       """SELECT doc_id, CAST(1.0 AS DOUBLE) AS jaccard,
                 true AS organic_in_band
          FROM documents WHERE doc_id % 2 = 0""",
+
+    // planted copies of corpus docs 2/4/6/8 arrive over two
+    // micro-batches; the cross-batch pair (2000002 -> 2000001) can
+    // only surface if batch 0's band append really joined the index
+    "dedup_incremental_near_stream" ->
+      """SELECT CAST(doc_id + 1000000 AS BIGINT) AS in_id,
+                CAST(doc_id AS BIGINT) AS corpus_id,
+                CAST(1.0 AS DOUBLE) AS jaccard,
+                true AS organic_in_band
+         FROM documents WHERE doc_id IN (2, 4, 6, 8)
+         UNION ALL
+         SELECT 2000002, 2000001, 1.0, true""",
 
     "dedup_simhash" ->
       """SELECT doc_id, CAST(0 AS INTEGER) AS hamming,

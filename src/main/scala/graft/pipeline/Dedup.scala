@@ -131,6 +131,31 @@ object Dedup {
     bandTable(df, idCol, textCol, k, numHashes, bands)
       .write.mode("overwrite").parquet(path)
 
+  /** Append a batch's band rows to a SAVED band index — the
+    * continuous-ingestion update path ([[incrementalNearDups]] then
+    * sees the batch's documents as corpus members). O(batch): existing
+    * index files are never read or rewritten. With
+    * `dedupAgainstExisting = true` the batch is first anti-joined
+    * against the index's id column (one pruned single-column scan), so
+    * an at-least-once driver (foreachBatch) re-delivering a batch is a
+    * no-op — the same exactly-once-effects contract as
+    * `Similarity.appendToIvfIndex`. Returns appended DOCUMENT count. */
+  def appendToBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, numHashes: Int = 64, bands: Int = 8,
+      dedupAgainstExisting: Boolean = false): Long = {
+    val fresh =
+      if (!dedupAgainstExisting) df.select(col(idCol), col(textCol))
+      else df.select(col(idCol), col(textCol)).join(
+        spark.read.parquet(path).select(col("id").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+    val banded = bandTable(fresh, idCol, textCol, k, numHashes, bands)
+      .localCheckpoint(true)
+    val n = banded.select(col("id")).distinct().count()
+    if (n > 0) banded.write.mode("append").parquet(path)
+    n
+  }
+
   /**
    * Cross-run NEAR-duplicate detection: which incoming documents
    * near-duplicate something already in the corpus? The daily-crawl
