@@ -1322,6 +1322,11 @@ object Hdf5 {
         val runLen =
           if (k < 0) cellsL
           else lens(k).toLong * strides(k)
+        // a run is read and decoded as one byte array: the byte size
+        // must fit Int (planned partitions stay far below this; a
+        // direct caller with a pathological box fails loudly here)
+        require(runLen * es <= Int.MaxValue,
+          s"${ds.name}: box run of $runLen cells exceeds a single read")
         val runAxis = math.max(k, 0)
         val f = new RandomAccessFile(path, "r")
         try {

@@ -122,6 +122,10 @@ object NetCDF4 {
     val nChunks: Int =
       if (shape.product == 0) 0 else axisChunks.product max 1
     def origin(c: Int): Seq[Long] = {
+      // legacy scalar-variable grids carry chunkDims=Seq(1) over an
+      // EMPTY shape (chunkGrid's historical contract) — there is one
+      // chunk at the zero origin, not a grid to decompose
+      if (axisChunks.isEmpty) return chunkDims.map(_ => 0L)
       val out = new Array[Long](chunkDims.size)
       var rem = c
       var i = chunkDims.size - 1

@@ -76,7 +76,10 @@ object NcView {
     var k = rank - 1
     while (k >= 0 && origin(k) == 0 && lens(k).toLong == shape(k)) k -= 1
     if (k < 0) return slab(0L, cells.toInt)
-    val runLen = (lens(k) * strides(k)).toInt
+    val runLenL = lens(k).toLong * strides(k)
+    require(runLenL <= Int.MaxValue,
+      s"box run of $runLenL cells exceeds a single slab read")
+    val runLen = runLenL.toInt
     val out = new Array[Double](cells.toInt)
     val outerIdx = new Array[Int](k)
     var dst = 0

@@ -1099,13 +1099,19 @@ final class Engine(
     // admission: refuse past farm+queue, then QUEUE behind the farm —
     // a run beyond farmSize parks here until a slot frees (activeRuns
     // counts queued runs too, so the refusal check sees them, like the
-    // reference's job-list counter)
+    // reference's job-list counter). The acquire sits INSIDE the try
+    // with its own flag: an interrupt while queued must not leak the
+    // activeRuns increment (a leaked counter would wedge admission) or
+    // release a permit that was never taken.
     checkAdmission()
     activeRuns.incrementAndGet()
-    if (queueSize > 0) farmPermits.acquire()
-    try runBlock(0, spec.tasks.size, "", initialVars)
+    var farmAcquired = false
+    try {
+      if (queueSize > 0) { farmPermits.acquire(); farmAcquired = true }
+      runBlock(0, spec.tasks.size, "", initialVars)
+    }
     finally {
-      if (queueSize > 0) farmPermits.release()
+      if (farmAcquired) farmPermits.release()
       activeRuns.decrementAndGet()
       spark.sparkContext.clearJobGroup()
       // exit actions: drop intermediate cubes flagged on_exit=oph_delete
