@@ -1689,6 +1689,54 @@ object SparkEntry {
         numPartitions = 8)
     }),
 
+    "group_topk" -> ((s, dir) => {
+      // bounded-buffer grouped top-k: partial aggregation caps each
+      // (group x partition) at k pairs pre-shuffle — never the window
+      // formulation's full per-group sort through the exchange
+      val u = graft.functions.GroupTopK.topk(3)
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(u(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"),
+          (col("pos") + 1).cast("long").as("rk"),
+          col("col._1").as("o_orderkey"),
+          col("col._2").as("o_totalprice"))
+    }),
+
+    "quantile_exact" -> ((s, dir) =>
+      // exact discrete quantiles by histogram refinement: per round one
+      // <=8192-row count vector to the driver, never a global sort
+      graft.operators.Quantiles.exactQuantiles(
+        t(s, dir, "lineitem"), "l_extendedprice",
+        qs = Seq(0.25, 0.5, 0.75, 0.9))),
+
+    "corpus_stratified_sample" -> ((s, dir) =>
+      // exact per-language quotas via hash-cutoff prefilter + exact
+      // rank on the ~margin*quota survivors (never a full-stratum sort)
+      CorpusOps.stratifiedSample(t(s, dir, "documents"), "doc_id",
+        "lang", quota = 20)),
+
+    "text_bm25" -> ((s, dir) =>
+      // lexical retrieval: BM25 over a fixed query term set; only
+      // query-term hits explode, df/N/avgdl broadcast
+      TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
+        query = Seq("spark", "query", "window"))),
+
+    "dedup_canonical" -> ((s, dir) => {
+      // survivorship over normalized-exact groups: plant a cased and a
+      // padded variant of every doc — all three normalize equal, the
+      // padded one is longest, so the policy must elect id+2000000 as
+      // canonical for every group (min-id would be wrong: hash fail)
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val aug = d
+        .unionByName(d.select((col("doc_id") + 1000000).as("doc_id"),
+          upper(col("text")).as("text")))
+        .unionByName(d.select((col("doc_id") + 2000000).as("doc_id"),
+          concat(lit("  "), col("text"), lit("   ")).as("text")))
+      Dedup.canonicalMap(aug, "doc_id", "text")
+    }),
+
     // ------------------------------------------- workflow engine e2e
     "workflow_agg" -> ((s, dir) => {
       // import -> subset -> aggregate driven by the workflow engine:
@@ -4408,6 +4456,79 @@ object SparkEntry {
              CAST(start // 128 AS BIGINT),
              CAST((start + n - 1) // 128 AS BIGINT))) AS seq_id
          ) t""",
+
+    // grouped top-k (value desc, id asc — the aggregator's
+    // deterministic rank order)
+    "group_topk" ->
+      """SELECT o_orderpriority,
+                CAST(row_number() OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk,
+                o_orderkey, o_totalprice
+         FROM orders
+         QUALIFY rk <= 3""",
+
+    // exact discrete quantiles: the element at rank ceil(q*N) — the
+    // same element quantile_disc selects
+    "quantile_exact" ->
+      """SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q,
+                unnest(quantile_disc(l_extendedprice,
+                  [0.25, 0.5, 0.75, 0.9])) AS value
+         FROM lineitem""",
+
+    // exact-quota stratified sample: same arithmetic rank key; the
+    // oracle ranks the full stratum — the Spark side must land on the
+    // identical row set through its prefilter + exact-rank path
+    "corpus_stratified_sample" ->
+      """SELECT doc_id, lang,
+                CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007,
+                           doc_id) AS BIGINT) AS rk
+         FROM documents
+         QUALIFY rk <= 20""",
+
+    // BM25 (Lucene ln(1+...) idf; k1=1.2, b=0.75) for the fixed query
+    // {spark, query, window}; one row per document with >= 1 hit
+    "text_bm25" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS ts,
+                  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                    AS DOUBLE) AS dl
+           FROM documents),
+         stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM base),
+         hits AS (SELECT doc_id, dl, t AS term
+                  FROM base, unnest(ts) u(t)
+                  WHERE t IN ('spark', 'query', 'window')),
+         tf AS (SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+                FROM hits GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+         SELECT tf.doc_id,
+                round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                  * (tf * 2.2)
+                  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4)
+                  AS bm25
+         FROM tf JOIN dfq USING (term), stats
+         GROUP BY 1""",
+
+    // survivorship over normalized-exact groups (longest raw text,
+    // ties to smallest id) on the same cased/padded plant
+    "dedup_canonical" ->
+      """WITH aug AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, upper(text) FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000, '  ' || text || '   ' FROM documents),
+         k AS (SELECT doc_id,
+                      regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                        AS kk,
+                      CAST(length(text) AS BIGINT) AS len
+               FROM aug)
+         SELECT doc_id,
+                first_value(doc_id) OVER (PARTITION BY kk
+                  ORDER BY len DESC, doc_id) AS canonical_id,
+                count(*) OVER (PARTITION BY kk) AS group_size
+         FROM k""",
 
     "sample_stratified" ->
       """SELECT event_id, event_type,

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions
+
+/**
+ * Per-group top-k as a typed `Aggregator` with a BOUNDED buffer — the
+ * scale-correct alternative to
+ * `row_number() over (partition by g order by v desc) <= k`, which
+ * sorts EVERY row of every group through the exchange. Here partial
+ * aggregation caps each (group × partition) contribution at k pairs
+ * before the shuffle: a group with 10^9 rows ships
+ * k × numPartitions pairs, not 10^9 sorted rows.
+ *
+ * Deterministic: ranks by (value desc, id asc), so ties cannot
+ * reorder across partitionings and the result is reproducible —
+ * required for oracle-hash comparison and for exactly-once sinks.
+ *
+ * The buffer is a mutable array mutated in place (kryo-encoded, like
+ * [[QuantileSketch]]'s sketch buffer): the reduce hot path does one
+ * O(k) worst-slot scan per row and zero allocation until a row
+ * actually displaces a held pair.
+ */
+object GroupTopK {
+
+  /** Mutable bounded buffer of (value, id) pairs, unsorted. */
+  final class Buf(var vs: Array[Double], var ids: Array[Long],
+      var n: Int) extends Serializable {
+    def this() = this(Array.empty, Array.empty, 0)
+  }
+
+  /** (a) ranks strictly better than (b): higher value, ties to the
+    * smaller id. */
+  @inline private def better(av: Double, ai: Long, bv: Double,
+      bi: Long): Boolean = av > bv || (av == bv && ai < bi)
+
+  final class TopKAgg(k: Int)
+      extends Aggregator[(Double, Long), Buf, Seq[(Long, Double)]] {
+    require(k >= 1, s"k must be positive, got $k")
+
+    override def zero: Buf =
+      new Buf(new Array[Double](k), new Array[Long](k), 0)
+
+    override def reduce(b: Buf, a: (Double, Long)): Buf = {
+      if (b.n < k) {
+        b.vs(b.n) = a._1; b.ids(b.n) = a._2; b.n += 1
+      } else {
+        // find the worst held pair; replace it if the row beats it
+        var w = 0
+        var i = 1
+        while (i < b.n) {
+          if (better(b.vs(w), b.ids(w), b.vs(i), b.ids(i))) w = i
+          i += 1
+        }
+        if (better(a._1, a._2, b.vs(w), b.ids(w))) {
+          b.vs(w) = a._1; b.ids(w) = a._2
+        }
+      }
+      b
+    }
+
+    override def merge(b1: Buf, b2: Buf): Buf = {
+      var i = 0
+      while (i < b2.n) { reduce(b1, (b2.vs(i), b2.ids(i))); i += 1 }
+      b1
+    }
+
+    override def finish(b: Buf): Seq[(Long, Double)] =
+      (0 until b.n).map(i => (b.vs(i), b.ids(i)))
+        .sortWith((a, c) => better(a._1, a._2, c._1, c._2))
+        .map { case (v, id) => (id, v) }
+
+    override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+    override def outputEncoder: Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[(Long, Double)]]()
+  }
+
+  /** Untyped handle: `df.groupBy(g).agg(topk(3)(valueCol, idCol))`
+    * yields `array<struct<_1: id, _2: value>>` ordered best-first. */
+  def topk(k: Int): UserDefinedFunction =
+    functions.udaf(new TopKAgg(k),
+      Encoders.product[(Double, Long)])
+}

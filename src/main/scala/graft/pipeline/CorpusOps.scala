@@ -340,4 +340,71 @@ object CorpusOps {
         (greatest(col("__start"), col("seq_id") * L) - col("seq_id") * L)
           .as("seq_off"))
   }
+
+  /**
+   * Exact-quota stratified sampling: the `quota` deterministically
+   * lowest-ranked rows of EVERY stratum (per-language validation
+   * splits, eval-set construction). The rank key is integer
+   * arithmetic on the id — reproducible across engines and runs, no
+   * RNG state — and the result is EXACT: precisely
+   * `min(quota, |stratum|)` rows per stratum, unlike the rate-based
+   * [[mixtureSample]].
+   *
+   * Scale shape (100 TB): a naive `row_number() over (partition by
+   * stratum order by key)` sorts ENTIRE strata — a web crawl's "en"
+   * stratum is tens of TB through a handful of tasks. Instead:
+   * (1) per-stratum counts — one tiny aggregate, broadcast back;
+   * (2) a hash-cutoff prefilter keeps ~`margin`×quota expected rows
+   *     per stratum — the only full-data pass, a codegen'd filter
+   *     against a broadcast cutoff map;
+   * (3) the exact row_number runs over the surviving ~margin×quota
+   *     rows per stratum.
+   * The survivor census (bounded: one row per stratum) verifies the
+   * prefilter kept at least min(quota, n) everywhere; a stratum the
+   * prefilter under-selected — Chernoff-improbable at margin 8, but
+   * correctness must not ride on a tail bound — is recomputed
+   * WITHOUT the prefilter and unioned back in.
+   */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      quota: Int, margin: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"stratifiedSample: id column '$idCol' must be integral, got " +
+          s"$other — hash non-numeric ids first (e.g. xxhash64($idCol))")
+    }
+    require(quota > 0 && margin >= 2, s"quota=$quota margin=$margin")
+    val P = 1000000007L
+    val h = pmod(pmod(col(idCol), lit(P)) * 2654435761L, lit(P))
+    val keyed = df.select(col(idCol), col(stratumCol), h.as("__h"))
+    val counts = keyed.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+    // cutoff: keep everything when the stratum is small; otherwise an
+    // expected margin×quota rows (quota·margin·P stays far below 2^63
+    // for any sane quota — 10^9 × quota·margin)
+    val cuts = counts.select(col(stratumCol),
+      when(col("__n") <= lit(quota.toLong * margin), lit(P))
+        .otherwise(expr(s"${quota.toLong * margin}L * ${P}L div __n") + 1)
+        .as("__cut"))
+    val surv = keyed.join(broadcast(cuts), stratumCol)
+      .filter(col("__h") < col("__cut"))
+    // bounded driver check: one row per stratum, never data-scale
+    val deficient = surv.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__g"))
+      .join(counts, Seq(stratumCol), "right")
+      .filter(coalesce(col("__g"), lit(0L)) <
+        least(lit(quota.toLong), col("__n")))
+      .select(col(stratumCol)).collect().map(_.get(0)).toSeq
+    val base =
+      if (deficient.isEmpty) surv.select(col(idCol), col(stratumCol), col("__h"))
+      else surv.filter(!col(stratumCol).isin(deficient: _*))
+        .select(col(idCol), col(stratumCol), col("__h"))
+        .unionByName(keyed.filter(col(stratumCol).isin(deficient: _*)))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__h"), col(idCol))
+    base.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= quota)
+      .select(col(idCol), col(stratumCol), col("rk"))
+  }
 }

@@ -514,4 +514,38 @@ object Dedup {
       .select(col(idCol), col("content_hash"))
     definiteNew.unionByName(verifiedNew)
   }
+
+  /**
+   * Normalized-exact dedup with a survivorship policy: group documents
+   * by their NORMALIZED text (lowercased, whitespace-collapsed — the
+   * canonicalization pass crawl pipelines run before hashing, so
+   * case/spacing variants of one page land in one group), elect one
+   * canonical representative per group — the member with the longest
+   * RAW text, ties to the smallest id — and map every member to it.
+   * The survivorship mapping is what [[exact]] doesn't give you:
+   * downstream joins rewrite references from any member to its
+   * canonical id, and `group_size` drives dup-rate accounting.
+   *
+   * Scale shape (100 TB): groups key on `xxhash64` of the normalized
+   * text, so no text ever leaves its row. One aggregation on that
+   * hash elects (canonical, size) per group — partial aggregation
+   * map-side-combines perfect duplicates, so a boilerplate page with
+   * 10^9 copies ships one partial per task, not 10^9 rows — and the
+   * members then re-join the group table on the same hash (AQE's
+   * skew-join split covers a residual hot key). The canonical
+   * election is a single `min(struct(-len, id))`: no window, no
+   * second shuffle on the members.
+   */
+  def canonicalMap(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val keyed = df.select(col(idCol), xxhash64(norm).as("__k"),
+      length(col(textCol)).cast("long").as("__len"))
+    val groups = keyed.groupBy(col("__k"))
+      .agg(min(struct((-col("__len")).as("nl"), col(idCol).as("id")))
+        .as("__best"), count(lit(1)).as("group_size"))
+      .select(col("__k"), col("__best").getField("id").as("canonical_id"),
+        col("group_size"))
+    keyed.join(groups, "__k")
+      .select(col(idCol), col("canonical_id"), col("group_size"))
+  }
 }

@@ -218,6 +218,48 @@ object TextAnalysis {
           (coalesce(col("cu"), lit(0L)) + col("v")))), 4).as("lm_score"))
   }
 
+  /**
+   * BM25 relevance of every document against a fixed query term set
+   * (Robertson–Spärck Jones weighting in the Lucene `ln(1 + …)` form,
+   * so scores stay positive) — the lexical-retrieval side of a
+   * training-data pipeline: sourcing topical documents, building
+   * retrieval-eval sets, hard-negative mining against a query log.
+   *
+   * score(d) = Σ_{t∈Q} ln(1 + (N − df + 0.5)/(df + 0.5))
+   *              · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+   *
+   * Scale shape (100 TB): the corpus pass filters each token array to
+   * the query set BEFORE exploding — only query-term hits (a sliver
+   * of the corpus) enter the (doc, term) aggregation shuffle. The
+   * per-term document frequencies (|Q| rows) and the (N, avgdl)
+   * scalars are tiny broadcast frames. Output is one row per document
+   * with ≥ 1 hit; a top-k presentation is a TakeOrdered over this
+   * frame, never a global sort.
+   */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25: empty query")
+    val base = df.select(col(idCol), tokensLower(col(textCol)).as("__ts"))
+      .select(col(idCol), col("__ts"),
+        size(col("__ts")).cast("double").as("__dl"))
+    val stats = base.agg(count(lit(1)).as("__nn"),
+      avg(col("__dl")).as("__avgdl"))
+    val hits = base.select(col(idCol), col("__dl"),
+      explode(F.filter(col("__ts"), t => t.isin(query: _*))).as("term"))
+    val tf = hits.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val idf = log(lit(1.0) +
+      (col("__nn") - col("__df") + 0.5) / (col("__df") + 0.5))
+    val tfNorm = (col("__tf") * (k1 + 1.0)) /
+      (col("__tf") + lit(k1) *
+        (lit(1.0) - b + lit(b) * col("__dl") / col("__avgdl")))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(round(sum(idf * tfNorm), 4).as("bm25"))
+  }
+
   /** One-stop per-document stats frame. */
   def stats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

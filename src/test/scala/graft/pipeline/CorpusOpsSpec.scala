@@ -335,4 +335,52 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  private def rankHash(id: Long): Long =
+    ((id % 1000000007L) * 2654435761L) % 1000000007L
+
+  test("stratifiedSample equals the naive full-stratum rank") {
+    // strata big enough (5000 >> quota*margin=80) that the hash-cutoff
+    // prefilter is live — the exact-rank contract must survive it
+    val df = (0L until 10000L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b")).toDF("doc_id", "lang")
+    val got = CorpusOps.stratifiedSample(df, "doc_id", "lang", quota = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val naive = (0L until 10000L).groupBy(_ % 2).values.flatMap { ids =>
+      ids.sortBy(i => (rankHash(i), i)).take(10).zipWithIndex
+        .map { case (i, k) =>
+          (i, if (i % 2 == 0) "a" else "b", (k + 1).toLong) }
+    }.toSet
+    assert(got == naive && got.size == 20)
+  }
+
+  test("stratifiedSample returns whole strata smaller than the quota") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "lang")
+    val got = CorpusOps.stratifiedSample(df, "doc_id", "lang", quota = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "x"), (2L, "x"), (3L, "y")))
+  }
+
+  test("stratifiedSample recovers a stratum the prefilter under-selects") {
+    // adversarial ids whose rank hashes ALL sit above the margin=2
+    // cutoff (~2/5 of the hash space here): the census must detect the
+    // deficient stratum and re-rank it without the prefilter
+    val ids = (0L until 200000L)
+      .filter(i => rankHash(i) > 600000000L).take(5)
+    assert(ids.size == 5)
+    val df = ids.map(i => (i, "hot")).toDF("doc_id", "lang")
+    val got = CorpusOps.stratifiedSample(df, "doc_id", "lang",
+      quota = 2, margin = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val want = ids.sortBy(i => (rankHash(i), i)).take(2).zipWithIndex
+      .map { case (i, k) => (i, (k + 1).toLong) }.toSet
+    assert(got == want)
+  }
+
+  test("stratifiedSample rejects non-integral id columns loudly") {
+    val df = Seq(("a", "x")).toDF("doc_id", "lang")
+    intercept[IllegalArgumentException] {
+      CorpusOps.stratifiedSample(df, "doc_id", "lang", quota = 1)
+    }
+  }
 }

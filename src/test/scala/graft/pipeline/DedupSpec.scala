@@ -169,4 +169,30 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.incrementalNew(empty, incoming, "doc_id", "text")
       .count() == 100L)
   }
+
+  test("canonicalMap elects longest-then-smallest-id per normalized group") {
+    val docs = Seq(
+      (1L, "Hello   World"),     // normalizes with 2 and 3
+      (2L, "hello world"),
+      (3L, "  HELLO WORLD  !"),  // different normalized text (the !)
+      (4L, " hello  world  "),   // longest raw (15 chars) -> canonical
+      (5L, "unique doc")).toDF("doc_id", "text")
+    val got = Dedup.canonicalMap(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 4L, 3L),   // |" hello  world  "| = 15 > |"Hello   World"| = 13
+      (2L, 4L, 3L),
+      (4L, 4L, 3L),
+      (3L, 3L, 1L),
+      (5L, 5L, 1L)))
+  }
+
+  test("canonicalMap breaks raw-length ties toward the smallest id") {
+    val docs = Seq(
+      (7L, "SAME LEN"), (2L, "same len"), (9L, "Same Len"))
+      .toDF("doc_id", "text")
+    val got = Dedup.canonicalMap(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((7L, 2L), (2L, 2L), (9L, 2L)))
+  }
 }

@@ -113,4 +113,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(p > n)
     assert(p >= 0.0 && p <= 1.0 && n >= 0.0 && n <= 1.0)
   }
+
+  test("bm25 matches the hand-computed Robertson/Lucene formula") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "nothing else here")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, "doc_id", "text",
+      query = Seq("apple", "banana"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, dl=(3,2,3), avgdl=8/3; df(apple)=1, df(banana)=2
+    val avgdl = 8.0 / 3.0
+    def idf(df: Int) = math.log(1.0 + (3 - df + 0.5) / (df + 0.5))
+    def tfn(tf: Int, dl: Int) =
+      tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    assert(got.keySet == Set(1L, 2L))   // doc 3 has no hit: absent
+    assert(got(1L) == r4(idf(1) * tfn(2, 3) + idf(2) * tfn(1, 3)))
+    assert(got(2L) == r4(idf(2) * tfn(1, 2)))
+  }
+
+  test("bm25 keeps the query-side frames broadcast — no SortMergeJoin") {
+    val docs = Seq((1L, "apple pie"), (2L, "banana split"))
+      .toDF("doc_id", "text")
+    val plan = TextAnalysis.bm25(docs, "doc_id", "text",
+      query = Seq("apple", "banana"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"))
+    assert(plan.contains("BroadcastExchange"))
+  }
 }
