@@ -1689,6 +1689,30 @@ object SparkEntry {
         numPartitions = 8)
     }),
 
+    "join_dpp" -> ((s, dir) => {
+      // dynamic partition pruning, the 100 TB warehouse shape: fact
+      // partitioned by ship month on disk, dim filtered at runtime —
+      // the scan must read only the dim's months (plan carries a
+      // dynamicpruning expression; asserted in PlanAuditSpec). The
+      // partitioned copy is a per-run fixture; at scale the table
+      // simply IS stored partitioned.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dpp")
+      val factDir = tmp.resolve("lineitem_bym").toString
+      t(s, dir, "lineitem")
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .write.partitionBy("ship_month").mode("overwrite").parquet(factDir)
+      val fact = s.read.parquet(factDir)
+      val months = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
+        .distinct()
+      fact.join(months, "ship_month")
+        .groupBy(col("ship_month"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
     "group_topk" -> ((s, dir) => {
       // bounded-buffer grouped top-k: partial aggregation caps each
       // (group x partition) at k pairs pre-shuffle — never the window
@@ -4456,6 +4480,19 @@ object SparkEntry {
              CAST(start // 128 AS BIGINT),
              CAST((start + n - 1) // 128 AS BIGINT))) AS seq_id
          ) t""",
+
+    // DPP row: months present in BOTH relations, counted over lineitem
+    "join_dpp" ->
+      """WITH m AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+                    FROM orders
+                    WHERE o_orderpriority = '1-URGENT'
+                      AND o_orderdate < TIMESTAMP '1996-01-01')
+         SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                CAST(count(*) AS BIGINT) AS n,
+                round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         WHERE strftime(l_shipdate, '%Y-%m') IN (SELECT ship_month FROM m)
+         GROUP BY 1""",
 
     // grouped top-k (value desc, id asc — the aggregator's
     // deterministic rank order)

@@ -402,4 +402,18 @@ class PlanAuditSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS plan_b_ord")
     }
   }
+
+  test("join_dpp: the fact scan carries a dynamic partition filter") {
+    // the month-partitioned fact must NOT enumerate every partition
+    // statically: the dim's filtered months arrive as a runtime
+    // dynamicpruning expression on the scan's PartitionFilters —
+    // at warehouse scale this is the difference between reading the
+    // dim's months and reading years of history
+    val df = graft.SparkEntry.queries("join_dpp")(
+      spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+    assert(df.count() > 0)
+  }
 }
