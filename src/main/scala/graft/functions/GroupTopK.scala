@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions
  * [[QuantileSketch]]'s sketch buffer): the reduce hot path does one
  * O(k) worst-slot scan per row and zero allocation until a row
  * actually displaces a held pair.
+ *
+ * Contract: value/id inputs must be non-null (the tuple encoder's
+ * primitive fields cannot carry null) — filter nulls first, as SQL
+ * rank functions implicitly sort them away anyway.
  */
 object GroupTopK {
 

@@ -25,11 +25,13 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
  *      aggregation combines map-side, so the shuffle is
  *      O(buckets × partitions) partial rows, never data.
  *   3. The driver walks the cumulative counts to the bucket holding
- *      the target rank. If that bucket holds ≤ `collectCap` values
- *      they are collected and the answer read off directly; otherwise
- *      the bucket becomes the next round's range (membership is
- *      re-derived from the SAME bucket-index expression, so FP
- *      boundary rounding can never drop or double-count a value).
+ *      each target rank. All targets share the round's histogram, and
+ *      every targeted bucket holding ≤ `collectCap` values collects
+ *      in ONE batched filtered pass — the common case is 3 jobs total
+ *      for any number of quantiles. An oversized bucket becomes the
+ *      next round's range (membership is re-derived from the SAME
+ *      bucket-index expression, so FP boundary rounding can never
+ *      drop or double-count a value).
  *
  * Each round shrinks the candidate range by ~`buckets`×, so real
  * data resolves in 1-2 rounds (log_buckets of the value-range/cap
@@ -64,42 +66,68 @@ object Quantiles {
     // (q·N integral) agree bit-for-bit with the oracle
     def rankOf(q: Double): Long = math.max(1L, math.ceil(q * n).toLong)
 
-    // rank within the candidate range [lo, hi] -> the value
-    def resolve(lo: Double, hi: Double, rank: Long): Double = {
-      if (lo == hi) return lo
+    def bucketIx(lo: Double, width: Double): org.apache.spark.sql.Column =
+      least(lit(buckets - 1),
+        floor((col("v") - lo) / width * buckets).cast("int"))
+
+    // ALL targets sharing a candidate range [lo, hi] resolve off ONE
+    // histogram pass and (for buckets under collectCap) ONE batched
+    // multi-bucket collect — 3 jobs total for the common case instead
+    // of (histogram + collect) per quantile. Oversized buckets recurse
+    // with their residual ranks, still batched per range.
+    def resolve(lo: Double, hi: Double,
+        ranks: Seq[Long]): Seq[Double] = {
+      if (lo == hi) return ranks.map(_ => lo)
       val width = hi - lo
-      val bucketIx = least(lit(buckets - 1),
-        floor((col("v") - lo) / width * buckets).cast("int")).as("b")
       val inRange = vals.filter(col("v") >= lo && col("v") <= hi)
-      val hist = inRange.select(bucketIx)
+      val hist = inRange.select(bucketIx(lo, width).as("b"))
         .groupBy("b").agg(count(lit(1)).as("c"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      var cum = 0L
-      var k = 0
-      while (k < buckets && cum + hist.getOrElse(k, 0L) < rank) {
-        cum += hist.getOrElse(k, 0L); k += 1
+      // locate each rank's bucket + residual via one cumulative walk
+      val located = ranks.map { rank =>
+        var cum = 0L
+        var k = 0
+        while (k < buckets && cum + hist.getOrElse(k, 0L) < rank) {
+          cum += hist.getOrElse(k, 0L); k += 1
+        }
+        require(k < buckets, s"rank $rank beyond range [$lo,$hi]")
+        (rank, k, rank - cum)
       }
-      require(k < buckets, s"rank $rank beyond range [$lo,$hi]")
-      val residual = rank - cum
+      val smallKs = located.map(_._2).distinct
+        .filter(k => hist(k) <= collectCap)
       // membership re-derives the same monotonic bucket-index
-      // expression, so [bucket-min, bucket-max] of the next round is
-      // exactly this bucket's value set
-      val bucket = inRange
-        .filter(least(lit(buckets - 1),
-          floor((col("v") - lo) / width * buckets).cast("int")) === k)
-      val cnt = hist(k)
-      if (cnt <= collectCap) {
-        val sorted = bucket.collect().map(_.getDouble(0)).sorted
-        sorted(residual.toInt - 1)
-      } else {
-        // refine: the bucket's OWN min/max is the next range — derived
-        // from membership, not from FP boundary arithmetic
-        val mm = bucket.agg(min(col("v")), max(col("v"))).collect()(0)
-        resolve(mm.getDouble(0), mm.getDouble(1), residual)
+      // expression, so FP boundary rounding can never drop a value;
+      // all small buckets collect in one filtered pass
+      val smallVals: Map[Int, Array[Double]] =
+        if (smallKs.isEmpty) Map.empty
+        else inRange
+          .select(bucketIx(lo, width).as("b"), col("v"))
+          .filter(col("b").isin(smallKs: _*))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+      val bigs = located.filterNot(t => smallVals.contains(t._2))
+      // oversized buckets (duplicate-heavy data): recurse per bucket
+      // with that bucket's OWN min/max as the next range, batching the
+      // residual ranks that share it
+      val bigResolved: Map[(Int, Long), Double] =
+        bigs.groupBy(_._2).flatMap { case (k, ts) =>
+          val mm = inRange.filter(bucketIx(lo, width) === k)
+            .agg(min(col("v")), max(col("v"))).collect()(0)
+          val rs = ts.map(_._3)
+          rs.zip(resolve(mm.getDouble(0), mm.getDouble(1), rs))
+            .map { case (res, v) => (k, res) -> v }
+        }
+      located.map { case (_, k, residual) =>
+        smallVals.get(k) match {
+          case Some(sorted) => sorted(residual.toInt - 1)
+          case None => bigResolved((k, residual))
+        }
       }
     }
 
-    val rows = qs.map(q => Row(q, resolve(gMin, gMax, rankOf(q))))
+    val answers = resolve(gMin, gMax, qs.map(rankOf))
+    val rows = qs.zip(answers).map { case (q, v) => Row(q, v) }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(StructField("q", DoubleType, nullable = false),
