@@ -1735,6 +1735,14 @@ object SparkEntry {
         t(s, dir, "lineitem"), "l_extendedprice",
         qs = Seq(0.25, 0.5, 0.75, 0.9))),
 
+    "quantile_exact_grouped" -> ((s, dir) =>
+      // per-group exact quantiles: every (group x q) target rides ONE
+      // shared histogram pass per round (cells broadcast-joined into
+      // the scan) — never a per-group single-reducer sort
+      graft.operators.Quantiles.exactQuantilesByGroup(
+        t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        qs = Seq(0.25, 0.5, 0.9))),
+
     "corpus_stratified_sample" -> ((s, dir) =>
       // exact per-language quotas via hash-cutoff prefilter + exact
       // rank on the ~margin*quota survivors (never a full-stratum sort)
@@ -4511,6 +4519,15 @@ object SparkEntry {
                 unnest(quantile_disc(l_extendedprice,
                   [0.25, 0.5, 0.75, 0.9])) AS value
          FROM lineitem""",
+
+    // per-group exact discrete quantiles: same ceil(q*n_g) rank
+    // element per group
+    "quantile_exact_grouped" ->
+      """SELECT l_returnflag,
+                CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS q,
+                unnest(quantile_disc(l_extendedprice,
+                  [0.25, 0.5, 0.9])) AS value
+         FROM lineitem GROUP BY l_returnflag""",
 
     // exact-quota stratified sample: same arithmetic rank key; the
     // oracle ranks the full stratum — the Spark side must land on the

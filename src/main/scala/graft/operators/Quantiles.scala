@@ -133,4 +133,177 @@ object Quantiles {
       StructType(Seq(StructField("q", DoubleType, nullable = false),
         StructField("value", DoubleType, nullable = false))))
   }
+
+  /**
+   * Per-group exact discrete quantiles — the grouped form of
+   * [[exactQuantiles]], same rank arithmetic (element at
+   * max(1, ceil(q·n_g)) of each group's sorted non-null multiset,
+   * matching DuckDB `quantile_disc ... GROUP BY`).
+   *
+   * The naive grouped path is `percentile(...) GROUP BY g`: a full
+   * sort of every group's values inside one reducer per group — a
+   * skewed group at 100 TB is a single-task sort of that group's
+   * entire column. This operator instead runs the SAME histogram
+   * refinement for EVERY group simultaneously:
+   *
+   *   - one aggregation yields per-group (n, min, max) — the "cell"
+   *     seed list, bounded at the distinct-group count (`maxGroups`
+   *     guard; unbounded group domains belong to the sketch path);
+   *   - per round, ONE scan broadcast-joins the bounded cell table
+   *     (group ⇒ candidate range), buckets each value inside its own
+   *     group's range, and ships a ≤ cells×buckets count vector to
+   *     the driver — every group and every quantile share that single
+   *     pass, the grouped form of the "fold driver-loop items into
+   *     the job" rule;
+   *   - the driver walks each cell's cumulative counts; all small
+   *     target buckets across ALL groups collect in one batched
+   *     filtered pass, all oversized ones re-range in one batched
+   *     min/max aggregation and carry to the next round.
+   *
+   * Jobs per round are 2-3 REGARDLESS of group and quantile count;
+   * driver memory is O(activeCells × buckets), never data-scale.
+   * Null group keys form their own group (SQL GROUP BY semantics) —
+   * the cell join is null-safe.
+   *
+   * Reference surface: oph_reduce2 quantile ops grouped over an
+   * explicit dimension (reference workflow task chains under
+   * `/root/reference/src/oph_workflow/` compose reduce over
+   * subsetted groups).
+   *
+   * @return one row per (group, q): (groupCol original type, q, value)
+   */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, qs: Seq[Double], buckets: Int = 8192,
+      collectCap: Int = 1 << 18, maxGroups: Int = 1 << 16): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must lie in [0,1]: $qs")
+    require(buckets >= 2 && collectCap >= 1)
+    val spark = df.sparkSession
+    val gField = df.schema(groupCol)
+    val vals = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && !col("v").isNaN)
+    val head = vals.groupBy("g")
+      .agg(count(col("v")).as("n"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+      .limit(maxGroups + 1).collect()
+    require(head.length <= maxGroups,
+      s"exactQuantilesByGroup: over $maxGroups distinct groups — " +
+        "an unbounded group domain wants the sketch path " +
+        "(QuantileSketch), not exact per-group refinement")
+    require(head.nonEmpty,
+      s"exactQuantilesByGroup: no non-null values in $valueCol")
+    val groups = head.map(r => r.get(0))
+    // one target per (group, quantile); targets sharing a candidate
+    // range share a CELL, and every live cell rides the same jobs
+    case class Target(gi: Int, q: Double, rank: Long)
+    var unresolved: Seq[(Target, (Double, Double))] =
+      head.toIndexedSeq.zipWithIndex.flatMap { case (r, gi) =>
+        val n = r.getLong(1)
+        qs.map(q => (Target(gi, q, math.max(1L, math.ceil(q * n).toLong)),
+          (r.getDouble(2), r.getDouble(3))))
+      }
+    val resolved = scala.collection.mutable.ArrayBuffer.empty[(Target, Double)]
+    val cellSchema = StructType(Seq(gField.copy(name = "g"),
+      StructField("cell", org.apache.spark.sql.types.IntegerType, false),
+      StructField("lo", DoubleType, false),
+      StructField("hi", DoubleType, false)))
+    val bIx = least(lit(buckets - 1),
+      floor((col("v") - col("lo")) / (col("hi") - col("lo")) * buckets)
+        .cast("int"))
+    var rounds = 0
+    while (unresolved.nonEmpty) {
+      rounds += 1
+      require(rounds <= 64,
+        "exactQuantilesByGroup: no convergence after 64 rounds")
+      // degenerate ranges (all remaining values equal) answer directly
+      val (flat, live) = unresolved.partition { case (_, (lo, hi)) => lo == hi }
+      resolved ++= flat.map { case (t, (lo, _)) => t -> lo }
+      if (live.isEmpty) { unresolved = Nil }
+      else {
+        // cell identity is (group, range): two groups can share a
+        // coincidentally-equal candidate range but must never share a
+        // histogram — their value sets differ
+        val cellRanges = live.map { case (t, r) => (t.gi, r) }
+          .distinct.zipWithIndex
+        val cellOf = cellRanges.toMap
+        val byCell: Map[Int, Seq[Target]] = live
+          .groupBy { case (t, r) => cellOf((t.gi, r)) }
+          .map { case (c, ts) => c -> ts.map(_._1) }
+        val cellsDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            cellRanges.map { case ((gi, (lo, hi)), c) =>
+              Row(groups(gi), c, lo, hi)
+            }, 1), cellSchema)
+        // one scan: each value buckets inside ITS group's candidate
+        // range; null-safe key so a null group still joins its cell
+        val joined = vals
+          .join(broadcast(cellsDf), vals("g") <=> cellsDf("g"))
+          .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+        val hist: Map[(Int, Int), Long] = joined
+          .groupBy(col("cell"), bIx.as("b")).agg(count(lit(1)).as("c"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+        // locate every target's bucket via its cell's cumulative walk
+        val located = byCell.toSeq.flatMap { case (c, ts) =>
+          ts.map { t =>
+            var cum = 0L; var k = 0
+            while (k < buckets &&
+                cum + hist.getOrElse((c, k), 0L) < t.rank) {
+              cum += hist.getOrElse((c, k), 0L); k += 1
+            }
+            require(k < buckets,
+              s"rank ${t.rank} beyond cell $c of ${cellRanges.size}")
+            (t, c, k, t.rank - cum)
+          }
+        }
+        val key = col("cell").cast("long") * buckets + bIx
+        val smallKeys = located.collect {
+          case (_, c, k, _) if hist((c, k)) <= collectCap =>
+            c.toLong * buckets + k
+        }.distinct
+        // one batched pass collects EVERY small target bucket of every
+        // group; membership re-derives the same bucket expression so
+        // FP boundary rounding cannot drop or double-count a value
+        val smallVals: Map[Long, Array[Double]] =
+          if (smallKeys.isEmpty) Map.empty
+          else joined.select(key.as("k"), col("v"))
+            .filter(col("k").isin(smallKeys: _*))
+            .collect().groupBy(_.getLong(0))
+            .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+        val bigKeys = located.collect {
+          case (_, c, k, _) if hist((c, k)) > collectCap =>
+            c.toLong * buckets + k
+        }.distinct
+        // oversized buckets re-range in ONE batched min/max agg and
+        // become next round's cells with their residual ranks
+        val bigRanges: Map[Long, (Double, Double)] =
+          if (bigKeys.isEmpty) Map.empty
+          else joined.select(key.as("k"), col("v"))
+            .filter(col("k").isin(bigKeys: _*))
+            .groupBy("k").agg(min("v").as("lo"), max("v").as("hi"))
+            .collect()
+            .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+            .toMap
+        val next = Seq.newBuilder[(Target, (Double, Double))]
+        located.foreach { case (t, c, k, residual) =>
+          val kk = c.toLong * buckets + k
+          smallVals.get(kk) match {
+            case Some(sorted) =>
+              resolved += t -> sorted(residual.toInt - 1)
+            case None =>
+              next += ((t.copy(rank = residual), bigRanges(kk)))
+          }
+        }
+        unresolved = next.result()
+      }
+    }
+    val outSchema = StructType(Seq(gField.copy(name = groupCol),
+      StructField("q", DoubleType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+    val rows = resolved.toSeq
+      .map { case (t, v) => Row(groups(t.gi), t.q, v) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      outSchema)
+  }
 }

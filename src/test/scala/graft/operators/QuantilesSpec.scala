@@ -39,6 +39,57 @@ class QuantilesSpec extends SparkSpec {
     assert(got(0.25) == 2.0 && got(0.5) == 4.0)
   }
 
+  test("exactQuantilesByGroup matches per-group rank-ceil, null group kept") {
+    // three skewed groups + a NULL group; per-group sizes differ so
+    // the same q maps to different ranks per group
+    val rnd = new scala.util.Random(7)
+    val rows: Seq[(Option[String], Double)] =
+      (1 to 400).map(i => (Some("a"), ((i * 31) % 997).toDouble)) ++
+      (1 to 97).map(i => (Some("b"), ((i * 13) % 211).toDouble)) ++
+      (1 to 5).map(i => (Some("c"), i.toDouble)) ++
+      (1 to 23).map(_ => (None, rnd.nextInt(50).toDouble))
+    val df = rows.toDF("g", "x")
+    val qs = Seq(0.1, 0.5, 0.9, 1.0)
+    val got = Quantiles.exactQuantilesByGroup(df, "g", "x", qs)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    val byG = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(_._2).sorted }
+    assert(got.size == byG.size * qs.size)
+    byG.foreach { case (g, sorted) =>
+      qs.foreach(q => assert(got((g, q)) == disc(sorted, q),
+        s"g=$g q=$q")) }
+  }
+
+  test("exactQuantilesByGroup: identical ranges never share a cell; " +
+      "duplicate-heavy groups refine") {
+    // both groups span exactly [1,100] (identical candidate ranges —
+    // the cell-identity trap) but with different distributions, and
+    // a hot value forces the oversized-bucket path per group
+    val a = Seq(1.0, 100.0) ++ Seq.fill(500)(40.0) ++
+      (1 to 50).map(_.toDouble)
+    val b = Seq(1.0, 100.0) ++ Seq.fill(500)(60.0) ++
+      (51 to 99).map(_.toDouble)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "x")
+    val got = Quantiles.exactQuantilesByGroup(df, "g", "x",
+        Seq(0.5, 0.95), buckets = 16, collectCap = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got(("a", 0.5)) == disc(a.sorted, 0.5))
+    assert(got(("b", 0.5)) == disc(b.sorted, 0.5))
+    assert(got(("a", 0.95)) == disc(a.sorted, 0.95))
+    assert(got(("b", 0.95)) == disc(b.sorted, 0.95))
+  }
+
+  test("exactQuantilesByGroup rejects an unbounded group domain loudly") {
+    val df = (1 to 100).map(i => (s"g$i", i.toDouble)).toDF("g", "x")
+    intercept[IllegalArgumentException] {
+      Quantiles.exactQuantilesByGroup(df, "g", "x", Seq(0.5),
+        maxGroups = 10)
+    }
+  }
+
   test("exactQuantiles rejects out-of-range q and empty input loudly") {
     val df = Seq(1.0).toDF("x")
     intercept[IllegalArgumentException] {
