@@ -1713,6 +1713,13 @@ object SparkEntry {
           round(sum(col("l_quantity")), 2).as("sum_qty"))
     }),
 
+    "group_topk_rows" -> ((s, dir) =>
+      // whole-ROW top-k per group: bounded (value,id) election, then
+      // one broadcast winners join re-reads payloads — the text
+      // column is scanned, never shuffled
+      graft.functions.GroupTopK.topkRows(
+        t(s, dir, "documents"), "lang", "n_chars", "doc_id", 3)),
+
     "group_topk" -> ((s, dir) => {
       // bounded-buffer grouped top-k: partial aggregation caps each
       // (group x partition) at k pairs pre-shuffle — never the window
@@ -4511,6 +4518,16 @@ object SparkEntry {
                 o_orderkey, o_totalprice
          FROM orders
          QUALIFY rk <= 3""",
+
+    // whole-row grouped top-k: winner election + payload re-join must
+    // land on exactly the window formulation's row set
+    "group_topk_rows" ->
+      """SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, w.rk
+         FROM documents d
+         JOIN (SELECT doc_id,
+                      CAST(row_number() OVER (PARTITION BY lang
+                        ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+               FROM documents QUALIFY rk <= 3) w USING (doc_id)""",
 
     // exact discrete quantiles: the element at rank ceil(q*N) — the
     // same element quantile_disc selects

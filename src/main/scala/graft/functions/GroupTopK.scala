@@ -87,4 +87,50 @@ object GroupTopK {
   def topk(k: Int): UserDefinedFunction =
     functions.udaf(new TopKAgg(k),
       Encoders.product[(Double, Long)])
+
+  /**
+   * Whole-ROW top-k per group: every column of the winning rows plus
+   * a `rk` rank column, the bounded-shuffle form of
+   * `SELECT *, row_number() OVER (...) AS rk ... QUALIFY rk <= k`.
+   *
+   * Deliberately NOT a struct-payload aggregator: carrying payload
+   * columns inside the aggregation buffer ships
+   * k × partitions × rowWidth bytes through the shuffle and kryo
+   * per-row — for a documents-style table that is the text itself,
+   * re-serialized twice. Instead the bounded (value, id) aggregator
+   * elects winners (k × groups rows TOTAL), and one broadcast join
+   * re-reads the winners' payload from the source relation — the big
+   * table is scanned, never shuffled, and the only moved bytes are
+   * (group, id, rk) triples. The second scan prunes to the join keys
+   * via the broadcast hash probe and costs less than one shuffle of
+   * the payload at any realistic width.
+   *
+   * Join keys are (id, group) with a null-safe group compare, so ids
+   * only need to be unique WITHIN a group and a null group keeps SQL
+   * GROUP BY semantics. Same non-null contract as [[topk]] for
+   * value/id. The broadcast assumes k × groups fits the broadcast
+   * threshold — the same bounded-group-domain contract as every
+   * grouped-exact operator here; an unbounded group domain still
+   * works (AQE picks a shuffled join of winner ids, not payloads).
+   *
+   * @param rankCol name of the appended bigint rank column (1-based)
+   */
+  def topkRows(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      valueCol: String, idCol: String, k: Int,
+      rankCol: String = "rk"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(!df.columns.contains(rankCol),
+      s"rank column '$rankCol' collides with an input column")
+    val winners = df
+      .groupBy(col(groupCol))
+      .agg(topk(k)(col(valueCol).cast("double"),
+        col(idCol).cast("long")).as("__top"))
+      .select(col(groupCol).as("__g"), posexplode(col("__top")))
+      .select(col("__g"), (col("pos") + 1).cast("long").as(rankCol),
+        col("col._1").as("__id"))
+    df.join(broadcast(winners),
+        df(idCol).cast("long") === winners("__id") &&
+          df(groupCol) <=> winners("__g"))
+      .drop("__g", "__id")
+  }
 }

@@ -38,6 +38,39 @@ class GroupTopKSpec extends SparkSpec {
     intercept[IllegalArgumentException] { GroupTopK.topk(0) }
   }
 
+  test("topkRows returns whole winning rows + rank, ids unique per group") {
+    // ids deliberately REUSED across groups (unique only within a
+    // group) — the (id, group) join must not cross-match
+    val rows = for (g <- Seq("a", "b", null); i <- 1L to 50L)
+      yield (g, i, (i * 7 % 50).toDouble, s"payload-$g-$i")
+    val df = rows.toDF("g", "id", "v", "payload").repartition(5)
+    val got = GroupTopK.topkRows(df, "g", "v", "id", 3)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(4),
+        r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    val want = rows.groupBy(r => Option(r._1)).flatMap { case (g, rs) =>
+      rs.sortBy(t => (-t._3, t._2)).take(3).zipWithIndex.map {
+        case ((gg, id, v, p), rk) =>
+          (Option(gg), (rk + 1).toLong, id, v, p) }
+    }.toSet
+    assert(got == want)
+    assert(got.size == 9) // 3 groups x 3, incl. the null group
+  }
+
+  test("topkRows plan: payload never shuffles — broadcast winners join") {
+    val df = Seq(("a", 1L, 2.0, "p")).toDF("g", "id", "v", "payload")
+    val plan = GroupTopK.topkRows(df, "g", "v", "id", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"))
+  }
+
+  test("topkRows rejects a rank-column collision loudly") {
+    val df = Seq(("a", 1L, 2.0)).toDF("g", "id", "rk")
+    intercept[IllegalArgumentException] {
+      GroupTopK.topkRows(df, "g", "rk", "id", 2)
+    }
+  }
+
   test("topk partial-aggregates before the exchange — no full-group sort") {
     val df = Seq(("a", 1.0, 1L), ("b", 2.0, 2L)).toDF("g", "v", "id")
     val plan = df.groupBy($"g").agg(GroupTopK.topk(3)($"v", $"id"))
