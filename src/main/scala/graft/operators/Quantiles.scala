@@ -161,7 +161,10 @@ object Quantiles {
    *     min/max aggregation and carry to the next round.
    *
    * Jobs per round are 2-3 REGARDLESS of group and quantile count;
-   * driver memory is O(activeCells × buckets), never data-scale.
+   * driver memory is bounded by a fixed histogram budget (~4M
+   * entries): the per-round bucket count adapts to
+   * `budget / liveCells`, so a many-group call trades extra
+   * refinement rounds — never driver memory — for group count.
    * Null group keys form their own group (SQL GROUP BY semantics) —
    * the cell join is null-safe.
    *
@@ -174,7 +177,8 @@ object Quantiles {
    */
   def exactQuantilesByGroup(df: DataFrame, groupCol: String,
       valueCol: String, qs: Seq[Double], buckets: Int = 8192,
-      collectCap: Int = 1 << 18, maxGroups: Int = 1 << 16): DataFrame = {
+      collectCap: Int = 1 << 18, maxGroups: Int = 1 << 16,
+      histBudget: Int = 1 << 22): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must lie in [0,1]: $qs")
     require(buckets >= 2 && collectCap >= 1)
@@ -208,9 +212,12 @@ object Quantiles {
       StructField("cell", org.apache.spark.sql.types.IntegerType, false),
       StructField("lo", DoubleType, false),
       StructField("hi", DoubleType, false)))
-    val bIx = least(lit(buckets - 1),
-      floor((col("v") - col("lo")) / (col("hi") - col("lo")) * buckets)
-        .cast("int"))
+    // the driver walk is O(liveCells × buckets): with many groups the
+    // per-round bucket count must shrink so the histogram collect
+    // stays under the fixed driver budget (default ~4M entries ≈ tens
+    // of MB). Fewer buckets only means more refinement rounds (range
+    // shrinks by buckets× per round), never unboundedness.
+    require(histBudget >= 16)
     var rounds = 0
     while (unresolved.nonEmpty) {
       rounds += 1
@@ -235,6 +242,11 @@ object Quantiles {
             cellRanges.map { case ((gi, (lo, hi)), c) =>
               Row(groups(gi), c, lo, hi)
             }, 1), cellSchema)
+        val bkts = math.max(16,
+          math.min(buckets, histBudget / cellRanges.size))
+        val bIx = least(lit(bkts - 1),
+          floor((col("v") - col("lo")) / (col("hi") - col("lo")) * bkts)
+            .cast("int"))
         // one scan: each value buckets inside ITS group's candidate
         // range; null-safe key so a null group still joins its cell
         val joined = vals
@@ -248,19 +260,19 @@ object Quantiles {
         val located = byCell.toSeq.flatMap { case (c, ts) =>
           ts.map { t =>
             var cum = 0L; var k = 0
-            while (k < buckets &&
+            while (k < bkts &&
                 cum + hist.getOrElse((c, k), 0L) < t.rank) {
               cum += hist.getOrElse((c, k), 0L); k += 1
             }
-            require(k < buckets,
+            require(k < bkts,
               s"rank ${t.rank} beyond cell $c of ${cellRanges.size}")
             (t, c, k, t.rank - cum)
           }
         }
-        val key = col("cell").cast("long") * buckets + bIx
+        val key = col("cell").cast("long") * bkts + bIx
         val smallKeys = located.collect {
           case (_, c, k, _) if hist((c, k)) <= collectCap =>
-            c.toLong * buckets + k
+            c.toLong * bkts + k
         }.distinct
         // one batched pass collects EVERY small target bucket of every
         // group; membership re-derives the same bucket expression so
@@ -273,7 +285,7 @@ object Quantiles {
             .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
         val bigKeys = located.collect {
           case (_, c, k, _) if hist((c, k)) > collectCap =>
-            c.toLong * buckets + k
+            c.toLong * bkts + k
         }.distinct
         // oversized buckets re-range in ONE batched min/max agg and
         // become next round's cells with their residual ranks
@@ -287,7 +299,7 @@ object Quantiles {
             .toMap
         val next = Seq.newBuilder[(Target, (Double, Double))]
         located.foreach { case (t, c, k, residual) =>
-          val kk = c.toLong * buckets + k
+          val kk = c.toLong * bkts + k
           smallVals.get(kk) match {
             case Some(sorted) =>
               resolved += t -> sorted(residual.toInt - 1)

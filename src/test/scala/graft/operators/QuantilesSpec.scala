@@ -82,6 +82,26 @@ class QuantilesSpec extends SparkSpec {
     assert(got(("b", 0.95)) == disc(b.sorted, 0.95))
   }
 
+  test("exactQuantilesByGroup: histogram budget shrinks buckets, " +
+      "answers unchanged") {
+    // 40 groups x 50 values under a 160-entry budget forces bkts down
+    // to the floor (16) — correctness must ride on extra refinement
+    // rounds, not on the configured bucket count
+    val rows = for (g <- 1 to 40; i <- 1 to 50)
+      yield (s"g$g", ((i * 17 + g) % 211).toDouble)
+    val df = rows.toDF("g", "x")
+    val got = Quantiles.exactQuantilesByGroup(df, "g", "x",
+        Seq(0.5, 0.9), buckets = 8192, collectCap = 4, histBudget = 160)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val byG = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(_._2).sorted }
+    byG.foreach { case (g, sorted) =>
+      assert(got((g, 0.5)) == disc(sorted, 0.5), s"g=$g")
+      assert(got((g, 0.9)) == disc(sorted, 0.9), s"g=$g")
+    }
+  }
+
   test("exactQuantilesByGroup rejects an unbounded group domain loudly") {
     val df = (1 to 100).map(i => (s"g$i", i.toDouble)).toDF("g", "x")
     intercept[IllegalArgumentException] {
