@@ -1756,6 +1756,13 @@ object SparkEntry {
       CorpusOps.stratifiedSample(t(s, dir, "documents"), "doc_id",
         "lang", quota = 20)),
 
+    "corpus_weighted_sample" -> ((s, dir) =>
+      // deterministic A-ES weighted sampling w/o replacement: LCG
+      // uniform + exponential race, one keyed scan into a top-k —
+      // never a full sort
+      CorpusOps.weightedSample(t(s, dir, "documents"), "doc_id",
+        "n_chars", k = 40)),
+
     "text_bm25" -> ((s, dir) =>
       // lexical retrieval: BM25 over a fixed query term set; only
       // query-term hits explode, df/N/avgdl broadcast
@@ -4518,6 +4525,24 @@ object SparkEntry {
                 o_orderkey, o_totalprice
          FROM orders
          QUALIFY rk <= 3""",
+
+    // deterministic weighted sampling: the LCG + exponential-race
+    // arithmetic replayed exactly; same 6-decimal key rounding
+    "corpus_weighted_sample" ->
+      """WITH h AS (
+           SELECT doc_id, n_chars,
+                  ((doc_id % 2147483647) * 1103515245 + 12345)
+                    % 2147483647 AS h
+           FROM documents),
+         k AS (
+           SELECT doc_id, n_chars,
+                  round(n_chars / (-ln((h + 0.5) / 2147483647.0)), 6)
+                    AS key
+           FROM h)
+         SELECT doc_id, n_chars,
+                CAST(row_number() OVER (ORDER BY key DESC, doc_id)
+                  AS BIGINT) AS rk
+         FROM k QUALIFY rk <= 40""",
 
     // whole-row grouped top-k: winner election + payload re-join must
     // land on exactly the window formulation's row set

@@ -407,4 +407,57 @@ object CorpusOps {
       .filter(col("rk") <= quota)
       .select(col(idCol), col(stratumCol), col("rk"))
   }
+
+  /**
+   * Deterministic weighted sampling WITHOUT replacement — pick k rows
+   * with inclusion probability proportional to `weightCol` (quality
+   * scores, token counts, domain boosts): the training-mixture
+   * primitive behind "sample 10M docs, favoring high quality".
+   *
+   * Exponential-race formulation of Efraimidis–Spirakis A-ES: each
+   * row draws u ∈ (0,1) and races with key = w / (-ln u) — a monotone
+   * transform of the classic u^(1/w), so the top-k by key IS the A-ES
+   * sample — and the k largest keys win. One keyed scan into a top-k
+   * (`TakeOrderedAndProject`): per-partition k-heaps, k rows to the
+   * driver side of the exchange, no full sort, no shuffle of data —
+   * the same plan shape at 100 TB.
+   *
+   * Deterministic BY CONSTRUCTION, not by seed-capture: u derives
+   * from an LCG over the integral id
+   * (h = ((id mod P)·1103515245 + 12345) mod P; u = (h+0.5)/P) in
+   * exact integer arithmetic, so reruns, retries and the DuckDB
+   * oracle reproduce the identical sample. The key is rounded to 6
+   * decimals before ranking (ties then break by id) so the orderings
+   * agree across ln() implementations.
+   *
+   * Zero weights get key 0 and negative weights negative keys — both
+   * lose the race to every positive weight, so they are only ever
+   * selected when k exceeds the positive-weight row count.
+   *
+   * @return (id, weight, rk) — the k winners ranked best-first
+   */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Long = 12345L): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"weightedSample: id column '$idCol' must be integral, got " +
+          s"$other — hash non-numeric ids first (e.g. xxhash64($idCol))")
+    }
+    require(k >= 1, s"k must be positive, got $k")
+    val P = 2147483647L // 2^31-1: (P-1)*1103515245 < 2^62, no overflow
+    val h = pmod(pmod(col(idCol), lit(P)) * 1103515245L + lit(seed),
+      lit(P))
+    val u = (h.cast("double") + 0.5) / P.toDouble
+    val key = round(col("__w").cast("double") / -log(u), 6)
+    df.select(col(idCol), col(weightCol).as("__w"))
+      .withColumn("__key", key)
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__key").desc, col(idCol))).cast("long"))
+      .select(col(idCol), col("__w").as(weightCol), col("rk"))
+  }
 }

@@ -383,4 +383,51 @@ class CorpusOpsSpec extends SparkSpec {
       CorpusOps.stratifiedSample(df, "doc_id", "lang", quota = 1)
     }
   }
+
+  test("weightedSample equals the driver-side exponential race") {
+    val rows = (1L to 500L).map(i => (i, (i % 37 + 1).toDouble))
+    val df = rows.toDF("doc_id", "w").repartition(7)
+    val got = CorpusOps.weightedSample(df, "doc_id", "w", k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val P = 2147483647L
+    val want = rows.map { case (id, w) =>
+      val h = ((id % P) * 1103515245L + 12345L) % P
+      val key = BigDecimal(w / -math.log((h + 0.5) / P.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, w, key)
+    }.sortBy(t => (-t._3, t._1)).take(25).zipWithIndex
+      .map { case ((id, w, _), i) => (id, w, (i + 1).toLong) }
+    assert(got.sortBy(_._3).toSeq == want)
+  }
+
+  test("weightedSample: selection frequency tracks weight " +
+      "(heavy ids dominate)") {
+    // ids 1..1000; weight 100 for ids <= 50, 1 otherwise. A k=100
+    // draw must take most of the heavy ids — proportional inclusion,
+    // not uniform (uniform would include ~5 heavy ids)
+    val rows = (1L to 1000L).map(i =>
+      (i, if (i <= 50) 100.0 else 1.0))
+    val got = CorpusOps.weightedSample(rows.toDF("doc_id", "w"),
+      "doc_id", "w", k = 100).collect().map(_.getLong(0)).toSet
+    val heavy = got.count(_ <= 50L)
+    assert(heavy >= 35, s"expected most heavy ids sampled, got $heavy")
+  }
+
+  test("weightedSample plan is a top-k, not a global sort") {
+    val df = (1L to 100L).map(i => (i, 1.0)).toDF("doc_id", "w")
+    val plan = CorpusOps.weightedSample(df, "doc_id", "w", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("weightedSample rejects non-integral ids and k < 1 loudly") {
+    val df = Seq(("a", 1.0)).toDF("doc_id", "w")
+    intercept[IllegalArgumentException] {
+      CorpusOps.weightedSample(df, "doc_id", "w", k = 1)
+    }
+    val ok = Seq((1L, 1.0)).toDF("doc_id", "w")
+    intercept[IllegalArgumentException] {
+      CorpusOps.weightedSample(ok, "doc_id", "w", k = 0)
+    }
+  }
 }
