@@ -1763,6 +1763,13 @@ object SparkEntry {
       CorpusOps.weightedSample(t(s, dir, "documents"), "doc_id",
         "n_chars", k = 40)),
 
+    "corpus_weighted_stratified" -> ((s, dir) =>
+      // per-language weighted quota: same race key, but the top-quota
+      // rides GroupTopK's bounded buffer — never a per-group window
+      // sort through the exchange
+      CorpusOps.weightedSampleByGroup(t(s, dir, "documents"),
+        "doc_id", "lang", "n_chars", quota = 12)),
+
     "text_bm25" -> ((s, dir) =>
       // lexical retrieval: BM25 over a fixed query term set; only
       // query-term hits explode, df/N/avgdl broadcast
@@ -4543,6 +4550,23 @@ object SparkEntry {
                 CAST(row_number() OVER (ORDER BY key DESC, doc_id)
                   AS BIGINT) AS rk
          FROM k QUALIFY rk <= 40""",
+
+    // per-group weighted quota: same race arithmetic, partitioned rank
+    "corpus_weighted_stratified" ->
+      """WITH h AS (
+           SELECT doc_id, lang, n_chars,
+                  ((doc_id % 2147483647) * 1103515245 + 12345)
+                    % 2147483647 AS h
+           FROM documents),
+         k AS (
+           SELECT doc_id, lang,
+                  round(n_chars / (-ln((h + 0.5) / 2147483647.0)), 6)
+                    AS key
+           FROM h)
+         SELECT lang, doc_id,
+                CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY key DESC, doc_id) AS BIGINT) AS rk
+         FROM k QUALIFY rk <= 12""",
 
     // whole-row grouped top-k: winner election + payload re-join must
     // land on exactly the window formulation's row set

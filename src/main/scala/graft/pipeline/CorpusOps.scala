@@ -460,4 +460,46 @@ object CorpusOps {
           .orderBy(col("__key").desc, col(idCol))).cast("long"))
       .select(col(idCol), col("__w").as(weightCol), col("rk"))
   }
+
+  /**
+   * Per-group deterministic weighted sampling — quota rows per group
+   * (per language, per domain), inclusion proportional to weight
+   * WITHIN each group: the mixture primitive "take the best-quality
+   * 10k docs per language, favoring — not hard-ranking by — quality".
+   *
+   * Same exponential race as [[weightedSample]] (identical LCG
+   * uniform and 6-decimal key, so the two compose reproducibly), but
+   * the per-group top-quota runs through [[GroupTopK]]'s BOUNDED
+   * buffer: partial aggregation caps every (group × partition)
+   * contribution at `quota` pairs before the shuffle. The window
+   * formulation (`row_number() over (partition by g order by key)`)
+   * would sort every group's full row set through the exchange; here
+   * a billion-row language ships quota × partitions pairs.
+   *
+   * @return (group, id, rk) winners, rk 1..quota best-first per group
+   */
+  def weightedSampleByGroup(df: DataFrame, idCol: String,
+      groupCol: String, weightCol: String, quota: Int,
+      seed: Long = 12345L): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"weightedSampleByGroup: id column '$idCol' must be integral, " +
+          s"got $other — hash non-numeric ids first")
+    }
+    require(quota >= 1, s"quota must be positive, got $quota")
+    val P = 2147483647L
+    val h = pmod(pmod(col(idCol), lit(P)) * 1103515245L + lit(seed),
+      lit(P))
+    val u = (h.cast("double") + 0.5) / P.toDouble
+    val key = round(col(weightCol).cast("double") / -log(u), 6)
+    df.select(col(groupCol), col(idCol), key.as("__key"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.GroupTopK.topk(quota)(
+        col("__key"), col(idCol)).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")))
+      .select(col(groupCol), col("col._1").as(idCol),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
 }

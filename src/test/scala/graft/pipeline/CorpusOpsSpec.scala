@@ -420,6 +420,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("weightedSampleByGroup equals the per-group driver race, " +
+      "bounded-buffer plan") {
+    val rows = (1L to 600L).map(i =>
+      (i, s"g${i % 5}", (i % 23 + 1).toDouble))
+    val df = rows.toDF("doc_id", "lang", "w").repartition(7)
+    val got = CorpusOps.weightedSampleByGroup(df, "doc_id", "lang",
+        "w", quota = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val P = 2147483647L
+    val want = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      rs.map { case (id, _, w) =>
+        val h = ((id % P) * 1103515245L + 12345L) % P
+        val key = BigDecimal(w / -math.log((h + 0.5) / P.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, key)
+      }.sortBy(t => (-t._2, t._1)).take(7).zipWithIndex
+        .map { case ((id, _), i) => (g, id, (i + 1).toLong) }
+    }.toSet
+    assert(got == want)
+    val plan = CorpusOps.weightedSampleByGroup(df, "doc_id", "lang",
+      "w", quota = 7).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Sort "))
+  }
+
   test("weightedSample rejects non-integral ids and k < 1 loudly") {
     val df = Seq(("a", 1.0)).toDF("doc_id", "w")
     intercept[IllegalArgumentException] {
