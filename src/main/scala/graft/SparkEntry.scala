@@ -1770,6 +1770,33 @@ object SparkEntry {
       CorpusOps.weightedSampleByGroup(t(s, dir, "documents"),
         "doc_id", "lang", "n_chars", quota = 12)),
 
+    "corpus_diff" -> ((s, dir) => {
+      // snapshot diff old-vs-new corpus version: content travels as a
+      // fixed-width md5 through one id-partitioned full-outer join —
+      // the "what did this recrawl actually do" audit
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newV = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(lit("added "), col("doc_id").cast("string"))
+              .as("text")))
+      CorpusOps.corpusDiff(d, newV, "doc_id", "text")
+    }),
+
+    "corpus_split_leakfree" -> ((s, dir) => {
+      // train/valid/test split that can never leak a duplicate across
+      // sides: the split is a pure LCG over the dup-cluster id (here
+      // the exact-dup canonical: min doc_id per content hash)
+      val d = t(s, dir, "documents")
+        .withColumn("__h", md5(col("text")))
+      val cl = d.groupBy(col("__h")).agg(min("doc_id").as("cluster_id"))
+      val m = d.join(cl, "__h").select(col("doc_id"), col("cluster_id"))
+      CorpusOps.leakFreeSplit(m, "doc_id", "cluster_id")
+    }),
+
     "text_bm25" -> ((s, dir) =>
       // lexical retrieval: BM25 over a fixed query term set; only
       // query-term hits explode, df/N/avgdl broadcast
@@ -4550,6 +4577,45 @@ object SparkEntry {
                 CAST(row_number() OVER (ORDER BY key DESC, doc_id)
                   AS BIGINT) AS rk
          FROM k QUALIFY rk <= 40""",
+
+    // snapshot diff: the same synthetic new-version derivation, then
+    // md5-compare through a full-outer join
+    "corpus_diff" ->
+      """WITH newv AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                       ELSE text END AS text
+           FROM documents WHERE doc_id % 10 <> 0
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id,
+                  'added ' || CAST(doc_id AS VARCHAR) AS text
+           FROM documents WHERE doc_id % 13 = 0),
+         o AS (SELECT doc_id, md5(text) AS oh FROM documents),
+         n AS (SELECT doc_id, md5(text) AS nh FROM newv)
+         SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                CASE WHEN oh IS NULL THEN 'added'
+                     WHEN nh IS NULL THEN 'removed'
+                     WHEN oh = nh THEN 'unchanged'
+                     ELSE 'changed' END AS status
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
+
+    // leakage-free split: same LCG over the exact-dup canonical id
+    "corpus_split_leakfree" ->
+      """WITH cl AS (
+           SELECT doc_id,
+                  min(doc_id) OVER (PARTITION BY md5(text))
+                    AS cluster_id
+           FROM documents),
+         h AS (
+           SELECT doc_id, cluster_id,
+                  ((cluster_id % 2147483647) * 1103515245 + 12345)
+                    % 2147483647 AS hh
+           FROM cl)
+         SELECT doc_id, cluster_id,
+                CASE WHEN hh % 1000 < 800 THEN 'train'
+                     WHEN hh % 1000 < 900 THEN 'valid'
+                     ELSE 'test' END AS split
+         FROM h""",
 
     // per-group weighted quota: same race arithmetic, partitioned rank
     "corpus_weighted_stratified" ->

@@ -502,4 +502,76 @@ object CorpusOps {
       .select(col(groupCol), col("col._1").as(idCol),
         (col("pos") + 1).cast("long").as("rk"))
   }
+
+  /**
+   * Corpus snapshot diff — row-level change accounting between two
+   * versions of a corpus: `added` (new only), `removed` (old only),
+   * `changed` (both, content hash differs), `unchanged`. The audit
+   * primitive behind "what did this recrawl/refilter actually do",
+   * and the input to incremental re-processing (re-embed only
+   * added ∪ changed).
+   *
+   * Shape at 100 TB: content comparison travels as a fixed-width
+   * md5, never the text; the full-outer join shuffles both sides
+   * hash-partitioned on id (both sides are data-scale, so there is
+   * genuinely nothing to broadcast — AQE handles skew). One shuffle
+   * each side, no driver state.
+   */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as(idCol), md5(col(textCol)).as("__oh"))
+    val n = newDf.select(col(idCol).as(idCol), md5(col(textCol)).as("__nh"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__oh").isNull, lit("added"))
+          .when(col("__nh").isNull, lit("removed"))
+          .when(col("__oh") === col("__nh"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /**
+   * Leakage-free train/validation/test split: every document in a
+   * duplicate CLUSTER lands on the same side, so near-identical text
+   * can never sit in train while its twin sits in eval — the
+   * correctness property a random per-document split silently
+   * violates on any deduplicated-in-name-only corpus.
+   *
+   * The caller supplies the cluster assignment (exact-dup canonical
+   * ids, [[Dedup.connectedComponents]] cluster ids, domain hashes —
+   * any id-typed grouping); the split decision is a pure LCG over
+   * the CLUSTER id (exact integer arithmetic, same generator as
+   * [[weightedSample]]), so it is deterministic, reproducible, and
+   * oracle-replayable, and adding documents to a cluster NEVER moves
+   * existing ones across splits (stability under corpus growth).
+   *
+   * Row-local after the cluster join: no shuffle beyond the one that
+   * attaches cluster ids, no driver state. Fractions are permille
+   * thresholds on the LCG value — exact, not floating-point.
+   *
+   * @param clusters (docIdCol, clusterCol) mapping, one row per doc
+   * @param trainPm  permille of clusters routed to "train"
+   * @param validPm  permille routed to "valid" (rest is "test")
+   * @return (docIdCol, clusterCol, split)
+   */
+  def leakFreeSplit(clusters: DataFrame, docIdCol: String,
+      clusterCol: String, trainPm: Int = 800, validPm: Int = 100,
+      seed: Long = 12345L): DataFrame = {
+    require(trainPm >= 0 && validPm >= 0 && trainPm + validPm <= 1000,
+      s"permille fractions out of range: train=$trainPm valid=$validPm")
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    clusters.schema(clusterCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"leakFreeSplit: cluster column '$clusterCol' must be " +
+          s"integral, got $other — hash non-numeric keys first")
+    }
+    val P = 2147483647L
+    val h = pmod(pmod(col(clusterCol), lit(P)) * 1103515245L +
+      lit(seed), lit(P))
+    val pm = (h % 1000L).cast("int")
+    clusters.select(col(docIdCol), col(clusterCol),
+      when(pm < trainPm, lit("train"))
+        .when(pm < trainPm + validPm, lit("valid"))
+        .otherwise(lit("test")).as("split"))
+  }
 }

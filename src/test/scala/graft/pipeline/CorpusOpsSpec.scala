@@ -445,6 +445,51 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("Window") && !plan.contains("Sort "))
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged") {
+    val old = Seq((1L, "same"), (2L, "will change"), (3L, "goes away"))
+      .toDF("doc_id", "text")
+    val nu = Seq((1L, "same"), (2L, "did change"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.corpusDiff(old, nu, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  test("leakFreeSplit keeps every cluster on one side, ~permille " +
+      "fractions, stable under growth") {
+    val clusters = (1L to 3000L).map(i => (i, i % 500)) // 500 clusters
+    val df = clusters.toDF("doc_id", "cluster_id")
+    val got = CorpusOps.leakFreeSplit(df, "doc_id", "cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // one split per cluster — never straddles
+    assert(got.groupBy(_._2).forall(_._2.map(_._3).distinct.size == 1))
+    // fractions track the permille thresholds over 500 clusters
+    val byCluster = got.groupBy(_._2).map(_._2.head._3).toSeq
+    val train = byCluster.count(_ == "train")
+    assert(train > 350 && train < 450, s"train clusters: $train")
+    assert(byCluster.count(_ == "valid") > 20)
+    assert(byCluster.count(_ == "test") > 20)
+    // growth stability: new docs joining a cluster never move it
+    val grown = df.unionByName(
+      Seq((9001L, 7L), (9002L, 7L)).toDF("doc_id", "cluster_id"))
+    val again = CorpusOps.leakFreeSplit(grown, "doc_id", "cluster_id")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    got.foreach { case (id, _, s) => assert(again(id) == s) }
+  }
+
+  test("leakFreeSplit rejects bad fractions and non-integral clusters") {
+    val df = Seq((1L, 1L)).toDF("doc_id", "cluster_id")
+    intercept[IllegalArgumentException] {
+      CorpusOps.leakFreeSplit(df, "doc_id", "cluster_id",
+        trainPm = 950, validPm = 100)
+    }
+    val bad = Seq((1L, "c")).toDF("doc_id", "cluster_id")
+    intercept[IllegalArgumentException] {
+      CorpusOps.leakFreeSplit(bad, "doc_id", "cluster_id")
+    }
+  }
+
   test("weightedSample rejects non-integral ids and k < 1 loudly") {
     val df = Seq(("a", 1.0)).toDF("doc_id", "w")
     intercept[IllegalArgumentException] {
