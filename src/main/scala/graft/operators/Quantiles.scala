@@ -165,6 +165,9 @@ object Quantiles {
    * entries): the per-round bucket count adapts to
    * `budget / liveCells`, so a many-group call trades extra
    * refinement rounds — never driver memory — for group count.
+   * `collectCap` is likewise a per-ROUND total collect budget packed
+   * greedily smallest-bucket-first; buckets that miss a round's
+   * budget re-range and resolve in a later round.
    * Null group keys form their own group (SQL GROUP BY semantics) —
    * the cell join is null-safe.
    *
@@ -270,10 +273,21 @@ object Quantiles {
           }
         }
         val key = col("cell").cast("long") * bkts + bIx
-        val smallKeys = located.collect {
-          case (_, c, k, _) if hist((c, k)) <= collectCap =>
-            c.toLong * bkts + k
-        }.distinct
+        // collectCap is a PER-ROUND TOTAL budget, not per-bucket: with
+        // many groups, per-bucket capping would still let one round
+        // collect groups × quantiles × cap values. Greedy
+        // smallest-first packing keeps the driver bounded; buckets
+        // that miss this round's budget re-range and resolve next
+        // round with the budget to themselves.
+        val targeted = located.map { case (_, c, k, _) => (c, k) }
+          .distinct.map(ck => ck -> hist(ck))
+        var budget = collectCap.toLong
+        val smallSet = scala.collection.mutable.HashSet.empty[(Int, Int)]
+        targeted.sortBy(_._2).foreach { case (ck, cnt) =>
+          if (cnt <= budget) { smallSet += ck; budget -= cnt }
+        }
+        val smallKeys = smallSet.toSeq
+          .map { case (c, k) => c.toLong * bkts + k }
         // one batched pass collects EVERY small target bucket of every
         // group; membership re-derives the same bucket expression so
         // FP boundary rounding cannot drop or double-count a value
@@ -284,7 +298,7 @@ object Quantiles {
             .collect().groupBy(_.getLong(0))
             .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
         val bigKeys = located.collect {
-          case (_, c, k, _) if hist((c, k)) > collectCap =>
+          case (_, c, k, _) if !smallSet((c, k)) =>
             c.toLong * bkts + k
         }.distinct
         // oversized buckets re-range in ONE batched min/max agg and

@@ -102,6 +102,27 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("exactQuantilesByGroup: per-round collect budget defers " +
+      "buckets without losing exactness") {
+    // 20 groups x 60 values with collectCap=25: only a few target
+    // buckets fit each round's total budget — the rest must re-range
+    // and resolve later, with answers identical to the unbounded run
+    val rows = for (g <- 1 to 20; i <- 1 to 60)
+      yield (s"g$g", ((i * 13 + g * 3) % 101).toDouble)
+    val df = rows.toDF("g", "x")
+    val qs = Seq(0.25, 0.75)
+    val got = Quantiles.exactQuantilesByGroup(df, "g", "x", qs,
+        buckets = 32, collectCap = 25)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val byG = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(_._2).sorted }
+    assert(got.size == byG.size * qs.size)
+    byG.foreach { case (g, sorted) =>
+      qs.foreach(q => assert(got((g, q)) == disc(sorted, q),
+        s"g=$g q=$q")) }
+  }
+
   test("exactQuantilesByGroup rejects an unbounded group domain loudly") {
     val df = (1 to 100).map(i => (s"g$i", i.toDouble)).toDF("g", "x")
     intercept[IllegalArgumentException] {
