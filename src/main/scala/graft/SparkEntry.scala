@@ -1817,6 +1817,57 @@ object SparkEntry {
       Dedup.canonicalMap(aug, "doc_id", "text")
     }),
 
+    // ------------------------------------- warehouse maintenance ops
+    "scd2_history" -> ((s, dir) =>
+      // SCD Type-2 dimension history from a change log: runs of equal
+      // values collapse, validity intervals chain via ONE key-shuffle
+      // feeding both window passes (plan-asserted in WarehouseSpec)
+      graft.operators.Warehouse.scd2FromLog(
+        t(s, dir, "events").select("user_id", "event_id", "event_type"),
+        "user_id", "event_id", "event_type")),
+
+    "cdc_apply" -> ((s, dir) => {
+      // CDC last-writer-wins materialization: latest op per key by
+      // sequence; a trailing delete removes the key. One max_by
+      // aggregate with map-side partials — never a window sort over
+      // the whole log
+      val log = t(s, dir, "events").select(
+        pmod(col("event_id"), lit(997)).as("k"),
+        col("event_id").as("seq"),
+        when(pmod(col("event_id"), lit(10)) === 0, "D")
+          .when(pmod(col("event_id"), lit(10)) < 3, "I")
+          .otherwise("U").as("op"),
+        col("value").as("v"), col("event_type").as("et"))
+      graft.operators.Warehouse.cdcApply(log, "k", "seq", "op",
+        Seq("v", "et"))
+    }),
+
+    "agg_incremental" -> ((s, dir) => {
+      // incremental aggregate maintenance: fold the "new day" batch
+      // into the persisted mergeable state (n/sum/min/max) without
+      // touching history; oracle recomputes from scratch — equality IS
+      // the incremental-equals-full contract. avg derives at read.
+      val o = t(s, dir, "orders")
+      val hist = o.filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+      val batch = o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      val state = graft.operators.Warehouse.aggState(
+        hist, Seq("o_custkey"), "o_totalprice")
+      val merged = graft.operators.Warehouse.mergeAggState(
+        state, batch, Seq("o_custkey"), "o_totalprice")
+      // prices are exact cents, so the merged sum recovers an exact
+      // integer; sum AND the half-up avg then derive in integer
+      // arithmetic — a double round() here diverges from the oracle
+      // whenever a quotient lands on a .xxxx5 boundary (Spark rounds
+      // the shortest decimal repr, DuckDB the raw binary)
+      merged
+        .withColumn("__cents", round(col("sum_v") * 100, 0).cast("long"))
+        .select(col("o_custkey"), col("n"),
+          (col("__cents") / lit(100.0)).as("sum_v"),
+          col("min_v"), col("max_v"),
+          (expr("(__cents * 200 + n) div (n * 2)") / lit(10000.0))
+            .as("avg_v"))
+    }),
+
     // ------------------------------------------- workflow engine e2e
     "workflow_agg" -> ((s, dir) => {
       // import -> subset -> aggregate driven by the workflow engine:
@@ -4643,6 +4694,58 @@ object SparkEntry {
                       CAST(row_number() OVER (PARTITION BY lang
                         ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
                FROM documents QUALIFY rk <= 3) w USING (doc_id)""",
+
+    // SCD2 history: runs collapse, intervals chain per key
+    "scd2_history" ->
+      """WITH c AS (
+           SELECT user_id, event_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY event_id) AS prev,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY event_id) AS rn
+           FROM events),
+         ch AS (
+           SELECT user_id, event_type, event_id AS valid_from
+           FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+         SELECT user_id, event_type, valid_from,
+                lead(valid_from) OVER (PARTITION BY user_id
+                  ORDER BY valid_from) AS valid_to,
+                (lead(valid_from) OVER (PARTITION BY user_id
+                  ORDER BY valid_from)) IS NULL AS is_current
+         FROM ch""",
+
+    // CDC apply: the window formulation the aggregate must equal
+    "cdc_apply" ->
+      """WITH log AS (
+           SELECT event_id % 997 AS k, event_id AS seq,
+                  CASE WHEN event_id % 10 = 0 THEN 'D'
+                       WHEN event_id % 10 < 3 THEN 'I'
+                       ELSE 'U' END AS op,
+                  value AS v, event_type AS et
+           FROM events),
+         last AS (
+           SELECT k, op, v, et,
+                  row_number() OVER (PARTITION BY k
+                    ORDER BY seq DESC) AS rn
+           FROM log)
+         SELECT k, v, et FROM last WHERE rn = 1 AND op <> 'D'""",
+
+    // incremental maintenance must equal the full recompute (exact
+    // integer cents; see the Spark side for why not double round())
+    "agg_incremental" ->
+      """WITH a AS (
+           SELECT o_custkey, count(o_totalprice) AS n,
+                  CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT)
+                    AS cents,
+                  min(o_totalprice) AS min_v,
+                  max(o_totalprice) AS max_v
+           FROM orders GROUP BY o_custkey)
+         SELECT o_custkey, n,
+                CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_v,
+                min_v, max_v,
+                CAST((cents * 200 + n) // (n * 2) AS DOUBLE)
+                  / CAST(10000 AS DOUBLE) AS avg_v
+         FROM a""",
 
     // exact discrete quantiles: the element at rank ceil(q*N) — the
     // same element quantile_disc selects
