@@ -1817,6 +1817,26 @@ object SparkEntry {
       Dedup.canonicalMap(aug, "doc_id", "text")
     }),
 
+    "corpus_boilerplate" -> ((s, dir) => {
+      // C4-style cross-doc boilerplate line removal: plant a footer
+      // on every doc and a banner on every third — both must strip
+      // everywhere while per-doc unique lines survive
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit("\n"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("subscribe to our newsletter"))
+            .otherwise(concat(lit("line "),
+              col("doc_id").cast("string"))),
+          lit("\nall rights reserved")).as("text"))
+      CorpusOps.stripBoilerplateLines(d, "doc_id", "text", minDocs = 3)
+    }),
+
+    "corpus_chunks" -> ((s, dir) =>
+      // overlapping token-window chunking: row-local HOFs only, zero
+      // exchanges (plan-asserted in CorpusOpsSpec)
+      CorpusOps.chunkOverlap(t(s, dir, "documents"), "doc_id", "text",
+        chunk = 32, overlap = 8)),
+
     // ------------------------------------- warehouse maintenance ops
     "scd2_history" -> ((s, dir) =>
       // SCD Type-2 dimension history from a change log: runs of equal
@@ -4694,6 +4714,54 @@ object SparkEntry {
                       CAST(row_number() OVER (PARTITION BY lang
                         ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
                FROM documents QUALIFY rk <= 3) w USING (doc_id)""",
+
+    // boilerplate = trimmed line in >= 3 DISTINCT docs; empty lines
+    // are structure; every doc survives (empty text, never dropped)
+    "corpus_boilerplate" ->
+      """WITH docs AS (
+           SELECT doc_id,
+                  text || chr(10) ||
+                  CASE WHEN doc_id % 3 = 0
+                       THEN 'subscribe to our newsletter'
+                       ELSE 'line ' || CAST(doc_id AS VARCHAR) END ||
+                  chr(10) || 'all rights reserved' AS text
+           FROM documents),
+         ls AS (SELECT doc_id, string_split(text, chr(10)) AS l
+                FROM docs),
+         ex AS (SELECT doc_id, unnest(l) AS line,
+                       unnest(range(1, len(l) + 1)) AS pos
+                FROM ls),
+         bp AS (SELECT trim(line) AS nl FROM ex
+                WHERE trim(line) <> ''
+                GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+         kept AS (SELECT doc_id, pos, line FROM ex
+                  WHERE trim(line) = ''
+                     OR trim(line) NOT IN (SELECT nl FROM bp))
+         SELECT d.doc_id,
+                coalesce(string_agg(k.line, chr(10) ORDER BY k.pos),
+                  '') AS text
+         FROM docs d LEFT JOIN kept k USING (doc_id)
+         GROUP BY d.doc_id""",
+
+    // token windows of 32 stepping 24; tail partial; empty docs emit
+    // nothing
+    "corpus_chunks" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '')
+                    AS tk
+           FROM documents),
+         p AS (SELECT doc_id, tk, len(tk) AS n FROM toks
+               WHERE len(tk) > 0),
+         st AS (SELECT doc_id, tk, n,
+                       unnest(range(0, CASE WHEN n <= 32 THEN 1
+                         ELSE (n - 32 + 23) // 24 + 1 END)) AS k
+                FROM p)
+         SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+                array_to_string(tk[k*24 + 1 : k*24 + 32], ' ')
+                  AS chunk_text,
+                CAST(least(32, n - k*24) AS BIGINT) AS n_tokens
+         FROM st""",
 
     // SCD2 history: runs collapse, intervals chain per key
     "scd2_history" ->

@@ -574,4 +574,84 @@ object CorpusOps {
         .when(pm < trainPm + validPm, lit("valid"))
         .otherwise(lit("test")).as("split"))
   }
+
+  /**
+   * Cross-document boilerplate line removal (the C4/MassiveText line
+   * filter): a line whose trimmed form appears in at least `minDocs`
+   * DISTINCT documents is boilerplate ("all rights reserved",
+   * cookie banners, nav menus) and is stripped from every document;
+   * trimmed-empty lines are structure, never counted and never
+   * removed. Every input document survives — a fully-boilerplate
+   * document comes back with empty text, it does not vanish (the
+   * downstream gate decides its fate, not this operator).
+   *
+   * Scale shape: one explode, ONE count shuffle on the line hash,
+   * then the boilerplate TABLE — small by construction, the
+   * threshold keeps only lines repeated across ≥ minDocs docs and a
+   * 100 TB corpus has bounded distinct boilerplate — broadcasts into
+   * an anti-join, and ONE reassembly shuffle on the doc id. Per-doc
+   * state is bounded by document size (collect_list of its own
+   * lines), never by corpus size.
+   *
+   * @return (idCol, textCol) with boilerplate lines removed,
+   *         remaining lines in original order
+   */
+  def stripBoilerplateLines(df: DataFrame, idCol: String,
+      textCol: String, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__norm", trim(col("__line")))
+    val boiler = lines.filter(col("__norm") =!= "")
+      .groupBy(col("__norm"))
+      .agg(count_distinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select("__norm")
+    val kept = lines.join(broadcast(boiler), Seq("__norm"), "left_anti")
+    df.select(col(idCol)).distinct()
+      .join(kept, Seq(idCol), "left")
+      .groupBy(col(idCol))
+      .agg(coalesce(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s("__line")), "\n"),
+        lit("")).as(textCol))
+  }
+
+  /**
+   * Overlapping token-window chunking (context-window preparation for
+   * embedding / retrieval pipelines): each document's whitespace
+   * tokens split into windows of `chunk` tokens advancing by
+   * `chunk - overlap`, the last window carrying the tail (possibly
+   * fewer than `chunk` tokens). Empty documents emit no chunks.
+   *
+   * Entirely ROW-LOCAL — split/sequence/slice/array_join are codegen
+   * HOFs, so the operator adds zero shuffles to whatever partitioning
+   * the corpus already has; at 100 TB it runs at scan speed.
+   *
+   * @return (idCol, chunk_id, chunk_text, n_tokens), chunk_id 0-based
+   */
+  def chunkOverlap(df: DataFrame, idCol: String, textCol: String,
+      chunk: Int, overlap: Int): DataFrame = {
+    require(chunk > 0 && overlap >= 0 && overlap < chunk,
+      s"need 0 <= overlap < chunk, got chunk=$chunk overlap=$overlap")
+    val step = chunk - overlap
+    val toks = filter(split(col(textCol), " "), x => x =!= "")
+    val n = size(toks)
+    // last window start: ceil((n - chunk) / step); the double cast is
+    // exact for any token count an array can hold
+    val kMax = when(n <= chunk, lit(0))
+      .otherwise(floor((n - chunk + step - 1).cast("double") / step)
+        .cast("int"))
+    df.select(col(idCol), toks.as("__tk"), n.as("__n"), kMax.as("__k"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__tk"), col("__n"),
+        posexplode(sequence(lit(0), col("__k"))).as(Seq("__cid", "__i")))
+      .select(col(idCol),
+        col("__cid").cast("long").as("chunk_id"),
+        array_join(slice(col("__tk"), col("__i") * step + 1, lit(chunk)),
+          " ").as("chunk_text"),
+        least(lit(chunk), col("__n") - col("__i") * step).cast("long")
+          .as("n_tokens"))
+  }
 }

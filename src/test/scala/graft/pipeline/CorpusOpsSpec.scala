@@ -500,4 +500,67 @@ class CorpusOpsSpec extends SparkSpec {
       CorpusOps.weightedSample(ok, "doc_id", "w", k = 0)
     }
   }
+
+  test("stripBoilerplateLines removes cross-doc lines, keeps order and empties") {
+    val docs = Seq(
+      (1L, "alpha one\nall rights reserved\nunique to one"),
+      (2L, "beta two\n  all rights reserved  \n\nkeep me"),
+      (3L, "all rights reserved\ngamma three"),
+      (4L, "all rights reserved") // fully boilerplate: survives, empty
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.stripBoilerplateLines(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the shared line trims equal in all 4 docs -> stripped everywhere
+    // (doc 2's padded variant too); doc 2's empty line is structure
+    assert(got === Map(
+      1L -> "alpha one\nunique to one",
+      2L -> "beta two\n\nkeep me",
+      3L -> "gamma three",
+      4L -> ""))
+  }
+
+  test("stripBoilerplateLines counts DISTINCT docs, not occurrences") {
+    // one doc repeating a line 5 times must not make it corpus
+    // boilerplate for everyone else
+    val docs = Seq(
+      (1L, "spam\nspam\nspam\nspam\nspam"),
+      (2L, "spam\nreal content")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.stripBoilerplateLines(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "spam\nspam\nspam\nspam\nspam")
+    assert(got(2L) == "spam\nreal content")
+  }
+
+  test("chunkOverlap windows cover every token with the declared overlap") {
+    val text = (1 to 25).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val got = CorpusOps.chunkOverlap(docs, "doc_id", "text",
+        chunk = 10, overlap = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0, 6, 12, 18 -> ceil((25-10)/6)=3 -> 4 chunks
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d1.head._3.startsWith("t1 t2") && d1.head._4 == 10L)
+    assert(d1.last._3 == (19 to 25).map(i => s"t$i").mkString(" "))
+    assert(d1.last._4 == 7L)
+    // consecutive chunks share exactly `overlap` tokens
+    val c0 = d1(0)._3.split(" ").toSeq
+    val c1 = d1(1)._3.split(" ").toSeq
+    assert(c0.takeRight(4) == c1.take(4))
+    // full coverage: union of chunk tokens == document tokens
+    assert(d1.flatMap(_._3.split(" ")).distinct.length == 25)
+    // short doc: one partial chunk; empty doc: no chunks
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._3 == "a b c" && d2.head._4 == 3L)
+    assert(!got.exists(_._1 == 3L))
+  }
+
+  test("chunkOverlap is row-local: zero exchanges in the plan") {
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val p = CorpusOps.chunkOverlap(docs, "doc_id", "text", 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking shuffled:\n$p")
+  }
 }
