@@ -1345,6 +1345,14 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("max_cos"))
     }),
 
+    "embed_rproj" -> ((s, dir) =>
+      // sign random projection 64 -> 8 dims: the matrix is an
+      // arithmetic identity (quadratic-mixer signs re-derived
+      // per-element in codegen), nothing stored or broadcast; zero
+      // exchanges, long-format output for engine-exact comparison
+      graft.pipeline.Similarity.randomProject(
+        t(s, dir, "embeddings"), "vec_id", "embedding", outDim = 8)),
+
     "embed_semdedup" -> ((s, dir) => {
       // SemDeDup (cluster-bucketed semantic dedup): double the corpus
       // so every vector has a planted exact duplicate — identical
@@ -4120,6 +4128,38 @@ object SparkEntry {
            FROM docs d CROSS JOIN bench b GROUP BY 1)
          SELECT vec_id, round(mc, 4) AS max_cos
          FROM scored WHERE mc >= 0.3""",
+
+    // sign random projection: replay the 3-round quadratic mixer in
+    // exact integer arithmetic, ordered list_sum for the fold
+    "embed_rproj" ->
+      """WITH ks AS (
+           SELECT vec_id, embedding, unnest(range(0, 8)) AS k
+           FROM embeddings),
+         x0 AS (
+           SELECT vec_id, embedding, k,
+                  list_transform(range(0, len(embedding)),
+                    j -> (j*8 + k + 12345) % 2147483647) AS hs
+           FROM ks),
+         x1 AS (SELECT vec_id, embedding, k,
+                       list_transform(hs, h -> (h*h + h*1103515245
+                         + 12345) % 2147483647) AS hs FROM x0),
+         x2 AS (SELECT vec_id, embedding, k,
+                       list_transform(hs, h -> (h*h + h*1103515245
+                         + 12345) % 2147483647) AS hs FROM x1),
+         x3 AS (SELECT vec_id, embedding, k,
+                       list_transform(hs, h -> (h*h + h*1103515245
+                         + 12345) % 2147483647) AS hs FROM x2),
+         sg AS (SELECT vec_id, embedding, k,
+                       list_transform(hs, h ->
+                         CASE WHEN ((h >> 13) & 1) = 0
+                           THEN CAST(1 AS DOUBLE)
+                           ELSE CAST(-1 AS DOUBLE) END) AS ss
+                FROM x3)
+         SELECT vec_id, CAST(k AS BIGINT) AS k,
+                round(list_sum(list_transform(range(0, len(embedding)),
+                  j -> CAST(embedding[j+1] AS DOUBLE) * ss[j+1])) /
+                  sqrt(CAST(8 AS DOUBLE)), 6) AS value
+         FROM sg""",
 
     "embed_neardup" ->
       """WITH d AS (

@@ -67,6 +67,55 @@ object Similarity {
       .groupBy(col(groupCol), (col("dim") + 1).as("dim"))
       .agg(round(avg(col("v").cast("double")), 4).as("c"))
 
+  /**
+   * Deterministic sign random projection (Achlioptas-style
+   * Johnson-Lindenstrauss): y[k] = (1/√outDim) · Σ_j v[j]·s(j,k)
+   * with s(j,k) ∈ {+1,−1} derived from an LCG over the flat matrix
+   * index — NO projection matrix is stored, broadcast, or shipped;
+   * every executor re-derives signs in codegen'd integer arithmetic,
+   * which is what makes this viable on a 1000-executor cluster (a
+   * materialized d×k matrix would be a broadcast dependency and a
+   * serialization cost per task; a seed is a constant).
+   *
+   * Row-local (zip_with/aggregate HOFs): zero shuffles, preserves the
+   * input partitioning; the 32× cheaper complement to PQ when the
+   * goal is distance-preserving dimensionality reduction rather than
+   * quantized storage. Output is LONG format (idCol, k, value) so
+   * results stay exactly comparable engine-to-engine; `decimals`
+   * rounds away the last-ulp noise of cross-engine float summation.
+   */
+  def randomProject(emb: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, seed: Long = 12345L, decimals: Int = 6): DataFrame = {
+    require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+    val scale = math.sqrt(outDim.toDouble)
+    // The mixer must be NONLINEAR: any chain of LCG rounds composes
+    // to another affine map mod P, whose low bit is an arithmetic
+    // progression with an even step — long same-sign runs across j
+    // that wreck the JL guarantee (measured 5x distance distortion at
+    // k=32; the spec's band pins it). Three QUADRATIC rounds
+    // (h² + Ah + B mod P) with a mid bit reach the random-matrix
+    // column-correlation floor (~3σ of a true ±1 matrix). All
+    // arithmetic stays under 2^63 (h < 2^31, h² + Ah + B < 7·10^18),
+    // so ANSI mode never throws, and it replays exactly in any
+    // engine with 64-bit integers — no matrix is stored or shipped.
+    def sign(j: Column, k: Column): Column = {
+      val x = pmod(j.cast("long") * outDim + k + seed, lit(2147483647L))
+      val h = (1 to 3).foldLeft(x)((h, _) =>
+        pmod(h * h + h * 1103515245L + 12345L, lit(2147483647L)))
+      when(pmod(shiftright(h, 13), lit(2L)) === 0, lit(1.0))
+        .otherwise(lit(-1.0))
+    }
+    val proj = transform(sequence(lit(0), lit(outDim - 1)), k =>
+      round(
+        F.aggregate(
+          zip_with(col(vecCol),
+            sequence(lit(0), size(col(vecCol)) - 1),
+            (v, j) => v.cast("double") * sign(j, k)),
+          lit(0.0), (acc, x) => acc + x) / scale, decimals))
+    emb.select(col(idCol), posexplode(proj).as(Seq("k", "value")))
+      .select(col(idCol), col("k").cast("long").as("k"), col("value"))
+  }
+
   /** Per-query top-k by cosine score (deterministic nn_id tie-break) —
     * shared by the brute/LSH/IVF paths. Expects columns
     * (query_id, nn_id, score). */

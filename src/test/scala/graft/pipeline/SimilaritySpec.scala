@@ -585,4 +585,64 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!coldPlan.contains("bandhash"), coldPlan)
   }
+
+  test("randomProject matches the driver-side reference and is deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 20L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val outDim = 6
+    def refSign(j: Int, k: Int): Double = {
+      var h = math.floorMod(j.toLong * outDim + k + 12345L, 2147483647L)
+      var r = 0
+      while (r < 3) {
+        h = math.floorMod(h * h + h * 1103515245L + 12345L, 2147483647L)
+        r += 1
+      }
+      if (((h >> 13) & 1L) == 0L) 1.0 else -1.0
+    }
+    val expected = vecs.flatMap { case (id, v) =>
+      (0 until outDim).map { k =>
+        var acc = 0.0
+        var j = 0
+        while (j < v.length) { acc += v(j).toDouble * refSign(j, k); j += 1 }
+        (id, k.toLong,
+          BigDecimal(acc / math.sqrt(outDim.toDouble))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.toSet
+    def run() = Similarity.randomProject(df, "vec_id", "embedding", outDim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val got = run()
+    assert(got === expected)
+    assert(run() === got) // rerun: no hidden nondeterminism
+  }
+
+  test("randomProject roughly preserves pairwise distances (JL) and is row-local") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 30L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val proj = Similarity.randomProject(df, "vec_id", "embedding", 32)
+    assert(!proj.queryExecution.executedPlan.toString.contains("Exchange"),
+      "projection must not shuffle")
+    val p = proj.collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getDouble(2)) }
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = vecs.map(_._1)
+    val ratios = for {
+      i <- ids; j <- ids if i < j
+      orig = d2(vecs(i.toInt - 1)._2.map(_.toDouble).toSeq,
+        vecs(j.toInt - 1)._2.map(_.toDouble).toSeq)
+      if orig > 1e-9
+    } yield d2(p(i).toSeq, p(j).toSeq) / orig
+    // JL with k=32: distances concentrate around 1; allow a wide band
+    assert(ratios.forall(r => r > 0.35 && r < 2.2),
+      s"distance distortion out of band: min=${ratios.min} max=${ratios.max}")
+  }
 }
