@@ -1854,6 +1854,38 @@ object SparkEntry {
         t(s, dir, "events").select("user_id", "event_id", "event_type"),
         "user_id", "event_id", "event_type")),
 
+    "scd2_pit_join" -> ((s, dir) => {
+      // point-in-time dimension lookup: every fact joins the SCD2
+      // version valid at its time via the native as-of merge join —
+      // one key-clustered shuffle per side, no range explosion
+      val ev = t(s, dir, "events")
+      val hist = graft.operators.Warehouse.scd2FromLog(
+        ev.filter(pmod(col("event_id"), lit(4)) =!= 0)
+          .select("user_id", "event_id", "event_type"),
+        "user_id", "event_id", "event_type")
+      val facts = ev.filter(pmod(col("event_id"), lit(4)) === 0)
+        .select(col("user_id"), col("event_id"))
+      graft.operators.Warehouse.scd2Lookup(facts, hist, "user_id",
+        "event_id", "event_type")
+    }),
+
+    "scd2_incremental" -> ((s, dir) => {
+      // incremental SCD2 maintenance: history built from the first
+      // 80% of the log, the rest folded in via scd2Merge — work is
+      // O(touched keys + batch), and the oracle recomputes from the
+      // FULL log, so equality IS the incremental-equals-full contract
+      val ev = t(s, dir, "events")
+        .select("user_id", "event_id", "event_type")
+      val cut = ev.agg((max("event_id") * 4 / 5).cast("long"))
+        .head().getLong(0)
+      val hist = graft.operators.Warehouse.scd2FromLog(
+        ev.filter(col("event_id") <= cut), "user_id", "event_id",
+        "event_type")
+      graft.operators.Warehouse.scd2Merge(hist,
+        ev.filter(col("event_id") > cut), "user_id", "event_id",
+        "event_type")
+    }),
+
     "cdc_apply" -> ((s, dir) => {
       // CDC last-writer-wins materialization: latest op per key by
       // sequence; a trailing delete removes the key. One max_by
@@ -4805,6 +4837,50 @@ object SparkEntry {
 
     // SCD2 history: runs collapse, intervals chain per key
     "scd2_history" ->
+      """WITH c AS (
+           SELECT user_id, event_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY event_id) AS prev,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY event_id) AS rn
+           FROM events),
+         ch AS (
+           SELECT user_id, event_type, event_id AS valid_from
+           FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+         SELECT user_id, event_type, valid_from,
+                lead(valid_from) OVER (PARTITION BY user_id
+                  ORDER BY valid_from) AS valid_to,
+                (lead(valid_from) OVER (PARTITION BY user_id
+                  ORDER BY valid_from)) IS NULL AS is_current
+         FROM ch""",
+
+    // PIT lookup: latest valid_from <= fact time per (key, fact)
+    "scd2_pit_join" ->
+      """WITH sub AS (
+           SELECT user_id, event_id, event_type FROM events
+           WHERE event_id % 4 <> 0),
+         c AS (
+           SELECT user_id, event_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY event_id) AS prev,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY event_id) AS rn
+           FROM sub),
+         h AS (
+           SELECT user_id, event_type, event_id AS valid_from
+           FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+         f AS (SELECT user_id, event_id FROM events
+               WHERE event_id % 4 = 0)
+         SELECT f.user_id, f.event_id, h.event_type, h.valid_from
+         FROM f JOIN h ON f.user_id = h.user_id
+                      AND h.valid_from <= f.event_id
+         QUALIFY row_number() OVER (PARTITION BY f.user_id, f.event_id
+           ORDER BY h.valid_from DESC) = 1""",
+
+    // incremental merge must equal the full-log SCD2 recompute (the
+    // same SQL as scd2_history on purpose: different engine path,
+    // same contract)
+    "scd2_incremental" ->
       """WITH c AS (
            SELECT user_id, event_id, event_type,
                   lag(event_type) OVER (PARTITION BY user_id

@@ -84,6 +84,60 @@ object Warehouse {
       .select(col(key) +: payload.map(c => col(s"__last.$c").as(c)): _*)
   }
 
+  /**
+   * Point-in-time lookup against an SCD2 history (the consumption
+   * pattern [[scd2FromLog]] exists for): each fact row joins the
+   * dimension VERSION that was valid at the fact's time — the latest
+   * `valid_from` ≤ fact time. Facts preceding a key's first version
+   * drop (inner semantics). Delegates to the native as-of join
+   * ([[Joins.asofNative]]): each side shuffles once clustered by key,
+   * the per-partition pass is a two-iterator merge with O(1) state,
+   * and the exchange elides entirely when either side is bucketed by
+   * the key — at 100 TB this is the "facts vs dimension history"
+   * join that a range-predicate formulation would explode.
+   *
+   * @return fact columns + (value, valid_from of the matched version)
+   */
+  def scd2Lookup(facts: DataFrame, history: DataFrame, key: String,
+      factTime: String, value: String): DataFrame =
+    Joins.asofNative(facts,
+      history.select(col(key), col("valid_from"), col(value)),
+      Seq(key), factTime, "valid_from", Seq(value))
+      .withColumnRenamed("matched_valid_from", "valid_from")
+
+  /**
+   * Incremental SCD2 maintenance: fold a new batch of log rows into
+   * an existing [[scd2FromLog]] history WITHOUT reprocessing closed
+   * history. Untouched keys pass through by anti-join; for touched
+   * keys only the OPEN (is_current) row re-enters as a pseudo-log
+   * seed alongside the batch rows, and the run-collapse recomputes
+   * over that small set — if a batch's first value equals the open
+   * row's, the run collapses INTO the seed and the original
+   * `valid_from` survives (no spurious version). Work is
+   * O(touched keys + batch), never O(history) — the property that
+   * makes daily dimension maintenance viable on a 100 TB history.
+   *
+   * PRECONDITION: every batch timestamp must be later than the
+   * touched key's open `valid_from` (i.e. the log arrives in order
+   * across maintenance runs — the same contract every SCD2 engine
+   * carries). Late rows older than the open version would need
+   * closed-history rewrite: reprocess those keys from the full log
+   * instead.
+   */
+  def scd2Merge(history: DataFrame, batch: DataFrame, key: String,
+      ts: String, value: String): DataFrame = {
+    val affected = batch.select(col(key)).distinct()
+    val touched = history.join(affected, Seq(key), "left_semi")
+    val untouched = history.join(affected, Seq(key), "left_anti")
+    val closed = touched.filter(!col("is_current"))
+    val seed = touched.filter(col("is_current"))
+      .select(col(key), col("valid_from").as(ts), col(value))
+    val recomputed = scd2FromLog(
+      seed.unionByName(batch.select(col(key), col(ts), col(value))),
+      key, ts, value)
+    untouched.unionByName(closed).unionByName(recomputed)
+  }
+
   /** Column layout of a mergeable aggregate state table (the
     * contract both sides of [[mergeAggState]] share): one row per
     * key tuple with n / sum_v / min_v / max_v. `avg` is DELIBERATELY

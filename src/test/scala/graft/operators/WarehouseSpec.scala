@@ -115,6 +115,58 @@ class WarehouseSpec extends SparkSpec {
         .orderBy("k").collect().toSeq)
   }
 
+  test("scd2Lookup joins each fact to the version valid at fact time") {
+    val hist = Warehouse.scd2FromLog(Seq(
+      (1L, 10L, "a"), (1L, 30L, "b"), (1L, 50L, "c"),
+      (2L, 20L, "x")).toDF("k", "seq", "v"), "k", "seq", "v")
+    val facts = Seq((1L, 5L), (1L, 10L), (1L, 29L), (1L, 30L),
+      (1L, 99L), (2L, 21L), (3L, 7L)).toDF("k", "t")
+    val got = Warehouse.scd2Lookup(facts, hist, "k", "t", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(3), r.getLong(2))).toSet
+    assert(got === Set(
+      (1L, 10L, "a", 10L), // boundary: valid_from == fact time matches
+      (1L, 29L, "a", 10L),
+      (1L, 30L, "b", 30L),
+      (1L, 99L, "c", 50L),
+      (2L, 21L, "x", 20L))) // (1,5) precedes history, (3,7) unknown key
+  }
+
+  test("scd2Merge incremental equals the full-log recompute") {
+    val rnd = new scala.util.Random(3)
+    val full = (1L to 600L).map { seq =>
+      (rnd.nextInt(9).toLong, seq, s"v${rnd.nextInt(4)}")
+    }
+    // new key appears only in the batch window
+    val log = full :+ (99L, 590L, "fresh") :+ (99L, 595L, "fresh2")
+    val (oldLog, batch) = log.sortBy(_._2).partition(_._2 <= 400L)
+    val hist = Warehouse.scd2FromLog(oldLog.toDF("k", "seq", "v"),
+      "k", "seq", "v")
+    val merged = Warehouse.scd2Merge(hist, batch.toDF("k", "seq", "v"),
+      "k", "seq", "v")
+    val expect = Warehouse.scd2FromLog(log.toDF("k", "seq", "v"),
+      "k", "seq", "v")
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+      .toSet
+    assert(key(merged) === key(expect))
+  }
+
+  test("scd2Merge keeps the open version's valid_from when the batch repeats it") {
+    val hist = Warehouse.scd2FromLog(
+      Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "seq", "v"),
+      "k", "seq", "v")
+    val merged = Warehouse.scd2Merge(hist,
+      Seq((1L, 30L, "b"), (1L, 40L, "c")).toDF("k", "seq", "v"),
+      "k", "seq", "v")
+    val rows = merged.collect().map(r => (r.getString(1), r.getLong(2),
+      Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+    // "b" run must still start at 20 (no spurious version at 30)
+    assert(rows === Set(("a", 10L, Some(20L)), ("b", 20L, Some(40L)),
+      ("c", 40L, None)))
+  }
+
   test("withDerived computes avg from mergeable parts") {
     val st = Seq((1L, 4L, 10.0, 1.0, 5.0)).toDF("k", "n", "sum_v",
       "min_v", "max_v")
