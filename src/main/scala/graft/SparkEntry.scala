@@ -127,7 +127,7 @@ object SparkEntry {
   }
 
   private def stagedEventsStream(s: SparkSession, dir: String,
-      copies: Int = 1): DataFrame = {
+      copies: Int = 1, maxFilesPerTrigger: Int = 0): DataFrame = {
     import org.apache.spark.sql.types._
     val drops = java.nio.file.Files.createTempDirectory("graft_stream")
     drops.toFile.deleteOnExit()
@@ -137,13 +137,17 @@ object SparkEntry {
       java.nio.file.Files.createSymbolicLink(
         drops.resolve(s"events_$i.parquet"), target)
     val tsType = s.read.parquet(target.toString).schema("ts").dataType
-    normalizeTs(s.readStream
+    val rs = s.readStream
       .schema(StructType(Seq(
         StructField("event_id", LongType), StructField("ts", tsType),
         StructField("user_id", LongType),
         StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType))))
-      .parquet(drops.toString))
+    val withTrigger = // >0: force one micro-batch per that many files
+      if (maxFilesPerTrigger > 0)
+        rs.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else rs
+    normalizeTs(withTrigger.parquet(drops.toString))
   }
 
   /** Sentinel user id carried by the watermark-flush drops of
@@ -3008,6 +3012,37 @@ object SparkEntry {
           round(sum(col("value")), 2).as("sv"))
     }),
 
+    "events_stream_aggstate" -> ((s, dir) => withShufflePartitions(s, 8) {
+      // streaming maintenance of a MERGEABLE aggregate state: three
+      // micro-batches (copies=3, one file per trigger) fold into the
+      // persisted per-user n/sum/min/max snapshot via the
+      // batch-id-guarded atomic-pointer commit (AggStateSink) — the
+      // streaming face of agg_incremental. The oracle recomputes over
+      // the tripled event log from scratch; equality proves the
+      // sequential merges lost and double-counted nothing.
+      val stateDir =
+        java.nio.file.Files.createTempDirectory("graft_aggstate")
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("graft_aggstate_ck")
+      stateDir.toFile.deleteOnExit(); ckpt.toFile.deleteOnExit()
+      val ev = stagedEventsStream(s, dir, copies = 3,
+        maxFilesPerTrigger = 1)
+      val q = ev.select(col("user_id"), col("value"))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.streaming.AggStateSink.commit(s, stateDir.toString,
+            id, batch, Seq("user_id"), "value")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.AggStateSink.read(s, stateDir.toString).get
+        .select(col("user_id"), col("n"),
+          round(col("sum_v"), 2).as("sv"), col("min_v"), col("max_v"))
+    }),
+
     "events_stream_sink" -> ((s, dir) => withShufflePartitions(s, 8) {
       // transactional streaming FILE sink: stream -> stateless
       // project/filter -> parquet sink with checkpoint. The sink's
@@ -4853,6 +4888,14 @@ object SparkEntry {
                 (lead(valid_from) OVER (PARTITION BY user_id
                   ORDER BY valid_from)) IS NULL AS is_current
          FROM ch""",
+
+    // streaming agg-state: 3 identical micro-batches folded into the
+    // snapshot must equal the from-scratch aggregate of the tripled log
+    "events_stream_aggstate" ->
+      """SELECT user_id, count(value) * 3 AS n,
+                round(sum(value) * 3, 2) AS sv,
+                min(value) AS min_v, max(value) AS max_v
+         FROM events GROUP BY user_id""",
 
     // PIT lookup: latest valid_from <= fact time per (key, fact)
     "scd2_pit_join" ->

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Warehouse
+
+/**
+ * Transactional streaming maintenance of a mergeable aggregate state
+ * (the [[Warehouse.mergeAggState]] layout: keys, n, sum_v, min_v,
+ * max_v), driven from `foreachBatch`. Spark's foreachBatch is
+ * AT-LEAST-ONCE — after a crash the last batch re-delivers — and a
+ * plain merge would double-count it, so each commit is guarded by the
+ * batch id and published with an atomic pointer swap:
+ *
+ *   stateDir/v_<batchId>/   full state snapshot (parquet)
+ *   stateDir/_latest        pointer file, content = committed batchId
+ *
+ * Commit protocol: a batchId at or below the pointer is a NO-OP
+ * (idempotent re-delivery); otherwise the previous snapshot merges
+ * with the batch into `v_<batchId>` (mode=overwrite, so a crash
+ * mid-write just rewrites on replay), then the pointer moves via
+ * write-temp + ATOMIC_MOVE. A crash at ANY point leaves either the
+ * old pointer (replay redoes the merge from the old snapshot) or the
+ * new one (replay no-ops) — never a half-merged state. Superseded
+ * snapshots are pruned after the swap.
+ *
+ * 100 TB story: the state is one row per key — snapshot size is the
+ * key cardinality, not the stream history; each commit costs one
+ * key-partitioned merge of (state ∪ batch-partials) exactly as
+ * [[Warehouse.mergeAggState]] plans it (single shuffle, map-side
+ * combine on the batch side).
+ */
+object AggStateSink {
+
+  private def pointer(stateDir: String) = Paths.get(stateDir, "_latest")
+
+  /** Latest committed batch id, if any commit has succeeded. */
+  def latest(stateDir: String): Option[Long] = {
+    val p = pointer(stateDir)
+    if (!Files.exists(p)) None
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .trim.toLongOption
+  }
+
+  /** The latest committed state snapshot, if any. */
+  def read(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    latest(stateDir).map(id =>
+      spark.read.parquet(s"$stateDir/v_$id"))
+
+  /**
+   * Fold `batch`'s RAW rows into the persisted state under
+   * `batchId`. Returns false (and does nothing) when `batchId` is
+   * already covered by the pointer — the re-delivery no-op that makes
+   * at-least-once delivery exactly-once in effect.
+   */
+  def commit(spark: SparkSession, stateDir: String, batchId: Long,
+      batch: DataFrame, keys: Seq[String], valueCol: String): Boolean = {
+    Files.createDirectories(Paths.get(stateDir))
+    val cur = latest(stateDir)
+    if (cur.exists(_ >= batchId)) return false
+    val merged = cur match {
+      case Some(id) => Warehouse.mergeAggState(
+        spark.read.parquet(s"$stateDir/v_$id"), batch, keys, valueCol)
+      case None => Warehouse.aggState(batch, keys, valueCol)
+        .select(keys.map(col) ++ Seq(col("n"),
+          col("sum_v").cast("double"), col("min_v").cast("double"),
+          col("max_v").cast("double")): _*)
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/v_$batchId")
+    val tmp = Paths.get(stateDir, s"_latest.tmp.$batchId")
+    Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointer(stateDir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // prune superseded snapshots: only after the pointer moved, and
+    // never the one it names
+    val st = Files.list(Paths.get(stateDir))
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("v_"))
+        .filter(p => p.getFileName.toString.stripPrefix("v_")
+          .toLongOption.exists(_ < batchId))
+        .toSeq
+        .foreach(deleteRecursively)
+    } finally st.close()
+    true
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val st = Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.toSeq.foreach(deleteRecursively)
+      } finally st.close()
+    }
+    Files.deleteIfExists(p)
+  }
+}
