@@ -1412,6 +1412,67 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))),
 
+    "events_retention" -> ((s, dir) => {
+      // cohort retention: users bucketed by first-seen day, counted at
+      // each day offset they return — first-seen is ONE map-side-
+      // combined aggregate, activity days ONE distinct, joined on the
+      // user key (both data-scale at 100 TB: shuffle join, AQE skew)
+      val days = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val first = days.groupBy("user_id").agg(min("day").as("cohort"))
+      days.join(first, "user_id")
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          datediff(col("day"), col("cohort")).cast("long").as("offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    "events_funnel" -> ((s, dir) => {
+      // ordered funnel click -> view -> purchase: stage hits derive
+      // from running windows over ONE per-user sort (two Window ops
+      // share the exchange); "after" is row order, so an equal-ts
+      // pair resolves by event_id on both engines
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val ev = events(s, dir)
+      val o = ev.withColumn("c1",
+        min(when(col("event_type") === "click", col("ts"))).over(w))
+      val v = o.withColumn("v1",
+        min(when(col("event_type") === "view" && col("c1").isNotNull,
+          col("ts"))).over(w))
+      // ONE pass for all three stage counts (a 3-way Expand beats
+      // re-running the window pipeline per stage), reshaped to rows
+      val row = v.agg(
+        count_distinct(when(col("event_type") === "click",
+          col("user_id"))).as("s1"),
+        count_distinct(when(col("event_type") === "view" &&
+          col("c1").isNotNull, col("user_id"))).as("s2"),
+        count_distinct(when(col("event_type") === "purchase" &&
+          col("v1").isNotNull, col("user_id"))).as("s3")).head()
+      import s.implicits._
+      Seq(("1_click", row.getLong(0)),
+        ("2_view_after_click", row.getLong(1)),
+        ("3_purchase_after_view", row.getLong(2)))
+        .toDF("stage", "n_users")
+    }),
+
+    "graph_pagerank" -> ((s, dir) => {
+      // damped PageRank over a deterministic 2-out-degree link graph
+      // on the documents ids: 5 synchronous power iterations; the
+      // oracle unrolls the same iterations in SQL. Round 8 decimals:
+      // cross-engine sum association differs at ~1e-15.
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val nDocs = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          (pmod(col("doc_id") * 13 + 7, lit(nDocs)) + 1).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          (pmod(col("doc_id") * 29 + 3, lit(nDocs)) + 1).as("dst")))
+      graft.operators.Graph.pageRank(edges, docs, iters = 5)
+        .select(col("id").as("doc_id"), round(col("rank"), 8).as("rank"))
+    }),
+
     "events_stream_hourly" -> ((s, dir) => withShufflePartitions(s, 8) {
       // the STREAMING path inside the correctness gate: file-source
       // readStream over the events drop dir -> watermark + tumbling
@@ -4248,6 +4309,115 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
                 event_type, count(*) AS n, round(sum(value), 2) AS sv
          FROM events GROUP BY 1, 2""",
+
+    // cohort retention: day offsets from each user's first-seen day
+    "events_retention" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           FROM events),
+         f AS (SELECT user_id, min(day) AS cohort FROM days GROUP BY 1)
+         SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+                CAST(d.day - f.cohort AS BIGINT) AS offset,
+                count(*) AS n_users
+         FROM days d JOIN f USING (user_id)
+         GROUP BY 1, 2""",
+
+    // ordered funnel; "after" is (ts, event_id) row order on both
+    // engines via the same 1-PRECEDING running windows
+    "events_funnel" ->
+      """WITH o AS (
+           SELECT user_id, event_id, ts, event_type,
+                  min(CASE WHEN event_type = 'click' THEN ts END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS c1
+           FROM events),
+         v AS (
+           SELECT *, min(CASE WHEN event_type = 'view'
+                    AND c1 IS NOT NULL THEN ts END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS v1
+           FROM o),
+         a AS (SELECT
+                 count(DISTINCT CASE WHEN event_type = 'click'
+                   THEN user_id END) AS s1,
+                 count(DISTINCT CASE WHEN event_type = 'view'
+                   AND c1 IS NOT NULL THEN user_id END) AS s2,
+                 count(DISTINCT CASE WHEN event_type = 'purchase'
+                   AND v1 IS NOT NULL THEN user_id END) AS s3
+               FROM v)
+         SELECT '1_click' AS stage, s1 AS n_users FROM a
+         UNION ALL SELECT '2_view_after_click', s2 FROM a
+         UNION ALL SELECT '3_purchase_after_view', s3 FROM a""",
+
+    // 5 unrolled power iterations; (1-d) derives from the SAME double
+    // subtraction the engine performs (a 0.15 literal is a different
+    // double and drifts the 17th digit)
+    "graph_pagerank" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS c
+                     FROM documents),
+         nodes AS (SELECT doc_id AS id FROM documents),
+         edges AS (
+           SELECT doc_id AS src,
+                  (doc_id*13 + 7) % (SELECT c FROM nn) + 1 AS dst
+           FROM documents
+           UNION ALL
+           SELECT doc_id,
+                  (doc_id*29 + 3) % (SELECT c FROM nn) + 1
+           FROM documents),
+         deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS dg
+                 FROM edges GROUP BY 1),
+         ew AS (SELECT e.src, e.dst, CAST(1 AS DOUBLE)/d.dg AS w
+                FROM edges e JOIN deg d USING (src)),
+         r0 AS (SELECT id, CAST(1 AS DOUBLE)/(SELECT c FROM nn) AS r
+                FROM nodes),
+         r1 AS (SELECT n.id,
+                  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                    /(SELECT c FROM nn)
+                  + CAST(0.85 AS DOUBLE)
+                    * coalesce(t.s, CAST(0 AS DOUBLE)) AS r
+                FROM nodes n LEFT JOIN (
+                  SELECT e.dst AS id2, sum(r.r*e.w) AS s
+                  FROM ew e JOIN r0 r ON r.id = e.src GROUP BY 1) t
+                ON t.id2 = n.id),
+         r2 AS (SELECT n.id,
+                  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                    /(SELECT c FROM nn)
+                  + CAST(0.85 AS DOUBLE)
+                    * coalesce(t.s, CAST(0 AS DOUBLE)) AS r
+                FROM nodes n LEFT JOIN (
+                  SELECT e.dst AS id2, sum(r.r*e.w) AS s
+                  FROM ew e JOIN r1 r ON r.id = e.src GROUP BY 1) t
+                ON t.id2 = n.id),
+         r3 AS (SELECT n.id,
+                  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                    /(SELECT c FROM nn)
+                  + CAST(0.85 AS DOUBLE)
+                    * coalesce(t.s, CAST(0 AS DOUBLE)) AS r
+                FROM nodes n LEFT JOIN (
+                  SELECT e.dst AS id2, sum(r.r*e.w) AS s
+                  FROM ew e JOIN r2 r ON r.id = e.src GROUP BY 1) t
+                ON t.id2 = n.id),
+         r4 AS (SELECT n.id,
+                  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                    /(SELECT c FROM nn)
+                  + CAST(0.85 AS DOUBLE)
+                    * coalesce(t.s, CAST(0 AS DOUBLE)) AS r
+                FROM nodes n LEFT JOIN (
+                  SELECT e.dst AS id2, sum(r.r*e.w) AS s
+                  FROM ew e JOIN r3 r ON r.id = e.src GROUP BY 1) t
+                ON t.id2 = n.id),
+         r5 AS (SELECT n.id,
+                  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                    /(SELECT c FROM nn)
+                  + CAST(0.85 AS DOUBLE)
+                    * coalesce(t.s, CAST(0 AS DOUBLE)) AS r
+                FROM nodes n LEFT JOIN (
+                  SELECT e.dst AS id2, sum(r.r*e.w) AS s
+                  FROM ew e JOIN r4 r ON r.id = e.src GROUP BY 1) t
+                ON t.id2 = n.id)
+         SELECT id AS doc_id, round(r, 8) AS rank FROM r5""",
 
     "events_stream_dedup" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
