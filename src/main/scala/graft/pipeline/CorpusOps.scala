@@ -586,12 +586,15 @@ object CorpusOps {
    * downstream gate decides its fate, not this operator).
    *
    * Scale shape: one explode, ONE count shuffle on the line hash,
-   * then the boilerplate TABLE — small by construction, the
-   * threshold keeps only lines repeated across ≥ minDocs docs and a
-   * 100 TB corpus has bounded distinct boilerplate — broadcasts into
-   * an anti-join, and ONE reassembly shuffle on the doc id. Per-doc
-   * state is bounded by document size (collect_list of its own
-   * lines), never by corpus size.
+   * then an anti-join against the boilerplate table — deliberately
+   * NOT force-broadcast: the table is small by construction (the
+   * threshold keeps only lines repeated across ≥ minDocs docs), so
+   * AQE converts the join to broadcast at runtime from its REAL size,
+   * but a pathological corpus (minDocs=2 over templated text) can
+   * produce a data-scale set, and a forced broadcast would OOM the
+   * driver exactly there. Then ONE reassembly shuffle on the doc id;
+   * per-doc state is bounded by document size (collect_list of its
+   * own lines), never by corpus size.
    *
    * @return (idCol, textCol) with boilerplate lines removed,
    *         remaining lines in original order
@@ -607,7 +610,7 @@ object CorpusOps {
       .agg(count_distinct(col(idCol)).as("__docs"))
       .filter(col("__docs") >= minDocs)
       .select("__norm")
-    val kept = lines.join(broadcast(boiler), Seq("__norm"), "left_anti")
+    val kept = lines.join(boiler, Seq("__norm"), "left_anti")
     df.select(col(idCol)).distinct()
       .join(kept, Seq(idCol), "left")
       .groupBy(col(idCol))
