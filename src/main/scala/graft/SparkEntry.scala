@@ -1427,6 +1427,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    "timeseries_resample" -> ((s, dir) =>
+      // irregular events onto a contiguous hourly grid per user with
+      // linear gap interpolation — grid explodes row-locally from one
+      // min/max aggregate, both fill windows share one exchange.
+      // min-collapse + explicit floor half-up: every upstream double
+      // is bit-identical cross-engine, and round() itself diverges on
+      // .xxxx5 (Spark rounds the shortest decimal repr, DuckDB the
+      // binary value — hit in practice on interpolated points)
+      graft.operators.TimeSeries.resampleHourly(events(s, dir),
+          "user_id", "ts", "value", collapse = "min")
+        .select(col("user_id"),
+          date_format(col("hour"), "yyyy-MM-dd HH").as("hour"),
+          (floor(col("value") * 10000 + 0.5).cast("long") / 10000.0)
+            .as("value"),
+          col("interpolated"))),
+
     "events_funnel" -> ((s, dir) => {
       // ordered funnel click -> view -> purchase: stage hits derive
       // from running windows over ONE per-user sort (two Window ops
@@ -1869,6 +1885,20 @@ object SparkEntry {
       val m = d.join(cl, "__h").select(col("doc_id"), col("cluster_id"))
       CorpusOps.leakFreeSplit(m, "doc_id", "cluster_id")
     }),
+
+    "text_vocab" -> ((s, dir) =>
+      // corpus vocabulary (tokenizer-training input): term + corpus
+      // count + doc frequency, global top-100 by (count desc, term) —
+      // orderBy+limit plans TakeOrderedAndProject (per-partition
+      // k-heaps, never a full sort)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokensLower(col("text"))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("doc_id")).as("df"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(100)),
 
     "text_bm25" -> ((s, dir) =>
       // lexical retrieval: BM25 over a fixed query term set; only
@@ -4104,6 +4134,20 @@ object SparkEntry {
                   END, 4) AS stopword_ratio_en
          FROM documents""",
 
+    // vocabulary: total order via the term tiebreak, so top-100 is
+    // deterministic on both engines
+    "text_vocab" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(trim(text)),
+                    '\s+')) AS term
+           FROM documents),
+         v AS (SELECT term, count(*) AS n,
+                      count(DISTINCT doc_id) AS df
+               FROM tok GROUP BY 1)
+         SELECT term, n, df FROM v
+         QUALIFY row_number() OVER (ORDER BY n DESC, term) <= 100""",
+
     "text_tfidf" ->
       """WITH tok AS (
            SELECT doc_id,
@@ -4321,6 +4365,50 @@ object SparkEntry {
                 count(*) AS n_users
          FROM days d JOIN f USING (user_id)
          GROUP BY 1, 2""",
+
+    // hourly grid + linear interpolation; epoch arithmetic is exact
+    // integer seconds on both engines
+    "timeseries_resample" ->
+      """WITH obs AS (
+           SELECT user_id, date_trunc('hour', ts) AS h,
+                  min(value) AS v
+           FROM events GROUP BY 1, 2),
+         bounds AS (
+           SELECT user_id, min(h) AS lo, max(h) AS hi
+           FROM obs GROUP BY 1),
+         grid AS (
+           SELECT user_id,
+                  unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+           FROM bounds),
+         j AS (
+           SELECT g.user_id, g.h, o.v FROM grid g
+           LEFT JOIN obs o ON o.user_id = g.user_id AND o.h = g.h),
+         f AS (
+           SELECT user_id, h, v,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN h END
+               IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS ph,
+             first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY h ROWS BETWEEN CURRENT ROW
+               AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN h END
+               IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY h ROWS BETWEEN CURRENT ROW
+               AND UNBOUNDED FOLLOWING) AS nh
+           FROM j)
+         SELECT user_id, strftime(h, '%Y-%m-%d %H') AS hour,
+                CAST(floor((CASE WHEN v IS NOT NULL THEN v
+                      ELSE pv + (nv - pv)
+                           * (epoch(h) - epoch(ph))
+                           / (epoch(nh) - epoch(ph)) END)
+                  * 10000 + 0.5) AS BIGINT)
+                  / CAST(10000 AS DOUBLE) AS value,
+                v IS NULL AS interpolated
+         FROM f""",
 
     // ordered funnel; "after" is (ts, event_id) row order on both
     // engines via the same 1-PRECEDING running windows
