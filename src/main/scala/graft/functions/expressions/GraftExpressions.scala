@@ -58,6 +58,20 @@ object GraftExpressions {
     ColumnBridge.column(RhpSig(
       ColumnBridge.expression(vec.cast("array<double>")), planes))
 
+  /** Matrix-free sign random projection to `outDim` dims in ONE fused
+    * codegen loop: y[k] = Σ_j v[j]·s(j,k) / √outDim with s derived
+    * per element from the 3-round quadratic mixer mod 2^31−1 (see
+    * [[graft.pipeline.Similarity.randomProject]]). No sign table is
+    * stored or shipped — the generated code re-derives each sign in
+    * ~9 integer ops. The HOF formulation pays outDim interpreted
+    * `aggregate(zip_with(...))` passes per row (measured ~0.8 ms/row
+    * at 64→8: the whole sweep cell was the interpreter, not the
+    * arithmetic). Null-poisoning parity with the HOF: any null
+    * element yields all-null outputs. */
+  def sign_project(vec: Column, outDim: Int, seed: Long): Column =
+    ColumnBridge.column(SignProject(
+      ColumnBridge.expression(vec.cast("array<double>")), outDim, seed))
+
   /** Index of the table row with the greatest dot product against the
     * vector — the k-means/IVF cell-assignment inner loop, fused into
     * one codegen pass (the HOF formulation evaluates k interpreted
@@ -346,6 +360,104 @@ case class RhpSig(child: Expression, planes: Array[Array[Double]])
 
   override protected def withNewChildInternal(
       newChild: Expression): RhpSig = copy(child = newChild)
+}
+
+/** Sign (Rademacher) random projection: out[k] = Σ_j v[j]·s(j,k)/√K,
+  * signs re-derived per element from the 3-round quadratic mixer mod
+  * P = 2^31−1 (x² + Ax + B; a chain of LCG rounds stays affine and
+  * its parity runs wreck the JL guarantee — see Similarity). Exact
+  * fold-order parity with the HOF formulation: j ascends, divide
+  * last. A null element null-poisons every output (the HOF's
+  * zip_with/aggregate contract). */
+case class SignProject(child: Expression, outDim: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sign_project expects array<double>, got $other")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "graft_sign_project"
+
+  override def nullSafeEval(xs: Any): Any = {
+    val x = xs.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) { if (x.isNullAt(i)) hasNull = true; i += 1 }
+    if (hasNull) {
+      new GenericArrayData(Array.fill[Any](outDim)(null))
+    } else {
+      val out = new Array[Double](outDim)
+      val scale = math.sqrt(outDim.toDouble)
+      var k = 0
+      while (k < outDim) {
+        var acc = 0.0
+        var j = 0
+        while (j < n) {
+          var h = (j.toLong * outDim + k + seed) % 2147483647L
+          var r = 0
+          while (r < 3) {
+            h = (h * h + h * 1103515245L + 12345L) % 2147483647L
+            r += 1
+          }
+          val s = if (((h >> 13) & 1L) == 0L) 1.0 else -1.0
+          acc += x.getDouble(j) * s
+          j += 1
+        }
+        out(k) = acc / scale
+        k += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, xs => {
+      val n = ctx.freshName("n")
+      val hasNull = ctx.freshName("hasNull")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val r = ctx.freshName("r")
+      val h = ctx.freshName("h")
+      val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out")
+      val nulls = ctx.freshName("nulls")
+      val scale = ctx.freshName("scale")
+      s"""
+        final int $n = $xs.numElements();
+        boolean $hasNull = false;
+        for (int $i = 0; $i < $n && !$hasNull; $i++)
+          if ($xs.isNullAt($i)) $hasNull = true;
+        if ($hasNull) {
+          final Object[] $nulls = new Object[$outDim];
+          ${ev.value} =
+            new org.apache.spark.sql.catalyst.util.GenericArrayData($nulls);
+        } else {
+          final double[] $out = new double[$outDim];
+          final double $scale = Math.sqrt((double) $outDim);
+          for (int $k = 0; $k < $outDim; $k++) {
+            double $acc = 0.0;
+            for (int $j = 0; $j < $n; $j++) {
+              long $h = ((long) $j * $outDim + $k + ${seed}L) % 2147483647L;
+              for (int $r = 0; $r < 3; $r++)
+                $h = ($h * $h + $h * 1103515245L + 12345L) % 2147483647L;
+              $acc += $xs.getDouble($j) * ((($h >> 13) & 1L) == 0L ? 1.0 : -1.0);
+            }
+            $out[$k] = $acc / $scale;
+          }
+          ${ev.value} =
+            new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SignProject = copy(child = newChild)
 }
 
 /** argmax_j <vec, table_j> with exact HOF-parity semantics

@@ -87,17 +87,34 @@ object Similarity {
   def randomProject(emb: DataFrame, idCol: String, vecCol: String,
       outDim: Int, seed: Long = 12345L, decimals: Int = 6): DataFrame = {
     require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+    // native fused codegen expression — the HOF formulation below is
+    // the parity oracle; interpreted per-element lambdas made it the
+    // wall (measured ~0.8 ms/row at 64→8)
+    val proj = graft.functions.expressions.GraftExpressions
+      .sign_project(col(vecCol), outDim, seed)
+    emb.select(col(idCol), posexplode(proj).as(Seq("k", "value")))
+      .select(col(idCol), col("k").cast("long").as("k"),
+        round(col("value"), decimals).as("value"))
+  }
+
+  /** The composed-HOF reference formulation of [[randomProject]] —
+    * kept as the parity oracle for the native [[SignProject]]
+    * expression (SimilaritySpec).
+    *
+    * The mixer must be NONLINEAR: any chain of LCG rounds composes
+    * to another affine map mod P, whose low bit is an arithmetic
+    * progression with an even step — long same-sign runs across j
+    * that wreck the JL guarantee (measured 5x distance distortion at
+    * k=32; the spec's band pins it). Three QUADRATIC rounds
+    * (h² + Ah + B mod P) with a mid bit reach the random-matrix
+    * column-correlation floor (~3σ of a true ±1 matrix). All
+    * arithmetic stays under 2^63 (h < 2^31, h² + Ah + B < 7·10^18),
+    * so ANSI mode never throws, and it replays exactly in any
+    * engine with 64-bit integers — no matrix is stored or shipped. */
+  def randomProjectHof(emb: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, seed: Long = 12345L, decimals: Int = 6): DataFrame = {
+    require(outDim >= 1, s"outDim must be >= 1, got $outDim")
     val scale = math.sqrt(outDim.toDouble)
-    // The mixer must be NONLINEAR: any chain of LCG rounds composes
-    // to another affine map mod P, whose low bit is an arithmetic
-    // progression with an even step — long same-sign runs across j
-    // that wreck the JL guarantee (measured 5x distance distortion at
-    // k=32; the spec's band pins it). Three QUADRATIC rounds
-    // (h² + Ah + B mod P) with a mid bit reach the random-matrix
-    // column-correlation floor (~3σ of a true ±1 matrix). All
-    // arithmetic stays under 2^63 (h < 2^31, h² + Ah + B < 7·10^18),
-    // so ANSI mode never throws, and it replays exactly in any
-    // engine with 64-bit integers — no matrix is stored or shipped.
     def sign(j: Column, k: Column): Column = {
       val x = pmod(j.cast("long") * outDim + k + seed, lit(2147483647L))
       val h = (1 to 3).foldLeft(x)((h, _) =>

@@ -620,6 +620,27 @@ class SimilaritySpec extends SparkSpec {
     assert(run() === got) // rerun: no hidden nondeterminism
   }
 
+  test("native sign_project: exact parity with the HOF formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vecs = (1L to 40L).map(i =>
+      (i, Array.fill(48)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    def collect(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val native = collect(
+      Similarity.randomProject(df, "vec_id", "embedding", 11, seed = 7L))
+    val hof = collect(
+      Similarity.randomProjectHof(df, "vec_id", "embedding", 11, seed = 7L))
+    assert(native === hof)
+    // null element null-poisons every output on both paths
+    val withNull = Seq((1L, Array[java.lang.Float](1.0f, null, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val nRows = Similarity.randomProject(withNull, "vec_id",
+      "embedding", 4).collect()
+    assert(nRows.length == 4 && nRows.forall(_.isNullAt(2)))
+  }
+
   test("randomProject roughly preserves pairwise distances (JL) and is row-local") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
