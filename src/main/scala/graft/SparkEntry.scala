@@ -893,6 +893,73 @@ object SparkEntry {
       """)
     }),
 
+    "sql_q5" -> ((s, dir) => {
+      // TPC-H Q5 shape: 6-table star-ish join — region/nation are
+      // broadcast dims, the c_nationkey = s_nationkey cross-filter
+      // makes the join order genuinely matter; Catalyst reorders and
+      // broadcasts the small sides (no hints needed)
+      Seq("customer", "orders", "lineitem", "supplier", "nation",
+        "region").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT n.n_name,
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
+                 AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+      """)
+    }),
+
+    "sql_q10" -> ((s, dir) => {
+      // TPC-H Q10 shape: returned-item revenue top-20 — aggregate
+      // then TakeOrdered (never a global sort); c_custkey tiebreak
+      // makes the cut deterministic
+      Seq("customer", "orders", "lineitem", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT c.c_custkey, c.c_name,
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
+                 AS DOUBLE) AS revenue,
+               c.c_acctbal, n.n_name
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+      """)
+    }),
+
+    "window_ntile" -> ((s, dir) => {
+      // per-priority deciles + percent_rank: partitioned window (no
+      // global sort), total order via the o_orderkey tiebreak so the
+      // tile boundaries are engine-independent
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+                 AS quartile,
+               percent_rank() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey) AS pr
+        FROM orders
+      """)
+    }),
+
     "sql_q18" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("customer")
       t(s, dir, "orders").createOrReplaceTempView("orders")
@@ -3657,6 +3724,49 @@ object SparkEntry {
          GROUP BY 1
          HAVING sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) > 100000""",
+
+    "sql_q5" ->
+      """SELECT n.n_name,
+                CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
+                  AS DOUBLE) AS revenue
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           AND c.c_nationkey = s.s_nationkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'ASIA'
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n.n_name""",
+
+    "sql_q10" ->
+      """SELECT c.c_custkey, c.c_name,
+                CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
+                  AS DOUBLE) AS revenue,
+                c.c_acctbal, n.n_name
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1996-04-01'
+           AND l.l_returnflag = 'R'
+         GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+         ORDER BY revenue DESC, c.c_custkey
+         LIMIT 20""",
+
+    "window_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+                CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+                  AS quartile,
+                percent_rank() OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice, o_orderkey) AS pr
+         FROM orders""",
 
     "sql_q18" ->
       """SELECT c.c_name, c.c_custkey, o.o_orderkey,
