@@ -3201,6 +3201,47 @@ object SparkEntry {
           round(col("sum_v"), 2).as("sv"), col("min_v"), col("max_v"))
     }),
 
+    "events_stream_cdc" -> ((s, dir) => withShufflePartitions(s, 8) {
+      // streaming CDC materialization: each micro-batch applies
+      // last-writer-wins onto the snapshot (the snapshot re-enters as
+      // seq -1 inserts below every real sequence). Three identical
+      // re-delivered batches must leave the state EXACTLY the batch
+      // cdcApply of the log — upsert idempotence under at-least-once
+      val stateDir =
+        java.nio.file.Files.createTempDirectory("graft_cdcstate")
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("graft_cdcstate_ck")
+      stateDir.toFile.deleteOnExit(); ckpt.toFile.deleteOnExit()
+      val ev = stagedEventsStream(s, dir, copies = 3,
+        maxFilesPerTrigger = 1)
+      val log = ev.select(pmod(col("event_id"), lit(997)).as("k"),
+        col("event_id").as("seq"),
+        when(pmod(col("event_id"), lit(10)) === 0, "D")
+          .when(pmod(col("event_id"), lit(10)) < 3, "I")
+          .otherwise("U").as("op"),
+        col("value").as("v"), col("event_type").as("et"))
+      val q = log.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.streaming.AggStateSink.commitWith(s, stateDir.toString,
+            id) { prev =>
+            val full = prev match {
+              case Some(st) => st.select(col("k"),
+                lit(-1L).as("seq"), lit("I").as("op"), col("v"),
+                col("et")).unionByName(batch)
+              case None => batch
+            }
+            graft.operators.Warehouse.cdcApply(full, "k", "seq", "op",
+              Seq("v", "et"))
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.AggStateSink.read(s, stateDir.toString).get
+    }),
+
     "events_stream_sink" -> ((s, dir) => withShufflePartitions(s, 8) {
       // transactional streaming FILE sink: stream -> stateless
       // project/filter -> parquet sink with checkpoint. The sink's
@@ -5264,6 +5305,23 @@ object SparkEntry {
                 round(sum(value) * 3, 2) AS sv,
                 min(value) AS min_v, max(value) AS max_v
          FROM events GROUP BY user_id""",
+
+    // streaming CDC upsert replay: identical batches are idempotent,
+    // so the final snapshot equals the batch apply of ONE log copy
+    "events_stream_cdc" ->
+      """WITH log AS (
+           SELECT event_id % 997 AS k, event_id AS seq,
+                  CASE WHEN event_id % 10 = 0 THEN 'D'
+                       WHEN event_id % 10 < 3 THEN 'I'
+                       ELSE 'U' END AS op,
+                  value AS v, event_type AS et
+           FROM events),
+         last AS (
+           SELECT k, op, v, et,
+                  row_number() OVER (PARTITION BY k
+                    ORDER BY seq DESC) AS rn
+           FROM log)
+         SELECT k, v, et FROM last WHERE rn = 1 AND op <> 'D'""",
 
     // PIT lookup: latest valid_from <= fact time per (key, fact)
     "scd2_pit_join" ->

@@ -58,18 +58,33 @@ object AggStateSink {
    * at-least-once delivery exactly-once in effect.
    */
   def commit(spark: SparkSession, stateDir: String, batchId: Long,
-      batch: DataFrame, keys: Seq[String], valueCol: String): Boolean = {
-    Files.createDirectories(Paths.get(stateDir))
-    val cur = latest(stateDir)
-    if (cur.exists(_ >= batchId)) return false
-    val merged = cur match {
-      case Some(id) => Warehouse.mergeAggState(
-        spark.read.parquet(s"$stateDir/v_$id"), batch, keys, valueCol)
+      batch: DataFrame, keys: Seq[String], valueCol: String): Boolean =
+    commitWith(spark, stateDir, batchId) {
+      case Some(prev) =>
+        Warehouse.mergeAggState(prev, batch, keys, valueCol)
       case None => Warehouse.aggState(batch, keys, valueCol)
         .select(keys.map(col) ++ Seq(col("n"),
           col("sum_v").cast("double"), col("min_v").cast("double"),
           col("max_v").cast("double")): _*)
     }
+
+  /**
+   * The generic form of the commit protocol: `merge` receives the
+   * previous committed snapshot (None on the first batch) and returns
+   * the next one. Every guarantee of [[commit]] — batch-id no-op on
+   * redelivery, overwrite-on-replay snapshot write, atomic pointer
+   * swap, prune-after-publish — holds for ANY state the caller can
+   * express as a DataFrame: CDC upserts, SCD2 histories, dedup
+   * indexes. Single-writer per stateDir (one streaming query), as
+   * foreachBatch already implies.
+   */
+  def commitWith(spark: SparkSession, stateDir: String, batchId: Long)(
+      merge: Option[DataFrame] => DataFrame): Boolean = {
+    Files.createDirectories(Paths.get(stateDir))
+    val cur = latest(stateDir)
+    if (cur.exists(_ >= batchId)) return false
+    val merged = merge(cur.map(id =>
+      spark.read.parquet(s"$stateDir/v_$id")))
     merged.write.mode("overwrite").parquet(s"$stateDir/v_$batchId")
     val tmp = Paths.get(stateDir, s"_latest.tmp.$batchId")
     Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))

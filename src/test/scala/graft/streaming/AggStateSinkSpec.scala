@@ -48,6 +48,30 @@ class AggStateSinkSpec extends SparkSpec {
     assert(snap(AggStateSink.read(spark, dir).get) === before)
   }
 
+  test("commitWith carries CDC upsert state: deletes land, replays no-op") {
+    val dir = Files.createTempDirectory("graft_cdcsink").toString
+    def cdcCommit(id: Long, batch: org.apache.spark.sql.DataFrame) =
+      AggStateSink.commitWith(spark, dir, id) { prev =>
+        val full = prev match {
+          case Some(st) => st.select(col("k"), lit(-1L).as("seq"),
+            lit("I").as("op"), col("v")).unionByName(batch)
+          case None => batch
+        }
+        Warehouse.cdcApply(full, "k", "seq", "op", Seq("v"))
+      }
+    val b0 = Seq((1L, 1L, "I", 10.0), (2L, 2L, "I", 5.0))
+      .toDF("k", "seq", "op", "v")
+    val b1 = Seq((1L, 3L, "U", 11.0), (2L, 4L, "D", 0.0),
+      (3L, 5L, "I", 7.0)).toDF("k", "seq", "op", "v")
+    assert(cdcCommit(0L, b0) && cdcCommit(1L, b1))
+    def state() = AggStateSink.read(spark, dir).get.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val expect = Set((1L, 11.0), (3L, 7.0)) // 2 deleted across batches
+    assert(state() === expect)
+    assert(!cdcCommit(1L, b1)) // redelivery no-ops
+    assert(state() === expect)
+  }
+
   test("crash between snapshot write and pointer swap recovers by replay") {
     val dir = Files.createTempDirectory("graft_aggsink3").toString
     val b0 = Seq((1L, 2.0)).toDF("k", "v")
