@@ -1780,6 +1780,35 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("shard_id"))
     }),
 
+    "pipeline_corpus4" -> ((s, dir) => {
+      // the round-12 prep line composed end-to-end: planted
+      // boilerplate -> cross-doc line strip -> newline flatten ->
+      // overlapping chunking -> exact chunk dedup with deterministic
+      // (doc_id, chunk_id) canonical election. One count shuffle, an
+      // AQE-sized anti-join, one reassembly, then row-local chunking
+      // and ONE dedup aggregate — the whole line never windows or
+      // sorts the corpus globally
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit("\n"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("subscribe to our newsletter"))
+            .otherwise(concat(lit("line "),
+              col("doc_id").cast("string"))),
+          lit("\nall rights reserved")).as("text"))
+      val clean = CorpusOps
+        .stripBoilerplateLines(d, "doc_id", "text", minDocs = 3)
+        .withColumn("text", regexp_replace(col("text"), "\n", " "))
+      val chunks = CorpusOps.chunkOverlap(clean, "doc_id", "text",
+        chunk = 32, overlap = 8)
+      chunks.groupBy(col("chunk_text"))
+        .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__w"),
+          min(col("n_tokens")).as("n_tokens"),
+          count(lit(1)).as("n_copies"))
+        .select(col("__w.doc_id").as("doc_id"),
+          col("__w.chunk_id").as("chunk_id"), col("n_tokens"),
+          col("n_copies"))
+    }),
+
     "pipeline_corpus3" -> ((s, dir) => {
       // v3 of the corpus composition — every r7 stage folded into ONE
       // verified hash: repetition gate -> span-level dedup gate (docs
@@ -5230,6 +5259,60 @@ object SparkEntry {
                       CAST(row_number() OVER (PARTITION BY lang
                         ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
                FROM documents QUALIFY rk <= 3) w USING (doc_id)""",
+
+    // the composed line replayed: strip CTEs + chunk CTEs + window
+    // canonical election
+    "pipeline_corpus4" ->
+      """WITH docs AS (
+           SELECT doc_id,
+                  text || chr(10) ||
+                  CASE WHEN doc_id % 3 = 0
+                       THEN 'subscribe to our newsletter'
+                       ELSE 'line ' || CAST(doc_id AS VARCHAR) END ||
+                  chr(10) || 'all rights reserved' AS text
+           FROM documents),
+         ls AS (SELECT doc_id, string_split(text, chr(10)) AS l
+                FROM docs),
+         ex AS (SELECT doc_id, unnest(l) AS line,
+                       unnest(range(1, len(l) + 1)) AS pos
+                FROM ls),
+         bp AS (SELECT trim(line) AS nl FROM ex
+                WHERE trim(line) <> ''
+                GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+         kept AS (SELECT doc_id, pos, line FROM ex
+                  WHERE trim(line) = ''
+                     OR trim(line) NOT IN (SELECT nl FROM bp)),
+         clean AS (
+           SELECT d.doc_id,
+                  replace(coalesce(string_agg(k.line, chr(10)
+                    ORDER BY k.pos), ''), chr(10), ' ') AS text
+           FROM docs d LEFT JOIN kept k USING (doc_id)
+           GROUP BY d.doc_id),
+         toks AS (
+           SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '')
+                    AS tk
+           FROM clean),
+         p AS (SELECT doc_id, tk, len(tk) AS n FROM toks
+               WHERE len(tk) > 0),
+         st AS (SELECT doc_id, tk, n,
+                       unnest(range(0, CASE WHEN n <= 32 THEN 1
+                         ELSE (n - 32 + 23) // 24 + 1 END)) AS k
+                FROM p),
+         ch AS (
+           SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+                  array_to_string(tk[k*24 + 1 : k*24 + 32], ' ')
+                    AS chunk_text,
+                  CAST(least(32, n - k*24) AS BIGINT) AS n_tokens
+           FROM st),
+         g AS (
+           SELECT chunk_text, doc_id, chunk_id, n_tokens,
+                  row_number() OVER (PARTITION BY chunk_text
+                    ORDER BY doc_id, chunk_id) AS rn,
+                  count(*) OVER (PARTITION BY chunk_text) AS n_copies
+           FROM ch)
+         SELECT doc_id, chunk_id, n_tokens, n_copies
+         FROM g WHERE rn = 1""",
 
     // boilerplate = trimmed line in >= 3 DISTINCT docs; empty lines
     // are structure; every doc survives (empty text, never dropped)
