@@ -2036,6 +2036,32 @@ object SparkEntry {
       CorpusOps.chunkOverlap(t(s, dir, "documents"), "doc_id", "text",
         chunk = 32, overlap = 8)),
 
+    "dq_report" -> ((s, dir) => {
+      // data-contract validation with planted violations of every
+      // class: all row-local rules share ONE aggregate pass;
+      // uniqueness adds one groupBy, the FK one anti-join
+      import graft.operators.DataQuality._
+      val o = t(s, dir, "orders")
+      val bad = o.filter(pmod(col("o_orderkey"), lit(1000)) === 1)
+        .select(col("o_orderkey"),
+          lit(null).cast("long").as("o_custkey"),
+          lit("X").as("o_orderstatus"),
+          (col("o_totalprice") * -1).as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+      val bogus = o.filter(pmod(col("o_orderkey"), lit(1000)) === 2)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          (col("o_custkey") + 10000000L).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+      graft.operators.DataQuality.report(
+        o.unionByName(bad).unionByName(bogus), Seq(
+          NotNull("o_custkey"),
+          Range("o_totalprice", Some(0.0), None),
+          AcceptedValues("o_orderstatus", Seq("F", "O", "P")),
+          Unique(Seq("o_orderkey")),
+          ForeignKey("o_custkey", t(s, dir, "customer"), "c_custkey")))
+    }),
+
     // ------------------------------------- warehouse maintenance ops
     "scd2_history" -> ((s, dir) =>
       // SCD Type-2 dimension history from a change log: runs of equal
@@ -5361,6 +5387,52 @@ object SparkEntry {
                   AS chunk_text,
                 CAST(least(32, n - k*24) AS BIGINT) AS n_tokens
          FROM st""",
+
+    // contract report: one row per rule over the planted-violation
+    // table
+    "dq_report" ->
+      """WITH bad AS (
+           SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey,
+                  'X' AS o_orderstatus,
+                  -o_totalprice AS o_totalprice, o_orderdate,
+                  o_orderpriority
+           FROM orders WHERE o_orderkey % 1000 = 1),
+         bogus AS (
+           SELECT o_orderkey + 10000000 AS o_orderkey,
+                  o_custkey + 10000000 AS o_custkey, o_orderstatus,
+                  o_totalprice, o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 1000 = 2),
+         t AS (SELECT * FROM orders
+               UNION ALL SELECT * FROM bad
+               UNION ALL SELECT * FROM bogus),
+         rep AS (
+           SELECT 'not_null:o_custkey' AS "check",
+                  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1
+                    ELSE 0 END) AS BIGINT) AS n_violations FROM t
+           UNION ALL
+           SELECT 'range:o_totalprice',
+                  CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                    AND o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM t
+           UNION ALL
+           SELECT 'accepted:o_orderstatus',
+                  CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                    AND o_orderstatus NOT IN ('F', 'O', 'P')
+                    THEN 1 ELSE 0 END) AS BIGINT) FROM t
+           UNION ALL
+           SELECT 'unique:o_orderkey',
+                  CAST(coalesce((SELECT sum(n) FROM (
+                    SELECT count(*) AS n FROM t GROUP BY o_orderkey
+                    HAVING count(*) > 1)), 0) AS BIGINT)
+           UNION ALL
+           SELECT 'fk:o_custkey',
+                  CAST((SELECT count(*) FROM t
+                        WHERE o_custkey IS NOT NULL
+                          AND o_custkey NOT IN
+                            (SELECT c_custkey FROM customer))
+                    AS BIGINT))
+         SELECT "check", n_violations, n_violations = 0 AS pass
+         FROM rep""",
 
     // SCD2 history: runs collapse, intervals chain per key
     "scd2_history" ->
