@@ -1416,6 +1416,15 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("max_cos"))
     }),
 
+    "embed_hard_negatives" -> ((s, dir) =>
+      // contrastive-training hard negatives: top-5 most-similar
+      // corpus vectors with a DIFFERENT label per query — the
+      // bruteTopK shape with the label predicate folded into the
+      // broadcast join
+      graft.pipeline.Similarity.hardNegatives(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        queryIds = Seq(1L, 2L, 3L, 4L), k = 5)),
+
     "embed_rproj" -> ((s, dir) =>
       // sign random projection 64 -> 8 dims: the matrix is an
       // arithmetic identity (quadratic-mixer signs re-derived
@@ -1509,6 +1518,19 @@ object SparkEntry {
           (floor(col("value") * 10000 + 0.5).cast("long") / 10000.0)
             .as("value"),
           col("interpolated"))),
+
+    "timeseries_trend" -> ((s, dir) => {
+      // per-user OLS trend in exact integer sums (engine-identical
+      // under any aggregation order); only the final divisions touch
+      // floating point, and the half-up rounding is the explicit
+      // floor form both engines compute identically
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * 1000000 + 0.5).cast("long") / 1000000.0
+      graft.operators.TimeSeries.linearTrend(events(s, dir),
+          "user_id", "ts", "value")
+        .select(col("user_id"), col("n"), r6(col("slope")).as("slope"),
+          r6(col("intercept")).as("intercept"))
+    }),
 
     "events_funnel" -> ((s, dir) => {
       // ordered funnel click -> view -> purchase: stage hits derive
@@ -4507,6 +4529,26 @@ object SparkEntry {
          SELECT vec_id, round(mc, 4) AS max_cos
          FROM scored WHERE mc >= 0.3""",
 
+    // hard negatives: brute pairs restricted to label mismatch
+    "embed_hard_negatives" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id,
+                  CAST(embedding AS DOUBLE[]) AS qvec, label AS ql
+           FROM embeddings WHERE vec_id IN (1, 2, 3, 4)),
+         pairs AS (
+           SELECT q.query_id, e.vec_id AS nn_id,
+                  list_cosine_similarity(q.qvec,
+                    CAST(e.embedding AS DOUBLE[])) AS score
+           FROM embeddings e, q
+           WHERE e.vec_id != q.query_id
+             AND e.label IS DISTINCT FROM q.ql)
+         SELECT query_id,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, nn_id) AS BIGINT) AS rank,
+                nn_id, round(score, 4) AS score
+         FROM pairs
+         QUALIFY rank <= 5""",
+
     // sign random projection: replay the 3-round quadratic mixer in
     // exact integer arithmetic, ordered list_sum for the fold
     "embed_rproj" ->
@@ -4571,6 +4613,39 @@ object SparkEntry {
                 count(*) AS n_users
          FROM days d JOIN f USING (user_id)
          GROUP BY 1, 2""",
+
+    // OLS from exact integer sums; x re-based per user kills the
+    // epoch-hour cancellation in the denominator
+    "timeseries_trend" ->
+      """WITH b AS (
+           SELECT user_id,
+                  CAST(floor(epoch(ts)/3600) AS BIGINT) AS h,
+                  CAST(round(value*100, 0) AS BIGINT) AS yc
+           FROM events),
+         o AS (SELECT user_id, min(h) AS h0 FROM b GROUP BY 1),
+         x AS (SELECT b.user_id, b.h - o.h0 AS x, yc
+               FROM b JOIN o USING (user_id)),
+         sums AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx,
+                  CAST(sum(yc) AS BIGINT) AS sy,
+                  CAST(sum(x*yc) AS BIGINT) AS sxy,
+                  CAST(sum(x*x) AS BIGINT) AS sxx
+           FROM x GROUP BY 1)
+         SELECT user_id, n,
+                CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+                     ELSE CAST(floor((CAST(n*sxy - sx*sy AS DOUBLE)
+                       / CAST(n*sxx - sx*sx AS DOUBLE)
+                       / CAST(100 AS DOUBLE)) * 1000000 + 0.5)
+                       AS BIGINT) / CAST(1000000 AS DOUBLE) END
+                  AS slope,
+                CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+                     ELSE CAST(floor((CAST(sy*sxx - sx*sxy AS DOUBLE)
+                       / CAST(n*sxx - sx*sx AS DOUBLE)
+                       / CAST(100 AS DOUBLE)) * 1000000 + 0.5)
+                       AS BIGINT) / CAST(1000000 AS DOUBLE) END
+                  AS intercept
+         FROM sums""",
 
     // hourly grid + linear interpolation; epoch arithmetic is exact
     // integer seconds on both engines

@@ -35,6 +35,57 @@ object TimeSeries {
    * @return (key, hour, value, interpolated) — `interpolated` marks
    *         filled points
    */
+  /**
+   * Per-key ordinary-least-squares linear trend (the reference's
+   * explorenc fit, distributed): slope and intercept of value vs
+   * hours-since-first-observation, from the closed form
+   *   slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+   *   intercept = (ΣyΣx² − ΣxΣxy) / (nΣx² − (Σx)²)
+   *
+   * Numerics by construction, not by luck: x is an exact integer
+   * (hours since the key's first hour — re-basing also kills the
+   * catastrophic cancellation raw epoch-hours would put in the
+   * denominator), y converts to exact integer cents, and every sum
+   * runs in INTEGER arithmetic — so the sums are engine-identical
+   * under ANY partitioning or aggregation order, and only the two
+   * final divisions touch floating point (same operands ⇒ same
+   * double everywhere). A key whose observations all share one hour
+   * has no defined slope → null.
+   *
+   * Scale: one map-side-combined aggregate for the re-base origin,
+   * one key join, one aggregate for the five sums. Long arithmetic
+   * holds to ~10^5 observations × 10^4-hour spans per key; beyond
+   * that, re-base x per window or widen to DECIMAL.
+   *
+   * @return (key, n, slope, intercept) — slope in value-units/hour
+   */
+  def linearTrend(df: DataFrame, key: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.select(col(key),
+      floor(unix_timestamp(col(tsCol)) / 3600).cast("long").as("__h"),
+      round(col(valueCol) * 100, 0).cast("long").as("__yc"))
+    val origin = base.groupBy(col(key)).agg(min(col("__h")).as("__h0"))
+    val xy = base.join(origin, Seq(key))
+      .select(col(key), (col("__h") - col("__h0")).as("__x"),
+        col("__yc"))
+    val sums = xy.groupBy(col(key)).agg(
+      count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+      sum(col("__yc")).as("__sy"),
+      sum(col("__x") * col("__yc")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"))
+    val den = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val slopeNum = (col("__n") * col("__sxy") -
+      col("__sx") * col("__sy")).cast("double")
+    val interNum = (col("__sy") * col("__sxx") -
+      col("__sx") * col("__sxy")).cast("double")
+    sums.select(col(key), col("__n").as("n"),
+      when(den === 0.0, lit(null))
+        .otherwise(slopeNum / den / 100.0).as("slope"),
+      when(den === 0.0, lit(null))
+        .otherwise(interNum / den / 100.0).as("intercept"))
+  }
+
   def resampleHourly(df: DataFrame, key: String, tsCol: String,
       valueCol: String, collapse: String = "avg"): DataFrame = {
     // `collapse` folds same-hour observations: "avg" is the natural

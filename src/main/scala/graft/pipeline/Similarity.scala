@@ -53,6 +53,30 @@ object Similarity {
   }
 
   /**
+   * Hard-negative mining for metric/classifier training: for each
+   * query vector, the top-k most-similar corpus vectors carrying a
+   * DIFFERENT label — the examples a contrastive loss learns most
+   * from. Same scale shape as [[bruteTopK]] (tiny broadcast query
+   * side, one codegen'd cosine pass over the corpus, per-query
+   * bounded top-k); swap the corpus scan for [[ivfTopK]] cell probing
+   * when the corpus is planetary — the label filter composes the
+   * same way there.
+   */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryIds: Seq[Long], k: Int): DataFrame = {
+    val queries = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        col(labelCol).as("qlabel"))
+    val scored = emb.select(col(idCol).as("nn_id"),
+        col(vecCol).as("nvec"), col(labelCol).as("nlabel"))
+      .join(broadcast(queries),
+        col("nn_id") =!= col("query_id") &&
+          !(col("nlabel") <=> col("qlabel")))
+      .withColumn("score", cosine(col("qvec"), col("nvec")))
+    topK(scored, k)
+  }
+
+  /**
    * Per-group embedding centroids as (group, dim, value) rows — the
    * scalable shape for aggregating an array column: posexplode turns
    * each vector into (dim, component) pairs, the average runs as an

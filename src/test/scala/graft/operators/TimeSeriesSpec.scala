@@ -29,6 +29,46 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, "2024-01-01 05:00:00.0", 7.0, false)))
   }
 
+  test("linearTrend recovers a planted slope exactly; one-hour keys yield null") {
+    // key 1: v = 3.00 + 2.50 * hours (exact), key 2: constant hour
+    val rows = (0 until 10).map(i =>
+      (1L, ts(f"2024-01-01 $i%02d:00:00"), 3.00 + 2.50 * i)) ++ Seq(
+      (2L, ts("2024-01-01 05:10:00"), 4.0),
+      (2L, ts("2024-01-01 05:50:00"), 8.0))
+    val got = TimeSeries.linearTrend(rows.toDF("k", "t", "v"),
+        "k", "t", "v")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(1L) === ((10L, Some(2.5), Some(3.0))))
+    assert(got(2L) === ((2L, None, None)))
+  }
+
+  test("linearTrend matches a driver-side exact-integer reference on noise") {
+    val rnd = new scala.util.Random(9)
+    val rows = (0 until 300).map { i =>
+      ((i % 4).toLong, ts(f"2024-01-0${i % 9 + 1} ${i % 24}%02d:00:00"),
+        rnd.nextInt(10000) / 100.0)
+    }
+    val got = TimeSeries.linearTrend(rows.toDF("k", "t", "v"),
+        "k", "t", "v")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2),
+        r.getDouble(3)))).toMap
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val h0 = rs.map(r => r._2.getTime / 3600000L).min
+      val pts = rs.map(r => (r._2.getTime / 3600000L - h0,
+        math.round(r._3 * 100)))
+      val n = pts.size.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val den = (n * sxx - sx * sx).toDouble
+      val slope = (n * sxy - sx * sy).toDouble / den / 100.0
+      val inter = (sy * sxx - sx * sxy).toDouble / den / 100.0
+      assert(got(k)._1 == slope && got(k)._2 == inter, s"key $k")
+    }
+  }
+
   test("resampleHourly windows share one exchange; grid is row-local") {
     val df = (0 until 500).map(i =>
       ((i % 5).toLong, ts(f"2024-01-01 ${i % 20}%02d:30:00"),
