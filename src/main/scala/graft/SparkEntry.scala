@@ -1519,6 +1519,12 @@ object SparkEntry {
             .as("value"),
           col("interpolated"))),
 
+    "events_anomaly" -> ((s, dir) =>
+      // rolling z-score outliers vs the 20 preceding same-user
+      // events — the whole test in integer cents, no FP tolerance
+      graft.operators.TimeSeries.rollingAnomalies(events(s, dir),
+        "user_id", "ts", "event_id", "value")),
+
     "timeseries_trend" -> ((s, dir) => {
       // per-user OLS trend in exact integer sums (engine-identical
       // under any aggregation order); only the final divisions touch
@@ -4613,6 +4619,27 @@ object SparkEntry {
                 count(*) AS n_users
          FROM days d JOIN f USING (user_id)
          GROUP BY 1, 2""",
+
+    // anomaly flags replayed in the same integer algebra:
+    // (n*yc - sy)^2 > 9 (n*syy - sy^2) over the 20-preceding frame
+    "events_anomaly" ->
+      """WITH b AS (
+           SELECT user_id, ts, event_id, value,
+                  CAST(round(value*100, 0) AS BIGINT) AS yc
+           FROM events),
+         w AS (
+           SELECT user_id, event_id, value, yc,
+                  count(yc) OVER f AS n,
+                  sum(yc) OVER f AS sy,
+                  sum(yc*yc) OVER f AS syy
+           FROM b
+           WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+         SELECT user_id, event_id, value,
+                CAST(n AS BIGINT) AS n_window
+         FROM w
+         WHERE n >= 5
+           AND (n*yc - sy)*(n*yc - sy) > 9*(n*syy - sy*sy)""",
 
     // OLS from exact integer sums; x re-based per user kills the
     // epoch-hour cancellation in the denominator

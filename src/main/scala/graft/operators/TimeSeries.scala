@@ -15,27 +15,6 @@ import org.apache.spark.sql.functions._
 object TimeSeries {
 
   /**
-   * Hourly resampling with linear gap interpolation, per key:
-   * observations collapse to (key, hour, avg value); every key's
-   * hours between its first and last observed hour materialize; a
-   * missing hour takes
-   *   v_prev + (v_next − v_prev) · (h − h_prev)/(h_next − h_prev)
-   * between its bracketing observations. First/last grid points are
-   * observed by construction, so interpolation never extrapolates.
-   *
-   * Scale shape: ONE aggregate to hours (map-side combined), ONE
-   * per-key min/max aggregate whose `sequence()` grid explodes
-   * ROW-LOCALLY (no shuffle to build the grid), one key-partitioned
-   * join grid↔observations, and both fill windows (backward carry +
-   * forward peek) share the same (key, hour) exchange+sort. Per-key
-   * state is a sort run — hot keys spill, never OOM. The grid is at
-   * most (span hours) rows per key: a 10-year key is 87k rows,
-   * bounded and independent of event volume.
-   *
-   * @return (key, hour, value, interpolated) — `interpolated` marks
-   *         filled points
-   */
-  /**
    * Per-key ordinary-least-squares linear trend (the reference's
    * explorenc fit, distributed): slope and intercept of value vs
    * hours-since-first-observation, from the closed form
@@ -86,6 +65,76 @@ object TimeSeries {
         .otherwise(interNum / den / 100.0).as("intercept"))
   }
 
+  /**
+   * Rolling z-score anomaly detection: flag events deviating more
+   * than `z` standard deviations from the mean of the `window`
+   * PRECEDING observations of the same key (history only — the
+   * candidate never contaminates its own baseline; keys need at
+   * least `minObs` history rows before they can flag).
+   *
+   * The test runs ENTIRELY in integer arithmetic: with cents
+   * yc = round(100·value) and window sums sy = Σyc, syy = Σyc²,
+   *   |y − μ| > z·σ  ⟺  (n·yc − sy)² > z²·(n·syy − sy²),
+   * so the flags are engine-identical under any execution order —
+   * no floating-point tolerance anywhere. Bounds: with a 20-row
+   * window and cent values ≤ 10^6, every term stays under 2^63.
+   *
+   * One key-partitioned sort window (the same exchange any per-key
+   * sequential analysis pays); state per key is the `window`-row
+   * frame, constant in data volume.
+   *
+   * @param idCol breaks timestamp ties so the frame is total-ordered
+   * @return flagged rows (key, idCol, value, n_window) — n_window is
+   *         the history count the flag was judged against
+   */
+  def rollingAnomalies(df: DataFrame, key: String, tsCol: String,
+      idCol: String, valueCol: String, window: Int = 20, z: Int = 3,
+      minObs: Int = 5): DataFrame = {
+    require(window >= minObs && minObs >= 2 && z >= 1,
+      s"need window >= minObs >= 2, z >= 1; got $window/$minObs/$z")
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-window.toLong, -1)
+    val base = df.select(col(key), col(tsCol), col(idCol),
+      col(valueCol), round(col(valueCol) * 100, 0).cast("long")
+        .as("__yc"))
+    base
+      .withColumn("__n", count(col("__yc")).over(w))
+      .withColumn("__sy", sum(col("__yc")).over(w))
+      .withColumn("__syy", sum(col("__yc") * col("__yc")).over(w))
+      .filter(col("__n") >= minObs &&
+        sq(col("__n") * col("__yc") - col("__sy")) >
+          lit(z.toLong * z) *
+          (col("__n") * col("__syy") - col("__sy") * col("__sy")))
+      .select(col(key), col(idCol), col(valueCol),
+        col("__n").as("n_window"))
+  }
+
+  /** Integer square as a Column (kept out of line so the window
+    * expression reads as the algebra in the scaladoc). */
+  private def sq(c: Column): Column = c * c
+
+  /**
+   * Hourly resampling with linear gap interpolation, per key:
+   * observations collapse to (key, hour, `collapse` value); every
+   * key's hours between its first and last observed hour
+   * materialize; a missing hour takes
+   *   v_prev + (v_next − v_prev) · (h − h_prev)/(h_next − h_prev)
+   * between its bracketing observations. First/last grid points are
+   * observed by construction, so interpolation never extrapolates.
+   *
+   * Scale shape: ONE aggregate to hours (map-side combined), ONE
+   * per-key min/max aggregate whose `sequence()` grid explodes
+   * ROW-LOCALLY (no shuffle to build the grid), one key-partitioned
+   * join grid↔observations, and both fill windows (backward carry +
+   * forward peek) share the same (key, hour) exchange+sort. Per-key
+   * state is a sort run — hot keys spill, never OOM. The grid is at
+   * most (span hours) rows per key: a 10-year key is 87k rows,
+   * bounded and independent of event volume.
+   *
+   * @return (key, hour, value, interpolated) — `interpolated` marks
+   *         filled points
+   */
   def resampleHourly(df: DataFrame, key: String, tsCol: String,
       valueCol: String, collapse: String = "avg"): DataFrame = {
     // `collapse` folds same-hour observations: "avg" is the natural

@@ -69,6 +69,36 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("rollingAnomalies flags exact-integer z-score outliers against history only") {
+    // key 1: stable 10.00 +/- 0.02 baseline, one 50.0 spike, then a
+    // return to baseline (the spike must not poison later flags via
+    // its own row — but DOES enter later windows as history)
+    val vals = Seq(10.00, 10.02, 9.98, 10.01, 9.99, 10.00, 50.0,
+      10.01, 9.99)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (1L, ts(f"2024-01-01 00:${i * 5}%02d:00"), i.toLong, v) }
+    val got = TimeSeries.rollingAnomalies(rows.toDF("k", "t", "id", "v"),
+        "k", "t", "id", "v", window = 20, z = 3, minObs = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(got.contains((6L, 50.0)), s"spike not flagged: $got")
+    assert(!got.exists(_._1 < 5L), "flag before minObs history")
+    // exact-integer reference replay over every candidate row
+    def flagged(i: Int): Boolean = {
+      val hist = vals.slice(math.max(0, i - 20), i)
+        .map(v => math.round(v * 100))
+      val n = hist.size.toLong
+      if (n < 5) false else {
+        val yc = math.round(vals(i) * 100)
+        val sy = hist.sum; val syy = hist.map(y => y * y).sum
+        val lhs = (n * yc - sy) * (n * yc - sy)
+        lhs > 9L * (n * syy - sy * sy)
+      }
+    }
+    val expect = vals.indices.filter(flagged)
+      .map(i => (i.toLong, vals(i))).toSet
+    assert(got === expect)
+  }
+
   test("resampleHourly windows share one exchange; grid is row-local") {
     val df = (0 until 500).map(i =>
       ((i % 5).toLong, ts(f"2024-01-01 ${i % 20}%02d:30:00"),
