@@ -726,6 +726,24 @@ object SparkEntry {
           round(col("value"), 2).as("purch_value"))
     }),
 
+    "join_asof_left" -> ((s, dir) => {
+      // left-outer as-of: clicks BEFORE any purchase survive with
+      // null match — the enrichment shape where "no reference row
+      // yet" is data
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("value"))
+      graft.operators.Joins.asof(clicks, purchases, Seq("user_id"),
+          "ts", "ts", Seq("value"), leftOuter = true)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          unix_millis(col("matched_ts")).as("pts_ms"),
+          round(col("value"), 2).as("purch_value"))
+    }),
+
     "join_asof_native" -> ((s, dir) => {
       // the SAME as-of semantics planned as the custom Catalyst
       // operator (plans/AsofJoin: logical node + strategy + merge
@@ -3781,6 +3799,18 @@ object SparkEntry {
                WHERE event_type = 'click') c
          ASOF JOIN (SELECT user_id, ts, max(value) AS value FROM events
                     WHERE event_type = 'purchase' GROUP BY 1, 2) p
+           ON c.user_id = p.user_id AND c.ts >= p.ts""",
+
+    // left-outer as-of: unmatched clicks keep null match columns
+    "join_asof_left" ->
+      """SELECT c.user_id, c.event_id, epoch_ms(c.ts) AS ts_ms,
+                epoch_ms(p.ts) AS pts_ms,
+                round(p.value, 2) AS purch_value
+         FROM (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+                         FROM events WHERE event_type = 'purchase'
+                         GROUP BY 1, 2) p
            ON c.user_id = p.user_id AND c.ts >= p.ts""",
 
     // the custom Catalyst operator must emit exactly the window

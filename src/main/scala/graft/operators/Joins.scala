@@ -47,7 +47,7 @@ object Joins {
    */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false, leftOuter: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     val matchedTime = s"matched_$rightTime"
     // side ordering at equal times decides inclusivity: right-first
@@ -79,9 +79,15 @@ object Joins {
       u.columns.filterNot((matchedTime +: payload).contains).map(col) ++
         (matchedTime +: payload).map(p =>
           last(col(p), ignoreNulls = true).over(w).as(p)): _*)
-    filled.filter(col("__side") === leftSide && col(matchedTime).isNotNull)
-      .select((keys ++ leftCols.filterNot(keys.contains) ++
-        (matchedTime +: payload)).map(col): _*)
+    // leftOuter keeps unmatched left rows (null matched time and
+    // payload) — the enrichment shape where "no reference row yet"
+    // is data, not a reason to drop the fact
+    val kept =
+      if (leftOuter) filled.filter(col("__side") === leftSide)
+      else filled.filter(col("__side") === leftSide &&
+        col(matchedTime).isNotNull)
+    kept.select((keys ++ leftCols.filterNot(keys.contains) ++
+      (matchedTime +: payload)).map(col): _*)
   }
 
   /**

@@ -122,10 +122,25 @@ object Warehouse {
    * across maintenance runs — the same contract every SCD2 engine
    * carries). Late rows older than the open version would need
    * closed-history rewrite: reprocess those keys from the full log
-   * instead.
+   * instead. `validateOrder=true` enforces this with one count over
+   * the (touched keys × batch) join and fails LOUDLY listing the
+   * violation count — silently merging a late row would rewrite
+   * history semantics; costs one extra job, so production runs that
+   * already trust their log ordering can leave it off.
    */
   def scd2Merge(history: DataFrame, batch: DataFrame, key: String,
-      ts: String, value: String): DataFrame = {
+      ts: String, value: String,
+      validateOrder: Boolean = false): DataFrame = {
+    if (validateOrder) {
+      val late = batch
+        .join(history.filter(col("is_current"))
+          .select(col(key), col("valid_from")), Seq(key))
+        .filter(col(ts) <= col("valid_from")).count()
+      require(late == 0L,
+        s"scd2Merge: $late batch row(s) at or before an open " +
+          "version's valid_from — late arrivals need a full-log " +
+          "reprocess of their keys, not an incremental merge")
+    }
     val affected = batch.select(col(key)).distinct()
     val touched = history.join(affected, Seq(key), "left_semi")
     val untouched = history.join(affected, Seq(key), "left_anti")

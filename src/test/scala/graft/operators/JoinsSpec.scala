@@ -21,6 +21,21 @@ class JoinsSpec extends SparkSpec {
       (1L, 25L, "c", 20L, 110.0)))
   }
 
+  test("asof leftOuter keeps unmatched left rows with null payload") {
+    val quotes = Seq((1L, 10L, 100.0)).toDF("k", "t", "px")
+    val trades = Seq((1L, 5L, "early"), (1L, 15L, "late"),
+      (3L, 9L, "nokey")).toDF("k", "t", "tag")
+    val out = Joins.asof(trades, quotes, Seq("k"), "t", "t", Seq("px"),
+        leftOuter = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+    assert(out === Set(
+      (1L, 5L, "early", None, None),
+      (1L, 15L, "late", Some(10L), Some(100.0)),
+      (3L, 9L, "nokey", None, None)))
+  }
+
   test("asof strict mode excludes equal-time matches") {
     val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 110.0)).toDF("k", "t", "px")
     val trades = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "t", "tag")

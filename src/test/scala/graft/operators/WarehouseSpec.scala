@@ -153,6 +153,21 @@ class WarehouseSpec extends SparkSpec {
     assert(key(merged) === key(expect))
   }
 
+  test("scd2Merge validateOrder rejects late arrivals loudly") {
+    val hist = Warehouse.scd2FromLog(
+      Seq((1L, 100L, "a")).toDF("k", "seq", "v"), "k", "seq", "v")
+    val late = Seq((1L, 50L, "b")).toDF("k", "seq", "v")
+    intercept[IllegalArgumentException] {
+      Warehouse.scd2Merge(hist, late, "k", "seq", "v",
+        validateOrder = true)
+    }
+    // in-order batches pass the guard and merge normally
+    val ok = Seq((1L, 150L, "b")).toDF("k", "seq", "v")
+    val merged = Warehouse.scd2Merge(hist, ok, "k", "seq", "v",
+      validateOrder = true)
+    assert(merged.count() == 2L)
+  }
+
   test("scd2Merge keeps the open version's valid_from when the batch repeats it") {
     val hist = Warehouse.scd2FromLog(
       Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "seq", "v"),
