@@ -3302,6 +3302,51 @@ object SparkEntry {
           round(col("sum_v"), 2).as("sv"), col("min_v"), col("max_v"))
     }),
 
+    "events_stream_anomaly" -> ((s, dir) => withShufflePartitions(s, 8) {
+      // streaming rolling-anomaly flags: the log splits at its median
+      // timestamp into two drops processed as SEPARATE micro-batches,
+      // so each user's 20-value ring must SURVIVE the batch boundary
+      // for the flags to equal the batch operator's — which is what
+      // the shared events_anomaly oracle checks
+      val drops = java.nio.file.Files.createTempDirectory("graft_sanom")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sanom_ck")
+      drops.toFile.deleteOnExit(); ckpt.toFile.deleteOnExit()
+      val ev = events(s, dir).select(col("event_id"), col("ts"),
+        col("user_id"), col("value"))
+      val Array(lo, hi) = ev.agg(unix_millis(min(col("ts"))),
+        unix_millis(max(col("ts")))).head().toSeq.toArray
+        .map(_.asInstanceOf[Long])
+      val cut = lo + (hi - lo) / 2
+      writeSinglePartParquet(
+        ev.filter(unix_millis(col("ts")) < cut),
+        drops.resolve("drop_0.parquet"))
+      writeSinglePartParquet(
+        ev.filter(unix_millis(col("ts")) >= cut),
+        drops.resolve("drop_1.parquet"))
+      val tsType = s.read.parquet(drops.resolve("drop_0.parquet")
+        .toString).schema("ts").dataType
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts", tsType),
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops.toString)
+      val flagged = graft.streaming.EventStream.anomalyStream(s,
+        normalizeTs(stream))
+      val q = flagged.writeStream.format("memory")
+        .queryName("events_stream_anomaly").outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("events_stream_anomaly")
+    }),
+
     "events_stream_cdc" -> ((s, dir) => withShufflePartitions(s, 8) {
       // streaming CDC materialization: each micro-batch applies
       // last-writer-wins onto the snapshot (the snapshot re-enters as
@@ -5592,6 +5637,27 @@ object SparkEntry {
                 round(sum(value) * 3, 2) AS sv,
                 min(value) AS min_v, max(value) AS max_v
          FROM events GROUP BY user_id""",
+
+    // streaming flags across a batch boundary must equal the batch
+    // operator (same integer algebra, same frame)
+    "events_stream_anomaly" ->
+      """WITH b AS (
+           SELECT user_id, ts, event_id, value,
+                  CAST(round(value*100, 0) AS BIGINT) AS yc
+           FROM events),
+         w AS (
+           SELECT user_id, event_id, value, yc,
+                  count(yc) OVER f AS n,
+                  sum(yc) OVER f AS sy,
+                  sum(yc*yc) OVER f AS syy
+           FROM b
+           WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+         SELECT user_id, event_id, value,
+                CAST(n AS BIGINT) AS n_window
+         FROM w
+         WHERE n >= 5
+           AND (n*yc - sy)*(n*yc - sy) > 9*(n*syy - sy*sy)""",
 
     // streaming CDC upsert replay: identical batches are idempotent,
     // so the final snapshot equals the batch apply of ONE log copy

@@ -139,6 +139,10 @@ object EventStream {
   }
 
   /** Open-session state for flatMapGroupsWithState. */
+  final case class AnomalyRing(cents: Seq[Long])
+  final case class AnomalyHit(userId: Long, eventId: Long,
+      value: Double, nWindow: Long)
+
   final case class SessLogState(start: Long, last: Long, n: Long, idx: Long)
   final case class ClosedSession(userId: Long, sessionIdx: Long,
       nEvents: Long, durationMs: Long)
@@ -248,6 +252,51 @@ object EventStream {
             out.iterator
           }
       }.toDF("user_id", "start_ms", "n_events", "duration_ms")
+  }
+
+  /** Streaming face of
+    * [[graft.operators.TimeSeries.rollingAnomalies]]: the per-key
+    * ring of the last `window` cent values lives in
+    * flatMapGroupsWithState; each event is judged against the ring
+    * BEFORE entering it (history only, like the batch form) with the
+    * identical integer-algebra test
+    * (n·yc − sy)² > z²·(n·syy − sy²) — so when micro-batches arrive
+    * in event-time order (each batch sorted internally here), the
+    * emitted flags equal the batch operator's rows EXACTLY, which is
+    * what the oracle checks. State per key is `window` longs,
+    * constant in stream length. */
+  def anomalyStream(spark: SparkSession, events: DataFrame,
+      window: Int = 20, z: Int = 3, minObs: Int = 5): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"))
+      .as[(Long, Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[AnomalyRing, AnomalyHit](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[AnomalyRing]) =>
+          // batch iterators are unordered: sort by (ts, event_id) so
+          // in-order drops replay the batch operator's frame exactly
+          val evs = rows.toArray.sortBy(r => (r._3, r._2))
+          var ring = state.getOption.map(_.cents.toVector)
+            .getOrElse(Vector.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyHit]
+          evs.foreach { case (_, eventId, _, value) =>
+            val yc = math.round(value * 100)
+            val n = ring.size.toLong
+            if (n >= minObs) {
+              var sy = 0L; var syy = 0L
+              ring.foreach { y => sy += y; syy += y * y }
+              val dev = n * yc - sy
+              if (dev * dev > z.toLong * z * (n * syy - sy * sy))
+                out += AnomalyHit(user, eventId, value, n)
+            }
+            ring = (ring :+ yc).takeRight(window)
+          }
+          state.update(AnomalyRing(ring))
+          out.iterator
+      }.toDF("user_id", "event_id", "value", "n_window")
   }
 
   /** Streaming exact dedup: emit each key's FIRST arrival, drop every
