@@ -1443,6 +1443,32 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", "label",
         queryIds = Seq(1L, 2L, 3L, 4L), k = 5)),
 
+    "embed_hard_negatives_ivf" -> ((s, dir) => {
+      // IVF-backed hard negatives: a same-vector different-label
+      // plant (vec_id+8000, label+100) lands in the SAME k-means cell
+      // as its query by construction, so the probed-cell search MUST
+      // return it at rank 1 / cosine 1.0 — while the query's
+      // same-label exact copy is filtered out. DuckDB's brute
+      // different-label top-1 is the oracle.
+      val e = t(s, dir, "embeddings")
+        .select("vec_id", "embedding", "label")
+      val plant = e.filter(col("vec_id").isin(1L, 2L, 3L))
+      val aug = e
+        .unionByName(plant.select((col("vec_id") + 9000).as("vec_id"),
+          col("embedding"), col("label")))
+        .unionByName(plant.select((col("vec_id") + 8000).as("vec_id"),
+          col("embedding"), (col("label") + 100).as("label")))
+      val index = Similarity.buildIvfIndex(
+        aug.select("vec_id", "embedding"), "vec_id", "embedding",
+        nClusters = 16)
+      Similarity.ivfHardNegatives(index,
+          aug.select("vec_id", "label"), "vec_id", "label",
+          Seq(9001L, 9002L, 9003L), k = 10, nProbe = 4)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("nn_id").as("top1"),
+          round(col("score"), 4).as("score"))
+    }),
+
     "embed_rproj" -> ((s, dir) =>
       // sign random projection 64 -> 8 dims: the matrix is an
       // arithmetic identity (quadratic-mixer signs re-derived
@@ -4629,6 +4655,30 @@ object SparkEntry {
                 nn_id, round(score, 4) AS score
          FROM pairs
          QUALIFY rank <= 5""",
+
+    // the probed-cell search must surface the different-label plant
+    // at rank 1 — DuckDB computes the brute different-label top-1
+    "embed_hard_negatives_ivf" ->
+      """WITH aug AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+           FROM embeddings
+           UNION ALL
+           SELECT vec_id + 9000, CAST(embedding AS DOUBLE[]), label
+           FROM embeddings WHERE vec_id IN (1, 2, 3)
+           UNION ALL
+           SELECT vec_id + 8000, CAST(embedding AS DOUBLE[]),
+                  label + 100
+           FROM embeddings WHERE vec_id IN (1, 2, 3)),
+         q AS (SELECT vec_id AS query_id, v AS qv, label AS ql
+               FROM aug WHERE vec_id IN (9001, 9002, 9003)),
+         p AS (SELECT q.query_id, a.vec_id AS nn_id,
+                      list_cosine_similarity(q.qv, a.v) AS score
+               FROM aug a, q
+               WHERE a.vec_id != q.query_id AND a.label != q.ql)
+         SELECT query_id, nn_id AS top1, round(score, 4) AS score
+         FROM p
+         QUALIFY row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, nn_id) = 1""",
 
     // sign random projection: replay the 3-round quadratic mixer in
     // exact integer arithmetic, ordered list_sum for the fold

@@ -474,6 +474,34 @@ object Similarity {
    * cost drops by ~nProbe/nClusters vs brute force.
    */
   def ivfTopK(index: IvfIndex, queryIds: Seq[Long], k: Int,
+      nProbe: Int): DataFrame =
+    topK(ivfCandidates(index, queryIds, nProbe)
+      .withColumn("score", cosine(col("qvec"), col("nvec"))), k)
+
+  /** [[ivfTopK]] restricted to candidates whose label DIFFERS from
+    * the query's — the IVF-backed form of [[hardNegatives]] (the
+    * label table joins onto the probed-cell candidate set, which is
+    * already nProbe/nClusters of the corpus, BEFORE any cosine is
+    * computed). Same recall caveat as any IVF query: a negative in
+    * an unprobed cell is invisible — raise nProbe for coverage. */
+  def ivfHardNegatives(index: IvfIndex, labels: DataFrame,
+      idCol: String, labelCol: String, queryIds: Seq[Long], k: Int,
+      nProbe: Int): DataFrame = {
+    val lab = labels.select(col(idCol).as("nn_id"),
+      col(labelCol).as("__nl"))
+    val qlab = labels.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"))
+    val cands = ivfCandidates(index, queryIds, nProbe)
+      .join(lab, Seq("nn_id"))
+      .join(broadcast(qlab), Seq("query_id"))
+      .filter(!(col("__nl") <=> col("__ql")))
+    topK(cands.withColumn("score", cosine(col("qvec"), col("nvec"))), k)
+  }
+
+  /** Shared probed-cell candidate generation for the IVF queries:
+    * (query_id, qvec, nn_id, nvec) for every corpus vector in a
+    * probed cell, self-matches excluded. */
+  private def ivfCandidates(index: IvfIndex, queryIds: Seq[Long],
       nProbe: Int): DataFrame = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
@@ -489,14 +517,13 @@ object Similarity {
 
     val queries = index.assigned.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), col("vec").as("qvec"))
-    val cands = index.assigned
+    index.assigned
       .filter(col("cell").isin(probedCells: _*))
       .join(broadcast(probes), Seq("cell"))
       .join(broadcast(queries), Seq("query_id"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("qvec"), col("id").as("nn_id"),
         col("vec").as("nvec"))
-    topK(cands.withColumn("score", cosine(col("qvec"), col("nvec"))), k)
   }
 
   /** Persist a fitted IVF index: the assignment table PARTITIONED BY
