@@ -2119,7 +2119,7 @@ object SparkEntry {
           lit(null).cast("long").as("o_custkey"),
           lit("X").as("o_orderstatus"),
           (col("o_totalprice") * -1).as("o_totalprice"),
-          col("o_orderdate"), col("o_orderpriority"))
+          col("o_orderdate"), lit("ZZZ").as("o_orderpriority"))
       val bogus = o.filter(pmod(col("o_orderkey"), lit(1000)) === 2)
         .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
           (col("o_custkey") + 10000000L).as("o_custkey"),
@@ -2130,6 +2130,7 @@ object SparkEntry {
           NotNull("o_custkey"),
           Range("o_totalprice", Some(0.0), None),
           AcceptedValues("o_orderstatus", Seq("F", "O", "P")),
+          Matches("o_orderpriority", "^[1-5]-"),
           Unique(Seq("o_orderkey")),
           ForeignKey("o_custkey", t(s, dir, "customer"), "c_custkey")))
     }),
@@ -5622,7 +5623,7 @@ object SparkEntry {
            SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey,
                   'X' AS o_orderstatus,
                   -o_totalprice AS o_totalprice, o_orderdate,
-                  o_orderpriority
+                  'ZZZ' AS o_orderpriority
            FROM orders WHERE o_orderkey % 1000 = 1),
          bogus AS (
            SELECT o_orderkey + 10000000 AS o_orderkey,
@@ -5645,6 +5646,11 @@ object SparkEntry {
            SELECT 'accepted:o_orderstatus',
                   CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
                     AND o_orderstatus NOT IN ('F', 'O', 'P')
+                    THEN 1 ELSE 0 END) AS BIGINT) FROM t
+           UNION ALL
+           SELECT 'matches:o_orderpriority',
+                  CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                    AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
                     THEN 1 ELSE 0 END) AS BIGINT) FROM t
            UNION ALL
            SELECT 'unique:o_orderkey',

@@ -39,6 +39,18 @@ object DataQuality {
     def name = s"accepted:$col"
   }
 
+  /** Non-null values of `col` must match `pattern` (Java regex,
+    * unanchored like rlike — anchor explicitly). */
+  final case class Matches(col: String, pattern: String) extends Rule {
+    def name = s"matches:$col"
+  }
+
+  /** Rows where both columns are non-null must satisfy a <= b
+    * (type-generic ordering: numerics, timestamps, strings). */
+  final case class ColumnOrder(a: String, b: String) extends Rule {
+    def name = s"order:$a<=$b"
+  }
+
   /** The tuple `cols` must be unique; every row belonging to a
     * duplicated tuple counts as a violation. */
   final case class Unique(cols: Seq[String]) extends Rule {
@@ -68,6 +80,12 @@ object DataQuality {
       case r @ AcceptedValues(c, vs) =>
         r.name -> sum(when(col(c).isNotNull &&
           !col(c).isInCollection(vs), 1L).otherwise(0L))
+      case r @ Matches(c, p) =>
+        r.name -> sum(when(col(c).isNotNull && !col(c).rlike(p), 1L)
+          .otherwise(0L))
+      case r @ ColumnOrder(a, b) =>
+        r.name -> sum(when(col(a).isNotNull && col(b).isNotNull &&
+          col(a) > col(b), 1L).otherwise(0L))
     }
     val rowLocalReport: Option[DataFrame] =
       if (rowLocal.isEmpty) None

@@ -43,6 +43,19 @@ class DataQualitySpec extends SparkSpec {
     intercept[IllegalArgumentException] { report(df, Seq.empty) }
   }
 
+  test("regex and cross-column order rules fold into the shared pass") {
+    val df = Seq(
+      ("A-1", Some(1L), Some(2L)),
+      ("bad", Some(5L), Some(3L)),  // regex + order violations
+      (null.asInstanceOf[String], None, Some(1L)) // nulls pass both
+    ).toDF("code", "a", "b")
+    val rep = report(df, Seq(
+      Matches("code", "^[A-Z]-\\d+$"),
+      ColumnOrder("a", "b")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep === Map("matches:code" -> 1L, "order:a<=b" -> 1L))
+  }
+
   test("range bounds are optional and nulls never count as range violations") {
     val df = Seq(Some(5.0), None, Some(-1.0)).toDF("v")
     val rep = report(df, Seq(Range("v", None, Some(4.0))))
