@@ -3374,6 +3374,52 @@ object SparkEntry {
       s.table("events_stream_anomaly")
     }),
 
+    "events_stream_anomaly_evict" -> ((s, dir) =>
+        withShufflePartitions(s, 8) {
+      // evicting form: the ring RESETS at >12h idle gaps (in-fold, so
+      // in-batch and cross-batch gaps behave identically) and
+      // EventTimeTimeout removes idle state without changing flags;
+      // the oracle segments each user's timeline at the same gaps
+      val drops = java.nio.file.Files.createTempDirectory("graft_sanev")
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("graft_sanev_ck")
+      drops.toFile.deleteOnExit(); ckpt.toFile.deleteOnExit()
+      val ev = events(s, dir).select(col("event_id"), col("ts"),
+        col("user_id"), col("value"))
+      val Array(lo, hi) = ev.agg(unix_millis(min(col("ts"))),
+        unix_millis(max(col("ts")))).head().toSeq.toArray
+        .map(_.asInstanceOf[Long])
+      val cut = lo + (hi - lo) / 2
+      writeSinglePartParquet(
+        ev.filter(unix_millis(col("ts")) < cut),
+        drops.resolve("drop_0.parquet"))
+      writeSinglePartParquet(
+        ev.filter(unix_millis(col("ts")) >= cut),
+        drops.resolve("drop_1.parquet"))
+      val tsType = s.read.parquet(drops.resolve("drop_0.parquet")
+        .toString).schema("ts").dataType
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts", tsType),
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops.toString)
+      val flagged = graft.streaming.EventStream.anomalyStreamEvicting(
+        s, normalizeTs(stream))
+      val q = flagged.writeStream.format("memory")
+        .queryName("events_stream_anomaly_evict").outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("events_stream_anomaly_evict")
+    }),
+
     "events_stream_cdc" -> ((s, dir) => withShufflePartitions(s, 8) {
       // streaming CDC materialization: each micro-batch applies
       // last-writer-wins onto the snapshot (the snapshot re-enters as
@@ -5712,6 +5758,38 @@ object SparkEntry {
          SELECT user_id, event_id, value,
                 CAST(n AS BIGINT) AS n_window
          FROM w
+         WHERE n >= 5
+           AND (n*yc - sy)*(n*yc - sy) > 9*(n*syy - sy*sy)""",
+
+    // evicting flags: per-user timeline segmented at >12h gaps, the
+    // same integer test per segment
+    "events_stream_anomaly_evict" ->
+      """WITH b AS (
+           SELECT user_id, ts, event_id, value,
+                  CAST(round(value*100, 0) AS BIGINT) AS yc
+           FROM events),
+         g AS (
+           SELECT *, CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                          WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
+                            > 43200000 THEN 1 ELSE 0 END AS brk
+           FROM b
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, sum(brk) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS seg
+           FROM g),
+         w2 AS (
+           SELECT user_id, event_id, value, yc,
+                  count(yc) OVER f AS n,
+                  sum(yc) OVER f AS sy,
+                  sum(yc*yc) OVER f AS syy
+           FROM s
+           WINDOW f AS (PARTITION BY user_id, seg
+             ORDER BY ts, event_id
+             ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+         SELECT user_id, event_id, value,
+                CAST(n AS BIGINT) AS n_window
+         FROM w2
          WHERE n >= 5
            AND (n*yc - sy)*(n*yc - sy) > 9*(n*syy - sy*sy)""",
 

@@ -140,6 +140,7 @@ object EventStream {
 
   /** Open-session state for flatMapGroupsWithState. */
   final case class AnomalyRing(cents: Seq[Long])
+  final case class AnomalyRingAt(cents: Seq[Long], lastMs: Long)
   final case class AnomalyHit(userId: Long, eventId: Long,
       value: Double, nWindow: Long)
 
@@ -296,6 +297,71 @@ object EventStream {
           }
           state.update(AnomalyRing(ring))
           out.iterator
+      }.toDF("user_id", "event_id", "value", "n_window")
+  }
+
+  /** [[anomalyStream]] with EVENT-TIME STATE EVICTION for continuous
+    * deployments: the baseline ring RESETS whenever a key goes idle
+    * longer than `horizonMs` — a months-old baseline should not judge
+    * today's traffic — and the reset lives IN THE FOLD (gap test
+    * against the previous event), so it fires identically whether the
+    * gap falls inside one micro-batch or across many. The
+    * EventTimeTimeout then removes idle keys' state WITHOUT changing
+    * any flag: a key returning after the horizon would have reset its
+    * ring anyway, so eviction is pure state-size hygiene (bounded by
+    * keys active within one horizon of the watermark) — which is
+    * exactly why the flags stay batch-replayable: the oracle
+    * segments each key's timeline at >horizon gaps and re-runs the
+    * same integer-algebra test per segment. The input must carry a
+    * watermark-able `ts`. */
+  def anomalyStreamEvicting(spark: SparkSession, events: DataFrame,
+      window: Int = 20, z: Int = 3, minObs: Int = 5,
+      horizonMs: Long = 12 * 3600 * 1000L,
+      watermark: String = "10 seconds"): DataFrame = {
+    import spark.implicits._
+    val typed = events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[AnomalyRingAt, AnomalyHit](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[AnomalyRingAt]) =>
+          if (state.hasTimedOut) {
+            // pure hygiene: the fold below would reset this ring on
+            // the key's next arrival anyway (gap > horizon)
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = rows.toArray.sortBy(r => (r._3.getTime, r._2))
+            var ring = Vector.empty[Long]
+            var last = Long.MinValue
+            state.getOption.foreach { st =>
+              ring = st.cents.toVector; last = st.lastMs
+            }
+            val out =
+              scala.collection.mutable.ArrayBuffer.empty[AnomalyHit]
+            evs.foreach { case (_, eventId, ts, value) =>
+              val tsMs = ts.getTime
+              if (last != Long.MinValue && tsMs - last > horizonMs)
+                ring = Vector.empty
+              val yc = math.round(value * 100)
+              val n = ring.size.toLong
+              if (n >= minObs) {
+                var sy = 0L; var syy = 0L
+                ring.foreach { y => sy += y; syy += y * y }
+                val dev = n * yc - sy
+                if (dev * dev > z.toLong * z * (n * syy - sy * sy))
+                  out += AnomalyHit(user, eventId, value, n)
+              }
+              ring = (ring :+ yc).takeRight(window)
+              last = tsMs
+            }
+            state.update(AnomalyRingAt(ring, last))
+            state.setTimeoutTimestamp(math.max(last + horizonMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
       }.toDF("user_id", "event_id", "value", "n_window")
   }
 
