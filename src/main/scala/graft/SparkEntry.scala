@@ -1999,6 +1999,22 @@ object SparkEntry {
         t(s, dir, "lineitem"), "l_extendedprice",
         qs = Seq(0.25, 0.5, 0.75, 0.9))),
 
+    "quantile_bins" -> ((s, dir) => {
+      // equi-depth binning COMPOSED from exact quantiles: the 9
+      // decile boundaries (a bounded driver collect by construction)
+      // fold into a when-chain — fully codegen, no join, no
+      // broadcast — and one aggregate counts each bin's population
+      val li = t(s, dir, "lineitem")
+      val bounds = graft.operators.Quantiles.exactQuantiles(
+          li, "l_extendedprice", qs = (1 to 9).map(_ / 10.0))
+        .collect().map(_.getDouble(1)).sorted
+      val bin = bounds.foldLeft(lit(0L)) { (acc, b) =>
+        acc + when(col("l_extendedprice") >= b, 1L).otherwise(0L)
+      }
+      li.select(bin.as("bin")).groupBy("bin")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "quantile_exact_grouped" -> ((s, dir) =>
       // per-group exact quantiles: every (group x q) target rides ONE
       // shared histogram pass per round (cells broadcast-joined into
@@ -5894,6 +5910,18 @@ object SparkEntry {
                 unnest(quantile_disc(l_extendedprice,
                   [0.25, 0.5, 0.75, 0.9])) AS value
          FROM lineitem""",
+
+    // equi-depth bins over the same exact decile boundaries: bin =
+    // count of boundaries at or below the value
+    "quantile_bins" ->
+      """WITH bs AS (
+           SELECT quantile_disc(l_extendedprice,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS b
+           FROM lineitem)
+         SELECT CAST(len(list_filter((SELECT b FROM bs),
+                  x -> x <= l_extendedprice)) AS BIGINT) AS bin,
+                count(*) AS n
+         FROM lineitem GROUP BY 1""",
 
     // per-group exact discrete quantiles: same ceil(q*n_g) rank
     // element per group
