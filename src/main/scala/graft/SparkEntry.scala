@@ -150,6 +150,37 @@ object SparkEntry {
     normalizeTs(withTrigger.parquet(drops.toString))
   }
 
+  /** Stage the events table as TWO drops split at the median
+    * timestamp, streamed one file per trigger — the fixture for
+    * queries whose per-key state must SURVIVE a micro-batch boundary
+    * (batch 0 carries every event before the cut, batch 1 the rest,
+    * so cross-boundary history is exercised by construction). */
+  private def stagedEventsSplitStream(s: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val drops = java.nio.file.Files.createTempDirectory("graft_split")
+    drops.toFile.deleteOnExit()
+    val ev = events(s, dir).select(col("event_id"), col("ts"),
+      col("user_id"), col("value"))
+    val Array(lo, hi) = ev.agg(unix_millis(min(col("ts"))),
+      unix_millis(max(col("ts")))).head().toSeq.toArray
+      .map(_.asInstanceOf[Long])
+    val cut = lo + (hi - lo) / 2
+    writeSinglePartParquet(ev.filter(unix_millis(col("ts")) < cut),
+      drops.resolve("drop_0.parquet"))
+    writeSinglePartParquet(ev.filter(unix_millis(col("ts")) >= cut),
+      drops.resolve("drop_1.parquet"))
+    val tsType = s.read.parquet(drops.resolve("drop_0.parquet")
+      .toString).schema("ts").dataType
+    normalizeTs(s.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", tsType),
+        StructField("user_id", LongType),
+        StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(drops.toString))
+  }
+
   /** Sentinel user id carried by the watermark-flush drops of
     * [[stagedEventsWithFlush]]; queries filter it from their output. */
   private val FlushUser = -424242L
@@ -3351,36 +3382,10 @@ object SparkEntry {
       // so each user's 20-value ring must SURVIVE the batch boundary
       // for the flags to equal the batch operator's — which is what
       // the shared events_anomaly oracle checks
-      val drops = java.nio.file.Files.createTempDirectory("graft_sanom")
       val ckpt = java.nio.file.Files.createTempDirectory("graft_sanom_ck")
-      drops.toFile.deleteOnExit(); ckpt.toFile.deleteOnExit()
-      val ev = events(s, dir).select(col("event_id"), col("ts"),
-        col("user_id"), col("value"))
-      val Array(lo, hi) = ev.agg(unix_millis(min(col("ts"))),
-        unix_millis(max(col("ts")))).head().toSeq.toArray
-        .map(_.asInstanceOf[Long])
-      val cut = lo + (hi - lo) / 2
-      writeSinglePartParquet(
-        ev.filter(unix_millis(col("ts")) < cut),
-        drops.resolve("drop_0.parquet"))
-      writeSinglePartParquet(
-        ev.filter(unix_millis(col("ts")) >= cut),
-        drops.resolve("drop_1.parquet"))
-      val tsType = s.read.parquet(drops.resolve("drop_0.parquet")
-        .toString).schema("ts").dataType
-      val stream = s.readStream
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("event_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("ts", tsType),
-          org.apache.spark.sql.types.StructField("user_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("value",
-            org.apache.spark.sql.types.DoubleType))))
-        .option("maxFilesPerTrigger", 1)
-        .parquet(drops.toString)
+      ckpt.toFile.deleteOnExit()
       val flagged = graft.streaming.EventStream.anomalyStream(s,
-        normalizeTs(stream))
+        stagedEventsSplitStream(s, dir))
       val q = flagged.writeStream.format("memory")
         .queryName("events_stream_anomaly").outputMode("append")
         .option("checkpointLocation", ckpt.toString)
@@ -3396,37 +3401,10 @@ object SparkEntry {
       // in-batch and cross-batch gaps behave identically) and
       // EventTimeTimeout removes idle state without changing flags;
       // the oracle segments each user's timeline at the same gaps
-      val drops = java.nio.file.Files.createTempDirectory("graft_sanev")
-      val ckpt =
-        java.nio.file.Files.createTempDirectory("graft_sanev_ck")
-      drops.toFile.deleteOnExit(); ckpt.toFile.deleteOnExit()
-      val ev = events(s, dir).select(col("event_id"), col("ts"),
-        col("user_id"), col("value"))
-      val Array(lo, hi) = ev.agg(unix_millis(min(col("ts"))),
-        unix_millis(max(col("ts")))).head().toSeq.toArray
-        .map(_.asInstanceOf[Long])
-      val cut = lo + (hi - lo) / 2
-      writeSinglePartParquet(
-        ev.filter(unix_millis(col("ts")) < cut),
-        drops.resolve("drop_0.parquet"))
-      writeSinglePartParquet(
-        ev.filter(unix_millis(col("ts")) >= cut),
-        drops.resolve("drop_1.parquet"))
-      val tsType = s.read.parquet(drops.resolve("drop_0.parquet")
-        .toString).schema("ts").dataType
-      val stream = s.readStream
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("event_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("ts", tsType),
-          org.apache.spark.sql.types.StructField("user_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("value",
-            org.apache.spark.sql.types.DoubleType))))
-        .option("maxFilesPerTrigger", 1)
-        .parquet(drops.toString)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sanev_ck")
+      ckpt.toFile.deleteOnExit()
       val flagged = graft.streaming.EventStream.anomalyStreamEvicting(
-        s, normalizeTs(stream))
+        s, stagedEventsSplitStream(s, dir))
       val q = flagged.writeStream.format("memory")
         .queryName("events_stream_anomaly_evict").outputMode("append")
         .option("checkpointLocation", ckpt.toString)
@@ -5606,8 +5584,8 @@ object SparkEntry {
            GROUP BY d.doc_id),
          toks AS (
            SELECT doc_id,
-                  list_filter(string_split(text, ' '), x -> x <> '')
-                    AS tk
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                    x -> x <> '') AS tk
            FROM clean),
          p AS (SELECT doc_id, tk, len(tk) AS n FROM toks
                WHERE len(tk) > 0),
@@ -5663,8 +5641,8 @@ object SparkEntry {
     "corpus_chunks" ->
       """WITH toks AS (
            SELECT doc_id,
-                  list_filter(string_split(text, ' '), x -> x <> '')
-                    AS tk
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                    x -> x <> '') AS tk
            FROM documents),
          p AS (SELECT doc_id, tk, len(tk) AS n FROM toks
                WHERE len(tk) > 0),

@@ -397,7 +397,11 @@ case class SignProject(child: Expression, outDim: Int, seed: Long)
         var acc = 0.0
         var j = 0
         while (j < n) {
-          var h = (j.toLong * outDim + k + seed) % 2147483647L
+          // floorMod, not %: a negative seed makes the first residue
+          // negative under signed remainder and the sign stream
+          // diverges from the HOF oracle's pmod
+          var h = Math.floorMod(j.toLong * outDim + k + seed,
+            2147483647L)
           var r = 0
           while (r < 3) {
             h = (h * h + h * 1103515245L + 12345L) % 2147483647L
@@ -442,7 +446,8 @@ case class SignProject(child: Expression, outDim: Int, seed: Long)
           for (int $k = 0; $k < $outDim; $k++) {
             double $acc = 0.0;
             for (int $j = 0; $j < $n; $j++) {
-              long $h = ((long) $j * $outDim + $k + ${seed}L) % 2147483647L;
+              long $h = Math.floorMod((long) $j * $outDim + $k + ${seed}L,
+                2147483647L);
               for (int $r = 0; $r < 3; $r++)
                 $h = ($h * $h + $h * 1103515245L + 12345L) % 2147483647L;
               $acc += $xs.getDouble($j) * ((($h >> 13) & 1L) == 0L ? 1.0 : -1.0);

@@ -74,20 +74,24 @@ object Joins {
         (matchedTime +: payload).map(col)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val u = r.unionByName(l)
-    // one select so every windowed fill sorts on the ORIGINAL columns
-    val filled = u.select(
-      u.columns.filterNot((matchedTime +: payload).contains).map(col) ++
-        (matchedTime +: payload).map(p =>
-          last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+    // the fill carries the matched right row as ONE struct, not
+    // per-column last(ignoreNulls) fills: per-column filling would
+    // pair matched_time from the latest right row with a payload
+    // value resurrected from an OLDER row whenever the latest row's
+    // payload is null — a (time, payload) tuple that never existed
+    val m = when(col("__side") === lit(rightSide),
+      struct((matchedTime +: payload).map(col): _*))
+    val filled = u.withColumn("__m",
+      last(m, ignoreNulls = true).over(w))
     // leftOuter keeps unmatched left rows (null matched time and
     // payload) — the enrichment shape where "no reference row yet"
     // is data, not a reason to drop the fact
     val kept =
       if (leftOuter) filled.filter(col("__side") === leftSide)
       else filled.filter(col("__side") === leftSide &&
-        col(matchedTime).isNotNull)
-    kept.select((keys ++ leftCols.filterNot(keys.contains) ++
-      (matchedTime +: payload)).map(col): _*)
+        col("__m").isNotNull)
+    kept.select((keys ++ leftCols.filterNot(keys.contains)).map(col) ++
+      (matchedTime +: payload).map(p => col(s"__m.$p").as(p)): _*)
   }
 
   /**
@@ -183,18 +187,17 @@ object Joins {
     def bucketOf(c: Column): Column =
       floor(c.cast("double") / bucketWidth).cast("long")
 
-    // 1. per (key, bucket): matched time = max right time; each payload
-    // column = its value in the last row WHERE IT IS NON-NULL, ordered
-    // by the lexicographic (time, payload) tuple — asof's exact
-    // tie-break, applied per column like its last(ignoreNulls)
+    // 1. per (key, bucket): the WHOLE winning right row — the max
+    // (time, payload) tuple, asof's exact tie-break — carried as one
+    // struct, so a null payload field in the latest row stays null
+    // instead of resurrecting an older row's value
     val rOrder = struct(col(rightTime) +: payload.map(col): _*)
     val carry = right
       .groupBy(keys.map(col) :+ bucketOf(col(rightTime)).as("__b"): _*)
-      .agg(max(col(rightTime)).as("__rt"),
-        payload.map(p =>
-          max(when(col(p).isNotNull, rOrder)).as(s"__m_$p")): _*)
-      .select((keys.map(col) :+ col("__b") :+ col("__rt")) ++
-        payload.map(p => col(s"__m_$p").getField(p).as(p)): _*)
+      .agg(max(rOrder).as("__mrow"))
+      .select((keys.map(col) :+ col("__b") :+
+        col(s"__mrow.$rightTime").as("__rt")) ++
+        payload.map(p => col(s"__mrow.$p").as(p)): _*)
 
     // 2. state entering each left bucket (strictly earlier buckets) —
     // an asof over DISTINCT buckets, not raw rows
@@ -226,13 +229,16 @@ object Joins {
       .orderBy(col("__t").asc_nulls_first +: col("__side").asc +:
         (matchedTime +: payload).map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = u.select(
-      u.columns.filterNot((matchedTime +: payload).contains).map(col) ++
-        (matchedTime +: payload).map(p =>
-          last(col(p), ignoreNulls = true).over(w).as(p)): _*)
-    filled.filter(col("__side") === leftSide && col(matchedTime).isNotNull)
-      .select((keys ++ leftCols.filterNot(keys.contains) ++
-        (matchedTime +: payload)).map(col): _*)
+    // whole-row struct fill, mirroring asof(): right rows AND
+    // boundary rows (the state entering the bucket — always a real
+    // carried tuple, the boundary asof is inner) supply the struct
+    val m = when(col("__side") =!= lit(leftSide),
+      struct((matchedTime +: payload).map(col): _*))
+    val filled = u.withColumn("__m",
+      last(m, ignoreNulls = true).over(w))
+    filled.filter(col("__side") === leftSide && col("__m").isNotNull)
+      .select((keys ++ leftCols.filterNot(keys.contains)).map(col) ++
+        (matchedTime +: payload).map(p => col(s"__m.$p").as(p)): _*)
   }
 
   /**

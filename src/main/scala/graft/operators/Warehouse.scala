@@ -79,8 +79,11 @@ object Warehouse {
     val latest = log.groupBy(col(key))
       .agg(max_by(struct((op +: payload).map(col): _*), col(seq))
         .as("__last"))
+    // null-safe: a malformed NULL op must behave as an upsert (the
+    // documented "anything but a delete wins"), not silently delete
+    // the key the way a three-valued =!= comparison would
     latest
-      .filter(col(s"__last.$op") =!= "D")
+      .filter(!(col(s"__last.$op") <=> "D"))
       .select(col(key) +: payload.map(c => col(s"__last.$c").as(c)): _*)
   }
 
@@ -155,7 +158,11 @@ object Warehouse {
 
   /** Column layout of a mergeable aggregate state table (the
     * contract both sides of [[mergeAggState]] share): one row per
-    * key tuple with n / sum_v / min_v / max_v. `avg` is DELIBERATELY
+    * key tuple with n (long) and sum_v / min_v / max_v as CANONICAL
+    * DOUBLES — the merge arithmetic is double, so the initial state
+    * declares the same schema rather than letting the first
+    * maintenance run silently rewrite a long/decimal column to
+    * double under a fixed-schema reader. `avg` is DELIBERATELY
     * absent — it is not algebraic (partials don't merge by avg);
     * derive it at read time as sum_v / n, which [[withDerived]]
     * does. */
@@ -163,9 +170,9 @@ object Warehouse {
       valueCol: String): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(count(col(valueCol)).as("n"),
-        sum(col(valueCol)).as("sum_v"),
-        min(col(valueCol)).as("min_v"),
-        max(col(valueCol)).as("max_v"))
+        sum(col(valueCol).cast("double")).as("sum_v"),
+        min(col(valueCol).cast("double")).as("min_v"),
+        max(col(valueCol).cast("double")).as("max_v"))
 
   /**
    * Incremental aggregate maintenance: fold a new batch of RAW rows

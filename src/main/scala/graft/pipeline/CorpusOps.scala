@@ -639,7 +639,9 @@ object CorpusOps {
     require(chunk > 0 && overlap >= 0 && overlap < chunk,
       s"need 0 <= overlap < chunk, got chunk=$chunk overlap=$overlap")
     val step = chunk - overlap
-    val toks = filter(split(col(textCol), " "), x => x =!= "")
+    // \s+, not a literal space: tab- or newline-separated text must
+    // tokenize, not glue multi-word tokens into one
+    val toks = filter(split(col(textCol), "\\s+"), x => x =!= "")
     val n = size(toks)
     // last window start: ceil((n - chunk) / step); the double cast is
     // exact for any token count an array can hold

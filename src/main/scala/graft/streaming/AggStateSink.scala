@@ -90,15 +90,19 @@ object AggStateSink {
     Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer(stateDir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // prune superseded snapshots: only after the pointer moved, and
-    // never the one it names
+    // prune superseded snapshots AFTER the pointer moved, keeping the
+    // immediately-previous one as a ONE-COMMIT GRACE window: a reader
+    // that resolved the old pointer lazily (read() returns an
+    // unexecuted scan) can still run to completion; anything older
+    // than that has had a full commit cycle to drain
+    val keepFloor = cur.getOrElse(batchId)
     val st = Files.list(Paths.get(stateDir))
     try {
       import scala.jdk.CollectionConverters._
       st.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("v_"))
         .filter(p => p.getFileName.toString.stripPrefix("v_")
-          .toLongOption.exists(_ < batchId))
+          .toLongOption.exists(_ < keepFloor))
         .toSeq
         .foreach(deleteRecursively)
     } finally st.close()

@@ -266,35 +266,73 @@ object EventStream {
     * emitted flags equal the batch operator's rows EXACTLY, which is
     * what the oracle checks. State per key is `window` longs,
     * constant in stream length. */
+  /** HALF_UP cents, matching Spark's `round(value*100, 0)` in the
+    * batch operator: away from zero for negatives (a plain
+    * math.round is half-toward-+inf and flips -x.xx5 values). */
+  private def halfUpCents(v: Double): Long = {
+    val m = math.round(math.abs(v) * 100)
+    if (v < 0) -m else m
+  }
+
+  /** The per-key ring fold SHARED by both streaming anomaly faces
+    * (one copy of the algebra that must stay in lockstep with
+    * [[graft.operators.TimeSeries.rollingAnomalies]]). Events must
+    * arrive sorted; `horizonMs` None = never reset. Returns the hits
+    * plus the carried (ring, lastMs). */
+  private def anomalyFold(user: Long,
+      evs: Array[(Long, Long, java.sql.Timestamp, Double)],
+      ring0: Vector[Long], last0: Long, window: Int, z: Int,
+      minObs: Int, horizonMs: Option[Long])
+      : (Seq[AnomalyHit], Vector[Long], Long) = {
+    var ring = ring0
+    var last = last0
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyHit]
+    evs.foreach { case (_, eventId, ts, value) =>
+      val tsMs = ts.getTime
+      horizonMs.foreach { h =>
+        if (last != Long.MinValue && tsMs - last > h)
+          ring = Vector.empty
+      }
+      val yc = halfUpCents(value)
+      val n = ring.size.toLong
+      if (n >= minObs) {
+        var sy = 0L; var syy = 0L
+        ring.foreach { y => sy += y; syy += y * y }
+        val dev = n * yc - sy
+        if (dev * dev > z.toLong * z * (n * syy - sy * sy))
+          out += AnomalyHit(user, eventId, value, n)
+      }
+      ring = (ring :+ yc).takeRight(window)
+      last = tsMs
+    }
+    (out.toSeq, ring, last)
+  }
+
+  /** Sort key replaying the batch operator's (ts, event_id) frame
+    * order at FULL timestamp precision — getTime alone truncates to
+    * milliseconds and sub-millisecond ties would order differently
+    * than the batch window sort. */
+  private def tsOrder(r: (Long, Long, java.sql.Timestamp, Double)) =
+    (r._3.getTime, r._3.getNanos, r._2)
+
   def anomalyStream(spark: SparkSession, events: DataFrame,
       window: Int = 20, z: Int = 3, minObs: Int = 5): DataFrame = {
     import spark.implicits._
-    val typed = events.select(col("user_id"), col("event_id"),
-        unix_millis(col("ts")).as("ts_ms"), col("value"))
-      .as[(Long, Long, Long, Double)]
+    val typed = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[AnomalyRing, AnomalyHit](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) {
         case (user, rows, state: GroupState[AnomalyRing]) =>
-          // batch iterators are unordered: sort by (ts, event_id) so
-          // in-order drops replay the batch operator's frame exactly
-          val evs = rows.toArray.sortBy(r => (r._3, r._2))
-          var ring = state.getOption.map(_.cents.toVector)
+          // batch iterators are unordered: sort so in-order drops
+          // replay the batch operator's frame exactly
+          val evs = rows.toArray.sortBy(tsOrder)
+          val ring0 = state.getOption.map(_.cents.toVector)
             .getOrElse(Vector.empty[Long])
-          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyHit]
-          evs.foreach { case (_, eventId, _, value) =>
-            val yc = math.round(value * 100)
-            val n = ring.size.toLong
-            if (n >= minObs) {
-              var sy = 0L; var syy = 0L
-              ring.foreach { y => sy += y; syy += y * y }
-              val dev = n * yc - sy
-              if (dev * dev > z.toLong * z * (n * syy - sy * sy))
-                out += AnomalyHit(user, eventId, value, n)
-            }
-            ring = (ring :+ yc).takeRight(window)
-          }
+          val (out, ring, _) = anomalyFold(user, evs, ring0,
+            Long.MinValue, window, z, minObs, None)
           state.update(AnomalyRing(ring))
           out.iterator
       }.toDF("user_id", "event_id", "value", "n_window")
@@ -333,30 +371,12 @@ object EventStream {
             state.remove()
             Iterator.empty
           } else {
-            val evs = rows.toArray.sortBy(r => (r._3.getTime, r._2))
-            var ring = Vector.empty[Long]
-            var last = Long.MinValue
-            state.getOption.foreach { st =>
-              ring = st.cents.toVector; last = st.lastMs
-            }
-            val out =
-              scala.collection.mutable.ArrayBuffer.empty[AnomalyHit]
-            evs.foreach { case (_, eventId, ts, value) =>
-              val tsMs = ts.getTime
-              if (last != Long.MinValue && tsMs - last > horizonMs)
-                ring = Vector.empty
-              val yc = math.round(value * 100)
-              val n = ring.size.toLong
-              if (n >= minObs) {
-                var sy = 0L; var syy = 0L
-                ring.foreach { y => sy += y; syy += y * y }
-                val dev = n * yc - sy
-                if (dev * dev > z.toLong * z * (n * syy - sy * sy))
-                  out += AnomalyHit(user, eventId, value, n)
-              }
-              ring = (ring :+ yc).takeRight(window)
-              last = tsMs
-            }
+            val evs = rows.toArray.sortBy(tsOrder)
+            val (ring0, last0) = state.getOption
+              .map(st => (st.cents.toVector, st.lastMs))
+              .getOrElse((Vector.empty[Long], Long.MinValue))
+            val (out, ring, last) = anomalyFold(user, evs, ring0,
+              last0, window, z, minObs, Some(horizonMs))
             state.update(AnomalyRingAt(ring, last))
             state.setTimeoutTimestamp(math.max(last + horizonMs,
               state.getCurrentWatermarkMs() + 1))

@@ -633,6 +633,12 @@ class SimilaritySpec extends SparkSpec {
     val hof = collect(
       Similarity.randomProjectHof(df, "vec_id", "embedding", 11, seed = 7L))
     assert(native === hof)
+    // negative seed: the first mixer residue goes negative — signed
+    // remainder would diverge from the HOF's pmod here
+    assert(collect(Similarity.randomProject(df, "vec_id", "embedding",
+        5, seed = -99L)) ===
+      collect(Similarity.randomProjectHof(df, "vec_id", "embedding",
+        5, seed = -99L)))
     // null element null-poisons every output on both paths
     val withNull = Seq((1L, Array[java.lang.Float](1.0f, null, 2.0f)))
       .toDF("vec_id", "embedding")

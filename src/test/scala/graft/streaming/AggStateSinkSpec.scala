@@ -30,9 +30,10 @@ class AggStateSinkSpec extends SparkSpec {
         col("min_v").cast("double"), col("max_v").cast("double")))
     assert(got === full)
     assert(AggStateSink.latest(dir) === Some(2L))
-    // superseded snapshots pruned
+    // superseded snapshots pruned, EXCEPT the immediately-previous
+    // one (one-commit grace for lazy readers of the old pointer)
     val vs = new java.io.File(dir).list().filter(_.startsWith("v_")).toSet
-    assert(vs === Set("v_2"))
+    assert(vs === Set("v_1", "v_2"))
   }
 
   test("re-delivered batch id is a no-op (at-least-once becomes exactly-once)") {

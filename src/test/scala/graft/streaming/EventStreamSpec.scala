@@ -365,6 +365,52 @@ class EventStreamSpec extends SparkSpec {
     assert(batch == 3L)
   }
 
+  test("streaming anomaly equals the batch operator across batches and on negative half-cents") {
+    import org.apache.spark.sql.types._
+    // user 1: six-event baseline in file 0, the spike in file 1 — the
+    // flag only exists if the ring crossed the batch boundary.
+    // user 7: seven identical -0.125 events (σ = 0 ring): HALF_UP
+    // cents give yc = -13 everywhere and dev = 0 → NO flag; a
+    // half-toward-+inf rounding (math.round) gives a ring of -12 vs
+    // a candidate of -13 → dev ≠ 0 over σ = 0 → a false flag
+    val f0 = (0 until 6).map(i => (100L + i, ts(i), 1L, 10.0 + 0.01 * i)) ++
+      (0 until 6).map(i => (200L + i, ts(i), 7L, -0.125))
+    val f1 = Seq((110L, ts(6), 1L, 99.0), (210L, ts(6), 7L, -0.125))
+    val dir = java.nio.file.Files.createTempDirectory("graft_anomspec")
+    def dump(rows: Seq[(Long, java.sql.Timestamp, Long, Double)],
+        name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_anp")
+      rows.toDF("event_id", "ts", "user_id", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, dir.resolve(name))
+    }
+    dump(f0, "drop_0.parquet"); dump(f1, "drop_1.parquet")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = EventStream.anomalyStream(spark, stream)
+      .writeStream.format("memory").queryName("anom_parity")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("anom_parity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val batch = graft.operators.TimeSeries.rollingAnomalies(
+        (f0 ++ f1).toDF("event_id", "ts", "user_id", "value"),
+        "user_id", "ts", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .toSet
+    assert(got === batch, s"stream $got vs batch $batch")
+    assert(got.contains((1L, 110L, 6L)), "cross-batch spike missing")
+    assert(!got.exists(_._1 == 7L), "σ=0 negative ring false-flagged")
+  }
+
   private def ts(minute: Int) =
     new java.sql.Timestamp(1700000000000L + minute * 60000L)
 }
