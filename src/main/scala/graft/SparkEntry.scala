@@ -24,6 +24,35 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Month-partitioned lineitem copy for join_dpp, built at most once
+    * per source dir per JVM (and reused across JVMs via the _SUCCESS
+    * marker): the per-run rewrite was ~40% of the bench cell's wall,
+    * drowning the pruned join it exists to measure. */
+  private val dppFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dppFixture(s: SparkSession, dir: String): String =
+    dppFixtureDirs.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_dpp_" + Integer.toHexString(dir.hashCode))
+      val factDir = base.resolve("lineitem_bym")
+      if (!java.nio.file.Files.exists(factDir.resolve("_SUCCESS")))
+        t(s, dir, "lineitem")
+          .withColumn("ship_month",
+            date_format(col("l_shipdate"), "yyyy-MM"))
+          .write.partitionBy("ship_month").mode("overwrite")
+          .parquet(factDir.toString)
+      factDir.toString
+    })
+
+  /** Per-query fixture builders Bench runs at the TARGET sf before
+    * the timed loop — anything here is setup the timed cell must not
+    * pay (the driver's verify path calls queries directly, where the
+    * lazy in-query build still covers correctness). */
+  def fixturePrep: Map[String, (SparkSession, String) => Unit] = Map(
+    "join_dpp" -> ((s, dir) => { dppFixture(s, dir); () })
+  )
+
   /** The corpus plus three PLANTED probes (ids 9001..9003 carrying
     * the exact vectors of 1..3). The sf embeddings are near-random —
     * no genuine neighbor structure exists, so raw recall@10 is not a
@@ -344,7 +373,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("aggregate_sum")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
 
     // ----------------------------------------------------- oph_subset
     "subset_index" -> ((s, dir) => {
@@ -911,6 +941,42 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
         round(sum(col("o_totalprice")).over(w), 2).as("running"))
+    }),
+
+    "window_range" -> ((s, dir) => {
+      // RANGE frame keyed by event time: trailing-90-day revenue per
+      // customer — the VALUE-based frame (peers included by date
+      // arithmetic, not row position), the one window shape ROWS
+      // frames can't express. Partitioned window: one hash exchange,
+      // in-partition sort only, never a global sort (plan-audited).
+      // The framed sum is DECIMAL so intra-frame order can't flip
+      // pennies between engines.
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT o_orderkey, o_custkey,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                       RANGE BETWEEN INTERVAL 90 DAY PRECEDING
+                         AND CURRENT ROW), 2) AS DOUBLE) AS trailing_90d
+        FROM orders
+      """)
+    }),
+
+    "window_lead_default" -> ((s, dir) => {
+      // lead/lag with explicit offsets AND defaults over a
+      // partitioned key — the null-filling contract at partition
+      // edges (defaults surface, not nulls)
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT o_orderkey, o_custkey,
+               lead(o_totalprice, 2, -1.0)
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS next2_price,
+               lag(o_totalprice, 3, 0.0)
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev3_price
+        FROM orders
+      """)
     }),
 
     "setop_anti" -> ((s, dir) => {
@@ -1982,14 +2048,11 @@ object SparkEntry {
       // partitioned by ship month on disk, dim filtered at runtime —
       // the scan must read only the dim's months (plan carries a
       // dynamicpruning expression; asserted in PlanAuditSpec). The
-      // partitioned copy is a per-run fixture; at scale the table
-      // simply IS stored partitioned.
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dpp")
-      val factDir = tmp.resolve("lineitem_bym").toString
-      t(s, dir, "lineitem")
-        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
-        .write.partitionBy("ship_month").mode("overwrite").parquet(factDir)
-      val fact = s.read.parquet(factDir)
+      // partitioned copy is a cached fixture keyed by the source dir
+      // (at scale the table simply IS stored partitioned); Bench
+      // pre-builds it via fixturePrep so the timed cell measures the
+      // pruned join, not the one-off rewrite.
+      val fact = s.read.parquet(dppFixture(s, dir))
       val months = t(s, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT" &&
           col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
@@ -2461,6 +2524,36 @@ object SparkEntry {
       s.read.format("netcdf4").load(f.getPath)
         .groupBy(floor(col("o_orderkey") / 1000).cast("long").as("bucket"))
         .agg(round(sum(col("o_totalprice")), 2).as("s"))
+    }),
+
+    "netcdf4_compact_coords" -> ((s, dir) => {
+      // COMPACT layout (HDF5 class 0, element bytes inline in the
+      // object header — what h5py/netCDF-c "latest" emit for tiny
+      // datasets): both coordinate scales of a (time x x) grid are
+      // stored compact, the measure stays chunked+deflate. The groupBy
+      // keys come FROM the compact-decoded coordinates, so the inline
+      // read path is hash-verified end-to-end against the formula
+      // oracle, not just smoke-read.
+      val (nt, nx) = (40, 12)
+      val vals = Array.tabulate(nt * nx) { k =>
+        val t = k / nx; val x = k % nx
+        ((t * 31 + x * 7) % 97 + 0.25)
+      }
+      val f = java.io.File.createTempFile("graft_compact", ".nc4")
+      f.delete(); f.deleteOnExit()
+      graft.sources.NetCDF4.write(f.getPath,
+        dims = Seq(graft.sources.NetCDF3.Dim("time", nt),
+          graft.sources.NetCDF3.Dim("x", nx)),
+        vars = Seq(
+          ("time", Seq(0), Array.tabulate(nt)(i => 0.5 * i)),
+          ("x", Seq(1), Array.tabulate(nx)(i => 1.5 * i)),
+          ("tas", Seq(0, 1), vals)),
+        chunkDimsOf = Map("tas" -> Seq(16, 8)),
+        compactCoordCells = 64)
+      s.read.format("netcdf4").load(f.getPath)
+        .groupBy(col("x").cast("double").as("x"))
+        .agg(round(sum(col("tas")), 2).as("tas_sum"),
+          round(sum(col("time") * col("tas")), 2).as("wtas_sum"))
     }),
 
     "netcdf4_export_roundtrip" -> ((s, dir) => {
@@ -3643,7 +3736,7 @@ object SparkEntry {
           round(min(col("measure")), 4).as("lo"),
           round(max(col("measure")), 4).as("hi"))
     })
-  )
+  ) ++ TpchQueries.queries
 
   // =====================================================================
 
@@ -3976,6 +4069,24 @@ object SparkEntry {
     "setop_anti" ->
       """SELECT o_orderkey FROM orders
          WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)""",
+
+    "window_range" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                        RANGE BETWEEN INTERVAL 90 DAY PRECEDING
+                          AND CURRENT ROW), 2) AS DOUBLE) AS trailing_90d
+         FROM orders""",
+
+    "window_lead_default" ->
+      """SELECT o_orderkey, o_custkey,
+                lead(o_totalprice, 2, -1.0)
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS next2_price,
+                lag(o_totalprice, 3, 0.0)
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS prev3_price
+         FROM orders""",
 
     "sql_q3" ->
       """SELECT o.o_orderkey AS o_orderkey,
@@ -4333,6 +4444,18 @@ object SparkEntry {
          FROM cells
          WHERE ti >= 6 AND lai BETWEEN 8 AND 23 AND loi BETWEEN 5 AND 24
          GROUP BY 1, 2""",
+
+    "netcdf4_compact_coords" ->
+      """WITH t AS (SELECT i AS ti FROM range(40) r(i)),
+         x AS (SELECT i AS xi FROM range(12) r(i)),
+         cells AS (
+           SELECT ti, xi,
+                  CAST((ti*31 + xi*7) % 97 + 0.25 AS DOUBLE) AS v
+           FROM t CROSS JOIN x)
+         SELECT CAST(1.5 * xi AS DOUBLE) AS x,
+                round(sum(v), 2) AS tas_sum,
+                round(sum(0.5 * ti * v), 2) AS wtas_sum
+         FROM cells GROUP BY 1""",
 
     "netcdf4_3d_pipeline" ->
       """WITH t AS (SELECT i AS ti FROM range(16) r(i)),
@@ -6371,5 +6494,5 @@ object SparkEntry {
                 CAST((3 + i % 4) * (1000000 // (10 + i % 5)) AS BIGINT)
                   AS duration_us
          FROM range(200) t(i)"""
-  )
+  ) ++ TpchQueries.sql
 }

@@ -108,10 +108,11 @@ object GroupTopK {
    * Join keys are (id, group) with a null-safe group compare, so ids
    * only need to be unique WITHIN a group and a null group keeps SQL
    * GROUP BY semantics. Same non-null contract as [[topk]] for
-   * value/id. The broadcast assumes k × groups fits the broadcast
-   * threshold — the same bounded-group-domain contract as every
-   * grouped-exact operator here; an unbounded group domain still
-   * works (AQE picks a shuffled join of winner ids, not payloads).
+   * value/id. The winners side is NOT hinted: at k × groups under the
+   * autoBroadcastJoinThreshold AQE broadcasts it from the observed
+   * shuffle-stage size, and an unbounded group domain degrades to a
+   * shuffled join of winner ids (never payloads) instead of an
+   * over-threshold driver broadcast.
    *
    * @param rankCol name of the appended bigint rank column (1-based)
    */
@@ -128,7 +129,7 @@ object GroupTopK {
       .select(col(groupCol).as("__g"), posexplode(col("__top")))
       .select(col("__g"), (col("pos") + 1).cast("long").as(rankCol),
         col("col._1").as("__id"))
-    df.join(broadcast(winners),
+    df.join(winners,
         df(idCol).cast("long") === winners("__id") &&
           df(groupCol) <=> winners("__g"))
       .drop("__g", "__id")

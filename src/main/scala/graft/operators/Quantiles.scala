@@ -60,6 +60,11 @@ object Quantiles {
     val n = head.getLong(0)
     require(n > 0, s"exactQuantiles: no non-null values in $valueCol")
     val (gMin, gMax) = (head.getDouble(1), head.getDouble(2))
+    // an infinite endpoint makes the bucket width infinite and every
+    // bucket index NaN→null — fail with the cause, not a deep NPE
+    require(!gMin.isInfinite && !gMax.isInfinite,
+      s"exactQuantiles: $valueCol contains non-finite values " +
+        s"(min=$gMin, max=$gMax) — filter ±Infinity out first")
 
     // the element at 1-based rank ceil(q·N) — double multiply then
     // ceil, the arithmetic quantile_disc uses, so boundary ranks
@@ -200,6 +205,12 @@ object Quantiles {
         "(QuantileSketch), not exact per-group refinement")
     require(head.nonEmpty,
       s"exactQuantilesByGroup: no non-null values in $valueCol")
+    head.foreach { r =>
+      require(!r.getDouble(2).isInfinite && !r.getDouble(3).isInfinite,
+        s"exactQuantilesByGroup: group ${r.get(0)} has non-finite " +
+          s"$valueCol (min=${r.getDouble(2)}, max=${r.getDouble(3)}) — " +
+          "filter ±Infinity out first")
+    }
     val groups = head.map(r => r.get(0))
     // one target per (group, quantile); targets sharing a candidate
     // range share a CELL, and every live cell rides the same jobs

@@ -387,20 +387,35 @@ object CorpusOps {
       when(col("__n") <= lit(quota.toLong * margin), lit(P))
         .otherwise(expr(s"${quota.toLong * margin}L * ${P}L div __n") + 1)
         .as("__cut"))
-    val surv = keyed.join(broadcast(cuts), stratumCol)
+    // null-safe (<=>) joins throughout: a NULL stratum is a legal SQL
+    // GROUP BY group (same contract as exactQuantilesByGroup) — a
+    // name-based equi-join would silently drop its rows
+    val cutsR = cuts.withColumnRenamed(stratumCol, "__s")
+    val surv = keyed.join(broadcast(cutsR), col(stratumCol) <=> col("__s"))
       .filter(col("__h") < col("__cut"))
+      .drop("__s", "__cut")
     // bounded driver check: one row per stratum, never data-scale
-    val deficient = surv.groupBy(col(stratumCol))
+    val gotR = surv.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("__g"))
-      .join(counts, Seq(stratumCol), "right")
+      .withColumnRenamed(stratumCol, "__s")
+    val deficient = counts
+      .join(gotR, col(stratumCol) <=> col("__s"), "left")
       .filter(coalesce(col("__g"), lit(0L)) <
         least(lit(quota.toLong), col("__n")))
       .select(col(stratumCol)).collect().map(_.get(0)).toSeq
+    val defNonNull = deficient.filter(_ != null)
+    val defHasNull = deficient.exists(_ == null)
+    def inDeficient(c: Column): Column = {
+      val nn = if (defNonNull.nonEmpty) c.isin(defNonNull: _*) else lit(false)
+      // isin(null input) yields NULL — coalesce so !inDeficient keeps
+      // a null stratum that is NOT deficient
+      coalesce(if (defHasNull) nn || c.isNull else nn, lit(false))
+    }
     val base =
       if (deficient.isEmpty) surv.select(col(idCol), col(stratumCol), col("__h"))
-      else surv.filter(!col(stratumCol).isin(deficient: _*))
+      else surv.filter(!inDeficient(col(stratumCol)))
         .select(col(idCol), col(stratumCol), col("__h"))
-        .unionByName(keyed.filter(col(stratumCol).isin(deficient: _*)))
+        .unionByName(keyed.filter(inDeficient(col(stratumCol))))
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(col("__h"), col(idCol))
     base.withColumn("rk", row_number().over(w).cast("long"))

@@ -60,6 +60,11 @@ object Hdf5 {
   sealed trait Layout
   /** addr == Undef: storage never allocated (all fill). */
   final case class Contiguous(addr: Long, size: Long) extends Layout
+  /** Layout class 0: the raw element bytes live INLINE in the object
+    * header message (spec caps compact storage at 64 KiB — h5py and
+    * netCDF-c emit it for tiny datasets, e.g. scalar attributes
+    * promoted to datasets and short coordinate vars). */
+  final case class Compact(data: Array[Byte]) extends Layout
   /** `index`: how chunk (origin → address) records are stored. 0 = v1
     * B-tree (layout message v3, what netCDF-4 writers emit by default);
     * the rest are layout-message-v4 "latest" indexes: 1 = single chunk,
@@ -682,8 +687,14 @@ object Hdf5 {
       chunkDims
     }
     (b.get() & 0xFF) match {
-      case 0 => // compact: size(2) + inline data — model as contiguous-in-msg
-        throw new FormatError(s"$path: compact layout not supported")
+      case 0 => // compact: size(2) + inline data (same v3/v4 encoding)
+        val size = b.getShort() & 0xFFFF
+        if (size > b.remaining())
+          throw new FormatError(s"$path: compact layout claims $size " +
+            s"bytes, message holds ${b.remaining()}")
+        val data = new Array[Byte](size)
+        b.get(data)
+        Compact(data)
       case 1 => Contiguous(b.getLong, b.getLong)
       case 2 if ver == 3 =>
         val dims = b.get() & 0xFF // rank + 1
@@ -1194,6 +1205,15 @@ object Hdf5 {
     if (es < 1 || es > 8)
       throw new FormatError(s"${ds.name}: element size $es not readable")
     ds.layout match {
+      case Compact(data) =>
+        // inline bytes (≤64 KiB by spec): no file I/O at all
+        if ((start + count) * es > data.length)
+          throw new FormatError(s"${ds.name}: compact slab " +
+            s"[$start,+$count)×$es beyond ${data.length} inline bytes")
+        val raw = java.util.Arrays.copyOfRange(data,
+          (start * es).toInt, ((start + count) * es).toInt)
+        val vals = decode(raw, ds.dtype, count)
+        var i = 0; while (i < count) { out(i) = vals(i); i += 1 }
       case Contiguous(addr, _) =>
         if (!defined(addr)) return out // never-allocated: all fill
         val f = new RandomAccessFile(path, "r")
@@ -1308,6 +1328,33 @@ object Hdf5 {
       while (d >= 0) { boxStrides(d) = s; s *= lens(d); d -= 1 }
     }
     ds.layout match {
+      case Compact(data) =>
+        // whole dataset is already in memory: decode once, gather the
+        // box with an odometer over global flat indexes
+        val strides = new Array[Long](rank)
+        locally {
+          var s = 1L; var d = rank - 1
+          while (d >= 0) { strides(d) = s; s *= shape(d); d -= 1 }
+        }
+        val total = shape.product
+        if (total * es > data.length)
+          throw new FormatError(s"${ds.name}: compact data " +
+            s"${data.length}B < ${total}×$es")
+        val vals = decode(data, ds.dtype, total.toInt)
+        val idx = new Array[Int](rank)
+        var dst = 0
+        while (dst < cells) {
+          var flat = 0L; var i = 0
+          while (i < rank) { flat += (origin(i) + idx(i)) * strides(i); i += 1 }
+          out(dst) = vals(flat.toInt)
+          var j = rank - 1; var carry = true
+          while (j >= 0 && carry) {
+            idx(j) += 1
+            if (idx(j) == lens(j)) idx(j) = 0 else carry = false
+            j -= 1
+          }
+          dst += 1
+        }
       case Contiguous(addr, _) =>
         if (!defined(addr)) return out
         // contiguous runs: merge trailing axes the box covers fully,

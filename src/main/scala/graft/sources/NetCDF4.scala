@@ -255,7 +255,12 @@ object NetCDF4 {
       /** Explicit n-D chunk dims per variable (real archives tile
         * EVERY axis — the layout any-axis subset pruning skips I/O
         * on); variables absent here keep the row-block default. */
-      chunkDimsOf: Map[String, Seq[Int]] = Map.empty): Unit = {
+      chunkDimsOf: Map[String, Seq[Int]] = Map.empty,
+      /** Coordinate variables with at most this many cells are stored
+        * COMPACT (layout class 0, bytes inline in the object header —
+        * what h5py/"latest" netCDF-c emit for tiny datasets). 0 = all
+        * coordinates stay contiguous. */
+      compactCoordCells: Int = 0): Unit = {
     val coordOf: Map[Int, Array[Double]] =
       dims.indices.flatMap { i =>
         vars.find(v => v._1 == dims(i).name && v._2 == Seq(i)).map(i -> _._3)
@@ -294,7 +299,7 @@ object NetCDF4 {
     ).toMap
     emit(path, dims, coordOf, metas, gatts, deflateLevel, shuffle,
       (vi, ci, os) => os.write(blobs(vi)(ci)), coordAtts, fletcher32,
-      denseGroups)
+      denseGroups, compactCoordCells)
   }
 
   /**
@@ -455,8 +460,17 @@ object NetCDF4 {
       payload: (Int, Int, OutputStream) => Unit,
       coordAtts: Map[Int, Seq[(String, String)]] = Map.empty,
       fletcher32: Boolean = false,
-      denseGroups: Boolean = false): Unit = {
+      denseGroups: Boolean = false,
+      compactCoordCells: Int = 0): Unit = {
     require(dims.forall(_.length >= 0), "netcdf4: negative dimension")
+    // layout class 0 (inline-in-message) for small coordinate scales —
+    // what h5py/netCDF-c "latest" emit for tiny datasets. Spec caps
+    // compact storage at 64 KiB; stay under it with the cell bound.
+    require(compactCoordCells.toLong * 8 < 65536,
+      s"netcdf4 writer: compactCoordCells=$compactCoordCells exceeds " +
+        "the 64 KiB compact-layout cap")
+    val compactCoord: Set[Int] = coordOf.keySet.filter(i =>
+      dims(i).length <= compactCoordCells)
 
     def pad8(n: Int): Int = (n + 7) & ~7
 
@@ -538,12 +552,22 @@ object NetCDF4 {
     def scaleMsgs(i: Int, dataAddr: Long): Seq[(Int, Array[Byte])] = {
       val name = dims(i).name
       val isCoord = coordOf.contains(i)
+      val layout =
+        if (compactCoord(i)) {
+          // compact: size(2) + the element bytes inline in the message
+          val data = coordOf(i)
+          val b = new B().u8(3).u8(0).u16(data.length * 8)
+          val buf = ByteBuffer.allocate(data.length * 8)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          data.foreach(buf.putDouble)
+          b.raw(buf.array()).bytes
+        } else new B().u8(3).u8(1).u64(dataAddr)
+          .u64(dims(i).length.toLong * 8).bytes
       Seq(
         0x0001 -> dsSimple(rank1(i)),
         0x0003 -> dtDouble,
         0x0005 -> fillMsg,
-        0x0008 -> new B().u8(3).u8(1).u64(dataAddr)
-          .u64(dims(i).length.toLong * 8).bytes,
+        0x0008 -> layout,
         0x000C -> strAttr("CLASS", "DIMENSION_SCALE"),
         0x000C -> strAttr("NAME",
           if (isCoord) name
@@ -614,7 +638,9 @@ object NetCDF4 {
     val scaleOhSize = dims.indices.map(i =>
       objectHeader(scaleMsgs(i, 0L)).length)
     val scaleDataSize = dims.indices.map(i =>
-      if (coordOf.contains(i)) dims(i).length.toLong * 8 else 0L)
+      if (coordOf.contains(i) && !compactCoord(i))
+        dims(i).length.toLong * 8
+      else 0L)
     val varOhSize = varMetas.map(p =>
       objectHeader(varMsgs(p, 0L, 0L, 1)).length)
     // netcdf-c's threshold: past 8 root links libhdf5 converts the
@@ -661,7 +687,9 @@ object NetCDF4 {
     dims.indices.foreach { i =>
       scaleOhAddr(i) = take(scaleOhSize(i))
       scaleDataAddr(i) =
-        if (coordOf.contains(i)) take(scaleDataSize(i)) else Undef
+        if (coordOf.contains(i) && !compactCoord(i))
+          take(scaleDataSize(i))
+        else Undef
     }
     val gcolAddr = take(gcolSize)
     val varOhAddr = varMetas.indices.map(i => take(varOhSize(i)))
@@ -720,7 +748,7 @@ object NetCDF4 {
       dims.indices.foreach { i =>
         expect(scaleOhAddr(i), s"scale OH ${dims(i).name}")
         putBytes(objectHeader(scaleMsgs(i, scaleDataAddr(i))))
-        coordOf.get(i).foreach { data =>
+        if (!compactCoord(i)) coordOf.get(i).foreach { data =>
           val buf = ByteBuffer.allocate(data.length * 8)
             .order(ByteOrder.LITTLE_ENDIAN)
           data.foreach(buf.putDouble)

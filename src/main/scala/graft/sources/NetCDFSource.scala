@@ -537,7 +537,13 @@ final class NcBoxReader(path: String, projected: Array[String],
   private val vs = NetCDFSource.gridVars(view, measure)
   private val axes = vs.head.dimIds.map(view.dims(_))
   private val lens = part.lens
-  private val n = lens.map(_.toLong).product.toInt
+  private val n = {
+    val cells = lens.map(_.toLong).product
+    require(cells <= Int.MaxValue,
+      s"NcBoxReader: tile of $cells cells exceeds Int.MaxValue — " +
+        "the planner must split this box (same guard as Hdf5.readBox)")
+    cells.toInt
+  }
   // row-major strides WITHIN the box
   private val boxStrides: Array[Long] = {
     val s = new Array[Long](lens.size)

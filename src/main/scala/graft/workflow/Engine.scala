@@ -267,6 +267,22 @@ final class Engine(
       throw new Engine.QueueFullError(
         s"queue full: $farmSize running + $queueSize queued (QUEUE_SIZE)")
 
+  /** Atomic check-AND-increment: a CAS loop so N submissions racing at
+    * the cap admit exactly (farmSize+queueSize) runs — a plain
+    * check-then-increment would let all N through (the reference locks
+    * its job-list counter for the same reason). Throws QueueFullError
+    * without incrementing when full; on success the caller owns one
+    * activeRuns slot and must decrementAndGet in its finally. */
+  private def admitRun(): Unit = {
+    while (true) {
+      val cur = activeRuns.get
+      if (queueSize > 0 && cur >= farmSize + queueSize)
+        throw new Engine.QueueFullError(
+          s"queue full: $farmSize running + $queueSize queued (QUEUE_SIZE)")
+      if (activeRuns.compareAndSet(cur, cur + 1)) return
+    }
+  }
+
   /** TASK_LIMIT gate around ONE top-level data task. Applied only at
     * the workflow walk's call site — `runDataOperator` recurses for
     * massive fan-out, and re-acquiring there would self-deadlock. */
@@ -1103,8 +1119,7 @@ final class Engine(
     // with its own flag: an interrupt while queued must not leak the
     // activeRuns increment (a leaked counter would wedge admission) or
     // release a permit that was never taken.
-    checkAdmission()
-    activeRuns.incrementAndGet()
+    admitRun()
     var farmAcquired = false
     try {
       if (queueSize > 0) { farmPermits.acquire(); farmAcquired = true }

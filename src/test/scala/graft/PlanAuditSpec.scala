@@ -416,4 +416,59 @@ class PlanAuditSpec extends SparkSpec {
       s"no dynamic partition pruning on the fact scan:\n$p")
     assert(df.count() > 0)
   }
+
+  test("sql_q9: the 5-way join never degenerates into a cartesian") {
+    // part/supplier/nation are dimension-sized and must broadcast;
+    // a cartesian or nested-loop anywhere in this plan is the shape
+    // that dies at 100 TB (lineitem x part without the equi-key)
+    val q = SparkEntry.queries("sql_q9")(spark, "/root/testdata/sf0.001")
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), s"cartesian in q9:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop in q9:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dimension sides must broadcast in q9:\n$p")
+  }
+
+  test("sql_q21: EXISTS/NOT EXISTS compile to hash semi/anti joins") {
+    // the NOT EXISTS (no OTHER supplier late) must become an anti
+    // join keyed on l_orderkey with the non-equi residual as the join
+    // condition — a nested-loop anti join re-scans lineitem per row
+    val q = SparkEntry.queries("sql_q21")(spark, "/root/testdata/sf0.001")
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), s"cartesian in q21:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop semi/anti in q21:\n$p")
+    val anti = "LeftAnti".r.findAllIn(p).size
+    val semi = "LeftSemi".r.findAllIn(p).size
+    assert(anti >= 1 && semi >= 1,
+      s"expected keyed semi+anti joins in q21 (semi=$semi anti=$anti):\n$p")
+  }
+
+  test("window_range: partitioned RANGE frame never global-sorts") {
+    // the value-based frame must ride ONE hash exchange on o_custkey
+    // with an in-partition sort — a rangepartitioning exchange means
+    // the window degenerated into a global sort
+    val q = SparkEntry.queries("window_range")(
+      spark, "/root/testdata/sf0.001")
+    val p = plan(q)
+    assert(p.contains("Window"), s"no window operator:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"RANGE frame global-sorted:\n$p")
+    assert(p.contains("hashpartitioning"),
+      s"expected a hash exchange on the partition key:\n$p")
+  }
+
+  test("sql_q19: the OR-of-conjunctions still extracts the equi-join") {
+    // all three disjuncts repeat p_partkey = l_partkey; Catalyst must
+    // lift it into the join key (CNF extraction) so the residual OR
+    // evaluates post-probe — not a nested loop over part x lineitem
+    val q = SparkEntry.queries("sql_q19")(spark, "/root/testdata/sf0.001")
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q19 lost its equi-key to the disjunction:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"expected a keyed join in q19:\n$p")
+  }
 }

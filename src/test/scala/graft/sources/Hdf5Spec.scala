@@ -576,4 +576,40 @@ class Hdf5Spec extends SparkSpec {
     assert(NetCDF4.readSlab(path, m.varByName("v"), 770, 7).toSeq ==
       data.slice(770, 777).toSeq)
   }
+
+  test("compact layout (class 0): coords inline, slab + box reads exact") {
+    // h5py and netCDF-c "latest" store tiny datasets with the bytes
+    // inline in the object header; the reader must serve slabs and
+    // boxes from the message with zero data-section I/O
+    val path = tmp("compact")
+    import NetCDF3.Dim
+    val times = Array.tabulate(40)(i => 0.5 * i)
+    val xs = Array.tabulate(12)(i => 1.5 * i)
+    NetCDF4.write(path,
+      dims = Seq(Dim("time", 40), Dim("x", 12)),
+      vars = Seq(
+        ("time", Seq(0), times),
+        ("x", Seq(1), xs),
+        ("tas", Seq(0, 1),
+          Array.tabulate(480)(k => (k * 13 % 101).toDouble))),
+      chunkDimsOf = Map("tas" -> Seq(16, 8)),
+      compactCoordCells = 64)
+    val f = Hdf5.open(path)
+    val time = f.datasets.find(_.name == "time").get
+    assert(time.layout.isInstanceOf[Hdf5.Compact],
+      s"time scale not compact: ${time.layout}")
+    assert(Hdf5.readSlab(path, time, 0, 40).toSeq == times.toSeq)
+    assert(Hdf5.readSlab(path, time, 17, 5).toSeq ==
+      times.slice(17, 22).toSeq)
+    assert(Hdf5.readBox(path, time, Seq(30L), Seq(10)).toSeq ==
+      times.slice(30, 40).toSeq)
+    val x = f.datasets.find(_.name == "x").get
+    assert(x.layout.isInstanceOf[Hdf5.Compact])
+    assert(Hdf5.readBox(path, x, Seq(3L), Seq(4)).toSeq ==
+      xs.slice(3, 7).toSeq)
+    // and the full netcdf4 view still reads the measure correctly
+    val m = NetCDF4.open(path)
+    assert(NetCDF4.readSlab(path, m.varByName("tas"), 0, 480).sum ==
+      Array.tabulate(480)(k => (k * 13 % 101).toDouble).sum)
+  }
 }

@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Generate a 10x replica of sf0.1 ("sf1.0") for the scaling-curve
+study (BASELINE.md): same schemas and distributions, keys offset per
+replica so per-key structure (chains within an order, SCD2 key
+domains, pagerank vertex ids) scales in COUNT without changing shape.
+Writes only the tables the curve's five queries + Bench's session
+warm-up touch. Output dir is disposable (/tmp) — NOT driver testdata.
+"""
+import sys
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1.0"
+R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+import os
+os.makedirs(DST, exist_ok=True)
+con = duckdb.connect()
+con.sql(f"CREATE VIEW reps AS SELECT i AS r FROM range({R}) t(i)")
+
+def gen(table, select):
+    con.sql(
+        f"COPY (SELECT {select} FROM '{SRC}/{table}.parquet' "
+        f"CROSS JOIN reps) TO '{DST}/{table}.parquet' (FORMAT PARQUET)")
+    n = con.sql(f"SELECT count(*) FROM '{DST}/{table}.parquet'").fetchone()[0]
+    print(f"{table}: {n} rows")
+
+mo = con.sql(f"SELECT max(l_orderkey)+1 FROM '{SRC}/lineitem.parquet'").fetchone()[0]
+gen("lineitem",
+    f"l_orderkey + r*{mo} AS l_orderkey, l_partkey, l_suppkey, "
+    "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
+    "l_returnflag, l_linestatus, l_shipdate")
+oo = con.sql(f"SELECT max(o_orderkey)+1 FROM '{SRC}/orders.parquet'").fetchone()[0]
+gen("orders",
+    f"o_orderkey + r*{oo} AS o_orderkey, o_custkey, o_orderstatus, "
+    "o_totalprice, o_orderdate, o_orderpriority")
+nd = con.sql(f"SELECT max(doc_id)+1 FROM '{SRC}/documents.parquet'").fetchone()[0]
+cols = [c[0] for c in con.sql(
+    f"DESCRIBE SELECT * FROM '{SRC}/documents.parquet'").fetchall()]
+rest = ", ".join(c for c in cols if c != "doc_id")
+gen("documents", f"doc_id + r*{nd} AS doc_id, {rest}")
+ne = con.sql(f"SELECT max(event_id)+1 FROM '{SRC}/events.parquet'").fetchone()[0]
+nu = con.sql(f"SELECT max(user_id)+1 FROM '{SRC}/events.parquet'").fetchone()[0]
+ecols = [c[0] for c in con.sql(
+    f"DESCRIBE SELECT * FROM '{SRC}/events.parquet'").fetchall()]
+erest = ", ".join(c for c in ecols if c not in ("event_id", "user_id"))
+gen("events",
+    f"event_id + r*{ne} AS event_id, user_id + r*{nu} AS user_id, {erest}")
+nv = con.sql(f"SELECT max(vec_id)+1 FROM '{SRC}/embeddings.parquet'").fetchone()[0]
+vcols = [c[0] for c in con.sql(
+    f"DESCRIBE SELECT * FROM '{SRC}/embeddings.parquet'").fetchall()]
+vrest = ", ".join(c for c in vcols if c != "vec_id")
+gen("embeddings", f"vec_id + r*{nv} AS vec_id, {vrest}")
+print("done ->", DST)
