@@ -1,0 +1,34 @@
+#!/usr/bin/env python3
+"""Fold one or more full-sweep BENCH_FULL.json files into
+WARM_FLOORS.json: floors are the MINIMUM of the committed floor and
+every supplied sweep (a floor only ever ratchets down). New queries
+get min-across-sweeps as their first floor. Queries whose measured
+semantics changed (fixture moved out of the cell) ratchet down
+automatically. Run from the repo root."""
+import json
+import sys
+
+sweeps = [json.load(open(p)) for p in sys.argv[1:]]
+assert sweeps, "usage: update_floors.py sweep1.json [sweep2.json ...]"
+wf = json.load(open("WARM_FLOORS.json"))
+floors = wf["warm_floors"]
+names = set()
+for s in sweeps:
+    assert s.get("sf") == wf.get("sf"), (s.get("sf"), wf.get("sf"))
+    names.update(s["queries"].keys())
+changed = []
+for n in sorted(names):
+    vals = [s["queries"][n] for s in sweeps
+            if n in s["queries"] and s["queries"][n] > 0]
+    if not vals:
+        continue
+    m = round(min(vals), 3)
+    old = floors.get(n)
+    if old is None or m < old:
+        floors[n] = m
+        changed.append((n, old, m))
+wf["warm_floors"] = dict(sorted(floors.items()))
+json.dump(wf, open("WARM_FLOORS.json", "w"), indent=1)
+print(f"{len(changed)} floors updated/added:")
+for n, old, m in changed:
+    print(f"  {n}: {old} -> {m}")
