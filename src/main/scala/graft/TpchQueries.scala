@@ -373,9 +373,19 @@ object TpchQueries {
     // supplier on the order) + NOT EXISTS (no OTHER supplier was
     // late). Plan-audited: the NOT EXISTS is an anti join on
     // l_orderkey with the non-equi residual, never a nested loop.
+    // The supplier×nation filter sits in a derived table ON PURPOSE:
+    // with CBO off (the default) Catalyst keeps the FROM order, and
+    // the flat 4-relation form ran the semi/anti pipeline over ALL
+    // suppliers' lineitems before the nation cut — measured 309 s vs
+    // 80 s at the 60M-row replica (3.9×). The derived table drops l1
+    // to 1/|nations| of the corpus before the heavy joins, which is
+    // exactly what a stats-fed CBO would choose.
     "sql_q21" ->
       """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
-         FROM supplier s, lineitem l1, orders o, nation n
+         FROM (SELECT s_suppkey, s_name FROM supplier, nation
+               WHERE s_nationkey = n_nationkey
+                 AND n_name = 'NATION_4') s,
+              lineitem l1, orders o
          WHERE s.s_suppkey = l1.l_suppkey
            AND o.o_orderkey = l1.l_orderkey
            AND o.o_orderstatus = 'F'
@@ -388,8 +398,6 @@ object TpchQueries {
                              AND l3.l_suppkey <> l1.l_suppkey
                              AND l3.l_shipdate > o.o_orderdate
                                + INTERVAL 60 DAY)
-           AND s.s_nationkey = n.n_nationkey
-           AND n.n_name = 'NATION_4'
          GROUP BY s.s_name
          ORDER BY numwait DESC, s.s_name
          LIMIT 100""",
