@@ -37,8 +37,15 @@ gen("orders",
 nd = con.sql(f"SELECT max(doc_id)+1 FROM '{SRC}/documents.parquet'").fetchone()[0]
 cols = [c[0] for c in con.sql(
     f"DESCRIBE SELECT * FROM '{SRC}/documents.parquet'").fetchall()]
-rest = ", ".join(c for c in cols if c != "doc_id")
-gen("documents", f"doc_id + r*{nd} AS doc_id, {rest}")
+# text is alphabet-ROTATED per replica so replicas are DISSIMILAR
+# (verbatim copies turn every dedup run into a duplicate-explosion
+# stress where the OUTPUT, not the algorithm, dominates — fine as a
+# worst case, wrong for a scaling curve); r=0 keeps the original
+az = "abcdefghijklmnopqrstuvwxyz"
+rot = ("CASE WHEN r = 0 THEN text ELSE translate(text, '" + az +
+       "', substr('" + az + az + "', 1 + (r % 26), 26)) END")
+rest = ", ".join(c for c in cols if c not in ("doc_id", "text"))
+gen("documents", f"doc_id + r*{nd} AS doc_id, {rot} AS text, {rest}")
 ne = con.sql(f"SELECT max(event_id)+1 FROM '{SRC}/events.parquet'").fetchone()[0]
 nu = con.sql(f"SELECT max(user_id)+1 FROM '{SRC}/events.parquet'").fetchone()[0]
 ecols = [c[0] for c in con.sql(
@@ -49,6 +56,12 @@ gen("events",
 nv = con.sql(f"SELECT max(vec_id)+1 FROM '{SRC}/embeddings.parquet'").fetchone()[0]
 vcols = [c[0] for c in con.sql(
     f"DESCRIBE SELECT * FROM '{SRC}/embeddings.parquet'").fetchall()]
-vrest = ", ".join(c for c in vcols if c != "vec_id")
-gen("embeddings", f"vec_id + r*{nv} AS vec_id, {vrest}")
+# embeddings get pseudo-random per-(replica, dim) SIGN FLIPS so
+# replicas decorrelate (cosine ~0) instead of being exact duplicates
+vrest = ", ".join(c for c in vcols if c not in ("vec_id", "embedding"))
+flip = ("CASE WHEN r = 0 THEN embedding ELSE "
+        "list_transform(embedding, (x, i) -> "
+        "x * (CASE WHEN hash(i * 131 + r * 7919) % 2 = 0 "
+        "THEN 1 ELSE -1 END)) END")
+gen("embeddings", f"vec_id + r*{nv} AS vec_id, {flip} AS embedding, {vrest}")
 print("done ->", DST)
