@@ -2195,6 +2195,33 @@ object SparkEntry {
         .orderBy(col("n").desc, col("term"))
         .limit(100)),
 
+    "text_bpe_pairs" -> ((s, dir) =>
+      // BPE iteration 0: weighted adjacent-char-pair counts off the
+      // DEDUPLICATED word histogram (the explode touches |vocab| rows,
+      // not |corpus| tokens); top-100 plans TakeOrderedAndProject
+      TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text", k = 100)),
+
+    "text_bpe_roundtrip" -> ((s, dir) => {
+      // full tokenizer-training path, distributed end-to-end: bounded
+      // driver fit learns the merge table (TakeOrdered top-4096 words),
+      // then one codegen'd BpeEncodeWords pass re-segments every doc.
+      // The hash-compared invariant is losslessness — concatenating the
+      // subword tokens must reproduce the whitespace-stripped text;
+      // exact segmentation is pinned by BpeSpec's golden fixtures
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeLearn(docs, "text",
+        maxWords = 4096, numMerges = 64)
+      TextAnalysis.bpeEncodeDocs(docs, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          concat_ws("", col("tokens")).as("joined"))
+    }),
+
+    "text_repetition" -> ((s, dir) =>
+      // Gopher-style intra-doc repetition: row-local sorted-run fold,
+      // zero exchanges — see TextAnalysis.repetitionSignals scaladoc
+      TextAnalysis.repetitionSignals(
+        t(s, dir, "documents"), "doc_id", "text")),
+
     "text_bm25" -> ((s, dir) =>
       // lexical retrieval: BM25 over a fixed query term set; only
       // query-term hits explode, df/N/avgdl broadcast
@@ -4663,6 +4690,68 @@ object SparkEntry {
                FROM tok GROUP BY 1)
          SELECT term, n, df FROM v
          QUALIFY row_number() OVER (ORDER BY n DESC, term) <= 100""",
+
+    // BPE pair census: identical word histogram + substring algebra on
+    // both engines; total order via the pair tiebreak
+    "text_bpe_pairs" ->
+      """WITH tok AS (
+           SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                    '\s+')) AS w
+           FROM documents),
+         wc AS (SELECT w, count(*) AS c FROM tok WHERE w <> ''
+                GROUP BY 1),
+         pairs AS (
+           SELECT substring(w, i, 2) AS pair, c
+           FROM wc, LATERAL unnest(generate_series(1, length(w) - 1))
+                AS t(i)
+           WHERE length(w) >= 2)
+         SELECT pair, CAST(sum(c) AS BIGINT) AS n
+         FROM pairs GROUP BY 1
+         QUALIFY row_number() OVER (ORDER BY n DESC, pair) <= 100""",
+
+    // BPE losslessness: token concatenation == whitespace-stripped text
+    "text_bpe_roundtrip" ->
+      """SELECT doc_id,
+                regexp_replace(lower(trim(text)), '\s+', '', 'g')
+                  AS joined
+         FROM documents""",
+
+    // repetition signals: DuckDB rebuilds each doc's n-gram histogram
+    // relationally (unnest + group by); fraction arithmetic is double
+    // division of the same exact integers on both engines
+    "text_repetition" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id, n,
+                  array_to_string(t[i:i+n-1], ' ') AS gram
+           FROM tok
+           CROSS JOIN (SELECT unnest([2, 3, 4]) AS n)
+           CROSS JOIN LATERAL unnest(
+             generate_series(1, len(t) - n + 1)) AS u(i)
+           WHERE len(t) >= n),
+         c AS (
+           SELECT doc_id, n, gram, count(*) AS cnt, length(gram) AS l
+           FROM g GROUP BY 1, 2, 3),
+         a AS (
+           SELECT doc_id, n,
+                  max(cnt * l) AS best,
+                  sum(CASE WHEN cnt >= 2 THEN cnt * l ELSE 0 END) AS dup,
+                  sum(cnt * l) AS tot
+           FROM c GROUP BY 1, 2)
+         SELECT d.doc_id,
+                round(coalesce(a2.best / a2.tot, 0), 4) AS top2_frac,
+                round(coalesce(a2.dup  / a2.tot, 0), 4) AS dup2_frac,
+                round(coalesce(a3.best / a3.tot, 0), 4) AS top3_frac,
+                round(coalesce(a3.dup  / a3.tot, 0), 4) AS dup3_frac,
+                round(coalesce(a4.best / a4.tot, 0), 4) AS top4_frac,
+                round(coalesce(a4.dup  / a4.tot, 0), 4) AS dup4_frac
+         FROM documents d
+         LEFT JOIN a a2 ON a2.doc_id = d.doc_id AND a2.n = 2
+         LEFT JOIN a a3 ON a3.doc_id = d.doc_id AND a3.n = 3
+         LEFT JOIN a a4 ON a4.doc_id = d.doc_id AND a4.n = 4""",
 
     "text_tfidf" ->
       """WITH tok AS (

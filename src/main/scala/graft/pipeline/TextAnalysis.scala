@@ -268,4 +268,113 @@ object TextAnalysis {
       tokenCount(col(textCol)).as("n_tokens"),
       round(punctRatio(col(textCol)), 4).as("punct_ratio"),
       round(stopwordRatio(col(textCol), "en"), 4).as("stopword_ratio_en"))
+
+  /**
+   * Intra-document repetition signals in the Gopher/MassiveText style
+   * (Rae et al. 2021, §A1.1: "top n-gram character fraction" and
+   * "duplicate n-gram character fraction" — the strongest public
+   * heuristics for machine-generated / boilerplate text).
+   *
+   * For each n in `ns`, per document:
+   *   - `top{n}_frac`: characters covered by the single most frequent
+   *     word n-gram (count x gram length) over all n-gram characters;
+   *   - `dup{n}_frac`: characters covered by n-grams occurring more
+   *     than once, over all n-gram characters.
+   *
+   * Scale shape: ROW-LOCAL, ZERO exchanges — a document's n-gram
+   * histogram needs only that document's tokens, so instead of the
+   * explode -> groupBy(doc, gram) shuffle of corpus-scale token
+   * traffic, each row sorts its own gram array and folds run lengths
+   * with one `aggregate` HOF (count of a gram = length of its run in
+   * the sorted array). The plan is a pure projection: filters/limits
+   * push below it, and it composes with scoreDocuments in one pass.
+   */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram sizes: $ns")
+    val staged = df.select(col(idCol), tokensLower(col(textCol)).as("__t"))
+    val metrics = ns.flatMap { n =>
+      // fold over the SORTED grams: equal grams are adjacent, so one
+      // pass recovers every gram's count as a run length. `best` peaks
+      // at count*len of the most frequent gram; `dup` adds 2*len when a
+      // run reaches 2 and len for each further repeat (= count*len for
+      // every gram with count >= 2); `tot` is all occurrence chars.
+      val agg = expr(s"""aggregate(
+        array_sort(if(size(__t) < $n, array(),
+          transform(sequence(1, size(__t) - $n + 1),
+            i -> array_join(slice(__t, i, $n), ' ')))),
+        named_struct('prev', cast(null as string), 'run', 0L,
+                     'best', 0L, 'dup', 0L, 'tot', 0L),
+        (a, x) -> named_struct(
+          'prev', x,
+          'run', if(x <=> a.prev, a.run + 1L, 1L),
+          'best', greatest(a.best,
+            if(x <=> a.prev, a.run + 1L, 1L) * length(x)),
+          'dup', a.dup + if(x <=> a.prev,
+            if(a.run = 1L, 2L, 1L) * length(x), 0L),
+          'tot', a.tot + length(x)),
+        a -> if(a.tot = 0L, named_struct('top', 0.0D, 'dup', 0.0D),
+          named_struct('top', round(a.best / a.tot, 4),
+                       'dup', round(a.dup / a.tot, 4))))""")
+      Seq(agg.getField("top").as(s"top${n}_frac"),
+        agg.getField("dup").as(s"dup${n}_frac"))
+    }
+    staged.select(col(idCol) +: metrics: _*)
+  }
+
+  // ---- BPE tokenizer training (see graft.functions.Bpe scaladoc for
+  // ---- the bounded-driver-fit scale story) ----
+
+  /** The distributed word histogram every BPE stage starts from:
+    * term + corpus count, map-side-combined before the one exchange. */
+  private def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokensLower(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+
+  /** Weighted adjacent-character-pair counts — BPE iteration 0, fully
+    * distributed and DuckDB-oracle-comparable. Counting happens on the
+    * DEDUPLICATED word histogram, so the char explode touches |vocab|
+    * rows, not |corpus| tokens. Top-`k` by (count desc, pair) plans
+    * TakeOrderedAndProject — per-partition k-heaps, never a full sort. */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int = 100): DataFrame =
+    wordCounts(df, textCol)
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"), col("c"))
+      .groupBy("pair").agg(sum("c").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+
+  /** Learn a BPE merge table from the corpus: the driver collects only
+    * the top-`maxWords` histogram rows (TakeOrdered k-heap — bounded,
+    * like the k-means fits in `Similarity`) and runs the merge loop on
+    * that. `maxWords` trades tail-word fidelity for driver memory; the
+    * Zipf head dominates pair counts, so modest bounds converge to the
+    * full-corpus table. */
+  def bpeLearn(df: DataFrame, textCol: String, maxWords: Int = 65536,
+      numMerges: Int = 256, minCount: Long = 2L): Array[graft.functions.Bpe.Merge] = {
+    val hist = wordCounts(df, textCol)
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    graft.functions.Bpe.train(hist.toSeq, numMerges, minCount)
+  }
+
+  /** Learned merges as a frame: rank, left, right, pair count. */
+  def bpeMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Array[graft.functions.Bpe.Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "n")
+  }
+
+  /** Encode every document with a learned table: id + subword tokens.
+    * One codegen'd pass (`BpeEncodeWords`), no shuffle, no UDF. */
+  def bpeEncodeDocs(df: DataFrame, idCol: String, textCol: String,
+      merges: Array[graft.functions.Bpe.Merge]): DataFrame =
+    df.select(col(idCol),
+      graft.functions.expressions.BpeEncodeWords
+        .bpe_encode(tokensLower(col(textCol)), merges).as("tokens"))
 }

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.Bpe.Merge
+import graft.pipeline.TextAnalysis
+
+/** Golden BPE fixtures: the merge loop and the encoder are pinned
+  * against a hand-computed Sennrich-style corpus (no end-of-word
+  * marker), plus the distributed faces over real testdata. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // histogram: low x5, lower x2, newest x6, widest x3
+  private val hist = Seq(
+    ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+
+  // Hand-derivation (weighted pair counts per round, count-desc then
+  // lexicographic tiebreak):
+  //   r0: (e,s)=9 ties (s,t)=9 -> "e s" wins
+  //   r1: (es,t)=9
+  //   r2: (l,o)=7 ties (o,w)=7 -> "l o" wins
+  //   r3: (lo,w)=7
+  //   r4: (e,w)=6 ties (n,e),(w,est) -> "e w" wins
+  //   r5: (ew,est)=6 ties (n,ew) -> "ew est" wins
+  private val golden = Array(
+    Merge(0, "e", "s", 9L), Merge(1, "es", "t", 9L),
+    Merge(2, "l", "o", 7L), Merge(3, "lo", "w", 7L),
+    Merge(4, "e", "w", 6L), Merge(5, "ew", "est", 6L))
+
+  test("train reproduces the hand-computed merge sequence") {
+    assert(Bpe.train(hist, 6).toSeq == golden.toSeq)
+  }
+
+  test("train stops when the best pair is below minCount") {
+    assert(Bpe.train(Seq(("ab", 1L)), 10, minCount = 2L).isEmpty)
+    // and keeps going past ties without double-counting
+    assert(Bpe.train(hist, 100).length >= 6)
+  }
+
+  test("encodeWord applies merges by rank priority, leftmost-first") {
+    val t = new Bpe.BpeTable(golden)
+    assert(t.encodeWord("newest").toSeq == Seq("n", "ewest"))
+    assert(t.encodeWord("low").toSeq == Seq("low"))
+    assert(t.encodeWord("lower").toSeq == Seq("low", "e", "r"))
+    assert(t.encodeWord("widest").toSeq == Seq("w", "i", "d", "est"))
+    // unseen word: only table pairs fuse
+    assert(t.encodeWord("wider").toSeq == Seq("w", "i", "d", "e", "r"))
+    // repeated pair: all occurrences fuse in one leftmost-first pass
+    assert(t.encodeWord("seses").toSeq == Seq("s", "es", "es"))
+    // overlap never double-consumes a symbol
+    assert(t.encodeWord("esss").toSeq == Seq("es", "s", "s"))
+    assert(t.encodeWord("").isEmpty)
+    // memo hit returns the identical segmentation
+    assert(t.encodeWord("newest").toSeq == Seq("n", "ewest"))
+  }
+
+  test("train segmentation and encodeWord agree on every trained word") {
+    // encode(lowest-rank-present) == train(sequential by rank): for a
+    // TRAINED table a later merge can never create an earlier pair, so
+    // the two orders coincide — assert it for the whole fixture vocab
+    val t = new Bpe.BpeTable(golden)
+    assert(t.encodeWord("newest").mkString("|") == "n|ewest")
+    assert(t.encodeWord("low").mkString("|") == "low")
+  }
+
+  test("bpePairCounts matches the hand census on a tiny corpus") {
+    // one doc per histogram word repetition keeps the counts identical
+    val docs = hist.flatMap { case (w, c) =>
+      Seq.fill(c.toInt)(w)
+    }.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(docs, "text", k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("es", 9L), ("st", 9L), ("we", 8L)))
+  }
+
+  test("bpeLearn + bpeEncodeDocs round-trip on real documents") {
+    val docs = spark.read.parquet(sf("documents")).limit(400)
+    val merges = TextAnalysis.bpeLearn(docs, "text",
+      maxWords = 2048, numMerges = 48)
+    assert(merges.length > 0 && merges.map(_.rank).toSeq ==
+      (0 until merges.length))
+    // every learned symbol is buildable from earlier merges or chars
+    val vocab = scala.collection.mutable.Set[String]()
+    merges.foreach { m =>
+      assert(m.left.length == 1 || vocab.contains(m.left),
+        s"left ${m.left} of rank ${m.rank} has no provenance")
+      assert(m.right.length == 1 || vocab.contains(m.right),
+        s"right ${m.right} of rank ${m.rank} has no provenance")
+      vocab += m.left + m.right
+    }
+    val enc = TextAnalysis.bpeEncodeDocs(docs, "doc_id", "text", merges)
+    val bad = enc.join(docs, "doc_id")
+      .where(concat_ws("", col("tokens")) =!=
+        regexp_replace(lower(trim(col("text"))), "\\s+", ""))
+      .count()
+    assert(bad == 0L, s"$bad documents fail BPE reconstruction")
+    // compression: merges must actually fuse — total tokens strictly
+    // below total characters-of-tokens
+    val (nTok, nChr) = enc.select(
+      sum(size(col("tokens"))).cast("long"),
+      sum(length(concat_ws("", col("tokens")))).cast("long"))
+      .as[(Long, Long)].head()
+    assert(nTok < nChr, s"no compression: $nTok tokens vs $nChr chars")
+  }
+
+  test("bpeEncodeDocs null and blank contracts") {
+    val docs = Seq((1L, "ab ab"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+    val merges = Array(Merge(0, "a", "b", 2L))
+    val got = TextAnalysis.bpeEncodeDocs(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    assert(got == Seq(
+      (1L, Seq("ab", "ab")), (2L, Seq.empty), (3L, Seq.empty)))
+  }
+}

@@ -142,4 +142,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
     assert(plan.contains("BroadcastExchange"))
   }
+
+  test("repetitionSignals matches the hand-computed gram census") {
+    val docs = Seq(
+      (1L, "a b a b c"),  // "a b" twice among 4 bigrams of len 3
+      (2L, "x x x x"),    // total 2/3/4-gram repetition
+      (3L, "solo"),       // no n-grams at all
+      (4L, "")            // blank
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    // doc 1: 2-grams tot=12 best=6 dup=6; 3-grams tot=15 best=5 dup=0;
+    //        4-grams tot=14 best=7 dup=0
+    assert(got(1L) == Seq(0.5, 0.5, 0.3333, 0.0, 0.5, 0.0))
+    // doc 2: "x x"x3 tot=9; "x x x"x2 tot=10; "x x x x"x1 tot=7
+    assert(got(2L) == Seq(1.0, 1.0, 1.0, 1.0, 1.0, 0.0))
+    assert(got(3L) == Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    assert(got(4L) == Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("repetitionSignals plans as a pure projection — zero exchanges") {
+    val docs = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val plan = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }
