@@ -471,4 +471,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
       s"expected a keyed join in q19:\n$p")
   }
+
+  test("text_bpe_pairs: k-heap top-k, partial-aggregated histogram") {
+    // the pair census must plan TakeOrderedAndProject (per-partition
+    // k-heaps), never a global Sort, and both groupBys must partial-
+    // aggregate map-side so the Zipf head collapses before the exchange
+    val q = SparkEntry.queries("text_bpe_pairs")(spark,
+      "/root/testdata/sf0.001")
+    val p = plan(q)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bpe pair top-k lost its k-heap:\n$p")
+    assert(!p.replace("TakeOrderedAndProject", "").contains("Sort"),
+      s"unexpected global sort in bpe pair census:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"histogram lost map-side partial aggregation:\n$p")
+  }
+
+  test("bpeEncodeDocs: encoding is a pure projection, zero exchanges") {
+    import spark.implicits._
+    val docs = Seq((1L, "low lower lowest")).toDF("doc_id", "text")
+    val merges = Array(graft.functions.Bpe.Merge(0, "l", "o", 3L))
+    val p = plan(graft.pipeline.TextAnalysis.bpeEncodeDocs(
+      docs, "doc_id", "text", merges))
+    assert(!p.contains("Exchange"), s"bpe encode introduced a shuffle:\n$p")
+  }
 }
