@@ -2222,6 +2222,11 @@ object SparkEntry {
       TextAnalysis.repetitionSignals(
         t(s, dir, "documents"), "doc_id", "text")),
 
+    "corpus_gopher_filter" -> ((s, dir) =>
+      // the composed Gopher ruleset verdict: signals + keep/drop +
+      // per-rule fail reasons, still one row-local projection
+      TextAnalysis.gopherFilter(t(s, dir, "documents"), "doc_id", "text")),
+
     "text_bm25" -> ((s, dir) =>
       // lexical retrieval: BM25 over a fixed query term set; only
       // query-term hits explode, df/N/avgdl broadcast
@@ -4752,6 +4757,58 @@ object SparkEntry {
          LEFT JOIN a a2 ON a2.doc_id = d.doc_id AND a2.n = 2
          LEFT JOIN a a3 ON a3.doc_id = d.doc_id AND a3.n = 3
          LEFT JOIN a a4 ON a4.doc_id = d.doc_id AND a4.n = 4""",
+
+    // Gopher ruleset: DuckDB recomputes every signal relationally and
+    // applies the same thresholds to the same rounded doubles; reason
+    // tags concatenate in the same fixed rule order
+    "corpus_gopher_filter" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+           FROM tok
+           CROSS JOIN LATERAL unnest(
+             generate_series(1, len(t) - 1)) AS u(i)
+           WHERE len(t) >= 2),
+         c AS (
+           SELECT doc_id, gram, count(*) AS cnt, length(gram) AS l
+           FROM g GROUP BY 1, 2),
+         rep AS (
+           SELECT doc_id,
+                  round(max(cnt * l) / sum(cnt * l), 4) AS top2,
+                  round(sum(CASE WHEN cnt >= 2 THEN cnt * l ELSE 0 END)
+                        / sum(cnt * l), 4) AS dup2
+           FROM c GROUP BY 1),
+         sig AS (
+           SELECT tok.doc_id,
+             CAST(len(list_filter(t, x -> length(x) > 0)) AS BIGINT)
+               AS n_tokens,
+             round(list_aggregate(list_transform(t, x -> length(x)),
+                     'sum') / greatest(len(t), 1), 4) AS mean_wlen,
+             CAST(len(list_intersect(t, ['the','and','of','to','in',
+               'is','that','for'])) AS BIGINT) AS n_stop,
+             coalesce(rep.top2, 0) AS top2_frac,
+             coalesce(rep.dup2, 0) AS dup2_frac
+           FROM tok LEFT JOIN rep ON rep.doc_id = tok.doc_id),
+         verdict AS (
+           SELECT *,
+             -- DuckDB's array_to_string is NULL on an empty list where
+             -- Spark's array_join is '' — coalesce restores parity
+             coalesce(array_to_string(list_filter([
+               CASE WHEN n_tokens < 30 THEN 'tokens_lo' END,
+               CASE WHEN n_tokens > 100000 THEN 'tokens_hi' END,
+               CASE WHEN mean_wlen < 4.0 THEN 'wordlen_lo' END,
+               CASE WHEN mean_wlen > 10.0 THEN 'wordlen_hi' END,
+               CASE WHEN n_stop < 1 THEN 'stopwords' END,
+               CASE WHEN top2_frac > 0.06 THEN 'rep_top2' END,
+               CASE WHEN dup2_frac > 0.10 THEN 'rep_dup2' END],
+               x -> x IS NOT NULL), ','), '') AS fail_reasons
+           FROM sig)
+         SELECT doc_id, n_tokens, mean_wlen, n_stop, top2_frac,
+                dup2_frac, fail_reasons = '' AS keep, fail_reasons
+         FROM verdict""",
 
     "text_tfidf" ->
       """WITH tok AS (

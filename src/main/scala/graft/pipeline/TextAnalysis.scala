@@ -294,32 +294,85 @@ object TextAnalysis {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram sizes: $ns")
     val staged = df.select(col(idCol), tokensLower(col(textCol)).as("__t"))
     val metrics = ns.flatMap { n =>
-      // fold over the SORTED grams: equal grams are adjacent, so one
-      // pass recovers every gram's count as a run length. `best` peaks
-      // at count*len of the most frequent gram; `dup` adds 2*len when a
-      // run reaches 2 and len for each further repeat (= count*len for
-      // every gram with count >= 2); `tot` is all occurrence chars.
-      val agg = expr(s"""aggregate(
-        array_sort(if(size(__t) < $n, array(),
-          transform(sequence(1, size(__t) - $n + 1),
-            i -> array_join(slice(__t, i, $n), ' ')))),
-        named_struct('prev', cast(null as string), 'run', 0L,
-                     'best', 0L, 'dup', 0L, 'tot', 0L),
-        (a, x) -> named_struct(
-          'prev', x,
-          'run', if(x <=> a.prev, a.run + 1L, 1L),
-          'best', greatest(a.best,
-            if(x <=> a.prev, a.run + 1L, 1L) * length(x)),
-          'dup', a.dup + if(x <=> a.prev,
-            if(a.run = 1L, 2L, 1L) * length(x), 0L),
-          'tot', a.tot + length(x)),
-        a -> if(a.tot = 0L, named_struct('top', 0.0D, 'dup', 0.0D),
-          named_struct('top', round(a.best / a.tot, 4),
-                       'dup', round(a.dup / a.tot, 4))))""")
+      val agg = gramRunStats("__t", n)
       Seq(agg.getField("top").as(s"top${n}_frac"),
         agg.getField("dup").as(s"dup${n}_frac"))
     }
     staged.select(col(idCol) +: metrics: _*)
+  }
+
+  /** Fold over the SORTED n-grams of token-array column `tokCol`:
+    * equal grams are adjacent, so one pass recovers every gram's count
+    * as a run length. `best` peaks at count*len of the most frequent
+    * gram; `dup` adds 2*len when a run reaches 2 and len for each
+    * further repeat (= count*len for every gram with count >= 2);
+    * `tot` is all occurrence chars. Returns struct(top, dup) —
+    * character fractions rounded to 4 decimals, 0.0 on no grams. */
+  private def gramRunStats(tokCol: String, n: Int): Column =
+    expr(s"""aggregate(
+      array_sort(if(size($tokCol) < $n, array(),
+        transform(sequence(1, size($tokCol) - $n + 1),
+          i -> array_join(slice($tokCol, i, $n), ' ')))),
+      named_struct('prev', cast(null as string), 'run', 0L,
+                   'best', 0L, 'dup', 0L, 'tot', 0L),
+      (a, x) -> named_struct(
+        'prev', x,
+        'run', if(x <=> a.prev, a.run + 1L, 1L),
+        'best', greatest(a.best,
+          if(x <=> a.prev, a.run + 1L, 1L) * length(x)),
+        'dup', a.dup + if(x <=> a.prev,
+          if(a.run = 1L, 2L, 1L) * length(x), 0L),
+        'tot', a.tot + length(x)),
+      a -> if(a.tot = 0L, named_struct('top', 0.0D, 'dup', 0.0D),
+        named_struct('top', round(a.best / a.tot, 4),
+                     'dup', round(a.dup / a.tot, 4))))""")
+
+  /**
+   * The Gopher quality-filter RULESET composed into one keep/drop
+   * verdict per document (Rae et al. 2021 §A1.1 structure; thresholds
+   * parameterized — defaults tuned to split rather than pass-all).
+   * Emits every signal, the verdict, and `fail_reasons` (the failing
+   * rule tags in fixed order) so a pipeline can audit WHY a document
+   * dropped — the form every production corpus filter takes.
+   *
+   * Scale shape: row-local projection like `repetitionSignals` — zero
+   * exchanges, composes with it and `scoreDocuments` in one pass.
+   */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 30, maxTokens: Int = 100000,
+      minMeanWordLen: Double = 4.0, maxMeanWordLen: Double = 10.0,
+      minDistinctStopwords: Int = 1,
+      maxTop2Frac: Double = 0.06, maxDup2Frac: Double = 0.10): DataFrame = {
+    val stopEn = stopwords("en")
+    val staged = df.select(col(idCol), tokensLower(col(textCol)).as("__t"))
+    val nTokens = size(F.filter(col("__t"), t => length(t) > 0))
+      .cast("long").as("n_tokens")
+    val meanWlen = round(
+      expr("aggregate(__t, 0L, (a, x) -> a + length(x))") /
+        greatest(size(col("__t")).cast("long"), lit(1L)), 4)
+      .as("mean_wlen")
+    // array_intersect dedups — distinct stopword count, not occurrences
+    val nStop = size(array_intersect(col("__t"),
+      array(stopEn.map(lit): _*))).cast("long").as("n_stop")
+    val rep = gramRunStats("__t", 2)
+    val sig = staged.select(col(idCol), nTokens, meanWlen, nStop,
+      rep.getField("top").as("top2_frac"),
+      rep.getField("dup").as("dup2_frac"))
+    val rules = Seq(
+      (col("n_tokens") < minTokens, "tokens_lo"),
+      (col("n_tokens") > maxTokens, "tokens_hi"),
+      (col("mean_wlen") < minMeanWordLen, "wordlen_lo"),
+      (col("mean_wlen") > maxMeanWordLen, "wordlen_hi"),
+      (col("n_stop") < minDistinctStopwords, "stopwords"),
+      (col("top2_frac") > maxTop2Frac, "rep_top2"),
+      (col("dup2_frac") > maxDup2Frac, "rep_dup2"))
+    val reasons = array_join(F.filter(
+      array(rules.map { case (c, tag) =>
+        when(c, lit(tag)).otherwise(lit(null).cast("string")) }: _*),
+      x => x.isNotNull), ",")
+    sig.select(col(idCol), col("n_tokens"), col("mean_wlen"),
+      col("n_stop"), col("top2_frac"), col("dup2_frac"),
+      (reasons === "").as("keep"), reasons.as("fail_reasons"))
   }
 
   // ---- BPE tokenizer training (see graft.functions.Bpe scaladoc for

@@ -161,6 +161,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) == Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
   }
 
+  test("gopherFilter verdicts and ordered fail reasons") {
+    val keeper = (Seq("the") ++ (0 until 30).map(i => s"word$i"))
+      .mkString(" ")
+    val docs = Seq(
+      (1L, Seq.fill(40)("ha").mkString(" ")), // repetitive 2-char soup
+      (2L, "tiny doc"),
+      (3L, keeper)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+      .select("doc_id", "keep", "fail_reasons")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2))))
+      .toMap
+    // doc 1: mean_wlen 2.0, no stopwords, top2=dup2=1.0
+    assert(got(1L) == ((false, "wordlen_lo,stopwords,rep_top2,rep_dup2")))
+    // doc 2: 2 tokens, mean 3.5, one gram (top2=1.0, dup2=0)
+    assert(got(2L) == ((false, "tokens_lo,wordlen_lo,stopwords,rep_top2")))
+    // doc 3: 31 tokens, 'the' present, all bigrams distinct
+    assert(got(3L) == ((true, "")))
+  }
+
   test("repetitionSignals plans as a pure projection — zero exchanges") {
     val docs = Seq((1L, "a b a")).toDF("doc_id", "text")
     val plan = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
