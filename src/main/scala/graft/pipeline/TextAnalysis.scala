@@ -275,6 +275,12 @@ object TextAnalysis {
    * "duplicate n-gram character fraction" — the strongest public
    * heuristics for machine-generated / boilerplate text).
    *
+   * Complements `CorpusOps.repetitionStats`, which computes the
+   * COUNT-based cousins (distinct-token fraction, duplicated-2-gram
+   * occurrence fraction, top-token share): the paper's thresholds are
+   * stated over CHARACTER mass, which weights long repeated phrases
+   * more than short ones, and extend to n = 3, 4.
+   *
    * For each n in `ns`, per document:
    *   - `top{n}_frac`: characters covered by the single most frequent
    *     word n-gram (count x gram length) over all n-gram characters;
