@@ -298,7 +298,10 @@ object TextAnalysis {
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
       ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram sizes: $ns")
-    val staged = df.select(col(idCol), tokensLower(col(textCol)).as("__t"))
+    // null text folds to the no-grams case (0.0 everywhere), not a
+    // null row that comparisons would silently skip
+    val staged = df.select(col(idCol),
+      tokensLower(coalesce(col(textCol), lit(""))).as("__t"))
     val metrics = ns.flatMap { n =>
       val agg = gramRunStats("__t", n)
       Seq(agg.getField("top").as(s"top${n}_frac"),
@@ -350,7 +353,10 @@ object TextAnalysis {
       minDistinctStopwords: Int = 1,
       maxTop2Frac: Double = 0.06, maxDup2Frac: Double = 0.10): DataFrame = {
     val stopEn = stopwords("en")
-    val staged = df.select(col(idCol), tokensLower(col(textCol)).as("__t"))
+    // null text must DROP (n_tokens 0 -> tokens_lo), not ride null
+    // comparisons past every rule into a keep verdict
+    val staged = df.select(col(idCol),
+      tokensLower(coalesce(col(textCol), lit(""))).as("__t"))
     val nTokens = size(F.filter(col("__t"), t => length(t) > 0))
       .cast("long").as("n_tokens")
     val meanWlen = round(

@@ -181,6 +181,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) == ((true, "")))
   }
 
+  test("gopherFilter and repetitionSignals drop null text, not keep it") {
+    val docs = Seq((1L, null: String)).toDF("doc_id", "text")
+    val v = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+      .select("keep", "fail_reasons", "n_tokens").head()
+    assert(!v.getBoolean(0))
+    assert(v.getString(1).contains("tokens_lo"))
+    assert(v.getLong(2) == 0L)
+    val r = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .head().toSeq.tail
+    assert(r == Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+  }
+
   test("repetitionSignals plans as a pure projection — zero exchanges") {
     val docs = Seq((1L, "a b a")).toDF("doc_id", "text")
     val plan = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
