@@ -24,6 +24,16 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Total bytes of a table path via the Hadoop FileSystem API — works
+    * for a single parquet file, a Spark-written directory of part
+    * files, and remote filesystems alike (java.io.File.length returns
+    * 0/4096 for those, silently collapsing size-scaled heuristics). */
+  private def tableBytes(s: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
   /** Month-partitioned lineitem copy for join_dpp, built at most once
     * per source dir per JVM (and reused across JVMs via the _SUCCESS
     * marker): the per-run rewrite was ~40% of the bench cell's wall,
@@ -1190,8 +1200,7 @@ object SparkEntry {
       // a pin. (The bigger 100x win was in connectedComponents
       // itself: single-pass edge symmetrization, 290 s -> 130 s.)
       math.max(8L, math.min(32L,
-        (new java.io.File(s"$dir/lineitem.parquet").length >> 24) + 1))
-        .toInt) {
+        (tableBytes(s, s"$dir/lineitem.parquet") >> 24) + 1)).toInt) {
       // candidate pairs -> dedup clusters: connected components by
       // min-label propagation with pointer jumping (O(log diameter)
       // rounds). Edge fixture: chains linking consecutive line numbers
@@ -1610,7 +1619,9 @@ object SparkEntry {
       // Planted exact pairs stay deterministic under banding
       // (identical vectors share every band hash) and the organic
       // >=0.999 band can only shrink, so the oracle is path-invariant.
-      val k = math.max(64L, math.min(512L, e.count() * 2 / 1500)).toInt
+      // one count() job serves both the k rule and the organic ceiling
+      val n = e.count()
+      val k = math.max(64L, math.min(512L, n * 2 / 1500)).toInt
       val pairs = Similarity.semanticDedup(doubled, "vec_id", "embedding",
         tau = 0.999, nClusters = k, maxCellRows = 40)
         .localCheckpoint(true)
@@ -1623,7 +1634,6 @@ object SparkEntry {
       // near-identical vectors at an unverified sf cannot flip the
       // suite hash, while an in-cell false-positive blowup (>> n/100)
       // still fails loudly
-      val n = e.count()
       pairs.filter(col("dup_id") === col("keep_id") + 1000000)
         .select(col("keep_id"), col("score"))
         .withColumn("organic_in_band",
@@ -4714,16 +4724,19 @@ object SparkEntry {
          FROM pairs GROUP BY 1
          QUALIFY row_number() OVER (ORDER BY n DESC, pair) <= 100""",
 
-    // BPE losslessness: token concatenation == whitespace-stripped text
+    // BPE losslessness: token concatenation == whitespace-stripped
+    // text (null text encodes to zero tokens -> '' on both engines)
     "text_bpe_roundtrip" ->
       """SELECT doc_id,
-                regexp_replace(lower(trim(text)), '\s+', '', 'g')
-                  AS joined
+                regexp_replace(lower(trim(coalesce(text, ''))),
+                  '\s+', '', 'g') AS joined
          FROM documents""",
 
     // repetition signals: DuckDB rebuilds each doc's n-gram histogram
     // relationally (unnest + group by); fraction arithmetic is double
-    // division of the same exact integers on both engines
+    // division of the same exact integers on both engines, rounded
+    // with the explicit floor half-up form both engines compute
+    // identically (round() diverges on .xxxx5, see timeseries_resample)
     "text_repetition" ->
       """WITH tok AS (
            SELECT doc_id,
@@ -4742,17 +4755,18 @@ object SparkEntry {
            FROM g GROUP BY 1, 2, 3),
          a AS (
            SELECT doc_id, n,
-                  max(cnt * l) AS best,
-                  sum(CASE WHEN cnt >= 2 THEN cnt * l ELSE 0 END) AS dup,
-                  sum(cnt * l) AS tot
+                  floor(max(cnt * l) / sum(cnt * l) * 10000.0 + 0.5)
+                    / 10000.0 AS top,
+                  floor(sum(CASE WHEN cnt >= 2 THEN cnt * l ELSE 0 END)
+                    / sum(cnt * l) * 10000.0 + 0.5) / 10000.0 AS dup
            FROM c GROUP BY 1, 2)
          SELECT d.doc_id,
-                round(coalesce(a2.best / a2.tot, 0), 4) AS top2_frac,
-                round(coalesce(a2.dup  / a2.tot, 0), 4) AS dup2_frac,
-                round(coalesce(a3.best / a3.tot, 0), 4) AS top3_frac,
-                round(coalesce(a3.dup  / a3.tot, 0), 4) AS dup3_frac,
-                round(coalesce(a4.best / a4.tot, 0), 4) AS top4_frac,
-                round(coalesce(a4.dup  / a4.tot, 0), 4) AS dup4_frac
+                coalesce(a2.top, 0) AS top2_frac,
+                coalesce(a2.dup, 0) AS dup2_frac,
+                coalesce(a3.top, 0) AS top3_frac,
+                coalesce(a3.dup, 0) AS dup3_frac,
+                coalesce(a4.top, 0) AS top4_frac,
+                coalesce(a4.dup, 0) AS dup4_frac
          FROM documents d
          LEFT JOIN a a2 ON a2.doc_id = d.doc_id AND a2.n = 2
          LEFT JOIN a a3 ON a3.doc_id = d.doc_id AND a3.n = 3
@@ -4777,16 +4791,18 @@ object SparkEntry {
            FROM g GROUP BY 1, 2),
          rep AS (
            SELECT doc_id,
-                  round(max(cnt * l) / sum(cnt * l), 4) AS top2,
-                  round(sum(CASE WHEN cnt >= 2 THEN cnt * l ELSE 0 END)
-                        / sum(cnt * l), 4) AS dup2
+                  floor(max(cnt * l) / sum(cnt * l) * 10000.0 + 0.5)
+                    / 10000.0 AS top2,
+                  floor(sum(CASE WHEN cnt >= 2 THEN cnt * l ELSE 0 END)
+                    / sum(cnt * l) * 10000.0 + 0.5) / 10000.0 AS dup2
            FROM c GROUP BY 1),
          sig AS (
            SELECT tok.doc_id,
              CAST(len(list_filter(t, x -> length(x) > 0)) AS BIGINT)
                AS n_tokens,
-             round(list_aggregate(list_transform(t, x -> length(x)),
-                     'sum') / greatest(len(t), 1), 4) AS mean_wlen,
+             floor(list_aggregate(list_transform(t, x -> length(x)),
+                 'sum') / greatest(len(t), 1) * 10000.0 + 0.5)
+               / 10000.0 AS mean_wlen,
              CAST(len(list_intersect(t, ['the','and','of','to','in',
                'is','that','for'])) AS BIGINT) AS n_stop,
              coalesce(rep.top2, 0) AS top2_frac,

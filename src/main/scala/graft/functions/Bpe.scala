@@ -27,6 +27,13 @@ import java.util.{ArrayList => JArrayList, HashMap => JHashMap, LinkedHashMap =>
  * Determinism: merge selection breaks count ties lexicographically on
  * (left, right), so the learned table is identical across partition
  * counts and runs — required for the hash-compared oracle rows.
+ *
+ * Pairs are keyed as (left, right) TUPLES, never as a separator-joined
+ * string: a joined key is ambiguous the moment a symbol contains the
+ * separator character (binary junk survives the whitespace tokenizer),
+ * which would corrupt the census split and collide distinct pairs in
+ * the rank table. For separator-free symbols the tuple order equals
+ * the old joined order, so learned tables are unchanged.
  */
 object Bpe {
 
@@ -34,8 +41,6 @@ object Bpe {
     * (0 = first/highest-priority merge); `n` is the weighted pair count
     * at selection time. */
   final case class Merge(rank: Int, left: String, right: String, n: Long)
-
-  private[functions] val Sep = '\u0000'
 
   /** Split a word into its initial symbols (code points, so surrogate
     * pairs never split). */
@@ -71,14 +76,14 @@ object Bpe {
     var done = false
     while (r < numMerges && !done) {
       // weighted adjacent-pair census over the current segmentation
-      val pc = new JHashMap[String, Long]
+      val pc = new JHashMap[(String, String), Long]
       var wi = 0
       while (wi < words.length) {
         val syms = words(wi)
         val c = counts(wi)
         var i = 0
         while (i < syms.size - 1) {
-          pc.merge(syms.get(i) + Sep + syms.get(i + 1), c,
+          pc.merge((syms.get(i), syms.get(i + 1)), c,
             (a: Long, b: Long) => a + b)
           i += 1
         }
@@ -86,22 +91,22 @@ object Bpe {
       }
       // deterministic argmax: count desc, then (left, right) asc —
       // explicit comparison, never map iteration order
-      var bestKey: String = null
+      var bestKey: (String, String) = null
       var bestN = 0L
       val it = pc.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
         val k = e.getKey
         val n = e.getValue
-        if (n > bestN || (n == bestN && (bestKey == null || k < bestKey))) {
-          bestKey = k; bestN = n
-        }
+        val wins = n > bestN || (n == bestN && (bestKey == null ||
+          k._1 < bestKey._1 ||
+          (k._1 == bestKey._1 && k._2 < bestKey._2)))
+        if (wins) { bestKey = k; bestN = n }
       }
       if (bestKey == null || bestN < minCount) done = true
       else {
-        val sep = bestKey.indexOf(Sep)
-        val left = bestKey.substring(0, sep)
-        val right = bestKey.substring(sep + 1)
+        val left = bestKey._1
+        val right = bestKey._2
         merges += Merge(r, left, right, bestN)
         val fused = left + right
         // apply to every word: leftmost-first, non-overlapping
@@ -133,8 +138,8 @@ object Bpe {
    */
   final class BpeTable(merges: Array[Merge]) extends Serializable {
     private val ranks = {
-      val m = new JHashMap[String, Integer](merges.length * 2)
-      merges.foreach(mg => m.put(mg.left + Sep + mg.right, mg.rank))
+      val m = new JHashMap[(String, String), Integer](merges.length * 2)
+      merges.foreach(mg => m.put((mg.left, mg.right), mg.rank))
       m
     }
 
@@ -162,7 +167,7 @@ object Bpe {
         var bi = -1
         var i = 0
         while (i < syms.size - 1) {
-          val r = ranks.get(syms.get(i) + Sep + syms.get(i + 1))
+          val r = ranks.get((syms.get(i), syms.get(i + 1)))
           if (r != null && r < bestRank) { bestRank = r; bi = i }
           i += 1
         }

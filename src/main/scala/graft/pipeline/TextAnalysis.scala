@@ -316,7 +316,10 @@ object TextAnalysis {
     * gram; `dup` adds 2*len when a run reaches 2 and len for each
     * further repeat (= count*len for every gram with count >= 2);
     * `tot` is all occurrence chars. Returns struct(top, dup) —
-    * character fractions rounded to 4 decimals, 0.0 on no grams. */
+    * character fractions rounded to 4 decimals, 0.0 on no grams.
+    * Rounding is the explicit floor half-up form, not round(): Spark
+    * rounds the shortest decimal repr where DuckDB rounds the binary
+    * value, and they diverge on .xxxx5 (see timeseries_resample). */
   private def gramRunStats(tokCol: String, n: Int): Column =
     expr(s"""aggregate(
       array_sort(if(size($tokCol) < $n, array(),
@@ -333,8 +336,9 @@ object TextAnalysis {
           if(a.run = 1L, 2L, 1L) * length(x), 0L),
         'tot', a.tot + length(x)),
       a -> if(a.tot = 0L, named_struct('top', 0.0D, 'dup', 0.0D),
-        named_struct('top', round(a.best / a.tot, 4),
-                     'dup', round(a.dup / a.tot, 4))))""")
+        named_struct(
+          'top', floor(a.best / a.tot * 10000.0D + 0.5D) / 10000.0D,
+          'dup', floor(a.dup / a.tot * 10000.0D + 0.5D) / 10000.0D)))""")
 
   /**
    * The Gopher quality-filter RULESET composed into one keep/drop
@@ -359,10 +363,12 @@ object TextAnalysis {
       tokensLower(coalesce(col(textCol), lit(""))).as("__t"))
     val nTokens = size(F.filter(col("__t"), t => length(t) > 0))
       .cast("long").as("n_tokens")
-    val meanWlen = round(
+    // explicit floor half-up (cross-engine .xxxx5 parity, see
+    // gramRunStats)
+    val meanWlen = (floor(
       expr("aggregate(__t, 0L, (a, x) -> a + length(x))") /
-        greatest(size(col("__t")).cast("long"), lit(1L)), 4)
-      .as("mean_wlen")
+        greatest(size(col("__t")).cast("long"), lit(1L)) * 10000.0 + 0.5)
+      .cast("long") / 10000.0).as("mean_wlen")
     // array_intersect dedups — distinct stopword count, not occurrences
     val nStop = size(array_intersect(col("__t"),
       array(stopEn.map(lit): _*))).cast("long").as("n_stop")
@@ -436,10 +442,13 @@ object TextAnalysis {
   }
 
   /** Encode every document with a learned table: id + subword tokens.
-    * One codegen'd pass (`BpeEncodeWords`), no shuffle, no UDF. */
+    * One codegen'd pass (`BpeEncodeWords`), no shuffle, no UDF. Null
+    * text encodes like blank text (empty token array) so downstream
+    * concat/count algebra never sees a null row. */
   def bpeEncodeDocs(df: DataFrame, idCol: String, textCol: String,
       merges: Array[graft.functions.Bpe.Merge]): DataFrame =
     df.select(col(idCol),
       graft.functions.expressions.BpeEncodeWords
-        .bpe_encode(tokensLower(col(textCol)), merges).as("tokens"))
+        .bpe_encode(tokensLower(coalesce(col(textCol), lit(""))), merges)
+        .as("tokens"))
 }

@@ -16,7 +16,29 @@ R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 import os
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
-con.sql(f"CREATE VIEW reps AS SELECT i AS r FROM range({R}) t(i)")
+
+
+def perm(r):
+    """Deterministic per-replica alphabet permutation (explicit LCG
+    Fisher-Yates — stable across Python versions). A plain rotation
+    collides mod 26: replicas r and r+26 would be byte-identical,
+    silently re-introducing the duplicate explosion dissimilar
+    replicas exist to avoid."""
+    a = list("abcdefghijklmnopqrstuvwxyz")
+    s = 2 * r + 1
+    for i in range(25, 0, -1):
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        j = (s >> 33) % (i + 1)
+        a[i], a[j] = a[j], a[i]
+    p = "".join(a)
+    if p == "abcdefghijklmnopqrstuvwxyz":  # force non-identity
+        p = p[1] + p[0] + p[2:]
+    return p
+
+
+vals = ", ".join(f"({r}, '{perm(r)}')" for r in range(R))
+con.sql("CREATE VIEW reps AS SELECT * FROM "
+        f"(VALUES {vals}) t(r, perm)")
 
 def gen(table, select):
     con.sql(
@@ -37,13 +59,14 @@ gen("orders",
 nd = con.sql(f"SELECT max(doc_id)+1 FROM '{SRC}/documents.parquet'").fetchone()[0]
 cols = [c[0] for c in con.sql(
     f"DESCRIBE SELECT * FROM '{SRC}/documents.parquet'").fetchall()]
-# text is alphabet-ROTATED per replica so replicas are DISSIMILAR
-# (verbatim copies turn every dedup run into a duplicate-explosion
-# stress where the OUTPUT, not the algorithm, dominates — fine as a
-# worst case, wrong for a scaling curve); r=0 keeps the original
+# text gets a per-replica alphabet PERMUTATION so replicas are
+# DISSIMILAR at any R (verbatim copies turn every dedup run into a
+# duplicate-explosion stress where the OUTPUT, not the algorithm,
+# dominates — fine as a worst case, wrong for a scaling curve);
+# r=0 keeps the original
 az = "abcdefghijklmnopqrstuvwxyz"
 rot = ("CASE WHEN r = 0 THEN text ELSE translate(text, '" + az +
-       "', substr('" + az + az + "', 1 + (r % 26), 26)) END")
+       "', perm) END")
 rest = ", ".join(c for c in cols if c not in ("doc_id", "text"))
 gen("documents", f"doc_id + r*{nd} AS doc_id, {rot} AS text, {rest}")
 ne = con.sql(f"SELECT max(event_id)+1 FROM '{SRC}/events.parquet'").fetchone()[0]
