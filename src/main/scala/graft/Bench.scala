@@ -124,13 +124,24 @@ object Bench {
     val diags = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val cells = scala.collection.mutable.LinkedHashMap
       .empty[String, (Double, Long, Long, Long, Long)]
-    val results = selected.map { case (name, fn) =>
+    val failedQ = scala.collection.mutable.LinkedHashMap
+      .empty[String, String]
+    val results = selected.flatMap { case (name, fn) =>
       diag.snapshot() // drop metrics from setup/the previous cleanup
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a thrown query must surface as FAILED, never as a plausible
+      // near-zero cell (a missing fixture table once read as a set of
+      // impossibly fast 5 ms TPC-H cells)
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          failedQ(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.next().take(160)
+          System.err.println(s"[bench] $name FAILED: ${failedQ(name)}")
+          false
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       val (gc, sm, sd, run) = diag.snapshot()
-      cells(name) = (dt, gc, sm, sd, run)
+      if (ok) cells(name) = (dt, gc, sm, sd, run)
       // queries that persist intermediates (dedup signatures) must not
       // bleed cached blocks / GC pressure into later measurements;
       // clearCache only drops catalog-cached relations, so release
@@ -141,7 +152,7 @@ object Bench {
       // 3-4x inflation of the banded-join queries late in the sweep
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
-      name -> dt
+      if (ok) Some(name -> dt) else None
     }
     def fmt(v: Double): String = f"$v%.3f"
     // pinned-anchor normalization: apply_moving_avg is the committed
@@ -194,7 +205,11 @@ object Bench {
           .getOrElse("") + "}"
     }.getOrElse("")
     val overJson = s""","over_cells":${overCells
-      .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      .map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+      (if (failedQ.isEmpty) "" else s""","failed":${failedQ
+        .map { case (k, m) => "\"" + k + "\":\"" +
+          m.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+        .mkString("{", ",", "}")}""")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

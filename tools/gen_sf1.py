@@ -87,4 +87,13 @@ flip = ("CASE WHEN r = 0 THEN embedding ELSE "
         "x * (CASE WHEN hash(i * 131 + r * 7919) % 2 = 0 "
         "THEN 1 ELSE -1 END)) END")
 gen("embeddings", f"vec_id + r*{nv} AS vec_id, {flip} AS embedding, {vrest}")
+# dimension tables copy UNSCALED (the TPC-H campaign joins replicated
+# facts against them; fact keys like o_custkey are left in the base
+# domain on purpose). Without these the TPC-H queries fail table
+# resolution at the replica dir — and Bench records a near-zero cell
+# for a thrown query, which reads as impossibly fast instead of broken.
+for t in ("region", "nation", "customer", "supplier", "part"):
+    con.sql(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO "
+            f"'{DST}/{t}.parquet' (FORMAT PARQUET)")
+    print(f"{t}: copied unscaled")
 print("done ->", DST)
