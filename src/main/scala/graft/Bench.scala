@@ -166,7 +166,11 @@ object Bench {
     } yield dt / fl).getOrElse(1.0)
     // per-cell verdict against the committed floor:
     //   ok        within 2x floor
-    //   ambient   over 2x raw, within 2x after anchor normalization
+    //   ambient   over 2x raw, within 2x after anchor normalization —
+    //             ONLY when the anchor itself shows contention
+    //             (anchorRatio > 1.5) and never for the anchor query
+    //             (it cannot self-normalize: a regressed anchor would
+    //             mark itself and every other cell ambient)
     //   idle_wall over 2x but the executors were idle most of the wall
     //             with zero gc/spill — scheduler/IO ambience, not the
     //             query's compute (the shape re-adjudicated by hand in
@@ -182,8 +186,8 @@ object Bench {
           val ratio = dt / fl
           val v =
             if (ratio <= 2.0) "ok"
-            else if (anchorRatio > 1.0 && ratio / anchorRatio <= 2.0)
-              "ambient"
+            else if (anchorRatio > 1.5 && name != anchorName &&
+              ratio / anchorRatio <= 2.0) "ambient"
             else if (run / 1000.0 < 0.5 * dt && gc < 200 &&
               sm == 0L && sd == 0L) "idle_wall"
             else "over"

@@ -35,16 +35,29 @@ object SparkEntry {
   }
 
   /** Month-partitioned lineitem copy for join_dpp, built at most once
-    * per source dir per JVM (and reused across JVMs via the _SUCCESS
-    * marker): the per-run rewrite was ~40% of the bench cell's wall,
-    * drowning the pruned join it exists to measure. */
+    * per source-dir CONTENT per JVM (and reused across JVMs via the
+    * _SUCCESS marker): the per-run rewrite was ~40% of the bench
+    * cell's wall, drowning the pruned join it exists to measure.
+    *
+    * The cache key digests the dir string PLUS the source lineitem's
+    * (size, mtime): a regenerated-in-place source (gen_sf1.py's
+    * disposable /tmp output) gets a fresh fixture instead of silently
+    * reusing the previous dataset's copy, and SHA-256 (vs the old
+    * 32-bit hashCode) makes distinct dirs colliding a non-event. */
   private val dppFixtureDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dppFixture(s: SparkSession, dir: String): String =
     dppFixtureDirs.computeIfAbsent(dir, _ => {
+      val src = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+      val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(src)
+      val key = s"$dir|${fs.getContentSummary(src).getLength}|" +
+        s"${st.getModificationTime}"
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(key.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString
       val base = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        "graft_dpp_" + Integer.toHexString(dir.hashCode))
+        sys.props("java.io.tmpdir"), "graft_dpp_" + digest)
       val factDir = base.resolve("lineitem_bym")
       if (!java.nio.file.Files.exists(factDir.resolve("_SUCCESS")))
         t(s, dir, "lineitem")

@@ -110,8 +110,13 @@ object GroupTopK {
    * GROUP BY semantics. Same non-null contract as [[topk]] for
    * value/id. The winners side is NOT hinted: at k × groups under the
    * autoBroadcastJoinThreshold AQE broadcasts it from the observed
-   * shuffle-stage size, and an unbounded group domain degrades to a
-   * shuffled join of winner ids (never payloads) instead of an
+   * shuffle-stage size — the payload-never-shuffled guarantee above
+   * holds on that (overwhelmingly common) path. With an unbounded
+   * group domain over threshold (or AQE/broadcast disabled) the join
+   * degrades to a shuffled join, which DOES move the payload through
+   * one exchange — the same single payload shuffle the window
+   * formulation always pays, so the degraded mode matches the
+   * baseline cost rather than beating it, instead of risking an
    * over-threshold driver broadcast.
    *
    * @param rankCol name of the appended bigint rank column (1-based)

@@ -47,14 +47,20 @@ def gen(table, select):
     n = con.sql(f"SELECT count(*) FROM '{DST}/{table}.parquet'").fetchone()[0]
     print(f"{table}: {n} rows")
 
-mo = con.sql(f"SELECT max(l_orderkey)+1 FROM '{SRC}/lineitem.parquet'").fetchone()[0]
+# ONE shared orderkey offset for both fact tables: independent maxima
+# only preserve the orders<->lineitem join by coincidence (they are
+# equal today because the highest-keyed order happens to have
+# lineitems; a source where it doesn't would silently shear the join
+# across replicas)
+mo = con.sql(
+    f"SELECT greatest((SELECT max(l_orderkey) FROM '{SRC}/lineitem.parquet'), "
+    f"(SELECT max(o_orderkey) FROM '{SRC}/orders.parquet')) + 1").fetchone()[0]
 gen("lineitem",
     f"l_orderkey + r*{mo} AS l_orderkey, l_partkey, l_suppkey, "
     "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
     "l_returnflag, l_linestatus, l_shipdate")
-oo = con.sql(f"SELECT max(o_orderkey)+1 FROM '{SRC}/orders.parquet'").fetchone()[0]
 gen("orders",
-    f"o_orderkey + r*{oo} AS o_orderkey, o_custkey, o_orderstatus, "
+    f"o_orderkey + r*{mo} AS o_orderkey, o_custkey, o_orderstatus, "
     "o_totalprice, o_orderdate, o_orderpriority")
 nd = con.sql(f"SELECT max(doc_id)+1 FROM '{SRC}/documents.parquet'").fetchone()[0]
 cols = [c[0] for c in con.sql(

@@ -18,8 +18,12 @@ for s in sweeps:
     names.update(s["queries"].keys())
 changed = []
 for n in sorted(names):
+    # never ratchet from a crashed cell (Bench >= r13 excludes failed
+    # queries from "queries" and lists them under "failed"; the guard
+    # also protects against artifacts from older binaries)
     vals = [s["queries"][n] for s in sweeps
-            if n in s["queries"] and s["queries"][n] > 0]
+            if n in s["queries"] and s["queries"][n] > 0
+            and n not in s.get("failed", {})]
     if not vals:
         continue
     m = round(min(vals), 3)
