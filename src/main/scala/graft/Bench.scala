@@ -72,7 +72,11 @@ object Bench {
     if (warmDir != "none") {
       var warnedWarm = false
       selected.foreach { case (name, fn) =>
-        try { fn(spark, warmDir).count() } catch { case e: Throwable =>
+        // warm with the same noop action as the timed run: a count()
+        // warm-up never compiles the projected columns' codegen
+        try {
+          fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        } catch { case e: Throwable =>
           // a streaming query that died mid-warm (after .start(), before
           // drain) keeps its fixed memory-sink name registered; the timed
           // run of the same query would then fail with a confusing
@@ -132,7 +136,17 @@ object Bench {
       // a thrown query must surface as FAILED, never as a plausible
       // near-zero cell (a missing fixture table once read as a set of
       // impossibly fast 5 ms TPC-H cells)
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      //
+      // materialize through the NOOP SINK, not count(): count() lets
+      // Catalyst prune every projected column, so a row-local query
+      // (fingerprint, gopher filter, repetition signals) measured a
+      // bare scan-count — 0.15 s "compute" that was actually none.
+      // The noop sink evaluates every output column and discards it,
+      // the standard Spark benchmarking action.
+      val ok = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        true
+      } catch {
         case e: Throwable =>
           failedQ(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .linesIterator.next().take(160)

@@ -1364,6 +1364,88 @@ object SparkEntry {
         .withColumn("organic_in_band", lit(organic <= 20L))
     }),
 
+    "corpus_stream_ingest" -> ((s, dir) => withShufflePartitions(s, 8) {
+      // CONTINUOUS quality-gated intake — the production corpus-build
+      // loop: document drops stream in; each micro-batch (1) drops
+      // quality failures via the Gopher ruleset, (2) drops exact dups
+      // against the corpus AND everything previously accepted
+      // (Bloom prefilter + anti-join, O(batch)), (3) appends survivors
+      // to the kept sink and the seen store. The cross-batch plant:
+      // batch 0 ships odd docs with ' fresh' appended (new -> kept iff
+      // quality); batch 1 re-ships the SAME texts under new ids — they
+      // can only be rejected if batch 0's append really landed. Either
+      // way a b1 odd re-drop dies deterministically: quality-passed in
+      // b0 -> dup here; quality-failed in b0 -> fails the same gate
+      // here. foreachBatch is at-least-once, so both sinks are
+      // id-deduplicated (exactly-once effects).
+      val base = java.nio.file.Files.createTempDirectory("graft_ingest")
+      base.toFile.deleteOnExit()
+      val drops = s"$base/drops"; val seenDir = s"$base/seen"
+      val keptDir = s"$base/kept"
+      val ckpt = s"$base/ck"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(drops))
+      val corpus = t(s, dir, "documents").select("doc_id", "text")
+      corpus.write.mode("overwrite").parquet(seenDir)
+      val b0 = corpus.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        .unionByName(corpus.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("text"), lit(" fresh")).as("text")))
+      val b1 = corpus.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" fresh")).as("text"))
+        .unionByName(corpus.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(col("text"), lit(" fresher")).as("text")))
+      Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+        writeSinglePartParquet(b,
+          java.nio.file.Paths.get(drops, s"drop_$i.parquet"))
+      }
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+          // a drop arrives as ONE file = ONE partition; fan the batch
+          // out before the row-local gate or it runs single-threaded
+          // (measured 6x on the whole cell). The exchange moves only
+          // the micro-batch, never the corpus.
+          val batch = rawBatch
+            .repartition(s.sparkContext.defaultParallelism)
+            .localCheckpoint(true)
+          val passed = batch.join(
+            TextAnalysis.gopherFilter(batch, "doc_id", "text")
+              .filter(col("keep")).select("doc_id"), "doc_id")
+          val seen = s.read.parquet(seenDir)
+          val kept = passed.join(
+            graft.pipeline.Dedup.incrementalNew(seen, passed,
+              "doc_id", "text").select("doc_id"), "doc_id")
+            .localCheckpoint(true) // sever from seenDir before appending
+          val prior =
+            try s.read.parquet(keptDir).select(col("doc_id")).distinct()
+              .localCheckpoint(true)
+            catch { case _: Exception => null }
+          val fresh =
+            if (prior == null) kept
+            else kept.join(prior, Seq("doc_id"), "left_anti")
+          fresh.write.mode("append").parquet(keptDir)
+          fresh.write.mode("append").parquet(seenDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(keptDir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    }),
+
     "pipeline_redact" -> ((s, dir) => {
       // PII scrub before a corpus ships: plant deterministic emails /
       // phone numbers into the documents (same arithmetic on the
@@ -4838,6 +4920,56 @@ object SparkEntry {
          SELECT doc_id, n_tokens, mean_wlen, n_stop, top2_frac,
                 dup2_frac, fail_reasons = '' AS keep, fail_reasons
          FROM verdict""",
+
+    // streaming ingest: the survivors are exactly the quality-passing
+    // NEW texts — batch-0 verbatim copies dup the corpus, batch-1
+    // re-drops dup batch-0's accepts (or fail the same quality gate),
+    // so the oracle enumerates the two surviving drop populations and
+    // applies the same ruleset to the same modified texts
+    "corpus_stream_ingest" ->
+      """WITH inc AS (
+           SELECT doc_id + 1000000 AS doc_id, text || ' fresh' AS text
+           FROM documents WHERE doc_id % 2 = 1
+           UNION ALL
+           SELECT doc_id + 2000000 AS doc_id, text || ' fresher' AS text
+           FROM documents WHERE doc_id % 2 = 0),
+         tok AS (
+           SELECT doc_id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM inc),
+         g AS (
+           SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+           FROM tok
+           CROSS JOIN LATERAL unnest(
+             generate_series(1, len(t) - 1)) AS u(i)
+           WHERE len(t) >= 2),
+         c AS (
+           SELECT doc_id, gram, count(*) AS cnt, length(gram) AS l
+           FROM g GROUP BY 1, 2),
+         rep AS (
+           SELECT doc_id,
+                  floor(max(cnt * l) / sum(cnt * l) * 10000.0 + 0.5)
+                    / 10000.0 AS top2,
+                  floor(sum(CASE WHEN cnt >= 2 THEN cnt * l ELSE 0 END)
+                    / sum(cnt * l) * 10000.0 + 0.5) / 10000.0 AS dup2
+           FROM c GROUP BY 1),
+         sig AS (
+           SELECT tok.doc_id,
+             CAST(len(list_filter(t, x -> length(x) > 0)) AS BIGINT)
+               AS n_tokens,
+             floor(list_aggregate(list_transform(t, x -> length(x)),
+                 'sum') / greatest(len(t), 1) * 10000.0 + 0.5)
+               / 10000.0 AS mean_wlen,
+             CAST(len(list_intersect(t, ['the','and','of','to','in',
+               'is','that','for'])) AS BIGINT) AS n_stop,
+             coalesce(rep.top2, 0) AS top2_frac,
+             coalesce(rep.dup2, 0) AS dup2_frac
+           FROM tok LEFT JOIN rep ON rep.doc_id = tok.doc_id)
+         SELECT doc_id, n_tokens FROM sig
+         WHERE n_tokens >= 30 AND n_tokens <= 100000
+           AND mean_wlen >= 4.0 AND mean_wlen <= 10.0
+           AND n_stop >= 1 AND top2_frac <= 0.06
+           AND dup2_frac <= 0.10""",
 
     "text_tfidf" ->
       """WITH tok AS (

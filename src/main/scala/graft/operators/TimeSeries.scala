@@ -126,11 +126,17 @@ object TimeSeries {
    * Scale shape: ONE aggregate to hours (map-side combined), ONE
    * per-key min/max aggregate whose `sequence()` grid explodes
    * ROW-LOCALLY (no shuffle to build the grid), one key-partitioned
-   * join grid↔observations, and both fill windows (backward carry +
-   * forward peek) share the same (key, hour) exchange+sort. Per-key
-   * state is a sort run — hot keys spill, never OOM. The grid is at
-   * most (span hours) rows per key: a 10-year key is 87k rows,
-   * bounded and independent of event volume.
+   * join grid↔observations, then the two fills. The backward carry is
+   * a RUNNING frame (unboundedPreceding..0, O(n) per partition); the
+   * forward peek is the SAME running frame over the REVERSED sort —
+   * one exchange, two sorts — and deliberately NOT an
+   * unbounded-FOLLOWING frame: Spark evaluates those by re-scanning
+   * the rest of the partition for every row, O(span²) per key
+   * (measured 25 s vs ~1 s at sf0.1 the moment the bench stopped
+   * count-pruning the value column). Per-key state is a sort run —
+   * hot keys spill, never OOM. The grid is at most (span hours) rows
+   * per key: a 10-year key is 87k rows, bounded and independent of
+   * event volume.
    *
    * @return (key, hour, value, interpolated) — `interpolated` marks
    *         filled points
@@ -159,13 +165,16 @@ object TimeSeries {
     val joined = grid.join(obs, Seq(key, "hour"), "left")
     val order = Window.partitionBy(col(key)).orderBy(col("hour"))
     val back = order.rowsBetween(Window.unboundedPreceding, 0)
-    val fwd = order.rowsBetween(0, Window.unboundedFollowing)
+    // forward peek = running frame over the reversed sort (see
+    // scaladoc: an unbounded-FOLLOWING frame is O(span^2) per key)
+    val backRev = Window.partitionBy(col(key)).orderBy(col("hour").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val obsHour = when(col("__v").isNotNull, col("hour"))
     val filled = joined
       .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(back))
       .withColumn("__ph", last(obsHour, ignoreNulls = true).over(back))
-      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(fwd))
-      .withColumn("__nh", first(obsHour, ignoreNulls = true).over(fwd))
+      .withColumn("__nv", last(col("__v"), ignoreNulls = true).over(backRev))
+      .withColumn("__nh", last(obsHour, ignoreNulls = true).over(backRev))
     def ep(c: Column): Column = unix_timestamp(c).cast("double")
     filled.select(col(key), col("hour"),
       when(col("__v").isNotNull, col("__v"))

@@ -4,12 +4,21 @@ WARM_FLOORS.json: floors are the MINIMUM of the committed floor and
 every supplied sweep (a floor only ever ratchets down). New queries
 get min-across-sweeps as their first floor. Queries whose measured
 semantics changed (fixture moved out of the cell) ratchet down
-automatically. Run from the repo root."""
+automatically. Run from the repo root.
+
+--rebase: floors become min-across-THESE-sweeps even where that is
+HIGHER than the committed floor. Only for a measurement-semantics
+change that makes cells legitimately slower (e.g. the r13 switch from
+count() — which column-pruned projection-only queries down to a bare
+scan — to the noop sink, which evaluates every output column). Each
+raise is printed; the commit must say why."""
 import json
 import sys
 
-sweeps = [json.load(open(p)) for p in sys.argv[1:]]
-assert sweeps, "usage: update_floors.py sweep1.json [sweep2.json ...]"
+args = [a for a in sys.argv[1:] if a != "--rebase"]
+REBASE = "--rebase" in sys.argv[1:]
+sweeps = [json.load(open(p)) for p in args]
+assert sweeps, "usage: update_floors.py [--rebase] sweep1.json [...]"
 wf = json.load(open("WARM_FLOORS.json"))
 floors = wf["warm_floors"]
 names = set()
@@ -28,7 +37,7 @@ for n in sorted(names):
         continue
     m = round(min(vals), 3)
     old = floors.get(n)
-    if old is None or m < old:
+    if old is None or m < old or (REBASE and m != old):
         floors[n] = m
         changed.append((n, old, m))
 wf["warm_floors"] = dict(sorted(floors.items()))
