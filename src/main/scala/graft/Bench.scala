@@ -169,15 +169,23 @@ object Bench {
       if (ok) Some(name -> dt) else None
     }
     def fmt(v: Double): String = f"$v%.3f"
-    // pinned-anchor normalization: apply_moving_avg is the committed
-    // contention gauge (native codegen, fixed work — BASELINE.md's
-    // calibration anchor). anchorRatio > ~1.5 means the HOST was
-    // contended and every cell is ambience-scaled by it.
+    // pinned-anchor normalization, TWO gauges for two contention
+    // dimensions: apply_moving_avg (native codegen, cache-resident —
+    // CPU contention) and sql_q6 (pushed-filter parquet scan —
+    // IO/memory-bandwidth contention). A sweep on a CPU-quiet but
+    // disk-contended host showed scan-heavy cells at 3-5x with run_ms
+    // inflated, zero gc/spill, and the CPU anchor at 1.02 — a gauge
+    // blind to the dimension that was actually contended. Contention
+    // = max of the two ratios.
     val anchorName = "apply_moving_avg"
-    val anchorRatio = (for {
-      (dt, _, _, _, _) <- cells.get(anchorName)
-      fl <- floors.get(anchorName) if fl > 0
+    val ioAnchorName = "sql_q6"
+    def ratioOf(n: String): Double = (for {
+      (dt, _, _, _, _) <- cells.get(n)
+      fl <- floors.get(n) if fl > 0
     } yield dt / fl).getOrElse(1.0)
+    val anchorRatio = ratioOf(anchorName)
+    val ioAnchorRatio = ratioOf(ioAnchorName)
+    val contention = math.max(anchorRatio, ioAnchorRatio)
     // per-cell verdict against the committed floor:
     //   ok        within 2x floor
     //   ambient   over 2x raw, within 2x after anchor normalization —
@@ -200,8 +208,8 @@ object Bench {
           val ratio = dt / fl
           val v =
             if (ratio <= 2.0) "ok"
-            else if (anchorRatio > 1.5 && name != anchorName &&
-              ratio / anchorRatio <= 2.0) "ambient"
+            else if (contention > 1.5 && name != anchorName &&
+              name != ioAnchorName && ratio / contention <= 2.0) "ambient"
             else if (run / 1000.0 < 0.5 * dt && gc < 200 &&
               sm == 0L && sd == 0L) "idle_wall"
             else "over"
@@ -221,7 +229,13 @@ object Bench {
         floors.get(anchorName).map(fl =>
           s""","floor":${fmt(fl)},"ratio":${fmt(anchorRatio)}""")
           .getOrElse("") + "}"
-    }.getOrElse("")
+    }.getOrElse("") +
+      cells.get(ioAnchorName).map { case (dt, _, _, _, _) =>
+        s""","anchor_io":{"query":"$ioAnchorName","sec":${fmt(dt)}""" +
+          floors.get(ioAnchorName).map(fl =>
+            s""","floor":${fmt(fl)},"ratio":${fmt(ioAnchorRatio)}""")
+            .getOrElse("") + "}"
+      }.getOrElse("")
     val overJson = s""","over_cells":${overCells
       .map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
       (if (failedQ.isEmpty) "" else s""","failed":${failedQ
