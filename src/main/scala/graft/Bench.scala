@@ -130,7 +130,35 @@ object Bench {
       .empty[String, (Double, Long, Long, Long, Long)]
     val failedQ = scala.collection.mutable.LinkedHashMap
       .empty[String, String]
+    // INTERLEAVED contention gauges: the two anchors (CPU-bound
+    // apply_moving_avg, IO-bound sql_q6) re-run as untimed samples
+    // every GaugeEvery cells, because burst contention that arrives
+    // between two point-in-time anchor readings escapes both (one
+    // sweep showed 8 cells at 2-5x with both end-state anchors at
+    // <=1.12). A cell's contention is the max of the gauge samples
+    // bracketing it in sweep order.
+    val anchorName = "apply_moving_avg"
+    val ioAnchorName = "sql_q6"
+    val gaugeQs = Seq(anchorName, ioAnchorName).flatMap(n =>
+      SparkEntry.queries.get(n).flatMap(fn =>
+        floors.get(n).filter(_ > 0).map(fl => (fn, fl))))
+    val gauges = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    def gaugeSample(pos: Int): Unit = if (gaugeQs.nonEmpty) {
+      val worst = gaugeQs.map { case (fn, fl) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        ((System.nanoTime() - t0) / 1e9) / fl
+      }.max
+      gauges += ((pos, worst))
+    }
+    val GaugeEvery = 25
+    val posOf = scala.collection.mutable.HashMap.empty[String, Int]
+    var cellPos = 0
     val results = selected.flatMap { case (name, fn) =>
+      if (cellPos % GaugeEvery == 0) gaugeSample(cellPos)
+      posOf(name) = cellPos
+      cellPos += 1
       diag.snapshot() // drop metrics from setup/the previous cleanup
       val t0 = System.nanoTime()
       // a thrown query must surface as FAILED, never as a plausible
@@ -168,31 +196,34 @@ object Bench {
         .foreach(_.unpersist(blocking = true))
       if (ok) Some(name -> dt) else None
     }
+    gaugeSample(cellPos) // closing sample so every cell is bracketed
     def fmt(v: Double): String = f"$v%.3f"
-    // pinned-anchor normalization, TWO gauges for two contention
-    // dimensions: apply_moving_avg (native codegen, cache-resident —
-    // CPU contention) and sql_q6 (pushed-filter parquet scan —
-    // IO/memory-bandwidth contention). A sweep on a CPU-quiet but
-    // disk-contended host showed scan-heavy cells at 3-5x with run_ms
-    // inflated, zero gc/spill, and the CPU anchor at 1.02 — a gauge
-    // blind to the dimension that was actually contended. Contention
-    // = max of the two ratios.
-    val anchorName = "apply_moving_avg"
-    val ioAnchorName = "sql_q6"
+    // anchor-ratio summary (the gauges above drive per-cell verdicts;
+    // these whole-sweep ratios from the anchors' own timed cells stay
+    // in the artifact as the headline contention signal)
     def ratioOf(n: String): Double = (for {
       (dt, _, _, _, _) <- cells.get(n)
       fl <- floors.get(n) if fl > 0
     } yield dt / fl).getOrElse(1.0)
     val anchorRatio = ratioOf(anchorName)
     val ioAnchorRatio = ratioOf(ioAnchorName)
-    val contention = math.max(anchorRatio, ioAnchorRatio)
+    // a cell's contention: worst gauge sample bracketing its slot
+    def contentionAt(pos: Int): Double = {
+      if (gauges.isEmpty) math.max(anchorRatio, ioAnchorRatio)
+      else {
+        val before = gauges.takeWhile(_._1 <= pos).lastOption.map(_._2)
+        val after = gauges.find(_._1 > pos).map(_._2)
+        (before.toSeq ++ after.toSeq).max
+      }
+    }
     // per-cell verdict against the committed floor:
     //   ok        within 2x floor
-    //   ambient   over 2x raw, within 2x after anchor normalization —
-    //             ONLY when the anchor itself shows contention
-    //             (anchorRatio > 1.5) and never for the anchor query
-    //             (it cannot self-normalize: a regressed anchor would
-    //             mark itself and every other cell ambient)
+    //   ambient   over 2x raw, within 2x after normalization by the
+    //             cell's BRACKETING gauge samples — ONLY when those
+    //             gauges show contention (>1.5) and never for the
+    //             anchor queries themselves (they cannot
+    //             self-normalize: a regressed anchor would mark
+    //             itself and every other cell ambient)
     //   idle_wall over 2x but the executors were idle most of the wall
     //             with zero gc/spill — scheduler/IO ambience, not the
     //             query's compute (the shape re-adjudicated by hand in
@@ -206,10 +237,11 @@ object Bench {
         case Some(fl) if fl <= 0 => ("new", -1.0)
         case Some(fl) =>
           val ratio = dt / fl
+          val amb = contentionAt(posOf.getOrElse(name, 0))
           val v =
             if (ratio <= 2.0) "ok"
-            else if (contention > 1.5 && name != anchorName &&
-              name != ioAnchorName && ratio / contention <= 2.0) "ambient"
+            else if (amb > 1.5 && name != anchorName &&
+              name != ioAnchorName && ratio / amb <= 2.0) "ambient"
             else if (run / 1000.0 < 0.5 * dt && gc < 200 &&
               sm == 0L && sd == 0L) "idle_wall"
             else "over"
@@ -252,8 +284,11 @@ object Bench {
     // the slowest queries plus a pointer to the committed full map.
     val dg = diags.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val gaugeJson = if (gauges.isEmpty) "" else
+      s""","gauges":${gauges.map { case (p, r) => s"[$p,${fmt(r)}]" }
+        .mkString("[", ",", "]")}"""
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"diag":$dg$anchorJson$overJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"diag":$dg$anchorJson$overJson$gaugeJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
     val slow = results.toSeq.sortBy(-_._2).take(12)
