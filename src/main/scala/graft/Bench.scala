@@ -30,6 +30,16 @@ private final class BenchDiagListener
 }
 
 object Bench {
+  /** Escape a string for embedding in a JSON literal: backslash,
+    * quote, AND all control chars (< 0x20) — a tab inside an
+    * exception message once produced an artifact json.load refused. */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"' => "\\\""
+    case c if c < ' ' => "\\u%04x".format(c.toInt)
+    case c => c.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -144,13 +154,20 @@ object Bench {
         floors.get(n).filter(_ > 0).map(fl => (fn, fl))))
     val gauges = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     def gaugeSample(pos: Int): Unit = if (gaugeQs.nonEmpty) {
-      val worst = gaugeQs.map { case (fn, fl) =>
+      // a THROWN gauge is not a contention reading: timing the failure
+      // would either fabricate contention (slow failure) or record a
+      // near-zero ratio that silently disables ambient normalization
+      // (fast failure, e.g. missing fixture) — skip the sample instead
+      val samples = gaugeQs.flatMap { case (fn, fl) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        ((System.nanoTime() - t0) / 1e9) / fl
-      }.max
-      gauges += ((pos, worst))
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case _: Throwable => false }
+        if (ok) Some(((System.nanoTime() - t0) / 1e9) / fl) else None
+      }
+      if (samples.nonEmpty) gauges += ((pos, samples.max))
     }
     val GaugeEvery = 25
     val posOf = scala.collection.mutable.HashMap.empty[String, Int]
@@ -248,14 +265,51 @@ object Bench {
           (v, ratio)
       }
     }
+    // SOLO REPLAY of over-verdict cells: burst contention that slips
+    // between two gauge samples can mark a healthy cell `over` (the
+    // round-13 artifact committed 9 such cells; every one re-ran at
+    // floor by hand). Re-probe each at sweep end on the now-quiet
+    // session — up to two attempts, best wins — and record the replay
+    // in the artifact so the verdict is adjudicated in-file instead of
+    // re-litigated: a cell is only `over` if it is ALSO over solo.
+    val replays = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    cells.keys.filter(n => verdict(n)._1 == "over").foreach { n =>
+      val fl = floors(n)
+      var best = Double.MaxValue
+      var attempt = 0
+      while (attempt < 2 && best / fl > 2.0) {
+        val t0 = System.nanoTime()
+        try {
+          selected(n)(spark, sfDir).write.format("noop")
+            .mode("overwrite").save()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => attempt = 2 }
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        attempt += 1
+      }
+      if (best < Double.MaxValue) replays(n) = best / fl
+    }
+    // final verdict: `replay_ok` when the solo re-probe lands within
+    // the gate (the in-sweep reading was ambient noise), `over` only
+    // when the regression reproduces solo
+    def finalVerdict(name: String): String = replays.get(name) match {
+      case Some(r) if r <= 2.0 => "replay_ok"
+      case Some(_) => "over"
+      case None => verdict(name)._1
+    }
     cells.foreach { case (name, (_, gc, sm, sd, run)) =>
-      val (v, ratio) = verdict(name)
+      val (_, ratio) = verdict(name)
+      val v = finalVerdict(name)
       val fr = if (ratio < 0) "" else
         s""","floor":${fmt(floors(name))},"ratio":${fmt(ratio)}"""
+      val rp = replays.get(name)
+        .map(r => s""","replay_ratio":${fmt(r)}""").getOrElse("")
       diags(name) = s"""{"gc_ms":$gc,"spill_mem":$sm,"spill_disk":$sd,""" +
-        s""""run_ms":$run$fr,"verdict":"$v"}"""
+        s""""run_ms":$run$fr$rp,"verdict":"$v"}"""
     }
-    val overCells = cells.keys.filter(n => verdict(n)._1 == "over").toSeq
+    val overCells = cells.keys.filter(n => finalVerdict(n) == "over").toSeq
     val anchorJson = cells.get(anchorName).map { case (dt, _, _, _, _) =>
       s""","anchor":{"query":"$anchorName","sec":${fmt(dt)}""" +
         floors.get(anchorName).map(fl =>
@@ -271,8 +325,7 @@ object Bench {
     val overJson = s""","over_cells":${overCells
       .map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
       (if (failedQ.isEmpty) "" else s""","failed":${failedQ
-        .map { case (k, m) => "\"" + k + "\":\"" +
-          m.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+        .map { case (k, m) => "\"" + k + "\":\"" + jsonEscape(m) + "\"" }
         .mkString("{", ",", "}")}""")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

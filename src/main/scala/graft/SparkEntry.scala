@@ -46,13 +46,17 @@ object SparkEntry {
     * 32-bit hashCode) makes distinct dirs colliding a non-event. */
   private val dppFixtureDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def dppFixture(s: SparkSession, dir: String): String =
-    dppFixtureDirs.computeIfAbsent(dir, _ => {
-      val src = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
-      val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val st = fs.getFileStatus(src)
-      val key = s"$dir|${fs.getContentSummary(src).getLength}|" +
-        s"${st.getModificationTime}"
+  private def dppFixture(s: SparkSession, dir: String): String = {
+    // the memo key IS the content key (computed before the lookup):
+    // keying the map by the dir string alone let a source regenerated
+    // in place mid-JVM keep serving the stale fixture even though the
+    // on-disk digest path had moved on
+    val src = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(src)
+    val key = s"$dir|${fs.getContentSummary(src).getLength}|" +
+      s"${st.getModificationTime}"
+    dppFixtureDirs.computeIfAbsent(key, _ => {
       val digest = java.security.MessageDigest.getInstance("SHA-256")
         .digest(key.getBytes("UTF-8")).take(8)
         .map("%02x".format(_)).mkString
@@ -67,6 +71,7 @@ object SparkEntry {
           .parquet(factDir.toString)
       factDir.toString
     })
+  }
 
   /** Per-query fixture builders Bench runs at the TARGET sf before
     * the timed loop — anything here is setup the timed cell must not
@@ -258,6 +263,23 @@ object SparkEntry {
     try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
       .forEach(p => java.nio.file.Files.deleteIfExists(p))
     finally walk.close()
+  }
+
+  /** Stage `frames` as drop files with strictly INCREASING forced
+    * mtimes: FileStreamSource orders files by modification time and
+    * breaks ties by listing order, and back-to-back writes routinely
+    * tie on 1s-granularity filesystems — fixtures whose oracle depends
+    * on batch order (cross-batch dedup plants) must force it, like the
+    * flush-sentinel path below does. */
+  private def writeOrderedDrops(frames: Seq[DataFrame],
+      drops: java.nio.file.Path): Unit = {
+    val base = System.currentTimeMillis()
+    frames.zipWithIndex.foreach { case (b, i) =>
+      val dst = drops.resolve(s"drop_$i.parquet")
+      writeSinglePartParquet(b, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
+    }
   }
 
   /** [[stagedEventsStream]] plus two far-future FLUSH sentinel drops
@@ -1315,9 +1337,7 @@ object SparkEntry {
         .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
         .unionByName(s.range(1).select(lit(2000002L).as("doc_id"),
           freshText.as("text")))
-      Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
-        writeSinglePartParquet(b, drops.resolve(s"drop_$i.parquet"))
-      }
+      writeOrderedDrops(Seq(b0, b1), drops)
       val stream = s.readStream
         .schema(org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
@@ -1370,23 +1390,31 @@ object SparkEntry {
       // quality failures via the Gopher ruleset, (2) drops exact dups
       // against the corpus AND everything previously accepted
       // (Bloom prefilter + anti-join, O(batch)), (3) appends survivors
-      // to the kept sink and the seen store. The cross-batch plant:
-      // batch 0 ships odd docs with ' fresh' appended (new -> kept iff
-      // quality); batch 1 re-ships the SAME texts under new ids — they
-      // can only be rejected if batch 0's append really landed. Either
-      // way a b1 odd re-drop dies deterministically: quality-passed in
-      // b0 -> dup here; quality-failed in b0 -> fails the same gate
-      // here. foreachBatch is at-least-once, so both sinks are
-      // id-deduplicated (exactly-once effects).
+      // to the kept sink. The cross-batch plant: batch 0 ships odd
+      // docs with ' fresh' appended (new -> kept iff quality); batch 1
+      // re-ships the SAME texts under new ids — they can only be
+      // rejected if batch 0's append really landed. Either way a b1
+      // odd re-drop dies deterministically: quality-passed in b0 ->
+      // dup here; quality-failed in b0 -> fails the same gate here.
+      // foreachBatch is at-least-once; the kept append is the ONLY
+      // effect and is id-deduplicated, and the dedup "seen" set is
+      // DERIVED from that sink (static corpus hashes + hashes of the
+      // kept store) — a second seen-store append used to leave a
+      // replay window where the dedup source lagged the accept sink.
       val base = java.nio.file.Files.createTempDirectory("graft_ingest")
       base.toFile.deleteOnExit()
-      val drops = s"$base/drops"; val seenDir = s"$base/seen"
-      val keptDir = s"$base/kept"
+      val drops = base.resolve("drops")
+      val keptDir = s"$base/kept"; val hashDir = s"$base/corpus_hash"
       val ckpt = s"$base/ck"
-      java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(drops))
+      java.nio.file.Files.createDirectories(drops)
       val corpus = t(s, dir, "documents").select("doc_id", "text")
-      corpus.write.mode("overwrite").parquet(seenDir)
+      // hash the static corpus ONCE, outside the stream: each
+      // micro-batch then reads a 16-byte/doc hash store instead of
+      // re-hashing the full corpus text (the old per-batch
+      // md5+distinct over the whole seen text store dominated the
+      // cell's cost and grows with corpus size; this one doesn't)
+      corpus.select(md5(col("text")).as("content_hash"))
+        .write.mode("overwrite").parquet(hashDir)
       val b0 = corpus.filter(pmod(col("doc_id"), lit(2)) === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
         .unionByName(corpus.filter(pmod(col("doc_id"), lit(2)) === 1)
@@ -1398,10 +1426,7 @@ object SparkEntry {
         .unionByName(corpus.filter(pmod(col("doc_id"), lit(2)) === 0)
           .select((col("doc_id") + 2000000).as("doc_id"),
             concat(col("text"), lit(" fresher")).as("text")))
-      Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
-        writeSinglePartParquet(b,
-          java.nio.file.Paths.get(drops, s"drop_$i.parquet"))
-      }
+      writeOrderedDrops(Seq(b0, b1), drops)
       val stream = s.readStream
         .schema(org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
@@ -1409,7 +1434,7 @@ object SparkEntry {
           org.apache.spark.sql.types.StructField("text",
             org.apache.spark.sql.types.StringType))))
         .option("maxFilesPerTrigger", 1)
-        .parquet(drops)
+        .parquet(drops.toString)
       val q = stream.writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch { (rawBatch: DataFrame, _: Long) =>
@@ -1423,20 +1448,28 @@ object SparkEntry {
           val passed = batch.join(
             TextAnalysis.gopherFilter(batch, "doc_id", "text")
               .filter(col("keep")).select("doc_id"), "doc_id")
-          val seen = s.read.parquet(seenDir)
-          val kept = passed.join(
-            graft.pipeline.Dedup.incrementalNew(seen, passed,
-              "doc_id", "text").select("doc_id"), "doc_id")
-            .localCheckpoint(true) // sever from seenDir before appending
-          val prior =
-            try s.read.parquet(keptDir).select(col("doc_id")).distinct()
-              .localCheckpoint(true)
+          // seen = static corpus hashes + hashes of everything this
+          // sink has already accepted: the kept store at any replay
+          // point is BY CONSTRUCTION the complete accept history, so
+          // the dedup source can never lag the accept sink
+          val keptSoFar =
+            try s.read.parquet(keptDir).localCheckpoint(true)
             catch { case _: Exception => null }
+          val seenHashes = {
+            val base = s.read.parquet(hashDir)
+            if (keptSoFar == null) base
+            else base.unionByName(keptSoFar
+              .select(md5(col("text")).as("content_hash")))
+          }
+          val kept = passed.join(
+            graft.pipeline.Dedup.incrementalNewByHash(seenHashes, passed,
+              "doc_id", "text").select("doc_id"), "doc_id")
+            .localCheckpoint(true) // sever from keptDir before appending
           val fresh =
-            if (prior == null) kept
-            else kept.join(prior, Seq("doc_id"), "left_anti")
+            if (keptSoFar == null) kept
+            else kept.join(keptSoFar.select(col("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
           fresh.write.mode("append").parquet(keptDir)
-          fresh.write.mode("append").parquet(seenDir)
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

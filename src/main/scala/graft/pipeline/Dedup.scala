@@ -492,12 +492,25 @@ object Dedup {
    */
   def incrementalNew(corpus: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, expectedItems: Long = 0L,
+      fpp: Double = 0.01): DataFrame =
+    incrementalNewByHash(
+      corpus.select(md5(col(textCol)).as("content_hash")),
+      incoming, idCol, textCol, expectedItems, fpp)
+
+  /** [[incrementalNew]] against a PRE-HASHED seen set: `seenHashes`
+    * carries a `content_hash` column (md5 hex of the text). A
+    * long-running intake loop keeps the seen store as hashes on disk
+    * (16 bytes/doc) instead of re-hashing the full corpus text every
+    * micro-batch — the hash store scan is ~1000x smaller than the
+    * text scan it replaces, which is what makes per-batch dedup
+    * O(batch + |hashes|) instead of O(corpus text). */
+  def incrementalNewByHash(seenHashes: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, expectedItems: Long = 0L,
       fpp: Double = 0.01): DataFrame = {
     // the distinct hash set is consumed three times (count, bloom
-    // build, anti-join build side) — persist it so the md5+distinct
-    // shuffle over the big corpus runs once; it is hashes only
-    // (16 bytes/row), not the corpus text
-    val ch = corpus.select(md5(col(textCol)).as("content_hash")).distinct()
+    // build, anti-join build side) — persist it so the distinct
+    // shuffle runs once; it is hashes only (16 bytes/row)
+    val ch = seenHashes.select(col("content_hash")).distinct()
       .persist()
     val n = ch.count()
     // an empty corpus means everything is new — and Spark's

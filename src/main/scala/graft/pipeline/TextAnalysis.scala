@@ -302,10 +302,15 @@ object TextAnalysis {
     // null row that comparisons would silently skip
     val staged = df.select(col(idCol),
       tokensLower(coalesce(col(textCol), lit(""))).as("__t"))
+    // one native pass over the token array computes every n's signals
+    // (codegen CSE folds the per-field struct accesses onto a single
+    // evaluation); the HOF formulation below stays as the parity
+    // oracle, exercised property-style in CorpusOpsSpec
+    val agg = graft.functions.expressions.GramRunStats
+      .gram_run_stats(col("__t"), ns)
     val metrics = ns.flatMap { n =>
-      val agg = gramRunStats("__t", n)
-      Seq(agg.getField("top").as(s"top${n}_frac"),
-        agg.getField("dup").as(s"dup${n}_frac"))
+      Seq(agg.getField(s"top$n").as(s"top${n}_frac"),
+        agg.getField(s"dup$n").as(s"dup${n}_frac"))
     }
     staged.select(col(idCol) +: metrics: _*)
   }
@@ -319,8 +324,13 @@ object TextAnalysis {
     * character fractions rounded to 4 decimals, 0.0 on no grams.
     * Rounding is the explicit floor half-up form, not round(): Spark
     * rounds the shortest decimal repr where DuckDB rounds the binary
-    * value, and they diverge on .xxxx5 (see timeseries_resample). */
-  private def gramRunStats(tokCol: String, n: Int): Column =
+    * value, and they diverge on .xxxx5 (see timeseries_resample).
+    *
+    * SUPERSEDED on the hot path by the native
+    * [[graft.functions.expressions.GramRunStats]] (one hashed pass vs
+    * this fold's per-gram struct allocation + array_sort); kept as the
+    * independent parity oracle for that expression's property tests. */
+  private[graft] def gramRunStatsHof(tokCol: String, n: Int): Column =
     expr(s"""aggregate(
       array_sort(if(size($tokCol) < $n, array(),
         transform(sequence(1, size($tokCol) - $n + 1),
@@ -372,10 +382,11 @@ object TextAnalysis {
     // array_intersect dedups — distinct stopword count, not occurrences
     val nStop = size(array_intersect(col("__t"),
       array(stopEn.map(lit): _*))).cast("long").as("n_stop")
-    val rep = gramRunStats("__t", 2)
+    val rep = graft.functions.expressions.GramRunStats
+      .gram_run_stats(col("__t"), Seq(2))
     val sig = staged.select(col(idCol), nTokens, meanWlen, nStop,
-      rep.getField("top").as("top2_frac"),
-      rep.getField("dup").as("dup2_frac"))
+      rep.getField("top2").as("top2_frac"),
+      rep.getField("dup2").as("dup2_frac"))
     val rules = Seq(
       (col("n_tokens") < minTokens, "tokens_lo"),
       (col("n_tokens") > maxTokens, "tokens_hi"),

@@ -5,8 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Local profiling aid: cold vs warm cost of one `SparkEntry` query in
   * a single session — separates one-time codegen/JIT compilation from
   * the steady-state cost that matters at scale. Uses the same
-  * count()-materialization and SPARK_GRAFT_CPUS sizing as Bench so
-  * its numbers are directly comparable to the recorded floors.
+  * NOOP-SINK materialization and SPARK_GRAFT_CPUS sizing as Bench so
+  * its numbers are directly comparable to the recorded floors —
+  * count() would let Catalyst prune every projected column and a
+  * future `--all` would silently write pruned-scan floors back into
+  * WARM_FLOORS.json, turning every projection-heavy bench cell into a
+  * phantom regression.
   * Usage: runMain graft.tools.WarmProbe <query> <sfDir>
   *    or: runMain graft.tools.WarmProbe --all <sfDir>
   * `--all` sweeps the ENTIRE suite twice in one session and prints a
@@ -23,9 +27,20 @@ object WarmProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // same setup Bench pays outside the timed window: per-query
+    // fixtures (e.g. join_dpp's partitioned copy) must not be priced
+    // into a floor the bench cell is later held to
+    graft.SparkEntry.fixturePrep.foreach { case (q, prep) =>
+      if (name == "--all" || name == q)
+        try prep(spark, dir) catch { case e: Throwable =>
+          System.err.println(s"[warmprobe] fixture prep $q failed: " +
+            e.getMessage)
+        }
+    }
     def run(q: String): Double = {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(q)(spark, dir).count()
+      graft.SparkEntry.queries(q)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       // BLOCKING, like Bench: async release lets stale blocks from a

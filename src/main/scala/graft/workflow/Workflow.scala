@@ -353,7 +353,7 @@ object Workflow {
   private final class CondParser(s: String) {
     private var pos = 0
     private def ws(): Unit = while (pos < s.length && s.charAt(pos) == ' ') pos += 1
-    private def peek: Char = if (pos < s.length) s.charAt(pos) else ' '
+    private def peek: Char = if (pos < s.length) s.charAt(pos) else '\u0000'
     private def eat(c: Char): Unit = {
       ws(); if (peek != c) fail(s"expected '$c'"); pos += 1
     }

@@ -146,7 +146,7 @@ class CorpusOpsSpec extends SparkSpec {
     // 300 random texts over a nasty alphabet (runs of every \s class,
     // unicode letters, empties) — one batched DataFrame comparison
     val rnd = new scala.util.Random(7)
-    val alphabet = "ab YZ\t\n\r\f  é Ж 9 .,"
+    val alphabet = "ab YZ\t\n\r\f\u000B  é Ж 9 .,"
     val texts = Seq.fill(300) {
       val len = rnd.nextInt(60)
       (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
@@ -184,6 +184,31 @@ class CorpusOpsSpec extends SparkSpec {
       .top_token_count(col("tk"))
     val bad = df.filter(not(hof <=> native)).count()
     assert(bad == 0, s"$bad/300 random arrays mismatched")
+  }
+
+  test("property: native gram run stats match the HOF on random token arrays") {
+    // the sort-fold HOF is the independent oracle for the hashed
+    // native pass: runs in a sorted array and buckets in a hash map
+    // must count the same thing, including null tokens (array_join /
+    // concatWs both skip them), empty strings, unicode char lengths,
+    // and the floor-half-up rounding
+    val rnd = new scala.util.Random(13)
+    val pool = Seq("a", "b", "ab", "", "é", "Ж", "ω1", null)
+    val arrays: Seq[Seq[String]] = Seq.fill(300) {
+      val len = rnd.nextInt(40)
+      (1 to len).map(_ => pool(rnd.nextInt(pool.size)))
+    }
+    val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("id", "__t")
+    Seq(1, 2, 3).foreach { n =>
+      val hof = TextAnalysis.gramRunStatsHof("__t", n)
+      val native = graft.functions.expressions.GramRunStats
+        .gram_run_stats(col("__t"), Seq(n))
+      val bad = df.filter(
+        not(hof.getField("top") <=> native.getField(s"top$n")) ||
+        not(hof.getField("dup") <=> native.getField(s"dup$n"))).count()
+      assert(bad == 0, s"n=$n: $bad/300 random arrays mismatched")
+    }
   }
 
   test("repetitionStats handles a 50k-token document linearly") {
