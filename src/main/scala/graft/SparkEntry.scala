@@ -2354,6 +2354,29 @@ object SparkEntry {
           concat_ws("", col("tokens")).as("joined"))
     }),
 
+    "text_bpe_bytes" -> ((s, dir) => {
+      // byte-level BPE with end-of-word markers — the two production-
+      // tokenizer fidelity properties: arbitrary UTF-8 (emoji, CJK,
+      // Cyrillic, combining accents) tokenizes LOSSLESSLY through the
+      // GPT-2 byte<->unicode bijection, and the EOW marker restores
+      // word boundaries on decode. Every third document gets a
+      // non-Latin suffix; the hashed invariant is
+      // decode(encode(text)) == whitespace-normalized source text,
+      // run through the real encoder AND decoder expressions.
+      val d = t(s, dir, "documents")
+      val aug = d.select(col("doc_id"),
+        concat(col("text"), when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" héllo wörld 😀🚀 日本語のテキスト привет ж"))
+          .otherwise(lit(""))).as("text"))
+      val merges = TextAnalysis.bpeLearn(aug, "text", maxWords = 4096,
+        numMerges = 96, byteLevel = true, endOfWord = true)
+      val enc = TextAnalysis.bpeEncodeDocs(aug, "doc_id", "text", merges,
+        byteLevel = true, endOfWord = true)
+      TextAnalysis.bpeDecodeDocs(enc, "doc_id", "tokens", merges,
+        byteLevel = true, endOfWord = true)
+        .select(col("doc_id"), md5(col("text")).as("decoded_md5"))
+    }),
+
     "text_repetition" -> ((s, dir) =>
       // Gopher-style intra-doc repetition: row-local sorted-run fold,
       // zero exchanges — see TextAnalysis.repetitionSignals scaladoc
@@ -3124,6 +3147,45 @@ object SparkEntry {
         .groupBy("l_orderkey")
         .agg(round(sum("__v"), 4).as("val"))
         .select(col("l_orderkey"), col("val"))
+    }),
+
+    "workflow_resume" -> ((s, dir) => {
+      // oph_resume's MARKER surface end-to-end (`oph_execute_main.c:
+      // 2167-2900`): run a workflow whose job records span three status
+      // classes (completed, skipped, light loop instances), list it at
+      // marker granularity with the status mask excluding nothing, then
+      // REPLAY each marker's request document through the single-marker
+      // fetch path — the row only matches the oracle if the listing's
+      // COMMAND and the marker-addressed document agree
+      val eng = new graft.workflow.Engine(s, new graft.core.Catalog("sess"))
+      eng.run(graft.workflow.Workflow.parse("""{
+        "name": "hist", "tasks": [
+          {"name": "make", "operator": "oph_randcube",
+           "arguments": ["nrows=4", "array_length=4", "container=c"]},
+          {"name": "skipme", "operator": "oph_randcube",
+           "arguments": ["nrows=8", "array_length=2", "container=c"],
+           "run": "no"},
+          {"name": "loop", "operator": "oph_for",
+           "arguments": ["key=i", "counter=1:2"]},
+          {"name": "lite", "operator": "oph_apply",
+           "arguments": ["query=oph_mul_scalar(measure, @i)"],
+           "dependencies": [{"task": "make", "type": "single"}]},
+          {"name": "loop_end", "operator": "oph_endfor"}
+        ]}"""))
+      val listing = eng.runDataOperator("oph_resume", Map(
+        "id_type" -> "marker", "level" -> "3",
+        "document_type" -> "request", "status_filter" -> "11111111"))
+        .df.get.collect()
+      val replayed = listing.toSeq.map { row =>
+        val marker = row.getString(3).toInt
+        val doc = eng.runDataOperator("oph_resume", Map(
+          "id" -> marker.toString, "id_type" -> "marker",
+          "document_type" -> "request")).message
+        (row.getString(2).toInt, marker, row.getString(5).toInt,
+          row.getString(6), doc)
+      }
+      import s.implicits._
+      replayed.toDF("wf_id", "marker", "parent", "command", "replayed_doc")
     }),
 
     "workflow_massive" -> ((s, dir) => {
@@ -4541,6 +4603,24 @@ object SparkEntry {
                                ELSE l_quantity * 100 END), 4) AS val
          FROM p WHERE pos <= 3 GROUP BY 1""",
 
+    // the listing is fully determined by the workflow spec: markers
+    // 1-4 are the submitted data/skip/light jobs in execution order,
+    // 5 the workflow document's own marker (every row's parent), 6 the
+    // flow-control record assigned at save; command and the
+    // marker-replayed document must agree everywhere
+    "workflow_resume" ->
+      """SELECT * FROM (VALUES
+           (1, 1, 5, 'oph_randcube nrows=4;array_length=4;container=c',
+                     'oph_randcube nrows=4;array_length=4;container=c'),
+           (1, 2, 5, 'oph_randcube nrows=8;array_length=2;container=c',
+                     'oph_randcube nrows=8;array_length=2;container=c'),
+           (1, 3, 5, 'oph_apply query=oph_mul_scalar(measure, 1)',
+                     'oph_apply query=oph_mul_scalar(measure, 1)'),
+           (1, 4, 5, 'oph_apply query=oph_mul_scalar(measure, 2)',
+                     'oph_apply query=oph_mul_scalar(measure, 2)'),
+           (1, 6, 5, '', '')
+         ) AS t(wf_id, marker, parent, command, replayed_doc)""",
+
     "workflow_massive" ->
       """WITH p AS (
            SELECT l_orderkey, l_quantity,
@@ -4858,6 +4938,20 @@ object SparkEntry {
       """SELECT doc_id,
                 regexp_replace(lower(trim(coalesce(text, ''))),
                   '\s+', '', 'g') AS joined
+         FROM documents""",
+
+    // byte-level+EOW roundtrip: the oracle rebuilds the expected
+    // decode independently — lowercase, collapse every whitespace run
+    // to ONE space, trim; decode() joins the non-empty words with
+    // single spaces, so the two agree exactly iff the byte-level
+    // encode/decode pair is lossless on every document
+    "text_bpe_bytes" ->
+      """SELECT doc_id,
+                md5(trim(regexp_replace(lower(
+                  text || CASE WHEN doc_id % 3 = 0
+                    THEN ' héllo wörld 😀🚀 日本語のテキスト привет ж'
+                    ELSE '' END),
+                  '\s+', ' ', 'g'))) AS decoded_md5
          FROM documents""",
 
     // repetition signals: DuckDB rebuilds each doc's n-gram histogram

@@ -42,17 +42,91 @@ object Bpe {
     * at selection time. */
   final case class Merge(rank: Int, left: String, right: String, n: Long)
 
-  /** Split a word into its initial symbols (code points, so surrogate
-    * pairs never split). */
-  private def toSymbols(w: String): JArrayList[String] = {
-    val out = new JArrayList[String](w.length)
-    var i = 0
-    while (i < w.length) {
-      val cp = w.codePointAt(i)
-      val n = Character.charCount(cp)
-      out.add(w.substring(i, i + n))
-      i += n
+  /** End-of-word marker symbol (Sennrich et al. 2016): appended as a
+    * word-final symbol so merges can learn word-boundary-aware units
+    * and a decoder can restore word boundaries from a flat token
+    * stream. Always word-final, so any token containing it ENDS with
+    * it. */
+  val EOW = "</w>"
+
+  /** GPT-2's byte<->printable-unicode bijection: the printable ASCII
+    * and Latin-1 ranges map to themselves, every other byte to
+    * U+0100+n — so arbitrary UTF-8 (emoji, CJK, binary junk) becomes a
+    * string of 256 distinct single-char symbols the merge loop can
+    * treat uniformly, and decoding is exact byte recovery. Built from
+    * the published algorithm (encoder.py `bytes_to_unicode`), not any
+    * model's vocab file. */
+  val byteEncoder: Array[Char] = {
+    val self = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val arr = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (self(b)) arr(b) = b.toChar
+      else { arr(b) = (256 + n).toChar; n += 1 }
+      b += 1
     }
+    arr
+  }
+  private val byteDecoder: JHashMap[Character, java.lang.Byte] = {
+    val m = new JHashMap[Character, java.lang.Byte](512)
+    var b = 0
+    while (b < 256) { m.put(byteEncoder(b), b.toByte); b += 1 }
+    m
+  }
+
+  /** Map a word to its byte-level symbol string (one mapped char per
+    * UTF-8 byte). */
+  def toByteSymbols(w: String): String = {
+    val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val chars = new Array[Char](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      chars(i) = byteEncoder(bytes(i) & 0xff)
+      i += 1
+    }
+    new String(chars)
+  }
+
+  /** Exact inverse of [[toByteSymbols]] over a symbol string. */
+  def fromByteSymbols(s: String): String = {
+    val bytes = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      val b = byteDecoder.get(s.charAt(i))
+      require(b != null, s"not a byte-level symbol: '${s.charAt(i)}'")
+      bytes(i) = b
+      i += 1
+    }
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Split a word into its initial symbols: code points (surrogate
+    * pairs never split), or single byte-level symbols when
+    * `byteLevel`; `endOfWord` appends the [[EOW]] marker as its own
+    * word-final symbol. Empty words stay empty (blank docs encode to
+    * zero tokens, the tokenCount contract). */
+  private def toSymbols(w: String, byteLevel: Boolean,
+      endOfWord: Boolean): JArrayList[String] = {
+    val out = new JArrayList[String](w.length + 1)
+    if (w.isEmpty) return out
+    if (byteLevel) {
+      val s = toByteSymbols(w)
+      var i = 0
+      while (i < s.length) {
+        out.add(s.substring(i, i + 1))
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        val n = Character.charCount(cp)
+        out.add(w.substring(i, i + n))
+        i += n
+      }
+    }
+    if (endOfWord) out.add(EOW)
     out
   }
 
@@ -67,9 +141,11 @@ object Bpe {
    * ~10^8 cheap operations, irrelevant next to any cluster job.
    */
   def train(hist: Seq[(String, Long)], numMerges: Int,
-      minCount: Long = 2L): Array[Merge] = {
+      minCount: Long = 2L, byteLevel: Boolean = false,
+      endOfWord: Boolean = false): Array[Merge] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
-    val words = hist.iterator.map { case (w, _) => toSymbols(w) }.toArray
+    val words = hist.iterator
+      .map { case (w, _) => toSymbols(w, byteLevel, endOfWord) }.toArray
     val counts = hist.iterator.map(_._2).toArray
     val merges = Array.newBuilder[Merge]
     var r = 0
@@ -136,7 +212,9 @@ object Bpe {
    * Zipf head of any real corpus a single hash probe per word. Safe as
    * a codegen reference object shared across tasks.
    */
-  final class BpeTable(merges: Array[Merge]) extends Serializable {
+  final class BpeTable(merges: Array[Merge],
+      val byteLevel: Boolean = false,
+      val endOfWord: Boolean = false) extends Serializable {
     private val ranks = {
       val m = new JHashMap[(String, String), Integer](merges.length * 2)
       merges.foreach(mg => m.put((mg.left, mg.right), mg.rank))
@@ -160,7 +238,7 @@ object Bpe {
       if (word.isEmpty) return Array.empty
       val cached = memo.get().get(word)
       if (cached != null) return cached
-      val syms = toSymbols(word)
+      val syms = toSymbols(word, byteLevel, endOfWord)
       var run = syms.size >= 2
       while (run) {
         var bestRank = Int.MaxValue
@@ -189,6 +267,31 @@ object Bpe {
       val out = syms.toArray(new Array[String](syms.size))
       memo.get().put(word, out)
       out
+    }
+
+    /** Exact inverse of encoding a whitespace-tokenized document:
+      * [[EOW]]-terminated tokens close a word (boundaries restored with
+      * single spaces), byte-level symbols map back to their original
+      * bytes. Without `endOfWord` the boundaries are gone — tokens
+      * concatenate into one run, the pre-marker behavior. */
+    def decode(tokens: Iterator[String]): String = {
+      val doc = new java.lang.StringBuilder
+      val word = new java.lang.StringBuilder
+      def flush(): Unit = if (word.length > 0) {
+        if (doc.length > 0) doc.append(' ')
+        doc.append(
+          if (byteLevel) fromByteSymbols(word.toString) else word.toString)
+        word.setLength(0)
+      }
+      while (tokens.hasNext) {
+        val t = tokens.next()
+        if (endOfWord && t.endsWith(EOW)) {
+          word.append(t, 0, t.length - EOW.length)
+          flush()
+        } else word.append(t)
+      }
+      flush()
+      doc.toString
     }
   }
 }

@@ -80,7 +80,70 @@ object BpeEncodeWords {
 
   /** Column wrapper: tokens of `words` under the learned `merges`. */
   def bpe_encode(words: Column, merges: Array[Bpe.Merge]): Column =
+    bpe_encode(words, new Bpe.BpeTable(merges))
+
+  /** As above with an explicit table (byte-level / end-of-word
+    * variants share the expression). */
+  def bpe_encode(words: Column, table: Bpe.BpeTable): Column =
     ColumnBridge.column(BpeEncodeWords(
-      ColumnBridge.expression(words.cast("array<string>")),
-      new Bpe.BpeTable(merges)))
+      ColumnBridge.expression(words.cast("array<string>")), table))
+}
+
+/**
+ * Inverse of [[BpeEncodeWords]] for boundary-aware tables: fold a flat
+ * token array back into the original whitespace-joined document
+ * (end-of-word markers close words, byte-level symbols map back to
+ * their UTF-8 bytes). The lossless-roundtrip oracle rows hash
+ * decode(encode(text)) against the normalized source text, which only
+ * proves anything because this runs the REAL decoder, not string
+ * surgery in the query.
+ */
+case class BpeDecodeTokens(child: Expression, table: Bpe.BpeTable)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bpe_decode expects array<string>, got $other")
+    }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_bpe_decode"
+
+  override def nullSafeEval(ts: Any): Any =
+    BpeDecodeTokens.decode(ts.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table,
+      classOf[Bpe.BpeTable].getName)
+    nullSafeCodeGen(ctx, ev, ts =>
+      s"${ev.value} = graft.functions.expressions.BpeDecodeTokens.decode($ts, $ref);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeDecodeTokens = copy(child = newChild)
+}
+
+object BpeDecodeTokens {
+
+  /** Static codegen entry: decode the token array to the document. */
+  def decode(tokens: ArrayData, table: Bpe.BpeTable): UTF8String = {
+    val n = tokens.numElements()
+    val it = new Iterator[String] {
+      private var i = 0
+      def hasNext: Boolean = i < n
+      def next(): String = {
+        val s = if (tokens.isNullAt(i)) "" else tokens.getUTF8String(i).toString
+        i += 1
+        s
+      }
+    }
+    UTF8String.fromString(table.decode(it))
+  }
+
+  /** Column wrapper: document text from `tokens` under `table`. */
+  def bpe_decode(tokens: Column, table: Bpe.BpeTable): Column =
+    ColumnBridge.column(BpeDecodeTokens(
+      ColumnBridge.expression(tokens.cast("array<string>")), table))
 }

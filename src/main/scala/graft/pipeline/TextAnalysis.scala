@@ -436,13 +436,16 @@ object TextAnalysis {
     * Zipf head dominates pair counts, so modest bounds converge to the
     * full-corpus table. */
   def bpeLearn(df: DataFrame, textCol: String, maxWords: Int = 65536,
-      numMerges: Int = 256, minCount: Long = 2L): Array[graft.functions.Bpe.Merge] = {
+      numMerges: Int = 256, minCount: Long = 2L,
+      byteLevel: Boolean = false, endOfWord: Boolean = false)
+      : Array[graft.functions.Bpe.Merge] = {
     val hist = wordCounts(df, textCol)
       .orderBy(col("c").desc, col("w"))
       .limit(maxWords)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    graft.functions.Bpe.train(hist.toSeq, numMerges, minCount)
+    graft.functions.Bpe.train(hist.toSeq, numMerges, minCount,
+      byteLevel, endOfWord)
   }
 
   /** Learned merges as a frame: rank, left, right, pair count. */
@@ -457,9 +460,22 @@ object TextAnalysis {
     * text encodes like blank text (empty token array) so downstream
     * concat/count algebra never sees a null row. */
   def bpeEncodeDocs(df: DataFrame, idCol: String, textCol: String,
-      merges: Array[graft.functions.Bpe.Merge]): DataFrame =
+      merges: Array[graft.functions.Bpe.Merge],
+      byteLevel: Boolean = false, endOfWord: Boolean = false): DataFrame =
     df.select(col(idCol),
       graft.functions.expressions.BpeEncodeWords
-        .bpe_encode(tokensLower(coalesce(col(textCol), lit(""))), merges)
+        .bpe_encode(tokensLower(coalesce(col(textCol), lit(""))),
+          new graft.functions.Bpe.BpeTable(merges, byteLevel, endOfWord))
         .as("tokens"))
+
+  /** Decode a `tokens` array column back to document text under the
+    * same table configuration (boundaries need `endOfWord=true`). */
+  def bpeDecodeDocs(df: DataFrame, idCol: String, tokensCol: String,
+      merges: Array[graft.functions.Bpe.Merge],
+      byteLevel: Boolean = false, endOfWord: Boolean = false): DataFrame =
+    df.select(col(idCol),
+      graft.functions.expressions.BpeDecodeTokens
+        .bpe_decode(col(tokensCol),
+          new graft.functions.Bpe.BpeTable(merges, byteLevel, endOfWord))
+        .as("text"))
 }

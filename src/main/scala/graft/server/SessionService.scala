@@ -43,10 +43,64 @@ object SessionService {
     flags.map { case (bit, c) => if ((mask & bit) != 0) c else '-' }.mkString
   }
 
+  /** Per-task job record — the reference assigns every submitted task
+    * a session-scoped MARKER id and keeps its command and outcome
+    * addressable through oph_resume (`src/oph_execute_main.c:
+    * 2167-2900`, marker branch at :3113). `command` is the substituted
+    * operator invocation; `response` the task's outcome document
+    * (status + produced cube pid). */
+  final case class SavedTask(
+      markerId: Int,
+      name: String,
+      status: String,
+      command: String,
+      response: String,
+      /** light task = a massive/loop-expanded instance (the reference's
+        * `light_tasks`, filtered separately at
+        * `src/oph_execute_main.c:5653`). */
+      light: Boolean = false)
+
   final case class SavedWorkflow(
       workflowId: Int,
       request: String,
-      response: String)
+      response: String,
+      parentMarker: Int = 0,
+      tasks: Seq[SavedTask] = Nil,
+      created: String = "")
+
+  /** The reference's 8-class status mask index
+    * (`oph_check_status_mask`, `src/oph_execute_main.c:130-182`):
+    * 0=pending 1=wait 2=running(+phases) 3=completed 4=error(+phases)
+    * 5=skipped 6=aborted 7=unselected; unknown statuses match nothing. */
+  def statusClass(status: String): Int = {
+    val s = status.toLowerCase
+    if (s == "pending") 0
+    else if (s.startsWith("wait")) 1
+    else if (s == "running" || s == "start" || s == "setenv" ||
+      s == "set_env" || s == "init" || s == "distribute" ||
+      s == "execute" || s == "reduce" || s == "destroy" ||
+      s == "unsetenv" || s == "unset_env") 2
+    else if (s == "completed") 3
+    else if (s.contains("error") || s == "failed") 4
+    else if (s == "skipped") 5
+    else if (s == "aborted") 6
+    else if (s == "unselected") 7
+    else -1
+  }
+
+  /** Normalize a status_filter to the reference's 8-char form: '1'
+    * passes the class, anything else is '0', short masks pad with '0',
+    * absent/empty masks pass everything (`OPH_OPERATOR_RESUME_
+    * PARAMETER_MASK`, `src/oph_parser.h:155-158`). */
+  def normalizeMask(mask: String): String =
+    if (mask == null || mask.isEmpty) "11111111"
+    else (0 until 8).map(i =>
+      if (i < mask.length && mask(i) == '1') '1' else '0').mkString
+
+  def maskAdmits(mask: String, status: String): Boolean = {
+    val c = statusClass(status)
+    c >= 0 && mask(c) == '1'
+  }
 
   final case class Session(
       code: String,
@@ -83,9 +137,21 @@ final class SessionService(
         sn.get("autoremove").asBoolean)
       Option(sn.get("roles")).foreach(_.properties().forEach(e =>
         s.roles(e.getKey) = e.getValue.asInt))
-      Option(sn.get("workflows")).foreach(_.elements().forEachRemaining(w =>
+      Option(sn.get("workflows")).foreach(_.elements().forEachRemaining { w =>
+        val tasks = Option(w.get("tasks")).map { tn =>
+          val buf = mutable.ArrayBuffer.empty[SavedTask]
+          tn.elements().forEachRemaining(t => buf += SavedTask(
+            t.get("marker").asInt, t.get("name").asText,
+            t.get("status").asText, t.get("command").asText,
+            t.get("response").asText,
+            Option(t.get("light")).exists(_.asBoolean)))
+          buf.toSeq
+        }.getOrElse(Nil)
         s.workflows += SavedWorkflow(w.get("id").asInt,
-          w.get("request").asText, w.get("response").asText)))
+          w.get("request").asText, w.get("response").asText,
+          Option(w.get("parentMarker")).map(_.asInt).getOrElse(0), tasks,
+          Option(w.get("created")).map(_.asText).getOrElse(""))
+      })
       sessions(s.code) = s
     })
   }
@@ -98,9 +164,17 @@ final class SessionService(
     def q(s: String): String = graft.render.ResponseWriter.jsonQuote(s)
     val body = sessions.values.map { s =>
       val roles = s.roles.map { case (u, m) => s"${q(u)}:$m" }.mkString(",")
-      val wfs = s.workflows.map(w =>
+      val wfs = s.workflows.map { w =>
+        val ts = w.tasks.map(t =>
+          s"""{"marker":${t.markerId},"name":${q(t.name)},""" +
+            s""""status":${q(t.status)},"command":${q(t.command)},""" +
+            s""""response":${q(t.response)},"light":${t.light}}""")
+          .mkString(",")
         s"""{"id":${w.workflowId},"request":${q(w.request)},""" +
-          s""""response":${q(w.response)}}""").mkString(",")
+          s""""response":${q(w.response)},""" +
+          s""""parentMarker":${w.parentMarker},"created":${q(w.created)},""" +
+          s""""tasks":[$ts]}"""
+      }.mkString(",")
       s"""{"code":${q(s.code)},"owner":${q(s.owner)},"label":${q(s.label)},""" +
         s""""active":${s.active},"autoremove":${s.autoremove},""" +
         s""""roles":{$roles},"workflows":[$wfs]}"""
@@ -240,13 +314,19 @@ final class SessionService(
 
   // ------------------------------------------- resume / accounting
 
-  /** oph_workflow_save analog: record the request + response document. */
-  def saveWorkflow(code: String, request: String, response: String): Int =
+  /** oph_workflow_save analog: record the request + response document,
+    * the workflow's own marker id, and every task's job record. */
+  def saveWorkflow(code: String, request: String, response: String,
+      parentMarker: Int = 0, tasks: Seq[SavedTask] = Nil): Int =
     synchronized {
       sessions.get(code) match {
         case Some(s) =>
           val id = s.workflows.size + 1
-          s.workflows += SavedWorkflow(id, request, response)
+          val created = java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss")
+            .format(java.time.LocalDateTime.now())
+          s.workflows += SavedWorkflow(id, request, response,
+            parentMarker, tasks, created)
           log(s"session $code workflow $id saved")
           persist()
           id
@@ -315,5 +395,112 @@ final class SessionService(
     val doc = wf.getOrElse(
       throw new NoSuchElementException(s"no workflow $workflowId in $code"))
     if (documentType == "request") doc.request else doc.response
+  }
+
+  /** oph_resume with `id_type=marker`: one TASK's document by its
+    * session-scoped marker id (`src/oph_execute_main.c:3113`: a marker
+    * beyond the session's last is a wrong-parameter error, a missing
+    * one inside the range resolves to nothing). */
+  def resumeMarker(code: String, user: String, marker: Int,
+      documentType: String): String = synchronized {
+    val s = get(code)
+    require_((roleOf(s, user) & RoleRead) != 0, s"$user cannot read $code")
+    val last = lastMarker(code)
+    if (marker < 0 || marker > last)
+      throw new IllegalArgumentException(
+        s"marker $marker out of range (last is $last)")
+    val hit = s.workflows.iterator.flatMap { w =>
+      if (w.parentMarker == marker)
+        Some(if (documentType == "request") w.request else w.response)
+      else w.tasks.find(_.markerId == marker).map(t =>
+        if (documentType == "request") t.command else t.response)
+    }.nextOption()
+    hit.getOrElse(throw new NoSuchElementException(
+      s"no document for marker $marker in $code"))
+  }
+
+  /** Highest marker id recorded in the session (the reference's
+    * OPH_SESSION_LAST_MARKER session property). */
+  def lastMarker(code: String): Int = synchronized {
+    sessions.get(code).map(s => (0 +: s.workflows.flatMap(w =>
+      w.parentMarker +: w.tasks.map(_.markerId))).max).getOrElse(0)
+  }
+
+  /** Aggregate workflow exit status from its task records: any error
+    * class -> ERROR, else any abort -> ABORTED, else COMPLETED (the
+    * reference reads the jobs table; our store derives it). */
+  def workflowStatus(w: SavedWorkflow): String =
+    if (w.tasks.exists(t => statusClass(t.status) == 4)) "Error"
+    else if (w.tasks.nonEmpty && w.tasks.forall(t =>
+      statusClass(t.status) == 6)) "Aborted"
+    else "Completed"
+
+  /** oph_resume listing (`id=0` in the reference,
+    * `src/oph_execute_main.c:2391` "Return a JSON Response with the
+    * list of oph_jobid submitted within the target session"):
+    *
+    *  - `idType=workflow`: one row per saved workflow; the trailing
+    *    column is COMMAND (`documentType=request`), PROGRESS RATIO
+    *    (`level=0`) or EXIT STATUS (otherwise) — reference `num_fields`
+    *    selection at :2382 and the level-0 PROGRESS RATIO branch.
+    *  - `idType=marker`: one row per task job with PARENT MARKER ID,
+    *    mask-filtered on the task status (`oph_check_status_mask`
+    *    applications at :4791 and :5653); `level>=3` includes light
+    *    (loop/massive-expanded) task instances, lower levels list only
+    *    top-level tasks.
+    *  - `wid>0` (the reference's level-4/5 recycle): only that
+    *    workflow's markers.
+    *
+    * Returns (columns, rows) for the caller to render as a Grid. */
+  def resumeList(code: String, user: String, idType: String,
+      documentType: String, level: Int, mask: String,
+      wid: Int = 0): (Seq[String], Seq[Seq[String]]) = synchronized {
+    val s = get(code)
+    require_((roleOf(s, user) & RoleRead) != 0, s"$user cannot read $code")
+    val m = normalizeMask(mask)
+    val base = Seq("OPH JOB ID", "SESSION CODE", "WORKFLOW ID",
+      "MARKER ID", "CREATION DATE")
+    val wanted =
+      if (wid > 0) s.workflows.toSeq.filter(_.workflowId == wid)
+      else s.workflows.toSeq
+    def jobId(wfId: Int, marker: Int) = s"$code#$wfId#$marker"
+    if (idType == "marker") {
+      val docCols =
+        if (documentType == "request") Seq("COMMAND")
+        else if (documentType == "both") Seq("COMMAND", "EXIT STATUS")
+        else Seq("EXIT STATUS")
+      val cols = base ++ Seq("PARENT MARKER ID") ++ docCols
+      val rows = for {
+        w <- wanted
+        t <- w.tasks
+        if level >= 3 || !t.light
+        if maskAdmits(m, t.status)
+      } yield Seq(jobId(w.workflowId, t.markerId), code,
+        w.workflowId.toString, t.markerId.toString, w.created,
+        w.parentMarker.toString) ++ (documentType match {
+          case "request" => Seq(t.command)
+          case "both" => Seq(t.command, t.status)
+          case _ => Seq(t.status)
+        })
+      (cols, rows)
+    } else {
+      val lastCol =
+        if (documentType == "request") "COMMAND"
+        else if (level == 0) "PROGRESS RATIO"
+        else "EXIT STATUS"
+      val cols = base :+ lastCol
+      def progress(w: SavedWorkflow): String =
+        if (w.tasks.isEmpty) "1.000000"
+        else "%.6f".format(w.tasks.count(t =>
+          statusClass(t.status) == 3).toDouble / w.tasks.size)
+      val rows = wanted
+        .filter(w => maskAdmits(m, workflowStatus(w)))
+        .map(w => Seq(jobId(w.workflowId, w.parentMarker), code,
+          w.workflowId.toString, w.parentMarker.toString, w.created,
+          if (documentType == "request") w.request
+          else if (level == 0) progress(w)
+          else workflowStatus(w)))
+      (cols, rows)
+    }
   }
 }

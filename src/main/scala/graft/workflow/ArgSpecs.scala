@@ -136,7 +136,9 @@ object ArgSpecs {
     // `etc/xml/OPH_GET_CONFIG_operator_1.0.xml`
     "oph_get_config" -> Seq(a("key")),
     // `etc/xml/OPH_RESUME_operator_1.0.xml`
-    "oph_resume" -> Seq(a("session"), int("id", min = 0),
+    // `id` is an integer OR the token values "last"/"all"
+    // (`src/oph_parser.h:160-161`) — the operator parses it itself
+    "oph_resume" -> Seq(a("session"), a("id"),
       enum("id_type", "workflow", "marker"),
       enum("document_type", "request", "response"),
       int("level", min = 0, max = 5), a("user"), a("status_filter"),

@@ -314,6 +314,11 @@ final class Engine(
   private var markerId = 0
   private var workflowSeq = 0
 
+  /** Next session-scoped marker id — every submitted job (data task,
+    * skipped task, the workflow document itself) gets one, like the
+    * reference's OPH_SESSION_LAST_MARKER counter. */
+  private def mintMarker(): Int = synchronized { markerId += 1; markerId }
+
   /** Session registry + log ring + saved-workflow store (the
     * oph_manage_session / oph_resume / oph_log_info backend). A
     * restored state file already contains this engine's session — the
@@ -643,6 +648,11 @@ final class Engine(
     spark.sparkContext.setJobGroup(jobGroup, spec.name,
       interruptOnCancel = true)
     val results = scala.collection.concurrent.TrieMap[String, TaskResult]()
+    // per-run job records feeding the session store's oph_resume
+    // marker surface: task instance -> (marker id, substituted
+    // command, light = loop/massive-expanded instance)
+    val taskLog =
+      scala.collection.concurrent.TrieMap[String, (Int, String, Boolean)]()
     // (action, pid) pairs executed at workflow end — the reference's
     // exit-cube list (`oph_workflow_define.h:72-79`)
     val exitActions = scala.collection.mutable.ArrayBuffer[(String, String)]()
@@ -953,6 +963,13 @@ final class Engine(
 
           case _ =>
             if (!t.run) {
+              // skipped tasks are still SUBMITTED jobs in the reference
+              // (run=no -> status SKIPPED in the job table), so they
+              // get a marker and stay resume-addressable
+              taskLog(s"${t.name}$iterSuffix") =
+                (mintMarker(), s"${t.operator} " +
+                  t.arguments.map { case (k, v) => s"$k=${sub(v)}" }
+                    .mkString(";"), iterSuffix.nonEmpty)
               results(s"${t.name}$iterSuffix") = TaskResult(JobStatus.Skipped)
               i += 1
             } else if (checkpointSkip.contains(s"${t.name}$iterSuffix")) {
@@ -966,7 +983,7 @@ final class Engine(
               }
               i += 1
             } else {
-              synchronized { markerId += 1 }
+              val marker = mintMarker()
               // request-level cdd is each task's default data directory
               // (`oph_workflow_parsing.c:91-95`): relative src_path /
               // output_path values resolve against it in the operator
@@ -974,6 +991,12 @@ final class Engine(
               val args =
                 if (args0.contains("cdd") || spec.cdd == "/") args0
                 else args0 + ("cdd" -> spec.cdd)
+              // job record for oph_resume's marker surface: the
+              // SUBSTITUTED command, like the reference's saved
+              // submission strings
+              taskLog(s"${t.name}$iterSuffix") = (marker, s"${t.operator} " +
+                args0.map { case (k, v) => s"$k=$v" }.mkString(";"),
+                iterSuffix.nonEmpty)
               // dependency output harvesting, preferring THIS
               // iteration's instance — parallel for branches must not
               // read a sibling branch's cube. Deps with an explicit
@@ -1151,9 +1174,25 @@ final class Engine(
       }.mkString(";")
       // `save=no` (`oph_workflow_parsing.c:270-290`): the caller opted
       // out of the session document store; oph_resume will not see it
-      if (spec.save)
+      if (spec.save) {
+        // the workflow document's own marker (its jobid's third field);
+        // tasks that reached `results` without a minted marker (flow
+        // control, abort-marked remainders) are assigned one now, in
+        // name order, so every job row stays marker-addressable
+        val wfMarker = mintMarker()
+        val savedTasks = results.toSeq.sortBy { case (name, _) =>
+          (taskLog.get(name).map(_._1).getOrElse(Int.MaxValue), name)
+        }.map { case (name, r) =>
+          val (marker, cmd, light) =
+            taskLog.getOrElse(name, (mintMarker(), "", false))
+          graft.server.SessionService.SavedTask(marker, name,
+            r.status.toString, cmd,
+            s"${r.status}${r.cubePid.map(p => s"($p)").getOrElse("")}",
+            light)
+        }
         sessions.saveWorkflow(catalog.sessionCode,
-          requestJson.getOrElse(spec.name), summary)
+          requestJson.getOrElse(spec.name), summary, wfMarker, savedTasks)
+      }
       // record for request-level checkpoint resume (the ORIGINAL spec:
       // runFrom compares task definitions against the next request).
       // df is stripped — replay only needs status/cubePid/outputs, and
@@ -2614,11 +2653,92 @@ final class Engine(
         }
 
       case "oph_resume" =>
-        val code = args.getOrElse("session", catalog.sessionCode)
-        val doc = sessions.resume(code, args.getOrElse("user", user),
-          args.getOrElse("id", "0").toInt,
-          args.getOrElse("document_type", "response"))
-        TaskResult(JobStatus.Completed, message = doc)
+        // full reference surface (`src/oph_execute_main.c:2167-2320`):
+        // session ('this' = working session), id (0 = listing),
+        // id_type=workflow|marker, document_type=request|response,
+        // level 0-5, status_filter (8-char class mask).
+        val code = args.getOrElse("session", "this") match {
+          case "" | "this" => catalog.sessionCode
+          case other => other
+        }
+        val asUser = args.getOrElse("user", user)
+        // id accepts the reference's token values too ("last" = the
+        // most recent document, "all" = the id-0 listing,
+        // `src/oph_parser.h:160-161`)
+        val idArg = args.getOrElse("id", "0")
+        val wantLast = idArg.equalsIgnoreCase("last")
+        var id =
+          if (wantLast || idArg.equalsIgnoreCase("all")) 0
+          else try idArg.toInt catch {
+            case _: NumberFormatException => throw new Engine.EngineError(
+              s"oph_resume: wrong parameter id '$idArg'")
+          }
+        if (id < 0)
+          throw new Engine.EngineError("oph_resume: wrong parameter 'id'")
+        val idTypeArg = args.get("id_type").map(_.toLowerCase)
+        var idType = idTypeArg.getOrElse("workflow") match {
+          case "workflow" => "workflow"
+          case "marker" => "marker"
+          case other => throw new Engine.EngineError(
+            s"oph_resume: wrong parameter id_type '$other'")
+        }
+        var docType =
+          args.getOrElse("document_type", "response").toLowerCase match {
+            case "request" => "request"
+            case "response" => "response"
+            case other => throw new Engine.EngineError(
+              s"oph_resume: wrong parameter document_type '$other'")
+          }
+        var level = args.getOrElse("level", "1").toInt
+        if (level < 0 || level > 5)
+          throw new Engine.EngineError("oph_resume: wrong parameter 'level'")
+        val mask = args.getOrElse("status_filter", "11111111")
+        // reference normalization (:2293-2320): level 0 == 1 for
+        // requests; level 5 selects BOTH documents; level 4/5 recycle
+        // the marker-listing code with `id` demoted to a workflow
+        // filter — an explicit marker id_type there is an error
+        if (level == 0 && docType == "request") level = 1
+        val both = level > 4
+        var wid = 0
+        if (level > 3) {
+          if (idTypeArg.contains("marker"))
+            throw new Engine.EngineError(
+              "oph_resume: wrong parameter 'level' (marker filter " +
+                "cannot combine with level > 3)")
+          idType = "marker"
+          wid = id
+          id = 0
+          level = 3
+          if (!both && docType == "response") docType = "request"
+        }
+        val docSel = if (both) "both" else docType
+        if (wantLast) {
+          // id=last: the session's most recent document of the
+          // requested type (marker = highest marker, workflow = latest)
+          val doc =
+            if (idType == "marker")
+              sessions.resumeMarker(code, asUser,
+                sessions.lastMarker(code), docType)
+            else sessions.resume(code, asUser, 0, docType)
+          TaskResult(JobStatus.Completed, message = doc)
+        } else if (id == 0) {
+          val (cols, rows) =
+            sessions.resumeList(code, asUser, idType, docSel, level,
+              mask, wid)
+          import org.apache.spark.sql.types.{StructType, StructField, StringType}
+          val schema = StructType(cols.map(StructField(_, StringType)))
+          val df = spark.createDataFrame(
+            java.util.Arrays.asList(rows.map(r =>
+              org.apache.spark.sql.Row(r: _*)): _*), schema)
+          TaskResult(JobStatus.Completed, df = Some(df),
+            message = s"${rows.size} job(s)")
+        } else {
+          val doc =
+            if (idType == "marker")
+              sessions.resumeMarker(code, asUser, id, docType)
+            else sessions.resume(code, asUser, id, docType)
+          TaskResult(JobStatus.Completed, message = doc)
+        }
 
       case "oph_sql" =>
         // SQL passthrough over the catalog: every live cube's flattened

@@ -114,4 +114,78 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq(
       (1L, Seq("ab", "ab")), (2L, Seq.empty), (3L, Seq.empty)))
   }
+
+  // Hand-derivation WITH the end-of-word marker (Sennrich form): the
+  // marker is a word-final symbol, so (t,</w>) joins the r0 9-count
+  // tie and (est,</w>) fuses at r2 — boundary-aware units the
+  // markerless table cannot learn.
+  //   r0: (e,s)=9 ties (s,t),(t,</w>) -> (e,s)
+  //   r1: (es,t)=9 ties (t,</w>) -> (es,t)
+  //   r2: (est,</w>)=9
+  //   r3: (l,o)=7 ties (o,w) -> (l,o)
+  //   r4: (lo,w)=7
+  //   r5: (e,w)=6 ties (n,e),(w,est</w>) -> (e,w)
+  private val goldenEow = Array(
+    Merge(0, "e", "s", 9L), Merge(1, "es", "t", 9L),
+    Merge(2, "est", "</w>", 9L), Merge(3, "l", "o", 7L),
+    Merge(4, "lo", "w", 7L), Merge(5, "e", "w", 6L))
+
+  test("end-of-word training reproduces the hand-computed sequence") {
+    assert(Bpe.train(hist, 6, endOfWord = true).toSeq == goldenEow.toSeq)
+  }
+
+  test("end-of-word encoding emits boundary-aware tokens that decode") {
+    val t = new Bpe.BpeTable(goldenEow, endOfWord = true)
+    assert(t.encodeWord("newest").toSeq == Seq("n", "ew", "est</w>"))
+    assert(t.encodeWord("low").toSeq == Seq("low", "</w>"))
+    assert(t.encodeWord("").isEmpty)
+    // boundaries come back from the flat stream
+    val toks = t.encodeWord("newest") ++ t.encodeWord("low") ++
+      t.encodeWord("widest")
+    assert(t.decode(toks.iterator) == "newest low widest")
+  }
+
+  test("byte-level bijection is exact over all 256 bytes") {
+    assert(Bpe.byteEncoder.distinct.length == 256)
+    val nasty = "héllo wörld 😀🚀 日本語 привет ­ mixed"
+    assert(Bpe.fromByteSymbols(Bpe.toByteSymbols(nasty)) == nasty)
+    // every single byte value survives the round trip
+    val all = new String((0 until 256).map(_.toByte).toArray,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val utf8Safe = new String(all.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(Bpe.fromByteSymbols(Bpe.toByteSymbols(utf8Safe)) == utf8Safe)
+  }
+
+  test("byte-level + EOW tables are lossless on non-Latin words") {
+    val hist = Seq(("dog🐶", 3L), ("dog", 5L), ("日本語", 4L),
+      ("привет", 2L), ("café", 2L), ("naïve", 2L))
+    val merges = Bpe.train(hist, 32, byteLevel = true, endOfWord = true)
+    assert(merges.nonEmpty)
+    val t = new Bpe.BpeTable(merges, byteLevel = true, endOfWord = true)
+    hist.foreach { case (w, _) =>
+      val toks = t.encodeWord(w)
+      assert(t.decode(toks.iterator) == w, s"lossy on '$w': $toks")
+    }
+    // multi-word stream restores boundaries too
+    val stream = hist.flatMap { case (w, _) => t.encodeWord(w) }
+    assert(t.decode(stream.iterator) == hist.map(_._1).mkString(" "))
+    // and unseen emoji (no trained merges touch it) still round-trips
+    assert(t.decode(t.encodeWord("🦄🦄").iterator) == "🦄🦄")
+  }
+
+  test("distributed byte-level decode matches through the expressions") {
+    val docs = Seq((1L, "cats 😀 chase 日本 dogs"), (2L, "plain ascii"),
+      (3L, "")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeLearn(docs, "text", maxWords = 64,
+      numMerges = 16, minCount = 1L, byteLevel = true, endOfWord = true)
+    val enc = TextAnalysis.bpeEncodeDocs(docs, "doc_id", "text", merges,
+      byteLevel = true, endOfWord = true)
+    val dec = TextAnalysis.bpeDecodeDocs(enc, "doc_id", "tokens", merges,
+      byteLevel = true, endOfWord = true)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(dec == Seq((1L, "cats 😀 chase 日本 dogs"),
+      (2L, "plain ascii"), (3L, "")))
+  }
 }

@@ -78,8 +78,12 @@ class SessionServiceSpec extends AnyFunSuite {
         {"name": "s", "operator": "oph_set", "arguments": ["key=a", "value=1"]}
       ]}"""), requestJson = Some("""{"name":"wf"}"""))
     val resumed = e.runDataOperator("oph_resume",
-      Map("document_type" -> "response"))
+      Map("document_type" -> "response", "id" -> "last"))
     assert(resumed.message.contains("s=Completed"))
+    // the reference default (id=0) is the session job LISTING
+    val listed = e.runDataOperator("oph_resume",
+      Map("document_type" -> "response"))
+    assert(listed.df.get.count() == 1)
     val req = e.runDataOperator("oph_resume",
       Map("document_type" -> "request", "id" -> "1"))
     assert(req.message.contains("wf"))

@@ -233,7 +233,7 @@ class WorkflowSpec extends SparkSpec {
       scala.concurrent.duration.Duration("60s"))
     assert(res("s").status == JobStatus.Completed)
     assert(e.runDataOperator("oph_resume",
-      Map("document_type" -> "response")).message.contains("s=Completed"))
+      Map("document_type" -> "response", "id" -> "last")).message.contains("s=Completed"))
   }
 
   test("checkpointed re-run replays completed tasks, re-runs the rest") {
