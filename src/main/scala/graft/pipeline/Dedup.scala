@@ -520,6 +520,18 @@ object Dedup {
       ch.unpersist()
       return incoming.select(col(idCol), md5(col(textCol)).as("content_hash"))
     }
+    // SMALL seen set (<= ~64 MB of hashes): the plain anti-join against
+    // the persisted hash frame already broadcasts/hashes cheaply, and
+    // the bloom build is a whole extra job + driver collect per
+    // micro-batch that buys nothing — a streaming intake loop pays it
+    // every batch. The bloom prefilter remains the big-corpus path:
+    // there it exempts the definite-new mass from the join exchange.
+    if (n <= 4_000_000L) {
+      val inc = incoming.select(col(idCol),
+        md5(col(textCol)).as("content_hash"))
+      return inc.join(ch, Seq("content_hash"), "left_anti")
+        .select(col(idCol), col("content_hash"))
+    }
     val sized = if (expectedItems > 0) expectedItems else n
     val bloom = ch.stat.bloomFilter("content_hash", math.max(sized, 1L), fpp)
     val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
