@@ -2724,9 +2724,9 @@ object SparkEntry {
       // them back to typed values so the grid contents hash against a
       // plain SQL oracle — a wrong flatten/order/pad would still flip
       // the hash, but double formatting quirks cannot
-      mg.values.flatMap { row =>
-        row.drop(mg.rowKeys.size).zipWithIndex.map { case (cell, c) =>
-          (row.head, (c + 1).toLong, cell)
+      mg.rowValues.zip(mg.measureValues).flatMap { case (rv, mv) =>
+        mv.zipWithIndex.map { case (cell, c) =>
+          (rv.head, (c + 1).toLong, cell)
         }
       }.toDF("__k", "pos", "__cell")
         .select(col("__k").cast("long").as("l_orderkey"), col("pos"),

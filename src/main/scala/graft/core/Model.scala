@@ -68,6 +68,11 @@ final case class Grid(
     fieldTypes: Seq[String],
     values: Seq[Seq[String]]) extends ResponseObject
 
+/** `oph_json_obj_multigrid` (`oph_json_multigrid.h:50-71`): the
+  * row-axis values (`rowvalues`) and the measure matrix
+  * (`measurevalues`) are SEPARATE fields on the wire — a consumer
+  * indexes the measure matrix by (row, array position) without
+  * knowing the row-axis arity. */
 final case class MultiDimGrid(
     objkey: String,
     title: String,
@@ -78,7 +83,8 @@ final case class MultiDimGrid(
     colValues: Seq[Seq[String]],
     measureName: String,
     measureType: String,
-    values: Seq[Seq[String]]) extends ResponseObject
+    rowValues: Seq[Seq[String]],
+    measureValues: Seq[Seq[String]]) extends ResponseObject
 
 final case class GraphNode(values: Seq[String])
 final case class GraphLink(node1: Int, node2: Int, description: String)
@@ -87,6 +93,19 @@ final case class GraphObj(
     objkey: String,
     title: String,
     directed: Boolean,
+    nodeKeys: Seq[String],
+    nodes: Seq[GraphNode],
+    links: Seq[GraphLink]) extends ResponseObject
+
+/** `oph_json_obj_tree` (`oph_json_tree.h:39-49`): a rooted node-link
+  * structure; `rootnode` is the root's node INDEX rendered as a
+  * string, and links are indexed by their source node like the
+  * (di)graph's. */
+final case class TreeObj(
+    objkey: String,
+    title: String,
+    description: Option[String],
+    rootnode: Int,
     nodeKeys: Seq[String],
     nodes: Seq[GraphNode],
     links: Seq[GraphLink]) extends ResponseObject

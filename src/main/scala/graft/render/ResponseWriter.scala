@@ -49,7 +49,27 @@ object ResponseWriter {
   private def obj(fields: (String, String)*): String =
     fields.map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
 
-  /** The objcontent fragment (reference `oph_json_obj_*` structs). */
+  /** nodelinks in the reference wire shape (`oph_json_common.c:
+    * 1031-1090`): ONE array element per node, holding that node's
+    * outgoing links as `{node: "<target index>", description?}` —
+    * never a flat edge list. `description` is omitted when absent,
+    * like the C writer omits NULL fields. */
+  private def nodeLinks(nodeCount: Int, links: Seq[GraphLink]): String = {
+    val bySource = links.groupBy(_.node1)
+    arr((0 until nodeCount).map { k =>
+      arr(bySource.getOrElse(k, Seq.empty).map { l =>
+        val fields = Seq("node" -> q(l.node2.toString)) ++
+          (if (l.description.nonEmpty)
+            Seq("description" -> q(l.description)) else Seq.empty)
+        obj(fields: _*)
+      })
+    })
+  }
+
+  /** The objcontent fragment — field NAMES and ORDER match the
+    * reference writer exactly (`oph_json_common.c`: text :431-439,
+    * grid :470-548, multigrid :602-855, tree :910-1024,
+    * (di)graph :1111-1212); ResponseFidelitySpec pins each one. */
   private def content(o: ResponseObject): String = o match {
     case TextObj(_, title, message) =>
       obj("title" -> q(title), "message" -> q(message))
@@ -59,30 +79,37 @@ object ResponseWriter {
         "rowfieldtypes" -> arr(fieldTypes.map(q)),
         "rowvalues" -> arr(values.map(r => arr(r.map(q)))))
     case MultiDimGrid(_, title, rowKeys, rowTypes, colKeys, colTypes,
-        colValues, measureName, measureType, values) =>
+        colValues, measureName, measureType, rowValues, measureValues) =>
       obj("title" -> q(title),
+        "measurename" -> q(measureName),
+        "measuretype" -> q(measureType),
         "rowkeys" -> arr(rowKeys.map(q)),
         "rowfieldtypes" -> arr(rowTypes.map(q)),
+        "rowvalues" -> arr(rowValues.map(r => arr(r.map(q)))),
         "colkeys" -> arr(colKeys.map(q)),
         "colfieldtypes" -> arr(colTypes.map(q)),
         "colvalues" -> arr(colValues.map(r => arr(r.map(q)))),
-        "measurename" -> q(measureName),
-        "measuretype" -> q(measureType),
-        "rowvalues" -> arr(values.map(r => arr(r.map(q)))))
+        "measurevalues" -> arr(measureValues.map(r => arr(r.map(q)))))
+    case TreeObj(_, title, description, rootnode, nodeKeys, nodes, links) =>
+      val fields = Seq("title" -> q(title)) ++
+        description.map(d => "description" -> q(d)).toSeq ++ Seq(
+        "rootnode" -> q(rootnode.toString),
+        "nodekeys" -> arr(nodeKeys.map(q)),
+        "nodevalues" -> arr(nodes.map(n => arr(n.values.map(q)))),
+        "nodelinks" -> nodeLinks(nodes.size, links))
+      obj(fields: _*)
     case GraphObj(_, title, _, nodeKeys, nodes, links) =>
       obj("title" -> q(title),
         "nodekeys" -> arr(nodeKeys.map(q)),
         "nodevalues" -> arr(nodes.map(n => arr(n.values.map(q)))),
-        "links" -> arr(links.map(l => obj(
-          "node" -> q(l.node2.toString),
-          "description" -> q(l.description),
-          "source" -> q(l.node1.toString)))))
+        "nodelinks" -> nodeLinks(nodes.size, links))
   }
 
   private def objclass(o: ResponseObject): String = o match {
     case _: TextObj => "text"
     case _: Grid => "grid"
     case _: MultiDimGrid => "multidimgrid"
+    case _: TreeObj => "tree"
     case g: GraphObj => if (g.directed) "digraph" else "graph"
   }
 
@@ -109,9 +136,13 @@ object ResponseWriter {
     val sourceFields = fixedFields ++ Seq(
       "keys" -> arr(free.map(kv => q(kv._1))),
       "values" -> arr(free.map(kv => q(kv._2))))
+    // envelope key order per `oph_json_common.c`: source(:93),
+    // consumers(:284), responseKeyset(:311), response(:338) — the
+    // keyset lists each response element's objkey in order
     obj(
       "source" -> obj(sourceFields: _*),
       "consumers" -> arr(r.consumers.map(q)),
+      "responseKeyset" -> arr(r.objects.map(o => q(o.objkey))),
       "response" -> arr(r.objects.map(render)))
   }
 
@@ -148,9 +179,10 @@ object ResponseWriter {
       colValues = colValues,
       measureName = cube.desc.measure,
       measureType = cube.desc.measureType,
-      values = rows.map(r =>
-        expIdx.map(i => Option(r.get(i)).map(_.toString).getOrElse("null")) ++
-          r.getSeq[Any](measureIdx).map(_.toString)))
+      rowValues = rows.map(r => expIdx.map(i =>
+        Option(r.get(i)).map(_.toString).getOrElse("null"))),
+      measureValues = rows.map(r =>
+        r.getSeq[Any](measureIdx).map(_.toString)))
   }
 
   /** Provenance digraph object for oph_cubeio (`oph_json_objkeys.h:38`). */

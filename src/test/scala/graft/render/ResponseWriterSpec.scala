@@ -68,8 +68,8 @@ class ResponseWriterSpec extends SparkSpec {
     assert(mg.rowKeys == Seq("k"))
     assert(mg.colKeys == Seq("i"))
     assert(mg.colValues == Seq(Seq("1"), Seq("2")))
-    assert(mg.values.map(_.head).toSet == Set("1", "2"))
-    assert(mg.values.forall(_.length == 3)) // key + 2 measure cells
+    assert(mg.rowValues.map(_.head).toSet == Set("1", "2"))
+    assert(mg.measureValues.forall(_.length == 2)) // 2 measure cells/row
     val n = mapper.readTree(ResponseWriter.render(mg))
     assert(n.get("objclass").asText == "multidimgrid")
     assert(n.get("objcontent").get(0).get("measurename").asText == "v")
@@ -86,6 +86,11 @@ class ResponseWriterSpec extends SparkSpec {
     assert(g.nodes.size == 3)
     assert(g.links.size == 2)
     val n = mapper.readTree(ResponseWriter.render(g))
-    assert(n.get("objcontent").get(0).get("links").size == 2)
+    // reference wire shape: nodelinks[k] = node k's outgoing links
+    val nl = n.get("objcontent").get(0).get("nodelinks")
+    assert(nl.size == 3)
+    assert(nl.get(0).get(0).get("node").asText == "1")
+    assert(nl.get(1).get(0).get("node").asText == "2")
+    assert(nl.get(2).size == 0)
   }
 }
