@@ -1,0 +1,173 @@
+package graft.workflow
+
+import graft.SparkSpec
+import graft.core.{Catalog, JobStatus}
+
+/**
+ * Sustained multi-session stress: the ConcurrencySoakSpec admission
+ * storm COMPOSED with CubeEvictionSpec's store bound. Four sessions,
+ * each with its own engine and a small cube cap, take 32 racing
+ * clients' workflows while a bench-anchor thread keeps running real
+ * Spark jobs on the shared context. Asserted invariants:
+ *
+ *  - admission stays EXACT per engine under contention (running never
+ *    exceeds farm+queue; refused racers retry and eventually land);
+ *  - eviction keeps every store at its cap WITHOUT cross-session
+ *    leakage: a session's cube pids never resolve in another
+ *    session's engine, and no store ends up holding another
+ *    session's entries;
+ *  - surviving cubes still answer real queries after the storm;
+ *  - the anchor's results stay correct throughout — the storm can
+ *    slow the shared SparkContext but never corrupt or starve it.
+ */
+class MultiSessionSoakSpec extends SparkSpec {
+
+  private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("4 sessions x 8 racing clients under eviction: exact admission, " +
+      "session isolation, anchor stays correct") {
+    withConf("spark.graft.serverFarmSize" -> "4",
+        "spark.graft.queueSize" -> "4") {
+      val sessions = (1 to 4).map(i => s"ms$i")
+      // distinct webServer per session: pids are session-scoped URLs
+      // (the reference's PID embeds the serving endpoint), so a
+      // cross-session resolve is a genuine miss, not an id collision
+      val engines = sessions.map(c => c -> new Engine(spark,
+        new Catalog(c, webServer = s"http://$c"),
+        sleeper = _ => (), maxCubes = 6)).toMap
+
+      // bench anchor: real aggregation jobs on the shared context,
+      // checked for CORRECTNESS every iteration
+      @volatile var anchorRunning = true
+      val anchorRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+      val anchorBad = new java.util.concurrent.atomic.AtomicInteger(0)
+      val expected = 99999L * 100000L / 2
+      val anchor = new Thread(() => while (anchorRunning) {
+        val got = spark.range(100000L).selectExpr("sum(id)")
+          .head().getLong(0)
+        if (got != expected) anchorBad.incrementAndGet()
+        anchorRuns.incrementAndGet()
+      })
+      anchor.setDaemon(true)
+      anchor.start()
+
+      // admission sampler: per-engine running count must never exceed
+      // farm+queue = 8
+      val peaks = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+      @volatile var sampling = true
+      val sampler = new Thread(() => while (sampling) {
+        engines.foreach { case (c, e) =>
+          peaks.merge(c, e.runningCount, math.max(_, _))
+        }
+        Thread.sleep(5)
+      })
+      sampler.setDaemon(true)
+      sampler.start()
+
+      def wf(sess: String, client: Int, k: Int) = Workflow.parse(s"""{
+        "name": "soak_${sess}_${client}_$k", "tasks": [
+          {"name": "mk", "operator": "oph_randcube",
+           "arguments": ["nrows=2000", "array_length=4",
+             "container=c_${sess}_${client}_$k", "seed=$k"]},
+          {"name": "red", "operator": "oph_reduce",
+           "arguments": ["operation=sum"],
+           "dependencies": [{"task": "mk"}]}
+        ]}""")
+
+      val pidsOf = sessions.map(c => c ->
+        java.util.concurrent.ConcurrentHashMap.newKeySet[String]()).toMap
+      val refusals = new java.util.concurrent.atomic.AtomicInteger(0)
+      val failures =
+        new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val clients = (0 until 32).map { i =>
+        val sess = sessions(i % 4)
+        val eng = engines(sess)
+        val th = new Thread(() => {
+          gate.await()
+          (1 to 3).foreach { k =>
+            var attempts = 0
+            var done = false
+            while (!done && attempts < 200) {
+              attempts += 1
+              try {
+                val res = eng.run(wf(sess, i, k))
+                res.values.flatMap(_.cubePid).foreach(pidsOf(sess).add)
+                if (!res.values.forall(_.status == JobStatus.Completed))
+                  failures.add(s"$sess/$i/$k: ${res.values.map(_.status)}")
+                done = true
+              } catch {
+                case _: Engine.QueueFullError =>
+                  refusals.incrementAndGet()
+                  Thread.sleep(25)
+              }
+            }
+            if (!done) failures.add(s"$sess/$i/$k never admitted")
+          }
+        })
+        th.start()
+        th
+      }
+      gate.countDown()
+      clients.foreach(_.join(300000))
+      assert(clients.forall(!_.isAlive), "soak clients hung")
+      sampling = false
+      anchorRunning = false
+      anchor.join(30000)
+
+      assert(failures.isEmpty, s"workflow failures: $failures")
+      // admission exactness per engine
+      sessions.foreach { c =>
+        val p = peaks.getOrDefault(c, 0)
+        assert(p <= 8, s"$c admission exceeded farm+queue: peak $p")
+      }
+      // eviction bound + SESSION ISOLATION: no store over cap, no pid
+      // of session A resolvable in engine B, every surviving entry
+      // belongs to its own session's containers
+      sessions.foreach { c =>
+        val e = engines(c)
+        assert(e.cubeCount <= 6, s"$c store over cap: ${e.cubeCount}")
+        sessions.filter(_ != c).foreach { other =>
+          pidsOf(c).forEach { p =>
+            assert(engines(other).cube(p).isEmpty,
+              s"$other resolves $c's cube $p")
+          }
+        }
+        e.catalog.allCubes.foreach { entry =>
+          val name = e.catalog.containerNameOf(entry)
+          assert(name.startsWith(s"c_${c}_"),
+            s"$c catalog carries foreign container '$name'")
+        }
+        // survivors still answer real queries
+        val live = e.catalog.allCubes
+          .map(_.pid(e.catalog)).filter(p => e.cube(p).isDefined)
+        assert(live.nonEmpty, s"$c has no live cubes after the storm")
+        // probe the HOTTEST survivor only: the duplicate registers a
+        // new cube, which at cap evicts the coldest — probing a second
+        // pre-listed pid would race its own eviction
+        live.lastOption.foreach { p =>
+          val r = e.runDataOperator("oph_duplicate", Map("cube" -> p))
+          assert(r.status == JobStatus.Completed)
+        }
+      }
+      // the anchor made progress and never produced a wrong answer
+      assert(anchorRuns.get >= 1, s"anchor starved: ${anchorRuns.get} runs")
+      assert(anchorBad.get == 0, s"anchor computed wrong sums under load")
+      // farms drained clean; a follow-up run admits immediately
+      engines.values.foreach { e =>
+        assert(e.runningCount == 0)
+        e.checkAdmission()
+      }
+      val post = engines(sessions.head).run(wf(sessions.head, 99, 9))
+      assert(post.values.forall(_.status == JobStatus.Completed))
+    }
+  }
+}
