@@ -26,8 +26,11 @@ import graft.workflow.{Engine, Workflow}
  *    `exec_mode=sync` runs inline and returns the rendered Response,
  *    `exec_mode=async` returns the minted jobid immediately.
  *  - `GET /services/status?jobid=N` — lifecycle of an async job.
- *  - `GET /services/resume?id=N&document_type=request|response` — the
- *    saved document store (oph_resume over HTTP).
+ *  - `GET /services/resume?id=N&id_type=workflow|marker&document_type=
+ *    request|response&level=0-5&status_filter=MASK` — the saved
+ *    document store (oph_resume over HTTP): id>0 (or `last`) fetches
+ *    one document, id=0/absent returns the session job LISTING as
+ *    columns+rows.
  *  - `GET /services/info` — service liveness (oph_service).
  *
  * Authentication (`src/oph_auth.c`, token constants `oph_auth.h:37,121`):
@@ -529,12 +532,33 @@ final class HttpService(
         case RoutingError(status, msg) => return reply(ex, status,
           s"""{"error":$ErrAuth,"message":${quote(msg)}}""")
       }
+    val idType = q.getOrElse("id_type", "workflow")
+    val level = q.get("level").flatMap(_.toIntOption).getOrElse(1)
+    val mask = q.getOrElse("status_filter", "11111111")
     try {
-      val doc = target.sessions.resume(code, user, id, docType)
-      reply(ex, 200, s"""{"error":$Ok,"document":${quote(doc)}}""")
+      if (id == 0 && !q.get("id").exists(_.equalsIgnoreCase("last"))) {
+        // the reference's id=0 LISTING surface: session job rows as a
+        // grid (columns + string rows), mask/level/id_type applied
+        val (cols, rows) = target.sessions.resumeList(
+          code, user, idType, docType, level, mask)
+        val colsJson = cols.map(quote).mkString("[", ",", "]")
+        val rowsJson = rows.map(_.map(quote).mkString("[", ",", "]"))
+          .mkString("[", ",", "]")
+        reply(ex, 200,
+          s"""{"error":$Ok,"columns":$colsJson,"rows":$rowsJson}""")
+      } else {
+        val doc =
+          if (idType == "marker") {
+            val m = if (id > 0) id else target.sessions.lastMarker(code)
+            target.sessions.resumeMarker(code, user, m, docType)
+          } else target.sessions.resume(code, user, id, docType)
+        reply(ex, 200, s"""{"error":$Ok,"document":${quote(doc)}}""")
+      }
     } catch {
       case e: SessionService.AuthError =>
         reply(ex, 403, s"""{"error":$ErrAuth,"message":${quote(e.getMessage)}}""")
+      case e: IllegalArgumentException =>
+        reply(ex, 400, s"""{"error":$ErrWrongParameter,"message":${quote(e.getMessage)}}""")
       case _: NoSuchElementException =>
         reply(ex, 404, s"""{"error":$ErrWrongParameter,"message":"no such document"}""")
     }

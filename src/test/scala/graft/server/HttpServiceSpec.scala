@@ -203,6 +203,42 @@ class HttpServiceSpec extends SparkSpec {
         authHeader = Some(basic("graft", "secret")))
       assert(c2 == 404)
       assert(b2.nonEmpty)
+      // id absent = the reference's session job LISTING (columns+rows)
+      val (c3, b3) = http(s"$base/services/resume",
+        authHeader = Some(basic("graft", "secret")))
+      assert(c3 == 200)
+      val listing = mapper.readTree(b3)
+      val cols = (0 until listing.get("columns").size)
+        .map(listing.get("columns").get(_).asText)
+      assert(cols.contains("WORKFLOW ID") && cols.contains("EXIT STATUS"))
+      assert(listing.get("rows").size == 1)
+      // marker granularity: list markers, then fetch one document
+      val (c4, b4) = http(s"$base/services/resume?id_type=marker" +
+        "&level=3&document_type=request",
+        authHeader = Some(basic("graft", "secret")))
+      assert(c4 == 200)
+      val mrows = mapper.readTree(b4).get("rows")
+      assert(mrows.size >= 1)
+      val markerCol = {
+        val cj = mapper.readTree(b4).get("columns")
+        (0 until cj.size).map(cj.get(_).asText).indexOf("MARKER ID")
+      }
+      val marker = mrows.get(0).get(markerCol).asText
+      val (c5, b5) = http(s"$base/services/resume?id=$marker" +
+        "&id_type=marker&document_type=request",
+        authHeader = Some(basic("graft", "secret")))
+      assert(c5 == 200)
+      assert(mapper.readTree(b5).get("document").asText.nonEmpty)
+      // id=last keeps serving the newest document
+      val (c6, b6) = http(s"$base/services/resume?id=last" +
+        "&document_type=request",
+        authHeader = Some(basic("graft", "secret")))
+      assert(c6 == 200)
+      assert(mapper.readTree(b6).get("document").asText.contains("wf_http"))
+      // an out-of-range marker is a 400, not a 500
+      val (c7, _) = http(s"$base/services/resume?id=9999&id_type=marker",
+        authHeader = Some(basic("graft", "secret")))
+      assert(c7 == 400)
     }
   }
 
