@@ -2080,9 +2080,28 @@ final class Engine(
             args.getOrElse("dest", "/"))
           case _ =>
         }
+        val fsPaths = catalog.listFolders(args.getOrElse("path", "/"),
+          recursive = true)
+        // the listing ALSO rides the response as the reference's `tree`
+        // objclass (oph_json_tree.h:39-49): one node per folder, edges
+        // parent -> child, root = the shallowest listed path
+        val fsTree = if (fsPaths.isEmpty) None else {
+          val index = fsPaths.zipWithIndex.toMap
+          // fsPaths is sorted, so the listing root comes first and
+          // every non-root path's parent prefix precedes it
+          val links = fsPaths.drop(1).flatMap { p =>
+            val cut = p.lastIndexOf('/')
+            val parent = if (cut <= 0) "/" else p.substring(0, cut)
+            index.get(parent)
+              .map(pi => graft.core.GraphLink(pi, index(p), ""))
+          }
+          Some(graft.core.TreeObj("fs", "Folder Tree", None,
+            rootnode = 0, nodeKeys = Seq("path"),
+            nodes = fsPaths.map(p => graft.core.GraphNode(Seq(p))),
+            links = links))
+        }
         TaskResult(JobStatus.Completed,
-          message = catalog.listFolders(args.getOrElse("path", "/"),
-            recursive = true).mkString("|"))
+          message = fsPaths.mkString("|"), aux = fsTree.toSeq)
 
       case "oph_cubeio" =>
         val (pid, _) = needCube()

@@ -197,6 +197,30 @@ class EngineOpsSpec extends SparkSpec {
     intercept[Exception](e.catalog.moveContainer("/d/c2", "/c"))
   }
 
+  test("oph_fs ls renders the folder hierarchy as a tree response") {
+    val e = engine()
+    e.runDataOperator("oph_folder", Map("command" -> "mkdir", "path" -> "/a"))
+    e.runDataOperator("oph_folder", Map("command" -> "mkdir", "path" -> "/a/b"))
+    e.runDataOperator("oph_folder", Map("command" -> "mkdir", "path" -> "/x"))
+    val r = e.runDataOperator("oph_fs", Map("command" -> "ls"))
+    val tree = r.aux.collectFirst {
+      case t: graft.core.TreeObj => t }.get
+    assert(tree.rootnode == 0)
+    val paths = tree.nodes.map(_.values.head)
+    assert(paths.head == "/sess") // session root, sorted shallowest first
+    assert(paths.contains("/sess/a/b") && paths.contains("/sess/x"))
+    // every non-root node is linked from its parent exactly once
+    assert(tree.links.size == tree.nodes.size - 1)
+    val byChild = tree.links.groupBy(_.node2)
+    assert(byChild.values.forall(_.size == 1))
+    val idx = paths.zipWithIndex.toMap
+    assert(tree.links.contains(
+      graft.core.GraphLink(idx("/sess/a"), idx("/sess/a/b"), "")))
+    // and it renders under the reference objclass
+    val json = graft.render.ResponseWriter.render(tree)
+    assert(json.contains("\"objclass\": \"tree\""))
+  }
+
   test("instances / tasks / loggingbk report engine state") {
     val e = engine()
     mk(e)
