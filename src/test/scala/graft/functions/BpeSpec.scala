@@ -147,7 +147,7 @@ class BpeSpec extends SparkSpec {
 
   test("byte-level bijection is exact over all 256 bytes") {
     assert(Bpe.byteEncoder.distinct.length == 256)
-    val nasty = "héllo wörld 😀🚀 日本語 привет ­ mixed"
+    val nasty = "héllo wörld 😀🚀 日本語 привет \u0001\u00AD mixed"
     assert(Bpe.fromByteSymbols(Bpe.toByteSymbols(nasty)) == nasty)
     // every single byte value survives the round trip
     val all = new String((0 until 256).map(_.toByte).toArray,
