@@ -206,14 +206,28 @@ object MassiveFilter {
     (fromGroups ++ fromPids).distinctBy(_.id)
   }
 
-  /** Glob (`*`/`?`) to anchored regex. */
-  private def globRegex(glob: String): scala.util.matching.Regex =
-    glob.flatMap {
-      case '*' => ".*"
-      case '?' => "."
-      case c if "\\.[]{}()+-^$|".contains(c) => s"\\$c"
-      case c => c.toString
-    }.r
+  /** Glob to anchored regex: `*`/`?` wildcards plus shell brace
+    * alternation `{a,b}` (the reference's file filters go through its
+    * FS service's shell-style matching — `file={nofile}` in
+    * `test/oph_server_test.c:2828` is a one-alternative brace set,
+    * not a literal). */
+  private def globRegex(glob: String): scala.util.matching.Regex = {
+    val sb = new StringBuilder
+    var inBrace = false
+    glob.foreach {
+      case '*' => sb ++= ".*"
+      case '?' => sb += '.'
+      case '{' if !inBrace => inBrace = true; sb += '('
+      case '}' if inBrace => inBrace = false; sb += ')'
+      case ',' if inBrace => sb += '|'
+      case c if "\\.[](){}+-^$|".contains(c) => sb ++= s"\\$c"
+      case c => sb += c
+    }
+    sb.toString.r
+  }
+
+  private def hasGlob(s: String): Boolean =
+    s.exists(c => c == '*' || c == '?' || c == '{')
 
   /** CMIP5 DRS filename: `var_table_model_experiment_ensemble[_time].ext`
     * — at least 5 '_'-separated fields (the reference's
@@ -230,17 +244,69 @@ object MassiveFilter {
    * service; the heavy lifting (the reads) happens in the fanned-out
    * Spark jobs.
    */
-  def expandFiles(value: String, cwd: String = "/"): Seq[String] = {
+  def expandFiles(value: String, cwd: String = "/",
+      cdd: String = "/"): Seq[String] = {
     val spec = parse(value)
-    val fromGroups = spec.groups.flatMap { g =>
+    // an unterminated/unopened group is a grammar error, never a
+    // silent path passthrough (`test/oph_server_test.c:2832` "[wrong")
+    spec.explicitPids.foreach { t =>
+      if (t.startsWith("[") != t.endsWith("]"))
+        throw new FilterError(s"malformed filter group '$t'")
+    }
+    val fromGroups = spec.groups.flatMap { g0 =>
+      // src_path context: a BARE clause is the path argument — the
+      // reference rewrites `[x]` to `[path=x]` before parsing
+      // (`oph_massive_operations.c:76-116`); `parse` is shared with
+      // the cube context where bare means cube_filter, so remap here
+      val g = if (g0.filters.keySet == Set("cube_filter"))
+        Group(Map("path" -> g0.filters("cube_filter")))
+      else g0
       g.filters.keys.foreach { k =>
         if (!Set("path", "file", "recursive", "depth", "convention", "run",
             "measure", "cdd").contains(k))
           throw new FilterError(s"unknown src_path filter '$k'")
       }
-      val root = new java.io.File(g.filters.getOrElse("path", cwd))
-      if (!root.isDirectory)
-        throw new FilterError(s"src_path '${root.getPath}' is not a directory")
+      // path sanitation + cdd resolution, the reference's rules in
+      // order (`oph_massive_operations.c:171-199`): no '..' anywhere,
+      // no leading '~'; a RELATIVE path needs an absolute,
+      // '..'-free cdd and resolves under it
+      val rawPath = g.filters.getOrElse("path", cwd).trim
+      if (rawPath.contains(".."))
+        throw new FilterError(s"the use of '..' in '$rawPath' is forbidden")
+      if (rawPath.startsWith("~"))
+        throw new FilterError("src_path cannot begin with '~'")
+      val path =
+        if (rawPath.startsWith("/")) rawPath
+        else {
+          val cddTrim = Option(cdd).getOrElse("/").trim
+          if (!cddTrim.startsWith("/"))
+            throw new FilterError(s"cdd '$cddTrim' must begin with '/'")
+          if (cddTrim.contains(".."))
+            throw new FilterError(s"the use of '..' in cdd is forbidden")
+          s"${cddTrim.stripSuffix("/")}/$rawPath"
+        }
+      // the path itself may carry globs (`[testdata/*.test]`):
+      // expand segment-wise — matched FILES are sources directly,
+      // matched DIRECTORIES are walk roots
+      def expandPathGlobs(p: String): Seq[java.io.File] = {
+        def rec(base: java.io.File, rest: List[String]): Seq[java.io.File] =
+          rest match {
+            case Nil => if (base.exists) Seq(base) else Seq.empty
+            case seg :: tail if hasGlob(seg) =>
+              val re = globRegex(seg)
+              Option(base.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+                .filter(f => re.matches(f.getName))
+                .sortBy(_.getName)
+                .flatMap(f => rec(f, tail))
+            case seg :: tail => rec(new java.io.File(base, seg), tail)
+          }
+        rec(new java.io.File("/"), p.split("/").filter(_.nonEmpty).toList)
+      }
+      val targets =
+        if (hasGlob(path)) expandPathGlobs(path)
+        else Seq(new java.io.File(path))
+      if (!hasGlob(path) && !targets.head.isDirectory)
+        throw new FilterError(s"src_path '$path' is not a directory")
       val recursive = g.filters.get("recursive").exists(_.equalsIgnoreCase("yes"))
       val depth = g.filters.get("depth").map(d => d.toIntOption.getOrElse(
         throw new FilterError(s"malformed value '$d' for filter 'depth'")))
@@ -269,10 +335,13 @@ object MassiveFilter {
           else Seq.empty
         }
       }
-      walk(root, 0)
+      targets.flatMap { t =>
+        if (t.isFile || isDataDir(t)) Seq(t) // glob-matched leaf source
+        else walk(t, 0)
+      }
         .filter(f => fileRes.isEmpty || fileRes.exists(_.matches(f.getName)))
         .filter(f => !wantCmip5 || isCmip5(f.getName))
-        .map(_.getPath).sorted
+        .map(_.getPath).distinct.sorted
     }
     (fromGroups ++ spec.explicitPids).distinct
   }

@@ -734,7 +734,8 @@ final class Engine(
                             val massive =
                               if (part.startsWith("[")) part
                               else s"[path=${resolve(part)}]"
-                            MassiveFilter.expandFiles(massive)
+                            MassiveFilter.expandFiles(massive,
+                              cdd = spec.cdd)
                           }
                         if (files.isEmpty) throw new Engine.EngineError(
                           s"oph_for: no files match '$p'")
@@ -1482,7 +1483,8 @@ final class Engine(
         // import out over every matching FILE, one cube per file
         // (`oph_massive_operations.c:222-258`)
         if (path.contains("[")) {
-          val files = MassiveFilter.expandFiles(path)
+          val files =
+            MassiveFilter.expandFiles(path, cdd = args.getOrElse("cdd", "/"))
           if (files.isEmpty)
             throw new Engine.EngineError(s"import: no files match $path")
           if (!MassiveFilter.parse(path).runEnabled)
