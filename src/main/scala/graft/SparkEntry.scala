@@ -952,6 +952,32 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    "join_skew_hotkeys" -> ((s, dir) => {
+      // ADAPTIVE skew join: plant one genuinely hot orderkey (every
+      // 10th order's lines re-keyed to 1 with unique linenumbers), let
+      // the bounded driver sample detect it, and salt ONLY that key's
+      // build rows — the cold mass takes the plain join. The oracle is
+      // the unsalted SQL over the same augmented probe, so the sample
+      // can only affect the shuffle shape, never the result.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val hotLines = li.filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        .select(lit(1L).as("l_orderkey"),
+          (lit(1000000L) + col("l_orderkey") * 10 + col("l_linenumber"))
+            .as("l_linenumber"),
+          col("l_quantity"))
+      val aug = li.unionByName(hotLines)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.operators.Skew.saltedJoinHot(aug, o, Seq("l_orderkey"),
+          scatter = col("l_linenumber"), salt = 8,
+          hotThreshold = 1000L, sampleFraction = 0.2, maxHotKeys = 10,
+          seed = 7L)
+        .groupBy(col("o_orderstatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+
     "agg_skew_salted" -> ((s, dir) => {
       // two-phase salted aggregation: l_returnflag has only 3 groups
       // (maximally hot keys); phase 1 splits each across 16 buckets,
@@ -4324,6 +4350,19 @@ object SparkEntry {
       """SELECT o_orderstatus, round(sum(l_quantity), 2) AS sum_qty,
                 count(*) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+
+    "join_skew_hotkeys" ->
+      """WITH aug AS (
+           SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+           UNION ALL
+           SELECT 1 AS l_orderkey,
+                  1000000 + l_orderkey * 10 + l_linenumber AS l_linenumber,
+                  l_quantity
+           FROM lineitem WHERE l_orderkey % 10 = 0)
+         SELECT o_orderstatus, round(sum(l_quantity), 2) AS sum_qty,
+                count(*) AS n
+         FROM aug JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1""",
 
     "agg_skew_salted" ->

@@ -61,6 +61,55 @@ object Skew {
   }
 
   /**
+   * Hot-key-ONLY salted join: [[saltedJoin]] replicates the WHOLE
+   * build side `salt` times — an 8x build shuffle even when one key
+   * in a million is hot. Here a bounded driver sample estimates the
+   * probe's hot keys (count >= `hotThreshold` extrapolated through
+   * `sampleFraction`, top `maxHotKeys`); only the build rows of those
+   * keys replicate, the cold mass takes the plain equi-join, and the
+   * two branches union. Identical result set to the plain join no
+   * matter what the sample says — sampling only picks WHICH keys get
+   * the finer shuffle key, so the operator stays oracle-checkable
+   * against the unsalted SQL.
+   *
+   * Cost shape at 100 TB: one extra probe/build pass (the broadcast
+   * semi/anti split) buys the replicated volume down from
+   * |build| x salt to |hot build| x salt — the right trade whenever
+   * the hot set is small, which is what skew MEANS.
+   */
+  def saltedJoinHot(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      scatter: Column, salt: Int, hotThreshold: Long,
+      sampleFraction: Double = 0.01, maxHotKeys: Int = 100,
+      seed: Long = 42L): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction must be in (0,1], got $sampleFraction")
+    require(hotThreshold >= 1 && maxHotKeys >= 1)
+    val minSampled = math.max(1L, (hotThreshold * sampleFraction).toLong)
+    val hotRows = probe.select(keys.map(col): _*)
+      .sample(withReplacement = false, sampleFraction, seed)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__hotn"))
+      .filter(col("__hotn") >= minSampled)
+      .orderBy(col("__hotn").desc)
+      .limit(maxHotKeys)
+      .drop("__hotn")
+      .collect()
+    if (hotRows.isEmpty) return probe.join(build, keys)
+    val keySchema = org.apache.spark.sql.types.StructType(
+      probe.select(keys.map(col): _*).schema.fields)
+    val hotDf = broadcast(probe.sparkSession.createDataFrame(
+      java.util.Arrays.asList(hotRows: _*), keySchema))
+    val probeHot = probe.join(hotDf, keys, "left_semi")
+    val probeCold = probe.join(hotDf, keys, "left_anti")
+    // the cold probe can join the FULL build (its hot rows can't
+    // match cold keys), so only the hot branch pays a build semi-join
+    val buildHot = build.join(hotDf, keys, "left_semi")
+    saltedJoin(probeHot, buildHot, keys, scatter, salt)
+      .unionByName(probeCold.join(build, keys))
+  }
+
+  /**
    * Two-phase aggregation for hot group keys: phase 1 aggregates on
    * (keys, salt bucket) — the hot group's rows split across `salt`
    * reducers — phase 2 merges the per-bucket partials. Exact for the

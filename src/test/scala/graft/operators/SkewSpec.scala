@@ -27,6 +27,41 @@ class SkewSpec extends SparkSpec {
     assert(buckets > 1, "scatter column must spread the hot key")
   }
 
+  test("hot-key salted join detects the hot key and matches the plain join") {
+    // key 1 holds 4000 of 4360 rows; the 0.5 sample at threshold 100
+    // must find it and only it
+    val probe = (1L to 4360L).map(i =>
+      (if (i <= 4000) 1L else i, i, i * 2.0)).toDF("k", "row", "v")
+    val build = ((1L to 360L).map(i => (i, s"t$i")) :+ (4100L, "t4100"))
+      .toDF("k", "tag")
+    val plain = probe.join(build, Seq("k"))
+      .select("k", "row", "v", "tag").as[(Long, Long, Double, String)]
+      .collect().toSet
+    val hot = Skew.saltedJoinHot(probe, build, Seq("k"),
+        scatter = col("row"), salt = 8, hotThreshold = 100L,
+        sampleFraction = 0.5, maxHotKeys = 5)
+      .select("k", "row", "v", "tag").as[(Long, Long, Double, String)]
+      .collect().toSet
+    assert(hot == plain)
+    assert(plain.count(_._1 == 1L) == 4000)
+  }
+
+  test("hot-key salted join with no hot keys degrades to the plain join") {
+    val probe = (1L to 500L).map(i => (i % 50, i, i * 1.0))
+      .toDF("k", "row", "v")
+    val build = (0L to 49L).map(i => (i, s"t$i")).toDF("k", "tag")
+    val plain = probe.join(build, Seq("k"))
+      .select("k", "row", "v", "tag").as[(Long, Long, Double, String)]
+      .collect().toSet
+    // threshold far above any key's count: the sample finds nothing
+    val hot = Skew.saltedJoinHot(probe, build, Seq("k"),
+        scatter = col("row"), salt = 8, hotThreshold = 1000000L,
+        sampleFraction = 0.5, maxHotKeys = 5)
+      .select("k", "row", "v", "tag").as[(Long, Long, Double, String)]
+      .collect().toSet
+    assert(hot == plain)
+  }
+
   test("salted aggregation merges partials exactly") {
     val df = (1L to 1000L).map(i =>
       (if (i % 2 == 0) "hot" else s"k${i % 7}", i, i.toDouble / 4))
