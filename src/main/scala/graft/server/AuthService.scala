@@ -17,6 +17,21 @@ import java.util.Base64
 object AuthService {
   val TokenUser = "__token__" // `oph_auth.h:37`
   val MaxAttempts = 5
+
+  /** Per-user properties — the reference's user.dat fields
+    * (`/root/reference/authz/users/<u>/user.dat`, keys
+    * `src/oph_auth.h` OPH_USER_*): the enabled gate, session/core/host
+    * quotas (0 = unlimited), the session timeout in DAYS that lets an
+    * over-quota user reap expired autoremove sessions
+    * (`oph_workflow_engine.c:536-595`), and the user's default data
+    * directory (OPH_CDD). */
+  final case class UserProps(
+      enabled: Boolean = true,
+      maxSessions: Int = 0,
+      maxCores: Int = 0,
+      maxHosts: Int = 0,
+      timeoutSessionDays: Int = 0,
+      cdd: String = "/")
   /** Block-window length: a host's failure counter resets this long
     * after its FIRST failure of the window (reference block-list
     * check period). */
@@ -52,6 +67,9 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
     * property) — gates the user-management surface. */
   private val admins =
     scala.collection.concurrent.TrieMap[String, Unit]()
+  /** user -> quota/gate properties; absent = all defaults. */
+  private val props =
+    scala.collection.concurrent.TrieMap[String, UserProps]()
   private val failures = scala.collection.concurrent
     .TrieMap[String, (Int, Long)]() // host -> (attempts, window start)
   /** Earliest time the next failure-map sweep can possibly remove
@@ -68,6 +86,9 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
       case Array("U", name, h) => users(name) = h
       case Array("T", token, user) => tokens(token) = user
       case Array("A", name) => admins(name) = ()
+      case Array("P", name, en, ms, mc, mh, to, cdd) =>
+        props(name) = UserProps(en == "1", ms.toInt, mc.toInt,
+          mh.toInt, to.toInt, cdd)
       case _ => // tolerate unknown lines (forward compatibility)
     })
   }
@@ -87,6 +108,13 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
         sb.append("T\t").append(t).append('\t').append(u).append('\n') }
       admins.keys.toSeq.sorted.foreach { n =>
         sb.append("A\t").append(n).append('\n') }
+      props.toSeq.sortBy(_._1).foreach { case (n, q) =>
+        sb.append("P\t").append(n).append('\t')
+          .append(if (q.enabled) "1" else "0").append('\t')
+          .append(q.maxSessions).append('\t').append(q.maxCores)
+          .append('\t').append(q.maxHosts).append('\t')
+          .append(q.timeoutSessionDays).append('\t').append(q.cdd)
+          .append('\n') }
       StateStore.save(p, sb.result())
     }
   }
@@ -138,7 +166,18 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
   def removeUser(name: String): Unit = mutate {
     users.remove(name)
     admins.remove(name)
+    props.remove(name)
     tokens.filterInPlace { case (_, u) => u != name }
+  }
+
+  /** Quota/gate properties of `name`; defaults when never set. */
+  def userProps(name: String): UserProps =
+    props.getOrElse(name, UserProps())
+
+  def setUserProps(name: String, p: UserProps): Unit = {
+    require(!p.cdd.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "cdd cannot contain control characters")
+    mutate { props(name) = p }
   }
 
   // ------------------------ admin surface (`src/oph_manage_user.c`)
@@ -183,6 +222,24 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
           args.get("is_admin").foreach { v =>
             if (v.equalsIgnoreCase("yes")) admins(name) = ()
             else admins.remove(name)
+          }
+          // user.dat quota fields (`oph_manage_user.c` update keys)
+          def int(k: String): Option[Int] = args.get(k).map(v =>
+            v.toIntOption.getOrElse(throw new IllegalArgumentException(
+              s"manage_user update: bad integer '$v' for '$k'")))
+          val quotaKeys = Seq("enabled", "max_sessions", "max_cores",
+            "max_hosts", "timeout_session", "cdd")
+          if (quotaKeys.exists(args.contains)) {
+            val cur = userProps(name)
+            props(name) = cur.copy(
+              enabled = args.get("enabled")
+                .map(_.equalsIgnoreCase("yes")).getOrElse(cur.enabled),
+              maxSessions = int("max_sessions").getOrElse(cur.maxSessions),
+              maxCores = int("max_cores").getOrElse(cur.maxCores),
+              maxHosts = int("max_hosts").getOrElse(cur.maxHosts),
+              timeoutSessionDays =
+                int("timeout_session").getOrElse(cur.timeoutSessionDays),
+              cdd = args.getOrElse("cdd", cur.cdd))
           }
         }
         Nil

@@ -419,11 +419,59 @@ final class HttpService(
       case e: Workflow.ValidationError => return reply(ex, 400,
         s"""{"error":$ErrWrongParameter,"message":${quote(e.getMessage)}}""")
     }
+    // per-user gate + quotas — the reference's user.dat fields
+    // (`authz/users/<u>/user.dat`; enabled gate `oph_execute_main.c:
+    // 2150-2162`, ncores/nhost caps :6329-6377)
+    val uprops = auth.userProps(user)
+    if (!uprops.enabled)
+      return reply(ex, 503,
+        s"""{"error":$ErrSystem,"message":"service is not available for user '$user'"}""")
+    if (uprops.maxCores > 0 && spec.ncores.exists(_ > uprops.maxCores))
+      return reply(ex, 400,
+        s"""{"error":$ErrWrongParameter,"message":"ncores exceeds the user maximum (${uprops.maxCores})"}""")
+    if (uprops.maxHosts > 0 && spec.nhosts.exists(_ > uprops.maxHosts))
+      return reply(ex, 400,
+        s"""{"error":$ErrWrongParameter,"message":"nhost exceeds the user maximum (${uprops.maxHosts})"}""")
+    // the user's default data directory applies when the request
+    // leaves cdd unset (user.dat OPH_CDD)
+    val specR =
+      if (spec.cdd == "/" && uprops.cdd != "/") spec.copy(cdd = uprops.cdd)
+      else spec
     // session routing AFTER validation: an invalid workflow must not
     // allocate anything. sessionid selects (or mints) the target
     // session's engine; the authenticated user needs its Execute role
     // bit (`oph_auth.h:79-96`) — the creator owns a new session
     val code = spec.sessionId.getOrElse(engine.catalog.sessionCode)
+    // max_sessions gates only submissions that would MINT a session;
+    // at the cap, a timeout lets the user's expired AUTOREMOVE
+    // sessions reap first (`oph_workflow_engine.c:536-595` — the
+    // reference counts the user's session links and removes the
+    // timed-out autoremove ones before refusing)
+    val preexisting = code == engine.catalog.sessionCode ||
+      sessionEngines.contains(code) ||
+      sessionFileOf(code).exists(java.nio.file.Files.isRegularFile(_))
+    if (!preexisting && uprops.maxSessions > 0) {
+      def owned = sessionEngines.toSeq.collect {
+        case (c, e) if e.sessions.ownerOf(c).contains(user) => c
+      }
+      if (owned.size >= uprops.maxSessions &&
+          uprops.timeoutSessionDays > 0) {
+        val cutoff =
+          nowMillis() - uprops.timeoutSessionDays * 86400000L
+        owned.foreach { c =>
+          val e = sessionEngines(c)
+          if (e.sessions.autoremoveEnabled(c) &&
+              lastUsed.getOrElse(c, 0L) < cutoff) {
+            e.sessions.purge(c)
+            releaseEngine(c, e)
+            engine.sessions.log(s"session $c reaped (user quota, expired)")
+          }
+        }
+      }
+      if (owned.size >= uprops.maxSessions)
+        return reply(ex, 429,
+          s"""{"error":$ErrSystem,"message":"too many open sessions (maximum is ${uprops.maxSessions})"}""")
+    }
     val eng =
       try engineFor(code, user, createIfAbsent = true).get
       catch {
@@ -477,7 +525,7 @@ final class HttpService(
     }
     if (spec.execMode.equalsIgnoreCase("async")) {
       import scala.concurrent.ExecutionContext.Implicits.global
-      track(eng.runAsync(spec, Some(body), presetId = Some(wfId))
+      track(eng.runAsync(specR, Some(body), presetId = Some(wfId))
         .map(_.map { case (k, r) => k -> r.status }))
       reply(ex, 200, s"""{"jobid":$jobid,"error":$Ok,"response":null}""")
     } else {
@@ -488,7 +536,7 @@ final class HttpService(
         .Promise[Map[String, JobStatus.Value]]()
       track(p.future)
       val results =
-        try eng.runRequest(spec, Some(body), presetId = Some(wfId))
+        try eng.runRequest(specR, Some(body), presetId = Some(wfId))
         catch { case e: Throwable => p.tryFailure(e); throw e }
       p.trySuccess(results.map { case (k, r) => k -> r.status })
       val rendered = eng.renderResponse(spec.name, results, spec.outputFormat)

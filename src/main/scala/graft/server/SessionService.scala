@@ -206,6 +206,10 @@ final class SessionService(
   /** Is `code` registered here? (Service-layer squat check.) */
   def exists(code: String): Boolean = synchronized(sessions.contains(code))
 
+  /** Owner of `code`, when registered. */
+  def ownerOf(code: String): Option[String] =
+    synchronized(sessions.get(code).map(_.owner))
+
   /** Does `code` ask to be garbage-collected when idle? (The reference's
     * session `autoremove` property, `src/oph_parser.h:202` — an
     * autoremove session is reaped by the server instead of living until

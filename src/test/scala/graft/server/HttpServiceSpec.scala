@@ -242,6 +242,91 @@ class HttpServiceSpec extends SparkSpec {
     }
   }
 
+  test("per-user quotas: enabled gate, core cap, session cap with reaping") {
+    withService { (svc, base, _) =>
+      val cred = Some(basic("intruder", "pw"))
+      def tiny(sess: String = "", auto: Boolean = false) = s"""{
+        "name": "q", ${if (sess.nonEmpty) s""""sessionid": "$sess",""" else ""}
+        "exec_mode": "sync", "ncores": 4, "tasks": [
+          {"name": "s", "operator": "oph_set",
+           "arguments": ["key=a", "value=1"]}]}"""
+      // core cap: ncores above the user maximum is a 400
+      svc.auth.setUserProps("intruder",
+        AuthService.UserProps(maxCores = 2))
+      val (c1, b1) = http(s"$base/services/execute", "POST",
+        Some(tiny(sess = "qa")), cred)
+      assert(c1 == 400 && b1.contains("ncores"), s"$c1 $b1")
+      // within the cap the run proceeds (new session owned by intruder)
+      svc.auth.setUserProps("intruder",
+        AuthService.UserProps(maxCores = 8, maxSessions = 2))
+      assert(http(s"$base/services/execute", "POST",
+        Some(tiny(sess = "qa")), cred)._1 == 200)
+      assert(http(s"$base/services/execute", "POST",
+        Some(tiny(sess = "qb")), cred)._1 == 200)
+      // the THIRD distinct session hits max_sessions
+      val (c3, b3) = http(s"$base/services/execute", "POST",
+        Some(tiny(sess = "qc")), cred)
+      assert(c3 == 429 && b3.contains("too many open sessions"), s"$c3 $b3")
+      // resubmitting into an EXISTING session is not session minting
+      assert(http(s"$base/services/execute", "POST",
+        Some(tiny(sess = "qa")), cred)._1 == 200)
+      // disabled user: service unavailable regardless of the request
+      // (copy-update: the gate must not reset the other quotas)
+      svc.auth.setUserProps("intruder",
+        svc.auth.userProps("intruder").copy(enabled = false))
+      val (c4, b4) = http(s"$base/services/execute", "POST",
+        Some(tiny()), cred)
+      assert(c4 == 503 && b4.contains("not available"), s"$c4 $b4")
+      // manage_user update writes the same fields (admin-gated)
+      svc.auth.addUser("root", "pw", admin = true)
+      svc.auth.manageUser("root", "update", Map(
+        "username" -> "intruder", "enabled" -> "yes",
+        "max_cores" -> "16", "cdd" -> "/data"))
+      val p = svc.auth.userProps("intruder")
+      assert(p.enabled && p.maxCores == 16 && p.cdd == "/data" &&
+        p.maxSessions == 2)
+      assert(http(s"$base/services/execute", "POST",
+        Some(tiny(sess = "qa")), cred)._1 == 200)
+    }
+  }
+
+  test("session-cap reaping: expired autoremove sessions free quota slots") {
+    // injectable clock: the service sees time jump past the timeout
+    var now = 1000000000000L
+    val engine = new Engine(spark, new Catalog("sess"))
+    val auth = new AuthService
+    auth.addUser("graft", "secret")
+    auth.addUser("carol", "pw")
+    val svc = new HttpService(engine, auth, nowMillis = () => now).start()
+    try {
+      val base = s"http://127.0.0.1:${svc.boundPort}"
+      val cred = Some(basic("carol", "pw"))
+      auth.setUserProps("carol",
+        AuthService.UserProps(maxSessions = 1, timeoutSessionDays = 1))
+      def wf(sess: String) = s"""{
+        "name": "q", "sessionid": "$sess", "exec_mode": "sync",
+        "tasks": [{"name": "s", "operator": "oph_set",
+          "arguments": ["key=a", "value=1"]}]}"""
+      assert(http(s"$base/services/execute", "POST",
+        Some(wf("r1")), cred)._1 == 200)
+      // mark r1 autoremove so the quota reaper may claim it (via the
+      // management operator inside the session; carol owns r1)
+      assert(http(s"$base/services/execute", "POST", Some("""{
+        "name": "mk_auto", "sessionid": "r1", "exec_mode": "sync",
+        "tasks": [{"name": "m", "operator": "oph_manage_session",
+          "arguments": ["action=setenv", "key=autoremove",
+            "value=yes"]}]}"""), cred)._1 == 200)
+      // at the cap and NOT expired: refused
+      assert(http(s"$base/services/execute", "POST",
+        Some(wf("r2")), cred)._1 == 429)
+      // a day and a bit later the expired autoremove session reaps and
+      // the new one mints
+      now += 2L * 86400000L
+      assert(http(s"$base/services/execute", "POST",
+        Some(wf("r2")), cred)._1 == 200)
+    } finally svc.stop()
+  }
+
   test("sessionid routes requests to per-session engines with ownership") {
     withService { (_, base, defaultEngine) =>
       val inSession = workflowAggRequest.replace("\"name\": \"wf_http\",",
