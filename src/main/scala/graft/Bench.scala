@@ -30,16 +30,6 @@ private final class BenchDiagListener
 }
 
 object Bench {
-  /** Escape a string for embedding in a JSON literal: backslash,
-    * quote, AND all control chars (< 0x20) — a tab inside an
-    * exception message once produced an artifact json.load refused. */
-  private def jsonEscape(s: String): String = s.flatMap {
-    case '\\' => "\\\\"
-    case '"' => "\\\""
-    case c if c < ' ' => "\\u%04x".format(c.toInt)
-    case c => c.toString
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -325,7 +315,11 @@ object Bench {
     val overJson = s""","over_cells":${overCells
       .map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
       (if (failedQ.isEmpty) "" else s""","failed":${failedQ
-        .map { case (k, m) => "\"" + k + "\":\"" + jsonEscape(m) + "\"" }
+        .map { case (k, m) =>
+          // the project's single JSON escaper — control chars in
+          // exception messages must not break the artifact's json.load
+          graft.render.ResponseWriter.jsonQuote(k) + ":" +
+            graft.render.ResponseWriter.jsonQuote(m) }
         .mkString("{", ",", "}")}""")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -212,13 +212,26 @@ object MassiveFilter {
     * `test/oph_server_test.c:2828` is a one-alternative brace set,
     * not a literal). */
   private def globRegex(glob: String): scala.util.matching.Regex = {
+    // brace alternation only applies to BALANCED, non-nested sets —
+    // an unbalanced '{' is a literal character like the shell treats
+    // it (and must never escape as a raw PatternSyntaxException)
+    val braced = {
+      var depth = 0
+      var ok = true
+      glob.foreach {
+        case '{' => depth += 1; if (depth > 1) ok = false
+        case '}' => depth -= 1; if (depth < 0) ok = false
+        case _ =>
+      }
+      ok && depth == 0 && glob.contains('{')
+    }
     val sb = new StringBuilder
     var inBrace = false
     glob.foreach {
       case '*' => sb ++= ".*"
       case '?' => sb += '.'
-      case '{' if !inBrace => inBrace = true; sb += '('
-      case '}' if inBrace => inBrace = false; sb += ')'
+      case '{' if braced && !inBrace => inBrace = true; sb += '('
+      case '}' if braced && inBrace => inBrace = false; sb += ')'
       case ',' if inBrace => sb += '|'
       case c if "\\.[](){}+-^$|".contains(c) => sb ++= s"\\$c"
       case c => sb += c

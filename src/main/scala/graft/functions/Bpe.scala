@@ -46,8 +46,17 @@ object Bpe {
     * word-final symbol so merges can learn word-boundary-aware units
     * and a decoder can restore word boundaries from a flat token
     * stream. Always word-final, so any token containing it ENDS with
-    * it. */
+    * it. In plain (code-point) mode the classic "</w>" is ambiguous
+    * against content that literally contains it — the documented
+    * Sennrich limitation. */
   val EOW = "</w>"
+
+  /** Byte-level mode uses a marker OUTSIDE the byte alphabet instead:
+    * every content symbol there is one char from the 256-entry
+    * bijection (max U+0143), so a private-use char can never be
+    * assembled from content by merges — decode(encode(x)) stays exact
+    * even for text that literally contains "</w>". */
+  val EowByte = "\uE000"
 
   /** GPT-2's byte<->printable-unicode bijection: the printable ASCII
     * and Latin-1 ranges map to themselves, every other byte to
@@ -126,7 +135,7 @@ object Bpe {
         i += n
       }
     }
-    if (endOfWord) out.add(EOW)
+    if (endOfWord) out.add(if (byteLevel) EowByte else EOW)
     out
   }
 
@@ -275,6 +284,7 @@ object Bpe {
       * bytes. Without `endOfWord` the boundaries are gone — tokens
       * concatenate into one run, the pre-marker behavior. */
     def decode(tokens: Iterator[String]): String = {
+      val marker = if (byteLevel) EowByte else EOW
       val doc = new java.lang.StringBuilder
       val word = new java.lang.StringBuilder
       def flush(): Unit = if (word.length > 0) {
@@ -285,8 +295,8 @@ object Bpe {
       }
       while (tokens.hasNext) {
         val t = tokens.next()
-        if (endOfWord && t.endsWith(EOW)) {
-          word.append(t, 0, t.length - EOW.length)
+        if (endOfWord && t.endsWith(marker)) {
+          word.append(t, 0, t.length - marker.length)
           flush()
         } else word.append(t)
       }

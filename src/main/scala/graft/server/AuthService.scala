@@ -231,7 +231,11 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
             "max_hosts", "timeout_session", "cdd")
           if (quotaKeys.exists(args.contains)) {
             val cur = userProps(name)
-            props(name) = cur.copy(
+            // through setUserProps, never a direct props write: its
+            // control-character check on cdd is what keeps the
+            // line-framed state file uninjectable (a '\n' in cdd
+            // would otherwise persist a forgeable admin-grant line)
+            setUserProps(name, cur.copy(
               enabled = args.get("enabled")
                 .map(_.equalsIgnoreCase("yes")).getOrElse(cur.enabled),
               maxSessions = int("max_sessions").getOrElse(cur.maxSessions),
@@ -239,7 +243,7 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
               maxHosts = int("max_hosts").getOrElse(cur.maxHosts),
               timeoutSessionDays =
                 int("timeout_session").getOrElse(cur.timeoutSessionDays),
-              cdd = args.getOrElse("cdd", cur.cdd))
+              cdd = args.getOrElse("cdd", cur.cdd)))
           }
         }
         Nil

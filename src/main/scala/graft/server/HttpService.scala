@@ -216,6 +216,25 @@ final class HttpService(
   private def sessionFileOf(code: String): Option[java.nio.file.Path] =
     stateDir.map(_.resolve(s"session-$code.json"))
 
+  /** Owner recorded in a persisted session state file (used by the
+    * per-user session quota to count sessions that are not currently
+    * routed to a live engine). Unreadable/foreign files count as
+    * nobody's. */
+  private def persistedOwnerOf(
+      p: java.nio.file.Path): Option[String] =
+    try {
+      val code = p.getFileName.toString
+        .stripPrefix("session-").stripSuffix(".json")
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(p))
+      var found: Option[String] = None
+      Option(n.get("sessions")).foreach(_.elements().forEachRemaining { sn =>
+        if (sn.get("code").asText == code)
+          found = Some(sn.get("owner").asText)
+      })
+      found
+    } catch { case _: Exception => None }
+
   private def engineFor(code: String, user: String,
       createIfAbsent: Boolean): Option[Engine] = {
     reapSessions()
@@ -451,20 +470,50 @@ final class HttpService(
       sessionEngines.contains(code) ||
       sessionFileOf(code).exists(java.nio.file.Files.isRegularFile(_))
     if (!preexisting && uprops.maxSessions > 0) {
-      def owned = sessionEngines.toSeq.collect {
-        case (c, e) if e.sessions.ownerOf(c).contains(user) => c
+      // the count covers LIVE engines plus persisted-but-unrouted
+      // sessions (the reference counts the user's session links on
+      // disk, `oph_workflow_engine.c:547-585`) — a restart must not
+      // reset anyone's quota
+      def owned: Seq[String] = {
+        val live = sessionEngines.toSeq.collect {
+          case (c, e) if e.sessions.ownerOf(c).contains(user) => c
+        }
+        val persisted = stateDir.toSeq.flatMap { d =>
+          val stream = java.nio.file.Files.list(d)
+          try {
+            val it = stream.iterator()
+            val buf = Seq.newBuilder[String]
+            while (it.hasNext) {
+              val p = it.next()
+              val n = p.getFileName.toString
+              if (n.startsWith("session-") && n.endsWith(".json")) {
+                val c = n.stripPrefix("session-").stripSuffix(".json")
+                if (!sessionEngines.contains(c) &&
+                    persistedOwnerOf(p).contains(user)) buf += c
+              }
+            }
+            buf.result()
+          } finally stream.close()
+        }
+        (live ++ persisted).distinct
       }
       if (owned.size >= uprops.maxSessions &&
           uprops.timeoutSessionDays > 0) {
         val cutoff =
           nowMillis() - uprops.timeoutSessionDays * 86400000L
         owned.foreach { c =>
-          val e = sessionEngines(c)
-          if (e.sessions.autoremoveEnabled(c) &&
-              lastUsed.getOrElse(c, 0L) < cutoff) {
-            e.sessions.purge(c)
-            releaseEngine(c, e)
-            engine.sessions.log(s"session $c reaped (user quota, expired)")
+          sessionEngines.get(c).foreach { e =>
+            // same guards as reapSessions: never the primary engine,
+            // never an engine mid-workflow — the quota reaper must not
+            // clear cubes under a run's feet or detach the primary
+            if ((e ne engine) && e.runningCount == 0 &&
+                e.sessions.autoremoveEnabled(c) &&
+                lastUsed.getOrElse(c, 0L) < cutoff) {
+              e.sessions.purge(c)
+              releaseEngine(c, e)
+              sessionFileOf(c).foreach(java.nio.file.Files.deleteIfExists(_))
+              engine.sessions.log(s"session $c reaped (user quota, expired)")
+            }
           }
         }
       }
@@ -580,15 +629,34 @@ final class HttpService(
         case RoutingError(status, msg) => return reply(ex, status,
           s"""{"error":$ErrAuth,"message":${quote(msg)}}""")
       }
-    val idType = q.getOrElse("id_type", "workflow")
-    val level = q.get("level").flatMap(_.toIntOption).getOrElse(1)
+    var idType = q.getOrElse("id_type", "workflow")
+    var level = q.get("level").flatMap(_.toIntOption).getOrElse(1)
+    var docSel = docType
     val mask = q.getOrElse("status_filter", "11111111")
+    // the same level normalization the oph_resume operator applies
+    // (`oph_execute_main.c:2293-2320`): level 4/5 recycle the marker
+    // listing with id demoted to a workflow filter; an explicit
+    // marker id_type there is a wrong parameter
+    var wid = 0
+    var wantListing =
+      id == 0 && !q.get("id").exists(_.equalsIgnoreCase("last"))
+    if (level > 3) {
+      if (q.get("id_type").exists(_.equalsIgnoreCase("marker")))
+        return reply(ex, 400, s"""{"error":$ErrWrongParameter,""" +
+          """"message":"level > 3 cannot combine with a marker filter"}""")
+      if (level > 4) docSel = "both"
+      else if (docSel == "response") docSel = "request"
+      idType = "marker"
+      wid = id
+      level = 3
+      wantListing = true
+    }
     try {
-      if (id == 0 && !q.get("id").exists(_.equalsIgnoreCase("last"))) {
+      if (wantListing) {
         // the reference's id=0 LISTING surface: session job rows as a
         // grid (columns + string rows), mask/level/id_type applied
         val (cols, rows) = target.sessions.resumeList(
-          code, user, idType, docType, level, mask)
+          code, user, idType, docSel, level, mask, wid)
         val colsJson = cols.map(quote).mkString("[", ",", "]")
         val rowsJson = rows.map(_.map(quote).mkString("[", ",", "]"))
           .mkString("[", ",", "]")

@@ -409,8 +409,10 @@ final class SessionService(
       documentType: String): String = synchronized {
     val s = get(code)
     require_((roleOf(s, user) & RoleRead) != 0, s"$user cannot read $code")
+    // markers mint from 1; 0 is outside the id space (it would match
+    // pre-marker-era records whose parentMarker defaulted to 0)
     val last = lastMarker(code)
-    if (marker < 0 || marker > last)
+    if (marker < 1 || marker > last)
       throw new IllegalArgumentException(
         s"marker $marker out of range (last is $last)")
     val hit = s.workflows.iterator.flatMap { w =>
@@ -435,8 +437,7 @@ final class SessionService(
     * reference reads the jobs table; our store derives it). */
   def workflowStatus(w: SavedWorkflow): String =
     if (w.tasks.exists(t => statusClass(t.status) == 4)) "Error"
-    else if (w.tasks.nonEmpty && w.tasks.forall(t =>
-      statusClass(t.status) == 6)) "Aborted"
+    else if (w.tasks.exists(t => statusClass(t.status) == 6)) "Aborted"
     else "Completed"
 
   /** oph_resume listing (`id=0` in the reference,

@@ -975,8 +975,14 @@ final class Engine(
               i += 1
             } else if (checkpointSkip.contains(s"${t.name}$iterSuffix")) {
               // checkpointed: replay the prior result (output cube
-              // verified to still exist) instead of re-executing
+              // verified to still exist) instead of re-executing —
+              // still a SUBMITTED job for the resume store, so it gets
+              // a marker and its substituted command like any other
               val cached = checkpointSkip(s"${t.name}$iterSuffix")
+              taskLog(s"${t.name}$iterSuffix") =
+                (mintMarker(), s"${t.operator} " +
+                  t.arguments.map { case (k, v) => s"$k=${sub(v)}" }
+                    .mkString(";"), iterSuffix.nonEmpty)
               results(s"${t.name}$iterSuffix") = cached
               cached.cubePid.foreach { p =>
                 outPids(s"${t.name}$iterSuffix") = p

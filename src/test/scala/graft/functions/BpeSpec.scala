@@ -175,6 +175,24 @@ class BpeSpec extends SparkSpec {
     assert(t.decode(t.encodeWord("🦄🦄").iterator) == "🦄🦄")
   }
 
+  test("byte-level EOW marker cannot be forged by content") {
+    // an HTML-ish corpus where '</w>' is frequent CONTENT: in byte
+    // mode the word-boundary marker lives outside the byte alphabet,
+    // so merges can assemble the literal string but never the marker —
+    // decode(encode(x)) stays exact even for '</w>'-bearing words
+    val hist = Seq(("</w>", 9L), ("a</w>b", 6L), ("<w></w>", 4L),
+      ("plain", 3L))
+    val merges = Bpe.train(hist, 48, minCount = 1L,
+      byteLevel = true, endOfWord = true)
+    val t = new Bpe.BpeTable(merges, byteLevel = true, endOfWord = true)
+    hist.foreach { case (w, _) =>
+      assert(t.decode(t.encodeWord(w).iterator) == w,
+        s"lossy on '$w': ${t.encodeWord(w).toSeq}")
+    }
+    val stream = hist.flatMap { case (w, _) => t.encodeWord(w) }
+    assert(t.decode(stream.iterator) == hist.map(_._1).mkString(" "))
+  }
+
   test("distributed byte-level decode matches through the expressions") {
     val docs = Seq((1L, "cats 😀 chase 日本 dogs"), (2L, "plain ascii"),
       (3L, "")).toDF("doc_id", "text")
