@@ -574,7 +574,8 @@ final class HttpService(
     }
     if (spec.execMode.equalsIgnoreCase("async")) {
       import scala.concurrent.ExecutionContext.Implicits.global
-      track(eng.runAsync(specR, Some(body), presetId = Some(wfId))
+      track(eng.runAsync(specR, Some(body), presetId = Some(wfId),
+        submitter = Some(user))
         .map(_.map { case (k, r) => k -> r.status }))
       reply(ex, 200, s"""{"jobid":$jobid,"error":$Ok,"response":null}""")
     } else {
@@ -585,7 +586,8 @@ final class HttpService(
         .Promise[Map[String, JobStatus.Value]]()
       track(p.future)
       val results =
-        try eng.runRequest(specR, Some(body), presetId = Some(wfId))
+        try eng.runRequest(specR, Some(body), presetId = Some(wfId),
+          submitter = Some(user))
         catch { case e: Throwable => p.tryFailure(e); throw e }
       p.trySuccess(results.map { case (k, r) => k -> r.status })
       val rendered = eng.renderResponse(spec.name, results, spec.outputFormat)
@@ -656,7 +658,8 @@ final class HttpService(
         // the reference's id=0 LISTING surface: session job rows as a
         // grid (columns + string rows), mask/level/id_type applied
         val (cols, rows) = target.sessions.resumeList(
-          code, user, idType, docSel, level, mask, wid)
+          code, user, idType, docSel, level, mask, wid,
+          q.get("user").filter(_.nonEmpty))
         val colsJson = cols.map(quote).mkString("[", ",", "]")
         val rowsJson = rows.map(_.map(quote).mkString("[", ",", "]"))
           .mkString("[", ",", "]")

@@ -66,7 +66,11 @@ object SessionService {
       response: String,
       parentMarker: Int = 0,
       tasks: Seq[SavedTask] = Nil,
-      created: String = "")
+      created: String = "",
+      /** The submitting user (the reference lists workflows per
+        * submitter: `MYSQL_RETRIEVE_WORKFLOWS_OF_USER_SESSION`,
+        * `src/oph_execute_main.c:2791`). */
+      submitter: String = "")
 
   /** The reference's 8-class status mask index
     * (`oph_check_status_mask`, `src/oph_execute_main.c:130-182`):
@@ -150,7 +154,8 @@ final class SessionService(
         s.workflows += SavedWorkflow(w.get("id").asInt,
           w.get("request").asText, w.get("response").asText,
           Option(w.get("parentMarker")).map(_.asInt).getOrElse(0), tasks,
-          Option(w.get("created")).map(_.asText).getOrElse(""))
+          Option(w.get("created")).map(_.asText).getOrElse(""),
+          Option(w.get("submitter")).map(_.asText).getOrElse(""))
       })
       sessions(s.code) = s
     })
@@ -173,7 +178,7 @@ final class SessionService(
         s"""{"id":${w.workflowId},"request":${q(w.request)},""" +
           s""""response":${q(w.response)},""" +
           s""""parentMarker":${w.parentMarker},"created":${q(w.created)},""" +
-          s""""tasks":[$ts]}"""
+          s""""submitter":${q(w.submitter)},"tasks":[$ts]}"""
       }.mkString(",")
       s"""{"code":${q(s.code)},"owner":${q(s.owner)},"label":${q(s.label)},""" +
         s""""active":${s.active},"autoremove":${s.autoremove},""" +
@@ -321,7 +326,8 @@ final class SessionService(
   /** oph_workflow_save analog: record the request + response document,
     * the workflow's own marker id, and every task's job record. */
   def saveWorkflow(code: String, request: String, response: String,
-      parentMarker: Int = 0, tasks: Seq[SavedTask] = Nil): Int =
+      parentMarker: Int = 0, tasks: Seq[SavedTask] = Nil,
+      submitter: String = ""): Int =
     synchronized {
       sessions.get(code) match {
         case Some(s) =>
@@ -330,7 +336,7 @@ final class SessionService(
             .ofPattern("yyyy-MM-dd HH:mm:ss")
             .format(java.time.LocalDateTime.now())
           s.workflows += SavedWorkflow(id, request, response,
-            parentMarker, tasks, created)
+            parentMarker, tasks, created, submitter)
           log(s"session $code workflow $id saved")
           persist()
           id
@@ -459,15 +465,22 @@ final class SessionService(
     * Returns (columns, rows) for the caller to render as a Grid. */
   def resumeList(code: String, user: String, idType: String,
       documentType: String, level: Int, mask: String,
-      wid: Int = 0): (Seq[String], Seq[Seq[String]]) = synchronized {
+      wid: Int = 0,
+      /** submitter filter (the reference resume `user` argument) —
+        * None lists everyone's jobs. */
+      submitter: Option[String] = None)
+      : (Seq[String], Seq[Seq[String]]) = synchronized {
     val s = get(code)
     require_((roleOf(s, user) & RoleRead) != 0, s"$user cannot read $code")
     val m = normalizeMask(mask)
     val base = Seq("OPH JOB ID", "SESSION CODE", "WORKFLOW ID",
       "MARKER ID", "CREATION DATE")
-    val wanted =
-      if (wid > 0) s.workflows.toSeq.filter(_.workflowId == wid)
-      else s.workflows.toSeq
+    val wanted = {
+      val base =
+        if (wid > 0) s.workflows.toSeq.filter(_.workflowId == wid)
+        else s.workflows.toSeq
+      submitter.fold(base)(u => base.filter(_.submitter == u))
+    }
     def jobId(wfId: Int, marker: Int) = s"$code#$wfId#$marker"
     if (idType == "marker") {
       val docCols =

@@ -409,10 +409,11 @@ final class Engine(
   /** exec_mode=async (`src/oph_parser.h:78-81`): submit and return a
     * Future; the caller polls or oph_resume's the saved response. */
   def runAsync(spec: Workflow.Spec, requestJson: Option[String] = None,
-      presetId: Option[Int] = None)
+      presetId: Option[Int] = None, submitter: Option[String] = None)
       : scala.concurrent.Future[Map[String, TaskResult]] = {
     import scala.concurrent.ExecutionContext.Implicits.global
-    scala.concurrent.Future(runRequest(spec, requestJson, presetId))
+    scala.concurrent.Future(runRequest(spec, requestJson, presetId,
+      submitter))
   }
 
   /** Reserve the workflow id a subsequent run will use when handed back
@@ -514,11 +515,13 @@ final class Engine(
     * still exist replay instead of re-executing. */
   def runRequest(spec: Workflow.Spec,
       requestJson: Option[String] = None,
-      presetId: Option[Int] = None): Map[String, TaskResult] =
+      presetId: Option[Int] = None,
+      submitter: Option[String] = None): Map[String, TaskResult] =
     spec.checkpoint.filter(_.nonEmpty).flatMap(_ => lastRuns.get(spec.name)) match {
       case Some((priorSpec, prior)) =>
-        runFrom(spec, priorSpec, prior, requestJson, presetId)
-      case None => run(spec, requestJson, presetId = presetId)
+        runFrom(spec, priorSpec, prior, requestJson, presetId, submitter)
+      case None => run(spec, requestJson, presetId = presetId,
+        submitter = submitter)
     }
 
   /**
@@ -535,7 +538,8 @@ final class Engine(
   def runFrom(spec: Workflow.Spec, priorSpec: Workflow.Spec,
       prior: Map[String, TaskResult],
       requestJson: Option[String] = None,
-      presetId: Option[Int] = None): Map[String, TaskResult] = {
+      presetId: Option[Int] = None,
+      submitter: Option[String] = None): Map[String, TaskResult] = {
     // a prior result replays ONLY if the task's definition is unchanged
     // between the two specs — an edited-and-previously-'completed' task
     // must re-run, not silently serve stale data. Iteration-suffixed
@@ -563,7 +567,7 @@ final class Engine(
         newTasks.get(baseName(name)).exists(t =>
           priorTasks.get(baseName(name)).contains(t)) => name -> r
     }
-    run(spec, requestJson, completed, presetId)
+    run(spec, requestJson, completed, presetId, submitter)
   }
 
   /** Render a run's results as the reference's JSON Response envelope
@@ -633,7 +637,11 @@ final class Engine(
     * would race across concurrent runs). */
   def run(spec0: Workflow.Spec, requestJson: Option[String],
       checkpointSkip: Map[String, TaskResult] = Map.empty,
-      presetId: Option[Int] = None): Map[String, TaskResult] = {
+      presetId: Option[Int] = None,
+      /** The submitting user when a service layer runs on behalf of a
+        * caller who is not the engine's own user; recorded in the
+        * resume store for the reference's per-submitter listing. */
+      submitter: Option[String] = None): Map[String, TaskResult] = {
     Workflow.validate(spec0)
     // the reference schedules by readiness; our positional walk gets the
     // same effect by topo-sorting each run of data tasks (ADVICE r2)
@@ -1198,7 +1206,8 @@ final class Engine(
             light)
         }
         sessions.saveWorkflow(catalog.sessionCode,
-          requestJson.getOrElse(spec.name), summary, wfMarker, savedTasks)
+          requestJson.getOrElse(spec.name), summary, wfMarker, savedTasks,
+          submitter.getOrElse(user))
       }
       // record for request-level checkpoint resume (the ORIGINAL spec:
       // runFrom compares task definitions against the next request).
@@ -2688,7 +2697,11 @@ final class Engine(
           case "" | "this" => catalog.sessionCode
           case other => other
         }
-        val asUser = args.getOrElse("user", user)
+        // `user` is the reference's SUBMITTER FILTER for listings
+        // (`MYSQL_RETRIEVE_WORKFLOWS_OF_USER_SESSION`,
+        // oph_execute_main.c:2791), never an impersonation handle —
+        // ACL checks always use the engine's own principal
+        val submitterFilter = args.get("user").filter(_.nonEmpty)
         // id accepts the reference's token values too ("last" = the
         // most recent document, "all" = the id-0 listing,
         // `src/oph_parser.h:160-161`)
@@ -2744,14 +2757,14 @@ final class Engine(
           // requested type (marker = highest marker, workflow = latest)
           val doc =
             if (idType == "marker")
-              sessions.resumeMarker(code, asUser,
+              sessions.resumeMarker(code, user,
                 sessions.lastMarker(code), docType)
-            else sessions.resume(code, asUser, 0, docType)
+            else sessions.resume(code, user, 0, docType)
           TaskResult(JobStatus.Completed, message = doc)
         } else if (id == 0) {
           val (cols, rows) =
-            sessions.resumeList(code, asUser, idType, docSel, level,
-              mask, wid)
+            sessions.resumeList(code, user, idType, docSel, level,
+              mask, wid, submitterFilter)
           import org.apache.spark.sql.types.{StructType, StructField, StringType}
           val schema = StructType(cols.map(StructField(_, StringType)))
           val df = spark.createDataFrame(
@@ -2762,8 +2775,8 @@ final class Engine(
         } else {
           val doc =
             if (idType == "marker")
-              sessions.resumeMarker(code, asUser, id, docType)
-            else sessions.resume(code, asUser, id, docType)
+              sessions.resumeMarker(code, user, id, docType)
+            else sessions.resume(code, user, id, docType)
           TaskResult(JobStatus.Completed, message = doc)
         }
 

@@ -160,6 +160,32 @@ class ResumeSurfaceSpec extends SparkSpec {
     assert(resume("id" -> "1").message.contains("make=Completed"))
   }
 
+  test("the user argument filters listings by submitter, never ACLs") {
+    val e = new Engine(spark, new Catalog("subf"))
+    e.run(Workflow.parse("""{
+      "name": "mine", "tasks": [
+        {"name": "a", "operator": "oph_randcube",
+         "arguments": ["nrows=2", "array_length=2", "container=c"]}
+      ]}"""), requestJson = None, submitter = Some("alice"))
+    e.run(Workflow.parse("""{
+      "name": "theirs", "tasks": [
+        {"name": "b", "operator": "oph_randcube",
+         "arguments": ["nrows=2", "array_length=2", "container=c"]}
+      ]}"""), requestJson = None, submitter = Some("bob"))
+    def listing(args: (String, String)*) =
+      e.runDataOperator("oph_resume",
+        (args :+ ("document_type" -> "request")).toMap).df.get
+        .select("COMMAND").collect().map(_.getString(0)).toSeq
+    assert(listing().size == 2)
+    assert(listing("user" -> "alice") == Seq("mine"))
+    assert(listing("user" -> "bob") == Seq("theirs"))
+    assert(listing("user" -> "nobody").isEmpty)
+    // marker listings filter by submitter too
+    val m = e.runDataOperator("oph_resume", Map("id_type" -> "marker",
+      "level" -> "3", "user" -> "alice")).df.get.collect()
+    assert(m.forall(_.getString(2) == "1")) // only workflow 1's markers
+  }
+
   test("saved task records survive the session state file") {
     import graft.server.SessionService
     val f = java.nio.file.Files.createTempFile("graft_sess", ".json")
