@@ -157,11 +157,17 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
       d.digest(s"graft:$user:$password".getBytes(StandardCharsets.UTF_8)))
   }
 
-  def addUser(name: String, password: String, admin: Boolean = false): Unit =
+  def addUser(name: String, password: String, admin: Boolean = false): Unit = {
+    // the state file is line/tab-framed: a control character in a
+    // username could inject a forged line (e.g. an admin grant) on the
+    // next reload — reject at the door, like setUserProps does for cdd
+    require(name.nonEmpty && !name.exists(_ < ' '),
+      "username cannot be empty or contain control characters")
     mutate {
       users(name) = hash(name, password)
       if (admin) admins(name) = ()
     }
+  }
 
   def removeUser(name: String): Unit = mutate {
     users.remove(name)

@@ -216,24 +216,33 @@ final class HttpService(
   private def sessionFileOf(code: String): Option[java.nio.file.Path] =
     stateDir.map(_.resolve(s"session-$code.json"))
 
-  /** Owner recorded in a persisted session state file (used by the
-    * per-user session quota to count sessions that are not currently
-    * routed to a live engine). Unreadable/foreign files count as
-    * nobody's. */
-  private def persistedOwnerOf(
-      p: java.nio.file.Path): Option[String] =
-    try {
-      val code = p.getFileName.toString
-        .stripPrefix("session-").stripSuffix(".json")
-      val n = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(java.nio.file.Files.readString(p))
-      var found: Option[String] = None
-      Option(n.get("sessions")).foreach(_.elements().forEachRemaining { sn =>
-        if (sn.get("code").asText == code)
-          found = Some(sn.get("owner").asText)
-      })
-      found
-    } catch { case _: Exception => None }
+  /** Persisted sessions owned by `user` that have NO live engine:
+    * (code, state file, autoremove && sole-session — i.e. reapable by
+    * deleting the file). Format knowledge lives in
+    * [[SessionService.persistedSessionInfo]], next to the writer. */
+  private def persistedOwnedBy(
+      user: String): Seq[(String, java.nio.file.Path, Boolean)] =
+    stateDir.toSeq.flatMap { d =>
+      val stream = java.nio.file.Files.list(d)
+      try {
+        val it = stream.iterator()
+        val buf =
+          Seq.newBuilder[(String, java.nio.file.Path, Boolean)]
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (n.startsWith("session-") && n.endsWith(".json")) {
+            val c = n.stripPrefix("session-").stripSuffix(".json")
+            if (!sessionEngines.contains(c))
+              SessionService.persistedSessionInfo(p, c).foreach { info =>
+                if (info.owner == user)
+                  buf += ((c, p, info.autoremove && info.soleSession))
+              }
+          }
+        }
+        buf.result()
+      } finally stream.close()
+    }
 
   private def engineFor(code: String, user: String,
       createIfAbsent: Boolean): Option[Engine] = {
@@ -474,50 +483,47 @@ final class HttpService(
       // sessions (the reference counts the user's session links on
       // disk, `oph_workflow_engine.c:547-585`) — a restart must not
       // reset anyone's quota
-      def owned: Seq[String] = {
-        val live = sessionEngines.toSeq.collect {
-          case (c, e) if e.sessions.ownerOf(c).contains(user) => c
-        }
-        val persisted = stateDir.toSeq.flatMap { d =>
-          val stream = java.nio.file.Files.list(d)
-          try {
-            val it = stream.iterator()
-            val buf = Seq.newBuilder[String]
-            while (it.hasNext) {
-              val p = it.next()
-              val n = p.getFileName.toString
-              if (n.startsWith("session-") && n.endsWith(".json")) {
-                val c = n.stripPrefix("session-").stripSuffix(".json")
-                if (!sessionEngines.contains(c) &&
-                    persistedOwnerOf(p).contains(user)) buf += c
-              }
-            }
-            buf.result()
-          } finally stream.close()
-        }
-        (live ++ persisted).distinct
+      def liveOwned: Seq[String] = sessionEngines.toSeq.collect {
+        case (c, e) if e.sessions.ownerOf(c).contains(user) => c
       }
-      if (owned.size >= uprops.maxSessions &&
-          uprops.timeoutSessionDays > 0) {
+      def count =
+        (liveOwned ++ persistedOwnedBy(user).map(_._1)).distinct.size
+      if (count >= uprops.maxSessions && uprops.timeoutSessionDays > 0) {
         val cutoff =
           nowMillis() - uprops.timeoutSessionDays * 86400000L
-        owned.foreach { c =>
+        liveOwned.foreach { c =>
           sessionEngines.get(c).foreach { e =>
             // same guards as reapSessions: never the primary engine,
             // never an engine mid-workflow — the quota reaper must not
-            // clear cubes under a run's feet or detach the primary
+            // clear cubes under a run's feet or detach the primary.
+            // purge's own persist handles the state file (deletes it
+            // when empty, rewrites it when siblings remain — an
+            // explicit delete here would destroy those siblings)
             if ((e ne engine) && e.runningCount == 0 &&
                 e.sessions.autoremoveEnabled(c) &&
                 lastUsed.getOrElse(c, 0L) < cutoff) {
               e.sessions.purge(c)
               releaseEngine(c, e)
-              sessionFileOf(c).foreach(java.nio.file.Files.deleteIfExists(_))
               engine.sessions.log(s"session $c reaped (user quota, expired)")
             }
           }
         }
+        // persisted-but-unrouted expired sessions reap too — else a
+        // restart could lock the user at the cap forever. The file's
+        // mtime stands in for last access; delete only sole-session
+        // autoremove files (a shared file's siblings must survive)
+        persistedOwnedBy(user).foreach { case (c, p, reapable) =>
+          val mtime =
+            try java.nio.file.Files.getLastModifiedTime(p).toMillis
+            catch { case _: Exception => Long.MaxValue }
+          if (reapable && mtime < cutoff) {
+            java.nio.file.Files.deleteIfExists(p)
+            engine.sessions.log(
+              s"session $c reaped (user quota, expired on disk)")
+          }
+        }
       }
-      if (owned.size >= uprops.maxSessions)
+      if (count >= uprops.maxSessions)
         return reply(ex, 429,
           s"""{"error":$ErrSystem,"message":"too many open sessions (maximum is ${uprops.maxSessions})"}""")
     }
@@ -635,13 +641,19 @@ final class HttpService(
     var level = q.get("level").flatMap(_.toIntOption).getOrElse(1)
     var docSel = docType
     val mask = q.getOrElse("status_filter", "11111111")
+    // same validity range as the oph_resume operator — the two
+    // surfaces must agree on what a wrong parameter is
+    if (level < 0 || level > 5)
+      return reply(ex, 400, s"""{"error":$ErrWrongParameter,""" +
+        """"message":"wrong parameter 'level'"}""")
     // the same level normalization the oph_resume operator applies
     // (`oph_execute_main.c:2293-2320`): level 4/5 recycle the marker
     // listing with id demoted to a workflow filter; an explicit
-    // marker id_type there is a wrong parameter
+    // marker id_type there is a wrong parameter. id=last keeps its
+    // single-document meaning through the recycle, like the operator.
+    val wantLast = q.get("id").exists(_.equalsIgnoreCase("last"))
     var wid = 0
-    var wantListing =
-      id == 0 && !q.get("id").exists(_.equalsIgnoreCase("last"))
+    var wantListing = id == 0 && !wantLast
     if (level > 3) {
       if (q.get("id_type").exists(_.equalsIgnoreCase("marker")))
         return reply(ex, 400, s"""{"error":$ErrWrongParameter,""" +
@@ -651,7 +663,7 @@ final class HttpService(
       idType = "marker"
       wid = id
       level = 3
-      wantListing = true
+      wantListing = !wantLast
     }
     try {
       if (wantListing) {

@@ -116,6 +116,31 @@ object SessionService {
       workflows: mutable.ArrayBuffer[SavedWorkflow] = mutable.ArrayBuffer.empty)
 
   final class AuthError(msg: String) extends Exception(msg)
+
+  /** What a quota gate needs to know about one session inside a
+    * persisted state file, WITHOUT instantiating a service: its owner,
+    * its autoremove flag, and whether it is the file's only session
+    * (deleting the file is then safe). Owned here so the reader lives
+    * next to `persist()`'s writer — format drift cannot silently
+    * diverge in another module. Unreadable/foreign files yield None. */
+  final case class PersistedInfo(owner: String, autoremove: Boolean,
+      soleSession: Boolean)
+
+  def persistedSessionInfo(p: java.nio.file.Path,
+      code: String): Option[PersistedInfo] =
+    try {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(p))
+      var found: Option[PersistedInfo] = None
+      var count = 0
+      Option(n.get("sessions")).foreach(_.elements().forEachRemaining { sn =>
+        count += 1
+        if (sn.get("code").asText == code)
+          found = Some(PersistedInfo(sn.get("owner").asText,
+            Option(sn.get("autoremove")).exists(_.asBoolean), false))
+      })
+      found.map(_.copy(soleSession = count == 1))
+    } catch { case _: Exception => None }
 }
 
 final class SessionService(
@@ -416,8 +441,12 @@ final class SessionService(
     val s = get(code)
     require_((roleOf(s, user) & RoleRead) != 0, s"$user cannot read $code")
     // markers mint from 1; 0 is outside the id space (it would match
-    // pre-marker-era records whose parentMarker defaulted to 0)
+    // pre-marker-era records whose parentMarker defaulted to 0). A
+    // session with NO job records yet is a not-found condition (e.g.
+    // id=last on a fresh session), not a wrong parameter.
     val last = lastMarker(code)
+    if (last < 1)
+      throw new NoSuchElementException(s"no job records in $code")
     if (marker < 1 || marker > last)
       throw new IllegalArgumentException(
         s"marker $marker out of range (last is $last)")

@@ -327,6 +327,10 @@ final class Engine(
   val sessions = new graft.server.SessionService(sessionStateFile)
   if (!sessions.exists(catalog.sessionCode))
     sessions.newSession(user, code = Some(catalog.sessionCode))
+  // a RESTORED session carries prior job records: marker minting must
+  // resume past them or post-restart runs would collide marker ids and
+  // resumeMarker would serve the old run's document for a new job
+  markerId = sessions.lastMarker(catalog.sessionCode)
 
   /** Input-wait registry: (workflow id, task name) -> promise an
     * oph_input completes (the reference's waiting-task table scanned by

@@ -160,6 +160,39 @@ class ResumeSurfaceSpec extends SparkSpec {
     assert(resume("id" -> "1").message.contains("make=Completed"))
   }
 
+  test("marker minting resumes past a restored session's records") {
+    val f = java.nio.file.Files.createTempFile("graft_sess_rs", ".json")
+    java.nio.file.Files.delete(f) // engine mints fresh state here
+    def wf(n: String) = Workflow.parse(s"""{
+      "name": "$n", "tasks": [
+        {"name": "t", "operator": "oph_randcube",
+         "arguments": ["nrows=2", "array_length=2", "container=c"]}
+      ]}""")
+    val e1 = new Engine(spark, new Catalog("rsess"),
+      sessionStateFile = Some(f))
+    e1.run(wf("first"))
+    val firstDoc = e1.runDataOperator("oph_resume", Map(
+      "id" -> "1", "id_type" -> "marker",
+      "document_type" -> "response")).message
+    // "restart": a fresh engine restores the same state file
+    val e2 = new Engine(spark, new Catalog("rsess"),
+      sessionStateFile = Some(f))
+    e2.run(wf("second"))
+    // the new run's markers continue PAST the restored ones — marker 1
+    // still resolves to the first run's job, and the second run's task
+    // is reachable under a fresh id
+    assert(e2.runDataOperator("oph_resume", Map(
+      "id" -> "1", "id_type" -> "marker",
+      "document_type" -> "response")).message == firstDoc)
+    val markers = e2.runDataOperator("oph_resume", Map(
+      "id_type" -> "marker", "level" -> "3")).df.get
+      .select("MARKER ID").collect().map(_.getString(0).toInt).toSeq
+    assert(markers.distinct.size == markers.size,
+      s"marker ids collide across the restart: $markers")
+    assert(markers.max > markers.min)
+    java.nio.file.Files.deleteIfExists(f)
+  }
+
   test("the user argument filters listings by submitter, never ACLs") {
     val e = new Engine(spark, new Catalog("subf"))
     e.run(Workflow.parse("""{
