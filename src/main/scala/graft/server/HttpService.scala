@@ -56,7 +56,8 @@ object HttpService {
     * (the /services/cancel route). */
   final case class Job(id: Int,
       future: scala.concurrent.Future[Map[String, JobStatus.Value]],
-      cancel: () => Unit = () => (),
+      /** kill/abort/stop cancellation (reference type arg). */
+      cancel: Char => Unit = _ => (),
       /** Cancellation authorization: the submitter, or anyone holding
         * the Execute role on the job's session — a global sequential
         * jobid must not let any authenticated user kill others' runs. */
@@ -307,9 +308,21 @@ final class HttpService(
             reply(exchange, 403, s"""{"error":$ErrAuth,"message":""" +
               s""""user '$user' cannot cancel job ${job.id}"}""")
           case Some(job) =>
-            job.cancel()
-            reply(exchange, 200,
-              s"""{"jobid":${job.id},"error":$Ok,"message":"cancel sent"}""")
+            val ctype = query(exchange).getOrElse("type", "kill")
+              .toLowerCase match {
+                case "kill" => Some('k')
+                case "abort" => Some('a')
+                case "stop" => Some('s')
+                case _ => None
+              }
+            ctype match {
+              case None => reply(exchange, 400,
+                s"""{"error":$ErrWrongParameter,"message":"wrong parameter 'type'"}""")
+              case Some(c) =>
+                job.cancel(c)
+                reply(exchange, 200,
+                  s"""{"jobid":${job.id},"error":$Ok,"message":"cancel sent"}""")
+            }
         }
       })
     server.createContext("/services/resume", exchange =>
@@ -552,7 +565,7 @@ final class HttpService(
     val wfId = eng.reserveWorkflowId()
     val submitter = user
     def track(f: scala.concurrent.Future[Map[String, JobStatus.Value]]): Unit = {
-      jobs(jobid) = Job(jobid, f, () => eng.cancelWorkflow(wfId),
+      jobs(jobid) = Job(jobid, f, c => eng.cancelWorkflow(wfId, c),
         u => u == submitter ||
           eng.sessions.hasRole(code, u, SessionService.RoleExecute))
       // completion push (`callback_url`, `oph_workflow_engine.c:6768`):

@@ -437,9 +437,27 @@ final class Engine(
     * (the reference's scancel analog) keyed the same way the run tagged
     * its jobs. AndFutureJobs: a cancel racing ahead of the run's first
     * job submission must still kill the workflow, not no-op. */
-  def cancelWorkflow(wfId: Int): Unit = {
-    spark.sparkContext.cancelJobGroupAndFutureJobs(jobGroupOf(wfId))
-    sessions.log(s"cancel requested for workflow $wfId")
+  /** Pending cancellation per workflow id — the reference's
+    * `wf->cancel_type` ('k' kill, 'a' abort, 's' stop;
+    * `src/oph_management_operators.c:115-139`, consumption at
+    * `oph_workflow_engine.c:3657-3686`). The run loop polls it before
+    * dispatching each task. */
+  private val cancelFlags =
+    scala.collection.concurrent.TrieMap[Int, Char]()
+
+  def cancelWorkflow(wfId: Int): Unit = cancelWorkflow(wfId, 'k')
+
+  /** kill: interrupt running Spark jobs AND abort everything pending;
+    * abort: let the running task finish, abort the pending remainder;
+    * stop: stop scheduling — the remainder stays Pending, nothing is
+    * marked aborted (the reference kills no queued task for 's'). */
+  def cancelWorkflow(wfId: Int, ctype: Char): Unit = {
+    require(ctype == 'k' || ctype == 'a' || ctype == 's',
+      s"unknown cancel type '$ctype'")
+    cancelFlags(wfId) = if (ctype == 'k') 'a' else ctype
+    if (ctype == 'k')
+      spark.sparkContext.cancelJobGroupAndFutureJobs(jobGroupOf(wfId))
+    sessions.log(s"cancel ($ctype) requested for workflow $wfId")
   }
 
   /** Last completed run per workflow name — the store the request-level
@@ -697,6 +715,29 @@ final class Engine(
         Workflow.substitute(s, vars.toMap, builtins)
       var i = from
       while (i < until) {
+        // a pending oph_cancel lands BETWEEN tasks (any running Spark
+        // job already settled): 'a' aborts the remainder through the
+        // normal abort cascade; 's' stops scheduling and leaves the
+        // rest Pending — the reference kills no queued task for 's'
+        // (`oph_workflow_engine.c:3657`). Returning 0 lets enclosing
+        // blocks drain as no-ops through their own head checks.
+        cancelFlags.get(wfId) match {
+          case Some('s') =>
+            (i until until).foreach { k =>
+              val key = s"${spec.tasks(k).name}$iterSuffix"
+              if (!results.contains(key))
+                results(key) = TaskResult(JobStatus.Pending)
+            }
+            return 0
+          case Some(_) =>
+            (i until until).foreach { k =>
+              val key = s"${spec.tasks(k).name}$iterSuffix"
+              if (!results.contains(key))
+                results(key) = TaskResult(JobStatus.Aborted)
+            }
+            return 2
+          case None =>
+        }
         val t = spec.tasks(i)
         val op = t.operator.toLowerCase
         op match {
@@ -1170,6 +1211,9 @@ final class Engine(
     finally {
       if (farmAcquired) farmPermits.release()
       activeRuns.decrementAndGet()
+      // a cancel flag dies with its run — workflow ids are never
+      // reused, but a leaked entry would still grow the map unbounded
+      cancelFlags.remove(wfId)
       spark.sparkContext.clearJobGroup()
       // exit actions: drop intermediate cubes flagged on_exit=oph_delete
       // (containers for oph_deletecontainer) exactly once, tolerating
@@ -2642,8 +2686,22 @@ final class Engine(
 
       case "oph_cancel" =>
         val wfId = args.getOrElse("id", workflowSeq.toString).toInt
-        cancelWorkflow(wfId)
-        TaskResult(JobStatus.Completed, message = s"cancel sent to $wfId")
+        if (wfId <= 0)
+          throw new Engine.EngineError("oph_cancel: wrong parameter 'id'")
+        // the reference's cancellation modes
+        // (`src/oph_parser.h:174-176`): kill interrupts running work,
+        // abort drains the running task and aborts the rest, stop
+        // only halts scheduling
+        val ctype = args.getOrElse("type", "kill").toLowerCase match {
+          case "kill" => 'k'
+          case "abort" => 'a'
+          case "stop" => 's'
+          case other => throw new Engine.EngineError(
+            s"oph_cancel: wrong parameter type '$other'")
+        }
+        cancelWorkflow(wfId, ctype)
+        TaskResult(JobStatus.Completed,
+          message = s"cancel ($ctype) sent to $wfId")
 
       case "oph_log_info" =>
         val n = args.getOrElse("nlines", "10").toInt

@@ -197,6 +197,39 @@ class EngineOpsSpec extends SparkSpec {
     intercept[Exception](e.catalog.moveContainer("/d/c2", "/c"))
   }
 
+  test("cancel type=abort aborts the remainder; type=stop leaves it pending") {
+    def wf = Workflow.parse("""{"name":"cw","tasks":[
+      {"name":"w","operator":"oph_wait",
+       "arguments":["type=clock","timeout=1"]},
+      {"name":"t2","operator":"oph_set","arguments":["key=a","value=1"]},
+      {"name":"t3","operator":"oph_set","arguments":["key=b","value=2"]}]}""")
+    // the injected sleeper delivers the cancel DURING the wait — the
+    // flag lands between tasks, exactly the reference's queued-task
+    // surface (`oph_workflow_engine.c:3657-3686`)
+    var e1: Engine = null
+    e1 = new Engine(spark, new Catalog("ca"),
+      sleeper = _ => e1.cancelWorkflow(1, 'a'))
+    val ra = e1.run(wf)
+    assert(ra("w").status == JobStatus.Completed) // running task drains
+    assert(ra("t2").status == JobStatus.Aborted)
+    assert(ra("t3").status == JobStatus.Aborted)
+    var e2: Engine = null
+    e2 = new Engine(spark, new Catalog("cs"),
+      sleeper = _ => e2.cancelWorkflow(1, 's'))
+    val rs = e2.run(wf)
+    assert(rs("w").status == JobStatus.Completed)
+    // stop kills nothing: the remainder is merely unscheduled
+    assert(rs("t2").status == JobStatus.Pending)
+    assert(rs("t3").status == JobStatus.Pending)
+    // the flag is consumed with the run: a fresh run proceeds normally
+    val again = e2.run(Workflow.parse("""{"name":"cw2","tasks":[
+      {"name":"t2","operator":"oph_set","arguments":["key=a","value=1"]}]}"""))
+    assert(again.values.forall(_.status == JobStatus.Completed))
+    // wrong type is a wrong parameter, like the reference
+    intercept[Engine.EngineError](e2.runDataOperator("oph_cancel",
+      Map("id" -> "1", "type" -> "pause")))
+  }
+
   test("oph_fs ls renders the folder hierarchy as a tree response") {
     val e = engine()
     e.runDataOperator("oph_folder", Map("command" -> "mkdir", "path" -> "/a"))
