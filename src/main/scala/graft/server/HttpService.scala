@@ -308,16 +308,16 @@ final class HttpService(
             reply(exchange, 403, s"""{"error":$ErrAuth,"message":""" +
               s""""user '$user' cannot cancel job ${job.id}"}""")
           case Some(job) =>
-            val ctype = query(exchange).getOrElse("type", "kill")
-              .toLowerCase match {
-                case "kill" => Some('k')
-                case "abort" => Some('a')
-                case "stop" => Some('s')
-                case _ => None
-              }
+            val ctype = Engine.parseCancelType(
+              query(exchange).getOrElse("type", "kill"))
             ctype match {
               case None => reply(exchange, 400,
                 s"""{"error":$ErrWrongParameter,"message":"wrong parameter 'type'"}""")
+              case Some(_) if job.future.isCompleted =>
+                // the run already settled: a flag now would have no
+                // finally to clean it and nothing to act on it
+                reply(exchange, 200,
+                  s"""{"jobid":${job.id},"error":$Ok,"message":"already settled"}""")
               case Some(c) =>
                 job.cancel(c)
                 reply(exchange, 200,
@@ -499,9 +499,13 @@ final class HttpService(
       def liveOwned: Seq[String] = sessionEngines.toSeq.collect {
         case (c, e) if e.sessions.ownerOf(c).contains(user) => c
       }
-      def count =
-        (liveOwned ++ persistedOwnedBy(user).map(_._1)).distinct.size
-      if (count >= uprops.maxSessions && uprops.timeoutSessionDays > 0) {
+      // ONE directory scan per decision point: the gate, then (only if
+      // a reap actually ran) a recount
+      val persisted0 = persistedOwnedBy(user)
+      var atCap =
+        (liveOwned ++ persisted0.map(_._1)).distinct.size >=
+          uprops.maxSessions
+      if (atCap && uprops.timeoutSessionDays > 0) {
         val cutoff =
           nowMillis() - uprops.timeoutSessionDays * 86400000L
         liveOwned.foreach { c =>
@@ -524,19 +528,27 @@ final class HttpService(
         // persisted-but-unrouted expired sessions reap too — else a
         // restart could lock the user at the cap forever. The file's
         // mtime stands in for last access; delete only sole-session
-        // autoremove files (a shared file's siblings must survive)
-        persistedOwnedBy(user).foreach { case (c, p, reapable) =>
+        // autoremove files (a shared file's siblings must survive),
+        // and only under mintLock with a live re-check — engineFor
+        // restores under the same lock, so the delete cannot race a
+        // concurrent restore of the same code
+        persisted0.foreach { case (c, p, reapable) =>
           val mtime =
             try java.nio.file.Files.getLastModifiedTime(p).toMillis
             catch { case _: Exception => Long.MaxValue }
-          if (reapable && mtime < cutoff) {
-            java.nio.file.Files.deleteIfExists(p)
-            engine.sessions.log(
-              s"session $c reaped (user quota, expired on disk)")
+          if (reapable && mtime < cutoff) mintLock.synchronized {
+            if (!sessionEngines.contains(c)) {
+              java.nio.file.Files.deleteIfExists(p)
+              engine.sessions.log(
+                s"session $c reaped (user quota, expired on disk)")
+            }
           }
         }
+        atCap =
+          (liveOwned ++ persistedOwnedBy(user).map(_._1)).distinct.size >=
+            uprops.maxSessions
       }
-      if (count >= uprops.maxSessions)
+      if (atCap)
         return reply(ex, 429,
           s"""{"error":$ErrSystem,"message":"too many open sessions (maximum is ${uprops.maxSessions})"}""")
     }
@@ -638,7 +650,17 @@ final class HttpService(
   private def handleResume(ex: HttpExchange, user: String): Unit = {
     val q = query(ex)
     val code = q.getOrElse("session", engine.catalog.sessionCode)
-    val id = q.get("id").flatMap(_.toIntOption).getOrElse(0)
+    // non-numeric values are wrong parameters, like the operator —
+    // never silent defaults (id also accepts the last/all tokens)
+    val idRaw = q.getOrElse("id", "0")
+    if (q.contains("level") && q("level").toIntOption.isEmpty)
+      return reply(ex, 400, s"""{"error":$ErrWrongParameter,""" +
+        """"message":"wrong parameter 'level'"}""")
+    if (idRaw.toIntOption.isEmpty && !idRaw.equalsIgnoreCase("last") &&
+        !idRaw.equalsIgnoreCase("all"))
+      return reply(ex, 400, s"""{"error":$ErrWrongParameter,""" +
+        """"message":"wrong parameter 'id'"}""")
+    val id = idRaw.toIntOption.getOrElse(0)
     val docType = q.getOrElse("document_type", "response")
     val target =
       try engineFor(code, user, createIfAbsent = false).getOrElse(
@@ -691,11 +713,14 @@ final class HttpService(
         reply(ex, 200,
           s"""{"error":$Ok,"columns":$colsJson,"rows":$rowsJson}""")
       } else {
+        // single-document fetches follow the operator's docType
+        // demotion (level 4 -> request; level 5 keeps response)
+        val fetchDoc = if (docSel == "both") "response" else docSel
         val doc =
           if (idType == "marker") {
             val m = if (id > 0) id else target.sessions.lastMarker(code)
-            target.sessions.resumeMarker(code, user, m, docType)
-          } else target.sessions.resume(code, user, id, docType)
+            target.sessions.resumeMarker(code, user, m, fetchDoc)
+          } else target.sessions.resume(code, user, id, fetchDoc)
         reply(ex, 200, s"""{"error":$Ok,"document":${quote(doc)}}""")
       }
     } catch {

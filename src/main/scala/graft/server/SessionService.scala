@@ -472,7 +472,11 @@ final class SessionService(
     * reference reads the jobs table; our store derives it). */
   def workflowStatus(w: SavedWorkflow): String =
     if (w.tasks.exists(t => statusClass(t.status) == 4)) "Error"
-    else if (w.tasks.exists(t => statusClass(t.status) == 6)) "Aborted"
+    // aborted OR still-pending tasks in a SAVED record both mean the
+    // run was cancelled (stop leaves the unscheduled remainder
+    // Pending; the reference marks the workflow ABORTED either way)
+    else if (w.tasks.exists(t =>
+      statusClass(t.status) == 6 || statusClass(t.status) == 0)) "Aborted"
     else "Completed"
 
   /** oph_resume listing (`id=0` in the reference,

@@ -45,6 +45,16 @@ object Engine {
 
   final class EngineError(msg: String) extends Exception(msg)
 
+  /** kill/abort/stop -> the reference's cancel_type chars
+    * (`src/oph_parser.h:174-176`) — ONE table for the operator and the
+    * HTTP route, so the two surfaces cannot drift. */
+  def parseCancelType(s: String): Option[Char] = s.toLowerCase match {
+    case "kill" => Some('k')
+    case "abort" => Some('a')
+    case "stop" => Some('s')
+    case _ => None
+  }
+
   /** Admission refusal (QUEUE_SIZE exceeded) — its own type so the
     * HTTP layer can answer 429 instead of a generic 500. */
   final class QueueFullError(msg: String) extends Exception(msg)
@@ -454,7 +464,12 @@ final class Engine(
   def cancelWorkflow(wfId: Int, ctype: Char): Unit = {
     require(ctype == 'k' || ctype == 'a' || ctype == 's',
       s"unknown cancel type '$ctype'")
-    cancelFlags(wfId) = if (ctype == 'k') 'a' else ctype
+    cancelFlags(wfId) = ctype
+    // a cancel that lands after its run finished has no finally to
+    // clean it up — bound the map so stale flags cannot accumulate
+    if (cancelFlags.size > 1024)
+      cancelFlags.keys.toSeq.sorted.take(cancelFlags.size - 1024)
+        .foreach(cancelFlags.remove)
     if (ctype == 'k')
       spark.sparkContext.cancelJobGroupAndFutureJobs(jobGroupOf(wfId))
     sessions.log(s"cancel ($ctype) requested for workflow $wfId")
@@ -1398,11 +1413,16 @@ final class Engine(
         code >= 200 && code < 400
       } catch { case _: Exception => false }
 
+    // only KILL interrupts a task MID-WAIT (a wait runs no Spark job
+    // for cancelJobGroup to reach); abort and stop both drain the
+    // running task — the reference aborts only pending work for 'a'
+    // and kills nothing for 's' (`oph_workflow_engine.c:3659-3686`)
+    def interrupted: Boolean = cancelFlags.get(wfId).contains('k')
     wtype match {
       case "clock" =>
         var c = 0L
-        while (c < timeoutSec) { sleeper(1000); c += 1 }
-        JobStatus.Completed
+        while (c < timeoutSec && !interrupted) { sleeper(1000); c += 1 }
+        if (interrupted) JobStatus.Aborted else JobStatus.Completed
       case "file" =>
         val fname = fnameOpt.get
         def exists(): Boolean =
@@ -1410,12 +1430,12 @@ final class Engine(
           else new java.io.File(fname).exists
         var c = 0L
         var found = exists()
-        while (!found && c < timeoutSec) {
+        while (!found && c < timeoutSec && !interrupted) {
           sleeper(1000); c += 1; found = exists()
         }
         // a timeout also completes the task — the reference flips the
         // waiting status to COMPLETED either way (`:300-330`)
-        JobStatus.Completed
+        if (interrupted) JobStatus.Aborted else JobStatus.Completed
       case _ => // input
         var promise = scala.concurrent.Promise[Engine.InputMessage]()
         inputWaits((wfId, taskName)) = promise
@@ -1438,7 +1458,8 @@ final class Engine(
               case Some(scala.util.Failure(e)) =>
                 throw new Engine.EngineError(s"oph_wait: ${e.getMessage}")
               case None =>
-                if (timeoutSec >= 0 && c >= timeoutSec)
+                if (interrupted) outcome = Some(JobStatus.Aborted)
+                else if (timeoutSec >= 0 && c >= timeoutSec)
                   outcome = Some(JobStatus.Completed) // timeout ends the wait
                 else { sleeper(1000); c += 1 }
             }
@@ -2692,13 +2713,9 @@ final class Engine(
         // (`src/oph_parser.h:174-176`): kill interrupts running work,
         // abort drains the running task and aborts the rest, stop
         // only halts scheduling
-        val ctype = args.getOrElse("type", "kill").toLowerCase match {
-          case "kill" => 'k'
-          case "abort" => 'a'
-          case "stop" => 's'
-          case other => throw new Engine.EngineError(
-            s"oph_cancel: wrong parameter type '$other'")
-        }
+        val ctype = Engine.parseCancelType(args.getOrElse("type", "kill"))
+          .getOrElse(throw new Engine.EngineError(
+            s"oph_cancel: wrong parameter type '${args("type")}'"))
         cancelWorkflow(wfId, ctype)
         TaskResult(JobStatus.Completed,
           message = s"cancel ($ctype) sent to $wfId")

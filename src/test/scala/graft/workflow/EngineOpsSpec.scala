@@ -225,6 +225,13 @@ class EngineOpsSpec extends SparkSpec {
     val again = e2.run(Workflow.parse("""{"name":"cw2","tasks":[
       {"name":"t2","operator":"oph_set","arguments":["key=a","value=1"]}]}"""))
     assert(again.values.forall(_.status == JobStatus.Completed))
+    // kill is the only mode that interrupts a task MID-WAIT
+    var e3: Engine = null
+    e3 = new Engine(spark, new Catalog("ck"),
+      sleeper = _ => e3.cancelWorkflow(1, 'k'))
+    val rk = e3.run(wf)
+    assert(rk("w").status == JobStatus.Aborted)
+    assert(rk("t2").status == JobStatus.Aborted)
     // wrong type is a wrong parameter, like the reference
     intercept[Engine.EngineError](e2.runDataOperator("oph_cancel",
       Map("id" -> "1", "type" -> "pause")))
