@@ -80,15 +80,23 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
   private val nextSweepAt = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // restore: tab-separated "U\tname\thash" / "T\ttoken\tuser" lines
-  // (hashes are base64, tokens hex — neither contains a tab)
+  // (hashes are base64, tokens hex — neither contains a tab).
+  // split limit -1 keeps trailing empty fields: a P line whose cdd is
+  // empty must still parse as 8 fields, or the user's enabled/quota
+  // state silently reverts to defaults on restart.
   stateFile.flatMap(StateStore.load).foreach { text =>
-    text.linesIterator.foreach(_.split('\t') match {
+    text.linesIterator.foreach(_.split("\t", -1) match {
       case Array("U", name, h) => users(name) = h
       case Array("T", token, user) => tokens(token) = user
       case Array("A", name) => admins(name) = ()
       case Array("P", name, en, ms, mc, mh, to, cdd) =>
-        props(name) = UserProps(en == "1", ms.toInt, mc.toInt,
-          mh.toInt, to.toInt, cdd)
+        // a corrupt integer skips just this line — one malformed P
+        // entry must not abort the whole auth-state restore
+        (for { msV <- ms.toIntOption; mcV <- mc.toIntOption
+               mhV <- mh.toIntOption; toV <- to.toIntOption }
+          yield UserProps(en == "1", msV, mcV, mhV, toV,
+            if (cdd.isEmpty) "/" else cdd))
+          .foreach(props(name) = _)
       case _ => // tolerate unknown lines (forward compatibility)
     })
   }
@@ -183,7 +191,10 @@ final class AuthService(now: () => Long = () => System.currentTimeMillis,
   def setUserProps(name: String, p: UserProps): Unit = {
     require(!p.cdd.exists(c => c == '\t' || c == '\n' || c == '\r'),
       "cdd cannot contain control characters")
-    mutate { props(name) = p }
+    // empty cdd → "/" so the persisted P line never ends in a bare
+    // tab (reference user.dat OPH_CDD likewise defaults to the root)
+    val q = if (p.cdd.isEmpty) p.copy(cdd = "/") else p
+    mutate { props(name) = q }
   }
 
   // ------------------------ admin surface (`src/oph_manage_user.c`)

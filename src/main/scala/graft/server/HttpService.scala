@@ -491,73 +491,79 @@ final class HttpService(
     val preexisting = code == engine.catalog.sessionCode ||
       sessionEngines.contains(code) ||
       sessionFileOf(code).exists(java.nio.file.Files.isRegularFile(_))
-    if (!preexisting && uprops.maxSessions > 0) {
-      // the count covers LIVE engines plus persisted-but-unrouted
-      // sessions (the reference counts the user's session links on
-      // disk, `oph_workflow_engine.c:547-585`) — a restart must not
-      // reset anyone's quota
-      def liveOwned: Seq[String] = sessionEngines.toSeq.collect {
-        case (c, e) if e.sessions.ownerOf(c).contains(user) => c
-      }
-      // ONE directory scan per decision point: the gate, then (only if
-      // a reap actually ran) a recount
-      val persisted0 = persistedOwnedBy(user)
-      var atCap =
-        (liveOwned ++ persisted0.map(_._1)).distinct.size >=
-          uprops.maxSessions
-      if (atCap && uprops.timeoutSessionDays > 0) {
-        val cutoff =
-          nowMillis() - uprops.timeoutSessionDays * 86400000L
-        liveOwned.foreach { c =>
-          sessionEngines.get(c).foreach { e =>
-            // same guards as reapSessions: never the primary engine,
-            // never an engine mid-workflow — the quota reaper must not
-            // clear cubes under a run's feet or detach the primary.
-            // purge's own persist handles the state file (deletes it
-            // when empty, rewrites it when siblings remain — an
-            // explicit delete here would destroy those siblings)
-            if ((e ne engine) && e.runningCount == 0 &&
-                e.sessions.autoremoveEnabled(c) &&
-                lastUsed.getOrElse(c, 0L) < cutoff) {
-              e.sessions.purge(c)
-              releaseEngine(c, e)
-              engine.sessions.log(s"session $c reaped (user quota, expired)")
-            }
-          }
+    // the whole quota check runs under mintLock with the mint itself:
+    // two concurrent submissions by the same user must not both see
+    // atCap=false and each mint a session, overshooting the cap by one
+    // (engineFor takes the same lock re-entrantly; the inner persisted
+    // reap's mintLock block is likewise re-entrant)
+    val eng = mintLock.synchronized {
+      if (!preexisting && uprops.maxSessions > 0) {
+        // the count covers LIVE engines plus persisted-but-unrouted
+        // sessions (the reference counts the user's session links on
+        // disk, `oph_workflow_engine.c:547-585`) — a restart must not
+        // reset anyone's quota
+        def liveOwned: Seq[String] = sessionEngines.toSeq.collect {
+          case (c, e) if e.sessions.ownerOf(c).contains(user) => c
         }
-        // persisted-but-unrouted expired sessions reap too — else a
-        // restart could lock the user at the cap forever. The file's
-        // mtime stands in for last access; delete only sole-session
-        // autoremove files (a shared file's siblings must survive),
-        // and only under mintLock with a live re-check — engineFor
-        // restores under the same lock, so the delete cannot race a
-        // concurrent restore of the same code
-        persisted0.foreach { case (c, p, reapable) =>
-          val mtime =
-            try java.nio.file.Files.getLastModifiedTime(p).toMillis
-            catch { case _: Exception => Long.MaxValue }
-          if (reapable && mtime < cutoff) mintLock.synchronized {
-            if (!sessionEngines.contains(c)) {
-              java.nio.file.Files.deleteIfExists(p)
-              engine.sessions.log(
-                s"session $c reaped (user quota, expired on disk)")
-            }
-          }
-        }
-        atCap =
-          (liveOwned ++ persistedOwnedBy(user).map(_._1)).distinct.size >=
+        // ONE directory scan per decision point: the gate, then (only if
+        // a reap actually ran) a recount
+        val persisted0 = persistedOwnedBy(user)
+        var atCap =
+          (liveOwned ++ persisted0.map(_._1)).distinct.size >=
             uprops.maxSessions
+        if (atCap && uprops.timeoutSessionDays > 0) {
+          val cutoff =
+            nowMillis() - uprops.timeoutSessionDays * 86400000L
+          liveOwned.foreach { c =>
+            sessionEngines.get(c).foreach { e =>
+              // same guards as reapSessions: never the primary engine,
+              // never an engine mid-workflow — the quota reaper must not
+              // clear cubes under a run's feet or detach the primary.
+              // purge's own persist handles the state file (deletes it
+              // when empty, rewrites it when siblings remain — an
+              // explicit delete here would destroy those siblings)
+              if ((e ne engine) && e.runningCount == 0 &&
+                  e.sessions.autoremoveEnabled(c) &&
+                  lastUsed.getOrElse(c, 0L) < cutoff) {
+                e.sessions.purge(c)
+                releaseEngine(c, e)
+                engine.sessions.log(s"session $c reaped (user quota, expired)")
+              }
+            }
+          }
+          // persisted-but-unrouted expired sessions reap too — else a
+          // restart could lock the user at the cap forever. The file's
+          // mtime stands in for last access; delete only sole-session
+          // autoremove files (a shared file's siblings must survive),
+          // and only under mintLock with a live re-check — engineFor
+          // restores under the same lock, so the delete cannot race a
+          // concurrent restore of the same code
+          persisted0.foreach { case (c, p, reapable) =>
+            val mtime =
+              try java.nio.file.Files.getLastModifiedTime(p).toMillis
+              catch { case _: Exception => Long.MaxValue }
+            if (reapable && mtime < cutoff) mintLock.synchronized {
+              if (!sessionEngines.contains(c)) {
+                java.nio.file.Files.deleteIfExists(p)
+                engine.sessions.log(
+                  s"session $c reaped (user quota, expired on disk)")
+              }
+            }
+          }
+          atCap =
+            (liveOwned ++ persistedOwnedBy(user).map(_._1)).distinct.size >=
+              uprops.maxSessions
+        }
+        if (atCap)
+          return reply(ex, 429,
+            s"""{"error":$ErrSystem,"message":"too many open sessions (maximum is ${uprops.maxSessions})"}""")
       }
-      if (atCap)
-        return reply(ex, 429,
-          s"""{"error":$ErrSystem,"message":"too many open sessions (maximum is ${uprops.maxSessions})"}""")
-    }
-    val eng =
       try engineFor(code, user, createIfAbsent = true).get
       catch {
         case RoutingError(status, msg) => return reply(ex, status,
           s"""{"error":$ErrAuth,"message":${quote(msg)}}""")
       }
+    } // mintLock
     if (!eng.sessions.hasRole(code, user, SessionService.RoleExecute))
       return reply(ex, 403,
         s"""{"error":$ErrAuth,"message":"user '$user' lacks the execute role on session '$code'"}""")
@@ -661,6 +667,17 @@ final class HttpService(
       return reply(ex, 400, s"""{"error":$ErrWrongParameter,""" +
         """"message":"wrong parameter 'id'"}""")
     val id = idRaw.toIntOption.getOrElse(0)
+    // invalid enum values are wrong parameters exactly like the
+    // oph_resume operator — silently coercing id_type=garbage to
+    // workflow would make the two surfaces disagree on validity
+    if (!q.getOrElse("id_type", "workflow")
+        .matches("(?i)workflow|marker"))
+      return reply(ex, 400, s"""{"error":$ErrWrongParameter,""" +
+        """"message":"wrong parameter 'id_type'"}""")
+    if (!q.getOrElse("document_type", "response")
+        .matches("(?i)request|response"))
+      return reply(ex, 400, s"""{"error":$ErrWrongParameter,""" +
+        """"message":"wrong parameter 'document_type'"}""")
     val docType = q.getOrElse("document_type", "response")
     val target =
       try engineFor(code, user, createIfAbsent = false).getOrElse(

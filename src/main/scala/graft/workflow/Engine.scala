@@ -455,6 +455,12 @@ final class Engine(
   private val cancelFlags =
     scala.collection.concurrent.TrieMap[Int, Char]()
 
+  /** Workflow ids with a live run loop — membership makes a cancel
+    * flag un-evictable: a long-running workflow with a LOW id must not
+    * lose its just-set abort to a burst of cancels for newer ids. */
+  private val liveWfIds =
+    scala.collection.concurrent.TrieMap[Int, Unit]()
+
   def cancelWorkflow(wfId: Int): Unit = cancelWorkflow(wfId, 'k')
 
   /** kill: interrupt running Spark jobs AND abort everything pending;
@@ -466,10 +472,12 @@ final class Engine(
       s"unknown cancel type '$ctype'")
     cancelFlags(wfId) = ctype
     // a cancel that lands after its run finished has no finally to
-    // clean it up — bound the map so stale flags cannot accumulate
+    // clean it up — bound the map so stale flags cannot accumulate.
+    // Only NON-LIVE flags are evictable: a live run's flag is its
+    // pending abort/stop request, dropping it would lose the cancel.
     if (cancelFlags.size > 1024)
-      cancelFlags.keys.toSeq.sorted.take(cancelFlags.size - 1024)
-        .foreach(cancelFlags.remove)
+      cancelFlags.keys.filterNot(liveWfIds.contains).toSeq.sorted
+        .take(cancelFlags.size - 1024).foreach(cancelFlags.remove)
     if (ctype == 'k')
       spark.sparkContext.cancelJobGroupAndFutureJobs(jobGroupOf(wfId))
     sessions.log(s"cancel ($ctype) requested for workflow $wfId")
@@ -687,6 +695,7 @@ final class Engine(
     // same job-group id (lost-update on the shared counter); an
     // externally-reserved id (HTTP cancel route) passes through
     val wfId = presetId.getOrElse(reserveWorkflowId())
+    liveWfIds(wfId) = () // pin this run's cancel flag against eviction
     val jobGroup = jobGroupOf(wfId)
     // Spark jobs of this workflow share a job group so oph_cancel can
     // target them (`cancelJobGroup` — the reference's scancel analog)
@@ -1229,6 +1238,7 @@ final class Engine(
       // a cancel flag dies with its run — workflow ids are never
       // reused, but a leaked entry would still grow the map unbounded
       cancelFlags.remove(wfId)
+      liveWfIds.remove(wfId)
       spark.sparkContext.clearJobGroup()
       // exit actions: drop intermediate cubes flagged on_exit=oph_delete
       // (containers for oph_deletecontainer) exactly once, tolerating

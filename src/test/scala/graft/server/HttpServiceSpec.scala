@@ -239,6 +239,14 @@ class HttpServiceSpec extends SparkSpec {
       val (c7, _) = http(s"$base/services/resume?id=9999&id_type=marker",
         authHeader = Some(basic("graft", "secret")))
       assert(c7 == 400)
+      // invalid enum values are wrong parameters, not silent defaults —
+      // the HTTP surface must agree with the oph_resume operator
+      val (c8, _) = http(s"$base/services/resume?id_type=garbage",
+        authHeader = Some(basic("graft", "secret")))
+      assert(c8 == 400, "id_type=garbage must be a wrong parameter")
+      val (c9, _) = http(s"$base/services/resume?document_type=garbage",
+        authHeader = Some(basic("graft", "secret")))
+      assert(c9 == 400, "document_type=garbage must be a wrong parameter")
     }
   }
 
