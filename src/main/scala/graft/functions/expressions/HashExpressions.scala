@@ -273,3 +273,88 @@ object SimHash64 {
     sig
   }
 }
+
+/** Fused word-n-gram Jaccard between two strings — the exact-verify
+  * metric for dedup candidate pairs in ONE native pass. Matches the
+  * interpreted HOF formulation's equality classes exactly (tokenize
+  * `split(lower(t), "\s+")` with NO trim; a doc shorter than n tokens
+  * contributes its whole token list as one gram — the short-doc
+  * fallback the DuckDB oracle also applies), so the r15 parity test
+  * can assert bit-identical results while this replaces a ~13 us/gram
+  * interpreted transform/sequence/slice chain per side per pair. */
+case class NgramJaccard(left: Expression, right: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(n >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"ngram_jaccard expects (string, string), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_ngram_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(NgramJaccard.compute(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"${ev.value} = graft.functions.expressions.NgramJaccard.compute($a, $b, $n);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+object NgramJaccard {
+  /** Distinct sorted n-gram hashes of one side: lower, split on \s+
+    * (limit -1, like SQL split — leading whitespace yields an empty
+    * first token on purpose), hash each n-window joined with single
+    * spaces, then sort + dedupe in place so the Jaccard is two
+    * pointer merges with zero per-pair allocation beyond the arrays. */
+  private def gramHashes(text: UTF8String, n: Int): Array[Long] = {
+    val tokens = text.toLowerCase.toString.split("\\s+", -1)
+    val m = math.max(tokens.length - n + 1, 1)
+    val h = new Array[Long](m)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + n, tokens.length)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(tokens(j))
+        j += 1
+      }
+      h(i) = XxHash64Function.hash(
+        UTF8String.fromString(sb.toString), StringType, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(h)
+    // in-place dedupe (sorted)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || h(i) != h(w - 1)) { h(w) = h(i); w += 1 }
+      i += 1
+    }
+    if (w == m) h else java.util.Arrays.copyOf(h, w)
+  }
+
+  def compute(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val ga = gramHashes(a, n)
+    val gb = gramHashes(b, n)
+    var i = 0; var j = 0; var inter = 0
+    while (i < ga.length && j < gb.length) {
+      if (ga(i) == gb(j)) { inter += 1; i += 1; j += 1 }
+      else if (ga(i) < gb(j)) i += 1
+      else j += 1
+    }
+    val union = ga.length + gb.length - inter
+    inter.toDouble / union.toDouble
+  }
+}

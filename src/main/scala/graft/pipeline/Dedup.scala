@@ -295,8 +295,22 @@ object Dedup {
   }
 
   /** Word n-gram Jaccard similarity between two text columns (exact
-    * verify metric for candidate pairs). */
-  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    * verify metric for candidate pairs) — one fused native pass per
+    * pair (expressions.NgramJaccard); the interpreted HOF formulation
+    * below stays as its parity oracle. */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.NgramJaccard(
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .expression(a.cast("string")),
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .expression(b.cast("string")), n))
+
+  /** The original interpreted-HOF formulation of [[ngramJaccard]] —
+    * kept ONLY as the parity reference for the native expression
+    * (NgramJaccardParitySpec), the SignProject/GramRunStats pattern:
+    * ~13 us per gram of interpreter dispatch, so never on a hot path. */
+  def ngramJaccardHof(a: Column, b: Column, n: Int): Column = {
     def grams(t: Column): Column = {
       val toks = split(lower(t), "\\s+")
       array_distinct(transform(
