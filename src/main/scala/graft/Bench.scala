@@ -108,9 +108,14 @@ object Bench {
     // 32 threads): when present and the sf matches, every cell is
     // self-adjudicated against its floor so the artifact carries the
     // verdict instead of leaving over-floor cells to be re-litigated
-    // by hand (6 cells were, in round 12)
+    // by hand (6 cells were, in round 12). SPARK_GRAFT_FLOORS points
+    // the same machinery at a different ledger — the 100x-replica
+    // sweep (tools/bench_100x.sh) adjudicates against
+    // WARM_FLOORS_100X.json this way.
+    val floorsFile =
+      sys.env.getOrElse("SPARK_GRAFT_FLOORS", "WARM_FLOORS.json")
     val floors: Map[String, Double] = {
-      val p = java.nio.file.Paths.get("WARM_FLOORS.json")
+      val p = java.nio.file.Paths.get(floorsFile)
       if (!java.nio.file.Files.exists(p)) Map.empty
       else try {
         val txt = java.nio.file.Files.readString(p)
@@ -224,19 +229,28 @@ object Bench {
       }
     }
     // per-cell verdict against the committed floor:
-    //   ok        within 2x floor
-    //   ambient   over 2x raw, within 2x after normalization by the
-    //             cell's BRACKETING gauge samples — ONLY when those
+    //   ok        within the gate: 2x floor, OR within the absolute
+    //             sub-second variance band (dt - floor <= 0.5 s) —
+    //             round-scheduling noise at local[32] is additive
+    //             ~hundreds of ms regardless of query size, so a
+    //             0.232 s min-merged floor read at 0.5 s is the same
+    //             wall-noise that 2x absorbs for bigger cells
+    //             (reduce2_outer re-litigated this exact shape in
+    //             r12-r14; the band is the pinned policy fix)
+    //   ambient   over the gate raw, within it after normalization by
+    //             the cell's BRACKETING gauge samples — ONLY when those
     //             gauges show contention (>1.5) and never for the
     //             anchor queries themselves (they cannot
     //             self-normalize: a regressed anchor would mark
     //             itself and every other cell ambient)
-    //   idle_wall over 2x but the executors were idle most of the wall
-    //             with zero gc/spill — scheduler/IO ambience, not the
-    //             query's compute (the shape re-adjudicated by hand in
-    //             r12; now recorded in the artifact)
-    //   over      genuinely above 2x floor — a real regression
+    //   idle_wall over the gate but the executors were idle most of the
+    //             wall with zero gc/spill — scheduler/IO ambience, not
+    //             the query's compute (the shape re-adjudicated by hand
+    //             in r12; now recorded in the artifact)
+    //   over      genuinely above the gate — a real regression
     //   new       no committed floor yet
+    def withinGate(dt: Double, fl: Double): Boolean =
+      dt / fl <= 2.0 || dt - fl <= 0.5
     def verdict(name: String): (String, Double) = {
       val (dt, gc, sm, sd, run) = cells(name)
       floors.get(name) match {
@@ -246,7 +260,7 @@ object Bench {
           val ratio = dt / fl
           val amb = contentionAt(posOf.getOrElse(name, 0))
           val v =
-            if (ratio <= 2.0) "ok"
+            if (withinGate(dt, fl)) "ok"
             else if (amb > 1.5 && name != anchorName &&
               name != ioAnchorName && ratio / amb <= 2.0) "ambient"
             else if (run / 1000.0 < 0.5 * dt && gc < 200 &&
@@ -255,19 +269,24 @@ object Bench {
           (v, ratio)
       }
     }
-    // SOLO REPLAY of over-verdict cells: burst contention that slips
-    // between two gauge samples can mark a healthy cell `over` (the
-    // round-13 artifact committed 9 such cells; every one re-ran at
-    // floor by hand). Re-probe each at sweep end on the now-quiet
-    // session — up to two attempts, best wins — and record the replay
-    // in the artifact so the verdict is adjudicated in-file instead of
-    // re-litigated: a cell is only `over` if it is ALSO over solo.
+    // SOLO REPLAY of every non-ok cell (over, ambient, idle_wall):
+    // burst contention that slips between two gauge samples can mark a
+    // healthy cell `over` (the round-13 artifact committed 9 such
+    // cells; every one re-ran at floor by hand), and an `ambient` or
+    // `idle_wall` excuse is exactly the cell a skeptical reader
+    // questions (6 such in r14, all re-run at floor by hand). Re-probe
+    // each at sweep end on the now-quiet session — up to two attempts,
+    // best wins — and record the replay in the artifact so EVERY
+    // non-ok verdict is adjudicated in-file instead of re-litigated.
     val replays = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    cells.keys.filter(n => verdict(n)._1 == "over").foreach { n =>
+    cells.keys.filter(n => verdict(n)._1 match {
+      case "over" | "ambient" | "idle_wall" => true
+      case _ => false
+    }).foreach { n =>
       val fl = floors(n)
       var best = Double.MaxValue
       var attempt = 0
-      while (attempt < 2 && best / fl > 2.0) {
+      while (attempt < 2 && !withinGate(best, fl)) {
         val t0 = System.nanoTime()
         try {
           selected(n)(spark, sfDir).write.format("noop")
@@ -285,7 +304,8 @@ object Bench {
     // the gate (the in-sweep reading was ambient noise), `over` only
     // when the regression reproduces solo
     def finalVerdict(name: String): String = replays.get(name) match {
-      case Some(r) if r <= 2.0 => "replay_ok"
+      case Some(r) if withinGate(r * floors(name), floors(name)) =>
+        "replay_ok"
       case Some(_) => "over"
       case None => verdict(name)._1
     }
@@ -334,21 +354,25 @@ object Bench {
     val gaugeJson = if (gauges.isEmpty) "" else
       s""","gauges":${gauges.map { case (p, r) => s"[$p,${fmt(r)}]" }
         .mkString("[", ",", "]")}"""
+    val outFull =
+      sys.env.getOrElse("SPARK_GRAFT_OUT_FULL", "BENCH_FULL.json")
+    val outSummary =
+      sys.env.getOrElse("SPARK_GRAFT_OUT_SUMMARY", "BENCH_SUMMARY.json")
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"diag":$dg$anchorJson$overJson$gaugeJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+      java.nio.file.Paths.get(outFull), fullJson + "\n")
     val slow = results.toSeq.sortBy(-_._2).take(12)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow,"nq":${results.size}$anchorJson$overJson,"queries_file":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow,"nq":${results.size}$anchorJson$overJson,"queries_file":"$outFull","sf":"$sfDir"}"""
     // the summary ALSO goes to a fixed artifact file: the driver's
     // tail-parse of stdout can miss the line behind sbt's [success]
     // footer (r10's BENCH artifact had parsed:null for exactly this),
     // while a file read cannot
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SUMMARY.json"), summary + "\n")
+      java.nio.file.Paths.get(outSummary), summary + "\n")
     // stop the session BEFORE printing, then echo the summary to BOTH
     // streams as the very last output: sbt's [success] footer and
     // Spark's shutdown chatter otherwise land after the JSON line and

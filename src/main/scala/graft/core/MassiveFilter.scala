@@ -71,7 +71,9 @@ object MassiveFilter {
     Spec(groups, pidToks)
   }
 
-  private val knownKeys = Set("level", "measure", "parent_cube", "container",
+  /** graft-visible for XmlDescriptorGoldenSpec: the key set must match
+    * the reference `OPH_MASSIVE_operator_1.0.xml` argument list. */
+  private[graft] val knownKeys = Set("level", "measure", "parent_cube", "container",
     "container_pid", "cube_filter", "metadata_key", "metadata_value",
     "path", "recursive", "depth", "file", "convention", "run")
 

@@ -28,7 +28,17 @@ object ArgSpecs {
       min: Option[Double] = None,
       max: Option[Double] = None,
       /** '|'-separated lists allowed (each element checked alone). */
-      multi: Boolean = false)
+      multi: Boolean = false,
+      /** The descriptor default (reference XML `default=` attribute).
+        * Recorded for the server-native operators so the
+        * XmlDescriptorGoldenSpec can pin field-level parity against
+        * `/root/reference/etc/xml/OPH_*_operator_1.0.xml` — a drifted
+        * default is a test failure, not a silent divergence. `-` and
+        * empty string in the XML mean "unset". */
+      default: Option[String] = None) {
+    /** Shorthand: the same Arg with its descriptor default pinned. */
+    def d(v: String): Arg = copy(default = Some(v))
+  }
 
   final class ArgError(msg: String) extends Exception(msg)
 
@@ -89,63 +99,86 @@ object ArgSpecs {
     // `etc/xml/OPH_FOR_operator_1.0.xml` marks `key` mandatory, but the
     // impl (`oph_for_impl`, golden-ported) runs a single default
     // iteration without it — the impl behavior wins here
-    "oph_for" -> Seq(a("key"), multi("values"), a("counter"),
-      enum("parallel", yesNo: _*), multi("src_path"), multi("input")),
+    "oph_for" -> Seq(a("key"), multi("values").d("-"),
+      a("counter").d("-"), enum("parallel", yesNo: _*).d("no"),
+      multi("src_path").d("-"), multi("input").d("-")),
     "oph_endfor" -> Seq.empty,
     // `etc/xml/OPH_IF_operator_1.0.xml`
-    "oph_if" -> Seq(a("condition"), enum("forward", yesNo: _*)),
-    "oph_elseif" -> Seq(a("condition")),
+    "oph_if" -> Seq(a("condition").d("true"),
+      enum("forward", yesNo: _*).d("no")),
+    "oph_elseif" -> Seq(a("condition").d("true")),
     "oph_else" -> Seq.empty,
     "oph_endif" -> Seq.empty,
     // `etc/xml/OPH_SET_operator_1.0.xml`
-    "oph_set" -> Seq(multi("key"), multi("keys"), multi("value"),
-      enum("subset_filter", "yes", "no", "real"),
-      Arg("offset", isReal = true, min = Some(0)), int("id", min = 0)),
+    "oph_set" -> Seq(multi("key").d("-"), multi("keys").d("-"),
+      multi("value").d("-"),
+      enum("subset_filter", "yes", "no", "real").d("no"),
+      Arg("offset", isReal = true, min = Some(0)).d("1"),
+      int("id", min = 0).d("@OPH_WORKFLOW_ID")),
     // `etc/xml/OPH_WAIT_operator_1.0.xml`
-    "oph_wait" -> (Seq(enum("type", "clock", "input", "file"),
-      a("timeout"), enum("timeout_type", "duration", "deadline"),
-      multi("key"), multi("value"), a("filename"), a("fileref"),
-      a("measure"), a("output"), a("message")) ++ subsetArgs),
+    "oph_wait" -> Seq(enum("type", "clock", "input", "file").d("clock"),
+      a("timeout").d("-1"),
+      enum("timeout_type", "duration", "deadline").d("duration"),
+      multi("key").d("-"), multi("value").d("-"), a("filename").d("-"),
+      a("fileref").d("-"), a("measure").d("-"), a("output").d("-"),
+      a("message").d("-"),
+      // wait-specific subset shapes (per-dimension multivalue lists,
+      // real offset) — richer than the shared subsetArgs
+      multi("subset_dims").d("none"),
+      enum("subset_type", "index", "coord").copy(multi = true).d("index"),
+      multi("subset_filter").d("all"),
+      enum("time_filter", "yes", "no").d("yes"),
+      Arg("offset", isReal = true, multi = true).d("0")),
     // `etc/xml/OPH_INPUT_operator_1.0.xml`
-    "oph_input" -> Seq(int("id", min = 0), a("taskname"),
-      enum("action", "continue", "abort", "wait"),
-      multi("key"), multi("value")),
+    "oph_input" -> Seq(int("id", min = 0).d("@OPH_WORKFLOW_ID"),
+      a("taskname").d("Task 0"),
+      enum("action", "continue", "abort", "wait").d("continue"),
+      multi("key").d("-"), multi("value").d("-")),
 
     // ------------------------------------------------------ management
     // `etc/xml/OPH_CANCEL_operator_1.0.xml`
     // id defaults to the CURRENT workflow (engine-side self-cancel)
     "oph_cancel" -> Seq(int("id", min = 1),
-      enum("type", "kill", "abort", "stop")),
+      enum("type", "kill", "abort", "stop").d("kill")),
     // `etc/xml/OPH_MANAGE_SESSION_operator_1.0.xml` (grantee/role carry
     // the grant/revoke payload in this engine's surface)
     "oph_manage_session" -> Seq(
       enum("action", "disable", "enable", "env", "grant", "list",
-        "listusers", "new", "remove", "revoke", "setenv"),
-      a("session"), enum("key", "active", "autoremove", "label", "user"),
-      a("value"), a("label"), a("grantee"), a("role"), a("user")),
+        "listusers", "new", "remove", "revoke", "setenv").d("list"),
+      a("session").d("this"),
+      enum("key", "active", "autoremove", "label", "user").d("user"),
+      a("value").d("null"), a("label"), a("grantee"), a("role"),
+      a("user")),
     // `etc/xml/OPH_LOG_INFO_operator_1.0.xml`
     "oph_log_info" -> Seq(
-      enum("log_type", "server", "container", "ioserver"),
-      int("container_id", min = 0), a("ioserver"),
-      int("nlines", min = 1, max = 10000)),
+      enum("log_type", "server", "container", "ioserver").d("server"),
+      int("container_id", min = 0).d("0"), a("ioserver").d("mysql"),
+      int("nlines", min = 1, max = 10000).d("10")),
     // `etc/xml/OPH_CLUSTER_operator_1.0.xml`
-    "oph_cluster" -> Seq(a("host_partition"),
-      enum("action", "info", "info_cluster", "deploy", "undeploy"),
-      int("nhost", min = 0), a("user_filter"),
-      enum("host_type", "io", "compute")),
+    "oph_cluster" -> Seq(a("host_partition").d("all"),
+      enum("action", "info", "info_cluster", "deploy", "undeploy")
+        .d("info"),
+      int("nhost", min = 0).d("0"), a("user_filter").d("all"),
+      enum("host_type", "io", "compute").d("io")),
     // `etc/xml/OPH_GET_CONFIG_operator_1.0.xml`
-    "oph_get_config" -> Seq(a("key")),
+    "oph_get_config" -> Seq(enum("key", "all", "OPH_XML_URL",
+      "OPH_SESSION_ID", "OPH_EXEC_MODE", "OPH_NCORES", "OPH_DATACUBE",
+      "OPH_CWD", "OPH_CDD", "OPH_BASE_SRC_PATH").d("all")),
     // `etc/xml/OPH_RESUME_operator_1.0.xml`
     // `id` is an integer OR the token values "last"/"all"
     // (`src/oph_parser.h:160-161`) — the operator parses it itself
-    "oph_resume" -> Seq(a("session"), a("id"),
-      enum("id_type", "workflow", "marker"),
-      enum("document_type", "request", "response"),
-      int("level", min = 0, max = 5), a("user"), a("status_filter"),
-      enum("execute", yesNo: _*), a("checkpoint")),
+    "oph_resume" -> Seq(a("session").d("this"), a("id").d("0"),
+      enum("id_type", "workflow", "marker").d("workflow"),
+      enum("document_type", "request", "response").d("response"),
+      int("level", min = 0, max = 5)
+        .copy(values = Seq("0", "1", "2", "3", "4", "5")).d("1"),
+      a("user").d(""),
+      a("status_filter").d("11111111"),
+      enum("execute", yesNo: _*).d("no"), a("checkpoint").d("all")),
     // `etc/xml/OPH_SERVICE_operator_1.0.xml`
-    "oph_service" -> Seq(enum("status", "up", "down"),
-      int("level", min = 1, max = 2), multi("enable"), multi("disable")),
+    "oph_service" -> Seq(enum("status", "up", "down").d(""),
+      int("level", min = 1, max = 2).copy(values = Seq("1", "2")).d("1"),
+      multi("enable").d("none"), multi("disable").d("none")),
 
     // --------------------------------------------------- sources / DDL
     "oph_importnc" -> importArgs, "oph_importnc2" -> importArgs,

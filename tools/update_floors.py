@@ -13,13 +13,27 @@ count() — which column-pruned projection-only queries down to a bare
 scan — to the noop sink, which evaluates every output column). Each
 raise is printed; the commit must say why."""
 import json
+import os
 import sys
 
-args = [a for a in sys.argv[1:] if a != "--rebase"]
-REBASE = "--rebase" in sys.argv[1:]
+argv = sys.argv[1:]
+FLOORS = "WARM_FLOORS.json"
+if "--floors" in argv:
+    i = argv.index("--floors")
+    FLOORS = argv[i + 1]
+    argv = argv[:i] + argv[i + 2:]
+args = [a for a in argv if a != "--rebase"]
+REBASE = "--rebase" in argv
 sweeps = [json.load(open(p)) for p in args]
-assert sweeps, "usage: update_floors.py [--rebase] sweep1.json [...]"
-wf = json.load(open("WARM_FLOORS.json"))
+assert sweeps, ("usage: update_floors.py [--rebase] "
+                "[--floors FLOORS.json] sweep1.json [...]")
+# a missing ledger seeds from the first sweep (the 100x ledger's
+# bootstrap path: run A seeds floors, run B is the artifact of record)
+if os.path.exists(FLOORS):
+    wf = json.load(open(FLOORS))
+else:
+    wf = {"warm_floors": {}, "sf": sweeps[0].get("sf"),
+          "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32"))}
 floors = wf["warm_floors"]
 names = set()
 for s in sweeps:
@@ -41,7 +55,7 @@ for n in sorted(names):
         floors[n] = m
         changed.append((n, old, m))
 wf["warm_floors"] = dict(sorted(floors.items()))
-json.dump(wf, open("WARM_FLOORS.json", "w"), indent=1)
+json.dump(wf, open(FLOORS, "w"), indent=1)
 print(f"{len(changed)} floors updated/added:")
 for n, old, m in changed:
     print(f"  {n}: {old} -> {m}")
