@@ -1304,6 +1304,25 @@ object SparkEntry {
           round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 3), 4).as("j3"))
     }),
 
+    "dedup_substring" -> ((s, dir) => {
+      // cross-doc EXACT-substring dedup at >= 15 tokens (Lee et al.
+      // 2022 class): a 20-token boilerplate planted in every 10th doc
+      // guarantees genuine multi-doc duplicated spans; organic repeats
+      // in the synthetic corpus surface too (the oracle replays the
+      // same span merge with window functions over gram strings)
+      val boiler = "lorem ipsum dolor sit amet consectetur adipiscing" +
+        " elit sed do eiusmod tempor incididunt ut labore et dolore" +
+        " magna aliqua"
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" "), lit(boiler)))
+          .otherwise(col("text")).as("text"))
+      Dedup.exactSubstringSpans(d, "doc_id", "text", 15)
+        .select(col("doc_id"),
+          col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"))
+    }),
+
     "dedup_clusters" -> ((s, dir) => withShufflePartitions(s,
       // partitions SCALE WITH DATA (one per ~16 MB of input, 8..32):
       // a constant 8 is right at sf0.1 (round-scheduling dominates,
@@ -4930,6 +4949,54 @@ object SparkEntry {
            (6, 125, 1024473.0, 5379.0, 10622.0),
            (7, 125, 988683.0, 5499.0, 10386.0))
            AS t(bucket, n, s, lo, hi)""",
+
+    // the same gram-position/canonical-election/span-merge pipeline in
+    // pure SQL: grams as STRINGS (Spark buckets by xxhash64 of the same
+    // gram — identical grouping modulo hash collisions), canonical =
+    // lexicographic minimum (doc_id, pos), islands merged when windows
+    // overlap or touch (pos <= prev_max + 15)
+    "dedup_substring" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 0
+                       THEN text || ' lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor incididunt ut labore et dolore magna aliqua'
+                       ELSE text END AS text
+           FROM documents),
+         tok AS (
+           SELECT doc_id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS w
+           FROM d),
+         g0 AS (
+           SELECT doc_id, w,
+                  unnest(range(0, greatest(len(w) - 14, 0))) AS pos
+           FROM tok),
+         g AS (
+           SELECT doc_id, pos,
+                  array_to_string(list_slice(w, pos + 1, pos + 15), ' ') AS gram
+           FROM g0),
+         mk AS (
+           SELECT doc_id, pos,
+                  count(*) OVER (PARTITION BY gram) AS cnt,
+                  row_number() OVER (PARTITION BY gram
+                                     ORDER BY doc_id, pos) AS rn
+           FROM g),
+         m2 AS (SELECT doc_id, pos FROM mk WHERE cnt >= 2 AND rn > 1),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos > coalesce(max(pos) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       -100000) + 15 THEN 1 ELSE 0 END AS brk
+           FROM m2),
+         isl2 AS (
+           SELECT doc_id, pos,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS island
+           FROM isl)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                CAST(max(pos) + 14 AS BIGINT) AS span_end
+         FROM isl2 GROUP BY doc_id, island""",
 
     "dedup_ngram" ->
       """WITH t AS (

@@ -594,4 +594,62 @@ object Dedup {
     keyed.join(groups, "__k")
       .select(col(idCol), col("canonical_id"), col("group_size"))
   }
+
+  /**
+   * Cross-document EXACT-substring duplicate spans at >= n tokens —
+   * the "Deduplicating Training Data Makes Language Models Better"
+   * class (Lee et al. 2022): any token sequence of length >= n that
+   * occurs more than once in the corpus is removed from every
+   * occurrence EXCEPT a canonical one. Lee et al. build a suffix
+   * array; the Spark-first shape is bucketed gram groups — position-
+   * indexed n-gram hashes, one partial-agg shuffle on gram hash to
+   * find duplicated grams and elect each gram's canonical occurrence
+   * (the corpus-wide minimum (doc_id, pos)), then a per-document
+   * window merge of the surviving positions into maximal spans. A
+   * duplicated substring of L >= n tokens appears as L - n + 1
+   * consecutive duplicated windows, so the merged [pos, pos + n - 1]
+   * intervals reconstruct exactly the maximal duplicated span.
+   *
+   * Scale (100 TB): the gram table is one row per token — large but
+   * linear; both shuffles are equi-keys (gram hash, then doc id), no
+   * all-pairs anywhere, and the groupBy's map-side combine collapses
+   * each gram's occurrence list before the exchange. Spans merge with
+   * a per-document window (docs are the natural partition).
+   *
+   * @return (doc_id, span_start, span_end) — 0-based inclusive TOKEN
+   *         indices of each maximal removable span; the canonical
+   *         occurrence of every substring emits nothing
+   */
+  def exactSubstringSpans(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col(idCol).as("doc_id"),
+      posexplode(graft.functions.expressions.HashExpressions
+        .word_gram_hashes(col(textCol), n)).as(Seq("pos", "h")))
+    // duplicated grams + canonical election in ONE aggregation:
+    // min(struct(doc,pos)) is the lexicographic minimum occurrence
+    val dupGroups = grams.groupBy("h")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("canon"))
+      .filter(col("cnt") >= 2)
+      .select("h", "canon")
+    val marked = grams.join(dupGroups, "h")
+      .filter(!(col("doc_id") === col("canon.doc_id") &&
+        col("pos") === col("canon.pos")))
+      .select("doc_id", "pos")
+    // gaps-and-islands: windows [pos, pos+n-1] merge when they overlap
+    // or touch (pos <= prev_max_pos + n)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMax = max(col("pos"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val brk = when(col("pos") >
+      coalesce(prevMax, lit(Long.MinValue / 2)) + n, 1).otherwise(0)
+    marked
+      .withColumn("island",
+        sum(brk).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
 }

@@ -195,4 +195,42 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((7L, 2L), (2L, 2L), (9L, 2L)))
   }
+
+  test("exact-substring spans: shared >= n-token run found, canonical kept") {
+    // 20 shared tokens planted mid-document in docs 1..3; doc 0 is the
+    // canonical source (lexicographic minimum occurrence)
+    val shared = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$shared"),                              // pure source
+      (1L, s"a b c $shared x y z"),                  // offset 3
+      (2L, s"$shared trailing words here"),          // offset 0
+      (3L, s"p q $shared"),                          // offset 2
+      (4L, "entirely unrelated tokens with no duplicated run at all")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(docs, "doc_id", "text", 15)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // doc 0 owns every gram of the shared run (doc_id 0 < all) -> no
+    // spans; docs 1..3 each surface exactly the 20-token run
+    assert(spans == Set((1L, 3, 22), (2L, 0, 19), (3L, 2, 21)), spans)
+  }
+
+  test("exact-substring spans: overlapping duplicated regions merge") {
+    // two overlapping duplicated 15-gram families inside one doc merge
+    // into a single maximal span
+    val run = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, run),                       // canonical
+      (1L, s"lead $run tail")          // one 30-token duplicated region
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(docs, "doc_id", "text", 15)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans == Set((1L, 1, 30)), spans)
+  }
+
+  test("exact-substring spans: docs shorter than n emit nothing") {
+    val docs = Seq((0L, "one two three"), (1L, "one two three"))
+      .toDF("doc_id", "text")
+    assert(Dedup.exactSubstringSpans(docs, "doc_id", "text", 15)
+      .count() == 0)
+  }
 }

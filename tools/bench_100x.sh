@@ -39,7 +39,7 @@ sql_q1,sql_q2,sql_q3,sql_q4,sql_q5,sql_q6,sql_q7,sql_q8,sql_q9,sql_q10,
 sql_q11,sql_q12,sql_q13,sql_q14,sql_q15,sql_q16,sql_q17,sql_q18,sql_q19,
 sql_q20,sql_q21,sql_q22,
 dedup_exact,dedup_canonical,dedup_minhash,dedup_simhash,dedup_ngram,
-dedup_clusters,dedup_incremental,dedup_incremental_near,
+dedup_clusters,dedup_incremental,dedup_incremental_near,dedup_substring,
 embed_rproj,embed_centroids,embed_neardup,embed_semdedup,
 embed_decontaminate,embed_hard_negatives,embed_hard_negatives_ivf,
 simsearch_brute,simsearch_lsh,simsearch_ivf,simsearch_ivfpq,
