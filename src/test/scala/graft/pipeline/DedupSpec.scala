@@ -233,4 +233,31 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.exactSubstringSpans(docs, "doc_id", "text", 15)
       .count() == 0)
   }
+
+  test("simhash multi-table blocking finds EXACTLY the brute-force " +
+      "hamming<=3 pairs") {
+    // 40 short docs with overlapping token sets: plenty of organic
+    // near-collisions in signature space. The Manku 3-of-6-block keys
+    // must reproduce the full brute-force cross-join pair set.
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 12).map(j => s"t${(i * 7 + j * j) % 23}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.simhashDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.expressions.HashExpressions
+        .simhash64(split(lower(col("text")), "\\s+")).as("sig"))
+    val a = sigs.select(col("doc_id").as("id_a"), col("sig").as("sa"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("sig").as("sb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "fixture produced no near pairs - weak test")
+    assert(got == brute,
+      s"missing: ${brute -- got}, spurious: ${got -- brute}")
+  }
 }
