@@ -94,10 +94,13 @@ class MultiSessionSoakSpec extends SparkSpec {
         val th = new Thread(() => {
           gate.await()
           (1 to 3).foreach { k =>
-            var attempts = 0
+            // deadline-based retry: a fixed attempt count is a ~5 s
+            // budget that flakes when the shared context drains slowly
+            // under whole-suite load (seen once in a full run right
+            // after a bench sweep)
+            val deadline = System.nanoTime() + 120L * 1000000000L
             var done = false
-            while (!done && attempts < 200) {
-              attempts += 1
+            while (!done && System.nanoTime() < deadline) {
               try {
                 val res = eng.run(wf(sess, i, k))
                 res.values.flatMap(_.cubePid).foreach(pidsOf(sess).add)
@@ -248,10 +251,9 @@ class MultiSessionSoakSpec extends SparkSpec {
           val th = new Thread(() => {
             gate.await()
             (1 to 2).foreach { k =>
-              var attempts = 0
+              val deadline = System.nanoTime() + 120L * 1000000000L
               var done = false
-              while (!done && attempts < 200) {
-                attempts += 1
+              while (!done && System.nanoTime() < deadline) {
                 try {
                   val res = eng.run(wf2(sess, i, k))
                   if (!res.values.forall(_.status == JobStatus.Completed))
