@@ -30,6 +30,14 @@ private final class BenchDiagListener
 }
 
 object Bench {
+  /** The per-cell regression gate: within 2x the committed floor, OR
+    * within the sub-second variance band — capped at 2x the floor so
+    * tiny-floor cells keep a meaningful gate (an unconditional 0.5 s
+    * band would pass a 0.05 s floor at 0.55 s, an 11x regression;
+    * ADVICE r15). Object-level so BenchGateSpec pins the policy. */
+  def withinGate(dt: Double, fl: Double): Boolean =
+    dt / fl <= 2.0 || dt - fl <= math.min(0.5, 2.0 * fl)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -229,14 +237,19 @@ object Bench {
       }
     }
     // per-cell verdict against the committed floor:
-    //   ok        within the gate: 2x floor, OR within the absolute
-    //             sub-second variance band (dt - floor <= 0.5 s) —
+    //   ok        within the gate: 2x floor, OR within the sub-second
+    //             variance band (dt - floor <= min(0.5 s, 2x floor)) —
     //             round-scheduling noise at local[32] is additive
     //             ~hundreds of ms regardless of query size, so a
     //             0.232 s min-merged floor read at 0.5 s is the same
     //             wall-noise that 2x absorbs for bigger cells
     //             (reduce2_outer re-litigated this exact shape in
-    //             r12-r14; the band is the pinned policy fix)
+    //             r12-r14; the band is the pinned policy fix). The band
+    //             is CAPPED at 2x the floor so tiny-floor cells keep a
+    //             real gate: an unconditional 0.5 s band would pass a
+    //             0.05 s floor at 0.55 s — an 11x regression rendered
+    //             invisible, including in solo replays and the 100x
+    //             ledger which reuse this gate (ADVICE r15)
     //   ambient   over the gate raw, within it after normalization by
     //             the cell's BRACKETING gauge samples — ONLY when those
     //             gauges show contention (>1.5) and never for the
@@ -250,7 +263,7 @@ object Bench {
     //   over      genuinely above the gate — a real regression
     //   new       no committed floor yet
     def withinGate(dt: Double, fl: Double): Boolean =
-      dt / fl <= 2.0 || dt - fl <= 0.5
+      Bench.withinGate(dt, fl)
     def verdict(name: String): (String, Double) = {
       val (dt, gc, sm, sd, run) = cells(name)
       floors.get(name) match {

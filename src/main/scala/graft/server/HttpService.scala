@@ -488,15 +488,26 @@ final class HttpService(
     // sessions reap first (`oph_workflow_engine.c:536-595` — the
     // reference counts the user's session links and removes the
     // timed-out autoremove ones before refusing)
-    val preexisting = code == engine.catalog.sessionCode ||
-      sessionEngines.contains(code) ||
-      sessionFileOf(code).exists(java.nio.file.Files.isRegularFile(_))
-    // the whole quota check runs under mintLock with the mint itself:
-    // two concurrent submissions by the same user must not both see
+    // the expensive disk scan runs OUTSIDE mintLock (ADVICE r15: the
+    // lock must not serialize every submission behind directory I/O);
+    // it is only a quota input — liveOwned, recomputed INSIDE the
+    // lock, sees any session a concurrent request mints, so the
+    // count-and-decide stays race-free
+    val persistedPre =
+      if (uprops.maxSessions > 0) persistedOwnedBy(user) else Seq.empty
+    // the count-and-decide + the mint itself run under mintLock: two
+    // concurrent submissions by the same user must not both see
     // atCap=false and each mint a session, overshooting the cap by one
     // (engineFor takes the same lock re-entrantly; the inner persisted
-    // reap's mintLock block is likewise re-entrant)
+    // reap's mintLock block is likewise re-entrant). preexisting is
+    // ALSO evaluated inside the lock (ADVICE r15): a concurrent mint of
+    // the same code between an outside snapshot and the quota gate
+    // would otherwise count the session against its own cap and 429 a
+    // request it should simply route
     val eng = mintLock.synchronized {
+      val preexisting = code == engine.catalog.sessionCode ||
+        sessionEngines.contains(code) ||
+        sessionFileOf(code).exists(java.nio.file.Files.isRegularFile(_))
       if (!preexisting && uprops.maxSessions > 0) {
         // the count covers LIVE engines plus persisted-but-unrouted
         // sessions (the reference counts the user's session links on
@@ -505,9 +516,9 @@ final class HttpService(
         def liveOwned: Seq[String] = sessionEngines.toSeq.collect {
           case (c, e) if e.sessions.ownerOf(c).contains(user) => c
         }
-        // ONE directory scan per decision point: the gate, then (only if
-        // a reap actually ran) a recount
-        val persisted0 = persistedOwnedBy(user)
+        // ONE directory scan per decision point: the pre-lock snapshot
+        // gates, then (only if a reap actually ran) a recount
+        val persisted0 = persistedPre
         var atCap =
           (liveOwned ++ persisted0.map(_._1)).distinct.size >=
             uprops.maxSessions

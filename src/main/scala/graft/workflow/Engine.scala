@@ -432,8 +432,16 @@ final class Engine(
 
   /** Reserve the workflow id a subsequent run will use when handed back
     * via `presetId` — an external submitter (the HTTP layer) holds it to
-    * target `cancelWorkflow` at one specific in-flight request. */
-  def reserveWorkflowId(): Int = synchronized { workflowSeq += 1; workflowSeq }
+    * target `cancelWorkflow` at one specific in-flight request. The id
+    * is pinned in `liveWfIds` HERE, not at run() entry (ADVICE r15): a
+    * cancel can set a flag for a reserved-but-not-yet-running workflow,
+    * and a >1024-flag eviction burst in that window must not drop the
+    * pending cancel. run()'s finally unpins it. */
+  def reserveWorkflowId(): Int = synchronized {
+    workflowSeq += 1
+    liveWfIds(workflowSeq) = ()
+    workflowSeq
+  }
 
   /** Spark job-group tag of one workflow run. The engine nonce keeps
     * groups unique across engines sharing a SparkContext (per-session
@@ -687,15 +695,24 @@ final class Engine(
         * caller who is not the engine's own user; recorded in the
         * resume store for the reference's per-submitter listing. */
       submitter: Option[String] = None): Map[String, TaskResult] = {
-    Workflow.validate(spec0)
-    // the reference schedules by readiness; our positional walk gets the
-    // same effect by topo-sorting each run of data tasks (ADVICE r2)
-    val spec = Workflow.reorderSegments(spec0)
     // synchronized: concurrent runAsync submissions must not mint the
     // same job-group id (lost-update on the shared counter); an
-    // externally-reserved id (HTTP cancel route) passes through
+    // externally-reserved id (HTTP cancel route) passes through.
+    // reserveWorkflowId already pinned the id in liveWfIds (both paths
+    // route through it); re-pin defensively for any preset id minted
+    // elsewhere — the finally below unpins either way
     val wfId = presetId.getOrElse(reserveWorkflowId())
-    liveWfIds(wfId) = () // pin this run's cancel flag against eviction
+    liveWfIds(wfId) = ()
+    // a validation failure exits BEFORE the inner try/finally — unpin
+    // explicitly so a rejected spec cannot leak an un-evictable pin
+    // (the HTTP path reserves+pins before run() executes; ADVICE r15)
+    val spec = try {
+      Workflow.validate(spec0)
+      // the reference schedules by readiness; our positional walk gets
+      // the same effect by topo-sorting each run of data tasks
+      // (ADVICE r2)
+      Workflow.reorderSegments(spec0)
+    } catch { case e: Throwable => liveWfIds.remove(wfId); throw e }
     val jobGroup = jobGroupOf(wfId)
     // Spark jobs of this workflow share a job group so oph_cancel can
     // target them (`cancelJobGroup` — the reference's scancel analog)
@@ -1226,7 +1243,10 @@ final class Engine(
     // with its own flag: an interrupt while queued must not leak the
     // activeRuns increment (a leaked counter would wedge admission) or
     // release a permit that was never taken.
-    admitRun()
+    // an admission refusal also exits before the inner finally — unpin
+    // on that path too (same leak class as the validation guard above)
+    try admitRun()
+    catch { case e: Throwable => liveWfIds.remove(wfId); throw e }
     var farmAcquired = false
     try {
       if (queueSize > 0) { farmPermits.acquire(); farmAcquired = true }

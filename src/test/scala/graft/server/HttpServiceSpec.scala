@@ -298,6 +298,35 @@ class HttpServiceSpec extends SparkSpec {
     }
   }
 
+  test("racing submissions to the SAME new session never 429 at the " +
+      "session cap (ADVICE r15: preexisting evaluated inside mintLock)") {
+    withService { (svc, base, _) =>
+      // maxSessions=1: the race window is widest — a request that
+      // snapshots preexisting=false before a sibling mints the session
+      // would count that now-existing session against its own cap and
+      // refuse a submission it should simply route
+      val cred = Some(basic("intruder", "pw"))
+      svc.auth.setUserProps("intruder",
+        AuthService.UserProps(maxSessions = 1))
+      val wf = """{"name": "q", "sessionid": "race1",
+        "exec_mode": "sync", "tasks": [
+          {"name": "s", "operator": "oph_set",
+           "arguments": ["key=a", "value=1"]}]}"""
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val codes = try {
+        import scala.concurrent.{Await, Future, ExecutionContext}
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        Await.result(
+          Future.sequence((1 to 8).toList.map(_ => Future(
+            http(s"$base/services/execute", "POST", Some(wf), cred)._1))),
+          scala.concurrent.duration.Duration(120, "s"))
+      } finally pool.shutdown()
+      assert(codes.forall(_ == 200),
+        s"racing mints of one session were refused: $codes")
+    }
+  }
+
   test("session-cap reaping: expired autoremove sessions free quota slots") {
     // injectable clock: the service sees time jump past the timeout
     var now = 1000000000000L

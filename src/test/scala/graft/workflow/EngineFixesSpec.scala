@@ -185,4 +185,46 @@ class EngineFixesSpec extends SparkSpec {
       .as[Seq[Int]].collect()
     assert(sigs.distinct.length > 1, "all signatures identical")
   }
+
+  test("a reserved-but-not-yet-running workflow's cancel survives an " +
+      "eviction burst (ADVICE r15: pin at reservation, not run entry)") {
+    val e = engine()
+    // the HTTP submit path: reserve the id first, cancel can land on it
+    // before run() ever executes
+    val wfId = e.reserveWorkflowId()
+    e.cancelWorkflow(wfId, 'a')
+    // a burst of cancels for newer, never-run ids overflows the
+    // 1024-flag bound; the reserved id is the LOWEST so an unpinned
+    // flag would be the very first evicted
+    (1 to 1100).foreach(i => e.cancelWorkflow(wfId + 100000 + i, 'a'))
+    val r = e.run(Workflow.parse("""{"name":"pin","tasks":[
+      {"name":"t1","operator":"oph_set","arguments":["key=a","value=1"]}]}"""),
+      None, presetId = Some(wfId))
+    assert(r("t1").status == JobStatus.Aborted,
+      "pending cancel was evicted before the run started")
+  }
+
+  test("a failed run unpins its reserved id so the flag becomes " +
+      "evictable again (no pin leak on validate/admission failure)") {
+    val e = engine()
+    val wfId = e.reserveWorkflowId()
+    // run with an invalid spec (self-cycle): validation throws BEFORE
+    // the run loop's finally — the guard must still unpin the
+    // reservation. Parse outside the intercept: the spec must reach
+    // run() for the test to exercise the unpin path at all.
+    val bad = Workflow.parse("""{"name":"bad","tasks":[
+      {"name":"t1","operator":"oph_set","arguments":["key=a","value=1"],
+       "dependencies":[{"task":"t1"}]}]}""")
+    intercept[Exception](e.run(bad, None, presetId = Some(wfId)))
+    // now a cancel flag for that dead id is evictable: flood past the
+    // bound and check a later run with the same preset id is NOT
+    // aborted (the stale flag was evicted, as it should be)
+    e.cancelWorkflow(wfId, 'a')
+    (1 to 1100).foreach(i => e.cancelWorkflow(wfId + 200000 + i, 'a'))
+    val r = e.run(Workflow.parse("""{"name":"ok","tasks":[
+      {"name":"t1","operator":"oph_set","arguments":["key=a","value=1"]}]}"""),
+      None, presetId = Some(wfId))
+    assert(r("t1").status == JobStatus.Completed,
+      "stale flag of a failed run survived eviction — pin leaked")
+  }
 }
