@@ -1757,12 +1757,15 @@ object SparkEntry {
 
     "embed_decontaminate" -> ((s, dir) => {
       // semantic decontamination: flag corpus vectors whose max cosine
-      // vs a benchmark subset (every 100th vec_id) reaches 0.3 — the
+      // vs a FIXED-SIZE benchmark (every 100th vec_id below 2000 — an
+      // eval suite does not grow with the corpus; a %-of-corpus bench
+      // made the 100x cell quadratic, VERDICT r15) reaches 0.3 — the
       // embedding-level complement of corpus_decontaminate's n-gram
       // overlap. The benchmark folds into ONE codegen'd ArgmaxDot
       // constant table: no join, no shuffle, no broadcast exchange
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val bench = e.filter(col("vec_id") % 100 === 0)
+      val bench = e.filter(col("vec_id") % 100 === 0 &&
+        col("vec_id") < 2000)
       graft.pipeline.Similarity.semanticDecontaminate(
           e, bench, "vec_id", "embedding", tau = 0.3)
         .select(col("id").as("vec_id"), col("max_cos"))
@@ -5388,10 +5391,11 @@ object SparkEntry {
     "embed_decontaminate" ->
       """WITH bench AS (
            SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS bv
-           FROM embeddings WHERE vec_id % 100 = 0),
+           FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000),
          docs AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings WHERE vec_id % 100 <> 0),
+           FROM embeddings
+           WHERE NOT (vec_id % 100 = 0 AND vec_id < 2000)),
          scored AS (
            SELECT d.vec_id,
                   max(list_cosine_similarity(d.v, b.bv)) AS mc

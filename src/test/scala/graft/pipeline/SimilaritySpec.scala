@@ -333,6 +333,45 @@ class SimilaritySpec extends SparkSpec {
       s"benchmark must fold into the scan pass:\n$p")
   }
 
+  test("semanticDecontaminate: oversize benchmark takes the broadcast " +
+      "fallback with identical results (VERDICT r15 scale contract)") {
+    import spark.implicits._
+    // 60 corpus vectors on a ring, 12-member benchmark: large enough
+    // to flag several, small enough to compare exactly
+    val corpus = (0 until 60).map(i =>
+      (i.toLong, Seq(math.cos(i * 0.1), math.sin(i * 0.1), 0.0)))
+      .toDF("vec_id", "embedding")
+    val bench = corpus.filter(col("vec_id") % 5 === 0)
+    val const = Similarity.semanticDecontaminate(
+      corpus, bench, "vec_id", "embedding", tau = 0.95)
+      .as[(Long, Double)].collect().toMap
+    // force the fallback by shrinking the constant-path bound below
+    // the benchmark size: results must be bit-identical
+    val fb = Similarity.semanticDecontaminate(
+      corpus, bench, "vec_id", "embedding", tau = 0.95,
+      maxConstBench = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(const.nonEmpty, "test benchmark flagged nothing")
+    assert(fb == const, s"fallback diverged: $fb vs $const")
+    // the fallback must not explode rows: no cartesian/nested-loop of
+    // corpus x bench in the plan (only the left_anti id broadcast)
+    val p = Similarity.semanticDecontaminate(
+      corpus, bench, "vec_id", "embedding", tau = 0.95,
+      maxConstBench = 4).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the hard cap on a benchmark misused as a corpus fails loudly:
+    // >262144 "benchmark" vectors is a corpus, not an eval suite
+    val huge = spark.range(262200)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0), col("id").cast("double")).as("embedding"))
+    val msg = intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(
+        corpus, huge, "vec_id", "embedding", tau = 0.95)
+    }
+    assert(msg.getMessage.contains("fixed-size eval suite"),
+      msg.getMessage)
+  }
+
   test("IVF append drift gate: recall holds or the re-train trigger fires") {
     // VERDICT r11 #7: appendToIvfIndex trusts frozen centroids
     // forever; heavy appends that DRIFT from the fitted distribution
