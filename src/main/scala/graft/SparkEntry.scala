@@ -1323,6 +1323,23 @@ object SparkEntry {
           col("span_end").cast("long").as("span_end"))
     }),
 
+    "dedup_strip" -> ((s, dir) => {
+      // the excision step composed after dedup_substring's spans
+      // (VERDICT r15 #3): same planted corpus, spans at >= 15 tokens,
+      // then stripSpans rebuilds the text with every non-canonical
+      // duplicated span removed — one equi-join, row-local surgery
+      val boiler = "lorem ipsum dolor sit amet consectetur adipiscing" +
+        " elit sed do eiusmod tempor incididunt ut labore et dolore" +
+        " magna aliqua"
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" "), lit(boiler)))
+          .otherwise(col("text")).as("text"))
+      val spans = Dedup.exactSubstringSpans(d, "doc_id", "text", 15)
+      Dedup.stripSpans(d, spans, "doc_id", "text")
+        .select(col("doc_id"), col("text"))
+    }),
+
     "dedup_clusters" -> ((s, dir) => withShufflePartitions(s,
       // partitions SCALE WITH DATA (one per ~16 MB of input, 8..32):
       // a constant 8 is right at sf0.1 (round-scheduling dominates,
@@ -5000,6 +5017,74 @@ object SparkEntry {
          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
                 CAST(max(pos) + 14 AS BIGINT) AS span_end
          FROM isl2 GROUP BY doc_id, island""",
+
+    "dedup_strip" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 0
+                       THEN text || ' lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor incididunt ut labore et dolore magna aliqua'
+                       ELSE text END AS text
+           FROM documents),
+         tok AS (
+           SELECT doc_id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS w
+           FROM d),
+         g0 AS (
+           SELECT doc_id, w,
+                  unnest(range(0, greatest(len(w) - 14, 0))) AS pos
+           FROM tok),
+         g AS (
+           SELECT doc_id, pos,
+                  array_to_string(list_slice(w, pos + 1, pos + 15), ' ') AS gram
+           FROM g0),
+         mk AS (
+           SELECT doc_id, pos,
+                  count(*) OVER (PARTITION BY gram) AS cnt,
+                  row_number() OVER (PARTITION BY gram
+                                     ORDER BY doc_id, pos) AS rn
+           FROM g),
+         m2 AS (SELECT doc_id, pos FROM mk WHERE cnt >= 2 AND rn > 1),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos > coalesce(max(pos) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       -100000) + 15 THEN 1 ELSE 0 END AS brk
+           FROM m2),
+         isl2 AS (
+           SELECT doc_id, pos,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS island
+           FROM isl),
+         spans AS (
+           SELECT doc_id, min(pos) AS span_start, max(pos) + 14 AS span_end
+           FROM isl2 GROUP BY doc_id, island),
+         toki AS (
+           SELECT doc_id, wr AS w,
+                  unnest(range(0, len(wr))) AS i
+           FROM (SELECT doc_id,
+                        regexp_split_to_array(trim(text), '\s+') AS wr
+                 FROM d WHERE doc_id IN (SELECT doc_id FROM spans))),
+         rem AS (
+           SELECT DISTINCT t.doc_id, t.i
+           FROM toki t JOIN spans s
+             ON t.doc_id = s.doc_id
+            AND t.i BETWEEN s.span_start AND s.span_end),
+         kept AS (
+           SELECT t.doc_id,
+                  string_agg(list_extract(t.w, t.i + 1), ' '
+                             ORDER BY t.i) AS stripped
+           FROM toki t LEFT JOIN rem r
+             ON t.doc_id = r.doc_id AND t.i = r.i
+           WHERE r.i IS NULL GROUP BY t.doc_id)
+         SELECT d.doc_id,
+                CASE WHEN sp.doc_id IS NULL THEN d.text
+                     ELSE coalesce(k.stripped, '') END AS text
+         FROM d
+         LEFT JOIN (SELECT DISTINCT doc_id FROM spans) sp
+                ON d.doc_id = sp.doc_id
+         LEFT JOIN kept k ON d.doc_id = k.doc_id""",
 
     "dedup_ngram" ->
       """WITH t AS (

@@ -675,4 +675,49 @@ object Dedup {
         (max(col("pos")) + (n - 1)).as("span_end"))
       .select("doc_id", "span_start", "span_end")
   }
+
+  /**
+   * Apply [[exactSubstringSpans]]' removable spans — the excision step
+   * that completes the Lee et al. 2022 pipeline: rebuild each
+   * document's text with the spanned TOKEN ranges removed (the
+   * canonical occurrence of every duplicated substring, which emitted
+   * no span, survives verbatim).
+   *
+   * Scale shape: spans pre-aggregate to ONE list per document (the
+   * partial agg map-side-combines), then a single equi-join on the doc
+   * id puts each document next to its span list, and the excision
+   * itself is row-local — tokenize, drop spanned indices, re-join.
+   * No window, no second shuffle, no per-span explode of the corpus.
+   *
+   * Tokenization matches the span producer (`split(trim(text),
+   * "\s+")` — positions index the trimmed token sequence; lower()
+   * in the producer changes no whitespace, so indices align with the
+   * case-preserving tokens here). Documents WITH spans come back
+   * single-space re-joined (token-level surgery cannot preserve the
+   * original inter-token whitespace); documents without spans pass
+   * through verbatim. A document that is entirely one removable span
+   * becomes the empty string.
+   *
+   * @param spans (doc_id, span_start, span_end) — 0-based inclusive
+   *              token indices, as produced by exactSubstringSpans
+   * @return (idCol, textCol) with spans excised
+   */
+  def stripSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(
+        col("span_start").cast("long").as("s"),
+        col("span_end").cast("long").as("e"))).as("__spans"))
+    val toks = split(trim(col(textCol)), "\\s+")
+    val stripped = array_join(
+      filter(toks, (_, i) =>
+        !exists(col("__spans"), sp =>
+          i.cast("long") >= sp.getField("s") &&
+            i.cast("long") <= sp.getField("e"))),
+      " ")
+    docs.join(perDoc, docs(idCol) === perDoc("doc_id"), "left")
+      .select(docs(idCol),
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(stripped).as(textCol))
+  }
 }

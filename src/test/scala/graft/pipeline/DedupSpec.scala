@@ -234,6 +234,32 @@ class DedupSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("stripSpans excises exactly the spanned tokens; canonical and " +
+      "unspanned docs pass through verbatim") {
+    val shared = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$shared"),                       // canonical: survives
+      (1L, s"a b c $shared x y z"),           // span [3,22] excised
+      (2L, s"$shared"),                       // entirely one span -> ""
+      (3L, s"P Q $shared"),                   // case survives the strip
+      (4L, "entirely unrelated tokens with no duplicated run at all")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(docs, "doc_id", "text", 15)
+    val out = Dedup.stripSpans(docs, spans, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == shared)                 // canonical, verbatim
+    assert(out(1L) == "a b c x y z", out(1L)) // surgical excision
+    assert(out(2L) == "", out(2L))            // fully-duplicated doc
+    assert(out(3L) == "P Q", out(3L))         // original case preserved
+    assert(out(4L) == // no spans: raw text untouched, spacing included
+      "entirely unrelated tokens with no duplicated run at all")
+    // composition sanity: re-running the span finder on the stripped
+    // corpus finds nothing left to remove
+    val again = Dedup.exactSubstringSpans(
+      out.toSeq.toDF("doc_id", "text"), "doc_id", "text", 15)
+    assert(again.count() == 0, "strip left duplicated spans behind")
+  }
+
   test("simhash multi-table blocking finds EXACTLY the brute-force " +
       "hamming<=3 pairs") {
     // 40 short docs with overlapping token sets: plenty of organic
