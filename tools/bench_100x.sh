@@ -40,6 +40,7 @@ sql_q11,sql_q12,sql_q13,sql_q14,sql_q15,sql_q16,sql_q17,sql_q18,sql_q19,
 sql_q20,sql_q21,sql_q22,
 dedup_exact,dedup_canonical,dedup_minhash,dedup_simhash,dedup_ngram,
 dedup_clusters,dedup_incremental,dedup_incremental_near,dedup_substring,
+dedup_strip,
 embed_rproj,embed_centroids,embed_neardup,embed_semdedup,
 embed_decontaminate,embed_hard_negatives,embed_hard_negatives_ivf,
 simsearch_brute,simsearch_lsh,simsearch_ivf,simsearch_ivfpq,
@@ -49,10 +50,25 @@ text_repetition,text_bpe_pairs,text_bpe_roundtrip,text_bpe_bytes,
 lang_id,quality_score,fingerprint,
 corpus_gopher_filter,corpus_boilerplate,corpus_chunks,
 corpus_decontaminate,corpus_pack_sequences,corpus_span_dedup,
-corpus_shards,corpus_stream_ingest,pipeline_corpus4,pipeline_redact,
+corpus_shards,corpus_stream_ingest,
+corpus_stratified_sample,corpus_weighted_sample,
+corpus_weighted_stratified,corpus_mixture,corpus_split_leakfree,
+corpus_repetition,corpus_diff,corpus_domains,
+pipeline_corpus,pipeline_corpus2,pipeline_corpus3,pipeline_corpus4,
+pipeline_redact,
 events_hourly,events_sessions,events_funnel,events_retention,
 events_anomaly,events_stream_pipeline,events_stream_sessions,
 events_stream_hourly,
+events_stream_aggstate,events_stream_anomaly,
+events_stream_anomaly_evict,events_stream_cdc,events_stream_compact,
+events_stream_dedup,events_stream_dedup_wm,events_stream_enrich,
+events_stream_join,events_stream_session_log,
+events_stream_session_log_evict,events_stream_session_window,
+events_stream_sessions_evict,events_stream_sink,
+dedup_incremental_near_stream,sink_partitioned,
+dq_report,sample_stratified,group_topk_rows,
+grouping_cube,grouping_rollup,pivot_priority,
+setop_intersect,setop_anti,window_lead,
 join_topk,join_bucketed,join_asof,join_asof_native,join_range,
 join_skew_salted,join_skew_hotkeys,join_dpp,
 graph_pagerank,

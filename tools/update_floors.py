@@ -59,3 +59,14 @@ json.dump(wf, open(FLOORS, "w"), indent=1)
 print(f"{len(changed)} floors updated/added:")
 for n, old, m in changed:
     print(f"  {n}: {old} -> {m}")
+# Suggested commit lines carry the value RE-READ from the committed
+# ledger file — never an intermediate measured number. (r15 shipped a
+# commit message saying dedup_ngram 0.473 while the ledger said 0.701:
+# the prose quoted one sweep's cell, the ledger held the min-merge.
+# Future rounds grep commit prose, so the two must never drift.)
+if changed:
+    written = json.load(open(FLOORS))["warm_floors"]
+    print("suggested commit lines (ledger-exact — paste, don't retype):")
+    for n, old, m in changed:
+        prev = "new" if old is None else f"{old}"
+        print(f"  {n} floor {prev} -> {written[n]}")
