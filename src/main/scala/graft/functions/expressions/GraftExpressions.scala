@@ -81,6 +81,22 @@ object GraftExpressions {
     ColumnBridge.column(ArgmaxDot(
       ColumnBridge.expression(vec.cast("array<double>")), table))
 
+  /** Maximum dot product of the L2-NORMALIZED input vector against
+    * the (pre-normalized) table rows, fused into ONE codegen pass —
+    * the semantic-decontamination inner loop. The HOF formulation
+    * costs four interpreted passes per row (aggregate x*x norm,
+    * transform divide, zip_with multiply, aggregate sum — ~66 s for
+    * 200k x 64-dim x 20 rows at the 100x replica); the fused loop is
+    * bit-identical to it: the norm accumulates left-to-right, each
+    * element divides by the same sqrt, each dot accumulates
+    * left-to-right, and a NaN dot wins immediately (the HOF recovery
+    * returns the NaN of ArgmaxDot's first-NaN row). Zero-norm (or
+    * NaN-norm) vectors dot unnormalized, like `when(norm > 0, ...)
+    * .otherwise(vec)`. */
+  def max_dot_norm(vec: Column, table: Array[Array[Double]]): Column =
+    ColumnBridge.column(MaxDotNorm(
+      ColumnBridge.expression(vec.cast("array<double>")), table))
+
   /** Product-quantization codes: per subspace j, the index of the
     * codebook row minimizing ||sub_j(vec) - codeword||^2, computed as
     * argmin of (|c|^2 - 2<s,c>) in one fused pass over all m x nCodes
@@ -552,6 +568,113 @@ case class ArgmaxDot(child: Expression, table: Array[Array[Double]])
 
   override protected def withNewChildInternal(
       newChild: Expression): ArgmaxDot = copy(child = newChild)
+}
+
+/** Max dot of the L2-normalized input against pre-normalized table
+  * rows in one fused pass (see GraftExpressions.max_dot_norm for the
+  * parity contract with the HOF formulation). The per-row division
+  * x_k/norm is recomputed inside each dot instead of materializing a
+  * normalized temp array — identical doubles (division is
+  * deterministic), zero per-row allocation. */
+case class MaxDotNorm(child: Expression, table: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"max_dot_norm expects array<double>, got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_max_dot_norm"
+
+  private val dim = if (table.nonEmpty) table(0).length else 0
+
+  override def nullSafeEval(xs: Any): Any = {
+    val x = xs.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != dim || table.isEmpty) return null
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      i += 1
+    }
+    var sq = 0.0
+    i = 0
+    while (i < n) { val v = x.getDouble(i); sq += v * v; i += 1 }
+    val nrm = math.sqrt(sq)
+    val doNorm = nrm > 0 // NaN > 0 is false: NaN norms pass through
+    var bestVal = Double.NegativeInfinity
+    var j = 0
+    while (j < table.length) {
+      val row = table(j)
+      var acc = 0.0
+      var k = 0
+      while (k < n) {
+        val v = x.getDouble(k)
+        acc += (if (doNorm) v / nrm else v) * row(k)
+        k += 1
+      }
+      if (java.lang.Double.isNaN(acc))
+        return java.lang.Double.valueOf(acc) // NaN row wins, like ArgmaxDot
+      if (acc > bestVal) bestVal = acc
+      j += 1
+    }
+    java.lang.Double.valueOf(bestVal)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("maxdotTable", table, "double[][]")
+    nullSafeCodeGen(ctx, ev, xs => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val row = ctx.freshName("row")
+      val acc = ctx.freshName("acc")
+      val sq = ctx.freshName("sq")
+      val nrm = ctx.freshName("nrm")
+      val doNorm = ctx.freshName("doNorm")
+      val bestVal = ctx.freshName("bestVal")
+      val done = ctx.freshName("done")
+      val bad = ctx.freshName("bad")
+      val v = ctx.freshName("v")
+      s"""
+        final int $n = $xs.numElements();
+        boolean $bad = ($tableRef.length == 0) ||
+          ($n != ($tableRef.length == 0 ? 0 : $tableRef[0].length));
+        for (int $i = 0; $i < $n && !$bad; $i++)
+          if ($xs.isNullAt($i)) $bad = true;
+        if ($bad) { ${ev.isNull} = true; }
+        else {
+          double $sq = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            final double $v = $xs.getDouble($i);
+            $sq += $v * $v;
+          }
+          final double $nrm = Math.sqrt($sq);
+          final boolean $doNorm = $nrm > 0;
+          double $bestVal = Double.NEGATIVE_INFINITY;
+          boolean $done = false;
+          for (int $j = 0; $j < $tableRef.length && !$done; $j++) {
+            final double[] $row = $tableRef[$j];
+            double $acc = 0.0;
+            for (int $k = 0; $k < $n; $k++) {
+              final double $v = $xs.getDouble($k);
+              $acc += ($doNorm ? $v / $nrm : $v) * $row[$k];
+            }
+            if (Double.isNaN($acc)) { $bestVal = $acc; $done = true; }
+            else if ($acc > $bestVal) { $bestVal = $acc; }
+          }
+          ${ev.value} = $bestVal;
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MaxDotNorm = copy(child = newChild)
 }
 
 /** Per-subspace argmin codes against a fixed m x nCodes x subDim

@@ -284,26 +284,25 @@ object Similarity {
     // maxConstBench+1 rows — never the whole benchmark
     val probe = benchN.limit(maxConstBench + 1).collect()
     require(probe.nonEmpty, "semanticDecontaminate: empty benchmark")
-    val feats = normalized(emb, idCol, vecCol)
     if (probe.length <= maxConstBench) {
-      // fast path: the benchmark folds into ONE codegen'd ArgmaxDot
-      // pass as a constant table — no join, no shuffle, no exchange
+      // fast path: normalization, the |bench| dots, and the max fuse
+      // into ONE codegen'd MaxDotNorm pass over the RAW vectors — no
+      // join, no shuffle, no exchange, and none of the four
+      // interpreted HOF passes the old formulation paid per row
+      // (bit-identical by MaxDotNorm's parity contract; pinned by
+      // SimilaritySpec's max-dot parity test)
       val benchIds: Seq[Long] = probe.map(_.getLong(0)).toSeq
       val matrix: Array[Array[Double]] =
         probe.map(_.getSeq[Double](1).toArray)
-      val mlit = typedLit(matrix.map(_.toSeq).toSeq)
-      val best = graft.functions.expressions.GraftExpressions
-        .argmax_dot(col("nvec"), matrix)
-      feats
+      emb.select(col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<double>").as("vec"))
         .filter(!col("id").isInCollection(benchIds))
-        .withColumn("best", best)
-        .withColumn("max_cos", F.aggregate(
-          zip_with(col("nvec"), element_at(mlit, col("best") + 1),
-            (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x))
+        .withColumn("max_cos", graft.functions.expressions
+          .GraftExpressions.max_dot_norm(col("vec"), matrix))
         .filter(col("max_cos") >= tau)
         .select(col("id"), round(col("max_cos"), 4).as("max_cos"))
     } else {
+      val feats = normalized(emb, idCol, vecCol)
       // fallback for an oversized benchmark: ship it ONCE per executor
       // as a Spark broadcast (not a per-task plan constant, not a row-
       // exploding cross join) and take the per-row max in a single

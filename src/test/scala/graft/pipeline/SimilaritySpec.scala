@@ -463,6 +463,50 @@ class SimilaritySpec extends SparkSpec {
     assert(nr.isNullAt(0) && nr.isNullAt(1))
   }
 
+  test("native max-dot-norm: bit-exact parity with the HOF " +
+      "normalize+argmax+recover formulation") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(47)
+    val bench = Array.fill(12) {
+      val v = Array.fill(8)(rnd.nextDouble() - 0.5)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val rows = (0 until 120).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextDouble() - 0.5))) ++ Seq(
+      (200L, Seq.fill(8)(0.0)),          // zero norm: dots unnormalized
+      (201L, bench(5).toSeq),            // exactly a benchmark row
+      (202L, Seq.fill(3)(1.0)),          // wrong length -> null
+      (203L, Seq.fill(8)(Double.NaN)))   // NaN norm: raw NaN dots win
+    // the OLD fast-path formulation, verbatim: HOF norm + HOF divide,
+    // native argmax for the row choice, HOF zip_with+aggregate recover
+    val mlit = typedLit(bench.map(_.toSeq).toSeq)
+    val norm = sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
+    val nvec = when(norm > 0,
+      transform(col("v"), x => x / norm)).otherwise(col("v"))
+    val best = graft.functions.expressions.GraftExpressions
+      .argmax_dot(nvec, bench)
+    val hof = aggregate(
+      zip_with(nvec, element_at(mlit, best + 1), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val df = rows.toDF("id", "v")
+      .select(col("id"), col("v").cast("array<double>").as("v"))
+      .select(col("id"),
+        graft.functions.expressions.GraftExpressions
+          .max_dot_norm(col("v"), bench).as("nat"),
+        hof.as("hof"))
+    df.collect().foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2),
+        s"null mismatch id ${r.getLong(0)}: $r")
+      if (!r.isNullAt(1)) {
+        val (n1, h1) = (r.getDouble(1), r.getDouble(2))
+        assert(java.lang.Double.doubleToLongBits(n1) ==
+          java.lang.Double.doubleToLongBits(h1),
+          s"id ${r.getLong(0)}: native $n1 != hof $h1")
+      }
+    }
+  }
+
   test("native pq codes: exact parity with the HOF formulation") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(41)
