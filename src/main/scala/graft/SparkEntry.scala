@@ -3158,13 +3158,15 @@ object SparkEntry {
 
     "workflow_flow" -> ((s, dir) => {
       // END-TO-END flow control (`oph_workflow_engine.c` for/if layer):
-      // a counter oph_for (i=1:3) over an oph_if-gated branch pair —
-      // odd iterations scale the i-th lineitem slice by @i, even ones
-      // by the oph_set-bound @evenscale. The final hash depends on the
-      // loop iterating exactly 1..3, the condition '@i % 2' routing
-      // each iteration to the RIGHT branch (exclusivity asserted: the
-      // untaken branch must leave no cube), and @var substitution
-      // reaching subset_filter and the apply query.
+      // a counter oph_for (i=1:3) over a THREE-WAY oph_if / oph_elseif /
+      // oph_else chain (r17: the elseif branch folded in so §2.A's last
+      // tests-only operator is oracle-checked) — iteration 1 scales the
+      // i-th lineitem slice by @i, iteration 2 by the oph_set-bound
+      // @evenscale, iteration 3 by the else branch's constant 50. The
+      // final hash depends on the loop iterating exactly 1..3, the
+      // '@i == k' conditions routing each iteration to the RIGHT branch
+      // (exclusivity asserted: untaken branches must leave no cube),
+      // and @var substitution reaching subset_filter and the apply.
       val eng = new graft.workflow.Engine(s, new graft.core.Catalog("sess"))
       val res = eng.run(graft.workflow.Workflow.parse(s"""{
         "name": "wf", "tasks": [
@@ -3177,20 +3179,28 @@ object SparkEntry {
           {"name": "loop", "operator": "oph_for",
            "arguments": ["key=i", "counter=1:3"]},
           {"name": "gate", "operator": "oph_if",
-           "arguments": ["condition=@i % 2"]},
-          {"name": "pick_odd", "operator": "oph_subset",
+           "arguments": ["condition=@i == 1"]},
+          {"name": "pick_one", "operator": "oph_subset",
            "arguments": ["subset_dims=l_linenumber", "subset_filter=@i:@i"],
            "dependencies": [{"task": "imp", "type": "single"}]},
-          {"name": "scale_odd", "operator": "oph_apply",
+          {"name": "scale_one", "operator": "oph_apply",
            "arguments": ["query=oph_mul_scalar(measure, @i)"],
-           "dependencies": [{"task": "pick_odd", "type": "single"}]},
-          {"name": "other", "operator": "oph_else"},
-          {"name": "pick_even", "operator": "oph_subset",
+           "dependencies": [{"task": "pick_one", "type": "single"}]},
+          {"name": "gate2", "operator": "oph_elseif",
+           "arguments": ["condition=@i == 2"]},
+          {"name": "pick_two", "operator": "oph_subset",
            "arguments": ["subset_dims=l_linenumber", "subset_filter=@i:@i"],
            "dependencies": [{"task": "imp", "type": "single"}]},
-          {"name": "scale_even", "operator": "oph_apply",
+          {"name": "scale_two", "operator": "oph_apply",
            "arguments": ["query=oph_mul_scalar(measure, @evenscale)"],
-           "dependencies": [{"task": "pick_even", "type": "single"}]},
+           "dependencies": [{"task": "pick_two", "type": "single"}]},
+          {"name": "other", "operator": "oph_else"},
+          {"name": "pick_rest", "operator": "oph_subset",
+           "arguments": ["subset_dims=l_linenumber", "subset_filter=@i:@i"],
+           "dependencies": [{"task": "imp", "type": "single"}]},
+          {"name": "scale_rest", "operator": "oph_apply",
+           "arguments": ["query=oph_mul_scalar(measure, 50)"],
+           "dependencies": [{"task": "pick_rest", "type": "single"}]},
           {"name": "gate_end", "operator": "oph_endif"},
           {"name": "loop_end", "operator": "oph_endfor"}
         ]}"""))
@@ -3198,7 +3208,7 @@ object SparkEntry {
       // reference) — exactly ONE branch per iteration may have produced
       // a cube, and WHICH branch it was feeds the hash via the scale
       val picked = (1 to 3).map { i =>
-        val pids = Seq(s"scale_odd_$i", s"scale_even_$i")
+        val pids = Seq(s"scale_one_$i", s"scale_two_$i", s"scale_rest_$i")
           .flatMap(n => res.get(n).flatMap(_.cubePid))
         require(pids.size == 1,
           s"iteration $i: expected exactly one taken branch, got $pids")
@@ -3254,6 +3264,264 @@ object SparkEntry {
         .groupBy("l_orderkey")
         .agg(round(sum("__v"), 4).as("val"))
         .select(col("l_orderkey"), col("val"))
+    }),
+
+    "workflow_catalog" -> ((s, dir) => {
+      // The §2.C catalog / DDL / inspection family driven END-TO-END
+      // into one literal-oracled grid (VERDICT r16 #2): folder
+      // mkdir/mv/ls (the fs tree semantics of
+      // `src/oph_ophidiadb_fs_library.h:28-47,147-154`),
+      // createcontainer, import INTO that container, metadata CRUD,
+      // list/search/find with metadata_key / metadata_value / measure
+      // filters (the filter grammar of `src/oph_filters.c:345-363,
+      // 557-725`), cubeio provenance, movecontainer, publish/unpublish,
+      // oph_delete, deletecontainer -> trash -> restorecontainer.
+      // Container/cube ids mint sequentially from a fresh engine, so
+      // every rendered message — PIDs included — is deterministic and
+      // the whole grid hashes against a VALUES oracle.
+      val eng = new graft.workflow.Engine(s, new graft.core.Catalog("sess"))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def step(name: String, op: String, kv: (String, String)*): String = {
+        val r = eng.runDataOperator(op, kv.toMap)
+        // the import stamps `source=<abs path>` metadata — drop that
+        // one pair so the grid is test-directory-independent
+        val msg0 = if (r.message.nonEmpty) r.message
+          else r.cubePid.getOrElse("")
+        val msg = msg0.split(';').filterNot(_.startsWith("source="))
+          .mkString(";")
+        out += ((name, msg))
+        r.cubePid.getOrElse(msg)
+      }
+      step("mk_proj", "oph_folder", "command" -> "mkdir",
+        "path" -> "/proj/run1")
+      step("mk_arch", "oph_folder", "command" -> "mkdir", "path" -> "/arch")
+      step("cc", "oph_createcontainer", "container" -> "li",
+        "cwd" -> "/proj/run1")
+      val imp = step("imp", "oph_importnc",
+        "src_path" -> s"$dir/lineitem.parquet", "measure" -> "l_quantity",
+        "exp_dim" -> "l_orderkey", "imp_dim" -> "l_linenumber",
+        "container" -> "li", "cwd" -> "/proj/run1")
+      val aux = step("aux", "oph_randcube", "nrows" -> "4",
+        "array_length" -> "4", "container" -> "rc", "cwd" -> "/arch")
+      step("meta_proj", "oph_metadata", "cube" -> imp, "mode" -> "insert",
+        "metadata_key" -> "project", "metadata_value" -> "CMIP6")
+      step("meta_inst", "oph_metadata", "cube" -> imp, "mode" -> "insert",
+        "metadata_key" -> "institute", "metadata_value" -> "graft")
+      val sub = step("sub", "oph_subset", "cube" -> imp,
+        "subset_dims" -> "l_linenumber", "subset_filter" -> "1:2")
+      step("cubeio", "oph_cubeio", "cube" -> sub)
+      step("meta_upd", "oph_metadata", "cube" -> imp, "mode" -> "update",
+        "metadata_key" -> "project", "metadata_value" -> "CMIP6mip")
+      step("meta_read", "oph_metadata", "cube" -> imp)
+      step("meta_del", "oph_metadata", "cube" -> imp, "mode" -> "delete",
+        "metadata_key" -> "institute")
+      step("meta_read2", "oph_metadata", "cube" -> imp)
+      step("srch_key", "oph_search", "path" -> "/",
+        "metadata_key_filter" -> "project")
+      step("srch_val", "oph_search", "path" -> "/",
+        "metadata_value_filter" -> "cmip6MIP")
+      step("srch_meas", "oph_find", "path" -> "/",
+        "measure_filter" -> "measure")
+      step("mv_folder", "oph_folder", "command" -> "mv",
+        "path" -> "/proj", "dest" -> "/projects")
+      step("ls_folders", "oph_fs", "command" -> "ls", "path" -> "/")
+      step("ls_cubes", "oph_list", "path" -> "/", "recursive" -> "yes")
+      step("mv_cont", "oph_movecontainer", "container" -> "/arch/rc",
+        "container_output" -> "/projects/run1")
+      step("publish", "oph_publish", "cube" -> aux)
+      step("srch_pub", "oph_search", "path" -> "/",
+        "metadata_key_filter" -> "published")
+      step("unpublish", "oph_unpublish", "cube" -> aux)
+      step("del_cube", "oph_delete", "cube" -> sub)
+      step("del_cont", "oph_deletecontainer", "container" -> "rc",
+        "cwd" -> "/projects/run1", "force" -> "yes")
+      step("ls_after_del", "oph_list", "path" -> "/", "recursive" -> "yes")
+      step("restore", "oph_restorecontainer", "container" -> "rc")
+      step("ls_after_restore", "oph_list", "path" -> "/",
+        "recursive" -> "yes")
+      import s.implicits._
+      out.toSeq.toDF("step", "msg")
+    }),
+
+    "workflow_admin" -> ((s, dir) => {
+      // The management / info surface (§2.B + the §2.C inspection tail)
+      // driven into one literal-oracled grid (VERDICT r16 #2): man /
+      // operators_list / primitives_list / hierarchy / script /
+      // get_config / cluster deploy-info-undeploy / instances /
+      // inspectfrag / showgrid / tasks / loggingbk / manage_session
+      // (new, env, setenv, listusers) / cancel / log_info / service.
+      // Deterministic by construction: session codes mint sequentially,
+      // the log ring carries no timestamps, and environment-dependent
+      // surfaces (instances, get_config's spark-conf dump, cluster
+      // info's master string) are projected down to their deterministic
+      // parts before hashing.
+      val eng = new graft.workflow.Engine(s, new graft.core.Catalog("sess"))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def record(name: String, op: String, render: String => String,
+          kv: (String, String)*): String = {
+        val r = eng.runDataOperator(op, kv.toMap)
+        val msg = r.cubePid.getOrElse(render(r.message))
+        out += ((name, msg))
+        msg
+      }
+      def step(name: String, op: String, kv: (String, String)*): String =
+        record(name, op, identity, kv: _*)
+      step("man", "oph_man", "function" -> "oph_list")
+      step("man_missing", "oph_man", "function" -> "oph_nope")
+      step("operators", "oph_operators_list")
+      step("primitives", "oph_primitives_list")
+      step("hierarchy", "oph_hierarchy", "hierarchy" -> "oph_time")
+      step("script", "oph_script", "script" -> "echo graft_admin_ok")
+      // only the admission triple is deterministic; the spark-conf tail
+      // varies with the host session
+      record("config", "oph_get_config",
+        m => m.split(';').filter(x => x.startsWith("SERVER_FARM_SIZE") ||
+          x.startsWith("QUEUE_SIZE") || x.startsWith("TASK_LIMIT"))
+          .mkString(";"))
+      step("cluster_deploy", "oph_cluster", "action" -> "deploy",
+        "host_partition" -> "p1", "nhost" -> "4")
+      record("cluster_info", "oph_cluster",
+        m => m.split(';').filter(_.startsWith("partitions=")).mkString,
+        "action" -> "info")
+      step("cluster_undeploy", "oph_cluster", "action" -> "undeploy",
+        "host_partition" -> "p1")
+      record("instances", "oph_instances",
+        m => m.split(';').map(_.split('=')(0)).mkString(","))
+      // a 1-fragment seeded randcube: partition 0 holds the whole cube
+      // in id order, so inspectfrag's dump is parallelism-independent
+      val rc = step("rand", "oph_randcube", "nrows" -> "4",
+        "array_length" -> "4", "container" -> "c")
+      val one = step("one_frag", "oph_merge", "cube" -> rc,
+        "nmerge" -> "1")
+      record("inspectfrag", "oph_inspectfrag", _.replace("\n", " // "),
+        "cube" -> one, "frag_id" -> "0", "limit" -> "2")
+      val grid = eng.runDataOperator("oph_showgrid", Map("cube" -> one))
+      out += (("showgrid", grid.df.get.collect().mkString("|")))
+      step("tasks", "oph_tasks")
+      step("loggingbk", "oph_loggingbk")
+      // the minted code is itself a recorded (and therefore oracled)
+      // row — reuse it for the follow-up actions
+      val sessCode = step("sess_new", "oph_manage_session",
+        "action" -> "new", "label" -> "runA")
+      step("sess_env", "oph_manage_session", "action" -> "env",
+        "session" -> sessCode)
+      step("sess_setenv", "oph_manage_session", "action" -> "setenv",
+        "session" -> sessCode, "key" -> "label", "value" -> "runB")
+      step("sess_env2", "oph_manage_session", "action" -> "env",
+        "session" -> sessCode)
+      step("sess_users", "oph_manage_session", "action" -> "listusers",
+        "session" -> sessCode)
+      step("cancel", "oph_cancel", "id" -> "1", "type" -> "abort")
+      step("service", "oph_service")
+      record("log_tail", "oph_log_info", _.replace("\n", " // "),
+        "nlines" -> "3")
+      import s.implicits._
+      out.toSeq.toDF("step", "msg")
+    }),
+
+    "workflow_merge_split" -> ((s, dir) => {
+      // oph_split / oph_merge re-fragmentation (`oph_json_objkeys.h:
+      // 108-109`) oracle-checked two ways at once: the DATA is an
+      // identity under re-fragmentation (the merged cube must hash to
+      // the plain per-order sums), and the FRAGMENT COUNTS are pinned
+      // as literal rows — import at nfrag=8, split to 16, merge to 4,
+      // the reference's re-fragmentation semantics on Spark partitions.
+      val eng = new graft.workflow.Engine(s, new graft.core.Catalog("sess"))
+      val imp = eng.runDataOperator("oph_importnc", Map(
+        "src_path" -> s"$dir/lineitem.parquet", "measure" -> "l_quantity",
+        "exp_dim" -> "l_orderkey", "imp_dim" -> "l_linenumber",
+        "container" -> "li", "nfrag" -> "8")).cubePid.get
+      val split = eng.runDataOperator("oph_split",
+        Map("cube" -> imp, "nsplit" -> "16")).cubePid.get
+      val merged = eng.runDataOperator("oph_merge",
+        Map("cube" -> split, "nmerge" -> "4")).cubePid.get
+      def parts(pid: String): Long =
+        eng.cube(pid).get.df.rdd.getNumPartitions.toLong
+      import s.implicits._
+      val frags = Seq(
+        ("frags_import", parts(imp).toDouble),
+        ("frags_split", parts(split).toDouble),
+        ("frags_merge", parts(merged).toDouble)).toDF("k", "val")
+      val data = eng.cube(merged).get.df
+        .select(col("l_orderkey"), explode(col("l_quantity")).as("__v"))
+        .groupBy("l_orderkey")
+        .agg(round(sum("__v"), 4).as("val"))
+        .select(concat(lit("sum_"), col("l_orderkey").cast("string"))
+          .as("k"), col("val"))
+      frags.unionByName(data)
+    }),
+
+    "workflow_csv_ncs" -> ((s, dir) => {
+      // oph_exportcsv -> oph_importcsv and oph_exportnc -> oph_importncs
+      // driven through the ENGINE DISPATCH (r16: csv_roundtrip covered
+      // the I/O layer, not the operator path): export a bounded orders
+      // slice to headered CSV and re-import it; export two DISJOINT
+      // slices as real NetCDF-3 classic files and importncs BOTH as one
+      // cube (the multi-file union of
+      // `src/drivers/OPH_IMPORTNCS_operator.c`); both roundtrips
+      // aggregate to the same oracle-checked bucket sums.
+      val eng = new graft.workflow.Engine(s, new graft.core.Catalog("sess"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_csvncs").toString
+      def imp(name: String, lo: Int, hi: Int): String =
+        eng.runDataOperator("oph_importnc", Map(
+          "src_path" -> s"$dir/orders.parquet", "measure" -> "o_totalprice",
+          "exp_dim" -> "o_orderkey", "container" -> name,
+          "subset_dims" -> "o_orderkey", "subset_filter" -> s"$lo:$hi",
+          "subset_type" -> "coord")).cubePid.get
+      val full = imp("full", 1, 2000)
+      eng.runDataOperator("oph_exportcsv",
+        Map("cube" -> full, "output_path" -> s"$tmp/orders_csv"))
+      val csvBack = eng.runDataOperator("oph_importcsv", Map(
+        "src_path" -> s"$tmp/orders_csv", "measure" -> "o_totalprice",
+        "exp_dim" -> "o_orderkey", "container" -> "csvback")).cubePid.get
+      val lo = imp("lo", 1, 1000)
+      val hi = imp("hi", 1001, 2000)
+      eng.runDataOperator("oph_exportnc",
+        Map("cube" -> lo, "output_path" -> s"$tmp/orders_lo.nc"))
+      eng.runDataOperator("oph_exportnc",
+        Map("cube" -> hi, "output_path" -> s"$tmp/orders_hi.nc"))
+      val ncsBack = eng.runDataOperator("oph_importncs", Map(
+        "src_path" -> s"$tmp/orders_lo.nc|$tmp/orders_hi.nc",
+        "measure" -> "o_totalprice", "exp_dim" -> "o_orderkey",
+        "container" -> "ncsback")).cubePid.get
+      def agg(pid: String, src: String) =
+        eng.cube(pid).get.flatten
+          .select(floor(col("o_orderkey").cast("double") / 500)
+            .cast("long").as("bucket"),
+            col("o_totalprice").cast("double").as("v"))
+          .groupBy("bucket").agg(round(sum("v"), 2).as("sv"))
+          .select(lit(src).as("src"), col("bucket"), col("sv"))
+      agg(csvBack, "csv").unionByName(agg(ncsBack, "ncs"))
+    }),
+
+    "explorenc_stats" -> ((s, dir) => {
+      // oph_explorenc over a REAL exported NetCDF-3 file: import an
+      // orders slice, exportnc it (distributed classic writer), then
+      // explorenc's show_stats mask (`oph_json_objkeys.h:85-91`,
+      // reference mask order mean|variance|std|skew|kurtosis|median|
+      // min|max|range — mask 101000111 picks the deterministic five)
+      // computes the stats from the BINARY file in one distributed
+      // aggregation; the oracle recomputes them from the parquet
+      // source, so the nc encode/decode is inside the hash.
+      val eng = new graft.workflow.Engine(s, new graft.core.Catalog("sess"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_explnc").toString
+      val pid = eng.runDataOperator("oph_importnc", Map(
+        "src_path" -> s"$dir/orders.parquet", "measure" -> "o_totalprice",
+        "exp_dim" -> "o_orderkey", "container" -> "ord",
+        "subset_dims" -> "o_orderkey", "subset_filter" -> "1:5000",
+        "subset_type" -> "coord")).cubePid.get
+      eng.runDataOperator("oph_exportnc",
+        Map("cube" -> pid, "output_path" -> s"$tmp/orders.nc"))
+      val st = eng.runDataOperator("oph_explorenc", Map(
+        "src_path" -> s"$tmp/orders.nc", "measure" -> "o_totalprice",
+        "show_stats" -> "101000111")).df.get
+      st.select(round(col("mean"), 3).as("m_mean"),
+        round(col("std"), 2).as("m_std"),
+        round(col("min"), 2).as("m_min"),
+        round(col("max"), 2).as("m_max"),
+        round(col("range"), 2).as("m_range"))
     }),
 
     "workflow_resume" -> ((s, dir) => {
@@ -4712,6 +4980,8 @@ object SparkEntry {
                 true AS in_band
          FROM lineitem GROUP BY 1""",
 
+    // the if/elseif/else chain routes pos 1 -> x pos (the @i branch),
+    // pos 2 -> x 100 (@evenscale via elseif), pos 3 -> x 50 (else)
     "workflow_flow" ->
       """WITH p AS (
            SELECT l_orderkey, l_quantity,
@@ -4719,8 +4989,9 @@ object SparkEntry {
                     ORDER BY l_linenumber, l_quantity) AS pos
            FROM lineitem)
          SELECT l_orderkey,
-                round(sum(CASE WHEN pos % 2 = 1 THEN l_quantity * pos
-                               ELSE l_quantity * 100 END), 4) AS val
+                round(sum(CASE WHEN pos = 1 THEN l_quantity * pos
+                               WHEN pos = 2 THEN l_quantity * 100
+                               ELSE l_quantity * 50 END), 4) AS val
          FROM p WHERE pos <= 3 GROUP BY 1""",
 
     // the listing is fully determined by the workflow spec: markers
@@ -4767,6 +5038,106 @@ object SparkEntry {
            FROM lineitem)
          SELECT l_orderkey, round(sum((l_quantity * 7) * 5), 4) AS val
          FROM p WHERE pos <= 3 GROUP BY 1""",
+
+    // every row below is the deterministic rendering of a fresh
+    // engine's catalog walk — ids/PIDs mint sequentially, so the whole
+    // DDL/fs/search/metadata/provenance surface pins to literals
+    "workflow_catalog" ->
+      """SELECT * FROM (VALUES
+           ('mk_proj', '/sess/proj/run1'),
+           ('mk_arch', '/sess/arch'),
+           ('cc', 'container li'),
+           ('imp', 'http://localhost/1/1'),
+           ('aux', 'http://localhost/2/2'),
+           ('meta_proj', 'metadata set'),
+           ('meta_inst', 'metadata set'),
+           ('sub', 'http://localhost/3/3'),
+           ('cubeio', '1->3'),
+           ('meta_upd', 'metadata set'),
+           ('meta_read', 'project=CMIP6mip;institute=graft'),
+           ('meta_del', 'metadata dropped'),
+           ('meta_read2', 'project=CMIP6mip'),
+           ('srch_key', 'http://localhost/1/1'),
+           ('srch_val', 'http://localhost/1/1'),
+           ('srch_meas', 'http://localhost/2/2'),
+           ('mv_folder', '/sess/projects|/sess/projects/run1'),
+           ('ls_folders', '/sess|/sess/arch|/sess/projects|/sess/projects/run1'),
+           ('ls_cubes', 'http://localhost/1/1|http://localhost/2/2|http://localhost/3/3'),
+           ('mv_cont', 'moved to /sess/projects/run1/rc'),
+           ('publish', 'published at /tmp/graft_publish/sess/2'),
+           ('srch_pub', 'http://localhost/2/2'),
+           ('unpublish', 'unpublished'),
+           ('del_cube', 'deleted http://localhost/3/3'),
+           ('del_cont', 'container deleted'),
+           ('ls_after_del', 'http://localhost/1/1'),
+           ('restore', 'restored rc'),
+           ('ls_after_restore', 'http://localhost/1/1')
+         ) AS t(step, msg)""",
+
+    // the management / info surface rendered to its deterministic
+    // parts (see the query's sanitizers); the operator and primitive
+    // inventories are pinned VERBATIM, so adding an operator without
+    // updating this oracle is a loud diff, not a silent drift
+    "workflow_admin" ->
+      """SELECT * FROM (VALUES
+           ('man', 'oph_list: supported operator'),
+           ('man_missing', 'no manual entry for ''oph_nope'''),
+           ('operators', 'oph_aggregate|oph_aggregate2|oph_apply|oph_b2drop|oph_cancel|oph_cluster|oph_concatnc|oph_concatnc2|oph_createcontainer|oph_cubeelements|oph_cubeio|oph_cubeschema|oph_cubesize|oph_delete|oph_deletecontainer|oph_drilldown|oph_duplicate|oph_else|oph_elseif|oph_endfor|oph_endif|oph_explorecube|oph_explorenc|oph_exportcsv|oph_exportnc|oph_exportnc2|oph_find|oph_folder|oph_for|oph_fs|oph_get_config|oph_hierarchy|oph_if|oph_importcsv|oph_importnc|oph_importnc2|oph_importncs|oph_input|oph_inspectfrag|oph_instances|oph_intercube|oph_intercube2|oph_list|oph_log_info|oph_loggingbk|oph_man|oph_manage_session|oph_merge|oph_mergecubes|oph_mergecubes2|oph_metadata|oph_movecontainer|oph_operators_list|oph_permute|oph_primitives_list|oph_publish|oph_randcube|oph_randcube2|oph_reduce|oph_reduce2|oph_restorecontainer|oph_resume|oph_rollup|oph_script|oph_search|oph_service|oph_set|oph_showgrid|oph_split|oph_sql|oph_subset|oph_subset2|oph_tasks|oph_unpublish|oph_wait'),
+           ('primitives', 'oph_abs|oph_accumulate|oph_append|oph_arg_max|oph_arg_max_array|oph_arg_min|oph_arg_min_array|oph_avg|oph_boxplot|oph_cast|oph_concat|oph_convert_d|oph_count|oph_count_array|oph_cumsum|oph_cumulative|oph_deaccumulate|oph_div_array|oph_extend|oph_find|oph_get_subarray|oph_get_subarray2|oph_gsl_boxplot|oph_gsl_complex_get_abs|oph_gsl_complex_get_arg|oph_gsl_complex_get_imag|oph_gsl_complex_get_real|oph_gsl_dwt|oph_gsl_fft|oph_gsl_histogram|oph_gsl_ifft|oph_gsl_quantile|oph_gsl_sd|oph_gsl_sort|oph_gsl_stats|oph_head|oph_interlace|oph_log|oph_mask|oph_math|oph_max|oph_max_array|oph_min|oph_min_array|oph_moving_avg|oph_mul_array|oph_mul_scalar|oph_negate|oph_operator|oph_padding|oph_pow|oph_predicate|oph_quantile|oph_replace|oph_reverse|oph_rotate|oph_scalar2array|oph_shift|oph_sort|oph_sqrt|oph_std|oph_sub_array|oph_sum|oph_sum_array|oph_sum_scalar|oph_tail|oph_var|oph_vector'),
+           ('hierarchy', 'second|minute|hour|day|week|month|quarter|year'),
+           ('script', 'graft_admin_ok'),
+           ('config', 'SERVER_FARM_SIZE=128;QUEUE_SIZE=0;TASK_LIMIT=0'),
+           ('cluster_deploy', 'p1:4'),
+           ('cluster_info', 'partitions=p1:4'),
+           ('cluster_undeploy', 'p1'),
+           ('instances', 'executors,cores'),
+           ('rand', 'http://localhost/1/1'),
+           ('one_frag', 'http://localhost/1/2'),
+           ('inspectfrag', '[0,ArraySeq(825.0, 894.0, 595.0, 574.0),ArraySeq(1, 2, 3, 4)] // [1,ArraySeq(315.0, 345.0, 937.0, 11.0),ArraySeq(1, 2, 3, 4)]'),
+           ('showgrid', '[key,explicit,long]|[idx,implicit,int]|[measure,measure,double]'),
+           ('tasks', '1:oph_randcube|2:oph_merge'),
+           ('loggingbk', '1:oph_randcube|2:oph_merge'),
+           ('sess_new', 'sess0002'),
+           ('sess_env', 'active=true;autoremove=false;label=runA;owner=graft;session=sess0002;users=0'),
+           ('sess_setenv', 'ok'),
+           ('sess_env2', 'active=true;autoremove=false;label=runB;owner=graft;session=sess0002;users=0'),
+           ('sess_users', 'graft:rwxao'),
+           ('cancel', 'cancel (a) sent to 1'),
+           ('service', 'status=up'),
+           ('log_tail', 'session sess0002 created by graft // session sess0002 setenv label=runB by graft // cancel (a) requested for workflow 1')
+         ) AS t(step, msg)""",
+
+    // data identity under re-fragmentation + pinned partition counts
+    "workflow_merge_split" ->
+      """SELECT 'frags_import' AS k, 8.0 AS val
+         UNION ALL SELECT 'frags_split' AS k, 16.0 AS val
+         UNION ALL SELECT 'frags_merge' AS k, 4.0 AS val
+         UNION ALL
+         SELECT concat('sum_', CAST(l_orderkey AS VARCHAR)) AS k,
+                round(sum(l_quantity), 4) AS val
+         FROM lineitem GROUP BY l_orderkey""",
+
+    // both roundtrips (csv and two-file ncs union) must reproduce the
+    // parquet source's bucket sums exactly
+    "workflow_csv_ncs" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders
+                    WHERE o_orderkey BETWEEN 1 AND 2000),
+              a AS (SELECT CAST(floor(CAST(o_orderkey AS DOUBLE) / 500)
+                             AS BIGINT) AS bucket,
+                           round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS sv
+                    FROM o GROUP BY 1)
+         SELECT 'csv' AS src, bucket, sv FROM a
+         UNION ALL
+         SELECT 'ncs' AS src, bucket, sv FROM a""",
+
+    "explorenc_stats" ->
+      """SELECT round(avg(CAST(o_totalprice AS DOUBLE)), 3) AS m_mean,
+                round(stddev_samp(CAST(o_totalprice AS DOUBLE)), 2) AS m_std,
+                round(min(CAST(o_totalprice AS DOUBLE)), 2) AS m_min,
+                round(max(CAST(o_totalprice AS DOUBLE)), 2) AS m_max,
+                round(max(CAST(o_totalprice AS DOUBLE)) -
+                      min(CAST(o_totalprice AS DOUBLE)), 2) AS m_range
+         FROM orders WHERE o_orderkey BETWEEN 1 AND 5000""",
 
     "aggregate_arrays" ->
       """WITH p AS (

@@ -310,33 +310,52 @@ object Similarity {
       // The O(|corpus| x |bench|) compute is inherent to the semantics;
       // what this path removes is the unbounded driver collect and the
       // |corpus| x |bench| intermediate a join would materialize.
-      val benchRows = benchN.collect()
-      // the broadcast still materializes ONCE on the driver before the
-      // torrent — a benchmark that trips this bound is a corpus being
-      // misused as a benchmark, and the right tool is embedNearDup /
-      // semDedup (corpus-vs-corpus banded joins), not decontamination
-      require(benchRows.length <= 262144,
-        s"semanticDecontaminate: benchmark has ${benchRows.length} " +
-          "vectors — a benchmark is a fixed-size eval suite (<= 262144 " +
+      // the broadcast still materializes ONCE on the driver — so gauge
+      // the size with a BOUNDED id-only count BEFORE collecting (ADVICE
+      // r16: the old order collected the whole "benchmark" first, so
+      // the exact misuse this guard rejects — a corpus posing as a
+      // benchmark — could OOM the driver before the require ever ran).
+      // The id-only select guarantees the vector column is pruned out
+      // of the gauge job. A benchmark that trips the bound is a corpus,
+      // and the right tool is embedNearDup / semDedup (corpus-vs-corpus
+      // banded joins), not decontamination.
+      val hardCap = 262144
+      val gauged = benchN.select(col("id")).limit(hardCap + 1).count()
+      require(gauged <= hardCap,
+        s"semanticDecontaminate: benchmark has >= $gauged " +
+          s"vectors — a benchmark is a fixed-size eval suite (<= $hardCap " +
           "vectors); for corpus-vs-corpus similarity use embedNearDup " +
           "or semDedup instead")
+      val benchRows = benchN.collect()
       val matrixB = feats.sparkSession.sparkContext.broadcast(
-        benchRows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)))
-      val maxCos = udf { (nvec: Seq[Double]) =>
-        val v = nvec.toArray
-        var best = Double.MinValue
+        benchRows.map(_.getSeq[Double](1).toArray))
+      // mirrors MaxDotNorm's null/NaN contract exactly (ADVICE r16):
+      // null vector, null element, empty table, or dimension mismatch
+      // -> null (the row filters out, same as the fast path); a NaN dot
+      // wins immediately instead of being skipped by `dot > best`.
+      val maxCos = udf { (nvec: Seq[java.lang.Double]) =>
         val rows = matrixB.value
-        var i = 0
-        while (i < rows.length) {
-          val b = rows(i)._2
-          var dot = 0.0
+        if (nvec == null || rows.isEmpty || nvec.length != rows(0).length
+            || nvec.exists(_ == null)) null
+        else {
+          val n = nvec.length
+          val v = new Array[Double](n)
+          var i = 0
+          while (i < n) { v(i) = nvec(i).doubleValue(); i += 1 }
+          var best = Double.NegativeInfinity
           var j = 0
-          val d = math.min(v.length, b.length)
-          while (j < d) { dot += v(j) * b(j); j += 1 }
-          if (dot > best) best = dot
-          i += 1
-        }
-        best
+          var done = false
+          while (j < rows.length && !done) {
+            val b = rows(j)
+            var dot = 0.0
+            var k = 0
+            while (k < n) { dot += v(k) * b(k); k += 1 }
+            if (java.lang.Double.isNaN(dot)) { best = dot; done = true }
+            else if (dot > best) best = dot
+            j += 1
+          }
+          java.lang.Double.valueOf(best)
+        }: java.lang.Double
       }
       val benchIdsDf = F.broadcast(benchN.select(col("id")))
       feats

@@ -620,11 +620,20 @@ final class HttpService(
           .take(jobs.size - MaxTrackedJobs)
           .foreach { case (id, _) => jobs.remove(id) }
     }
+    // reserve-to-run handoff (ADVICE r16): any synchronous throw before
+    // run() takes ownership of wfId (runAsync rejected by the executor,
+    // a failure inside track's registration) must unpin the reserved id
+    // — otherwise the pin, and that id's cancel flags, leak forever. If
+    // the run DID already start, run() re-pins at entry and its finally
+    // unpins, so the extra remove here is a benign idempotent race.
+    def handoff[A](f: => A): A =
+      try f
+      catch { case e: Throwable => eng.unpinWorkflowId(wfId); throw e }
     if (spec.execMode.equalsIgnoreCase("async")) {
       import scala.concurrent.ExecutionContext.Implicits.global
-      track(eng.runAsync(specR, Some(body), presetId = Some(wfId),
+      handoff(track(eng.runAsync(specR, Some(body), presetId = Some(wfId),
         submitter = Some(user))
-        .map(_.map { case (k, r) => k -> r.status }))
+        .map(_.map { case (k, r) => k -> r.status })))
       reply(ex, 200, s"""{"jobid":$jobid,"error":$Ok,"response":null}""")
     } else {
       // register BEFORE running: a long sync workflow must be visible
@@ -632,7 +641,7 @@ final class HttpService(
       // executes, not only after it returns
       val p = scala.concurrent
         .Promise[Map[String, JobStatus.Value]]()
-      track(p.future)
+      handoff(track(p.future))
       val results =
         try eng.runRequest(specR, Some(body), presetId = Some(wfId),
           submitter = Some(user))

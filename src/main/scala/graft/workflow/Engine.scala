@@ -443,6 +443,15 @@ final class Engine(
     workflowSeq
   }
 
+  /** Undo `reserveWorkflowId` when the reserve-to-run handoff fails
+    * BEFORE run() takes ownership of the id (ADVICE r16): a synchronous
+    * throw between reservation and execution (executor rejection, a
+    * failure registering the tracking entry) would otherwise leak a
+    * permanent `liveWfIds` pin, making that id's cancel flags forever
+    * un-evictable. Idempotent; run() re-pins defensively at entry, so a
+    * benign race with an already-started run self-heals. */
+  def unpinWorkflowId(id: Int): Unit = liveWfIds.remove(id)
+
   /** Spark job-group tag of one workflow run. The engine nonce keeps
     * groups unique across engines sharing a SparkContext (per-session
     * HTTP engines): cancellation is STICKY (future jobs of the group
@@ -1628,9 +1637,19 @@ final class Engine(
         else if (isNc) {
           // REAL NetCDF input (classic AND NetCDF-4) through the custom
           // dual-format DSv2 (schema from metadata only; per-partition
-          // slab/chunk reads)
-          val dfs = paths.map(p => spark.read.format("netcdf3")
-            .option("measure", measure).load(p))
+          // slab/chunk reads). A TABLE-encoded file (exportnc's layout:
+          // a synthetic record dim, every column a data variable)
+          // carries the requested dims as VARIABLES, not dims — select
+          // those alongside the measure so re-importing an exported
+          // cube restores its original axes (the importncs roundtrip).
+          val dfs = paths.map { p =>
+            val view = graft.sources.NcView.open(p)
+            val fileDims = view.dims.map(_.name).toSet
+            val dimVars = (exp ++ imp).filter(d =>
+              !fileDims.contains(d) && view.vars.exists(_.name == d))
+            val sel = (measure +: dimVars).distinct.mkString("|")
+            spark.read.format("netcdf3").option("measure", sel).load(p)
+          }
           dfs.reduce(_.unionByName(_))
         } else spark.read.parquet(paths: _*)
         // CF time axis: a dimension whose source variable carries a

@@ -20,9 +20,17 @@ class BenchGateSpec extends AnyFunSuite {
   test("variance band: sub-second noise on medium floors passes") {
     // the reduce2_outer shape: 0.232 s floor read at 0.5 s (2.16x)
     assert(Bench.withinGate(0.5, 0.232))
-    // 1.0 s floor read at 1.45 s (2.05x under the 0.5 s band; band
-    // cap min(0.5, 2.0) = 0.5 applies)
+    // 1.0 s floor read at 1.45 s is 1.45x — passes the pure ratio
+    // gate; for floors >= 0.5 s the 0.5 s band can never extend past
+    // 2x anyway (ADVICE r16: the old comment mislabelled this 2.05x)
     assert(Bench.withinGate(1.45, 1.0))
+    // a case that genuinely exercises the band: 0.3 s floor read at
+    // 0.75 s is 2.5x — over the ratio gate, but dt - fl = 0.45 sits
+    // within min(0.5, 0.6) = 0.5 (only floors in (0.25, 0.5) can
+    // reach past 2x through the band)
+    assert(Bench.withinGate(0.75, 0.3))
+    // and just past the band at the same floor fails
+    assert(!Bench.withinGate(0.81, 0.3))
   }
 
   test("band is capped at 2x the floor for tiny-floor cells") {

@@ -372,6 +372,58 @@ class SimilaritySpec extends SparkSpec {
       msg.getMessage)
   }
 
+  test("semanticDecontaminate gauges an oversized benchmark with a " +
+      "bounded id-only job BEFORE collecting it (ADVICE r16)") {
+    import spark.implicits._
+    val corpus = Seq((100L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    // every embedding evaluation bumps the accumulator: if the guard
+    // still collected the full 262200-row "benchmark" before firing,
+    // the count would be >= 262200; the fixed order (id-only bounded
+    // gauge, vectors pruned) evaluates only the maxConstBench+1 probe
+    val evals = spark.sparkContext.longAccumulator("bench_vec_evals")
+    val mkVec = udf { (id: Long) =>
+      evals.add(1L); Seq(1.0, id.toDouble)
+    }
+    val huge = spark.range(262200)
+      .select(col("id").as("vec_id"), mkVec(col("id")).as("embedding"))
+    val msg = intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(
+        corpus, huge, "vec_id", "embedding", tau = 0.95)
+    }
+    assert(msg.getMessage.contains("fixed-size eval suite"), msg.getMessage)
+    assert(evals.value < 100000L,
+      s"guard materialized the benchmark before firing: ${evals.value} " +
+        "vector evaluations (a bounded gauge evaluates ~1k)")
+  }
+
+  test("semanticDecontaminate fallback mirrors MaxDotNorm on malformed " +
+      "rows: null/dim-mismatch filter out, NaN propagates (ADVICE r16)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, Seq(1.0, 0.0, 0.0)),             // near bench -> flagged
+      (11L, Seq(0.0, 1.0, 0.0)),             // orthogonal -> clean
+      (12L, null.asInstanceOf[Seq[Double]]), // null -> filtered, no NPE
+      (13L, Seq(1.0, 0.0)),                  // dim mismatch -> filtered
+      (14L, Seq(Double.NaN, 0.0, 0.0))       // NaN -> propagates
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    def run(cap: Int): Map[Long, Double] = Similarity.semanticDecontaminate(
+      corpus, bench, "vec_id", "embedding", tau = 0.9, maxConstBench = cap)
+      .as[(Long, Double)].collect().toMap
+    val fast = run(16) // constant-table MaxDotNorm path
+    val fb = run(1)    // broadcast-UDF fallback (bench of 2 > cap of 1)
+    // Spark orders NaN above every double, so the NaN row passes the
+    // tau filter on the fast path — the fallback must agree instead of
+    // skipping NaN dots via `dot > best` (and must not NPE on null)
+    for (got <- Seq(fast, fb)) {
+      assert(got.keySet == Set(10L, 14L), got.toString)
+      assert(math.abs(got(10L) - 1.0) < 1e-9, got.toString)
+      assert(got(14L).isNaN, got.toString)
+    }
+  }
+
   test("IVF append drift gate: recall holds or the re-train trigger fires") {
     // VERDICT r11 #7: appendToIvfIndex trusts frozen centroids
     // forever; heavy appends that DRIFT from the fitted distribution

@@ -227,4 +227,21 @@ class EngineFixesSpec extends SparkSpec {
     assert(r("t1").status == JobStatus.Completed,
       "stale flag of a failed run survived eviction — pin leaked")
   }
+
+  test("unpinWorkflowId releases a reserved id whose handoff failed " +
+      "before run() took ownership (ADVICE r16)") {
+    val e = engine()
+    val wfId = e.reserveWorkflowId()
+    // the HTTP layer's reserve-to-run handoff threw synchronously —
+    // no run() will ever own this id, so nothing else can unpin it;
+    // the explicit unpin must make its cancel flags evictable again
+    e.unpinWorkflowId(wfId)
+    e.cancelWorkflow(wfId, 'a')
+    (1 to 1100).foreach(i => e.cancelWorkflow(wfId + 300000 + i, 'a'))
+    val r = e.run(Workflow.parse("""{"name":"ok","tasks":[
+      {"name":"t1","operator":"oph_set","arguments":["key=a","value=1"]}]}"""),
+      None, presetId = Some(wfId))
+    assert(r("t1").status == JobStatus.Completed,
+      "flag of an unpinned dead reservation survived eviction — pin leaked")
+  }
 }
