@@ -38,6 +38,58 @@ object Bench {
   def withinGate(dt: Double, fl: Double): Boolean =
     dt / fl <= 2.0 || dt - fl <= math.min(0.5, 2.0 * fl)
 
+  /** Stream-class cells commit micro-batch checkpoints (state stores +
+    * offset/commit logs) through fsync, so disk-sync ambience — which a
+    * warm parquet-scan gauge cannot feel (r16: four such cells sat
+    * formally `over` while sql_q6's own file reads came from page
+    * cache) — is their dominant contention class. */
+  def isStreamCell(name: String): Boolean = name.contains("stream")
+
+  /** Median latency of a 4 KiB write+force cycle on the checkpoint
+    * filesystem, in ms — the direct gauge for the fsync contention
+    * class (the r16 diagnosis used an equivalent dd oflag=dsync probe:
+    * ~0.5 ms quiet, ~2.6 ms degraded). Median of n cycles resists one
+    * stray scheduler stall. */
+  def fsyncProbeMs(n: Int = 7): Double = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir", "/tmp"))
+    val buf = java.nio.ByteBuffer.allocate(4096)
+    var b = 0
+    while (b < 4096) { buf.put((b % 251).toByte); b += 1 }
+    val times = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val f = java.nio.file.Files.createTempFile(dir, "graft_fsync", ".bin")
+      val ch = java.nio.channels.FileChannel.open(f,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        buf.rewind()
+        val t0 = System.nanoTime()
+        ch.write(buf)
+        ch.force(true)
+        times(i) = (System.nanoTime() - t0) / 1e6
+      } finally {
+        ch.close()
+        java.nio.file.Files.deleteIfExists(f)
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(times)
+    times(n / 2)
+  }
+
+  /** The io_ambient verdict's guard (object-level so BenchIoGateSpec
+    * pins the policy): a stream-class cell whose solo replay still
+    * misses the gate may be excused ONLY when the fsync gauge taken at
+    * replay time is itself degraded (>1.5x its committed floor) and
+    * the cell's own diagnostics are IO-wait shaped (zero gc pressure,
+    * zero spill). Anything else is a real `over`. */
+  def ioAmbientExcuse(isStream: Boolean, ioRatio: Option[Double],
+      gcMs: Long, spillMem: Long, spillDisk: Long): Boolean =
+    isStream && ioRatio.exists(_ > 1.5) && gcMs < 200 &&
+      spillMem == 0L && spillDisk == 0L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -122,7 +174,7 @@ object Bench {
     // WARM_FLOORS_100X.json this way.
     val floorsFile =
       sys.env.getOrElse("SPARK_GRAFT_FLOORS", "WARM_FLOORS.json")
-    val floors: Map[String, Double] = {
+    val floorsRaw: Map[String, Double] = {
       val p = java.nio.file.Paths.get(floorsFile)
       if (!java.nio.file.Files.exists(p)) Map.empty
       else try {
@@ -136,6 +188,11 @@ object Bench {
           .toMap
       } catch { case _: Throwable => Map.empty }
     }
+    // the fsync gauge's committed floor rides the same ledger under a
+    // reserved key (update_floors.py min-merges it from the artifact's
+    // io_fsync_ms); it is NOT a query floor
+    val ioFsyncFloor = floorsRaw.get("io_fsync_ms").filter(_ > 0)
+    val floors = floorsRaw - "io_fsync_ms"
     val diag = new BenchDiagListener
     spark.sparkContext.addSparkListener(diag)
     val diags = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -156,7 +213,14 @@ object Bench {
       SparkEntry.queries.get(n).flatMap(fn =>
         floors.get(n).filter(_ > 0).map(fl => (fn, fl))))
     val gauges = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    // raw fsync samples (ms) interleaved on the same cadence: the
+    // DIRECT gauge for the checkpoint-fsync contention class that the
+    // warm parquet-scan gauges cannot feel (VERDICT r16 #1). Stream
+    // cells draw their ambient allowance from max(query gauges, fsync
+    // gauge / committed io_fsync_ms floor).
+    val ioSamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     def gaugeSample(pos: Int): Unit = if (gaugeQs.nonEmpty) {
+      ioSamples += ((pos, Bench.fsyncProbeMs()))
       // a THROWN gauge is not a contention reading: timing the failure
       // would either fabricate contention (slow failure) or record a
       // near-zero ratio that silently disables ambient normalization
@@ -228,14 +292,21 @@ object Bench {
     val anchorRatio = ratioOf(anchorName)
     val ioAnchorRatio = ratioOf(ioAnchorName)
     // a cell's contention: worst gauge sample bracketing its slot
-    def contentionAt(pos: Int): Double = {
-      if (gauges.isEmpty) math.max(anchorRatio, ioAnchorRatio)
+    def bracketMax(buf: scala.collection.Seq[(Int, Double)],
+        pos: Int): Option[Double] =
+      if (buf.isEmpty) None
       else {
-        val before = gauges.takeWhile(_._1 <= pos).lastOption.map(_._2)
-        val after = gauges.find(_._1 > pos).map(_._2)
-        (before.toSeq ++ after.toSeq).max
+        val before = buf.takeWhile(_._1 <= pos).lastOption.map(_._2)
+        val after = buf.find(_._1 > pos).map(_._2)
+        Some((before.toSeq ++ after.toSeq).max)
       }
-    }
+    def contentionAt(pos: Int): Double =
+      bracketMax(gauges, pos)
+        .getOrElse(math.max(anchorRatio, ioAnchorRatio))
+    // fsync contention bracketing a slot, as a ratio over the committed
+    // io_fsync_ms floor (None until that floor is minted)
+    def ioContentionAt(pos: Int): Option[Double] =
+      ioFsyncFloor.flatMap(fl => bracketMax(ioSamples, pos).map(_ / fl))
     // per-cell verdict against the committed floor:
     //   ok        within the gate: 2x floor, OR within the sub-second
     //             variance band (dt - floor <= min(0.5 s, 2x floor)) —
@@ -271,7 +342,15 @@ object Bench {
         case Some(fl) if fl <= 0 => ("new", -1.0)
         case Some(fl) =>
           val ratio = dt / fl
-          val amb = contentionAt(posOf.getOrElse(name, 0))
+          val pos = posOf.getOrElse(name, 0)
+          // stream cells additionally draw on the fsync gauge — their
+          // contention class is checkpoint-commit sync latency, which
+          // the query gauges (warm page-cache scans) cannot feel
+          val amb =
+            if (Bench.isStreamCell(name))
+              math.max(contentionAt(pos),
+                ioContentionAt(pos).getOrElse(1.0))
+            else contentionAt(pos)
           val v =
             if (withinGate(dt, fl)) "ok"
             else if (amb > 1.5 && name != anchorName &&
@@ -292,6 +371,12 @@ object Bench {
     // best wins — and record the replay in the artifact so EVERY
     // non-ok verdict is adjudicated in-file instead of re-litigated.
     val replays = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // quietest fsync ratio observed across a stream cell's replay
+    // attempts: if even THAT is degraded (>1.5x the committed floor),
+    // a still-over replay is io-ambience, not a regression — recorded
+    // in the artifact so the excuse is self-adjudicating (VERDICT r16
+    // #1: the four fsync-bound cells could not self-clear)
+    val replayIo = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     cells.keys.filter(n => verdict(n)._1 match {
       case "over" | "ambient" | "idle_wall" => true
       case _ => false
@@ -300,6 +385,10 @@ object Bench {
       var best = Double.MaxValue
       var attempt = 0
       while (attempt < 2 && !withinGate(best, fl)) {
+        if (Bench.isStreamCell(n)) ioFsyncFloor.foreach { iofl =>
+          val r = Bench.fsyncProbeMs() / iofl
+          replayIo(n) = math.min(replayIo.getOrElse(n, Double.MaxValue), r)
+        }
         val t0 = System.nanoTime()
         try {
           selected(n)(spark, sfDir).write.format("noop")
@@ -314,12 +403,19 @@ object Bench {
       if (best < Double.MaxValue) replays(n) = best / fl
     }
     // final verdict: `replay_ok` when the solo re-probe lands within
-    // the gate (the in-sweep reading was ambient noise), `over` only
-    // when the regression reproduces solo
+    // the gate (the in-sweep reading was ambient noise); `io_ambient`
+    // when a stream cell's replay still misses the gate but every
+    // replay attempt ran under degraded fsync latency with IO-wait-
+    // shaped diagnostics (zero gc pressure, zero spill); `over` only
+    // when the regression reproduces solo on healthy IO
     def finalVerdict(name: String): String = replays.get(name) match {
       case Some(r) if withinGate(r * floors(name), floors(name)) =>
         "replay_ok"
-      case Some(_) => "over"
+      case Some(_) =>
+        val (_, gc, sm, sd, _) = cells(name)
+        if (Bench.ioAmbientExcuse(Bench.isStreamCell(name),
+            replayIo.get(name), gc, sm, sd)) "io_ambient"
+        else "over"
       case None => verdict(name)._1
     }
     cells.foreach { case (name, (_, gc, sm, sd, run)) =>
@@ -329,8 +425,10 @@ object Bench {
         s""","floor":${fmt(floors(name))},"ratio":${fmt(ratio)}"""
       val rp = replays.get(name)
         .map(r => s""","replay_ratio":${fmt(r)}""").getOrElse("")
+      val rio = replayIo.get(name)
+        .map(r => s""","replay_io_ratio":${fmt(r)}""").getOrElse("")
       diags(name) = s"""{"gc_ms":$gc,"spill_mem":$sm,"spill_disk":$sd,""" +
-        s""""run_ms":$run$fr$rp,"verdict":"$v"}"""
+        s""""run_ms":$run$fr$rp$rio,"verdict":"$v"}"""
     }
     val overCells = cells.keys.filter(n => finalVerdict(n) == "over").toSeq
     // whole-sweep ledger-ambient ratio: measured wall over the summed
@@ -381,9 +479,19 @@ object Bench {
     // the slowest queries plus a pointer to the committed full map.
     val dg = diags.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val gaugeJson = if (gauges.isEmpty) "" else
+    val gaugeJson = (if (gauges.isEmpty) "" else
       s""","gauges":${gauges.map { case (p, r) => s"[$p,${fmt(r)}]" }
-        .mkString("[", ",", "]")}"""
+        .mkString("[", ",", "]")}""") +
+      // the raw fsync samples (ms), this sweep's quietest reading (what
+      // update_floors.py min-merges into the ledger's io_fsync_ms key),
+      // and the committed floor they were judged against — so every
+      // io_ambient verdict adjudicates entirely in-file
+      (if (ioSamples.isEmpty) "" else
+        s""","io_gauges":${ioSamples.map { case (p, ms) =>
+          s"[$p,${fmt(ms)}]" }.mkString("[", ",", "]")}""" +
+          s""","io_fsync_ms":${fmt(ioSamples.map(_._2).min)}""") +
+      ioFsyncFloor.map(f => s""","io_fsync_floor":${fmt(f)}""")
+        .getOrElse("")
     val outFull =
       sys.env.getOrElse("SPARK_GRAFT_OUT_FULL", "BENCH_FULL.json")
     val outSummary =

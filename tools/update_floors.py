@@ -54,6 +54,19 @@ for n in sorted(names):
     if old is None or m < old or (REBASE and m != old):
         floors[n] = m
         changed.append((n, old, m))
+# the fsync gauge's floor rides the same ledger under a reserved key:
+# Bench emits the sweep's quietest 4KiB write+force reading as
+# io_fsync_ms; min-merge it exactly like a query floor (Bench reads it
+# back out separately — it is never treated as a cell)
+io_vals = [s["io_fsync_ms"] for s in sweeps
+           if isinstance(s.get("io_fsync_ms"), (int, float))
+           and s["io_fsync_ms"] > 0]
+if io_vals:
+    m = round(min(io_vals), 3)
+    old = floors.get("io_fsync_ms")
+    if old is None or m < old or (REBASE and m != old):
+        floors["io_fsync_ms"] = m
+        changed.append(("io_fsync_ms", old, m))
 wf["warm_floors"] = dict(sorted(floors.items()))
 json.dump(wf, open(FLOORS, "w"), indent=1)
 print(f"{len(changed)} floors updated/added:")
