@@ -231,6 +231,26 @@ object SparkEntry {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Stream-cell tuning beyond the partition count: every state-store
+    * partition commits a delta file + fsync per micro-batch, so a
+    * stream-stream join (4 stores) at 8 partitions pays 32 sync writes
+    * per batch on state alone (VERDICT r16 #6). `noDataBatch = false`
+    * additionally skips the trailing empty micro-batch — SAFE ONLY for
+    * queries whose output needs no watermark-driven finalization
+    * (inner interval joins emit in the processing batch; state
+    * eviction is moot because AvailableNow terminates anyway). Queries
+    * with event-time TIMEOUTS (sessionize, anomaly rings) or windowed
+    * append aggregations NEED the no-data batch to flush finals —
+    * never route those through noDataBatch = false. */
+  private def withStreamTuning[T](s: SparkSession, partitions: Int,
+      noDataBatch: Boolean)(body: => T): T = {
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNd = s.conf.get(ndKey)
+    s.conf.set(ndKey, noDataBatch.toString)
+    try withShufflePartitions(s, partitions)(body)
+    finally s.conf.set(ndKey, prevNd)
+  }
+
   private def stagedEventsStream(s: SparkSession, dir: String,
       copies: Int = 1, maxFilesPerTrigger: Int = 0): DataFrame = {
     import org.apache.spark.sql.types._
@@ -2075,13 +2095,18 @@ object SparkEntry {
       s.table("events_stream_dedup")
     }),
 
-    "events_stream_join" -> ((s, dir) => withShufflePartitions(s, 8) {
+    "events_stream_join" -> ((s, dir) => withStreamTuning(s, 4,
+        noDataBatch = false) {
       // STREAM-STREAM event-time interval join inside the correctness
       // gate: clicks join same-user views from the trailing 24 h. Both
       // sides are watermarked and the join carries the time bound, so
       // state stays bounded; inner-join emission is exactly-once per
       // match independent of batch boundaries, so the AvailableNow run
       // hash-matches the BATCH join oracle.
+      // 4 state partitions + no trailing empty batch (inner join: all
+      // matches emit in the processing batch; r16 #6): the join's 4
+      // state stores commit 16 sync'd delta files per batch instead of
+      // 32, and one whole commit round disappears.
       val ev = stagedEventsStream(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))

@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-JVM interleaved A/B for the stream-stream join's checkpoint
+  * tuning (VERDICT r16 #6): variants run round-robin so host-IO drift
+  * hits every variant equally, and the per-variant MIN is the honest
+  * steady-state comparison. Usage:
+  *   runMain graft.tools.StreamAB <sfDir> [rounds]
+  */
+object StreamAB {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val rounds = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var seq = 0
+
+    def joinOnce(parts: Int, noData: Boolean): Long = {
+      seq += 1
+      val qn = s"ab_join_$seq"
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        noData.toString)
+      val drops = java.nio.file.Files.createTempDirectory("graft_ab")
+      drops.toFile.deleteOnExit()
+      val target = java.nio.file.Paths.get(s"$dir/events.parquet")
+        .toAbsolutePath.normalize
+      java.nio.file.Files.createSymbolicLink(
+        drops.resolve("events_1.parquet"), target)
+      import org.apache.spark.sql.types._
+      val tsType = spark.read.parquet(target.toString).schema("ts").dataType
+      val raw = spark.readStream.schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", tsType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType)))).parquet(drops.toString)
+      val ev =
+        if (tsType == LongType)
+          raw.withColumn("ts", timestamp_seconds(col("ts") / lit(1e9)))
+        else raw.withColumn("ts", col("ts").cast("timestamp"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+      val joined = graft.streaming.EventStream.intervalJoin(
+        clicks, views, windowMillis = 86400000L)
+        .select(col("l.event_id").as("click_id"), col("r.view_id"),
+          col("l.user_id").as("user_id"))
+      val q = joined.writeStream.format("memory")
+        .queryName(qn).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val n = spark.table(qn).count()
+      spark.catalog.dropTempView(qn)
+      n
+    }
+
+    val variants = Seq((8, true), (4, true), (4, false), (2, false))
+    // warm one pass so codegen/JIT is off the books for everyone
+    joinOnce(8, true)
+    val times = scala.collection.mutable.Map.empty[(Int, Boolean),
+      List[Double]].withDefaultValue(Nil)
+    var counts = Set.empty[Long]
+    for (_ <- 1 to rounds; v <- variants) {
+      val t0 = System.nanoTime()
+      counts += joinOnce(v._1, v._2)
+      val dt = (System.nanoTime() - t0) / 1e9
+      times(v) = dt :: times(v)
+      println(s"[ab] parts=${v._1} noData=${v._2} -> ${f"$dt%.3f"} s")
+    }
+    require(counts.size == 1, s"variants disagree on row count: $counts")
+    println("[ab] === per-variant min / median over " + rounds + " rounds")
+    variants.foreach { v =>
+      val ts = times(v).sorted
+      println(f"[ab] parts=${v._1}%2d noData=${v._2}%5s  " +
+        f"min=${ts.head}%.3f  med=${ts(ts.size / 2)}%.3f")
+    }
+    spark.stop()
+  }
+}
