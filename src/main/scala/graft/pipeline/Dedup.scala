@@ -369,6 +369,15 @@ object Dedup {
    * @param edges    `src`/`dst` columns; direction is ignored
    * @return (vertex_id, cluster_id) with cluster_id = min reachable id
    */
+  /** Checkpoint storage for the CC loop's label frames: SERIALIZED
+    * blocks. The deserialized default kept three 60M-row object graphs
+    * live at the 100x replica and cost 1.3-2.6 ks of accumulated GC
+    * per sweep cell; serialized storage holds compact UnsafeRow bytes
+    * instead (the loop re-reads each frame only 2-3 times, so the
+    * decode cost is far below the GC it removes). */
+  private val CcStorage =
+    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxRounds: Int = 25): DataFrame = {
     // (measured: disabling AQE here LOSES ~0.8s/round — its runtime
@@ -430,7 +439,7 @@ object Dedup {
     var labels = vertices.select(col("id"), col("id").as("cand"))
       .unionByName(sym.select(col("dst").as("id"), col("src").as("cand")))
       .groupBy(col("id")).agg(min(col("cand")).as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, CcStorage)
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       println(s"[cc] init: ${(System.nanoTime() - tInit) / 1e9}s")
     var round = 0
@@ -471,7 +480,7 @@ object Dedup {
             .as("label"),
           (coalesce(col("nlbl"), col("label")) < col("label"))
             .as("moved"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, CcStorage)
       val t1 = System.nanoTime()
       converged = stepped.filter(col("moved")).limit(1).count() == 0L
       if (converged) labels = stepped.drop("moved")
@@ -484,7 +493,16 @@ object Dedup {
         def jump(df: DataFrame): DataFrame = df.as("a")
           .join(stepped.as("b"), col("a.label") === col("b.id"))
           .select(col("a.id"), col("b.label").as("label"))
-        labels = jump(jump(stepped.drop("moved"))).localCheckpoint(true)
+        // repartition the round's result BY ID before checkpointing:
+        // the jump joins key their output by LABEL, and a label-
+        // partitioned frame forces the NEXT round's neighborhood join
+        // and left-outer step to re-exchange 2x|V| rows (measured at
+        // the 100x replica: round 1's step read 69 s against 15 s for
+        // the id-partitioned round 0 — this one exchange, paid once
+        // here, makes every subsequent round step exchange-free)
+        labels = jump(jump(stepped.drop("moved")))
+          .repartition(shufflePartitions, col("id"))
+          .localCheckpoint(true, CcStorage)
       }
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc] round $round: step=${(t1 - t0) / 1e9}s " +

@@ -233,6 +233,11 @@ object Similarity {
    */
   /** (id, vec, nvec) projection: vec as double array, nvec L2-
     * normalized (zero vectors pass through unnormalized). */
+  /** Profiling window into [[normalized]] (IvfProfile only). */
+  private[pipeline] def normalizedForProfile(emb: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    normalized(emb, idCol, vecCol)
+
   private def normalized(emb: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
     val norm = sqrt(F.aggregate(col("vec"),
