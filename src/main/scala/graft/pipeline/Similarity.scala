@@ -234,11 +234,25 @@ object Similarity {
   /** (id, vec, nvec) projection: vec as double array, nvec L2-
     * normalized (zero vectors pass through unnormalized). */
   /** Profiling window into [[normalized]] (IvfProfile only). */
-  private[pipeline] def normalizedForProfile(emb: DataFrame,
+  private[graft] def normalizedForProfile(emb: DataFrame,
       idCol: String, vecCol: String): DataFrame =
     normalized(emb, idCol, vecCol)
 
   private def normalized(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    // ONE fused codegen pass (NormalizeVec): the interpreted
+    // aggregate+transform pair this replaces cost ~32 s per full
+    // corpus scan at the 100x replica — the dominant phase of every
+    // IVF/semdedup build (VERDICT r17 #4). NormalizeVecParitySpec
+    // pins bit-identical output against the HOF form below.
+    emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("nvec", graft.functions.expressions
+        .GraftExpressions.normalize_vec(col("vec")))
+
+  /** The interpreted-HOF form of [[normalized]], retained as the
+    * parity oracle (repo-wide native-expression pattern). */
+  private[graft] def normalizedHof(emb: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
     val norm = sqrt(F.aggregate(col("vec"),
       lit(0.0), (a, x) => a + x * x))
