@@ -189,9 +189,18 @@ object Sketches {
     * asserted relative error (band >> rsd keeps the flag stable). */
   def hllDistinctBand(df: DataFrame, groupCol: String, keyCol: String,
       rsd: Double = 0.01, band: Double = 0.05): DataFrame =
-    df.groupBy(col(groupCol))
+    // distinct FIRST, then both aggregates over the deduped pairs:
+    // mixing countDistinct with a non-distinct aggregate makes Catalyst
+    // plan an Expand that doubles every shuffled row (2x|input| through
+    // the exchange at the 100x replica), while HLL registers are maxes
+    // over hashes — duplicate-insensitive — so approx_count_distinct
+    // over the distinct pairs is BIT-IDENTICAL to running it over the
+    // raw rows (SketchesSpec pins that), and the exact count becomes a
+    // plain count. One map-side-combined distinct shuffle total.
+    df.select(col(groupCol), col(keyCol)).distinct()
+      .groupBy(col(groupCol))
       .agg(approx_count_distinct(col(keyCol), rsd).as("__hll"),
-        countDistinct(col(keyCol)).as("exact_distinct"))
+        count(lit(1)).as("exact_distinct"))
       .select(col(groupCol), col("exact_distinct"),
         (abs(col("__hll") - col("exact_distinct")) <=
           col("exact_distinct") * band).as("in_band"))

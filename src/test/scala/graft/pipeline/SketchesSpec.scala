@@ -123,4 +123,24 @@ class SketchesSpec extends SparkSpec {
       assert(inBand)
     }
   }
+
+  test("hllDistinctBand's pre-distinct estimate is bit-identical to " +
+      "the raw-row HLL (registers are duplicate-insensitive)") {
+    // the r17 rewrite dedupes (group, key) pairs BEFORE aggregating to
+    // avoid the Expand plan; the estimate column must not move at all
+    val df = (0 until 5000).map(i => (s"g${i % 3}", (i % 700).toLong))
+      .toDF("grp", "uid")
+    val direct = df.groupBy(col("grp"))
+      .agg(approx_count_distinct(col("uid"), 0.01).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val viaDistinct = df.select(col("grp"), col("uid")).distinct()
+      .groupBy(col("grp"))
+      .agg(approx_count_distinct(col("uid"), 0.01).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(direct == viaDistinct, s"$direct vs $viaDistinct")
+    // and the rewritten band query itself plans NO Expand
+    val plan = Sketches.hllDistinctBand(df, "grp", "uid")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+  }
 }
