@@ -54,19 +54,20 @@ for n in sorted(names):
     if old is None or m < old or (REBASE and m != old):
         floors[n] = m
         changed.append((n, old, m))
-# the fsync gauge's floor rides the same ledger under a reserved key:
-# Bench emits the sweep's quietest 4KiB write+force reading as
-# io_fsync_ms; min-merge it exactly like a query floor (Bench reads it
-# back out separately — it is never treated as a cell)
-io_vals = [s["io_fsync_ms"] for s in sweeps
-           if isinstance(s.get("io_fsync_ms"), (int, float))
-           and s["io_fsync_ms"] > 0]
-if io_vals:
-    m = round(min(io_vals), 3)
-    old = floors.get("io_fsync_ms")
-    if old is None or m < old or (REBASE and m != old):
-        floors["io_fsync_ms"] = m
-        changed.append(("io_fsync_ms", old, m))
+# the streaming-ambience gauges' floors ride the same ledger under
+# reserved keys: Bench emits the sweep's quietest 4KiB write+force
+# reading as io_fsync_ms and the quietest two-batch micro-stream
+# round-trip as stream_probe_s; min-merge them exactly like query
+# floors (Bench reads them back out separately — never as cells)
+for gk in ("io_fsync_ms", "stream_probe_s"):
+    vals = [s[gk] for s in sweeps
+            if isinstance(s.get(gk), (int, float)) and s[gk] > 0]
+    if vals:
+        m = round(min(vals), 3)
+        old = floors.get(gk)
+        if old is None or m < old or (REBASE and m != old):
+            floors[gk] = m
+            changed.append((gk, old, m))
 wf["warm_floors"] = dict(sorted(floors.items()))
 json.dump(wf, open(FLOORS, "w"), indent=1)
 print(f"{len(changed)} floors updated/added:")
