@@ -3440,6 +3440,31 @@ object SparkEntry {
       step("service", "oph_service")
       record("log_tail", "oph_log_info", _.replace("\n", " // "),
         "nlines" -> "3")
+      // oph_b2drop's deterministic local-drop mode (a plain path as
+      // `server` is the generic drop directory; the WebDAV branch is
+      // network-tested in ScalaTest): put -> get -> delete roundtrip,
+      // with the temp prefix sanitized and the roundtripped CONTENT
+      // itself a hashed row
+      locally {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_admdrop")
+        tmp.toFile.deleteOnExit()
+        val src = tmp.resolve("payload.txt")
+        java.nio.file.Files.writeString(src, "graft b2drop roundtrip")
+        val dropDir = tmp.resolve("drop")
+        java.nio.file.Files.createDirectories(dropDir)
+        def clean(m: String): String = m.replace(tmp.toString, "<t>")
+        record("b2drop_put", "oph_b2drop", clean, "action" -> "put",
+          "src_path" -> src.toString, "server" -> dropDir.toString)
+        val back = tmp.resolve("back.txt")
+        record("b2drop_get", "oph_b2drop", clean, "action" -> "get",
+          "src_path" -> back.toString, "dest_path" -> "payload.txt",
+          "server" -> dropDir.toString)
+        out += (("b2drop_content", java.nio.file.Files.readString(back)))
+        record("b2drop_del", "oph_b2drop", clean, "action" -> "delete",
+          "dest_path" -> "payload.txt", "server" -> dropDir.toString)
+        out += (("b2drop_gone", (!java.nio.file.Files
+          .exists(dropDir.resolve("payload.txt"))).toString))
+      }
       import s.implicits._
       out.toSeq.toDF("step", "msg")
     }),
@@ -5129,7 +5154,12 @@ object SparkEntry {
            ('sess_users', 'graft:rwxao'),
            ('cancel', 'cancel (a) sent to 1'),
            ('service', 'status=up'),
-           ('log_tail', 'session sess0002 created by graft // session sess0002 setenv label=runB by graft // cancel (a) requested for workflow 1')
+           ('log_tail', 'session sess0002 created by graft // session sess0002 setenv label=runB by graft // cancel (a) requested for workflow 1'),
+           ('b2drop_put', 'put <t>/drop/payload.txt'),
+           ('b2drop_get', 'get <t>/drop/payload.txt'),
+           ('b2drop_content', 'graft b2drop roundtrip'),
+           ('b2drop_del', 'delete <t>/drop/payload.txt'),
+           ('b2drop_gone', 'true')
          ) AS t(step, msg)""",
 
     // data identity under re-fragmentation + pinned partition counts
