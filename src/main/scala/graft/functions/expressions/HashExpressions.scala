@@ -56,6 +56,14 @@ object HashExpressions {
     ColumnBridge.column(ExciseSpans(
       ColumnBridge.expression(text.cast("string")),
       ColumnBridge.expression(spans)))
+
+  /** Character-k-shingle-set Jaccard of two texts in one fused pass —
+    * the LSH verify step's exact semantics (shinglesOf + intersect /
+    * union sizes) without the interpreted per-character HOF chain. */
+  def shingle_jaccard(a: Column, b: Column, k: Int): Column =
+    ColumnBridge.column(ShingleJaccard(
+      ColumnBridge.expression(a.cast("string")),
+      ColumnBridge.expression(b.cast("string")), k))
 }
 
 case class MinHashSig(child: Expression, k: Int, numHashes: Int)
@@ -444,5 +452,80 @@ object ExciseSpans {
       i += 1
     }
     UTF8String.fromString(sb.toString)
+  }
+}
+
+/** Jaccard similarity of two documents' CHARACTER k-shingle hash sets
+  * in one fused native pass — the codegen replacement for the LSH
+  * verify step's `size(array_intersect(shinglesOf(a), shinglesOf(b)))
+  * / size(array_union(...))` formulation, whose interpreted
+  * transform+sequence+substring chain pays ~len(text) dispatches per
+  * candidate SIDE (the dedup_minhash / incremental-near verify cost at
+  * the 100x replica). Equality classes match shinglesOf exactly: SQL
+  * substring semantics (1-based, character-counted), xxhash64 seed 42,
+  * the short-text single-shingle fallback (max(len-k+1, 1) windows —
+  * an empty text contributes the hash of ""), distinct sets, and the
+  * int-size division. ShingleJaccardParitySpec pins bit-identity. */
+case class ShingleJaccard(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(k >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"shingle_jaccard expects (string, string), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_shingle_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(ShingleJaccard.compute(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"${ev.value} = graft.functions.expressions.ShingleJaccard.compute($a, $b, $k);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleJaccard {
+  /** Distinct sorted k-shingle hashes of one side (see scaladoc). */
+  private def shingleHashes(text: UTF8String, k: Int): Array[Long] = {
+    val chars = text.numChars()
+    val m = math.max(chars - (k - 1), 1)
+    val h = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      // SQL substring: 1-based start, length-bounded, character units
+      h(i) = XxHash64Function.hash(
+        text.substringSQL(i + 1, k), StringType, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(h)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || h(i) != h(w - 1)) { h(w) = h(i); w += 1 }
+      i += 1
+    }
+    if (w == m) h else java.util.Arrays.copyOf(h, w)
+  }
+
+  def compute(a: UTF8String, b: UTF8String, k: Int): Double = {
+    val ga = shingleHashes(a, k)
+    val gb = shingleHashes(b, k)
+    var i = 0; var j = 0; var inter = 0
+    while (i < ga.length && j < gb.length) {
+      if (ga(i) == gb(j)) { inter += 1; i += 1; j += 1 }
+      else if (ga(i) < gb(j)) i += 1
+      else j += 1
+    }
+    val union = ga.length + gb.length - inter
+    inter.toDouble / union.toDouble
   }
 }

@@ -95,13 +95,24 @@ object Dedup {
     candidates
       .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
       .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
-      .withColumn("sh_a", shinglesOf(col("text_a"), k))
-      .withColumn("sh_b", shinglesOf(col("text_b"), k))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      // ONE fused native pass per candidate pair (r17) — the
+      // shinglesOf + intersect/union form it replaces paid ~len(text)
+      // interpreted dispatches per SIDE; ShingleJaccardParitySpec pins
+      // bit-identical values, shingleJaccardHof below is the oracle
+      .withColumn("jaccard", graft.functions.expressions.HashExpressions
+        .shingle_jaccard(col("text_a"), col("text_b"), k))
       .filter(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The interpreted-HOF form of the LSH verify step's Jaccard,
+    * retained as the parity oracle for [[ShingleJaccard]]. */
+  private[graft] def shingleJaccardHof(a: Column, b: Column,
+      k: Int): Column = {
+    val sa = shinglesOf(a, k)
+    val sb = shinglesOf(b, k)
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)).cast("double")
   }
 
   /** LSH band table of a corpus — one row per (band, bandhash, id),
@@ -189,11 +200,8 @@ object Dedup {
       .join(inTexts, Seq("in_id"))
       .join(corpusText.select(col(idCol).as("corpus_id"),
         col(textCol).as("corpus_text")), Seq("corpus_id"))
-      .withColumn("sh_a", shinglesOf(col("in_text"), k))
-      .withColumn("sh_b", shinglesOf(col("corpus_text"), k))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", graft.functions.expressions.HashExpressions
+        .shingle_jaccard(col("in_text"), col("corpus_text"), k))
       .filter(col("jaccard") >= tau)
       .select("in_id", "corpus_id", "jaccard")
   }
