@@ -43,7 +43,13 @@ object Bench {
     * warm parquet-scan gauge cannot feel (r16: four such cells sat
     * formally `over` while sql_q6's own file reads came from page
     * cache) — is their dominant contention class. */
-  def isStreamCell(name: String): Boolean = name.contains("stream")
+  def isStreamCell(name: String): Boolean =
+    // the token "stream", underscore-delimited — every checkpoint-
+    // committing cell is named that way (events_stream_*, *_stream,
+    // corpus_stream_ingest). A bare substring match would hand cells
+    // like "upstream_join" the looser io_ambient gate (ADVICE r17);
+    // BenchIoGateSpec pins the counter-examples.
+    name.split("_").contains("stream")
 
   /** Median latency of a 4 KiB write+force cycle on the checkpoint
     * filesystem, in ms — the direct gauge for the fsync contention

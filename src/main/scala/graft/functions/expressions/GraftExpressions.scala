@@ -1185,8 +1185,6 @@ case class PolyHash(child: Expression)
 /** One-pass L2 normalization (see GraftExpressions.normalize_vec).
   * Semantics pinned to the HOF formulation it replaces
   * (NormalizeVecParitySpec): sum of squares, then divide each element
-  * by the root — unless the vector contains a null element, or the
-  * norm is zero or NaN, in which case the INPUT array passes through
   * by the root — unless the vector contains a null element (the
   * aggregated norm goes null, the comparison is not true) or the norm
   * is exactly zero, in which case the INPUT array passes through

@@ -346,8 +346,20 @@ object Similarity {
           "vectors); for corpus-vs-corpus similarity use embedNearDup " +
           "or semDedup instead")
       val benchRows = benchN.collect()
-      val matrixB = feats.sparkSession.sparkContext.broadcast(
-        benchRows.map(_.getSeq[Double](1).toArray))
+      val benchMatrix = benchRows.map(_.getSeq[Double](1).toArray)
+      // validate dimension uniformity ONCE at broadcast build (ADVICE
+      // r17): the UDF checks incoming vectors only against rows(0), so
+      // a ragged benchmark would index past a shorter row inside the
+      // dot loop. Fail here with a clear message instead.
+      if (benchMatrix.nonEmpty) {
+        val d0 = benchMatrix(0).length
+        val bad = benchMatrix.indexWhere(_.length != d0)
+        require(bad < 0,
+          s"semanticDecontaminate: benchmark vectors are ragged — row 0 " +
+            s"has dimension $d0 but row $bad has ${benchMatrix(bad).length}; " +
+            "all benchmark embeddings must share one dimension")
+      }
+      val matrixB = feats.sparkSession.sparkContext.broadcast(benchMatrix)
       // mirrors MaxDotNorm's null/NaN contract exactly (ADVICE r16):
       // null vector, null element, empty table, or dimension mismatch
       // -> null (the row filters out, same as the fast path); a NaN dot

@@ -197,10 +197,16 @@ object Sketches {
     // over the distinct pairs is BIT-IDENTICAL to running it over the
     // raw rows (SketchesSpec pins that), and the exact count becomes a
     // plain count. One map-side-combined distinct shuffle total.
+    // count(keyCol), NOT count(lit(1)): a (group, NULL) pair survives
+    // distinct() as one row, and countDistinct — the contract this
+    // fuses — ignores nulls. count(col) skips that surviving null row,
+    // so groups with null keys keep the exact countDistinct semantics
+    // (an all-null group reads 0, and in_band stays consistent with
+    // approx_count_distinct, which also ignores nulls). ADVICE r17.
     df.select(col(groupCol), col(keyCol)).distinct()
       .groupBy(col(groupCol))
       .agg(approx_count_distinct(col(keyCol), rsd).as("__hll"),
-        count(lit(1)).as("exact_distinct"))
+        count(col(keyCol)).as("exact_distinct"))
       .select(col(groupCol), col("exact_distinct"),
         (abs(col("__hll") - col("exact_distinct")) <=
           col("exact_distinct") * band).as("in_band"))

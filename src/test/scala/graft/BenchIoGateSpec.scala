@@ -12,7 +12,10 @@ class BenchIoGateSpec extends AnyFunSuite {
         "corpus_stream_ingest", "dedup_incremental_near_stream"))
       assert(Bench.isStreamCell(n), n)
     for (n <- Seq("sql_q6", "dedup_minhash", "apply_moving_avg",
-        "workflow_flow", "simsearch_ivfpq"))
+        "workflow_flow", "simsearch_ivfpq",
+        // token-match, not substring (ADVICE r17): names merely
+        // CONTAINING "stream" must not inherit the io_ambient gate
+        "upstream_join", "streamline_x", "downstream_agg"))
       assert(!Bench.isStreamCell(n), n)
   }
 

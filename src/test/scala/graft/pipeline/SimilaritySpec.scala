@@ -424,6 +424,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDecontaminate fallback rejects a ragged benchmark at " +
+      "broadcast build with a clear message (ADVICE r17)") {
+    import spark.implicits._
+    val corpus = Seq((10L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val ragged = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0)) // dims 3 and 2
+    ).toDF("vec_id", "embedding")
+    // cap of 1 forces the broadcast fallback; the old UDF validated
+    // incoming vectors against rows(0) only, so a corpus vector of
+    // dim 3 would index past the dim-2 bench row inside the dot loop
+    val msg = intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(
+        corpus, ragged, "vec_id", "embedding", tau = 0.9,
+        maxConstBench = 1).collect()
+    }
+    assert(msg.getMessage.contains("ragged"), msg.getMessage)
+  }
+
   test("IVF append drift gate: recall holds or the re-train trigger fires") {
     // VERDICT r11 #7: appendToIvfIndex trusts frozen centroids
     // forever; heavy appends that DRIFT from the fitted distribution

@@ -124,6 +124,22 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hllDistinctBand ignores null keys exactly like countDistinct " +
+      "(ADVICE r17: the surviving (group, null) pair must not count)") {
+    val df = Seq[(String, Option[Long])](
+      ("mixed", Some(1L)), ("mixed", Some(2L)), ("mixed", None),
+      ("mixed", None),                       // nulls collapse AND drop
+      ("allnull", None), ("allnull", None),  // all-null group -> 0
+      ("clean", Some(7L))
+    ).toDF("grp", "uid")
+    val got = Sketches.hllDistinctBand(df, "grp", "uid")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .toList.sortBy(_._1)
+    // countDistinct semantics: mixed=2 (not 3), allnull=0 (not 1)
+    assert(got == List(("allnull", 0L, true), ("clean", 1L, true),
+      ("mixed", 2L, true)), got.toString)
+  }
+
   test("hllDistinctBand's pre-distinct estimate is bit-identical to " +
       "the raw-row HLL (registers are duplicate-insensitive)") {
     // the r17 rewrite dedupes (group, key) pairs BEFORE aggregating to
