@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -494,16 +494,39 @@ case class ShingleJaccard(left: Expression, right: Expression, k: Int)
 }
 
 object ShingleJaccard {
-  /** Distinct sorted k-shingle hashes of one side (see scaladoc). */
+  /** Distinct sorted k-shingle hashes of one side (see scaladoc).
+    *
+    * One forward pass over the UTF-8 bytes records every codepoint's
+    * byte boundary, then each window hashes its byte range in place —
+    * semantics stay bit-exact with `substringSQL(i+1, k)` + xxhash64
+    * (1-based, character-counted windows; XXH64 over the identical
+    * byte slice) but the per-window from-the-start boundary scan that
+    * substringSQL pays is gone: O(chars·k) total instead of O(chars²)
+    * (VERDICT r17 #2 — a 100 KB document cost ~5e9 byte-steps per
+    * candidate side in the LSH verify step). */
   private def shingleHashes(text: UTF8String, k: Int): Array[Long] = {
     val chars = text.numChars()
     val m = math.max(chars - (k - 1), 1)
     val h = new Array[Long](m)
+    val base = text.getBaseObject
+    val baseOff = text.getBaseOffset
+    // bound(c) = byte offset where character c starts; bound(chars) =
+    // total bytes, so window i spans bytes [bound(i), bound(end))
+    val bound = new Array[Int](chars + 1)
+    var c = 0
+    var bp = 0
+    while (c < chars) {
+      bound(c) = bp
+      bp += UTF8String.numBytesForFirstByte(text.getByte(bp))
+      c += 1
+    }
+    bound(chars) = bp
     var i = 0
     while (i < m) {
-      // SQL substring: 1-based start, length-bounded, character units
-      h(i) = XxHash64Function.hash(
-        text.substringSQL(i + 1, k), StringType, 42L)
+      val end = math.min(i + k, chars) // short-text fallback: one
+      // window of whatever is there (empty text hashes zero bytes)
+      h(i) = XXH64.hashUnsafeBytes(
+        base, baseOff + bound(i), bound(end) - bound(i), 42L)
       i += 1
     }
     java.util.Arrays.sort(h)

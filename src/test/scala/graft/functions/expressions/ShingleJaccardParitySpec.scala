@@ -37,6 +37,27 @@ class ShingleJaccardParitySpec extends SparkSpec {
     }
   }
 
+  test("long unicode documents: forward-walk boundaries stay bit-exact " +
+      "with the HOF (VERDICT r17 #2 — the O(chars²) substringSQL fix)") {
+    // >=64 KB docs mixing 1-, 2-, 3- and 4-byte codepoints so byte
+    // offsets and character offsets diverge everywhere; one edit in
+    // the middle so jaccard is strictly inside (0, 1)
+    val unit = "ascii été 中文混合 𝒰nicode🜚 tail "
+    val bigA = unit * 2400                      // ~70k chars, ~110 KB
+    val bigB = (unit * 1200) + "EDIT-POINT" + (unit * 1200)
+    val df = Seq((bigA, bigB), (bigA, bigA), (bigB, bigA))
+      .toDF("a", "b")
+    for (k <- Seq(3, 5, 9)) {
+      val rows = df.select(
+        HashExpressions.shingle_jaccard(col("a"), col("b"), k).as("nat"),
+        Dedup.shingleJaccardHof(col("a"), col("b"), k).as("hof"))
+        .as[(Double, Double)].collect()
+      rows.foreach { case (nat, hof) =>
+        assert(nat == hof, s"k=$k native=$nat hof=$hof") }
+      assert(rows.exists { case (nat, _) => nat > 0.0 && nat < 1.0 })
+    }
+  }
+
   test("identical docs score 1.0; disjoint docs score 0.0; codegen") {
     val df = spark.range(8)
       .select(concat(lit("document body "), $"id".cast("string")).as("a"),
