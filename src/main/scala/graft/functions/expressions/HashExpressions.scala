@@ -113,19 +113,40 @@ object MinHashSig {
 
   /** One pass over the k-shingles: hash each position, fold all affine
     * mins. Called from generated code — keep the loop allocation-free
-    * apart from the result array. */
+    * apart from the result and boundary arrays.
+    *
+    * Windows are SQL-substring character windows, walked the same way
+    * as [[ShingleJaccard.compute]]: one forward pass records every
+    * codepoint's byte boundary, then each window hashes its byte range
+    * in place. This replaces the r16 `toString`+`substring`+
+    * `fromString` loop, which (a) allocated two objects and re-encoded
+    * UTF-8 per window — the dominant GC cost of the 100x dedup_minhash
+    * cell — and (b) counted UTF-16 code units, silently diverging from
+    * the `shinglesOf` HOF oracle (SQL substring counts codepoints) on
+    * astral-plane text. DedupSpec's parity test pins both. */
   def compute(text: UTF8String, k: Int,
       coeffA: Array[Long], coeffB: Array[Long]): ArrayData = {
-    val s = text.toString
-    val n = math.max(s.length - k + 1, 1)
+    val chars = text.numChars()
+    val n = math.max(chars - k + 1, 1)
     val m = coeffA.length
     val mins = new Array[Long](m)
     java.util.Arrays.fill(mins, Long.MaxValue)
+    val base = text.getBaseObject
+    val baseOff = text.getBaseOffset
+    val bound = new Array[Int](chars + 1)
+    var c = 0
+    var bp = 0
+    while (c < chars) {
+      bound(c) = bp
+      bp += UTF8String.numBytesForFirstByte(text.getByte(bp))
+      c += 1
+    }
+    bound(chars) = bp
     var i = 0
     while (i < n) {
-      val end = math.min(i + k, s.length)
-      val h = XxHash64Function.hash(
-        UTF8String.fromString(s.substring(i, end)), StringType, 42L)
+      val end = math.min(i + k, chars)
+      val h = XXH64.hashUnsafeBytes(
+        base, baseOff + bound(i), bound(end) - bound(i), 42L)
       val hm = ((h % P) + P) % P
       var j = 0
       while (j < m) {

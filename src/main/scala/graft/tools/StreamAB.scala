@@ -3,16 +3,29 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One-JVM interleaved A/B for the stream-stream join's checkpoint
-  * tuning (VERDICT r16 #6): variants run round-robin so host-IO drift
-  * hits every variant equally, and the per-variant MIN is the honest
-  * steady-state comparison. Usage:
-  *   runMain graft.tools.StreamAB <sfDir> [rounds]
+/** One-JVM interleaved A/B for streaming checkpoint tuning: variants
+  * run round-robin so host-IO drift hits every variant equally, and
+  * the per-variant MIN is the honest steady-state comparison.
+  *
+  * Modes:
+  *   join    — the stream-stream interval join (VERDICT r16 #6)
+  *   anomaly — the flatMapGroupsWithState anomaly ring (VERDICT r17
+  *             #5): state-partition count x no-data-batch grid. The
+  *             ring uses GroupStateTimeout.NoTimeout and emits in the
+  *             processing batch, so the trailing no-data batch
+  *             finalizes nothing — disabling it is a pure candidate
+  *             (the _evict variant's EventTimeTimeout DOES need it;
+  *             that one is out of scope here). Drops are staged ONCE
+  *             (median-ts split, one file per trigger) so the A/B
+  *             times the stream, not the staging write.
+  *
+  * Usage: runMain graft.tools.StreamAB <sfDir> [rounds] [mode]
   */
 object StreamAB {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val rounds = if (args.length > 1) args(1).toInt else 3
+    val mode = if (args.length > 2) args(2) else "join"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -65,15 +78,83 @@ object StreamAB {
       n
     }
 
-    val variants = Seq((8, true), (4, true), (4, false), (2, false))
+    // anomaly mode: stage the median-split drops once (the cell
+    // re-stages per run; here staging is timed separately so the grid
+    // compares pure stream cost), then run the ring per variant.
+    lazy val anomalyDrops: String = {
+      val t0 = System.nanoTime()
+      val drops = java.nio.file.Files.createTempDirectory("graft_ab_anom")
+      drops.toFile.deleteOnExit()
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val tsCol =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          timestamp_seconds(col("ts") / lit(1e9))
+        else col("ts").cast("timestamp")
+      val ev = raw.select(col("event_id"), tsCol.as("ts"),
+        col("user_id"), col("value"))
+      val Array(lo, hi) = ev.agg(unix_millis(min(col("ts"))),
+        unix_millis(max(col("ts")))).head().toSeq.toArray
+        .map(_.asInstanceOf[Long])
+      val cut = lo + (hi - lo) / 2
+      def onePart(df: DataFrame, name: String): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ab_part")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val st = java.nio.file.Files.list(tmp)
+        val part =
+          try st.filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst()
+          finally st.close()
+        java.nio.file.Files.move(part.get(), drops.resolve(name))
+      }
+      onePart(ev.filter(unix_millis(col("ts")) < cut), "drop_0.parquet")
+      onePart(ev.filter(unix_millis(col("ts")) >= cut), "drop_1.parquet")
+      println(f"[ab] anomaly staging: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      drops.toString
+    }
+
+    def anomalyOnce(parts: Int, noData: Boolean): Long = {
+      seq += 1
+      val qn = s"ab_anom_$seq"
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        noData.toString)
+      import org.apache.spark.sql.types._
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ab_anom_ck")
+      ckpt.toFile.deleteOnExit()
+      val ev = spark.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", TimestampType),
+          StructField("user_id", LongType),
+          StructField("value", DoubleType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(anomalyDrops)
+      val flagged = graft.streaming.EventStream.anomalyStream(spark, ev)
+      val q = flagged.writeStream.format("memory")
+        .queryName(qn).outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val n = spark.table(qn).count()
+      spark.catalog.dropTempView(qn)
+      n
+    }
+
+    val variants =
+      if (mode == "anomaly") Seq((8, true), (8, false), (4, false),
+        (16, false), (32, false))
+      else Seq((8, true), (4, true), (4, false), (2, false))
+    val runOnce: (Int, Boolean) => Long =
+      if (mode == "anomaly") anomalyOnce else joinOnce
     // warm one pass so codegen/JIT is off the books for everyone
-    joinOnce(8, true)
+    runOnce(8, true)
     val times = scala.collection.mutable.Map.empty[(Int, Boolean),
       List[Double]].withDefaultValue(Nil)
     var counts = Set.empty[Long]
     for (_ <- 1 to rounds; v <- variants) {
       val t0 = System.nanoTime()
-      counts += joinOnce(v._1, v._2)
+      counts += runOnce(v._1, v._2)
       val dt = (System.nanoTime() - t0) / 1e9
       times(v) = dt :: times(v)
       println(s"[ab] parts=${v._1} noData=${v._2} -> ${f"$dt%.3f"} s")

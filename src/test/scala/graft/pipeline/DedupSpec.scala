@@ -90,6 +90,27 @@ class DedupSpec extends SparkSpec {
     assert(native == hof)
   }
 
+  test("native MinHashSig matches the HOF on astral-plane text (SQL " +
+      "substring counts codepoints, not UTF-16 units)") {
+    // surrogate-pair codepoints made the old toString/substring loop
+    // count UTF-16 units: window count and window CONTENT both
+    // diverged from the shinglesOf oracle. The byte-boundary walk
+    // counts codepoints like SQL substring does.
+    val astral = Seq(
+      (1L, "𝒰nicode 🜚 mixed 中文 astral 𝔴indows exercise"),
+      (2L, "🜚🜚🜚🜚"),   // shorter than k in codepoints: one window
+      (3L, "plain ascii control row")
+    ).toDF("doc_id", "text")
+    val native = astral.select($"doc_id",
+      graft.functions.expressions.HashExpressions
+        .minhash_sig($"text", 5, 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val hof = astral.select($"doc_id",
+      Dedup.minhashSignature(Dedup.shinglesOf($"text", 5), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == hof)
+  }
+
   test("native SimHash64 matches the HOF bit-vote formulation") {
     val native = docs.select($"doc_id",
       graft.functions.expressions.HashExpressions
