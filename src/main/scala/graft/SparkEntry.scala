@@ -275,11 +275,22 @@ object SparkEntry {
     normalizeTs(withTrigger.parquet(drops.toString))
   }
 
-  /** Stage the events table as TWO drops split at the median
-    * timestamp, streamed one file per trigger — the fixture for
-    * queries whose per-key state must SURVIVE a micro-batch boundary
-    * (batch 0 carries every event before the cut, batch 1 the rest,
-    * so cross-boundary history is exercised by construction). */
+  /** Stage the events table as ts-CONTIGUOUS drops streamed one file
+    * per trigger — the fixture for queries whose per-key state must
+    * SURVIVE a micro-batch boundary (each batch carries a contiguous
+    * timestamp range, so cross-boundary history is exercised by
+    * construction at every boundary).
+    *
+    * Written as ONE parallel repartitionByRange job: the r17 form
+    * (two median-split `coalesce(1)` writes) serialized the whole
+    * events table through one task each — 21 of the 100x anomaly
+    * cell's ~26 s was this staging write, not the stream under test.
+    * Range chunks keep the batch-replay oracles exact: batches arrive
+    * in timestamp order (file names AND mtimes both increase with the
+    * range index) and rows with EQUAL ts stay inside one chunk (a
+    * range partitioner never splits equal keys), so each user's
+    * cross-batch event sequence is the same globally-sorted sequence
+    * the batch operator folds. */
   private def stagedEventsSplitStream(s: SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.sql.types._
@@ -287,15 +298,33 @@ object SparkEntry {
     drops.toFile.deleteOnExit()
     val ev = events(s, dir).select(col("event_id"), col("ts"),
       col("user_id"), col("value"))
-    val Array(lo, hi) = ev.agg(unix_millis(min(col("ts"))),
-      unix_millis(max(col("ts")))).head().toSeq.toArray
-      .map(_.asInstanceOf[Long])
-    val cut = lo + (hi - lo) / 2
-    writeSinglePartParquet(ev.filter(unix_millis(col("ts")) < cut),
-      drops.resolve("drop_0.parquet"))
-    writeSinglePartParquet(ev.filter(unix_millis(col("ts")) >= cut),
-      drops.resolve("drop_1.parquet"))
-    val tsType = s.read.parquet(drops.resolve("drop_0.parquet")
+    val chunks = math.max(2,
+      math.min(8, s.sparkContext.defaultParallelism / 4))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_split_parts")
+    ev.repartitionByRange(chunks, col("ts"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    // part-NNNNN names carry the range-partition index: sorted by name
+    // = sorted by ts range. Empty ranges may emit no file — harmless.
+    val parts = {
+      val st = java.nio.file.Files.list(tmp)
+      try {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        st.filter(_.getFileName.toString.endsWith(".parquet"))
+          .forEach(p => buf += p)
+        buf.sortBy(_.getFileName.toString).toSeq
+      } finally st.close()
+    }
+    require(parts.size >= 2,
+      s"split staging produced ${parts.size} drops (empty events?)")
+    val mt0 = System.currentTimeMillis() - 1000L * 2 * (chunks + 1)
+    parts.zipWithIndex.foreach { case (p, idx) =>
+      val dst = drops.resolve(f"drop_$idx%03d.parquet")
+      java.nio.file.Files.move(p, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mt0 + idx * 2000L))
+    }
+    val tsType = s.read.parquet(drops.resolve("drop_000.parquet")
       .toString).schema("ts").dataType
     normalizeTs(s.readStream
       .schema(StructType(Seq(
