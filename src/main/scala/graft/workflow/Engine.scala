@@ -219,6 +219,28 @@ final class Engine(
   private def touchCube(pid: String): Unit =
     cubeAccess(pid) = cubeTick.incrementAndGet()
 
+  /** Cubes pinned by in-flight workflow runs, refcounted by PID. A
+    * pinned cube is exempt from LRU eviction: with the store at cap
+    * and several admitted workflows between producing a cube and
+    * consuming it, pure LRU could evict a cube an admitted run still
+    * needs — its dependency lookup then fails "no such cube" (the
+    * storm-soak race). run() pins each task's output cubes as they
+    * complete and unpins them all in its finally, re-trimming to cap,
+    * so the cap is soft only while every resident cube is live. */
+  private val cubePins = scala.collection.mutable.HashMap[String, Int]()
+  private def pinCube(pid: String): Unit =
+    cubePins.synchronized { cubePins(pid) = cubePins.getOrElse(pid, 0) + 1 }
+  private def unpinCube(pid: String): Unit =
+    cubePins.synchronized {
+      cubePins.get(pid) match {
+        case Some(n) if n > 1 => cubePins(pid) = n - 1
+        case Some(_) => cubePins.remove(pid)
+        case None =>
+      }
+    }
+  private def isPinned(pid: String): Boolean =
+    cubePins.synchronized(cubePins.contains(pid))
+
   /** Remove one cube from the store, releasing any cached blocks its
     * plan holds. Single exit point for oph_delete, on_exit actions and
     * LRU eviction. */
@@ -315,11 +337,21 @@ final class Engine(
 
   private def evictExcess(): Unit =
     if (cubes.size > cubeCap) cubeAccess.synchronized {
-      while (cubes.size > cubeCap) {
-        val victim = cubes.keysIterator.minBy(p => cubeAccess.getOrElse(p, 0L))
-        dropCube(victim)
-        sessions.log(s"cube $victim evicted (store cap $cubeCap)")
+      var exhausted = false
+      while (cubes.size > cubeCap && !exhausted) {
+        // victims come from the UNPINNED cubes only: evicting a pinned
+        // one would fail an admitted workflow's next dependency lookup
+        val candidates = cubes.keysIterator.filterNot(isPinned).toSeq
+        if (candidates.isEmpty) exhausted = true
+        else {
+          val victim = candidates.minBy(p => cubeAccess.getOrElse(p, 0L))
+          dropCube(victim)
+          sessions.log(s"cube $victim evicted (store cap $cubeCap)")
+        }
       }
+      if (exhausted)
+        sessions.log(s"cube store over cap $cubeCap: every resident " +
+          "cube is pinned by a running workflow (soft-cap breach)")
     }
   private var markerId = 0
   private var workflowSeq = 0
@@ -754,6 +786,12 @@ final class Engine(
 
     // last produced cube PID per task name (for dependency harvesting)
     val outPids = scala.collection.concurrent.TrieMap[String, String]()
+    // cubes this run has produced (or replayed from a checkpoint) and
+    // may still consume: pinned against LRU eviction until the finally
+    // below releases them — see cubePins
+    val runPins = scala.collection.concurrent.TrieMap[String, Unit]()
+    def pinForRun(p: String): Unit =
+      if (runPins.putIfAbsent(p, ()).isEmpty) pinCube(p)
 
     /** Execute tasks[from..until); returns a control signal:
       * 0 = normal, 1 = break (consumed by the nearest enclosing loop),
@@ -1088,6 +1126,7 @@ final class Engine(
                     .mkString(";"), iterSuffix.nonEmpty)
               results(s"${t.name}$iterSuffix") = cached
               cached.cubePid.foreach { p =>
+                pinForRun(p)
                 outPids(s"${t.name}$iterSuffix") = p
                 outPids(t.name) = p
               }
@@ -1201,7 +1240,11 @@ final class Engine(
                   val r = withTaskPermit(
                     runDataOperator(t.operator, withCube))
                   results(s"${t.name}$iterSuffix") = r
+                  // massive fan-outs carry every produced pid in
+                  // `outputs`; pin them all — any can be a later dep
+                  r.outputs.foreach(pinForRun)
                   r.cubePid.foreach { p =>
+                    pinForRun(p)
                     outPids(s"${t.name}$iterSuffix") = p
                     outPids(t.name) = p
                     // on_exit: collect this task's output for the
@@ -1264,6 +1307,10 @@ final class Engine(
     finally {
       if (farmAcquired) farmPermits.release()
       activeRuns.decrementAndGet()
+      // release this run's eviction pins, then re-trim: pins can have
+      // held the store over cap (soft-cap breach) while the run lived
+      runPins.keysIterator.foreach(unpinCube)
+      evictExcess()
       // a cancel flag dies with its run — workflow ids are never
       // reused, but a leaked entry would still grow the map unbounded
       cancelFlags.remove(wfId)

@@ -62,6 +62,31 @@ class CubeEvictionSpec extends SparkSpec {
     assert(e.cubeCount == 0)
   }
 
+  test("a running workflow's cubes are pinned against eviction; " +
+      "the cap re-trims at run end") {
+    // cap 2, workflow produces 3 cubes then consumes the FIRST: pure
+    // LRU would evict mk1 when mk3 registers, and red would fail with
+    // "unknown cube" (the storm-soak race, deterministic here). The
+    // run's pins make the cap soft while the workflow lives.
+    val e = engine(cap = 2)
+    val res = e.run(Workflow.parse("""{
+      "name": "pinned", "tasks": [
+        {"name": "mk1", "operator": "oph_randcube",
+         "arguments": ["nrows=4", "array_length=2", "container=c1", "seed=1"]},
+        {"name": "mk2", "operator": "oph_randcube",
+         "arguments": ["nrows=4", "array_length=2", "container=c2", "seed=2"]},
+        {"name": "mk3", "operator": "oph_randcube",
+         "arguments": ["nrows=4", "array_length=2", "container=c3", "seed=3"]},
+        {"name": "red", "operator": "oph_reduce",
+         "arguments": ["operation=sum"],
+         "dependencies": [{"task": "mk1"}]}
+      ]}"""))
+    assert(res.values.forall(_.status == JobStatus.Completed),
+      res.map { case (k, r) => s"$k=${r.status}(${r.message})" })
+    // pins released at run end: the store re-trims to its cap
+    assert(e.cubeCount <= 2, s"store not re-trimmed: ${e.cubeCount}")
+  }
+
   test("a workflow soak stays bounded and still answers its live cubes") {
     val e = engine(cap = 8)
     (1 to 40).foreach { i =>

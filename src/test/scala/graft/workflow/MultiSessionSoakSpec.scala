@@ -105,7 +105,9 @@ class MultiSessionSoakSpec extends SparkSpec {
                 val res = eng.run(wf(sess, i, k))
                 res.values.flatMap(_.cubePid).foreach(pidsOf(sess).add)
                 if (!res.values.forall(_.status == JobStatus.Completed))
-                  failures.add(s"$sess/$i/$k: ${res.values.map(_.status)}")
+                  failures.add(s"$sess/$i/$k: " +
+                      res.values.map(r => s"${r.status}(${r.message})")
+                        .mkString(", "))
                 done = true
               } catch {
                 case _: Engine.QueueFullError =>
@@ -257,7 +259,9 @@ class MultiSessionSoakSpec extends SparkSpec {
                 try {
                   val res = eng.run(wf2(sess, i, k))
                   if (!res.values.forall(_.status == JobStatus.Completed))
-                    failures.add(s"$sess/$i/$k: ${res.values.map(_.status)}")
+                    failures.add(s"$sess/$i/$k: " +
+                      res.values.map(r => s"${r.status}(${r.message})")
+                        .mkString(", "))
                   done = true
                 } catch {
                   case _: Engine.QueueFullError => Thread.sleep(25)
