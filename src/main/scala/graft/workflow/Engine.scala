@@ -241,6 +241,17 @@ final class Engine(
   private def isPinned(pid: String): Boolean =
     cubePins.synchronized(cubePins.contains(pid))
 
+  /** Per-thread pin hook active while a workflow task executes, so
+    * register() can pin a cube AT BIRTH — before its own evictExcess
+    * runs. Pinning only after runDataOperator returns leaves a window
+    * where the just-registered cube is the sole unpinned resident and
+    * eviction pressure lands exactly on it (the storm soak hit this:
+    * with every older cube pinned by live runs, the next register's
+    * eviction evicted the newborn). runDataOperator runs synchronously
+    * on the task's thread, including massive/importncs recursion, so a
+    * ThreadLocal set around the call covers every register beneath it. */
+  private val runPinContext = new ThreadLocal[String => Unit]()
+
   /** Remove one cube from the store, releasing any cached blocks its
     * plan holds. Single exit point for oph_delete, on_exit actions and
     * LRU eviction. */
@@ -439,6 +450,11 @@ final class Engine(
     // the new pid without an access tick (tickless reads as coldest and
     // the just-registered cube would be the eviction victim)
     touchCube(pid)
+    // born pinned when a workflow task is executing on this thread —
+    // see runPinContext. The pin lands BEFORE the store insert so no
+    // concurrent evictExcess can ever observe the newborn unpinned
+    // (pinning a not-yet-resident pid is harmless)
+    Option(runPinContext.get()).foreach(_(pid))
     cubes(pid) = c
     evictExcess()
     pid
@@ -1237,8 +1253,10 @@ final class Engine(
               while (!settled) {
                 attempt += 1
                 try {
-                  val r = withTaskPermit(
-                    runDataOperator(t.operator, withCube))
+                  runPinContext.set(pinForRun)
+                  val r =
+                    try withTaskPermit(runDataOperator(t.operator, withCube))
+                    finally runPinContext.remove()
                   results(s"${t.name}$iterSuffix") = r
                   // massive fan-outs carry every produced pid in
                   // `outputs`; pin them all — any can be a later dep
