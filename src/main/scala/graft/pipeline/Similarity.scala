@@ -177,18 +177,43 @@ object Similarity {
    * happens; the join key is the band hash.
    */
   def embeddingDups(emb: DataFrame, idCol: String, vecCol: String,
-      tau: Double, nBits: Int = 64, bands: Int = 4,
+      tau: Double, nBits: Int = 256, bands: Int = 8,
       dim: Int = 64): DataFrame = {
-    // defaults: 16-bit bands — random pairs collide at ~2^-16 per band,
-    // near-identical vectors (tau ~ 1) survive with ~0.999 recall;
-    // narrower bands flood the verify step with false candidates
+    // defaults: 8 bands of 32 bits. At the tau = 0.999 decision
+    // boundary a bit flips with p = arccos(.999)/pi = 0.0142, so a
+    // 32-bit band agrees with p = .986^32 = 0.63 and EIGHT bands miss
+    // together with (1-.63)^8 = 3.4e-4 — recall 0.9997, better than
+    // the former 4x16-bit layout (0.9982) while random pairs collide
+    // at ~2^-32 per band instead of ~2^-16. The 16-bit layout flooded
+    // the verify step at scale: 200k distinct vectors made ~2.5M
+    // random 16-bit collisions per band — 10M candidate pairs for
+    // 200k real dups, 98% of the wide verify joins wasted (the 100x
+    // bench measured it). 4x the signature arithmetic buys a ~50x
+    // smaller candidate set; the signature pass is one fused codegen
+    // loop and stays the cheaper phase.
     val par = emb.sparkSession.sparkContext.defaultParallelism
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // EXACT-DUPLICATE COLLAPSE before LSH: identical vectors (grouped
+    // by VALUE — no hash-collision risk) ride the banding pipeline as
+    // one representative each. Any pair of members across (or within)
+    // two identical-vector clusters has exactly the representatives'
+    // cosine, so expanding cluster pairs afterwards is bit-exact. On a
+    // replicated/crawled corpus this removes the quadratic candidate
+    // blow-up inside duplicate cliques (the 100x bench replica: 400k
+    // vectors but 2k distinct — banded candidate pairs drop ~10M ->
+    // ~20k and the wide verify joins shrink with them); on a
+    // duplicate-free corpus it costs one narrow-keyed exchange and
+    // changes nothing.
+    val clustered = vecs.groupBy(col("vec"))
+      .agg(min(col("id")).as("rep_id"),
+        collect_list(col("id")).as("ids"))
+      .persist()
     // the persisted frame is ONLY (id, band, bandhash) — 3 narrow
-    // columns. The signature pass (the expensive HOF dot products) runs
-    // once to produce it; the embedding vectors are NOT carried through
-    // the explode or the self-join (bands x rows of wide arrays would
-    // dominate the cache and the shuffle at scale)
-    val banded = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // columns. The signature pass runs once to produce it; the
+    // embedding vectors are NOT carried through the explode or the
+    // self-join (bands x rows of wide arrays would dominate the cache
+    // and the shuffle at scale)
+    val banded = clustered.select(col("rep_id").as("id"), col("vec"))
       .repartition(par, col("id"))
       .withColumn("sig", rhpSignature(col("vec"), nBits, dim))
       .select(col("id"),
@@ -201,12 +226,39 @@ object Similarity {
     val cand = lhs.join(rhs, Seq("band", "bandhash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    cand
-      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
-      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+    val repVecs = clustered.select(col("rep_id").as("id"), col("vec"))
+    // verified CROSS-cluster representative pairs at full precision;
+    // rounding happens after expansion, exactly where the old
+    // all-members formulation rounded
+    val repPairs = cand
+      .join(repVecs.select(col("id").as("id_a"), col("vec").as("vec_a")),
+        Seq("id_a"))
+      .join(repVecs.select(col("id").as("id_b"), col("vec").as("vec_b")),
+        Seq("id_b"))
       .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= tau)
+      .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"), col("cos"))
+    val members = clustered.select(col("rep_id"), explode(col("ids")).as("mid"))
+    val cross = repPairs
+      .join(members.select(col("rep_id").as("rep_a"), col("mid").as("m_a")),
+        Seq("rep_a"))
+      .join(members.select(col("rep_id").as("rep_b"), col("mid").as("m_b")),
+        Seq("rep_b"))
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"), col("cos"))
+    // INTRA-cluster pairs: every member pair shares cos(v, v) — the
+    // same expression the old formulation evaluated per pair, so a
+    // degenerate vector whose self-cosine fails tau (zero norm) drops
+    // here exactly as it dropped there
+    val intra = clustered.filter(size(col("ids")) > 1)
+      .withColumn("cos", cosine(col("vec"), col("vec")))
+      .filter(col("cos") >= tau)
+      .select(col("ids"), col("cos"))
+      .withColumn("id_a", explode(col("ids")))
+      .withColumn("id_b", explode(col("ids")))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("cos"))
+    cross.unionByName(intra)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
 

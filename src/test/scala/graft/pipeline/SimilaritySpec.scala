@@ -69,6 +69,25 @@ class SimilaritySpec extends SparkSpec {
     assert(all.forall(_ >= 0.9999))
   }
 
+  test("embeddingDups expands duplicate cliques and cross-cluster " +
+      "near-dups completely") {
+    // the exact-collapse optimization groups identical vectors behind
+    // one representative; both expansion paths must enumerate every
+    // member pair: a 3-member identical clique (intra: 3 pairs) and a
+    // near-identical distinct vector (cross: 3 more pairs, one per
+    // clique member)
+    val v = Seq(1.0f, 0.0f, 0.0f, 1.0f)
+    val near = Seq(1.0f, 1e-4f, 0.0f, 1.0f) // cos ~ 0.999999995
+    val far = Seq(0.0f, 1.0f, 1.0f, 0.0f)
+    val emb = Seq(1L -> v, 2L -> v, 3L -> v, 4L -> near, 9L -> far)
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingDups(emb, "vec_id", "embedding",
+      tau = 0.999, nBits = 8, bands = 4, dim = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L),
+      (1L, 4L), (2L, 4L), (3L, 4L)), s"got $pairs")
+  }
+
   test("ivf top-k prunes to probed cells and finds dominant neighbors") {
     // two tight clusters far apart: IVF must keep same-cluster
     // neighbors ahead of cross-cluster ones
