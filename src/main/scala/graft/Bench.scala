@@ -154,6 +154,25 @@ object Bench {
     out.toString
   }
 
+  /** Per-cell catalog hygiene: drop every temp view left behind by the
+    * finished cell. Stream cells register their memory SINK as a temp
+    * view (`.queryName(...)` + `s.table(...)`), and that view pins the
+    * sink's whole in-memory table for the session's lifetime — at the
+    * 100x replica a single session-log table is millions of rows, so
+    * by mid-sweep tens of such tables were live and later cells read
+    * 3-4x their quiet time in pure GC (measured: session_window 44 s
+    * in one sweep, 146 s with 418 s of task GC in another — the delta
+    * was accumulated sink tables, not the cell). Runs AFTER the timed
+    * window, alongside clearCache/unpersist; each cell re-registers
+    * its own view, so dropping between cells never changes results. */
+  def dropTempViews(spark: SparkSession): Unit =
+    try spark.catalog.listTables("default").collect()
+      .filter(_.isTemporary)
+      .foreach(t => try spark.catalog.dropTempView(t.name) catch {
+        case _: Throwable => ()
+      })
+    catch { case _: Throwable => () }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -215,6 +234,7 @@ object Bench {
           }
         }
         spark.catalog.clearCache()
+        Bench.dropTempViews(spark)
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
       }
@@ -342,8 +362,11 @@ object Bench {
       // queries that persist intermediates (dedup signatures) must not
       // bleed cached blocks / GC pressure into later measurements;
       // clearCache only drops catalog-cached relations, so release
-      // RDD-level blocks (localCheckpoint / persist) explicitly too
+      // RDD-level blocks (localCheckpoint / persist) explicitly too —
+      // and drop the cell's temp views (memory-sink tables) so their
+      // row payloads do not pile up across the sweep
       spark.catalog.clearCache()
+      Bench.dropTempViews(spark)
       // BLOCKING unpersist: async release lets stale blocks from prior
       // queries linger into the next measurement window — measured as a
       // 3-4x inflation of the banded-join queries late in the sweep
@@ -481,6 +504,7 @@ object Bench {
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => attempt = 2 }
         spark.catalog.clearCache()
+        Bench.dropTempViews(spark)
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         attempt += 1

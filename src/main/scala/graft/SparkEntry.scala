@@ -4089,7 +4089,15 @@ object SparkEntry {
             .as("rev"))
     }),
 
-    "events_stream_session_window" -> ((s, dir) => withShufflePartitions(s, 8) {
+    "events_stream_session_window" -> ((s, dir) =>
+      // noDataBatch = false: COMPLETE-mode aggregation re-emits its
+      // entire result table at every trigger, and in complete mode
+      // the watermark finalizes nothing (all state is retained by
+      // definition) — so the trailing no-data batch's only effect is
+      // one more full state-store scan + full memory-sink rewrite of
+      // every session row. At the 100x replica that second emit is
+      // pure waste; the final table is identical with or without it.
+      withStreamTuning(s, 8, noDataBatch = false) {
       // NATIVE session windows (vs events_stream_sessions' custom
       // mapGroupsWithState machine): session_window merges events
       // whose gaps stay under the threshold into one state-store
