@@ -2057,7 +2057,14 @@ object SparkEntry {
         .select(col("id").as("doc_id"), round(col("rank"), 8).as("rank"))
     }),
 
-    "events_stream_hourly" -> ((s, dir) => withShufflePartitions(s, 8) {
+    "events_stream_hourly" -> ((s, dir) =>
+      // noDataBatch = false (same argument as session_window): in
+      // COMPLETE mode the trailing no-data batch re-emits the entire
+      // identical result table (the watermark finalizes nothing and
+      // AvailableNow delivers all data in the data batches), so its
+      // only effect is one more full state scan + memory-sink rewrite
+      // plus a round of checkpoint commits.
+      withStreamTuning(s, 8, noDataBatch = false) {
       // the STREAMING path inside the correctness gate: file-source
       // readStream over the events drop dir -> watermark + tumbling
       // window -> memory sink, drained with Trigger.AvailableNow.
@@ -2120,7 +2127,14 @@ object SparkEntry {
         .agg(max(col("sessions")).cast("long").as("n_sessions"))
     }),
 
-    "events_stream_dedup" -> ((s, dir) => withShufflePartitions(s, 8) {
+    "events_stream_dedup" -> ((s, dir) =>
+      // noDataBatch = false (same argument as session_window): in
+      // COMPLETE mode the trailing no-data batch re-emits the entire
+      // identical result table (the watermark finalizes nothing and
+      // AvailableNow delivers all data in the data batches), so its
+      // only effect is one more full state scan + memory-sink rewrite
+      // plus a round of checkpoint commits.
+      withStreamTuning(s, 8, noDataBatch = false) {
       // streaming EXACT dedup inside the correctness gate: the stream
       // is fed the SAME events file twice (two drops), so every event
       // arrives twice; dropDuplicates holds one state entry per
@@ -4120,7 +4134,14 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_sessions"))
     }),
 
-    "events_stream_enrich" -> ((s, dir) => withShufflePartitions(s, 8) {
+    "events_stream_enrich" -> ((s, dir) =>
+      // noDataBatch = false (same argument as session_window): in
+      // COMPLETE mode the trailing no-data batch re-emits the entire
+      // identical result table (the watermark finalizes nothing and
+      // AvailableNow delivers all data in the data batches), so its
+      // only effect is one more full state scan + memory-sink rewrite
+      // plus a round of checkpoint commits.
+      withStreamTuning(s, 8, noDataBatch = false) {
       // STREAM-STATIC join (the remaining join shape): the stream
       // enriches each event with a batch-computed per-user history
       // table (broadcast — no stream-side shuffle, no state store) and
@@ -4322,7 +4343,14 @@ object SparkEntry {
       s.table("events_stream_session_log")
     }),
 
-    "events_stream_dedup_wm" -> ((s, dir) => withShufflePartitions(s, 8) {
+    "events_stream_dedup_wm" -> ((s, dir) =>
+      // noDataBatch = false (same argument as session_window): in
+      // COMPLETE mode the trailing no-data batch re-emits the entire
+      // identical result table (the watermark finalizes nothing and
+      // AvailableNow delivers all data in the data batches), so its
+      // only effect is one more full state scan + memory-sink rewrite
+      // plus a round of checkpoint commits.
+      withStreamTuning(s, 8, noDataBatch = false) {
       // BOUNDED-STATE streaming dedup: dropDuplicatesWithinWatermark
       // evicts each key once the watermark passes its event time +
       // delay — the production shape events_stream_dedup's unbounded
