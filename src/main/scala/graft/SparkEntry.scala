@@ -291,6 +291,14 @@ object SparkEntry {
     * range partitioner never splits equal keys), so each user's
     * cross-batch event sequence is the same globally-sorted sequence
     * the batch operator folds. */
+  /** [[stagedEventsSplitStream]]'s micro-batch count rule, extracted
+    * pure so the spec pins it: one ts-contiguous chunk per ~16 MB of
+    * source parquet, clamped to [2, 8]. At least 2 so cross-boundary
+    * state is always exercised; at most 8 so the per-batch checkpoint
+    * fsync bill stays bounded at any scale. */
+  private[graft] def splitChunkCount(sourceBytes: Long): Int =
+    math.max(2, math.min(8, (sourceBytes >> 24).toInt))
+
   private def stagedEventsSplitStream(s: SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.sql.types._
@@ -320,7 +328,7 @@ object SparkEntry {
         try st.mapToLong(java.nio.file.Files.size(_)).sum finally st.close()
       } else java.nio.file.Files.size(p)
     }
-    val chunks = math.max(2, math.min(8, (evBytes >> 24).toInt))
+    val chunks = splitChunkCount(evBytes)
     val tmp = java.nio.file.Files.createTempDirectory("graft_split_parts")
     ev.repartitionByRange(chunks, col("ts"))
       .write.mode("overwrite").parquet(tmp.toString)
