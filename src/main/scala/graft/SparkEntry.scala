@@ -299,6 +299,24 @@ object SparkEntry {
   private[graft] def splitChunkCount(sourceBytes: Long): Int =
     math.max(2, math.min(8, (sourceBytes >> 24).toInt))
 
+  /** State-partition count for the session_window cell, derived from
+    * INPUT SIZE (one partition per ~2 MB of source parquet, clamped
+    * [8, 32]): stateful operators fix their state-partition count from
+    * spark.sql.shuffle.partitions at first start, and the right value
+    * is load-dependent — at sf0.1 (2 MB) the cell is checkpoint-commit
+    * bound and 8 partitions is the committed-floor shape, while at the
+    * 100x replica (113 MB) the session-merge compute dominates and the
+    * interleaved StreamAB `sessionwin` grid read min 43.4 s at 8
+    * partitions, 37.2 s at 16, 33.5 s at 32 over two rounds — a ~23%
+    * win from parallelism the pinned 8 was leaving idle. The cap
+    * bounds the per-batch checkpoint commit count (one state-store
+    * delta + fsync per partition) at any scale; on a real cluster the
+    * same rule keys on executor count x per-executor target, not a
+    * pin. Partition count never changes results — it only re-buckets
+    * the per-user state groups (re-oracled at sf0.01). */
+  private[graft] def sessionWindowParts(sourceBytes: Long): Int =
+    math.max(8, math.min(32, (sourceBytes >> 21).toInt))
+
   private def stagedEventsSplitStream(s: SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.sql.types._
@@ -4119,7 +4137,9 @@ object SparkEntry {
       // one more full state-store scan + full memory-sink rewrite of
       // every session row. At the 100x replica that second emit is
       // pure waste; the final table is identical with or without it.
-      withStreamTuning(s, 8, noDataBatch = false) {
+      withStreamTuning(s,
+        sessionWindowParts(tableBytes(s, s"$dir/events.parquet")),
+        noDataBatch = false) {
       // NATIVE session windows (vs events_stream_sessions' custom
       // mapGroupsWithState machine): session_window merges events
       // whose gaps stay under the threshold into one state-store

@@ -141,12 +141,64 @@ object StreamAB {
       n
     }
 
+    // sessionwin mode (r18): the native session_window aggregation —
+    // the #2 100x cell after its no-data-batch elision. One staged
+    // drop file = one data batch, complete mode, memory sink; the
+    // grid asks whether the state-partition count (fixed from
+    // spark.sql.shuffle.partitions at first start) is the lever.
+    lazy val sessionDrop: String = {
+      val drops = java.nio.file.Files.createTempDirectory("graft_ab_sw")
+      drops.toFile.deleteOnExit()
+      val target = java.nio.file.Paths.get(s"$dir/events.parquet")
+        .toAbsolutePath.normalize
+      java.nio.file.Files.createSymbolicLink(
+        drops.resolve("events_1.parquet"), target)
+      drops.toString
+    }
+
+    def sessionWinOnce(parts: Int, noData: Boolean): Long = {
+      seq += 1
+      val qn = s"ab_sw_$seq"
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        noData.toString)
+      import org.apache.spark.sql.types._
+      val tsType = spark.read.parquet(s"$dir/events.parquet")
+        .schema("ts").dataType
+      val raw = spark.readStream.schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", tsType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType)))).parquet(sessionDrop)
+      val ev =
+        if (tsType == LongType)
+          raw.withColumn("ts", timestamp_seconds(col("ts") / lit(1e9)))
+        else raw.withColumn("ts", col("ts").cast("timestamp"))
+      val sess = ev.withWatermark("ts", "2 hours")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "1800001 milliseconds"))
+        .agg(count(lit(1)).as("n_events"))
+      val q = sess.writeStream.format("memory")
+        .queryName(qn).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val n = spark.table(qn).count()
+      spark.catalog.dropTempView(qn)
+      n
+    }
+
     val variants =
       if (mode == "anomaly") Seq((8, true), (8, false), (4, false),
         (16, false), (32, false))
+      else if (mode == "sessionwin") Seq((8, false), (16, false),
+        (32, false))
       else Seq((8, true), (4, true), (4, false), (2, false))
     val runOnce: (Int, Boolean) => Long =
-      if (mode == "anomaly") anomalyOnce else joinOnce
+      if (mode == "anomaly") anomalyOnce
+      else if (mode == "sessionwin") sessionWinOnce
+      else joinOnce
     // warm one pass so codegen/JIT is off the books for everyone
     runOnce(8, true)
     val times = scala.collection.mutable.Map.empty[(Int, Boolean),

@@ -25,4 +25,14 @@ class SplitChunkSpec extends AnyFunSuite {
     assert(SparkEntry.splitChunkCount(10L << 30) === 8)
     assert(SparkEntry.splitChunkCount(0L) === 2)
   }
+
+  test("session_window state partitions: ~2 MB each, clamped [8,32]") {
+    // sf0.1 events (~2 MB): the committed floor's commit-bound shape
+    assert(SparkEntry.sessionWindowParts(2L << 20) === 8)
+    // the 100x replica (112,584,468 bytes): the A/B's winning grid arm
+    assert(SparkEntry.sessionWindowParts(112584468L) === 32)
+    assert(SparkEntry.sessionWindowParts(40L << 20) === 20)
+    // checkpoint-commit bill stays bounded at any scale
+    assert(SparkEntry.sessionWindowParts(10L << 30) === 32)
+  }
 }
