@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench's one-line JSON summary must reach the driver's stdout
+// capture RAW: the default LoggedOutput strategy prefixes every child
+// line with [info]/[error] and routes both streams through sbt's
+// logger, which is exactly why every BENCH_rNN.json driver artifact
+// from r01-r18 has parsed:null (VERDICT r18 #1). StdoutOutput inherits
+// the forked JVM's stdout/stderr unprefixed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -615,24 +615,28 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"diag":$dg$anchorJson$overJson$gaugeJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFull), fullJson + "\n")
-    val slow = results.toSeq.sortBy(-_._2).take(12)
-      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // The stdout contract line carries the FULL per-query map (all
+    // cells, not a top-12 slice): the driver parses this single line
+    // for per-query regression detection, and a truncated map left
+    // PERF per_query/scaling empty in every round through r18
+    // (VERDICT r18 #1). It is printed ONCE, to stdout only, raw
+    // (build.sbt routes the forked JVM's streams unprefixed).
     val summary =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow,"nq":${results.size}$anchorJson$overJson,"queries_file":"$outFull","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"nq":${results.size}$anchorJson$overJson,"queries_file":"$outFull","sf":"$sfDir"}"""
     // the summary ALSO goes to a fixed artifact file: the driver's
     // tail-parse of stdout can miss the line behind sbt's [success]
     // footer (r10's BENCH artifact had parsed:null for exactly this),
     // while a file read cannot
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outSummary), summary + "\n")
-    // stop the session BEFORE printing, then echo the summary to BOTH
-    // streams as the very last output: sbt's [success] footer and
-    // Spark's shutdown chatter otherwise land after the JSON line and
-    // can push it out of the driver's stdout tail window (the
-    // recurring parsed:null in BENCH_r*.json)
+    // stop the session BEFORE printing, then emit the contract line as
+    // the very last output: sbt's [success] footer and Spark's
+    // shutdown chatter otherwise land after the JSON line and can
+    // push it out of the driver's stdout tail window (the recurring
+    // parsed:null in BENCH_r*.json). stdout ONLY — the old stderr
+    // echo made the line appear twice in merged captures, which was
+    // one of the three reasons the driver never parsed it.
     spark.stop()
     println(summary)
-    System.err.println(summary)
   }
 }

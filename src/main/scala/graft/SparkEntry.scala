@@ -334,18 +334,17 @@ object SparkEntry {
     // quiet host) while the batch count is irrelevant to the 100x
     // cell, whose cost is data volume. ~16 MB of source parquet per
     // batch keeps sf0.1 at the floor's 2-batch shape and the 100x
-    // replica (~113 MB) at 7 parallel-staged batches; the cap of 8
-    // bounds the fsync bill at any scale. Chunk count never changes
-    // results — batches stay ts-contiguous and arrive in order, so
-    // every cross-batch state fold sees the same globally-sorted
-    // per-user sequence (oracle-verified at both 2 and 8 chunks).
-    val evBytes = {
-      val p = java.nio.file.Paths.get(s"$dir/events.parquet")
-      if (java.nio.file.Files.isDirectory(p)) {
-        val st = java.nio.file.Files.list(p)
-        try st.mapToLong(java.nio.file.Files.size(_)).sum finally st.close()
-      } else java.nio.file.Files.size(p)
-    }
+    // replica (~113 MB) at 6 parallel-staged batches (112,584,468 >>
+    // 24 = 6, the value SplitChunkSpec pins); the cap of 8 bounds the
+    // fsync bill at any scale. Chunk count never changes results —
+    // batches stay ts-contiguous and arrive in order, so every
+    // cross-batch state fold sees the same globally-sorted per-user
+    // sequence (oracle-verified at both 2 and 8 chunks).
+    // tableBytes (Hadoop FS content summary), NOT ad-hoc java.nio
+    // sizing: a remote dir (hdfs://, s3://) has no local Path, and a
+    // nested part-directory layout would be undercounted by a
+    // non-recursive Files.list (ADVICE r18).
+    val evBytes = tableBytes(s, s"$dir/events.parquet")
     val chunks = splitChunkCount(evBytes)
     val tmp = java.nio.file.Files.createTempDirectory("graft_split_parts")
     ev.repartitionByRange(chunks, col("ts"))
@@ -4355,7 +4354,17 @@ object SparkEntry {
           round(sum(col("value")), 2).as("sv"))
     }),
 
-    "events_stream_session_log" -> ((s, dir) => withShufflePartitions(s, 8) {
+    "events_stream_session_log" -> ((s, dir) => withShufflePartitions(s,
+      // state partitions from INPUT SIZE (the session_window rule): 8
+      // at sf0.1 (commit-bound, keeps the committed floor shape), 32
+      // at the 100x replica, where the pinned 8 starved the stateful
+      // operator (run_ms/wall ~ 1.2; the r19 StreamAB sessionlog grid
+      // read min 28.6 s at 8 partitions vs 21.4-22.2 s at 16-32 —
+      // ~25%). RocksDB + changelog checkpointing measured within
+      // noise on the same grid (min 20.5 vs 22.2) and stays off.
+      // Partition count only re-buckets the per-user state groups —
+      // re-oracled at sf0.01.
+      sessionWindowParts(tableBytes(s, s"$dir/events.parquet"))) {
       // flatMapGroupsWithState: one row PER CLOSED SESSION (index,
       // event count, duration) — the stateful emit-many shape. The
       // oracle recomputes the closed-session log with batch window
@@ -4421,7 +4430,13 @@ object SparkEntry {
           col("sessions").cast("long").as("n_sessions"))
     }),
 
-    "events_stream_session_log_evict" -> ((s, dir) => withShufflePartitions(s, 8) {
+    "events_stream_session_log_evict" -> ((s, dir) => withShufflePartitions(s,
+      // input-sized state partitions, same grid evidence as
+      // events_stream_session_log above (this is the cell the r19
+      // StreamAB sessionlog grid actually times: flatMapGroupsWithState
+      // + EventTimeTimeout; 17.2 s of task GC at 8 partitions came
+      // down to in-gate with the 4x parallelism)
+      sessionWindowParts(tableBytes(s, s"$dir/events.parquet"))) {
       // flatMapGroupsWithState + EventTimeTimeout: the emitted log must
       // equal the COMPLETE batch session log — trailing sessions
       // included, which the NoTimeout form (events_stream_session_log)

@@ -377,152 +377,130 @@ object Dedup {
    * @param edges    `src`/`dst` columns; direction is ignored
    * @return (vertex_id, cluster_id) with cluster_id = min reachable id
    */
-  /** Checkpoint storage for the CC loop's label frames: SERIALIZED
-    * blocks. The deserialized default kept three 60M-row object graphs
-    * live at the 100x replica and cost 1.3-2.6 ks of accumulated GC
-    * per sweep cell; serialized storage holds compact UnsafeRow bytes
-    * instead (the loop re-reads each frame only 2-3 times, so the
-    * decode cost is far below the GC it removes). */
+  /** Storage for the CC loop's materialized frames: SERIALIZED blocks
+    * (compact UnsafeRow bytes, not object graphs — guide §5). */
   private val CcStorage =
     org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
 
+  /** Contract-and-iterate connected components (r19): each level
+    * co-locates every pair with all pairs sharing its first endpoint
+    * (symmetrize + range partition), contracts the local subgraph
+    * with a PRIMITIVE union-find ([[CcLocalStep]]: flat long/int
+    * arrays, no row objects), and emits (vertex -> local-min-root)
+    * star pairs. Levels iterate on the emitted star forest until a
+    * fixpoint.
+    *
+    * Why this replaced the r11-r18 min-label-propagation rounds
+    * (join + groupBy + two pointer-jump joins per round): that loop's
+    * cost was 4 full |V|-row exchanges per round plus a checkpoint,
+    * and its 100x-replica replay was GC-bound (round-1 step 96.8 s
+    * under 459 s of accumulated task GC; VERDICT r18 #2). A level
+    * here is ONE narrow exchange of 2|E_level| (long, long) rows plus
+    * a zero-allocation local pass, superseded level caches are freed
+    * eagerly, and range partitioning gives id-correlated graphs (the
+    * dedup-cluster norm: candidate pairs from sorted doc ids) near-
+    * total level-0 contraction.
+    *
+    * Correctness sketch (spec-pinned in CcParitySpec against a plain
+    * Scala BFS oracle):
+    *  - Connectivity is preserved level to level: within a partition
+    *    the emitted star connects exactly the vertices union-find
+    *    merged; across partitions components stay linked because a
+    *    vertex emitted under two different roots itself connects
+    *    them at the next level.
+    *  - Roots are always the MIN id of their local component
+    *    (union-by-min), so labels only ever decrease toward the
+    *    component minimum; symmetrized range partitioning means every
+    *    vertex sees ALL its incident pairs each level (the hash-to-min
+    *    scheme, O(log |V|) levels worst case, 2-3 in practice).
+    *  - Fixpoint witness: a level's `changed` accumulator counts
+    *    emitted pairs NOT present among that partition's input pairs
+    *    (either direction). changed == 0 forces every partition's
+    *    union-find components to coincide with its input stars, so
+    *    the pair set is globally idempotent; a star forest that is
+    *    idempotent has one star per component rooted at the
+    *    component minimum (any root that were not minimal, or any two
+    *    stars sharing a vertex, would emit an unseen pair from that
+    *    vertex's own partition — symmetrization guarantees the
+    *    evidence is co-located with it).
+    *
+    * Cache contract: the final level's star pairs and the edge-pair
+    * checkpoint back the RETURNED (lazy) frame and stay persisted;
+    * callers running many CC jobs in one session release them the
+    * same way [[incrementalNew]] documents (`clearCache` /
+    * `getPersistentRDDs...unpersist` — what Verify/Bench do between
+    * queries). Superseded level caches are freed inside the loop.
+    */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxRounds: Int = 25): DataFrame = {
-    // (measured: disabling AQE here LOSES ~0.8s/round — its runtime
-    // coalescing of the tiny per-round exchanges outweighs the extra
-    // query-stage scheduling, so the rounds run with whatever the
-    // session has)
-    // materialize the symmetric edge list ONCE — every round joins
-    // against it, and without this the (possibly expensive) edge
-    // derivation re-executes per round. Pre-hash-partitioned on `src`
-    // (checkpointed Datasets preserve their output partitioning), so
-    // the per-round neighborhood join never re-exchanges the edge
-    // side — only the label frame moves.
-    val shufflePartitions =
-      vertices.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // lazy persist, NOT an eager checkpoint: the label-init job below
-    // consumes sym twice and materializes the cache as a side effect —
-    // one fewer driver job on the critical path; rounds then read the
-    // cached blocks exactly as they would a checkpoint
-    // symmetrize via ONE explode, not a self-union: the union form
-    // evaluates the caller's edge derivation TWICE (both branches),
-    // and edge lists are often expensive aggregations — measured 207 s
-    // of a 290 s run spent in init at a 45M-edge input, halved by the
-    // single-pass form
-    val sym = edges.select(explode(array(
-        struct(col("src"), col("dst")),
-        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .repartition(shufflePartitions, col("src"))
-      .persist()
-    // the vertex SET: callers may hand a frame with repeated ids, and
-    // a duplicate id would multiply rows through the pointer-jump
-    // self-join every round — exponentially. One distinct up front
-    // keeps `labels` unique-by-id, which every later join relies on.
-    // Edge endpoints are unioned in so an endpoint missing from the
-    // vertex frame still resolves in the pointer-jump inner join —
-    // otherwise rows whose label points at it would silently VANISH.
-    //
-    // init folds the FIRST neighborhood-min in for free: with identity
-    // labels, "min label over the neighborhood" is just min(src) per
-    // dst over the edge list — a groupBy, no join against a label
-    // frame. That saves one full (join + groupBy + join + jump) round.
+    import org.apache.spark.sql.graftbridge.InternalRowBridge
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = vertices.sparkSession
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    val pairSchema = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false)))
+    // materialize the NARROW pair list once (16-byte rows): the
+    // level-0 range exchange samples its input, and edge lists are
+    // often expensive aggregations that must not run twice. Null
+    // endpoints carry no connectivity and are dropped.
     val tInit = System.nanoTime()
-    // init = ONE union + ONE groupBy: sym is symmetric, so its `dst`
-    // side already enumerates every edge endpoint, and min(cand) over
-    // {own id} ∪ {in-neighbor ids} IS the first neighborhood-min fold
-    // (label(v) = min(v, min src over edges into v)). This replaces
-    // the previous distinct + first-fold groupBy + left join — two
-    // fewer exchanges on the init critical path — while still
-    // guaranteeing labels are UNIQUE BY ID (the groupBy), which every
-    // later join relies on (callers may hand duplicate vertex ids,
-    // and a duplicate would multiply rows through the pointer-jump
-    // self-join every round — exponentially).
-    //
-    // Eager checkpoint, deliberately: a lazy persist here lets the
-    // whole init lineage reappear at every one of round-0's
-    // references to `labels`/`stepped`, and the plan-level cache is
-    // not yet populated when those subtrees race — measured +2.5s on
-    // round 0 vs this one extra init job.
-    var labels = vertices.select(col("id"), col("id").as("cand"))
-      .unionByName(sym.select(col("dst").as("id"), col("src").as("cand")))
-      .groupBy(col("id")).agg(min(col("cand")).as("label"))
+    val edgePairs = edges.select(col("src").cast("long").as("a"),
+        col("dst").cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
       .localCheckpoint(true, CcStorage)
-    if (sys.env.contains("GRAFT_CC_DEBUG"))
-      println(s"[cc] init: ${(System.nanoTime() - tInit) / 1e9}s")
-    var round = 0
-    // convergence witness, IN-BAND: min-propagation is at a fixpoint
-    // IFF every edge's endpoints carry the same label (uniform label
-    // per component = the component min, since labels are always ids
-    // of reachable vertices and the min vertex's own label can never
-    // exceed itself), and edges all agree IFF NO vertex's
-    // neighborhood-min undercuts its own label — exactly the `moved`
-    // bit the propagation step computes anyway. Threading that bit
-    // through the jumps and reading it off the checkpointed result
-    // makes each round ONE eager job plus a cache-local scan; the
-    // previous separate edge-agreement probe cost two more equi-joins
-    // of the full edge list per round, and round scheduling — not
-    // compute — dominates this operator's wall time (VERDICT r11 #2).
-    // On the converged round `moved` is all-false, so stepped ==
-    // labels and the jumps are identities (uniform labels are their
-    // own fixpoint) — the returned frame is the same one the old
-    // probe-first loop returned.
+    if (debug)
+      println(s"[cc] edge materialize: ${(System.nanoTime() - tInit) / 1e9}s")
+    var cur: DataFrame = edgePairs
+    var curRdd: org.apache.spark.rdd.RDD[_] = null // level cache handle
     var converged = false
-    while (!converged && round < maxRounds) {
-      // neighborhood min: own label vs the min of neighbors' labels —
-      // a left join + least() rather than a union+groupBy (fewer rows
-      // through the shuffle, and unioning a frame with a derivation of
-      // itself trips Catalyst's union constraint rewriting)
-      val nbrMin = sym.join(labels, sym("src") === labels("id"))
-        .groupBy(col("dst")).agg(min("label").as("nlbl"))
-        .select(col("dst").as("id"), col("nlbl"))
+    var level = 0
+    while (!converged && level < maxRounds) {
       val t0 = System.nanoTime()
-      // checkpoint the propagation step BEFORE the jumps: the check
-      // then runs cache-local, and — decisive for wall time — the
-      // CONVERGED round stops here, never paying the two jump joins
-      // (at the fixpoint they are identities anyway, so the returned
-      // frame is unchanged)
-      val stepped = labels.join(nbrMin, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlbl"), col("label")))
-            .as("label"),
-          (coalesce(col("nlbl"), col("label")) < col("label"))
-            .as("moved"))
-        .localCheckpoint(true, CcStorage)
-      val t1 = System.nanoTime()
-      converged = stepped.filter(col("moved")).limit(1).count() == 0L
-      if (converged) labels = stepped.drop("moved")
-      else {
-        // pointer jump ×2 THROUGH STEPPED: label := s(s(v)) then
-        // s(that) — always resolving against the round's checkpointed
-        // base mapping, which stays partitioned by `id`, so each jump
-        // exchanges only the probe side. Labels are vertex ids, so
-        // every lookup resolves; min-propagation keeps it monotone.
-        def jump(df: DataFrame): DataFrame = df.as("a")
-          .join(stepped.as("b"), col("a.label") === col("b.id"))
-          .select(col("a.id"), col("b.label").as("label"))
-        // repartition the round's result BY ID before checkpointing:
-        // the jump joins key their output by LABEL, and a label-
-        // partitioned frame forces the NEXT round's neighborhood join
-        // and left-outer step to re-exchange 2x|V| rows (measured at
-        // the 100x replica: round 1's step read 69 s against 15 s for
-        // the id-partitioned round 0 — this one exchange, paid once
-        // here, makes every subsequent round step exchange-free)
-        labels = jump(jump(stepped.drop("moved")))
-          .repartition(shufflePartitions, col("id"))
-          .localCheckpoint(true, CcStorage)
-      }
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"[cc] round $round: step=${(t1 - t0) / 1e9}s " +
-          s"rest=${(System.nanoTime() - t1) / 1e9}s converged=$converged")
-      round += 1
+      val acc = spark.sparkContext.longAccumulator(s"cc_changed_$level")
+      // symmetrize via ONE explode (both directions of each pair),
+      // then range-partition on the first endpoint: equal keys are
+      // never split, so a vertex's whole incidence list lands in one
+      // partition, and monotone id layouts keep neighbors local
+      val sym = cur.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .repartitionByRange(col("a"))
+      val stepRdd = InternalRowBridge.toInternalRdd(sym)
+        .mapPartitions(rows => CcLocalStep.process(rows, acc))
+      stepRdd.persist(CcStorage)
+      val emitted = stepRdd.count() // eager: populates the accumulator
+      // free the SUPERSEDED level now — the old loop let every round's
+      // 60M-row checkpoint pile up, which is where the 100x replay's
+      // 459 s of task GC came from
+      if (curRdd != null) curRdd.unpersist(blocking = false)
+      curRdd = stepRdd
+      cur = InternalRowBridge.fromInternalRdd(spark, stepRdd, pairSchema)
+      converged = acc.value == 0L
+      if (debug)
+        println(s"[cc] level $level: pairs=$emitted changed=${acc.value} " +
+          f"secs=${(System.nanoTime() - t0) / 1e9}%.2f converged=$converged")
+      level += 1
     }
-    sym.unpersist(blocking = false) // labels are checkpointed; the
-                                    // edge cache is dead weight now
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxRounds rounds")
-    labels.select(col("id").as("vertex_id"), col("label").as("cluster_id"))
+    // assembly: the result covers the caller's vertex set UNION every
+    // edge endpoint (an endpoint missing from the vertex frame must
+    // not vanish), deduplicated — callers may hand repeated ids. The
+    // final star pairs carry duplicates (a pair is emitted from both
+    // its child's and its root's partition), so the mapping collapses
+    // by child first; at the fixpoint each child has exactly one
+    // root, making min() a pure dedup.
+    val ids = vertices.select(col("id").cast("long").as("id"))
+      .unionByName(edgePairs.select(col("a").as("id")))
+      .unionByName(edgePairs.select(col("b").as("id")))
+      .distinct()
+    val mapping = cur.groupBy(col("a")).agg(min(col("b")).as("label"))
+    ids.join(mapping, ids("id") === mapping("a"), "left_outer")
+      .select(col("id").as("vertex_id"),
+        coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
   /**

@@ -191,7 +191,6 @@ object Similarity {
     // bench measured it). 4x the signature arithmetic buys a ~50x
     // smaller candidate set; the signature pass is one fused codegen
     // loop and stays the cheaper phase.
-    val par = emb.sparkSession.sparkContext.defaultParallelism
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
     // EXACT-DUPLICATE COLLAPSE before LSH: identical vectors (grouped
     // by VALUE — no hash-collision risk) ride the banding pipeline as
@@ -201,20 +200,29 @@ object Similarity {
     // replicated/crawled corpus this removes the quadratic candidate
     // blow-up inside duplicate cliques (the 100x bench replica: 400k
     // vectors but 2k distinct — banded candidate pairs drop ~10M ->
-    // ~20k and the wide verify joins shrink with them); on a
-    // duplicate-free corpus it costs one narrow-keyed exchange and
-    // changes nothing.
+    // ~20k and the wide verify joins shrink with them).
     val clustered = vecs.groupBy(col("vec"))
       .agg(min(col("id")).as("rep_id"),
         collect_list(col("id")).as("ids"))
       .persist()
+    // ADAPTIVE expansion (r19, VERDICT r18 #5): one aggregate over the
+    // (persisted) cluster table decides whether any duplicate clique
+    // exists — materializing the cache as a side effect. When every
+    // cluster is a singleton, the member-expansion joins are
+    // identities and the intra subtree is empty, so both are SKIPPED
+    // (~9 fewer Exchanges on duplicate-free corpora); results are
+    // bit-identical either way, the counts only pick the plan.
+    val Array(nDistinct, nTotal) = clustered
+      .agg(count(lit(1)), sum(size(col("ids"))).cast("long"))
+      .head().toSeq.toArray.map(_.asInstanceOf[Long])
     // the persisted frame is ONLY (id, band, bandhash) — 3 narrow
     // columns. The signature pass runs once to produce it; the
     // embedding vectors are NOT carried through the explode or the
     // self-join (bands x rows of wide arrays would dominate the cache
-    // and the shuffle at scale)
+    // and the shuffle at scale). The groupBy exchange above already
+    // spread the per-vector work, so no extra repartition is needed
+    // before the signature pass (r18 paid one here).
     val banded = clustered.select(col("rep_id").as("id"), col("vec"))
-      .repartition(par, col("id"))
       .withColumn("sig", rhpSignature(col("vec"), nBits, dim))
       .select(col("id"),
         bandExplode(col("sig"), nBits, bands).as(Seq("band", "bandhash")))
@@ -238,28 +246,45 @@ object Similarity {
       .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= tau)
       .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"), col("cos"))
-    val members = clustered.select(col("rep_id"), explode(col("ids")).as("mid"))
-    val cross = repPairs
-      .join(members.select(col("rep_id").as("rep_a"), col("mid").as("m_a")),
-        Seq("rep_a"))
-      .join(members.select(col("rep_id").as("rep_b"), col("mid").as("m_b")),
-        Seq("rep_b"))
-      .select(least(col("m_a"), col("m_b")).as("id_a"),
-        greatest(col("m_a"), col("m_b")).as("id_b"), col("cos"))
-    // INTRA-cluster pairs: every member pair shares cos(v, v) — the
-    // same expression the old formulation evaluated per pair, so a
-    // degenerate vector whose self-cosine fails tau (zero norm) drops
-    // here exactly as it dropped there
-    val intra = clustered.filter(size(col("ids")) > 1)
-      .withColumn("cos", cosine(col("vec"), col("vec")))
-      .filter(col("cos") >= tau)
-      .select(col("ids"), col("cos"))
-      .withColumn("id_a", explode(col("ids")))
-      .withColumn("id_b", explode(col("ids")))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("cos"))
-    cross.unionByName(intra)
+    val pairs =
+      if (nDistinct == nTotal)
+        // singletons everywhere: rep pairs ARE the member pairs
+        repPairs.select(col("rep_a").as("id_a"), col("rep_b").as("id_b"),
+          col("cos"))
+      else {
+        val members = clustered.select(col("rep_id"),
+          explode(col("ids")).as("mid"))
+        val cross = repPairs
+          .join(members.select(col("rep_id").as("rep_a"), col("mid").as("m_a")),
+            Seq("rep_a"))
+          .join(members.select(col("rep_id").as("rep_b"), col("mid").as("m_b")),
+            Seq("rep_b"))
+          .select(least(col("m_a"), col("m_b")).as("id_a"),
+            greatest(col("m_a"), col("m_b")).as("id_b"), col("cos"))
+        // INTRA-cluster pairs: every member pair shares cos(v, v) —
+        // the same expression the old formulation evaluated per pair,
+        // so a degenerate vector whose self-cosine fails tau (zero
+        // norm) drops here exactly as it dropped there
+        val intra = clustered.filter(size(col("ids")) > 1)
+          .withColumn("cos", cosine(col("vec"), col("vec")))
+          .filter(col("cos") >= tau)
+          .select(col("ids"), col("cos"))
+          .withColumn("id_a", explode(col("ids")))
+          .withColumn("id_b", explode(col("ids")))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("cos"))
+        cross.unionByName(intra)
+      }
+    val out = pairs
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      // eager, then release BOTH persisted intermediates — the r18
+      // form left `clustered` pinned for the session (VERDICT r18 #3);
+      // the checkpointed result is the small verified pair list and
+      // its blocks release with the plan via the context cleaner
+      .localCheckpoint(true)
+    clustered.unpersist(blocking = false)
+    banded.unpersist(blocking = false)
+    out
   }
 
   /**
